@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB correctness gate.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+
+For each <name>.parquet dir under verifyOutDir, runs the matching SQL from
+oracle_sql.json in DuckDB (tables = parquet files in sfDir), then compares:
+  - schema (column names, sorted)
+  - row count
+  - values (columns sorted by name, rows sorted, exact match; floats to 9dp)
+
+This is a local feedback loop only — the library itself never uses Python.
+"""
+import json, sys, glob, os
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+def canon(rows):
+    return sorted([tuple(norm(v) for v in r) for r in rows], key=lambda r: tuple((x is None, str(x)) for x in r))
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        got_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle (rows={len(got_rel.fetchall())})")
+            n_skip += 1
+            continue
+        exp_rel = con.sql(oracle[name])
+        got_cols = sorted(got_rel.columns)
+        exp_cols = sorted(exp_rel.columns)
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns differ got={got_cols} exp={exp_cols}")
+            n_fail += 1
+            continue
+        got = canon(got_rel.project(", ".join(got_cols)).fetchall())
+        exp = canon(exp_rel.project(", ".join(exp_cols)).fetchall())
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rowcount got={len(got)} exp={len(exp)}")
+            n_fail += 1
+            continue
+        bad = [(g, e) for g, e in zip(got, exp) if g != e]
+        if bad:
+            print(f"FAIL {name}: {len(bad)} mismatched rows; first: got={bad[0][0]} exp={bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

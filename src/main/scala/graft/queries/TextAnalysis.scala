@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All operators are pure column expressions (`org.apache.spark.sql.functions`)
+  * so they stay inside whole-stage codegen and scale linearly with no
+  * shuffle: at 100 TB each is a map-only pass over the corpus. Oracles are
+  * expressed with the exact same integer/string semantics in DuckDB SQL, so
+  * every operator here is hash-checked (no rows-only entries).
+  *
+  * The reference has no text surface (SURVEY.md §2.4 [absent]); these are the
+  * extension operators called for by the builder prompt (SURVEY.md §7.1 M5).
+  */
+object TextAnalysis extends QueryPack {
+
+  /** Whitespace token count as a reusable Column expression. Empty/blank
+    * text counts 0 (`split` on blank yields one empty token — filtered). */
+  private def tokenCount(c: org.apache.spark.sql.Column) =
+    size(filter(split(trim(c), "\\s+"), t => length(t) > 0))
+
+  val queries: Map[String, Q] = Map(
+
+    // token counting: whitespace tokens + a BPE-ish subword proxy
+    // (4 chars ≈ 1 token, the common rule of thumb) + distinct token count.
+    "t01_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(filter(split(trim(col("text")), "\\s+"),
+          x => length(x) > 0))).as("n_distinct_tokens"),
+        floor(length(col("text")) / 4).cast("int").as("n_tokens_bpe_est"))),
+
+    // quality scoring: integer counts + one ratio, all deterministic.
+    "t02_quality_score" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(regexp_replace(col("text"), "[^.!?]", "")).as("n_sentence_punct"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).as("n_lower"),
+        length(regexp_replace(col("text"), "[^A-Z]", "")).as("n_upper"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          x => x.isin("the", "a", "of", "and", "to", "in", "is")))
+          .as("n_stopwords"),
+        round(length(regexp_replace(col("text"), "[^a-zA-Z ]", ""))
+          .cast("double") / greatest(length(col("text")), lit(1)), 6)
+          .as("clean_ratio"))),
+
+    // language id: marker-word vote (n-gram heuristic degenerate to word
+    // markers — the corpus is synthetic so markers are the honest signal).
+    "t03_lang_id" -> ((s, d) => {
+      val txt = concat(lit(" "), col("text"), lit(" "))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        col("lang"),
+        when(txt.contains(" the ") || txt.contains(" and "), "en")
+          .when(txt.contains(" der ") || txt.contains(" und "), "de")
+          .when(txt.contains(" el ") || txt.contains(" los "), "es")
+          .when(txt.contains(" le ") || txt.contains(" les "), "fr")
+          .otherwise("unknown").as("lang_guess"))
+    }),
+
+    // document fingerprint: md5 over whitespace-normalized lowercase text —
+    // the exact-dedup key. (Rolling-hash shingle fingerprints live in the
+    // Dedup pack where they feed MinHash.)
+    "t04_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))),
+
+    // corpus-level stats: tokens and length percentiles per language —
+    // the "what's in this corpus" report; partial aggregation map-side.
+    "t05_corpus_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"),
+          min(length(col("text"))).as("min_chars"),
+          max(length(col("text"))).as("max_chars"),
+          sum(tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("lang"))
+  )
+
+  val oracleSql: Map[String, String] = {
+    // DuckDB equivalents of the Spark-side expressions, kept in one place so
+    // the two stay reviewably in sync.
+    val dTok = "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0))"
+    val dDistinctTok = "len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)))"
+    Map(
+      "t01_token_count" ->
+        s"SELECT doc_id, $dTok AS n_tokens, $dDistinctTok AS n_distinct_tokens, CAST(floor(length(text) / 4) AS INT) AS n_tokens_bpe_est FROM documents",
+      "t02_quality_score" ->
+        (s"SELECT doc_id, length(text) AS n_chars_m, $dTok AS n_tokens, " +
+          "length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_sentence_punct, " +
+          "length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_lower, " +
+          "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper, " +
+          "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x IN ('the','a','of','and','to','in','is'))) AS n_stopwords, " +
+          "round(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS clean_ratio " +
+          "FROM documents"),
+      "t03_lang_id" ->
+        ("SELECT doc_id, lang, CASE " +
+          "WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' and ') THEN 'en' " +
+          "WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ') THEN 'de' " +
+          "WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' los ') THEN 'es' " +
+          "WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' les ') THEN 'fr' " +
+          "ELSE 'unknown' END AS lang_guess FROM documents"),
+      "t04_fingerprint" ->
+        "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint FROM documents",
+      "t05_corpus_stats" ->
+        (s"SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars, " +
+          "min(length(text)) AS min_chars, max(length(text)) AS max_chars, " +
+          s"sum($dTok) AS total_tokens FROM documents GROUP BY lang ORDER BY lang")
+    )
+  }
+}

@@ -1,0 +1,59 @@
+package graft.table
+
+import org.apache.spark.sql.types._
+
+/** Per-file, per-column min/max/null statistics used for file pruning.
+  *
+  * Mirrors the metrics Iceberg attaches to data files
+  * (reference: TestHelpers.java:94-98 `DataFiles…withMetrics`;
+  * pruning consumer: IcebergInputFormat.java:102-107 `scan.filter(expr)`).
+  *
+  * Values are stored JSON-friendly (string form) and parsed back through the
+  * table schema, so the manifest stays engine-portable. Missing stats are
+  * legal and must be treated as "cannot prune" by every consumer.
+  */
+final case class ColumnStats(
+    min: Option[String],
+    max: Option[String],
+    nullCount: Option[Long],
+    valueCount: Option[Long]) {
+
+  /** Typed min/max in the column's Scala-comparable form, or None. */
+  def typedMin(dt: DataType): Option[Any] = min.flatMap(ColumnStats.parse(_, dt))
+  def typedMax(dt: DataType): Option[Any] = max.flatMap(ColumnStats.parse(_, dt))
+}
+
+object ColumnStats {
+  val empty: ColumnStats = ColumnStats(None, None, None, None)
+
+  /** Parse the stored string form back to a comparable value. Unsupported
+    * types return None (consumers then skip pruning on that column). */
+  def parse(s: String, dt: DataType): Option[Any] = dt match {
+    case BooleanType => Some(s.toBoolean)
+    case IntegerType => Some(s.toInt)
+    case LongType => Some(s.toLong)
+    case FloatType => Some(s.toFloat)
+    case DoubleType => Some(s.toDouble)
+    case StringType => Some(s)
+    case DateType => Some(s.toInt) // days since epoch
+    case TimestampType | TimestampNTZType => Some(s.toLong) // micros
+    case _: DecimalType => Some(BigDecimal(s))
+    case _ => None
+  }
+
+  /** Render a stat value to its stored string form. */
+  def render(v: Any): String = v.toString
+
+  /** Ordering used to compare a literal against stored min/max. Returns None
+    * when the type is not totally ordered here (then: no pruning). */
+  def compare(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
+    case (x: Int, y: Int) => Some(x.compareTo(y))
+    case (x: Long, y: Long) => Some(x.compareTo(y))
+    case (x: Float, y: Float) => Some(x.compareTo(y))
+    case (x: Double, y: Double) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+    case _ => None
+  }
+}

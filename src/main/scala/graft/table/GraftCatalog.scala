@@ -1,0 +1,69 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog/table resolution (S1) — Spark-native analog of
+  * `TableResolverUtil.resolveTableFromConfiguration`
+  * (TableResolverUtil.java:59-91), which supports path-addressed tables
+  * (HadoopTables, :66-68) and warehouse-addressed `db.table` identifiers
+  * (HadoopCatalog, :69-85), plus `<name>__snapshots` metadata-table naming
+  * (:72-85,93-100).
+  */
+final class GraftCatalog(warehouse: String) {
+
+  /** `db.table` → `<warehouse>/db/table` (HadoopCatalog layout). */
+  def tableDir(identifier: String): String = {
+    require(identifier.nonEmpty, "empty table identifier")
+    val parts = identifier.split('.')
+    (Seq(warehouse) ++ parts).mkString("/")
+  }
+
+  def createTable(
+      identifier: String,
+      schema: org.apache.spark.sql.types.StructType,
+      properties: Map[String, String] = Map.empty): GraftTable =
+    GraftTable.create(tableDir(identifier), schema, properties)
+
+  /** Resolve `db.table` or `db.table__snapshots`. Returns either the data
+    * table or its snapshots system table as a DataFrame.
+    *
+    * A data table whose real name ends in `__snapshots` wins over the
+    * system table when it exists on disk with `graft.snapshots.table=false`
+    * (reference edge case: TestReadSnapshotTable.java:114-136).
+    */
+  def loadDataFrame(spark: SparkSession, identifier: String): DataFrame = {
+    if (identifier.endsWith(GraftTable.SnapshotsSuffix)) {
+      // a real table by that exact name takes precedence if it opted out
+      if (GraftTable.exists(tableDir(identifier))) {
+        val t = GraftTable.load(tableDir(identifier))
+        if (!t.snapshotsTableEnabled) return t.read(spark)
+      }
+      val base = identifier.dropRight(GraftTable.SnapshotsSuffix.length)
+      val t = GraftTable.load(tableDir(base))
+      require(t.snapshotsTableEnabled,
+        s"snapshots table disabled for $base (${GraftTable.PropSnapshotsTable}=false)")
+      t.snapshots(spark)
+    } else {
+      GraftTable.load(tableDir(identifier)).read(spark)
+    }
+  }
+
+  /** Register `name` (and `name__snapshots` when enabled) as temp views so
+    * `spark.sql` can query them. Re-resolves the log at call time; combined
+    * with the time-travel rule this keeps every query stateless. */
+  def register(spark: SparkSession, identifier: String): Unit = {
+    val viewName = identifier.replace('.', '_')
+    loadDataFrame(spark, identifier).createOrReplaceTempView(viewName)
+    val t = GraftTable.load(tableDir(identifier))
+    if (t.snapshotsTableEnabled) {
+      t.snapshots(spark).createOrReplaceTempView(
+        viewName + GraftTable.SnapshotsSuffix)
+    }
+  }
+}
+
+object GraftCatalog {
+  /** Path-addressed load (HadoopTables analog, TableResolverUtil.java:66-68). */
+  def loadPath(spark: SparkSession, dir: String): DataFrame =
+    GraftTable.load(dir).read(spark)
+}

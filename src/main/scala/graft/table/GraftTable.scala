@@ -1,0 +1,276 @@
+package graft.table
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+/** A "graft table": a directory of immutable parquet data files plus a JSON
+  * snapshot log — a Spark-native re-expression of the reference's
+  * capabilities (snapshot-versioned tables, scan-time pushdown, min/max file
+  * pruning, a `__snapshots` system table, a virtual `snapshot__id` column,
+  * and time travel). See SURVEY.md §7.
+  *
+  * Layout:
+  * {{{
+  *   <dir>/metadata.json            schema + properties
+  *   <dir>/snapshots.json           snapshot log (SnapshotLog)
+  *   <dir>/manifests/snap-<id>.json full file list + stats at that snapshot
+  *   <dir>/data/part-<snap>-<n>.parquet
+  * }}}
+  *
+  * Design stance for 100 TB: metadata is O(files), data access is always a
+  * pruned `spark.read.parquet(files*)` — Spark's vectorized reader,
+  * whole-stage codegen and FilePartition bin-packing do the heavy lifting
+  * (the reference's `planTasks` bin-packing analog,
+  * IcebergInputFormat.java:76-118, is Spark's `maxPartitionBytes` packing).
+  * Reads never materialize data on the driver; only the snapshot log and
+  * manifests (tiny JSON) are driver-side.
+  *
+  * Reference mapping: resolution = TableResolverUtil.java:59-91; snapshot
+  * selection = IcebergInputFormat.java:81-84,100-107; virtual column =
+  * SystemTableUtil.java:29-67; snapshots table =
+  * iterables/SnapshotIterable.java:37-57.
+  */
+final class GraftTable private (
+    val dir: String,
+    val schema: StructType,
+    val properties: Map[String, String]) {
+
+  import GraftTable._
+
+  def log: SnapshotLog = SnapshotLog.read(s"$dir/snapshots.json")
+
+  /** Virtual column name, overridable via table property — mirrors
+    * `iceberg.hive.snapshot.virtual.column.name` (SystemTableUtil.java:51-67). */
+  def virtualColumn: String =
+    properties.getOrElse(PropVirtualColumnName, DefaultVirtualColumn)
+
+  /** Whether `<name>__snapshots` resolves to the system table — mirrors
+    * `iceberg.snapshots.table` opt-out (TableResolverUtil.java:93-100). */
+  def snapshotsTableEnabled: Boolean =
+    properties.getOrElse(PropSnapshotsTable, "true").toBoolean
+
+  // ------------------------------------------------------------------
+  // commits
+  // ------------------------------------------------------------------
+
+  /** Append `df` as a new snapshot (analog of
+    * `table.newAppend().appendFile(f).commit()`, TestHelpers.java:55-103).
+    *
+    * `committedAt` is injectable for deterministic fixtures; commits are
+    * sequential (single-writer fixture semantics, like the reference's
+    * test-side writer — concurrent commit coordination is out of scope).
+    */
+  def append(df: DataFrame, committedAt: Option[Long] = None): Snapshot = {
+    val lg = log
+    val snapId = lg.nextId
+    val staging = s"$dir/.staging-$snapId"
+    df.write.mode("overwrite").parquet(staging)
+
+    val dataDir = Paths.get(dir, "data")
+    Files.createDirectories(dataDir)
+    val staged = Files.list(Paths.get(staging)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    var seq = 0
+    val newFiles = staged.map { src =>
+      val name = f"part-$snapId%05d-$seq%05d.parquet"
+      seq += 1
+      val dst = dataDir.resolve(name)
+      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      val (rows, stats) = ParquetStats.forFile(dst.toString, conf)
+      DataFileEntry(s"data/$name", rows, Files.size(dst), stats)
+    }
+    deleteRecursively(Paths.get(staging))
+
+    val prevManifest = lg.current.map(s => Manifest.read(s"$dir/${s.manifestList}"))
+      .getOrElse(Manifest.empty)
+    val manifest = Manifest(prevManifest.files ++ newFiles)
+    val manifestRel = f"manifests/snap-$snapId%05d.json"
+    manifest.write(s"$dir/$manifestRel")
+
+    val snap = Snapshot(
+      snapshotId = snapId,
+      parentId = lg.current.map(_.snapshotId),
+      committedAt = committedAt.getOrElse(System.currentTimeMillis()),
+      operation = "append",
+      manifestList = manifestRel,
+      summary = Map(
+        "added-data-files" -> newFiles.size.toString,
+        "added-records" -> newFiles.map(_.recordCount).sum.toString,
+        "total-data-files" -> manifest.files.size.toString,
+        "total-records" -> manifest.totalRecords.toString))
+    SnapshotLog(lg.snapshots :+ snap).write(s"$dir/snapshots.json")
+    snap
+  }
+
+  // ------------------------------------------------------------------
+  // reads
+  // ------------------------------------------------------------------
+
+  /** Schema as read (user schema + virtual snapshot column, like
+    * IcebergSerDe.java:60-62). */
+  def readSchema: StructType =
+    StructType(schema.fields :+ StructField(virtualColumn, LongType, nullable = true))
+
+  /** Resolve the snapshot to scan: explicit id or current
+    * (IcebergInputFormat.java:81-84,100-107). */
+  private def resolveSnapshot(snapshotId: Option[Long]): Option[Snapshot] = {
+    val lg = log
+    snapshotId match {
+      case Some(id) => Some(lg.byId(id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id in $dir")))
+      case None => lg.current
+    }
+  }
+
+  /** Full-table read at a snapshot (empty-table scan S11: a table with no
+    * snapshots yields an empty DataFrame with the right schema). */
+  def read(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame =
+    scan(spark, filter = None, projection = Nil, snapshotId = snapshotId)
+
+  /** Scan with optional pushed filter and projection — the programmatic API
+    * (reference analog §3.3). Honors a `snapshot__id = <lit>` conjunct as
+    * time travel (P16/V3: IcebergFilterFactory.java:134-136 +
+    * IcebergInputFormat.java:284-299 — first match wins; the leaf is
+    * neutralized for data pruning but the scan is pinned to that snapshot).
+    *
+    * The filter is used twice, like the reference's pushed+residual pair:
+    * (1) manifest min/max pruning picks the file list; (2) Spark re-applies
+    * the full predicate post-scan (and pushes it into parquet row-group
+    * pruning for free).
+    */
+  def scan(
+      spark: SparkSession,
+      filter: Option[Column],
+      projection: Seq[String] = Nil,
+      snapshotId: Option[Long] = None): DataFrame = {
+
+    // Spark 4: Column holds an *unresolved* expression tree (`===` is an
+    // UnresolvedFunction, not EqualTo), so resolve it against the read
+    // schema first — otherwise time-travel extraction and manifest pruning
+    // silently match nothing.
+    def expr(c: Column) = resolveAgainst(spark, readSchema,
+      org.apache.spark.sql.classic.GraftBridge.expr(c))
+    val fromFilter: Option[Long] =
+      filter.flatMap(f => TimeTravel.extractSnapshotId(expr(f), virtualColumn))
+    val snap = resolveSnapshot(snapshotId.orElse(fromFilter))
+
+    val base = snap match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], readSchema)
+      case Some(s) =>
+        val manifest = Manifest.read(s"$dir/${s.manifestList}")
+        val kept = filter match {
+          case Some(f) =>
+            val pred = TimeTravel.neutralize(expr(f), virtualColumn)
+            manifest.files.filter(df => Pruning.mayMatch(pred, df.stats, schema))
+          case None => manifest.files
+        }
+        val df =
+          if (kept.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          else
+            spark.read.schema(schema).parquet(kept.map(f => s"$dir/${f.path}"): _*)
+        df.withColumn(virtualColumn, lit(s.snapshotId))
+    }
+    val filtered = filter match {
+      case Some(f) => base.filter(f) // residual net (always correct)
+      case None => base
+    }
+    if (projection.nonEmpty) filtered.select(projection.map(col): _*) else filtered
+  }
+
+  /** The `__snapshots` system table (V1/S7). Tiny metadata → a local
+    * DataFrame is correct at any scale (the data it describes is big; the
+    * log is not). Schema mirrors SnapshotIterable.createSnapshotRecord. */
+  def snapshots(spark: SparkSession): DataFrame = {
+    val rows = log.snapshots.map { s =>
+      Row(s.committedAt, s.snapshotId, s.parentId.map(Long.box).orNull,
+        s.operation, s"$dir/${s.manifestList}", s.summary)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), SnapshotsSchema)
+  }
+}
+
+object GraftTable {
+
+  /** Resolve a raw (possibly unresolved) predicate against `schema` using
+    * the session analyzer, then constant-fold so literal casts collapse —
+    * yields the EqualTo/And/Literal shapes TimeTravel and Pruning match on.
+    * Falls back to the raw expression on any analysis error (consumers are
+    * conservative on unknown shapes, so this only costs pruning, never
+    * correctness).
+    */
+  private[table] def resolveAgainst(
+      spark: SparkSession,
+      schema: StructType,
+      raw: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    import org.apache.spark.sql.catalyst.types.DataTypeUtils
+    if (raw.resolved) return raw
+    try {
+      val plan = Filter(raw, LocalRelation(DataTypeUtils.toAttributes(schema)))
+      val analyzed = spark.sessionState.analyzer.execute(plan)
+      val folded =
+        org.apache.spark.sql.catalyst.optimizer.ConstantFolding(analyzed)
+      folded.collectFirst { case Filter(c, _) => c }.getOrElse(raw)
+    } catch { case _: Exception => raw }
+  }
+
+  val DefaultVirtualColumn = "snapshot__id"
+  val PropVirtualColumnName = "graft.snapshot.virtual.column.name"
+  val PropSnapshotsTable = "graft.snapshots.table"
+  val SnapshotsSuffix = "__snapshots"
+
+  /** Snapshots system-table schema (FIXTURES.md F4 /
+    * SnapshotIterable.java:48-57). */
+  val SnapshotsSchema: StructType = StructType(Seq(
+    StructField("committed_at", LongType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
+    StructField("operation", StringType, nullable = false),
+    StructField("manifest_list", StringType, nullable = false),
+    StructField("summary", MapType(StringType, StringType), nullable = true)))
+
+  def create(
+      dir: String,
+      schema: StructType,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val p = Paths.get(dir)
+    require(!Files.exists(p.resolve("metadata.json")), s"table exists: $dir")
+    Files.createDirectories(p)
+    val meta = Map(
+      "format_version" -> 1L,
+      "schema" -> schema.json,
+      "properties" -> properties)
+    Files.writeString(p.resolve("metadata.json"), graft.util.Json.write(meta))
+    SnapshotLog.empty.write(s"$dir/snapshots.json")
+    new GraftTable(dir, schema, properties)
+  }
+
+  def load(dir: String): GraftTable = {
+    val metaPath = Paths.get(dir, "metadata.json")
+    require(Files.exists(metaPath), s"not a graft table (no metadata.json): $dir")
+    val meta = graft.util.Json.parseObject(Files.readString(metaPath))
+    val schema = DataType.fromJson(meta("schema").asInstanceOf[String])
+      .asInstanceOf[StructType]
+    val props = meta.getOrElse("properties", Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString }
+    new GraftTable(dir, schema, props)
+  }
+
+  def exists(dir: String): Boolean =
+    Files.exists(Paths.get(dir, "metadata.json"))
+
+  private[table] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import graft.util.Json
+
+/** One data file tracked by a snapshot's manifest.
+  *
+  * `path` is relative to the table root so tables are relocatable.
+  * Stats mirror Iceberg's per-file metrics (reference:
+  * TestHelpers.java:94-98) and drive min/max file pruning
+  * (reference analog: `scan.filter(expr).planTasks()`,
+  * IcebergInputFormat.java:102-107).
+  */
+final case class DataFileEntry(
+    path: String,
+    recordCount: Long,
+    fileSizeBytes: Long,
+    stats: Map[String, ColumnStats])
+
+/** The full file list of one snapshot (Iceberg "manifest list" collapsed to
+  * a single JSON document — at graft's metadata scale one level is enough,
+  * and it keeps snapshot reads to one metadata file + footer-free planning).
+  */
+final case class Manifest(files: Seq[DataFileEntry]) {
+  def totalRecords: Long = files.map(_.recordCount).sum
+
+  def write(absPath: String): Unit = {
+    val obj = Map("files" -> files.map { f =>
+      Map(
+        "path" -> f.path,
+        "record_count" -> f.recordCount,
+        "file_size_bytes" -> f.fileSizeBytes,
+        "stats" -> f.stats.map { case (c, st) =>
+          c -> Map(
+            "min" -> st.min.orNull,
+            "max" -> st.max.orNull,
+            "null_count" -> st.nullCount.map(Long.box).orNull,
+            "value_count" -> st.valueCount.map(Long.box).orNull)
+        })
+    })
+    val p = Paths.get(absPath)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, Json.write(obj))
+  }
+}
+
+object Manifest {
+  val empty: Manifest = Manifest(Seq.empty)
+
+  def read(absPath: String): Manifest = {
+    val obj = Json.parseObject(Files.readString(Paths.get(absPath)))
+    val files = obj("files").asInstanceOf[Seq[Any]].map { f =>
+      val m = f.asInstanceOf[Map[String, Any]]
+      val stats = m.getOrElse("stats", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]]
+        .map { case (c, s) =>
+          val sm = s.asInstanceOf[Map[String, Any]]
+          c -> ColumnStats(
+            Option(sm.getOrElse("min", null)).map(_.toString),
+            Option(sm.getOrElse("max", null)).map(_.toString),
+            Option(sm.getOrElse("null_count", null)).map(_.asInstanceOf[Long]),
+            Option(sm.getOrElse("value_count", null)).map(_.asInstanceOf[Long]))
+        }
+      DataFileEntry(
+        m("path").asInstanceOf[String],
+        m("record_count").asInstanceOf[Long],
+        m("file_size_bytes").asInstanceOf[Long],
+        stats)
+    }
+    Manifest(files)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.table
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import scala.jdk.CollectionConverters._
+
+/** Extracts per-column min/max/null-count from parquet footers — no data
+  * scan, so commit-time stats collection is O(metadata) exactly like
+  * Iceberg's write-side metrics (reference: TestHelpers.java:94-98).
+  *
+  * Only top-level primitive columns get stats (nested columns return no
+  * stats → consumers cannot prune on them, which is the conservative and
+  * correct fallback). Timestamps are normalized to microseconds regardless
+  * of the file's physical unit so manifests compare uniformly.
+  */
+object ParquetStats {
+
+  def forFile(absPath: String, conf: Configuration): (Long, Map[String, ColumnStats]) = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(absPath), conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+
+      // aggregate across row groups per column path
+      val agg = scala.collection.mutable.Map[String, (Option[Any], Option[Any], Long, Long, Boolean)]()
+      for (block <- blocks; chunk <- block.getColumns.asScala) {
+        val path = chunk.getPath.toDotString
+        // only top-level primitives (no '.' in path)
+        if (!path.contains('.')) {
+          val st = chunk.getStatistics
+          val values = chunk.getValueCount
+          val prev = agg.getOrElse(path, (None, None, 0L, 0L, true))
+          if (st == null || st.isEmpty || !st.hasNonNullValue) {
+            // stats unusable for min/max; keep null count if present
+            val nulls = if (st != null && !st.isEmpty) st.getNumNulls else -1L
+            agg(path) = (prev._1, prev._2, prev._3 + math.max(nulls, 0),
+              prev._4 + values, prev._5 && false)
+          } else {
+            val tpe = chunk.getPrimitiveType
+            val mn = convert(st.genericGetMin, tpe)
+            val mx = convert(st.genericGetMax, tpe)
+            val newMin = minOf(prev._1, mn)
+            val newMax = maxOf(prev._2, mx)
+            agg(path) = (newMin, newMax, prev._3 + st.getNumNulls,
+              prev._4 + values, prev._5)
+          }
+        }
+      }
+      val stats = agg.toMap.map { case (c, (mn, mx, nulls, values, usable)) =>
+        c -> ColumnStats(
+          if (usable) mn.map(ColumnStats.render) else None,
+          if (usable) mx.map(ColumnStats.render) else None,
+          Some(nulls),
+          Some(values))
+      }
+      (rowCount, stats)
+    } finally reader.close()
+  }
+
+  /** Convert a parquet statistics value to the manifest's comparable form. */
+  private def convert(v: Any, tpe: org.apache.parquet.schema.PrimitiveType): Option[Any] = {
+    val logical = tpe.getLogicalTypeAnnotation
+    (v, tpe.getPrimitiveTypeName) match {
+      case (b: Binary, BINARY | FIXED_LEN_BYTE_ARRAY) =>
+        logical match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+            Some(b.toStringUsingUTF8)
+          case _ => None // raw binary: not comparable for pruning
+        }
+      case (i: java.lang.Integer, INT32) => Some(i.intValue())
+      case (l: java.lang.Long, INT64) =>
+        logical match {
+          case ts: TimestampLogicalTypeAnnotation =>
+            // normalize to microseconds
+            ts.getUnit match {
+              case TimeUnit.MILLIS => Some(l.longValue() * 1000L)
+              case TimeUnit.MICROS => Some(l.longValue())
+              case TimeUnit.NANOS => Some(l.longValue() / 1000L)
+            }
+          case _ => Some(l.longValue())
+        }
+      case (f: java.lang.Float, FLOAT) => Some(f.floatValue())
+      case (d: java.lang.Double, DOUBLE) => Some(d.doubleValue())
+      case (b: java.lang.Boolean, BOOLEAN) => Some(b.booleanValue())
+      case _ => None
+    }
+  }
+
+  private def minOf(a: Option[Any], b: Option[Any]): Option[Any] = (a, b) match {
+    case (Some(x), Some(y)) =>
+      ColumnStats.compare(x, y) match {
+        case Some(c) => Some(if (c <= 0) x else y)
+        case None => None
+      }
+    case (x, None) => x
+    case (None, y) => y
+  }
+
+  private def maxOf(a: Option[Any], b: Option[Any]): Option[Any] = (a, b) match {
+    case (Some(x), Some(y)) =>
+      ColumnStats.compare(x, y) match {
+        case Some(c) => Some(if (c >= 0) x else y)
+        case None => None
+      }
+    case (x, None) => x
+    case (None, y) => y
+  }
+}

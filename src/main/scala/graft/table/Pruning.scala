@@ -1,0 +1,156 @@
+package graft.table
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Min/max file pruning: decides, from a file's [[ColumnStats]], whether it
+  * MAY contain rows matching a predicate (the reference delegates the same
+  * decision to Iceberg's `scan.filter(expr).planTasks()`,
+  * IcebergInputFormat.java:102-107; leaf semantics mirror
+  * IcebergFilterFactory.java:45-154, P4-P15 in SURVEY.md §2.2).
+  *
+  * Everything here is deliberately conservative:
+  *  - missing stats / unsupported expressions → keep the file;
+  *  - `attr op literal` leaves only; null semantics follow SQL (a null row
+  *    never satisfies `attr op lit`, so null counts only matter for IS NULL);
+  *  - the full predicate is ALWAYS re-applied by Spark post-scan (the
+  *    residual net, same double-evaluation stance as
+  *    IcebergStorageHandler.decomposePredicate, :106-112).
+  */
+object Pruning {
+
+  /** True iff the file may contain matching rows. */
+  def mayMatch(
+      pred: Expression,
+      stats: Map[String, ColumnStats],
+      schema: StructType): Boolean = pred match {
+
+    case And(l, r) => mayMatch(l, stats, schema) && mayMatch(r, stats, schema)
+    case Or(l, r) => mayMatch(l, stats, schema) || mayMatch(r, stats, schema)
+    case Literal(true, BooleanType) => true
+    case Literal(false, BooleanType) => false
+
+    case EqualTo(a: Attribute, Literal(v, _)) => boundsContain(a, v, stats, schema)
+    case EqualTo(Literal(v, _), a: Attribute) => boundsContain(a, v, stats, schema)
+    case EqualNullSafe(a: Attribute, Literal(v, _)) if v != null =>
+      boundsContain(a, v, stats, schema)
+
+    case LessThan(a: Attribute, Literal(v, _)) => cmpMin(a, v, stats, schema)(_ < 0)
+    case LessThanOrEqual(a: Attribute, Literal(v, _)) => cmpMin(a, v, stats, schema)(_ <= 0)
+    case GreaterThan(a: Attribute, Literal(v, _)) => cmpMax(a, v, stats, schema)(_ > 0)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => cmpMax(a, v, stats, schema)(_ >= 0)
+    // flipped literal-first forms
+    case LessThan(Literal(v, _), a: Attribute) => cmpMax(a, v, stats, schema)(_ > 0)
+    case LessThanOrEqual(Literal(v, _), a: Attribute) => cmpMax(a, v, stats, schema)(_ >= 0)
+    case GreaterThan(Literal(v, _), a: Attribute) => cmpMin(a, v, stats, schema)(_ < 0)
+    case GreaterThanOrEqual(Literal(v, _), a: Attribute) => cmpMin(a, v, stats, schema)(_ <= 0)
+
+    case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists { case Literal(v, _) => boundsContain(a, v, stats, schema) }
+    case InSet(a: Attribute, set) =>
+      set.exists(v => boundsContain(a, v, stats, schema))
+
+    case IsNull(a: Attribute) =>
+      colStats(a, stats).flatMap(_.nullCount).forall(_ > 0)
+    case IsNotNull(a: Attribute) =>
+      colStats(a, stats) match {
+        case Some(st) =>
+          (st.nullCount, st.valueCount) match {
+            case (Some(n), Some(v)) => n < v // not ALL null
+            case _ => true
+          }
+        case None => true
+      }
+
+    case Not(EqualTo(a: Attribute, Literal(v, _))) =>
+      // prunable only when min == max == v (every row equals v)
+      !onlyValue(a, v, stats, schema)
+    case StartsWith(a: Attribute, Literal(v, StringType)) =>
+      prefixMayMatch(a, v.toString, stats, schema)
+
+    case _ => true // unknown shape: never prune
+  }
+
+  private def colStats(a: Attribute, stats: Map[String, ColumnStats]): Option[ColumnStats] =
+    stats.get(a.name)
+
+  private def fieldType(a: Attribute, schema: StructType): Option[DataType] =
+    schema.fields.find(_.name == a.name).map(_.dataType)
+
+  /** Normalize a catalyst literal value to the manifest's comparable form. */
+  private[table] def litValue(v: Any, dt: DataType): Option[Any] = v match {
+    case null => None
+    case s: UTF8String => Some(s.toString)
+    case d: Decimal => Some(d.toBigDecimal)
+    case i: Integer => Some(i.intValue())
+    case other => Some(other)
+  }
+
+  private def withBounds(a: Attribute, v: Any, stats: Map[String, ColumnStats],
+      schema: StructType)(f: (Any, Option[Any], Option[Any]) => Boolean): Boolean = {
+    (colStats(a, stats), fieldType(a, schema)) match {
+      case (Some(st), Some(dt)) =>
+        litValue(v, dt) match {
+          case Some(lit) =>
+            val mn = st.typedMin(dt)
+            val mx = st.typedMax(dt)
+            if (mn.isEmpty && mx.isEmpty) true else f(lit, mn, mx)
+          case None => true
+        }
+      case _ => true
+    }
+  }
+
+  private def boundsContain(a: Attribute, v: Any, stats: Map[String, ColumnStats],
+      schema: StructType): Boolean =
+    withBounds(a, v, stats, schema) { (lit, mn, mx) =>
+      val geMin = mn.forall(m => ColumnStats.compare(lit, m).forall(_ >= 0))
+      val leMax = mx.forall(m => ColumnStats.compare(lit, m).forall(_ <= 0))
+      geMin && leMax
+    }
+
+  /** keep file iff ∃ row value with cmp(value, lit) — checked via min. */
+  private def cmpMin(a: Attribute, v: Any, stats: Map[String, ColumnStats],
+      schema: StructType)(ok: Int => Boolean): Boolean =
+    withBounds(a, v, stats, schema) { (lit, mn, _) =>
+      mn.forall(m => ColumnStats.compare(m, lit).forall(ok))
+    }
+
+  private def cmpMax(a: Attribute, v: Any, stats: Map[String, ColumnStats],
+      schema: StructType)(ok: Int => Boolean): Boolean =
+    withBounds(a, v, stats, schema) { (lit, _, mx) =>
+      mx.forall(m => ColumnStats.compare(m, lit).forall(ok))
+    }
+
+  private def onlyValue(a: Attribute, v: Any, stats: Map[String, ColumnStats],
+      schema: StructType): Boolean =
+    (colStats(a, stats), fieldType(a, schema)) match {
+      case (Some(st), Some(dt)) =>
+        (litValue(v, dt), st.typedMin(dt), st.typedMax(dt), st.nullCount) match {
+          case (Some(lit), Some(mn), Some(mx), Some(0L)) =>
+            ColumnStats.compare(mn, lit).contains(0) &&
+              ColumnStats.compare(mx, lit).contains(0)
+          case _ => false
+        }
+      case _ => false
+    }
+
+  private def prefixMayMatch(a: Attribute, prefix: String,
+      stats: Map[String, ColumnStats], schema: StructType): Boolean =
+    withBounds(a, prefix, stats, schema) { (_, mn, mx) =>
+      val lower = mn.forall {
+        case m: String =>
+          val mp = m.take(prefix.length)
+          mp <= prefix
+        case _ => true
+      }
+      val upper = mx.forall {
+        case m: String =>
+          val mp = m.take(prefix.length)
+          mp >= prefix
+        case _ => true
+      }
+      lower && upper
+    }
+}

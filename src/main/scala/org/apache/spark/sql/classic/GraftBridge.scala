@@ -1,0 +1,18 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Spark 4 removed `Column.expr`; the classic converter that replaces it
+  * ([[ExpressionUtils]]) is package-private. This bridge re-exports the two
+  * conversions the graft table layer needs (filter Column → Catalyst
+  * expression for manifest pruning and time travel, and back).
+  */
+object GraftBridge {
+  /** Eagerly convert the Column's internal node tree to a Catalyst
+    * expression. (`ExpressionUtils.expression` wraps it in a lazy
+    * `ColumnNodeExpression` that reports `resolved = true` while still
+    * holding unresolved attributes — useless for pattern matching.) */
+  def expr(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}

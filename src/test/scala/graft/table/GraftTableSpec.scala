@@ -1,0 +1,184 @@
+package graft.table
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** End-to-end table-layer behavior, mirroring the reference's e2e suite:
+  * scan+projection (TestInputFormatWithHadoopTables.java:80-101), empty
+  * table (TestInputFormatWithEmptyTable.java:61-79), multi-snapshot reads +
+  * virtual column (TestInputFormatWithMultipleTasks.java:85-107), time
+  * travel + statelessness (TestReadSnapshotTable.java:139-166,
+  * TestPredicatePushdown.java:74-112), snapshots system table
+  * (TestReadSnapshotTable.java:88-136), virtual-column rename
+  * (TestReadSnapshotTable.java:169-193).
+  */
+class GraftTableSpec extends SparkSpecBase {
+
+  private val simpleSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  private def mkDf(rows: (Long, String)*) = {
+    val rdd = spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1)
+    spark.createDataFrame(rdd, simpleSchema)
+  }
+
+  test("create + append + full read with virtual snapshot column") {
+    val dir = tmpDir("graft-basic")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), committedAt = Some(1000L))
+
+    val out = t.read(spark)
+    assert(out.columns.toSeq == Seq("id", "data", "snapshot__id"))
+    val rows = out.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)))
+  }
+
+  test("empty table scans as zero rows with full schema (S11)") {
+    val dir = tmpDir("graft-empty")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    val out = t.read(spark)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("id", "data", "snapshot__id"))
+  }
+
+  test("multi-snapshot: latest sees all rows, each tagged with its scan snapshot") {
+    val dir = tmpDir("graft-multi")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    t.append(mkDf(3L -> "c"), Some(3000L))
+
+    val latest = t.read(spark)
+    assert(latest.count() == 3)
+    // virtual column = the snapshot the scan ran at (constant), like the
+    // reference (all rows read at snapshot N carry N)
+    assert(latest.select("snapshot__id").distinct().collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("time travel by explicit snapshot id") {
+    val dir = tmpDir("graft-tt")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+
+    assert(t.read(spark, snapshotId = Some(1L)).count() == 1)
+    assert(t.read(spark, snapshotId = Some(2L)).count() == 2)
+    intercept[IllegalArgumentException] {
+      t.read(spark, snapshotId = Some(99L)).count()
+    }
+  }
+
+  test("time travel via snapshot__id = <id> predicate, stateless across queries") {
+    val dir = tmpDir("graft-ttpred")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    t.append(mkDf(3L -> "c"), Some(3000L))
+
+    val atFirst = t.scan(spark, Some(col("snapshot__id") === 1L))
+    assert(atFirst.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // the reference regression: a filtered query must not leak its snapshot
+    // into the next unfiltered query (TestPredicatePushdown.java:74-112)
+    assert(t.read(spark).count() == 3)
+
+    // combined with a data predicate: snapshot pin + residual filter
+    val combined = t.scan(spark,
+      Some(col("snapshot__id") === 2L && col("id") > 1L))
+    assert(combined.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("snapshots system table rows mirror the log (V1)") {
+    val dir = tmpDir("graft-snaps")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+
+    val snaps = t.snapshots(spark).orderBy("snapshot_id").collect()
+    assert(snaps.length == 2)
+    assert(snaps(0).getAs[Long]("committed_at") == 1000L)
+    assert(snaps(0).getAs[Long]("snapshot_id") == 1L)
+    assert(snaps(0).getAs[Any]("parent_id") == null)
+    assert(snaps(0).getAs[String]("operation") == "append")
+    assert(snaps(1).getAs[Long]("parent_id") == 1L)
+    val summary = snaps(1).getAs[Map[String, String]]("summary")
+    assert(summary("total-records") == "2")
+  }
+
+  test("virtual column rename via table property (V2 rename)") {
+    val dir = tmpDir("graft-rename")
+    val t = GraftTable.create(s"$dir/t", simpleSchema,
+      properties = Map(GraftTable.PropVirtualColumnName -> "version_id"))
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    val out = t.read(spark)
+    assert(out.columns.toSeq == Seq("id", "data", "version_id"))
+    // time travel works against the renamed column
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    val tt = t.scan(spark, Some(col("version_id") === 1L))
+    assert(tt.count() == 1)
+  }
+
+  test("projection pushdown through scan API") {
+    val dir = tmpDir("graft-proj")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    val out = t.scan(spark, filter = None, projection = Seq("data"))
+    assert(out.columns.toSeq == Seq("data"))
+    assert(out.count() == 2)
+  }
+
+  test("manifest min/max pruning skips non-matching files") {
+    val dir = tmpDir("graft-prune")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    // three snapshots → three files with disjoint id ranges
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.append(mkDf(10L -> "c", 11L -> "d"), Some(2000L))
+    t.append(mkDf(20L -> "e", 21L -> "f"), Some(3000L))
+
+    val manifest = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+    assert(manifest.files.size == 3)
+
+    // pruning keeps only the file that may contain id = 10
+    val expr = GraftTable.resolveAgainst(spark, simpleSchema,
+      org.apache.spark.sql.classic.GraftBridge.expr(col("id") === 10L))
+    val kept = manifest.files.filter(f => Pruning.mayMatch(expr, f.stats, simpleSchema))
+    assert(kept.map(_.path).toSet == Set(manifest.files(1).path))
+
+    // and the scan result is still exactly right
+    val out = t.scan(spark, Some(col("id") === 10L))
+    assert(out.select("id").collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("reload from disk round-trips schema and properties") {
+    val dir = tmpDir("graft-reload")
+    GraftTable.create(s"$dir/t", simpleSchema, Map("k" -> "v"))
+    val t = GraftTable.load(s"$dir/t")
+    assert(t.schema == simpleSchema)
+    assert(t.properties == Map("k" -> "v"))
+    intercept[IllegalArgumentException] { GraftTable.load(s"$dir/missing") }
+  }
+
+  test("catalog resolution: db.table, __snapshots naming, opt-out") {
+    val wh = tmpDir("graft-wh")
+    val cat = new GraftCatalog(wh)
+    val t = cat.createTable("db.people", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+
+    assert(cat.loadDataFrame(spark, "db.people").count() == 1)
+    val snaps = cat.loadDataFrame(spark, "db.people__snapshots")
+    assert(snaps.columns.contains("manifest_list"))
+    assert(snaps.count() == 1)
+
+    // opt-out: a table created with graft.snapshots.table=false refuses
+    val t2 = cat.createTable("db.nosnaps", simpleSchema,
+      Map(GraftTable.PropSnapshotsTable -> "false"))
+    t2.append(mkDf(1L -> "x"), Some(1000L))
+    intercept[IllegalArgumentException] {
+      cat.loadDataFrame(spark, "db.nosnaps__snapshots")
+    }
+  }
+}
