@@ -14,7 +14,11 @@ object SparkEntry {
   private val packs: Seq[graft.queries.QueryPack] = Seq(
     graft.queries.Relational,
     graft.queries.TextAnalysis,
-    graft.queries.Dedup
+    graft.queries.Dedup,
+    graft.queries.Versioned,
+    graft.queries.Similarity,
+    graft.queries.Events,
+    graft.queries.MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

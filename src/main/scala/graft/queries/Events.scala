@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-windowed analytics over the `events` table (event_id, ts, user_id,
+  * event_type, value, props) — the batch mirror of the streaming surface
+  * (graft.streaming runs the same shapes incrementally with watermarks).
+  *
+  * Scale notes: tumbling/sliding windows are plain groupBy aggregations
+  * (one shuffle on the window key, partial aggregation map-side);
+  * sessionization is a window-function scan partitioned by user — the
+  * canonical distributed formulation (no per-user collect, no state on the
+  * driver). Event values go through DECIMAL for order-independent sums.
+  */
+object Events extends QueryPack {
+
+  /** The events table with `ts` normalized to a microsecond timestamp.
+    *
+    * The driver's events parquet stores INT64 TIMESTAMP(NANOS) which
+    * Spark's vectorized reader refuses by default — sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench), the
+    * column arrives as nanos-since-epoch LONG, and `div 1000` converts
+    * exactly (a double division would lose precision above 2^53). */
+  private def events(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // tumbling 1-hour windows: Spark's window() → window.start
+    "e01_tumbling_hour" -> ((s, d) =>
+      events(s, d)
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour")
+          .as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4)
+            .cast("decimal(18,4)").as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
+    // sliding 1-hour windows every 30 min (each event lands in 2 windows)
+    "e02_sliding" -> ((s, d) =>
+      events(s, d)
+        .groupBy(org.apache.spark.sql.functions
+          .window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("n_events"))
+        .orderBy("window_start")),
+
+    // per-user daily activity: date bucketing + distinct event types
+    "e03_daily_user" -> ((s, d) =>
+      events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+        .filter(col("n_events") >= 5)),
+
+    // sessionization via gap detection (30-min inactivity): a new session
+    // starts when the gap from the previous event exceeds the timeout.
+    // Expressed with window functions so the same SQL runs in DuckDB.
+    "e04_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_s"))
+        .withColumn("prev_ts", lag(col("ts_s"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts_s") - col("prev_ts") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_s")).as("session_start"),
+          max(col("ts_s")).as("session_end"))
+        .filter(col("n_events") >= 3)
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // top event type per user by count (argmax via window rank)
+    "e05_top_type_per_user" -> ((s, d) => {
+      val counts = events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("user_id", "event_type", "n")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e01_tumbling_hour" ->
+      ("SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start, " +
+        "event_type, count(*) AS n_events, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "e02_sliding" ->
+      // a 1h-every-30min sliding window = union of two tumbling grids
+      // offset by 30 min; DuckDB expresses it via the half-hour bucket of
+      // the event joined to the two windows containing it
+      ("WITH halfhours AS (SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT) AS hh FROM events) " +
+        "SELECT ws AS window_start, count(*) AS n_events FROM (" +
+        "SELECT hh AS ws FROM halfhours UNION ALL SELECT hh - 1800 AS ws FROM halfhours" +
+        ") GROUP BY ws ORDER BY ws"),
+    "e03_daily_user" ->
+      ("SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n_events, " +
+        "count(DISTINCT event_type) AS n_types FROM events " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5"),
+    "e04_sessionize" ->
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_s FROM events), " +
+        "flagged AS (SELECT user_id, ts_s, " +
+        "CASE WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL " +
+        "OR ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_session FROM ev), " +
+        "sessions AS (SELECT user_id, ts_s, sum(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM flagged) " +
+        "SELECT user_id, session_seq, count(*) AS n_events, " +
+        "min(ts_s) AS session_start, max(ts_s) AS session_end " +
+        "FROM sessions GROUP BY user_id, session_seq HAVING count(*) >= 3 " +
+        "ORDER BY user_id, session_seq"),
+    "e05_top_type_per_user" ->
+      ("WITH counts AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "ranked AS (SELECT user_id, event_type, n, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rk FROM counts) " +
+        "SELECT user_id, event_type, n FROM ranked WHERE rk = 1")
+  )
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float> ×64, label).
+  *
+  * Scale design:
+  *  - brute-force top-k is the exact baseline: the (small) query set is
+  *    broadcast against the corpus, so the corpus is scanned ONCE with no
+  *    shuffle of the big side; per-query top-k is a window over the
+  *    (n_queries × corpus) scored rows — at 100 TB you'd cap n_queries per
+  *    pass, which is exactly how batch ANN evaluation jobs are run;
+  *  - the LSH variant (random-hyperplane sign buckets) is the scale path:
+  *    candidates come from a bucket equi-join (shuffle on bucket id,
+  *    O(n·probes) rows), then exact rescoring only within buckets. Recall
+  *    vs brute force is asserted in SimilaritySpec.
+  *
+  * Cosine math is a sequential left-to-right fold in double precision
+  * (`Dedup.cosineSim`), reproducible across engines — the DuckDB oracle
+  * casts to DOUBLE[] to match.
+  */
+object Similarity extends QueryPack {
+
+  private def vecD(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector by brute-force cosine. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
+    val q = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+    val scored = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** LSH-bucketed approximate top-k: `nTables` independent random-
+    * hyperplane tables, `nPlanes` sign bits each. A vector lands in one
+    * bucket per table (explode → nTables rows); candidates = bucket
+    * collisions in ANY table, deduped, then exactly rescored. More tables
+    * → higher recall at linearly more candidate rows — the standard
+    * recall/cost dial. Shuffle volume is O(n · nTables), never O(n²). */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 6,
+      nTables: Int = 8,
+      seed: Long = 11L): DataFrame = {
+    val dim = 64
+    val rng = new scala.util.Random(seed)
+    def mkBucket(v: Column, planes: Seq[Array[Double]]): Column =
+      planes.zipWithIndex.map { case (p, i) =>
+        val dot = aggregate(zip_with(v, typedLit(p.toSeq), (a, b) => a * b),
+          lit(0.0d), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ bitwiseOR _)
+    val tables = Seq.fill(nTables)(
+      Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian())))
+    def buckets(v: Column): Column =
+      array(tables.zipWithIndex.map { case (planes, ti) =>
+        // disambiguate tables by folding the table index into the key
+        mkBucket(v, planes) + lit(ti.toLong * (1L << nPlanes))
+      }: _*)
+
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
+      .withColumn("bucket", explode(buckets(col("n_v"))))
+    val q = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+      .withColumn("bucket", explode(buckets(col("q_v"))))
+
+    val cand = c.join(broadcast(q),
+        c("bucket") === q("bucket") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("q_v"), col("n_v"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = cand.withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // exact k-NN for 5 fixed query vectors (vec_id < 5), k = 10
+    "s01_knn_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10)
+    }),
+
+    // ANN via sign-LSH buckets (rows-only: bucketing isn't expressible in
+    // the oracle; recall vs brute force is asserted in SimilaritySpec)
+    "s02_knn_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10)
+    }),
+
+    // label-centroid similarity: per-label mean vector, then each label's
+    // centroid norm — a "cluster quality" style aggregate over vectors
+    // (element-wise mean via 64 unrolled array sums; exact integer-free
+    // double math is avoided in the oracle by rounding)
+    "s03_label_centroid_norm" -> ((s, d) => {
+      val dims = 0 until 64
+      val emb = t(s, d, "embeddings")
+        .select(col("label"),
+          vecD(col("embedding")).as("v"))
+      val sums = dims.map(i =>
+        sum(element_at(col("v"), i + 1)).as(s"s$i"))
+      val withN = emb.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+      val normSq = dims.map(i => pow(col(s"s$i") / col("n"), 2))
+        .reduce(_ + _)
+      withN.select(col("label"), col("n").as("n_vecs"),
+        round(sqrt(normSq), 6).as("centroid_norm"))
+        .orderBy("label")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_knn_brute" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "q AS (SELECT vec_id, v FROM e WHERE vec_id < 5), " +
+        "scored AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id, " +
+        "list_cosine_similarity(q.v, e.v) AS cos FROM q JOIN e ON e.vec_id <> q.vec_id), " +
+        "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
+        "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"),
+    "s03_label_centroid_norm" -> {
+      val sumTerms = (0 until 64)
+        .map(i => s"pow(sum(v[${i + 1}]) / count(*), 2)").mkString(" + ")
+      "WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings) " +
+        s"SELECT label, count(*) AS n_vecs, round(sqrt($sumTerms), 6) AS centroid_norm " +
+        "FROM e GROUP BY label ORDER BY label"
+    }
+  )
+}

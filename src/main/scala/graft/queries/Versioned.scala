@@ -1,0 +1,86 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftTable
+
+/** The reference's distinctive surface — snapshot-versioned scans, time
+  * travel, and the `__snapshots` system table (SURVEY.md §2.5 V1-V4) —
+  * exposed as driver-checkable queries with DuckDB oracles.
+  *
+  * A deterministic fixture table is built from the (tiny) `region` table:
+  * snapshot 1 = one copy of region, snapshot 2 = a second copy appended.
+  * Commit timestamps are fixed (1000/2000), so every result is exactly
+  * expressible in ANSI SQL over the same source parquet.
+  */
+object Versioned extends QueryPack {
+
+  /** Build (or reuse) the two-snapshot fixture for `sfDir`; returns table. */
+  private def fixture(spark: SparkSession, sfDir: String): GraftTable =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/region_v"
+      if (GraftTable.exists(dir)) {
+        val t = GraftTable.load(dir)
+        if (t.log.snapshots.size == 2) return t
+        GraftTable.deleteRecursively(Paths.get(dir))
+      } else if (Files.exists(Paths.get(dir))) {
+        GraftTable.deleteRecursively(Paths.get(dir))
+      }
+      val region = t(spark, sfDir, "region")
+      val tbl = GraftTable.create(dir, region.schema)
+      tbl.append(region, committedAt = Some(1000L))
+      tbl.append(region, committedAt = Some(2000L))
+      tbl
+    }
+
+  val queries: Map[String, Q] = Map(
+
+    // V2: scan at current snapshot; every row carries snapshot__id = 2
+    "v01_graft_scan" -> ((s, d) =>
+      fixture(s, d).read(s)),
+
+    // V3/P16: time travel via the snapshot__id predicate — back to snap 1
+    "v02_graft_timetravel" -> ((s, d) =>
+      fixture(s, d).scan(s, Some(col("snapshot__id") === 1L))),
+
+    // V1/S7: the __snapshots system table (stable columns only —
+    // manifest_list is an absolute tmp path, summary is a map)
+    "v03_graft_snapshots" -> ((s, d) =>
+      fixture(s, d).snapshots(s)
+        .select("committed_at", "snapshot_id", "parent_id", "operation")),
+
+    // P4 over the versioned table: data predicate + residual on a
+    // multi-snapshot scan (file pruning consults the manifest stats)
+    "v04_graft_filter" -> ((s, d) =>
+      fixture(s, d).scan(s, Some(col("r_regionkey") >= 2))),
+
+    // V3 + P4 combined: time travel AND a data predicate in one scan
+    "v05_graft_tt_filter" -> ((s, d) =>
+      fixture(s, d).scan(s,
+        Some(col("snapshot__id") === 1L && col("r_regionkey") < 2)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "v01_graft_scan" ->
+      ("SELECT r.*, CAST(2 AS BIGINT) AS snapshot__id FROM " +
+        "(SELECT * FROM region UNION ALL SELECT * FROM region) r"),
+    "v02_graft_timetravel" ->
+      "SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM region",
+    "v03_graft_snapshots" ->
+      ("SELECT * FROM (VALUES " +
+        "(CAST(1000 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT), 'append'), " +
+        "(CAST(2000 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'append')) " +
+        "AS t(committed_at, snapshot_id, parent_id, operation)"),
+    "v04_graft_filter" ->
+      ("SELECT r.*, CAST(2 AS BIGINT) AS snapshot__id FROM " +
+        "(SELECT * FROM region UNION ALL SELECT * FROM region) r " +
+        "WHERE r_regionkey >= 2"),
+    "v05_graft_tt_filter" ->
+      ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM region " +
+        "WHERE r_regionkey < 2")
+  )
+}

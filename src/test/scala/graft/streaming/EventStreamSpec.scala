@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpecBase
+import EventStream.{Event, SessionOut}
+
+/** Streaming behavior: watermarked windowed aggregation (late-data drop)
+  * and stateful gap sessionization, driven through MemoryStream exactly as
+  * a production source would drive them.
+  */
+class EventStreamSpec extends SparkSpecBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowedCounts: tumbling windows aggregate by event time; late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val query = EventStream.windowedCounts(input.toDF(),
+        windowLength = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append()).start()
+
+    // two events in hour 0, one in hour 1
+    input.addData(
+      Event(ts(10), 1L, "click", 1.0),
+      Event(ts(20), 2L, "click", 2.0),
+      Event(ts(70), 1L, "view", 3.0))
+    query.processAllAvailable()
+
+    // advance watermark far enough to close hour-0 and hour-1 windows
+    input.addData(Event(ts(300), 3L, "click", 1.0))
+    query.processAllAvailable()
+
+    // a very late event (hour 0) arrives after the watermark: dropped
+    input.addData(Event(ts(15), 9L, "late", 9.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("wc")
+      .selectExpr("window_start", "eventType", "n_events", "sum_value")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
+    assert(!rows.exists(_._2 == "late"), s"late event leaked: $rows")
+  }
+
+  test("sessionize: gap-based sessions close on inactivity timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val query = EventStream.sessionize(input.toDS(), gapSeconds = 600,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1: three events 5 min apart (one session), then silence;
+    // user 2: one event
+    input.addData(
+      Event(ts(0), 1L, "a", 1.0),
+      Event(ts(5), 1L, "a", 1.0),
+      Event(ts(10), 1L, "a", 1.0),
+      Event(ts(8), 2L, "b", 1.0))
+    query.processAllAvailable()
+
+    // an event far in the future advances the watermark past both gaps
+    input.addData(Event(ts(120), 3L, "c", 1.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("sess").as[SessionOut].collect()
+      .map(s => (s.userId, s.nEvents)).toSet
+    assert(out.contains((1L, 3L)), s"user1 session missing: ${out.mkString(",")}")
+    assert(out.contains((2L, 1L)), s"user2 session missing: ${out.mkString(",")}")
+  }
+
+  test("sessionize splits on gap within one batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val query = EventStream.sessionize(input.toDS(), gapSeconds = 600,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess2")
+      .outputMode(OutputMode.Append()).start()
+
+    // two bursts 30 min apart in the SAME batch: first session must be
+    // emitted immediately (closed by the in-batch gap)
+    input.addData(
+      Event(ts(0), 7L, "a", 1.0),
+      Event(ts(2), 7L, "a", 1.0),
+      Event(ts(40), 7L, "a", 1.0))
+    query.processAllAvailable()
+
+    val immediate = spark.table("sess2").as[SessionOut].collect()
+    assert(immediate.exists(s => s.userId == 7L && s.nEvents == 2L),
+      s"in-batch closed session missing: ${immediate.mkString(",")}")
+    query.stop()
+  }
+}
