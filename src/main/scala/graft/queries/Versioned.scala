@@ -61,7 +61,29 @@ object Versioned extends QueryPack {
     // V3 + P4 combined: time travel AND a data predicate in one scan
     "v05_graft_tt_filter" -> ((s, d) =>
       fixture(s, d).scan(s,
-        Some(col("snapshot__id") === 1L && col("r_regionkey") < 2)))
+        Some(col("snapshot__id") === 1L && col("r_regionkey") < 2))),
+
+    // S11: a table with no snapshots scans as zero rows, full schema
+    "v06_graft_empty" -> ((s, d) => {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}/region_empty"
+      val tbl =
+        if (GraftTable.exists(dir)) GraftTable.load(dir)
+        else GraftTable.create(dir, t(s, d, "region").schema)
+      tbl.read(s)
+    }),
+
+    // S6: ORC is a first-class format — round-trip region through ORC
+    // and scan it back (the reference's ORC reader path,
+    // IcebergReaderFactory.java:67-75, rides Spark's built-in ORC source)
+    "v07_orc_scan" -> ((s, d) => {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}/region_orc"
+      if (!java.nio.file.Files.exists(Paths.get(dir, "_SUCCESS"))) {
+        t(s, d, "region").write.mode("overwrite").orc(dir)
+      }
+      s.read.orc(dir).filter(col("r_regionkey") >= 1)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -81,6 +103,11 @@ object Versioned extends QueryPack {
         "WHERE r_regionkey >= 2"),
     "v05_graft_tt_filter" ->
       ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM region " +
-        "WHERE r_regionkey < 2")
+        "WHERE r_regionkey < 2"),
+    "v06_graft_empty" ->
+      ("SELECT *, CAST(NULL AS BIGINT) AS snapshot__id FROM region " +
+        "WHERE 1 = 0"),
+    "v07_orc_scan" ->
+      "SELECT * FROM region WHERE r_regionkey >= 1"
   )
 }
