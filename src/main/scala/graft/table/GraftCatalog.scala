@@ -49,12 +49,16 @@ final class GraftCatalog(warehouse: String) {
   }
 
   /** Register `name` (and `name__snapshots` when enabled) as temp views so
-    * `spark.sql` can query them. Re-resolves the log at call time; combined
-    * with the time-travel rule this keeps every query stateless. */
+    * `spark.sql` can query them. The data view is a deferred
+    * [[GraftRelation]]: snapshot choice (current, or this query's
+    * `snapshot__id = <id>` predicate) happens per query inside
+    * [[ResolveGraftScan]], never at registration — the reference's
+    * statelessness invariant (TestPredicatePushdown.java:74-112). */
   def register(spark: SparkSession, identifier: String): Unit = {
+    GraftCatalog.injectRule(spark)
     val viewName = identifier.replace('.', '_')
-    loadDataFrame(spark, identifier).createOrReplaceTempView(viewName)
     val t = GraftTable.load(tableDir(identifier))
+    GraftRelation.dataFrame(spark, t).createOrReplaceTempView(viewName)
     if (t.snapshotsTableEnabled) {
       t.snapshots(spark).createOrReplaceTempView(
         viewName + GraftTable.SnapshotsSuffix)
@@ -66,4 +70,17 @@ object GraftCatalog {
   /** Path-addressed load (HadoopTables analog, TableResolverUtil.java:66-68). */
   def loadPath(spark: SparkSession, dir: String): DataFrame =
     GraftTable.load(dir).read(spark)
+
+  /** Idempotently add [[ResolveGraftScan]] to the session's optimizer
+    * (the `experimental.extraOptimizations` hook runs as the last
+    * optimizer batch, after predicate pushdown has placed each query's
+    * filter next to the [[GraftRelation]] leaf). */
+  def injectRule(spark: SparkSession): Unit =
+    spark.experimental.synchronized {
+      val existing = spark.experimental.extraOptimizations
+      if (!existing.exists(_.isInstanceOf[ResolveGraftScan])) {
+        spark.experimental.extraOptimizations =
+          existing :+ ResolveGraftScan(spark)
+      }
+    }
 }

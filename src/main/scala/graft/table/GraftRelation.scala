@@ -1,0 +1,88 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, Statistics}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+
+/** Catalyst leaf standing for "a scan of the graft table at `dir`, snapshot
+  * chosen per query" — the piece that makes SQL time travel work the way
+  * the reference's storage handler does (IcebergInputFormat.java:284-299):
+  * the `snapshot__id = <id>` conjunct of THIS query's predicate picks the
+  * snapshot, and the choice never outlives the query (statelessness
+  * regression guarded by TestPredicatePushdown.java:74-112).
+  *
+  * A temp view registered over a plain DataFrame would be pinned to the
+  * snapshot current at registration time; this leaf defers snapshot
+  * resolution to [[ResolveGraftScan]] at optimization time, after Catalyst
+  * has pushed the query's filters down next to the leaf.
+  */
+final case class GraftRelation(dir: String, output: Seq[Attribute])
+    extends LeafNode with MultiInstanceRelation {
+
+  override def newInstance(): GraftRelation =
+    copy(output = output.map(_.newInstance()))
+
+  /** Size from the current manifest — lets Catalyst consider broadcasting
+    * small graft tables. */
+  override def computeStats(): Statistics = {
+    val size =
+      try {
+        val t = GraftTable.load(dir)
+        t.log.current
+          .map(s => Manifest.read(s"$dir/${s.manifestList}")
+            .files.map(_.fileSizeBytes).sum)
+          .getOrElse(0L)
+      } catch { case _: Exception => Long.MaxValue }
+    Statistics(sizeInBytes = BigInt(size).max(1))
+  }
+}
+
+object GraftRelation {
+
+  /** Build the relation for a table with its read schema (user schema +
+    * virtual snapshot column). */
+  def apply(t: GraftTable): GraftRelation =
+    GraftRelation(t.dir, DataTypeUtils.toAttributes(t.readSchema))
+
+  /** A DataFrame over the deferred relation (what `register` exposes). */
+  def dataFrame(spark: SparkSession, t: GraftTable): DataFrame =
+    org.apache.spark.sql.classic.GraftBridge.ofRows(spark, apply(t))
+}
+
+/** Replaces [[GraftRelation]] leaves with concrete parquet scans at the
+  * query's snapshot. Runs in the user-provided optimizer batch — after
+  * predicate pushdown, so the query's own filter sits directly above the
+  * leaf and carries the time-travel conjunct (P16). The original filter is
+  * left in place as the residual correctness net (the reference's pushed +
+  * residual double-evaluation, IcebergStorageHandler.java:106-112);
+  * manifest min/max pruning consumes the neutralized predicate.
+  */
+final case class ResolveGraftScan(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, g: GraftRelation) =>
+      val t = GraftTable.load(g.dir)
+      val snapId = TimeTravel.extractSnapshotId(cond, t.virtualColumn)
+      val pruned = TimeTravel.neutralize(cond, t.virtualColumn)
+      val scan = t.scanPlanFor(spark, snapshotId = snapId,
+        prunePredicate = Some(pruned))
+      Filter(cond, remap(scan, g.output))
+
+    case g: GraftRelation =>
+      val t = GraftTable.load(g.dir)
+      remap(t.scanPlanFor(spark, None, None), g.output)
+  }
+
+  /** Project the concrete scan's output onto the relation's attribute ids
+    * so references elsewhere in the plan stay valid. */
+  private def remap(scan: LogicalPlan, target: Seq[Attribute]): LogicalPlan = {
+    val byName = scan.output.map(a => a.name -> a).toMap
+    Project(target.map { a =>
+      Alias(byName(a.name), a.name)(exprId = a.exprId)
+    }, scan)
+  }
+}

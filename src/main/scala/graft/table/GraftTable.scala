@@ -184,6 +184,36 @@ final class GraftTable private (
     if (projection.nonEmpty) filtered.select(projection.map(col): _*) else filtered
   }
 
+  /** The scan as an analyzed LOGICAL PLAN (no residual filter) — the
+    * building block [[ResolveGraftScan]] splices under the query's own
+    * Filter at optimization time. `prunePredicate` is an already-resolved
+    * Catalyst predicate used only for manifest min/max file pruning.
+    */
+  private[table] def scanPlanFor(
+      spark: SparkSession,
+      snapshotId: Option[Long],
+      prunePredicate: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val snap = resolveSnapshot(snapshotId)
+    val df = snap match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], readSchema)
+      case Some(s) =>
+        val manifest = Manifest.read(s"$dir/${s.manifestList}")
+        val kept = prunePredicate match {
+          case Some(p) => manifest.files.filter(f => Pruning.mayMatch(p, f.stats, schema))
+          case None => manifest.files
+        }
+        val base =
+          if (kept.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          else
+            spark.read.schema(schema).parquet(kept.map(f => s"$dir/${f.path}"): _*)
+        base.withColumn(virtualColumn, lit(s.snapshotId))
+    }
+    org.apache.spark.sql.classic.GraftBridge.analyzedPlan(df)
+  }
+
   /** The `__snapshots` system table (V1/S7). Tiny metadata → a local
     * DataFrame is correct at any scale (the data it describes is big; the
     * log is not). Schema mirrors SnapshotIterable.createSnapshotRecord. */

@@ -63,6 +63,19 @@ object TableDemo {
       "SELECT snapshot_id, operation FROM db_people__snapshots")
       .collect().mkString(", "))
 
+    // SQL time travel: the view re-resolves per query — an append after
+    // registration is visible, and `WHERE snapshot__id = 1` re-plans the
+    // scan at snapshot 1 (not a row filter on the current snapshot)
+    ct.append(df(6L -> "y"), Some(600L))
+    println("SQL-LATEST: " + spark.sql(
+      "SELECT id, snapshot__id FROM db_people ORDER BY id")
+      .collect().mkString(", "))
+    println("SQL-TT: " + spark.sql(
+      "SELECT id, snapshot__id FROM db_people WHERE snapshot__id = 1")
+      .collect().mkString(", "))
+    println("SQL-STATELESS: count=" +
+      spark.sql("SELECT * FROM db_people").count())
+
     spark.stop()
   }
 }

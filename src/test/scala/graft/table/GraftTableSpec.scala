@@ -162,6 +162,49 @@ class GraftTableSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { GraftTable.load(s"$dir/missing") }
   }
 
+  test("SQL surface: per-query snapshot resolution, time travel, statelessness") {
+    val wh = tmpDir("graft-sql")
+    val cat = new GraftCatalog(wh)
+    val t = cat.createTable("db.tt", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    cat.register(spark, "db.tt")
+
+    // appends AFTER registration are visible (deferred relation)
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    assert(spark.sql("SELECT * FROM db_tt").count() == 2)
+
+    // time travel via SQL predicate re-plans the scan, not a row filter
+    val tt = spark.sql(
+      "SELECT id, snapshot__id FROM db_tt WHERE snapshot__id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tt == Seq((1L, 1L)))
+
+    // statelessness: the very next query sees the latest snapshot
+    assert(spark.sql("SELECT * FROM db_tt").count() == 2)
+
+    // combined time travel + data predicate + projection
+    val combo = spark.sql(
+      "SELECT data FROM db_tt WHERE snapshot__id = 1 AND id >= 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(combo == Seq("a"))
+
+    // join of the view with itself (MultiInstanceRelation: distinct ids)
+    val self = spark.sql(
+      "SELECT a.id FROM db_tt a JOIN db_tt b ON a.id = b.id")
+    assert(self.count() == 2)
+
+    // renamed virtual column drives SQL time travel too
+    val t2 = cat.createTable("db.renamed", simpleSchema,
+      Map(GraftTable.PropVirtualColumnName -> "version_id"))
+    t2.append(mkDf(1L -> "x"), Some(100L))
+    t2.append(mkDf(2L -> "y"), Some(200L))
+    cat.register(spark, "db.renamed")
+    val rt = spark.sql(
+      "SELECT id FROM db_renamed WHERE version_id = 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rt == Seq(1L))
+  }
+
   test("catalog resolution: db.table, __snapshots naming, opt-out") {
     val wh = tmpDir("graft-wh")
     val cat = new GraftCatalog(wh)
