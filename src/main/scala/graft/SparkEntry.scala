@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Versioned,
     graft.queries.Similarity,
     graft.queries.Events,
-    graft.queries.MultimodalQueries
+    graft.queries.MultimodalQueries,
+    graft.queries.Pipeline
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,123 @@
+package graft.table
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** THE pruning safety property: if any row in a file satisfies the
+  * predicate, `mayMatch` must keep that file (false positives cost I/O,
+  * false negatives cost correctness — the reference gets the same
+  * guarantee from Iceberg's inclusive metrics evaluator).
+  *
+  * Files are generated as value sets, stats are derived from them the same
+  * way commit-time stats collection does (min/max/nullCount/valueCount),
+  * and predicates are random trees over the leaves P4-P15.
+  */
+class PruningPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, minSuccessful: Int): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(minSuccessful)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  private val schema = StructType(Seq(StructField("x", LongType)))
+  private val attr = AttributeReference("x", LongType)()
+
+  private def statsOf(values: Seq[Option[Long]]): Map[String, ColumnStats] = {
+    val present = values.flatten
+    Map("x" -> ColumnStats(
+      present.minOption.map(_.toString),
+      present.maxOption.map(_.toString),
+      Some(values.count(_.isEmpty).toLong),
+      Some(values.size.toLong)))
+  }
+
+  private def lit(v: Long) = Literal(v, LongType)
+
+  // predicate generator over leaves P4-P15 and AND/OR/NOT combinators
+  private def leafGen: Gen[Expression] = for {
+    v <- Gen.chooseNum(-20L, 20L)
+    leaf <- Gen.oneOf[Expression](
+      EqualTo(attr, lit(v)),
+      EqualNullSafe(attr, lit(v)),
+      LessThan(attr, lit(v)),
+      LessThanOrEqual(attr, lit(v)),
+      GreaterThan(attr, lit(v)),
+      GreaterThanOrEqual(attr, lit(v)),
+      In(attr, Seq(lit(v), lit(v + 3), lit(v - 7))),
+      IsNull(attr),
+      IsNotNull(attr))
+  } yield leaf
+
+  private def predGen(depth: Int): Gen[Expression] =
+    if (depth == 0) leafGen
+    else Gen.frequency(
+      3 -> leafGen,
+      2 -> (for { a <- predGen(depth - 1); b <- predGen(depth - 1) } yield And(a, b)),
+      2 -> (for { a <- predGen(depth - 1); b <- predGen(depth - 1) } yield Or(a, b)),
+      1 -> predGen(depth - 1).map(Not(_)))
+
+  /** Reference row-level evaluation of the predicate on one value. */
+  private def evalRow(e: Expression, v: Option[Long]): Option[Boolean] = e match {
+    case And(a, b) =>
+      (evalRow(a, v), evalRow(b, v)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+    case Or(a, b) =>
+      (evalRow(a, v), evalRow(b, v)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    case Not(a) => evalRow(a, v).map(!_)
+    case IsNull(_) => Some(v.isEmpty)
+    case IsNotNull(_) => Some(v.isDefined)
+    case EqualNullSafe(_, Literal(l: Long, _)) => Some(v.contains(l))
+    case EqualTo(_, Literal(l: Long, _)) => v.map(_ == l)
+    case LessThan(_, Literal(l: Long, _)) => v.map(_ < l)
+    case LessThanOrEqual(_, Literal(l: Long, _)) => v.map(_ <= l)
+    case GreaterThan(_, Literal(l: Long, _)) => v.map(_ > l)
+    case GreaterThanOrEqual(_, Literal(l: Long, _)) => v.map(_ >= l)
+    case In(_, lits) => v.map(x => lits.exists {
+      case Literal(l: Long, _) => l == x
+      case _ => false
+    })
+    case _ => None
+  }
+
+  test("property: a file containing any matching row is never pruned") {
+    val fileGen: Gen[Seq[Option[Long]]] =
+      Gen.nonEmptyListOf(Gen.frequency(
+        8 -> Gen.chooseNum(-20L, 20L).map(Some(_)),
+        1 -> Gen.const(None)))
+
+    check(Prop.forAll(fileGen, predGen(3)) { (values, pred) =>
+      val anyMatch = values.exists(v => evalRow(pred, v).contains(true))
+      val kept = Pruning.mayMatch(pred, statsOf(values), schema)
+      // soundness: matching row => kept. (The converse — pruning
+      // aggressiveness — is best-effort by design.)
+      !anyMatch || kept
+    }, minSuccessful = 2000)
+  }
+
+  test("property: string equality pruning is sound") {
+    val sattr = AttributeReference("s", StringType)()
+    val sschema = StructType(Seq(StructField("s", StringType)))
+    val words = Gen.oneOf("apple", "banana", "cherry", "date", "elder", "fig")
+    check(Prop.forAll(Gen.nonEmptyListOf(words), words) { (values, probe) =>
+      val stats = Map("s" -> ColumnStats(
+        Some(values.min), Some(values.max), Some(0L), Some(values.size.toLong)))
+      val pred = EqualTo(sattr,
+        Literal(UTF8String.fromString(probe), StringType))
+      !values.contains(probe) ||
+        Pruning.mayMatch(pred, stats, sschema)
+    }, minSuccessful = 500)
+  }
+}
