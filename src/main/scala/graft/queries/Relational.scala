@@ -216,6 +216,22 @@ object Relational extends QueryPack {
           max(col("p_size")).as("max_size"))
         .orderBy("p_brand")),
 
+    "q36_approx_agg" -> ((s, d) =>
+      // sketch aggregates — the only viable cardinality/quantile path at
+      // 100 TB (exact distinct shuffles every key; HLL/KLL are map-side
+      // mergeable, constant memory). Approximate values are engine-
+      // specific → rows-only check; RelationalSpec bounds the error vs
+      // exact.
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_median_price"),
+          percentile_approx(col("l_quantity"), lit(0.95), lit(10000))
+            .as("approx_p95_qty"))
+        .orderBy("l_returnflag")),
+
     // ----- distinct / set ops -----
     "q40_distinct" -> ((s, d) =>
       t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),

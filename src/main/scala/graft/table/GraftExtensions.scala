@@ -1,0 +1,27 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Injection of the graft planning surface, either by config
+  * (`spark.sql.extensions=graft.table.GraftExtensions` — applied when the
+  * SparkContext is first created) or programmatically
+  * (`builder.withExtensions(new GraftExtensions)` — works on an existing
+  * context too).
+  *
+  * injects [[ResolveGraftScan]] (SQL time travel / per-query snapshot
+  * resolution over [[GraftRelation]] views) and registers the `cosine_sim`
+  * SQL function. `GraftCatalog.register` injects the same rule at runtime
+  * through `spark.experimental` for sessions built without the config —
+  * both paths are idempotent and can coexist.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(session => ResolveGraftScan(session))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+  }
+}
