@@ -232,6 +232,29 @@ object Relational extends QueryPack {
             .as("approx_p95_qty"))
         .orderBy("l_returnflag")),
 
+    "q37_salted_agg" -> ((s, d) => {
+      // skew-resistant two-phase aggregation: salt the hot key so the
+      // first shuffle spreads one key over 16 reducers, then merge
+      // partials. Result-identical to the direct groupBy (the oracle
+      // proves it); the pattern is what survives a power-law key at
+      // 100 TB where a single reducer would OOM. Spark's AQE skew
+      // handling covers joins; aggregation salting is still manual.
+      val salted = t(s, d, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(
+          sum(col("l_quantity")).as("part_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("part_price"),
+          count(lit(1)).as("part_n"))
+      salted.groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("part_qty")).as("sum_qty"),
+          round(sum(col("part_price")), 2).cast("decimal(18,2)")
+            .as("sum_price"),
+          sum(col("part_n")).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     // ----- distinct / set ops -----
     "q40_distinct" -> ((s, d) =>
       t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
@@ -401,6 +424,8 @@ object Relational extends QueryPack {
       "SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
     "q35_agg_minmax" ->
       "SELECT p_brand, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price, min(p_size) AS min_size, max(p_size) AS max_size FROM part GROUP BY p_brand ORDER BY p_brand",
+    "q37_salted_agg" ->
+      "SELECT l_returnflag, sum(l_quantity) AS sum_qty, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_price, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q40_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q41_union" ->

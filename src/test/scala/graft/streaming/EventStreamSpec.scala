@@ -82,6 +82,41 @@ class EventStreamSpec extends SparkSpecBase {
     assert(out.contains((2L, 1L)), s"user2 session missing: ${out.mkString(",")}")
   }
 
+  test("windowedCounts from a real parquet file source matches the batch answer") {
+    import org.apache.spark.sql.functions._
+    // stage the events parquet in its own directory (a streaming source
+    // reads a whole directory; the testdata dir mixes table schemas)
+    val dir = tmpDir("stream-src")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("ts"), col("user_id").as("userId"),
+        col("event_type").as("eventType"), col("value"))
+    batch.write.parquet(s"$dir/in")
+
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .parquet(s"$dir/in")
+    val query = EventStream.windowedCounts(stream,
+        windowLength = "1 day", watermark = "1 hour")
+      .writeStream.format("memory").queryName("wc_file")
+      .outputMode(OutputMode.Append()).start()
+    query.processAllAvailable()
+    query.stop()
+
+    // append mode only emits windows the watermark has closed; compare
+    // those against the same batch aggregation
+    val got = spark.table("wc_file")
+      .select("window_start", "eventType", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "no closed windows emitted")
+    val expect = batch
+      .groupBy(window(col("ts"), "1 day"), col("eventType"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start"), col("eventType"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.subsetOf(expect), s"streaming emitted rows absent from batch")
+  }
+
   test("sessionize splits on gap within one batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
