@@ -71,6 +71,26 @@ object TextAnalysis extends QueryPack {
         col("doc_id"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))),
 
+    // corpus bigram frequencies: the n-gram analysis pass — posexplode +
+    // window lead keeps it codegen'd (same shape as the dedup shingles);
+    // one shuffle for the count.
+    "t06_bigrams" -> ((s, d) => {
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        x => length(x) > 0)
+      val tokRows = t(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      tokRows
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 30)
+        .orderBy("bigram")
+    }),
+
     // corpus-level stats: tokens and length percentiles per language —
     // the "what's in this corpus" report; partial aggregation map-side.
     "t05_corpus_stats" -> ((s, d) =>
@@ -110,6 +130,10 @@ object TextAnalysis extends QueryPack {
           "ELSE 'unknown' END AS lang_guess FROM documents"),
       "t04_fingerprint" ->
         "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint FROM documents",
+      "t06_bigrams" ->
+        ("WITH toks AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS l FROM documents), " +
+          "bg AS (SELECT unnest(list_transform(range(len(l) - 1), i -> l[i + 1] || ' ' || l[i + 2])) AS bigram FROM toks) " +
+          "SELECT bigram, count(*) AS n FROM bg GROUP BY bigram HAVING count(*) >= 30 ORDER BY bigram"),
       "t05_corpus_stats" ->
         (s"SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars, " +
           "min(length(text)) AS min_chars, max(length(text)) AS max_chars, " +

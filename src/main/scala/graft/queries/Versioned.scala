@@ -73,6 +73,11 @@ object Versioned extends QueryPack {
       tbl.read(s)
     }),
 
+    // incremental read (change feed): rows added between snapshots 1 and 2
+    // of the fixture = exactly one copy of region, tagged with snapshot 2
+    "v08_graft_changes" -> ((s, d) =>
+      fixture(s, d).changes(s, fromSnapshotId = 1L, toSnapshotId = Some(2L))),
+
     // S6: ORC is a first-class format — round-trip region through ORC
     // and scan it back (the reference's ORC reader path,
     // IcebergReaderFactory.java:67-75, rides Spark's built-in ORC source)
@@ -108,6 +113,8 @@ object Versioned extends QueryPack {
       ("SELECT *, CAST(NULL AS BIGINT) AS snapshot__id FROM region " +
         "WHERE 1 = 0"),
     "v07_orc_scan" ->
-      "SELECT * FROM region WHERE r_regionkey >= 1"
+      "SELECT * FROM region WHERE r_regionkey >= 1",
+    "v08_graft_changes" ->
+      "SELECT *, CAST(2 AS BIGINT) AS snapshot__id FROM region"
   )
 }

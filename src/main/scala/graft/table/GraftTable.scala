@@ -214,6 +214,39 @@ final class GraftTable private (
     org.apache.spark.sql.classic.GraftBridge.analyzedPlan(df)
   }
 
+  /** Incremental read: rows ADDED strictly after `fromSnapshotId`, up to
+    * `toSnapshotId` (default: current) — the change-feed primitive that
+    * lets a downstream pipeline reprocess only new data per snapshot
+    * (append-only tables make "changes" exactly "files added"). O(new
+    * files) I/O: the diff is a manifest set difference, no data rewrite.
+    * Rows carry the virtual snapshot column valued at the TO snapshot.
+    */
+  def changes(
+      spark: SparkSession,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val lg = log
+    val from = lg.byId(fromSnapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $fromSnapshotId in $dir"))
+    val to = toSnapshotId match {
+      case Some(id) => lg.byId(id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id in $dir"))
+      case None => lg.current.get
+    }
+    require(to.snapshotId >= from.snapshotId,
+      s"to=${to.snapshotId} precedes from=${from.snapshotId}")
+    val fromPaths = Manifest.read(s"$dir/${from.manifestList}")
+      .files.map(_.path).toSet
+    val newFiles = Manifest.read(s"$dir/${to.manifestList}")
+      .files.filterNot(f => fromPaths.contains(f.path))
+    val base =
+      if (newFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else
+        spark.read.schema(schema).parquet(newFiles.map(f => s"$dir/${f.path}"): _*)
+    base.withColumn(virtualColumn, lit(to.snapshotId))
+  }
+
   /** The `__snapshots` system table (V1/S7). Tiny metadata → a local
     * DataFrame is correct at any scale (the data it describes is big; the
     * log is not). Schema mirrors SnapshotIterable.createSnapshotRecord. */

@@ -162,6 +162,31 @@ class GraftTableSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { GraftTable.load(s"$dir/missing") }
   }
 
+  test("incremental changes between snapshots") {
+    val dir = tmpDir("graft-changes")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b", 3L -> "c"), Some(2000L))
+    t.append(mkDf(4L -> "d"), Some(3000L))
+
+    // 1 → current (3): everything after snapshot 1
+    val all = t.changes(spark, fromSnapshotId = 1L)
+    assert(all.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+    assert(all.select("snapshot__id").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+
+    // bounded range 1 → 2
+    val step = t.changes(spark, 1L, Some(2L))
+    assert(step.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+
+    // empty range and error cases
+    assert(t.changes(spark, 3L).count() == 0)
+    intercept[IllegalArgumentException] { t.changes(spark, 99L) }
+    intercept[IllegalArgumentException] { t.changes(spark, 2L, Some(1L)) }
+  }
+
   test("SQL surface: per-query snapshot resolution, time travel, statelessness") {
     val wh = tmpDir("graft-sql")
     val cat = new GraftCatalog(wh)
