@@ -42,6 +42,19 @@ object MultimodalQueries extends QueryPack {
         .toDF()
         .select(col("assetId").as("asset_id"), col("frameIdx").as("frame_idx"),
           length(col("frameBytes")).as("frame_bytes"))
+    }),
+
+    // composition: stub-decoded features -> nearest-neighbor assets by the
+    // native cosine expression (decode feeds ANN with no intermediate
+    // materialization — one plan end to end; rows-only)
+    "m04_feature_knn" -> ((s, d) => {
+      val assets = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val feats = Multimodal.extractFeatures(assets, "doc_id", "payload")
+        .toDF()
+        .select(col("assetId"), col("features").cast("array<double>").as("v"))
+      graft.queries.Similarity.bruteForceTopK(
+        feats, feats.filter(col("assetId") < 3), "assetId", "v", k = 5)
     })
   )
 

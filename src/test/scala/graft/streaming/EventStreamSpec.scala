@@ -117,6 +117,35 @@ class EventStreamSpec extends SparkSpecBase {
     assert(got.subsetOf(expect), s"streaming emitted rows absent from batch")
   }
 
+  test("stream-static join: events enriched against a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val dims = Seq((1L, "gold"), (2L, "silver")).toDF("userId", "tier")
+    val input = MemoryStream[Event]
+    // static side is broadcast per micro-batch; no state, no watermark
+    val joined = input.toDF()
+      .join(broadcast(dims), Seq("userId"), "left")
+      .select(col("userId"), col("eventType"), col("tier"))
+    val query = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      Event(ts(1), 1L, "click", 1.0),
+      Event(ts(2), 2L, "view", 1.0),
+      Event(ts(3), 9L, "click", 1.0)) // no dim row -> null tier
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("enriched")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(rows == Set(
+      (1L, "click", Some("gold")),
+      (2L, "view", Some("silver")),
+      (9L, "click", None)))
+  }
+
   test("sessionize splits on gap within one batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
