@@ -214,6 +214,21 @@ final class GraftTable private (
     org.apache.spark.sql.classic.GraftBridge.analyzedPlan(df)
   }
 
+  /** Latest snapshot committed at or before `timestampMillis` — as-of-time
+    * travel (the id-based V3 surface keyed by commit time instead; commit
+    * times are monotone because commits are sequential). */
+  def snapshotAsOfTime(timestampMillis: Long): Option[Snapshot] =
+    log.snapshots.filter(_.committedAt <= timestampMillis).lastOption
+
+  /** Read the table as of a wall-clock time; empty before the first
+    * commit. */
+  def readAsOf(spark: SparkSession, timestampMillis: Long): DataFrame =
+    snapshotAsOfTime(timestampMillis) match {
+      case Some(s) => read(spark, Some(s.snapshotId))
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], readSchema)
+    }
+
   /** Incremental read: rows ADDED strictly after `fromSnapshotId`, up to
     * `toSnapshotId` (default: current) — the change-feed primitive that
     * lets a downstream pipeline reprocess only new data per snapshot

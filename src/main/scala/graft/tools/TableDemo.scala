@@ -46,6 +46,12 @@ object TableDemo {
     println("PRUNED id=10: " + t.scan(spark, Some(col("id") === 10L))
       .collect().mkString(", "))
 
+    println("ASOF t=1500: " + t.readAsOf(spark, 1500L).orderBy("id")
+      .collect().mkString(", ") +
+      " | t=0: count=" + t.readAsOf(spark, 0L).count())
+    println("CHANGES 1->3: " + t.changes(spark, 1L).orderBy("id")
+      .collect().mkString(", "))
+
     val e = GraftTable.create(s"$dir/empty", schema)
     println("EMPTY: count=" + e.read(spark).count() +
       " cols=" + e.read(spark).columns.mkString(","))

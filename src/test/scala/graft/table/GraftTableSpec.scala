@@ -162,6 +162,19 @@ class GraftTableSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { GraftTable.load(s"$dir/missing") }
   }
 
+  test("as-of-time travel picks the latest snapshot at or before the timestamp") {
+    val dir = tmpDir("graft-asof")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+
+    assert(t.readAsOf(spark, 999L).count() == 0) // before first commit
+    assert(t.readAsOf(spark, 1000L).count() == 1) // boundary inclusive
+    assert(t.readAsOf(spark, 1500L).count() == 1)
+    assert(t.readAsOf(spark, 5000L).count() == 2)
+    assert(t.snapshotAsOfTime(1500L).map(_.snapshotId).contains(1L))
+  }
+
   test("incremental changes between snapshots") {
     val dir = tmpDir("graft-changes")
     val t = GraftTable.create(s"$dir/t", simpleSchema)
