@@ -85,6 +85,27 @@ object Events extends QueryPack {
         .orderBy("user_id", "session_seq")
     }),
 
+    // JSON scalar functions over the props column (a JSON string payload):
+    // extraction stays in whole-stage codegen via get_json_object
+    "e06_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k") >= 50)),
+
+    // schema-full JSON parsing via from_json (struct extraction)
+    "e07_json_struct" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k_typed"))
+        .groupBy()
+        .agg(count(col("k_typed")).as("n_parsed"),
+          sum(col("k_typed")).as("sum_k"),
+          min(col("k_typed")).as("min_k"),
+          max(col("k_typed")).as("max_k"))),
+
     // top event type per user by count (argmax via window rank)
     "e05_top_type_per_user" -> ((s, d) => {
       val counts = events(s, d)
@@ -128,6 +149,10 @@ object Events extends QueryPack {
         "min(ts_s) AS session_start, max(ts_s) AS session_end " +
         "FROM sessions GROUP BY user_id, session_seq HAVING count(*) >= 3 " +
         "ORDER BY user_id, session_seq"),
+    "e06_json_extract" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events WHERE CAST(json_extract(props, '$.k') AS INT) >= 50",
+    "e07_json_struct" ->
+      "SELECT count(CAST(json_extract(props, '$.k') AS INT)) AS n_parsed, sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k, min(CAST(json_extract(props, '$.k') AS INT)) AS min_k, max(CAST(json_extract(props, '$.k') AS INT)) AS max_k FROM events",
     "e05_top_type_per_user" ->
       ("WITH counts AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
         "ranked AS (SELECT user_id, event_type, n, row_number() OVER " +

@@ -356,6 +356,17 @@ object Relational extends QueryPack {
           coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
             .as("status_or_open"))),
 
+    "q73_scalar_date" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("date")
+            .as("month_start"))),
+
     // ----- subqueries -----
     "q80_scalar_subquery" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -450,6 +461,8 @@ object Relational extends QueryPack {
       "SELECT l_orderkey, l_linenumber, CAST(round(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4)), 2) AS DECIMAL(18,2)) AS disc_price, abs(l_quantity - 25.0) AS qty_dev, l_orderkey % 7 AS key_mod, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil FROM lineitem",
     "q72_scalar_case" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice > 30000.0 THEN 'high' WHEN o_totalprice > 10000.0 THEN 'mid' ELSE 'low' END AS price_band, coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open FROM orders",
+    "q73_scalar_date" ->
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, CAST(quarter(o_orderdate) AS INT) AS qtr, CAST(day(o_orderdate) AS INT) AS dom, CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start FROM orders",
     "q80_scalar_subquery" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
     "q81_in_subquery" ->
