@@ -153,6 +153,25 @@ class GraftTableSpec extends SparkSpecBase {
     assert(out.select("id").collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  test("tables are relocatable: move the directory, everything still reads") {
+    val dir = tmpDir("graft-reloc")
+    val t = GraftTable.create(s"$dir/orig", simpleSchema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.append(mkDf(3L -> "c"), Some(2000L))
+
+    val moved = s"$dir/moved"
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/orig"), java.nio.file.Paths.get(moved))
+
+    val m = GraftTable.load(moved)
+    assert(m.read(spark).count() == 3)
+    assert(m.read(spark, Some(1L)).count() == 2)
+    assert(m.scan(spark, Some(col("id") === 3L))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(m.snapshots(spark).count() == 2)
+    assert(m.changes(spark, 1L).count() == 1)
+  }
+
   test("reload from disk round-trips schema and properties") {
     val dir = tmpDir("graft-reload")
     GraftTable.create(s"$dir/t", simpleSchema, Map("k" -> "v"))
