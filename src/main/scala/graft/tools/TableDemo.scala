@@ -52,6 +52,13 @@ object TableDemo {
     println("CHANGES 1->3: " + t.changes(spark, 1L).orderBy("id")
       .collect().mkString(", "))
 
+    val feed = new GraftChangeFeed(t, s"$dir/feed-ckpt")
+    feed.poll(spark)(df => println("FEED poll1: rows=" + df.count()))
+    t.append(df(30L -> "f"), Some(4000L))
+    feed.poll(spark)(d2 => println("FEED poll2: " +
+      d2.orderBy("id").collect().mkString(", ")))
+    println("FEED cursor: " + feed.cursor)
+
     val e = GraftTable.create(s"$dir/empty", schema)
     println("EMPTY: count=" + e.read(spark).count() +
       " cols=" + e.read(spark).columns.mkString(","))

@@ -1,0 +1,66 @@
+package graft.table
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** Exactly-once-per-snapshot incremental consumption, including restart
+  * from the durable cursor and failure without cursor advance.
+  */
+class GraftChangeFeedSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false)))
+
+  private def mkDf(ids: Long*) = spark.createDataFrame(
+    spark.sparkContext.parallelize(ids.map(Row(_)), 1), schema)
+
+  test("poll sees each appended snapshot exactly once, across restarts") {
+    val dir = tmpDir("feed")
+    val t = GraftTable.create(s"$dir/t", schema)
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    def run(feed: GraftChangeFeed) = feed.poll(spark) { df =>
+      seen += df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+
+    val feed = new GraftChangeFeed(t, s"$dir/ckpt")
+    assert(run(feed).isEmpty) // empty table: nothing to do
+
+    t.append(mkDf(1L, 2L), Some(1000L))
+    assert(run(feed).contains((0L, 1L)))
+    assert(seen.last == Seq(1L, 2L))
+
+    assert(run(feed).isEmpty) // caught up
+
+    t.append(mkDf(3L), Some(2000L))
+    t.append(mkDf(4L), Some(3000L))
+    // two snapshots land in ONE poll (batch catch-up)
+    assert(run(feed).contains((1L, 3L)))
+    assert(seen.last == Seq(3L, 4L))
+
+    // restart: a NEW feed over the same checkpoint resumes, not replays
+    val feed2 = new GraftChangeFeed(t, s"$dir/ckpt")
+    assert(feed2.cursor == 3L)
+    assert(run(feed2).isEmpty)
+    t.append(mkDf(5L), Some(4000L))
+    assert(run(feed2).contains((3L, 4L)))
+    assert(seen.last == Seq(5L))
+  }
+
+  test("a failing batch does not advance the cursor (at-least-once)") {
+    val dir = tmpDir("feed-fail")
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L), Some(1000L))
+    val feed = new GraftChangeFeed(t, s"$dir/ckpt")
+    intercept[RuntimeException] {
+      feed.poll(spark)(_ => throw new RuntimeException("sink down"))
+    }
+    assert(feed.cursor == 0L)
+    // retry succeeds and delivers the same snapshot
+    var got: Seq[Long] = Nil
+    feed.poll(spark)(df => got = df.select("id").collect().map(_.getLong(0)).toSeq)
+    assert(got == Seq(1L))
+    assert(feed.cursor == 1L)
+  }
+}
