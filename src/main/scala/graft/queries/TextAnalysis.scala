@@ -91,6 +91,29 @@ object TextAnalysis extends QueryPack {
         .orderBy("bigram")
     }),
 
+    // PII / URL scrubbing: the pre-training redaction pass. Patterns kept
+    // to the regex subset Java and RE2 interpret identically.
+    "t07_redact" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+          "https?://[^ ]+", "<URL>").as("redacted"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "")))
+          .as("email_chars"))),
+
+    // corpus length histogram: 100-char buckets — the size-distribution
+    // report used to pick truncation/packing lengths
+    "t08_length_hist" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(floor(length(col("text")) / 100).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(length(col("text"))).as("min_chars"),
+          max(length(col("text"))).as("max_chars"))
+        .orderBy("bucket")),
+
     // corpus-level stats: tokens and length percentiles per language —
     // the "what's in this corpus" report; partial aggregation map-side.
     "t05_corpus_stats" -> ((s, d) =>
@@ -134,6 +157,13 @@ object TextAnalysis extends QueryPack {
         ("WITH toks AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS l FROM documents), " +
           "bg AS (SELECT unnest(list_transform(range(len(l) - 1), i -> l[i + 1] || ' ' || l[i + 2])) AS bigram FROM toks) " +
           "SELECT bigram, count(*) AS n FROM bg GROUP BY bigram HAVING count(*) >= 30 ORDER BY bigram"),
+      "t07_redact" ->
+        ("SELECT doc_id, regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), 'https?://[^ ]+', '<URL>', 'g') AS redacted, " +
+          "length(text) - length(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '', 'g')) AS email_chars FROM documents"),
+      "t08_length_hist" ->
+        ("SELECT CAST(floor(length(text) / 100) AS INT) AS bucket, count(*) AS n_docs, " +
+          "min(length(text)) AS min_chars, max(length(text)) AS max_chars " +
+          "FROM documents GROUP BY 1 ORDER BY 1"),
       "t05_corpus_stats" ->
         (s"SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars, " +
           "min(length(text)) AS min_chars, max(length(text)) AS max_chars, " +
