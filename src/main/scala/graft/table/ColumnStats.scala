@@ -45,14 +45,22 @@ object ColumnStats {
   def render(v: Any): String = v.toString
 
   /** Ordering used to compare a literal against stored min/max. Returns None
-    * when the type is not totally ordered here (then: no pruning). */
+    * when the type is not totally ordered here (then: no pruning).
+    *
+    * Strings compare in UNSIGNED UTF-8 BYTE order — that is the order
+    * parquet uses for its min/max bounds, and it differs from Java's
+    * UTF-16 `String.compareTo` for supplementary characters (emoji sort
+    * below U+FFFD in UTF-16 but above it in UTF-8 bytes); comparing in the
+    * wrong order prunes files that contain matching rows. */
   def compare(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
     case (x: Int, y: Int) => Some(x.compareTo(y))
     case (x: Long, y: Long) => Some(x.compareTo(y))
     case (x: Float, y: Float) => Some(x.compareTo(y))
     case (x: Double, y: Double) => Some(x.compareTo(y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
     case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
     case _ => None
   }

@@ -60,7 +60,9 @@ final class GraftCatalog(warehouse: String) {
     val t = GraftTable.load(tableDir(identifier))
     GraftRelation.dataFrame(spark, t).createOrReplaceTempView(viewName)
     if (t.snapshotsTableEnabled) {
-      t.snapshots(spark).createOrReplaceTempView(
+      // deferred like the data view: the log is re-read per query, so the
+      // two views stay consistent after later appends
+      GraftSnapshotsRelation.dataFrame(spark, t).createOrReplaceTempView(
         viewName + GraftTable.SnapshotsSuffix)
     }
   }

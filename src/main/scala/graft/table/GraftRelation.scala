@@ -52,6 +52,30 @@ object GraftRelation {
     org.apache.spark.sql.classic.GraftBridge.ofRows(spark, apply(t))
 }
 
+/** Deferred `__snapshots` system-table leaf: the snapshot LOG is read at
+  * optimization time, per query — a view registered over an eager
+  * DataFrame would be pinned to the log as of registration and disagree
+  * with the (deferred) data view after later appends.
+  */
+final case class GraftSnapshotsRelation(dir: String, output: Seq[Attribute])
+    extends LeafNode with MultiInstanceRelation {
+
+  override def newInstance(): GraftSnapshotsRelation =
+    copy(output = output.map(_.newInstance()))
+
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = BigInt(1024)) // metadata-tiny; broadcastable
+}
+
+object GraftSnapshotsRelation {
+  def apply(t: GraftTable): GraftSnapshotsRelation =
+    GraftSnapshotsRelation(t.dir,
+      DataTypeUtils.toAttributes(GraftTable.SnapshotsSchema))
+
+  def dataFrame(spark: SparkSession, t: GraftTable): DataFrame =
+    org.apache.spark.sql.classic.GraftBridge.ofRows(spark, apply(t))
+}
+
 /** Replaces [[GraftRelation]] leaves with concrete parquet scans at the
   * query's snapshot. Runs in the user-provided optimizer batch — after
   * predicate pushdown, so the query's own filter sits directly above the
@@ -75,6 +99,11 @@ final case class ResolveGraftScan(spark: SparkSession)
     case g: GraftRelation =>
       val t = GraftTable.load(g.dir)
       remap(t.scanPlanFor(spark, None, None), g.output)
+
+    case g: GraftSnapshotsRelation =>
+      val t = GraftTable.load(g.dir)
+      val df = t.snapshots(spark)
+      remap(org.apache.spark.sql.classic.GraftBridge.analyzedPlan(df), g.output)
   }
 
   /** Project the concrete scan's output onto the relation's attribute ids

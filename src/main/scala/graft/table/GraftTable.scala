@@ -72,8 +72,11 @@ final class GraftTable private (
 
     val dataDir = Paths.get(dir, "data")
     Files.createDirectories(dataDir)
-    val staged = Files.list(Paths.get(staging)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val staged = scala.util.Using.resource(Files.list(Paths.get(staging))) {
+      s => s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+    }
     val conf = df.sparkSession.sessionState.newHadoopConf()
     var seq = 0
     val newFiles = staged.map { src =>

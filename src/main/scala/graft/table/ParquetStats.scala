@@ -30,20 +30,26 @@ object ParquetStats {
       val blocks = footer.getBlocks.asScala.toSeq
       val rowCount = blocks.map(_.getRowCount).sum
 
-      // aggregate across row groups per column path
-      val agg = scala.collection.mutable.Map[String, (Option[Any], Option[Any], Long, Long, Boolean)]()
+      // aggregate across row groups per column path:
+      // (min, max, nulls, values, minMaxUsable, nullsKnown)
+      val agg = scala.collection.mutable.Map[
+        String, (Option[Any], Option[Any], Long, Long, Boolean, Boolean)]()
       for (block <- blocks; chunk <- block.getColumns.asScala) {
         val path = chunk.getPath.toDotString
         // only top-level primitives (no '.' in path)
         if (!path.contains('.')) {
           val st = chunk.getStatistics
           val values = chunk.getValueCount
-          val prev = agg.getOrElse(path, (None, None, 0L, 0L, true))
+          val prev = agg.getOrElse(path, (None, None, 0L, 0L, true, true))
           if (st == null || st.isEmpty || !st.hasNonNullValue) {
-            // stats unusable for min/max; keep null count if present
-            val nulls = if (st != null && !st.isEmpty) st.getNumNulls else -1L
-            agg(path) = (prev._1, prev._2, prev._3 + math.max(nulls, 0),
-              prev._4 + values, prev._5 && false)
+            // stats unusable for min/max; null count only if the chunk
+            // actually recorded one — an absent count must poison the
+            // whole file's null count (unknown ≠ zero, or IS NULL
+            // pruning would drop files that hold nulls)
+            val nullsKnown = st != null && !st.isEmpty
+            agg(path) = (prev._1, prev._2,
+              prev._3 + (if (nullsKnown) st.getNumNulls else 0L),
+              prev._4 + values, false, prev._6 && nullsKnown)
           } else {
             val tpe = chunk.getPrimitiveType
             val mn = convert(st.genericGetMin, tpe)
@@ -51,32 +57,46 @@ object ParquetStats {
             val newMin = minOf(prev._1, mn)
             val newMax = maxOf(prev._2, mx)
             agg(path) = (newMin, newMax, prev._3 + st.getNumNulls,
-              prev._4 + values, prev._5)
+              prev._4 + values, prev._5, prev._6)
           }
         }
       }
-      val stats = agg.toMap.map { case (c, (mn, mx, nulls, values, usable)) =>
-        c -> ColumnStats(
-          if (usable) mn.map(ColumnStats.render) else None,
-          if (usable) mx.map(ColumnStats.render) else None,
-          Some(nulls),
-          Some(values))
+      val stats = agg.toMap.map {
+        case (c, (mn, mx, nulls, values, usable, nullsKnown)) =>
+          c -> ColumnStats(
+            if (usable) mn.map(ColumnStats.render) else None,
+            if (usable) mx.map(ColumnStats.render) else None,
+            if (nullsKnown) Some(nulls) else None,
+            Some(values))
       }
       (rowCount, stats)
     } finally reader.close()
   }
 
-  /** Convert a parquet statistics value to the manifest's comparable form. */
+  /** Convert a parquet statistics value to the manifest's comparable form.
+    * Decimals are stored physically as UNSCALED ints/longs/binary — they
+    * must be rescaled here, or manifest bounds would compare unscaled
+    * values against scaled literals and prune files that match. */
   private def convert(v: Any, tpe: org.apache.parquet.schema.PrimitiveType): Option[Any] = {
     val logical = tpe.getLogicalTypeAnnotation
+    def dec(unscaled: java.math.BigInteger,
+        d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =
+      Some(BigDecimal(new java.math.BigDecimal(unscaled, d.getScale)))
     (v, tpe.getPrimitiveTypeName) match {
       case (b: Binary, BINARY | FIXED_LEN_BYTE_ARRAY) =>
         logical match {
           case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
             Some(b.toStringUsingUTF8)
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            dec(new java.math.BigInteger(b.getBytes), d)
           case _ => None // raw binary: not comparable for pruning
         }
-      case (i: java.lang.Integer, INT32) => Some(i.intValue())
+      case (i: java.lang.Integer, INT32) =>
+        logical match {
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            dec(java.math.BigInteger.valueOf(i.longValue()), d)
+          case _ => Some(i.intValue())
+        }
       case (l: java.lang.Long, INT64) =>
         logical match {
           case ts: TimestampLogicalTypeAnnotation =>
@@ -86,6 +106,8 @@ object ParquetStats {
               case TimeUnit.MICROS => Some(l.longValue())
               case TimeUnit.NANOS => Some(l.longValue() / 1000L)
             }
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            dec(java.math.BigInteger.valueOf(l.longValue()), d)
           case _ => Some(l.longValue())
         }
       case (f: java.lang.Float, FLOAT) => Some(f.floatValue())

@@ -136,19 +136,32 @@ object Pruning {
       case _ => false
     }
 
+  /** Prefix bounds check in unsigned UTF-8 byte order (parquet's stat
+    * order): the file may hold a `prefix`-prefixed value iff
+    * truncate(min) <= prefix <= truncate(max) where truncation happens at
+    * BYTE length — char-level truncation could split surrogate pairs and
+    * byte order is the only order the bounds are valid in. */
   private def prefixMayMatch(a: Attribute, prefix: String,
       stats: Map[String, ColumnStats], schema: StructType): Boolean =
     withBounds(a, prefix, stats, schema) { (_, mn, mx) =>
+      val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      def cmpTruncated(s: String): Int = {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(b.length, p.length)
+        var i = 0
+        while (i < n) {
+          val d = (b(i) & 0xff) - (p(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        0 // equal up to prefix byte length (or s shorter: treat as equal-low)
+      }
       val lower = mn.forall {
-        case m: String =>
-          val mp = m.take(prefix.length)
-          mp <= prefix
+        case m: String => cmpTruncated(m) <= 0
         case _ => true
       }
       val upper = mx.forall {
-        case m: String =>
-          val mp = m.take(prefix.length)
-          mp >= prefix
+        case m: String => cmpTruncated(m) >= 0
         case _ => true
       }
       lower && upper

@@ -78,6 +78,19 @@ class DedupSpec extends SparkSpecBase {
     assert(dups.toSet == Set((0L, 1L)), s"got: ${dups.mkString(",")}")
   }
 
+  test("unigram shingles (k=1) work; invalid parameters are rejected") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", k = 1,
+        threshold = 0.4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup missed at k=1: $pairs")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDups(docs, "doc_id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDups(docs, "doc_id", "text", perms = 64, bands = 15)
+    }
+  }
+
   test("minhash pipeline has no driver-side materialization") {
     // the whole near-dup plan must stay a DataFrame lineage (no collect):
     // building it must not trigger any Spark job

@@ -239,6 +239,11 @@ class GraftTableSpec extends SparkSpecBase {
     // statelessness: the very next query sees the latest snapshot
     assert(spark.sql("SELECT * FROM db_tt").count() == 2)
 
+    // the __snapshots view is deferred too: it must show BOTH snapshots
+    // even though the second was appended after registration
+    assert(spark.sql("SELECT snapshot_id FROM db_tt__snapshots")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
     // combined time travel + data predicate + projection
     val combo = spark.sql(
       "SELECT data FROM db_tt WHERE snapshot__id = 1 AND id >= 1")

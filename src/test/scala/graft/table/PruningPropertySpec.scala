@@ -28,12 +28,18 @@ class PruningPropertySpec extends AnyFunSuite {
   private val schema = StructType(Seq(StructField("x", LongType)))
   private val attr = AttributeReference("x", LongType)()
 
-  private def statsOf(values: Seq[Option[Long]]): Map[String, ColumnStats] = {
+  /** Stats derived from the file's values; `degrade` simulates absent
+    * parquet statistics (unknown min/max and/or null count) — soundness
+    * must hold for those too (unknown must read as "cannot prune"). */
+  private def statsOf(values: Seq[Option[Long]],
+      degrade: Int = 0): Map[String, ColumnStats] = {
     val present = values.flatten
+    val minMax = (degrade & 1) == 0
+    val nulls = (degrade & 2) == 0
     Map("x" -> ColumnStats(
-      present.minOption.map(_.toString),
-      present.maxOption.map(_.toString),
-      Some(values.count(_.isEmpty).toLong),
+      if (minMax) present.minOption.map(_.toString) else None,
+      if (minMax) present.maxOption.map(_.toString) else None,
+      if (nulls) Some(values.count(_.isEmpty).toLong) else None,
       Some(values.size.toLong)))
   }
 
@@ -98,13 +104,15 @@ class PruningPropertySpec extends AnyFunSuite {
         8 -> Gen.chooseNum(-20L, 20L).map(Some(_)),
         1 -> Gen.const(None)))
 
-    check(Prop.forAll(fileGen, predGen(3)) { (values, pred) =>
-      val anyMatch = values.exists(v => evalRow(pred, v).contains(true))
-      val kept = Pruning.mayMatch(pred, statsOf(values), schema)
-      // soundness: matching row => kept. (The converse — pruning
-      // aggressiveness — is best-effort by design.)
-      !anyMatch || kept
-    }, minSuccessful = 2000)
+    check(Prop.forAll(fileGen, predGen(3), Gen.choose(0, 3)) {
+      (values, pred, degrade) =>
+        val anyMatch = values.exists(v => evalRow(pred, v).contains(true))
+        val kept = Pruning.mayMatch(pred, statsOf(values, degrade), schema)
+        // soundness: matching row => kept, including under degraded stats
+        // (absent min/max and/or null counts, as foreign parquet writers
+        // produce). The converse — aggressiveness — is best-effort.
+        !anyMatch || kept
+    }, minSuccessful = 4000)
   }
 
   test("property: string equality pruning is sound") {

@@ -102,6 +102,53 @@ class TypesSpec extends SparkSpecBase {
     assert(m.head._2.getFloat(0) == 44.04f)
   }
 
+  test("decimal pruning: unscaled parquet stats are rescaled (regression)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("amount", DecimalType(10, 2), nullable = false)))
+    val dir = tmpDir("graft-dec-prune")
+    val t = GraftTable.create(s"$dir/t", schema)
+    def df(rows: (Long, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(r._1, new java.math.BigDecimal(r._2))), 1), schema)
+    // two files with disjoint decimal ranges
+    t.append(df(1L -> "12345.67", 2L -> "19999.99"), Some(1000L))
+    t.append(df(3L -> "23456.78", 4L -> "29999.99"), Some(2000L))
+
+    // manifest stats must be SCALED decimals, not raw unscaled longs
+    val manifest = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+    val mins = manifest.files.flatMap(_.stats.get("amount")).flatMap(_.min)
+    assert(mins.toSet == Set("12345.67", "23456.78"), s"raw stats: $mins")
+
+    // equality scan returns the matching row (pre-fix: pruned everything)
+    val hit = t.scan(spark,
+      Some(col("amount") === new java.math.BigDecimal("12345.67")))
+    assert(hit.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // and actually prunes the non-matching file
+    val expr = GraftTable.resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(
+        col("amount") === new java.math.BigDecimal("12345.67")))
+    val kept = manifest.files.filter(f => Pruning.mayMatch(expr, f.stats, schema))
+    assert(kept.size == 1)
+  }
+
+  test("string pruning uses UTF-8 byte order — emoji beyond U+FFFD (regression)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val dir = tmpDir("graft-utf8-prune")
+    val t = GraftTable.create(s"$dir/t", schema)
+    val rows = Seq(Row(1L, "�"), Row(2L, "😀")) // U+FFFD, 😀
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema), Some(1000L))
+
+    // UTF-16 order sorts 😀 below U+FFFD; UTF-8 byte order (parquet's stat
+    // order) sorts it above — the pre-fix compare pruned the file
+    val hit = t.scan(spark, Some(col("s") === "😀"))
+    assert(hit.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(ColumnStats.compare("😀", "�").exists(_ > 0))
+  }
+
   test("filters on nested/untracked columns stay conservative and correct") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
