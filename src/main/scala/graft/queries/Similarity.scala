@@ -113,6 +113,11 @@ object Similarity extends QueryPack {
         k = 10)
     }),
 
+    // k-means corpus clustering (rows-only: iterative ML, no SQL oracle;
+    // SimilaritySpec checks cluster count/coverage)
+    "s04_kmeans" -> ((s, d) =>
+      kmeansClusters(t(s, d, "embeddings"), "vec_id", "embedding", k = 10)),
+
     // label-centroid similarity: per-label mean vector, then each label's
     // centroid norm — a "cluster quality" style aggregate over vectors
     // (element-wise mean via 64 unrolled array sums; exact integer-free
@@ -133,6 +138,35 @@ object Similarity extends QueryPack {
         .orderBy("label")
     })
   )
+
+  /** K-means clustering of the embedding corpus (diversity sampling /
+    * dedup-by-centroid building block). Distributed via Spark ML's
+    * KMeans|| (fixed seed → deterministic on a fixed layout); returns one
+    * row per cluster with its size and center norm. */
+  def kmeansClusters(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = emb.select(col(idCol).as("id"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .fit(feats)
+    val centerNorms = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, math.sqrt(c.toArray.map(x => x * x).sum)) }
+    val assigned = model.transform(feats)
+    val norms = emb.sparkSession.createDataFrame(centerNorms)
+      .toDF("prediction", "center_norm")
+    assigned.groupBy(col("prediction"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(broadcast(norms), "prediction")
+      .select(col("prediction").as("cluster"), col("n_members"),
+        round(col("center_norm"), 6).as("center_norm"))
+      .orderBy("cluster")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "s01_knn_brute" ->

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.table.{GraftChangeFeed, GraftTable}
+
+/** Full-stack integration: the prep pipeline's output lands in a graft
+  * table via append commits, is consumed incrementally by a change feed,
+  * and remains time-travelable — query surface and storage layer working
+  * as one system, the way a production corpus-curation job would run.
+  */
+class PipelineIntegrationSpec extends SparkSpecBase {
+
+  test("curated corpus: pipeline → graft table → incremental consumer → time travel") {
+    val d = "/root/testdata/sf0.001"
+    val curated = graft.queries.Pipeline
+      .queries("p01_prep_pipeline")(spark, d)
+
+    val dir = tmpDir("pipeline-sink")
+    val t = GraftTable.create(s"$dir/corpus", curated.schema)
+
+    // batch 1: documents with doc_id < 250; batch 2: the rest — two
+    // snapshots, as if the pipeline ran on two ingest partitions
+    t.append(curated.filter(col("doc_id") < 250), Some(1000L))
+    t.append(curated.filter(col("doc_id") >= 250), Some(2000L))
+
+    val total = curated.count()
+    assert(total > 0)
+    assert(t.read(spark).count() == total)
+
+    // snapshot 1 holds exactly the first batch (time travel)
+    val snap1 = t.read(spark, Some(1L))
+    assert(snap1.count() == curated.filter(col("doc_id") < 250).count())
+    assert(snap1.filter(col("doc_id") >= 250).count() == 0)
+
+    // an incremental consumer sees each batch exactly once
+    val feed = new GraftChangeFeed(t, s"$dir/ckpt")
+    var batches = List.empty[Long]
+    while (feed.poll(spark)(df => batches :+= df.count()).isDefined) {}
+    // first poll catches up to the current snapshot in one go
+    assert(batches == List(total))
+
+    // fingerprints stay unique end to end (dedup survived the write)
+    val fps = t.read(spark).select("fingerprint")
+    assert(fps.distinct().count() == fps.count())
+
+    // and the sink's min/max manifest stats prune on doc_id
+    val hit = t.scan(spark, Some(col("doc_id") === 260L))
+    assert(hit.count() <= 1)
+  }
+}

@@ -30,6 +30,15 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got == expect, s"got=$got expect=$expect")
   }
 
+  test("k-means clusters cover the corpus with k non-empty clusters") {
+    val out = Similarity.kmeansClusters(emb, "vec_id", "embedding", k = 10)
+      .collect()
+    assert(out.length == 10, s"got ${out.length} clusters")
+    assert(out.map(_.getAs[Long]("n_members")).sum == emb.count())
+    assert(out.forall(_.getAs[Long]("n_members") > 0))
+    assert(out.forall(_.getAs[Double]("center_norm") > 0.0))
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
