@@ -19,13 +19,16 @@ object SparkEntry {
     graft.queries.Similarity,
     graft.queries.Events,
     graft.queries.MultimodalQueries,
-    graft.queries.Pipeline
+    graft.queries.Pipeline,
+    graft.queries.TpcH
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1 in full form — the canonical scan+aggregate the engine is
+    * built around. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
-    queries("q30_agg_group")(spark, d)
+    queries("h01_pricing_summary")(spark, d)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
