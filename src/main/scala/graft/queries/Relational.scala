@@ -255,6 +255,33 @@ object Relational extends QueryPack {
         .orderBy("l_returnflag")
     }),
 
+    "q38_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS (beyond rollup/cube's fixed lattices) via
+      // the SQL surface over a registered view
+      t(s, d, "orders").createOrReplaceTempView("gs_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+               FROM gs_orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }),
+
+    "q44_pivot" -> ((s, d) =>
+      // pivot: one output column per return flag (Catalyst rewrites this
+      // to conditional aggregation — exactly the oracle's formulation)
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .orderBy("l_linestatus")),
+
+    "q45_explode" -> ((s, d) =>
+      // lateral explode: one row per word of p_name, counted corpus-wide
+      t(s, d, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("word")),
+
     // ----- distinct / set ops -----
     "q40_distinct" -> ((s, d) =>
       t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
@@ -437,6 +464,12 @@ object Relational extends QueryPack {
       "SELECT p_brand, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price, min(p_size) AS min_size, max(p_size) AS max_size FROM part GROUP BY p_brand ORDER BY p_brand",
     "q37_salted_agg" ->
       "SELECT l_returnflag, sum(l_quantity) AS sum_qty, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_price, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q38_grouping_sets" ->
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    "q44_pivot" ->
+      "SELECT l_linestatus, sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A, sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N, sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus",
+    "q45_explode" ->
+      "SELECT word, count(*) AS n FROM (SELECT unnest(regexp_split_to_array(p_name, ' ')) AS word FROM part) GROUP BY word ORDER BY word",
     "q40_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q41_union" ->

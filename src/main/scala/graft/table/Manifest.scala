@@ -38,9 +38,7 @@ final case class Manifest(files: Seq[DataFileEntry]) {
             "value_count" -> st.valueCount.map(Long.box).orNull)
         })
     })
-    val p = Paths.get(absPath)
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, Json.write(obj))
+    Json.writeFileAtomic(absPath, Json.write(obj))
   }
 }
 

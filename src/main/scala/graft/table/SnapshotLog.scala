@@ -38,7 +38,7 @@ final case class SnapshotLog(snapshots: Seq[Snapshot]) {
         "manifest_list" -> s.manifestList,
         "summary" -> s.summary)
     }
-    Files.writeString(Paths.get(absPath), Json.write(arr))
+    Json.writeFileAtomic(absPath, Json.write(arr))
   }
 }
 
