@@ -114,6 +114,28 @@ object TextAnalysis extends QueryPack {
           max(length(col("text"))).as("max_chars"))
         .orderBy("bucket")),
 
+    // reproducible sampling: hash the key, keep a hex-prefix range — the
+    // deterministic, engine-portable, cluster-stable way to sample (rand()
+    // depends on partitioning; hash sampling doesn't, and the same row set
+    // is selected on any engine or rerun). ~25% sample: first hex digit
+    // of md5 < '4'.
+    "t09_hash_sample" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+        .select("doc_id", "lang", "n_chars")),
+
+    // stratified mixing: per-source sample rates (the "temperature" knob
+    // of corpus mixing) via per-source hash thresholds, then audit counts
+    "t10_stratified_sample" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 2))
+        // src0/src1 keep ~50% ('00'..'7f'), everything else ~12.5% ('00'..'1f')
+        .filter(when(col("source").isin("src0", "src1"), col("h") < "80")
+          .otherwise(col("h") < "20"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("source")),
+
     // corpus-level stats: tokens and length percentiles per language —
     // the "what's in this corpus" report; partial aggregation map-side.
     "t05_corpus_stats" -> ((s, d) =>
@@ -164,6 +186,15 @@ object TextAnalysis extends QueryPack {
         ("SELECT CAST(floor(length(text) / 100) AS INT) AS bucket, count(*) AS n_docs, " +
           "min(length(text)) AS min_chars, max(length(text)) AS max_chars " +
           "FROM documents GROUP BY 1 ORDER BY 1"),
+      "t09_hash_sample" ->
+        ("SELECT doc_id, lang, n_chars FROM documents " +
+          "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'"),
+      "t10_stratified_sample" ->
+        ("SELECT source, count(*) AS n_sampled FROM (" +
+          "SELECT source, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h FROM documents) " +
+          "WHERE (source IN ('src0','src1') AND h < '80') " +
+          "OR (source NOT IN ('src0','src1') AND h < '20') " +
+          "GROUP BY source ORDER BY source"),
       "t05_corpus_stats" ->
         (s"SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars, " +
           "min(length(text)) AS min_chars, max(length(text)) AS max_chars, " +
