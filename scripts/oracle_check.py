@@ -29,6 +29,12 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # a query that crashed in Verify never produced an output dir — that
+    # must FAIL the gate, not silently skip the comparison
+    produced = {os.path.basename(q.rstrip("/")) for q in glob.glob(f"{out_dir}/*/")}
+    for name in sorted(set(oracle) - produced):
+        print(f"FAIL {name}: query produced no output (crashed in Verify?)")
+        n_fail += 1
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         got_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")

@@ -129,9 +129,11 @@ object TextAnalysis extends QueryPack {
     "t10_stratified_sample" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 2))
-        // src0/src1 keep ~50% ('00'..'7f'), everything else ~12.5% ('00'..'1f')
-        .filter(when(col("source").isin("src0", "src1"), col("h") < "80")
-          .otherwise(col("h") < "20"))
+        // src0/src1 keep ~50% ('00'..'7f'), everything else ~12.5%
+        // ('00'..'1f'). Same boolean shape as the oracle SQL so NULL
+        // sources behave identically (dropped) in both engines.
+        .filter((col("source").isin("src0", "src1") && col("h") < "80") ||
+          (!col("source").isin("src0", "src1") && col("h") < "20"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("source")),

@@ -13,6 +13,12 @@ object TpcH extends QueryPack {
 
   private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
 
+  /** Discounted line revenue — mirrors the oracle side's single `disc`
+    * definition so a precision change happens in exactly one place per
+    * side. */
+  private def discRevenue =
+    money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
   val queries: Map[String, Q] = Map(
 
     // Q1: pricing summary report (full form, incl. tax + charge)
@@ -24,7 +30,7 @@ object TpcH extends QueryPack {
           sum(col("l_quantity")).as("sum_qty"),
           round(sum(money(col("l_extendedprice"))), 2).cast("decimal(18,2)")
             .as("sum_base_price"),
-          round(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 2)
+          round(sum(discRevenue), 2)
             .cast("decimal(18,2)").as("sum_disc_price"),
           // three 2dp factors → the exact product has SIX decimal digits;
           // a 4dp cast rounds at half-boundaries the engines resolve
@@ -47,10 +53,9 @@ object TpcH extends QueryPack {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(round(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 2)
+        .agg(round(sum(discRevenue), 2)
           .cast("decimal(18,2)").as("revenue"))
-        .select(col("l_orderkey"),
-          round(col("revenue"), 2).cast("decimal(18,2)").as("revenue"),
+        .select(col("l_orderkey"), col("revenue"),
           to_date(col("o_orderdate")).as("o_date"))
         .orderBy(col("revenue").desc, col("o_date").asc, col("l_orderkey").asc)
         .limit(10)
@@ -74,7 +79,7 @@ object TpcH extends QueryPack {
         .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
         .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 2)
+        .agg(round(sum(discRevenue), 2)
           .cast("decimal(18,2)").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
@@ -102,7 +107,7 @@ object TpcH extends QueryPack {
         .join(cu, or("o_custkey") === cu("c_custkey"))
         .join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(round(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 2)
+        .agg(round(sum(discRevenue), 2)
           .cast("decimal(18,2)").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
@@ -117,10 +122,10 @@ object TpcH extends QueryPack {
       li.join(broadcast(pa), li("l_partkey") === pa("p_partkey"))
         .agg(
           round(sum(when(col("p_type") === "PROMO",
-            money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            discRevenue)
             .otherwise(money(lit(0.0)))), 2).cast("decimal(18,2)")
             .as("promo_revenue"),
-          round(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 2)
+          round(sum(discRevenue), 2)
             .cast("decimal(18,2)").as("total_revenue"))
     })
   )
@@ -138,7 +143,7 @@ object TpcH extends QueryPack {
           "FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' " +
           "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
       "h03_shipping_priority" ->
-        (s"SELECT l_orderkey, CAST(round(CAST(round(sum($disc), 2) AS DECIMAL(18,2)), 2) AS DECIMAL(18,2)) AS revenue, CAST(o_orderdate AS DATE) AS o_date " +
+        (s"SELECT l_orderkey, CAST(round(sum($disc), 2) AS DECIMAL(18,2)) AS revenue, CAST(o_orderdate AS DATE) AS o_date " +
           "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
           "JOIN customer ON o_custkey = c_custkey " +
           "WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '1998-03-15' " +

@@ -24,14 +24,8 @@ final class GraftChangeFeed(table: GraftTable, checkpointDir: String) {
     if (Files.exists(cursorPath)) Files.readString(cursorPath).trim.toLong
     else 0L
 
-  private def commitCursor(id: Long): Unit = {
-    Files.createDirectories(cursorPath.getParent)
-    val tmp = cursorPath.resolveSibling("graft-feed-cursor.tmp")
-    Files.writeString(tmp, id.toString)
-    Files.move(tmp, cursorPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def commitCursor(id: Long): Unit =
+    graft.util.Json.writeFileAtomic(cursorPath.toString, id.toString)
 
   /** Process everything new since the cursor with `batch`, then advance
     * the cursor. Returns the snapshot range processed, or None when

@@ -287,7 +287,7 @@ object GraftTable {
     * conservative on unknown shapes, so this only costs pruning, never
     * correctness).
     */
-  private[table] def resolveAgainst(
+  private[graft] def resolveAgainst(
       spark: SparkSession,
       schema: StructType,
       raw: org.apache.spark.sql.catalyst.expressions.Expression)

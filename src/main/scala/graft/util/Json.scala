@@ -15,18 +15,22 @@ object Json {
 
   private val mapper = new ObjectMapper()
 
-  /** Write `content` to `absPath` atomically (temp file + rename): a
-    * concurrent reader sees either the old or the new file, never a
-    * truncated half-write. Metadata files (snapshot log, manifests) are
-    * replaced through this. */
+  /** Write `content` to `absPath` atomically (unique temp file + rename):
+    * a concurrent reader sees either the old or the new file, never a
+    * truncated half-write, and concurrent writers cannot install each
+    * other's partial temp files. Metadata files (snapshot log, manifests,
+    * feed cursors) are replaced through this. */
   def writeFileAtomic(absPath: String, content: String): Unit = {
     val target = java.nio.file.Paths.get(absPath)
     if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    java.nio.file.Files.writeString(tmp, content)
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val tmp = java.nio.file.Files.createTempFile(
+      target.getParent, target.getFileName.toString + ".", ".tmp")
+    try {
+      java.nio.file.Files.writeString(tmp, content)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   def parse(s: String): Any = fromJava(mapper.readValue(s, classOf[Object]))

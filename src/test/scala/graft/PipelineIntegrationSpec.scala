@@ -44,8 +44,15 @@ class PipelineIntegrationSpec extends SparkSpecBase {
     val fps = t.read(spark).select("fingerprint")
     assert(fps.distinct().count() == fps.count())
 
-    // and the sink's min/max manifest stats prune on doc_id
-    val hit = t.scan(spark, Some(col("doc_id") === 260L))
-    assert(hit.count() <= 1)
+    // and the sink's min/max manifest stats prune on doc_id: a batch-2-only
+    // key keeps exactly the batch-2 file(s), not batch 1's
+    val manifest = graft.table.Manifest.read(
+      s"${t.dir}/${t.log.current.get.manifestList}")
+    val expr = GraftTable.resolveAgainst(spark, t.schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(col("doc_id") === 260L))
+    val kept = manifest.files.filter(f =>
+      graft.table.Pruning.mayMatch(expr, f.stats, t.schema))
+    assert(kept.nonEmpty && kept.size < manifest.files.size,
+      s"pruning kept ${kept.size} of ${manifest.files.size} files")
   }
 }
