@@ -394,6 +394,32 @@ object Relational extends QueryPack {
           date_trunc("month", col("o_orderdate")).cast("date")
             .as("month_start"))),
 
+    "q74_array_agg" -> ((s, d) =>
+      // array construction + functions: collect per group (sorted for
+      // determinism — collect_list order is partition-dependent), then
+      // array ops over the result
+      t(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_sort(collect_list(col("n_name"))).as("nations"))
+        .select(
+          col("n_regionkey"),
+          size(col("nations")).as("n_nations"),
+          element_at(col("nations"), 1).as("first_nation"),
+          array_contains(col("nations"), "CHINA").as("has_china"),
+          concat_ws(",", col("nations")).as("joined"))
+        .orderBy("n_regionkey")),
+
+    "q75_string_fns" -> ((s, d) =>
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"),
+          replace(col("p_brand"), lit("Brand#"), lit("B")).as("brand_short"),
+          instr(col("p_name"), " ").as("first_space"),
+          split(col("p_brand"), "#").getItem(1).as("brand_num"),
+          reverse(col("p_brand")).as("brand_rev"),
+          translate(col("p_brand"), "#", "-").as("brand_dash"))),
+
     // ----- subqueries -----
     "q80_scalar_subquery" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -496,6 +522,18 @@ object Relational extends QueryPack {
       "SELECT o_orderkey, CASE WHEN o_totalprice > 30000.0 THEN 'high' WHEN o_totalprice > 10000.0 THEN 'mid' ELSE 'low' END AS price_band, coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open FROM orders",
     "q73_scalar_date" ->
       "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, CAST(quarter(o_orderdate) AS INT) AS qtr, CAST(day(o_orderdate) AS INT) AS dom, CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start FROM orders",
+    "q74_array_agg" ->
+      ("SELECT n_regionkey, len(nations) AS n_nations, nations[1] AS first_nation, " +
+        "list_contains(nations, 'CHINA') AS has_china, array_to_string(nations, ',') AS joined " +
+        "FROM (SELECT n_regionkey, list_sort(list(n_name)) AS nations FROM nation GROUP BY n_regionkey) " +
+        "ORDER BY n_regionkey"),
+    "q75_string_fns" ->
+      ("SELECT p_partkey, lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key, " +
+        "replace(p_brand, 'Brand#', 'B') AS brand_short, " +
+        "CAST(instr(p_name, ' ') AS INT) AS first_space, " +
+        "regexp_split_to_array(p_brand, '#')[2] AS brand_num, " +
+        "reverse(p_brand) AS brand_rev, " +
+        "translate(p_brand, '#', '-') AS brand_dash FROM part"),
     "q80_scalar_subquery" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
     "q81_in_subquery" ->
