@@ -92,6 +92,15 @@ object Relational extends QueryPack {
         .filter(lit(1) === lit(1) && col("n_regionkey") === 2)
         .select("n_nationkey", "n_name")),
 
+    "q1b_filter_like" -> ((s, d) =>
+      // prefix/suffix/substring pattern filters: the prefix form pushes to
+      // parquet as StringStartsWith (the StartsWith pruning leaf end to end)
+      t(s, d, "part")
+        .filter(col("p_type").startsWith("PRO") ||
+          col("p_name").endsWith("ing") ||
+          col("p_brand").contains("#1"))
+        .select("p_partkey", "p_type", "p_brand")),
+
     // ----- joins (J1 + delegated surface) -----
     "q20_join_inner" -> ((s, d) => {
       // Mirrors the reference's flagship join
@@ -282,6 +291,22 @@ object Relational extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy("word")),
 
+    "q39_stats_agg" -> ((s, d) =>
+      // statistical aggregates: variance/stddev/correlation. Double
+      // accumulation is merge-order-dependent at the ulp level, so values
+      // round to 4dp — plenty for the statistics, tight enough to catch
+      // real errors.
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+            .as("cov_qty_disc"))
+        .orderBy("l_returnflag")),
+
     // ----- distinct / set ops -----
     "q40_distinct" -> ((s, d) =>
       t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
@@ -291,6 +316,14 @@ object Relational extends QueryPack {
       o.filter(col("o_totalprice") > 40000.0).select(col("o_orderkey"))
         .union(o.filter(col("o_orderstatus") === "F").select(col("o_orderkey")))
         .distinct()
+    }),
+
+    "q46_union_all" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_totalprice") > 40000.0)
+        .select(col("o_orderkey"), lit("high").as("bucket"))
+        .unionAll(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), lit("final").as("bucket")))
     }),
 
     "q42_intersect" -> ((s, d) => {
@@ -464,6 +497,17 @@ object Relational extends QueryPack {
       "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE (l_returnflag = 'A' OR l_returnflag = 'N') AND l_quantity < 10.0 AND l_discount > 0.05",
     "q1a_filter_constant" ->
       "SELECT n_nationkey, n_name FROM nation WHERE 1 = 1 AND n_regionkey = 2",
+    "q1b_filter_like" ->
+      "SELECT p_partkey, p_type, p_brand FROM part WHERE p_type LIKE 'PRO%' OR p_name LIKE '%ing' OR p_brand LIKE '%#1%'",
+    "q39_stats_agg" ->
+      ("SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, " +
+        "round(var_samp(l_quantity), 4) AS var_qty, " +
+        "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, " +
+        "round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q46_union_all" ->
+      ("SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 40000.0 " +
+        "UNION ALL SELECT o_orderkey, 'final' AS bucket FROM orders WHERE o_orderstatus = 'F'"),
     "q20_join_inner" ->
       "SELECT o_orderkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
     "q21_join_agg" ->
