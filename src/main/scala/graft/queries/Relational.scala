@@ -338,6 +338,14 @@ object Relational extends QueryPack {
         .except(li.filter(col("l_returnflag") === "R").select(col("l_orderkey")))
     }),
 
+    "q47_except_all" -> ((s, d) => {
+      // bag-semantics difference: multiplicities subtract
+      val li = t(s, d, "lineitem")
+      li.select(col("l_orderkey"))
+        .exceptAll(li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")))
+    }),
+
     // ----- sort / top-k -----
     "q50_sort_limit" -> ((s, d) =>
       // top-k: Spark plans TakeOrderedAndProject (no full sort shuffle).
@@ -380,6 +388,28 @@ object Relational extends QueryPack {
       t(s, d, "orders")
         .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
         .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price")
+    }),
+
+    "q63_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("o_orderstatus"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("decimal(18,2)").as("total"))
+        .orderBy("o_orderstatus", "quartile")
+    }),
+
+    "q64_window_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .withColumn("first_key", first(col("o_orderkey")).over(w))
+        .withColumn("last_key", last(col("o_orderkey")).over(w))
+        .select("o_custkey", "o_orderkey", "first_key", "last_key")
     }),
 
     // ----- scalar functions -----
@@ -548,6 +578,17 @@ object Relational extends QueryPack {
       "SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R' INTERSECT SELECT l_orderkey FROM lineitem WHERE l_quantity > 40.0",
     "q43_except" ->
       "SELECT DISTINCT l_orderkey FROM lineitem EXCEPT SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'",
+    "q47_except_all" ->
+      "SELECT l_orderkey FROM lineitem EXCEPT ALL SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'",
+    "q63_window_ntile" ->
+      ("SELECT o_orderstatus, quartile, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS total FROM (" +
+        "SELECT o_orderstatus, o_totalprice, ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile FROM orders) " +
+        "GROUP BY o_orderstatus, quartile ORDER BY o_orderstatus, quartile"),
+    "q64_window_first_last" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key, " +
+        "last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key " +
+        "FROM orders"),
     "q50_sort_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25",
     "q51_sort_multi" ->
