@@ -31,10 +31,25 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query map is large (~100 queries ≈ 3.5 KB); the driver reads
+    // a bounded tail of stdout, so a line that long gets truncated mid-JSON
+    // and fails to parse (round-1 BENCH had parsed:null). Keep stdout to one
+    // SHORT line — total + headline queries — and put the full map in a
+    // file + stderr.
+    val headline = Seq("h01_pricing_summary", "q21_join_agg", "q25_join_star",
+      "q30_agg_group", "q61_window_running", "d03_minhash_lsh", "s01_knn_brute",
+      "t02_quality_score", "e01_tumbling_hour", "p01_prep_pipeline")
+    val head = results.filter(r => headline.contains(r._1))
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":${toJson(results)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
+    catch { case _: Throwable => }
+    System.err.println(fullJson)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":${toJson(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,10 +28,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class MinHashSignature(
     child: Expression,
-    coefs: Array[(Long, Long)],
+    coefs: Seq[(Long, Long)],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
+
+  // coefs is a Seq (structural equals/hashCode) so Catalyst canonicalization
+  // and semanticEquals can deduplicate repeated aggregates; an Array field
+  // here would compare by reference and silently defeat plan equality.
+  // The hot update loop reads these flat primitive copies instead.
+  @transient private lazy val coefA: Array[Long] = coefs.map(_._1).toArray
+  @transient private lazy val coefB: Array[Long] = coefs.map(_._2).toArray
 
   private val M31 = 2147483647L
 
@@ -57,9 +64,8 @@ case class MinHashSignature(
         if (m < 0) m + M31 else m
       }
       var i = 0
-      while (i < coefs.length) {
-        val (a, b) = coefs(i)
-        val hv = (a * h31 + b) % M31
+      while (i < coefA.length) {
+        val hv = (coefA(i) * h31 + coefB(i)) % M31
         if (hv < buffer(i)) buffer(i) = hv
         i += 1
       }
@@ -104,7 +110,7 @@ object MinHashSignature {
   /** Aggregate Column: minhash signature of a BIGINT hash column. */
   def minhash_signature(hashCol: Column, coefs: Seq[(Long, Long)]): Column = {
     val b = org.apache.spark.sql.classic.GraftBridge
-    b.column(MinHashSignature(b.expr(hashCol), coefs.toArray)
+    b.column(MinHashSignature(b.expr(hashCol), coefs.toVector)
       .toAggregateExpression())
   }
 }

@@ -51,13 +51,21 @@ object ColumnStats {
     * parquet uses for its min/max bounds, and it differs from Java's
     * UTF-16 `String.compareTo` for supplementary characters (emoji sort
     * below U+FFFD in UTF-16 but above it in UTF-8 bytes); comparing in the
-    * wrong order prunes files that contain matching rows. */
+    * wrong order prunes files that contain matching rows.
+    *
+    * Float/double are NOT compared at all (None → keep the file): Spark's
+    * runtime order treats NaN as largest and NaN = NaN as true, while
+    * parquet writers commonly omit NaN from min/max, so a file whose rows
+    * include NaN can carry finite bounds that exclude a matching row; ±0.0
+    * compare unequal in IEEE total order but equal in SQL. Iceberg
+    * sidesteps the same hazard with nan_value_counts — we take the
+    * conservative route and never prune on floating-point stats. */
   def compare(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
     case (x: Int, y: Int) => Some(x.compareTo(y))
     case (x: Long, y: Long) => Some(x.compareTo(y))
-    case (x: Float, y: Float) => Some(x.compareTo(y))
-    case (x: Double, y: Double) => Some(x.compareTo(y))
+    case (_: Float, _: Float) => None
+    case (_: Double, _: Double) => None
     case (x: String, y: String) =>
       Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))

@@ -11,10 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class GraftCatalog(warehouse: String) {
 
-  /** `db.table` → `<warehouse>/db/table` (HadoopCatalog layout). */
+  /** `db.table` → `<warehouse>/db/table` (HadoopCatalog layout).
+    * Each segment is validated (word characters only) so an identifier
+    * containing `/` or `..` can never resolve outside the warehouse root. */
   def tableDir(identifier: String): String = {
     require(identifier.nonEmpty, "empty table identifier")
     val parts = identifier.split('.')
+    require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z0-9_]+")),
+      s"invalid table identifier '$identifier': segments must match [A-Za-z0-9_]+")
     (Seq(warehouse) ++ parts).mkString("/")
   }
 

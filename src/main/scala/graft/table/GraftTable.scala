@@ -93,7 +93,30 @@ final class GraftTable private (
       .getOrElse(Manifest.empty)
     val manifest = Manifest(prevManifest.files ++ newFiles)
     val manifestRel = f"manifests/snap-$snapId%05d.json"
+    // Concurrent-commit detection: claim this snapshot id via an O_EXCL
+    // marker before touching the log. Two committers racing on the same
+    // table dir would otherwise read-modify-write snapshots.json and
+    // silently drop one commit (orphaning its data files); with the marker
+    // the loser fails loudly instead.
+    val marker = Paths.get(dir, "manifests", f".commit-$snapId%05d")
+    Files.createDirectories(marker.getParent)
+    try Files.createFile(marker)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot $snapId already claimed by a concurrent committer on $dir")
+    }
     manifest.write(s"$dir/$manifestRel")
+    // Re-check the log under the claim: if another writer advanced it past
+    // our base, fail rather than overwrite its commit.
+    val lg2 = log
+    if (lg2.nextId != snapId) {
+      newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
+      Files.deleteIfExists(Paths.get(dir, manifestRel))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot log advanced to ${lg2.nextId} during commit of $snapId on $dir")
+    }
 
     val snap = Snapshot(
       snapshotId = snapId,

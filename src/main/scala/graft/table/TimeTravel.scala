@@ -15,14 +15,33 @@ import org.apache.spark.sql.types.BooleanType
   */
 object TimeTravel {
 
-  /** First `vcol = <long literal>` leaf in the predicate, if any. */
+  /** Split a predicate into its top-level AND conjuncts. */
+  private def conjuncts(pred: Expression): Seq[Expression] = pred match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** A bare `vcol = <literal>` equality (either operand order), if this
+    * expression is exactly that shape. */
+  private def snapshotEq(e: Expression, vcol: String): Option[Any] = e match {
+    case EqualTo(a: Attribute, Literal(v, _))
+        if a.name.equalsIgnoreCase(vcol) && v != null => Some(v)
+    case EqualTo(Literal(v, _), a: Attribute)
+        if a.name.equalsIgnoreCase(vcol) && v != null => Some(v)
+    case _ => None
+  }
+
+  /** First `vcol = <long literal>` appearing as a TOP-LEVEL AND conjunct.
+    *
+    * Restricting to conjuncts (not `collectFirst` over the whole tree, as the
+    * reference's leaf scan does) keeps results self-consistent: a
+    * `vcol = id` under OR or NOT must NOT pin the scan — pinning would make
+    * the residual filter return wrong rows (all of snapshot `id`, or none).
+    * Non-conjunct occurrences are simply left in the predicate, where they
+    * evaluate honestly against the virtual column of the scanned snapshot.
+    */
   def extractSnapshotId(pred: Expression, vcol: String): Option[Long] = {
-    val found = pred.collectFirst {
-      case EqualTo(a: Attribute, Literal(v, _))
-          if a.name.equalsIgnoreCase(vcol) && v != null => v
-      case EqualTo(Literal(v, _), a: Attribute)
-          if a.name.equalsIgnoreCase(vcol) && v != null => v
-    }
+    val found = conjuncts(pred).flatMap(snapshotEq(_, vcol)).headOption
     found.map {
       case l: Long => l
       case i: Int => i.toLong
@@ -30,13 +49,12 @@ object TimeTravel {
     }
   }
 
-  /** Replace every `vcol = lit` leaf with TRUE so it cannot prune data files
-    * (the scan itself is already pinned to the right snapshot). */
+  /** Replace each top-level `vcol = lit` conjunct with TRUE so it cannot
+    * prune data files (the scan itself is already pinned to that snapshot).
+    * Deeper occurrences (under OR/NOT) were not used for pinning and are
+    * kept verbatim — they are ordinary predicates on the virtual column. */
   def neutralize(pred: Expression, vcol: String): Expression =
-    pred.transform {
-      case EqualTo(a: Attribute, _: Literal) if a.name.equalsIgnoreCase(vcol) =>
-        Literal(true, BooleanType)
-      case EqualTo(_: Literal, a: Attribute) if a.name.equalsIgnoreCase(vcol) =>
-        Literal(true, BooleanType)
-    }
+    conjuncts(pred)
+      .map(c => if (snapshotEq(c, vcol).isDefined) Literal(true, BooleanType) else c)
+      .reduceLeft(And)
 }

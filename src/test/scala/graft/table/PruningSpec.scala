@@ -131,6 +131,36 @@ class PruningSpec extends AnyFunSuite {
     assert(may(EqualTo(idAttr, longLit(999L)), noMinMax))
   }
 
+  test("floating-point stats never prune (NaN/±0.0 unsound)") {
+    val priceAttr = AttributeReference("price", DoubleType)()
+    // a file whose rows include NaN can carry finite parquet bounds: the
+    // stats say [1.0, 2.0] but price > 100.0 still matches the NaN row
+    val st = stats.updated("price",
+      ColumnStats(Some("1.0"), Some("2.0"), Some(0L), Some(5L)))
+    assert(may(GreaterThan(priceAttr, Literal(100.0, DoubleType)), st))
+    assert(may(EqualTo(priceAttr, Literal(99.0, DoubleType)), st))
+    assert(may(LessThan(priceAttr, Literal(0.5, DoubleType)), st))
+  }
+
+  test("time travel: snapshot__id under OR or NOT does not pin the scan") {
+    val snap = AttributeReference("snapshot__id", LongType)()
+    // under OR: must not pin, must stay in the predicate
+    val underOr = Or(EqualTo(snap, longLit(1L)), GreaterThan(idAttr, longLit(5L)))
+    assert(TimeTravel.extractSnapshotId(underOr, "snapshot__id").isEmpty)
+    assert(TimeTravel.neutralize(underOr, "snapshot__id") == underOr)
+    // under NOT: same
+    val underNot = Not(EqualTo(snap, longLit(1L)))
+    assert(TimeTravel.extractSnapshotId(underNot, "snapshot__id").isEmpty)
+    assert(TimeTravel.neutralize(underNot, "snapshot__id") == underNot)
+    // mixed: the top-level conjunct pins; the OR branch is untouched
+    val mixed = And(EqualTo(snap, longLit(2L)),
+      Or(EqualTo(snap, longLit(9L)), GreaterThan(idAttr, longLit(5L))))
+    assert(TimeTravel.extractSnapshotId(mixed, "snapshot__id").contains(2L))
+    val n = TimeTravel.neutralize(mixed, "snapshot__id")
+    assert(n == And(Literal(true, BooleanType),
+      Or(EqualTo(snap, longLit(9L)), GreaterThan(idAttr, longLit(5L)))))
+  }
+
   test("time travel: extract + neutralize (P16)") {
     val pred = And(EqualTo(idAttr, longLit(15L)),
       EqualTo(AttributeReference("snapshot__id", LongType)(), longLit(3L)))
