@@ -15,8 +15,8 @@ import json, sys, glob, os
 import duckdb
 
 def norm(v):
-    if isinstance(v, float):
-        return round(v, 9)
+    # exact compare: the driver hashes exact values, so any tolerance here
+    # hides real mismatches (learned in round 1)
     return v
 
 def canon(rows):
@@ -43,6 +43,19 @@ def main(sf_dir, out_dir):
             n_skip += 1
             continue
         exp_rel = con.sql(oracle[name])
+        # Driver-parity type audit: the driver's pandas bridge renders DuckDB
+        # HUGEINT/DECIMAL as floats while Spark parquet DECIMAL keeps its
+        # scale ("1234.50" vs "1234.5") — either type in a result column
+        # means the driver's hash can mismatch even when values are equal.
+        # Cast sums to BIGINT / final money to DOUBLE in the query instead.
+        bad_types = [f"{c}:{t}" for c, t in zip(exp_rel.columns, map(str, exp_rel.types))
+                     if str(t) == "HUGEINT" or str(t).startswith("DECIMAL")]
+        bad_types += [f"{c}:{t}" for c, t in zip(got_rel.columns, map(str, got_rel.types))
+                      if str(t).startswith("DECIMAL")]
+        if bad_types:
+            print(f"FAIL {name}: driver-unsafe result types {bad_types}")
+            n_fail += 1
+            continue
         got_cols = sorted(got_rel.columns)
         exp_cols = sorted(exp_rel.columns)
         if got_cols != exp_cols:

@@ -40,7 +40,7 @@ object Events extends QueryPack {
           .as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value").cast("decimal(18,6)")), 4)
-            .cast("decimal(18,4)").as("sum_value"))
+            .cast("double").as("sum_value"))
         .select(unix_timestamp(col("w.start")).as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start", "event_type")),
@@ -123,7 +123,7 @@ object Events extends QueryPack {
     "e01_tumbling_hour" ->
       ("SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start, " +
         "event_type, count(*) AS n_events, " +
-        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS sum_value " +
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "e02_sliding" ->
       // a 1h-every-30min sliding window = union of two tumbling grids
@@ -145,14 +145,16 @@ object Events extends QueryPack {
         "THEN 1 ELSE 0 END AS new_session FROM ev), " +
         "sessions AS (SELECT user_id, ts_s, sum(new_session) OVER " +
         "(PARTITION BY user_id ORDER BY ts_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM flagged) " +
-        "SELECT user_id, session_seq, count(*) AS n_events, " +
+        // session_seq is a window SUM of ints → HUGEINT in DuckDB, which the
+        // driver-side pandas bridge renders as float; cast to BIGINT
+        "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events, " +
         "min(ts_s) AS session_start, max(ts_s) AS session_end " +
         "FROM sessions GROUP BY user_id, session_seq HAVING count(*) >= 3 " +
         "ORDER BY user_id, session_seq"),
     "e06_json_extract" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events WHERE CAST(json_extract(props, '$.k') AS INT) >= 50",
     "e07_json_struct" ->
-      "SELECT count(CAST(json_extract(props, '$.k') AS INT)) AS n_parsed, sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k, min(CAST(json_extract(props, '$.k') AS INT)) AS min_k, max(CAST(json_extract(props, '$.k') AS INT)) AS max_k FROM events",
+      "SELECT count(CAST(json_extract(props, '$.k') AS INT)) AS n_parsed, CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k, min(CAST(json_extract(props, '$.k') AS INT)) AS min_k, max(CAST(json_extract(props, '$.k') AS INT)) AS max_k FROM events",
     "e05_top_type_per_user" ->
       ("WITH counts AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
         "ranked AS (SELECT user_id, event_type, n, row_number() OVER " +

@@ -127,7 +127,7 @@ object Relational extends QueryPack {
         .agg(
           count(lit(1)).as("n_items"),
           round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")), 2).cast("decimal(18,2)").as("revenue"))
+            .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
         .orderBy("c_mktsegment")
     }),
 
@@ -166,7 +166,7 @@ object Relational extends QueryPack {
         .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
-          .cast("decimal(18,2)").as("total_price"),
+          .cast("double").as("total_price"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
@@ -179,7 +179,7 @@ object Relational extends QueryPack {
         .agg(
           sum(col("l_quantity")).as("sum_qty"), // integer-valued: exact
           round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
-            .cast("decimal(18,2)").as("sum_base_price"),
+            .cast("double").as("sum_base_price"),
           round(sum(col("l_discount").cast("decimal(18,4)")).cast("double")
             / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -198,7 +198,7 @@ object Relational extends QueryPack {
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("decimal(18,2)").as("total"))
+            .cast("double").as("total"))
         .filter(col("n") >= 3)),
 
     "q33_rollup" -> ((s, d) =>
@@ -258,7 +258,7 @@ object Relational extends QueryPack {
       salted.groupBy(col("l_returnflag"))
         .agg(
           sum(col("part_qty")).as("sum_qty"),
-          round(sum(col("part_price")), 2).cast("decimal(18,2)")
+          round(sum(col("part_price")), 2).cast("double")
             .as("sum_price"),
           sum(col("part_n")).as("n_rows"))
         .orderBy("l_returnflag")
@@ -398,7 +398,7 @@ object Relational extends QueryPack {
         .groupBy(col("o_orderstatus"), col("quartile"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("decimal(18,2)").as("total"))
+            .cast("double").as("total"))
         .orderBy("o_orderstatus", "quartile")
     }),
 
@@ -430,7 +430,7 @@ object Relational extends QueryPack {
           // exact 4dp product recovered via decimal before the 2dp round —
           // double round() disagrees across engines on .xx50 halves
           round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)"), 2).cast("decimal(18,2)").as("disc_price"),
+            .cast("decimal(18,4)"), 2).cast("double").as("disc_price"),
           abs(col("l_quantity") - 25.0).as("qty_dev"),
           pmod(col("l_orderkey"), lit(7L)).as("key_mod"),
           floor(col("l_extendedprice")).as("price_floor"),
@@ -541,7 +541,7 @@ object Relational extends QueryPack {
     "q20_join_inner" ->
       "SELECT o_orderkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
     "q21_join_agg" ->
-      "SELECT c_mktsegment, count(*) AS n_items, CAST(round(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+      "SELECT c_mktsegment, count(*) AS n_items, CAST(round(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "q22_join_left" ->
       "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
     "q23_join_semi" ->
@@ -549,13 +549,13 @@ object Relational extends QueryPack {
     "q24_join_anti" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
     "q25_join_star" ->
-      "SELECT r_name, n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS total_price, count(*) AS n_items FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name",
+      "SELECT r_name, n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price, count(*) AS n_items FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name",
     "q30_agg_group" ->
-      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_base_price, round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price, round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q31_agg_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q32_agg_having" ->
-      "SELECT o_custkey, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS total FROM orders GROUP BY o_custkey HAVING count(*) >= 3",
+      "SELECT o_custkey, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total FROM orders GROUP BY o_custkey HAVING count(*) >= 3",
     "q33_rollup" ->
       "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
     "q34_cube" ->
@@ -563,7 +563,7 @@ object Relational extends QueryPack {
     "q35_agg_minmax" ->
       "SELECT p_brand, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price, min(p_size) AS min_size, max(p_size) AS max_size FROM part GROUP BY p_brand ORDER BY p_brand",
     "q37_salted_agg" ->
-      "SELECT l_returnflag, sum(l_quantity) AS sum_qty, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sum_price, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+      "SELECT l_returnflag, sum(l_quantity) AS sum_qty, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q38_grouping_sets" ->
       "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
     "q44_pivot" ->
@@ -581,7 +581,7 @@ object Relational extends QueryPack {
     "q47_except_all" ->
       "SELECT l_orderkey FROM lineitem EXCEPT ALL SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'",
     "q63_window_ntile" ->
-      ("SELECT o_orderstatus, quartile, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS total FROM (" +
+      ("SELECT o_orderstatus, quartile, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total FROM (" +
         "SELECT o_orderstatus, o_totalprice, ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile FROM orders) " +
         "GROUP BY o_orderstatus, quartile ORDER BY o_orderstatus, quartile"),
     "q64_window_first_last" ->
@@ -602,7 +602,7 @@ object Relational extends QueryPack {
     "q70_scalar_string" ->
       "SELECT c_custkey, upper(c_name) AS name_upper, CAST(length(c_name) AS INT) AS name_len, substring(c_mktsegment, 1, 3) AS seg3, concat_ws('-', c_mktsegment, c_custkey) AS seg_key FROM customer",
     "q71_scalar_math" ->
-      "SELECT l_orderkey, l_linenumber, CAST(round(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4)), 2) AS DECIMAL(18,2)) AS disc_price, abs(l_quantity - 25.0) AS qty_dev, l_orderkey % 7 AS key_mod, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil FROM lineitem",
+      "SELECT l_orderkey, l_linenumber, CAST(round(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4)), 2) AS DOUBLE) AS disc_price, abs(l_quantity - 25.0) AS qty_dev, l_orderkey % 7 AS key_mod, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil FROM lineitem",
     "q72_scalar_case" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice > 30000.0 THEN 'high' WHEN o_totalprice > 10000.0 THEN 'mid' ELSE 'low' END AS price_band, coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open FROM orders",
     "q73_scalar_date" ->

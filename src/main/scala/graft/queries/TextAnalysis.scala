@@ -198,9 +198,11 @@ object TextAnalysis extends QueryPack {
           "OR (source NOT IN ('src0','src1') AND h < '20') " +
           "GROUP BY source ORDER BY source"),
       "t05_corpus_stats" ->
-        (s"SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars, " +
+        // CAST the integer sums: DuckDB sum(INT) returns HUGEINT, which the
+        // driver-side pandas bridge renders as float ("3.0" vs Spark's "3")
+        (s"SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars, " +
           "min(length(text)) AS min_chars, max(length(text)) AS max_chars, " +
-          s"sum($dTok) AS total_tokens FROM documents GROUP BY lang ORDER BY lang")
+          s"CAST(sum($dTok) AS BIGINT) AS total_tokens FROM documents GROUP BY lang ORDER BY lang")
     )
   }
 }

@@ -28,16 +28,16 @@ object TpcH extends QueryPack {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          round(sum(money(col("l_extendedprice"))), 2).cast("decimal(18,2)")
+          round(sum(money(col("l_extendedprice"))), 2).cast("double")
             .as("sum_base_price"),
           round(sum(discRevenue), 2)
-            .cast("decimal(18,2)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           // three 2dp factors → the exact product has SIX decimal digits;
           // a 4dp cast rounds at half-boundaries the engines resolve
           // differently, a 6dp cast is exact in both
           round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * (lit(1.0) + col("l_tax"))).cast("decimal(18,6)")), 2)
-            .cast("decimal(18,2)").as("sum_charge"),
+            .cast("double").as("sum_charge"),
           round(sum(money(col("l_discount"))).cast("double") / count(lit(1)), 6)
             .as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -54,7 +54,7 @@ object TpcH extends QueryPack {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(round(sum(discRevenue), 2)
-          .cast("decimal(18,2)").as("revenue"))
+          .cast("double").as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
           to_date(col("o_orderdate")).as("o_date"))
         .orderBy(col("revenue").desc, col("o_date").asc, col("l_orderkey").asc)
@@ -80,7 +80,7 @@ object TpcH extends QueryPack {
         .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(discRevenue), 2)
-          .cast("decimal(18,2)").as("revenue"))
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
@@ -93,7 +93,7 @@ object TpcH extends QueryPack {
             col("l_discount").between(0.03, 0.05) &&
             col("l_quantity") < 24)
         .agg(round(sum(money(col("l_extendedprice") * col("l_discount"))), 2)
-          .cast("decimal(18,2)").as("revenue"))),
+          .cast("double").as("revenue"))),
 
     // Q10: returned item reporting — customers who returned items
     "h10_returned_items" -> ((s, d) => {
@@ -108,7 +108,7 @@ object TpcH extends QueryPack {
         .join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         .agg(round(sum(discRevenue), 2)
-          .cast("decimal(18,2)").as("revenue"))
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     }),
@@ -123,10 +123,10 @@ object TpcH extends QueryPack {
         .agg(
           round(sum(when(col("p_type") === "PROMO",
             discRevenue)
-            .otherwise(money(lit(0.0)))), 2).cast("decimal(18,2)")
+            .otherwise(money(lit(0.0)))), 2).cast("double")
             .as("promo_revenue"),
           round(sum(discRevenue), 2)
-            .cast("decimal(18,2)").as("total_revenue"))
+            .cast("double").as("total_revenue"))
     })
   )
 
@@ -135,15 +135,15 @@ object TpcH extends QueryPack {
     Map(
       "h01_pricing_summary" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
-          "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS sum_base_price, " +
-          s"CAST(round(sum($disc), 2) AS DECIMAL(18,2)) AS sum_disc_price, " +
-          "CAST(round(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * (CAST(1.0 AS DOUBLE) + l_tax) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS sum_charge, " +
+          "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price, " +
+          s"CAST(round(sum($disc), 2) AS DOUBLE) AS sum_disc_price, " +
+          "CAST(round(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * (CAST(1.0 AS DOUBLE) + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge, " +
           "round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc, " +
           "count(*) AS count_order " +
           "FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' " +
           "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
       "h03_shipping_priority" ->
-        (s"SELECT l_orderkey, CAST(round(sum($disc), 2) AS DECIMAL(18,2)) AS revenue, CAST(o_orderdate AS DATE) AS o_date " +
+        (s"SELECT l_orderkey, CAST(round(sum($disc), 2) AS DOUBLE) AS revenue, CAST(o_orderdate AS DATE) AS o_date " +
           "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
           "JOIN customer ON o_custkey = c_custkey " +
           "WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '1998-03-15' " +
@@ -151,7 +151,7 @@ object TpcH extends QueryPack {
           "GROUP BY l_orderkey, o_orderdate " +
           "ORDER BY revenue DESC, o_date ASC, l_orderkey ASC LIMIT 10"),
       "h05_local_supplier" ->
-        (s"SELECT n_name, CAST(round(sum($disc), 2) AS DECIMAL(18,2)) AS revenue " +
+        (s"SELECT n_name, CAST(round(sum($disc), 2) AS DOUBLE) AS revenue " +
           "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
           "JOIN supplier ON l_suppkey = s_suppkey " +
           "JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey " +
@@ -161,12 +161,12 @@ object TpcH extends QueryPack {
           "AND CAST(o_orderdate AS DATE) < DATE '1997-01-01' " +
           "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"),
       "h06_forecast_revenue" ->
-        ("SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS revenue " +
+        ("SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue " +
           "FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' " +
           "AND CAST(l_shipdate AS DATE) < DATE '1997-01-01' " +
           "AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24"),
       "h10_returned_items" ->
-        (s"SELECT c_custkey, c_name, c_acctbal, n_name, CAST(round(sum($disc), 2) AS DECIMAL(18,2)) AS revenue " +
+        (s"SELECT c_custkey, c_name, c_acctbal, n_name, CAST(round(sum($disc), 2) AS DOUBLE) AS revenue " +
           "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
           "JOIN customer ON o_custkey = c_custkey " +
           "JOIN nation ON c_nationkey = n_nationkey " +
@@ -175,8 +175,8 @@ object TpcH extends QueryPack {
           "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
           "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"),
       "h14_promo_effect" ->
-        (s"SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN $disc ELSE CAST(0.0 AS DECIMAL(18,4)) END), 2) AS DECIMAL(18,2)) AS promo_revenue, " +
-          s"CAST(round(sum($disc), 2) AS DECIMAL(18,2)) AS total_revenue " +
+        (s"SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN $disc ELSE CAST(0.0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue, " +
+          s"CAST(round(sum($disc), 2) AS DOUBLE) AS total_revenue " +
           "FROM lineitem JOIN part ON l_partkey = p_partkey " +
           "WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01' AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'")
     )
