@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Events,
     graft.queries.MultimodalQueries,
     graft.queries.Pipeline,
-    graft.queries.TpcH
+    graft.queries.TpcH,
+    graft.queries.TpcHExtra
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

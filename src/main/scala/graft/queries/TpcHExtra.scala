@@ -1,0 +1,445 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** The remaining TPC-H query shapes (Q2/4/7/8/9/11/12/13/15/16/17/18/19/
+  * 20/21/22), adapted to the driver's synthetic schema — it has no
+  * `partsupp`, `l_commitdate`/`l_receiptdate`, `l_shipmode`, `p_container`
+  * or `c_phone`, so each query keeps its *relational shape* (the part that
+  * exercises the engine: correlated subqueries, EXISTS/NOT EXISTS, IN
+  * chains, disjunctive predicates, scalar-subquery thresholds, group-count
+  * histograms) with filters re-targeted at existing columns.
+  *
+  * Scale stance mirrors TpcH.scala: money through DECIMAL internally with
+  * DOUBLE presentation, dimension joins broadcast, selective predicates
+  * pushed to scans, aggregations partial map-side. Correlated subqueries
+  * are written as joins/semi-joins (what a decorrelator produces), never
+  * per-row re-scans.
+  */
+object TpcHExtra extends QueryPack {
+
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+  private def discRevenue =
+    money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
+  val queries: Map[String, Q] = Map(
+
+    // Q2 shape: min-cost supplier per part (correlated MIN subquery,
+    // decorrelated into agg + equality join). Unit cost derived from
+    // lineitem since the schema has no partsupp.
+    "h02_min_cost_supp" -> ((s, d) => {
+      val pa = t(s, d, "part")
+        .filter(col("p_size") <= 3 && col("p_type") === "SMALL")
+      val unit = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val minu = unit.groupBy(col("l_partkey").as("mp_key"))
+        .agg(min(col("unit_cost")).as("min_cost"))
+      unit
+        .join(minu, col("l_partkey") === col("mp_key") &&
+          col("unit_cost") === col("min_cost"))
+        .join(broadcast(pa), unit("l_partkey") === pa("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")),
+          unit("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          round(col("unit_cost"), 6).as("unit_cost"))
+        .orderBy("p_partkey", "s_name")
+    }),
+
+    // Q4 shape: order-priority checking via EXISTS (semi join): orders in
+    // 1996H1 having at least one line shipped >30 days after the order.
+    "h04_order_priority" -> ((s, d) => {
+      val or = t(s, d, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+          to_date(col("o_orderdate")) < lit("1996-07-01"))
+      val li = t(s, d, "lineitem")
+      or.join(li,
+          or("o_orderkey") === li("l_orderkey") &&
+            to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 30),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q7 shape: volume shipping between two trading blocs (regions — the
+    // synthetic data is too sparse at sf0.001 for a single nation pair),
+    // by supplier nation, customer nation and year.
+    "h07_volume_shipping" -> ((s, d) => {
+      val na = t(s, d, "nation")
+      val supN = na.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"), col("n_regionkey").as("s_rk"))
+      val cusN = na.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"), col("n_regionkey").as("c_rk"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supN), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(cusN), col("c_nationkey") === col("c_nk"))
+        // ASIA = region 2, EUROPE = region 3 in the synthetic data
+        .filter((col("s_rk") === 2 && col("c_rk") === 3) ||
+          (col("s_rk") === 3 && col("c_rk") === 2))
+        .filter(year(col("l_shipdate")).between(1996, 1997))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(discRevenue), 2).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Q8 shape: national market share inside a region's market for one
+    // part type, by year (conditional-sum ratio).
+    "h08_market_share" -> ((s, d) => {
+      val pa = t(s, d, "part").filter(col("p_type") === "ECONOMY")
+      val re = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val na = t(s, d, "nation")
+      val cusN = na.select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val supN = na.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      t(s, d, "lineitem")
+        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cusN), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(re), col("c_rk") === col("r_regionkey"))
+        .join(broadcast(supN), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_5", discRevenue)
+            .otherwise(money(lit(0.0)))).cast("double") /
+            sum(discRevenue).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // Q9 shape: product-type profit by supplier nation and year; cost is a
+    // retail-price proxy (no ps_supplycost in this schema).
+    "h09_product_profit" -> ((s, d) => {
+      val pa = t(s, d, "part").filter(col("p_type") === "PROMO")
+      val profit = money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
+        money(col("p_retailprice") * lit(0.5) * col("l_quantity"))
+      t(s, d, "lineitem")
+        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)
+    }),
+
+    // Q11 shape: important parts by lineitem value share — HAVING against
+    // a scalar-subquery threshold (broadcast cross join of one row).
+    "h11_important_parts" -> ((s, d) => {
+      val value = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(money(col("l_extendedprice"))).as("value_dec"))
+      val total = value.agg(sum(col("value_dec")).as("total_dec"))
+      value.join(broadcast(total))
+        .filter(col("value_dec").cast("double") >
+          col("total_dec").cast("double") * 0.002)
+        .select(col("l_partkey"),
+          round(col("value_dec"), 2).cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey").asc)
+    }),
+
+    // Q12 shape: late-shipment priority counts by line status (conditional
+    // counting; lateness from ship vs order date, no shipmode here).
+    "h12_late_shipping" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 60))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")),
+
+    // Q13 shape: customer order-count distribution (left join preserving
+    // zero-order customers, then a count-of-counts histogram).
+    "h13_cust_distribution" -> ((s, d) => {
+      val or = t(s, d, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+      val perCust = t(s, d, "customer")
+        .join(or, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q15 shape: top supplier(s) by quarterly revenue — revenue equal to
+    // the global max (exact DECIMAL equality, max broadcast as one row).
+    "h15_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(discRevenue).as("rev_dec"))
+      val mx = rev.agg(max(col("rev_dec")).as("max_dec"))
+      rev.join(broadcast(mx), rev("rev_dec") === mx("max_dec"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("rev_dec"), 2).cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Q16 shape: supplier count per brand/type/size, excluding suppliers
+    // with negative balance (NOT IN → anti join).
+    "h16_supplier_count" -> ((s, d) => {
+      val badSupp = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_key"))
+      val pa = t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 13))
+      t(s, d, "lineitem")
+        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("bad_key"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)
+    }),
+
+    // Q17 shape: revenue from small-quantity lines (correlated AVG
+    // subquery, decorrelated into a per-part aggregate + join).
+    "h17_small_qty_revenue" -> ((s, d) => {
+      val pa = t(s, d, "part").filter(col("p_brand") === "Brand#3")
+      val li = t(s, d, "lineitem")
+      val avgQty = li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("ap_key"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(avgQty), col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(round(sum(money(col("l_extendedprice"))).cast("double") / 7.0, 2)
+          .as("avg_yearly"))
+    }),
+
+    // Q18 shape: large-volume orders (HAVING sum(qty) over a join).
+    "h18_large_volume" -> ((s, d) => {
+      val bigOrders = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("bo_key"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      t(s, d, "orders")
+        .join(bigOrders, col("o_orderkey") === col("bo_key"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"),
+          col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    // Q19 shape: discounted revenue under disjunctive brand/size/quantity
+    // predicates (one scan, OR of three conjunction groups).
+    "h19_discounted_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(discRevenue), 2).cast("double").as("revenue"))),
+
+    // Q20 shape: suppliers (in one region) who shipped high-quantity lines
+    // of PROMO parts — IN-subquery chain as semi joins.
+    "h20_promo_suppliers" -> ((s, d) => {
+      val promoParts = t(s, d, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val bigLines = t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_suppkey")).distinct()
+      val asiaNations = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      t(s, d, "supplier")
+        .join(broadcast(bigLines), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Q21 shape: suppliers whose line was the ONLY returned one in a
+    // multi-supplier order (EXISTS + NOT EXISTS as semi/anti joins).
+    "h21_waiting_supplier" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
+      // another supplier in the same order (any flag)
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      // another supplier in the same order who ALSO returned
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val culprits = l1
+        .join(l2, col("o1") === col("o2") && col("s1") =!= col("s2"), "left_semi")
+        .join(l3, col("o1") === col("o3") && col("s1") =!= col("s3"), "left_anti")
+      culprits
+        .join(broadcast(t(s, d, "supplier")), col("s1") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(10)
+    }),
+
+    // Q22 shape: acctbal-positive customers with no urgent orders, grouped
+    // by a name-derived code (scalar AVG subquery + NOT EXISTS anti join).
+    "h22_global_sales" -> ((s, d) => {
+      val cu = t(s, d, "customer")
+      val avgBal = cu.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      cu.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(substring(col("c_name"), 10, 2).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(money(col("c_acctbal"))), 2).cast("double").as("totacctbal"))
+        .orderBy("cntrycode")
+    })
+  )
+
+  val oracleSql: Map[String, String] = {
+    val disc = "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4))"
+    Map(
+      "h02_min_cost_supp" ->
+        ("WITH unit AS (SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost " +
+          "FROM lineitem GROUP BY l_partkey, l_suppkey), " +
+          "minu AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM unit GROUP BY l_partkey) " +
+          "SELECT p_partkey, p_name, s_name, n_name, round(u.unit_cost, 6) AS unit_cost " +
+          "FROM unit u JOIN minu m ON u.l_partkey = m.l_partkey AND u.unit_cost = m.min_cost " +
+          "JOIN part ON u.l_partkey = p_partkey AND p_size <= 3 AND p_type = 'SMALL' " +
+          "JOIN supplier ON u.l_suppkey = s_suppkey " +
+          "JOIN nation ON s_nationkey = n_nationkey " +
+          "ORDER BY p_partkey, s_name"),
+      "h04_order_priority" ->
+        ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+          "WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' " +
+          "AND CAST(o_orderdate AS DATE) < DATE '1996-07-01' " +
+          "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+          "AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30) " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      "h07_volume_shipping" ->
+        (s"SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+          "EXTRACT(year FROM l_shipdate) AS l_year, " +
+          s"CAST(round(sum($disc), 2) AS DOUBLE) AS revenue " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+          "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+          "WHERE ((n1.n_regionkey = 2 AND n2.n_regionkey = 3) " +
+          "OR (n1.n_regionkey = 3 AND n2.n_regionkey = 2)) " +
+          "AND EXTRACT(year FROM l_shipdate) BETWEEN 1996 AND 1997 " +
+          "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+      "h08_market_share" ->
+        (s"SELECT EXTRACT(year FROM o_orderdate) AS o_year, " +
+          s"round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5' THEN $disc ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) " +
+          s"/ CAST(sum($disc) AS DOUBLE), 6) AS mkt_share " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY' " +
+          "JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+          "JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA' " +
+          "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+          "GROUP BY 1 ORDER BY 1"),
+      "h09_product_profit" ->
+        ("SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year, " +
+          "CAST(round(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4)) " +
+          "- CAST(p_retailprice * 0.5 * l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO' " +
+          "JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation ON s_nationkey = n_nationkey " +
+          "GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC"),
+      "h11_important_parts" ->
+        ("WITH v AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS value_dec " +
+          "FROM lineitem GROUP BY l_partkey) " +
+          "SELECT l_partkey, CAST(round(value_dec, 2) AS DOUBLE) AS part_value FROM v " +
+          "WHERE CAST(value_dec AS DOUBLE) > (SELECT CAST(sum(value_dec) AS DOUBLE) FROM v) * 0.002 " +
+          "ORDER BY part_value DESC, l_partkey ASC"),
+      "h12_late_shipping" ->
+        ("SELECT l_linestatus, " +
+          "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+          "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60 " +
+          "GROUP BY l_linestatus ORDER BY l_linestatus"),
+      "h13_cust_distribution" ->
+        ("WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count " +
+          "FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW' " +
+          "GROUP BY c_custkey) " +
+          "SELECT c_count, count(*) AS custdist FROM pc GROUP BY c_count " +
+          "ORDER BY custdist DESC, c_count DESC"),
+      "h15_top_supplier" ->
+        (s"WITH rev AS (SELECT l_suppkey, sum($disc) AS rev_dec FROM lineitem " +
+          "WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' " +
+          "AND CAST(l_shipdate AS DATE) < DATE '1996-04-01' GROUP BY l_suppkey) " +
+          "SELECT s_suppkey, s_name, CAST(round(rev_dec, 2) AS DOUBLE) AS total_revenue " +
+          "FROM rev JOIN supplier ON l_suppkey = s_suppkey " +
+          "WHERE rev_dec = (SELECT max(rev_dec) FROM rev) ORDER BY s_suppkey"),
+      "h16_supplier_count" ->
+        ("SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13) " +
+          "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+          "GROUP BY p_brand, p_type, p_size " +
+          "ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC"),
+      "h17_small_qty_revenue" ->
+        ("SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "WHERE p_brand = 'Brand#3' AND l_quantity < " +
+          "(SELECT avg(l_quantity) * 0.5 FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey " +
+          "AND l2.l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'))"),
+      "h18_large_volume" ->
+        ("SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, " +
+          "o_totalprice, total_qty " +
+          "FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem " +
+          "GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big " +
+          "JOIN orders ON o_orderkey = big.l_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"),
+      "h19_discounted_revenue" ->
+        (s"SELECT CAST(round(sum($disc), 2) AS DOUBLE) AS revenue " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) " +
+          "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) " +
+          "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"),
+      "h20_promo_suppliers" ->
+        ("SELECT s_suppkey, s_name, n_name FROM supplier " +
+          "JOIN nation ON s_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA' " +
+          "WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem " +
+          "WHERE l_quantity > 45 AND l_partkey IN " +
+          "(SELECT p_partkey FROM part WHERE p_type = 'PROMO')) " +
+          "ORDER BY s_suppkey"),
+      "h21_waiting_supplier" ->
+        ("SELECT s_suppkey, s_name, count(*) AS numwait " +
+          "FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey " +
+          "WHERE l1.l_returnflag = 'R' " +
+          "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+          "AND l2.l_suppkey <> l1.l_suppkey) " +
+          "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+          "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
+          "GROUP BY s_suppkey, s_name ORDER BY numwait DESC, s_name ASC LIMIT 10"),
+      "h22_global_sales" ->
+        ("SELECT substring(c_name, 10, 2) AS cntrycode, count(*) AS numcust, " +
+          "CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal " +
+          "FROM customer WHERE c_acctbal > " +
+          "(SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0) " +
+          "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+          "AND o_orderpriority = '1-URGENT') " +
+          "GROUP BY 1 ORDER BY 1")
+    )
+  }
+}
