@@ -106,6 +106,53 @@ object Events extends QueryPack {
           min(col("k_typed")).as("min_k"),
           max(col("k_typed")).as("max_k"))),
 
+    // AS-OF join (graft.operators.Joins): each purchase matched to the
+    // user's latest click at-or-before it — union + one keyed window scan,
+    // no nested loop (DuckDB's native ASOF JOIN is the oracle)
+    "e08_asof_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts_us")
+      graft.operators.Joins
+        .asofJoin(purchases, clicks, "user_id", "ts_us", "ts_us", "click_ts")
+        .filter(col("click_ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("purchase_ts"), col("click_ts"),
+          (col("ts_us") - col("click_ts")).as("gap_us"))
+    }),
+
+    // RANGE join (graft.operators.Joins): global error events counted into
+    // each user session interval — time-bucketed equi-join, never O(n·m)
+    "e09_range_join" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      val sessions = events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_s"))
+        .withColumn("prev_ts", lag(col("ts_s"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts_s") - col("prev_ts") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_s")).as("session_start"),
+          max(col("ts_s")).as("session_end"))
+        .filter(col("n_events") >= 3)
+        .drop("n_events")
+      val errors = events(s, d).filter(col("event_type") === "error")
+        .select(unix_micros(col("ts")).as("err_ts"))
+      graft.operators.Joins
+        .rangeJoin(errors, sessions, "err_ts",
+          "session_start", "session_end", bucketWidth = 3600000000L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_errors"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // top event type per user by count (argmax via window rank)
     "e05_top_type_per_user" -> ((s, d) => {
       val counts = events(s, d)
@@ -155,6 +202,27 @@ object Events extends QueryPack {
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events WHERE CAST(json_extract(props, '$.k') AS INT) >= 50",
     "e07_json_struct" ->
       "SELECT count(CAST(json_extract(props, '$.k') AS INT)) AS n_parsed, CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k, min(CAST(json_extract(props, '$.k') AS INT)) AS min_k, max(CAST(json_extract(props, '$.k') AS INT)) AS max_k FROM events",
+    "e08_asof_join" ->
+      ("WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, p.ts_us AS purchase_ts, c.ts_us AS click_ts, " +
+        "p.ts_us - c.ts_us AS gap_us " +
+        "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us"),
+    "e09_range_join" ->
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_s FROM events), " +
+        "flagged AS (SELECT user_id, ts_s, " +
+        "CASE WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL " +
+        "OR ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_session FROM ev), " +
+        "seqd AS (SELECT user_id, ts_s, sum(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM flagged), " +
+        "sessions AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
+        "min(ts_s) AS session_start, max(ts_s) AS session_end " +
+        "FROM seqd GROUP BY user_id, session_seq HAVING count(*) >= 3), " +
+        "err AS (SELECT epoch_us(ts) AS err_ts FROM events WHERE event_type = 'error') " +
+        "SELECT s.user_id, s.session_seq, count(*) AS n_errors " +
+        "FROM sessions s JOIN err e ON e.err_ts BETWEEN s.session_start AND s.session_end " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "e05_top_type_per_user" ->
       ("WITH counts AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
         "ranked AS (SELECT user_id, event_type, n, row_number() OVER " +
