@@ -37,7 +37,40 @@ object Versioned extends QueryPack {
       tbl
     }
 
+  /** Identity-partitioned fixture: nation partitioned by n_regionkey
+    * (5 partitions), one snapshot. Scans with a region predicate read only
+    * that partition's files (manifest partition pruning — no listing). */
+  private def partFixture(spark: SparkSession, sfDir: String): GraftTable =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/nation_p"
+      if (GraftTable.exists(dir)) {
+        val t = GraftTable.load(dir)
+        if (t.log.snapshots.size == 1) return t
+        GraftTable.deleteRecursively(Paths.get(dir))
+      } else if (Files.exists(Paths.get(dir))) {
+        GraftTable.deleteRecursively(Paths.get(dir))
+      }
+      val nation = t(spark, sfDir, "nation")
+      val tbl = GraftTable.create(dir, nation.schema,
+        partitionBy = Seq("n_regionkey"))
+      tbl.append(nation, committedAt = Some(1000L))
+      tbl
+    }
+
   val queries: Map[String, Q] = Map(
+
+    // partitioned scan: predicate on the partition column reads exactly
+    // one partition (inputFiles-asserted in GraftTableSpec; here the
+    // driver checks the results are exactly region 2's nations)
+    "v09_graft_partitioned" -> ((s, d) =>
+      partFixture(s, d).scan(s, Some(col("n_regionkey") === 2))),
+
+    // partition + data predicate combined: partition pruning picks the
+    // partition, the residual data filter applies within it
+    "v10_graft_partition_filter" -> ((s, d) =>
+      partFixture(s, d).scan(s,
+        Some(col("n_regionkey").isin(0, 3) && col("n_nationkey") >= 10))),
 
     // V2: scan at current snapshot; every row carries snapshot__id = 2
     "v01_graft_scan" -> ((s, d) =>
@@ -92,6 +125,12 @@ object Versioned extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "v09_graft_partitioned" ->
+      ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM nation " +
+        "WHERE n_regionkey = 2"),
+    "v10_graft_partition_filter" ->
+      ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM nation " +
+        "WHERE n_regionkey IN (0, 3) AND n_nationkey >= 10"),
     "v01_graft_scan" ->
       ("SELECT r.*, CAST(2 AS BIGINT) AS snapshot__id FROM " +
         "(SELECT * FROM region UNION ALL SELECT * FROM region) r"),

@@ -37,7 +37,8 @@ import org.apache.spark.sql.types._
 final class GraftTable private (
     val dir: String,
     val schema: StructType,
-    val properties: Map[String, String]) {
+    val properties: Map[String, String],
+    val partitionColumns: Seq[String] = Nil) {
 
   import GraftTable._
 
@@ -68,11 +69,17 @@ final class GraftTable private (
     val lg = log
     val snapId = lg.nextId
     val staging = s"$dir/.staging-$snapId"
-    df.write.mode("overwrite").parquet(staging)
+    val writer = df.write.mode("overwrite")
+    if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
+    writer.parquet(staging)
 
     val dataDir = Paths.get(dir, "data")
     Files.createDirectories(dataDir)
-    val staged = scala.util.Using.resource(Files.list(Paths.get(staging))) {
+    // walk recursively: a partitioned write nests files under
+    // <col>=<value>/ directories (possibly multi-level), which the data
+    // layout preserves so partition values stay readable from paths
+    val stagingPath = Paths.get(staging)
+    val staged = scala.util.Using.resource(Files.walk(stagingPath)) {
       s => s.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .toSeq.sortBy(_.toString)
@@ -80,12 +87,28 @@ final class GraftTable private (
     val conf = df.sparkSession.sessionState.newHadoopConf()
     var seq = 0
     val newFiles = staged.map { src =>
+      val partDirs = stagingPath.relativize(src).iterator().asScala
+        .map(_.toString).toSeq.dropRight(1) // <col>=<value> segments
+      val partition: Map[String, Option[String]] = partDirs.map { seg =>
+        val (c, raw) = seg.splitAt(seg.indexOf('='))
+        c -> PartitionValues.decode(raw.drop(1))
+      }.toMap
       val name = f"part-$snapId%05d-$seq%05d.parquet"
       seq += 1
-      val dst = dataDir.resolve(name)
+      val dstDir = partDirs.foldLeft(dataDir)(_.resolve(_))
+      Files.createDirectories(dstDir)
+      val dst = dstDir.resolve(name)
       Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
       val (rows, stats) = ParquetStats.forFile(dst.toString, conf)
-      DataFileEntry(s"data/$name", rows, Files.size(dst), stats)
+      // partition columns are absent from the file footers; synthesize
+      // exact min=max=value stats so the same sound min/max pruning
+      // machinery (Pruning/PruningPropertySpec) prunes partitions too
+      val partStats = partition.map { case (c, v) =>
+        c -> PartitionValues.stats(v, schema(c).dataType, rows)
+      }
+      val rel = (partDirs :+ name).mkString("/")
+      DataFileEntry(s"data/$rel", rows, Files.size(dst), stats ++ partStats,
+        partition)
     }
     deleteRecursively(Paths.get(staging))
 
@@ -136,6 +159,17 @@ final class GraftTable private (
   // ------------------------------------------------------------------
   // reads
   // ------------------------------------------------------------------
+
+  /** Read a pruned file list with the table schema. Partitioned tables
+    * read with `basePath` so Spark recovers partition-column values from
+    * the `<col>=<value>/` directories (typed by the user-supplied schema,
+    * never inferred); unpartitioned tables read the plain file list.
+    * Either way the result schema is exactly `schema`, in order. */
+  private def readFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val r = spark.read.schema(schema)
+    if (partitionColumns.nonEmpty) r.option("basePath", s"$dir/data")
+    r.parquet(paths: _*).select(schema.fieldNames.map(col): _*)
+  }
 
   /** Schema as read (user schema + virtual snapshot column, like
     * IcebergSerDe.java:60-62). */
@@ -200,7 +234,7 @@ final class GraftTable private (
           if (kept.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
           else
-            spark.read.schema(schema).parquet(kept.map(f => s"$dir/${f.path}"): _*)
+            readFiles(spark, kept.map(f => s"$dir/${f.path}"))
         df.withColumn(virtualColumn, lit(s.snapshotId))
     }
     val filtered = filter match {
@@ -234,7 +268,7 @@ final class GraftTable private (
           if (kept.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
           else
-            spark.read.schema(schema).parquet(kept.map(f => s"$dir/${f.path}"): _*)
+            readFiles(spark, kept.map(f => s"$dir/${f.path}"))
         base.withColumn(virtualColumn, lit(s.snapshotId))
     }
     org.apache.spark.sql.classic.GraftBridge.analyzedPlan(df)
@@ -284,7 +318,7 @@ final class GraftTable private (
       if (newFiles.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else
-        spark.read.schema(schema).parquet(newFiles.map(f => s"$dir/${f.path}"): _*)
+        readFiles(spark, newFiles.map(f => s"$dir/${f.path}"))
     base.withColumn(virtualColumn, lit(to.snapshotId))
   }
 
@@ -345,17 +379,27 @@ object GraftTable {
   def create(
       dir: String,
       schema: StructType,
-      properties: Map[String, String] = Map.empty): GraftTable = {
+      properties: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil): GraftTable = {
     val p = Paths.get(dir)
     require(!Files.exists(p.resolve("metadata.json")), s"table exists: $dir")
+    partitionBy.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' not in schema ${schema.fieldNames.mkString(",")}"))
+      require(PartitionValues.supported(f.dataType),
+        s"unsupported partition column type ${f.dataType.sql} for '$c' " +
+          "(supported: BOOLEAN, INT, BIGINT, STRING, DATE)")
+    }
     Files.createDirectories(p)
     val meta = Map(
       "format_version" -> 1L,
       "schema" -> schema.json,
+      "partition_columns" -> partitionBy,
       "properties" -> properties)
     Files.writeString(p.resolve("metadata.json"), graft.util.Json.write(meta))
     SnapshotLog.empty.write(s"$dir/snapshots.json")
-    new GraftTable(dir, schema, properties)
+    new GraftTable(dir, schema, properties, partitionBy)
   }
 
   def load(dir: String): GraftTable = {
@@ -366,7 +410,9 @@ object GraftTable {
       .asInstanceOf[StructType]
     val props = meta.getOrElse("properties", Map.empty[String, Any])
       .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString }
-    new GraftTable(dir, schema, props)
+    val partitionBy = meta.getOrElse("partition_columns", Seq.empty[Any])
+      .asInstanceOf[Seq[Any]].map(_.toString)
+    new GraftTable(dir, schema, props, partitionBy)
   }
 
   def exists(dir: String): Boolean =

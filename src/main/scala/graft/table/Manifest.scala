@@ -15,7 +15,8 @@ final case class DataFileEntry(
     path: String,
     recordCount: Long,
     fileSizeBytes: Long,
-    stats: Map[String, ColumnStats])
+    stats: Map[String, ColumnStats],
+    partition: Map[String, Option[String]] = Map.empty)
 
 /** The full file list of one snapshot (Iceberg "manifest list" collapsed to
   * a single JSON document — at graft's metadata scale one level is enough,
@@ -26,7 +27,7 @@ final case class Manifest(files: Seq[DataFileEntry]) {
 
   def write(absPath: String): Unit = {
     val obj = Map("files" -> files.map { f =>
-      Map(
+      val base = Map(
         "path" -> f.path,
         "record_count" -> f.recordCount,
         "file_size_bytes" -> f.fileSizeBytes,
@@ -37,6 +38,8 @@ final case class Manifest(files: Seq[DataFileEntry]) {
             "null_count" -> st.nullCount.map(Long.box).orNull,
             "value_count" -> st.valueCount.map(Long.box).orNull)
         })
+      if (f.partition.isEmpty) base
+      else base + ("partition" -> f.partition.map { case (c, v) => c -> v.orNull })
     })
     Json.writeFileAtomic(absPath, Json.write(obj))
   }
@@ -59,11 +62,15 @@ object Manifest {
             Option(sm.getOrElse("null_count", null)).map(_.asInstanceOf[Long]),
             Option(sm.getOrElse("value_count", null)).map(_.asInstanceOf[Long]))
         }
+      val partition = m.getOrElse("partition", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]]
+        .map { case (c, v) => c -> Option(v).map(_.toString) }
       DataFileEntry(
         m("path").asInstanceOf[String],
         m("record_count").asInstanceOf[Long],
         m("file_size_bytes").asInstanceOf[Long],
-        stats)
+        stats,
+        partition)
     }
     Manifest(files)
   }

@@ -46,6 +46,18 @@ object TableDemo {
     println("PRUNED id=10: " + t.scan(spark, Some(col("id") === 10L))
       .collect().mkString(", "))
 
+    val pSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cat", StringType, nullable = true)))
+    val pt = GraftTable.create(s"$dir/pt", pSchema, partitionBy = Seq("cat"))
+    pt.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a"), Row(2L, "b"), Row(3L, "a"), Row(4L, "c")), 1), pSchema),
+      Some(1000L))
+    val pScan = pt.scan(spark, Some(col("cat") === "a"))
+    println("PARTITIONED cat=a: files=" + pScan.inputFiles.length +
+      " rows=" + pScan.orderBy("id").collect().mkString(", "))
+
     println("ASOF t=1500: " + t.readAsOf(spark, 1500L).orderBy("id")
       .collect().mkString(", ") +
       " | t=0: count=" + t.readAsOf(spark, 0L).count())

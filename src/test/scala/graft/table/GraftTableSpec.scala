@@ -153,6 +153,116 @@ class GraftTableSpec extends SparkSpecBase {
     assert(out.select("id").collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  private val partSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cat", StringType, nullable = true),
+    StructField("data", StringType, nullable = true)))
+
+  private def mkPartDf(rows: (Long, String, String)*) = {
+    val rdd = spark.sparkContext.parallelize(
+      rows.map(r => Row(r._1, r._2, r._3)), 1)
+    spark.createDataFrame(rdd, partSchema)
+  }
+
+  test("partitioned table: schema order preserved, values typed from schema") {
+    val dir = tmpDir("graft-part")
+    val t = GraftTable.create(s"$dir/t", partSchema, partitionBy = Seq("cat"))
+    t.append(mkPartDf((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "z")), Some(1000L))
+
+    val out = t.read(spark)
+    assert(out.columns.toSeq == Seq("id", "cat", "data", "snapshot__id"))
+    val rows = out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, "a", "x", 1L), (2L, "b", "y", 1L), (3L, "a", "z", 1L)))
+
+    // reload from disk keeps the partition spec
+    assert(GraftTable.load(t.dir).partitionColumns == Seq("cat"))
+  }
+
+  test("partition pruning: equality on the partition column reads one partition") {
+    val dir = tmpDir("graft-part-prune")
+    val t = GraftTable.create(s"$dir/t", partSchema, partitionBy = Seq("cat"))
+    t.append(mkPartDf((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")), Some(1000L))
+    t.append(mkPartDf((4L, "a", "w"), (5L, "b", "v")), Some(2000L))
+
+    val manifest = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+    assert(manifest.files.size == 5) // one file per partition per append
+    assert(manifest.files.forall(_.partition.contains("cat")))
+
+    val scanned = t.scan(spark, Some(col("cat") === "a"))
+    // the pruned file list feeds spark.read directly: inputFiles is the proof
+    assert(scanned.inputFiles.length == 2)
+    assert(scanned.inputFiles.forall(_.contains("cat=a")))
+    assert(scanned.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+
+    // IN and range predicates prune through the same stats machinery
+    val in2 = t.scan(spark, Some(col("cat").isin("a", "c")))
+    assert(in2.inputFiles.length == 3)
+    assert(in2.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("partitioned table: null partition round-trips and prunes on IS NULL") {
+    val dir = tmpDir("graft-part-null")
+    val t = GraftTable.create(s"$dir/t", partSchema, partitionBy = Seq("cat"))
+    t.append(mkPartDf((1L, "a", "x"), (2L, null, "y")), Some(1000L))
+
+    val out = t.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(out.toSeq == Seq((1L, Some("a")), (2L, None)))
+
+    val nulls = t.scan(spark, Some(col("cat").isNull))
+    assert(nulls.inputFiles.length == 1)
+    assert(nulls.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+    val notNulls = t.scan(spark, Some(col("cat").isNotNull))
+    assert(notNulls.inputFiles.length == 1)
+    assert(notNulls.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("partitioned table: special characters in partition values escape safely") {
+    val dir = tmpDir("graft-part-esc")
+    val t = GraftTable.create(s"$dir/t", partSchema, partitionBy = Seq("cat"))
+    t.append(mkPartDf((1L, "a/b:c d", "x"), (2L, "plain", "y")), Some(1000L))
+
+    val got = t.scan(spark, Some(col("cat") === "a/b:c d"))
+    assert(got.inputFiles.length == 1)
+    assert(got.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("partitioned table: time travel and changes respect partitions") {
+    val dir = tmpDir("graft-part-tt")
+    val t = GraftTable.create(s"$dir/t", partSchema, partitionBy = Seq("cat"))
+    t.append(mkPartDf((1L, "a", "x")), Some(1000L))
+    t.append(mkPartDf((2L, "b", "y"), (3L, "a", "z")), Some(2000L))
+
+    val snap1 = t.scan(spark, Some(col("snapshot__id") === 1L))
+    assert(snap1.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    val changed = t.changes(spark, fromSnapshotId = 1L)
+    assert(changed.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+
+    // time travel + partition predicate: snapshot 2 is cumulative (both
+    // appends), so both cat=a files are read — and ONLY those (cat=b pruned)
+    val both = t.scan(spark,
+      Some(col("snapshot__id") === 2L && col("cat") === "a"))
+    assert(both.inputFiles.length == 2)
+    assert(both.inputFiles.forall(_.contains("cat=a")))
+    assert(both.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("partition spec validation: unknown column and float types rejected") {
+    val dir = tmpDir("graft-part-bad")
+    intercept[IllegalArgumentException] {
+      GraftTable.create(s"$dir/bad1", partSchema, partitionBy = Seq("nope"))
+    }
+    val floatSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("f", DoubleType, nullable = true)))
+    intercept[IllegalArgumentException] {
+      GraftTable.create(s"$dir/bad2", floatSchema, partitionBy = Seq("f"))
+    }
+  }
+
   test("tables are relocatable: move the directory, everything still reads") {
     val dir = tmpDir("graft-reloc")
     val t = GraftTable.create(s"$dir/orig", simpleSchema)
