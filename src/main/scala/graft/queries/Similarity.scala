@@ -52,6 +52,15 @@ object Similarity extends QueryPack {
     * collisions in ANY table, deduped, then exactly rescored. More tables
     * → higher recall at linearly more candidate rows — the standard
     * recall/cost dial. Shuffle volume is O(n · nTables), never O(n²). */
+  /** The seeded hyperplane tables shared by the Spark query and the DuckDB
+    * oracle (both sides embed the SAME literal doubles, so sign-bucketing
+    * matches bit for bit — the d06 pattern). */
+  private[queries] def lshTables(
+      nPlanes: Int, nTables: Int, seed: Long, dim: Int = 64): Seq[Seq[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nTables)(Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian())))
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -61,16 +70,15 @@ object Similarity extends QueryPack {
       nPlanes: Int = 6,
       nTables: Int = 8,
       seed: Long = 11L): DataFrame = {
-    val dim = 64
-    val rng = new scala.util.Random(seed)
+    // sign bits via the codegen'd cosine expression (same sign as the dot
+    // product — norms are positive); an aggregate(zip_with(…)) fold here
+    // would run interpreted on every row
     def mkBucket(v: Column, planes: Seq[Array[Double]]): Column =
       planes.zipWithIndex.map { case (p, i) =>
-        val dot = aggregate(zip_with(v, typedLit(p.toSeq), (a, b) => a * b),
-          lit(0.0d), (acc, x) => acc + x)
-        when(dot >= 0, lit(1L << i)).otherwise(0L)
+        when(Dedup.cosineSim(v, typedLit(p.toSeq)) >= 0, lit(1L << i))
+          .otherwise(0L)
       }.reduce(_ bitwiseOR _)
-    val tables = Seq.fill(nTables)(
-      Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian())))
+    val tables = lshTables(nPlanes, nTables, seed)
     def buckets(v: Column): Column =
       array(tables.zipWithIndex.map { case (planes, ti) =>
         // disambiguate tables by folding the table index into the key
@@ -105,8 +113,9 @@ object Similarity extends QueryPack {
         "embedding", k = 10)
     }),
 
-    // ANN via sign-LSH buckets (rows-only: bucketing isn't expressible in
-    // the oracle; recall vs brute force is asserted in SimilaritySpec)
+    // ANN via sign-LSH buckets — the oracle replicates the bucketing with
+    // the same literal hyperplanes, so the approximate result is itself
+    // hash-checked; recall vs brute force is asserted in SimilaritySpec
     "s02_knn_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -177,6 +186,28 @@ object Similarity extends QueryPack {
         "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
         "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"),
+    "s02_knn_lsh" -> {
+      // one bucket expression per hyperplane table, table index folded in
+      // exactly like the Spark side (bucket + ti * 2^nPlanes)
+      val tables = lshTables(nPlanes = 6, nTables = 8, seed = 11L)
+      val bucketExprs = tables.zipWithIndex.map { case (planes, ti) =>
+        val bits = planes.zipWithIndex.map { case (p, i) =>
+          val arr = p.map(_.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_cosine_similarity(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"($bits + ${ti.toLong * 64L})"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        s"b AS (SELECT vec_id, v, unnest([$bucketExprs]) AS bucket FROM e), " +
+        "q AS (SELECT * FROM b WHERE vec_id < 5), " +
+        "cand AS (SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS n_id " +
+        "FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id), " +
+        "scored AS (SELECT q_id, n_id, list_cosine_similarity(eq.v, en.v) AS cos " +
+        "FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id), " +
+        "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
+        "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
+    },
     "s03_label_centroid_norm" -> {
       val sumTerms = (0 until 64)
         .map(i => s"pow(sum(v[${i + 1}]) / count(*), 2)").mkString(" + ")
