@@ -58,7 +58,36 @@ object Versioned extends QueryPack {
       tbl
     }
 
+  /** Schema-evolution fixture: snapshot 1 = region as-is; then an
+    * `r_extra` BIGINT column is added and snapshot 2 appends region again
+    * with `r_extra = r_regionkey * 10`. Pre-evolution files read the new
+    * column as NULL — no rewrite. */
+  private def evoFixture(spark: SparkSession, sfDir: String): GraftTable =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/region_evo"
+      if (GraftTable.exists(dir)) {
+        val tb = GraftTable.load(dir)
+        if (tb.log.snapshots.size == 2) return tb
+        GraftTable.deleteRecursively(Paths.get(dir))
+      } else if (Files.exists(Paths.get(dir))) {
+        GraftTable.deleteRecursively(Paths.get(dir))
+      }
+      val region = t(spark, sfDir, "region")
+      val t0 = GraftTable.create(dir, region.schema)
+      t0.append(region, committedAt = Some(1000L))
+      val t1 = t0.addColumn("r_extra", org.apache.spark.sql.types.LongType)
+      t1.append(region.withColumn("r_extra", col("r_regionkey") * 10L),
+        committedAt = Some(2000L))
+      t1
+    }
+
   val queries: Map[String, Q] = Map(
+
+    // schema evolution: one scan spanning pre- and post-evolution files;
+    // the added column is NULL for rows from pre-evolution files
+    "v11_graft_evolution" -> ((s, d) =>
+      evoFixture(s, d).read(s)),
 
     // partitioned scan: predicate on the partition column reads exactly
     // one partition (inputFiles-asserted in GraftTableSpec; here the
@@ -125,6 +154,11 @@ object Versioned extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "v11_graft_evolution" ->
+      ("SELECT r.*, CAST(NULL AS BIGINT) AS r_extra, " +
+        "CAST(2 AS BIGINT) AS snapshot__id FROM region r " +
+        "UNION ALL SELECT r.*, CAST(r_regionkey * 10 AS BIGINT) AS r_extra, " +
+        "CAST(2 AS BIGINT) AS snapshot__id FROM region r"),
     "v09_graft_partitioned" ->
       ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM nation " +
         "WHERE n_regionkey = 2"),

@@ -156,6 +156,33 @@ final class GraftTable private (
     snap
   }
 
+  /** Schema evolution: add a nullable column (the add-column slice of
+    * Iceberg's schema evolution; the reference reads its schema from table
+    * metadata, never from data — `table.schema()`, IcebergSerDe.java:52 —
+    * which is exactly what makes this safe: existing parquet files simply
+    * lack the field and scan as NULL, because every read applies the
+    * TABLE schema, not the file schemas. No data rewrite at any scale;
+    * manifests keep their stats (a file with no stats for the new column
+    * is never pruned by predicates on it — conservative by construction).
+    * Returns the evolved table handle; the on-disk metadata is updated
+    * atomically. */
+  def addColumn(name: String, dataType: DataType): GraftTable = {
+    require(!schema.fieldNames.contains(name),
+      s"column '$name' already exists in $dir")
+    require(name != virtualColumn,
+      s"column '$name' would shadow the virtual snapshot column")
+    val newSchema =
+      StructType(schema.fields :+ StructField(name, dataType, nullable = true))
+    val meta = Map(
+      "format_version" -> 1L,
+      "schema" -> newSchema.json,
+      "partition_columns" -> partitionColumns,
+      "properties" -> properties)
+    graft.util.Json.writeFileAtomic(s"$dir/metadata.json",
+      graft.util.Json.write(meta))
+    new GraftTable(dir, newSchema, properties, partitionColumns)
+  }
+
   // ------------------------------------------------------------------
   // reads
   // ------------------------------------------------------------------

@@ -263,6 +263,45 @@ class GraftTableSpec extends SparkSpecBase {
     }
   }
 
+  test("schema evolution: added column reads as NULL from pre-evolution files") {
+    val dir = tmpDir("graft-evolve")
+    val t0 = GraftTable.create(s"$dir/t", simpleSchema)
+    t0.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+
+    val t1 = t0.addColumn("score", DoubleType)
+    assert(t1.schema.fieldNames.toSeq == Seq("id", "data", "score"))
+    // reload sees the evolved schema too
+    assert(GraftTable.load(t1.dir).schema.fieldNames.toSeq ==
+      Seq("id", "data", "score"))
+
+    val withScore = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(3L, "c", 1.5), Row(4L, "d", 2.5)), 1),
+      t1.schema)
+    t1.append(withScore, Some(2000L))
+
+    val out = t1.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", None, 2L), (2L, "b", None, 2L),
+      (3L, "c", Some(1.5), 2L), (4L, "d", Some(2.5), 2L)))
+
+    // predicate on the evolved column: old file has no stats for it →
+    // conservatively scanned, rows filtered correctly
+    val filtered = t1.scan(spark, Some(col("score") > 2.0))
+    assert(filtered.select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+
+    // time travel still works; the table (latest) schema applies
+    val snap1 = t1.scan(spark, Some(col("snapshot__id") === 1L))
+    assert(snap1.columns.toSeq == Seq("id", "data", "score", "snapshot__id"))
+    assert(snap1.collect().forall(_.isNullAt(2)))
+
+    // duplicate and virtual-column collisions are rejected
+    intercept[IllegalArgumentException] { t1.addColumn("id", LongType) }
+    intercept[IllegalArgumentException] { t1.addColumn("snapshot__id", LongType) }
+  }
+
   test("tables are relocatable: move the directory, everything still reads") {
     val dir = tmpDir("graft-reloc")
     val t = GraftTable.create(s"$dir/orig", simpleSchema)
