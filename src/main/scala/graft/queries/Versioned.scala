@@ -82,12 +82,38 @@ object Versioned extends QueryPack {
       t1
     }
 
+  /** Compaction fixture: two appended copies of region, then the small
+    * files bin-packed by a `"replace"` snapshot (snapshot 3). */
+  private def compactFixture(spark: SparkSession, sfDir: String): GraftTable =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/region_c"
+      if (GraftTable.exists(dir)) {
+        val tb = GraftTable.load(dir)
+        if (tb.log.snapshots.size == 3) return tb
+        GraftTable.deleteRecursively(Paths.get(dir))
+      } else if (Files.exists(Paths.get(dir))) {
+        GraftTable.deleteRecursively(Paths.get(dir))
+      }
+      val region = t(spark, sfDir, "region")
+      val tb = GraftTable.create(dir, region.schema)
+      tb.append(region, committedAt = Some(1000L))
+      tb.append(region, committedAt = Some(2000L))
+      tb.compact(spark, smallerThanBytes = 1L << 30, Some(3000L))
+      tb
+    }
+
   val queries: Map[String, Q] = Map(
 
     // schema evolution: one scan spanning pre- and post-evolution files;
     // the added column is NULL for rows from pre-evolution files
     "v11_graft_evolution" -> ((s, d) =>
       evoFixture(s, d).read(s)),
+
+    // compaction: two appended copies of region bin-packed by a "replace"
+    // snapshot — same rows (tagged with the replace snapshot id), fewer
+    // files; the change feed has already skipped the rewrite
+    "v12_graft_compacted" -> ((s, d) => compactFixture(s, d).read(s)),
 
     // partitioned scan: predicate on the partition column reads exactly
     // one partition (inputFiles-asserted in GraftTableSpec; here the
@@ -159,6 +185,9 @@ object Versioned extends QueryPack {
         "CAST(2 AS BIGINT) AS snapshot__id FROM region r " +
         "UNION ALL SELECT r.*, CAST(r_regionkey * 10 AS BIGINT) AS r_extra, " +
         "CAST(2 AS BIGINT) AS snapshot__id FROM region r"),
+    "v12_graft_compacted" ->
+      ("SELECT r.*, CAST(3 AS BIGINT) AS snapshot__id FROM " +
+        "(SELECT * FROM region UNION ALL SELECT * FROM region) r"),
     "v09_graft_partitioned" ->
       ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM nation " +
         "WHERE n_regionkey = 2"),

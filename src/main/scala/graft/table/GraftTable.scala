@@ -68,6 +68,20 @@ final class GraftTable private (
   def append(df: DataFrame, committedAt: Option[Long] = None): Snapshot = {
     val lg = log
     val snapId = lg.nextId
+    val newFiles = writeDataFiles(df, snapId)
+    val prevManifest = lg.current.map(s => Manifest.read(s"$dir/${s.manifestList}"))
+      .getOrElse(Manifest.empty)
+    commit(lg, snapId, Manifest(prevManifest.files ++ newFiles), newFiles,
+      operation = "append", committedAt,
+      extraSummary = Map(
+        "added-data-files" -> newFiles.size.toString,
+        "added-records" -> newFiles.map(_.recordCount).sum.toString))
+  }
+
+  /** Write `df` into the data layout as snapshot `snapId`'s files and
+    * return their manifest entries (stats + partition values attached).
+    * Shared by [[append]] and [[compact]]. */
+  private def writeDataFiles(df: DataFrame, snapId: Long): Seq[DataFileEntry] = {
     val staging = s"$dir/.staging-$snapId"
     val writer = df.write.mode("overwrite")
     if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
@@ -111,10 +125,20 @@ final class GraftTable private (
         partition)
     }
     deleteRecursively(Paths.get(staging))
+    newFiles
+  }
 
-    val prevManifest = lg.current.map(s => Manifest.read(s"$dir/${s.manifestList}"))
-      .getOrElse(Manifest.empty)
-    val manifest = Manifest(prevManifest.files ++ newFiles)
+  /** Claim snapshot `snapId`, write its manifest, and commit it to the
+    * log — the shared tail of [[append]] and [[compact]]. `newFiles` are
+    * the files THIS commit wrote (deleted again on a lost race). */
+  private def commit(
+      lg: SnapshotLog,
+      snapId: Long,
+      manifest: Manifest,
+      newFiles: Seq[DataFileEntry],
+      operation: String,
+      committedAt: Option[Long],
+      extraSummary: Map[String, String]): Snapshot = {
     val manifestRel = f"manifests/snap-$snapId%05d.json"
     // Concurrent-commit detection: claim this snapshot id via an O_EXCL
     // marker before touching the log. Two committers racing on the same
@@ -145,15 +169,48 @@ final class GraftTable private (
       snapshotId = snapId,
       parentId = lg.current.map(_.snapshotId),
       committedAt = committedAt.getOrElse(System.currentTimeMillis()),
-      operation = "append",
+      operation = operation,
       manifestList = manifestRel,
-      summary = Map(
-        "added-data-files" -> newFiles.size.toString,
-        "added-records" -> newFiles.map(_.recordCount).sum.toString,
+      summary = extraSummary ++ Map(
         "total-data-files" -> manifest.files.size.toString,
         "total-records" -> manifest.totalRecords.toString))
     SnapshotLog(lg.snapshots :+ snap).write(s"$dir/snapshots.json")
     snap
+  }
+
+  /** Compact small files: rewrite every data file under
+    * `smallerThanBytes` into bin-packed replacements and commit the result
+    * as a `"replace"` snapshot. Rows are bit-identical — only the file
+    * layout changes — so [[changes]]/change feeds skip replace snapshots
+    * and never re-emit rewritten rows.
+    *
+    * The 100 TB design point: only files BELOW the threshold are read and
+    * rewritten (I/O is O(small files), not O(table)); large files are
+    * carried into the new manifest untouched. Partitioned tables rewrite
+    * through the same partitioned writer, so files never mix partitions.
+    * Returns None (no commit) when fewer than two files qualify. */
+  def compact(
+      spark: SparkSession,
+      smallerThanBytes: Long,
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val (small, big) = manifest.files.partition(_.fileSizeBytes < smallerThanBytes)
+    if (small.size < 2) return None
+
+    val snapId = lg.nextId
+    val totalBytes = small.map(_.fileSizeBytes).sum
+    val targetParts = math.max(1L, totalBytes / math.max(1L, smallerThanBytes)).toInt
+    val df = readFiles(spark, small.map(f => s"$dir/${f.path}"))
+      .coalesce(targetParts) // pack, don't shuffle: rewrite is pure I/O
+    val newFiles = writeDataFiles(df, snapId)
+    Some(commit(lg, snapId, Manifest(big ++ newFiles), newFiles,
+      operation = "replace", committedAt,
+      extraSummary = Map(
+        "rewritten-data-files" -> small.size.toString,
+        "added-data-files" -> newFiles.size.toString,
+        "rewritten-bytes" -> totalBytes.toString)))
   }
 
   /** Schema evolution: add a nullable column (the add-column slice of
@@ -337,10 +394,24 @@ final class GraftTable private (
     }
     require(to.snapshotId >= from.snapshotId,
       s"to=${to.snapshotId} precedes from=${from.snapshotId}")
-    val fromPaths = Manifest.read(s"$dir/${from.manifestList}")
-      .files.map(_.path).toSet
-    val newFiles = Manifest.read(s"$dir/${to.manifestList}")
-      .files.filterNot(f => fromPaths.contains(f.path))
+    // Walk the chain snapshot by snapshot and take only files added by
+    // APPEND commits: a "replace" (compaction) snapshot rewrites existing
+    // rows into new files, and an endpoint manifest diff would wrongly
+    // re-emit them as changes. Appended-then-compacted rows still surface
+    // exactly once — via their original append snapshot's diff (the
+    // original file paths; compaction never deletes files from disk,
+    // only from later manifests).
+    val lg2 = lg
+    val chain = lg2.snapshots
+      .filter(s => s.snapshotId > from.snapshotId && s.snapshotId <= to.snapshotId)
+    val newFiles = chain.filter(_.operation == "append").flatMap { s =>
+      val parentPaths = s.parentId
+        .flatMap(lg2.byId)
+        .map(p => Manifest.read(s"$dir/${p.manifestList}").files.map(_.path).toSet)
+        .getOrElse(Set.empty[String])
+      Manifest.read(s"$dir/${s.manifestList}")
+        .files.filterNot(f => parentPaths.contains(f.path))
+    }
     val base =
       if (newFiles.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

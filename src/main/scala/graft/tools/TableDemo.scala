@@ -46,6 +46,14 @@ object TableDemo {
     println("PRUNED id=10: " + t.scan(spark, Some(col("id") === 10L))
       .collect().mkString(", "))
 
+    val preCompact = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t/data"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    val cSnap = t.compact(spark, smallerThanBytes = 1 << 20, Some(3500L))
+    println("COMPACT: op=" + cSnap.map(_.operation).getOrElse("none") +
+      " manifests " + preCompact + "->" +
+      Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}").files.size +
+      " rows=" + t.read(spark).count())
+
     val pSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("cat", StringType, nullable = true)))

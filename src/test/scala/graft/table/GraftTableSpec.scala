@@ -302,6 +302,80 @@ class GraftTableSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { t1.addColumn("snapshot__id", LongType) }
   }
 
+  test("compaction: small files rewritten, rows identical, replace snapshot") {
+    val dir = tmpDir("graft-compact")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    t.append(mkDf(3L -> "c"), Some(3000L))
+    val before = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+    assert(before.files.size == 3)
+
+    val snap = t.compact(spark, smallerThanBytes = 1 << 20, Some(4000L))
+    assert(snap.isDefined && snap.get.operation == "replace")
+    val after = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+    assert(after.files.size == 1) // 3 tiny files bin-packed into 1
+    assert(after.totalRecords == 3)
+
+    // rows identical, tagged with the replace snapshot
+    val rows = t.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "a", 4L), (2L, "b", 4L), (3L, "c", 4L)))
+
+    // time travel to a pre-compaction snapshot still reads the old layout
+    val snap2 = t.scan(spark, Some(col("snapshot__id") === 2L))
+    assert(snap2.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+    // compacting again is a no-op (single file left under the threshold)
+    assert(t.compact(spark, smallerThanBytes = 1 << 20).isEmpty)
+  }
+
+  test("changes and change feeds never re-emit compacted rows") {
+    val dir = tmpDir("graft-compact-chg")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+
+    val feed = new GraftChangeFeed(t, s"$dir/ckpt")
+    var polled = Seq.empty[Long]
+    feed.poll(spark)(df => polled = df.select("id").collect().map(_.getLong(0)).toSeq)
+    assert(polled.sorted == Seq(1L, 2L))
+
+    val compactSnap = t.compact(spark, smallerThanBytes = 1 << 20, Some(3000L)).get
+    // the replace snapshot contributes no changes
+    assert(t.changes(spark, fromSnapshotId = 2L).count() == 0)
+    // feed advances over the replace snapshot with zero rows
+    var n2 = -1L
+    feed.poll(spark)(df => n2 = df.count())
+    assert(n2 == 0 && feed.cursor == compactSnap.snapshotId)
+
+    t.append(mkDf(3L -> "c"), Some(4000L))
+    var polled3 = Seq.empty[Long]
+    feed.poll(spark)(df => polled3 = df.select("id").collect().map(_.getLong(0)).toSeq)
+    assert(polled3 == Seq(3L))
+
+    // full-range changes across the compaction: each appended row exactly once
+    assert(t.changes(spark, fromSnapshotId = 1L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("partitioned compaction never mixes partitions") {
+    val dir = tmpDir("graft-compact-part")
+    val t = GraftTable.create(s"$dir/t", partSchema, partitionBy = Seq("cat"))
+    t.append(mkPartDf((1L, "a", "x"), (2L, "b", "y")), Some(1000L))
+    t.append(mkPartDf((3L, "a", "z"), (4L, "b", "w")), Some(2000L))
+    assert(Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}").files.size == 4)
+
+    assert(t.compact(spark, smallerThanBytes = 1 << 20, Some(3000L)).isDefined)
+    val after = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+    assert(after.files.size == 2) // one packed file per partition
+    assert(after.files.forall(f => f.partition.get("cat").isDefined))
+
+    val aScan = t.scan(spark, Some(col("cat") === "a"))
+    assert(aScan.inputFiles.length == 1)
+    assert(aScan.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("tables are relocatable: move the directory, everything still reads") {
     val dir = tmpDir("graft-reloc")
     val t = GraftTable.create(s"$dir/orig", simpleSchema)
