@@ -138,6 +138,33 @@ object TextAnalysis extends QueryPack {
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("source")),
 
+    // TF-IDF-style distinctive terms: top-3 terms per doc by
+    // tf × (N / df). N/df is a monotone transform of classic ln(N/df),
+    // so the RANKING is identical to tf-idf while staying in IEEE
+    // division (exactly rounded on every engine) — ln() differs by ulps
+    // between libm implementations and would flake the oracle hash.
+    "t11_tfidf_terms" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 50)
+      val toks = docs.select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0)).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score_raw").desc, col("tok").asc)
+      tf.join(dfreq, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("score_raw",
+          col("tf") * col("n_docs").cast("double") / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"),
+          round(col("score_raw"), 6).as("score"))
+    }),
+
     // corpus-level stats: tokens and length percentiles per language —
     // the "what's in this corpus" report; partial aggregation map-side.
     "t05_corpus_stats" -> ((s, d) =>
@@ -197,6 +224,21 @@ object TextAnalysis extends QueryPack {
           "WHERE (source IN ('src0','src1') AND h < '80') " +
           "OR (source NOT IN ('src0','src1') AND h < '20') " +
           "GROUP BY source ORDER BY source"),
+      "t11_tfidf_terms" ->
+        ("WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50), " +
+          "toks AS (SELECT doc_id, u.tok FROM (SELECT doc_id, " +
+          "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t " +
+          "FROM docs), UNNEST(t) AS u(tok)), " +
+          "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+          "dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), " +
+          "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs), " +
+          "scored AS (SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df, " +
+          "tf.tf * CAST(n.n_docs AS DOUBLE) / dfreq.df AS score_raw " +
+          "FROM tf JOIN dfreq USING (tok) CROSS JOIN n), " +
+          "ranked AS (SELECT doc_id, tok, score_raw, row_number() OVER " +
+          "(PARTITION BY doc_id ORDER BY score_raw DESC, tok ASC) AS rank FROM scored) " +
+          "SELECT doc_id, rank, tok, round(score_raw, 6) AS score " +
+          "FROM ranked WHERE rank <= 3"),
       "t05_corpus_stats" ->
         // CAST the integer sums: DuckDB sum(INT) returns HUGEINT, which the
         // driver-side pandas bridge renders as float ("3.0" vs Spark's "3")
