@@ -30,7 +30,14 @@ object TpcHExtra extends QueryPack {
     "h02_min_cost_supp" -> ((s, d) => {
       val pa = t(s, d, "part")
         .filter(col("p_size") <= 3 && col("p_type") === "SMALL")
+      // prune lineitem to qualifying parts BEFORE the two-level aggregate
+      // (broadcast semi-join on the tiny filtered dim): the part filter
+      // commutes with per-partkey grouping, so results are unchanged but
+      // the expensive aggregation only sees matching rows — at 100 TB
+      // this is the difference between aggregating the table and a sliver
       val unit = t(s, d, "lineitem")
+        .join(broadcast(pa.select(col("p_partkey").as("pk"))),
+          col("l_partkey") === col("pk"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
       val minu = unit.groupBy(col("l_partkey").as("mp_key"))

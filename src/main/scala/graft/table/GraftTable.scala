@@ -420,6 +420,30 @@ final class GraftTable private (
     base.withColumn(virtualColumn, lit(to.snapshotId))
   }
 
+  /** Structured-Streaming read of an append-only graft table: Spark's
+    * parquet file-stream source over the data layout, with the schema from
+    * table metadata (never inferred). Every committed file is emitted
+    * exactly once per checkpoint — the streaming analog of the reference's
+    * snapshot incrementality, riding the battle-tested file source rather
+    * than a bespoke one.
+    *
+    * Restrictions (enforced, not documented-away): compacted tables are
+    * rejected — a path-based source would re-emit rows rewritten by a
+    * `"replace"` snapshot (use [[GraftChangeFeed]] for compaction-safe
+    * incremental reads). Partitioned tables are rejected — partition
+    * values live in directory names the flat file glob cannot type. The
+    * virtual snapshot column is absent (a file-level source has no
+    * snapshot context). */
+  def readStream(spark: SparkSession): DataFrame = {
+    require(log.snapshots.forall(_.operation == "append"),
+      s"readStream requires an append-only history; $dir has replace " +
+        "snapshots (compaction) — use GraftChangeFeed instead")
+    require(partitionColumns.isEmpty,
+      s"readStream does not support partitioned tables (yet): $dir")
+    Files.createDirectories(Paths.get(dir, "data"))
+    spark.readStream.schema(schema).parquet(s"$dir/data")
+  }
+
   /** The `__snapshots` system table (V1/S7). Tiny metadata → a local
     * DataFrame is correct at any scale (the data it describes is big; the
     * log is not). Schema mirrors SnapshotIterable.createSnapshotRecord. */

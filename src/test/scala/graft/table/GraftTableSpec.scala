@@ -376,6 +376,33 @@ class GraftTableSpec extends SparkSpecBase {
     assert(aScan.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("readStream: each appended snapshot flows through exactly once") {
+    val dir = tmpDir("graft-stream")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+
+    val query = t.readStream(spark)
+      .writeStream.format("memory").queryName("graft_stream")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("graft_stream").count() == 2)
+
+      t.append(mkDf(3L -> "c"), Some(2000L))
+      query.processAllAvailable()
+      val ids = spark.table("graft_stream")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // snapshot 2 exactly once, no re-emits
+    } finally query.stop()
+
+    // compacted and partitioned tables are rejected up front
+    t.compact(spark, smallerThanBytes = 1 << 20, Some(3000L))
+    intercept[IllegalArgumentException] { t.readStream(spark) }
+    val pt = GraftTable.create(s"$dir/pt", partSchema, partitionBy = Seq("cat"))
+    intercept[IllegalArgumentException] { pt.readStream(spark) }
+  }
+
   test("tables are relocatable: move the directory, everything still reads") {
     val dir = tmpDir("graft-reloc")
     val t = GraftTable.create(s"$dir/orig", simpleSchema)
