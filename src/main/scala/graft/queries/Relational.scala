@@ -412,6 +412,19 @@ object Relational extends QueryPack {
         .select("o_custkey", "o_orderkey", "first_key", "last_key")
     }),
 
+    // rank-family window functions: dense_rank / percent_rank / cume_dist.
+    // All three are deterministic under ORDER BY ties (they depend on rank
+    // and partition size, not physical row order), and percent_rank /
+    // cume_dist are exact IEEE divisions — safe to hash across engines.
+    "q65_window_ranks" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").asc)
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          dense_rank().over(w).as("dr"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+    }),
+
     // ----- scalar functions -----
     "q70_scalar_string" -> ((s, d) =>
       t(s, d, "customer")
@@ -589,6 +602,12 @@ object Relational extends QueryPack {
         "first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key, " +
         "last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key " +
         "FROM orders"),
+    "q65_window_ranks" ->
+      ("SELECT c_custkey, c_nationkey, c_acctbal, " +
+        "dense_rank() OVER w AS dr, " +
+        "round(percent_rank() OVER w, 6) AS pr, " +
+        "round(cume_dist() OVER w, 6) AS cd " +
+        "FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC)"),
     "q50_sort_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25",
     "q51_sort_multi" ->

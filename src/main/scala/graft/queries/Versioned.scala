@@ -115,6 +115,16 @@ object Versioned extends QueryPack {
     // files; the change feed has already skipped the rewrite
     "v12_graft_compacted" -> ((s, d) => compactFixture(s, d).read(s)),
 
+    // files metadata table: per-file record counts keyed by partition
+    // value (one file per partition in this fixture, so the counts are
+    // exactly nation's per-region group sizes)
+    "v13_graft_files" -> ((s, d) =>
+      partFixture(s, d).filesTable(s)
+        .select(
+          element_at(col("partition"), "n_regionkey").cast("int")
+            .as("n_regionkey"),
+          col("record_count"))),
+
     // partitioned scan: predicate on the partition column reads exactly
     // one partition (inputFiles-asserted in GraftTableSpec; here the
     // driver checks the results are exactly region 2's nations)
@@ -188,6 +198,9 @@ object Versioned extends QueryPack {
     "v12_graft_compacted" ->
       ("SELECT r.*, CAST(3 AS BIGINT) AS snapshot__id FROM " +
         "(SELECT * FROM region UNION ALL SELECT * FROM region) r"),
+    "v13_graft_files" ->
+      ("SELECT n_regionkey, CAST(count(*) AS BIGINT) AS record_count " +
+        "FROM nation GROUP BY n_regionkey"),
     "v09_graft_partitioned" ->
       ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM nation " +
         "WHERE n_regionkey = 2"),

@@ -444,6 +444,23 @@ final class GraftTable private (
     spark.readStream.schema(schema).parquet(s"$dir/data")
   }
 
+  /** The files metadata table (Iceberg's `files` analog, a sibling of the
+    * reference's `__snapshots` surface): one row per data file in the
+    * scanned snapshot, with record counts, sizes and partition values —
+    * the operational "what does this table hold" view that drives
+    * compaction decisions and skew diagnosis. Metadata-only (manifest
+    * read); no data I/O at any scale. */
+  def filesTable(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
+    val rows = resolveSnapshot(snapshotId).toSeq.flatMap { s =>
+      Manifest.read(s"$dir/${s.manifestList}").files.map { f =>
+        Row(f.path, f.recordCount, f.fileSizeBytes,
+          f.partition.map { case (k, v) => k -> v.orNull })
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), FilesSchema)
+  }
+
   /** The `__snapshots` system table (V1/S7). Tiny metadata → a local
     * DataFrame is correct at any scale (the data it describes is big; the
     * log is not). Schema mirrors SnapshotIterable.createSnapshotRecord. */
@@ -487,6 +504,13 @@ object GraftTable {
   val PropVirtualColumnName = "graft.snapshot.virtual.column.name"
   val PropSnapshotsTable = "graft.snapshots.table"
   val SnapshotsSuffix = "__snapshots"
+
+  /** Files metadata-table schema (see [[GraftTable.filesTable]]). */
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size_bytes", LongType, nullable = false),
+    StructField("partition", MapType(StringType, StringType), nullable = true)))
 
   /** Snapshots system-table schema (FIXTURES.md F4 /
     * SnapshotIterable.java:48-57). */
