@@ -47,6 +47,13 @@ final class GraftCatalog(warehouse: String) {
       require(t.snapshotsTableEnabled,
         s"snapshots table disabled for $base (${GraftTable.PropSnapshotsTable}=false)")
       t.snapshots(spark)
+    } else if (identifier.endsWith(GraftTable.FilesSuffix)) {
+      // same naming convention as __snapshots; a real table by that exact
+      // name takes precedence
+      if (GraftTable.exists(tableDir(identifier)))
+        return GraftTable.load(tableDir(identifier)).read(spark)
+      val base = identifier.dropRight(GraftTable.FilesSuffix.length)
+      GraftTable.load(tableDir(base)).filesTable(spark)
     } else {
       GraftTable.load(tableDir(identifier)).read(spark)
     }

@@ -504,6 +504,7 @@ object GraftTable {
   val PropVirtualColumnName = "graft.snapshot.virtual.column.name"
   val PropSnapshotsTable = "graft.snapshots.table"
   val SnapshotsSuffix = "__snapshots"
+  val FilesSuffix = "__files"
 
   /** Files metadata-table schema (see [[GraftTable.filesTable]]). */
   val FilesSchema: StructType = StructType(Seq(

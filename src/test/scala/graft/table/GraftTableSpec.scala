@@ -535,5 +535,28 @@ class GraftTableSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       cat.loadDataFrame(spark, "db.nosnaps__snapshots")
     }
+
+    // __files naming resolves the files metadata table
+    val files = cat.loadDataFrame(spark, "db.people__files")
+    assert(files.columns.toSeq ==
+      Seq("file_path", "record_count", "file_size_bytes", "partition"))
+    assert(files.select("record_count").collect().map(_.getLong(0)).sum == 1)
+  }
+
+  test("partition value escape/decode round-trips arbitrary strings") {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val rng = new scala.util.Random(7)
+    val specials = Seq("a/b", "a=b", "a:b", "a b", "a%20b", "..", "a\tb",
+      "a\nb", "ünïcode-日本語", "%", "__HIVE_DEFAULT_PARTITION_", "")
+    val randoms = Seq.fill(200)(rng.alphanumeric.take(rng.nextInt(12)).mkString +
+      Seq("/", "=", "%", ":", " ", "#").apply(rng.nextInt(6)))
+    for (v <- specials ++ randoms) {
+      val escaped = ExternalCatalogUtils.escapePathName(v)
+      assert(!escaped.contains("/"), s"escaped form leaks a separator: $v")
+      assert(PartitionValues.decode(escaped) == Some(v),
+        s"round-trip failed for '$v'")
+    }
+    // the Hive null marker decodes to None (null partition)
+    assert(PartitionValues.decode(PartitionValues.NullMarker).isEmpty)
   }
 }
