@@ -25,8 +25,9 @@ final class GraftCatalog(warehouse: String) {
   def createTable(
       identifier: String,
       schema: org.apache.spark.sql.types.StructType,
-      properties: Map[String, String] = Map.empty): GraftTable =
-    GraftTable.create(tableDir(identifier), schema, properties)
+      properties: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil): GraftTable =
+    GraftTable.create(tableDir(identifier), schema, properties, partitionBy)
 
   /** Resolve `db.table` or `db.table__snapshots`. Returns either the data
     * table or its snapshots system table as a DataFrame.

@@ -82,6 +82,36 @@ class EventStreamSpec extends SparkSpecBase {
     assert(out.contains((2L, 1L)), s"user2 session missing: ${out.mkString(",")}")
   }
 
+  test("streamingDedup: first copy per fingerprint survives across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val query = EventStream.streamingDedup(docs, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: two distinct texts + one in-batch duplicate
+    input.addData(
+      (ts(0), 1L, "the quick brown fox"),
+      (ts(1), 2L, "a different document"),
+      (ts(2), 3L, "The  Quick   Brown Fox")) // same after normalization
+    query.processAllAvailable()
+
+    // batch 2: cross-batch duplicate of doc 1 + a new text
+    input.addData(
+      (ts(10), 4L, "the quick brown fox"),
+      (ts(11), 5L, "something new entirely"))
+    query.processAllAvailable()
+    query.stop()
+
+    val ids = spark.table("sdedup").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 5L),
+      s"expected first-arrival survivors 1,2,5; got ${ids.mkString(",")}")
+  }
+
   test("windowedCounts from a real parquet file source matches the batch answer") {
     import org.apache.spark.sql.functions._
     // stage the events parquet in its own directory (a streaming source

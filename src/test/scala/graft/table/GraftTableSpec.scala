@@ -515,6 +515,17 @@ class GraftTableSpec extends SparkSpecBase {
       "SELECT id FROM db_renamed WHERE version_id = 1")
       .collect().map(_.getLong(0)).toSeq
     assert(rt == Seq(1L))
+
+    // partition pruning flows through the SQL path too: the per-query
+    // optimizer rule hands the WHERE clause to manifest pruning, so a
+    // partition-column predicate reads only that partition's files
+    val pt = cat.createTable("db.ptab", partSchema, partitionBy = Seq("cat"))
+    pt.append(mkPartDf((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")),
+      Some(1000L))
+    cat.register(spark, "db.ptab")
+    val psql = spark.sql("SELECT id FROM db_ptab WHERE cat = 'b'")
+    assert(psql.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(psql.inputFiles.length == 1 && psql.inputFiles.head.contains("cat=b"))
   }
 
   test("catalog resolution: db.table, __snapshots naming, opt-out") {
