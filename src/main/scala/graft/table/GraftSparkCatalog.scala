@@ -1,0 +1,189 @@
+package graft.table
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSource-V2 `TableCatalog` over a graft warehouse — the standard-
+  * Spark integration surface (the reference's Hive `StorageHandler` analog,
+  * IcebergStorageHandler.java:38-113, re-expressed as the catalog plugin
+  * API Spark actually routes SQL through):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.table.GraftSparkCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/wh")
+  *   spark.sql("SELECT * FROM graft.db.tbl")                    // current
+  *   spark.sql("SELECT * FROM graft.db.tbl VERSION AS OF 1")    // snapshot
+  *   spark.sql("SELECT * FROM graft.db.tbl TIMESTAMP AS OF ...")// as-of
+  *   spark.sql("ALTER TABLE graft.db.tbl ADD COLUMN score DOUBLE")
+  * }}}
+  *
+  * Reads ride Spark's own vectorized parquet `FileTable` over the pinned
+  * snapshot's manifest file list — pushdown, column pruning and row-group
+  * skipping are the battle-tested built-ins; snapshot pinning happens per
+  * `loadTable` call, so time travel is stateless per query exactly like
+  * the predicate path (TestPredicatePushdown.java:74-112). SQL writes are
+  * rejected: appends must go through [[GraftTable.append]]'s manifest
+  * commit protocol (a bare parquet write would corrupt the table).
+  *
+  * This path reports the TABLE schema (no virtual `snapshot__id` column) —
+  * time travel here uses the standard `VERSION AS OF` syntax; the virtual-
+  * column dialect lives on [[GraftCatalog.register]]'s view path.
+  */
+class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option 'warehouse'"))
+  }
+
+  override def name(): String = catalogName
+
+  private def cat = new GraftCatalog(warehouse)
+
+  private def identToName(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  private def dirFor(ident: Identifier): String =
+    cat.tableDir(identToName(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = java.nio.file.Paths.get(
+      (Seq(warehouse) ++ namespace).mkString("/"))
+    if (!java.nio.file.Files.isDirectory(nsDir)) return Array.empty
+    scala.util.Using.resource(java.nio.file.Files.list(nsDir)) { s =>
+      s.iterator().asScala
+        .filter(p => GraftTable.exists(p.toString))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftTable.exists(dirFor(ident))
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, snapshotId = None)
+
+  /** `VERSION AS OF <v>` — v is the snapshot id. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val id = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft version must be a snapshot id, got '$version'")
+    }
+    load(ident, snapshotId = Some(id))
+  }
+
+  /** `TIMESTAMP AS OF <t>` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = loadGraft(ident)
+    val snap = t.snapshotAsOfTime(timestampMicros / 1000L).map(_.snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at or before timestamp ${timestampMicros / 1000L}ms " +
+          s"in ${identToName(ident)}"))
+    load(ident, snapshotId = Some(snap))
+  }
+
+  private def loadGraft(ident: Identifier): GraftTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    GraftTable.load(dirFor(ident))
+  }
+
+  private def load(ident: Identifier, snapshotId: Option[Long]): Table = {
+    val t = loadGraft(ident)
+    new GraftV2Table(identToName(ident), t, snapshotId)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val partCols = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft supports only identity partitioning, got $other")
+    }
+    val props = properties.asScala.toMap -
+      TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER -
+      TableCatalog.PROP_OWNER - TableCatalog.PROP_EXTERNAL
+    val t = GraftTable.create(dirFor(ident), schema, props, partCols)
+    new GraftV2Table(identToName(ident), t, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    var t = loadGraft(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        t = t.addColumn(add.fieldNames()(0), add.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"graft supports only top-level ADD COLUMN, got $other")
+    }
+    new GraftV2Table(identToName(ident), t, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    GraftTable.deleteRecursively(java.nio.file.Paths.get(dirFor(ident)))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft tables cannot be renamed")
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+}
+
+/** Read-only DSv2 table over one pinned snapshot. Delegates the scan to
+  * Spark's parquet `FileTable` built from the manifest's file list — the
+  * split planning analog of the reference's `planTasks`
+  * (IcebergInputFormat.java:102-118) with Spark's bin-packing. */
+final class GraftV2Table(
+    tableName: String,
+    t: GraftTable,
+    snapshotId: Option[Long]) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = t.schema
+
+  override def partitioning(): Array[Transform] =
+    t.partitionColumns.map(c => Expressions.identity(c)).toArray
+
+  override def properties(): util.Map[String, String] =
+    t.properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val snap = snapshotId match {
+      case Some(id) => Some(t.log.byId(id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id in ${t.dir}")))
+      case None => t.log.current
+    }
+    val paths = snap.toSeq.flatMap { s =>
+      Manifest.read(s"${t.dir}/${s.manifestList}").files
+        .map(f => s"${t.dir}/${f.path}")
+    }
+    val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    if (t.partitionColumns.nonEmpty) opts.put("basePath", s"${t.dir}/data")
+    org.apache.spark.sql.classic.GraftBridge
+      .parquetTable(spark, tableName, paths, t.schema, opts)
+      .newScanBuilder(new CaseInsensitiveStringMap(opts))
+  }
+}

@@ -109,6 +109,16 @@ object TableDemo {
     println("SQL-STATELESS: count=" +
       spark.sql("SELECT * FROM db_people").count())
 
+    // DSv2 catalog plugin: standard Spark SQL time-travel syntax
+    spark.conf.set("spark.sql.catalog.gdemo", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gdemo.warehouse", s"$dir/wh")
+    println("CATALOG-V2 latest: " +
+      spark.sql("SELECT * FROM gdemo.db.people ORDER BY id")
+        .collect().mkString(", "))
+    println("CATALOG-V2 v1: " +
+      spark.sql("SELECT * FROM gdemo.db.people VERSION AS OF 1 ORDER BY id")
+        .collect().mkString(", "))
+
     spark.stop()
   }
 }

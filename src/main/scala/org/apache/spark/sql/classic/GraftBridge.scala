@@ -24,4 +24,23 @@ object GraftBridge {
   def analyzedPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[Dataset[_]].queryExecution.analyzed
+
+  /** Spark's own vectorized-parquet DSv2 table over an explicit file list
+    * with a fixed schema — the scan engine behind [[graft.table
+    * .GraftSparkCatalog]]. Constructed here because the FileTable family
+    * is package-private to org.apache.spark.sql. */
+  def parquetTable(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      paths: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      options: java.util.Map[String, String])
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      name,
+      spark.asInstanceOf[SparkSession],
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(options),
+      paths,
+      Some(schema),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 }

@@ -1,0 +1,89 @@
+package graft.table
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** The DSv2 catalog-plugin surface: standard Spark SQL against graft
+  * tables, including `VERSION AS OF` / `TIMESTAMP AS OF` time travel —
+  * the catalog analog of the reference's storage-handler integration
+  * (IcebergStorageHandler.java:38-113) using Spark's native syntax.
+  */
+class GraftSparkCatalogSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  private def mkDf(rows: (Long, String)*) = {
+    val rdd = spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1)
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private lazy val wh = tmpDir("graft-v2cat")
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.g2", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.g2.warehouse", wh)
+  }
+
+  test("SQL reads with VERSION AS OF and TIMESTAMP AS OF") {
+    val t = GraftTable.create(s"$wh/db/tt", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+
+    assert(spark.sql("SELECT * FROM g2.db.tt").count() == 2)
+    assert(spark.sql("SELECT id FROM g2.db.tt VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // stateless: the very next un-pinned query is back on the latest
+    assert(spark.sql("SELECT * FROM g2.db.tt").count() == 2)
+    // as-of commit time 1500ms -> snapshot 1
+    assert(spark.sql(
+      "SELECT id FROM g2.db.tt TIMESTAMP AS OF CAST(1.5 AS TIMESTAMP)")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // filters push into the parquet scan (errors would surface here);
+    // results stay correct under projection + predicate
+    assert(spark.sql("SELECT data FROM g2.db.tt WHERE id = 2")
+      .collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("CREATE TABLE, ALTER ADD COLUMN, DROP through SQL DDL") {
+    spark.sql("CREATE TABLE g2.db.made (id BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    val t = GraftTable.load(s"$wh/db/made")
+    assert(t.partitionColumns == Seq("cat"))
+
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "x"), Row(2L, "y")), 1),
+      t.schema), Some(1000L))
+    // partition predicate through the catalog path
+    val one = spark.sql("SELECT id FROM g2.db.made WHERE cat = 'x'")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    spark.sql("ALTER TABLE g2.db.made ADD COLUMN score DOUBLE")
+    assert(GraftTable.load(s"$wh/db/made").schema.fieldNames.toSeq ==
+      Seq("id", "cat", "score"))
+    // pre-evolution rows read the new column as NULL through SQL
+    val rows = spark.sql("SELECT id, score FROM g2.db.made ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(rows.toSeq == Seq((1L, true), (2L, true)))
+
+    assert(spark.sql("SHOW TABLES IN g2.db").collect()
+      .map(_.getString(1)).toSet.contains("made"))
+    spark.sql("DROP TABLE g2.db.made")
+    assert(!GraftTable.exists(s"$wh/db/made"))
+  }
+
+  test("SQL writes are rejected; commits go through the manifest protocol") {
+    val t = GraftTable.create(s"$wh/db/ro", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    intercept[Exception] {
+      spark.sql("INSERT INTO g2.db.ro VALUES (9, 'z')")
+    }
+    // whatever the analyzer phrases it as, the table must be unchanged
+    assert(GraftTable.load(s"$wh/db/ro").read(spark).count() == 1)
+  }
+}
