@@ -3,7 +3,7 @@ package graft.table
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, Statistics}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 
@@ -88,6 +88,24 @@ final case class ResolveGraftScan(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // Metadata-only count(*): an ungrouped, unfiltered count over the
+    // relation is answered from the manifest's record counts — zero data
+    // I/O (at 100 TB: a JSON read instead of a table scan). Iceberg-class
+    // formats make the same guarantee from the same bookkeeping; the
+    // append path records exact per-file counts from parquet footers.
+    // Only literal-argument COUNT without DISTINCT/FILTER qualifies —
+    // count(col) depends on per-row nulls and must scan.
+    case Aggregate(Seq(), aggExprs, MetadataCountChild(g), _)
+        if isLiteralCountOnly(aggExprs) =>
+      val t = GraftTable.load(g.dir)
+      val n = t.log.current
+        .map(s => Manifest.read(s"${g.dir}/${s.manifestList}").totalRecords)
+        .getOrElse(0L)
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        aggExprs.map(_.toAttribute),
+        Seq(org.apache.spark.sql.catalyst.InternalRow(
+          aggExprs.map(_ => n): _*)))
+
     case f @ Filter(cond, g: GraftRelation) =>
       val t = GraftTable.load(g.dir)
       val snapId = TimeTravel.extractSnapshotId(cond, t.virtualColumn)
@@ -104,6 +122,30 @@ final case class ResolveGraftScan(spark: SparkSession)
       val t = GraftTable.load(g.dir)
       val df = t.snapshots(spark)
       remap(org.apache.spark.sql.classic.GraftBridge.analyzedPlan(df), g.output)
+  }
+
+  /** Every aggregate is COUNT over non-null foldable arguments (count(*)
+    * canonicalizes to count(1)), no DISTINCT, no FILTER clause. */
+  private def isLiteralCountOnly(
+      aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+    aggExprs.nonEmpty && aggExprs.forall {
+      case Alias(AggregateExpression(Count(children), _, false, None, _), _) =>
+        children.forall(c => c.foldable && c.eval() != null)
+      case _ => false
+    }
+  }
+
+  /** The aggregate child is the bare relation, possibly under a pruning
+    * Project of plain attributes (what ColumnPruning leaves behind). */
+  private object MetadataCountChild {
+    def unapply(plan: LogicalPlan): Option[GraftRelation] = plan match {
+      case g: GraftRelation => Some(g)
+      case Project(ps, g: GraftRelation)
+          if ps.forall(_.isInstanceOf[Attribute]) => Some(g)
+      case _ => None
+    }
   }
 
   /** Project the concrete scan's output onto the relation's attribute ids

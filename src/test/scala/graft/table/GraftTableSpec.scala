@@ -528,6 +528,38 @@ class GraftTableSpec extends SparkSpecBase {
     assert(psql.inputFiles.length == 1 && psql.inputFiles.head.contains("cat=b"))
   }
 
+  test("metadata-only count(*): answered from the manifest, no scan") {
+    val wh = tmpDir("graft-metacount")
+    val cat = new GraftCatalog(wh)
+    val t = cat.createTable("db.cnt", simpleSchema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.append(mkDf(3L -> "c"), Some(2000L))
+    cat.register(spark, "db.cnt")
+
+    val c = spark.sql("SELECT count(*) AS n, count(1) AS m FROM db_cnt")
+    assert(c.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 3L)))
+    val plan = c.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), s"metadata count scanned data:\n$plan")
+
+    // a deferred count sees later appends (per-query manifest read)
+    t.append(mkDf(4L -> "d"), Some(3000L))
+    assert(spark.sql("SELECT count(*) FROM db_cnt").head().getLong(0) == 4L)
+
+    // filtered counts and count(col) must NOT take the metadata path
+    val filtered = spark.sql("SELECT count(*) FROM db_cnt WHERE id > 1")
+    assert(filtered.head().getLong(0) == 3L)
+    assert(filtered.queryExecution.executedPlan.toString.contains("Scan parquet"))
+    val colCount = spark.sql("SELECT count(data) FROM db_cnt")
+    assert(colCount.head().getLong(0) == 4L)
+    assert(colCount.queryExecution.executedPlan.toString.contains("Scan parquet"))
+
+    // empty table: metadata count is 0
+    cat.createTable("db.cnt0", simpleSchema)
+    cat.register(spark, "db.cnt0")
+    assert(spark.sql("SELECT count(*) FROM db_cnt0").head().getLong(0) == 0L)
+  }
+
   test("catalog resolution: db.table, __snapshots naming, opt-out") {
     val wh = tmpDir("graft-wh")
     val cat = new GraftCatalog(wh)
