@@ -115,6 +115,23 @@ class PruningPropertySpec extends AnyFunSuite {
     }, minSuccessful = 4000)
   }
 
+  test("property: partition-derived stats never prune a matching partition") {
+    // a partitioned file's rows ALL carry the partition value; its stats
+    // are synthesized by PartitionValues.stats (min = max = value, or
+    // all-null). Soundness: if the partition value satisfies the
+    // predicate, the file must be kept.
+    val valueGen: Gen[Option[Long]] = Gen.frequency(
+      8 -> Gen.chooseNum(-20L, 20L).map(Some(_)),
+      1 -> Gen.const(None))
+    check(Prop.forAll(valueGen, predGen(3), Gen.chooseNum(1L, 100L)) {
+      (value, pred, rows) =>
+        val stats = Map("x" ->
+          PartitionValues.stats(value.map(_.toString), LongType, rows))
+        val matches = evalRow(pred, value).contains(true)
+        !matches || Pruning.mayMatch(pred, stats, schema)
+    }, minSuccessful = 4000)
+  }
+
   test("property: string equality pruning is sound") {
     val sattr = AttributeReference("s", StringType)()
     val sschema = StructType(Seq(StructField("s", StringType)))
