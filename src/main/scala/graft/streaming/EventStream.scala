@@ -94,6 +94,28 @@ object EventStream {
       }
   }
 
+  /** Stream-STREAM interval join: each purchase matched to the same
+    * user's clicks in the `attributionSeconds` window before it — the
+    * streaming form of the AS-OF/attribution join (batch e08). Watermarks
+    * on BOTH sides plus the interval condition let Spark expire join
+    * state: a click older than the watermark minus the window can never
+    * match a future purchase and is dropped from the state store — the
+    * invariant that keeps state bounded on an unbounded stream.
+    * Inputs need (ts: Timestamp, userId: Long, …) columns. */
+  def clickAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      attributionSeconds: Long = 3600,
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark).alias("c")
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    c.join(p, expr(
+      s"""c.userId = p.userId AND
+          c.ts BETWEEN p.ts - INTERVAL $attributionSeconds SECONDS AND p.ts"""))
+      .select(col("p.userId").as("userId"), col("p.ts").as("purchase_ts"),
+        col("c.ts").as("click_ts"))
+  }
+
   /** STREAMING exact dedup — the incremental form of d01/d02: keep the
     * first-arriving document per content fingerprint, dropping later
     * copies across micro-batches. `dropDuplicates` keys the state store by

@@ -112,6 +112,35 @@ class EventStreamSpec extends SparkSpecBase {
       s"expected first-arrival survivors 1,2,5; got ${ids.mkString(",")}")
   }
 
+  test("clickAttribution: stream-stream interval join within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = EventStream.clickAttribution(
+      clicks.toDF().toDF("ts", "userId"),
+      purchases.toDF().toDF("ts", "userId"),
+      attributionSeconds = 600, watermark = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+
+    clicks.addData((ts(0), 1L), (ts(5), 1L), (ts(30), 1L), (ts(5), 2L))
+    purchases.addData((ts(8), 1L)) // window [ts -2, ts 8]: clicks at 0,5
+    query.processAllAvailable()
+    // advance both watermarks so results flush
+    clicks.addData((ts(300), 9L))
+    purchases.addData((ts(300), 9L))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("attr")
+      .filter($"userId" === 1L)
+      .select("click_ts").collect().map(_.getTimestamp(0).toString).sorted.toSeq
+    assert(got == Seq("2024-01-01 00:00:00.0", "2024-01-01 00:05:00.0"),
+      s"expected clicks at 0 and 5 min attributed; got $got")
+  }
+
   test("windowedCounts from a real parquet file source matches the batch answer") {
     import org.apache.spark.sql.functions._
     // stage the events parquet in its own directory (a streaming source
