@@ -165,6 +165,23 @@ object TextAnalysis extends QueryPack {
           round(col("score_raw"), 6).as("score"))
     }),
 
+    // fuzzy string matching: Levenshtein edit distance over a bounded
+    // pair space (first-token blocking keeps the self-join from going
+    // O(n²) — same discipline as the LSH pipelines). Both engines
+    // implement the identical DP, so distances hash-match exactly.
+    "t12_edit_distance" -> ((s, d) => {
+      val names = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), col("p_name"),
+          substring_index(col("p_name"), " ", 1).as("blk"))
+      val a = names.alias("a")
+      val b = names.alias("b")
+      a.join(b, col("a.blk") === col("b.blk") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"))
+        .filter(col("edit_dist") <= 12)
+    }),
+
     // corpus-level stats: tokens and length percentiles per language —
     // the "what's in this corpus" report; partial aggregation map-side.
     "t05_corpus_stats" -> ((s, d) =>
@@ -239,6 +256,13 @@ object TextAnalysis extends QueryPack {
           "(PARTITION BY doc_id ORDER BY score_raw DESC, tok ASC) AS rank FROM scored) " +
           "SELECT doc_id, rank, tok, round(score_raw, 6) AS score " +
           "FROM ranked WHERE rank <= 3"),
+      "t12_edit_distance" ->
+        ("WITH names AS (SELECT p_partkey, p_name, " +
+          "split_part(p_name, ' ', 1) AS blk FROM part WHERE p_partkey <= 200) " +
+          "SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, " +
+          "levenshtein(a.p_name, b.p_name) AS edit_dist " +
+          "FROM names a JOIN names b ON a.blk = b.blk AND a.p_partkey < b.p_partkey " +
+          "WHERE levenshtein(a.p_name, b.p_name) <= 12"),
       "t05_corpus_stats" ->
         // CAST the integer sums: DuckDB sum(INT) returns HUGEINT, which the
         // driver-side pandas bridge renders as float ("3.0" vs Spark's "3")

@@ -192,18 +192,31 @@ final class GraftTable private (
   def compact(
       spark: SparkSession,
       smallerThanBytes: Long,
-      committedAt: Option[Long] = None): Option[Snapshot] = {
+      committedAt: Option[Long] = None,
+      sortBy: Seq[String] = Nil,
+      targetFileBytes: Option[Long] = None): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val (small, big) = manifest.files.partition(_.fileSizeBytes < smallerThanBytes)
     if (small.size < 2) return None
+    sortBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"sort column '$c' not in schema"))
 
     val snapId = lg.nextId
     val totalBytes = small.map(_.fileSizeBytes).sum
-    val targetParts = math.max(1L, totalBytes / math.max(1L, smallerThanBytes)).toInt
-    val df = readFiles(spark, small.map(f => s"$dir/${f.path}"))
-      .coalesce(targetParts) // pack, don't shuffle: rewrite is pure I/O
+    val perFile = math.max(1L, targetFileBytes.getOrElse(smallerThanBytes))
+    val targetParts = math.max(1L, totalBytes / perFile).toInt
+    val packed = readFiles(spark, small.map(f => s"$dir/${f.path}"))
+    // clustered rewrite (Iceberg sort-order analog): range-partition +
+    // sort so each output file covers a DISJOINT range of the sort key —
+    // min/max stats then prune point/range queries to one file instead of
+    // all of them. Unclustered compaction is a pure repack (no shuffle).
+    val df =
+      if (sortBy.isEmpty) packed.coalesce(targetParts)
+      else packed
+        .repartitionByRange(targetParts, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
     val newFiles = writeDataFiles(df, snapId)
     Some(commit(lg, snapId, Manifest(big ++ newFiles), newFiles,
       operation = "replace", committedAt,

@@ -359,6 +359,33 @@ class GraftTableSpec extends SparkSpecBase {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("clustered compaction: sorted rewrite makes point queries one-file") {
+    val dir = tmpDir("graft-cluster")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    // interleaved ids across three appends: every file spans the full id
+    // range, so min/max pruning keeps all files for a point query
+    t.append(mkDf(1L -> "a", 50L -> "b", 99L -> "c"), Some(1000L))
+    t.append(mkDf(2L -> "d", 51L -> "e", 98L -> "f"), Some(2000L))
+    t.append(mkDf(3L -> "g", 52L -> "h", 97L -> "i"), Some(3000L))
+    assert(t.scan(spark, Some(col("id") === 50L)).inputFiles.length == 3)
+
+    // tiny target size forces multiple output files; range partitioning
+    // gives them disjoint id ranges
+    val snap = t.compact(spark, smallerThanBytes = 1 << 20, Some(4000L),
+      sortBy = Seq("id"), targetFileBytes = Some(1000L))
+    assert(snap.exists(_.operation == "replace"))
+    val after = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+    assert(after.totalRecords == 9)
+    assert(after.files.size > 1, "target size should split the rewrite")
+
+    val point = t.scan(spark, Some(col("id") === 50L))
+    assert(point.select("data").collect().map(_.getString(0)).toSeq == Seq("b"))
+    assert(point.inputFiles.length < after.files.size,
+      s"clustered rewrite should prune: ${after.files.map(_.stats("id"))}")
+    // rows identical regardless of layout
+    assert(t.read(spark).count() == 9)
+  }
+
   test("partitioned compaction never mixes partitions") {
     val dir = tmpDir("graft-compact-part")
     val t = GraftTable.create(s"$dir/t", partSchema, partitionBy = Seq("cat"))
