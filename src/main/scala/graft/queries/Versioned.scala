@@ -103,6 +103,26 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Copy-on-write-delete fixture: nation appended (snapshot 1), then
+    * regions 2 and 4 deleted (snapshot 2, operation "delete"). */
+  private def deleteFixture(spark: SparkSession, sfDir: String): GraftTable =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/nation_del"
+      if (GraftTable.exists(dir)) {
+        val tb = GraftTable.load(dir)
+        if (tb.log.snapshots.size == 2) return tb
+        GraftTable.deleteRecursively(Paths.get(dir))
+      } else if (Files.exists(Paths.get(dir))) {
+        GraftTable.deleteRecursively(Paths.get(dir))
+      }
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      tb.delete(spark, col("n_regionkey").isin(2, 4), Some(2000L))
+      tb
+    }
+
   val queries: Map[String, Q] = Map(
 
     // schema evolution: one scan spanning pre- and post-evolution files;
@@ -114,6 +134,11 @@ object Versioned extends QueryPack {
     // snapshot — same rows (tagged with the replace snapshot id), fewer
     // files; the change feed has already skipped the rewrite
     "v12_graft_compacted" -> ((s, d) => compactFixture(s, d).read(s)),
+
+    // copy-on-write delete: one snapshot of nation, then regions 2 and 4
+    // deleted — the scan sees only the remaining rows (tagged with the
+    // delete snapshot), while snapshot 1 still holds all 25
+    "v14_graft_delete" -> ((s, d) => deleteFixture(s, d).read(s)),
 
     // files metadata table: per-file record counts keyed by partition
     // value (one file per partition in this fixture, so the counts are
@@ -198,6 +223,9 @@ object Versioned extends QueryPack {
     "v12_graft_compacted" ->
       ("SELECT r.*, CAST(3 AS BIGINT) AS snapshot__id FROM " +
         "(SELECT * FROM region UNION ALL SELECT * FROM region) r"),
+    "v14_graft_delete" ->
+      ("SELECT *, CAST(2 AS BIGINT) AS snapshot__id FROM nation " +
+        "WHERE n_regionkey NOT IN (2, 4)"),
     "v13_graft_files" ->
       ("SELECT n_regionkey, CAST(count(*) AS BIGINT) AS record_count " +
         "FROM nation GROUP BY n_regionkey"),

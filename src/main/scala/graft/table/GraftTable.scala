@@ -226,6 +226,82 @@ final class GraftTable private (
         "rewritten-bytes" -> totalBytes.toString)))
   }
 
+  /** Copy-on-write DELETE: rewrite only the files that MAY contain
+    * matching rows (manifest pruning picks the candidates), keeping the
+    * non-matching rows; untouched files carry over. Commits a `"delete"`
+    * snapshot — time travel to earlier snapshots still sees the deleted
+    * rows; [[changes]] skips delete snapshots (no retraction rows in an
+    * append-only feed). I/O is O(candidate files), not O(table): a
+    * predicate on a clustered/partitioned key touches only its slice.
+    * Returns None when no file can match (nothing to do, no commit). */
+  def delete(
+      spark: SparkSession,
+      predicate: Column,
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    val resolved = resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(predicate))
+    require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
+      s"delete predicate cannot reference the virtual column $virtualColumn")
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val (candidates, untouched) =
+      manifest.files.partition(f => Pruning.mayMatch(resolved, f.stats, schema))
+    if (candidates.isEmpty) return None
+
+    val snapId = lg.nextId
+    val remaining = readFiles(spark, candidates.map(f => s"$dir/${f.path}"))
+      .filter(!predicate)
+    val newFiles = writeDataFiles(remaining, snapId)
+      .filter(_.recordCount > 0) // drop empty rewrite outputs
+    val removed = candidates.map(_.recordCount).sum -
+      newFiles.map(_.recordCount).sum
+    Some(commit(lg, snapId, Manifest(untouched ++ newFiles), newFiles,
+      operation = "delete", committedAt,
+      extraSummary = Map(
+        "deleted-records" -> removed.toString,
+        "rewritten-data-files" -> candidates.size.toString)))
+  }
+
+  /** Roll the table back to an earlier snapshot by committing a NEW
+    * `"rollback"` snapshot that reuses its manifest — history is never
+    * rewritten (the bad snapshots stay queryable for forensics), the
+    * current state just points at the old file set again. */
+  def rollbackTo(snapshotId: Long, committedAt: Option[Long] = None): Snapshot = {
+    val lg = log
+    val target = lg.byId(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $snapshotId in $dir"))
+    val manifest = Manifest.read(s"$dir/${target.manifestList}")
+    commit(lg, lg.nextId, manifest, Nil,
+      operation = "rollback", committedAt,
+      extraSummary = Map("rolled-back-to" -> snapshotId.toString))
+  }
+
+  /** Expire snapshots committed before `olderThanMillis` (the current
+    * snapshot is always kept): their log entries and manifests are
+    * removed, and data files no longer referenced by ANY surviving
+    * manifest are physically deleted — how space is actually reclaimed
+    * after compaction/delete rewrites. Time travel to an expired snapshot
+    * fails loudly afterwards. Returns the expired snapshot ids. */
+  def expireSnapshots(olderThanMillis: Long): Seq[Long] = {
+    val lg = log
+    val current = lg.current.getOrElse(return Nil)
+    val (expired, kept) = lg.snapshots.partition(s =>
+      s.committedAt < olderThanMillis && s.snapshotId != current.snapshotId)
+    if (expired.isEmpty) return Nil
+
+    val live: Set[String] = kept
+      .flatMap(s => Manifest.read(s"$dir/${s.manifestList}").files.map(_.path))
+      .toSet
+    val dead = expired
+      .flatMap(s => Manifest.read(s"$dir/${s.manifestList}").files.map(_.path))
+      .distinct.filterNot(live)
+    SnapshotLog(kept).write(s"$dir/snapshots.json")
+    dead.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
+    expired.foreach(s => Files.deleteIfExists(Paths.get(dir, s.manifestList)))
+    expired.map(_.snapshotId)
+  }
+
   /** Schema evolution: add a nullable column (the add-column slice of
     * Iceberg's schema evolution; the reference reads its schema from table
     * metadata, never from data — `table.schema()`, IcebergSerDe.java:52 —

@@ -54,6 +54,21 @@ object TableDemo {
       Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}").files.size +
       " rows=" + t.read(spark).count())
 
+    // lifecycle ops on their own table (the main demo table's snapshots
+    // feed the CHANGES/FEED sections below and must stay intact)
+    val lt = GraftTable.create(s"$dir/lt", schema)
+    lt.append(df(1L -> "a", 2L -> "b"), Some(1000L))
+    lt.append(df(3L -> "c"), Some(2000L))
+    val dSnap = lt.delete(spark, col("id") === 2L, Some(3000L))
+    println("DELETE id=2: op=" + dSnap.map(_.operation).getOrElse("none") +
+      " rows=" + lt.read(spark).count() +
+      " tt-still-sees=" + lt.scan(spark, Some(col("snapshot__id") === 2L)).count())
+    val rbSnap = lt.rollbackTo(2L, Some(4000L))
+    println("ROLLBACK to 2: op=" + rbSnap.operation +
+      " rows=" + lt.read(spark).count())
+    println("EXPIRE <3500: ids=" +
+      lt.expireSnapshots(olderThanMillis = 3500L).mkString(","))
+
     val pSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("cat", StringType, nullable = true)))

@@ -430,6 +430,77 @@ class GraftTableSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { pt.readStream(spark) }
   }
 
+  test("copy-on-write delete: only candidate files rewritten, history intact") {
+    val dir = tmpDir("graft-delete")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))   // file A: ids 1-2
+    t.append(mkDf(10L -> "c", 11L -> "d"), Some(2000L)) // file B: ids 10-11
+
+    val snap = t.delete(spark, col("id") === 10L, Some(3000L))
+    assert(snap.exists(_.operation == "delete"))
+    assert(snap.get.summary("deleted-records") == "1")
+    // file A (ids 1-2) cannot match id=10: carried over untouched
+    assert(snap.get.summary("rewritten-data-files") == "1")
+
+    val now = t.read(spark).select("id").collect().map(_.getLong(0)).sorted
+    assert(now.toSeq == Seq(1L, 2L, 11L))
+
+    // time travel still sees the deleted row
+    val before = t.scan(spark, Some(col("snapshot__id") === 2L))
+    assert(before.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 10L, 11L))
+
+    // change feed never re-emits the delete rewrite
+    assert(t.changes(spark, fromSnapshotId = 2L).count() == 0)
+
+    // no candidate files -> no commit
+    assert(t.delete(spark, col("id") === 999L).isEmpty)
+    // deleting ALL remaining rows of a file leaves no empty file behind
+    t.delete(spark, col("id") === 11L, Some(4000L))
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    // virtual-column predicates are rejected
+    intercept[IllegalArgumentException] {
+      t.delete(spark, col("snapshot__id") === 1L)
+    }
+  }
+
+  test("rollback commits a new snapshot pointing at the old file set") {
+    val dir = tmpDir("graft-rollback")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "bad"), Some(2000L))
+
+    val rb = t.rollbackTo(1L, Some(3000L))
+    assert(rb.operation == "rollback" && rb.snapshotId == 3L)
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the bad snapshot remains queryable for forensics
+    assert(t.scan(spark, Some(col("snapshot__id") === 2L)).count() == 2)
+    intercept[IllegalArgumentException] { t.rollbackTo(99L) }
+  }
+
+  test("snapshot expiration reclaims files unreferenced by survivors") {
+    val dir = tmpDir("graft-expire")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    t.compact(spark, smallerThanBytes = 1 << 20, Some(3000L))
+    def dataFiles() = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t/data"))) {
+      s => s.filter(_.toString.endsWith(".parquet")).count()
+    }
+    assert(dataFiles() == 3) // 2 originals + 1 compacted
+
+    val expired = t.expireSnapshots(olderThanMillis = 2500L)
+    assert(expired == Seq(1L, 2L))
+    // originals were only referenced by expired snapshots: physically gone
+    assert(dataFiles() == 1)
+    // current still reads; expired time travel fails loudly
+    assert(t.read(spark).count() == 2)
+    intercept[IllegalArgumentException] { t.read(spark, Some(1L)) }
+    assert(t.snapshots(spark).count() == 1)
+  }
+
   test("tables are relocatable: move the directory, everything still reads") {
     val dir = tmpDir("graft-reloc")
     val t = GraftTable.create(s"$dir/orig", simpleSchema)
