@@ -135,6 +135,31 @@ object Versioned extends QueryPack {
     // files; the change feed has already skipped the rewrite
     "v12_graft_compacted" -> ((s, d) => compactFixture(s, d).read(s)),
 
+    // copy-on-write update: region-1 nations get their comment redacted
+    // in snapshot 2; every other row carries over byte-identical
+    "v15_graft_update" -> ((s, d) => {
+      val tbl = synchronized {
+        val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/nation_upd"
+        val existing =
+          if (GraftTable.exists(dir)) {
+            val tb = GraftTable.load(dir)
+            if (tb.log.snapshots.size == 2) Some(tb) else None
+          } else None
+        existing.getOrElse {
+          if (Files.exists(Paths.get(dir)))
+            GraftTable.deleteRecursively(Paths.get(dir))
+          val nation = t(s, d, "nation")
+          val tb = GraftTable.create(dir, nation.schema)
+          tb.append(nation, committedAt = Some(1000L))
+          tb.update(s, col("n_regionkey") === 1,
+            Map("n_name" -> concat(lit("X-"), col("n_name"))), Some(2000L))
+          tb
+        }
+      }
+      tbl.read(s)
+    }),
+
     // copy-on-write delete: one snapshot of nation, then regions 2 and 4
     // deleted — the scan sees only the remaining rows (tagged with the
     // delete snapshot), while snapshot 1 still holds all 25
@@ -223,6 +248,10 @@ object Versioned extends QueryPack {
     "v12_graft_compacted" ->
       ("SELECT r.*, CAST(3 AS BIGINT) AS snapshot__id FROM " +
         "(SELECT * FROM region UNION ALL SELECT * FROM region) r"),
+    "v15_graft_update" ->
+      ("SELECT n_nationkey, " +
+        "CASE WHEN n_regionkey = 1 THEN 'X-' || n_name ELSE n_name END AS n_name, " +
+        "n_regionkey, CAST(2 AS BIGINT) AS snapshot__id FROM nation"),
     "v14_graft_delete" ->
       ("SELECT *, CAST(2 AS BIGINT) AS snapshot__id FROM nation " +
         "WHERE n_regionkey NOT IN (2, 4)"),

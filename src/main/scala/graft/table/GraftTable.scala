@@ -263,6 +263,47 @@ final class GraftTable private (
         "rewritten-data-files" -> candidates.size.toString)))
   }
 
+  /** Copy-on-write UPDATE: set `assignments` on rows matching
+    * `predicate`. Same candidate-file discipline as [[delete]] — only
+    * files whose stats MAY match are rewritten (matching rows get the new
+    * values, the rest are copied verbatim); untouched files carry over.
+    * Commits an `"update"` snapshot; I/O is O(candidate files). */
+  def update(
+      spark: SparkSession,
+      predicate: Column,
+      assignments: Map[String, Column],
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.when
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    require(assignments.nonEmpty, "update requires at least one assignment")
+    assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"unknown update column '$c'"))
+    require(assignments.keys.forall(c => !partitionColumns.contains(c)),
+      "updating a partition column is not supported (it would move rows " +
+        "across partition directories)")
+    val resolved = resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(predicate))
+    require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
+      s"update predicate cannot reference the virtual column $virtualColumn")
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val (candidates, untouched) =
+      manifest.files.partition(f => Pruning.mayMatch(resolved, f.stats, schema))
+    if (candidates.isEmpty) return None
+
+    val snapId = lg.nextId
+    val src = readFiles(spark, candidates.map(f => s"$dir/${f.path}"))
+    val rewritten = assignments.foldLeft(src) { case (df, (c, v)) =>
+      df.withColumn(c, when(predicate, v).otherwise(col(c)))
+    }.select(schema.fieldNames.map(col): _*) // keep declared column order
+    val newFiles = writeDataFiles(rewritten, snapId)
+    Some(commit(lg, snapId, Manifest(untouched ++ newFiles), newFiles,
+      operation = "update", committedAt,
+      extraSummary = Map(
+        "rewritten-data-files" -> candidates.size.toString,
+        "updated-columns" -> assignments.keys.toSeq.sorted.mkString(","))))
+  }
+
   /** Roll the table back to an earlier snapshot by committing a NEW
     * `"rollback"` snapshot that reuses its manifest — history is never
     * rewritten (the bad snapshots stay queryable for forensics), the

@@ -465,6 +465,39 @@ class GraftTableSpec extends SparkSpecBase {
     }
   }
 
+  test("copy-on-write update rewrites only candidate files") {
+    val dir = tmpDir("graft-update")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.append(mkDf(10L -> "c"), Some(2000L))
+
+    val snap = t.update(spark, col("id") === 2L,
+      Map("data" -> org.apache.spark.sql.functions.lit("B!")), Some(3000L))
+    assert(snap.exists(_.operation == "update"))
+    assert(snap.get.summary("rewritten-data-files") == "1") // ids-10 file untouched
+
+    val rows = t.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "B!"), (10L, "c")))
+    // history: snapshot 2 still has the old value
+    assert(t.scan(spark, Some(col("snapshot__id") === 2L))
+      .filter(col("id") === 2L).select("data").head().getString(0) == "b")
+
+    // guards: unknown column, partition column, no-candidate no-op
+    intercept[IllegalArgumentException] {
+      t.update(spark, col("id") === 1L,
+        Map("nope" -> org.apache.spark.sql.functions.lit(1)))
+    }
+    assert(t.update(spark, col("id") === 999L,
+      Map("data" -> org.apache.spark.sql.functions.lit("x"))).isEmpty)
+    val pt = GraftTable.create(s"$dir/pt", partSchema, partitionBy = Seq("cat"))
+    pt.append(mkPartDf((1L, "a", "x")), Some(1000L))
+    intercept[IllegalArgumentException] {
+      pt.update(spark, col("id") === 1L,
+        Map("cat" -> org.apache.spark.sql.functions.lit("b")))
+    }
+  }
+
   test("rollback commits a new snapshot pointing at the old file set") {
     val dir = tmpDir("graft-rollback")
     val t = GraftTable.create(s"$dir/t", simpleSchema)
