@@ -135,6 +135,37 @@ object Versioned extends QueryPack {
     // files; the change feed has already skipped the rewrite
     "v12_graft_compacted" -> ((s, d) => compactFixture(s, d).read(s)),
 
+    // merge/upsert: nations 0-2 renamed via a source batch, nations 90-91
+    // inserted — one atomic "merge" snapshot
+    "v16_graft_merge" -> ((s, d) => {
+      val tbl = synchronized {
+        val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/nation_mrg"
+        val existing =
+          if (GraftTable.exists(dir)) {
+            val tb = GraftTable.load(dir)
+            if (tb.log.snapshots.size == 2) Some(tb) else None
+          } else None
+        existing.getOrElse {
+          if (Files.exists(Paths.get(dir)))
+            GraftTable.deleteRecursively(Paths.get(dir))
+          val nation = t(s, d, "nation")
+          val tb = GraftTable.create(dir, nation.schema)
+          tb.append(nation, committedAt = Some(1000L))
+          val keyType = nation.schema("n_nationkey").dataType
+          val source = nation.filter(col("n_nationkey") <= 2)
+            .withColumn("n_name", concat(lit("M-"), col("n_name")))
+            .unionByName(nation.filter(col("n_nationkey") <= 1)
+              .withColumn("n_nationkey",
+                (col("n_nationkey") + 90).cast(keyType))
+              .withColumn("n_name", lit("NEWLAND")))
+          tb.merge(s, source, "n_nationkey", Some(2000L))
+          tb
+        }
+      }
+      tbl.read(s)
+    }),
+
     // copy-on-write update: region-1 nations get their comment redacted
     // in snapshot 2; every other row carries over byte-identical
     "v15_graft_update" -> ((s, d) => {
@@ -248,6 +279,12 @@ object Versioned extends QueryPack {
     "v12_graft_compacted" ->
       ("SELECT r.*, CAST(3 AS BIGINT) AS snapshot__id FROM " +
         "(SELECT * FROM region UNION ALL SELECT * FROM region) r"),
+    "v16_graft_merge" ->
+      ("SELECT n_nationkey, CASE WHEN n_nationkey <= 2 THEN 'M-' || n_name " +
+        "ELSE n_name END AS n_name, n_regionkey, " +
+        "CAST(2 AS BIGINT) AS snapshot__id FROM nation " +
+        "UNION ALL SELECT n_nationkey + 90, 'NEWLAND', n_regionkey, " +
+        "CAST(2 AS BIGINT) FROM nation WHERE n_nationkey <= 1"),
     "v15_graft_update" ->
       ("SELECT n_nationkey, " +
         "CASE WHEN n_regionkey = 1 THEN 'X-' || n_name ELSE n_name END AS n_name, " +

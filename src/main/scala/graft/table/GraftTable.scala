@@ -304,6 +304,56 @@ final class GraftTable private (
         "updated-columns" -> assignments.keys.toSeq.sorted.mkString(","))))
   }
 
+  /** MERGE (upsert) by key, one atomic commit: rows of `source` replace
+    * same-key rows; new keys append. Candidate files are pruned by the
+    * source's key RANGE (two scalars on the driver — metadata-class
+    * state), then matched rows are dropped with an anti-join and the
+    * survivors are rewritten together with the source. Files outside the
+    * key range carry over untouched — a merge of a narrow key slice
+    * touches only that slice's files. Commits a `"merge"` snapshot. */
+  def merge(
+      spark: SparkSession,
+      source: DataFrame,
+      keyCol: String,
+      committedAt: Option[Long] = None): Snapshot = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    require(schema.fieldNames.contains(keyCol), s"unknown merge key '$keyCol'")
+    require(source.columns.toSeq == schema.fieldNames.toSeq,
+      s"source columns ${source.columns.mkString(",")} must match table " +
+        s"schema ${schema.fieldNames.mkString(",")}")
+    val lg = log
+    val snapId = lg.nextId
+    val manifest = lg.current
+      .map(s => Manifest.read(s"$dir/${s.manifestList}"))
+      .getOrElse(Manifest.empty)
+
+    val bounds = source.agg(fmin(col(keyCol)), fmax(col(keyCol))).head()
+    val (candidates, untouched) =
+      if (bounds.isNullAt(0)) (Seq.empty[DataFileEntry], manifest.files)
+      else {
+        val pred = resolveAgainst(spark, schema,
+          org.apache.spark.sql.classic.GraftBridge.expr(
+            col(keyCol) >= lit(bounds.get(0)) && col(keyCol) <= lit(bounds.get(1))))
+        manifest.files.partition(f => Pruning.mayMatch(pred, f.stats, schema))
+      }
+
+    // no forced broadcast: delta batches are usually tiny (AQE broadcasts
+    // them), but a huge backfill source must be allowed to shuffle-join
+    val survivors =
+      if (candidates.isEmpty) source
+      else readFiles(spark, candidates.map(f => s"$dir/${f.path}"))
+        .join(source.select(col(keyCol).as("__mk")).distinct(),
+          col(keyCol) === col("__mk"), "left_anti")
+        .unionByName(source)
+    val newFiles = writeDataFiles(survivors, snapId)
+      .filter(_.recordCount > 0)
+    commit(lg, snapId, Manifest(untouched ++ newFiles), newFiles,
+      operation = "merge", committedAt,
+      extraSummary = Map(
+        "rewritten-data-files" -> candidates.size.toString,
+        "merge-key" -> keyCol))
+  }
+
   /** Roll the table back to an earlier snapshot by committing a NEW
     * `"rollback"` snapshot that reuses its manifest — history is never
     * rewritten (the bad snapshots stay queryable for forensics), the

@@ -498,6 +498,32 @@ class GraftTableSpec extends SparkSpecBase {
     }
   }
 
+  test("merge upserts by key in one commit, pruning by source key range") {
+    val dir = tmpDir("graft-merge")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))    // file A: 1-2
+    t.append(mkDf(100L -> "z"), Some(2000L))             // file B: 100
+
+    // source: update key 2, insert key 3 — range [2,3] misses file B
+    val snap = t.merge(spark, mkDf(2L -> "B!", 3L -> "new"), "id", Some(3000L))
+    assert(snap.operation == "merge")
+    assert(snap.summary("rewritten-data-files") == "1")
+
+    val rows = t.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "B!"), (3L, "new"), (100L, "z")))
+
+    // history intact; change feed skips merge rewrites (no re-emits)
+    assert(t.scan(spark, Some(col("snapshot__id") === 2L))
+      .filter(col("id") === 2L).select("data").head().getString(0) == "b")
+    assert(t.changes(spark, fromSnapshotId = 2L).count() == 0)
+
+    // merge into an empty table is a plain insert
+    val t2 = GraftTable.create(s"$dir/t2", simpleSchema)
+    t2.merge(spark, mkDf(5L -> "e"), "id", Some(1000L))
+    assert(t2.read(spark).count() == 1)
+  }
+
   test("rollback commits a new snapshot pointing at the old file set") {
     val dir = tmpDir("graft-rollback")
     val t = GraftTable.create(s"$dir/t", simpleSchema)
