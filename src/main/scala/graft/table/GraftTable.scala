@@ -310,7 +310,11 @@ final class GraftTable private (
     * state), then matched rows are dropped with an anti-join and the
     * survivors are rewritten together with the source. Files outside the
     * key range carry over untouched — a merge of a narrow key slice
-    * touches only that slice's files. Commits a `"merge"` snapshot. */
+    * touches only that slice's files. Commits a `"merge"` snapshot.
+    * Source rows are taken as-is: duplicate keys WITHIN the source are
+    * all inserted (dedupe the source first if that is not intended), and
+    * null-key source rows append without replacing anything (SQL null
+    * never equals a stored key). */
   def merge(
       spark: SparkSession,
       source: DataFrame,

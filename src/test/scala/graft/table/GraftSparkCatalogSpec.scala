@@ -77,6 +77,21 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(!GraftTable.exists(s"$wh/db/made"))
   }
 
+  test("catalog reads push filters into the parquet scan; empty tables read") {
+    val t = GraftTable.create(s"$wh/db/push", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    val q = spark.sql("SELECT data FROM g2.db.push WHERE id = 2")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,2"),
+      s"filter did not reach the scan:\n$plan")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("b"))
+
+    GraftTable.create(s"$wh/db/empty", schema)
+    assert(spark.sql("SELECT * FROM g2.db.empty").count() == 0)
+    assert(spark.sql("SELECT * FROM g2.db.empty").columns.toSeq ==
+      Seq("id", "data"))
+  }
+
   test("SQL writes are rejected; commits go through the manifest protocol") {
     val t = GraftTable.create(s"$wh/db/ro", schema)
     t.append(mkDf(1L -> "a"), Some(1000L))
