@@ -293,9 +293,15 @@ final class GraftTable private (
 
     val snapId = lg.nextId
     val src = readFiles(spark, candidates.map(f => s"$dir/${f.path}"))
-    val rewritten = assignments.foldLeft(src) { case (df, (c, v)) =>
-      df.withColumn(c, when(predicate, v).otherwise(col(c)))
-    }.select(schema.fieldNames.map(col): _*) // keep declared column order
+    // ONE projection computing every assignment from the OLD row (SQL
+    // UPDATE semantics): chained withColumn would let later assignments
+    // observe earlier ones' new values — wrong, and Map-order-dependent
+    val rewritten = src.select(schema.fieldNames.map { c =>
+      assignments.get(c) match {
+        case Some(v) => when(predicate, v).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
     val newFiles = writeDataFiles(rewritten, snapId)
     Some(commit(lg, snapId, Manifest(untouched ++ newFiles), newFiles,
       operation = "update", committedAt,
@@ -325,6 +331,12 @@ final class GraftTable private (
     require(source.columns.toSeq == schema.fieldNames.toSeq,
       s"source columns ${source.columns.mkString(",")} must match table " +
         s"schema ${schema.fieldNames.mkString(",")}")
+    source.schema.fields.zip(schema.fields).foreach { case (s, t) =>
+      require(s.dataType == t.dataType,
+        s"source column '${s.name}' is ${s.dataType.sql}, table expects " +
+          s"${t.dataType.sql} (cast the source; an implicit union widening " +
+          "would write files the table schema cannot read back)")
+    }
     val lg = log
     val snapId = lg.nextId
     val manifest = lg.current

@@ -498,6 +498,25 @@ class GraftTableSpec extends SparkSpecBase {
     }
   }
 
+  test("update assignments all read OLD values (swap semantics)") {
+    val dir = tmpDir("graft-update-swap")
+    val swapSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = false)))
+    val t = GraftTable.create(s"$dir/t", swapSchema)
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 10L, 20L)), 1), swapSchema),
+      Some(1000L))
+
+    // x <-> y swap: if assignments chained, y would get the NEW x (20)
+    t.update(spark, col("k") === 1L,
+      Map("x" -> col("y"), "y" -> col("x")), Some(2000L))
+    val r = t.read(spark).select("x", "y").head()
+    assert((r.getLong(0), r.getLong(1)) == (20L, 10L),
+      s"swap read new values: $r")
+  }
+
   test("merge upserts by key in one commit, pruning by source key range") {
     val dir = tmpDir("graft-merge")
     val t = GraftTable.create(s"$dir/t", simpleSchema)
