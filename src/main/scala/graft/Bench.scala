@@ -39,25 +39,38 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def toJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Full per-query map is large (~100 queries ≈ 3.5 KB); the driver reads
     // a bounded tail of stdout, so a line that long gets truncated mid-JSON
     // and fails to parse (round-1 BENCH had parsed:null). Keep stdout to one
     // SHORT line — total + headline queries — and put the full map in a
     // file + stderr.
-    val headline = Seq("h01_pricing_summary", "q21_join_agg", "q25_join_star",
-      "q30_agg_group", "q61_window_running", "d03_minhash_lsh", "s01_knn_brute",
-      "t02_quality_score", "e01_tumbling_hour", "p01_prep_pipeline")
-    val head = results.filter(r => headline.contains(r._1))
-    val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":${toJson(results)},"sf":"$sfDir"}"""
+    val fullJson = Bench.summaryLine(total, results, results, sfDir)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
     catch { case _: Throwable => }
     System.err.println(fullJson)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":${toJson(head)},"sf":"$sfDir"}""")
+    println(Bench.summaryLine(total,
+      results.filter(r => Headline.contains(r._1)), results, sfDir))
     spark.stop()
+  }
+
+  private val Headline = Seq("h01_pricing_summary", "q21_join_agg",
+    "q25_join_star", "q30_agg_group", "q61_window_running", "d03_minhash_lsh",
+    "s01_knn_brute", "t02_quality_score", "e01_tumbling_hour",
+    "p01_prep_pipeline")
+
+  /** The one-line JSON the driver parses. Kept small (headline queries
+    * only on stdout) because the driver reads a BOUNDED TAIL of stdout —
+    * a full ~130-query map once truncated mid-JSON and failed to parse
+    * (round-1 BENCH had parsed:null). BenchLineSpec guards the shape. */
+  private[graft] def summaryLine(
+      total: Double,
+      shown: Seq[(String, Double)],
+      all: Seq[(String, Double)],
+      sfDir: String): String = {
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${all.size},"queries":${toJson(shown)},"sf":"$sfDir"}"""
   }
 }
