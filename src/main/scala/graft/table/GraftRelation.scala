@@ -25,18 +25,22 @@ final case class GraftRelation(dir: String, output: Seq[Attribute])
   override def newInstance(): GraftRelation =
     copy(output = output.map(_.newInstance()))
 
-  /** Size from the current manifest — lets Catalyst consider broadcasting
-    * small graft tables. */
+  /** Size AND row count from the current manifest — lets Catalyst
+    * broadcast small graft tables and feed exact cardinality to the
+    * cost-based rules (the manifest records exact per-file counts from
+    * parquet footers, so rowCount here is not an estimate). */
   override def computeStats(): Statistics = {
-    val size =
-      try {
-        val t = GraftTable.load(dir)
-        t.log.current
-          .map(s => Manifest.read(s"$dir/${s.manifestList}")
-            .files.map(_.fileSizeBytes).sum)
-          .getOrElse(0L)
-      } catch { case _: Exception => Long.MaxValue }
-    Statistics(sizeInBytes = BigInt(size).max(1))
+    try {
+      val t = GraftTable.load(dir)
+      val manifest = t.log.current
+        .map(s => Manifest.read(s"$dir/${s.manifestList}"))
+        .getOrElse(Manifest.empty) // a snapshotless table IS tiny
+      Statistics(
+        sizeInBytes = BigInt(manifest.files.map(_.fileSizeBytes).sum).max(1),
+        rowCount = Some(BigInt(manifest.totalRecords)))
+    } catch {
+      case _: Exception => Statistics(sizeInBytes = BigInt(Long.MaxValue))
+    }
   }
 }
 
