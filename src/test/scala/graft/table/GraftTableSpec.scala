@@ -704,6 +704,26 @@ class GraftTableSpec extends SparkSpecBase {
     assert(psql.inputFiles.length == 1 && psql.inputFiles.head.contains("cat=b"))
   }
 
+  test("manifest statistics drive broadcast join selection") {
+    val wh = tmpDir("graft-stats")
+    val cat = new GraftCatalog(wh)
+    val small = cat.createTable("db.smalldim", simpleSchema)
+    small.append(mkDf((1L to 20L).map(i => i -> s"d$i"): _*), Some(1000L))
+    cat.register(spark, "db.smalldim")
+
+    // a tiny graft table joined to a big in-memory side must broadcast:
+    // computeStats reports exact manifest bytes + row count
+    import spark.implicits._
+    (1L to 50000L).map(i => (i, i % 20 + 1)).toDF("k", "dim_id")
+      .createOrReplaceTempView("big_facts")
+    val j = spark.sql(
+      "SELECT count(*) AS n FROM big_facts f JOIN db_smalldim d ON f.dim_id = d.id")
+    assert(j.head().getLong(0) == 50000L)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small graft dim was not broadcast:\n$plan")
+  }
+
   test("metadata-only count(*): answered from the manifest, no scan") {
     val wh = tmpDir("graft-metacount")
     val cat = new GraftCatalog(wh)
