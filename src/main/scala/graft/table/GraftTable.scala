@@ -194,13 +194,16 @@ final class GraftTable private (
       smallerThanBytes: Long,
       committedAt: Option[Long] = None,
       sortBy: Seq[String] = Nil,
-      targetFileBytes: Option[Long] = None): Option[Snapshot] = {
+      targetFileBytes: Option[Long] = None,
+      zorderBy: Seq[String] = Nil): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val (small, big) = manifest.files.partition(_.fileSizeBytes < smallerThanBytes)
     if (small.size < 2) return None
-    sortBy.foreach(c => require(schema.fieldNames.contains(c),
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy and zorderBy are mutually exclusive")
+    (sortBy ++ zorderBy).foreach(c => require(schema.fieldNames.contains(c),
       s"sort column '$c' not in schema"))
 
     val snapId = lg.nextId
@@ -209,14 +212,20 @@ final class GraftTable private (
     val targetParts = math.max(1L, totalBytes / perFile).toInt
     val packed = readFiles(spark, small.map(f => s"$dir/${f.path}"))
     // clustered rewrite (Iceberg sort-order analog): range-partition +
-    // sort so each output file covers a DISJOINT range of the sort key —
-    // min/max stats then prune point/range queries to one file instead of
-    // all of them. Unclustered compaction is a pure repack (no shuffle).
+    // sort so each output file covers a DISJOINT range of the cluster key.
+    // sortBy clusters lexicographically (tight min/max on the FIRST
+    // column); zorderBy interleaves the columns' bits (ZOrderKey) so
+    // EVERY participating column gets locality and stays prunable.
+    // Unclustered compaction is a pure repack (no shuffle).
+    val clusterKey: Seq[Column] =
+      if (zorderBy.nonEmpty)
+        Seq(graft.functions.ZOrderKey.zorder_key(zorderBy.map(col): _*))
+      else sortBy.map(col)
     val df =
-      if (sortBy.isEmpty) packed.coalesce(targetParts)
+      if (clusterKey.isEmpty) packed.coalesce(targetParts)
       else packed
-        .repartitionByRange(targetParts, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*)
+        .repartitionByRange(targetParts, clusterKey: _*)
+        .sortWithinPartitions(clusterKey: _*)
     val newFiles = writeDataFiles(df, snapId)
     Some(commit(lg, snapId, Manifest(big ++ newFiles), newFiles,
       operation = "replace", committedAt,

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+import graft.table.{GraftTable, Manifest}
+
+/** Z-order key semantics + the end-to-end payoff: a z-ordered compaction
+  * leaves every participating dimension prunable, where a lexicographic
+  * sort clusters only its first column.
+  */
+class ZOrderSpec extends SparkSpecBase {
+
+  test("interleave: locality and order-preservation basics") {
+    def z(a: Long, b: Long): Long = ZOrderKey.interleave(Array(a, b))
+    // quadrant structure: both-small sorts below both-large
+    assert(z(0L, 0L) < z(1L << 40, 1L << 40))
+    // neighbors in both dims are close in z; distant-in-one-dim is far
+    val base = z(1000L << 32, 1000L << 32)
+    val near = z(1001L << 32, 1000L << 32)
+    val far = z(Long.MaxValue / 2, 1000L << 32)
+    assert(math.abs(base - near) < math.abs(base - far))
+    // sign flip: negative values sort below positive in every dimension
+    assert(z(-5L << 40, 0L) < z(5L << 40, 0L))
+  }
+
+  test("expression evaluates identically interpreted and codegen'd") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i * 1234567L, (101 - i) * 7654321L))
+      .toDF("x", "y")
+    val viaExpr = df.select(ZOrderKey.zorder_key(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    val viaEval = df.collect().map(r =>
+      ZOrderKey.interleave(Array(r.getLong(0), r.getLong(1))))
+    assert(viaExpr.toSeq == viaEval.toSeq)
+    // null handling: nulls group at the bottom, no NPE
+    val withNull = Seq((Some(1L), None: Option[Long]), (Some(1L), Some(2L)))
+      .toDF("x", "y")
+    val zs = withNull.select(ZOrderKey.zorder_key(col("x"), col("y")))
+      .collect().map(_.getLong(0))
+    assert(zs(0) < zs(1)) // null y sorts below y=2 at same x
+  }
+
+  test("z-ordered compaction keeps BOTH dimensions prunable") {
+    val dir = tmpDir("graft-zorder")
+    val schema = StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = false),
+      StructField("payload", StringType, nullable = true)))
+    val t = GraftTable.create(s"$dir/t", schema)
+    // 32x32 grid, row-shuffled so appended files have no locality at all.
+    // Values spread over the full positive long range so the top-bits
+    // interleave actually discriminates.
+    val rng = new scala.util.Random(5)
+    val grid = rng.shuffle(
+      (for (x <- 0 until 32; y <- 0 until 32)
+        yield (x.toLong << 55, y.toLong << 55)).toSeq)
+    grid.grouped(256).zipWithIndex.foreach { case (chunk, i) =>
+      t.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          chunk.map { case (x, y) => Row(x, y, s"p$x-$y") }, 1), schema),
+        Some(1000L + i))
+    }
+
+    t.compact(spark, smallerThanBytes = 1 << 20, Some(9000L),
+      zorderBy = Seq("x", "y"), targetFileBytes = Some(2500L))
+    val files = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}").files
+    assert(files.size >= 4, s"want a multi-file rewrite, got ${files.size}")
+
+    // a box query on X alone AND one on Y alone must both prune
+    val xq = t.scan(spark, Some(col("x") === (5L << 55)))
+    val yq = t.scan(spark, Some(col("y") === (5L << 55)))
+    assert(xq.count() == 32 && yq.count() == 32)
+    assert(xq.inputFiles.length < files.size,
+      s"x not prunable: ${xq.inputFiles.length} of ${files.size}")
+    assert(yq.inputFiles.length < files.size,
+      s"y (second dim!) not prunable: ${yq.inputFiles.length} of ${files.size}")
+  }
+}
