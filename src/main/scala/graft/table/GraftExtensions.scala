@@ -23,5 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("zorder_key"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.ZOrderKey].getName, "zorder_key"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.ZOrderKey(exprs)))
   }
 }

@@ -48,6 +48,11 @@ class GraftExtensionsSpec extends SparkSpecBase {
         "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
         .collect()(0).getDouble(0)
       assert(math.abs(c - 1.0) < 1e-15)
+
+      // zorder_key registered too; matches the direct interleave
+      val z = s.sql("SELECT zorder_key(1024L, 2048L) AS z")
+        .collect()(0).getLong(0)
+      assert(z == graft.functions.ZOrderKey.interleave(Array(1024L, 2048L)))
     }
   }
 }
