@@ -182,6 +182,34 @@ object TextAnalysis extends QueryPack {
         .filter(col("edit_dist") <= 12)
     }),
 
+    // repetition detection (the duplicate-n-gram quality rule): fraction
+    // of 3-gram occurrences that are repeats of an earlier 3-gram in the
+    // same doc. High ratio = boilerplate/looping text. One explode + one
+    // two-level aggregation; map-side partial aggregation carries it.
+    "t13_repetition" -> ((s, d) => {
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        x => length(x) > 0)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+      val grams = docs.select(col("doc_id"),
+        posexplode(col("t")).as(Seq("pos", "tok")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val g3 = grams
+        .withColumn("t1", lead(col("tok"), 1).over(w))
+        .withColumn("t2", lead(col("tok"), 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), col("t1"), col("t2")).as("g"))
+      g3.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("g")).as("n_distinct"))
+        .withColumn("dup_ratio",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+        .select("doc_id", "n_grams", "n_distinct", "dup_ratio")
+    }),
+
     // corpus-level stats: tokens and length percentiles per language —
     // the "what's in this corpus" report; partial aggregation map-side.
     "t05_corpus_stats" -> ((s, d) =>
@@ -256,6 +284,16 @@ object TextAnalysis extends QueryPack {
           "(PARTITION BY doc_id ORDER BY score_raw DESC, tok ASC) AS rank FROM scored) " +
           "SELECT doc_id, rank, tok, round(score_raw, 6) AS score " +
           "FROM ranked WHERE rank <= 3"),
+      "t13_repetition" ->
+        ("WITH toks AS (SELECT doc_id, list_filter(" +
+          "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t " +
+          "FROM documents), " +
+          "g3 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g " +
+          "FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3) " +
+          "SELECT doc_id, count(*) AS n_grams, " +
+          "count(DISTINCT g) AS n_distinct, " +
+          "round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS dup_ratio " +
+          "FROM g3 GROUP BY doc_id"),
       "t12_edit_distance" ->
         ("WITH names AS (SELECT p_partkey, p_name, " +
           "split_part(p_name, ' ', 1) AS blk FROM part WHERE p_partkey <= 200) " +
