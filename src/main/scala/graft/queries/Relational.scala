@@ -425,6 +425,18 @@ object Relational extends QueryPack {
           round(cume_dist().over(w), 6).as("cd"))
     }),
 
+    // numeric RANGE-offset frame: each order counts its customer's orders
+    // within ±1000 of its own price — value-based frames are deterministic
+    // under ties (peers share the frame), unlike ROWS offsets
+    "q66_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, 1000L)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_near"))
+    }),
+
     // ----- scalar functions -----
     "q70_scalar_string" -> ((s, d) =>
       t(s, d, "customer")
@@ -601,6 +613,11 @@ object Relational extends QueryPack {
       ("SELECT o_custkey, o_orderkey, " +
         "first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key, " +
         "last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key " +
+        "FROM orders"),
+    "q66_window_range_frame" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice " +
+        "RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near " +
         "FROM orders"),
     "q65_window_ranks" ->
       ("SELECT c_custkey, c_nationkey, c_acctbal, " +
