@@ -579,6 +579,34 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t.snapshots(spark).count() == 1)
   }
 
+  test("concurrent-commit guard: a claimed snapshot id fails loudly, no corruption") {
+    val dir = tmpDir("graft-race")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+
+    // another committer has claimed snapshot 2 (deterministic stand-in
+    // for the read-modify-write race on snapshots.json)
+    val marker = java.nio.file.Paths.get(t.dir, "manifests", ".commit-00002")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.createFile(marker)
+
+    intercept[java.util.ConcurrentModificationException] {
+      t.append(mkDf(2L -> "b"), Some(2000L))
+    }
+    // the losing append left NO trace: log unchanged, data files of the
+    // failed write cleaned up, table still reads its committed state
+    assert(t.log.snapshots.map(_.snapshotId) == Seq(1L))
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val manifest = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+    manifest.files.foreach(f => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(t.dir, f.path))))
+
+    // releasing the claim lets the writer proceed normally
+    java.nio.file.Files.delete(marker)
+    t.append(mkDf(2L -> "b"), Some(3000L))
+    assert(t.read(spark).count() == 2)
+  }
+
   test("tables are relocatable: move the directory, everything still reads") {
     val dir = tmpDir("graft-reloc")
     val t = GraftTable.create(s"$dir/orig", simpleSchema)
