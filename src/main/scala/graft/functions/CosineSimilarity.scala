@@ -89,6 +89,14 @@ object GraftFunctions {
     b.column(CosineSimilarity(b.expr(x), b.expr(y)))
   }
 
+  /** Aggregate Column API: exact per-group top-k as
+    * `array<struct<id, score>>` sorted (score desc, id asc) — O(k) state,
+    * map-side partial aggregation (see [[TopKByScore]]). */
+  def top_k_by_score(score: Column, id: Column, k: Int): Column = {
+    val b = org.apache.spark.sql.classic.GraftBridge
+    b.column(TopKByScore(b.expr(score), b.expr(id), k).toAggregateExpression())
+  }
+
   /** Register the SQL surface (`SELECT cosine_sim(a.v, b.v) ...`). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

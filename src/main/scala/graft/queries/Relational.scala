@@ -105,11 +105,12 @@ object Relational extends QueryPack {
     "q20_join_inner" -> ((s, d) => {
       // Mirrors the reference's flagship join
       // (TestJoinTablesWithHadoopCatalog.java:121-126): inner equi-join
-      // projecting columns from both sides. customer is small -> Catalyst
-      // broadcasts it; no shuffle of orders.
+      // projecting columns from both sides. customer is SF-proportional,
+      // so no forced hint — statistics + AQE broadcast it while it fits
+      // and fall back to shuffle at cluster scale.
       val c = t(s, d, "customer")
       val o = t(s, d, "orders")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
         .select("o_orderkey", "c_name", "o_totalprice")
     }),
 
@@ -122,7 +123,7 @@ object Relational extends QueryPack {
       val o = t(s, d, "orders")
       val c = t(s, d, "customer")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
           count(lit(1)).as("n_items"),
@@ -154,14 +155,15 @@ object Relational extends QueryPack {
     }),
 
     "q25_join_star" -> ((s, d) => {
-      // star-schema join: fact lineitem with 3 broadcast dims chained
-      // supplier -> nation -> region; one scan of the fact, zero shuffles
-      // before the final aggregation.
+      // star-schema join: fact lineitem with dims chained supplier ->
+      // nation -> region. nation/region are fixed-cardinality (25/5) and
+      // carry hints; supplier scales with SF so its join side is left to
+      // statistics + AQE (broadcast at small SF, shuffle at cluster scale).
       val li = t(s, d, "lineitem")
       val su = t(s, d, "supplier")
       val na = t(s, d, "nation")
       val re = t(s, d, "region")
-      li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      li.join(su, li("l_suppkey") === su("s_suppkey"))
         .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
         .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))

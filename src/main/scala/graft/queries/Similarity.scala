@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
@@ -10,9 +9,11 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *  - brute-force top-k is the exact baseline: the (small) query set is
   *    broadcast against the corpus, so the corpus is scanned ONCE with no
-  *    shuffle of the big side; per-query top-k is a window over the
-  *    (n_queries × corpus) scored rows — at 100 TB you'd cap n_queries per
-  *    pass, which is exactly how batch ANN evaluation jobs are run;
+  *    shuffle of the big side; per-query top-k is a bounded O(k)-state
+  *    aggregate with map-side partials (TopKByScore), so the scored rows
+  *    are reduced in place and parallelism never collapses to the query
+  *    count — at 100 TB you'd still cap n_queries per pass (broadcast
+  *    width), which is how batch ANN evaluation jobs are run;
   *  - the LSH variant (random-hyperplane sign buckets) is the scale path:
   *    candidates come from a bucket equi-join (shuffle on bucket id,
   *    O(n·probes) rows), then exact rescoring only within buckets. Recall
@@ -26,25 +27,42 @@ object Similarity extends QueryPack {
 
   private def vecD(c: Column): Column = c.cast("array<double>")
 
-  /** Exact top-k neighbors for each query vector by brute-force cosine. */
+  /** Exact top-k neighbors for each query vector by brute-force cosine.
+    *
+    * Top-k selection is the [[graft.functions.TopKByScore]] bounded
+    * aggregate, NOT `row_number() OVER (PARTITION BY q_id)`: the window
+    * form repartitions every scored row into n_queries tasks (parallelism
+    * collapses to the query count and each task sorts its whole slice of
+    * the corpus), while the aggregate keeps an O(k) heap per query in
+    * every map task and ships only partitions×k rows per query through the
+    * shuffle — the corpus-sized scored relation never moves. */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxQueries: Int = 1024): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
+    // the broadcast side must be PROVABLY bounded (the broadcast-policy
+    // audit rejects unbounded hinted subtrees): cap the query set per pass
+    // — batch ANN jobs loop passes over query chunks anyway
     val q = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+      .limit(maxQueries)
     val scored = c.join(broadcast(q), col("n_id") =!= col("q_id"))
       .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"),
-        round(col("cos"), 6).as("cos_sim"))
+    rankTopK(scored, k)
   }
+
+  /** Per-q_id exact top-k of (cos, n_id) rows → (q_id, rank, n_id,
+    * cos_sim), identical to the window formulation's output. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.GraftFunctions
+        .top_k_by_score(col("cos"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("n_id"), round(col("col.score"), 6).as("cos_sim"))
 
   /** LSH-bucketed approximate top-k: `nTables` independent random-
     * hyperplane tables, `nPlanes` sign bits each. A vector lands in one
@@ -69,7 +87,8 @@ object Similarity extends QueryPack {
       k: Int,
       nPlanes: Int = 6,
       nTables: Int = 8,
-      seed: Long = 11L): DataFrame = {
+      seed: Long = 11L,
+      maxQueries: Int = 1024): DataFrame = {
     // sign bits via the codegen'd cosine expression (same sign as the dot
     // product — norms are positive); an aggregate(zip_with(…)) fold here
     // would run interpreted on every row
@@ -87,7 +106,9 @@ object Similarity extends QueryPack {
 
     val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
       .withColumn("bucket", explode(buckets(col("n_v"))))
+    // bounded broadcast side, same per-pass cap as bruteForceTopK
     val q = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+      .limit(maxQueries)
       .withColumn("bucket", explode(buckets(col("q_v"))))
 
     val cand = c.join(broadcast(q),
@@ -95,13 +116,7 @@ object Similarity extends QueryPack {
       .select(col("q_id"), col("n_id"), col("q_v"), col("n_v"))
       .dropDuplicates("q_id", "n_id")
     val scored = cand.withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"),
-        round(col("cos"), 6).as("cos_sim"))
+    rankTopK(scored, k)
   }
 
   val queries: Map[String, Q] = Map(

@@ -51,7 +51,7 @@ object TpcH extends QueryPack {
       val l = t(s, d, "lineitem")
         .filter(to_date(col("l_shipdate")) > lit("1998-03-15"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(round(sum(discRevenue), 2)
           .cast("double").as("revenue"))
@@ -73,7 +73,7 @@ object TpcH extends QueryPack {
           to_date(col("o_orderdate")) < lit("1997-01-01"))
       val li = t(s, d, "lineitem")
       li.join(or, li("l_orderkey") === or("o_orderkey"))
-        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
         .join(cu, or("o_custkey") === cu("c_custkey") &&
           su("s_nationkey") === cu("c_nationkey"))
         .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
@@ -119,7 +119,7 @@ object TpcH extends QueryPack {
         .filter(to_date(col("l_shipdate")) >= lit("1996-09-01") &&
           to_date(col("l_shipdate")) < lit("1996-10-01"))
       val pa = t(s, d, "part")
-      li.join(broadcast(pa), li("l_partkey") === pa("p_partkey"))
+      li.join(pa, li("l_partkey") === pa("p_partkey"))
         .agg(
           round(sum(when(col("p_type") === "PROMO",
             discRevenue)

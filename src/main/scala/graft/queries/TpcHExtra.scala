@@ -11,10 +11,16 @@ import org.apache.spark.sql.functions._
   * histograms) with filters re-targeted at existing columns.
   *
   * Scale stance mirrors TpcH.scala: money through DECIMAL internally with
-  * DOUBLE presentation, dimension joins broadcast, selective predicates
-  * pushed to scans, aggregations partial map-side. Correlated subqueries
-  * are written as joins/semi-joins (what a decorrelator produces), never
-  * per-row re-scans.
+  * DOUBLE presentation, selective predicates pushed to scans, aggregations
+  * partial map-side. Correlated subqueries are written as joins/semi-joins
+  * (what a decorrelator produces), never per-row re-scans.
+  *
+  * Broadcast policy: explicit `broadcast()` hints ONLY on relations whose
+  * size is bounded independent of SF — nation (25), region (5), and 1-row
+  * scalar aggregates. customer/supplier/part (and anything derived from
+  * them) grow linearly with SF; a forced hint would override Spark's size
+  * check and OOM the driver at cluster scale, so those joins carry no hint
+  * and statistics + AQE pick broadcast vs shuffle at runtime.
   */
 object TpcHExtra extends QueryPack {
 
@@ -31,12 +37,13 @@ object TpcHExtra extends QueryPack {
       val pa = t(s, d, "part")
         .filter(col("p_size") <= 3 && col("p_type") === "SMALL")
       // prune lineitem to qualifying parts BEFORE the two-level aggregate
-      // (broadcast semi-join on the tiny filtered dim): the part filter
-      // commutes with per-partkey grouping, so results are unchanged but
-      // the expensive aggregation only sees matching rows — at 100 TB
-      // this is the difference between aggregating the table and a sliver
+      // (semi-join on the filtered dim): the part filter commutes with
+      // per-partkey grouping, so results are unchanged but the expensive
+      // aggregation only sees matching rows — at 100 TB this is the
+      // difference between aggregating the table and a sliver. No forced
+      // broadcast: part scales with SF; AQE picks the join side.
       val unit = t(s, d, "lineitem")
-        .join(broadcast(pa.select(col("p_partkey").as("pk"))),
+        .join(pa.select(col("p_partkey").as("pk")),
           col("l_partkey") === col("pk"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
@@ -45,8 +52,8 @@ object TpcHExtra extends QueryPack {
       unit
         .join(minu, col("l_partkey") === col("mp_key") &&
           col("unit_cost") === col("min_cost"))
-        .join(broadcast(pa), unit("l_partkey") === pa("p_partkey"))
-        .join(broadcast(t(s, d, "supplier")),
+        .join(pa, unit("l_partkey") === pa("p_partkey"))
+        .join(t(s, d, "supplier"),
           unit("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, d, "nation")),
           col("s_nationkey") === col("n_nationkey"))
@@ -82,7 +89,7 @@ object TpcHExtra extends QueryPack {
         col("n_name").as("cust_nation"), col("n_regionkey").as("c_rk"))
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(supN), col("s_nationkey") === col("s_nk"))
         .join(broadcast(cusN), col("c_nationkey") === col("c_nk"))
@@ -105,10 +112,10 @@ object TpcHExtra extends QueryPack {
       val cusN = na.select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
       val supN = na.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
       t(s, d, "lineitem")
-        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(pa, col("l_partkey") === col("p_partkey"))
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(cusN), col("c_nationkey") === col("c_nk"))
         .join(broadcast(re), col("c_rk") === col("r_regionkey"))
         .join(broadcast(supN), col("s_nationkey") === col("s_nk"))
@@ -127,9 +134,9 @@ object TpcHExtra extends QueryPack {
       val profit = money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
         money(col("p_retailprice") * lit(0.5) * col("l_quantity"))
       t(s, d, "lineitem")
-        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(pa, col("l_partkey") === col("p_partkey"))
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
         .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
@@ -188,7 +195,7 @@ object TpcHExtra extends QueryPack {
         .agg(sum(discRevenue).as("rev_dec"))
       val mx = rev.agg(max(col("rev_dec")).as("max_dec"))
       rev.join(broadcast(mx), rev("rev_dec") === mx("max_dec"))
-        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           round(col("rev_dec"), 2).cast("double").as("total_revenue"))
         .orderBy("s_suppkey")
@@ -202,8 +209,8 @@ object TpcHExtra extends QueryPack {
       val pa = t(s, d, "part")
         .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 13))
       t(s, d, "lineitem")
-        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(badSupp), col("l_suppkey") === col("bad_key"), "left_anti")
+        .join(pa, col("l_partkey") === col("p_partkey"))
+        .join(badSupp, col("l_suppkey") === col("bad_key"), "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
@@ -215,11 +222,11 @@ object TpcHExtra extends QueryPack {
     "h17_small_qty_revenue" -> ((s, d) => {
       val pa = t(s, d, "part").filter(col("p_brand") === "Brand#3")
       val li = t(s, d, "lineitem")
-      val avgQty = li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      val avgQty = li.join(pa, col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey").as("ap_key"))
         .agg(avg(col("l_quantity")).as("avg_qty"))
-      li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(avgQty), col("l_partkey") === col("ap_key"))
+      li.join(pa, col("l_partkey") === col("p_partkey"))
+        .join(avgQty, col("l_partkey") === col("ap_key"))
         .filter(col("l_quantity") < col("avg_qty") * 0.5)
         .agg(round(sum(money(col("l_extendedprice"))).cast("double") / 7.0, 2)
           .as("avg_yearly"))
@@ -245,7 +252,7 @@ object TpcHExtra extends QueryPack {
     // predicates (one scan, OR of three conjunction groups).
     "h19_discounted_revenue" -> ((s, d) =>
       t(s, d, "lineitem")
-        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
             col("l_quantity").between(1, 11)) ||
@@ -262,13 +269,13 @@ object TpcHExtra extends QueryPack {
         .select(col("p_partkey"))
       val bigLines = t(s, d, "lineitem")
         .filter(col("l_quantity") > 45)
-        .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(promoParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .select(col("l_suppkey")).distinct()
       val asiaNations = t(s, d, "nation")
         .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
       t(s, d, "supplier")
-        .join(broadcast(bigLines), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(bigLines, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_name"))
         .orderBy("s_suppkey")
@@ -289,7 +296,7 @@ object TpcHExtra extends QueryPack {
         .join(l2, col("o1") === col("o2") && col("s1") =!= col("s2"), "left_semi")
         .join(l3, col("o1") === col("o3") && col("s1") =!= col("s3"), "left_anti")
       culprits
-        .join(broadcast(t(s, d, "supplier")), col("s1") === col("s_suppkey"))
+        .join(t(s, d, "supplier"), col("s1") === col("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)

@@ -259,8 +259,13 @@ final class GraftTable private (
     if (candidates.isEmpty) return None
 
     val snapId = lg.nextId
+    // SQL DELETE removes only rows where the predicate is TRUE; a NULL
+    // predicate (e.g. over a column added by addColumn, NULL for old rows)
+    // must KEEP the row — plain !predicate maps NULL→NULL and filter drops
+    // it, silently deleting rows the predicate never matched.
     val remaining = readFiles(spark, candidates.map(f => s"$dir/${f.path}"))
-      .filter(!predicate)
+      .filter(org.apache.spark.sql.functions.coalesce(
+        !predicate, org.apache.spark.sql.functions.lit(true)))
     val newFiles = writeDataFiles(remaining, snapId)
       .filter(_.recordCount > 0) // drop empty rewrite outputs
     val removed = candidates.map(_.recordCount).sum -

@@ -465,6 +465,25 @@ class GraftTableSpec extends SparkSpecBase {
     }
   }
 
+  test("delete keeps rows where the predicate evaluates to NULL") {
+    val dir = tmpDir("graft-delete-null")
+    val t0 = GraftTable.create(s"$dir/t", simpleSchema)
+    t0.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    // evolve: pre-evolution rows are NULL in the new column
+    val t1 = t0.addColumn("score", DoubleType)
+    val withScore = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(3L, "c", 0.1), Row(4L, "d", 9.0)), 1),
+      t1.schema)
+    t1.append(withScore, Some(2000L))
+
+    // predicate is NULL for ids 1,2 (no score) — SQL DELETE must keep them
+    val snap = t1.delete(spark, col("score") > 1.0, Some(3000L))
+    assert(snap.exists(_.summary("deleted-records") == "1"))
+    val ids = t1.read(spark).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("copy-on-write update rewrites only candidate files") {
     val dir = tmpDir("graft-update")
     val t = GraftTable.create(s"$dir/t", simpleSchema)
