@@ -91,6 +91,30 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("dupClusters converges on a diameter-8 planted chain") {
+    import spark.implicits._
+    // a path graph 10-11-12-...-18: diameter 8, so any fixed small
+    // iteration count would split it; the fixpoint loop must not.
+    // plus a disjoint triangle {30,31,32} and a singleton pair {40,41}.
+    val chain = (10L until 18L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((30L, 31L), (31L, 32L), (30L, 32L), (40L, 41L)))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L to 18L).foreach(d => assert(got(d) == 10L, s"chain split at $d: $got"))
+    (30L to 32L).foreach(d => assert(got(d) == 30L))
+    assert(got(40L) == 40L && got(41L) == 40L)
+    assert(got.size == 14)
+  }
+
+  test("dupClusters throws rather than returning split clusters at maxIters") {
+    import spark.implicits._
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxIters = 2).collect()
+    }
+  }
+
   test("minhash pipeline has no driver-side materialization") {
     // the whole near-dup plan must stay a DataFrame lineage (no collect):
     // building it must not trigger any Spark job
