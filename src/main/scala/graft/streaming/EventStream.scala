@@ -118,18 +118,22 @@ object EventStream {
 
   /** STREAMING exact dedup — the incremental form of d01/d02: keep the
     * first-arriving document per content fingerprint, dropping later
-    * copies across micro-batches. `dropDuplicates` keys the state store by
-    * fingerprint; the watermark bounds state (a copy arriving later than
-    * `watermark` after its original may pass — the standard bounded-state
-    * trade; without a watermark, state would grow with corpus size
-    * forever, which does NOT hold on an unbounded 100 TB stream).
-    * Expects columns `ts` (event-time Timestamp) and `text`. */
+    * copies across micro-batches. State MUST be evictable or it grows with
+    * distinct fingerprints forever on an unbounded stream: plain
+    * `dropDuplicates(fingerprint)` never evicts (Spark only expires dedup
+    * state when the event-time column is part of the keys), so this uses
+    * `dropDuplicatesWithinWatermark`, which drops a fingerprint's state
+    * once the watermark passes its first sighting. The trade is the
+    * standard bounded-state one: a copy arriving more than `watermark`
+    * after its original is re-admitted (guaranteed dropped only within
+    * the watermark window). Expects columns `ts` (event-time Timestamp)
+    * and `text`. */
   def streamingDedup(
       docs: DataFrame,
       watermark: String = "1 hour"): DataFrame =
     docs
-      .withWatermark("ts", watermark)
       .withColumn("fingerprint",
         md5(regexp_replace(lower(col("text")), "\\s+", " ")))
-      .dropDuplicates("fingerprint")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
 }

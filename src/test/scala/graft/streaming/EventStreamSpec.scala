@@ -112,6 +112,34 @@ class EventStreamSpec extends SparkSpecBase {
       s"expected first-arrival survivors 1,2,5; got ${ids.mkString(",")}")
   }
 
+  test("streamingDedup: fingerprint state is EVICTED once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val query = EventStream.streamingDedup(docs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sdedup_evict")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData((ts(0), 1L, "the quick brown fox"))
+    query.processAllAvailable()
+    // unrelated event at t=100min advances the watermark to 90min,
+    // which is past firstSeen(0) + 10min: doc 1's state must be evicted
+    input.addData((ts(100), 2L, "watermark advancer"))
+    query.processAllAvailable()
+    // same fingerprint again at t=95min (not late): with bounded state it
+    // is RE-ADMITTED — the proof the store didn't keep it forever
+    input.addData((ts(95), 3L, "the quick brown fox"))
+    query.processAllAvailable()
+    query.stop()
+
+    val ids = spark.table("sdedup_evict").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"expected evicted fingerprint to re-admit doc 3; got ${ids.mkString(",")}")
+  }
+
   test("clickAttribution: stream-stream interval join within the window only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
