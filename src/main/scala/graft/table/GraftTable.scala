@@ -407,8 +407,15 @@ final class GraftTable private (
   def expireSnapshots(olderThanMillis: Long): Seq[Long] = {
     val lg = log
     val current = lg.current.getOrElse(return Nil)
-    val (expired, kept) = lg.snapshots.partition(s =>
+    // Expire only a CONTIGUOUS PREFIX of the chain: with caller-supplied
+    // (possibly non-monotone) timestamps, a bare committedAt partition
+    // could expire a mid-chain snapshot, leaving a survivor whose parent
+    // is gone — changes() would then find no parent diff and re-emit the
+    // next commit's whole carried-over file set as new rows. A prefix cut
+    // keeps every surviving snapshot's lineage intact by construction.
+    val expired = lg.snapshots.takeWhile(s =>
       s.committedAt < olderThanMillis && s.snapshotId != current.snapshotId)
+    val kept = lg.snapshots.drop(expired.size)
     if (expired.isEmpty) return Nil
 
     val live: Set[String] = kept
@@ -583,12 +590,27 @@ final class GraftTable private (
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], readSchema)
     }
 
-  /** Incremental read: rows ADDED strictly after `fromSnapshotId`, up to
-    * `toSnapshotId` (default: current) — the change-feed primitive that
-    * lets a downstream pipeline reprocess only new data per snapshot
-    * (append-only tables make "changes" exactly "files added"). O(new
-    * files) I/O: the diff is a manifest set difference, no data rewrite.
-    * Rows carry the virtual snapshot column valued at the TO snapshot.
+  /** Incremental read: rows ADDED or given NEW VALUES strictly after
+    * `fromSnapshotId`, up to `toSnapshotId` (default: current) — the
+    * change-feed primitive that lets a downstream pipeline reprocess only
+    * new data per snapshot. Per snapshot kind:
+    *
+    *  - `"append"`: the files the commit added, by manifest path diff —
+    *    O(new files) I/O, no row comparison needed;
+    *  - `"update"` / `"merge"`: the commit rewrites candidate files, so
+    *    added files mix changed rows with carried-over ones — the diff is
+    *    row-level, `addedFiles EXCEPT ALL removedFiles` (multiset), which
+    *    is exactly the new/updated row values. One shuffle whose size is
+    *    O(rewritten data) — proportional to the change, not the table;
+    *  - `"replace"` (compaction) is bit-identical and `"delete"` /
+    *    `"rollback"` add no row values, so they contribute nothing (row
+    *    REMOVALS are out of scope for an additive feed — documented
+    *    limitation, same as the reference's append-only incrementality).
+    *
+    * A chain snapshot whose parent has been expired makes the diff
+    * uncomputable — that throws (loudly) rather than silently re-emitting
+    * the parent's whole file set as changes. Rows carry the virtual
+    * snapshot column valued at the TO snapshot.
     */
   def changes(
       spark: SparkSession,
@@ -604,29 +626,42 @@ final class GraftTable private (
     }
     require(to.snapshotId >= from.snapshotId,
       s"to=${to.snapshotId} precedes from=${from.snapshotId}")
-    // Walk the chain snapshot by snapshot and take only files added by
-    // APPEND commits: a "replace" (compaction) snapshot rewrites existing
-    // rows into new files, and an endpoint manifest diff would wrongly
-    // re-emit them as changes. Appended-then-compacted rows still surface
-    // exactly once — via their original append snapshot's diff (the
-    // original file paths; compaction never deletes files from disk,
-    // only from later manifests).
-    val lg2 = lg
-    val chain = lg2.snapshots
+    val chain = lg.snapshots
       .filter(s => s.snapshotId > from.snapshotId && s.snapshotId <= to.snapshotId)
-    val newFiles = chain.filter(_.operation == "append").flatMap { s =>
-      val parentPaths = s.parentId
-        .flatMap(lg2.byId)
-        .map(p => Manifest.read(s"$dir/${p.manifestList}").files.map(_.path).toSet)
-        .getOrElse(Set.empty[String])
-      Manifest.read(s"$dir/${s.manifestList}")
-        .files.filterNot(f => parentPaths.contains(f.path))
+
+    def files(s: Snapshot): Seq[DataFileEntry] =
+      Manifest.read(s"$dir/${s.manifestList}").files
+    def parentFiles(s: Snapshot): Seq[DataFileEntry] = s.parentId match {
+      case None => Nil
+      case Some(pid) => lg.byId(pid) match {
+        case Some(p) => files(p)
+        case None => throw new IllegalStateException(
+          s"snapshot ${s.snapshotId}'s parent $pid is missing from the log " +
+            s"of $dir (expired?) — its incremental diff cannot be computed")
+      }
     }
-    val base =
-      if (newFiles.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else
-        readFiles(spark, newFiles.map(f => s"$dir/${f.path}"))
+
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    def readOrEmpty(fs: Seq[DataFileEntry]): DataFrame =
+      if (fs.isEmpty) empty else readFiles(spark, fs.map(f => s"$dir/${f.path}"))
+
+    // files appended across the chain (path diff; cheap, no row compare)
+    val appended = chain.filter(_.operation == "append").flatMap { s =>
+      val parentPaths = parentFiles(s).map(_.path).toSet
+      files(s).filterNot(f => parentPaths.contains(f.path))
+    }
+    // row-level diffs for rewriting commits (update/merge)
+    val rewriteDiffs = chain
+      .filter(s => s.operation == "update" || s.operation == "merge")
+      .map { s =>
+        val pf = parentFiles(s)
+        val parentPaths = pf.map(_.path).toSet
+        val curPaths = files(s).map(_.path).toSet
+        val added = files(s).filterNot(f => parentPaths.contains(f.path))
+        val removed = pf.filterNot(f => curPaths.contains(f.path))
+        readOrEmpty(added).exceptAll(readOrEmpty(removed))
+      }
+    val base = (readOrEmpty(appended) +: rewriteDiffs).reduce(_ union _)
     base.withColumn(virtualColumn, lit(to.snapshotId))
   }
 

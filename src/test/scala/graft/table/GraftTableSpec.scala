@@ -551,15 +551,74 @@ class GraftTableSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(rows.toSeq == Seq((1L, "a"), (2L, "B!"), (3L, "new"), (100L, "z")))
 
-    // history intact; change feed skips merge rewrites (no re-emits)
+    // history intact; changes() emits the merge's new VALUES exactly once
+    // (upserted key 2, inserted key 3) and never the carried-over rows
     assert(t.scan(spark, Some(col("snapshot__id") === 2L))
       .filter(col("id") === 2L).select("data").head().getString(0) == "b")
-    assert(t.changes(spark, fromSnapshotId = 2L).count() == 0)
+    val delta = t.changes(spark, fromSnapshotId = 2L)
+      .select("id", "data").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(delta == Seq((2L, "B!"), (3L, "new")), s"merge delta: $delta")
 
     // merge into an empty table is a plain insert
     val t2 = GraftTable.create(s"$dir/t2", simpleSchema)
     t2.merge(spark, mkDf(5L -> "e"), "id", Some(1000L))
     assert(t2.read(spark).count() == 1)
+  }
+
+  test("changes() emits update deltas row-level, not whole rewritten files") {
+    val dir = tmpDir("graft-changes-upd")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L)) // one file, ids 1-2
+    t.update(spark, col("id") === 2L,
+      Map("data" -> org.apache.spark.sql.functions.lit("B!")), Some(2000L))
+
+    // the rewrite carried row 1 unchanged; only row 2's new value is a change
+    val delta = t.changes(spark, fromSnapshotId = 1L)
+      .select("id", "data").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(delta == Seq((2L, "B!")), s"update delta: $delta")
+    // the feed consumer surface sees the same rows
+    val feed = new GraftChangeFeed(t, s"$dir/ckpt")
+    var got: Seq[(Long, String)] = Nil
+    feed.poll(spark)(df => got = df.select("id", "data").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+    assert(got == Seq((1L, "a"), (2L, "B!"))) // first poll: full current state
+    t.update(spark, col("id") === 1L,
+      Map("data" -> org.apache.spark.sql.functions.lit("A!")), Some(3000L))
+    feed.poll(spark)(df => got = df.select("id", "data").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+    assert(got == Seq((1L, "A!")), s"feed missed the update: $got")
+  }
+
+  test("changes() throws when a chain snapshot's parent manifest is gone") {
+    val dir = tmpDir("graft-changes-orphan")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    t.append(mkDf(3L -> "c"), Some(3000L))
+    // simulate a hand-broken log: snapshot 2 removed mid-chain, so
+    // snapshot 3's parent diff is uncomputable — must fail loudly, not
+    // re-emit snapshot 3's whole carried-over file set
+    val lg = SnapshotLog.read(s"${t.dir}/snapshots.json")
+    SnapshotLog(lg.snapshots.filterNot(_.snapshotId == 2L))
+      .write(s"${t.dir}/snapshots.json")
+    intercept[IllegalStateException] { t.changes(spark, 1L) }
+  }
+
+  test("expireSnapshots with non-monotone timestamps never breaks the chain") {
+    val dir = tmpDir("graft-expire-mono")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(5000L)) // LATER wall-clock than snap 2
+    t.append(mkDf(2L -> "b"), Some(1000L)) // clock went backwards
+    t.append(mkDf(3L -> "c"), Some(6000L))
+    // a bare committedAt partition would expire mid-chain snapshot 2 and
+    // orphan snapshot 3's parent; the contiguous-prefix rule expires nothing
+    assert(t.expireSnapshots(olderThanMillis = 2000L) == Nil)
+    assert(t.changes(spark, 1L).count() == 2) // chain intact
+    // once the cutoff covers the prefix, expiry proceeds from the front
+    assert(t.expireSnapshots(olderThanMillis = 5500L) == Seq(1L, 2L))
+    assert(t.read(spark).count() == 3)
   }
 
   test("rollback commits a new snapshot pointing at the old file set") {
