@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: local[32] shares one heap across all 32 task threads; 8g left
+  // little headroom once broadcast builds + codegen caches accumulate over
+  // a 130-query bench run, and GC pauses under host contention showed up
+  // as 10x per-query outliers in the driver's round-3 bench.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

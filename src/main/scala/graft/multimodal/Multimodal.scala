@@ -42,11 +42,25 @@ object Multimodal {
   case class Frame(assetId: Long, frameIdx: Int, frameBytes: Array[Byte])
 
   /** STUB codec: deterministic pseudo-decode from the payload bytes.
-    * A real implementation would parse the container format here. */
+    * A real implementation would parse the container format here.
+    *
+    * The pseudo-metadata hash is a position-weighted byte sum, NOT a
+    * Java-wraparound polynomial fold: every intermediate stays far inside
+    * a signed 64-bit range (≤ 255·97·len, then one bounded multiply), so
+    * engines with CHECKED 64-bit arithmetic (DuckDB, ANSI Spark SQL) can
+    * reproduce it exactly — which is what lets m02/m03 be oracle-checked
+    * instead of rows-only. */
   def decodeStub(payload: Array[Byte]): Decoded = {
-    val h = payload.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)
-    val width = 64 + math.floorMod(h, 1024).toInt
-    val height = 64 + math.floorMod(h >> 10, 1024).toInt
+    var h = 0L
+    var i = 0
+    while (i < payload.length) {
+      h += (payload(i) & 0xff).toLong * (1 + i % 97)
+      i += 1
+    }
+    val width = 64 + (h % 1024).toInt
+    // mix through a Mersenne-prime mod so height isn't a function of
+    // width's low bits; (h % 2^20) * knuth ≤ 2.8e15 — no overflow
+    val height = 64 + ((h % 1048576L) * 2654435761L % 2147483647L % 1024L).toInt
     val mean =
       if (payload.isEmpty) 0.0
       else payload.map(b => (b & 0xff).toDouble).sum / payload.length

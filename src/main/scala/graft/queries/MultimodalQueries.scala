@@ -23,7 +23,9 @@ object MultimodalQueries extends QueryPack {
           length(col("payload")).as("n_bytes"),
           md5(col("payload")).as("digest"))),
 
-    // stub decode + feature extraction over binary payloads (rows-only)
+    // stub decode + feature extraction over binary payloads. mean_e4 is
+    // floor((sum/len)*10000) — floor of the SAME double expression both
+    // engines evaluate (round() would diverge at .xxxx50 halves).
     "m02_decode_features" -> ((s, d) => {
       val assets = t(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -31,7 +33,7 @@ object MultimodalQueries extends QueryPack {
         .toDF()
         .select(col("assetId").as("asset_id"), col("nBytes").as("n_bytes"),
           col("width"), col("height"), col("format"),
-          round(col("meanByte"), 4).as("mean_byte"))
+          floor(col("meanByte") * 10000).as("mean_e4"))
     }),
 
     // frame sampling: explode each payload into ≤4 chunks (rows-only)
@@ -63,6 +65,48 @@ object MultimodalQueries extends QueryPack {
       // DuckDB 1.0 md5() only takes VARCHAR; the payload is the UTF-8
       // encoding of `text`, so md5(text) hashes the identical bytes
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
-        "md5(text) AS digest FROM documents")
+        "md5(text) AS digest FROM documents"),
+
+    // documents.text is pure ASCII at every SF (octet_length = length for
+    // all rows), so ord(char at i) IS byte i of the UTF-8 payload — the
+    // stub's position-weighted arithmetic replays exactly over VARCHAR.
+    "m02_decode_features" ->
+      ("""WITH bytes AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(1, length(text))) AS i
+         |  FROM documents
+         |), vals AS (
+         |  SELECT b.doc_id,
+         |         sum(ord(substring(d.text, b.i, 1)) * (1 + (b.i - 1) % 97)) AS h,
+         |         sum(ord(substring(d.text, b.i, 1))) AS sb,
+         |         any_value(length(d.text)) AS len
+         |  FROM bytes b JOIN documents d USING (doc_id)
+         |  GROUP BY b.doc_id
+         |)
+         |SELECT d.doc_id AS asset_id,
+         |       CAST(length(d.text) AS BIGINT) AS n_bytes,
+         |       CAST(64 + COALESCE(v.h, 0) % 1024 AS INT) AS width,
+         |       CAST(64 + ((COALESCE(v.h, 0) % 1048576) * 2654435761 % 2147483647) % 1024 AS INT) AS height,
+         |       CASE WHEN length(d.text) % 2 = 0 THEN 'even' ELSE 'odd' END AS format,
+         |       CAST(CASE WHEN length(d.text) = 0 THEN 0
+         |            ELSE floor((v.sb::DOUBLE / v.len) * 10000) END AS BIGINT) AS mean_e4
+         |FROM documents d LEFT JOIN vals v USING (doc_id)""".stripMargin),
+
+    // frame sampling touches only LENGTHS (frame i of an n-byte payload
+    // spans [i*fs, min((i+1)*fs, n)) with fs = max(1, n div 4)), so the
+    // oracle replays the arithmetic without byte access.
+    "m03_frame_sample" ->
+      ("""WITH t AS (
+         |  SELECT doc_id, length(text) AS len,
+         |         GREATEST(1, length(text) // 4) AS fs
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, len, fs,
+         |         unnest(generate_series(0, LEAST(4, (len + fs - 1) // fs) - 1)) AS frame_idx
+         |  FROM t WHERE len > 0
+         |)
+         |SELECT doc_id AS asset_id, CAST(frame_idx AS INT) AS frame_idx,
+         |       CAST(LEAST((frame_idx + 1) * fs, len) - frame_idx * fs AS INT) AS frame_bytes
+         |FROM f""".stripMargin)
   )
 }

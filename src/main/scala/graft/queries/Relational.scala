@@ -173,6 +173,29 @@ object Relational extends QueryPack {
         .orderBy("r_name", "n_name")
     }),
 
+    "q26_join_fact_fact" -> ((s, d) => {
+      // fact-fact self-join: BOTH sides are SF-proportional, so no side is
+      // ever broadcastable at cluster scale — this is the query shape that
+      // must plan SortMergeJoin on the shuffled orderkey (the rest of the
+      // suite joins facts to dims and legitimately broadcasts). Pairing is
+      // within an order (~4 lines/order), so output is O(n), not O(n²);
+      // AQE's skew-join splitting covers a hot orderkey. Plan asserted in
+      // ExplainAuditSpec with broadcasting disabled (= the cluster-scale
+      // planner state at sf0.1+).
+      val a = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber").as("ln_a"),
+        col("l_returnflag").as("flag_a"), col("l_quantity").as("qty_a"))
+      val b = t(s, d, "lineitem").select(
+        col("l_orderkey").as("okey_b"), col("l_linenumber").as("ln_b"),
+        col("l_returnflag").as("flag_b"), col("l_quantity").as("qty_b"))
+      a.join(b, a("l_orderkey") === b("okey_b") && a("ln_a") < b("ln_b"))
+        .groupBy(col("flag_a"), col("flag_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("qty_a") * col("qty_b")).cast("decimal(18,2)"))
+            .cast("double").as("qty_cross"))
+        .orderBy("flag_a", "flag_b")
+    }),
+
     // ----- aggregation -----
     "q30_agg_group" -> ((s, d) =>
       // TPC-H Q1 shape: the flagship aggregation.
@@ -524,6 +547,25 @@ object Relational extends QueryPack {
         .select(col("p_partkey"))
       li.join(bigParts, li("l_partkey") === bigParts("p_partkey"), "left_semi")
         .select("l_orderkey", "l_partkey", "l_linenumber")
+    }),
+
+    "q82_correlated_subquery" -> ((s, d) => {
+      // correlated scalar-aggregate subquery ("orders above their own
+      // customer's average"), written as its decorrelated plan: one
+      // per-custkey aggregate reused via an equi-join — exactly what
+      // Catalyst rewrites the correlated form into, and the only shape
+      // that scales (the correlated subquery re-evaluated per row is a
+      // driver-side loop in naive engines).
+      val o = t(s, d, "orders")
+      val perCust = o.groupBy(col("o_custkey").as("k"))
+        .agg(avg(col("o_totalprice")).as("cust_avg"))
+      o.join(perCust, o("o_custkey") === perCust("k"))
+        .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          // floor of the SAME double both engines compute (round() halves
+          // diverge; floor only disagrees if the doubles differ — they
+          // can't: sum/count then *100 is one IEEE evaluation order)
+          floor(col("cust_avg") * 100).as("cust_avg_cents"))
     })
   )
 
@@ -577,6 +619,12 @@ object Relational extends QueryPack {
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
     "q25_join_star" ->
       "SELECT r_name, n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price, count(*) AS n_items FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name",
+    "q26_join_fact_fact" ->
+      ("SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b, count(*) AS n_pairs, " +
+        "CAST(sum(CAST(a.l_quantity * b.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_cross " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_linenumber < b.l_linenumber " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q30_agg_group" ->
       "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price, round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q31_agg_distinct" ->
@@ -660,6 +708,13 @@ object Relational extends QueryPack {
     "q80_scalar_subquery" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
     "q81_in_subquery" ->
-      "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)"
+      "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)",
+    "q82_correlated_subquery" ->
+      // the genuinely-correlated form: DuckDB evaluates it as written,
+      // the Spark side is the decorrelated join Catalyst would produce
+      ("SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "CAST(floor((SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) * 100) AS BIGINT) AS cust_avg_cents " +
+        "FROM orders o WHERE o_totalprice > " +
+        "(SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) * 1.5")
   )
 }

@@ -142,6 +142,15 @@ object Similarity extends QueryPack {
     "s04_kmeans" -> ((s, d) =>
       kmeansClusters(t(s, d, "embeddings"), "vec_id", "embedding", k = 10)),
 
+    // IVF ANN: k-means cells + nProbe cell rescoring (rows-only — the
+    // quantizer is iterative ML; SimilaritySpec bounds recall vs brute
+    // force instead)
+    "s05_knn_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10)
+    }),
+
     // label-centroid similarity: per-label mean vector, then each label's
     // centroid norm — a "cluster quality" style aggregate over vectors
     // (element-wise mean via 64 unrolled array sums; exact integer-free
@@ -162,6 +171,56 @@ object Similarity extends QueryPack {
         .orderBy("label")
     })
   )
+
+  /** IVF (inverted-file) approximate top-k — the OTHER standard ANN scale
+    * path next to LSH (s02): a k-means coarse quantizer splits the corpus
+    * into `nCentroids` cells; each query probes its `nProbe`
+    * most-similar cells and rescores exactly inside them, so the exact
+    * cosine runs against ~nProbe/nCentroids of the corpus instead of all
+    * of it.
+    *
+    * Scale design: the trained centroids are the ONLY driver-side state
+    * (nCentroids × dim doubles — bounded, independent of corpus size) and
+    * re-enter the plan as literal arrays, so cell assignment is a pure
+    * codegen'd projection over one corpus scan; candidates come from a
+    * cell-id equi-join (shuffle O(n·nProbe/nCentroids)); final top-k is
+    * the bounded-heap aggregate. Assignment probes by cosine (spherical-
+    * IVF style), which matches the cosine rescoring metric. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      maxQueries: Int = 1024): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
+      .fit(c.select(array_to_vector(col("n_v")).as("features")))
+    val centers: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    // (sim, cid) structs per centroid; struct ordering is lexicographic,
+    // so array_max = argmax by similarity (ties by centroid id — still
+    // deterministic)
+    def cellSims(v: Column): Column = array(centers.zipWithIndex.map {
+      case (cv, i) =>
+        struct(Dedup.cosineSim(v, typedLit(cv)).as("sim"),
+          lit(i).as("cid"))
+    }: _*)
+    val assigned = c.withColumn("cid", array_max(cellSims(col("n_v"))).getField("cid"))
+    val q = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+      .limit(maxQueries)
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(cellSims(col("q_v")))), 1, nProbe)))
+      .select(col("q_id"), col("q_v"), col("probe").getField("cid").as("cid"))
+    val scored = assigned.join(q, Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
+    rankTopK(scored, k)
+  }
 
   /** K-means clustering of the embedding corpus (diversity sampling /
     * dedup-by-centroid building block). Distributed via Spark ML's

@@ -210,6 +210,30 @@ object TextAnalysis extends QueryPack {
         .select("doc_id", "n_grams", "n_distinct", "dup_ratio")
     }),
 
+    // token-window CHUNKING: split each doc into 64-token chunks with
+    // 16-token overlap (stride 48) — the context-window packing step
+    // before tokenization/training export. explode(sequence) over the
+    // per-doc chunk count (a few entries, so the interpreted sequence
+    // lambda is negligible) + codegen'd slice/concat per chunk; rows
+    // pipeline with no shuffle. The md5 digest makes chunk CONTENT
+    // (not just boundaries) oracle-checked.
+    "t14_chunking" -> ((s, d) => {
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        x => length(x) > 0)
+      t(s, d, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .withColumn("n", size(col("t")))
+        .filter(col("n") > 0)
+        // n_chunks = ceil(n/48) = floor((n-1)/48) + 1 for n > 0
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0), floor((col("n") - 1) / 48).cast("int"))))
+        .withColumn("chunk",
+          slice(col("t"), col("chunk_idx") * 48 + 1, lit(64)))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("digest"))
+    }),
+
     // corpus-level stats: tokens and length percentiles per language —
     // the "what's in this corpus" report; partial aggregation map-side.
     "t05_corpus_stats" -> ((s, d) =>
@@ -284,6 +308,16 @@ object TextAnalysis extends QueryPack {
           "(PARTITION BY doc_id ORDER BY score_raw DESC, tok ASC) AS rank FROM scored) " +
           "SELECT doc_id, rank, tok, round(score_raw, 6) AS score " +
           "FROM ranked WHERE rank <= 3"),
+      "t14_chunking" ->
+        ("WITH toks AS (SELECT doc_id, list_filter(" +
+          "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t " +
+          "FROM documents), " +
+          "sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0), " +
+          "c AS (SELECT doc_id, t, n, unnest(range(0, (n - 1) // 48 + 1)) AS chunk_idx FROM sized) " +
+          "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, " +
+          "CAST(len(t[chunk_idx * 48 + 1 : LEAST(chunk_idx * 48 + 64, n)]) AS INT) AS n_tokens, " +
+          "md5(array_to_string(t[chunk_idx * 48 + 1 : LEAST(chunk_idx * 48 + 64, n)], ' ')) AS digest " +
+          "FROM c"),
       "t13_repetition" ->
         ("WITH toks AS (SELECT doc_id, list_filter(" +
           "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t " +

@@ -47,6 +47,42 @@ class MultimodalSpec extends SparkSpecBase {
     assert(reassembled == Array.tabulate(1000)(i => (i % 251).toByte).toSeq)
   }
 
+  test("m04 decode->ANN composition: neighbors match an independent exact recompute") {
+    // m04 has no SQL oracle (binary codec + float cosine), so this is its
+    // quality bound: recompute exact cosine top-5 over the SAME decoded
+    // features with plain Scala and require >= 0.9 recall of the
+    // distributed result (ties at the k-boundary may legally differ).
+    val d = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("m04_feature_knn")(spark, d)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val feats = {
+      import spark.implicits._
+      val assets = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .collect()
+      assets.map { case (id, p) =>
+        id -> Multimodal.decodeStub(p).features.map(_.toDouble)
+      }.toMap
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    val expected = (for {
+      q <- feats.keys.filter(_ < 3)
+      top = feats.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(feats(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      (n, _) <- top
+    } yield (q, n)).toSet
+    val recall = (got & expected).size.toDouble / expected.size
+    assert(recall >= 0.9, s"decode->ANN recall $recall vs exact recompute")
+  }
+
   test("feature extraction distributes: runs per-partition, not on the driver") {
     val ds = Multimodal.extractFeatures(assets, "asset_id", "payload")
     assert(ds.rdd.getNumPartitions == 3)

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpecBase}
+
+/** Plan-shape gates for the join strategies that matter at cluster scale.
+  *
+  * The suite's dimension joins legitimately broadcast at every tested SF,
+  * so without this spec the SortMergeJoin path — the ONLY viable strategy
+  * for fact-fact joins at 100 TB, where neither side fits in memory —
+  * would never be exercised. q26 is the designated fact-fact query
+  * (lineitem self-join on orderkey); here we put the planner in the
+  * cluster-scale state (no side small enough to broadcast, by disabling
+  * the size-based conversion) and assert it plans SMJ, not a nested loop
+  * or a forced broadcast.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("q26 fact-fact join plans SortMergeJoin when no side is broadcastable") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("q26_join_fact_fact")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected SortMergeJoin in the no-broadcast plan:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        "fact-fact join fell back to a product join")
+      // the equi-key must drive the shuffle: both sides exchange on orderkey
+      assert(plan.contains("hashpartitioning(l_orderkey"),
+        "join key did not drive the exchange partitioning")
+    }
+  }
+
+  test("q26 still answers correctly through the SMJ path") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val smjRows = SparkEntry.queries("q26_join_fact_fact")(spark, sfDir)
+        .collect().map(_.toSeq).toSet
+      val defRows = withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "10485760") {
+        SparkEntry.queries("q26_join_fact_fact")(spark, sfDir)
+          .collect().map(_.toSeq).toSet
+      }
+      assert(smjRows == defRows && smjRows.nonEmpty)
+    }
+  }
+
+  test("AQE skew-join handling stays enabled in the session defaults") {
+    // at 100 TB a hot orderkey is split by AQE's skew-join rule; the
+    // sessions this library builds must not have turned it off
+    assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled").toBoolean)
+  }
+}

@@ -30,6 +30,25 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("approx_count_distinct keeps its bound at the bench SF (sf0.1)") {
+    // the sketch's rsd is scale-free, but this is the honest check that
+    // the claim holds at 100x the sf0.001 volume rather than only at the
+    // calibration scale
+    val big = "/root/testdata/sf0.1"
+    val approx = Relational.queries("q36_approx_agg")(spark, big)
+      .select("l_returnflag", "approx_orders")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$big/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((flag, n) <- exact) {
+      val a = approx(flag)
+      assert(math.abs(a - n).toDouble / n < 0.05,
+        s"$flag: approx $a vs exact $n at sf0.1")
+    }
+  }
+
   test("approx median within the true p40-p60 band") {
     val approx = Relational.queries("q36_approx_agg")(spark, d)
       .select("l_returnflag", "approx_median_price")

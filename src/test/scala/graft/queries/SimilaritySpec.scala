@@ -54,4 +54,20 @@ class SimilaritySpec extends SparkSpecBase {
     // results are a subset of each query's bucket, scored exactly
     assert(approx.nonEmpty)
   }
+
+  test("IVF top-k achieves reasonable recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nCentroids = 16, nProbe = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // gaussian data has no cluster structure — the quantizer's worst
+    // case; probing 4/16 cells must still recover most true neighbors
+    assert(recall >= 0.5, s"IVF recall $recall")
+    // k results per query: the probed cells always hold >= k candidates
+    // at this corpus size
+    assert(approx.size == exact.size)
+  }
 }
