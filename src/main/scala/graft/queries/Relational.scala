@@ -173,6 +173,20 @@ object Relational extends QueryPack {
         .orderBy("r_name", "n_name")
     }),
 
+    "q27_join_full" -> ((s, d) => {
+      // full outer: both filtered sides have unmatched rows, so BOTH null
+      // extensions are exercised (a full outer can't broadcast either
+      // side — Spark shuffles it, which is also the only 100 TB shape)
+      val c = t(s, d, "customer").filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 30000.0)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_big_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("o_custkey"), col("n_big_orders"))
+    }),
+
     "q26_join_fact_fact" -> ((s, d) => {
       // fact-fact self-join: BOTH sides are SF-proportional, so no side is
       // ever broadcastable at cluster scale — this is the query shape that
@@ -369,6 +383,14 @@ object Relational extends QueryPack {
       li.select(col("l_orderkey"))
         .exceptAll(li.filter(col("l_returnflag") === "R")
           .select(col("l_orderkey")))
+    }),
+
+    "q48_intersect_all" -> ((s, d) => {
+      // bag-semantics intersection: min of the two multiplicities
+      val li = t(s, d, "lineitem")
+      li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+        .intersectAll(
+          li.filter(col("l_returnflag") === "N").select(col("l_orderkey")))
     }),
 
     // ----- sort / top-k -----
@@ -655,6 +677,15 @@ object Relational extends QueryPack {
       "SELECT DISTINCT l_orderkey FROM lineitem EXCEPT SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'",
     "q47_except_all" ->
       "SELECT l_orderkey FROM lineitem EXCEPT ALL SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'",
+    "q48_intersect_all" ->
+      ("SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R' " +
+        "INTERSECT ALL SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'"),
+    "q27_join_full" ->
+      ("SELECT c_custkey, c_acctbal, o_custkey, n_big_orders FROM " +
+        "(SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0) c " +
+        "FULL JOIN (SELECT o_custkey, count(*) AS n_big_orders FROM orders " +
+        "WHERE o_totalprice > 30000.0 GROUP BY o_custkey) o " +
+        "ON c.c_custkey = o.o_custkey"),
     "q63_window_ntile" ->
       ("SELECT o_orderstatus, quartile, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total FROM (" +
         "SELECT o_orderstatus, o_totalprice, ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile FROM orders) " +
