@@ -461,15 +461,21 @@ object Relational extends QueryPack {
 
     // rank-family window functions: dense_rank / percent_rank / cume_dist.
     // All three are deterministic under ORDER BY ties (they depend on rank
-    // and partition size, not physical row order), and percent_rank /
-    // cume_dist are exact IEEE divisions — safe to hash across engines.
+    // and partition size, not physical row order). percent_rank/cume_dist
+    // are exact IEEE divisions — identical doubles on both engines — but
+    // their ROUNDED forms are not hashable (k/(n-1) lands on exact
+    // .xxxxxx5 halves at some partition sizes), hence the floor scaling.
     "q65_window_ranks" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").asc)
       t(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
           dense_rank().over(w).as("dr"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          // floor-scaled, NOT round: percent_rank = k/(n-1) lands on
+          // exact .xxxxxx5 halves at some partition sizes (seen at
+          // sf0.1, n-1 = 1600), where Spark and DuckDB round opposite
+          // ways; floor of the identical IEEE double always agrees
+          floor(percent_rank().over(w) * 1000000).as("pr_e6"),
+          floor(cume_dist().over(w) * 1000000).as("cd_e6"))
     }),
 
     // numeric RANGE-offset frame: each order counts its customer's orders
@@ -703,8 +709,8 @@ object Relational extends QueryPack {
     "q65_window_ranks" ->
       ("SELECT c_custkey, c_nationkey, c_acctbal, " +
         "dense_rank() OVER w AS dr, " +
-        "round(percent_rank() OVER w, 6) AS pr, " +
-        "round(cume_dist() OVER w, 6) AS cd " +
+        "CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_e6, " +
+        "CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_e6 " +
         "FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC)"),
     "q50_sort_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25",

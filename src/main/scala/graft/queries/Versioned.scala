@@ -267,6 +267,22 @@ object Versioned extends QueryPack {
         t(s, d, "region").write.mode("overwrite").orc(dir)
       }
       s.read.orc(dir).filter(col("r_regionkey") >= 1)
+    }),
+
+    // S5: Avro read path (IcebergReaderFactory.java:54-65). No spark-avro
+    // DataSource jar ships here, so graft.sources.AvroSource decodes the
+    // container format directly with avro-core — round-trip nation
+    // through Avro and scan it back with a residual filter on top.
+    "v17_avro_scan" -> ((s, d) => {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}/nation_avro"
+      if (!java.nio.file.Files.list(
+        java.nio.file.Files.createDirectories(Paths.get(dir)))
+        .anyMatch(p => p.toString.endsWith(".avro"))) {
+        graft.sources.AvroSource.write(t(s, d, "nation"), dir)
+      }
+      graft.sources.AvroSource.read(s, dir)
+        .filter(col("n_regionkey") =!= 3)
     })
   )
 
@@ -323,6 +339,8 @@ object Versioned extends QueryPack {
         "WHERE 1 = 0"),
     "v07_orc_scan" ->
       "SELECT * FROM region WHERE r_regionkey >= 1",
+    "v17_avro_scan" ->
+      "SELECT * FROM nation WHERE n_regionkey <> 3",
     "v08_graft_changes" ->
       "SELECT *, CAST(2 AS BIGINT) AS snapshot__id FROM region"
   )
