@@ -29,6 +29,46 @@ object Pipeline extends QueryPack {
       fp.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("doc_id", "lang", "n_tokens", "clean_ratio", "fingerprint")
+    }),
+
+    // the full EXPORT pipeline: quality gate → benchmark decontamination
+    // (drop any train doc sharing a 5-gram with the held-out split) →
+    // exact dedup keep-first → 64/48 token-window chunking. One
+    // declarative plan end to end; the decontamination anti-join and the
+    // dedup window are the only shuffles beyond the shingle hash join.
+    "p02_export_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val evalPred = col("doc_id") % 10 === 0
+      val quality = docs
+        .withColumn("n_toks",
+          size(filter(split(trim(col("text")), "\\s+"), x => length(x) > 0)))
+        .withColumn("clean_ratio",
+          length(regexp_replace(col("text"), "[^a-zA-Z ]", ""))
+            .cast("double") / greatest(length(col("text")), lit(1)))
+        .filter(col("n_toks").between(10, 120) && col("clean_ratio") > 0.9
+          && !evalPred)
+      val contaminated = Dedup
+        .decontaminate(docs, "doc_id", "text", evalPred, k = 5)
+        .filter(col("n_hits") > 0)
+        .select(col("doc_id").as("bad_id"))
+      val clean = quality.join(contaminated,
+        quality("doc_id") === contaminated("bad_id"), "left_anti")
+      val w = Window
+        .partitionBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .orderBy(col("doc_id").asc)
+      val kept = clean.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val chunkToks = filter(split(lower(trim(col("text"))), "\\s+"),
+        x => length(x) > 0)
+      kept.select(col("doc_id"), chunkToks.as("t"))
+        .withColumn("n", size(col("t")))
+        .filter(col("n") > 0)
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0), floor((col("n") - 1) / 48).cast("int"))))
+        .withColumn("chunk", slice(col("t"), col("chunk_idx") * 48 + 1, lit(64)))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("digest"))
     })
   )
 
@@ -41,6 +81,40 @@ object Pipeline extends QueryPack {
         "quality AS (SELECT * FROM scored WHERE n_tokens BETWEEN 10 AND 120 AND clean_ratio > 0.9), " +
         "fp AS (SELECT *, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint, " +
         "row_number() OVER (PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) ORDER BY doc_id) AS rn FROM quality) " +
-        "SELECT doc_id, lang, n_tokens, clean_ratio, fingerprint FROM fp WHERE rn = 1")
+        "SELECT doc_id, lang, n_tokens, clean_ratio, fingerprint FROM fp WHERE rn = 1"),
+
+    "p02_export_pipeline" -> {
+      val gram5 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]"
+      "WITH toks AS (SELECT doc_id, list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t " +
+        "FROM documents), " +
+        s"sh_full AS (SELECT doc_id, CAST(('0x' || substr(md5($gram5), 1, 15)) AS BIGINT) AS h " +
+        "FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5), " +
+        "sh_short AS (SELECT doc_id, CAST(('0x' || substr(md5(" +
+        "array_to_string(t, ' ')), 1, 15)) AS BIGINT) AS h " +
+        "FROM toks WHERE len(t) < 5), " +
+        "sh AS (SELECT DISTINCT doc_id, h FROM " +
+        "(SELECT * FROM sh_full UNION ALL SELECT * FROM sh_short)), " +
+        "ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0), " +
+        "contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev ON s.h = ev.h " +
+        "WHERE s.doc_id % 10 <> 0), " +
+        "scored AS (SELECT doc_id, text, " +
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS n_toks, " +
+        "CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS clean_ratio " +
+        "FROM documents), " +
+        "quality AS (SELECT * FROM scored WHERE n_toks BETWEEN 10 AND 120 " +
+        "AND clean_ratio > 0.9 AND doc_id % 10 <> 0 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM contam)), " +
+        "fp AS (SELECT doc_id, row_number() OVER (PARTITION BY " +
+        "md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) ORDER BY doc_id) AS rn " +
+        "FROM quality), " +
+        "kt AS (SELECT toks.doc_id, t, len(t) AS n FROM toks " +
+        "JOIN (SELECT doc_id FROM fp WHERE rn = 1) kept USING (doc_id) WHERE len(t) > 0), " +
+        "c AS (SELECT doc_id, t, n, unnest(range(0, (n - 1) // 48 + 1)) AS chunk_idx FROM kt) " +
+        "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, " +
+        "CAST(len(t[chunk_idx * 48 + 1 : LEAST(chunk_idx * 48 + 64, n)]) AS INT) AS n_tokens, " +
+        "md5(array_to_string(t[chunk_idx * 48 + 1 : LEAST(chunk_idx * 48 + 64, n)], ' ')) AS digest " +
+        "FROM c"
+    }
   )
 }
