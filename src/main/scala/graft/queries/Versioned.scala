@@ -276,11 +276,12 @@ object Versioned extends QueryPack {
     "v17_avro_scan" -> ((s, d) => {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/" +
         s"${d.replaceAll("[^A-Za-z0-9.]", "_")}/nation_avro"
-      if (!java.nio.file.Files.list(
+      val listing = java.nio.file.Files.list(
         java.nio.file.Files.createDirectories(Paths.get(dir)))
-        .anyMatch(p => p.toString.endsWith(".avro"))) {
-        graft.sources.AvroSource.write(t(s, d, "nation"), dir)
-      }
+      val hasAvro =
+        try listing.anyMatch(p => p.toString.endsWith(".avro"))
+        finally listing.close()
+      if (!hasAvro) graft.sources.AvroSource.write(t(s, d, "nation"), dir)
       graft.sources.AvroSource.read(s, dir)
         .filter(col("n_regionkey") =!= 3)
     })

@@ -174,7 +174,12 @@ object AvroSource {
       try {
         val s = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
         try s.getSchema finally s.close()
-      } finally if (in != null) () // stream closed via DataFileStream
+      } finally {
+        // DataFileStream.close() already closed `in` on the happy path;
+        // FSDataInputStream close is idempotent, and this covers a
+        // constructor failure (corrupt header) leaking the handle
+        try in.close() catch { case _: Exception => () }
+      }
     }
     val fullStruct = toSparkType(writerSchema).asInstanceOf[StructType]
     val struct =
@@ -193,6 +198,12 @@ object AvroSource {
           val fp = new Path(file)
           val stream = new DataFileStream(
             fp.getFileSystem(hconf).open(fp), reader)
+          // a limit/take downstream may abandon the iterator mid-file;
+          // the task-completion hook closes the handle regardless
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+            try stream.close() catch { case _: Exception => () }
+          }
           new Iterator[Row] {
             def hasNext: Boolean = {
               val h = stream.hasNext
