@@ -163,10 +163,46 @@ object Events extends QueryPack {
       counts.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select("user_id", "event_type", "n")
+    }),
+
+    // ORDERED funnel: users who viewed, then clicked AT/AFTER their first
+    // view, then purchased at/after that click. Three chained per-user
+    // window minima — all three passes share ONE hash partition exchange
+    // on user_id (same partitioning, Catalyst reuses it), no orderBy in
+    // the frame so no per-partition sort beyond the partitioning. The
+    // per-user state is three timestamps; at 100 TB users are many and
+    // individually small, so parallelism is the user-key hash.
+    "e10_funnel" -> ((s, d) => {
+      val wU = Window.partitionBy(col("user_id"))
+      events(s, d)
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("ts"))).over(wU))
+        .withColumn("fc",
+          min(when(col("event_type") === "click" && col("ts") >= col("fv"),
+            col("ts"))).over(wU))
+        .withColumn("fp",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("fc"),
+            col("ts"))).over(wU))
+        .agg(
+          countDistinct(when(col("fv").isNotNull, col("user_id")))
+            .as("n_view"),
+          countDistinct(when(col("fc").isNotNull, col("user_id")))
+            .as("n_view_click"),
+          countDistinct(when(col("fp").isNotNull, col("user_id")))
+            .as("n_full_funnel"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "e10_funnel" ->
+      ("WITH w1 AS (SELECT user_id, ts, event_type, " +
+        "min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS fv FROM events), " +
+        "w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= fv THEN ts END) OVER (PARTITION BY user_id) AS fc FROM w1), " +
+        "w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= fc THEN ts END) OVER (PARTITION BY user_id) AS fp FROM w2) " +
+        "SELECT count(DISTINCT CASE WHEN fv IS NOT NULL THEN user_id END) AS n_view, " +
+        "count(DISTINCT CASE WHEN fc IS NOT NULL THEN user_id END) AS n_view_click, " +
+        "count(DISTINCT CASE WHEN fp IS NOT NULL THEN user_id END) AS n_full_funnel " +
+        "FROM w3"),
     "e01_tumbling_hour" ->
       ("SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start, " +
         "event_type, count(*) AS n_events, " +
