@@ -216,7 +216,11 @@ object Similarity extends QueryPack {
       .withColumn("probe",
         explode(slice(reverse(array_sort(cellSims(col("q_v")))), 1, nProbe)))
       .select(col("q_id"), col("q_v"), col("probe").getField("cid").as("cid"))
-    val scored = assigned.join(q, Seq("cid"))
+    // broadcast the (LIMIT-bounded) probe side: the join key has only
+    // nCentroids distinct values, so a shuffle join here would hash the
+    // whole corpus into nCentroids partitions (parallelism collapse +
+    // skew); with the probes broadcast the corpus never moves at all
+    val scored = assigned.join(broadcast(q), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
     rankTopK(scored, k)

@@ -239,7 +239,7 @@ object AvroSource {
     df.rdd.mapPartitionsWithIndex { (i, it) =>
       if (it.hasNext) {
         val sch = new Schema.Parser().parse(schemaJson)
-        val out = new Path(s"$path/part-$i%05d.avro".format(i))
+        val out = new Path(f"$path/part-$i%05d.avro")
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
         val os = out.getFileSystem(serConf.value).create(out, true)
         w.create(sch, os)
