@@ -284,6 +284,36 @@ object Versioned extends QueryPack {
       if (!hasAvro) graft.sources.AvroSource.write(t(s, d, "nation"), dir)
       graft.sources.AvroSource.read(s, dir)
         .filter(col("n_regionkey") =!= 3)
+    }),
+
+    // MIXED-FORMAT versioned table: snapshot 1's data files are parquet,
+    // snapshot 2's are avro — one scan dispatches per file like
+    // IcebergReaderFactory.java:48-75 and unions the readers' output.
+    "v18_avro_table" -> ((s, d) => {
+      val tbl = synchronized {
+        val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/region_av"
+        val existing =
+          if (GraftTable.exists(dir)) {
+            val t0 = GraftTable.load(dir)
+            if (t0.log.snapshots.size == 2) Some(t0)
+            else { GraftTable.deleteRecursively(Paths.get(dir)); None }
+          } else {
+            if (Files.exists(Paths.get(dir)))
+              GraftTable.deleteRecursively(Paths.get(dir))
+            None
+          }
+        existing.getOrElse {
+          val region = t(s, d, "region")
+          val t1 = GraftTable.create(dir, region.schema)
+          t1.append(region, committedAt = Some(1000L))
+          t1.appendAvro(
+            region.withColumn("r_regionkey", col("r_regionkey") + 10),
+            committedAt = Some(2000L))
+          t1
+        }
+      }
+      tbl.read(s)
     })
   )
 
@@ -342,6 +372,9 @@ object Versioned extends QueryPack {
       "SELECT * FROM region WHERE r_regionkey >= 1",
     "v17_avro_scan" ->
       "SELECT * FROM nation WHERE n_regionkey <> 3",
+    "v18_avro_table" ->
+      ("SELECT r_regionkey, r_name, CAST(2 AS BIGINT) AS snapshot__id FROM region " +
+        "UNION ALL SELECT r_regionkey + 10, r_name, CAST(2 AS BIGINT) FROM region"),
     "v08_graft_changes" ->
       "SELECT *, CAST(2 AS BIGINT) AS snapshot__id FROM region"
   )

@@ -166,7 +166,19 @@ object AvroSource {
         fs.listStatus(p).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".avro")).map(_.toString).sorted
       else Seq(path)
-    require(files.nonEmpty, s"no .avro files under $path")
+    readFiles(spark, files, columns)
+  }
+
+  /** Read an explicit list of `.avro` container files (all written with
+    * the same schema) — the entry point table scans use after manifest
+    * pruning picked the file list. */
+  def readFiles(
+      spark: SparkSession,
+      files: Seq[String],
+      columns: Seq[String] = Nil): DataFrame = {
+    require(files.nonEmpty, "no .avro files to read")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(files.head).getFileSystem(conf)
 
     // driver reads ONE header for the writer schema — no records
     val writerSchema = {
@@ -220,6 +232,24 @@ object AvroSource {
         }
       }
     spark.createDataFrame(rdd, struct)
+  }
+
+  /** Exact record count of one container file WITHOUT decoding records:
+    * every Avro block header carries its object count, so this walks
+    * block headers only (the manifest-stats analog of a parquet footer
+    * read). */
+  def countRecords(file: String, conf: Configuration): Long = {
+    val p = new Path(file)
+    val stream = new DataFileStream(
+      p.getFileSystem(conf).open(p), new GenericDatumReader[GenericRecord]())
+    try {
+      var n = 0L
+      while (stream.hasNext) {
+        n += stream.getBlockCount
+        stream.nextBlock()
+      }
+      n
+    } finally stream.close()
   }
 
   // ---------------- write ----------------

@@ -78,6 +78,60 @@ final class GraftTable private (
         "added-records" -> newFiles.map(_.recordCount).sum.toString))
   }
 
+  /** Append `df` as a new snapshot whose data files are AVRO containers
+    * (written via [[graft.sources.AvroSource]]) — the mixed-format table
+    * shape the reference dispatches on per file
+    * (IcebergReaderFactory.java:48-75): later scans read parquet and avro
+    * entries of the same table through their respective readers and union
+    * them. Avro files carry exact record counts in the manifest (block
+    * headers, no decode) but NO min/max stats — scans keep them under any
+    * predicate (conservative, sound; mirrors the reference's Avro path
+    * applying no residual filter at the reader, SURVEY §2.1 S5).
+    * Unpartitioned tables only. */
+  def appendAvro(df: DataFrame, committedAt: Option[Long] = None): Snapshot = {
+    require(partitionColumns.isEmpty,
+      s"appendAvro supports unpartitioned tables only ($dir is partitioned)")
+    val mapped = graft.sources.AvroSource
+      .toSparkType(graft.sources.AvroSource.toAvroSchema(schema))
+      .asInstanceOf[StructType]
+    val lossy = schema.fields.zip(mapped.fields)
+      .filter { case (a, b) => a.dataType != b.dataType }
+    require(lossy.isEmpty,
+      s"schema does not round-trip through avro: ${lossy.map(_._1.name).mkString(", ")}")
+
+    val lg = log
+    val snapId = lg.nextId
+    val staging = s"$dir/.staging-$snapId"
+    graft.sources.AvroSource.write(
+      df.select(schema.fieldNames.map(col): _*), staging)
+    val dataDir = Paths.get(dir, "data")
+    Files.createDirectories(dataDir)
+    val staged = scala.util.Using.resource(Files.walk(Paths.get(staging))) {
+      s => s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".avro"))
+        .toSeq.sortBy(_.toString)
+    }
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    var seq = 0
+    val newFiles = staged.map { src =>
+      val name = f"part-$snapId%05d-$seq%05d.avro"
+      seq += 1
+      val dst = dataDir.resolve(name)
+      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      val rows = graft.sources.AvroSource.countRecords(dst.toString, conf)
+      DataFileEntry(s"data/$name", rows, Files.size(dst), Map.empty)
+    }
+    deleteRecursively(Paths.get(staging))
+    val prevManifest = lg.current.map(s => Manifest.read(s"$dir/${s.manifestList}"))
+      .getOrElse(Manifest.empty)
+    commit(lg, snapId, Manifest(prevManifest.files ++ newFiles), newFiles,
+      operation = "append", committedAt,
+      extraSummary = Map(
+        "added-data-files" -> newFiles.size.toString,
+        "added-records" -> newFiles.map(_.recordCount).sum.toString,
+        "data-format" -> "avro"))
+  }
+
   /** Write `df` into the data layout as snapshot `snapId`'s files and
     * return their manifest entries (stats + partition values attached).
     * Shared by [[append]] and [[compact]]. */
@@ -461,15 +515,27 @@ final class GraftTable private (
   // reads
   // ------------------------------------------------------------------
 
-  /** Read a pruned file list with the table schema. Partitioned tables
-    * read with `basePath` so Spark recovers partition-column values from
-    * the `<col>=<value>/` directories (typed by the user-supplied schema,
-    * never inferred); unpartitioned tables read the plain file list.
-    * Either way the result schema is exactly `schema`, in order. */
+  /** Read a pruned file list with the table schema, dispatching the
+    * reader PER FILE FORMAT — the IcebergReaderFactory behavior
+    * (IcebergReaderFactory.java:48-75 switches on each data file's
+    * format): parquet files ride the vectorized built-in source, `.avro`
+    * files ride [[graft.sources.AvroSource]]. Partitioned tables read
+    * with `basePath` so Spark recovers partition-column values from the
+    * `<col>=<value>/` directories (typed by the user-supplied schema,
+    * never inferred). Every branch is projected to exactly `schema` in
+    * order, so the union is positional (no unionByName widening). */
   private def readFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val r = spark.read.schema(schema)
-    if (partitionColumns.nonEmpty) r.option("basePath", s"$dir/data")
-    r.parquet(paths: _*).select(schema.fieldNames.map(col): _*)
+    val (avroPaths, parqPaths) = paths.partition(_.endsWith(".avro"))
+    val branches = Seq(
+      Option.when(parqPaths.nonEmpty) {
+        val r = spark.read.schema(schema)
+        if (partitionColumns.nonEmpty) r.option("basePath", s"$dir/data")
+        r.parquet(parqPaths: _*)
+      },
+      Option.when(avroPaths.nonEmpty) {
+        graft.sources.AvroSource.readFiles(spark, avroPaths)
+      }).flatten.map(_.select(schema.fieldNames.map(col): _*))
+    branches.reduce(_ union _)
   }
 
   /** Schema as read (user schema + virtual snapshot column, like
