@@ -94,6 +94,21 @@ class AvroTableSpec extends SparkSpecBase {
     assert(delta.agg(min(col("r_regionkey"))).head().getAs[Number](0).longValue == 10L)
   }
 
+  test("DELETE rewrites across formats: avro candidates become parquet") {
+    val tbl = freshTable("avro_delete")
+    tbl.append(region, committedAt = Some(1000L))
+    tbl.appendAvro(region.withColumn("r_regionkey", col("r_regionkey") + 10),
+      committedAt = Some(2000L))
+    // predicate hits one avro-side key; avro files carry no stats so they
+    // are always rewrite candidates (conservative), parquet files with
+    // non-matching bounds are untouched
+    tbl.delete(spark, col("r_regionkey") === 12, committedAt = Some(3000L))
+    val out = tbl.read(spark)
+    assert(out.count() == 9)
+    assert(!out.select("r_regionkey").collect()
+      .exists(_.getAs[Number](0).longValue == 12L))
+  }
+
   test("appendAvro refuses partitioned tables and non-roundtrippable schemas") {
     val dir = tmpDir("avro_refuse")
     val nation = spark.read.parquet(sf("nation"))
