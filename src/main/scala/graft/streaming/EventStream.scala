@@ -116,6 +116,48 @@ object EventStream {
         col("c.ts").as("click_ts"))
   }
 
+  case class FunnelState(fv: Option[Long], fc: Option[Long], fp: Option[Long])
+
+  case class FunnelOut(userId: Long, stage: Int)
+
+  /** STREAMING ordered funnel — the incremental form of batch e10: per
+    * user, track first view, first click at-or-after that view, first
+    * purchase at-or-after that click, and emit the user's current funnel
+    * stage (0-3) each micro-batch (Update output mode).
+    *
+    * State is THREE microsecond timestamps per user, updated in event-time
+    * order within each batch; with in-order delivery the incremental
+    * result equals the batch window-chain exactly (an earlier-timestamped
+    * view arriving AFTER a later one was folded is the standard
+    * incremental-funnel approximation — same trade as any streaming
+    * funnel). For unbounded user cardinality, compose with a state
+    * timeout (as [[sessionize]] does) to expire quiet users. */
+  def funnelStages(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[FunnelState, FunnelOut](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.map(e => (e.ts.getTime * 1000L, e.eventType)).toSeq
+            .sortBy(_._1).foreach { case (us, t) =>
+              if (t == "view" && s.fv.isEmpty)
+                s = s.copy(fv = Some(us))
+              else if (t == "click" && s.fc.isEmpty && s.fv.exists(_ <= us))
+                s = s.copy(fc = Some(us))
+              else if (t == "purchase" && s.fp.isEmpty && s.fc.exists(_ <= us))
+                s = s.copy(fp = Some(us))
+            }
+          state.update(s)
+          FunnelOut(userId,
+            if (s.fp.isDefined) 3
+            else if (s.fc.isDefined) 2
+            else if (s.fv.isDefined) 1
+            else 0)
+      }
+  }
+
   /** STREAMING exact dedup — the incremental form of d01/d02: keep the
     * first-arriving document per content fingerprint, dropping later
     * copies across micro-batches. State MUST be evictable or it grows with

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpecBase
@@ -255,5 +256,60 @@ class EventStreamSpec extends SparkSpecBase {
     assert(immediate.exists(s => s.userId == 7L && s.nEvents == 2L),
       s"in-batch closed session missing: ${immediate.mkString(",")}")
     query.stop()
+  }
+
+  test("funnelStages: stage advances across micro-batches, order enforced") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val query = EventStream.funnelStages(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update()).start()
+
+    // batch 1: user 1 views; user 2 clicks WITHOUT a prior view (stage 0);
+    // user 3 views and clicks in one batch
+    input.addData(
+      Event(ts(10), 1L, "view", 1.0),
+      Event(ts(10), 2L, "click", 1.0),
+      Event(ts(10), 3L, "view", 1.0),
+      Event(ts(12), 3L, "click", 1.0))
+    query.processAllAvailable()
+
+    // batch 2: user 1 clicks then purchases; user 2 purchases (still no
+    // view -> stays 0); user 3 purchases
+    input.addData(
+      Event(ts(20), 1L, "click", 1.0),
+      Event(ts(25), 1L, "purchase", 1.0),
+      Event(ts(20), 2L, "purchase", 1.0),
+      Event(ts(20), 3L, "purchase", 1.0))
+    query.processAllAvailable()
+    query.stop()
+
+    // Update mode: last row per user wins
+    val last = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.last._2 }
+    assert(last(1L) == 3, s"user 1 should complete the funnel: $last")
+    assert(last(2L) == 0, s"user 2 never viewed: $last")
+    assert(last(3L) == 3, s"user 3 should complete the funnel: $last")
+
+    // parity with the batch window-chain (e10 semantics) on the same rows
+    val all = Seq(
+      (ts(10), 1L, "view"), (ts(20), 1L, "click"), (ts(25), 1L, "purchase"),
+      (ts(10), 2L, "click"), (ts(20), 2L, "purchase"),
+      (ts(10), 3L, "view"), (ts(12), 3L, "click"), (ts(20), 3L, "purchase"))
+      .toDF("ts", "user_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val batch = all
+      .withColumn("fv", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("fc", min(when(col("event_type") === "click" && col("ts") >= col("fv"), col("ts"))).over(w))
+      .withColumn("fp", min(when(col("event_type") === "purchase" && col("ts") >= col("fc"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("fp").isNotNull, 3)
+        .when(col("fc").isNotNull, 2)
+        .when(col("fv").isNotNull, 1).otherwise(0)).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(batch == last, s"streaming $last vs batch $batch")
   }
 }
