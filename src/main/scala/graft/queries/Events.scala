@@ -165,6 +165,28 @@ object Events extends QueryPack {
         .select("user_id", "event_type", "n")
     }),
 
+    // cohort RETENTION: users grouped by first-activity day, then counted
+    // if they return the next day (d1) / within the week (w1). The cohort
+    // day comes from a per-user window min — ONE exchange on user_id, no
+    // self-join of the events table against its own aggregate; the final
+    // rollup is a groupBy on ~O(days) keys. countDistinct expands the row
+    // 3× before the final aggregate, a constant factor.
+    "e11_retention" -> ((s, d) => {
+      val wU = Window.partitionBy(col("user_id"))
+      events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .withColumn("cohort_day", min(col("day")).over(wU))
+        .groupBy(col("cohort_day"))
+        .agg(
+          countDistinct(when(col("day") === col("cohort_day"), col("user_id")))
+            .as("cohort_size"),
+          countDistinct(when(datediff(col("day"), col("cohort_day")) === 1,
+            col("user_id"))).as("retained_d1"),
+          countDistinct(when(datediff(col("day"), col("cohort_day"))
+            .between(1, 7), col("user_id"))).as("retained_w1"))
+        .orderBy("cohort_day")
+    }),
+
     // ORDERED funnel: users who viewed, then clicked AT/AFTER their first
     // view, then purchased at/after that click. Three chained per-user
     // window minima — all three passes share ONE hash partition exchange
@@ -234,6 +256,14 @@ object Events extends QueryPack {
         "min(ts_s) AS session_start, max(ts_s) AS session_end " +
         "FROM sessions GROUP BY user_id, session_seq HAVING count(*) >= 3 " +
         "ORDER BY user_id, session_seq"),
+    "e11_retention" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ev) " +
+        "SELECT cohort_day, " +
+        "count(DISTINCT CASE WHEN day = cohort_day THEN user_id END) AS cohort_size, " +
+        "count(DISTINCT CASE WHEN date_diff('day', cohort_day, day) = 1 THEN user_id END) AS retained_d1, " +
+        "count(DISTINCT CASE WHEN date_diff('day', cohort_day, day) BETWEEN 1 AND 7 THEN user_id END) AS retained_w1 " +
+        "FROM c GROUP BY 1 ORDER BY 1"),
     "e06_json_extract" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events WHERE CAST(json_extract(props, '$.k') AS INT) >= 50",
     "e07_json_struct" ->

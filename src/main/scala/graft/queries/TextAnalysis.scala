@@ -234,6 +234,68 @@ object TextAnalysis extends QueryPack {
           md5(concat_ws(" ", col("chunk"))).as("digest"))
     }),
 
+    // Gopher/C4-style quality RULES: token-level heuristics (mean word
+    // length, most-frequent-token dominance, duplicate-token fraction)
+    // plus the pass/fail gate a filtering pipeline applies before
+    // training. One explode + two hash aggregations (token counts per
+    // doc, then per-doc rollup) — map-side partials carry both; ratios
+    // are single IEEE divisions so the DuckDB oracle hash-matches.
+    "t15_gopher_rules" -> ((s, d) => {
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        x => length(x) > 0)
+      val perTok = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+      val perDoc = perTok.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_n"),
+        sum(length(col("tok")) * col("c")).as("sum_len"))
+      val mwl = col("sum_len").cast("double") / col("n_tokens")
+      val topr = col("top_n").cast("double") / col("n_tokens")
+      perDoc.select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(mwl, 6).as("mean_word_len"),
+        round(topr, 6).as("top_tok_ratio"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_tok_ratio"),
+        (col("n_tokens") >= 10 && col("n_tokens") <= 100000 &&
+          mwl >= 2.0 && mwl <= 12.0 && topr <= 0.20)
+          .cast("int").as("passes"))
+    }),
+
+    // bigram-LM quality proxy (perplexity stand-in): fraction of a doc's
+    // bigram transitions that are RARE in the whole corpus (< 3
+    // occurrences). A doc full of transitions no other doc makes is
+    // gibberish; a doc of only-common transitions is boilerplate. Counts
+    // stay integers (sums of doubles would be order-dependent across
+    // engines); the corpus LM is the bigram-count aggregate, joined back
+    // to the doc's bigrams on the same key — both sides exchange on
+    // `bigram`, so AQE reuses one shuffle. O(total tokens) end to end.
+    "t16_rare_bigrams" -> ((s, d) => {
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        x => length(x) > 0)
+      val tokRows = t(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bg = tokRows
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      val lm = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
+      bg.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(when(col("cf") < 3, 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("rare_ratio",
+          round(col("n_rare").cast("double") / col("n_transitions"), 6))
+        .select("doc_id", "n_transitions", "n_rare", "rare_ratio")
+    }),
+
     // corpus-level stats: tokens and length percentiles per language —
     // the "what's in this corpus" report; partial aggregation map-side.
     "t05_corpus_stats" -> ((s, d) =>
@@ -335,6 +397,33 @@ object TextAnalysis extends QueryPack {
           "levenshtein(a.p_name, b.p_name) AS edit_dist " +
           "FROM names a JOIN names b ON a.blk = b.blk AND a.p_partkey < b.p_partkey " +
           "WHERE levenshtein(a.p_name, b.p_name) <= 12"),
+      "t15_gopher_rules" ->
+        ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+          "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS tok " +
+          "FROM documents), " +
+          "pt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2), " +
+          "pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+          "count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_n, " +
+          "CAST(sum(len(tok) * c) AS BIGINT) AS sum_len FROM pt GROUP BY 1) " +
+          "SELECT doc_id, n_tokens, " +
+          "round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS mean_word_len, " +
+          "round(CAST(top_n AS DOUBLE) / n_tokens, 6) AS top_tok_ratio, " +
+          "round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_tok_ratio, " +
+          "CAST(n_tokens >= 10 AND n_tokens <= 100000 " +
+          "AND CAST(sum_len AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0 " +
+          "AND CAST(top_n AS DOUBLE) / n_tokens <= 0.20 AS INT) AS passes " +
+          "FROM pd"),
+      "t16_rare_bigrams" ->
+        ("WITH toks AS (SELECT doc_id, list_filter(" +
+          "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS l " +
+          "FROM documents), " +
+          "bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram " +
+          "FROM toks, UNNEST(range(1, len(l))) AS u(i) WHERE len(l) >= 2), " +
+          "cf AS (SELECT bigram, count(*) AS cf FROM bg GROUP BY 1) " +
+          "SELECT doc_id, count(*) AS n_transitions, " +
+          "CAST(sum(CASE WHEN cf.cf < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare, " +
+          "round(CAST(sum(CASE WHEN cf.cf < 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_ratio " +
+          "FROM bg JOIN cf USING (bigram) GROUP BY doc_id"),
       "t05_corpus_stats" ->
         // CAST the integer sums: DuckDB sum(INT) returns HUGEINT, which the
         // driver-side pandas bridge renders as float ("3.0" vs Spark's "3")
