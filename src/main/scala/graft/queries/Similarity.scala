@@ -151,6 +151,15 @@ object Similarity extends QueryPack {
         k = 10)
     }),
 
+    // PQ ANN: codebook-compressed scan + exact re-rank (rows-only — the
+    // quantizer is trained k-means; SimilaritySpec bounds recall vs brute
+    // force instead)
+    "s06_knn_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10)
+    }),
+
     // label-centroid similarity: per-label mean vector, then each label's
     // centroid norm — a "cluster quality" style aggregate over vectors
     // (element-wise mean via 64 unrolled array sums; exact integer-free
@@ -224,6 +233,145 @@ object Similarity extends QueryPack {
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
     rankTopK(scored, k)
+  }
+
+  /** Product-quantization (PQ) approximate top-k — the memory-bounded ANN
+    * scale path next to LSH (s02) and IVF (s05): the corpus is compressed
+    * to `m` per-subspace codebook indices (one byte each at k=16), every
+    * candidate is scored against the CODES via per-query lookup tables
+    * (asymmetric distance computation), and only the top `rerank`
+    * candidates per query are rescored against full vectors. At 100 TB
+    * the ADC scan reads m small int columns instead of the 64-float
+    * vector (32× less I/O at m=8: 8 byte-codes vs 256 vector bytes), and
+    * full-precision vectors are fetched for O(queries × rerank) rows only.
+    *
+    * Codebooks are per-subspace k-means trained on a deterministic md5
+    * hash sample (bounded training input, cluster-stable row choice —
+    * the t09 sampling discipline); they re-enter the plan as literal
+    * arrays (m × k × dim/m doubles of driver state, corpus-independent).
+    * Encoding is exact-L2 argmin via
+    * argmin_j ‖x−c_j‖² = argmax_j (dot(x,c_j) − ‖c_j‖²/2),
+    * so both encode and ADC scoring are codegen'd [[graft.functions.DotProduct]]
+    * chains — no interpreted lambdas in either corpus pass. ADC
+    * approximates cos(q,x) ≈ Σ_m dot(q_m, c_code) / (‖q‖·√Σ_m ‖c_code‖²);
+    * top-`rerank` selection is the bounded-heap aggregate, so the scored
+    * relation never shuffles. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      codebook: Int = 16,
+      rerank: Int = 64,
+      seed: Long = 7L,
+      maxQueries: Int = 1024): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.DotProduct.dot_product
+    val dim = 64
+    val sub = dim / m
+    def normSq(a: Array[Double]): Double = { var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * a(i); i += 1 }; s }
+
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
+    // codebook training input: deterministic ~50% hash sample
+    val sample = c.filter(substring(md5(col("n_id").cast("string")), 1, 1) < "8")
+    val books: Seq[Seq[Array[Double]]] = (0 until m).map { mi =>
+      new KMeans().setK(codebook).setSeed(seed + mi).setMaxIter(5)
+        .fit(sample.select(array_to_vector(
+          slice(col("n_v"), mi * sub + 1, sub)).as("features")))
+        .clusterCenters.map(_.toArray).toSeq
+    }
+
+    // encode: exact-L2 nearest codeword per subspace (struct argmax; ties
+    // break to the higher index deterministically)
+    def codeFor(v: Column, mi: Int): Column = {
+      val xm = slice(v, mi * sub + 1, sub)
+      array_max(array(books(mi).zipWithIndex.map { case (cv, j) =>
+        struct((dot_product(xm, typedLit(cv.toSeq)) - lit(normSq(cv) / 2)).as("s"),
+          lit(j).as("j"))
+      }: _*)).getField("j")
+    }
+    val codes = c.select(col("n_id") +:
+      (0 until m).map(mi => codeFor(col("n_v"), mi).as(s"code$mi")): _*)
+
+    // query side: per-subspace dot tables against the literal codebooks
+    val q0 = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+      .limit(maxQueries)
+    val qTabs = q0.select(
+      Seq(col("q_id"),
+        sqrt(dot_product(col("q_v"), col("q_v"))).as("q_norm")) ++
+      (0 until m).map { mi =>
+        val qm = slice(col("q_v"), mi * sub + 1, sub)
+        array(books(mi).map(cv => dot_product(qm, typedLit(cv.toSeq))): _*)
+          .as(s"tab$mi")
+      }: _*)
+
+    // ADC scan: table lookups only — the full vectors never enter this pass
+    val normSqLits = (0 until m).map(mi =>
+      typedLit(books(mi).map(cv => normSq(cv))))
+    val approxDot = (0 until m)
+      .map(mi => element_at(col(s"tab$mi"), col(s"code$mi") + 1)).reduce(_ + _)
+    val approxNormSq = (0 until m)
+      .map(mi => element_at(normSqLits(mi), col(s"code$mi") + 1)).reduce(_ + _)
+    val cand = codes.join(broadcast(qTabs), col("n_id") =!= col("q_id"))
+      .withColumn("approx_cos", approxDot / (col("q_norm") * sqrt(approxNormSq)))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.GraftFunctions
+        .top_k_by_score(col("approx_cos"), col("n_id"), rerank).as("top"))
+      .select(col("q_id"), explode(col("top")).as("cnd"))
+      .select(col("q_id"), col("cnd.id").as("n_id"))
+
+    // exact re-rank of the bounded candidate set: q side is LIMIT-bounded
+    // (hint allowed); the corpus side joins by n_id with NO hint — AQE
+    // broadcasts the tiny candidate relation at runtime
+    val scored = cand.join(broadcast(q0), "q_id").join(c, "n_id")
+      .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
+    rankTopK(scored, k)
+  }
+
+  /** SemDeDup-style SEMANTIC dedup: k-means cells over the embedding
+    * corpus, then near-duplicate detection only WITHIN each cell — a
+    * vector is dropped when a lower-id member of its cell has cosine ≥
+    * `tau` to it. Returns the dropped vectors with their keep-witness.
+    *
+    * Scale: the pair space is Σ|cell|², bounded by cell granularity — at
+    * scale k grows with the corpus (k ≈ n / target cell size) so the
+    * per-cell quadratic term stays a constant and join parallelism is the
+    * cell count; the centers are the only driver-side state (k × dim
+    * doubles). The d06 hyperplane variant is the oracle-checkable twin;
+    * this is the trained-quantizer form the SemDeDup recipe uses. */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 16,
+      tau: Double = 0.97,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = emb.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
+      .fit(c.select(array_to_vector(col("v")).as("features")))
+    val centers: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    def cellSims(v: Column): Column = array(centers.zipWithIndex.map {
+      case (cv, i) =>
+        struct(Dedup.cosineSim(v, typedLit(cv)).as("sim"), lit(i).as("cid"))
+    }: _*)
+    val a = c.withColumn("cid",
+      array_max(cellSims(col("v"))).getField("cid"))
+    val keep = a.select(col("cid"), col("vid").as("kept_id"), col("v").as("kv"))
+    val drop = a.select(col("cid"), col("vid").as("dropped_id"), col("v").as("dv"))
+    keep.join(drop, Seq("cid"))
+      .filter(col("kept_id") < col("dropped_id"))
+      .withColumn("cos", Dedup.cosineSim(col("kv"), col("dv")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("dropped_id"))
+      .agg(min(col("kept_id")).as("kept_id"),
+        count(lit(1)).as("n_witnesses"),
+        round(max(col("cos")), 6).as("max_cos"))
+      .orderBy("dropped_id")
   }
 
   /** K-means clustering of the embedding corpus (diversity sampling /

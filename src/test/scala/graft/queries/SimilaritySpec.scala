@@ -55,6 +55,45 @@ class SimilaritySpec extends SparkSpecBase {
     assert(approx.nonEmpty)
   }
 
+  test("PQ top-k achieves reasonable recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 10,
+        m = 8, codebook = 16, rerank = 64)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 8×16 codebooks compress 64 dims 32×; the 64-candidate exact re-rank
+    // must still recover most of the true top-10 even on gaussian data
+    // (the quantizer's hardest case)
+    assert(recall >= 0.5, s"PQ recall $recall")
+    // exactly k per query: re-rank always has >= k candidates (rerank=64)
+    assert(approx.size == exact.size)
+  }
+
+  test("semantic dedup drops planted near-duplicate vectors and nothing else") {
+    import spark.implicits._
+    // plant: 3 exact/near copies of vector 0 (ids 9001-9003) + the corpus
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val v0 = base.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+    def jitter(eps: Double) = v0.zipWithIndex.map { case (x, i) =>
+      x + (if (i % 2 == 0) eps else -eps) }
+    val planted = Seq(
+      (9001L, v0.toSeq), (9002L, jitter(1e-3).toSeq), (9003L, jitter(2e-3).toSeq))
+      .toDF("vec_id", "v")
+    val corpus = base.unionByName(planted)
+    val dropped = Similarity.semanticDedup(corpus, "vec_id", "v",
+        k = 8, tau = 0.97)
+      .collect().map(_.getAs[Long]("dropped_id")).toSet
+    // all planted copies are dropped (vector 0 itself is the lowest-id
+    // witness and is kept)
+    assert(Set(9001L, 9002L, 9003L).subsetOf(dropped), s"dropped=$dropped")
+    assert(!dropped.contains(0L))
+    // nothing unrelated is dropped at the real-world threshold: the
+    // gaussian corpus tops out near cos 0.5
+    assert(dropped.forall(_ >= 9001L), s"false positives: ${dropped.filter(_ < 9001L)}")
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
