@@ -245,17 +245,23 @@ object Similarity extends QueryPack {
     * vector (32× less I/O at m=8: 8 byte-codes vs 256 vector bytes), and
     * full-precision vectors are fetched for O(queries × rerank) rows only.
     *
-    * Codebooks are per-subspace k-means trained on a deterministic md5
-    * hash sample (bounded training input, cluster-stable row choice —
-    * the t09 sampling discipline); they re-enter the plan as literal
-    * arrays (m × k × dim/m doubles of driver state, corpus-independent).
-    * Encoding is exact-L2 argmin via
-    * argmin_j ‖x−c_j‖² = argmax_j (dot(x,c_j) − ‖c_j‖²/2),
-    * so both encode and ADC scoring are codegen'd [[graft.functions.DotProduct]]
-    * chains — no interpreted lambdas in either corpus pass. ADC
-    * approximates cos(q,x) ≈ Σ_m dot(q_m, c_code) / (‖q‖·√Σ_m ‖c_code‖²);
-    * top-`rerank` selection is the bounded-heap aggregate, so the scored
-    * relation never shuffles. */
+    * Codebooks are per-subspace k-means trained on a BOUNDED sample
+    * (deterministic md5 hash sample, id-ordered, capped at `trainCap`
+    * rows — the t09 sampling discipline): PQ codebooks need a few
+    * thousand vectors regardless of corpus size (the FAISS training
+    * recipe), so training is one TakeOrdered scan + O(trainCap·k·iters)
+    * driver arithmetic — no per-subspace cluster jobs. The codebooks
+    * re-enter the plan as literal arrays (m × k × dim/m doubles of
+    * driver state, corpus-independent).
+    * Encode (exact-L2 argmin) and the query dot tables run through the
+    * dedicated [[graft.functions.PqEncode]] / [[graft.functions.PqDotTables]]
+    * expressions — the codebook ships as one reference object and each
+    * generates a single fused loop, where the equivalent composed-Column
+    * form (m × k slice/dot/argmax trees) costs seconds of Janino compile
+    * time PER PLAN. ADC approximates
+    * cos(q,x) ≈ Σ_m dot(q_m, c_code) / (‖q‖·√Σ_m ‖c_code‖²) with m array
+    * lookups per row; top-`rerank` selection is the bounded-heap
+    * aggregate, so the scored relation never shuffles. */
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -266,55 +272,46 @@ object Similarity extends QueryPack {
       codebook: Int = 16,
       rerank: Int = 64,
       seed: Long = 7L,
-      maxQueries: Int = 1024): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      maxQueries: Int = 1024,
+      trainCap: Int = 2048): DataFrame = {
     import graft.functions.DotProduct.dot_product
+    import graft.functions.{PqCodebook, ProductQuantization}
     val dim = 64
     val sub = dim / m
-    def normSq(a: Array[Double]): Double = { var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * a(i); i += 1 }; s }
 
     val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
-    // codebook training input: deterministic ~50% hash sample
-    val sample = c.filter(substring(md5(col("n_id").cast("string")), 1, 1) < "8")
-    val books: Seq[Seq[Array[Double]]] = (0 until m).map { mi =>
-      new KMeans().setK(codebook).setSeed(seed + mi).setMaxIter(5)
-        .fit(sample.select(array_to_vector(
-          slice(col("n_v"), mi * sub + 1, sub)).as("features")))
-        .clusterCenters.map(_.toArray).toSeq
-    }
+    // codebook training input: deterministic hash sample, id-ordered and
+    // capped — bounded driver state (trainCap × dim doubles ≈ 1 MB),
+    // one TakeOrderedAndProject job for all m codebooks
+    val sampleRows = c
+      .filter(substring(md5(col("n_id").cast("string")), 1, 1) < "8")
+      .orderBy(col("n_id")).limit(trainCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cb = PqCodebook((0 until m).map { mi =>
+      val slices = sampleRows.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      localKMeans(slices, codebook, iters = 8, seed = seed + mi).toArray
+    }.toArray)
 
-    // encode: exact-L2 nearest codeword per subspace (struct argmax; ties
-    // break to the higher index deterministically)
-    def codeFor(v: Column, mi: Int): Column = {
-      val xm = slice(v, mi * sub + 1, sub)
-      array_max(array(books(mi).zipWithIndex.map { case (cv, j) =>
-        struct((dot_product(xm, typedLit(cv.toSeq)) - lit(normSq(cv) / 2)).as("s"),
-          lit(j).as("j"))
-      }: _*)).getField("j")
-    }
-    val codes = c.select(col("n_id") +:
-      (0 until m).map(mi => codeFor(col("n_v"), mi).as(s"code$mi")): _*)
+    // encode: exact-L2 nearest codeword per subspace, one fused loop
+    val codes = c.select(col("n_id"),
+      ProductQuantization.pq_encode(col("n_v"), cb).as("codes"))
 
-    // query side: per-subspace dot tables against the literal codebooks
+    // query side: per-subspace dot tables against the codebook
     val q0 = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
       .limit(maxQueries)
-    val qTabs = q0.select(
-      Seq(col("q_id"),
-        sqrt(dot_product(col("q_v"), col("q_v"))).as("q_norm")) ++
-      (0 until m).map { mi =>
-        val qm = slice(col("q_v"), mi * sub + 1, sub)
-        array(books(mi).map(cv => dot_product(qm, typedLit(cv.toSeq))): _*)
-          .as(s"tab$mi")
-      }: _*)
+    val qTabs = q0.select(col("q_id"),
+      sqrt(dot_product(col("q_v"), col("q_v"))).as("q_norm"),
+      ProductQuantization.pq_dot_tables(col("q_v"), cb).as("tab"))
 
-    // ADC scan: table lookups only — the full vectors never enter this pass
-    val normSqLits = (0 until m).map(mi =>
-      typedLit(books(mi).map(cv => normSq(cv))))
+    // ADC scan: m table lookups per row — neither the full vectors nor
+    // any vector math enter this pass
+    val normSqLit = typedLit(cb.normSq.map(_.toSeq).toSeq)
     val approxDot = (0 until m)
-      .map(mi => element_at(col(s"tab$mi"), col(s"code$mi") + 1)).reduce(_ + _)
+      .map(mi => element_at(element_at(col("tab"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
     val approxNormSq = (0 until m)
-      .map(mi => element_at(normSqLits(mi), col(s"code$mi") + 1)).reduce(_ + _)
+      .map(mi => element_at(element_at(normSqLit, mi + 1),
+        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
     val cand = codes.join(broadcast(qTabs), col("n_id") =!= col("q_id"))
       .withColumn("approx_cos", approxDot / (col("q_norm") * sqrt(approxNormSq)))
       .groupBy(col("q_id"))
@@ -331,6 +328,41 @@ object Similarity extends QueryPack {
     rankTopK(scored, k)
   }
 
+  /** Driver-side Lloyd's k-means over a BOUNDED collected sample — the PQ
+    * codebook trainer. Deterministic (seeded shuffle init, fixed iteration
+    * count); empty cells keep their previous center. This is intentionally
+    * NOT distributed: the input is capped independent of corpus size, so
+    * a cluster round-trip per subspace would be pure scheduling overhead
+    * (measured: 8 KMeans fits cost ~9 s of job launches at any SF). */
+  private def localKMeans(
+      points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Seq[Array[Double]] = {
+    require(points.length >= k, s"need >= $k training points, got ${points.length}")
+    val d = points.head.length
+    val rng = new scala.util.Random(seed)
+    val centers = rng.shuffle(points.indices.toList).take(k)
+      .map(i => points(i).clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      for (p <- points) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val t = p(i) - centers(j)(i); dist += t * t; i += 1 }
+          if (dist < bestD) { bestD = dist; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        val s = sums(best); var i = 0
+        while (i < d) { s(i) += p(i); i += 1 }
+      }
+      for (j <- 0 until k if counts(j) > 0; i <- 0 until d)
+        centers(j)(i) = sums(j)(i) / counts(j)
+    }
+    centers.toSeq
+  }
+
   /** SemDeDup-style SEMANTIC dedup: k-means cells over the embedding
     * corpus, then near-duplicate detection only WITHIN each cell — a
     * vector is dropped when a lower-id member of its cell has cosine ≥
@@ -341,20 +373,30 @@ object Similarity extends QueryPack {
     * per-cell quadratic term stays a constant and join parallelism is the
     * cell count; the centers are the only driver-side state (k × dim
     * doubles). The d06 hyperplane variant is the oracle-checkable twin;
-    * this is the trained-quantizer form the SemDeDup recipe uses. */
+    * this is the trained-quantizer form the SemDeDup recipe uses.
+    *
+    * The quantizer is trained on a bounded deterministic hash sample
+    * (the PQ-codebook discipline — cell BOUNDARIES only block the pair
+    * space, they don't need full-corpus convergence, and a sample-trained
+    * quantizer costs one TakeOrdered scan instead of k-means-‖ corpus
+    * passes per iteration); assignment is a literal-center projection
+    * over one corpus scan. The distributed trainer itself stays
+    * demonstrated by s04/s05. */
   def semanticDedup(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int = 16,
       tau: Double = 0.97,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      seed: Long = 42L,
+      trainCap: Int = 2048): DataFrame = {
     val c = emb.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
-      .fit(c.select(array_to_vector(col("v")).as("features")))
-    val centers: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val sampleRows = c
+      .filter(substring(md5(col("vid").cast("string")), 1, 1) < "8")
+      .orderBy(col("vid")).limit(trainCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val centers: Seq[Seq[Double]] =
+      localKMeans(sampleRows, k, iters = 8, seed = seed).map(_.toSeq)
     def cellSims(v: Column): Column = array(centers.zipWithIndex.map {
       case (cv, i) =>
         struct(Dedup.cosineSim(v, typedLit(cv)).as("sim"), lit(i).as("cid"))

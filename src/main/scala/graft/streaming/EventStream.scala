@@ -158,6 +158,45 @@ object EventStream {
       }
   }
 
+  case class RetentionState(cohortDay: Long, d1: Boolean, w1: Boolean)
+
+  case class RetentionOut(userId: Long, cohortDay: Long, retD1: Boolean,
+      retW1: Boolean)
+
+  /** STREAMING cohort retention — the incremental form of batch e11: per
+    * user, pin the cohort day at first sight, then flip the day-1 /
+    * week-1 return flags as later activity arrives; emit the user's
+    * current (cohortDay, flags) each micro-batch (Update output mode —
+    * last row per user is the current truth, and a cohort rollup is one
+    * groupBy over that snapshot).
+    *
+    * State is one epoch-day long + two booleans per user — strictly
+    * smaller than the funnel's. As with [[funnelStages]], in-order
+    * delivery gives exact batch parity; an out-of-order FIRST day
+    * arriving after the cohort was pinned is the standard incremental
+    * approximation, and quiet users expire via a timeout when composed
+    * the way [[sessionize]] shows. */
+  def retentionFlags(events: Dataset[Event]): Dataset[RetentionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[RetentionState, RetentionOut](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[RetentionState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L)).toSeq.sorted
+          var s = state.getOption
+            .getOrElse(RetentionState(days.head, d1 = false, w1 = false))
+          for (d <- days) {
+            val off = d - s.cohortDay
+            if (off == 1) s = s.copy(d1 = true)
+            if (off >= 1 && off <= 7) s = s.copy(w1 = true)
+          }
+          state.update(s)
+          RetentionOut(userId, s.cohortDay, s.d1, s.w1)
+      }
+  }
+
   /** STREAMING exact dedup — the incremental form of d01/d02: keep the
     * first-arriving document per content fingerprint, dropping later
     * copies across micro-batches. State MUST be evictable or it grows with

@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           graft.functions.CosineSimilarity(exprs(0), exprs(1))))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.DotProduct].getName, "dot_product"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.DotProduct(exprs(0), exprs(1))))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("zorder_key"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.functions.ZOrderKey].getName, "zorder_key"),

@@ -312,4 +312,61 @@ class EventStreamSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(batch == last, s"streaming $last vs batch $batch")
   }
+
+  test("retentionFlags: cohort pinned at first sight, flags flip across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    def dayTs(day: Int, hour: Int = 0): Timestamp =
+      new Timestamp(day * 86400000L + hour * 3600000L)
+
+    val input = MemoryStream[Event]
+    val query = EventStream.retentionFlags(input.toDS())
+      .writeStream.format("memory").queryName("retention")
+      .outputMode(OutputMode.Update()).start()
+
+    // batch 1 (day 0): users 1, 2, 3 all start their cohort
+    input.addData(
+      Event(dayTs(0, 1), 1L, "view", 1.0),
+      Event(dayTs(0, 2), 2L, "view", 1.0),
+      Event(dayTs(0, 3), 3L, "view", 1.0))
+    query.processAllAvailable()
+
+    // batch 2: user 1 returns day 1 (d1+w1); user 2 returns day 5 (w1
+    // only); user 3 returns day 30 (neither)
+    input.addData(
+      Event(dayTs(1), 1L, "click", 1.0),
+      Event(dayTs(5), 2L, "click", 1.0),
+      Event(dayTs(30), 3L, "click", 1.0))
+    query.processAllAvailable()
+    query.stop()
+
+    // Update mode: last row per user is the current truth
+    val last = spark.table("retention").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2), r.getBoolean(3))))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.last._2 }
+    assert(last(1L) == ((0L, true, true)), s"user 1: $last")
+    assert(last(2L) == ((0L, false, true)), s"user 2: $last")
+    assert(last(3L) == ((0L, false, false)), s"user 3: $last")
+
+    // parity with the batch cohort computation (e11 semantics) on the
+    // same rows: per-user flags aggregate to identical cohort counts
+    val all = Seq(
+      (dayTs(0, 1), 1L), (dayTs(1), 1L),
+      (dayTs(0, 2), 2L), (dayTs(5), 2L),
+      (dayTs(0, 3), 3L), (dayTs(30), 3L)).toDF("ts", "user_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val batch = all
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(datediff(col("day"), col("cohort_day")) === 1, true)
+          .otherwise(false)).as("d1"),
+        max(when(datediff(col("day"), col("cohort_day")).between(1, 7), true)
+          .otherwise(false)).as("w1"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    val streamFlags = last.map { case (u, (_, d1, w1)) => u -> ((d1, w1)) }
+    assert(batch == streamFlags, s"streaming $streamFlags vs batch $batch")
+  }
 }

@@ -53,6 +53,12 @@ class GraftExtensionsSpec extends SparkSpecBase {
       val z = s.sql("SELECT zorder_key(1024L, 2048L) AS z")
         .collect()(0).getLong(0)
       assert(z == graft.functions.ZOrderKey.interleave(Array(1024L, 2048L)))
+
+      // dot_product registered too
+      val dp = s.sql(
+        "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect()(0).getDouble(0)
+      assert(dp == 11.0)
     }
   }
 }
