@@ -187,6 +187,35 @@ object Events extends QueryPack {
         .orderBy("cohort_day")
     }),
 
+    // volume ANOMALY detection: hourly event counts per type, flagged
+    // when they deviate from that type's mean by more than 2 population
+    // stddevs — the data-quality monitor a pipeline runs per ingest. Two
+    // hash aggregations (hour×type counts, then per-type moments) + a
+    // join back on type. The threshold test (n−mean)² > 4·var is
+    // multiplied through by n_hours² so it runs in exact INTEGER
+    // arithmetic — no engine-dependent double boundary (long-safe to
+    // ~3e9 events per type; at larger scale route through DECIMAL).
+    "e12_anomaly" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("n")).as("sum_n"),
+          sum(col("n") * col("n")).as("sum_n2"))
+      // (n·H − S)² > 4·(S2·H − S²)  ⇔  (n − S/H)² > 4·(S2/H − (S/H)²)
+      val lhs = col("n") * col("n_hours") - col("sum_n")
+      val rhs = lit(4L) * (col("sum_n2") * col("n_hours") -
+        col("sum_n") * col("sum_n"))
+      hourly.join(stats, "event_type")
+        .filter(lhs * lhs > rhs)
+        .select(col("event_type"),
+          unix_timestamp(col("hour")).as("hour_ts"),
+          col("n"),
+          round(col("sum_n").cast("double") / col("n_hours"), 6).as("mean_n"))
+        .orderBy("event_type", "hour_ts")
+    }),
+
     // ORDERED funnel: users who viewed, then clicked AT/AFTER their first
     // view, then purchased at/after that click. Three chained per-user
     // window minima — all three passes share ONE hash partition exchange
@@ -256,6 +285,18 @@ object Events extends QueryPack {
         "min(ts_s) AS session_start, max(ts_s) AS session_end " +
         "FROM sessions GROUP BY user_id, session_seq HAVING count(*) >= 3 " +
         "ORDER BY user_id, session_seq"),
+    "e12_anomaly" ->
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "stats AS (SELECT event_type, count(*) AS n_hours, " +
+        "CAST(sum(n) AS BIGINT) AS sum_n, CAST(sum(n * n) AS BIGINT) AS sum_n2 " +
+        "FROM hourly GROUP BY 1) " +
+        "SELECT h.event_type, CAST(epoch(h.hour) AS BIGINT) AS hour_ts, h.n, " +
+        "round(CAST(s.sum_n AS DOUBLE) / s.n_hours, 6) AS mean_n " +
+        "FROM hourly h JOIN stats s USING (event_type) " +
+        "WHERE (h.n * s.n_hours - s.sum_n) * (h.n * s.n_hours - s.sum_n) " +
+        "> 4 * (s.sum_n2 * s.n_hours - s.sum_n * s.sum_n) " +
+        "ORDER BY 1, 2"),
     "e11_retention" ->
       ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ev) " +
