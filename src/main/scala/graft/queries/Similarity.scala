@@ -160,6 +160,21 @@ object Similarity extends QueryPack {
         k = 10)
     }),
 
+    // RETRIEVAL composition (the RAG read path): exact top-k vector
+    // search, then the hits joined back to the documents table for their
+    // text — the k×queries result relation is tiny, so the doc fetch is
+    // an AQE-broadcast join against the corpus regardless of SF
+    "s07_retrieval" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val docs = t(s, d, "documents")
+      val topk = bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id",
+        "embedding", k = 5)
+      topk.join(docs, topk("n_id") === docs("doc_id"))
+        .select(col("q_id"), col("rank"), col("n_id"), col("cos_sim"),
+          substring(col("text"), 1, 40).as("snippet"))
+        .orderBy("q_id", "rank")
+    }),
+
     // label-centroid similarity: per-label mean vector, then each label's
     // centroid norm — a "cluster quality" style aggregate over vectors
     // (element-wise mean via 64 unrolled array sums; exact integer-free
@@ -479,6 +494,17 @@ object Similarity extends QueryPack {
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
         "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
     },
+    "s07_retrieval" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "q AS (SELECT vec_id, v FROM e WHERE vec_id < 3), " +
+        "scored AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id, " +
+        "list_cosine_similarity(q.v, e.v) AS cos FROM q JOIN e ON e.vec_id <> q.vec_id), " +
+        "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
+        "SELECT r.q_id, r.rank, r.n_id, round(r.cos, 6) AS cos_sim, " +
+        "substring(d.text, 1, 40) AS snippet " +
+        "FROM ranked r JOIN documents d ON d.doc_id = r.n_id " +
+        "WHERE r.rank <= 5 ORDER BY r.q_id, r.rank"),
     "s03_label_centroid_norm" -> {
       val sumTerms = (0 until 64)
         .map(i => s"pow(sum(v[${i + 1}]) / count(*), 2)").mkString(" + ")
