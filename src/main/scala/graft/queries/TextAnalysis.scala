@@ -296,6 +296,32 @@ object TextAnalysis extends QueryPack {
         .select("doc_id", "n_transitions", "n_rare", "rare_ratio")
     }),
 
+    // sequence PACKING: assign docs to fixed-budget training bins (4096
+    // tokens) by a running per-language token total — the deterministic
+    // batch-packing step before export. The cumulative sum is a window
+    // over (lang, doc_id); languages are the partition key, so at scale
+    // the sort is per-language (bounded partitions, no global order).
+    // Bin stats then verify the packing (every bin under budget except
+    // where one doc alone exceeds it).
+    "t17_packing" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"))
+        // bin = floor(tokens-before-this-doc / 4096): a doc starts a new
+        // bin when the running total crosses the budget boundary
+        .withColumn("bin",
+          floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / 4096)
+            .cast("int"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy("lang", "bin")
+    }),
+
     // corpus-level stats: tokens and length percentiles per language —
     // the "what's in this corpus" report; partial aggregation map-side.
     "t05_corpus_stats" -> ((s, d) =>
@@ -424,6 +450,15 @@ object TextAnalysis extends QueryPack {
           "CAST(sum(CASE WHEN cf.cf < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare, " +
           "round(CAST(sum(CASE WHEN cf.cf < 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_ratio " +
           "FROM bg JOIN cf USING (bigram) GROUP BY doc_id"),
+      "t17_packing" ->
+        (s"WITH toks AS (SELECT lang, doc_id, $dTok AS n_tokens FROM documents), " +
+          "binned AS (SELECT lang, doc_id, n_tokens, " +
+          "CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS INT) AS bin " +
+          "FROM toks) " +
+          "SELECT lang, bin, count(*) AS n_docs, " +
+          "CAST(sum(n_tokens) AS BIGINT) AS bin_tokens " +
+          "FROM binned GROUP BY 1, 2 ORDER BY 1, 2"),
       "t05_corpus_stats" ->
         // CAST the integer sums: DuckDB sum(INT) returns HUGEINT, which the
         // driver-side pandas bridge renders as float ("3.0" vs Spark's "3")
