@@ -322,6 +322,28 @@ object TextAnalysis extends QueryPack {
         .orderBy("lang", "bin")
     }),
 
+    // real BPE token counting: train 16 byte-pair merges on the corpus
+    // word vocabulary (see bpeMerges — the whitespace/4-chars estimates
+    // in t01 are the cheap proxies; this is the honest subword count),
+    // then count each doc's subword tokens by joining its words against
+    // the trained vocab. The corpus pass is explode + join + sum; the
+    // vocab side is word-distinct (bounded far below the corpus) with no
+    // broadcast hint — statistics/AQE pick the strategy. Rows-only:
+    // iterative training has no SQL oracle; BpeSpec hand-verifies the
+    // merge semantics and counts on a toy corpus.
+    "t18_bpe_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (_, vocab) = bpeMerges(docs, "text", nMerges = 16)
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        x => length(x) > 0)
+      docs.select(col("doc_id"), explode(toks).as("w"))
+        .join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // corpus-level stats: tokens and length percentiles per language —
     // the "what's in this corpus" report; partial aggregation map-side.
     "t05_corpus_stats" -> ((s, d) =>
@@ -335,6 +357,84 @@ object TextAnalysis extends QueryPack {
           sum(tokenCount(col("text"))).as("total_tokens"))
         .orderBy("lang"))
   )
+
+  /** Train `nMerges` BPE merges — the byte-pair-encoding trainer, shaped
+    * the way production tokenizers train: merges are learned from the
+    * (word, count) DICTIONARY capped at the `trainCap` most frequent
+    * words (one TakeOrdered job — the sentencepiece/HF recipe; training
+    * input is bounded regardless of corpus size), iterated driver-side
+    * (O(trainCap · wordLen) per merge — training is inherently
+    * sequential, so per-merge cluster round-trips would be pure barrier
+    * overhead, the s06-codebook lesson). The learned merges then apply
+    * to the FULL corpus-distinct vocabulary as one lazy chained fold —
+    * interpreted lambdas, but over the word-distinct relation, never the
+    * corpus — and t18's corpus pass is a plain join against that vocab.
+    *
+    * Pair frequencies count every adjacent position (overlaps included);
+    * ties break lexicographically; merge application is left-to-right
+    * single-pass — identical semantics driver-side and in the fold
+    * (BpeSpec pins both). */
+  def bpeMerges(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      nMerges: Int,
+      trainCap: Int = 4096): (Seq[(String, String)], org.apache.spark.sql.DataFrame) = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    val wordCounts = docs
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // split-to-chars; Spark's split keeps a trailing empty match (the
+    // lookahead also fires at end-of-string) — drop it
+    def charSplit(c: org.apache.spark.sql.Column) =
+      filter(split(c, "(?!^)"), x => length(x) > 0)
+
+    // bounded training dictionary
+    val dict: Array[(Array[String], Long)] = wordCounts
+      .orderBy(col("cnt").desc, col("w").asc).limit(trainCap)
+      .collect()
+      .map(r => (r.getString(0).split("(?!^)").filter(_.nonEmpty), r.getLong(1)))
+
+    def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+
+    var words = dict
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var done = false
+    for (_ <- 0 until nMerges if !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        pairCounts((syms(i), syms(i + 1))) += c
+      if (pairCounts.isEmpty) done = true
+      else {
+        val (a, b) = pairCounts.toSeq
+          .maxBy { case ((pa, pb), n) => (n, pa, pb) } (
+            Ordering.Tuple3(Ordering.Long, Ordering.String.reverse,
+              Ordering.String.reverse))._1
+        merges += ((a, b))
+        words = words.map { case (syms, c) => (applyMerge(syms, a, b), c) }
+      }
+    }
+
+    // apply the learned merges to the full vocab as one lazy chained fold
+    val symsCol = merges.foldLeft(charSplit(col("w"))) { case (c, (a, b)) =>
+      aggregate(c, array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    }
+    (merges.toSeq, wordCounts.select(col("w"), size(symsCol).as("n_bpe")))
+  }
 
   val oracleSql: Map[String, String] = {
     // DuckDB equivalents of the Spark-side expressions, kept in one place so
