@@ -94,6 +94,49 @@ object Multimodal {
       }
   }
 
+  case class Resized(assetId: Long, nBytes: Long, pixels: Array[Int])
+
+  /** STUB resize: average-pool the payload bytes down to a fixed
+    * `target` resolution — byte j lands in pool floor(j·target/len),
+    * pool value = floor(mean byte). Deterministic integer arithmetic
+    * only, so the m02 oracle trick (replaying byte math over the ASCII
+    * text in DuckDB) applies and resize is hash-checkable. A real
+    * implementation would do bilinear/area resampling on the decoded
+    * image here. */
+  def resizeStub(payload: Array[Byte], target: Int): Array[Int] = {
+    if (payload.isEmpty) Array.fill(target)(0)
+    else {
+      val sums = new Array[Long](target)
+      val counts = new Array[Int](target)
+      var j = 0
+      while (j < payload.length) {
+        val p = (j.toLong * target / payload.length).toInt
+        sums(p) += (payload(j) & 0xff)
+        counts(p) += 1
+        j += 1
+      }
+      Array.tabulate(target)(p =>
+        if (counts(p) == 0) 0 else (sums(p) / counts(p)).toInt)
+    }
+  }
+
+  /** Resize every asset to a fixed `target` resolution, batched per
+    * partition like [[extractFeatures]]. */
+  def resize(
+      assets: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      target: Int = 16): Dataset[Resized] = {
+    import assets.sparkSession.implicits._
+    assets.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          Resized(id, payload.length.toLong, resizeStub(payload, target))
+        }
+      }
+  }
+
   /** Sample up to `nFrames` fixed-size chunks ("frames") per asset —
     * the video-frame-sampling shape: one input row explodes to n output
     * rows, pipelined (no shuffle). */

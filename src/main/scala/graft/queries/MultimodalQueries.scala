@@ -46,6 +46,18 @@ object MultimodalQueries extends QueryPack {
           length(col("frameBytes")).as("frame_bytes"))
     }),
 
+    // stub resize: average-pool each payload to 16 "pixels" — integer
+    // arithmetic only, so DuckDB replays it byte-exactly over the ASCII
+    // text (every doc is ≥ 16 bytes at all SFs, so no pool is empty)
+    "m05_resize" -> ((s, d) => {
+      val assets = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.resize(assets, "doc_id", "payload", target = 16)
+        .toDF()
+        .select(col("assetId").as("asset_id"), col("nBytes").as("n_bytes"),
+          col("pixels"))
+    }),
+
     // composition: stub-decoded features -> nearest-neighbor assets by the
     // native cosine expression (decode feeds ANN with no intermediate
     // materialization — one plan end to end; rows-only)
@@ -91,6 +103,25 @@ object MultimodalQueries extends QueryPack {
          |       CAST(CASE WHEN length(d.text) = 0 THEN 0
          |            ELSE floor((v.sb::DOUBLE / v.len) * 10000) END AS BIGINT) AS mean_e4
          |FROM documents d LEFT JOIN vals v USING (doc_id)""".stripMargin),
+
+    "m05_resize" ->
+      ("""WITH b AS (
+         |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+         |  FROM documents
+         |), v AS (
+         |  SELECT b.doc_id,
+         |         CAST(((b.i - 1) * 16) // length(d.text) AS INT) AS p,
+         |         ord(substring(d.text, b.i, 1)) AS byte
+         |  FROM b JOIN documents d USING (doc_id)
+         |), pools AS (
+         |  SELECT doc_id, p, CAST(sum(byte) // count(*) AS INT) AS px
+         |  FROM v GROUP BY 1, 2
+         |)
+         |SELECT p.doc_id AS asset_id,
+         |       CAST(length(d.text) AS BIGINT) AS n_bytes,
+         |       list(p.px ORDER BY p.p) AS pixels
+         |FROM pools p JOIN documents d USING (doc_id)
+         |GROUP BY p.doc_id, length(d.text)""".stripMargin),
 
     // frame sampling touches only LENGTHS (frame i of an n-byte payload
     // spans [i*fs, min((i+1)*fs, n)) with fs = max(1, n div 4)), so the

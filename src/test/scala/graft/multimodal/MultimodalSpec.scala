@@ -90,4 +90,20 @@ class MultimodalSpec extends SparkSpecBase {
     val joined = ds.toDF().join(assets, ds("assetId") === assets("asset_id"))
     assert(joined.count() == 3)
   }
+
+  test("resizeStub: average-pools bytes; empty and short payloads are total") {
+    // 16 bytes → 4 pools of 4: means of consecutive quads
+    val p16 = Array.tabulate(16)(i => (i * 10).toByte)
+    assert(Multimodal.resizeStub(p16, 4).toSeq ==
+      Seq((0 + 10 + 20 + 30) / 4, (40 + 50 + 60 + 70) / 4,
+        (80 + 90 + 100 + 110) / 4, (120 + 130 + 140 + 150) / 4))
+    // empty payload → all-zero pixels, never a crash
+    assert(Multimodal.resizeStub(Array.empty[Byte], 4).toSeq == Seq(0, 0, 0, 0))
+    // payload SHORTER than the target: byte j lands in pool j*target/len,
+    // unhit pools stay 0
+    assert(Multimodal.resizeStub(Array[Byte](10, 20), 4).toSeq ==
+      Seq(10, 0, 20, 0))
+    // unsigned byte handling: 0xFF pools to 255, not -1
+    assert(Multimodal.resizeStub(Array(0xff.toByte), 2).toSeq == Seq(255, 0))
+  }
 }
