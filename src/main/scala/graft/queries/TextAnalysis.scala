@@ -298,24 +298,35 @@ object TextAnalysis extends QueryPack {
 
     // sequence PACKING: assign docs to fixed-budget training bins (4096
     // tokens) by a running per-language token total — the deterministic
-    // batch-packing step before export. The cumulative sum is a window
-    // over (lang, doc_id); languages are the partition key, so at scale
-    // the sort is per-language (bounded partitions, no global order).
-    // Bin stats then verify the packing (every bin under budget except
-    // where one doc alone exceeds it).
+    // batch-packing step before export. A naive window
+    // `sum OVER (PARTITION BY lang ORDER BY doc_id)` collapses
+    // parallelism to n_languages (few groups × the whole corpus — the
+    // banned top-k-per-group shape), so the prefix sum is TWO-PHASE:
+    // per-(lang, id-range-bucket) partial sums (hash agg, fully
+    // parallel), a window over the tiny bucket relation for the bucket
+    // offsets, then a within-bucket cumsum windowed by (lang, bucket) —
+    // many small groups. Identical integers, no collapsed stage.
     "t17_packing" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          -1)
-      t(s, d, "documents")
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents")
         .select(col("lang"), col("doc_id"),
           tokenCount(col("text")).as("n_tokens"))
+        .withColumn("bkt", floor(col("doc_id") / 1000))
+      val offsets = toks.groupBy("lang", "bkt")
+        .agg(sum(col("n_tokens")).as("bt"))
+        .withColumn("off", coalesce(sum(col("bt")).over(
+          Window.partitionBy(col("lang")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+        .select("lang", "bkt", "off")
+      val within = Window.partitionBy(col("lang"), col("bkt"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .withColumn("wc", coalesce(sum(col("n_tokens")).over(within), lit(0)))
+        .join(offsets, Seq("lang", "bkt"))
         // bin = floor(tokens-before-this-doc / 4096): a doc starts a new
         // bin when the running total crosses the budget boundary
-        .withColumn("bin",
-          floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / 4096)
-            .cast("int"))
+        .withColumn("bin", floor((col("off") + col("wc")) / 4096).cast("int"))
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("bin_tokens"))
