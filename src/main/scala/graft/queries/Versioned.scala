@@ -58,6 +58,31 @@ object Versioned extends QueryPack {
       tbl
     }
 
+  /** VOLUME fixture: the whole lineitem table as an identity-partitioned
+    * graft table (ship month, ~83 partitions) — the one v-fixture at DATA
+    * scale rather than demo scale, so partition pruning, manifest stats,
+    * and scan parity are exercised on real row counts (600k rows at the
+    * sf0.01 gate, 6M at the bench SF). Built once per sfDir; Bench's
+    * warmup pays the write. */
+  private def bigFixture(spark: SparkSession, sfDir: String): GraftTable =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/lineitem_p"
+      if (GraftTable.exists(dir)) {
+        val tb = GraftTable.load(dir)
+        if (tb.log.snapshots.size == 1) return tb
+        GraftTable.deleteRecursively(Paths.get(dir))
+      } else if (Files.exists(Paths.get(dir))) {
+        GraftTable.deleteRecursively(Paths.get(dir))
+      }
+      val li = t(spark, sfDir, "lineitem")
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      val tb = GraftTable.create(dir, li.schema,
+        partitionBy = Seq("ship_month"))
+      tb.append(li, committedAt = Some(1000L))
+      tb
+    }
+
   /** Schema-evolution fixture: snapshot 1 = region as-is; then an
     * `r_extra` BIGINT column is added and snapshot 2 appends region again
     * with `r_extra = r_regionkey * 10`. Pre-evolution files read the new
@@ -218,6 +243,19 @@ object Versioned extends QueryPack {
       partFixture(s, d).scan(s,
         Some(col("n_regionkey").isin(0, 3) && col("n_nationkey") >= 10))),
 
+    // the v-pack at DATA scale: month-partition-pruned scan of the full
+    // lineitem graft table + an aggregate — the manifest prunes ~82/83 of
+    // the files with no directory listing, and result parity vs raw
+    // parquet proves scan-layer fidelity at volume (quantity routed
+    // through DECIMAL per the money policy)
+    "v19_graft_bigscan" -> ((s, d) =>
+      bigFixture(s, d).scan(s, Some(col("ship_month") === "1995-03"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")),
+
     // V2: scan at current snapshot; every row carries snapshot__id = 2
     "v01_graft_scan" -> ((s, d) =>
       fixture(s, d).read(s)),
@@ -348,6 +386,11 @@ object Versioned extends QueryPack {
     "v10_graft_partition_filter" ->
       ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM nation " +
         "WHERE n_regionkey IN (0, 3) AND n_nationkey >= 10"),
+    "v19_graft_bigscan" ->
+      ("SELECT l_returnflag, count(*) AS n_rows, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') = '1995-03' " +
+        "GROUP BY 1 ORDER BY 1"),
     "v01_graft_scan" ->
       ("SELECT r.*, CAST(2 AS BIGINT) AS snapshot__id FROM " +
         "(SELECT * FROM region UNION ALL SELECT * FROM region) r"),
