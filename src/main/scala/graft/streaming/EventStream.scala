@@ -197,6 +197,59 @@ object EventStream {
       }
   }
 
+  case class AnomalyState(hourStart: Long, inHour: Long, nHours: Long,
+      sum: Long, sum2: Long)
+
+  case class AnomalyOut(eventType: String, hourTs: Long, n: Long,
+      anomaly: Boolean)
+
+  /** STREAMING volume-anomaly detection — the prequential form of batch
+    * e12: per event type, count events in the current hour; when an event
+    * arrives in a LATER hour the closed hour is scored against the
+    * moments of the hours seen so far ((n−mean)² > 4·var, the same
+    * integer-exact threshold as e12, multiplied through by nHours²) and
+    * folded into the moments. Each closed hour emits exactly once.
+    *
+    * Semantics note: e12 scores every hour against the FULL history
+    * (retrospective); this scores each hour against the PAST only
+    * (prequential) — the honest online form, since the future isn't
+    * available on a stream. State is five longs per event type (bounded
+    * by the type cardinality); the first two hours are never flagged
+    * (variance of <2 samples is undefined — scored but vacuously
+    * non-anomalous when nHours is 0). */
+  def anomalyDetector(events: Dataset[Event]): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600000000L
+
+    events
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (eventType: String, rows: Iterator[Event], state: GroupState[AnomalyState]) =>
+          val hours = rows
+            .map(e => e.ts.getTime * 1000L / hourUs * hourUs).toSeq.sorted
+          val out = Seq.newBuilder[AnomalyOut]
+          var s = state.getOption
+            .getOrElse(AnomalyState(hours.head, 0L, 0L, 0L, 0L))
+          for (h <- hours) {
+            if (h > s.hourStart) {
+              // close the finished hour: score against the past, fold in
+              val n = s.inHour
+              val lhs = n * s.nHours - s.sum
+              val rhs = 4L * (s.sum2 * s.nHours - s.sum * s.sum)
+              out += AnomalyOut(eventType, s.hourStart / 1000000L, n,
+                s.nHours > 0 && lhs * lhs > rhs)
+              s = AnomalyState(h, 1L, s.nHours + 1, s.sum + n,
+                s.sum2 + n * n)
+            } else {
+              s = s.copy(inHour = s.inHour + 1)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** STREAMING exact dedup — the incremental form of d01/d02: keep the
     * first-arriving document per content fingerprint, dropping later
     * copies across micro-batches. State MUST be evictable or it grows with

@@ -369,4 +369,39 @@ class EventStreamSpec extends SparkSpecBase {
     val streamFlags = last.map { case (u, (_, d1, w1)) => u -> ((d1, w1)) }
     assert(batch == streamFlags, s"streaming $streamFlags vs batch $batch")
   }
+
+  test("anomalyDetector: closed hours scored prequentially, spike flagged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    def hourTs(h: Int, i: Int): Timestamp =
+      new Timestamp(h * 3600000L + i * 1000L)
+    def burst(h: Int, n: Int): Seq[Event] =
+      (0 until n).map(i => Event(hourTs(h, i), i.toLong, "err", 1.0))
+
+    val input = MemoryStream[Event]
+    val query = EventStream.anomalyDetector(input.toDS())
+      .writeStream.format("memory").queryName("anom")
+      .outputMode(OutputMode.Append()).start()
+
+    // steady 5/hour for hours 0-2, a 50-event spike in hour 3, then one
+    // hour-4 event so hour 3 closes
+    input.addData(burst(0, 5) ++ burst(1, 5) ++ burst(2, 5): _*)
+    query.processAllAvailable()
+    input.addData(burst(3, 50): _*)
+    query.processAllAvailable()
+    input.addData(burst(4, 1): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("anom").collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getBoolean(3)))).toMap
+    // hour 0 closes against an empty past: vacuously not anomalous;
+    // hours 1-2 match the steady rate; hour 3 is the spike
+    assert(rows == Map(
+      0L -> ((5L, false)),
+      3600L -> ((5L, false)),
+      7200L -> ((5L, false)),
+      10800L -> ((50L, true))), s"got $rows")
+  }
 }
