@@ -27,6 +27,21 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("v19 data-scale scan reads ONLY the pruned month's files") {
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkEntry.queries("v19_graft_bigscan")(spark, sfDir)
+    val readFiles = df.inputFiles.toSet
+    assert(readFiles.nonEmpty, "v19 read no files")
+    // every file read must belong to the 1995-03 partition directory —
+    // manifest partition pruning dropped the other ~82 months before I/O
+    val offenders = readFiles.filterNot(_.contains("ship_month=1995-03"))
+    assert(offenders.isEmpty, s"unpruned files read: $offenders")
+    // and the table holds many more partitions than were read
+    val allMonths = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(date_format(col("l_shipdate"), "yyyy-MM")).distinct().count()
+    assert(allMonths > 50, s"fixture degenerate: only $allMonths months")
+  }
+
   test("q26 fact-fact join plans SortMergeJoin when no side is broadcastable") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
