@@ -160,6 +160,15 @@ object Similarity extends QueryPack {
         k = 10)
     }),
 
+    // IVF-PQ ANN: coarse cells + compressed in-cell scoring + exact
+    // re-rank (rows-only: two trained quantizers; SimilaritySpec bounds
+    // recall vs brute force)
+    "s08_knn_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10)
+    }),
+
     // RETRIEVAL composition (the RAG read path): exact top-k vector
     // search, then the hits joined back to the documents table for their
     // text — the k×queries result relation is tiny, so the doc fetch is
@@ -338,6 +347,97 @@ object Similarity extends QueryPack {
     // exact re-rank of the bounded candidate set: q side is LIMIT-bounded
     // (hint allowed); the corpus side joins by n_id with NO hint — AQE
     // broadcasts the tiny candidate relation at runtime
+    val scored = cand.join(broadcast(q0), "q_id").join(c, "n_id")
+      .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
+    rankTopK(scored, k)
+  }
+
+  /** IVF-PQ approximate top-k — the composition the two scale paths are
+    * FOR (the FAISS `IVFx,PQy` index shape): an IVF coarse quantizer
+    * restricts each query to `nProbe` of `nCells` cells, PQ codes score
+    * the candidates inside those cells with table lookups, and only the
+    * top `rerank` survivors touch full vectors. At 100 TB the scan cost
+    * is nProbe/nCells of the corpus × m byte-codes per row — both
+    * sublinear candidate count AND compressed I/O, where s05 pays full
+    * vectors in probed cells and s06 scans every code.
+    *
+    * Both quantizers train on one bounded sample (localKMeans); codes are
+    * plain codebooks over raw vectors (no residual encoding — documented
+    * simplification; residual PQ needs per-cell re-centering). Everything
+    * is one corpus scan → cell equi-join → ADC projection → bounded-heap
+    * top-k → tiny exact re-rank. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 6,
+      m: Int = 8,
+      codebook: Int = 16,
+      rerank: Int = 64,
+      seed: Long = 7L,
+      maxQueries: Int = 1024,
+      trainCap: Int = 2048): DataFrame = {
+    import graft.functions.DotProduct.dot_product
+    import graft.functions.{PqCodebook, ProductQuantization}
+    val dim = 64
+    val sub = dim / m
+
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
+    val sampleRows = c
+      .filter(substring(md5(col("n_id").cast("string")), 1, 1) < "8")
+      .orderBy(col("n_id")).limit(trainCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cells: Seq[Seq[Double]] =
+      localKMeans(sampleRows, nCells, iters = 8, seed = seed + 100).map(_.toSeq)
+    val cb = PqCodebook((0 until m).map { mi =>
+      val slices = sampleRows.map(v =>
+        java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      localKMeans(slices, codebook, iters = 8, seed = seed + mi).toArray
+    }.toArray)
+
+    def cellSims(v: Column): Column = array(cells.zipWithIndex.map {
+      case (cv, i) =>
+        struct(Dedup.cosineSim(v, typedLit(cv)).as("sim"), lit(i).as("cid"))
+    }: _*)
+
+    // index pass: one corpus scan emits (cell id, PQ codes) per vector
+    val indexed = c.select(col("n_id"),
+      array_max(cellSims(col("n_v"))).getField("cid").as("cid"),
+      ProductQuantization.pq_encode(col("n_v"), cb).as("codes"))
+
+    // query side: nProbe probed cells × the PQ dot tables
+    val q0 = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+      .limit(maxQueries)
+    val probes = q0.select(col("q_id"),
+        sqrt(dot_product(col("q_v"), col("q_v"))).as("q_norm"),
+        ProductQuantization.pq_dot_tables(col("q_v"), cb).as("tab"),
+        explode(slice(reverse(array_sort(cellSims(col("q_v")))), 1, nProbe))
+          .as("probe"))
+      .select(col("q_id"), col("q_norm"), col("tab"),
+        col("probe").getField("cid").as("cid"))
+
+    // ADC inside probed cells only; broadcast the LIMIT-bounded probe side
+    // (cid has nCells distinct values — a shuffle join would hash the
+    // corpus into nCells partitions, the s05 lesson)
+    val normSqLit = typedLit(cb.normSq.map(_.toSeq).toSeq)
+    val approxDot = (0 until m)
+      .map(mi => element_at(element_at(col("tab"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
+    val approxNormSq = (0 until m)
+      .map(mi => element_at(element_at(normSqLit, mi + 1),
+        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
+    val cand = indexed.join(broadcast(probes), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("approx_cos", approxDot / (col("q_norm") * sqrt(approxNormSq)))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.GraftFunctions
+        .top_k_by_score(col("approx_cos"), col("n_id"), rerank).as("top"))
+      .select(col("q_id"), explode(col("top")).as("cnd"))
+      .select(col("q_id"), col("cnd.id").as("n_id"))
+
     val scored = cand.join(broadcast(q0), "q_id").join(c, "n_id")
       .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
     rankTopK(scored, k)

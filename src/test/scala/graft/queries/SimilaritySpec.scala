@@ -71,6 +71,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(approx.size == exact.size)
   }
 
+  test("IVF-PQ top-k achieves reasonable recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 10,
+        nCells = 16, nProbe = 6, m = 8, codebook = 16, rerank = 64)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // the composed index stacks two approximations (probed cells AND
+    // coded scoring) — the exact re-rank must still recover most of the
+    // true top-10 on gaussian data
+    assert(recall >= 0.5, s"IVF-PQ recall $recall")
+    assert(approx.size == exact.size)
+  }
+
   test("semantic dedup drops planted near-duplicate vectors and nothing else") {
     import spark.implicits._
     // plant: 3 exact/near copies of vector 0 (ids 9001-9003) + the corpus
