@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   *   <dir>/metadata.json            schema + properties
   *   <dir>/snapshots.json           snapshot log (SnapshotLog)
   *   <dir>/manifests/snap-<id>.json full file list + stats at that snapshot
-  *   <dir>/data/part-<snap>-<n>.parquet
+  *   <dir>/data/part-<snap>-<token>-<n>.parquet
   * }}}
   *
   * Design stance for 100 TB: metadata is O(files), data access is always a
@@ -78,6 +78,33 @@ final class GraftTable private (
         "added-records" -> newFiles.map(_.recordCount).sum.toString))
   }
 
+  /** [[append]] with optimistic-concurrency RETRY — the production
+    * behavior for concurrent writers on one table: a committer that
+    * loses the snapshot-id race (commit's O_EXCL claim or the log
+    * re-check) cleans up, re-reads the advanced log, and re-attempts
+    * with capped-exponential backoff, so N racing appenders all land as
+    * N distinct snapshots instead of N−1 loud failures. Each retry
+    * re-writes the data files (commit already deleted the loser's —
+    * simple and always correct; a metadata-only retry that re-uses data
+    * files is the optimization you pair with a real lock service).
+    * A claim that never clears (crashed committer's stale marker) still
+    * fails after `maxRetries` — retrying can't fix an abandoned marker. */
+  def appendWithRetry(
+      df: DataFrame,
+      maxRetries: Int = 5,
+      committedAt: Option[Long] = None): Snapshot = {
+    var last: java.util.ConcurrentModificationException = null
+    for (attempt <- 0 to maxRetries) {
+      try return append(df, committedAt)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          last = e
+          Thread.sleep(2L << attempt)
+      }
+    }
+    throw last
+  }
+
   /** Append `df` as a new snapshot whose data files are AVRO containers
     * (written via [[graft.sources.AvroSource]]) — the mixed-format table
     * shape the reference dispatches on per file
@@ -101,7 +128,9 @@ final class GraftTable private (
 
     val lg = log
     val snapId = lg.nextId
-    val staging = s"$dir/.staging-$snapId"
+    // same per-attempt token discipline as writeDataFiles
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$dir/.staging-$snapId-$token"
     graft.sources.AvroSource.write(
       df.select(schema.fieldNames.map(col): _*), staging)
     val dataDir = Paths.get(dir, "data")
@@ -114,7 +143,7 @@ final class GraftTable private (
     val conf = df.sparkSession.sessionState.newHadoopConf()
     var seq = 0
     val newFiles = staged.map { src =>
-      val name = f"part-$snapId%05d-$seq%05d.avro"
+      val name = f"part-$snapId%05d-$token-$seq%05d.avro"
       seq += 1
       val dst = dataDir.resolve(name)
       Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
@@ -136,7 +165,14 @@ final class GraftTable private (
     * return their manifest entries (stats + partition values attached).
     * Shared by [[append]] and [[compact]]. */
   private def writeDataFiles(df: DataFrame, snapId: Long): Seq[DataFileEntry] = {
-    val staging = s"$dir/.staging-$snapId"
+    // unique per-ATTEMPT token: two writers racing on the same provisional
+    // snapshot id must not share a staging dir (mode=overwrite would
+    // truncate each other mid-write) or part-file names (the commit
+    // loser's cleanup would otherwise delete the winner's identically
+    // named files). The token makes every attempt's paths disjoint; the
+    // commit claim then serializes who publishes.
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$dir/.staging-$snapId-$token"
     val writer = df.write.mode("overwrite")
     if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
     writer.parquet(staging)
@@ -161,7 +197,7 @@ final class GraftTable private (
         val (c, raw) = seg.splitAt(seg.indexOf('='))
         c -> PartitionValues.decode(raw.drop(1))
       }.toMap
-      val name = f"part-$snapId%05d-$seq%05d.parquet"
+      val name = f"part-$snapId%05d-$token-$seq%05d.parquet"
       seq += 1
       val dstDir = partDirs.foldLeft(dataDir)(_.resolve(_))
       Files.createDirectories(dstDir)

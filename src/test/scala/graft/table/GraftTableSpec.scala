@@ -685,6 +685,50 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t.read(spark).count() == 2)
   }
 
+  test("appendWithRetry: racing writers all land as distinct snapshots") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("graft-retry")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(0L -> "base"), Some(1000L))
+
+    // 4 writers race on the same table dir; each must eventually commit
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val commits = (1 to 4).map { i =>
+        Future(GraftTable.load(t.dir)
+          .appendWithRetry(mkDf(i.toLong -> s"w$i"), maxRetries = 20))
+      }
+      Await.result(Future.sequence(commits), 120.seconds)
+    } finally pool.shutdown()
+
+    // all 5 snapshots present, ids consecutive, every row readable
+    val reloaded = GraftTable.load(t.dir)
+    assert(reloaded.log.snapshots.map(_.snapshotId) == (1L to 5L))
+    assert(reloaded.read(spark).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // no orphaned data files: everything on disk is in the manifest
+    val manifest = Manifest.read(s"${reloaded.dir}/${reloaded.log.current.get.manifestList}")
+    val onDisk = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(reloaded.dir, "data"))) {
+      s => s.iterator().asScala.map(_.getFileName.toString).toSet
+    }
+    assert(onDisk == manifest.files.map(f =>
+      java.nio.file.Paths.get(f.path).getFileName.toString).toSet,
+      s"orphans or missing: disk=$onDisk")
+
+    // a stale abandoned claim still fails loudly after retries run out
+    val marker = java.nio.file.Paths.get(t.dir, "manifests", ".commit-00006")
+    java.nio.file.Files.createFile(marker)
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTable.load(t.dir).appendWithRetry(mkDf(9L -> "z"), maxRetries = 2)
+    }
+    java.nio.file.Files.delete(marker)
+  }
+
   test("tables are relocatable: move the directory, everything still reads") {
     val dir = tmpDir("graft-reloc")
     val t = GraftTable.create(s"$dir/orig", simpleSchema)
