@@ -69,10 +69,67 @@ object Pipeline extends QueryPack {
         .select(col("doc_id"), col("chunk_idx"),
           size(col("chunk")).as("n_tokens"),
           md5(concat_ws(" ", col("chunk"))).as("digest"))
+    }),
+
+    // the MULTIMODAL asset-prep pipeline: stub-decode gate (keep "even"
+    // containers under a width bound) → exact dedup on the payload
+    // digest (keep lowest asset id) → fixed-resolution resize for the
+    // kept assets. Decode/resize run in the per-partition codec batches;
+    // the dedup window partitions by digest (many groups); one
+    // declarative plan end to end, every stage integer/digest-exact so
+    // the WHOLE pipeline is oracle-hashed, not just its pieces.
+    "p03_asset_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val assets = docs.select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      val meta = assets.select(col("doc_id").as("aid"),
+        md5(col("payload")).as("digest"))
+      val feats = graft.multimodal.Multimodal
+        .extractFeatures(assets, "doc_id", "payload").toDF()
+      val resized = graft.multimodal.Multimodal
+        .resize(assets, "doc_id", "payload", target = 16).toDF()
+        .select(col("assetId").as("rid"), col("pixels"))
+      val gated = feats
+        .filter(col("format") === "even" && col("width") <= 900)
+        .join(meta, col("assetId") === col("aid"))
+      val w = Window.partitionBy(col("digest")).orderBy(col("assetId").asc)
+      gated.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(resized, col("assetId") === col("rid"))
+        .select(col("assetId").as("asset_id"), col("nBytes").as("n_bytes"),
+          col("width"), col("height"), col("pixels"))
+        .orderBy("asset_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p03_asset_pipeline" ->
+      ("""WITH bytes AS (
+         |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i FROM documents
+         |), hv AS (
+         |  SELECT b.doc_id, sum(ord(substring(d.text, b.i, 1)) * (1 + (b.i - 1) % 97)) AS h
+         |  FROM bytes b JOIN documents d USING (doc_id) GROUP BY 1
+         |), meta AS (
+         |  SELECT d.doc_id, length(d.text) AS len, md5(d.text) AS digest,
+         |         CAST(64 + COALESCE(hv.h, 0) % 1024 AS INT) AS width,
+         |         CAST(64 + ((COALESCE(hv.h, 0) % 1048576) * 2654435761 % 2147483647) % 1024 AS INT) AS height
+         |  FROM documents d LEFT JOIN hv USING (doc_id)
+         |), gated AS (
+         |  SELECT * FROM meta WHERE len % 2 = 0 AND width <= 900
+         |), kept AS (
+         |  SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn FROM gated
+         |), pv AS (
+         |  SELECT b.doc_id, CAST(((b.i - 1) * 16) // length(d.text) AS INT) AS p,
+         |         ord(substring(d.text, b.i, 1)) AS byte
+         |  FROM bytes b JOIN documents d USING (doc_id)
+         |), pools AS (
+         |  SELECT doc_id, p, CAST(sum(byte) // count(*) AS INT) AS px FROM pv GROUP BY 1, 2
+         |), px AS (
+         |  SELECT doc_id, list(px ORDER BY p) AS pixels FROM pools GROUP BY doc_id
+         |)
+         |SELECT k.doc_id AS asset_id, CAST(k.len AS BIGINT) AS n_bytes,
+         |       k.width, k.height, px.pixels
+         |FROM kept k JOIN px USING (doc_id) WHERE k.rn = 1 ORDER BY 1""".stripMargin),
     "p01_prep_pipeline" ->
       ("WITH scored AS (SELECT doc_id, lang, text, " +
         "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS n_tokens, " +

@@ -92,10 +92,19 @@ final class GraftTable private (
   def appendWithRetry(
       df: DataFrame,
       maxRetries: Int = 5,
-      committedAt: Option[Long] = None): Snapshot = {
+      committedAt: Option[Long] = None): Snapshot =
+    withCommitRetry(maxRetries) { append(df, committedAt) }
+
+  /** Run any single-commit table operation with optimistic-concurrency
+    * retry. Safe for every public op here (append / appendAvro / delete /
+    * update / merge / compact / rollback / expire): each call re-reads
+    * the snapshot log, so a retried operation recomputes against the
+    * WINNING committer's state — copy-on-write DML rewrites the files
+    * that exist after the conflict, not a stale view. */
+  def withCommitRetry[T](maxRetries: Int = 5)(op: => T): T = {
     var last: java.util.ConcurrentModificationException = null
     for (attempt <- 0 to maxRetries) {
-      try return append(df, committedAt)
+      try return op
       catch {
         case e: java.util.ConcurrentModificationException =>
           last = e
