@@ -355,6 +355,27 @@ object TextAnalysis extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // approximate HEAVY HITTERS: the top-20 most frequent tokens via a
+    // SpaceSaving sketch (64 counters) — the frequent-items member of
+    // the sketch toolbox next to q36's HLL/KLL. The exact formulation
+    // (groupBy token + global sort) shuffles every distinct token; the
+    // sketch ships 64 counters per partition and guarantees
+    // count−error ≤ f ≤ count, with anything above n/64 always present.
+    // Rows-only: merge order varies with scheduling, so estimates are
+    // run-dependent within the bound; SpaceSavingSpec pins the bounds.
+    "t19_heavy_hitters" -> ((s, d) => {
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        x => length(x) > 0)
+      t(s, d, "documents")
+        .select(explode(toks).as("tok"))
+        .agg(graft.functions.SpaceSavingSketch
+          .space_saving(col("tok"), 64).as("sketch"))
+        .select(posexplode(col("sketch")).as(Seq("pos", "e")))
+        .filter(col("pos") < 20)
+        .select((col("pos") + 1).as("rank"), col("e.item").as("token"),
+          col("e.count").as("est_count"), col("e.error").as("max_err"))
+    }),
+
     // corpus-level stats: tokens and length percentiles per language —
     // the "what's in this corpus" report; partial aggregation map-side.
     "t05_corpus_stats" -> ((s, d) =>
