@@ -58,4 +58,39 @@ class SpaceSavingSpec extends SparkSpecBase {
     val out = sketchOf(data, m = 32, parts = 8)
     assert(out.length <= 32)
   }
+
+  test("property: bounds hold on random zipf-ish streams through merges") {
+    // driver-side state machine mirror of the distributed path: random
+    // streams split into random partitions, per-partition sketches,
+    // merged pairwise in random order — count/error bounds must hold on
+    // every resident item for every trial
+    val rng = new scala.util.Random(271828)
+    for (_ <- 1 to 50) {
+      val domain = 5 + rng.nextInt(120)
+      val n = 200 + rng.nextInt(2000)
+      val m = 4 + rng.nextInt(24)
+      // zipf-ish skew: item id ~ floor(domain * u^3)
+      val stream = Seq.fill(n) {
+        val u = rng.nextDouble()
+        s"w${(domain * u * u * u).toInt}"
+      }
+      val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val parts = stream.grouped(1 + rng.nextInt(200)).toSeq
+      val sketches = parts.map { p =>
+        val st = new SpaceSavingState(m)
+        p.foreach(st.addOne)
+        st
+      }
+      val agg = SpaceSavingSketch(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), m)
+      val merged = rng.shuffle(sketches)
+        .reduce((a, b) => agg.merge(a, b))
+      merged.sorted.foreach { case (t, c, e) =>
+        val f = exact.getOrElse(t, 0L)
+        assert(c >= f, s"m=$m n=$n: $t count $c < true $f")
+        assert(c - e <= f, s"m=$m n=$n: $t lower ${c - e} > true $f")
+      }
+      assert(merged.items.size() <= m)
+    }
+  }
 }

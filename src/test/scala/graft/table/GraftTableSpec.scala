@@ -729,6 +729,36 @@ class GraftTableSpec extends SparkSpecBase {
     java.nio.file.Files.delete(marker)
   }
 
+  test("withCommitRetry: DML racing appends recomputes against the winner") {
+    val dir = tmpDir("graft-dml-race")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "keep", 2L -> "drop", 3L -> "keep"), Some(1000L))
+
+    // an appender and a copy-on-write DELETE race; both must land, and
+    // the delete's rewrite must reflect whatever state it retried against
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fa = Future(GraftTable.load(t.dir).withCommitRetry(20) {
+        GraftTable.load(t.dir).append(mkDf(4L -> "late"), Some(2000L))
+      })
+      val fd = Future(GraftTable.load(t.dir).withCommitRetry(20) {
+        GraftTable.load(t.dir).delete(spark, col("data") === "drop")
+      })
+      Await.result(Future.sequence(Seq(fa, fd)), 120.seconds)
+    } finally pool.shutdown()
+
+    val ids = GraftTable.load(t.dir).read(spark)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // row 2 deleted, rows 1/3 survive, row 4 landed — whichever op won
+    // the race, the other's retry recomputed against the winner's state
+    assert(ids == Set(1L, 3L, 4L), s"ids=$ids")
+    assert(GraftTable.load(t.dir).log.snapshots.size == 3)
+  }
+
   test("tables are relocatable: move the directory, everything still reads") {
     val dir = tmpDir("graft-reloc")
     val t = GraftTable.create(s"$dir/orig", simpleSchema)
