@@ -26,7 +26,9 @@ object Bench {
     // pre-build the versioned-table fixtures (append/delete/update/merge/
     // compact demo tables under /tmp): that is DISK SETUP, not query work,
     // and would otherwise be billed to the first timed run of each v-query
-    SparkEntry.queries.keys.filter(_.startsWith("v")).toSeq.sorted.foreach { n =>
+    SparkEntry.queries.keys
+      .filter(n => n.startsWith("v") || n == "d14_incremental_dedup")
+      .toSeq.sorted.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
