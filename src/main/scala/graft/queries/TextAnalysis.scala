@@ -138,6 +138,41 @@ object TextAnalysis extends QueryPack {
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("source")),
 
+    // TEMPERATURE-scaled corpus mixing (the multilingual-sampling alpha
+    // knob): target per-source shares ∝ n_s^0.5, realized as DATA-DRIVEN
+    // acceptance rates against a half-corpus budget, applied by
+    // deterministic hash threshold. Unlike t10 (operator-chosen constant
+    // rates), the rates here are computed from the corpus itself — the
+    // two-phase plan a 100 TB mixer runs: one map-side-partial count per
+    // source, a bounded rates relation joined back (AQE broadcasts it),
+    // one corpus-scan filter. The 1-row totals use an explicit broadcast
+    // (bounded by construction); rates are rounded to 1e-6 before
+    // thresholding so ulp-level sum-order differences between engines
+    // cannot move an acceptance boundary.
+    "t20_mixture_resample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(
+        sum(sqrt(col("n_docs").cast("double"))).as("z"),
+        sum(col("n_docs")).as("n_total"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("rate", round(least(lit(1.0),
+          sqrt(col("n_docs").cast("double")) / col("z")
+            * (col("n_total").cast("double") * 0.5) / col("n_docs")), 6))
+        .select("source", "n_docs", "rate")
+      val sampled = docs.select(col("source"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .join(rates, Seq("source"))
+        .filter(col("h") < floor(col("rate") * 4294967296.0).cast("long"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("rate"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("source")
+    }),
+
     // TF-IDF-style distinctive terms: top-3 terms per doc by
     // tf × (N / df). N/df is a monotone transform of classic ln(N/df),
     // so the RANKING is identical to tf-idf while staying in IEEE
@@ -513,6 +548,17 @@ object TextAnalysis extends QueryPack {
           "WHERE (source IN ('src0','src1') AND h < '80') " +
           "OR (source NOT IN ('src0','src1') AND h < '20') " +
           "GROUP BY source ORDER BY source"),
+      "t20_mixture_resample" ->
+        ("WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
+          "tot AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z, sum(n_docs) AS n_total FROM counts), " +
+          "rates AS (SELECT source, n_docs, round(least(1.0, " +
+          "sqrt(CAST(n_docs AS DOUBLE)) / z * (CAST(n_total AS DOUBLE) * 0.5) / n_docs), 6) AS rate " +
+          "FROM counts, tot), " +
+          "smp AS (SELECT d.source, count(*) AS n_sampled FROM documents d JOIN rates r USING (source) " +
+          "WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) " +
+          "< CAST(floor(r.rate * 4294967296.0) AS BIGINT) GROUP BY d.source) " +
+          "SELECT r.source, r.n_docs, r.rate, COALESCE(s.n_sampled, 0) AS n_sampled " +
+          "FROM rates r LEFT JOIN smp s USING (source) ORDER BY source"),
       "t11_tfidf_terms" ->
         ("WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50), " +
           "toks AS (SELECT doc_id, u.tok FROM (SELECT doc_id, " +
