@@ -115,6 +115,33 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental dedup: batch probes corpus only, not itself") {
+    import spark.implicits._
+    val corpus = docs.filter(col("doc_id") <= 4)
+    // batch: one dup of corpus doc 0, one batch-internal dup pair (10/11),
+    // one fresh doc — only the corpus hit may be reported
+    val batch = Seq(
+      (10L, base),
+      (11L, base),
+      (12L, "entirely novel content that matches nothing in the corpus " +
+        "about streaming watermarks and stateful aggregation semantics")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.minhashIncrementalDups(corpus, batch, "doc_id", "text",
+        threshold = 0.4)
+      .select("new_doc", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((10L, 0L)) || hits.contains((10L, 1L)),
+      s"batch dup of corpus doc missed: $hits")
+    assert(hits.contains((11L, 0L)) || hits.contains((11L, 1L)),
+      s"batch dup of corpus doc missed: $hits")
+    // batch-internal pair (10, 11) must NOT appear — that's the next
+    // batch-self-dedup pass, not the corpus-membership probe
+    assert(!hits.exists(h => h._1 == 10L && h._2 == 11L), s"self pair: $hits")
+    assert(!hits.exists(_._1 == 12L), s"false positive: $hits")
+    // every reported dup_of is a corpus doc, every new_doc a batch doc
+    assert(hits.forall { case (n, c) => n >= 10L && c <= 4L }, s"$hits")
+  }
+
   test("minhash pipeline has no driver-side materialization") {
     // the whole near-dup plan must stay a DataFrame lineage (no collect):
     // building it must not trigger any Spark job
