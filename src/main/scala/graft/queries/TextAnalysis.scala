@@ -156,11 +156,17 @@ object TextAnalysis extends QueryPack {
       val tot = counts.agg(
         sum(sqrt(col("n_docs").cast("double"))).as("z"),
         sum(col("n_docs")).as("n_total"))
+      // rates is BOUNDED (one row per source) but consumed by two branches
+      // with different column pruning — without a cut, each branch re-runs
+      // the corpus-counts aggregate (two extra full passes at scale).
+      // localCheckpoint materializes the tiny relation once; both the
+      // audit output and the per-doc probe read the blocks.
       val rates = counts.crossJoin(broadcast(tot))
         .withColumn("rate", round(least(lit(1.0),
           sqrt(col("n_docs").cast("double")) / col("z")
             * (col("n_total").cast("double") * 0.5) / col("n_docs")), 6))
         .select("source", "n_docs", "rate")
+        .localCheckpoint()
       val sampled = docs.select(col("source"),
           conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
             .cast("long").as("h"))
