@@ -39,7 +39,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // intra-query persist()s (e.g. the minhash per-doc index) are that
+      // query's working state: drop them so 160+ queries' cached blocks
+      // don't pile onto one heap and GC-tax every later query
+      spark.catalog.clearCache()
+      name -> dt
     }
     val total = results.map(_._2).sum
     // Full per-query map is large (~100 queries ≈ 3.5 KB); the driver reads
