@@ -229,25 +229,61 @@ object Similarity extends QueryPack {
       nProbe: Int = 4,
       seed: Long = 42L,
       maxQueries: Int = 1024): DataFrame = {
+    val (assigned, centers) =
+      ivfIndex(corpus, idCol, vecCol, nCentroids, seed)
+    ivfProbeIndexed(assigned, centers, queries, idCol, vecCol, k,
+      nProbe, maxQueries)
+  }
+
+  /** The IVF INDEX of a corpus: `(n_id, n_v, cid)` cell assignments plus
+    * the trained centroid vectors. At warehouse scale this pair is built
+    * once and MATERIALIZED (assignments into a cid-partitioned table —
+    * probing then scans only the probed cells' files; centroids are
+    * nCentroids × dim doubles, metadata-sized); every query batch runs
+    * [[ivfProbeIndexed]] against it. */
+  def ivfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      seed: Long = 42L): (DataFrame, Seq[Seq[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
     val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
       .fit(c.select(array_to_vector(col("n_v")).as("features")))
     val centers: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    // (sim, cid) structs per centroid; struct ordering is lexicographic,
-    // so array_max = argmax by similarity (ties by centroid id — still
-    // deterministic)
-    def cellSims(v: Column): Column = array(centers.zipWithIndex.map {
-      case (cv, i) =>
-        struct(Dedup.cosineSim(v, typedLit(cv)).as("sim"),
-          lit(i).as("cid"))
+    val assigned = c.withColumn("cid",
+      array_max(cellSims(col("n_v"), centers)).getField("cid"))
+    (assigned, centers)
+  }
+
+  // (sim, cid) structs per centroid; struct ordering is lexicographic,
+  // so array_max = argmax by similarity (ties by centroid id — still
+  // deterministic)
+  private def cellSims(v: Column, centers: Seq[Seq[Double]]): Column =
+    array(centers.zipWithIndex.map { case (cv, i) =>
+      struct(Dedup.cosineSim(v, typedLit(cv)).as("sim"),
+        lit(i).as("cid"))
     }: _*)
-    val assigned = c.withColumn("cid", array_max(cellSims(col("n_v"))).getField("cid"))
+
+  /** IVF probe against a PREBUILT index ([[ivfIndex]]'s output, possibly
+    * loaded back from storage): assign each query to its `nProbe` best
+    * cells, rescore exactly inside them. Per batch the corpus-sized side
+    * is read-only — nothing is retrained or reassigned. */
+  def ivfProbeIndexed(
+      assigned: DataFrame,
+      centers: Seq[Seq[Double]],
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      maxQueries: Int = 1024): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
       .limit(maxQueries)
       .withColumn("probe",
-        explode(slice(reverse(array_sort(cellSims(col("q_v")))), 1, nProbe)))
+        explode(slice(reverse(array_sort(cellSims(col("q_v"), centers))), 1, nProbe)))
       .select(col("q_id"), col("q_v"), col("probe").getField("cid").as("cid"))
     // broadcast the (LIMIT-bounded) probe side: the join key has only
     // nCentroids distinct values, so a shuffle join here would hash the

@@ -124,4 +124,49 @@ class SimilaritySpec extends SparkSpecBase {
     // at this corpus size
     assert(approx.size == exact.size)
   }
+
+  test("IVF probe against an index materialized in a GraftTable is identical") {
+    import graft.table.GraftTable
+    val queries = emb.filter(col("vec_id") < 10)
+    val direct = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nCentroids = 8, nProbe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(direct.nonEmpty)
+
+    // build the index once, store assignments cid-PARTITIONED (probing a
+    // cell then reads only that cell's files) + centroids as a tiny table
+    val (assigned, centers) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCentroids = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-index").toString
+    val at = GraftTable.create(s"$dir/assigned", assigned.schema,
+      partitionBy = Seq("cid"))
+    at.append(assigned, committedAt = Some(1000L))
+    import spark.implicits._
+    val ct = GraftTable.create(s"$dir/centers",
+      centers.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("cid", "vec").schema)
+    ct.append(centers.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cid", "vec"), committedAt = Some(1000L))
+
+    // probe with everything corpus-sized READ from storage
+    val storedAssigned = GraftTable.load(s"$dir/assigned").read(spark)
+      .drop("snapshot__id")
+    val storedCenters = GraftTable.load(s"$dir/centers").read(spark)
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val res = Similarity.ivfProbeIndexed(storedAssigned, storedCenters,
+        queries, "vec_id", "embedding", 10, nProbe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(res == direct, s"stored=${res.size} direct=${direct.size}")
+
+    // the scale property the partitioned layout buys: one probed cell's
+    // scan plans only that partition's files
+    val oneCell = graft.table.GraftTable.load(s"$dir/assigned")
+      .scan(spark, Some(col("cid") === 0))
+    assert(oneCell.inputFiles.length <
+      GraftTable.load(s"$dir/assigned").read(spark).inputFiles.length,
+      "cid filter did not prune partitions")
+    GraftTable.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
