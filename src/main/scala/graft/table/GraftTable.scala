@@ -54,6 +54,17 @@ final class GraftTable private (
   def snapshotsTableEnabled: Boolean =
     properties.getOrElse(PropSnapshotsTable, "true").toBoolean
 
+  /** Columns with per-file bloom filters ([[FileBloom]]): the
+    * `graft.bloom.columns` property filtered to existing, bloom-capable,
+    * non-partition columns — unknown names are ignored rather than
+    * failing every future append. */
+  def bloomColumns: Set[String] =
+    properties.get(PropBloomColumns).toSet[String]
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      .filter(c => schema.fieldNames.contains(c) &&
+        !partitionColumns.contains(c) &&
+        FileBloom.supported(schema(c).dataType))
+
   // ------------------------------------------------------------------
   // commits
   // ------------------------------------------------------------------
@@ -184,6 +195,15 @@ final class GraftTable private (
     val staging = s"$dir/.staging-$snapId-$token"
     val writer = df.write.mode("overwrite")
     if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
+    // `bloom.columns`: have the parquet writer emit standard split-block
+    // bloom filters for these columns (plain write options — they land in
+    // the write job's hadoop conf); harvested into the manifest below
+    val bloomCols = bloomColumns
+    bloomCols.foreach { c =>
+      writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+      writer.option(s"parquet.bloom.filter.expected.ndv#$c",
+        properties.getOrElse(PropBloomNdv, "10000"))
+    }
     writer.parquet(staging)
 
     val dataDir = Paths.get(dir, "data")
@@ -219,9 +239,10 @@ final class GraftTable private (
       val partStats = partition.map { case (c, v) =>
         c -> PartitionValues.stats(v, schema(c).dataType, rows)
       }
+      val blooms = FileBloom.harvest(dst.toString, conf, bloomCols)
       val rel = (partDirs :+ name).mkString("/")
       DataFileEntry(s"data/$rel", rows, Files.size(dst), stats ++ partStats,
-        partition)
+        partition, blooms)
     }
     deleteRecursively(Paths.get(staging))
     newFiles
@@ -354,7 +375,7 @@ final class GraftTable private (
       s"delete predicate cannot reference the virtual column $virtualColumn")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val (candidates, untouched) =
-      manifest.files.partition(f => Pruning.mayMatch(resolved, f.stats, schema))
+      manifest.files.partition(f => Pruning.mayMatchFile(resolved, f, schema))
     if (candidates.isEmpty) return None
 
     val snapId = lg.nextId
@@ -401,7 +422,7 @@ final class GraftTable private (
       s"update predicate cannot reference the virtual column $virtualColumn")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val (candidates, untouched) =
-      manifest.files.partition(f => Pruning.mayMatch(resolved, f.stats, schema))
+      manifest.files.partition(f => Pruning.mayMatchFile(resolved, f, schema))
     if (candidates.isEmpty) return None
 
     val snapId = lg.nextId
@@ -463,7 +484,7 @@ final class GraftTable private (
         val pred = resolveAgainst(spark, schema,
           org.apache.spark.sql.classic.GraftBridge.expr(
             col(keyCol) >= lit(bounds.get(0)) && col(keyCol) <= lit(bounds.get(1))))
-        manifest.files.partition(f => Pruning.mayMatch(pred, f.stats, schema))
+        manifest.files.partition(f => Pruning.mayMatchFile(pred, f, schema))
       }
 
     // no forced broadcast: delta batches are usually tiny (AQE broadcasts
@@ -639,7 +660,7 @@ final class GraftTable private (
         val kept = filter match {
           case Some(f) =>
             val pred = TimeTravel.neutralize(expr(f), virtualColumn)
-            manifest.files.filter(df => Pruning.mayMatch(pred, df.stats, schema))
+            manifest.files.filter(df => Pruning.mayMatchFile(pred, df, schema))
           case None => manifest.files
         }
         val df =
@@ -673,7 +694,7 @@ final class GraftTable private (
       case Some(s) =>
         val manifest = Manifest.read(s"$dir/${s.manifestList}")
         val kept = prunePredicate match {
-          case Some(p) => manifest.files.filter(f => Pruning.mayMatch(p, f.stats, schema))
+          case Some(p) => manifest.files.filter(f => Pruning.mayMatchFile(p, f, schema))
           case None => manifest.files
         }
         val base =
@@ -859,6 +880,8 @@ object GraftTable {
   val DefaultVirtualColumn = "snapshot__id"
   val PropVirtualColumnName = "graft.snapshot.virtual.column.name"
   val PropSnapshotsTable = "graft.snapshots.table"
+  val PropBloomColumns = "graft.bloom.columns"
+  val PropBloomNdv = "graft.bloom.ndv"
   val SnapshotsSuffix = "__snapshots"
   val FilesSuffix = "__files"
 

@@ -16,7 +16,8 @@ final case class DataFileEntry(
     recordCount: Long,
     fileSizeBytes: Long,
     stats: Map[String, ColumnStats],
-    partition: Map[String, Option[String]] = Map.empty)
+    partition: Map[String, Option[String]] = Map.empty,
+    blooms: Map[String, String] = Map.empty)
 
 /** The full file list of one snapshot (Iceberg "manifest list" collapsed to
   * a single JSON document — at graft's metadata scale one level is enough,
@@ -38,8 +39,11 @@ final case class Manifest(files: Seq[DataFileEntry]) {
             "null_count" -> st.nullCount.map(Long.box).orNull,
             "value_count" -> st.valueCount.map(Long.box).orNull)
         })
-      if (f.partition.isEmpty) base
-      else base + ("partition" -> f.partition.map { case (c, v) => c -> v.orNull })
+      val withPart =
+        if (f.partition.isEmpty) base
+        else base + ("partition" -> f.partition.map { case (c, v) => c -> v.orNull })
+      if (f.blooms.isEmpty) withPart
+      else withPart + ("blooms" -> f.blooms)
     })
     Json.writeFileAtomic(absPath, Json.write(obj))
   }
@@ -65,12 +69,16 @@ object Manifest {
       val partition = m.getOrElse("partition", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]]
         .map { case (c, v) => c -> Option(v).map(_.toString) }
+      val blooms = m.getOrElse("blooms", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]]
+        .map { case (c, v) => c -> v.toString }
       DataFileEntry(
         m("path").asInstanceOf[String],
         m("record_count").asInstanceOf[Long],
         m("file_size_bytes").asInstanceOf[Long],
         stats,
-        partition)
+        partition,
+        blooms)
     }
     Manifest(files)
   }

@@ -20,6 +20,45 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Pruning {
 
+  /** File-level entry: min/max bounds AND manifest bloom filters
+    * ([[FileBloom]]). The bloom check only strengthens point lookups
+    * (`=`/`IN`) — everything else defers to the bounds answer. */
+  def mayMatchFile(
+      pred: Expression,
+      file: DataFileEntry,
+      schema: StructType): Boolean =
+    mayMatch(pred, file.stats, schema) &&
+      (file.blooms.isEmpty || bloomMayMatch(pred, file.blooms, schema))
+
+  /** Conservative bloom walk: only `=` / `<=>` / `IN` leaves on a column
+    * that HAS a manifest bloom can answer false; every other shape is
+    * true (sound — [[FileBloom]] never denies an inserted value). */
+  private def bloomMayMatch(
+      pred: Expression,
+      blooms: Map[String, String],
+      schema: StructType): Boolean = pred match {
+    case And(l, r) =>
+      bloomMayMatch(l, blooms, schema) && bloomMayMatch(r, blooms, schema)
+    case Or(l, r) =>
+      bloomMayMatch(l, blooms, schema) || bloomMayMatch(r, blooms, schema)
+    case EqualTo(a: Attribute, Literal(v, _)) => bloomContains(a, v, blooms, schema)
+    case EqualTo(Literal(v, _), a: Attribute) => bloomContains(a, v, blooms, schema)
+    case EqualNullSafe(a: Attribute, Literal(v, _)) if v != null =>
+      bloomContains(a, v, blooms, schema)
+    case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists { case Literal(v, _) => bloomContains(a, v, blooms, schema) }
+    case InSet(a: Attribute, set) =>
+      set.exists(v => bloomContains(a, v, blooms, schema))
+    case _ => true
+  }
+
+  private def bloomContains(a: Attribute, v: Any,
+      blooms: Map[String, String], schema: StructType): Boolean =
+    (blooms.get(a.name), fieldType(a, schema)) match {
+      case (Some(b64), Some(dt)) => FileBloom.mayContain(b64, dt, v)
+      case _ => true
+    }
+
   /** True iff the file may contain matching rows. */
   def mayMatch(
       pred: Expression,

@@ -46,6 +46,17 @@ object TableDemo {
     println("PRUNED id=10: " + t.scan(spark, Some(col("id") === 10L))
       .collect().mkString(", "))
 
+    // bloom skipping: interleaved key ranges make min/max useless; the
+    // manifest blooms still isolate the one file holding the probe
+    val bt = GraftTable.create(s"$dir/bloom", schema,
+      properties = Map(GraftTable.PropBloomColumns -> "id"))
+    bt.append(df((0L until 100L by 2).map(i => i -> s"v$i"): _*), Some(1000L))
+    bt.append(df((1L until 100L by 2).map(i => i -> s"v$i"): _*), Some(2000L))
+    val bProbe = bt.scan(spark, Some(col("id") === 42L))
+    println("BLOOM id=42: files=" + bProbe.inputFiles.length + "/" +
+      bt.read(spark).inputFiles.length + " rows=" +
+      bProbe.collect().mkString(", "))
+
     val preCompact = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t/data"))
       .filter(_.toString.endsWith(".parquet")).count()
     val cSnap = t.compact(spark, smallerThanBytes = 1 << 20, Some(3500L))
