@@ -148,6 +148,30 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Deferred-delete fixture: nation appended (snapshot 1), regions 2/4
+    * DEFERRED-deleted (snapshot 2, metadata-only), then the region-2 rows
+    * RE-appended (snapshot 3). The current read must hide the snapshot-1
+    * copies but keep the snapshot-3 ones — the predicate is scoped to the
+    * files that existed when it committed. */
+  private def morFixture(spark: SparkSession, sfDir: String): GraftTable =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/nation_mor"
+      if (GraftTable.exists(dir)) {
+        val tb = GraftTable.load(dir)
+        if (tb.log.snapshots.size == 3) return tb
+        GraftTable.deleteRecursively(Paths.get(dir))
+      } else if (Files.exists(Paths.get(dir))) {
+        GraftTable.deleteRecursively(Paths.get(dir))
+      }
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      tb.deleteDeferred(spark, col("n_regionkey").isin(2, 4), Some(2000L))
+      tb.append(nation.filter(col("n_regionkey") === 2), committedAt = Some(3000L))
+      tb
+    }
+
   val queries: Map[String, Q] = Map(
 
     // schema evolution: one scan spanning pre- and post-evolution files;
@@ -220,6 +244,14 @@ object Versioned extends QueryPack {
     // deleted — the scan sees only the remaining rows (tagged with the
     // delete snapshot), while snapshot 1 still holds all 25
     "v14_graft_delete" -> ((s, d) => deleteFixture(s, d).read(s)),
+
+    // MERGE-ON-READ (deferred) delete: the commit stored only the
+    // predicate; the scan applies it to snapshot-1 files and NOT to the
+    // snapshot-3 re-append, so the result is region-2 rows back, region-4
+    // rows gone — tagged with the current snapshot
+    "v20_graft_deferred_delete" -> ((s, d) =>
+      morFixture(s, d).read(s)
+        .select("n_nationkey", "n_name", "n_regionkey")),
 
     // files metadata table: per-file record counts keyed by partition
     // value (one file per partition in this fixture, so the counts are
@@ -377,6 +409,11 @@ object Versioned extends QueryPack {
     "v14_graft_delete" ->
       ("SELECT *, CAST(2 AS BIGINT) AS snapshot__id FROM nation " +
         "WHERE n_regionkey NOT IN (2, 4)"),
+    "v20_graft_deferred_delete" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_regionkey NOT IN (2, 4) " +
+        "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_regionkey = 2"),
     "v13_graft_files" ->
       ("SELECT n_regionkey, CAST(count(*) AS BIGINT) AS record_count " +
         "FROM nation GROUP BY n_regionkey"),

@@ -100,7 +100,10 @@ final case class ResolveGraftScan(spark: SparkSession)
     // Only literal-argument COUNT without DISTINCT/FILTER qualifies —
     // count(col) depends on per-row nulls and must scan.
     case Aggregate(Seq(), aggExprs, MetadataCountChild(g), _)
-        if isLiteralCountOnly(aggExprs) =>
+        if isLiteralCountOnly(aggExprs) &&
+          // pending DEFERRED deletes make manifest counts an OVERCOUNT
+          // (rows are filtered at read time) — fall through to a real scan
+          GraftTable.load(g.dir).pendingDeletes.isEmpty =>
       val t = GraftTable.load(g.dir)
       val n = t.log.current
         .map(s => Manifest.read(s"${g.dir}/${s.manifestList}").totalRecords)

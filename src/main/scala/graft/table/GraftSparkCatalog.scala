@@ -176,6 +176,15 @@ final class GraftV2Table(
         throw new IllegalArgumentException(s"no snapshot $id in ${t.dir}")))
       case None => t.log.current
     }
+    snap.foreach { s =>
+      // this surface hands the raw file list to the parquet source — it
+      // cannot apply merge-on-read delete predicates; refuse rather than
+      // resurrect deleted rows (materialize via compact() first)
+      require(t.parsePending(s).isEmpty,
+        s"${t.dir} has deferred deletes pending at snapshot " +
+          s"${s.snapshotId} — compact() to materialize them before " +
+          "reading through the DSv2 catalog")
+    }
     val paths = snap.toSeq.flatMap { s =>
       Manifest.read(s"${t.dir}/${s.manifestList}").files
         .map(f => s"${t.dir}/${f.path}")

@@ -54,6 +54,41 @@ final class GraftTable private (
   def snapshotsTableEnabled: Boolean =
     properties.getOrElse(PropSnapshotsTable, "true").toBoolean
 
+  /** DEFERRED (merge-on-read) deletes pending on a snapshot: `(coveredSnap,
+    * predicateSql)` pairs parsed from the `pending-deletes` summary entry.
+    * A predicate applies only to data files written at snapshot ≤
+    * `coveredSnap` — rows appended AFTER the delete are never affected
+    * (the sequence-number scoping Iceberg's equality deletes use). */
+  private[table] def parsePending(s: Snapshot): Seq[(Long, String)] =
+    s.summary.get(SummaryPendingDeletes) match {
+      case None | Some("") | Some("[]") => Nil
+      case Some(json) =>
+        graft.util.Json.parse(json).asInstanceOf[Seq[Any]].map { e =>
+          val m = e.asInstanceOf[Map[String, Any]]
+          (m("snap").asInstanceOf[Long], m("pred").asInstanceOf[String])
+        }
+    }
+
+  private def pendingJson(entries: Seq[(Long, String)]): String =
+    graft.util.Json.write(entries.map { case (sn, p) =>
+      Map("snap" -> sn, "pred" -> p)
+    })
+
+  /** Pending deferred deletes of the CURRENT snapshot (empty when all
+    * deletes are materialized). */
+  def pendingDeletes: Seq[(Long, String)] =
+    log.current.map(parsePending).getOrElse(Nil)
+
+  /** The snapshot that wrote a data file, parsed from its
+    * `part-<snap>-<token>-<seq>` name — the scope key for deferred
+    * deletes. */
+  private def fileSnapId(path: String): Option[Long] = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    if (!base.startsWith("part-")) return None
+    val seg = base.drop(5).takeWhile(_ != '-')
+    if (seg.nonEmpty && seg.forall(_.isDigit)) Some(seg.toLong) else None
+  }
+
   /** Columns with per-file bloom filters ([[FileBloom]]): the
     * `graft.bloom.columns` property filtered to existing, bloom-capable,
     * non-partition columns — unknown names are ignored rather than
@@ -285,13 +320,23 @@ final class GraftTable private (
         s"snapshot log advanced to ${lg2.nextId} during commit of $snapId on $dir")
     }
 
+    // pending-deletes inheritance: an explicit entry in extraSummary wins
+    // (deferred delete adds, compact clears/reduces, rollback adopts the
+    // target's); otherwise the new snapshot carries its parent's pending
+    // list forward. "[]" normalizes to key-absent.
+    val pending: Option[String] =
+      (extraSummary.get(SummaryPendingDeletes) match {
+        case Some(v) => Some(v)
+        case None => lg.current.flatMap(_.summary.get(SummaryPendingDeletes))
+      }).filter(v => v.nonEmpty && v != "[]")
     val snap = Snapshot(
       snapshotId = snapId,
       parentId = lg.current.map(_.snapshotId),
       committedAt = committedAt.getOrElse(System.currentTimeMillis()),
       operation = operation,
       manifestList = manifestRel,
-      summary = extraSummary ++ Map(
+      summary = (extraSummary - SummaryPendingDeletes) ++
+        pending.map(SummaryPendingDeletes -> _).toMap ++ Map(
         "total-data-files" -> manifest.files.size.toString,
         "total-records" -> manifest.totalRecords.toString))
     SnapshotLog(lg.snapshots :+ snap).write(s"$dir/snapshots.json")
@@ -330,7 +375,10 @@ final class GraftTable private (
     val totalBytes = small.map(_.fileSizeBytes).sum
     val perFile = math.max(1L, targetFileBytes.getOrElse(smallerThanBytes))
     val targetParts = math.max(1L, totalBytes / perFile).toInt
-    val packed = readFiles(spark, small.map(f => s"$dir/${f.path}"))
+    // rewriting MATERIALIZES any deferred deletes covering the rewritten
+    // files (their rows are filtered during the repack); predicates stay
+    // pending only while an untouched file they cover remains
+    val packed = readWithDeletes(spark, current, small)
     // clustered rewrite (Iceberg sort-order analog): range-partition +
     // sort so each output file covers a DISJOINT range of the cluster key.
     // sortBy clusters lexicographically (tight min/max on the FIRST
@@ -347,12 +395,16 @@ final class GraftTable private (
         .repartitionByRange(targetParts, clusterKey: _*)
         .sortWithinPartitions(clusterKey: _*)
     val newFiles = writeDataFiles(df, snapId)
+    val stillPending = parsePending(current).filter { case (covered, _) =>
+      big.exists(f => fileSnapId(f.path).forall(_ <= covered))
+    }
     Some(commit(lg, snapId, Manifest(big ++ newFiles), newFiles,
       operation = "replace", committedAt,
       extraSummary = Map(
         "rewritten-data-files" -> small.size.toString,
         "added-data-files" -> newFiles.size.toString,
-        "rewritten-bytes" -> totalBytes.toString)))
+        "rewritten-bytes" -> totalBytes.toString,
+        SummaryPendingDeletes -> pendingJson(stillPending))))
   }
 
   /** Copy-on-write DELETE: rewrite only the files that MAY contain
@@ -369,6 +421,9 @@ final class GraftTable private (
       committedAt: Option[Long] = None): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
+    require(parsePending(current).isEmpty,
+      s"$dir has deferred deletes pending — compact() to materialize " +
+        "them before running copy-on-write DML")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -397,6 +452,80 @@ final class GraftTable private (
         "rewritten-data-files" -> candidates.size.toString)))
   }
 
+  /** DEFERRED (merge-on-read) DELETE: commit the PREDICATE, not a
+    * rewrite. The commit is metadata-only — O(1) I/O regardless of how
+    * many files hold matching rows — and every subsequent read applies
+    * the predicate as a residual filter, scoped to the files that existed
+    * at delete time (rows appended later are never affected; the
+    * sequence-scoping discipline of Iceberg v2 equality deletes). This is
+    * the 100 TB trade against copy-on-write [[delete]]: commit cost moves
+    * from O(matching files) rewrite to O(1), read cost gains one codegen'd
+    * filter until [[compact]] materializes the deletes and clears them.
+    *
+    * Interactions, kept deliberately conservative:
+    *  - copy-on-write [[delete]]/[[update]]/[[merge]] REFUSE to run while
+    *    deletes are pending (their candidate-file rewrites would need the
+    *    same scoping logic — materialize first via [[compact]]);
+    *  - [[changes]]/change feeds already document removals as
+    *    out-of-scope (additive feeds);
+    *  - the DSv2 catalog surface refuses pending-delete tables (it
+    *    delegates raw file lists to the parquet source).
+    *
+    * Returns None on an empty table. */
+  def deleteDeferred(
+      spark: SparkSession,
+      predicate: Column,
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    val resolved = resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(predicate))
+    require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
+      s"delete predicate cannot reference the virtual column $virtualColumn")
+    // the stored form must survive a SQL round-trip (it is re-parsed at
+    // every read); foreachup guard: re-resolve and fail loudly now, not
+    // at first scan
+    val sql = resolved.sql
+    resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(
+        org.apache.spark.sql.functions.expr(sql)))
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    manifest.files.foreach(f => require(fileSnapId(f.path).isDefined,
+      s"cannot scope a deferred delete: unattributable data file ${f.path}"))
+    val snapId = lg.nextId
+    val pend = parsePending(current) :+ (current.snapshotId -> sql)
+    Some(commit(lg, snapId, manifest, Nil,
+      operation = "delete", committedAt,
+      extraSummary = Map(
+        "deferred" -> "true",
+        SummaryPendingDeletes -> pendingJson(pend))))
+  }
+
+  /** Read `files` of snapshot `s` with its pending deferred deletes
+    * applied — the single read chokepoint for merge-on-read semantics.
+    * Files are grouped by WHICH predicates cover them (by file snapshot
+    * id), each group filtered by its conjunction; groups union. A NULL
+    * predicate keeps the row (same survivor expression as copy-on-write
+    * [[delete]]). */
+  private def readWithDeletes(
+      spark: SparkSession,
+      s: Snapshot,
+      files: Seq[DataFileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val pend = parsePending(s)
+    if (pend.isEmpty || files.isEmpty)
+      return readFiles(spark, files.map(f => s"$dir/${f.path}"))
+    val groups = files.groupBy { f =>
+      val fs = fileSnapId(f.path).getOrElse(Long.MinValue) // unattributable: assume oldest (over-filtering is impossible — deleteDeferred refuses such tables; this path exists for robustness only)
+      pend.filter { case (covered, _) => fs <= covered }.map(_._2)
+    }
+    groups.toSeq.sortBy(_._2.head.path).map { case (preds, fs) =>
+      val base = readFiles(spark, fs.map(f => s"$dir/${f.path}"))
+      preds.foldLeft(base)((d, p) =>
+        d.filter(coalesce(not(expr(p)), lit(true))))
+    }.reduce(_ union _)
+  }
+
   /** Copy-on-write UPDATE: set `assignments` on rows matching
     * `predicate`. Same candidate-file discipline as [[delete]] — only
     * files whose stats MAY match are rewritten (matching rows get the new
@@ -410,6 +539,9 @@ final class GraftTable private (
     import org.apache.spark.sql.functions.when
     val lg = log
     val current = lg.current.getOrElse(return None)
+    require(parsePending(current).isEmpty,
+      s"$dir has deferred deletes pending — compact() to materialize " +
+        "them before running copy-on-write DML")
     require(assignments.nonEmpty, "update requires at least one assignment")
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown update column '$c'"))
@@ -472,6 +604,9 @@ final class GraftTable private (
           "would write files the table schema cannot read back)")
     }
     val lg = log
+    require(lg.current.forall(c => parsePending(c).isEmpty),
+      s"$dir has deferred deletes pending — compact() to materialize " +
+        "them before running copy-on-write DML")
     val snapId = lg.nextId
     val manifest = lg.current
       .map(s => Manifest.read(s"$dir/${s.manifestList}"))
@@ -515,7 +650,11 @@ final class GraftTable private (
     val manifest = Manifest.read(s"$dir/${target.manifestList}")
     commit(lg, lg.nextId, manifest, Nil,
       operation = "rollback", committedAt,
-      extraSummary = Map("rolled-back-to" -> snapshotId.toString))
+      extraSummary = Map(
+        "rolled-back-to" -> snapshotId.toString,
+        // adopt the TARGET's pending deferred deletes (commit would
+        // otherwise inherit the rolled-back head's)
+        SummaryPendingDeletes -> pendingJson(parsePending(target))))
   }
 
   /** Expire snapshots committed before `olderThanMillis` (the current
@@ -667,7 +806,7 @@ final class GraftTable private (
           if (kept.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
           else
-            readFiles(spark, kept.map(f => s"$dir/${f.path}"))
+            readWithDeletes(spark, s, kept)
         df.withColumn(virtualColumn, lit(s.snapshotId))
     }
     val filtered = filter match {
@@ -701,7 +840,7 @@ final class GraftTable private (
           if (kept.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
           else
-            readFiles(spark, kept.map(f => s"$dir/${f.path}"))
+            readWithDeletes(spark, s, kept)
         base.withColumn(virtualColumn, lit(s.snapshotId))
     }
     org.apache.spark.sql.classic.GraftBridge.analyzedPlan(df)
@@ -881,6 +1020,7 @@ object GraftTable {
   val PropVirtualColumnName = "graft.snapshot.virtual.column.name"
   val PropSnapshotsTable = "graft.snapshots.table"
   val PropBloomColumns = "graft.bloom.columns"
+  val SummaryPendingDeletes = "pending-deletes"
   val PropBloomNdv = "graft.bloom.ndv"
   val SnapshotsSuffix = "__snapshots"
   val FilesSuffix = "__files"

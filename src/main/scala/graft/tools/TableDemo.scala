@@ -57,6 +57,18 @@ object TableDemo {
       bt.read(spark).inputFiles.length + " rows=" +
       bProbe.collect().mkString(", "))
 
+    // deferred (merge-on-read) delete: metadata-only commit; the re-append
+    // of a matching value is NOT affected (predicate scoped to older files)
+    val mt = GraftTable.create(s"$dir/mor", schema)
+    mt.append(df(1L -> "keep", 2L -> "drop"), Some(1000L))
+    mt.deleteDeferred(spark, col("data") === "drop", Some(2000L))
+    mt.append(df(3L -> "drop"), Some(3000L))
+    println("DEFERRED-DELETE: rows=" + mt.read(spark).orderBy("id")
+      .collect().mkString(", ") + " pending=" + mt.pendingDeletes.size)
+    mt.compact(spark, smallerThanBytes = Long.MaxValue, Some(4000L))
+    println("DEFERRED-MATERIALIZED: rows=" + mt.read(spark).orderBy("id")
+      .collect().mkString(", ") + " pending=" + mt.pendingDeletes.size)
+
     val preCompact = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t/data"))
       .filter(_.toString.endsWith(".parquet")).count()
     val cSnap = t.compact(spark, smallerThanBytes = 1 << 20, Some(3500L))

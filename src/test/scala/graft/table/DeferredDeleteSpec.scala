@@ -1,0 +1,154 @@
+package graft.table
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** Merge-on-read (deferred predicate) DELETE semantics: metadata-only
+  * commits, read-time filtering scoped to the files that existed at
+  * delete time, materialization through compaction, and the conservative
+  * refusals that keep every other surface sound.
+  */
+class DeferredDeleteSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  private def mkDf(rows: (Long, String)*) = {
+    val rdd = spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1)
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-mor").toString
+
+  private def ids(t: GraftTable, snap: Option[Long] = None): Seq[Long] =
+    t.read(spark, snap).select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("metadata-only commit hides rows; time travel still sees them") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "drop", 3L -> "c"), Some(1000L))
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t/data"))
+      .filter(_.toString.endsWith(".parquet")).count()
+
+    val snap = t.deleteDeferred(spark, col("data") === "drop", Some(2000L))
+    assert(snap.get.operation == "delete")
+    assert(snap.get.summary("deferred") == "true")
+    // NO files written or rewritten — the commit is pure metadata
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t/data"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    assert(after == before, s"deferred delete wrote files: $before -> $after")
+
+    assert(ids(t) == Seq(1L, 3L))
+    assert(ids(t, Some(1L)) == Seq(1L, 2L, 3L), "time travel lost the row")
+    assert(ids(t) == Seq(1L, 3L), "statelessness after TT")
+  }
+
+  test("scoping: rows appended AFTER the delete survive the predicate") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "x", 2L -> "x"), Some(1000L))
+    t.deleteDeferred(spark, col("data") === "x", Some(2000L))
+    assert(ids(t) == Nil)
+    // the SAME predicate value arrives again in new data — it must live
+    t.append(mkDf(10L -> "x", 11L -> "y"), Some(3000L))
+    assert(ids(t) == Seq(10L, 11L),
+      "a deferred delete leaked onto rows appended after it")
+    // stacking: a second deferred delete covers files up to ITS commit
+    t.deleteDeferred(spark, col("data") === "y", Some(4000L))
+    assert(ids(t) == Seq(10L))
+    assert(t.pendingDeletes.size == 2)
+  }
+
+  test("compaction materializes: rows physically gone, predicates cleared") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "drop"), Some(1000L))
+    t.append(mkDf(3L -> "drop", 4L -> "d"), Some(2000L))
+    t.deleteDeferred(spark, col("data") === "drop", Some(3000L))
+    assert(ids(t) == Seq(1L, 4L))
+
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(4000L))
+    assert(t.pendingDeletes.isEmpty, "full compaction must clear predicates")
+    assert(ids(t) == Seq(1L, 4L))
+    // physically gone: raw read of current files shows no 'drop' rows
+    val mf = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+    val raw = spark.read.parquet(mf.files.map(f => s"${t.dir}/${f.path}"): _*)
+    assert(raw.filter(col("data") === "drop").count() == 0)
+    // copy-on-write DML allowed again after materialization
+    t.update(spark, col("id") === 4L, Map("data" -> lit("d2")), Some(5000L))
+    assert(t.read(spark).filter(col("data") === "d2").count() == 1)
+  }
+
+  test("copy-on-write DML and the DSv2 surface refuse while pending") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.deleteDeferred(spark, col("id") === 2L, Some(2000L))
+
+    intercept[IllegalArgumentException] {
+      t.delete(spark, col("id") === 1L)
+    }
+    intercept[IllegalArgumentException] {
+      t.update(spark, col("id") === 1L, Map("data" -> lit("z")))
+    }
+    intercept[IllegalArgumentException] {
+      t.merge(spark, mkDf(1L -> "m"), "id")
+    }
+  }
+
+  test("SQL path applies pending deletes; count(*) falls back to a scan") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "drop", 3L -> "c"), Some(1000L))
+    t.deleteDeferred(spark, col("data") === "drop", Some(2000L))
+
+    GraftCatalog.injectRule(spark)
+    GraftRelation.dataFrame(spark, t).createOrReplaceTempView("mor_t")
+    val viaSql = spark.sql("SELECT id FROM mor_t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == Seq(1L, 3L), s"SQL path saw $viaSql")
+    // metadata-only count would answer 3 from the manifest; the guard
+    // must force a real (filtered) scan
+    val n = spark.sql("SELECT count(*) AS n FROM mor_t").head().getLong(0)
+    assert(n == 2L, s"count(*) said $n — manifest overcount leaked")
+    // snapshot-pinned SQL time travel still sees the old rows
+    val tt = spark.sql("SELECT id FROM mor_t WHERE snapshot__id = 1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(tt == Seq(1L, 2L, 3L))
+  }
+
+  test("rollback across a deferred delete adopts the target's pending set") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.deleteDeferred(spark, col("id") === 2L, Some(2000L))
+    assert(ids(t) == Seq(1L))
+    // roll back to BEFORE the delete: pending clears, the row returns
+    t.rollbackTo(1L, Some(3000L))
+    assert(t.pendingDeletes.isEmpty)
+    assert(ids(t) == Seq(1L, 2L))
+    // roll forward to the delete snapshot again: pending returns
+    t.rollbackTo(2L, Some(4000L))
+    assert(t.pendingDeletes.size == 1)
+    assert(ids(t) == Seq(1L))
+  }
+
+  test("null predicate evaluations keep rows (added-column semantics)") {
+    val dir = tmp()
+    val t0 = GraftTable.create(s"$dir/t", schema)
+    t0.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    val t = t0.addColumn("score", DoubleType)
+    val rdd = spark.sparkContext.parallelize(
+      Seq(Row(3L, "c", 9.0), Row(4L, "d", 1.0)), 1)
+    t.append(spark.createDataFrame(rdd, t.schema), Some(2000L))
+    // score IS NULL for pre-evolution rows → predicate NULL → row kept
+    t.deleteDeferred(spark, col("score") > 5.0, Some(3000L))
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 4L))
+  }
+}
