@@ -510,9 +510,14 @@ final class GraftTable private (
   private def readWithDeletes(
       spark: SparkSession,
       s: Snapshot,
+      files: Seq[DataFileEntry]): DataFrame =
+    readFilteredByPending(spark, parsePending(s), files)
+
+  private def readFilteredByPending(
+      spark: SparkSession,
+      pend: Seq[(Long, String)],
       files: Seq[DataFileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    val pend = parsePending(s)
     if (pend.isEmpty || files.isEmpty)
       return readFiles(spark, files.map(f => s"$dir/${f.path}"))
     val groups = files.groupBy { f =>
@@ -875,8 +880,8 @@ final class GraftTable private (
     *    O(rewritten data) — proportional to the change, not the table;
     *  - `"replace"` (compaction) is bit-identical and `"delete"` /
     *    `"rollback"` add no row values, so they contribute nothing (row
-    *    REMOVALS are out of scope for an additive feed — documented
-    *    limitation, same as the reference's append-only incrementality).
+    *    REMOVALS are out of scope for an additive feed — use
+    *    [[changesCdc]] for the retraction-carrying form).
     *
     * A chain snapshot whose parent has been expired makes the diff
     * uncomputable — that throws (loudly) rather than silently re-emitting
@@ -934,6 +939,103 @@ final class GraftTable private (
       }
     val base = (readOrEmpty(appended) +: rewriteDiffs).reduce(_ union _)
     base.withColumn(virtualColumn, lit(to.snapshotId))
+  }
+
+  /** NET-CHANGE CDC read: per-snapshot row-level deltas as
+    * (`_change_type` ∈ insert|delete) rows — the retraction feed
+    * [[changes]] deliberately scopes out. Semantics are NET per commit:
+    * applying each snapshot's deletes then inserts (multiset) to the
+    * `from` state reproduces the `to` state exactly (spec-verified over
+    * mixed op chains). Per-op cost stays O(changed data):
+    *
+    *  - `append`: added files → inserts (no row compare);
+    *  - `update`/`merge`: multiset file diffs — added∖removed → inserts,
+    *    removed∖added → deletes (O(rewritten));
+    *  - copy-on-write `delete`: same diffs (inserts empty by
+    *    construction);
+    *  - DEFERRED delete: the predicate evaluated over its covered files'
+    *    SURVIVORS (parent's pending applied first) → deletes — O(covered
+    *    files), nothing rewritten so no file diff exists;
+    *  - `replace` (compaction): logically net-zero — bit-identical
+    *    repack, and any deferred deletes it materializes were already
+    *    emitted by their own delete snapshot;
+    *  - `rollback` in the chain THROWS (its delta is an arbitrary
+    *    state diff, not an incremental one — re-seed downstream instead).
+    *
+    * Rows carry the virtual snapshot column valued at their OWN commit
+    * (per-snapshot attribution), unlike [[changes]]'s to-valued column.
+    */
+  def changesCdc(
+      spark: SparkSession,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val lg = log
+    val from = lg.byId(fromSnapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $fromSnapshotId in $dir"))
+    val to = toSnapshotId match {
+      case Some(id) => lg.byId(id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id in $dir"))
+      case None => lg.current.get
+    }
+    require(to.snapshotId >= from.snapshotId,
+      s"to=${to.snapshotId} precedes from=${from.snapshotId}")
+    val chain = lg.snapshots
+      .filter(s => s.snapshotId > from.snapshotId && s.snapshotId <= to.snapshotId)
+    chain.find(_.operation == "rollback").foreach { s =>
+      throw new IllegalStateException(
+        s"snapshot ${s.snapshotId} is a rollback — its delta is a state " +
+          s"reset, not an incremental change; re-seed CDC consumers of $dir")
+    }
+
+    def files(s: Snapshot): Seq[DataFileEntry] =
+      Manifest.read(s"$dir/${s.manifestList}").files
+    def parent(s: Snapshot): Snapshot = s.parentId.flatMap(lg.byId).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot ${s.snapshotId}'s parent is missing from the log of " +
+          s"$dir (expired?) — its incremental diff cannot be computed"))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    def readOrEmpty(fs: Seq[DataFileEntry]): DataFrame =
+      if (fs.isEmpty) empty else readFiles(spark, fs.map(f => s"$dir/${f.path}"))
+    def tag(df: DataFrame, tpe: String, s: Snapshot): DataFrame =
+      df.withColumn("_change_type", lit(tpe))
+        .withColumn(virtualColumn, lit(s.snapshotId))
+
+    val deltas: Seq[DataFrame] = chain.flatMap { s =>
+      val deferred = s.summary.get("deferred").contains("true")
+      s.operation match {
+        case "append" =>
+          val parentPaths = files(parent(s)).map(_.path).toSet
+          val added = files(s).filterNot(f => parentPaths.contains(f.path))
+          Seq(tag(readOrEmpty(added), "insert", s))
+        case "replace" => Nil
+        case "delete" if deferred =>
+          val p = parent(s)
+          val parentPend = parsePending(p)
+          val entries = parsePending(s).drop(parentPend.size)
+          entries.map { case (covered, predSql) =>
+            val coveredFiles = files(s).filter(f =>
+              fileSnapId(f.path).forall(_ <= covered))
+            val survivors = readFilteredByPending(spark, parentPend, coveredFiles)
+            // rows DELETED are those where the predicate is TRUE (NULL
+            // keeps the row — same semantics as the read path)
+            tag(survivors.filter(expr(predSql) <=> true), "delete", s)
+          }
+        case "delete" | "update" | "merge" =>
+          val pf = files(parent(s))
+          val parentPaths = pf.map(_.path).toSet
+          val curPaths = files(s).map(_.path).toSet
+          val added = files(s).filterNot(f => parentPaths.contains(f.path))
+          val removed = pf.filterNot(f => curPaths.contains(f.path))
+          Seq(
+            tag(readOrEmpty(added).exceptAll(readOrEmpty(removed)), "insert", s),
+            tag(readOrEmpty(removed).exceptAll(readOrEmpty(added)), "delete", s))
+        case _ => Nil
+      }
+    }
+    if (deltas.isEmpty)
+      tag(empty, "insert", to).filter(lit(false))
+    else deltas.reduce(_ union _)
   }
 
   /** Structured-Streaming read of an append-only graft table: Spark's
