@@ -41,4 +41,25 @@ final class GraftChangeFeed(table: GraftTable, checkpointDir: String) {
     commitCursor(current)
     Some((from, current))
   }
+
+  /** CDC variant of [[poll]]: the batch receives [[GraftTable.changesCdc]]
+    * rows (`_change_type` insert|delete) instead of the additive feed —
+    * the consumption mode for downstream state that must APPLY deletions
+    * (mirror tables, search indexes, feature stores). The first poll
+    * seeds with the full current state as inserts. A rollback in the
+    * window makes changesCdc throw BEFORE the cursor advances, so a
+    * consumer can re-seed and resume — no change is silently skipped. */
+  def pollCdc(spark: SparkSession)(batch: DataFrame => Unit): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.lit
+    val current = table.log.current.map(_.snapshotId).getOrElse(0L)
+    val from = cursor
+    if (current <= from) return None
+    val df =
+      if (from == 0L)
+        table.read(spark, Some(current)).withColumn("_change_type", lit("insert"))
+      else table.changesCdc(spark, from, Some(current))
+    batch(df)
+    commitCursor(current)
+    Some((from, current))
+  }
 }

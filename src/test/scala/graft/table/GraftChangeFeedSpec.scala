@@ -48,6 +48,47 @@ class GraftChangeFeedSpec extends SparkSpecBase {
     assert(seen.last == Seq(5L))
   }
 
+  test("pollCdc: downstream mirror stays identical through DML") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("feed-cdc")
+    val schema2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", StringType, nullable = true)))
+    def mk(rows: (Long, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), schema2)
+    val t = GraftTable.create(s"$dir/t", schema2)
+    val feed = new GraftChangeFeed(t, s"$dir/ckpt")
+
+    // the consumer: an in-memory multiset mirror applying deletes+inserts
+    val mirror = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def run() = feed.pollCdc(spark) { df =>
+      val rows = df.select("id", "data", "_change_type").collect()
+      rows.filter(_.getString(2) == "delete").foreach { r =>
+        val i = mirror.indexOf((r.getLong(0), r.getString(1)))
+        assert(i >= 0, s"delete for absent row $r"); mirror.remove(i)
+      }
+      rows.filter(_.getString(2) == "insert")
+        .foreach(r => mirror += ((r.getLong(0), r.getString(1))))
+    }
+    def tableRows() = t.read(spark).select("id", "data").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+    t.append(mk(1L -> "a", 2L -> "b"), Some(1000L))
+    run() // seed poll: full state as inserts
+    assert(mirror.sorted.toSeq == tableRows())
+
+    // deferred delete + scope-exempt re-append, then materialize and run
+    // a copy-on-write update — one poll catches the whole mixed window
+    t.deleteDeferred(spark, col("data") === "b", Some(2000L))
+    t.append(mk(3L -> "b"), Some(3000L))
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(4000L))
+    t.update(spark, col("id") === 1L,
+      Map("data" -> org.apache.spark.sql.functions.lit("a2")), Some(5000L))
+    run()
+    assert(mirror.sorted.toSeq == tableRows(), s"mirror=$mirror")
+    assert(mirror.sorted.toSeq == Seq(1L -> "a2", 3L -> "b"))
+  }
+
   test("a failing batch does not advance the cursor (at-least-once)") {
     val dir = tmpDir("feed-fail")
     val t = GraftTable.create(s"$dir/t", schema)
