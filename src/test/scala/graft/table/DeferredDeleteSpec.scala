@@ -138,6 +138,25 @@ class DeferredDeleteSpec extends SparkSpecBase {
     assert(ids(t) == Seq(1L))
   }
 
+  test("partitioned table: deferred delete composes with partition pruning") {
+    val dir = tmp()
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cat", StringType, nullable = true)))
+    val t = GraftTable.create(s"$dir/t", s2, partitionBy = Seq("cat"))
+    val rdd = spark.sparkContext.parallelize(
+      Seq(Row(1L, "a"), Row(2L, "a"), Row(3L, "b")), 1)
+    t.append(spark.createDataFrame(rdd, s2), Some(1000L))
+    t.deleteDeferred(spark, col("id") === 2L, Some(2000L))
+
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    // partition-pruned scan still applies the predicate
+    val a = t.scan(spark, Some(col("cat") === "a"))
+    assert(a.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    GraftTable.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("null predicate evaluations keep rows (added-column semantics)") {
     val dir = tmp()
     val t0 = GraftTable.create(s"$dir/t", schema)
