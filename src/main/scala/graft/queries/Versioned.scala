@@ -172,6 +172,30 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Bloom-lookup fixture: nation appended TWICE with fully-overlapping
+    * n_nationkey ranges (evens, then odds) and `graft.bloom.columns` on
+    * the key — min/max can never separate the files, so a point lookup
+    * exercises the manifest-bloom skip path under the oracle gate (an
+    * unsound bloom that skipped a matching file would change results). */
+  private def bloomFixture(spark: SparkSession, sfDir: String): GraftTable =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/nation_bloom"
+      if (GraftTable.exists(dir)) {
+        val tb = GraftTable.load(dir)
+        if (tb.log.snapshots.size == 2) return tb
+        GraftTable.deleteRecursively(Paths.get(dir))
+      } else if (Files.exists(Paths.get(dir))) {
+        GraftTable.deleteRecursively(Paths.get(dir))
+      }
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema,
+        properties = Map(GraftTable.PropBloomColumns -> "n_nationkey,n_name"))
+      tb.append(nation.filter(col("n_nationkey") % 2 === 0), Some(1000L))
+      tb.append(nation.filter(col("n_nationkey") % 2 === 1), Some(2000L))
+      tb
+    }
+
   val queries: Map[String, Q] = Map(
 
     // schema evolution: one scan spanning pre- and post-evolution files;
@@ -244,6 +268,18 @@ object Versioned extends QueryPack {
     // deleted — the scan sees only the remaining rows (tagged with the
     // delete snapshot), while snapshot 1 still holds all 25
     "v14_graft_delete" -> ((s, d) => deleteFixture(s, d).read(s)),
+
+    // manifest-BLOOM point lookups: keys scattered across files with
+    // fully overlapping min/max; three probes (hit-even, hit-odd, string
+    // key) union — results must match the raw table exactly even though
+    // the bloom skipped half the files per probe
+    "v21_graft_bloom_lookup" -> ((s, d) => {
+      val tb = bloomFixture(s, d)
+      tb.scan(s, Some(col("n_nationkey") === 4))
+        .unionByName(tb.scan(s, Some(col("n_nationkey") === 7)))
+        .unionByName(tb.scan(s, Some(col("n_name") === "NATION_9")))
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
 
     // MERGE-ON-READ (deferred) delete: the commit stored only the
     // predicate; the scan applies it to snapshot-1 files and NOT to the
@@ -409,6 +445,10 @@ object Versioned extends QueryPack {
     "v14_graft_delete" ->
       ("SELECT *, CAST(2 AS BIGINT) AS snapshot__id FROM nation " +
         "WHERE n_regionkey NOT IN (2, 4)"),
+    "v21_graft_bloom_lookup" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey = 4 " +
+        "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey = 7 " +
+        "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_name = 'NATION_9'"),
     "v20_graft_deferred_delete" ->
       ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "WHERE n_regionkey NOT IN (2, 4) " +
