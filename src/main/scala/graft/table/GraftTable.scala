@@ -228,7 +228,20 @@ final class GraftTable private (
     // commit claim then serializes who publishes.
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"$dir/.staging-$snapId-$token"
-    val writer = df.write.mode("overwrite")
+    // hash write distribution (`graft.write.distribution=hash`): cluster
+    // rows by partition value before a partitioned write, so each table
+    // partition is written by ONE task — without it every input partition
+    // crosses every table partition and an append emits
+    // O(tasks × partitions) small files (the classic small-file explosion
+    // at cluster scale; Iceberg's write.distribution-mode=hash is the
+    // same fix). Off by default: for FEW large partitions the clustering
+    // collapses write parallelism to the partition count.
+    val distributed =
+      if (partitionColumns.nonEmpty &&
+          properties.getOrElse(PropWriteDistribution, "none") == "hash")
+        df.repartition(partitionColumns.map(col): _*)
+      else df
+    val writer = distributed.write.mode("overwrite")
     if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
     // `bloom.columns`: have the parquet writer emit standard split-block
     // bloom filters for these columns (plain write options — they land in
@@ -1122,6 +1135,7 @@ object GraftTable {
   val PropVirtualColumnName = "graft.snapshot.virtual.column.name"
   val PropSnapshotsTable = "graft.snapshots.table"
   val PropBloomColumns = "graft.bloom.columns"
+  val PropWriteDistribution = "graft.write.distribution"
   val SummaryPendingDeletes = "pending-deletes"
   val PropBloomNdv = "graft.bloom.ndv"
   val SnapshotsSuffix = "__snapshots"

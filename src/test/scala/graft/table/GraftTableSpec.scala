@@ -759,6 +759,34 @@ class GraftTableSpec extends SparkSpecBase {
     assert(GraftTable.load(t.dir).log.snapshots.size == 3)
   }
 
+  test("hash write distribution: one file per partition value, same rows") {
+    import org.apache.spark.sql.types.StringType
+    val dir = tmpDir("graft-wdist")
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cat", StringType, nullable = true)))
+    def wideDf = {
+      // 8 input partitions × 3 categories — the small-file cross product
+      val rows = (0L until 24L).map(i => Row(i, s"c${i % 3}"))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), s2)
+    }
+    val plain = GraftTable.create(s"$dir/plain", s2, partitionBy = Seq("cat"))
+    plain.append(wideDf, Some(1000L))
+    val hashed = GraftTable.create(s"$dir/hashed", s2,
+      properties = Map(GraftTable.PropWriteDistribution -> "hash"),
+      partitionBy = Seq("cat"))
+    hashed.append(wideDf, Some(1000L))
+
+    val plainFiles = plain.read(spark).inputFiles.length
+    val hashedFiles = hashed.read(spark).inputFiles.length
+    assert(hashedFiles == 3, s"expected one file per partition, got $hashedFiles")
+    assert(plainFiles > hashedFiles,
+      s"cross product not reproduced: plain=$plainFiles hashed=$hashedFiles")
+    // same rows either way, and partition pruning still works
+    assert(hashed.read(spark).count() == 24)
+    assert(hashed.scan(spark, Some(col("cat") === "c1")).inputFiles.length == 1)
+  }
+
   test("tables are relocatable: move the directory, everything still reads") {
     val dir = tmpDir("graft-reloc")
     val t = GraftTable.create(s"$dir/orig", simpleSchema)
