@@ -79,10 +79,11 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
 
   /** `VERSION AS OF <v>` — v is the snapshot id. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val id = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft version must be a snapshot id, got '$version'")
-    }
+    // numeric → snapshot id; otherwise a tag name from refs.json
+    val id = version.toLongOption.getOrElse(
+      loadGraft(ident).refs.getOrElse(version,
+        throw new IllegalArgumentException(
+          s"graft version must be a snapshot id or tag, got '$version'")))
     load(ident, snapshotId = Some(id))
   }
 

@@ -79,6 +79,44 @@ final class GraftTable private (
   def pendingDeletes: Seq[(Long, String)] =
     log.current.map(parsePending).getOrElse(Nil)
 
+  // ------------------------------------------------------------------
+  // named refs (tags)
+  // ------------------------------------------------------------------
+
+  private def refsPath = s"$dir/refs.json"
+
+  /** Named snapshot TAGS (`refs.json`): stable names for snapshots —
+    * "v1-training-set", "audited-2026-08" — usable anywhere a snapshot id
+    * is (`readTag`, SQL `VERSION AS OF 'name'`). Tagged snapshots are
+    * RETENTION ANCHORS: [[expireSnapshots]] will not expire them. */
+  def refs: Map[String, Long] = {
+    val p = Paths.get(refsPath)
+    if (!Files.exists(p)) Map.empty
+    else graft.util.Json.parseObject(Files.readString(p))
+      .map { case (k, v) => k -> v.asInstanceOf[Long] }
+  }
+
+  /** Tag `snapshotId` as `name` (overwrites an existing tag atomically). */
+  def tag(name: String, snapshotId: Long): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag name '$name' must be non-empty and not purely numeric " +
+        "(numeric strings resolve as snapshot ids)")
+    require(log.byId(snapshotId).isDefined,
+      s"no snapshot $snapshotId in $dir")
+    graft.util.Json.writeFileAtomic(refsPath,
+      graft.util.Json.write(refs + (name -> snapshotId)))
+  }
+
+  /** Remove a tag (the snapshot itself is untouched). */
+  def dropTag(name: String): Unit =
+    graft.util.Json.writeFileAtomic(refsPath,
+      graft.util.Json.write(refs - name))
+
+  /** Read the snapshot a tag points at. */
+  def readTag(spark: SparkSession, name: String): DataFrame =
+    read(spark, Some(refs.getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on $dir"))))
+
   /** The snapshot that wrote a data file, parsed from its
     * `part-<snap>-<token>-<seq>` name — the scope key for deferred
     * deletes. */
@@ -690,8 +728,12 @@ final class GraftTable private (
     // is gone — changes() would then find no parent diff and re-emit the
     // next commit's whole carried-over file set as new rows. A prefix cut
     // keeps every surviving snapshot's lineage intact by construction.
+    val tagged = refs.values.toSet
     val expired = lg.snapshots.takeWhile(s =>
-      s.committedAt < olderThanMillis && s.snapshotId != current.snapshotId)
+      s.committedAt < olderThanMillis && s.snapshotId != current.snapshotId &&
+        // a tag is a retention anchor; the prefix cut stops at it (keeps
+        // the surviving chain's lineage contiguous)
+        !tagged.contains(s.snapshotId))
     val kept = lg.snapshots.drop(expired.size)
     if (expired.isEmpty) return Nil
 

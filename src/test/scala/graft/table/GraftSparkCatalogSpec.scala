@@ -43,6 +43,10 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(spark.sql(
       "SELECT id FROM g2.db.tt TIMESTAMP AS OF CAST(1.5 AS TIMESTAMP)")
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a TAG resolves through VERSION AS OF like a snapshot id
+    t.tag("first-cut", 1L)
+    assert(spark.sql("SELECT id FROM g2.db.tt VERSION AS OF 'first-cut'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
 
     // filters push into the parquet scan (errors would surface here);
     // results stay correct under projection + predicate

@@ -759,6 +759,26 @@ class GraftTableSpec extends SparkSpecBase {
     assert(GraftTable.load(t.dir).log.snapshots.size == 3)
   }
 
+  test("tags: named time travel, retention anchoring, SQL VERSION AS OF") {
+    val dir = tmpDir("graft-tags")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    t.append(mkDf(3L -> "c"), Some(3000L))
+    t.tag("audited", 1L)
+    assert(t.refs == Map("audited" -> 1L))
+    assert(t.readTag(spark, "audited").select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    intercept[IllegalArgumentException] { t.readTag(spark, "nope") }
+    intercept[IllegalArgumentException] { t.tag("7", 1L) } // numeric name
+    intercept[IllegalArgumentException] { t.tag("x", 99L) } // no snapshot
+
+    // expiration refuses to cross the tagged anchor
+    assert(t.expireSnapshots(olderThanMillis = 2500L) == Nil)
+    t.dropTag("audited")
+    assert(t.expireSnapshots(olderThanMillis = 2500L) == Seq(1L, 2L))
+  }
+
   test("hash write distribution: one file per partition value, same rows") {
     import org.apache.spark.sql.types.StringType
     val dir = tmpDir("graft-wdist")
