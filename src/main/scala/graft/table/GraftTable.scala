@@ -1093,6 +1093,49 @@ final class GraftTable private (
     else deltas.reduce(_ union _)
   }
 
+  /** Commit one STREAMING micro-batch as an append snapshot, idempotently:
+    * the epoch id is recorded in the snapshot summary and a re-delivered
+    * batch (foreachBatch is at-least-once on restart) is SKIPPED when the
+    * log already holds an id ≥ it — upgrading the sink contract to
+    * exactly-once snapshot commits. Returns None for skipped re-deliveries.
+    * Concurrent writers compose via [[withCommitRetry]] (the id re-check
+    * happens inside the retried op, against the winner's log). */
+  def appendStreamBatch(
+      df: DataFrame,
+      batchId: Long,
+      committedAt: Option[Long] = None): Option[Snapshot] =
+    withCommitRetry() {
+      val lg = log
+      val last = lg.snapshots.reverseIterator
+        .flatMap(_.summary.get(SummaryStreamBatchId)).map(_.toLong)
+        .nextOption()
+      if (last.exists(_ >= batchId)) None
+      else {
+        val snapId = lg.nextId
+        val newFiles = writeDataFiles(df, snapId)
+        val prevManifest = lg.current
+          .map(s => Manifest.read(s"$dir/${s.manifestList}"))
+          .getOrElse(Manifest.empty)
+        Some(commit(lg, snapId, Manifest(prevManifest.files ++ newFiles),
+          newFiles, operation = "append", committedAt,
+          extraSummary = Map(
+            SummaryStreamBatchId -> batchId.toString,
+            "added-data-files" -> newFiles.size.toString,
+            "added-records" -> newFiles.map(_.recordCount).sum.toString)))
+      }
+    }
+
+  /** Structured-Streaming WRITE into this table: every micro-batch lands
+    * as one append snapshot via [[appendStreamBatch]] (exactly-once —
+    * restarts re-deliver the last epoch and the id check drops it). The
+    * returned query must be started by the caller's preferred trigger:
+    * {{{ table.writeStreamInto(stream).start() }}} */
+  def writeStreamInto(df: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    df.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        appendStreamBatch(batch.toDF(), id): Unit
+    }
+
   /** Structured-Streaming read of an append-only graft table: Spark's
     * parquet file-stream source over the data layout, with the schema from
     * table metadata (never inferred). Every committed file is emitted
@@ -1179,6 +1222,7 @@ object GraftTable {
   val PropBloomColumns = "graft.bloom.columns"
   val PropWriteDistribution = "graft.write.distribution"
   val SummaryPendingDeletes = "pending-deletes"
+  val SummaryStreamBatchId = "streaming-batch-id"
   val PropBloomNdv = "graft.bloom.ndv"
   val SnapshotsSuffix = "__snapshots"
   val FilesSuffix = "__files"

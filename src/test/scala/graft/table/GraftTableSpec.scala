@@ -759,6 +759,44 @@ class GraftTableSpec extends SparkSpecBase {
     assert(GraftTable.load(t.dir).log.snapshots.size == 3)
   }
 
+  test("appendStreamBatch: re-delivered epochs are dropped, not duplicated") {
+    val dir = tmpDir("graft-sink")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    assert(t.appendStreamBatch(mkDf(1L -> "a"), batchId = 0L, Some(1000L)).isDefined)
+    assert(t.appendStreamBatch(mkDf(2L -> "b"), batchId = 1L, Some(2000L)).isDefined)
+    // restart scenario: the last epoch is re-delivered — must be a no-op
+    assert(t.appendStreamBatch(mkDf(2L -> "b"), batchId = 1L, Some(3000L)).isEmpty)
+    assert(t.read(spark).count() == 2)
+    assert(t.log.snapshots.size == 2)
+    // a NON-stream append interleaves without disturbing the epoch cursor
+    t.append(mkDf(3L -> "c"), Some(4000L))
+    assert(t.appendStreamBatch(mkDf(4L -> "d"), batchId = 2L, Some(5000L)).isDefined)
+    assert(t.appendStreamBatch(mkDf(4L -> "d"), batchId = 2L, Some(6000L)).isEmpty)
+    assert(t.read(spark).count() == 4)
+  }
+
+  test("writeStreamInto: micro-batches land as exactly-once snapshots") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = tmpDir("graft-sink-stream")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    val input = MemoryStream[(Long, String)]
+    val q = t.writeStreamInto(input.toDF().toDF("id", "data"))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    input.addData(1L -> "a", 2L -> "b")
+    q.processAllAvailable()
+    input.addData(3L -> "c")
+    q.processAllAvailable()
+    q.stop()
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // every snapshot carries its epoch; ids strictly increase
+    val epochs = t.log.snapshots
+      .flatMap(_.summary.get(GraftTable.SummaryStreamBatchId)).map(_.toLong)
+    assert(epochs == epochs.sorted && epochs.distinct == epochs, s"$epochs")
+  }
+
   test("tags: named time travel, retention anchoring, SQL VERSION AS OF") {
     val dir = tmpDir("graft-tags")
     val t = GraftTable.create(s"$dir/t", simpleSchema)
