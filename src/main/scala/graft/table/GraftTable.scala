@@ -149,7 +149,10 @@ final class GraftTable private (
     * sequential (single-writer fixture semantics, like the reference's
     * test-side writer — concurrent commit coordination is out of scope).
     */
-  def append(df: DataFrame, committedAt: Option[Long] = None): Snapshot = {
+  def append(
+      df: DataFrame,
+      committedAt: Option[Long] = None,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
     val lg = log
     val snapId = lg.nextId
     val newFiles = writeDataFiles(df, snapId)
@@ -157,7 +160,7 @@ final class GraftTable private (
       .getOrElse(Manifest.empty)
     commit(lg, snapId, Manifest(prevManifest.files ++ newFiles), newFiles,
       operation = "append", committedAt,
-      extraSummary = Map(
+      extraSummary = extraSummary ++ Map(
         "added-data-files" -> newFiles.size.toString,
         "added-records" -> newFiles.map(_.recordCount).sum.toString))
   }
@@ -371,23 +374,27 @@ final class GraftTable private (
         s"snapshot log advanced to ${lg2.nextId} during commit of $snapId on $dir")
     }
 
-    // pending-deletes inheritance: an explicit entry in extraSummary wins
-    // (deferred delete adds, compact clears/reduces, rollback adopts the
-    // target's); otherwise the new snapshot carries its parent's pending
-    // list forward. "[]" normalizes to key-absent.
-    val pending: Option[String] =
-      (extraSummary.get(SummaryPendingDeletes) match {
+    // carried-summary inheritance (pending-deletes, stream cursors): an
+    // explicit entry in extraSummary wins (deferred delete adds, compact
+    // clears/reduces, rollback adopts the target's, a stream batch
+    // advances its sink's cursor); otherwise the new snapshot carries its
+    // parent's value forward — so the CURRENT snapshot always holds the
+    // full state and expiring ancestors loses nothing. Empty values
+    // ("[]"/"{}") normalize to key-absent.
+    def carried(key: String): Option[String] =
+      (extraSummary.get(key) match {
         case Some(v) => Some(v)
-        case None => lg.current.flatMap(_.summary.get(SummaryPendingDeletes))
-      }).filter(v => v.nonEmpty && v != "[]")
+        case None => lg.current.flatMap(_.summary.get(key))
+      }).filter(v => v.nonEmpty && v != "[]" && v != "{}")
+    val carriedKeys = Seq(SummaryPendingDeletes, SummaryStreamCursors)
     val snap = Snapshot(
       snapshotId = snapId,
       parentId = lg.current.map(_.snapshotId),
       committedAt = committedAt.getOrElse(System.currentTimeMillis()),
       operation = operation,
       manifestList = manifestRel,
-      summary = (extraSummary - SummaryPendingDeletes) ++
-        pending.map(SummaryPendingDeletes -> _).toMap ++ Map(
+      summary = (extraSummary -- carriedKeys) ++
+        carriedKeys.flatMap(k => carried(k).map(k -> _)).toMap ++ Map(
         "total-data-files" -> manifest.files.size.toString,
         "total-records" -> manifest.totalRecords.toString))
     SnapshotLog(lg.snapshots :+ snap).write(s"$dir/snapshots.json")
@@ -708,9 +715,13 @@ final class GraftTable private (
       operation = "rollback", committedAt,
       extraSummary = Map(
         "rolled-back-to" -> snapshotId.toString,
-        // adopt the TARGET's pending deferred deletes (commit would
-        // otherwise inherit the rolled-back head's)
-        SummaryPendingDeletes -> pendingJson(parsePending(target))))
+        // adopt the TARGET's carried state (commit would otherwise
+        // inherit the rolled-back head's): pending deferred deletes AND
+        // stream cursors — so a replay of a rolled-back stream batch
+        // re-ingests instead of being dropped as a re-delivery
+        SummaryPendingDeletes -> pendingJson(parsePending(target)),
+        SummaryStreamCursors -> target.summary
+          .getOrElse(SummaryStreamCursors, "{}")))
   }
 
   /** Expire snapshots committed before `olderThanMillis` (the current
@@ -1093,47 +1104,60 @@ final class GraftTable private (
     else deltas.reduce(_ union _)
   }
 
-  /** Commit one STREAMING micro-batch as an append snapshot, idempotently:
-    * the epoch id is recorded in the snapshot summary and a re-delivered
-    * batch (foreachBatch is at-least-once on restart) is SKIPPED when the
-    * log already holds an id ≥ it — upgrading the sink contract to
-    * exactly-once snapshot commits. Returns None for skipped re-deliveries.
-    * Concurrent writers compose via [[withCommitRetry]] (the id re-check
-    * happens inside the retried op, against the winner's log). */
+  /** Epoch cursors of every streaming sink writing to this table, from
+    * the CURRENT snapshot's carried `stream-cursors` summary (sinkId →
+    * last committed batch id). The map is inherited into every child
+    * commit, so it survives interleaved non-stream commits AND snapshot
+    * expiration; rollback adopts the TARGET's map, so replaying a rolled-
+    * back batch re-ingests instead of being dropped as a re-delivery. */
+  def streamCursors: Map[String, Long] =
+    log.current.flatMap(_.summary.get(SummaryStreamCursors)) match {
+      case None => Map.empty
+      case Some(json) => graft.util.Json.parseObject(json)
+        .map { case (k, v) => k -> v.asInstanceOf[Long] }
+    }
+
+  private def cursorsJson(m: Map[String, Long]): String =
+    graft.util.Json.write(m.map { case (k, v) => k -> (v: Any) })
+
+  /** Commit one STREAMING micro-batch as an append snapshot, idempotently
+    * PER SINK: `sinkId` names the producing query (use its checkpoint
+    * identity — batch ids are only unique within one checkpoint), and a
+    * re-delivered (sinkId, batchId) — foreachBatch is at-least-once on
+    * restart — is SKIPPED when that sink's cursor is already ≥ it,
+    * upgrading the contract to exactly-once snapshot commits. Distinct
+    * sinks interleave freely. Returns None for skipped re-deliveries.
+    * Concurrent writers compose via [[withCommitRetry]] (the cursor
+    * re-check happens inside the retried op, against the winner's log). */
   def appendStreamBatch(
       df: DataFrame,
+      sinkId: String,
       batchId: Long,
       committedAt: Option[Long] = None): Option[Snapshot] =
     withCommitRetry() {
-      val lg = log
-      val last = lg.snapshots.reverseIterator
-        .flatMap(_.summary.get(SummaryStreamBatchId)).map(_.toLong)
-        .nextOption()
-      if (last.exists(_ >= batchId)) None
-      else {
-        val snapId = lg.nextId
-        val newFiles = writeDataFiles(df, snapId)
-        val prevManifest = lg.current
-          .map(s => Manifest.read(s"$dir/${s.manifestList}"))
-          .getOrElse(Manifest.empty)
-        Some(commit(lg, snapId, Manifest(prevManifest.files ++ newFiles),
-          newFiles, operation = "append", committedAt,
-          extraSummary = Map(
-            SummaryStreamBatchId -> batchId.toString,
-            "added-data-files" -> newFiles.size.toString,
-            "added-records" -> newFiles.map(_.recordCount).sum.toString)))
-      }
+      require(sinkId.nonEmpty, "sinkId must be non-empty")
+      val cursors = streamCursors
+      if (cursors.get(sinkId).exists(_ >= batchId)) None
+      else Some(append(df, committedAt, extraSummary = Map(
+        SummaryStreamCursors -> cursorsJson(cursors + (sinkId -> batchId)))))
     }
 
   /** Structured-Streaming WRITE into this table: every micro-batch lands
-    * as one append snapshot via [[appendStreamBatch]] (exactly-once —
-    * restarts re-deliver the last epoch and the id check drops it). The
-    * returned query must be started by the caller's preferred trigger:
-    * {{{ table.writeStreamInto(stream).start() }}} */
-  def writeStreamInto(df: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    * as one append snapshot via [[appendStreamBatch]]. ALWAYS set a
+    * checkpointLocation and derive `sinkId` from it — without a
+    * checkpoint, a restarted query re-reads the source with batch ids
+    * restarting at 0 and the cursor check would drop everything up to
+    * the old epoch:
+    * {{{
+    * table.writeStreamInto(stream, sinkId = "ingest-v1")
+    *   .option("checkpointLocation", ckptDir).start()
+    * }}} */
+  def writeStreamInto(
+      df: DataFrame,
+      sinkId: String): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     df.writeStream.outputMode("append").foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
-        appendStreamBatch(batch.toDF(), id): Unit
+        appendStreamBatch(batch.toDF(), sinkId, id): Unit
     }
 
   /** Structured-Streaming read of an append-only graft table: Spark's
@@ -1222,7 +1246,7 @@ object GraftTable {
   val PropBloomColumns = "graft.bloom.columns"
   val PropWriteDistribution = "graft.write.distribution"
   val SummaryPendingDeletes = "pending-deletes"
-  val SummaryStreamBatchId = "streaming-batch-id"
+  val SummaryStreamCursors = "stream-cursors"
   val PropBloomNdv = "graft.bloom.ndv"
   val SnapshotsSuffix = "__snapshots"
   val FilesSuffix = "__files"

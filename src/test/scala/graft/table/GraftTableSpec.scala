@@ -762,17 +762,48 @@ class GraftTableSpec extends SparkSpecBase {
   test("appendStreamBatch: re-delivered epochs are dropped, not duplicated") {
     val dir = tmpDir("graft-sink")
     val t = GraftTable.create(s"$dir/t", simpleSchema)
-    assert(t.appendStreamBatch(mkDf(1L -> "a"), batchId = 0L, Some(1000L)).isDefined)
-    assert(t.appendStreamBatch(mkDf(2L -> "b"), batchId = 1L, Some(2000L)).isDefined)
+    assert(t.appendStreamBatch(mkDf(1L -> "a"), "q1", batchId = 0L, Some(1000L)).isDefined)
+    assert(t.appendStreamBatch(mkDf(2L -> "b"), "q1", batchId = 1L, Some(2000L)).isDefined)
     // restart scenario: the last epoch is re-delivered — must be a no-op
-    assert(t.appendStreamBatch(mkDf(2L -> "b"), batchId = 1L, Some(3000L)).isEmpty)
+    assert(t.appendStreamBatch(mkDf(2L -> "b"), "q1", batchId = 1L, Some(3000L)).isEmpty)
     assert(t.read(spark).count() == 2)
     assert(t.log.snapshots.size == 2)
     // a NON-stream append interleaves without disturbing the epoch cursor
     t.append(mkDf(3L -> "c"), Some(4000L))
-    assert(t.appendStreamBatch(mkDf(4L -> "d"), batchId = 2L, Some(5000L)).isDefined)
-    assert(t.appendStreamBatch(mkDf(4L -> "d"), batchId = 2L, Some(6000L)).isEmpty)
+    assert(t.appendStreamBatch(mkDf(4L -> "d"), "q1", batchId = 2L, Some(5000L)).isDefined)
+    assert(t.appendStreamBatch(mkDf(4L -> "d"), "q1", batchId = 2L, Some(6000L)).isEmpty)
     assert(t.read(spark).count() == 4)
+  }
+
+  test("stream cursors are PER SINK and survive expiration and rollback") {
+    val dir = tmpDir("graft-sink-cursor")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.appendStreamBatch(mkDf(1L -> "a"), "qA", 5L, Some(1000L))
+    // a SECOND sink starting at epoch 0 must NOT be treated as re-delivery
+    assert(t.appendStreamBatch(mkDf(2L -> "b"), "qB", 0L, Some(2000L)).isDefined)
+    assert(t.streamCursors == Map("qA" -> 5L, "qB" -> 0L))
+
+    // non-stream commits carry the cursor map forward; expiring the
+    // stream snapshots must not lose it
+    t.append(mkDf(3L -> "c"), Some(3000L))
+    t.append(mkDf(4L -> "d"), Some(4000L))
+    assert(t.expireSnapshots(olderThanMillis = 3500L) == Seq(1L, 2L, 3L))
+    assert(t.streamCursors == Map("qA" -> 5L, "qB" -> 0L),
+      "cursor lost to snapshot expiration")
+    assert(t.appendStreamBatch(mkDf(1L -> "a"), "qA", 5L, Some(5000L)).isEmpty,
+      "re-delivery applied after expiration")
+
+    // rollback to a pre-batch state resets qA's cursor to the TARGET's,
+    // so replaying the rolled-back batch re-ingests
+    val t2 = GraftTable.create(s"$dir/t2", simpleSchema)
+    t2.append(mkDf(1L -> "a"), Some(1000L))
+    t2.appendStreamBatch(mkDf(2L -> "bad"), "qA", 7L, Some(2000L))
+    t2.rollbackTo(1L, Some(3000L))
+    assert(t2.streamCursors == Map.empty)
+    assert(t2.appendStreamBatch(mkDf(2L -> "good"), "qA", 7L, Some(4000L)).isDefined,
+      "replay after rollback was dropped as a re-delivery")
+    assert(t2.read(spark).filter(col("data") === "good").count() == 1)
+    assert(t2.read(spark).filter(col("data") === "bad").count() == 0)
   }
 
   test("writeStreamInto: micro-batches land as exactly-once snapshots") {
@@ -782,7 +813,7 @@ class GraftTableSpec extends SparkSpecBase {
     val dir = tmpDir("graft-sink-stream")
     val t = GraftTable.create(s"$dir/t", simpleSchema)
     val input = MemoryStream[(Long, String)]
-    val q = t.writeStreamInto(input.toDF().toDF("id", "data"))
+    val q = t.writeStreamInto(input.toDF().toDF("id", "data"), sinkId = "ingest")
       .option("checkpointLocation", s"$dir/ckpt").start()
     input.addData(1L -> "a", 2L -> "b")
     q.processAllAvailable()
@@ -791,10 +822,8 @@ class GraftTableSpec extends SparkSpecBase {
     q.stop()
     assert(t.read(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L, 3L))
-    // every snapshot carries its epoch; ids strictly increase
-    val epochs = t.log.snapshots
-      .flatMap(_.summary.get(GraftTable.SummaryStreamBatchId)).map(_.toLong)
-    assert(epochs == epochs.sorted && epochs.distinct == epochs, s"$epochs")
+    // the sink's cursor advanced monotonically to the last epoch
+    assert(t.streamCursors.get("ingest").exists(_ >= 1L), s"${t.streamCursors}")
   }
 
   test("tags: named time travel, retention anchoring, SQL VERSION AS OF") {
