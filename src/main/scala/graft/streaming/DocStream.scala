@@ -75,6 +75,10 @@ object DocStream {
       array_min(transform(col("sh_n"), h => (h * a + b) % Dedup.M31)).as(s"m$i")
     }
     val signed = docStream
+      // batch shingleRows silently drops NULL-text docs (null comparisons
+      // fail both its branches); match that here or the stream would give
+      // such docs an empty-string signature and verdicts would diverge
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("new_doc"), sh.as("sh_n"))
       .select(col("new_doc") +: col("sh_n") +: sigCols: _*)
 

@@ -54,9 +54,15 @@ final class GraftChangeFeed(table: GraftTable, checkpointDir: String) {
     val current = table.log.current.map(_.snapshotId).getOrElse(0L)
     val from = cursor
     if (current <= from) return None
+    val vc = table.virtualColumn
     val df =
       if (from == 0L)
-        table.read(spark, Some(current)).withColumn("_change_type", lit("insert"))
+        // seed with the full state; column ORDER must match changesCdc's
+        // (schema, _change_type, virtual col) — positional consumers
+        // (insertInto, union) would otherwise swap columns on poll 2
+        table.read(spark, Some(current)).drop(vc)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn(vc, lit(current))
       else table.changesCdc(spark, from, Some(current))
     batch(df)
     commitCursor(current)

@@ -37,7 +37,13 @@ final case class GraftRelation(dir: String, output: Seq[Attribute])
         .getOrElse(Manifest.empty) // a snapshotless table IS tiny
       Statistics(
         sizeInBytes = BigInt(manifest.files.map(_.fileSizeBytes).sum).max(1),
-        rowCount = Some(BigInt(manifest.totalRecords)))
+        // pending DEFERRED deletes make manifest counts an upper bound,
+        // not an exact rowCount — withhold it rather than overstate
+        // (sizeInBytes stays: overstating size only suppresses a
+        // broadcast, the safe direction)
+        rowCount =
+          if (t.pendingDeletes.isEmpty) Some(BigInt(manifest.totalRecords))
+          else None)
     } catch {
       case _: Exception => Statistics(sizeInBytes = BigInt(Long.MaxValue))
     }
@@ -99,19 +105,21 @@ final case class ResolveGraftScan(spark: SparkSession)
     // append path records exact per-file counts from parquet footers.
     // Only literal-argument COUNT without DISTINCT/FILTER qualifies —
     // count(col) depends on per-row nulls and must scan.
-    case Aggregate(Seq(), aggExprs, MetadataCountChild(g), _)
-        if isLiteralCountOnly(aggExprs) &&
-          // pending DEFERRED deletes make manifest counts an OVERCOUNT
-          // (rows are filtered at read time) — fall through to a real scan
-          GraftTable.load(g.dir).pendingDeletes.isEmpty =>
+    case agg @ Aggregate(Seq(), aggExprs, MetadataCountChild(g), _)
+        if isLiteralCountOnly(aggExprs) =>
       val t = GraftTable.load(g.dir)
-      val n = t.log.current
-        .map(s => Manifest.read(s"${g.dir}/${s.manifestList}").totalRecords)
-        .getOrElse(0L)
-      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-        aggExprs.map(_.toAttribute),
-        Seq(org.apache.spark.sql.catalyst.InternalRow(
-          aggExprs.map(_ => n): _*)))
+      // pending DEFERRED deletes make manifest counts an OVERCOUNT
+      // (rows are filtered at read time) — fall through to a real scan
+      if (t.pendingDeletes.nonEmpty) agg.mapChildren(apply)
+      else {
+        val n = t.log.current
+          .map(s => Manifest.read(s"${g.dir}/${s.manifestList}").totalRecords)
+          .getOrElse(0L)
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          aggExprs.map(_.toAttribute),
+          Seq(org.apache.spark.sql.catalyst.InternalRow(
+            aggExprs.map(_ => n): _*)))
+      }
 
     case f @ Filter(cond, g: GraftRelation) =>
       val t = GraftTable.load(g.dir)

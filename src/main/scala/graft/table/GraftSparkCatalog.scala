@@ -79,12 +79,14 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
 
   /** `VERSION AS OF <v>` — v is the snapshot id. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    // numeric → snapshot id; otherwise a tag name from refs.json
+    // numeric → snapshot id; otherwise a tag name from refs.json —
+    // resolved on ONE loaded instance (no second metadata read)
+    val t = loadGraft(ident)
     val id = version.toLongOption.getOrElse(
-      loadGraft(ident).refs.getOrElse(version,
+      t.refs.getOrElse(version,
         throw new IllegalArgumentException(
           s"graft version must be a snapshot id or tag, got '$version'")))
-    load(ident, snapshotId = Some(id))
+    new GraftV2Table(identToName(ident), t, Some(id))
   }
 
   /** `TIMESTAMP AS OF <t>` — Spark hands micros since epoch. */

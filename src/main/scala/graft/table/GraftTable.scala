@@ -423,7 +423,12 @@ final class GraftTable private (
     val current = lg.current.getOrElse(return None)
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val (small, big) = manifest.files.partition(_.fileSizeBytes < smallerThanBytes)
-    if (small.size < 2) return None
+    // a single qualifying file is not worth repacking — UNLESS deferred
+    // deletes are pending: then the rewrite IS the materialization step
+    // (without this, a one-file table could never clear its pending set
+    // and copy-on-write DML would stay blocked forever)
+    if (small.isEmpty ||
+        (small.size < 2 && parsePending(current).isEmpty)) return None
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are mutually exclusive")
     (sortBy ++ zorderBy).foreach(c => require(schema.fieldNames.contains(c),
@@ -550,6 +555,12 @@ final class GraftTable private (
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     manifest.files.foreach(f => require(fileSnapId(f.path).isDefined,
       s"cannot scope a deferred delete: unattributable data file ${f.path}"))
+    // same short-circuit as copy-on-write delete(): when stats/blooms
+    // prove NO file can hold a matching row, don't commit — a pending
+    // predicate taxes every later read and blocks CoW DML until a
+    // compaction, a real cost for a provable no-op
+    if (!manifest.files.exists(f => Pruning.mayMatchFile(resolved, f, schema)))
+      return None
     val snapId = lg.nextId
     val pend = parsePending(current) :+ (current.snapshotId -> sql)
     Some(commit(lg, snapId, manifest, Nil,
@@ -576,7 +587,9 @@ final class GraftTable private (
       pend: Seq[(Long, String)],
       files: Seq[DataFileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    if (pend.isEmpty || files.isEmpty)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    if (pend.isEmpty)
       return readFiles(spark, files.map(f => s"$dir/${f.path}"))
     val groups = files.groupBy { f =>
       val fs = fileSnapId(f.path).getOrElse(Long.MinValue) // unattributable: assume oldest (over-filtering is impossible — deleteDeferred refuses such tables; this path exists for robustness only)

@@ -84,6 +84,32 @@ class DeferredDeleteSpec extends SparkSpecBase {
     assert(t.read(spark).filter(col("data") === "d2").count() == 1)
   }
 
+  test("single-file table can still materialize (no compaction wedge)") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "keep", 2L -> "drop"), Some(1000L)) // ONE data file
+    assert(t.deleteDeferred(spark, col("data") === "drop", Some(2000L)).isDefined)
+    // compact must rewrite the single file rather than no-op, or the
+    // pending set could never clear and CoW DML would be blocked forever
+    assert(t.compact(spark, smallerThanBytes = Long.MaxValue, Some(3000L)).isDefined)
+    assert(t.pendingDeletes.isEmpty)
+    assert(ids(t) == Seq(1L))
+    assert(t.update(spark, col("id") === 1L,
+      Map("data" -> lit("k2")), Some(4000L)).isDefined)
+  }
+
+  test("provably-no-op deferred delete commits nothing") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    // id = 99 is outside every file's min/max — no commit, no pending tax
+    assert(t.deleteDeferred(spark, col("id") === 99L, Some(2000L)).isEmpty)
+    assert(t.pendingDeletes.isEmpty)
+    assert(t.log.snapshots.size == 1)
+    // CoW DML stays available
+    assert(t.delete(spark, col("id") === 2L, Some(3000L)).isDefined)
+  }
+
   test("copy-on-write DML and the DSv2 surface refuse while pending") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
