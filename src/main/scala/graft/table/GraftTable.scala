@@ -293,6 +293,13 @@ final class GraftTable private (
       writer.option(s"parquet.bloom.filter.expected.ndv#$c",
         properties.getOrElse(PropBloomNdv, "10000"))
     }
+    // generic writer-option passthrough: `graft.write.option.<key>` table
+    // properties reach every data-file write (compression codec, parquet
+    // block size, dictionary toggles — anything the parquet writer takes)
+    properties.foreach { case (k, v) =>
+      if (k.startsWith(PropWriteOptionPrefix))
+        writer.option(k.stripPrefix(PropWriteOptionPrefix), v)
+    }
     writer.parquet(staging)
 
     val dataDir = Paths.get(dir, "data")
@@ -1258,6 +1265,7 @@ object GraftTable {
   val PropSnapshotsTable = "graft.snapshots.table"
   val PropBloomColumns = "graft.bloom.columns"
   val PropWriteDistribution = "graft.write.distribution"
+  val PropWriteOptionPrefix = "graft.write.option."
   val SummaryPendingDeletes = "pending-deletes"
   val SummaryStreamCursors = "stream-cursors"
   val PropBloomNdv = "graft.bloom.ndv"

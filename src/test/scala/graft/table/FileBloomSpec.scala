@@ -100,6 +100,41 @@ class FileBloomSpec extends SparkSpecBase {
     GraftTable.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("multi-row-group files: per-group blooms OR-merge, no key lost") {
+    // force several row groups per file via a tiny block size, then check
+    // the harvested (merged) bloom still admits keys from EVERY group
+    val dir = tmp("graft-bloom-rg")
+    locally {
+      val t = GraftTable.create(s"$dir/t", schema,
+        properties = Map(
+          GraftTable.PropBloomColumns -> "id",
+          // writer-option passthrough forces tiny row groups
+          GraftTable.PropWriteOptionPrefix + "parquet.block.size" -> "16384",
+          GraftTable.PropWriteOptionPrefix + "parquet.page.size" -> "4096"))
+      // long tags pad row size so 5k rows split into multiple 16KB groups
+      val rdd = spark.sparkContext.parallelize(
+        (0L until 5000L).map(i => Row(i, "x" * 64 + i)), 1)
+      t.append(spark.createDataFrame(rdd, schema), committedAt = Some(1000L))
+
+      val mf = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+      assert(mf.files.size == 1)
+      // precondition: the file really has several row groups
+      val conf = spark.sessionState.newHadoopConf()
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"${t.dir}/${mf.files.head.path}"), conf))
+      val nGroups = try reader.getFooter.getBlocks.size finally reader.close()
+      assert(nGroups > 1, s"expected multiple row groups, got $nGroups")
+      assert(mf.files.head.blooms.contains("id"), "bloom missing after merge")
+
+      // soundness across ALL groups: keys from the start, middle and end
+      // of the file (different row groups) must all be found
+      for (k <- Seq(0L, 1L, 2499L, 2500L, 4998L, 4999L)) {
+        assert(t.scan(spark, Some(col("id") === k)).count() == 1L, s"lost key $k")
+      }
+    }
+  }
+
   test("compaction rewrites keep blooms; tables without the property get none") {
     val dir = tmp("graft-bloom-compact")
     val t = mkTable(dir)
