@@ -47,10 +47,13 @@ import scala.jdk.CollectionConverters._
 object FileBloom {
 
   /** Columns eligible for bloom skipping: types whose parquet physical
-    * encoding the probe hash reproduces exactly. */
+    * encoding the probe hash reproduces exactly. TIMESTAMPS ARE EXCLUDED:
+    * Spark 4 writes TimestampType as INT96 by default
+    * (`spark.sql.parquet.outputTimestampType`), whose bloom hashes
+    * 12-byte binaries while a probe would hash an INT64 — the mismatch
+    * would UNSOUNDLY skip files that hold matching rows. */
   def supported(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | StringType | DateType |
-         TimestampType | TimestampNTZType => true
+    case IntegerType | LongType | StringType | DateType => true
     case _ => false
   }
 
@@ -109,7 +112,7 @@ object FileBloom {
         case i: Int => Some(bf.hash(i))
         case _ => None
       }
-      case LongType | TimestampType | TimestampNTZType => v match {
+      case LongType => v match {
         case l: Long => Some(bf.hash(l))
         case _ => None
       }

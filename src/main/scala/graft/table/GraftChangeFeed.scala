@@ -27,6 +27,18 @@ final class GraftChangeFeed(table: GraftTable, checkpointDir: String) {
   private def commitCursor(id: Long): Unit =
     graft.util.Json.writeFileAtomic(cursorPath.toString, id.toString)
 
+  /** Drop the cursor: the next poll reseeds from the full current state.
+    * The recovery path for a cursor orphaned by snapshot expiration. */
+  def reset(): Unit = Files.deleteIfExists(cursorPath)
+
+  private def guardCursor(from: Long): Unit =
+    if (from != 0L && table.log.byId(from).isEmpty)
+      throw new IllegalStateException(
+        s"feed cursor $from points at an EXPIRED snapshot of " +
+          s"${table.dir} — retention outran this consumer. reset() the " +
+          "feed and reprocess the seed poll (idempotent sinks) or " +
+          "re-seed the downstream state")
+
   /** Process everything new since the cursor with `batch`, then advance
     * the cursor. Returns the snapshot range processed, or None when
     * already caught up. */
@@ -34,6 +46,7 @@ final class GraftChangeFeed(table: GraftTable, checkpointDir: String) {
     val current = table.log.current.map(_.snapshotId).getOrElse(0L)
     val from = cursor
     if (current <= from) return None
+    guardCursor(from)
     val df =
       if (from == 0L) table.read(spark, Some(current))
       else table.changes(spark, from, Some(current))
@@ -54,6 +67,7 @@ final class GraftChangeFeed(table: GraftTable, checkpointDir: String) {
     val current = table.log.current.map(_.snapshotId).getOrElse(0L)
     val from = cursor
     if (current <= from) return None
+    guardCursor(from)
     val vc = table.virtualColumn
     val df =
       if (from == 0L)

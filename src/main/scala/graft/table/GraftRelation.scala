@@ -31,19 +31,28 @@ final case class GraftRelation(dir: String, output: Seq[Attribute])
     * parquet footers, so rowCount here is not an estimate). */
   override def computeStats(): Statistics = {
     try {
-      val t = GraftTable.load(dir)
-      val manifest = t.log.current
-        .map(s => Manifest.read(s"$dir/${s.manifestList}"))
-        .getOrElse(Manifest.empty) // a snapshotless table IS tiny
-      Statistics(
-        sizeInBytes = BigInt(manifest.files.map(_.fileSizeBytes).sum).max(1),
-        // pending DEFERRED deletes make manifest counts an upper bound,
-        // not an exact rowCount — withhold it rather than overstate
-        // (sizeInBytes stays: overstating size only suppresses a
-        // broadcast, the safe direction)
-        rowCount =
-          if (t.pendingDeletes.isEmpty) Some(BigInt(manifest.totalRecords))
-          else None)
+      // Catalyst asks for stats repeatedly during planning (join reorder,
+      // AQE); re-parsing the full manifest JSON each time scales planning
+      // with O(plan nodes × manifest size). Memoize per (dir, log mtime):
+      // any commit rewrites snapshots.json, so the mtime key invalidates.
+      val mtime = java.nio.file.Files
+        .getLastModifiedTime(java.nio.file.Paths.get(s"$dir/snapshots.json"))
+        .toMillis
+      GraftRelation.statsCached((dir, mtime)) {
+        val t = GraftTable.load(dir)
+        val manifest = t.log.current
+          .map(s => Manifest.read(s"$dir/${s.manifestList}"))
+          .getOrElse(Manifest.empty) // a snapshotless table IS tiny
+        Statistics(
+          sizeInBytes = BigInt(manifest.files.map(_.fileSizeBytes).sum).max(1),
+          // pending DEFERRED deletes make manifest counts an upper bound,
+          // not an exact rowCount — withhold it rather than overstate
+          // (sizeInBytes stays: overstating size only suppresses a
+          // broadcast, the safe direction)
+          rowCount =
+            if (t.pendingDeletes.isEmpty) Some(BigInt(manifest.totalRecords))
+            else None)
+      }
     } catch {
       case _: Exception => Statistics(sizeInBytes = BigInt(Long.MaxValue))
     }
@@ -51,6 +60,20 @@ final case class GraftRelation(dir: String, output: Seq[Attribute])
 }
 
 object GraftRelation {
+
+  /** (table dir, snapshots.json mtime) → Statistics. One live entry per
+    * table in practice (stale mtimes stop being requested after the next
+    * commit); capped defensively. */
+  private val statsCacheMap =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      org.apache.spark.sql.catalyst.plans.logical.Statistics]()
+
+  private[table] def statsCached(key: (String, Long))(
+      f: => org.apache.spark.sql.catalyst.plans.logical.Statistics)
+      : org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    if (statsCacheMap.size() > 1024) statsCacheMap.clear()
+    statsCacheMap.computeIfAbsent(key, _ => f)
+  }
 
   /** Build the relation for a table with its read schema (user schema +
     * virtual snapshot column). */

@@ -192,6 +192,13 @@ final class GraftV2Table(
       Manifest.read(s"${t.dir}/${s.manifestList}").files
         .map(f => s"${t.dir}/${f.path}")
     }
+    // this surface hands the list to the PARQUET source; avro entries
+    // (appendAvro mixed-format tables) would fail at task time — refuse
+    // with direction instead (the library scan path dispatches per file)
+    require(paths.forall(_.endsWith(".parquet")),
+      s"${t.dir} holds non-parquet data files — read it via " +
+        "GraftTable.scan/GraftCatalog (per-file format dispatch), not " +
+        "the DSv2 catalog")
     val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())
     if (t.partitionColumns.nonEmpty) opts.put("basePath", s"${t.dir}/data")
     org.apache.spark.sql.classic.GraftBridge

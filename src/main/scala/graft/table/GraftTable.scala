@@ -103,14 +103,38 @@ final class GraftTable private (
         "(numeric strings resolve as snapshot ids)")
     require(log.byId(snapshotId).isDefined,
       s"no snapshot $snapshotId in $dir")
-    graft.util.Json.writeFileAtomic(refsPath,
-      graft.util.Json.write(refs + (name -> snapshotId)))
+    withRefsLock {
+      graft.util.Json.writeFileAtomic(refsPath,
+        graft.util.Json.write(refs + (name -> snapshotId)))
+    }
   }
 
   /** Remove a tag (the snapshot itself is untouched). */
-  def dropTag(name: String): Unit =
+  def dropTag(name: String): Unit = withRefsLock {
     graft.util.Json.writeFileAtomic(refsPath,
       graft.util.Json.write(refs - name))
+  }
+
+  /** refs.json updates are read-modify-write; writeFileAtomic prevents
+    * torn FILES but not lost UPDATES between concurrent taggers — and a
+    * lost tag silently loses its expiration-anchor role. An O_EXCL lock
+    * marker with bounded backoff serializes them. */
+  private def withRefsLock[T](op: => T): T = {
+    val lock = Paths.get(s"$refsPath.lock")
+    var attempt = 0
+    while (attempt < 50) {
+      try {
+        Files.createFile(lock)
+        try return op
+        finally Files.deleteIfExists(lock)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Thread.sleep(2L << math.min(attempt, 6)); attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"could not acquire $lock after $attempt attempts (stale lock?)")
+  }
 
   /** Read the snapshot a tag points at. */
   def readTag(spark: SparkSession, name: String): DataFrame =
@@ -261,6 +285,25 @@ final class GraftTable private (
     * return their manifest entries (stats + partition values attached).
     * Shared by [[append]] and [[compact]]. */
   private def writeDataFiles(df: DataFrame, snapId: Long): Seq[DataFileEntry] = {
+    // validate the input against the TABLE schema before anything lands:
+    // a misnamed column or widened type would commit files the table
+    // schema cannot read back (the vectorized reader throws at scan time
+    // — the table is then effectively bricked). Same stance as merge();
+    // column ORDER is tolerated and normalized.
+    require(df.columns.sorted.toSeq == schema.fieldNames.sorted.toSeq,
+      s"input columns [${df.columns.sorted.mkString(",")}] must match " +
+        s"table schema [${schema.fieldNames.sorted.mkString(",")}] of $dir")
+    val aligned = df.select(schema.fieldNames.map(col): _*)
+    aligned.schema.fields.zip(schema.fields).foreach { case (src, tgt) =>
+      require(src.dataType == tgt.dataType,
+        s"column '${tgt.name}' is ${src.dataType.sql}, table expects " +
+          s"${tgt.dataType.sql} (cast explicitly; writing a widened type " +
+          "produces files the table schema cannot read back)")
+    }
+    writeAlignedDataFiles(aligned, snapId)
+  }
+
+  private def writeAlignedDataFiles(df: DataFrame, snapId: Long): Seq[DataFileEntry] = {
     // unique per-ATTEMPT token: two writers racing on the same provisional
     // snapshot id must not share a staging dir (mode=overwrite would
     // truncate each other mid-write) or part-file names (the commit
@@ -370,16 +413,18 @@ final class GraftTable private (
         throw new java.util.ConcurrentModificationException(
           s"snapshot $snapId already claimed by a concurrent committer on $dir")
     }
-    manifest.write(s"$dir/$manifestRel")
-    // Re-check the log under the claim: if another writer advanced it past
-    // our base, fail rather than overwrite its commit.
+    // Post-claim check BEFORE touching the manifest path: markers are
+    // deleted after successful commits (see below), so a late claimer can
+    // re-acquire snapId's marker — it must detect "the log already moved"
+    // here, NOT after overwriting the winner's manifest file.
     val lg2 = log
     if (lg2.nextId != snapId) {
       newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
-      Files.deleteIfExists(Paths.get(dir, manifestRel))
+      Files.deleteIfExists(marker)
       throw new java.util.ConcurrentModificationException(
         s"snapshot log advanced to ${lg2.nextId} during commit of $snapId on $dir")
     }
+    manifest.write(s"$dir/$manifestRel")
 
     // carried-summary inheritance (pending-deletes, stream cursors): an
     // explicit entry in extraSummary wins (deferred delete adds, compact
@@ -396,7 +441,7 @@ final class GraftTable private (
     val carriedKeys = Seq(SummaryPendingDeletes, SummaryStreamCursors)
     val snap = Snapshot(
       snapshotId = snapId,
-      parentId = lg.current.map(_.snapshotId),
+      parentId = lg2.current.map(_.snapshotId),
       committedAt = committedAt.getOrElse(System.currentTimeMillis()),
       operation = operation,
       manifestList = manifestRel,
@@ -404,8 +449,33 @@ final class GraftTable private (
         carriedKeys.flatMap(k => carried(k).map(k -> _)).toMap ++ Map(
         "total-data-files" -> manifest.files.size.toString,
         "total-records" -> manifest.totalRecords.toString))
-    SnapshotLog(lg.snapshots :+ snap).write(s"$dir/snapshots.json")
+    // append to the RE-READ log: a concurrent expireSnapshots may have
+    // removed a prefix since `lg` was captured — writing the stale list
+    // would resurrect expired snapshots whose files are already deleted
+    SnapshotLog(lg2.snapshots :+ snap).write(s"$dir/snapshots.json")
+    // claim served its purpose (the log now holds snapId, so no racer can
+    // pass the nextId re-check) — delete it rather than accumulate one
+    // zero-byte marker per commit forever
+    Files.deleteIfExists(marker)
     snap
+  }
+
+  /** ADMIN: remove commit-claim markers older than `olderThanMillis` ms.
+    * A committer that died between claiming and writing the log leaves a
+    * marker that blocks every future commit at that snapshot id (retry
+    * cannot fix an abandoned claim); this is the recovery entry point.
+    * Only call when no writer is live — an age threshold well above the
+    * longest legitimate commit keeps it safe to automate. */
+  def clearStaleClaims(olderThanMillis: Long): Seq[String] = {
+    val dirP = Paths.get(dir, "manifests")
+    if (!Files.exists(dirP)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    scala.util.Using.resource(Files.list(dirP)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".commit-"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toSeq
+    }.map { p => Files.deleteIfExists(p); p.getFileName.toString }
   }
 
   /** Compact small files: rewrite every data file under
@@ -751,6 +821,26 @@ final class GraftTable private (
     * after compaction/delete rewrites. Time travel to an expired snapshot
     * fails loudly afterwards. Returns the expired snapshot ids. */
   def expireSnapshots(olderThanMillis: Long): Seq[Long] = {
+    // serialize against committers via the same claim a commit for the
+    // NEXT id would take: a writer mid-commit makes this throw (retry via
+    // withCommitRetry); holding it, no commit can interleave between our
+    // log read and rewrite. Without this, expire's read-modify-write
+    // could drop a commit that landed in between.
+    val lg0 = log
+    val claimId = lg0.nextId
+    val marker = Paths.get(dir, "manifests", f".commit-$claimId%05d")
+    Files.createDirectories(marker.getParent)
+    try Files.createFile(marker)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"a writer holds the commit claim on $dir; retry expiration")
+    }
+    try expireUnderClaim(olderThanMillis)
+    finally Files.deleteIfExists(marker)
+  }
+
+  private def expireUnderClaim(olderThanMillis: Long): Seq[Long] = {
     val lg = log
     val current = lg.current.getOrElse(return Nil)
     // Expire only a CONTIGUOUS PREFIX of the chain: with caller-supplied
@@ -1198,6 +1288,11 @@ final class GraftTable private (
     require(log.snapshots.forall(_.operation == "append"),
       s"readStream requires an append-only history; $dir has replace " +
         "snapshots (compaction) — use GraftChangeFeed instead")
+    require(log.current.forall(s =>
+        Manifest.read(s"$dir/${s.manifestList}").files
+          .forall(_.path.endsWith(".parquet"))),
+      s"readStream rides the parquet file-stream source; $dir holds " +
+        "avro data files (appendAvro) — use GraftChangeFeed instead")
     require(partitionColumns.isEmpty,
       s"readStream does not support partitioned tables (yet): $dir")
     Files.createDirectories(Paths.get(dir, "data"))

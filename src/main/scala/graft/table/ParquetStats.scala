@@ -56,8 +56,15 @@ object ParquetStats {
             val mx = convert(st.genericGetMax, tpe)
             val newMin = minOf(prev._1, mn)
             val newMax = maxOf(prev._2, mx)
+            // incomparable values (float/double NaN-safety: compare
+            // refuses) poison the WHOLE column's min/max — without the
+            // sticky flag a later row group's lone bound would resurrect
+            // a wrong (last-group-only) min/max into the manifest
+            val comparable =
+              (prev._1.isEmpty || mn.isEmpty || newMin.isDefined) &&
+                (prev._2.isEmpty || mx.isEmpty || newMax.isDefined)
             agg(path) = (newMin, newMax, prev._3 + st.getNumNulls,
-              prev._4 + values, prev._5, prev._6)
+              prev._4 + values, prev._5 && comparable, prev._6)
           }
         }
       }

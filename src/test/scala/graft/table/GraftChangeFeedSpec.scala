@@ -89,6 +89,28 @@ class GraftChangeFeedSpec extends SparkSpecBase {
     assert(mirror.sorted.toSeq == Seq(1L -> "a2", 3L -> "b"))
   }
 
+  test("expired cursor: loud error + reset() recovery, never a silent wedge") {
+    val dir = tmpDir("feed-expired")
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L), Some(1000L))
+    t.append(mkDf(2L), Some(2000L))
+    val feed = new GraftChangeFeed(t, s"$dir/ckpt")
+    feed.poll(spark)(_ => ())
+    assert(feed.cursor == 2L)
+    t.append(mkDf(3L), Some(3000L))
+    t.append(mkDf(4L), Some(4000L))
+    // retention outruns the consumer: snapshots 1-3 expire (cursor = 2)
+    assert(t.expireSnapshots(olderThanMillis = 3500L) == Seq(1L, 2L, 3L))
+    val e = intercept[IllegalStateException] { feed.poll(spark)(_ => ()) }
+    assert(e.getMessage.contains("EXPIRED"), e.getMessage)
+    feed.reset()
+    var seen: Seq[Long] = Nil
+    feed.poll(spark) { df =>
+      seen = df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(seen == Seq(1L, 2L, 3L, 4L)) // reseeded with full state
+  }
+
   test("a failing batch does not advance the cursor (at-least-once)") {
     val dir = tmpDir("feed-fail")
     val t = GraftTable.create(s"$dir/t", schema)

@@ -874,6 +874,44 @@ class GraftTableSpec extends SparkSpecBase {
     assert(hashed.scan(spark, Some(col("cat") === "c1")).inputFiles.length == 1)
   }
 
+  test("writes validate against the table schema (no bricking commits)") {
+    val dir = tmpDir("graft-schema-guard")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    // misnamed column
+    intercept[IllegalArgumentException] {
+      t.append(mkDf(2L -> "b").withColumnRenamed("data", "txt"))
+    }
+    // widened type: BIGINT id arriving as DOUBLE must be rejected, not
+    // silently committed as files the table schema cannot read back
+    intercept[IllegalArgumentException] {
+      t.append(mkDf(2L -> "b").withColumn("id", col("id").cast("double")))
+    }
+    // column ORDER is tolerated and normalized
+    t.append(mkDf(2L -> "b").select("data", "id"), Some(2000L))
+    assert(t.read(spark).count() == 2)
+    assert(t.read(spark).filter(col("id") === 2L)
+      .select("data").head().getString(0) == "b")
+  }
+
+  test("stale commit claims: recovery API unblocks a crashed committer") {
+    val dir = tmpDir("graft-claims")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    // successful commits clean their markers up
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/t/manifests"))
+      .filter(_.getFileName.toString.startsWith(".commit-")).count() == 0)
+    // simulate a crash: a claim exists but no commit ever landed
+    val stale = java.nio.file.Paths.get(s"$dir/t/manifests/.commit-00002")
+    java.nio.file.Files.createFile(stale)
+    intercept[java.util.ConcurrentModificationException] {
+      t.append(mkDf(2L -> "b"))
+    }
+    assert(t.clearStaleClaims(olderThanMillis = 0L) == Seq(".commit-00002"))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    assert(t.read(spark).count() == 2)
+  }
+
   test("tables are relocatable: move the directory, everything still reads") {
     val dir = tmpDir("graft-reloc")
     val t = GraftTable.create(s"$dir/orig", simpleSchema)
