@@ -93,6 +93,11 @@ case class SpaceSavingSketch(
   require(m > 0, s"space_saving requires m > 0, got $m")
 
   override def prettyName: String = "space_saving"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING item column, got ${child.dataType.sql}")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
@@ -109,32 +114,41 @@ case class SpaceSavingSketch(
   }
 
   override def merge(buf: SpaceSavingState, other: SpaceSavingState): SpaceSavingState = {
-    // Agarwal et al. merge: items present in only one summary absorb the
-    // OTHER side's min counter into both count and error, then the top m
-    // survive. Fold `other` in item-wise, then charge buf-only items.
+    // Agarwal et al. merge, implemented literally: build the COMBINED
+    // summary (both sides: counts/errors add; one side only: the absent
+    // side's min counter joins both count and error), then keep the top m
+    // by count. Folding `other` in via add() instead would route new
+    // items through the EVICTION path, double-charging them with the
+    // evicted counter on top of the min — inflated, merge-order-dependent
+    // estimates.
     val bufMin = buf.minCount
     val otherMin = other.minCount
-    val seen = new java.util.HashSet[String]()
-    val it = other.items.entrySet().iterator()
-    // snapshot buf's membership BEFORE inserts mutate it
-    val bufOnly = new java.util.HashMap[String, Array[Long]](buf.items)
-    while (it.hasNext) {
-      val e = it.next()
-      seen.add(e.getKey)
-      if (bufOnly.containsKey(e.getKey)) {
-        buf.add(e.getKey, e.getValue()(0), e.getValue()(1))
-      } else {
-        buf.add(e.getKey, e.getValue()(0) + bufMin, e.getValue()(1) + bufMin)
-      }
-    }
-    val bi = bufOnly.entrySet().iterator()
+    val combined = new java.util.HashMap[String, Array[Long]]()
+    val bi = buf.items.entrySet().iterator()
     while (bi.hasNext) {
       val e = bi.next()
-      if (!seen.contains(e.getKey) && buf.items.containsKey(e.getKey)) {
-        // still resident and absent from `other`: charge other's minCount
-        buf.add(e.getKey, otherMin, otherMin)
-      }
+      val o = other.items.get(e.getKey)
+      combined.put(e.getKey,
+        if (o != null) Array(e.getValue()(0) + o(0), e.getValue()(1) + o(1))
+        else Array(e.getValue()(0) + otherMin, e.getValue()(1) + otherMin))
     }
+    val oi = other.items.entrySet().iterator()
+    while (oi.hasNext) {
+      val e = oi.next()
+      if (!combined.containsKey(e.getKey))
+        combined.put(e.getKey,
+          Array(e.getValue()(0) + bufMin, e.getValue()(1) + bufMin))
+    }
+    // keep the m largest counts (ties by item for determinism)
+    val entries = new Array[(String, Array[Long])](combined.size())
+    val ci = combined.entrySet().iterator()
+    var i = 0
+    while (ci.hasNext) {
+      val e = ci.next(); entries(i) = (e.getKey, e.getValue); i += 1
+    }
+    val top = entries.sortBy { case (item, v) => (-v(0), item) }.take(buf.m)
+    buf.items.clear()
+    top.foreach { case (item, v) => buf.items.put(item, v) }
     buf
   }
 

@@ -50,7 +50,11 @@ final class TopKState(val k: Int) {
   }
 
   def add(s: Double, id: Long): Unit =
-    if (size < k) {
+    // NaN compares false against everything: admitted, it could never be
+    // evicted (below() false) and would freeze sift swaps, corrupting the
+    // heap order for every later entry — reject at the door
+    if (java.lang.Double.isNaN(s)) ()
+    else if (size < k) {
       scores(size) = s; ids(size) = id; size += 1; siftUp(size - 1)
     } else if (k > 0 && below(0, s, id)) {
       scores(0) = s; ids(0) = id; siftDown()
@@ -87,6 +91,14 @@ case class TopKByScore(
 
   private def score: Expression = left
   private def id: Expression = right
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == org.apache.spark.sql.types.DoubleType &&
+        id.dataType == org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (DOUBLE score, BIGINT id), got " +
+        s"(${score.dataType.sql}, ${id.dataType.sql})")
 
   override def prettyName: String = "top_k_by_score"
   override def nullable: Boolean = false

@@ -22,7 +22,12 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * rows share one key). Codegen'd via a static helper (one small loop per
   * row, no boxing).
   */
-case class ZOrderKey(children: Seq[Expression]) extends Expression {
+case class ZOrderKey(
+    children: Seq[Expression],
+    ranges: Seq[(Long, Long)] = Nil) extends Expression {
+
+  require(ranges.isEmpty || ranges.size == children.size,
+    s"ranges (${ranges.size}) must match columns (${children.size})")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.size < 2 || children.size > 4)
@@ -52,8 +57,12 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
       }
       i += 1
     }
-    ZOrderKey.interleave(vals)
+    if (ranges.isEmpty) ZOrderKey.interleave(vals)
+    else ZOrderKey.interleaveRanged(vals, minsArr, maxsArr)
   }
+
+  @transient private lazy val minsArr: Array[Long] = ranges.map(_._1).toArray
+  @transient private lazy val maxsArr: Array[Long] = ranges.map(_._2).toArray
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -67,9 +76,16 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
            ${c.code}
            $arr[$i] = ${c.isNull} ? Long.MIN_VALUE : (long) ${c.value};"""
       }
+    val call =
+      if (ranges.isEmpty) code"graft.functions.ZOrderKey.interleave($arr)"
+      else {
+        val mins = ctx.addReferenceObj("zmins", minsArr, "long[]")
+        val maxs = ctx.addReferenceObj("zmaxs", maxsArr, "long[]")
+        code"graft.functions.ZOrderKey.interleaveRanged($arr, $mins, $maxs)"
+      }
     ev.copy(
       code = code"""$assigns
-         long ${ev.value} = graft.functions.ZOrderKey.interleave($arr);""",
+         long ${ev.value} = $call;""",
       isNull = FalseLiteral)
   }
 
@@ -101,8 +117,54 @@ object ZOrderKey {
     out
   }
 
+  /** RANGE-NORMALIZED interleave: each value is first scaled from its
+    * observed [min, max] onto the full `63/n`-bit grid, then the planes
+    * interleave. Without this, realistic value ranges (any INT column,
+    * LONG ids below ~2^33) have identical TOP bits everywhere and the
+    * raw interleave degenerates to a constant — clustering silently does
+    * nothing. Rounding in the double scale can tie adjacent values
+    * (harmless: the key orders LAYOUT, it never decides correctness —
+    * min/max pruning reads real file stats). */
+  def interleaveRanged(
+      vals: Array[Long], mins: Array[Long], maxs: Array[Long]): Long = {
+    val n = vals.length
+    val bitsPer = 63 / n
+    val gridMax = (1L << bitsPer) - 1
+    val norm = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val mn = mins(i); val mx = maxs(i)
+      norm(i) =
+        if (mx <= mn) 0L
+        else {
+          val v = Math.max(mn, Math.min(mx, vals(i)))
+          // 53-bit double mantissa >= bitsPer (<= 31): fine for layout
+          (((v - mn).toDouble / (mx - mn).toDouble) * gridMax).toLong
+        }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bitsPer) {
+      i = 0
+      while (i < n) {
+        out = (out << 1) | ((norm(i) >>> (bitsPer - 1 - j)) & 1L)
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
   def zorder_key(cols: Column*): Column = {
     val b = org.apache.spark.sql.classic.GraftBridge
     b.column(ZOrderKey(cols.map(b.expr).toSeq))
+  }
+
+  /** [[zorder_key]] with per-column observed (min, max) bounds — the form
+    * [[graft.table.GraftTable.compact]] uses after its bounds pass. */
+  def zorder_key_ranged(rangesIn: Seq[(Long, Long)], cols: Column*): Column = {
+    val b = org.apache.spark.sql.classic.GraftBridge
+    b.column(ZOrderKey(cols.map(b.expr).toSeq, rangesIn))
   }
 }

@@ -59,15 +59,10 @@ object DocStream {
     val (corpusDoc, corpusBanded) =
       Dedup.portableIndex(corpus, idCol, textCol, k, perms, bands)
 
-    // per-row shingle set: k-gram strings → portable reduced hashes
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
-      t => length(t) > 0)
-    val n = size(toks)
-    val grams = when(n >= k,
-      transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array(concat_ws(" ", toks)))
-    val sh = array_distinct(transform(grams, g => Dedup.portableHashRed(g)))
+    // per-row shingle set: the BATCH pipeline's own shingle definition
+    // (shared, not re-implemented — parity cannot drift) with the
+    // portable reduced hash
+    val sh = Dedup.shingleHashes(col(textCol), k, Dedup.portableHashRed(_))
 
     // per-row signature: min over the shingle set per permutation —
     // identical values to the batch explode+min aggregation

@@ -23,6 +23,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Full-precision event-time micros. `Timestamp.getTime` is MILLIS-only
+    * — `getTime * 1000` truncates the microsecond component Spark
+    * timestamps carry, so same-millisecond ordering (funnel order checks,
+    * session gaps) would diverge from the batch plans' full-precision
+    * comparisons. */
+  private def micros(ts: java.sql.Timestamp): Long =
+    Math.addExact(Math.multiplyExact(ts.toInstant.getEpochSecond, 1000000L),
+      ts.getNanos / 1000L)
+
   case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String,
       value: Double)
 
@@ -69,7 +78,7 @@ object EventStream {
           } else {
             // fold this micro-batch's events (sorted: state is order-
             // sensitive) into open sessions, emitting any that closed
-            val sorted = rows.map(e => (e.ts.getTime * 1000L, e)).toSeq
+            val sorted = rows.map(e => (micros(e.ts), e)).toSeq
               .sortBy(_._1)
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
@@ -140,7 +149,7 @@ object EventStream {
         GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(None, None, None))
-          rows.map(e => (e.ts.getTime * 1000L, e.eventType)).toSeq
+          rows.map(e => (micros(e.ts), e.eventType)).toSeq
             .sortBy(_._1).foreach { case (us, t) =>
               if (t == "view" && s.fv.isEmpty)
                 s = s.copy(fv = Some(us))
@@ -184,7 +193,7 @@ object EventStream {
         GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[RetentionState]) =>
           val days = rows
-            .map(e => Math.floorDiv(e.ts.getTime, 86400000L)).toSeq.sorted
+            .map(e => Math.floorDiv(micros(e.ts), 86400000000L)).toSeq.sorted
           var s = state.getOption
             .getOrElse(RetentionState(days.head, d1 = false, w1 = false))
           for (d <- days) {
@@ -227,12 +236,18 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (eventType: String, rows: Iterator[Event], state: GroupState[AnomalyState]) =>
           val hours = rows
-            .map(e => e.ts.getTime * 1000L / hourUs * hourUs).toSeq.sorted
+            .map(e => micros(e.ts) / hourUs * hourUs).toSeq.sorted
           val out = Seq.newBuilder[AnomalyOut]
           var s = state.getOption
             .getOrElse(AnomalyState(hours.head, 0L, 0L, 0L, 0L))
           for (h <- hours) {
-            if (h > s.hourStart) {
+            if (h < s.hourStart) {
+              // LATE event from an already-closed hour: with no watermark
+              // Spark does no late filtering, and counting it into the
+              // CURRENT hour would inflate its n (a late burst could flag
+              // a quiet hour). Dropping is the honest prequential move —
+              // the closed hour's score is already emitted.
+            } else if (h > s.hourStart) {
               // close the finished hour: score against the past, fold in
               val n = s.inHour
               val lhs = n * s.nHours - s.sum

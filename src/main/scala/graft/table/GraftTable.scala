@@ -526,9 +526,22 @@ final class GraftTable private (
     // EVERY participating column gets locality and stays prunable.
     // Unclustered compaction is a pure repack (no shuffle).
     val clusterKey: Seq[Column] =
-      if (zorderBy.nonEmpty)
-        Seq(graft.functions.ZOrderKey.zorder_key(zorderBy.map(col): _*))
-      else sortBy.map(col)
+      if (zorderBy.nonEmpty) {
+        // bounds pass: one tiny agg over the repack input so the key can
+        // RANGE-NORMALIZE each dimension — raw top-bit interleaving
+        // degenerates to a constant key on realistic ranges (INT columns,
+        // modest LONG ids) and the clustering would silently no-op
+        import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+        val aggs = zorderBy.flatMap(c =>
+          Seq(fmin(col(c).cast("long")), fmax(col(c).cast("long"))))
+        val row = packed.agg(aggs.head, aggs.tail: _*).head()
+        val ranges = zorderBy.indices.map { i =>
+          if (row.isNullAt(2 * i)) (0L, 0L) // all-null dim: constant plane
+          else (row.getLong(2 * i), row.getLong(2 * i + 1))
+        }
+        Seq(graft.functions.ZOrderKey
+          .zorder_key_ranged(ranges, zorderBy.map(col): _*))
+      } else sortBy.map(col)
     val df =
       if (clusterKey.isEmpty) packed.coalesce(targetParts)
       else packed

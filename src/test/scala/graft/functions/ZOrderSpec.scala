@@ -43,6 +43,42 @@ class ZOrderSpec extends SparkSpecBase {
     assert(zs(0) < zs(1)) // null y sorts below y=2 at same x
   }
 
+  test("SMALL-RANGE values cluster via range normalization (no << 55 crutch)") {
+    // the realistic case the raw top-bits interleave silently no-ops on:
+    // plain 0..31 ints — every raw key is identical; the ranged key must
+    // still discriminate and keep both dimensions prunable
+    val dir = tmpDir("graft-zorder-small")
+    val schema = StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = false),
+      StructField("payload", StringType, nullable = true)))
+    val t = GraftTable.create(s"$dir/t", schema)
+    val rng = new scala.util.Random(7)
+    val grid = rng.shuffle(
+      (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)).toSeq)
+    grid.grouped(256).zipWithIndex.foreach { case (chunk, i) =>
+      t.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          chunk.map { case (x, y) => Row(x, y, s"p$x-$y") }, 1), schema),
+        Some(1000L + i))
+    }
+    t.compact(spark, smallerThanBytes = 1 << 20, Some(9000L),
+      zorderBy = Seq("x", "y"), targetFileBytes = Some(2500L))
+    val files = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}").files
+    assert(files.size >= 4, s"want a multi-file rewrite, got ${files.size}")
+    val xq = t.scan(spark, Some(col("x") === 5L))
+    val yq = t.scan(spark, Some(col("y") === 5L))
+    assert(xq.count() == 32 && yq.count() == 32)
+    assert(xq.inputFiles.length < files.size,
+      s"x not prunable at small range: ${xq.inputFiles.length}/${files.size}")
+    assert(yq.inputFiles.length < files.size,
+      s"y not prunable at small range: ${yq.inputFiles.length}/${files.size}")
+    // and the raw key really IS degenerate here (the reason this matters)
+    val rawKeys = t.read(spark)
+      .select(ZOrderKey.zorder_key(col("x"), col("y"))).distinct().count()
+    assert(rawKeys == 1L, s"raw keys should collapse, got $rawKeys distinct")
+  }
+
   test("z-ordered compaction keeps BOTH dimensions prunable") {
     val dir = tmpDir("graft-zorder")
     val schema = StructType(Seq(
