@@ -61,15 +61,30 @@ object Multimodal {
     // mix through a Mersenne-prime mod so height isn't a function of
     // width's low bits; (h % 2^20) * knuth ≤ 2.8e15 — no overflow
     val height = 64 + ((h % 1048576L) * 2654435761L % 2147483647L % 1024L).toInt
+    // mean + windowed moments WITHOUT intermediate arrays: the map/drop/
+    // take form allocated ~10x the payload per asset (an 800 MB
+    // Array[Double] for a 100 MB video) — real asset sizes would GC-thrash
+    // or OOM. Window arithmetic in Long: `i * length` overflows Int past
+    // ~256 MB payloads and a negative start silently collapsed every
+    // window to the payload head.
     val mean =
       if (payload.isEmpty) 0.0
-      else payload.map(b => (b & 0xff).toDouble).sum / payload.length
-    // 8-dim "embedding": moments of byte windows — deterministic fake
-    val feats = Array.tabulate(8) { i =>
-      val slice = payload.drop(i * payload.length / 8)
-        .take(math.max(1, payload.length / 8))
-      if (slice.isEmpty) 0.0f
-      else (slice.map(b => (b & 0xff).toLong).sum.toFloat / slice.length / 255f)
+      else {
+        var sb = 0L; var j = 0
+        while (j < payload.length) { sb += (payload(j) & 0xff); j += 1 }
+        sb.toDouble / payload.length
+      }
+    val feats = Array.tabulate(8) { w =>
+      val start = (w.toLong * payload.length / 8).toInt
+      val len = math.min(math.max(1, payload.length / 8),
+        payload.length - start)
+      if (len <= 0) 0.0f
+      else {
+        var sw = 0L; var j = start
+        val end = start + len
+        while (j < end) { sw += (payload(j) & 0xff); j += 1 }
+        (sw.toFloat / len / 255f)
+      }
     }
     Decoded(width, height, if (payload.length % 2 == 0) "even" else "odd",
       mean, feats)
@@ -86,7 +101,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition batch: real codecs would init once here
-        it.map { case (id, payload) =>
+        it.map { case (id, payloadRaw) =>
+          // null payload decodes as empty: the m02 oracle LEFT-JOINs and
+          // COALESCEs (emits a row); an NPE here would diverge by crash
+          val payload =
+            if (payloadRaw == null) Array.emptyByteArray else payloadRaw
           val d = decodeStub(payload)
           AssetFeatures(id, payload.length.toLong, d.width, d.height,
             d.format, d.meanByte, d.features)
@@ -131,7 +150,9 @@ object Multimodal {
     assets.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, payload) =>
+        it.map { case (id, payloadRaw) =>
+          val payload =
+            if (payloadRaw == null) Array.emptyByteArray else payloadRaw
           Resized(id, payload.length.toLong, resizeStub(payload, target))
         }
       }
@@ -149,11 +170,13 @@ object Multimodal {
     assets.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
-        if (payload.isEmpty) Iterator.empty
+        if (payload == null || payload.isEmpty) Iterator.empty
         else {
           val frameSize = math.max(1, payload.length / nFrames)
-          (0 until math.min(nFrames,
-            (payload.length + frameSize - 1) / frameSize)).iterator
+          // ceil in Long: the Int form wraps negative past ~2^31-frameSize
+          // bytes and would silently emit zero frames for the largest assets
+          val nChunks = ((payload.length.toLong + frameSize - 1) / frameSize).toInt
+          (0 until math.min(nFrames, nChunks)).iterator
             .map(i => Frame(id, i,
               payload.slice(i * frameSize,
                 math.min((i + 1) * frameSize, payload.length))))

@@ -36,23 +36,45 @@ object AvroSource {
   def toSparkType(s: Schema): DataType = s.getType match {
     case Schema.Type.BOOLEAN => BooleanType
     case Schema.Type.INT =>
-      if (s.getLogicalType != null && s.getLogicalType.getName == "date") DateType
-      else IntegerType
+      logicalName(s) match {
+        case Some("date") => DateType
+        case Some(other) => throw new UnsupportedOperationException(
+          s"unsupported avro logical type $other over int (surfacing the " +
+            "raw int would silently drop its semantics)")
+        case None => IntegerType
+      }
     case Schema.Type.LONG =>
-      if (s.getLogicalType != null &&
-        s.getLogicalType.getName == "timestamp-micros") TimestampType
-      else LongType
+      logicalName(s) match {
+        case Some("timestamp-micros") => TimestampType
+        case Some(other) => throw new UnsupportedOperationException(
+          s"unsupported avro logical type $other over long (surfacing the " +
+            "raw long would silently drop its semantics)")
+        case None => LongType
+      }
     case Schema.Type.FLOAT => FloatType
     case Schema.Type.DOUBLE => DoubleType
     case Schema.Type.STRING | Schema.Type.ENUM => StringType
-    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
-    case Schema.Type.ARRAY => ArrayType(toSparkType(s.getElementType))
-    case Schema.Type.MAP => MapType(StringType, toSparkType(s.getValueType))
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      logicalName(s) match {
+        case Some("decimal") => throw new UnsupportedOperationException(
+          "unsupported avro logical type decimal (surfacing raw bytes " +
+            "would silently drop scale/precision)")
+        case _ => BinaryType
+      }
+    case Schema.Type.ARRAY =>
+      ArrayType(toSparkType(s.getElementType),
+        containsNull = isNullable(s.getElementType))
+    case Schema.Type.MAP =>
+      MapType(StringType, toSparkType(s.getValueType),
+        valueContainsNull = isNullable(s.getValueType))
     case Schema.Type.RECORD => StructType(s.getFields.asScala.toSeq.map(f =>
       StructField(f.name(), toSparkType(f.schema()), nullable = isNullable(f.schema()))))
     case Schema.Type.UNION => toSparkType(nonNullBranch(s))
     case other => throw new UnsupportedOperationException(s"avro type $other")
   }
+
+  private def logicalName(s: Schema): Option[String] =
+    Option(s.getLogicalType).map(_.getName)
 
   private def isNullable(s: Schema): Boolean =
     s.getType == Schema.Type.UNION &&
@@ -175,7 +197,8 @@ object AvroSource {
   def readFiles(
       spark: SparkSession,
       files: Seq[String],
-      columns: Seq[String] = Nil): DataFrame = {
+      columns: Seq[String] = Nil,
+      targetSchema: Option[StructType] = None): DataFrame = {
     require(files.nonEmpty, "no .avro files to read")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(files.head).getFileSystem(conf)
@@ -194,12 +217,22 @@ object AvroSource {
       }
     }
     val fullStruct = toSparkType(writerSchema).asInstanceOf[StructType]
-    val struct =
-      if (columns.isEmpty) fullStruct
-      else StructType(columns.map(c => fullStruct(fullStruct.fieldIndex(c))))
+    // target-schema projection (schema evolution): fields absent from the
+    // writer schema surface as NULL columns, mirroring the parquet
+    // branch's `spark.read.schema(tableSchema)` null-fill — without it an
+    // evolved mixed-format table would be unreadable (the table-side
+    // select would hit an unresolved column)
+    val struct = targetSchema match {
+      case Some(ts) => ts
+      case None =>
+        if (columns.isEmpty) fullStruct
+        else StructType(columns.map(c => fullStruct(fullStruct.fieldIndex(c))))
+    }
+    val writerFields = fullStruct.fieldNames.toSet
     val schemaJson = writerSchema.toString
     val serConf = new SerializableConfiguration(conf)
     val structFields = struct.fields.map(f => (f.name, f.dataType))
+    val writerHas = writerFields
 
     val rdd = spark.sparkContext.parallelize(files, files.size)
       .mapPartitions { it =>
@@ -208,8 +241,13 @@ object AvroSource {
           new Schema.Parser().parse(schemaJson))
         it.flatMap { file =>
           val fp = new Path(file)
-          val stream = new DataFileStream(
-            fp.getFileSystem(hconf).open(fp), reader)
+          val in = fp.getFileSystem(hconf).open(fp)
+          val stream =
+            try new DataFileStream(in, reader)
+            catch { case e: Throwable => // corrupt header: close the handle
+              try in.close() catch { case _: Exception => () }
+              throw e
+            }
           // a limit/take downstream may abandon the iterator mid-file;
           // the task-completion hook closes the handle regardless
           val tc = org.apache.spark.TaskContext.get()
@@ -225,7 +263,8 @@ object AvroSource {
             def next(): Row = {
               val rec = stream.next()
               Row.fromSeq(structFields.map { case (n, dt) =>
-                toSpark(rec.get(n), dt)
+                if (!writerHas.contains(n)) null // evolved column: null-fill
+                else toSpark(rec.get(n), dt)
               }.toSeq)
             }
           }
@@ -240,8 +279,13 @@ object AvroSource {
     * read). */
   def countRecords(file: String, conf: Configuration): Long = {
     val p = new Path(file)
-    val stream = new DataFileStream(
-      p.getFileSystem(conf).open(p), new GenericDatumReader[GenericRecord]())
+    val in = p.getFileSystem(conf).open(p)
+    val stream =
+      try new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+      catch { case e: Throwable => // corrupt header: don't leak the handle
+        try in.close() catch { case _: Exception => () }
+        throw e
+      }
     try {
       var n = 0L
       while (stream.hasNext) {
@@ -265,6 +309,12 @@ object AvroSource {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
+    // clear previous part files: a later write with FEWER partitions must
+    // not leave the earlier write's tail visible to readers (silent row
+    // duplication). Callers wanting atomicity still stage + move
+    // (appendAvro does) — this guards the direct-path users.
+    Option(fs.globStatus(new Path(dir, "part-*.avro")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
 
     df.rdd.mapPartitionsWithIndex { (i, it) =>
       if (it.hasNext) {
@@ -272,10 +322,18 @@ object AvroSource {
         val out = new Path(f"$path/part-$i%05d.avro")
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
         val os = out.getFileSystem(serConf.value).create(out, true)
-        w.create(sch, os)
-        try it.foreach { row =>
-          w.append(toAvro(row, sch).asInstanceOf[GenericRecord])
-        } finally w.close()
+        var created = false
+        try {
+          w.create(sch, os)
+          created = true
+          it.foreach { row =>
+            w.append(toAvro(row, sch).asInstanceOf[GenericRecord])
+          }
+        } finally {
+          // w.close() closes os once create() succeeded; before that the
+          // raw stream (and its 0-byte file) is ours to clean up
+          if (created) w.close() else os.close()
+        }
         Iterator.single(out.toString)
       } else Iterator.empty
     }.collect() // file NAMES only — bounded by partition count

@@ -932,7 +932,10 @@ final class GraftTable private (
         r.parquet(parqPaths: _*)
       },
       Option.when(avroPaths.nonEmpty) {
-        graft.sources.AvroSource.readFiles(spark, avroPaths)
+        // table schema as the TARGET: post-evolution columns absent from
+        // the avro writer schema null-fill (parquet-branch parity)
+        graft.sources.AvroSource.readFiles(spark, avroPaths,
+          targetSchema = Some(schema))
       }).flatten.map(_.select(schema.fieldNames.map(col): _*))
     branches.reduce(_ union _)
   }

@@ -109,6 +109,28 @@ class AvroTableSpec extends SparkSpecBase {
       .exists(_.getAs[Number](0).longValue == 12L))
   }
 
+  test("schema evolution over avro files: added column null-fills on read") {
+    val tbl = freshTable("avro_evo")
+    tbl.appendAvro(region, committedAt = Some(1000L))
+    val evolved = tbl.addColumn("score",
+      org.apache.spark.sql.types.DoubleType)
+    // the avro writer schema lacks `score`; the table schema must still
+    // drive every read (parquet-branch parity: null-fill, not an
+    // unresolved-column failure)
+    val out = evolved.read(spark)
+    assert(out.count() == 5)
+    assert(out.filter(col("score").isNull).count() == 5)
+    // post-evolution parquet rows coexist with pre-evolution avro rows
+    evolved.append(
+      region.withColumn("r_regionkey", col("r_regionkey") + 10)
+        .withColumn("score", lit(1.5)),
+      committedAt = Some(2000L))
+    val all = evolved.read(spark)
+    assert(all.count() == 10)
+    assert(all.filter(col("score") === 1.5).count() == 5)
+    assert(all.filter(col("score").isNull).count() == 5)
+  }
+
   test("appendAvro refuses partitioned tables and non-roundtrippable schemas") {
     val dir = tmpDir("avro_refuse")
     val nation = spark.read.parquet(sf("nation"))
