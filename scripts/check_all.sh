@@ -16,4 +16,9 @@ echo "== oracle =="
 python3 scripts/oracle_check.py "$SF" "$OUT"
 
 echo "== table-layer drive =="
-sbt -batch "runMain graft.tools.TableDemo" 2>&1 | grep -E "^\[info\] [A-Z]"
+# run first, THEN filter for display: piping straight into grep would (a)
+# fail the gate under pipefail when the demo succeeds but the log format
+# drifts, and (b) swallow the actual error text when the demo fails
+DEMO_OUT=$(sbt -batch "runMain graft.tools.TableDemo" 2>&1) || {
+  echo "TableDemo FAILED:"; echo "$DEMO_OUT" | tail -40; exit 1; }
+echo "$DEMO_OUT" | grep -E "^\[info\] [A-Z]" || true

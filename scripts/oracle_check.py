@@ -7,7 +7,9 @@ For each <name>.parquet dir under verifyOutDir, runs the matching SQL from
 oracle_sql.json in DuckDB (tables = parquet files in sfDir), then compares:
   - schema (column names, sorted)
   - row count
-  - values (columns sorted by name, rows sorted, exact match; floats to 9dp)
+  - values (columns sorted by name, rows sorted, EXACT match — no float
+    tolerance: the driver hashes exact values, so tolerance here would
+    hide real mismatches)
 
 This is a local feedback loop only — the library itself never uses Python.
 """
@@ -35,14 +37,31 @@ def main(sf_dir, out_dir):
     for name in sorted(set(oracle) - produced):
         print(f"FAIL {name}: query produced no output (crashed in Verify?)")
         n_fail += 1
+    # Verify's explicit failure manifest covers NON-oracle queries too —
+    # a crashed rows-only query has no oracle entry AND no dir, which the
+    # set difference above cannot see
+    failed_path = f"{out_dir}/_failed.json"
+    if os.path.exists(failed_path):
+        for name in json.load(open(failed_path)):
+            if name not in oracle:  # oracle names already FAILed above
+                print(f"FAIL {name}: crashed in Verify (no oracle to miss)")
+                n_fail += 1
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
-        got_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        if name not in oracle:
-            print(f"SKIP {name}: no oracle (rows={len(got_rel.fetchall())})")
-            n_skip += 1
+        try:
+            got_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+            if name not in oracle:
+                print(f"SKIP {name}: no oracle (rows={len(got_rel.fetchall())})")
+                n_skip += 1
+                continue
+            exp_rel = con.sql(oracle[name])
+        except Exception as e:
+            # one bad oracle SQL (syntax, missing view) must FAIL that
+            # query, not abort the loop and leave every later query
+            # unchecked with no summary line
+            print(f"FAIL {name}: oracle execution error: {e}")
+            n_fail += 1
             continue
-        exp_rel = con.sql(oracle[name])
         # Driver-parity type audit: the driver's pandas bridge renders DuckDB
         # HUGEINT/DECIMAL as floats while Spark parquet DECIMAL keeps its
         # scale ("1234.50" vs "1234.5") — either type in a result column

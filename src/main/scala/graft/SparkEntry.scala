@@ -32,12 +32,29 @@ object SparkEntry {
     queries("h01_pricing_summary")(spark, d)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  /** One entry per implemented operator from SURVEY.md §2. Built once
+    * (Bench/Verify iterate it repeatedly) and guarded against cross-pack
+    * name collisions — `toMap` would otherwise silently drop an operator
+    * from the whole bench/verify/oracle surface (last pack wins). */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val flat = packs.flatMap(_.queries)
+    val m = flat.toMap
+    require(m.size == flat.size, {
+      val dups = flat.groupBy(_._1).filter(_._2.size > 1).keys
+      s"duplicate query names across packs: ${dups.mkString(", ")}"
+    })
+    m
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracleSql).toMap
+  lazy val oracleSql: Map[String, String] = {
+    val flat = packs.flatMap(_.oracleSql)
+    val m = flat.toMap
+    require(m.size == flat.size, {
+      val dups = flat.groupBy(_._1).filter(_._2.size > 1).keys
+      s"duplicate oracle names across packs: ${dups.mkString(", ")}"
+    })
+    m
+  }
 }

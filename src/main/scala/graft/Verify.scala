@@ -22,18 +22,33 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = Seq.newBuilder[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure BEFORE the overwrite executed leaves the previous
+        // run's output in place — the oracle would then false-PASS
+        // against stale data; remove it so the gate sees the crash
+        try {
+          val p = java.nio.file.Paths.get(s"$outDir/$name")
+          if (Files.exists(p)) graft.table.GraftTable.deleteRecursively(p)
+        } catch { case _: Throwable => () }
       }
       // drop intra-query persist()s so a 150-query dump doesn't stack
       // cached blocks on one heap (same rationale as Bench)
       spark.catalog.clearCache()
     }
+    // failure manifest: non-SQL-expressible queries have no oracle entry,
+    // so the gate can't infer their crash from a missing dir — this file
+    // names every failure explicitly
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.result().sorted.map(n => "\"" + n + "\"")
+        .mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
