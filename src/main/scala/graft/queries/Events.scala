@@ -192,9 +192,11 @@ object Events extends QueryPack {
     // stddevs — the data-quality monitor a pipeline runs per ingest. Two
     // hash aggregations (hour×type counts, then per-type moments) + a
     // join back on type. The threshold test (n−mean)² > 4·var is
-    // multiplied through by n_hours² so it runs in exact INTEGER
-    // arithmetic — no engine-dependent double boundary (long-safe to
-    // ~3e9 events per type; at larger scale route through DECIMAL).
+    // multiplied through by n_hours² and compared in DOUBLE: squaring the
+    // integer form overflows ANSI Long at ~3e9 events per type (a query
+    // that CRASHES at the design scale is worse than a rounded boundary),
+    // and both engines derive identical doubles from identical longs, so
+    // oracle parity is unaffected.
     "e12_anomaly" -> ((s, d) => {
       val hourly = events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -204,9 +206,9 @@ object Events extends QueryPack {
           sum(col("n")).as("sum_n"),
           sum(col("n") * col("n")).as("sum_n2"))
       // (n·H − S)² > 4·(S2·H − S²)  ⇔  (n − S/H)² > 4·(S2/H − (S/H)²)
-      val lhs = col("n") * col("n_hours") - col("sum_n")
-      val rhs = lit(4L) * (col("sum_n2") * col("n_hours") -
-        col("sum_n") * col("sum_n"))
+      val lhs = (col("n") * col("n_hours") - col("sum_n")).cast("double")
+      val rhs = lit(4.0) * (col("sum_n2").cast("double") * col("n_hours") -
+        col("sum_n").cast("double") * col("sum_n"))
       hourly.join(stats, "event_type")
         .filter(lhs * lhs > rhs)
         .select(col("event_type"),
@@ -294,8 +296,8 @@ object Events extends QueryPack {
         "SELECT h.event_type, CAST(epoch(h.hour) AS BIGINT) AS hour_ts, h.n, " +
         "round(CAST(s.sum_n AS DOUBLE) / s.n_hours, 6) AS mean_n " +
         "FROM hourly h JOIN stats s USING (event_type) " +
-        "WHERE (h.n * s.n_hours - s.sum_n) * (h.n * s.n_hours - s.sum_n) " +
-        "> 4 * (s.sum_n2 * s.n_hours - s.sum_n * s.sum_n) " +
+        "WHERE CAST(h.n * s.n_hours - s.sum_n AS DOUBLE) * (h.n * s.n_hours - s.sum_n) " +
+        "> 4.0 * (CAST(s.sum_n2 AS DOUBLE) * s.n_hours - CAST(s.sum_n AS DOUBLE) * s.sum_n) " +
         "ORDER BY 1, 2"),
     "e11_retention" ->
       ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +

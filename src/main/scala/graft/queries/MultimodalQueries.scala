@@ -50,7 +50,12 @@ object MultimodalQueries extends QueryPack {
     // arithmetic only, so DuckDB replays it byte-exactly over the ASCII
     // text (every doc is ≥ 16 bytes at all SFs, so no pool is empty)
     "m05_resize" -> ((s, d) => {
+      // the oracle's pools CTE inner-joins and would DROP an empty-text
+      // doc where resize emits 16 zero pixels — filter the degenerate
+      // case identically on both sides instead of resting on a data
+      // assumption nothing enforces
       val assets = t(s, d, "documents")
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       Multimodal.resize(assets, "doc_id", "payload", target = 16)
         .toDF()
@@ -105,14 +110,15 @@ object MultimodalQueries extends QueryPack {
          |FROM documents d LEFT JOIN vals v USING (doc_id)""".stripMargin),
 
     "m05_resize" ->
-      ("""WITH b AS (
+      ("""WITH docs AS (SELECT * FROM documents WHERE length(text) > 0),
+         |b AS (
          |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i
-         |  FROM documents
+         |  FROM docs
          |), v AS (
          |  SELECT b.doc_id,
          |         CAST(((b.i - 1) * 16) // length(d.text) AS INT) AS p,
          |         ord(substring(d.text, b.i, 1)) AS byte
-         |  FROM b JOIN documents d USING (doc_id)
+         |  FROM b JOIN docs d USING (doc_id)
          |), pools AS (
          |  SELECT doc_id, p, CAST(sum(byte) // count(*) AS INT) AS px
          |  FROM v GROUP BY 1, 2
@@ -120,7 +126,7 @@ object MultimodalQueries extends QueryPack {
          |SELECT p.doc_id AS asset_id,
          |       CAST(length(d.text) AS BIGINT) AS n_bytes,
          |       list(p.px ORDER BY p.p) AS pixels
-         |FROM pools p JOIN documents d USING (doc_id)
+         |FROM pools p JOIN docs d USING (doc_id)
          |GROUP BY p.doc_id, length(d.text)""".stripMargin),
 
     // frame sampling touches only LENGTHS (frame i of an n-byte payload

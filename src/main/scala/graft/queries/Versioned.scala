@@ -18,18 +18,34 @@ import graft.table.GraftTable
   */
 object Versioned extends QueryPack {
 
+  /** Load-or-rebuild guard shared by every tmpdir fixture: reuse only a
+    * table with the EXPECTED snapshot count whose data files all still
+    * exist (a tmp cleaner can reap aged data files while the newer log
+    * JSON survives — a count-only check would then crash mid-scan);
+    * anything else is torn down and rebuilt. One definition, so fixture
+    * hygiene can't drift per site (v06 had already dropped validation). */
+  private[queries] def cachedFixture(
+      sfDir: String, name: String, expectedSnapshots: Int)(
+      build: String => GraftTable): GraftTable = synchronized {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/$name"
+    if (GraftTable.exists(dir)) {
+      val tb = GraftTable.load(dir)
+      val intact = tb.log.snapshots.size == expectedSnapshots &&
+        tb.log.current.forall(sn =>
+          graft.table.Manifest.read(s"$dir/${sn.manifestList}").files
+            .forall(f => Files.exists(Paths.get(s"$dir/${f.path}"))))
+      if (intact) return tb
+      GraftTable.deleteRecursively(Paths.get(dir))
+    } else if (Files.exists(Paths.get(dir))) {
+      GraftTable.deleteRecursively(Paths.get(dir))
+    }
+    build(dir)
+  }
+
   /** Build (or reuse) the two-snapshot fixture for `sfDir`; returns table. */
   private def fixture(spark: SparkSession, sfDir: String): GraftTable =
-    synchronized {
-      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/region_v"
-      if (GraftTable.exists(dir)) {
-        val t = GraftTable.load(dir)
-        if (t.log.snapshots.size == 2) return t
-        GraftTable.deleteRecursively(Paths.get(dir))
-      } else if (Files.exists(Paths.get(dir))) {
-        GraftTable.deleteRecursively(Paths.get(dir))
-      }
+    cachedFixture(sfDir, "region_v", 2) { dir =>
       val region = t(spark, sfDir, "region")
       val tbl = GraftTable.create(dir, region.schema)
       tbl.append(region, committedAt = Some(1000L))
@@ -41,16 +57,7 @@ object Versioned extends QueryPack {
     * (5 partitions), one snapshot. Scans with a region predicate read only
     * that partition's files (manifest partition pruning — no listing). */
   private def partFixture(spark: SparkSession, sfDir: String): GraftTable =
-    synchronized {
-      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/nation_p"
-      if (GraftTable.exists(dir)) {
-        val t = GraftTable.load(dir)
-        if (t.log.snapshots.size == 1) return t
-        GraftTable.deleteRecursively(Paths.get(dir))
-      } else if (Files.exists(Paths.get(dir))) {
-        GraftTable.deleteRecursively(Paths.get(dir))
-      }
+    cachedFixture(sfDir, "nation_p", 1) { dir =>
       val nation = t(spark, sfDir, "nation")
       val tbl = GraftTable.create(dir, nation.schema,
         partitionBy = Seq("n_regionkey"))
@@ -65,16 +72,7 @@ object Versioned extends QueryPack {
     * sf0.01 gate, 6M at the bench SF). Built once per sfDir; Bench's
     * warmup pays the write. */
   private def bigFixture(spark: SparkSession, sfDir: String): GraftTable =
-    synchronized {
-      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/lineitem_p"
-      if (GraftTable.exists(dir)) {
-        val tb = GraftTable.load(dir)
-        if (tb.log.snapshots.size == 1) return tb
-        GraftTable.deleteRecursively(Paths.get(dir))
-      } else if (Files.exists(Paths.get(dir))) {
-        GraftTable.deleteRecursively(Paths.get(dir))
-      }
+    cachedFixture(sfDir, "lineitem_p", 1) { dir =>
       val li = t(spark, sfDir, "lineitem")
         .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
       val tb = GraftTable.create(dir, li.schema,
@@ -88,16 +86,7 @@ object Versioned extends QueryPack {
     * with `r_extra = r_regionkey * 10`. Pre-evolution files read the new
     * column as NULL — no rewrite. */
   private def evoFixture(spark: SparkSession, sfDir: String): GraftTable =
-    synchronized {
-      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/region_evo"
-      if (GraftTable.exists(dir)) {
-        val tb = GraftTable.load(dir)
-        if (tb.log.snapshots.size == 2) return tb
-        GraftTable.deleteRecursively(Paths.get(dir))
-      } else if (Files.exists(Paths.get(dir))) {
-        GraftTable.deleteRecursively(Paths.get(dir))
-      }
+    cachedFixture(sfDir, "region_evo", 2) { dir =>
       val region = t(spark, sfDir, "region")
       val t0 = GraftTable.create(dir, region.schema)
       t0.append(region, committedAt = Some(1000L))
@@ -110,16 +99,7 @@ object Versioned extends QueryPack {
   /** Compaction fixture: two appended copies of region, then the small
     * files bin-packed by a `"replace"` snapshot (snapshot 3). */
   private def compactFixture(spark: SparkSession, sfDir: String): GraftTable =
-    synchronized {
-      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/region_c"
-      if (GraftTable.exists(dir)) {
-        val tb = GraftTable.load(dir)
-        if (tb.log.snapshots.size == 3) return tb
-        GraftTable.deleteRecursively(Paths.get(dir))
-      } else if (Files.exists(Paths.get(dir))) {
-        GraftTable.deleteRecursively(Paths.get(dir))
-      }
+    cachedFixture(sfDir, "region_c", 3) { dir =>
       val region = t(spark, sfDir, "region")
       val tb = GraftTable.create(dir, region.schema)
       tb.append(region, committedAt = Some(1000L))
@@ -131,16 +111,7 @@ object Versioned extends QueryPack {
   /** Copy-on-write-delete fixture: nation appended (snapshot 1), then
     * regions 2 and 4 deleted (snapshot 2, operation "delete"). */
   private def deleteFixture(spark: SparkSession, sfDir: String): GraftTable =
-    synchronized {
-      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/nation_del"
-      if (GraftTable.exists(dir)) {
-        val tb = GraftTable.load(dir)
-        if (tb.log.snapshots.size == 2) return tb
-        GraftTable.deleteRecursively(Paths.get(dir))
-      } else if (Files.exists(Paths.get(dir))) {
-        GraftTable.deleteRecursively(Paths.get(dir))
-      }
+    cachedFixture(sfDir, "nation_del", 2) { dir =>
       val nation = t(spark, sfDir, "nation")
       val tb = GraftTable.create(dir, nation.schema)
       tb.append(nation, committedAt = Some(1000L))
@@ -154,16 +125,7 @@ object Versioned extends QueryPack {
     * copies but keep the snapshot-3 ones — the predicate is scoped to the
     * files that existed when it committed. */
   private def morFixture(spark: SparkSession, sfDir: String): GraftTable =
-    synchronized {
-      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/nation_mor"
-      if (GraftTable.exists(dir)) {
-        val tb = GraftTable.load(dir)
-        if (tb.log.snapshots.size == 3) return tb
-        GraftTable.deleteRecursively(Paths.get(dir))
-      } else if (Files.exists(Paths.get(dir))) {
-        GraftTable.deleteRecursively(Paths.get(dir))
-      }
+    cachedFixture(sfDir, "nation_mor", 3) { dir =>
       val nation = t(spark, sfDir, "nation")
       val tb = GraftTable.create(dir, nation.schema)
       tb.append(nation, committedAt = Some(1000L))
@@ -178,16 +140,7 @@ object Versioned extends QueryPack {
     * exercises the manifest-bloom skip path under the oracle gate (an
     * unsound bloom that skipped a matching file would change results). */
   private def bloomFixture(spark: SparkSession, sfDir: String): GraftTable =
-    synchronized {
-      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/nation_bloom"
-      if (GraftTable.exists(dir)) {
-        val tb = GraftTable.load(dir)
-        if (tb.log.snapshots.size == 2) return tb
-        GraftTable.deleteRecursively(Paths.get(dir))
-      } else if (Files.exists(Paths.get(dir))) {
-        GraftTable.deleteRecursively(Paths.get(dir))
-      }
+    cachedFixture(sfDir, "nation_bloom", 2) { dir =>
       val nation = t(spark, sfDir, "nation")
       val tb = GraftTable.create(dir, nation.schema,
         properties = Map(GraftTable.PropBloomColumns -> "n_nationkey,n_name"))
@@ -352,9 +305,22 @@ object Versioned extends QueryPack {
     "v06_graft_empty" -> ((s, d) => {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_fixtures/" +
         s"${d.replaceAll("[^A-Za-z0-9.]", "_")}/region_empty"
-      val tbl =
-        if (GraftTable.exists(dir)) GraftTable.load(dir)
-        else GraftTable.create(dir, t(s, d, "region").schema)
+      // reuse-validate like every other fixture: leftover state with
+      // snapshots would return rows the zero-row oracle cannot match
+      val tbl = synchronized {
+        if (GraftTable.exists(dir)) {
+          val existing = GraftTable.load(dir)
+          if (existing.log.snapshots.isEmpty) existing
+          else {
+            GraftTable.deleteRecursively(Paths.get(dir))
+            GraftTable.create(dir, t(s, d, "region").schema)
+          }
+        } else {
+          if (Files.exists(Paths.get(dir)))
+            GraftTable.deleteRecursively(Paths.get(dir))
+          GraftTable.create(dir, t(s, d, "region").schema)
+        }
+      }
       tbl.read(s)
     }),
 
