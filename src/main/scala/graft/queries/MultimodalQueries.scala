@@ -63,6 +63,35 @@ object MultimodalQueries extends QueryPack {
           col("pixels"))
     }),
 
+    // perceptual-hash near-dup detection (aHash): resize to 16 pools,
+    // set bit p iff pixel p is above the asset's mean pixel — compared
+    // as px*16 > sum(px) so the mean never leaves integer arithmetic —
+    // and group equal 16-bit hashes. The image-dedup member of the dedup
+    // toolbox: robust to payload-preserving re-encodes the way MinHash
+    // is to token edits. Per-asset work is two hash aggregations over
+    // 16 rows/asset whose exchanges share one key (AQE reuses the
+    // shuffle); the group-by-hash shuffle is O(corpus). Oracle replays
+    // the identical pool + threshold arithmetic in DuckDB.
+    "m06_phash_dups" -> ((s, d) => {
+      val assets = t(s, d, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val px = Multimodal.resize(assets, "doc_id", "payload", target = 16)
+        .toDF()
+        .select(col("assetId").as("asset_id"),
+          posexplode(col("pixels")).as(Seq("p", "px")))
+      val tot = px.groupBy("asset_id").agg(sum(col("px")).as("tot"))
+      val bits = px.join(tot, "asset_id")
+        .groupBy("asset_id")
+        .agg(sum(when(col("px") * 16 > col("tot"),
+          expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L))
+          .as("phash"))
+      bits.groupBy("phash")
+        .agg(count(lit(1)).as("n_assets"),
+          sort_array(collect_list(col("asset_id"))).as("assets"))
+        .filter(col("n_assets") >= 2)
+    }),
+
     // composition: stub-decoded features -> nearest-neighbor assets by the
     // native cosine expression (decode feeds ANN with no intermediate
     // materialization — one plan end to end; rows-only)
@@ -128,6 +157,32 @@ object MultimodalQueries extends QueryPack {
          |       list(p.px ORDER BY p.p) AS pixels
          |FROM pools p JOIN docs d USING (doc_id)
          |GROUP BY p.doc_id, length(d.text)""".stripMargin),
+
+    "m06_phash_dups" ->
+      ("""WITH docs AS (SELECT * FROM documents WHERE length(text) > 0),
+         |b AS (
+         |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+         |  FROM docs
+         |), v AS (
+         |  SELECT b.doc_id,
+         |         CAST(((b.i - 1) * 16) // length(d.text) AS INT) AS p,
+         |         ord(substring(d.text, b.i, 1)) AS byte
+         |  FROM b JOIN docs d USING (doc_id)
+         |), pools AS (
+         |  SELECT doc_id, p, CAST(sum(byte) // count(*) AS INT) AS px
+         |  FROM v GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT doc_id, CAST(sum(px) AS BIGINT) AS tot FROM pools GROUP BY 1
+         |), bits AS (
+         |  SELECT p.doc_id,
+         |         CAST(sum(CASE WHEN p.px * 16 > t.tot
+         |                       THEN (CAST(1 AS BIGINT) << p.p)
+         |                       ELSE 0 END) AS BIGINT) AS phash
+         |  FROM pools p JOIN tot t USING (doc_id) GROUP BY p.doc_id
+         |)
+         |SELECT phash, count(*) AS n_assets,
+         |       list(doc_id ORDER BY doc_id) AS assets
+         |FROM bits GROUP BY phash HAVING count(*) >= 2""".stripMargin),
 
     // frame sampling touches only LENGTHS (frame i of an n-byte payload
     // spans [i*fs, min((i+1)*fs, n)) with fs = max(1, n div 4)), so the

@@ -417,6 +417,41 @@ object TextAnalysis extends QueryPack {
           col("e.count").as("est_count"), col("e.error").as("max_err"))
     }),
 
+    // corpus-derived STOPWORD STRIPPING (the CCNet/C4 boilerplate-removal
+    // step): rank tokens by document frequency, take the top 10
+    // (deterministic df-desc, token-asc tie-break), and emit each doc
+    // with those tokens REMOVED — order preserved, content digest-checked
+    // so the oracle verifies the cleaned text, not just counts. The stop
+    // set is explicitly limit()ed (bounded by construction, so the
+    // broadcast hint is policy-legal); df ranking plans
+    // TakeOrderedAndProject, and reassembly is collect_list(struct) →
+    // array_sort → GetArrayStructFields — all codegen'd, no interpreted
+    // lambda in the corpus pass. Three shuffles total at any scale.
+    "t21_stopword_strip" -> ((s, d) => {
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        x => length(x) > 0)
+      val docs = t(s, d, "documents")
+      val tokRows = docs
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      val dfreq = tokRows.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val stop = dfreq.orderBy(col("df").desc, col("tok").asc).limit(10)
+        .select(col("tok"), lit(1).as("is_stop"))
+      val kept = tokRows
+        .join(broadcast(stop), Seq("tok"), "left")
+        .filter(col("is_stop").isNull)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ",
+            array_sort(collect_list(struct(col("pos"), col("tok"))))
+              .getField("tok"))).as("digest"))
+      docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("digest"), md5(lit(""))).as("clean_digest"))
+    }),
+
     // corpus-level stats: tokens and length percentiles per language —
     // the "what's in this corpus" report; partial aggregation map-side.
     "t05_corpus_stats" -> ((s, d) =>
@@ -643,6 +678,21 @@ object TextAnalysis extends QueryPack {
           "SELECT lang, bin, count(*) AS n_docs, " +
           "CAST(sum(n_tokens) AS BIGINT) AS bin_tokens " +
           "FROM binned GROUP BY 1, 2 ORDER BY 1, 2"),
+      "t21_stopword_strip" ->
+        ("WITH toks AS (SELECT doc_id, list_filter(" +
+          "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS l " +
+          "FROM documents), " +
+          "tr AS (SELECT doc_id, i, l[i] AS tok " +
+          "FROM toks, UNNEST(range(1, len(l) + 1)) AS u(i)), " +
+          "dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tr GROUP BY 1), " +
+          "stop AS (SELECT tok FROM dfreq ORDER BY df DESC, tok ASC LIMIT 10), " +
+          "kept AS (SELECT doc_id, count(*) AS n_kept, " +
+          "md5(array_to_string(list(tok ORDER BY i), ' ')) AS digest " +
+          "FROM tr WHERE tok NOT IN (SELECT tok FROM stop) GROUP BY doc_id) " +
+          "SELECT t.doc_id, len(t.l) AS n_tokens, " +
+          "COALESCE(k.n_kept, 0) AS n_kept, " +
+          "COALESCE(k.digest, md5('')) AS clean_digest " +
+          "FROM toks t LEFT JOIN kept k USING (doc_id)"),
       "t05_corpus_stats" ->
         // CAST the integer sums: DuckDB sum(INT) returns HUGEINT, which the
         // driver-side pandas bridge renders as float ("3.0" vs Spark's "3")
