@@ -330,6 +330,21 @@ object Relational extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy("word")),
 
+    // exact PERCENTILES per group (the quantile member of the stats
+    // family; q36 holds the approx-sketch counterpart for the scales
+    // where exact sorting stops paying). Both engines interpolate at
+    // rank p·(n−1); 4dp rounding absorbs ulp-level interpolation-order
+    // differences, same policy as q39.
+    "q76_percentiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("round(percentile(l_quantity, 0.25), 4)").as("p25_qty"),
+          expr("round(percentile(l_quantity, 0.5), 4)").as("p50_qty"),
+          expr("round(percentile(l_quantity, 0.9), 4)").as("p90_qty"))
+        .orderBy("l_returnflag")),
+
     "q39_stats_agg" -> ((s, d) =>
       // statistical aggregates: variance/stddev/correlation. Double
       // accumulation is merge-order-dependent at the ulp level, so values
@@ -626,6 +641,12 @@ object Relational extends QueryPack {
       "SELECT n_nationkey, n_name FROM nation WHERE 1 = 1 AND n_regionkey = 2",
     "q1b_filter_like" ->
       "SELECT p_partkey, p_type, p_brand FROM part WHERE p_type LIKE 'PRO%' OR p_name LIKE '%ing' OR p_brand LIKE '%#1%'",
+    "q76_percentiles" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty, " +
+        "round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty, " +
+        "round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q39_stats_agg" ->
       ("SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, " +
         "round(var_samp(l_quantity), 4) AS var_qty, " +

@@ -277,6 +277,37 @@ object Versioned extends QueryPack {
             .as("sum_qty"))
         .orderBy("l_returnflag")),
 
+    // INCREMENTAL VIEW MAINTENANCE: a per-region aggregate maintained
+    // from the snapshot-1 base plus the CDC retraction feed — never
+    // rescanning the table at snapshot 2. At 100 TB this is THE reason
+    // changesCdc exists: refreshing a materialized aggregate costs
+    // O(changed rows), not a full recompute. The oracle recomputes the
+    // final state from scratch over raw nation parquet, so the gate
+    // proves base + deltas ≡ recompute cross-engine. Groups whose
+    // maintained count hits zero (deleted regions) drop out, exactly as
+    // a recompute would drop them.
+    "v22_graft_ivm" -> ((s, d) => {
+      val tb = deleteFixture(s, d)
+      val base = tb.scan(s, Some(col("snapshot__id") === 1L))
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("bn"), sum(col("n_nationkey")).as("bsum"))
+      val delta = tb.changesCdc(s, 1L, Some(2L))
+        .groupBy(col("n_regionkey"))
+        .agg(
+          sum(when(col("_change_type") === "insert", 1L).otherwise(-1L))
+            .as("dn"),
+          sum(when(col("_change_type") === "insert", col("n_nationkey"))
+            .otherwise(-col("n_nationkey"))).as("dsum"))
+      base.join(delta, Seq("n_regionkey"), "full")
+        .select(col("n_regionkey"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_nations"),
+          (coalesce(col("bsum"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
+            .as("key_sum"))
+        .filter(col("n_nations") > 0)
+        .orderBy("n_regionkey")
+    }),
+
     // V2: scan at current snapshot; every row carries snapshot__id = 2
     "v01_graft_scan" -> ((s, d) =>
       fixture(s, d).read(s)),
@@ -390,6 +421,13 @@ object Versioned extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the maintained view must equal a from-scratch recompute of the
+    // final state (nation minus the deleted regions)
+    "v22_graft_ivm" ->
+      ("SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations, " +
+        "CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation " +
+        "WHERE n_regionkey NOT IN (2, 4) " +
+        "GROUP BY n_regionkey ORDER BY n_regionkey"),
     "v11_graft_evolution" ->
       ("SELECT r.*, CAST(NULL AS BIGINT) AS r_extra, " +
         "CAST(2 AS BIGINT) AS snapshot__id FROM region r " +
