@@ -76,17 +76,24 @@ object MultimodalQueries extends QueryPack {
       val assets = t(s, d, "documents")
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      val px = Multimodal.resize(assets, "doc_id", "payload", target = 16)
+      // the pool count is FIXED (16), so the mean test unrolls into
+      // codegen'd scalar expressions over the pixels array — one corpus
+      // pass and one shuffle (the group-by-hash), vs the explode +
+      // aggregate + join-back shape whose two branches prune the resize
+      // subtree differently and decode the corpus twice (the multi-
+      // branch-reuse trap). px ≤ 255 so tot ≤ 4080 and px*16 stay far
+      // inside checked Int range. Not the s06 codegen hazard: 16 is a
+      // constant of the operator, not a model parameter.
+      val resized = Multimodal.resize(assets, "doc_id", "payload", target = 16)
         .toDF()
-        .select(col("assetId").as("asset_id"),
-          posexplode(col("pixels")).as(Seq("p", "px")))
-      val tot = px.groupBy("asset_id").agg(sum(col("px")).as("tot"))
-      val bits = px.join(tot, "asset_id")
-        .groupBy("asset_id")
-        .agg(sum(when(col("px") * 16 > col("tot"),
-          expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L))
-          .as("phash"))
-      bits.groupBy("phash")
+        .select(col("assetId").as("asset_id"), col("pixels"))
+        .withColumn("tot",
+          (1 to 16).map(i => element_at(col("pixels"), i)).reduce(_ + _))
+      val phash = (0 until 16).map(p =>
+        when(element_at(col("pixels"), p + 1) * 16 > col("tot"),
+          lit(1L << p)).otherwise(0L)).reduce(_ + _)
+      resized.select(col("asset_id"), phash.as("phash"))
+        .groupBy("phash")
         .agg(count(lit(1)).as("n_assets"),
           sort_array(collect_list(col("asset_id"))).as("assets"))
         .filter(col("n_assets") >= 2)

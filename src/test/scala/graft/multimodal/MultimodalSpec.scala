@@ -91,6 +91,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(joined.count() == 3)
   }
 
+  test("m06 perceptual hash: identical payloads group, a re-encode with a " +
+      "flipped tail does not") {
+    // two docs with byte-identical text + one whose trailing half differs
+    // everywhere: the first pair MUST share a phash group; the third must
+    // not join it (its upper pools sit on the other side of its mean).
+    import spark.implicits._
+    val base = ("spark " * 40).trim            // 239 ASCII bytes
+    val loud = ("spark " * 20 + "ZZZZZ " * 20).trim
+    val docs = Seq(
+      (101L, base, "en", "srcA", base.length.toLong),
+      (102L, base, "en", "srcA", base.length.toLong),
+      (103L, loud, "en", "srcA", loud.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("m06-docs")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val groups = graft.SparkEntry.queries("m06_phash_dups")(spark, dir)
+      .collect()
+      .map(r => r.getAs[scala.collection.Seq[Long]]("assets").toSet)
+    assert(groups.exists(_ == Set(101L, 102L)),
+      s"identical payloads must share a phash group; got ${groups.toSeq}")
+    assert(!groups.exists(g => g.contains(103L)),
+      "the tail-flipped payload must not collide with the base pair")
+  }
+
   test("resizeStub: average-pools bytes; empty and short payloads are total") {
     // 16 bytes → 4 pools of 4: means of consecutive quads
     val p16 = Array.tabulate(16)(i => (i * 10).toByte)

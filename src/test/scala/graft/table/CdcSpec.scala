@@ -72,6 +72,54 @@ class CdcSpec extends SparkSpecBase {
     GraftTable.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("incremental aggregate maintenance across a mixed DML chain " +
+      "equals a full recompute") {
+    // the v22_graft_ivm contract generalized: a grouped (count, sum)
+    // view maintained ONLY from per-snapshot CDC deltas must equal the
+    // from-scratch aggregate at head, through append / CoW delete /
+    // update / merge / compact — updates appear as delete+insert pairs,
+    // so the fold needs no special casing, and compaction must
+    // contribute nothing.
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "x", 2L -> "y", 3L -> "x", 4L -> "y"), Some(1000L)) // 1
+    t.append(mkDf(5L -> "x", 6L -> "z"), Some(2000L))                       // 2
+    t.delete(spark, col("id") === 3L, Some(3000L))                          // 3
+    t.update(spark, col("id") === 2L, Map("data" -> lit("z")), Some(4000L)) // 4
+    t.merge(spark, mkDf(6L -> "x", 7L -> "y"), "id", Some(5000L))           // 5
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(6000L))         // 6
+    val head = t.log.current.get.snapshotId
+
+    def viewOf(df: DataFrame) = df.groupBy(col("data"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+
+    val base = viewOf(state(t, 1L))
+    val delta = t.changesCdc(spark, 1L, Some(head))
+      .groupBy(col("data"))
+      .agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(-1L))
+          .as("dn"),
+        sum(when(col("_change_type") === "insert", col("id"))
+          .otherwise(-col("id"))).as("dsum"))
+    val maintained = base.join(delta, Seq("data"), "full")
+      .select(col("data"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("id_sum"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
+          .as("id_sum"))
+      .filter(col("n") > 0)
+
+    assertSameRows(maintained, viewOf(state(t, head)), "maintained vs recompute")
+    // the "z" group is born entirely from deltas (the update moved row 2
+    // into it after the base was built); "x" both loses a member (CoW
+    // delete of 3) and gains two (append 5, merge retag of 6) — final
+    // x = {1,5,6}, z = {2}
+    val byKey = maintained.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byKey("z") == (1L -> 2L), s"z group: ${byKey("z")}")
+    assert(byKey("x") == (3L -> 12L), s"x group: ${byKey("x")}")
+    GraftTable.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("deferred delete emits exactly the covered surviving matches") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
