@@ -322,6 +322,20 @@ object Relational extends QueryPack {
         .agg(sum(col("l_quantity")))
         .orderBy("l_linestatus")),
 
+    // UNPIVOT (melt): the q44 wide form stacked back to long — combos
+    // the pivot padded with NULL are dropped, so the round trip lands
+    // exactly on the direct group-by the oracle runs. Catalyst plans
+    // Expand over the aggregate (one pass, no extra shuffle).
+    "q77_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .unpivot(Array(col("l_linestatus")),
+          Array(col("A"), col("N"), col("R")), "returnflag", "sum_qty")
+        .filter(col("sum_qty").isNotNull)
+        .orderBy("l_linestatus", "returnflag")),
+
     "q45_explode" -> ((s, d) =>
       // lateral explode: one row per word of p_name, counted corpus-wide
       t(s, d, "part")
@@ -692,6 +706,10 @@ object Relational extends QueryPack {
       "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
     "q44_pivot" ->
       "SELECT l_linestatus, sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A, sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N, sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus",
+    "q77_unpivot" ->
+      ("SELECT l_linestatus, l_returnflag AS returnflag, " +
+        "sum(l_quantity) AS sum_qty FROM lineitem " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q45_explode" ->
       "SELECT word, count(*) AS n FROM (SELECT unnest(regexp_split_to_array(p_name, ' ')) AS word FROM part) GROUP BY word ORDER BY word",
     "q40_distinct" ->
