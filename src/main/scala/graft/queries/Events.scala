@@ -55,6 +55,32 @@ object Events extends QueryPack {
           col("n_events"))
         .orderBy("window_start")),
 
+    // time-series GAP FILLING: the dense per-type hourly series a
+    // monitoring/report layer needs — hours with no events appear with
+    // an explicit zero, spanning each type's own [min, max] hour range.
+    // One corpus aggregation; the BOUNDED hourly relation (types ×
+    // observed hours) is localCheckpoint'ed because its two consumers
+    // (span bounds and the join back) prune different columns and would
+    // otherwise re-run the corpus aggregate twice (the t20 rates
+    // pattern). The dense grid comes from sequence() per type row —
+    // O(hours) rows, never a corpus-sized explode.
+    "e13_gap_fill" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val spans = hourly.groupBy(col("event_type"))
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      spans
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+            .as("hour"))
+        .join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), unix_timestamp(col("hour")).as("hour_ts"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy("event_type", "hour_ts")
+    }),
+
     // per-user daily activity: date bucketing + distinct event types
     "e03_daily_user" -> ((s, d) =>
       events(s, d)
@@ -269,6 +295,17 @@ object Events extends QueryPack {
         "SELECT ws AS window_start, count(*) AS n_events FROM (" +
         "SELECT hh AS ws FROM halfhours UNION ALL SELECT hh - 1800 AS ws FROM halfhours" +
         ") GROUP BY ws ORDER BY ws"),
+    "e13_gap_fill" ->
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "spans AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1 " +
+        "FROM hourly GROUP BY 1), " +
+        "grid AS (SELECT event_type, unnest(generate_series(h0, h1, " +
+        "INTERVAL 1 HOUR)) AS hour FROM spans) " +
+        "SELECT g.event_type, CAST(epoch(g.hour) AS BIGINT) AS hour_ts, " +
+        "COALESCE(h.n, 0) AS n_events " +
+        "FROM grid g LEFT JOIN hourly h USING (event_type, hour) " +
+        "ORDER BY 1, 2"),
     "e03_daily_user" ->
       ("SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n_events, " +
         "count(DISTINCT event_type) AS n_types FROM events " +
