@@ -74,6 +74,36 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("h03's selective filters inject a runtime bloom filter into the " +
+      "fact scan at cluster-scale thresholds") {
+    // at 100 TB the orders date filter should cut the lineitem scan via
+    // Spark's InjectRuntimeFilter (a bloom built from the filtered keys,
+    // pushed into the probe side). The rule only fires past size
+    // thresholds the bench SFs never reach (application side ≥ 10 GB),
+    // so this gate reproduces the cluster-scale planner state: broadcast
+    // off (SMJ, like a real fact join) and the scan-size floor lowered —
+    // then the optimized plan MUST contain the bloom filter, and results
+    // must be unchanged by it.
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val df = SparkEntry.queries("h03_shipping_priority")(spark, sfDir)
+      val plan = df.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("bloom"),
+        s"no runtime bloom filter in the cluster-scale plan:\n$plan")
+      val filteredRows = df.collect().map(_.toSeq).toSet
+      val defaultRows = SparkEntry.queries("h03_shipping_priority")(spark, sfDir)
+        .collect().map(_.toSeq).toSet
+      assert(filteredRows == defaultRows && filteredRows.nonEmpty)
+    }
+  }
+
+  test("runtime bloom filtering stays enabled in the session defaults") {
+    assert(spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.enabled").toBoolean)
+  }
+
   test("AQE skew-join handling stays enabled in the session defaults") {
     // at 100 TB a hot orderkey is split by AQE's skew-join rule; the
     // sessions this library builds must not have turned it off
