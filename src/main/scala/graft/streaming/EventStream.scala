@@ -265,6 +265,45 @@ object EventStream {
       }
   }
 
+  case class SilenceState(lastHourUs: Long)
+
+  case class SilenceOut(eventType: String, hourTs: Long)
+
+  /** STREAMING silence detection — the incremental twin of the batch
+    * gap-fill (e13): emit one row per HOUR WITH NO EVENTS per type,
+    * detected when the next event of that type arrives (an hour is
+    * provably silent only once a later event bounds it — the same
+    * in-range-zeros contract as e13's dense grid, which never
+    * extrapolates past a type's last observed hour). Per-type state is
+    * one long (the last seen hour); emission is driven by event time,
+    * so replaying the stream reproduces the batch answer exactly.
+    * Late events from at-or-before the last seen hour are ignored —
+    * their hours were already classified when the stream moved past
+    * them (same prequential stance as [[anomalyDetector]]). */
+  def silenceDetector(events: Dataset[Event]): Dataset[SilenceOut] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600000000L
+    events
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[SilenceState, SilenceOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (eventType: String, rows: Iterator[Event], state: GroupState[SilenceState]) =>
+          val hours = rows
+            .map(e => micros(e.ts) / hourUs * hourUs).toSeq.sorted
+          val out = Seq.newBuilder[SilenceOut]
+          var last = state.getOption.map(_.lastHourUs).getOrElse(Long.MinValue)
+          for (h <- hours) {
+            if (last != Long.MinValue && h > last) {
+              var sh = last + hourUs
+              while (sh < h) { out += SilenceOut(eventType, sh / 1000000L); sh += hourUs }
+            }
+            if (h > last) last = h
+          }
+          state.update(SilenceState(last))
+          out.result().iterator
+      }
+  }
+
   /** STREAMING exact dedup — the incremental form of d01/d02: keep the
     * first-arriving document per content fingerprint, dropping later
     * copies across micro-batches. State MUST be evictable or it grows with

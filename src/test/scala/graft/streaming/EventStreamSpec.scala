@@ -404,4 +404,57 @@ class EventStreamSpec extends SparkSpecBase {
       7200L -> ((5L, false)),
       10800L -> ((50L, true))), s"got $rows")
   }
+
+  test("silenceDetector: silent hours emitted per type when the next " +
+      "event bounds them; late events ignored; batch gap-fill parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    def at(h: Int, tpe: String): Event =
+      Event(new Timestamp(h * 3600000L), 1L, tpe, 1.0)
+
+    val input = MemoryStream[Event]
+    val query = EventStream.silenceDetector(input.toDS())
+      .writeStream.format("memory").queryName("silence")
+      .outputMode(OutputMode.Append()).start()
+
+    // err: hours 0, 3 (silent 1,2), then 4 — contiguous, nothing new
+    // web: hours 1, 2 — no gap ever
+    input.addData(at(0, "err"), at(1, "web"))
+    query.processAllAvailable()
+    input.addData(at(3, "err"), at(2, "web"), at(4, "err"))
+    query.processAllAvailable()
+    // a LATE err event from hour 1: its hour was already classified
+    // silent when the stream moved to hour 3 — must emit nothing
+    input.addData(at(1, "err"))
+    query.processAllAvailable()
+    // err resumes at hour 6: exactly hour 5 newly silent
+    input.addData(at(6, "err"))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("silence").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("err", 3600L), ("err", 7200L), ("err", 18000L)),
+      s"got $got")
+
+    // parity with the batch gap-fill contract: the streamed silent hours
+    // are exactly the zero-count hours of the dense per-type grid over
+    // the same events (late replay excluded — it was dropped above too)
+    val batch = Seq(at(0, "err"), at(1, "web"), at(3, "err"), at(2, "web"),
+      at(4, "err"), at(6, "err"))
+      .toDF().groupBy(col("eventType"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .count()
+    val spans = batch.groupBy(col("eventType"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val zeros = spans
+      .select(col("eventType"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hour"))
+      .join(batch, Seq("eventType", "hour"), "left_anti")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000L)).toSet
+    assert(zeros == got, s"batch zeros $zeros != streamed $got")
+  }
 }
