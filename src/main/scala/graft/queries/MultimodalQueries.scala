@@ -57,10 +57,14 @@ object MultimodalQueries extends QueryPack {
       val assets = t(s, d, "documents")
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      // the driver's pandas comparator can't sort/hash array cells, so the
+      // 16-pixel vector ships as an md5 over its comma-joined rendering —
+      // information-preserving (order + values) and atomic on both sides
       Multimodal.resize(assets, "doc_id", "payload", target = 16)
         .toDF()
         .select(col("assetId").as("asset_id"), col("nBytes").as("n_bytes"),
-          col("pixels"))
+          md5(array_join(col("pixels").cast("array<string>"), ","))
+            .as("pixels_md5"))
     }),
 
     // perceptual-hash near-dup detection (aHash): resize to 16 pools,
@@ -92,10 +96,13 @@ object MultimodalQueries extends QueryPack {
       val phash = (0 until 16).map(p =>
         when(element_at(col("pixels"), p + 1) * 16 > col("tot"),
           lit(1L << p)).otherwise(0L)).reduce(_ + _)
+      // sort NUMERICALLY before stringifying (lexicographic would put
+      // "10" before "2"), then join — an atomic column the driver can hash
       resized.select(col("asset_id"), phash.as("phash"))
         .groupBy("phash")
         .agg(count(lit(1)).as("n_assets"),
-          sort_array(collect_list(col("asset_id"))).as("assets"))
+          array_join(sort_array(collect_list(col("asset_id")))
+            .cast("array<string>"), ",").as("assets"))
         .filter(col("n_assets") >= 2)
     }),
 
@@ -161,7 +168,7 @@ object MultimodalQueries extends QueryPack {
          |)
          |SELECT p.doc_id AS asset_id,
          |       CAST(length(d.text) AS BIGINT) AS n_bytes,
-         |       list(p.px ORDER BY p.p) AS pixels
+         |       md5(array_to_string(list(p.px ORDER BY p.p), ',')) AS pixels_md5
          |FROM pools p JOIN docs d USING (doc_id)
          |GROUP BY p.doc_id, length(d.text)""".stripMargin),
 
@@ -188,7 +195,7 @@ object MultimodalQueries extends QueryPack {
          |  FROM pools p JOIN tot t USING (doc_id) GROUP BY p.doc_id
          |)
          |SELECT phash, count(*) AS n_assets,
-         |       list(doc_id ORDER BY doc_id) AS assets
+         |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS assets
          |FROM bits GROUP BY phash HAVING count(*) >= 2""".stripMargin),
 
     // frame sampling touches only LENGTHS (frame i of an n-byte payload

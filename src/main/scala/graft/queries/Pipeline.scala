@@ -96,8 +96,12 @@ object Pipeline extends QueryPack {
       gated.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .join(resized, col("assetId") === col("rid"))
+        // driver comparator needs atomic cells: ship the pixel vector as an
+        // md5 over its comma-joined rendering (same projection both sides)
         .select(col("assetId").as("asset_id"), col("nBytes").as("n_bytes"),
-          col("width"), col("height"), col("pixels"))
+          col("width"), col("height"),
+          md5(array_join(col("pixels").cast("array<string>"), ","))
+            .as("pixels_md5"))
         .orderBy("asset_id")
     })
   )
@@ -125,10 +129,11 @@ object Pipeline extends QueryPack {
          |), pools AS (
          |  SELECT doc_id, p, CAST(sum(byte) // count(*) AS INT) AS px FROM pv GROUP BY 1, 2
          |), px AS (
-         |  SELECT doc_id, list(px ORDER BY p) AS pixels FROM pools GROUP BY doc_id
+         |  SELECT doc_id, md5(array_to_string(list(px ORDER BY p), ',')) AS pixels_md5
+         |  FROM pools GROUP BY doc_id
          |)
          |SELECT k.doc_id AS asset_id, CAST(k.len AS BIGINT) AS n_bytes,
-         |       k.width, k.height, px.pixels
+         |       k.width, k.height, px.pixels_md5
          |FROM kept k JOIN px USING (doc_id) WHERE k.rn = 1 ORDER BY 1""".stripMargin),
     "p01_prep_pipeline" ->
       ("WITH scored AS (SELECT doc_id, lang, text, " +

@@ -108,7 +108,7 @@ class MultimodalSpec extends SparkSpecBase {
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val groups = graft.SparkEntry.queries("m06_phash_dups")(spark, dir)
       .collect()
-      .map(r => r.getAs[scala.collection.Seq[Long]]("assets").toSet)
+      .map(r => r.getAs[String]("assets").split(',').map(_.toLong).toSet)
     assert(groups.exists(_ == Set(101L, 102L)),
       s"identical payloads must share a phash group; got ${groups.toSeq}")
     assert(!groups.exists(g => g.contains(103L)),
