@@ -138,8 +138,18 @@ object ZOrderKey {
         if (mx <= mn) 0L
         else {
           val v = Math.max(mn, Math.min(mx, vals(i)))
-          // 53-bit double mantissa >= bitsPer (<= 31): fine for layout
-          (((v - mn).toDouble / (mx - mn).toDouble) * gridMax).toLong
+          // signed `mx - mn` overflows when the observed span exceeds
+          // Long.MaxValue (a large negative AND a large positive bound in
+          // one input) — the negative divisor would yield garbage
+          // coordinates and silently degrade the clustering to exactly
+          // the degenerate case range-normalization exists to fix.
+          // Offsets in the order-preserving unsigned domain (x ^ MinValue)
+          // always fit unsigned 64-bit; identical results when no overflow.
+          // 53-bit double mantissa >= bitsPer (<= 31): fine for layout.
+          val umn = mn ^ Long.MinValue
+          val span = unsignedToDouble((mx ^ Long.MinValue) - umn)
+          val off = unsignedToDouble((v ^ Long.MinValue) - umn)
+          (off / span * gridMax).toLong
         }
       i += 1
     }
@@ -155,6 +165,10 @@ object ZOrderKey {
     }
     out
   }
+
+  /** Bits-as-unsigned-64 → Double (layout precision only). */
+  def unsignedToDouble(x: Long): Double =
+    if (x >= 0) x.toDouble else (x >>> 1).toDouble * 2.0 + (x & 1L)
 
   def zorder_key(cols: Column*): Column = {
     val b = org.apache.spark.sql.classic.GraftBridge

@@ -101,9 +101,12 @@ final class GraftTable private (
     require(name.nonEmpty && !name.forall(_.isDigit),
       s"tag name '$name' must be non-empty and not purely numeric " +
         "(numeric strings resolve as snapshot ids)")
-    require(log.byId(snapshotId).isDefined,
-      s"no snapshot $snapshotId in $dir")
     withRefsLock {
+      // existence check INSIDE the lock: expiration rewrites the log under
+      // this same lock, so a tagger queued behind an expire re-reads the
+      // pruned log here instead of anchoring a snapshot that just vanished
+      require(log.byId(snapshotId).isDefined,
+        s"no snapshot $snapshotId in $dir")
       graft.util.Json.writeFileAtomic(refsPath,
         graft.util.Json.write(refs + (name -> snapshotId)))
     }
@@ -499,13 +502,22 @@ final class GraftTable private (
     val lg = log
     val current = lg.current.getOrElse(return None)
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
-    val (small, big) = manifest.files.partition(_.fileSizeBytes < smallerThanBytes)
+    val pend = parsePending(current)
+    val (smallRaw, bigRaw) =
+      manifest.files.partition(_.fileSizeBytes < smallerThanBytes)
+    // files covered by a PENDING deferred delete are force-included in the
+    // rewrite regardless of size: compact() is the only materialization
+    // step, and a pending predicate whose covered files all sit ABOVE the
+    // threshold would otherwise never clear — leaving copy-on-write DML
+    // blocked by an error message whose remedy doesn't work
+    val (forced, big) = bigRaw.partition(f => pend.exists {
+      case (covered, _) => fileSnapId(f.path).forall(_ <= covered) })
+    val small = smallRaw ++ forced
     // a single qualifying file is not worth repacking — UNLESS deferred
     // deletes are pending: then the rewrite IS the materialization step
     // (without this, a one-file table could never clear its pending set
     // and copy-on-write DML would stay blocked forever)
-    if (small.isEmpty ||
-        (small.size < 2 && parsePending(current).isEmpty)) return None
+    if (small.isEmpty || (small.size < 2 && pend.isEmpty)) return None
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are mutually exclusive")
     (sortBy ++ zorderBy).foreach(c => require(schema.fieldNames.contains(c),
@@ -548,7 +560,9 @@ final class GraftTable private (
         .repartitionByRange(targetParts, clusterKey: _*)
         .sortWithinPartitions(clusterKey: _*)
     val newFiles = writeDataFiles(df, snapId)
-    val stillPending = parsePending(current).filter { case (covered, _) =>
+    // every covered file was force-included above, so this is empty unless
+    // a predicate's coverage check itself is conservative (kept for safety)
+    val stillPending = pend.filter { case (covered, _) =>
       big.exists(f => fileSnapId(f.path).forall(_ <= covered))
     }
     Some(commit(lg, snapId, Manifest(big ++ newFiles), newFiles,
@@ -849,38 +863,70 @@ final class GraftTable private (
         throw new java.util.ConcurrentModificationException(
           s"a writer holds the commit claim on $dir; retry expiration")
     }
-    try expireUnderClaim(olderThanMillis)
-    finally Files.deleteIfExists(marker)
+    try {
+      // Re-validate AFTER acquiring the marker: a commit can complete
+      // (consuming claimId and deleting its own marker) between the log
+      // read above and our createFile — our marker then guards an
+      // already-consumed id, a fresh committer claims the NEXT id, and
+      // the two read-modify-writes of snapshots.json interleave freely
+      // (losing that commit or resurrecting an expired prefix). A claim
+      // is only a claim if the id is still the next one.
+      if (log.nextId != claimId)
+        throw new java.util.ConcurrentModificationException(
+          s"a commit landed while acquiring the expire claim on $dir; " +
+            "retry expiration")
+      expireUnderClaim(olderThanMillis)
+    } finally Files.deleteIfExists(marker)
   }
 
   private def expireUnderClaim(olderThanMillis: Long): Seq[Long] = {
-    val lg = log
-    val current = lg.current.getOrElse(return Nil)
-    // Expire only a CONTIGUOUS PREFIX of the chain: with caller-supplied
-    // (possibly non-monotone) timestamps, a bare committedAt partition
-    // could expire a mid-chain snapshot, leaving a survivor whose parent
-    // is gone — changes() would then find no parent diff and re-emit the
-    // next commit's whole carried-over file set as new rows. A prefix cut
-    // keeps every surviving snapshot's lineage intact by construction.
-    val tagged = refs.values.toSet
-    val expired = lg.snapshots.takeWhile(s =>
-      s.committedAt < olderThanMillis && s.snapshotId != current.snapshotId &&
-        // a tag is a retention anchor; the prefix cut stops at it (keeps
-        // the surviving chain's lineage contiguous)
-        !tagged.contains(s.snapshotId))
-    val kept = lg.snapshots.drop(expired.size)
-    if (expired.isEmpty) return Nil
-
-    val live: Set[String] = kept
-      .flatMap(s => Manifest.read(s"$dir/${s.manifestList}").files.map(_.path))
-      .toSet
-    val dead = expired
-      .flatMap(s => Manifest.read(s"$dir/${s.manifestList}").files.map(_.path))
-      .distinct.filterNot(live)
-    SnapshotLog(kept).write(s"$dir/snapshots.json")
-    dead.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
-    expired.foreach(s => Files.deleteIfExists(Paths.get(dir, s.manifestList)))
-    expired.map(_.snapshotId)
+    // The refs read, prefix cut, and log rewrite happen UNDER the refs
+    // lock: a tag() committed between a bare refs read and the rewrite
+    // would lose its retention-anchor role and see its snapshot expired
+    // anyway (readTag then fails loudly later). Holding the lock, taggers
+    // queue behind the rewrite and then see the pruned log.
+    val cut: Option[(Seq[Snapshot], Seq[Snapshot])] = withRefsLock {
+      val lg = log
+      lg.current.flatMap { current =>
+        // Expire only a CONTIGUOUS PREFIX of the chain: with caller-supplied
+        // (possibly non-monotone) timestamps, a bare committedAt partition
+        // could expire a mid-chain snapshot, leaving a survivor whose parent
+        // is gone — changes() would then find no parent diff and re-emit the
+        // next commit's whole carried-over file set as new rows. A prefix cut
+        // keeps every surviving snapshot's lineage intact by construction.
+        val tagged = refs.values.toSet
+        val expired = lg.snapshots.takeWhile(s =>
+          s.committedAt < olderThanMillis &&
+            s.snapshotId != current.snapshotId &&
+            // a tag is a retention anchor; the prefix cut stops at it (keeps
+            // the surviving chain's lineage contiguous)
+            !tagged.contains(s.snapshotId))
+        val kept = lg.snapshots.drop(expired.size)
+        if (expired.isEmpty) None
+        else {
+          SnapshotLog(kept).write(s"$dir/snapshots.json")
+          Some((expired, kept))
+        }
+      }
+    }
+    cut match {
+      case None => Nil
+      case Some((expired, kept)) =>
+        // physical deletes need no lock: the pruned log is already durable,
+        // so nothing can resurrect references to the dead files
+        val live: Set[String] = kept
+          .flatMap(s =>
+            Manifest.read(s"$dir/${s.manifestList}").files.map(_.path))
+          .toSet
+        val dead = expired
+          .flatMap(s =>
+            Manifest.read(s"$dir/${s.manifestList}").files.map(_.path))
+          .distinct.filterNot(live)
+        dead.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
+        expired.foreach(s =>
+          Files.deleteIfExists(Paths.get(dir, s.manifestList)))
+        expired.map(_.snapshotId)
+    }
   }
 
   /** Schema evolution: add a nullable column (the add-column slice of

@@ -43,6 +43,25 @@ class ZOrderSpec extends SparkSpecBase {
     assert(zs(0) < zs(1)) // null y sorts below y=2 at same x
   }
 
+  test("observed span wider than Long.MaxValue does not overflow the grid") {
+    // large negative AND positive bounds in one compaction input: the
+    // signed span mx - mn overflows; the normalization must stay monotone
+    // and discriminating instead of dividing by a negative garbage span
+    val mn = Long.MinValue + 10
+    val mx = Long.MaxValue - 10
+    def key(v: Long) =
+      ZOrderKey.interleaveRanged(Array(v), Array(mn), Array(mx))
+    val probe = Seq(mn, mn / 2, 0L, mx / 2, mx)
+    val ks = probe.map(key)
+    assert(ks == ks.sorted, s"keys not monotone over the wide span: $ks")
+    assert(ks.distinct.size == probe.size, s"keys collapsed: $ks")
+    // 2-d: both dimensions keep quadrant structure over the wide span
+    def z2(a: Long, b: Long) = ZOrderKey.interleaveRanged(
+      Array(a, b), Array(mn, mn), Array(mx, mx))
+    assert(z2(mn, mn) < z2(mx, mx))
+    assert(z2(mn, mx) < z2(mx, mx))
+  }
+
   test("SMALL-RANGE values cluster via range normalization (no << 55 crutch)") {
     // the realistic case the raw top-bits interleave silently no-ops on:
     // plain 0..31 ints — every raw key is identical; the ranged key must

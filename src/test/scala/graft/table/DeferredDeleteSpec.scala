@@ -98,6 +98,33 @@ class DeferredDeleteSpec extends SparkSpecBase {
       Map("data" -> lit("k2")), Some(4000L)).isDefined)
   }
 
+  test("compaction force-includes pending-covered files above the threshold") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "keep", 2L -> "drop"), Some(1000L))
+    t.deleteDeferred(spark, col("data") === "drop", Some(2000L))
+    // appended AFTER the delete → not covered by the pending predicate
+    t.append(mkDf(3L -> "post"), Some(3000L))
+    val before = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+      .files.map(_.path).toSet
+    // threshold below every real file size: nothing qualifies by size, so
+    // without force-inclusion compact() would no-op and the pending set —
+    // the thing CoW DML's error message says compact() clears — could
+    // never materialize
+    assert(t.compact(spark, smallerThanBytes = 1L, Some(4000L)).isDefined,
+      "compact must rewrite pending-covered files regardless of size")
+    assert(t.pendingDeletes.isEmpty)
+    assert(ids(t) == Seq(1L, 3L))
+    val after = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+      .files.map(_.path).toSet
+    // the uncovered post-delete file was carried untouched; the covered
+    // file was rewritten (its old path is gone)
+    assert(before.intersect(after).size == 1,
+      s"exactly the uncovered file should carry over: $before -> $after")
+    assert(t.update(spark, col("id") === 1L,
+      Map("data" -> lit("k2")), Some(5000L)).isDefined)
+  }
+
   test("provably-no-op deferred delete commits nothing") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
