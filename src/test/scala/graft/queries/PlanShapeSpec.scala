@@ -110,4 +110,48 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled").toBoolean)
   }
+
+  test("AQE actually SPLITS a hot-orderkey partition on the fact-fact " +
+      "SMJ path (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    // q26's scale story leans on OptimizeSkewedJoin; enabled != fires, so
+    // reproduce the cluster-scale state at test size: a fact-fact SMJ
+    // (broadcast off) over a fixture where HALF of one side lands on a
+    // single orderkey, with the skew thresholds scaled down to the
+    // fixture's shuffle bytes. The finalized adaptive plan must mark the
+    // join skew=true (the hot partition was split), and the result must
+    // match the unsplit join.
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      def fixture = {
+        val hotSide = spark.range(0, 40000).select(
+          when(col("id") % 2 === 0, lit(1L)).otherwise(col("id"))
+            .as("l_orderkey"),
+          col("id").as("qty"))
+        val otherSide = spark.range(0, 8000).select(
+          (col("id") % 2000).as("l_orderkey"), col("id").as("price"))
+        hotSide.join(otherSide, "l_orderkey")
+      }
+      val df = fixture
+      val rows = df.collect() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot partition:\n$plan")
+      // correctness unchanged by the split
+      val defaultRows = withConf(
+        "spark.sql.adaptive.skewJoin.enabled" -> "false") {
+        fixture.collect()
+      }
+      assert(rows.map(_.toSeq).sorted(Ordering.by((s: Seq[Any]) =>
+          s.mkString(","))).toSeq ==
+        defaultRows.map(_.toSeq).sorted(Ordering.by((s: Seq[Any]) =>
+          s.mkString(","))).toSeq)
+      assert(rows.nonEmpty)
+    }
+  }
 }
