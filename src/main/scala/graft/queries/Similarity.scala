@@ -79,6 +79,60 @@ object Similarity extends QueryPack {
     Seq.fill(nTables)(Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian())))
   }
 
+  /** Seeded literal coarse-quantizer codebook shared by the Spark query
+    * and the DuckDB oracle (the [[lshTables]] pattern applied to IVF). */
+  private[queries] def seededCentroids(
+      nCentroids: Int, seed: Long, dim: Int = 64): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nCentroids)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Portable-twin IVF (the d03→d07 pattern): the SAME candidate-generation
+    * + rescore machinery as [[ivfTopK]] — argmax cell assignment over the
+    * corpus, nProbe best cells per query, exact cosine rescoring inside the
+    * probed cells, bounded-heap top-k — but the coarse quantizer is a
+    * seeded LITERAL codebook instead of trained k-means, so the DuckDB
+    * oracle replays assignment, probing, and rescoring end to end and the
+    * whole IVF path is hash-checked (the trained variants s05/s08 stay
+    * rows-only with recall specs). Cell-membership comparisons go through
+    * `round(sim, 6)` on BOTH sides so a 1-ulp cosine difference between
+    * engines cannot flip an argmax at a near-tie; the OUTPUT score is the
+    * exact cosine rounded at the edge like every other sNN query. */
+  def ivfTopKSeeded(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 8,
+      nProbe: Int = 2,
+      seed: Long = 23L,
+      maxQueries: Int = 1024): DataFrame = {
+    val centers = seededCentroids(nCentroids, seed)
+    def sims(v: Column): Column = array(centers.zipWithIndex.map {
+      case (cv, i) => struct(
+        round(Dedup.cosineSim(v, typedLit(cv)), 6).as("sim"),
+        lit(i).as("cid"))
+    }: _*)
+    // one corpus scan, codegen'd literal-centroid argmax (struct ordering:
+    // max sim, ties to the larger cid — mirrored in the oracle's ORDER BY)
+    val assigned = corpus
+      .select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
+      .withColumn("cid", array_max(sims(col("n_v"))).getField("cid"))
+    val q = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+      .limit(maxQueries)
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(sims(col("q_v")))), 1, nProbe)))
+      .select(col("q_id"), col("q_v"), col("probe").getField("cid").as("cid"))
+    // broadcast the LIMIT-bounded probe side (same rationale as
+    // ivfProbeIndexed: nCentroids distinct join keys would collapse a
+    // shuffle join's parallelism; broadcast keeps the corpus in place)
+    val scored = assigned.join(broadcast(q), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
+    rankTopK(scored, k)
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -167,6 +221,15 @@ object Similarity extends QueryPack {
       val emb = t(s, d, "embeddings")
       ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10)
+    }),
+
+    // IVF with a SEEDED literal codebook — the oracle-hashed twin of s05
+    // (same cell-assign → probe → rescore plan; only the quantizer
+    // training differs), so the IVF machinery itself is hash-checked
+    "s09_knn_ivf_seeded" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ivfTopKSeeded(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10)
     }),
 
     // RETRIEVAL composition (the RAG read path): exact top-k vector
@@ -624,6 +687,31 @@ object Similarity extends QueryPack {
         "q AS (SELECT * FROM b WHERE vec_id < 5), " +
         "cand AS (SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS n_id " +
         "FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id), " +
+        "scored AS (SELECT q_id, n_id, list_cosine_similarity(eq.v, en.v) AS cos " +
+        "FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id), " +
+        "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
+        "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
+    },
+    "s09_knn_ivf_seeded" -> {
+      // the SAME seeded centroids as the Spark side, embedded as literal
+      // double lists; assignment/probe replay the rounded-sim argmax with
+      // ties to the larger cid (ORDER BY sim DESC, cid DESC)
+      val centers = seededCentroids(nCentroids = 8, seed = 23L)
+      val centValues = centers.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.map(_.toString).mkString("[", ", ", "]")})"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        s"cents(cid, c) AS (SELECT * FROM (VALUES $centValues) t(cid, c)), " +
+        "sims AS (SELECT vec_id, cid, round(list_cosine_similarity(v, c), 6) AS sim " +
+        "FROM e, cents), " +
+        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sims) WHERE rn = 1), " +
+        "probe AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sims " +
+        "WHERE vec_id < 5) WHERE rn <= 2), " +
+        "cand AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id FROM probe p " +
+        "JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id), " +
         "scored AS (SELECT q_id, n_id, list_cosine_similarity(eq.v, en.v) AS cos " +
         "FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id), " +
         "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
