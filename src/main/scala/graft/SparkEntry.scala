@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.Events,
     graft.queries.MultimodalQueries,
     graft.queries.Pipeline,
+    graft.queries.StreamReplay,
     graft.queries.TpcH,
     graft.queries.TpcHExtra
   )

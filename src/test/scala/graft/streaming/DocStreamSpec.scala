@@ -66,6 +66,41 @@ class DocStreamSpec extends SparkSpecBase {
     assert(got == expected, s"stream=$got batch=$expected")
   }
 
+  test("st01 driver entry replays the streaming plan: a real MemoryStream " +
+      "over the fixture produces identical verdicts and band counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val arriving = docs.filter(col("doc_id") % 10 === 0)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(arriving.nonEmpty)
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val query = DocStream.dupProbe(stream, corpus, "doc_id", "text",
+        threshold = 0.5)
+      .writeStream.format("memory").queryName("st01probe")
+      .outputMode(OutputMode.Append()).start()
+    // arrival batching must not matter
+    input.addData(arriving.take(arriving.length / 2): _*)
+    query.processAllAvailable()
+    input.addData(arriving.drop(arriving.length / 2): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("st01probe")
+      .groupBy("new_doc", "dup_of", "jaccard")
+      .agg(count(lit(1)).as("n_bands"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.queries("st01_admission_replay")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(batch == streamed && batch.nonEmpty,
+      s"replay/stream divergence: batch=${batch.size} stream=${streamed.size}")
+  }
+
   test("probe against an index materialized in a GraftTable is identical") {
     import graft.table.GraftTable
     val batch = {
