@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass token-array kernels for the corpus passes of the text
+  * pipeline (reference scope: the Hive-delegated scalar surface,
+  * `SURVEY.md` §2.4 — these are the engine-side equivalents of per-doc
+  * reshaping a user would otherwise push through a window or a
+  * re-aggregation).
+  *
+  * Both exist to delete SHUFFLES, not to micro-optimize arithmetic:
+  *
+  *  - [[Bigrams]] pairs adjacent tokens per row. The composable spelling
+  *    (`posexplode` → window `lead` over `(doc, pos)`) sorts and shuffles
+  *    the ENTIRE token stream by doc just to look one element ahead
+  *    inside an array each row already holds; this emits the pairs in one
+  *    narrow projection.
+  *  - [[RemoveTokens]] filters a token array against a small stop set.
+  *    The composable spelling (explode → anti-join → `collect_list(struct)`
+  *    → `array_sort`) shuffles every surviving token with its position to
+  *    rebuild an order the input array never lost; this keeps the row
+  *    intact and the pass narrow.
+  *
+  * Array higher-order functions (`transform`/`filter`/`zip_with`) could
+  * express both but run INTERPRETED per element (CLAUDE.md sharp edge);
+  * these are codegen'd via the PqEncode pattern — one reference object,
+  * one fused JVM loop.
+  */
+case class Bigrams(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bigrams"
+
+  private val space = UTF8String.fromString(" ")
+
+  /** out(i) = toks(i) + " " + toks(i+1); fewer than two tokens → empty
+    * (explode of the result then emits nothing, matching the window
+    * formulation where a lone token has no successor row). */
+  def pairs(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    var cur = toks.getUTF8String(0)
+    while (i < n - 1) {
+      val nxt = toks.getUTF8String(i + 1)
+      out(i) = UTF8String.concat(cur, space, nxt)
+      cur = nxt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    pairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bigrams", this, classOf[Bigrams].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.pairs($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Bigrams =
+    copy(child = newChild)
+}
+
+/** Order-preserving `left` minus membership-in-`right` over string arrays.
+  * `right` is expected SMALL (a stop set — tens of entries); membership is
+  * a linear scan, which beats building a per-row hash set at that size.
+  * Null elements in `left` are dropped (they are not tokens); a null
+  * `right` makes the whole result null (standard binary null semantics).
+  */
+case class RemoveTokens(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<string>), got " +
+          s"(${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "remove_tokens"
+
+  def strip(toks: ArrayData, stop: ArrayData): ArrayData = {
+    val nStop = stop.numElements()
+    val stopArr = new Array[UTF8String](nStop)
+    var j = 0
+    while (j < nStop) {
+      stopArr(j) = if (stop.isNullAt(j)) null else stop.getUTF8String(j)
+      j += 1
+    }
+    val n = toks.numElements()
+    val out = new Array[Any](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var hit = false
+        var s = 0
+        while (!hit && s < nStop) {
+          if (stopArr(s) != null && stopArr(s).equals(t)) hit = true
+          s += 1
+        }
+        if (!hit) { out(k) = t; k += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(if (k == n) out else out.take(k))
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    strip(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("removeTokens", this, classOf[RemoveTokens].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $self.strip($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveTokens =
+    copy(left = newLeft, right = newRight)
+}
+
+object TextOps {
+  private val b = org.apache.spark.sql.classic.GraftBridge
+
+  /** Adjacent-token bigrams ("tok nxt") of a string-array column. */
+  def bigrams(toks: Column): Column = b.column(Bigrams(b.expr(toks)))
+
+  /** `toks` with every element of the (small) `stop` array removed,
+    * order preserved. */
+  def remove_tokens(toks: Column, stop: Column): Column =
+    b.column(RemoveTokens(b.expr(toks), b.expr(stop)))
+}

@@ -314,19 +314,17 @@ object TextAnalysis extends QueryPack {
     // stay integers (sums of doubles would be order-dependent across
     // engines); the corpus LM is the bigram-count aggregate, joined back
     // to the doc's bigrams on the same key — both sides exchange on
-    // `bigram`, so AQE reuses one shuffle. O(total tokens) end to end.
+    // `bigram`, so AQE reuses one shuffle. Bigram pairing is the fused
+    // Bigrams kernel (one narrow projection per doc) rather than
+    // posexplode + window lead, which would sort-shuffle the whole token
+    // stream by doc_id just to look one array slot ahead.
+    // O(total tokens) end to end.
     "t16_rare_bigrams" -> ((s, d) => {
       val toks = filter(split(lower(trim(col("text"))), "\\s+"),
         x => length(x) > 0)
-      val tokRows = t(s, d, "documents")
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val bg = tokRows
-        .withColumn("nxt", lead(col("tok"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      val bg = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextOps.bigrams(toks)).as("bigram"))
       val lm = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
       bg.join(lm, "bigram")
         .groupBy("doc_id")
@@ -422,34 +420,30 @@ object TextAnalysis extends QueryPack {
     // (deterministic df-desc, token-asc tie-break), and emit each doc
     // with those tokens REMOVED — order preserved, content digest-checked
     // so the oracle verifies the cleaned text, not just counts. The stop
-    // set is explicitly limit()ed (bounded by construction, so the
-    // broadcast hint is policy-legal); df ranking plans
-    // TakeOrderedAndProject, and reassembly is collect_list(struct) →
-    // array_sort → GetArrayStructFields — all codegen'd, no interpreted
-    // lambda in the corpus pass. Three shuffles total at any scale.
+    // set folds to a ONE-ROW array (TakeOrderedAndProject → collect_list;
+    // the broadcast hint is policy-legal on a 1-row aggregate) and the
+    // corpus pass is NARROW: the fused RemoveTokens kernel filters each
+    // doc's token array in place, so the only shuffles are the two inside
+    // the df ranking — the explode → anti-join → collect_list(struct) →
+    // array_sort reassembly (two more corpus-wide shuffles to rebuild an
+    // order the input array never lost) is gone.
     "t21_stopword_strip" -> ((s, d) => {
       val toks = filter(split(lower(trim(col("text"))), "\\s+"),
         x => length(x) > 0)
       val docs = t(s, d, "documents")
-      val tokRows = docs
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-      val dfreq = tokRows.select("doc_id", "tok").distinct()
+      val dfreq = docs.select(col("doc_id"), explode(toks).as("tok"))
+        .distinct()
         .groupBy("tok").agg(count(lit(1)).as("df"))
-      val stop = dfreq.orderBy(col("df").desc, col("tok").asc).limit(10)
-        .select(col("tok"), lit(1).as("is_stop"))
-      val kept = tokRows
-        .join(broadcast(stop), Seq("tok"), "left")
-        .filter(col("is_stop").isNull)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          md5(concat_ws(" ",
-            array_sort(collect_list(struct(col("pos"), col("tok"))))
-              .getField("tok"))).as("digest"))
-      docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
-        .join(kept, Seq("doc_id"), "left")
+      val stopArr = dfreq.orderBy(col("df").desc, col("tok").asc).limit(10)
+        .agg(collect_list(col("tok")).as("stop"))
+      val kept = graft.functions.TextOps.remove_tokens(col("toks"), col("stop"))
+      docs
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+          toks.as("toks"))
+        .crossJoin(broadcast(stopArr))
         .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("digest"), md5(lit(""))).as("clean_digest"))
+          coalesce(size(kept).cast("long"), lit(0L)).as("n_kept"),
+          md5(concat_ws(" ", kept)).as("clean_digest"))
     }),
 
     // corpus-level stats: tokens and length percentiles per language —

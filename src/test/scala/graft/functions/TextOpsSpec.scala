@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.functions.TextOps.{bigrams, remove_tokens}
+
+/** Kernel semantics for the fused token-array expressions, plus the
+  * plan-shape property they exist for: the t16/t21 corpus passes must not
+  * re-shuffle the token stream to do per-row array work. */
+class TextOpsSpec extends SparkSpecBase {
+
+  test("bigrams pairs adjacent tokens; <2 tokens yields empty; null stays null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "b")),
+      (2L, Seq("only")),
+      (3L, Seq.empty[String]),
+      (4L, null.asInstanceOf[Seq[String]])
+    ).toDF("id", "toks").select(col("id"), bigrams(col("toks")).as("bg"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b", "b c", "c b"))
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq.empty)
+    assert(got(4L) == null)
+  }
+
+  test("bigrams matches the window-lead formulation on fixture text") {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+      x => length(x) > 0)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull).limit(200)
+      .select(col("doc_id"), toks.as("toks")).cache()
+    try {
+      val fused = docs
+        .select(col("doc_id"), explode(bigrams(col("toks"))).as("bigram"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val windowed = docs
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      assert(fused.exceptAll(windowed).isEmpty && windowed.exceptAll(fused).isEmpty)
+      assert(fused.count() > 0)
+    } finally docs.unpersist()
+  }
+
+  test("remove_tokens preserves order, drops all matches, handles edges") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("the", "cat", "the", "hat"), Seq("the")),
+      (2L, Seq("a", "b"), Seq("a", "b")),
+      (3L, Seq("x", "y"), Seq.empty[String]),
+      (4L, Seq.empty[String], Seq("z")),
+      (5L, null.asInstanceOf[Seq[String]], Seq("z"))
+    ).toDF("id", "toks", "stop")
+      .select(col("id"), remove_tokens(col("toks"), col("stop")).as("kept"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("cat", "hat"))
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq("x", "y"))
+    assert(got(4L) == Seq.empty)
+    assert(got(5L) == null)
+  }
+
+  test("t16 plans no Window and t21 no per-doc re-aggregation: the token " +
+      "stream is never shuffled to reassemble rows") {
+    val t16 = graft.SparkEntry.queries("t16_rare_bigrams")(
+      spark, "/root/testdata/sf0.001")
+    val p16 = t16.queryExecution.executedPlan.toString
+    assert(!p16.contains("Window"), s"t16 reintroduced a window sort:\n$p16")
+
+    val t21 = graft.SparkEntry.queries("t21_stopword_strip")(
+      spark, "/root/testdata/sf0.001")
+    val p21 = t21.queryExecution.executedPlan.toString
+    assert(!p21.contains("collect_list(struct"),
+      s"t21 reintroduced positional reassembly:\n$p21")
+    // the doc-side output must come straight off the scan: no exchange may
+    // partition by doc_id ALONE (a per-doc reassembly); the df ranking's
+    // (doc_id, tok) distinct shuffle is the only legal doc_id appearance
+    val perDocExchange = """hashpartitioning\(doc_id#\d+L?, \d+\)""".r
+    assert(perDocExchange.findFirstIn(p21).isEmpty,
+      s"t21 shuffled the corpus by doc_id:\n$p21")
+  }
+}
