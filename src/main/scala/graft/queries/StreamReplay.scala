@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.DocStream
+import graft.streaming.{DocStream, EventStream}
 
 /** Driver-gated batch REPLAY of the streaming admission pipeline: the same
   * plan [[graft.streaming.DocStream.dupProbe]] attaches to an unbounded
@@ -31,6 +31,35 @@ object StreamReplay extends QueryPack {
           k = 3, perms = 16, bands = 4, threshold = 0.5)
         .groupBy("new_doc", "dup_of", "jaccard")
         .agg(count(lit(1)).as("n_bands"))
+    }),
+
+    // Batch REPLAY of the stateful sessionizer: the very same
+    // flatMapGroupsWithState program EventStream.sessionize attaches to a
+    // stream, run over the bounded events table. Spark executes FMGWS in
+    // batch mode with one state-free invocation per user — timeouts never
+    // fire, so exactly the GAP-closed sessions are emitted and each user's
+    // trailing open session stays in (discarded) state. The oracle mirrors
+    // that contract by dropping each user's last session; the
+    // stream-emits-the-trailing-sessions-too relationship is asserted in
+    // EventStreamSpec ("batch replay parity"). Per-group work is one sort
+    // of ONE USER's events — bounded per key, shuffles once on user_id,
+    // the same layout the streaming state store uses.
+    "st02_session_replay" -> ((s, d) => {
+      import s.implicits._
+      val raw = t(s, d, "events")
+      val ev = (raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // driver parquet stores TIMESTAMP(NANOS) read as LONG
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }).select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"),
+          col("value").cast("double").as("value"))
+        .as[EventStream.Event]
+      EventStream.sessionize(ev, gapSeconds = 1800)
+        .toDF()
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+          col("startUs").as("session_start"), col("endUs").as("session_end"))
     })
   )
 
@@ -72,6 +101,23 @@ object StreamReplay extends QueryPack {
         "FROM cand JOIN sets a ON a.doc = cand.new_doc JOIN sets b ON b.doc = cand.dup_of " +
         "WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
         "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5"
-    }
+    },
+
+    "st02_session_replay" ->
+      // e04's gap-session construction, minus each user's LAST session —
+      // the batch-FMGWS contract (trailing open sessions are never closed
+      // by a timeout in batch mode, so they are not emitted)
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_s FROM events), " +
+        "flagged AS (SELECT user_id, ts_s, " +
+        "CASE WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL " +
+        "OR ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_session FROM ev), " +
+        "sessions AS (SELECT user_id, ts_s, sum(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM flagged), " +
+        "agg AS (SELECT user_id, CAST(seq AS BIGINT) AS seq, count(*) AS n_events, " +
+        "min(ts_s) AS session_start, max(ts_s) AS session_end " +
+        "FROM sessions GROUP BY user_id, seq) " +
+        "SELECT user_id, n_events, session_start, session_end FROM agg " +
+        "WHERE seq < (SELECT max(seq) FROM agg a2 WHERE a2.user_id = agg.user_id)")
   )
 }

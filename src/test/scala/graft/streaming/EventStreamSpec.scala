@@ -83,6 +83,50 @@ class EventStreamSpec extends SparkSpecBase {
     assert(out.contains((2L, 1L)), s"user2 session missing: ${out.mkString(",")}")
   }
 
+  test("sessionize batch replay parity: stream = replay + trailing open sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // user 1: session A (0,5,10 min) then session B (60,62); user 2:
+    // session C (3) then session D (30); user 3: the sentinel that
+    // advances the stream watermark past every other session's gap
+    val fixture = Seq(
+      Event(ts(0), 1L, "a", 1.0), Event(ts(5), 1L, "a", 1.0),
+      Event(ts(10), 1L, "a", 1.0), Event(ts(60), 1L, "a", 1.0),
+      Event(ts(62), 1L, "a", 1.0),
+      Event(ts(3), 2L, "b", 1.0), Event(ts(30), 2L, "b", 1.0))
+    val sentinel = Event(ts(300), 3L, "c", 1.0)
+    def key(s: SessionOut) = (s.userId, s.nEvents, s.startUs, s.endUs)
+
+    // batch mode: FMGWS runs once per user with no timeouts — exactly the
+    // gap-closed sessions (A, C) emit; trailing B, D and user 3 stay open
+    val batchOut = EventStream.sessionize((fixture :+ sentinel).toDS(),
+      gapSeconds = 600).collect().map(key).toSet
+
+    val input = MemoryStream[Event]
+    val query = EventStream.sessionize(input.toDS(), gapSeconds = 600,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_replay")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(fixture: _*)
+    query.processAllAvailable()
+    input.addData(sentinel)
+    query.processAllAvailable()
+    query.stop()
+    val streamOut = spark.table("sess_replay").as[SessionOut]
+      .collect().map(key).toSet
+
+    val us = (m: Int) => m * 60L * 1000000L +
+      Timestamp.valueOf("2024-01-01 00:00:00").toInstant.getEpochSecond * 1000000L
+    val a = (1L, 3L, us(0), us(10)); val b = (1L, 2L, us(60), us(62))
+    val c = (2L, 1L, us(3), us(3)); val d = (2L, 1L, us(30), us(30))
+    assert(batchOut == Set(a, c), s"batch replay: $batchOut")
+    // the stream additionally closes B and D by watermark timeout; the
+    // sentinel's own session is still open (watermark never passed it)
+    assert(streamOut == Set(a, b, c, d), s"stream: $streamOut")
+    assert((streamOut -- batchOut) == Set(b, d))
+  }
+
   test("streamingDedup: first copy per fingerprint survives across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
