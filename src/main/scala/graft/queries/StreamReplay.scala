@@ -22,6 +22,18 @@ import graft.streaming.{DocStream, EventStream}
   */
 object StreamReplay extends QueryPack {
 
+  /** The events table with `ts` normalized to a microsecond timestamp
+    * (driver parquet stores TIMESTAMP(NANOS) read as LONG — see
+    * [[Events]]). */
+  private def events(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_admission_replay" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -46,13 +58,8 @@ object StreamReplay extends QueryPack {
     // the same layout the streaming state store uses.
     "st02_session_replay" -> ((s, d) => {
       import s.implicits._
-      val raw = t(s, d, "events")
-      val ev = (raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          // driver parquet stores TIMESTAMP(NANOS) read as LONG
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
-      }).select(col("ts"), col("user_id").as("userId"),
+      val ev = events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
           col("event_type").as("eventType"),
           col("value").cast("double").as("value"))
         .as[EventStream.Event]
@@ -60,7 +67,24 @@ object StreamReplay extends QueryPack {
         .toDF()
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
           col("startUs").as("session_start"), col("endUs").as("session_end"))
-    })
+    }),
+
+    // Batch REPLAY of the watermarked window aggregation: the identical
+    // declarative plan EventStream.windowedCounts attaches to a stream
+    // (Catalyst eliminates the no-op watermark in batch), over the bounded
+    // events table. `value` is fed as DECIMAL so the streaming sum is
+    // order-independent and engine-portable (the e01 money-math contract);
+    // the late-data semantics themselves are asserted against a real
+    // MemoryStream in EventStreamSpec.
+    "st03_window_replay" -> ((s, d) =>
+      EventStream.windowedCounts(
+          events(s, d).select(col("ts"),
+            col("event_type").as("eventType"),
+            col("value").cast("decimal(18,6)").as("value")),
+          windowLength = "1 hour", watermark = "2 hours")
+        .select(unix_timestamp(col("window_start")).as("window_start"),
+          col("eventType").as("event_type"), col("n_events"),
+          round(col("sum_value"), 4).cast("double").as("sum_value")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -118,6 +142,14 @@ object StreamReplay extends QueryPack {
         "min(ts_s) AS session_start, max(ts_s) AS session_end " +
         "FROM sessions GROUP BY user_id, seq) " +
         "SELECT user_id, n_events, session_start, session_end FROM agg " +
-        "WHERE seq < (SELECT max(seq) FROM agg a2 WHERE a2.user_id = agg.user_id)")
+        "WHERE seq < (SELECT max(seq) FROM agg a2 WHERE a2.user_id = agg.user_id)"),
+
+    "st03_window_replay" ->
+      // e01's tumbling-hour contract (DECIMAL-routed sum), replayed through
+      // the streaming operator on the Spark side
+      ("SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start, " +
+        "event_type, count(*) AS n_events, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2")
   )
 }
