@@ -729,6 +729,102 @@ class GraftTableSpec extends SparkSpecBase {
     java.nio.file.Files.delete(marker)
   }
 
+  test("expire racing appends: no commit lost, chain stays a contiguous suffix") {
+    val dir = tmpDir("graft-expire-race")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    (1 to 3).foreach(i => t.append(mkDf(i.toLong -> s"old$i"), Some(i * 1000L)))
+
+    // 3 appenders race a looping expirer. The interleaving the
+    // claim-recheck closes: a commit lands between expire's log read and
+    // its marker acquisition, expire then holds a marker for a CONSUMED
+    // id while a fresh committer claims the next one, and the two
+    // read-modify-writes of snapshots.json run unserialized — losing the
+    // commit or resurrecting the expired prefix. The invariants below
+    // must hold under EVERY interleaving.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val appenders = (1 to 3).map { i =>
+        Future(GraftTable.load(t.dir)
+          .appendWithRetry(mkDf((100L + i) -> s"new$i"), maxRetries = 50))
+      }
+      val expirer = Future {
+        (1 to 8).foreach { _ =>
+          try GraftTable.load(t.dir).expireSnapshots(olderThanMillis = 3500L)
+          catch { case _: java.util.ConcurrentModificationException => () }
+          Thread.sleep(5)
+        }
+      }
+      Await.result(Future.sequence(appenders :+ expirer), 120.seconds)
+    } finally pool.shutdown()
+
+    val r = GraftTable.load(t.dir)
+    // every racing append landed and the carried base rows survive
+    val ids = r.read(spark).select("id").collect().map(_.getLong(0)).toSet
+    assert(Set(101L, 102L, 103L).subsetOf(ids), s"lost commit: $ids")
+    assert(Set(1L, 2L, 3L).subsetOf(ids), s"carried rows lost: $ids")
+    // the log is a contiguous ascending id range (no resurrected prefix,
+    // no dropped mid-chain entry)
+    val snapIds = r.log.snapshots.map(_.snapshotId)
+    assert(snapIds == (snapIds.head to snapIds.last).toSeq,
+      s"chain broken: $snapIds")
+    // every file the current manifest references survived physical deletes
+    val manifest = Manifest.read(s"${r.dir}/${r.log.current.get.manifestList}")
+    manifest.files.foreach(f => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(r.dir, f.path)),
+      s"dangling manifest entry ${f.path}"))
+  }
+
+  test("tag racing expire: an accepted tag anchors its snapshot under every interleaving") {
+    val dir = tmpDir("graft-tag-race")
+    val t = GraftTable.create(s"$dir/t", simpleSchema)
+    (1 to 6).foreach(i => t.append(mkDf(i.toLong -> s"r$i"), Some(i * 1000L)))
+
+    // a tagger pins progressively newer snapshots while an expirer
+    // advances a rising cut behind it. Without the refs lock around the
+    // prefix computation + log rewrite, a tag committed between expire's
+    // refs read and its rewrite loses its anchor role and the tagged
+    // snapshot expires anyway; with it, tag() either lands (and the
+    // snapshot survives) or is loudly rejected against the pruned log.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val tagger = Future {
+        (1 to 5).foreach { i =>
+          try GraftTable.load(t.dir).tag(s"pin$i", i.toLong)
+          catch { case _: IllegalArgumentException => () } // already expired: loud reject
+          Thread.sleep(3)
+        }
+      }
+      val expirer = Future {
+        (1 to 5).foreach { i =>
+          try GraftTable.load(t.dir)
+            .expireSnapshots(olderThanMillis = i * 1000L + 500L)
+          catch { case _: java.util.ConcurrentModificationException => () }
+          Thread.sleep(3)
+        }
+      }
+      Await.result(Future.sequence(Seq(tagger, expirer)), 120.seconds)
+    } finally pool.shutdown()
+
+    val r = GraftTable.load(t.dir)
+    // refs and log can never disagree: every surviving tag resolves
+    r.refs.foreach { case (name, sid) =>
+      assert(r.log.byId(sid).isDefined,
+        s"tag $name anchors expired snapshot $sid — refs/log diverged")
+      assert(r.readTag(spark, name).count() >= 1L)
+    }
+    val snapIds = r.log.snapshots.map(_.snapshotId)
+    assert(snapIds == (snapIds.head to snapIds.last).toSeq,
+      s"chain broken: $snapIds")
+  }
+
   test("withCommitRetry: DML racing appends recomputes against the winner") {
     val dir = tmpDir("graft-dml-race")
     val t = GraftTable.create(s"$dir/t", simpleSchema)
