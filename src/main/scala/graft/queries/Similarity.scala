@@ -108,22 +108,19 @@ object Similarity extends QueryPack {
       nProbe: Int = 2,
       seed: Long = 23L,
       maxQueries: Int = 1024): DataFrame = {
-    val centers = seededCentroids(nCentroids, seed)
-    def sims(v: Column): Column = array(centers.zipWithIndex.map {
-      case (cv, i) => struct(
-        round(Dedup.cosineSim(v, typedLit(cv)), 6).as("sim"),
-        lit(i).as("cid"))
-    }: _*)
-    // one corpus scan, codegen'd literal-centroid argmax (struct ordering:
-    // max sim, ties to the larger cid — mirrored in the oracle's ORDER BY)
+    // fused-kernel cell assignment (CellAssign — the PqEncode pattern;
+    // bit-identical to the composed struct-argmax, ties to the larger
+    // cid, rounded sims mirrored in the oracle's ORDER BY)
+    val cb = graft.functions.CellAssign.codebook(
+      seededCentroids(nCentroids, seed), roundTo = 6)
     val assigned = corpus
       .select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
-      .withColumn("cid", array_max(sims(col("n_v"))).getField("cid"))
+      .withColumn("cid", graft.functions.CellAssign.cell_argmax(col("n_v"), cb))
     val q = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
       .limit(maxQueries)
-      .withColumn("probe",
-        explode(slice(reverse(array_sort(sims(col("q_v")))), 1, nProbe)))
-      .select(col("q_id"), col("q_v"), col("probe").getField("cid").as("cid"))
+      .withColumn("cid",
+        explode(graft.functions.CellAssign.cell_topn(col("q_v"), cb, nProbe)))
+      .select(col("q_id"), col("q_v"), col("cid"))
     // broadcast the LIMIT-bounded probe side (same rationale as
     // ivfProbeIndexed: nCentroids distinct join keys would collapse a
     // shuffle join's parallelism; broadcast keeps the corpus in place)
@@ -316,19 +313,10 @@ object Similarity extends QueryPack {
     val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
       .fit(c.select(array_to_vector(col("n_v")).as("features")))
     val centers: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    val assigned = c.withColumn("cid",
-      array_max(cellSims(col("n_v"), centers)).getField("cid"))
+    val assigned = c.withColumn("cid", graft.functions.CellAssign
+      .cell_argmax(col("n_v"), graft.functions.CellAssign.codebook(centers)))
     (assigned, centers)
   }
-
-  // (sim, cid) structs per centroid; struct ordering is lexicographic,
-  // so array_max = argmax by similarity (ties by centroid id — still
-  // deterministic)
-  private def cellSims(v: Column, centers: Seq[Seq[Double]]): Column =
-    array(centers.zipWithIndex.map { case (cv, i) =>
-      struct(Dedup.cosineSim(v, typedLit(cv)).as("sim"),
-        lit(i).as("cid"))
-    }: _*)
 
   /** IVF probe against a PREBUILT index ([[ivfIndex]]'s output, possibly
     * loaded back from storage): assign each query to its `nProbe` best
@@ -345,9 +333,9 @@ object Similarity extends QueryPack {
       maxQueries: Int = 1024): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
       .limit(maxQueries)
-      .withColumn("probe",
-        explode(slice(reverse(array_sort(cellSims(col("q_v"), centers))), 1, nProbe)))
-      .select(col("q_id"), col("q_v"), col("probe").getField("cid").as("cid"))
+      .withColumn("cid", explode(graft.functions.CellAssign.cell_topn(
+        col("q_v"), graft.functions.CellAssign.codebook(centers), nProbe)))
+      .select(col("q_id"), col("q_v"), col("cid"))
     // broadcast the (LIMIT-bounded) probe side: the join key has only
     // nCentroids distinct values, so a shuffle join here would hash the
     // whole corpus into nCentroids partitions (parallelism collapse +
@@ -497,14 +485,11 @@ object Similarity extends QueryPack {
       localKMeans(slices, codebook, iters = 8, seed = seed + mi).toArray
     }.toArray)
 
-    def cellSims(v: Column): Column = array(cells.zipWithIndex.map {
-      case (cv, i) =>
-        struct(Dedup.cosineSim(v, typedLit(cv)).as("sim"), lit(i).as("cid"))
-    }: _*)
+    val cellCb = graft.functions.CellAssign.codebook(cells)
 
     // index pass: one corpus scan emits (cell id, PQ codes) per vector
     val indexed = c.select(col("n_id"),
-      array_max(cellSims(col("n_v"))).getField("cid").as("cid"),
+      graft.functions.CellAssign.cell_argmax(col("n_v"), cellCb).as("cid"),
       ProductQuantization.pq_encode(col("n_v"), cb).as("codes"))
 
     // query side: nProbe probed cells × the PQ dot tables
@@ -513,10 +498,8 @@ object Similarity extends QueryPack {
     val probes = q0.select(col("q_id"),
         sqrt(dot_product(col("q_v"), col("q_v"))).as("q_norm"),
         ProductQuantization.pq_dot_tables(col("q_v"), cb).as("tab"),
-        explode(slice(reverse(array_sort(cellSims(col("q_v")))), 1, nProbe))
-          .as("probe"))
-      .select(col("q_id"), col("q_norm"), col("tab"),
-        col("probe").getField("cid").as("cid"))
+        explode(graft.functions.CellAssign.cell_topn(col("q_v"), cellCb,
+          nProbe)).as("cid"))
 
     // ADC inside probed cells only; broadcast the LIMIT-bounded probe side
     // (cid has nCells distinct values — a shuffle join would hash the
@@ -611,12 +594,8 @@ object Similarity extends QueryPack {
       .collect().map(_.getSeq[Double](1).toArray)
     val centers: Seq[Seq[Double]] =
       localKMeans(sampleRows, k, iters = 8, seed = seed).map(_.toSeq)
-    def cellSims(v: Column): Column = array(centers.zipWithIndex.map {
-      case (cv, i) =>
-        struct(Dedup.cosineSim(v, typedLit(cv)).as("sim"), lit(i).as("cid"))
-    }: _*)
-    val a = c.withColumn("cid",
-      array_max(cellSims(col("v"))).getField("cid"))
+    val a = c.withColumn("cid", graft.functions.CellAssign.cell_argmax(
+      col("v"), graft.functions.CellAssign.codebook(centers)))
     val keep = a.select(col("cid"), col("vid").as("kept_id"), col("v").as("kv"))
     val drop = a.select(col("cid"), col("vid").as("dropped_id"), col("v").as("dv"))
     keep.join(drop, Seq("cid"))
