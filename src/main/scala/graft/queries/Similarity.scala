@@ -140,20 +140,12 @@ object Similarity extends QueryPack {
       nTables: Int = 8,
       seed: Long = 11L,
       maxQueries: Int = 1024): DataFrame = {
-    // sign bits via the codegen'd cosine expression (same sign as the dot
-    // product — norms are positive); an aggregate(zip_with(…)) fold here
-    // would run interpreted on every row
-    def mkBucket(v: Column, planes: Seq[Array[Double]]): Column =
-      planes.zipWithIndex.map { case (p, i) =>
-        when(Dedup.cosineSim(v, typedLit(p.toSeq)) >= 0, lit(1L << i))
-          .otherwise(0L)
-      }.reduce(_ bitwiseOR _)
-    val tables = lshTables(nPlanes, nTables, seed)
+    // sign-bucket keys per table via the fused HyperplaneBuckets kernel
+    // (table index folded into the key; sign semantics identical to the
+    // composed when(cosine >= 0) fold — see LshBuckets)
+    val fam = graft.functions.LshBuckets.family(lshTables(nPlanes, nTables, seed))
     def buckets(v: Column): Column =
-      array(tables.zipWithIndex.map { case (planes, ti) =>
-        // disambiguate tables by folding the table index into the key
-        mkBucket(v, planes) + lit(ti.toLong * (1L << nPlanes))
-      }: _*)
+      graft.functions.LshBuckets.hyperplane_buckets(v, fam)
 
     val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
       .withColumn("bucket", explode(buckets(col("n_v"))))
