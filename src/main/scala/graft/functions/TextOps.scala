@@ -75,6 +75,71 @@ case class Bigrams(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Word k-grams of a token array, joined by single spaces — the shingle
+  * constructor of the whole MinHash/decontamination family, replacing the
+  * posexplode + window-`lead` spelling that sort-shuffled the ENTIRE
+  * corpus token stream by doc id just to look k-1 slots ahead inside an
+  * array each row already holds.
+  *
+  * Semantics mirror `Dedup.shingleRows` exactly (spec-pinned in
+  * TextOpsSpec, oracle-pinned by every d/st query):
+  *  - `n >= k`: the n-k+1 complete windows, `concat_ws(" ", …)`-joined;
+  *  - `0 <= n < k` with `k > 1`: ONE shingle of all tokens (the
+  *    short-doc collapse; an empty array yields `[""]` like
+  *    `concat_ws` on no tokens);
+  *  - `k == 1`: every token verbatim (an empty array yields no grams —
+  *    the unigram path never had a short-collapse row).
+  */
+case class KGrams(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "kgrams"
+
+  private val space = UTF8String.fromString(" ")
+
+  def grams(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val arr = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      arr(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    if (k == 1) {
+      new GenericArrayData(arr.asInstanceOf[Array[Any]])
+    } else if (n >= k) {
+      val out = new Array[Any](n - k + 1)
+      i = 0
+      while (i <= n - k) {
+        out(i) = UTF8String.concatWs(space,
+          java.util.Arrays.copyOfRange(arr, i, i + k): _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      new GenericArrayData(Array[Any](UTF8String.concatWs(space, arr: _*)))
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    grams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("kgrams", this, classOf[KGrams].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.grams($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KGrams =
+    copy(child = newChild)
+}
+
 /** Order-preserving `left` minus membership-in-`right` over string arrays.
   * `right` is expected SMALL (a stop set — tens of entries); membership is
   * a linear scan, which beats building a per-row hash set at that size.
@@ -142,6 +207,9 @@ object TextOps {
 
   /** Adjacent-token bigrams ("tok nxt") of a string-array column. */
   def bigrams(toks: Column): Column = b.column(Bigrams(b.expr(toks)))
+
+  /** Space-joined word k-grams with the shingleRows short-doc collapse. */
+  def kgrams(toks: Column, k: Int): Column = b.column(KGrams(b.expr(toks), k))
 
   /** `toks` with every element of the (small) `stop` array removed,
     * order preserved. */

@@ -11,6 +11,28 @@ import graft.functions.TextOps.{bigrams, remove_tokens}
   * re-shuffle the token stream to do per-row array work. */
 class TextOpsSpec extends SparkSpecBase {
 
+  test("kgrams: windows, short-doc collapse, k=1 verbatim, null stays null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("x", "y")),   // n < k: one all-token shingle
+      (3L, Seq.empty[String]), // empty: [""] for k>1
+      (4L, null.asInstanceOf[Seq[String]])
+    ).toDF("id", "toks")
+    val k3 = df.select(col("id"), TextOps.kgrams(col("toks"), 3).as("g"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(k3(1L) == Seq("a b c", "b c d"))
+    assert(k3(2L) == Seq("x y"))
+    assert(k3(3L) == Seq(""))
+    assert(k3(4L) == null)
+    val k1 = df.select(col("id"), TextOps.kgrams(col("toks"), 1).as("g"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(k1(1L) == Seq("a", "b", "c", "d"))
+    assert(k1(3L) == Seq.empty) // unigram path has no short-collapse row
+  }
+
   test("bigrams pairs adjacent tokens; <2 tokens yields empty; null stays null") {
     import spark.implicits._
     val df = Seq(
