@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Fused per-row kernels for the PORTABLE (md5-based) shingle path — the
+  * stateless streaming admission probe's per-row signature
+  * ([[graft.streaming.DocStream.dupProbe]], replayed as st01). The batch
+  * index side aggregates exploded rows; the probe side is per-row array
+  * work, where the composed spelling (`array_distinct(transform(grams,
+  * md5 → conv))` + one `array_min(transform(sh, (h*a+b) % M))` per
+  * permutation) runs INTERPRETED per element × perms. These two kernels
+  * are the codegen'd replacements; values are bit-identical (the st01
+  * oracle hash and DocStreamSpec's stream/batch parity both pin them).
+  */
+object PortableText {
+  private val b = org.apache.spark.sql.classic.GraftBridge
+  private val M31 = 2147483647L
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** `conv(substring(md5(s), 1, 15), 16, 10)` — the top 60 bits of the
+    * digest, big-endian — reduced mod 2^31-1. */
+  private[functions] def portableHashRed(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    // first 15 hex digits = bytes 0..6 plus the HIGH nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((h(7) & 0xf0L) >> 4)
+    v % M31
+  }
+
+  /** Distinct portable shingle hashes of a token array, first-occurrence
+    * order — `array_distinct(transform(kgrams(toks, k), g =>
+    * portableHashRed(g)))` fused into one pass. Short-doc collapse and
+    * the k=1 path follow [[KGrams]]. */
+  case class PortableShingles(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.sql}")
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "portable_shingles"
+
+    def hashes(toks: ArrayData): ArrayData = {
+      val grams = KGrams.compute(toks, k)
+      val n = grams.numElements()
+      val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
+      var i = 0
+      while (i < n) {
+        seen.add(portableHashRed(grams.getUTF8String(i).getBytes))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      hashes(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("portableShingles", this,
+        classOf[PortableShingles].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.hashes($v);")
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): PortableShingles = copy(child = newChild)
+  }
+
+  /** Per-permutation minima of the universal-hash family over a hash-set
+    * column — `array_min(transform(sh, h => (h*a_i + b_i) % M31))` for
+    * every i, fused into one pass → `array<long>` of length perms.
+    * An EMPTY input yields nulls per slot, matching `array_min` on an
+    * empty array (cannot arise from [[PortableShingles]], which emits at
+    * least one hash per non-null row). */
+  case class MinHashOverSet(child: Expression, coefs: Seq[(Long, Long)])
+      extends UnaryExpression {
+
+    @transient private lazy val coefA: Array[Long] = coefs.map(_._1).toArray
+    @transient private lazy val coefB: Array[Long] = coefs.map(_._2).toArray
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.sql}")
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "minhash_over_set"
+
+    def minima(sh: ArrayData): ArrayData = {
+      val n = sh.numElements()
+      if (n == 0) return new GenericArrayData(
+        Array.fill[Any](coefA.length)(null))
+      val out = new Array[Long](coefA.length)
+      java.util.Arrays.fill(out, Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val h = sh.getLong(j)
+        var i = 0
+        while (i < out.length) {
+          val hv = (coefA(i) * h + coefB(i)) % M31
+          if (hv < out(i)) out(i) = hv
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      minima(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("minhashOverSet", this,
+        classOf[MinHashOverSet].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.minima($v);")
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): MinHashOverSet = copy(child = newChild)
+  }
+
+  def portable_shingles(toks: Column, k: Int): Column =
+    b.column(PortableShingles(b.expr(toks), k))
+
+  def minhash_over_set(sh: Column, coefs: Seq[(Long, Long)]): Column =
+    b.column(MinHashOverSet(b.expr(sh), coefs.toVector))
+}

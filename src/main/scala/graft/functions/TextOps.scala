@@ -102,9 +102,26 @@ case class KGrams(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "kgrams"
 
+  def grams(toks: ArrayData): ArrayData = KGrams.compute(toks, k)
+
+  override protected def nullSafeEval(input: Any): Any =
+    grams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("kgrams", this, classOf[KGrams].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.grams($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KGrams =
+    copy(child = newChild)
+}
+
+object KGrams {
   private val space = UTF8String.fromString(" ")
 
-  def grams(toks: ArrayData): ArrayData = {
+  /** The k-gram construction, callable from sibling kernels
+    * ([[PortableText.PortableShingles]] fuses it with hashing). */
+  def compute(toks: ArrayData, k: Int): ArrayData = {
     val n = toks.numElements()
     val arr = new Array[UTF8String](n)
     var i = 0
@@ -127,17 +144,6 @@ case class KGrams(child: Expression, k: Int) extends UnaryExpression {
       new GenericArrayData(Array[Any](UTF8String.concatWs(space, arr: _*)))
     }
   }
-
-  override protected def nullSafeEval(input: Any): Any =
-    grams(input.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val self = ctx.addReferenceObj("kgrams", this, classOf[KGrams].getName)
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.grams($v);")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): KGrams =
-    copy(child = newChild)
 }
 
 /** Order-preserving `left` minus membership-in-`right` over string arrays.

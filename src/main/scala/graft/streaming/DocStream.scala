@@ -59,15 +59,21 @@ object DocStream {
     val (corpusDoc, corpusBanded) =
       Dedup.portableIndex(corpus, idCol, textCol, k, perms, bands)
 
-    // per-row shingle set: the BATCH pipeline's own shingle definition
-    // (shared, not re-implemented — parity cannot drift) with the
-    // portable reduced hash
-    val sh = Dedup.shingleHashes(col(textCol), k, Dedup.portableHashRed(_))
+    // per-row shingle set + signature via the fused portable kernels
+    // (PortableShingles/MinHashOverSet): same k-gram construction as the
+    // batch KGrams path and the same md5-prefix hash family, one
+    // codegen'd pass per row instead of interpreted
+    // array_distinct(transform(…)) + perms × array_min(transform(…)) —
+    // values bit-identical (kernel parity is property-tested in
+    // PortableTextSpec; the stream/batch agreement below pins it again)
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val sh = graft.functions.PortableText.portable_shingles(toks, k)
 
     // per-row signature: min over the shingle set per permutation —
     // identical values to the batch explode+min aggregation
-    val sigCols = coefs.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("sh_n"), h => (h * a + b) % Dedup.M31)).as(s"m$i")
+    val sigCols = coefs.indices.map { i =>
+      element_at(col("sig"), i + 1).as(s"m$i")
     }
     val signed = docStream
       // batch shingleRows silently drops NULL-text docs (null comparisons
@@ -75,6 +81,8 @@ object DocStream {
       // such docs an empty-string signature and verdicts would diverge
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("new_doc"), sh.as("sh_n"))
+      .withColumn("sig", graft.functions.PortableText
+        .minhash_over_set(col("sh_n"), coefs))
       .select(col("new_doc") +: col("sh_n") +: sigCols: _*)
 
     // same band-bucket strings as the corpus index
