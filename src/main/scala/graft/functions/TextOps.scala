@@ -75,6 +75,58 @@ case class Bigrams(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Whitespace tokenization — `filter(split([lower(]trim(text)[)],
+  * "\\s+"), t => length(t) > 0)` fused into one call. The composed
+  * spelling's `filter` is an interpreted higher-order lambda evaluated
+  * per token on EVERY corpus pass (the CLAUDE.md transform trap); this
+  * kernel calls the very same engine primitives (`UTF8String.trim`,
+  * `UTF8String.toLowerCase`, the Java regex Spark's `split` delegates
+  * to) and drops empties in the same loop — values identical by
+  * construction and spec-pinned in TextOpsSpec.
+  */
+case class Tokens(child: Expression, lowercase: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokens"
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def toks(s: UTF8String): ArrayData = {
+    val t0 = s.trim()
+    val t1 = if (lowercase) t0.toLowerCase else t0
+    val parts = ws.split(t1.toString, -1)
+    val out = new Array[Any](parts.length)
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) {
+        out(n) = UTF8String.fromString(parts(i))
+        n += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (n == out.length) out else out.take(n))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    toks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokens", this, classOf[Tokens].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.toks($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+}
+
 /** Word k-grams of a token array, joined by single spaces — the shingle
   * constructor of the whole MinHash/decontamination family, replacing the
   * posexplode + window-`lead` spelling that sort-shuffled the ENTIRE
@@ -216,6 +268,10 @@ object TextOps {
 
   /** Space-joined word k-grams with the shingleRows short-doc collapse. */
   def kgrams(toks: Column, k: Int): Column = b.column(KGrams(b.expr(toks), k))
+
+  /** Non-empty whitespace tokens of `trim(text)` (optionally lowered). */
+  def tokens(text: Column, lowercase: Boolean = true): Column =
+    b.column(Tokens(b.expr(text), lowercase))
 
   /** `toks` with every element of the (small) `stop` array removed,
     * order preserved. */

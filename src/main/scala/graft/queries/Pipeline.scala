@@ -15,8 +15,8 @@ object Pipeline extends QueryPack {
   val queries: Map[String, Q] = Map(
     "p01_prep_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val toks = filter(split(trim(col("text")), "\\s+"),
-        x => length(x) > 0)
+      val toks = graft.functions.TextOps.tokens(col("text"),
+        lowercase = false)
       val quality = docs
         .withColumn("n_tokens", size(toks))
         .withColumn("clean_ratio",
@@ -41,7 +41,8 @@ object Pipeline extends QueryPack {
       val evalPred = col("doc_id") % 10 === 0
       val quality = docs
         .withColumn("n_toks",
-          size(filter(split(trim(col("text")), "\\s+"), x => length(x) > 0)))
+          size(graft.functions.TextOps.tokens(col("text"),
+            lowercase = false)))
         .withColumn("clean_ratio",
           length(regexp_replace(col("text"), "[^a-zA-Z ]", ""))
             .cast("double") / greatest(length(col("text")), lit(1)))
@@ -58,8 +59,7 @@ object Pipeline extends QueryPack {
         .orderBy(col("doc_id").asc)
       val kept = clean.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-      val chunkToks = filter(split(lower(trim(col("text"))), "\\s+"),
-        x => length(x) > 0)
+      val chunkToks = graft.functions.TextOps.tokens(col("text"))
       kept.select(col("doc_id"), chunkToks.as("t"))
         .withColumn("n", size(col("t")))
         .filter(col("n") > 0)

@@ -19,7 +19,7 @@ object TextAnalysis extends QueryPack {
   /** Whitespace token count as a reusable Column expression. Empty/blank
     * text counts 0 (`split` on blank yields one empty token — filtered). */
   private def tokenCount(c: org.apache.spark.sql.Column) =
-    size(filter(split(trim(c), "\\s+"), t => length(t) > 0))
+    size(graft.functions.TextOps.tokens(c, lowercase = false))
 
   val queries: Map[String, Q] = Map(
 
@@ -29,8 +29,8 @@ object TextAnalysis extends QueryPack {
       t(s, d, "documents").select(
         col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
-        size(array_distinct(filter(split(trim(col("text")), "\\s+"),
-          x => length(x) > 0))).as("n_distinct_tokens"),
+        size(array_distinct(graft.functions.TextOps
+          .tokens(col("text"), lowercase = false))).as("n_distinct_tokens"),
         floor(length(col("text")) / 4).cast("int").as("n_tokens_bpe_est"))),
 
     // quality scoring: integer counts + one ratio, all deterministic.
@@ -75,8 +75,7 @@ object TextAnalysis extends QueryPack {
     // window lead keeps it codegen'd (same shape as the dedup shingles);
     // one shuffle for the count.
     "t06_bigrams" -> ((s, d) => {
-      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
-        x => length(x) > 0)
+      val toks = graft.functions.TextOps.tokens(col("text"))
       val tokRows = t(s, d, "documents")
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
@@ -187,8 +186,7 @@ object TextAnalysis extends QueryPack {
     "t11_tfidf_terms" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("doc_id") < 50)
       val toks = docs.select(col("doc_id"),
-        explode(filter(split(lower(trim(col("text"))), "\\s+"),
-          x => length(x) > 0)).as("tok"))
+        explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       val dfreq = toks.select("doc_id", "tok").distinct()
         .groupBy("tok").agg(count(lit(1)).as("df"))
@@ -228,8 +226,7 @@ object TextAnalysis extends QueryPack {
     // same doc. High ratio = boilerplate/looping text. One explode + one
     // two-level aggregation; map-side partial aggregation carries it.
     "t13_repetition" -> ((s, d) => {
-      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
-        x => length(x) > 0)
+      val toks = graft.functions.TextOps.tokens(col("text"))
       val docs = t(s, d, "documents")
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) >= 3)
@@ -259,8 +256,7 @@ object TextAnalysis extends QueryPack {
     // pipeline with no shuffle. The md5 digest makes chunk CONTENT
     // (not just boundaries) oracle-checked.
     "t14_chunking" -> ((s, d) => {
-      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
-        x => length(x) > 0)
+      val toks = graft.functions.TextOps.tokens(col("text"))
       t(s, d, "documents")
         .select(col("doc_id"), toks.as("t"))
         .withColumn("n", size(col("t")))
@@ -282,8 +278,7 @@ object TextAnalysis extends QueryPack {
     // doc, then per-doc rollup) — map-side partials carry both; ratios
     // are single IEEE divisions so the DuckDB oracle hash-matches.
     "t15_gopher_rules" -> ((s, d) => {
-      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
-        x => length(x) > 0)
+      val toks = graft.functions.TextOps.tokens(col("text"))
       val perTok = t(s, d, "documents")
         .select(col("doc_id"), explode(toks).as("tok"))
         .groupBy("doc_id", "tok")
@@ -320,8 +315,7 @@ object TextAnalysis extends QueryPack {
     // stream by doc_id just to look one array slot ahead.
     // O(total tokens) end to end.
     "t16_rare_bigrams" -> ((s, d) => {
-      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
-        x => length(x) > 0)
+      val toks = graft.functions.TextOps.tokens(col("text"))
       val bg = t(s, d, "documents")
         .select(col("doc_id"),
           explode(graft.functions.TextOps.bigrams(toks)).as("bigram"))
@@ -384,8 +378,7 @@ object TextAnalysis extends QueryPack {
     "t18_bpe_tokens" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val (_, vocab) = bpeMerges(docs, "text", nMerges = 16)
-      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
-        x => length(x) > 0)
+      val toks = graft.functions.TextOps.tokens(col("text"))
       docs.select(col("doc_id"), explode(toks).as("w"))
         .join(vocab, "w")
         .groupBy("doc_id")
@@ -403,8 +396,7 @@ object TextAnalysis extends QueryPack {
     // Rows-only: merge order varies with scheduling, so estimates are
     // run-dependent within the bound; SpaceSavingSpec pins the bounds.
     "t19_heavy_hitters" -> ((s, d) => {
-      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
-        x => length(x) > 0)
+      val toks = graft.functions.TextOps.tokens(col("text"))
       t(s, d, "documents")
         .select(explode(toks).as("tok"))
         .agg(graft.functions.SpaceSavingSketch
@@ -428,8 +420,7 @@ object TextAnalysis extends QueryPack {
     // array_sort reassembly (two more corpus-wide shuffles to rebuild an
     // order the input array never lost) is gone.
     "t21_stopword_strip" -> ((s, d) => {
-      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
-        x => length(x) > 0)
+      val toks = graft.functions.TextOps.tokens(col("text"))
       val docs = t(s, d, "documents")
       val dfreq = docs.select(col("doc_id"), explode(toks).as("tok"))
         .distinct()
@@ -481,8 +472,7 @@ object TextAnalysis extends QueryPack {
       textCol: String,
       nMerges: Int,
       trainCap: Int = 4096): (Seq[(String, String)], org.apache.spark.sql.DataFrame) = {
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
-      x => length(x) > 0)
+    val toks = graft.functions.TextOps.tokens(col(textCol))
     val wordCounts = docs
       .select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))

@@ -24,11 +24,11 @@ import graft.queries.Dedup
   *  - the exact-Jaccard verify is another stream-static join on the
   *    collision candidates only.
   *
-  * The per-row signature pays the interpreted higher-order-lambda path
-  * (k-shingle transform + one array_min(transform) per permutation) — the
-  * price of statelessness. Per arriving doc that is O(tokens · perms)
-  * work with no shuffle at all, which is the right trade on an admission
-  * path; bulk (re)deduplication stays on the codegen'd batch plan.
+  * The per-row signature runs through the fused portable kernels
+  * ([[graft.functions.PortableText]]: tokens → k-gram md5-prefix hash set
+  * → all permutation minima), so statelessness costs O(tokens · perms)
+  * CODEGEN'D work per arriving doc with no shuffle at all; bulk
+  * (re)deduplication stays on the batch explode+aggregate plan.
   *
   * A doc colliding with the same corpus doc in several bands emits that
   * pair once per band (dedup would need a state store); downstream either
@@ -66,8 +66,7 @@ object DocStream {
     // array_distinct(transform(…)) + perms × array_min(transform(…)) —
     // values bit-identical (kernel parity is property-tested in
     // PortableTextSpec; the stream/batch agreement below pins it again)
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
-      t => length(t) > 0)
+    val toks = graft.functions.TextOps.tokens(col(textCol))
     val sh = graft.functions.PortableText.portable_shingles(toks, k)
 
     // per-row signature: min over the shingle set per permutation —

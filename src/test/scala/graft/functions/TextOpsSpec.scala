@@ -11,6 +11,28 @@ import graft.functions.TextOps.{bigrams, remove_tokens}
   * re-shuffle the token stream to do per-row array work. */
 class TextOpsSpec extends SparkSpecBase {
 
+  test("tokens matches the composed filter(split(lower(trim)))) chain") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  The  Quick\tbrown\nfox  "),
+      (2L, ""), (3L, "   "), (4L, "\t\nMiXeD Case\t"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    for (lower <- Seq(true, false)) {
+      val base = if (lower) org.apache.spark.sql.functions.lower(trim(col("text")))
+        else trim(col("text"))
+      val want = df.select(col("id"),
+        filter(split(base, "\\s+"), t => length(t) > 0).as("toks"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+      val got = df.select(col("id"),
+        TextOps.tokens(col("text"), lowercase = lower).as("toks"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+      assert(got == want, s"lowercase=$lower: got=$got want=$want")
+    }
+  }
+
   test("kgrams: windows, short-doc collapse, k=1 verbatim, null stays null") {
     import spark.implicits._
     val df = Seq(
