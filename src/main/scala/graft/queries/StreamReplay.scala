@@ -57,12 +57,7 @@ object StreamReplay extends QueryPack {
     // of ONE USER's events — bounded per key, shuffles once on user_id,
     // the same layout the streaming state store uses.
     "st02_session_replay" -> ((s, d) => {
-      import s.implicits._
-      val ev = events(s, d)
-        .select(col("ts"), col("user_id").as("userId"),
-          col("event_type").as("eventType"),
-          col("value").cast("double").as("value"))
-        .as[EventStream.Event]
+      val ev = typedEvents(s, d)
       EventStream.sessionize(ev, gapSeconds = 1800)
         .toDF()
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
@@ -84,8 +79,42 @@ object StreamReplay extends QueryPack {
           windowLength = "1 hour", watermark = "2 hours")
         .select(unix_timestamp(col("window_start")).as("window_start"),
           col("eventType").as("event_type"), col("n_events"),
-          round(col("sum_value"), 4).cast("double").as("sum_value")))
+          round(col("sum_value"), 4).cast("double").as("sum_value"))),
+
+    // Batch REPLAY of the stateful ordered funnel: mapGroupsWithState in
+    // batch mode invokes the fold once per user with empty state, emitting
+    // each user's final stage. The view→click→purchase tie-break makes the
+    // fold equal the batch window-chain's min-based semantics (e10), so
+    // the oracle replays those window minima and classifies per user.
+    "st04_funnel_replay" -> ((s, d) => {
+      import s.implicits._
+      val ev = typedEvents(s, d)
+      EventStream.funnelStages(ev).toDF()
+        .select(col("userId").as("user_id"), col("stage"))
+    }),
+
+    // Batch REPLAY of the stateful cohort-retention tracker: one fold per
+    // user pins the cohort day (min epoch-day) and flips the d1/w1 return
+    // flags — deterministic at day granularity, mirrored exactly by the
+    // grouped oracle.
+    "st05_retention_replay" -> ((s, d) => {
+      import s.implicits._
+      val ev = typedEvents(s, d)
+      EventStream.retentionFlags(ev).toDF()
+        .select(col("userId").as("user_id"),
+          col("cohortDay").as("cohort_day"),
+          col("retD1").as("ret_d1"), col("retW1").as("ret_w1"))
+    })
   )
+
+  /** The events table as the streaming surface's typed Event rows. */
+  private def typedEvents(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    events(s, d).select(col("ts"), col("user_id").as("userId"),
+        col("event_type").as("eventType"),
+        col("value").cast("double").as("value"))
+      .as[EventStream.Event]
+  }
 
   val oracleSql: Map[String, String] = Map(
     "st01_admission_replay" -> {
@@ -150,6 +179,25 @@ object StreamReplay extends QueryPack {
       ("SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start, " +
         "event_type, count(*) AS n_events, " +
         "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value " +
-        "FROM events GROUP BY 1, 2")
+        "FROM events GROUP BY 1, 2"),
+
+    "st04_funnel_replay" ->
+      // e10's chained window minima, classified per user — equal to the
+      // fold because the replay's tie-break is funnel order
+      ("WITH w1 AS (SELECT user_id, ts, event_type, " +
+        "min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS fv FROM events), " +
+        "w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= fv THEN ts END) OVER (PARTITION BY user_id) AS fc FROM w1), " +
+        "w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= fc THEN ts END) OVER (PARTITION BY user_id) AS fp FROM w2) " +
+        "SELECT user_id, max(CASE WHEN fp IS NOT NULL THEN 3 " +
+        "WHEN fc IS NOT NULL THEN 2 WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS stage " +
+        "FROM w3 GROUP BY 1"),
+
+    "st05_retention_replay" ->
+      ("WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
+        "c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1) " +
+        "SELECT d.user_id, cohort_day, " +
+        "bool_or(day - cohort_day = 1) AS ret_d1, " +
+        "bool_or(day - cohort_day BETWEEN 1 AND 7) AS ret_w1 " +
+        "FROM d JOIN c USING (user_id) GROUP BY 1, 2")
   )
 }

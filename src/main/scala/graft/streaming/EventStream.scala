@@ -135,14 +135,19 @@ object EventStream {
     * stage (0-3) each micro-batch (Update output mode).
     *
     * State is THREE microsecond timestamps per user, updated in event-time
-    * order within each batch; with in-order delivery the incremental
-    * result equals the batch window-chain exactly (an earlier-timestamped
-    * view arriving AFTER a later one was folded is the standard
-    * incremental-funnel approximation — same trade as any streaming
-    * funnel). For unbounded user cardinality, compose with a state
-    * timeout (as [[sessionize]] does) to expire quiet users. */
+    * order within each batch — ties broken by funnel order (view before
+    * click before purchase), which makes the fold DETERMINISTIC and equal
+    * to the batch window-chain's min-based semantics (a click at exactly
+    * the first-view timestamp counts, matching `min(click >= fv)`); with
+    * in-order delivery the incremental result equals the batch answer
+    * exactly (an earlier-timestamped view arriving AFTER a later one was
+    * folded is the standard incremental-funnel approximation — same trade
+    * as any streaming funnel). For unbounded user cardinality, compose
+    * with a state timeout (as [[sessionize]] does) to expire quiet
+    * users. */
   def funnelStages(events: Dataset[Event]): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
+    val prio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
     events
       .groupByKey(_.userId)
       .mapGroupsWithState[FunnelState, FunnelOut](
@@ -150,7 +155,8 @@ object EventStream {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(None, None, None))
           rows.map(e => (micros(e.ts), e.eventType)).toSeq
-            .sortBy(_._1).foreach { case (us, t) =>
+            .sortBy { case (us, t) => (us, prio.getOrElse(t, 3)) }
+            .foreach { case (us, t) =>
               if (t == "view" && s.fv.isEmpty)
                 s = s.copy(fv = Some(us))
               else if (t == "click" && s.fc.isEmpty && s.fv.exists(_ <= us))
