@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * and costs seconds of Janino compile time per plan, while these two
   * expressions generate one tight loop each regardless of m and k.
   */
-case class PqCodebook(books: Array[Array[Array[Double]]]) extends Serializable {
+case class PqCodebook(books: Array[Array[Array[Double]]], roundTo: Int = -1)
+    extends Serializable {
   val m: Int = books.length
   val k: Int = books(0).length
   val sub: Int = books(0)(0).length
@@ -36,6 +37,12 @@ case class PqCodebook(books: Array[Array[Array[Double]]]) extends Serializable {
   * (exact L2 argmin per subspace, first-match-wins ties) →
   * `array<int>` of length m. One fused loop in both interpreted and
   * codegen paths.
+  *
+  * With `cb.roundTo >= 0` the argmin compares `round(sqrt(dist), roundTo)`
+  * (Spark `round` = BigDecimal HALF_UP) instead of the raw squared
+  * distance — the seeded-oracle twin pins near-tie argmins on BOTH
+  * engines that way (the CellCodebook rounding discipline; DuckDB mirrors
+  * with `round(list_distance(..), roundTo)` and code-asc tie order).
   */
 case class PqEncode(child: Expression, cb: PqCodebook)
     extends UnaryExpression {
@@ -69,7 +76,11 @@ case class PqEncode(child: Expression, cb: PqCodebook)
           dist += t * t
           i += 1
         }
-        if (dist < bestD) { bestD = dist; best = j }
+        val d =
+          if (cb.roundTo < 0) dist
+          else java.math.BigDecimal.valueOf(math.sqrt(dist))
+            .setScale(cb.roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (d < bestD) { bestD = d; best = j }
         j += 1
       }
       out(mi) = best

@@ -108,7 +108,9 @@ object MultimodalQueries extends QueryPack {
 
     // composition: stub-decoded features -> nearest-neighbor assets by the
     // native cosine expression (decode feeds ANN with no intermediate
-    // materialization — one plan end to end; rows-only)
+    // materialization — one plan end to end). Oracle-hashed: the stub's
+    // float windowed-mean features replay exactly in DuckDB REAL math
+    // (see oracleSql), so the decode→ANN composition is hash-checked.
     "m04_feature_knn" -> ((s, d) => {
       val assets = t(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -197,6 +199,50 @@ object MultimodalQueries extends QueryPack {
          |SELECT phash, count(*) AS n_assets,
          |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS assets
          |FROM bits GROUP BY phash HAVING count(*) >= 2""".stripMargin),
+
+    // The stub's 8 windowed-mean features are pure integer window
+    // arithmetic plus two FLOAT divisions (sw.toFloat / len / 255f) —
+    // DuckDB REAL division is the same IEEE float32 op (verified: REAL /
+    // REAL stays REAL and rounds identically), so the oracle rebuilds the
+    // exact feature vectors from the ASCII bytes and replays the brute
+    // top-k. Window w of an n-byte payload starts at (w*n) div 8 and
+    // spans min(max(1, n div 8), n - start) bytes — floor division, NOT
+    // a tiling (gaps appear when 8 ∤ n), so starts/lengths replay
+    // explicitly rather than assigning bytes to windows.
+    "m04_feature_knn" ->
+      ("""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         |win AS (
+         |  SELECT d.doc_id, w.w, (w.w * d.len) // 8 AS strt,
+         |         LEAST(GREATEST(1, d.len // 8),
+         |               d.len - (w.w * d.len) // 8) AS wlen
+         |  FROM d, (SELECT unnest(generate_series(0, 7)) AS w) w
+         |), b AS (
+         |  SELECT doc_id, unnest(generate_series(1, len)) AS i FROM d
+         |), sums AS (
+         |  SELECT win.doc_id, win.w, win.wlen,
+         |         sum(ord(substring(d.text, b.i, 1))) AS sw
+         |  FROM win
+         |  JOIN b ON b.doc_id = win.doc_id
+         |        AND b.i > win.strt AND b.i <= win.strt + win.wlen
+         |  JOIN d ON d.doc_id = win.doc_id
+         |  GROUP BY 1, 2, 3
+         |), feats AS (
+         |  SELECT doc_id,
+         |         list(CAST(CAST(CAST(sw AS REAL) / CAST(wlen AS REAL) AS REAL)
+         |              / CAST(255 AS REAL) AS DOUBLE) ORDER BY w) AS v
+         |  FROM sums GROUP BY doc_id
+         |), q AS (SELECT * FROM feats WHERE doc_id < 3),
+         |scored AS (
+         |  SELECT q.doc_id AS q_id, f.doc_id AS n_id,
+         |         list_cosine_similarity(q.v, f.v) AS cos
+         |  FROM q JOIN feats f ON f.doc_id <> q.doc_id
+         |), ranked AS (
+         |  SELECT q_id, n_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rank <= 5""".stripMargin),
 
     // frame sampling touches only LENGTHS (frame i of an n-byte payload
     // spans [i*fs, min((i+1)*fs, n)) with fs = max(1, n div 4)), so the

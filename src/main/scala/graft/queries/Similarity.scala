@@ -221,6 +221,36 @@ object Similarity extends QueryPack {
         "embedding", k = 10)
     }),
 
+    // PQ with a SEEDED literal codebook — the oracle-hashed twin of s06
+    // (same encode → ADC → rerank-cut → exact-rerank plan; only the
+    // codebook training differs), so the PQ machinery itself is
+    // hash-checked
+    "s10_knn_pq_seeded" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      pqTopKSeeded(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10)
+    }),
+
+    // IVF-PQ with BOTH quantizers seeded — the oracle-hashed twin of s08
+    // (same index → probe → ADC → rerank plan), completing the seeded-twin
+    // family: every ANN path (LSH s02, IVF s09, PQ s10, IVF-PQ s11) has a
+    // hash-checked variant while the trained forms keep recall specs
+    "s11_knn_ivfpq_seeded" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ivfPqTopKSeeded(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10)
+    }),
+
+    // SPHERICAL-KMEANS Lloyd step with SEEDED centroids — the machinery
+    // twin of s04 (assign every vector to its best centroid, then reduce
+    // per-cell coordinate sums + member counts: exactly the corpus pass
+    // KMeans‖ repeats per iteration). Coordinates ship as floor(x·2^24)
+    // integers so the per-cell sums are exact and order-independent —
+    // hash-checkable despite the shuffle — while the trained s04 path
+    // stays rows-only
+    "s12_lloyd_step_seeded" -> ((s, d) =>
+      lloydStepSeeded(t(s, d, "embeddings"), "vec_id", "embedding", k = 10)),
+
     // RETRIEVAL composition (the RAG read path): exact top-k vector
     // search, then the hits joined back to the documents table for their
     // text — the k×queries result relation is tiny, so the doc fetch is
@@ -377,8 +407,7 @@ object Similarity extends QueryPack {
       seed: Long = 7L,
       maxQueries: Int = 1024,
       trainCap: Int = 2048): DataFrame = {
-    import graft.functions.DotProduct.dot_product
-    import graft.functions.{PqCodebook, ProductQuantization}
+    import graft.functions.PqCodebook
     val dim = 64
     val sub = dim / m
 
@@ -394,14 +423,69 @@ object Similarity extends QueryPack {
       val slices = sampleRows.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
       localKMeans(slices, codebook, iters = 8, seed = seed + mi).toArray
     }.toArray)
+    val q0 = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+      .limit(maxQueries)
+    pqAdcTopK(c, q0, cb, k, rerank)
+  }
+
+  /** Seeded random per-subspace codebooks — [[seededCentroids]] for PQ;
+    * shared by the s10 Spark query and its DuckDB oracle. */
+  private[queries] def seededPqBooks(
+      m: Int, k: Int, seed: Long, dim: Int = 64): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    val sub = dim / m
+    Array.fill(m)(Array.fill(k)(Array.fill(sub)(rng.nextGaussian())))
+  }
+
+  /** Portable-twin PQ (the s09 pattern applied to s06): the SAME
+    * encode → ADC scan → bounded-heap candidate cut → exact re-rank
+    * machinery as [[pqTopK]], but the codebook is seeded LITERAL random
+    * codewords instead of trained k-means, so the DuckDB oracle replays
+    * encoding (rounded-L2 argmin, code-asc ties), the ADC projection
+    * (identical left-assoc summation order), the rerank cut
+    * (approx desc, id asc — the bounded-heap total order) and the exact
+    * re-rank end to end, hash-checking the whole PQ path. Near-tie
+    * comparisons go through `round(_, 6)` on BOTH sides (encode distance
+    * and ADC score), the CellCodebook discipline. */
+  def pqTopKSeeded(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      codebook: Int = 16,
+      rerank: Int = 256,
+      seed: Long = 31L,
+      maxQueries: Int = 1024): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
+    val q0 = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+      .limit(maxQueries)
+    val cb = graft.functions.PqCodebook(seededPqBooks(m, codebook, seed), roundTo = 6)
+    pqAdcTopK(c, q0, cb, k, rerank, roundApprox = 6)
+  }
+
+  /** The PQ ADC plan shared by the trained ([[pqTopK]]) and seeded
+    * ([[pqTopKSeeded]]) paths: encode the corpus, score with per-query dot
+    * tables, cut to `rerank` candidates with the bounded heap, re-rank the
+    * survivors exactly. `roundApprox >= 0` rounds the ADC score before the
+    * candidate cut (seeded-oracle determinism). */
+  private def pqAdcTopK(
+      c: DataFrame,
+      q0: DataFrame,
+      cb: graft.functions.PqCodebook,
+      k: Int,
+      rerank: Int,
+      roundApprox: Int = -1): DataFrame = {
+    import graft.functions.DotProduct.dot_product
+    import graft.functions.ProductQuantization
+    val m = cb.m
 
     // encode: exact-L2 nearest codeword per subspace, one fused loop
     val codes = c.select(col("n_id"),
       ProductQuantization.pq_encode(col("n_v"), cb).as("codes"))
 
     // query side: per-subspace dot tables against the codebook
-    val q0 = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
-      .limit(maxQueries)
     val qTabs = q0.select(col("q_id"),
       sqrt(dot_product(col("q_v"), col("q_v"))).as("q_norm"),
       ProductQuantization.pq_dot_tables(col("q_v"), cb).as("tab"))
@@ -415,8 +499,10 @@ object Similarity extends QueryPack {
     val approxNormSq = (0 until m)
       .map(mi => element_at(element_at(normSqLit, mi + 1),
         element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
+    val approxRaw = approxDot / (col("q_norm") * sqrt(approxNormSq))
+    val approxCos = if (roundApprox < 0) approxRaw else round(approxRaw, roundApprox)
     val cand = codes.join(broadcast(qTabs), col("n_id") =!= col("q_id"))
-      .withColumn("approx_cos", approxDot / (col("q_norm") * sqrt(approxNormSq)))
+      .withColumn("approx_cos", approxCos)
       .groupBy(col("q_id"))
       .agg(graft.functions.GraftFunctions
         .top_k_by_score(col("approx_cos"), col("n_id"), rerank).as("top"))
@@ -459,8 +545,7 @@ object Similarity extends QueryPack {
       seed: Long = 7L,
       maxQueries: Int = 1024,
       trainCap: Int = 2048): DataFrame = {
-    import graft.functions.DotProduct.dot_product
-    import graft.functions.{PqCodebook, ProductQuantization}
+    import graft.functions.PqCodebook
     val dim = 64
     val sub = dim / m
 
@@ -476,8 +561,56 @@ object Similarity extends QueryPack {
         java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
       localKMeans(slices, codebook, iters = 8, seed = seed + mi).toArray
     }.toArray)
+    val q0 = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+      .limit(maxQueries)
+    ivfPqAdcTopK(c, q0, graft.functions.CellAssign.codebook(cells), cb,
+      k, nProbe, rerank)
+  }
 
-    val cellCb = graft.functions.CellAssign.codebook(cells)
+  /** Portable-twin IVF-PQ (the s09+s10 patterns composed): the SAME
+    * cell-index → probed-cell ADC → rerank-cut → exact-rerank machinery
+    * as [[ivfPqTopK]], with BOTH quantizers seeded literals, so the DuckDB
+    * oracle replays the full FAISS-shape `IVFx,PQy` read path end to end
+    * and it is hash-checked. All near-tie comparisons round at 6 decimals
+    * on both engines (cell sims, encode distances, ADC scores). */
+  def ivfPqTopKSeeded(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 8,
+      nProbe: Int = 3,
+      m: Int = 8,
+      codebook: Int = 16,
+      rerank: Int = 256,
+      seedCells: Long = 53L,
+      seedPq: Long = 61L,
+      maxQueries: Int = 1024): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_v"))
+    val q0 = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+      .limit(maxQueries)
+    val cellCb = graft.functions.CellAssign.codebook(
+      seededCentroids(nCells, seedCells), roundTo = 6)
+    val cb = graft.functions.PqCodebook(
+      seededPqBooks(m, codebook, seedPq), roundTo = 6)
+    ivfPqAdcTopK(c, q0, cellCb, cb, k, nProbe, rerank, roundApprox = 6)
+  }
+
+  /** The IVF-PQ plan shared by the trained ([[ivfPqTopK]]) and seeded
+    * ([[ivfPqTopKSeeded]]) paths. */
+  private def ivfPqAdcTopK(
+      c: DataFrame,
+      q0: DataFrame,
+      cellCb: graft.functions.CellCodebook,
+      cb: graft.functions.PqCodebook,
+      k: Int,
+      nProbe: Int,
+      rerank: Int,
+      roundApprox: Int = -1): DataFrame = {
+    import graft.functions.DotProduct.dot_product
+    import graft.functions.ProductQuantization
+    val m = cb.m
 
     // index pass: one corpus scan emits (cell id, PQ codes) per vector
     val indexed = c.select(col("n_id"),
@@ -485,8 +618,6 @@ object Similarity extends QueryPack {
       ProductQuantization.pq_encode(col("n_v"), cb).as("codes"))
 
     // query side: nProbe probed cells × the PQ dot tables
-    val q0 = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
-      .limit(maxQueries)
     val probes = q0.select(col("q_id"),
         sqrt(dot_product(col("q_v"), col("q_v"))).as("q_norm"),
         ProductQuantization.pq_dot_tables(col("q_v"), cb).as("tab"),
@@ -503,9 +634,11 @@ object Similarity extends QueryPack {
     val approxNormSq = (0 until m)
       .map(mi => element_at(element_at(normSqLit, mi + 1),
         element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
+    val approxRaw = approxDot / (col("q_norm") * sqrt(approxNormSq))
+    val approxCos = if (roundApprox < 0) approxRaw else round(approxRaw, roundApprox)
     val cand = indexed.join(broadcast(probes), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("approx_cos", approxDot / (col("q_norm") * sqrt(approxNormSq)))
+      .withColumn("approx_cos", approxCos)
       .groupBy(col("q_id"))
       .agg(graft.functions.GraftFunctions
         .top_k_by_score(col("approx_cos"), col("n_id"), rerank).as("top"))
@@ -586,8 +719,19 @@ object Similarity extends QueryPack {
       .collect().map(_.getSeq[Double](1).toArray)
     val centers: Seq[Seq[Double]] =
       localKMeans(sampleRows, k, iters = 8, seed = seed).map(_.toSeq)
+    semanticDedupWithCenters(c, centers, tau)
+  }
+
+  /** The SemDeDup cell-block + within-cell pair scan, parameterized by the
+    * cell centers — shared by the trained path ([[semanticDedup]]) and the
+    * seeded oracle twin ([[semanticDedupSeeded]]). */
+  private def semanticDedupWithCenters(
+      c: DataFrame,
+      centers: Seq[Seq[Double]],
+      tau: Double,
+      roundTo: Int = -1): DataFrame = {
     val a = c.withColumn("cid", graft.functions.CellAssign.cell_argmax(
-      col("v"), graft.functions.CellAssign.codebook(centers)))
+      col("v"), graft.functions.CellAssign.codebook(centers, roundTo)))
     val keep = a.select(col("cid"), col("vid").as("kept_id"), col("v").as("kv"))
     val drop = a.select(col("cid"), col("vid").as("dropped_id"), col("v").as("dv"))
     keep.join(drop, Seq("cid"))
@@ -599,6 +743,54 @@ object Similarity extends QueryPack {
         count(lit(1)).as("n_witnesses"),
         round(max(col("cos")), 6).as("max_cos"))
       .orderBy("dropped_id")
+  }
+
+  /** Portable-twin SemDeDup (the s09 pattern applied to d11): the SAME
+    * cell-block + within-cell cosine machinery as [[semanticDedup]], but
+    * the cells come from a seeded LITERAL codebook instead of trained
+    * k-means, so the DuckDB oracle replays assignment and pair scan end to
+    * end and the SemDeDup path is hash-checked. Cell argmax goes through
+    * `round(sim, 6)` on both sides (ties to the larger cid), the d16
+    * oracle mirrors it. */
+  def semanticDedupSeeded(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 16,
+      tau: Double = 0.35,
+      seed: Long = 97L): DataFrame = {
+    val c = emb.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
+    semanticDedupWithCenters(c, seededCentroids(k, seed), tau, roundTo = 6)
+  }
+
+  /** One distributed Lloyd update step of spherical k-means from SEEDED
+    * literal centroids — the oracle-hashable twin of the corpus pass
+    * inside [[kmeansClusters]]. Assignment reuses the shared coarse
+    * quantizer ([[graft.functions.CellAssign]], rounded-cosine argmax,
+    * ties to the larger cid — the SemDeDup/IVF discipline); the update
+    * reduce emits per-(cell, coordinate) member counts and EXACT integer
+    * coordinate sums: each double element maps to `floor(x · 2^24)`
+    * (power-of-two scaling is exact in IEEE754, floor is engine-portable),
+    * so the sum is order-independent under the shuffle and both engines
+    * agree bit-for-bit. One corpus scan, one hash aggregation — the same
+    * shape a 100 TB Lloyd iteration runs per step. */
+  def lloydStepSeeded(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      seed: Long = 131L): DataFrame = {
+    val c = emb.select(col(idCol).as("vid"), vecD(col(vecCol)).as("v"))
+    val cb = graft.functions.CellAssign.codebook(
+      seededCentroids(k, seed), roundTo = 6)
+    val a = c.withColumn("cid",
+      graft.functions.CellAssign.cell_argmax(col("v"), cb))
+    a.select(col("cid"), posexplode(col("v")).as(Seq("pos", "elem")))
+      .select(col("cid"), col("pos"),
+        floor(col("elem") * lit(16777216.0)).cast("long").as("ci"))
+      .groupBy("cid", "pos")
+      .agg(count(lit(1)).as("n_members"), sum(col("ci")).as("coord_sum"))
+      .orderBy("cid", "pos")
   }
 
   /** K-means clustering of the embedding corpus (diversity sampling /
@@ -631,6 +823,46 @@ object Similarity extends QueryPack {
       .select(col("prediction").as("cluster"), col("n_members"),
         round(col("center_norm"), 6).as("center_norm"))
       .orderBy("cluster")
+  }
+
+  /** Shared DuckDB fragments for the seeded-PQ oracles (s10/s11):
+    * per-subspace codebook VALUES CTEs with precomputed ‖codeword‖²
+    * literals, rounded-L2 argmin encode CTEs (code-asc ties —
+    * PqEncode's first-match-wins), the code→codeword joins, and the
+    * left-assoc ADC sum terms matching the Spark side's `reduce(_ + _)`
+    * order. Aliases: `e` = corpus CTE, `q` = query row with `v`/`q_norm`,
+    * `n` = the codes CTE row. */
+  private case class PqOracleFragments(cbCtes: String, encCtes: String,
+    codeJoins: String, codeCols: String, dotTerms: String, nsTerms: String)
+
+  private def pqOracleFragments(
+      cb: graft.functions.PqCodebook): PqOracleFragments = {
+    val m = cb.m; val sub = cb.sub
+    val cbCtes = (0 until m).map { mi =>
+      val vals = cb.books(mi).zipWithIndex.map { case (cw, j) =>
+        s"($j, ${cw.map(_.toString).mkString("[", ", ", "]")}, ${cb.normSq(mi)(j)})"
+      }.mkString(", ")
+      s"cb$mi(code, c, ns) AS (SELECT * FROM (VALUES $vals) t(code, c, ns))"
+    }.mkString(", ")
+    val encCtes = (0 until m).map { mi =>
+      val lo = mi * sub + 1; val hi = (mi + 1) * sub
+      s"enc$mi AS (SELECT vec_id, code FROM (SELECT e.vec_id, cb.code, " +
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        s"round(list_distance(list_slice(e.v, $lo, $hi), cb.c), ${cb.roundTo}) ASC, " +
+        s"cb.code ASC) AS rn FROM e, cb$mi cb) WHERE rn = 1)"
+    }.mkString(", ")
+    val codeJoins = (0 until m).map { mi =>
+      s"JOIN enc$mi x$mi ON x$mi.vec_id = e.vec_id " +
+        s"JOIN cb$mi y$mi ON y$mi.code = x$mi.code"
+    }.mkString(" ")
+    val codeCols = (0 until m).map(mi => s"y$mi.c AS cc$mi, y$mi.ns AS ns$mi")
+      .mkString(", ")
+    val dotTerms = (0 until m).map { mi =>
+      val lo = mi * sub + 1; val hi = (mi + 1) * sub
+      s"list_dot_product(list_slice(q.v, $lo, $hi), n.cc$mi)"
+    }.reduce((a, b) => s"($a + $b)")
+    val nsTerms = (0 until m).map(mi => s"n.ns$mi").reduce((a, b) => s"($a + $b)")
+    PqOracleFragments(cbCtes, encCtes, codeJoins, codeCols, dotTerms, nsTerms)
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -683,6 +915,92 @@ object Similarity extends QueryPack {
         "WHERE vec_id < 5) WHERE rn <= 2), " +
         "cand AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id FROM probe p " +
         "JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id), " +
+        "scored AS (SELECT q_id, n_id, list_cosine_similarity(eq.v, en.v) AS cos " +
+        "FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id), " +
+        "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
+        "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
+    },
+    "s12_lloyd_step_seeded" -> {
+      // same seeded centroids, same rounded-cosine argmax assignment as
+      // the Spark side; coordinates replay floor(v[i]·2^24) and the sums
+      // are exact integers, so no rounding discipline is needed on the
+      // reduce itself
+      val centers = seededCentroids(nCentroids = 10, seed = 131L)
+      val centValues = centers.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.map(_.toString).mkString("[", ", ", "]")})"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        s"cents(cid, c) AS (SELECT * FROM (VALUES $centValues) t(cid, c)), " +
+        "sims AS (SELECT vec_id, cid, round(list_cosine_similarity(v, c), 6) AS sim " +
+        "FROM e, cents), " +
+        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sims) WHERE rn = 1), " +
+        "x AS (SELECT a.cid, p.pos - 1 AS pos, " +
+        "CAST(floor(e.v[p.pos] * 16777216.0) AS BIGINT) AS ci " +
+        "FROM assign a JOIN e ON e.vec_id = a.vec_id, " +
+        "(SELECT unnest(generate_series(1, 64)) AS pos) p) " +
+        "SELECT cid, CAST(pos AS INT) AS pos, count(*) AS n_members, " +
+        "CAST(sum(ci) AS BIGINT) AS coord_sum FROM x GROUP BY 1, 2 ORDER BY 1, 2"
+    },
+    "s10_knn_pq_seeded" -> {
+      // the SAME seeded codebooks as the Spark side as literal DOUBLE[]s
+      // (with precomputed ‖codeword‖² literals so the ADC norm table is
+      // bit-identical); encode = rounded-L2 argmin with code-asc ties
+      // (PqEncode's first-match-wins), ADC = the same left-assoc sum
+      // order, rerank cut = (approx DESC, n_id ASC) — the bounded heap's
+      // total order — then the exact re-rank
+      val cb = graft.functions.PqCodebook(
+        seededPqBooks(m = 8, k = 16, seed = 31L), roundTo = 6)
+      val f = pqOracleFragments(cb)
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        s"${f.cbCtes}, ${f.encCtes}, " +
+        s"codes AS (SELECT e.vec_id, ${f.codeCols} FROM e ${f.codeJoins}), " +
+        "qt AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS q_norm " +
+        "FROM e WHERE vec_id < 5), " +
+        "adc AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, " +
+        s"round(${f.dotTerms} / (q.q_norm * sqrt(${f.nsTerms})), 6) AS approx " +
+        "FROM qt q JOIN codes n ON n.vec_id <> q.vec_id), " +
+        "cand AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY approx DESC, n_id ASC) AS rn FROM adc) WHERE rn <= 256), " +
+        "scored AS (SELECT q_id, n_id, list_cosine_similarity(eq.v, en.v) AS cos " +
+        "FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id), " +
+        "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
+        "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
+    },
+    "s11_knn_ivfpq_seeded" -> {
+      // s09's assign/probe CTEs composed with s10's encode/ADC CTEs: the
+      // candidate space is (probed cell ∩ corpus cell) — each corpus
+      // vector lives in exactly one cell, so no pair dedup is needed —
+      // and the ADC scoring, rerank cut, and exact re-rank replay s10
+      val cells = seededCentroids(nCentroids = 8, seed = 53L)
+      val cb = graft.functions.PqCodebook(
+        seededPqBooks(m = 8, k = 16, seed = 61L), roundTo = 6)
+      val f = pqOracleFragments(cb)
+      val centValues = cells.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.map(_.toString).mkString("[", ", ", "]")})"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        s"cents(cid, c) AS (SELECT * FROM (VALUES $centValues) t(cid, c)), " +
+        "sims AS (SELECT vec_id, cid, round(list_cosine_similarity(v, c), 6) AS sim " +
+        "FROM e, cents), " +
+        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sims) WHERE rn = 1), " +
+        "probe AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sims " +
+        "WHERE vec_id < 5) WHERE rn <= 3), " +
+        s"${f.cbCtes}, ${f.encCtes}, " +
+        s"codes AS (SELECT e.vec_id, ${f.codeCols} FROM e ${f.codeJoins}), " +
+        "qt AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS q_norm " +
+        "FROM e WHERE vec_id < 5), " +
+        "adc AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id, " +
+        s"round(${f.dotTerms} / (q.q_norm * sqrt(${f.nsTerms})), 6) AS approx " +
+        "FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id " +
+        "JOIN qt q ON q.vec_id = p.vec_id " +
+        "JOIN codes n ON n.vec_id = a.vec_id), " +
+        "cand AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY approx DESC, n_id ASC) AS rn FROM adc) WHERE rn <= 256), " +
         "scored AS (SELECT q_id, n_id, list_cosine_similarity(eq.v, en.v) AS cos " +
         "FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id), " +
         "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +

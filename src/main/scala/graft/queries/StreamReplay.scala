@@ -104,6 +104,68 @@ object StreamReplay extends QueryPack {
         .select(col("userId").as("user_id"),
           col("cohortDay").as("cohort_day"),
           col("retD1").as("ret_d1"), col("retW1").as("ret_w1"))
+    }),
+
+    // Batch REPLAY of the prequential volume-anomaly detector: one fold
+    // per event type over its hour-sorted counts (the fold sorts its
+    // input, so batch-mode FMGWS iterator order is irrelevant). Every
+    // observed hour except the trailing open one is scored against the
+    // moments of the hours BEFORE it — prefix-window sums in the oracle.
+    "st06_anomaly_replay" -> ((s, d) => {
+      import s.implicits._
+      val ev = typedEvents(s, d)
+      EventStream.anomalyDetector(ev).toDF()
+        .select(col("eventType").as("event_type"),
+          col("hourTs").as("hour_ts"), col("n"), col("anomaly"))
+    }),
+
+    // Batch REPLAY of the silence detector: per type, every empty hour
+    // strictly between two observed hours — lead() gap expansion in the
+    // oracle (the e13 in-range-zeros contract, never extrapolating past
+    // a type's last observed hour).
+    "st07_silence_replay" -> ((s, d) => {
+      import s.implicits._
+      val ev = typedEvents(s, d)
+      EventStream.silenceDetector(ev).toDF()
+        .select(col("eventType").as("event_type"),
+          col("hourTs").as("hour_ts"))
+    }),
+
+    // Batch REPLAY of the stream-STREAM interval join: the identical
+    // declarative plan EventStream.clickAttribution attaches to two
+    // streams (watermarks are no-ops in batch; the interval condition is
+    // the join predicate itself), over the bounded clicks/purchases
+    // slices. Timestamps ship as epoch micros for comparability (the e08
+    // convention). Multiplicity is the join's own: one row per
+    // (purchase, click-in-window) pair.
+    "st08_attribution_replay" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts"), col("user_id").as("userId"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("ts"), col("user_id").as("userId"))
+      EventStream.clickAttribution(clicks, purchases,
+          attributionSeconds = 3600, watermark = "1 hour")
+        .select(col("userId").as("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          unix_micros(col("click_ts")).as("click_us"))
+    }),
+
+    // Batch REPLAY of the streaming exact dedup: the SHARED fingerprint
+    // stage (EventStream.fingerprinted — the d01/d02 content identity)
+    // with the dedup operator swapped to batch `dropDuplicates` (Spark
+    // itself forbids dropDuplicatesWithinWatermark on batch plans; the
+    // watermark eviction semantics are EventStreamSpec's). WHICH copy
+    // survives a batch dropDuplicates is partition-order-dependent, so
+    // the replay projects to the ADMITTED FINGERPRINT SET — exactly one
+    // row per fingerprint, independent of the winner — keeping the
+    // result deterministic and driver-comparable.
+    "st09_dedup_replay" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(timestamp_micros(col("doc_id")).as("ts"), col("text"))
+      EventStream.fingerprinted(docs)
+        .dropDuplicates("fingerprint")
+        .select(col("fingerprint"))
     })
   )
 
@@ -198,6 +260,46 @@ object StreamReplay extends QueryPack {
         "SELECT d.user_id, cohort_day, " +
         "bool_or(day - cohort_day = 1) AS ret_d1, " +
         "bool_or(day - cohort_day BETWEEN 1 AND 7) AS ret_w1 " +
-        "FROM d JOIN c USING (user_id) GROUP BY 1, 2")
+        "FROM d JOIN c USING (user_id) GROUP BY 1, 2"),
+
+    "st06_anomaly_replay" ->
+      // per type: observed hours sorted, each scored against the prefix
+      // moments ((n·i − Σprev)² > 4(Σprev² · i − Σprev²) in integers, i =
+      // number of closed hours before); the trailing hour never closes
+      ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 * 3600 AS hour_ts, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "seq AS (SELECT event_type, hour_ts, n, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY hour_ts) - 1 AS i, " +
+        "count(*) OVER (PARTITION BY event_type) AS total, " +
+        "COALESCE(sum(n) OVER (PARTITION BY event_type ORDER BY hour_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS psum, " +
+        "COALESCE(sum(n * n) OVER (PARTITION BY event_type ORDER BY hour_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS psum2 FROM h) " +
+        "SELECT event_type, hour_ts, n, " +
+        "(i > 0 AND (n * i - psum) * (n * i - psum) > 4 * (psum2 * i - psum * psum)) " +
+        "AS anomaly FROM seq WHERE i < total - 1"),
+
+    "st07_silence_replay" ->
+      // per type: every hour strictly between consecutive observed hours
+      ("WITH h AS (SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hr " +
+        "FROM events), " +
+        "seq AS (SELECT event_type, hr, lead(hr) OVER " +
+        "(PARTITION BY event_type ORDER BY hr) AS nxt FROM h), " +
+        "g AS (SELECT event_type, unnest(generate_series(hr + 1, nxt - 1)) AS sh " +
+        "FROM seq WHERE nxt IS NOT NULL AND nxt > hr + 1) " +
+        "SELECT event_type, sh * 3600 AS hour_ts FROM g"),
+
+    "st08_attribution_replay" ->
+      // the interval join replayed literally: clicks in the hour before
+      // each purchase, same user
+      ("WITH c AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase') " +
+        "SELECT p.user_id, p.us AS purchase_us, c.us AS click_us " +
+        "FROM p JOIN c ON c.user_id = p.user_id " +
+        "AND c.us BETWEEN p.us - 3600000000 AND p.us"),
+
+    "st09_dedup_replay" ->
+      ("SELECT DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
+        "AS fingerprint FROM documents")
   )
 }

@@ -407,6 +407,26 @@ object TextAnalysis extends QueryPack {
           col("e.count").as("est_count"), col("e.error").as("max_err"))
     }),
 
+    // EXACT-REGIME twin of t19 (the d03→d07 pattern applied to sketches):
+    // the SAME SpaceSaving aggregate, over a key domain (event_type, 5
+    // values) strictly smaller than the counter capacity. Below capacity
+    // the sketch never evicts, partial sketches hold exact counts with
+    // error 0, and merges sum exactly regardless of scheduling order — so
+    // the sketch output is deterministic and the DuckDB oracle (an exact
+    // GROUP BY) hash-checks the insert/merge/sort machinery end to end.
+    // t19 stays rows-only: it exercises the over-capacity regime whose
+    // estimates are scheduling-dependent within the proven bound.
+    "t22_heavy_exact" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_type").as("item"))
+        .agg(graft.functions.SpaceSavingSketch
+          .space_saving(col("item"), 64).as("sketch"))
+        .select(posexplode(col("sketch")).as(Seq("pos", "e")))
+        .filter(col("pos") < 20)
+        .select((col("pos") + 1).as("rank"), col("e.item").as("item"),
+          col("e.count").as("est_count"), col("e.error").as("max_err"))
+    }),
+
     // corpus-derived STOPWORD STRIPPING (the CCNet/C4 boilerplate-removal
     // step): rank tokens by document frequency, take the top 10
     // (deterministic df-desc, token-asc tie-break), and emit each doc
@@ -534,6 +554,11 @@ object TextAnalysis extends QueryPack {
     val dTok = "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0))"
     val dDistinctTok = "len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)))"
     Map(
+      "t22_heavy_exact" ->
+        ("WITH c AS (SELECT event_type AS item, count(*) AS est_count " +
+          "FROM events GROUP BY 1) " +
+          "SELECT row_number() OVER (ORDER BY est_count DESC, item ASC) AS rank, " +
+          "item, est_count, CAST(0 AS BIGINT) AS max_err FROM c"),
       "t01_token_count" ->
         s"SELECT doc_id, $dTok AS n_tokens, $dDistinctTok AS n_distinct_tokens, CAST(floor(length(text) / 4) AS INT) AS n_tokens_bpe_est FROM documents",
       "t02_quality_score" ->

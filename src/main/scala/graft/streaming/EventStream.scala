@@ -325,9 +325,15 @@ object EventStream {
   def streamingDedup(
       docs: DataFrame,
       watermark: String = "1 hour"): DataFrame =
-    docs
-      .withColumn("fingerprint",
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+    fingerprinted(docs)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** The content-fingerprint stage shared by [[streamingDedup]] and its
+    * batch replay (st09): whitespace-normalized lowercase md5 — the d01/
+    * d02 definition, so stream, replay, and batch dedup all agree on what
+    * "same document" means. */
+  def fingerprinted(docs: DataFrame): DataFrame =
+    docs.withColumn("fingerprint",
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")))
 }
