@@ -468,8 +468,93 @@ object TextAnalysis extends QueryPack {
           min(length(col("text"))).as("min_chars"),
           max(length(col("text"))).as("max_chars"),
           sum(tokenCount(col("text"))).as("total_tokens"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // model-scored quality CLASSIFIER: a linear model with FIXED literal
+    // weights over per-doc features — the trained-classifier analog of
+    // t15's hand rules (fastText-style quality scoring with the model
+    // shipped as literals). Features are integer counts and single IEEE
+    // divisions; the dot product is a fixed-order double expression, so
+    // the score is bit-identical cross-engine and fully oracle-hashed.
+    // Selection is global top-100 → TakeOrderedAndProject (bounded heap
+    // per partition, no full sort shuffle); map-only otherwise.
+    "t23_quality_classifier" -> ((s, d) => {
+      val toks = graft.functions.TextOps.tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val meanLen =
+        length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok
+      val stopRatio = size(filter(toks,
+        x => x.isin("the", "a", "data", "value"))).cast("double") / nTok
+      val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+      val langBoost = when(col("lang") === "en", 0.05)
+        .when(col("lang") === "de", 0.03)
+        .when(col("lang") === "es", 0.02)
+        .otherwise(0.0)
+      val score = lit(-1.2) * stopRatio + lit(0.9) * distinctRatio +
+        lit(0.15) * meanLen + lit(0.002) * nTok + langBoost
+      t(s, d, "documents")
+        .filter(size(toks) > 0)
+        .select(col("doc_id"), col("lang"), score.as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(100)
+    }),
+
+    // seeded-merge BPE application — t18's d07-pattern twin. t18's merges
+    // are TRAINED (driver-side on the capped dictionary) so it is
+    // rows-only; this twin applies a FIXED literal merge list, making the
+    // whole apply-merges + per-doc subword count path oracle-expressible.
+    // Application is fully distributed: every token occurrence is
+    // rewritten by a chain of codegen'd string replaces (no vocab join,
+    // no driver state), then one hash-agg rollup on doc_id — at 100 TB a
+    // map-only pass plus a single shuffle. Left-to-right single-pass BPE
+    // semantics are preserved by the '|'-anchored '|a|b|'→'|ab|' DOUBLE
+    // replace: adjacent occurrences share a separator so one pass merges
+    // every other pair and the second pass the rest — equivalent to
+    // bpeMerges' applyMerge for a≠b merges (BpeSpec pins this against
+    // the full corpus vocabulary).
+    "t24_bpe_seeded" -> ((s, d) => {
+      val toks = graft.functions.TextOps.tokens(col("text"))
+      val spaced = concat(lit("|"), regexp_replace(col("w"), "(?<=.)", "|"))
+      val merged = seededBpeMerges.foldLeft(spaced) { case (c, (a, b)) =>
+        val once = replace(c, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+        replace(once, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+      }
+      val nBpe = length(merged) - length(replace(merged, lit("|"))) - 1
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("w"))
+        .select(col("doc_id"), nBpe.as("n_bpe"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source document CAPS: the corpus-curation "no source dominates"
+    // rule (keep the k best docs per source, rest dropped). With few
+    // sources and many docs, row_number() OVER (PARTITION BY source)
+    // collapses parallelism to n_sources and sorts every row; the
+    // bounded-heap top_k_by_score aggregate keeps O(k) state per source
+    // with map-side partials (the s01 lesson — CLAUDE.md top-k policy).
+    // Score is n_chars (bigger = better), ties break toward the smaller
+    // doc_id inside the heap — exactly row_number(ORDER BY n_chars DESC,
+    // doc_id) ≤ k in the oracle.
+    "t25_source_cap" -> ((s, d) => {
+      val top = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(graft.functions.GraftFunctions.top_k_by_score(
+          col("n_chars").cast("double"), col("doc_id"), 10).as("top"))
+      top.select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("doc_id"))
+    })
   )
+
+  /** The fixed merge list for t24_bpe_seeded (frozen from a 12-merge
+    * training run over the corpus vocabulary, then hard-coded — the twin
+    * must not retrain). All pairs satisfy a ≠ b, which the anchored
+    * double-replace equivalence (see t24) requires. */
+  val seededBpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "r"), ("o", "w"), ("s", "t"), ("a", "l"),
+    ("a", "r"), ("a", "t"), ("m", "er"), ("p", "ar"), ("u", "p"), ("a", "b"))
 
   /** Train `nMerges` BPE merges — the byte-pair-encoding trainer, shaped
     * the way production tokenizers train: merges are learned from the
@@ -707,7 +792,49 @@ object TextAnalysis extends QueryPack {
         // driver-side pandas bridge renders as float ("3.0" vs Spark's "3")
         (s"SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars, " +
           "min(length(text)) AS min_chars, max(length(text)) AS max_chars, " +
-          s"CAST(sum($dTok) AS BIGINT) AS total_tokens FROM documents GROUP BY lang ORDER BY lang")
+          s"CAST(sum($dTok) AS BIGINT) AS total_tokens FROM documents GROUP BY lang ORDER BY lang"),
+
+      "t23_quality_classifier" ->
+        // feature expressions and the weighted sum mirror the Spark side
+        // term by term IN ORDER — fixed-order IEEE arithmetic is
+        // bit-identical cross-engine, so the double score hash-matches
+        ("WITH f AS (SELECT doc_id, lang, " +
+          "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS l, " +
+          "CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws " +
+          "FROM documents), " +
+          "feat AS (SELECT doc_id, lang, " +
+          "CAST(len(l) AS DOUBLE) AS n_tok, " +
+          "nws / CAST(len(l) AS DOUBLE) AS mean_len, " +
+          "CAST(len(list_filter(l, x -> x IN ('the', 'a', 'data', 'value'))) AS DOUBLE) / CAST(len(l) AS DOUBLE) AS stop_ratio, " +
+          "CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE) AS distinct_ratio, " +
+          "CASE WHEN lang = 'en' THEN 0.05 WHEN lang = 'de' THEN 0.03 " +
+          "WHEN lang = 'es' THEN 0.02 ELSE 0.0 END AS lang_boost " +
+          "FROM f WHERE len(l) > 0) " +
+          "SELECT doc_id, lang, " +
+          "-1.2 * stop_ratio + 0.9 * distinct_ratio + 0.15 * mean_len + 0.002 * n_tok + lang_boost AS score " +
+          "FROM feat ORDER BY score DESC, doc_id ASC LIMIT 100"),
+
+      "t24_bpe_seeded" -> {
+        // nested anchored double-replace generated from the SAME literal
+        // merge list the Spark side folds over (can't drift)
+        val bpeExpr = seededBpeMerges.foldLeft(
+          "'|' || regexp_replace(w, '(.)', '\\1|', 'g')") { case (e, (a, b)) =>
+          s"replace(replace($e, '|$a|$b|', '|$a$b|'), '|$a|$b|', '|$a$b|')"
+        }
+        s"WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+          "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS w " +
+          "FROM documents), " +
+          s"m AS (SELECT doc_id, $bpeExpr AS c FROM toks) " +
+          "SELECT doc_id, count(*) AS n_words, " +
+          "CAST(sum(len(c) - len(replace(c, '|', '')) - 1) AS BIGINT) AS n_bpe_tokens " +
+          "FROM m GROUP BY doc_id ORDER BY doc_id"
+      },
+
+      "t25_source_cap" ->
+        ("SELECT source, CAST(rn AS INT) AS rank, doc_id FROM (" +
+          "SELECT source, doc_id, " +
+          "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn " +
+          "FROM documents) WHERE rn <= 10")
     )
   }
 }
