@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON summary from the TAIL of sbt
+// stdout; sbt's "[success] Total time: …" banner printed after the forked
+// main returns displaced it in round 5 (BENCH_r05.json parsed=null).
+// Suppressing the banner keeps the JSON line last.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude it
+// from the unused-key lint so the warning doesn't pollute driver stdout
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

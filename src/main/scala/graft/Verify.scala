@@ -38,6 +38,21 @@ object Verify {
           val p = java.nio.file.Paths.get(s"$outDir/$name")
           if (Files.exists(p)) graft.table.GraftTable.deleteRecursively(p)
         } catch { case _: Throwable => () }
+        // then, for ORACLED queries only, write an explicit one-row error
+        // marker in its place: the driver's comparator OMITS queries with
+        // no output dir (round 5 lost 4 crashed queries from CORRECTNESS
+        // with no red row), but an `__error` column can never schema/hash-
+        // match any oracle, so the crash surfaces as a loud FAIL row
+        // instead of a silent gap. Rows-only queries stay dir-less — for
+        // them a 1-row marker would read as a rows>0 "pass", which is
+        // worse than the omission (_failed.json still names them).
+        try if (SparkEntry.oracleSql.contains(name)) {
+          import spark.implicits._
+          Seq(s"$name crashed: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(500))
+            .toDF("__error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // drop intra-query persist()s so a 150-query dump doesn't stack
       // cached blocks on one heap (same rationale as Bench)

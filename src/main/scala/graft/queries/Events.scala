@@ -15,21 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object Events extends QueryPack {
 
-  /** The events table with `ts` normalized to a microsecond timestamp.
-    *
-    * The driver's events parquet stores INT64 TIMESTAMP(NANOS) which
-    * Spark's vectorized reader refuses by default — sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench), the
-    * column arrives as nanos-since-epoch LONG, and `div 1000` converts
-    * exactly (a double division would lose precision above 2^53). */
-  private def events(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val raw = t(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  /** The events table with `ts` normalized to a microsecond TIMESTAMP —
+    * see [[QueryPack.eventsTable]] for the physical-type cases. */
+  private def events(s: org.apache.spark.sql.SparkSession, d: String) =
+    eventsTable(s, d)
 
   val queries: Map[String, Q] = Map(
 

@@ -22,17 +22,10 @@ import graft.streaming.{DocStream, EventStream}
   */
 object StreamReplay extends QueryPack {
 
-  /** The events table with `ts` normalized to a microsecond timestamp
-    * (driver parquet stores TIMESTAMP(NANOS) read as LONG — see
-    * [[Events]]). */
-  private def events(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val raw = t(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  /** The events table with `ts` normalized to a microsecond TIMESTAMP —
+    * see [[QueryPack.eventsTable]] for the physical-type cases. */
+  private def events(s: org.apache.spark.sql.SparkSession, d: String) =
+    eventsTable(s, d)
 
   val queries: Map[String, Q] = Map(
     "st01_admission_replay" -> ((s, d) => {

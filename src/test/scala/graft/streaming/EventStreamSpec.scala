@@ -219,8 +219,17 @@ class EventStreamSpec extends SparkSpecBase {
     // stage the events parquet in its own directory (a streaming source
     // reads a whole directory; the testdata dir mixes table schemas)
     val dir = tmpDir("stream-src")
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // normalize ts across driver testdata generations (nanos-as-LONG in
+    // r1-r4, TIMESTAMP_NTZ micros from r5) — mirrors QueryPack.eventsTable
+    val normalized = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+    val batch = normalized
       .select(col("ts"), col("user_id").as("userId"),
         col("event_type").as("eventType"), col("value"))
     batch.write.parquet(s"$dir/in")
