@@ -96,6 +96,23 @@ object Versioned extends QueryPack {
       t1
     }
 
+  /** Partition-spec EVOLUTION fixture (Iceberg's signature metadata-only
+    * layout change): snapshot 1 appends nations < 12 under the original
+    * `n_regionkey` spec; the spec then evolves to `n_nationkey` and
+    * snapshot 2 appends the rest under the NEW layout — no existing byte
+    * rewritten. Reads union both eras (per-file spec from the manifest);
+    * predicates on either column prune files of both eras. */
+  private def evoSpecFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_pevo", 2) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val t0 = GraftTable.create(dir, nation.schema,
+        partitionBy = Seq("n_regionkey"))
+      t0.append(nation.filter(col("n_nationkey") < 12), Some(1000L))
+      val t1 = t0.updatePartitionSpec(Seq("n_nationkey"))
+      t1.append(nation.filter(col("n_nationkey") >= 12), Some(2000L))
+      t1
+    }
+
   /** Compaction fixture: two appended copies of region, then the small
     * files bin-packed by a `"replace"` snapshot (snapshot 3). */
   private def compactFixture(spark: SparkSession, sfDir: String): GraftTable =
@@ -257,6 +274,14 @@ object Versioned extends QueryPack {
     // driver checks the results are exactly region 2's nations)
     "v09_graft_partitioned" -> ((s, d) =>
       partFixture(s, d).scan(s, Some(col("n_regionkey") === 2))),
+
+    // partition-spec evolution: one scan crossing the era partitioned by
+    // n_regionkey AND the era partitioned by n_nationkey — partition
+    // values restored from each era's own directory layout, the filter
+    // pruning era-1 files by partition value and era-2 files by footer
+    // stats (PartitionEvolutionSpec asserts the pruning counts)
+    "v23_graft_spec_evolution" -> ((s, d) =>
+      evoSpecFixture(s, d).scan(s, Some(col("n_regionkey").isin(1, 2)))),
 
     // partition + data predicate combined: partition pruning picks the
     // partition, the residual data filter applies within it
@@ -464,6 +489,9 @@ object Versioned extends QueryPack {
     "v09_graft_partitioned" ->
       ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM nation " +
         "WHERE n_regionkey = 2"),
+    "v23_graft_spec_evolution" ->
+      ("SELECT *, CAST(2 AS BIGINT) AS snapshot__id FROM nation " +
+        "WHERE n_regionkey IN (1, 2)"),
     "v10_graft_partition_filter" ->
       ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM nation " +
         "WHERE n_regionkey IN (0, 3) AND n_nationkey >= 10"),

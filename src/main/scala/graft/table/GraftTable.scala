@@ -605,7 +605,7 @@ final class GraftTable private (
     // predicate (e.g. over a column added by addColumn, NULL for old rows)
     // must KEEP the row — plain !predicate maps NULL→NULL and filter drops
     // it, silently deleting rows the predicate never matched.
-    val remaining = readFiles(spark, candidates.map(f => s"$dir/${f.path}"))
+    val remaining = readFiles(spark, candidates)
       .filter(org.apache.spark.sql.functions.coalesce(
         !predicate, org.apache.spark.sql.functions.lit(true)))
     val newFiles = writeDataFiles(remaining, snapId)
@@ -694,13 +694,13 @@ final class GraftTable private (
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     if (pend.isEmpty)
-      return readFiles(spark, files.map(f => s"$dir/${f.path}"))
+      return readFiles(spark, files)
     val groups = files.groupBy { f =>
       val fs = fileSnapId(f.path).getOrElse(Long.MinValue) // unattributable: assume oldest (over-filtering is impossible — deleteDeferred refuses such tables; this path exists for robustness only)
       pend.filter { case (covered, _) => fs <= covered }.map(_._2)
     }
     groups.toSeq.sortBy(_._2.head.path).map { case (preds, fs) =>
-      val base = readFiles(spark, fs.map(f => s"$dir/${f.path}"))
+      val base = readFiles(spark, fs)
       preds.foldLeft(base)((d, p) =>
         d.filter(coalesce(not(expr(p)), lit(true))))
     }.reduce(_ union _)
@@ -738,7 +738,7 @@ final class GraftTable private (
     if (candidates.isEmpty) return None
 
     val snapId = lg.nextId
-    val src = readFiles(spark, candidates.map(f => s"$dir/${f.path}"))
+    val src = readFiles(spark, candidates)
     // ONE projection computing every assignment from the OLD row (SQL
     // UPDATE semantics): chained withColumn would let later assignments
     // observe earlier ones' new values — wrong, and Map-order-dependent
@@ -806,7 +806,7 @@ final class GraftTable private (
     // them), but a huge backfill source must be allowed to shuffle-join
     val survivors =
       if (candidates.isEmpty) source
-      else readFiles(spark, candidates.map(f => s"$dir/${f.path}"))
+      else readFiles(spark, candidates)
         .join(source.select(col(keyCol).as("__mk")).distinct(),
           col(keyCol) === col("__mk"), "left_anti")
         .unionByName(source)
@@ -956,6 +956,40 @@ final class GraftTable private (
     new GraftTable(dir, newSchema, properties, partitionColumns)
   }
 
+  /** Partition-spec EVOLUTION (Iceberg's signature table feature): change
+    * the partition layout for FUTURE writes without rewriting a single
+    * existing byte. Existing data files keep the layout they were written
+    * with — each file's own partition values live in its manifest entry,
+    * the read path groups files by their own spec ([[readFiles]]), and
+    * manifest pruning stays per-file (partition values synthesize stats
+    * for directory-key columns; footer min/max covers the same column in
+    * the other era) — so predicates on either era's partition column skip
+    * files across the whole table. At 100 TB this is the difference
+    * between a metadata-only layout change and a full-table rewrite when
+    * query patterns shift (e.g. daily → hourly partitioning).
+    * `compact()` rewrites through the current spec, so it doubles as the
+    * optional lazy migration path. Empty `newSpec` evolves to
+    * unpartitioned. Returns the updated handle; on-disk metadata is
+    * swapped atomically. */
+  def updatePartitionSpec(newSpec: Seq[String]): GraftTable = {
+    newSpec.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' not in schema ${schema.fieldNames.mkString(",")}"))
+      require(PartitionValues.supported(f.dataType),
+        s"unsupported partition column type ${f.dataType.sql} for '$c' " +
+          "(supported: BOOLEAN, INT, BIGINT, STRING, DATE)")
+    }
+    val meta = Map(
+      "format_version" -> 1L,
+      "schema" -> schema.json,
+      "partition_columns" -> newSpec,
+      "properties" -> properties)
+    graft.util.Json.writeFileAtomic(s"$dir/metadata.json",
+      graft.util.Json.write(meta))
+    new GraftTable(dir, schema, properties, newSpec)
+  }
+
   // ------------------------------------------------------------------
   // reads
   // ------------------------------------------------------------------
@@ -964,26 +998,39 @@ final class GraftTable private (
     * reader PER FILE FORMAT — the IcebergReaderFactory behavior
     * (IcebergReaderFactory.java:48-75 switches on each data file's
     * format): parquet files ride the vectorized built-in source, `.avro`
-    * files ride [[graft.sources.AvroSource]]. Partitioned tables read
-    * with `basePath` so Spark recovers partition-column values from the
-    * `<col>=<value>/` directories (typed by the user-supplied schema,
-    * never inferred). Every branch is projected to exactly `schema` in
-    * order, so the union is positional (no unionByName widening). */
-  private def readFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val (avroPaths, parqPaths) = paths.partition(_.endsWith(".avro"))
-    val branches = Seq(
-      Option.when(parqPaths.nonEmpty) {
-        val r = spark.read.schema(schema)
-        if (partitionColumns.nonEmpty) r.option("basePath", s"$dir/data")
-        r.parquet(parqPaths: _*)
-      },
-      Option.when(avroPaths.nonEmpty) {
-        // table schema as the TARGET: post-evolution columns absent from
-        // the avro writer schema null-fill (parquet-branch parity)
-        graft.sources.AvroSource.readFiles(spark, avroPaths,
-          targetSchema = Some(schema))
-      }).flatten.map(_.select(schema.fieldNames.map(col): _*))
-    branches.reduce(_ union _)
+    * files ride [[graft.sources.AvroSource]].
+    *
+    * Files are additionally grouped by THEIR OWN partition spec (the
+    * manifest records each file's partition values, so the spec is the
+    * key set): after [[updatePartitionSpec]] a table legitimately mixes
+    * layouts, and a partitioned group reads with `basePath` so Spark
+    * recovers that group's partition-column values from its
+    * `<col>=<value>/` directories (typed by the table schema, never
+    * inferred) — a column that is a directory key in one era sits in the
+    * file footers of the other, so recovery must be per group, not
+    * per table. Every branch is projected to exactly `schema` in order,
+    * so the union is positional (no unionByName widening). */
+  private def readFiles(spark: SparkSession, files: Seq[DataFileEntry]): DataFrame = {
+    val bySpec = files.groupBy(_.partition.keySet)
+    bySpec.toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (specCols, fs) =>
+        val paths = fs.map(f => s"$dir/${f.path}")
+        val (avroPaths, parqPaths) = paths.partition(_.endsWith(".avro"))
+        val branches = Seq(
+          Option.when(parqPaths.nonEmpty) {
+            val r = spark.read.schema(schema)
+            if (specCols.nonEmpty) r.option("basePath", s"$dir/data")
+            r.parquet(parqPaths: _*)
+          },
+          Option.when(avroPaths.nonEmpty) {
+            // table schema as the TARGET: post-evolution columns absent
+            // from the avro writer schema null-fill (parquet-branch
+            // parity)
+            graft.sources.AvroSource.readFiles(spark, avroPaths,
+              targetSchema = Some(schema))
+          }).flatten.map(_.select(schema.fieldNames.map(col): _*))
+        branches.reduce(_ union _)
+      }.reduce(_ union _)
   }
 
   /** Schema as read (user schema + virtual snapshot column, like
@@ -1157,7 +1204,7 @@ final class GraftTable private (
 
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     def readOrEmpty(fs: Seq[DataFileEntry]): DataFrame =
-      if (fs.isEmpty) empty else readFiles(spark, fs.map(f => s"$dir/${f.path}"))
+      if (fs.isEmpty) empty else readFiles(spark, fs)
 
     // files appended across the chain (path diff; cheap, no row compare)
     val appended = chain.filter(_.operation == "append").flatMap { s =>
@@ -1234,7 +1281,7 @@ final class GraftTable private (
           s"$dir (expired?) — its incremental diff cannot be computed"))
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     def readOrEmpty(fs: Seq[DataFileEntry]): DataFrame =
-      if (fs.isEmpty) empty else readFiles(spark, fs.map(f => s"$dir/${f.path}"))
+      if (fs.isEmpty) empty else readFiles(spark, fs)
     def tag(df: DataFrame, tpe: String, s: Snapshot): DataFrame =
       df.withColumn("_change_type", lit(tpe))
         .withColumn(virtualColumn, lit(s.snapshotId))

@@ -104,6 +104,20 @@ object TableDemo {
     println("PARTITIONED cat=a: files=" + pScan.inputFiles.length +
       " rows=" + pScan.orderBy("id").collect().mkString(", "))
 
+    // partition-spec evolution: re-key the layout for future writes only;
+    // the cross-era read unions both layouts
+    val pte = pt.updatePartitionSpec(Seq("id"))
+    pte.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(5L, "a"), Row(6L, "b")), 1),
+      pSchema), Some(2000L))
+    println("SPEC-EVO cat=a: " +
+      pte.scan(spark, Some(col("cat") === "a")).orderBy("id")
+        .drop("snapshot__id").collect().mkString(", ") +
+      " | specs=" + graft.table.Manifest
+        .read(s"$dir/pt/${pte.log.current.get.manifestList}")
+        .files.map(_.partition.keySet.mkString("+")).distinct.sorted
+        .mkString(","))
+
     println("ASOF t=1500: " + t.readAsOf(spark, 1500L).orderBy("id")
       .collect().mkString(", ") +
       " | t=0: count=" + t.readAsOf(spark, 0L).count())

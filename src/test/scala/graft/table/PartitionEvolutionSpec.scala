@@ -1,0 +1,125 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.classic.GraftBridge
+
+/** Partition-spec evolution: [[GraftTable.updatePartitionSpec]] changes the
+  * layout for FUTURE writes only — existing files keep their own
+  * `<col>=<value>/` (or flat) layout, reads union the eras through the
+  * per-file spec recorded in the manifest, and pruning skips files of
+  * BOTH eras (partition values synthesize stats in one era, footer min/max
+  * covers the same column in the other). Mirrors Iceberg's metadata-only
+  * partition evolution — the property that makes a layout change free at
+  * 100 TB instead of a full rewrite.
+  */
+class PartitionEvolutionSpec extends SparkSpecBase {
+
+  private def nation = spark.read.parquet(sf("nation"))
+
+  private def keptFiles(t: GraftTable, pred: org.apache.spark.sql.Column) = {
+    val resolved = GraftTable.resolveAgainst(spark, t.schema,
+      GraftBridge.expr(pred))
+    val manifest = Manifest.read(
+      s"${t.dir}/${t.log.current.get.manifestList}")
+    manifest.files.filter(f => Pruning.mayMatchFile(resolved, f, t.schema))
+  }
+
+  test("unpartitioned era + partitioned era read back as one table") {
+    val dir = tmpDir("evo-spec")
+    val t0 = GraftTable.create(dir, nation.schema)
+    t0.append(nation.filter(col("n_nationkey") < 12), Some(1000L))
+    val t1 = t0.updatePartitionSpec(Seq("n_regionkey"))
+    t1.append(nation.filter(col("n_nationkey") >= 12), Some(2000L))
+
+    // the manifest records each file's own spec
+    val m = Manifest.read(s"$dir/${t1.log.current.get.manifestList}")
+    val specs = m.files.map(_.partition.keySet).distinct.toSet
+    assert(specs == Set(Set.empty[String], Set("n_regionkey")))
+
+    // full-table parity with the plain source, partition values restored
+    val got = t1.read(spark).drop("snapshot__id")
+      .orderBy("n_nationkey").collect().map(_.toSeq)
+    val want = nation.orderBy("n_nationkey").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("spec change between two partition columns; both eras prune") {
+    val dir = tmpDir("evo-spec2")
+    // era 1: partitioned by n_regionkey
+    val t0 = GraftTable.create(dir, nation.schema,
+      partitionBy = Seq("n_regionkey"))
+    t0.append(nation.filter(col("n_nationkey") < 12), Some(1000L))
+    // era 2: repartitioned by n_nationkey (hotter key in new queries)
+    val t1 = t0.updatePartitionSpec(Seq("n_nationkey"))
+    t1.append(nation.filter(col("n_nationkey") >= 12), Some(2000L))
+
+    // read parity incl. a filter crossing both eras
+    val got = t1.scan(spark, Some(col("n_regionkey") === 2))
+      .drop("snapshot__id").orderBy("n_nationkey").collect().map(_.toSeq)
+    val want = nation.filter(col("n_regionkey") === 2)
+      .orderBy("n_nationkey").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+
+    // a predicate on the OLD spec's column prunes era-1 files by partition
+    // value and era-2 files by footer stats; it must keep strictly fewer
+    // files than the full manifest while never dropping a matching row
+    val all = Manifest.read(s"$dir/${t1.log.current.get.manifestList}").files
+    val keptOld = keptFiles(t1, col("n_regionkey") === 2)
+    assert(keptOld.size < all.size, "predicate on old spec column pruned nothing")
+    // and a predicate on the NEW spec's column prunes the other way round
+    val keptNew = keptFiles(t1, col("n_nationkey") === 14)
+    assert(keptNew.size < all.size, "predicate on new spec column pruned nothing")
+  }
+
+  test("compact() migrates the whole table to the current spec") {
+    val dir = tmpDir("evo-compact")
+    val t0 = GraftTable.create(dir, nation.schema)
+    // two small files so the repack has something to bin-pack
+    t0.append(nation.filter(col("n_nationkey") < 12), Some(1000L))
+    t0.append(nation.filter(col("n_nationkey") >= 12), Some(2000L))
+    val t1 = t0.updatePartitionSpec(Seq("n_regionkey"))
+    assert(t1.compact(spark, smallerThanBytes = 1L << 30, Some(3000L)).isDefined)
+
+    val m = Manifest.read(s"$dir/${t1.log.current.get.manifestList}")
+    assert(m.files.nonEmpty &&
+      m.files.forall(_.partition.keySet == Set("n_regionkey")),
+      "compaction must rewrite every file under the current spec")
+    val got = t1.read(spark).drop("snapshot__id")
+      .orderBy("n_nationkey").collect().map(_.toSeq)
+    val want = nation.orderBy("n_nationkey").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("evolving to unpartitioned and validation of bad specs") {
+    val dir = tmpDir("evo-unpart")
+    val t0 = GraftTable.create(dir, nation.schema,
+      partitionBy = Seq("n_regionkey"))
+    t0.append(nation.filter(col("n_nationkey") < 5), Some(1000L))
+    val t1 = t0.updatePartitionSpec(Nil)
+    t1.append(nation.filter(col("n_nationkey") >= 5), Some(2000L))
+    assert(t1.read(spark).count() == nation.count())
+    // reload from disk sees the evolved spec
+    assert(GraftTable.load(dir).partitionColumns.isEmpty)
+
+    intercept[IllegalArgumentException] {
+      t1.updatePartitionSpec(Seq("no_such_column"))
+    }
+  }
+
+  test("time travel into the pre-evolution era still reads its layout") {
+    val dir = tmpDir("evo-tt")
+    val t0 = GraftTable.create(dir, nation.schema,
+      partitionBy = Seq("n_regionkey"))
+    val s1 = t0.append(nation.filter(col("n_nationkey") < 12), Some(1000L))
+    val t1 = t0.updatePartitionSpec(Seq("n_nationkey"))
+    t1.append(nation.filter(col("n_nationkey") >= 12), Some(2000L))
+
+    val got = t1.read(spark, Some(s1.snapshotId)).drop("snapshot__id")
+      .orderBy("n_nationkey").collect().map(_.toSeq)
+    val want = nation.filter(col("n_nationkey") < 12)
+      .orderBy("n_nationkey").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+}
