@@ -113,6 +113,20 @@ object Versioned extends QueryPack {
       t1
     }
 
+  /** HIDDEN-partitioning fixture: documents laid out by `bucket(8,
+    * doc_id)` (xxhash64 mod 8 directory key). Point lookups on doc_id
+    * prune to the matching buckets' files — the pruning power footer
+    * min/max cannot give for a hash-distributed id — while doc_id stays a
+    * normal data column (the layout is invisible to readers). */
+  private def bucketFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "docs_bucket", 1) { dir =>
+      val docs = t(spark, sfDir, "documents")
+      val tb = GraftTable.create(dir, docs.schema,
+        partitionBy = Seq("bucket(8,doc_id)"))
+      tb.append(docs, Some(1000L))
+      tb
+    }
+
   /** Compaction fixture: two appended copies of region, then the small
     * files bin-packed by a `"replace"` snapshot (snapshot 3). */
   private def compactFixture(spark: SparkSession, sfDir: String): GraftTable =
@@ -274,6 +288,13 @@ object Versioned extends QueryPack {
     // driver checks the results are exactly region 2's nations)
     "v09_graft_partitioned" -> ((s, d) =>
       partFixture(s, d).scan(s, Some(col("n_regionkey") === 2))),
+
+    // hidden partitioning: point lookups on the bucket SOURCE column —
+    // the manifest keeps only the matching buckets' files
+    // (HiddenPartitioningSpec asserts the pruning counts and soundness)
+    "v24_graft_bucket_lookup" -> ((s, d) =>
+      bucketFixture(s, d).scan(s,
+        Some(col("doc_id").isin(7, 21, 42, 101)))),
 
     // partition-spec evolution: one scan crossing the era partitioned by
     // n_regionkey AND the era partitioned by n_nationkey — partition
@@ -492,6 +513,9 @@ object Versioned extends QueryPack {
     "v23_graft_spec_evolution" ->
       ("SELECT *, CAST(2 AS BIGINT) AS snapshot__id FROM nation " +
         "WHERE n_regionkey IN (1, 2)"),
+    "v24_graft_bucket_lookup" ->
+      ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM documents " +
+        "WHERE doc_id IN (7, 21, 42, 101)"),
     "v10_graft_partition_filter" ->
       ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM nation " +
         "WHERE n_regionkey IN (0, 3) AND n_nationkey >= 10"),

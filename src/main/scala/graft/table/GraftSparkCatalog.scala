@@ -164,7 +164,14 @@ final class GraftV2Table(
   override def schema(): StructType = t.schema
 
   override def partitioning(): Array[Transform] =
-    t.partitionColumns.map(c => Expressions.identity(c)).toArray
+    t.partitionFields.map {
+      case IdentityField(c, _) => Expressions.identity(c)
+      case BucketField(n, c) => Expressions.bucket(n, c)
+      case DaysField(c) => Expressions.days(c)
+      case TruncateField(w, c) =>
+        Expressions.apply("truncate", Expressions.literal(w),
+          Expressions.column(c))
+    }.toArray
 
   override def properties(): util.Map[String, String] =
     t.properties.asJava
@@ -200,7 +207,11 @@ final class GraftV2Table(
         "GraftTable.scan/GraftCatalog (per-file format dispatch), not " +
         "the DSv2 catalog")
     val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())
-    if (t.partitionColumns.nonEmpty) opts.put("basePath", s"${t.dir}/data")
+    // identity directory keys need path recovery; transform-derived keys
+    // (bucket/days/truncate) keep their source column in the footers and
+    // read fine as leaf files without discovery
+    if (t.partitionFields.exists(_.isIdentity))
+      opts.put("basePath", s"${t.dir}/data")
     org.apache.spark.sql.classic.GraftBridge
       .parquetTable(spark, tableName, paths, t.schema, opts)
       .newScanBuilder(new CaseInsensitiveStringMap(opts))

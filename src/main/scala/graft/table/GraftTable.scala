@@ -162,8 +162,30 @@ final class GraftTable private (
     properties.get(PropBloomColumns).toSet[String]
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
       .filter(c => schema.fieldNames.contains(c) &&
-        !partitionColumns.contains(c) &&
+        // identity partition sources never reach the data files; transform
+        // SOURCES do (the layout key is derived), so they stay bloom-able
+        !partitionFields.exists(f => f.isIdentity && f.source == c) &&
         FileBloom.supported(schema(c).dataType))
+
+  /** The partition spec parsed into fields — identity columns and hidden
+    * transforms ([[PartitionField]]). */
+  private[table] lazy val partitionFields: Seq[PartitionField] =
+    PartitionField.parseSpec(partitionColumns, schema)
+
+  /** Manifest pruning with transform awareness: the resolved predicate is
+    * conjoined with its sound derived-directory-value implications
+    * ([[PartitionField.augment]]) before the per-file min/max walk, so a
+    * point lookup on a `bucket()`ed source reads 1/N of the files and a
+    * time range on a `days()`ed source reads its slice. Files from other
+    * partition-spec eras lack the derived stats and are kept
+    * (conservative). */
+  private[table] def pruneKeep(
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression)
+      : DataFileEntry => Boolean = {
+    val aug = PartitionField.augment(resolved, partitionFields)
+    val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
+    f => Pruning.mayMatchFile(aug, f, augSchema)
+  }
 
   // ------------------------------------------------------------------
   // commits
@@ -323,13 +345,20 @@ final class GraftTable private (
     // at cluster scale; Iceberg's write.distribution-mode=hash is the
     // same fix). Off by default: for FEW large partitions the clustering
     // collapses write parallelism to the partition count.
+    // hidden-partitioning transforms: materialize each derived directory
+    // key as a column for the write only — partitionBy lifts it into the
+    // <field>=<value>/ path, so it never lands in the data file footers
+    // and the source column stays a normal data column
+    val withDerived = partitionFields.filterNot(_.isIdentity)
+      .foldLeft(df)((d, f) => d.withColumn(f.fieldName, f.writeExpr))
     val distributed =
-      if (partitionColumns.nonEmpty &&
+      if (partitionFields.nonEmpty &&
           properties.getOrElse(PropWriteDistribution, "none") == "hash")
-        df.repartition(partitionColumns.map(col): _*)
-      else df
+        withDerived.repartition(partitionFields.map(f => col(f.fieldName)): _*)
+      else withDerived
     val writer = distributed.write.mode("overwrite")
-    if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
+    if (partitionFields.nonEmpty)
+      writer.partitionBy(partitionFields.map(_.fieldName): _*)
     // `bloom.columns`: have the parquet writer emit standard split-block
     // bloom filters for these columns (plain write options — they land in
     // the write job's hadoop conf); harvested into the manifest below
@@ -379,7 +408,9 @@ final class GraftTable private (
       // exact min=max=value stats so the same sound min/max pruning
       // machinery (Pruning/PruningPropertySpec) prunes partitions too
       val partStats = partition.map { case (c, v) =>
-        c -> PartitionValues.stats(v, schema(c).dataType, rows)
+        val dt = partitionFields.find(_.fieldName == c).map(_.derivedType)
+          .getOrElse(schema(c).dataType)
+        c -> PartitionValues.stats(v, dt, rows)
       }
       val blooms = FileBloom.harvest(dst.toString, conf, bloomCols)
       val rel = (partDirs :+ name).mkString("/")
@@ -597,7 +628,7 @@ final class GraftTable private (
       s"delete predicate cannot reference the virtual column $virtualColumn")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val (candidates, untouched) =
-      manifest.files.partition(f => Pruning.mayMatchFile(resolved, f, schema))
+      manifest.files.partition(pruneKeep(resolved))
     if (candidates.isEmpty) return None
 
     val snapId = lg.nextId
@@ -663,7 +694,7 @@ final class GraftTable private (
     // prove NO file can hold a matching row, don't commit — a pending
     // predicate taxes every later read and blocks CoW DML until a
     // compaction, a real cost for a provable no-op
-    if (!manifest.files.exists(f => Pruning.mayMatchFile(resolved, f, schema)))
+    if (!manifest.files.exists(pruneKeep(resolved)))
       return None
     val snapId = lg.nextId
     val pend = parsePending(current) :+ (current.snapshotId -> sql)
@@ -725,16 +756,16 @@ final class GraftTable private (
     require(assignments.nonEmpty, "update requires at least one assignment")
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown update column '$c'"))
-    require(assignments.keys.forall(c => !partitionColumns.contains(c)),
-      "updating a partition column is not supported (it would move rows " +
-        "across partition directories)")
+    require(assignments.keys.forall(c => !partitionFields.exists(_.source == c)),
+      "updating a partition source column is not supported (it would move " +
+        "rows across partition directories)")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
       s"update predicate cannot reference the virtual column $virtualColumn")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val (candidates, untouched) =
-      manifest.files.partition(f => Pruning.mayMatchFile(resolved, f, schema))
+      manifest.files.partition(pruneKeep(resolved))
     if (candidates.isEmpty) return None
 
     val snapId = lg.nextId
@@ -799,7 +830,7 @@ final class GraftTable private (
         val pred = resolveAgainst(spark, schema,
           org.apache.spark.sql.classic.GraftBridge.expr(
             col(keyCol) >= lit(bounds.get(0)) && col(keyCol) <= lit(bounds.get(1))))
-        manifest.files.partition(f => Pruning.mayMatchFile(pred, f, schema))
+        manifest.files.partition(pruneKeep(pred))
       }
 
     // no forced broadcast: delta batches are usually tiny (AQE broadcasts
@@ -972,14 +1003,8 @@ final class GraftTable private (
     * unpartitioned. Returns the updated handle; on-disk metadata is
     * swapped atomically. */
   def updatePartitionSpec(newSpec: Seq[String]): GraftTable = {
-    newSpec.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column '$c' not in schema ${schema.fieldNames.mkString(",")}"))
-      require(PartitionValues.supported(f.dataType),
-        s"unsupported partition column type ${f.dataType.sql} for '$c' " +
-          "(supported: BOOLEAN, INT, BIGINT, STRING, DATE)")
-    }
+    // validates identity columns AND hidden transforms against the schema
+    PartitionField.parseSpec(newSpec, schema)
     val meta = Map(
       "format_version" -> 1L,
       "schema" -> schema.json,
@@ -1019,7 +1044,13 @@ final class GraftTable private (
         val branches = Seq(
           Option.when(parqPaths.nonEmpty) {
             val r = spark.read.schema(schema)
-            if (specCols.nonEmpty) r.option("basePath", s"$dir/data")
+            // basePath recovery is needed only for IDENTITY directory keys
+            // (the value exists nowhere else); transform-derived keys
+            // (bucket/days/truncate fields, never in the schema) keep their
+            // source column in the footers, and leaf-file paths without
+            // basePath skip directory discovery entirely
+            if (specCols.exists(schema.fieldNames.contains))
+              r.option("basePath", s"$dir/data")
             r.parquet(parqPaths: _*)
           },
           Option.when(avroPaths.nonEmpty) {
@@ -1089,7 +1120,7 @@ final class GraftTable private (
         val kept = filter match {
           case Some(f) =>
             val pred = TimeTravel.neutralize(expr(f), virtualColumn)
-            manifest.files.filter(df => Pruning.mayMatchFile(pred, df, schema))
+            manifest.files.filter(pruneKeep(pred))
           case None => manifest.files
         }
         val df =
@@ -1123,7 +1154,7 @@ final class GraftTable private (
       case Some(s) =>
         val manifest = Manifest.read(s"$dir/${s.manifestList}")
         val kept = prunePredicate match {
-          case Some(p) => manifest.files.filter(f => Pruning.mayMatchFile(p, f, schema))
+          case Some(p) => manifest.files.filter(pruneKeep(p))
           case None => manifest.files
         }
         val base =
@@ -1500,14 +1531,9 @@ object GraftTable {
       partitionBy: Seq[String] = Nil): GraftTable = {
     val p = Paths.get(dir)
     require(!Files.exists(p.resolve("metadata.json")), s"table exists: $dir")
-    partitionBy.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column '$c' not in schema ${schema.fieldNames.mkString(",")}"))
-      require(PartitionValues.supported(f.dataType),
-        s"unsupported partition column type ${f.dataType.sql} for '$c' " +
-          "(supported: BOOLEAN, INT, BIGINT, STRING, DATE)")
-    }
+    // validates identity columns AND hidden transforms
+    // (bucket/days/truncate) against the schema
+    PartitionField.parseSpec(partitionBy, schema)
     Files.createDirectories(p)
     val meta = Map(
       "format_version" -> 1L,

@@ -1,0 +1,216 @@
+package graft.table
+
+import java.time.ZoneOffset
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.functions.{col, lit, pmod, substring, unix_date, xxhash64}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HIDDEN partitioning (Iceberg partition transforms): the table layout is
+  * keyed by a value DERIVED from a data column — `bucket(N, c)` (xxhash64
+  * mod N), `days(c)` (UTC epoch day), `truncate(W, c)` (W-codepoint
+  * prefix) — while queries keep filtering the SOURCE column and still
+  * prune files: scan-time conjuncts on the source are mapped to conjuncts
+  * on the derived directory value ([[PartitionField.augment]]), which the
+  * ordinary min/max machinery answers from the synthesized per-file
+  * partition stats.
+  *
+  * Why this matters at 100 TB: `bucket` gives pruning power footer stats
+  * CANNOT — a hash-distributed id spans every file's min/max, so a point
+  * lookup scans the world unless the layout itself is hash-keyed (then it
+  * reads 1/N of it); `days` keeps time-range scans to their slice without
+  * materializing a date column; `truncate` does the same for string
+  * prefixes. The source column stays in the data files — the layout is
+  * invisible to readers (hence "hidden").
+  *
+  * Soundness stance mirrors [[Pruning]]: a mapping is emitted only when
+  * the implication "row matches conjunct ⇒ file's derived value satisfies
+  * mapped conjunct" holds; everything else contributes nothing (the file
+  * is kept). Bucket maps equality/IN only (hashing is not
+  * order-preserving); days/truncate are monotone, so range endpoints map
+  * with the inequality RELAXED to its inclusive form (rows later the same
+  * day / sharing the truncated prefix may still match).
+  */
+sealed trait PartitionField {
+  /** The data column the layout derives from. */
+  def source: String
+  /** The directory key (`<fieldName>=<value>/`); equals `source` for
+    * identity. */
+  def fieldName: String
+  /** Type of the derived directory value. */
+  def derivedType: DataType
+  /** The derived value as a write-time column over the data. */
+  def writeExpr: Column
+  /** The derived value of a source-column LITERAL (internal Catalyst
+    * representation in, internal representation out) — must agree exactly
+    * with [[writeExpr]]; both sides evaluate Spark's own expressions. */
+  def derive(v: Any, dt: DataType): Any
+  def isIdentity: Boolean = false
+  /** Whether source-range conjuncts map to derived-range conjuncts. */
+  def orderPreserving: Boolean = false
+  /** Spec string persisted in metadata. */
+  def spec: String
+}
+
+final case class IdentityField(source: String, derivedType: DataType)
+    extends PartitionField {
+  val fieldName: String = source
+  def writeExpr: Column = col(source)
+  def derive(v: Any, dt: DataType): Any = v
+  override def isIdentity: Boolean = true
+  override def orderPreserving: Boolean = true
+  def spec: String = source
+}
+
+final case class BucketField(n: Int, source: String) extends PartitionField {
+  val fieldName: String = s"${source}_bucket"
+  val derivedType: DataType = IntegerType
+  def writeExpr: Column =
+    pmod(xxhash64(col(source)), lit(n.toLong)).cast("int")
+  def derive(v: Any, dt: DataType): Any = {
+    // the exact hash the writer used: Spark's XxHash64 (seed 42) over the
+    // internal value
+    // seed 42 = the default functions.xxhash64 uses on the write side
+    val h = XxHash64(Seq(Literal(v, dt)), 42L).eval(null).asInstanceOf[Long]
+    (((h % n) + n) % n).toInt
+  }
+  def spec: String = s"bucket($n,$source)"
+}
+
+final case class DaysField(source: String) extends PartitionField {
+  val fieldName: String = s"${source}_day"
+  val derivedType: DataType = IntegerType
+  // cast-to-date under the (pinned UTC) session timezone, then epoch day —
+  // NULL source rows stay NULL and land in the null partition
+  def writeExpr: Column = unix_date(col(source).cast("date"))
+  def derive(v: Any, dt: DataType): Any = dt match {
+    case DateType => v // already epoch days
+    case TimestampType | TimestampNTZType =>
+      DateTimeUtils.microsToDays(v.asInstanceOf[Long], ZoneOffset.UTC)
+    case _ => throw new IllegalArgumentException(
+      s"days($source) literal of unsupported type ${dt.sql}")
+  }
+  override def orderPreserving: Boolean = true
+  def spec: String = s"days($source)"
+}
+
+final case class TruncateField(w: Int, source: String) extends PartitionField {
+  val fieldName: String = s"${source}_trunc"
+  val derivedType: DataType = StringType
+  def writeExpr: Column = substring(col(source), 1, w)
+  def derive(v: Any, dt: DataType): Any =
+    v.asInstanceOf[UTF8String].substringSQL(1, w)
+  override def orderPreserving: Boolean = true
+  def spec: String = s"truncate($w,$source)"
+}
+
+object PartitionField {
+
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
+  private val DaysRe = """days\(\s*([^)\s]+)\s*\)""".r
+  private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
+
+  /** Parse + validate one spec entry against the table schema. */
+  def parse(entry: String, schema: StructType): PartitionField = {
+    def field(c: String): StructField =
+      schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' not in schema ${schema.fieldNames.mkString(",")}"))
+    def requireFresh(name: String): Unit =
+      require(!schema.fieldNames.contains(name),
+        s"derived partition field '$name' collides with a data column")
+    entry.trim match {
+      case BucketRe(n, c) =>
+        val f = field(c)
+        require(n.toInt > 0, s"bucket count must be positive in '$entry'")
+        require(Set[DataType](IntegerType, LongType, StringType)(f.dataType),
+          s"bucket() supports INT, BIGINT, STRING sources; '$c' is ${f.dataType.sql}")
+        val pf = BucketField(n.toInt, c); requireFresh(pf.fieldName); pf
+      case DaysRe(c) =>
+        val f = field(c)
+        require(f.dataType == DateType || f.dataType == TimestampType ||
+          f.dataType == TimestampNTZType,
+          s"days() supports DATE/TIMESTAMP sources; '$c' is ${f.dataType.sql}")
+        val pf = DaysField(c); requireFresh(pf.fieldName); pf
+      case TruncRe(w, c) =>
+        val f = field(c)
+        require(w.toInt > 0, s"truncate width must be positive in '$entry'")
+        require(f.dataType == StringType,
+          s"truncate() supports STRING sources; '$c' is ${f.dataType.sql}")
+        val pf = TruncateField(w.toInt, c); requireFresh(pf.fieldName); pf
+      case c =>
+        val f = field(c)
+        require(PartitionValues.supported(f.dataType),
+          s"unsupported partition column type ${f.dataType.sql} for '$c' " +
+            "(supported: BOOLEAN, INT, BIGINT, STRING, DATE)")
+        IdentityField(c, f.dataType)
+    }
+  }
+
+  def parseSpec(spec: Seq[String], schema: StructType): Seq[PartitionField] = {
+    val fields = spec.map(parse(_, schema))
+    val names = fields.map(_.fieldName)
+    require(names.distinct.size == names.size,
+      s"duplicate partition field names in spec ${spec.mkString(",")}")
+    fields
+  }
+
+  /** Table schema plus the derived partition fields — what the pruning
+    * walk needs to type the synthesized directory-value stats. */
+  def augmentedSchema(schema: StructType, fields: Seq[PartitionField]): StructType =
+    StructType(schema.fields ++ fields.filterNot(_.isIdentity)
+      .map(f => StructField(f.fieldName, f.derivedType, nullable = true)))
+
+  /** Conjoin the resolved predicate with every sound derived-column
+    * implication of its top-level conjuncts. Identity fields need no
+    * mapping (their synthesized stats already carry the source name);
+    * conjuncts that reference anything else contribute nothing. */
+  def augment(pred: Expression, fields: Seq[PartitionField]): Expression = {
+    val transforms = fields.filterNot(_.isIdentity)
+    if (transforms.isEmpty) return pred
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val derived = conjuncts(pred).flatMap { c => transforms.flatMap { f => mapConjunct(c, f) } }
+    derived.foldLeft(pred)(And(_, _))
+  }
+
+  private def mapConjunct(c: Expression, f: PartitionField): Option[Expression] = {
+    def attr = AttributeReference(f.fieldName, f.derivedType)()
+    def dlit(v: Any, dt: DataType): Literal = Literal(f.derive(v, dt), f.derivedType)
+    c match {
+      case EqualTo(a: AttributeReference, Literal(v, dt))
+          if a.name == f.source && v != null =>
+        Some(EqualTo(attr, dlit(v, dt)))
+      case EqualTo(Literal(v, dt), a: AttributeReference)
+          if a.name == f.source && v != null =>
+        Some(EqualTo(attr, dlit(v, dt)))
+      case EqualNullSafe(a: AttributeReference, Literal(v, dt))
+          if a.name == f.source && v != null =>
+        Some(EqualTo(attr, dlit(v, dt)))
+      case In(a: AttributeReference, list)
+          if a.name == f.source && list.nonEmpty &&
+            list.forall { case Literal(v, _) => v != null; case _ => false } =>
+        Some(In(attr, list.map { case Literal(v, dt) => dlit(v, dt) }))
+      // monotone transforms: endpoints map with inclusive inequalities
+      // (rows later the same day / sharing the prefix may still match)
+      case GreaterThan(a: AttributeReference, Literal(v, dt))
+          if a.name == f.source && v != null && f.orderPreserving =>
+        Some(GreaterThanOrEqual(attr, dlit(v, dt)))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt))
+          if a.name == f.source && v != null && f.orderPreserving =>
+        Some(GreaterThanOrEqual(attr, dlit(v, dt)))
+      case LessThan(a: AttributeReference, Literal(v, dt))
+          if a.name == f.source && v != null && f.orderPreserving =>
+        Some(LessThanOrEqual(attr, dlit(v, dt)))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt))
+          if a.name == f.source && v != null && f.orderPreserving =>
+        Some(LessThanOrEqual(attr, dlit(v, dt)))
+      case _ => None
+    }
+  }
+}
