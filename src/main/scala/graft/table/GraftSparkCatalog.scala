@@ -115,11 +115,25 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // identity plus the hidden transforms (SQL `PARTITIONED BY (bucket(8,
+    // id), days(ts), truncate(4, s))` arrives as v2 Transform nodes);
+    // spec strings re-parse through PartitionField at create
+    def ref(t: Transform): String = t.references()(0).fieldNames().mkString(".")
+    def intArg(t: Transform): Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value().toString.toInt
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"transform $t needs an integer literal argument"))
     val partCols = partitions.toSeq.map {
-      case t if t.name() == "identity" && t.references().length == 1 =>
-        t.references()(0).fieldNames().mkString(".")
+      case t if t.name() == "identity" && t.references().length == 1 => ref(t)
+      case t if t.name() == "bucket" && t.references().length == 1 =>
+        s"bucket(${intArg(t)},${ref(t)})"
+      case t if t.name() == "days" && t.references().length == 1 =>
+        s"days(${ref(t)})"
+      case t if t.name() == "truncate" && t.references().length == 1 =>
+        s"truncate(${intArg(t)},${ref(t)})"
       case other => throw new UnsupportedOperationException(
-        s"graft supports only identity partitioning, got $other")
+        s"graft supports identity/bucket/days/truncate partitioning, got $other")
     }
     val props = properties.asScala.toMap -
       TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER -
