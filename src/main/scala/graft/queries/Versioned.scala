@@ -127,6 +127,19 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** `days(ts)` hidden-partitioning fixture: the events table laid out in
+    * UTC day slices (~30 directories for the Jan-2024 corpus). Time-range
+    * predicates on `ts` itself prune to their slice — no materialized
+    * date column, the warehouse time-partitioning pattern with the
+    * partitioning hidden from readers. */
+  private def dayFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "events_day", 1) { dir =>
+      val ev = eventsTable(spark, sfDir)
+      val tb = GraftTable.create(dir, ev.schema, partitionBy = Seq("days(ts)"))
+      tb.append(ev, Some(1000L))
+      tb
+    }
+
   /** Compaction fixture: two appended copies of region, then the small
     * files bin-packed by a `"replace"` snapshot (snapshot 3). */
   private def compactFixture(spark: SparkSession, sfDir: String): GraftTable =
@@ -295,6 +308,19 @@ object Versioned extends QueryPack {
     "v24_graft_bucket_lookup" -> ((s, d) =>
       bucketFixture(s, d).scan(s,
         Some(col("doc_id").isin(7, 21, 42, 101)))),
+
+    // hidden day-partitioning: a time-range scan over the days(ts) layout
+    // reads only the trailing day slices (manifest pruning on the derived
+    // epoch-day key), then aggregates per day × type
+    "v25_graft_day_slice" -> ((s, d) => {
+      val cut = java.time.Instant.parse("2024-01-21T12:00:00Z")
+      dayFixture(s, d).scan(s, Some(col("ts") >= lit(cut)))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4)
+            .cast("double").as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
 
     // partition-spec evolution: one scan crossing the era partitioned by
     // n_regionkey AND the era partitioned by n_nationkey — partition
@@ -516,6 +542,12 @@ object Versioned extends QueryPack {
     "v24_graft_bucket_lookup" ->
       ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM documents " +
         "WHERE doc_id IN (7, 21, 42, 101)"),
+    "v25_graft_day_slice" ->
+      ("SELECT CAST(ts AS DATE) AS day, event_type, " +
+        "count(*) AS n_events, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value " +
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-21 12:00:00' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "v10_graft_partition_filter" ->
       ("SELECT *, CAST(1 AS BIGINT) AS snapshot__id FROM nation " +
         "WHERE n_regionkey IN (0, 3) AND n_nationkey >= 10"),
