@@ -130,10 +130,17 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
         s"bucket(${intArg(t)},${ref(t)})"
       case t if t.name() == "days" && t.references().length == 1 =>
         s"days(${ref(t)})"
+      case t if t.name() == "years" && t.references().length == 1 =>
+        s"years(${ref(t)})"
+      case t if t.name() == "months" && t.references().length == 1 =>
+        s"months(${ref(t)})"
+      case t if t.name() == "hours" && t.references().length == 1 =>
+        s"hours(${ref(t)})"
       case t if t.name() == "truncate" && t.references().length == 1 =>
         s"truncate(${intArg(t)},${ref(t)})"
       case other => throw new UnsupportedOperationException(
-        s"graft supports identity/bucket/days/truncate partitioning, got $other")
+        "graft supports identity/bucket/years/months/days/hours/truncate " +
+          s"partitioning, got $other")
     }
     val props = properties.asScala.toMap -
       TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER -
@@ -182,6 +189,9 @@ final class GraftV2Table(
       case IdentityField(c, _) => Expressions.identity(c)
       case BucketField(n, c) => Expressions.bucket(n, c)
       case DaysField(c) => Expressions.days(c)
+      case YearsField(c) => Expressions.years(c)
+      case MonthsField(c) => Expressions.months(c)
+      case HoursField(c) => Expressions.hours(c)
       case TruncateField(w, c) =>
         Expressions.apply("truncate", Expressions.literal(w),
           Expressions.column(c))

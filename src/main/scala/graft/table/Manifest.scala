@@ -52,7 +52,36 @@ final case class Manifest(files: Seq[DataFileEntry]) {
 object Manifest {
   val empty: Manifest = Manifest(Seq.empty)
 
+  /** Parsed-manifest cache. Manifest files are write-once (the commit
+    * claim serializes who publishes `snap-<id>.json`, and snapshot ids
+    * never decrease because the current snapshot is never expired), so a
+    * repeat scan of the same snapshot can skip the O(files) JSON parse on
+    * the driver — at 100 TB that parse is the per-query planning floor.
+    * The key carries (size, mtime) so a table DROPPED AND RECREATED at
+    * the same path (tests do this; prod can) never serves the old
+    * table's file list. Bounded LRU; entries are immutable case classes,
+    * safe to share across threads. */
+  private val CacheCap = 64
+  private val cache =
+    new java.util.LinkedHashMap[(String, Long, Long), Manifest](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Manifest]): Boolean =
+        size() > CacheCap
+    }
+
   def read(absPath: String): Manifest = {
+    val attrs = Files.readAttributes(Paths.get(absPath),
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = (absPath, attrs.size(), attrs.lastModifiedTime().toMillis)
+    val hit = cache.synchronized(Option(cache.get(key)))
+    hit.getOrElse {
+      val m = parseFile(absPath)
+      cache.synchronized(cache.put(key, m))
+      m
+    }
+  }
+
+  private def parseFile(absPath: String): Manifest = {
     val obj = Json.parseObject(Files.readString(Paths.get(absPath)))
     val files = obj("files").asInstanceOf[Seq[Any]].map { f =>
       val m = f.asInstanceOf[Map[String, Any]]

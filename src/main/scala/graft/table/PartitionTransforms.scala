@@ -51,6 +51,11 @@ sealed trait PartitionField {
   def isIdentity: Boolean = false
   /** Whether source-range conjuncts map to derived-range conjuncts. */
   def orderPreserving: Boolean = false
+  /** Whether a NULL source derives a NULL directory value (then `c IS
+    * NULL` maps to the null partition). False for bucket: the hash
+    * expression skips null inputs and returns the seed, so null rows
+    * land in a REGULAR bucket directory. */
+  def nullPropagating: Boolean = false
   /** Spec string persisted in metadata. */
   def spec: String
 }
@@ -94,7 +99,72 @@ final case class DaysField(source: String) extends PartitionField {
       s"days($source) literal of unsupported type ${dt.sql}")
   }
   override def orderPreserving: Boolean = true
+  override def nullPropagating: Boolean = true
   def spec: String = s"days($source)"
+}
+
+/** Shared shape of the coarser time transforms — `years(c)` /
+  * `months(c)` / `hours(c)` complete Iceberg's time family around
+  * [[DaysField]]: same monotone epoch-unit derivation, same UTC
+  * anchoring, only the unit differs. */
+sealed trait TimeUnitField extends PartitionField {
+  val derivedType: DataType = IntegerType
+  override def orderPreserving: Boolean = true
+  override def nullPropagating: Boolean = true
+  protected def epochDaysToUnit(days: Int): Int
+  protected def microsToUnit(micros: Long): Int
+  def derive(v: Any, dt: DataType): Any = dt match {
+    case DateType => epochDaysToUnit(v.asInstanceOf[Int])
+    case TimestampType | TimestampNTZType =>
+      microsToUnit(v.asInstanceOf[Long])
+    case _ => throw new IllegalArgumentException(
+      s"$spec literal of unsupported type ${dt.sql}")
+  }
+}
+
+final case class YearsField(source: String) extends TimeUnitField {
+  val fieldName: String = s"${source}_year"
+  // calendar year minus 1970 (Iceberg's year ordinal), via the same
+  // cast-to-date the writer uses
+  def writeExpr: Column =
+    (org.apache.spark.sql.functions.year(col(source).cast("date")) - 1970)
+      .cast("int")
+  protected def epochDaysToUnit(days: Int): Int =
+    java.time.LocalDate.ofEpochDay(days.toLong).getYear - 1970
+  protected def microsToUnit(micros: Long): Int =
+    epochDaysToUnit(DateTimeUtils.microsToDays(micros, ZoneOffset.UTC))
+  def spec: String = s"years($source)"
+}
+
+final case class MonthsField(source: String) extends TimeUnitField {
+  val fieldName: String = s"${source}_month"
+  // months since 1970-01 (Iceberg's month ordinal)
+  def writeExpr: Column = {
+    val d = col(source).cast("date")
+    ((org.apache.spark.sql.functions.year(d) - 1970) * 12 +
+      org.apache.spark.sql.functions.month(d) - 1).cast("int")
+  }
+  protected def epochDaysToUnit(days: Int): Int = {
+    val ld = java.time.LocalDate.ofEpochDay(days.toLong)
+    (ld.getYear - 1970) * 12 + ld.getMonthValue - 1
+  }
+  protected def microsToUnit(micros: Long): Int =
+    epochDaysToUnit(DateTimeUtils.microsToDays(micros, ZoneOffset.UTC))
+  def spec: String = s"months($source)"
+}
+
+final case class HoursField(source: String) extends TimeUnitField {
+  val fieldName: String = s"${source}_hour"
+  // hours since the epoch; floorDiv matches the writer's integer floor
+  // for pre-1970 instants
+  def writeExpr: Column =
+    org.apache.spark.sql.functions.floor(
+      org.apache.spark.sql.functions.unix_micros(
+        col(source).cast("timestamp")) / lit(3600000000L)).cast("int")
+  protected def epochDaysToUnit(days: Int): Int = days * 24
+  protected def microsToUnit(micros: Long): Int =
+    Math.floorDiv(micros, 3600000000L).toInt
+  def spec: String = s"hours($source)"
 }
 
 final case class TruncateField(w: Int, source: String) extends PartitionField {
@@ -104,6 +174,7 @@ final case class TruncateField(w: Int, source: String) extends PartitionField {
   def derive(v: Any, dt: DataType): Any =
     v.asInstanceOf[UTF8String].substringSQL(1, w)
   override def orderPreserving: Boolean = true
+  override def nullPropagating: Boolean = true
   def spec: String = s"truncate($w,$source)"
 }
 
@@ -111,6 +182,9 @@ object PartitionField {
 
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
   private val DaysRe = """days\(\s*([^)\s]+)\s*\)""".r
+  private val YearsRe = """years\(\s*([^)\s]+)\s*\)""".r
+  private val MonthsRe = """months\(\s*([^)\s]+)\s*\)""".r
+  private val HoursRe = """hours\(\s*([^)\s]+)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
 
   /** Parse + validate one spec entry against the table schema. */
@@ -135,6 +209,23 @@ object PartitionField {
           f.dataType == TimestampNTZType,
           s"days() supports DATE/TIMESTAMP sources; '$c' is ${f.dataType.sql}")
         val pf = DaysField(c); requireFresh(pf.fieldName); pf
+      case YearsRe(c) =>
+        val f = field(c)
+        require(f.dataType == DateType || f.dataType == TimestampType ||
+          f.dataType == TimestampNTZType,
+          s"years() supports DATE/TIMESTAMP sources; '$c' is ${f.dataType.sql}")
+        val pf = YearsField(c); requireFresh(pf.fieldName); pf
+      case MonthsRe(c) =>
+        val f = field(c)
+        require(f.dataType == DateType || f.dataType == TimestampType ||
+          f.dataType == TimestampNTZType,
+          s"months() supports DATE/TIMESTAMP sources; '$c' is ${f.dataType.sql}")
+        val pf = MonthsField(c); requireFresh(pf.fieldName); pf
+      case HoursRe(c) =>
+        val f = field(c)
+        require(f.dataType == TimestampType || f.dataType == TimestampNTZType,
+          s"hours() supports TIMESTAMP sources; '$c' is ${f.dataType.sql}")
+        val pf = HoursField(c); requireFresh(pf.fieldName); pf
       case TruncRe(w, c) =>
         val f = field(c)
         require(w.toInt > 0, s"truncate width must be positive in '$entry'")
@@ -210,6 +301,9 @@ object PartitionField {
       case LessThanOrEqual(a: AttributeReference, Literal(v, dt))
           if a.name == f.source && v != null && f.orderPreserving =>
         Some(LessThanOrEqual(attr, dlit(v, dt)))
+      case org.apache.spark.sql.catalyst.expressions.IsNull(a: AttributeReference)
+          if a.name == f.source && f.nullPropagating =>
+        Some(org.apache.spark.sql.catalyst.expressions.IsNull(attr))
       case _ => None
     }
   }

@@ -109,11 +109,52 @@ class HiddenPartitioningSpec extends SparkSpecBase {
     val got = t.scan(spark, Some(col("ts") >= lit(cut))).count()
     assert(got == rows.count(_.getAs[Timestamp](0).getTime >= cut.getTime))
 
-    // a null timestamp lands in the null partition and survives scans
+    // a null timestamp lands in the null partition and survives scans;
+    // `ts IS NULL` prunes to just that partition's file (days() is
+    // null-propagating, unlike bucket)
     t.append(spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(null, 999L)), 1), schema),
       Some(2000L))
     assert(t.read(spark).filter(col("ts").isNull).count() == 1)
+    val keptNull = keep(t, col("ts").isNull)
+    assert(keptNull.size == 1 && keptNull.head.partition("ts_day").isEmpty,
+      s"IS NULL must keep only the null-partition file, kept $keptNull")
+  }
+
+  test("years/months/hours: the coarser time units derive and prune") {
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType, nullable = true),
+      StructField("n", LongType, nullable = false)))
+    val mk = (i: Int) => // one row per week over ~2 years
+      Row(new Timestamp(1600000000000L + i.toLong * 7 * 86400_000L), i.toLong)
+    val rows = (0 until 104).map(mk)
+    def build(spec: String, name: String): GraftTable = {
+      val t = GraftTable.create(tmpDir(name), schema, partitionBy = Seq(spec))
+      t.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema), Some(1000L))
+      t
+    }
+    val cut = new Timestamp(1600000000000L + 52L * 7 * 86400_000L)
+
+    val ty = build("years(ts)", "hp-years")
+    assert(allFiles(ty).flatMap(_.partition("ts_year")).distinct.size >= 2)
+    val keptY = keep(ty, col("ts") >= lit(cut))
+    assert(keptY.size < allFiles(ty).size)
+    assert(ty.scan(spark, Some(col("ts") >= lit(cut))).count() ==
+      rows.count(_.getAs[Timestamp](0).getTime >= cut.getTime))
+
+    val tm = build("months(ts)", "hp-months")
+    assert(allFiles(tm).flatMap(_.partition("ts_month")).distinct.size >= 20)
+    val keptM = keep(tm, col("ts") >= lit(cut))
+    assert(keptM.size <= allFiles(tm).size / 2 + 1)
+    assert(tm.scan(spark, Some(col("ts") >= lit(cut))).count() ==
+      rows.count(_.getAs[Timestamp](0).getTime >= cut.getTime))
+
+    val th = build("hours(ts)", "hp-hours")
+    val one = rows(10).getAs[Timestamp](0)
+    val keptH = keep(th, col("ts") === lit(one))
+    assert(keptH.size == 1, s"hour equality must keep one slice, kept $keptH")
+    assert(th.scan(spark, Some(col("ts") === lit(one))).count() == 1)
   }
 
   test("truncate(W, s): prefix equality and ranges prune") {
