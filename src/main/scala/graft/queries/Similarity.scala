@@ -171,6 +171,19 @@ object Similarity extends QueryPack {
         "embedding", k = 10)
     }),
 
+    // FILTERED vector search (the vector-store "metadata filter"): top-k
+    // within the label=3 slice only. PRE-filtering the corpus composes
+    // with the scan (the predicate pushes into parquet, the candidate
+    // space shrinks BEFORE any distance is computed) — post-filtering a
+    // global top-k instead under-fills k whenever the filter is
+    // selective. Same bounded-heap aggregate as s01, so the filtered
+    // corpus relation never shuffles.
+    "s13_knn_filtered" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      bruteForceTopK(emb.filter(col("label") === 3),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    }),
+
     // ANN via sign-LSH buckets — the oracle replicates the bucketing with
     // the same literal hyperplanes, so the approximate result is itself
     // hash-checked; recall vs brute force is asserted in SimilaritySpec
@@ -869,6 +882,16 @@ object Similarity extends QueryPack {
     "s01_knn_brute" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
         "q AS (SELECT vec_id, v FROM e WHERE vec_id < 5), " +
+        "scored AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id, " +
+        "list_cosine_similarity(q.v, e.v) AS cos FROM q JOIN e ON e.vec_id <> q.vec_id), " +
+        "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
+        "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"),
+    "s13_knn_filtered" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings " +
+        "WHERE label = 3), " +
+        "q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings " +
+        "WHERE vec_id < 5), " +
         "scored AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id, " +
         "list_cosine_similarity(q.v, e.v) AS cos FROM q JOIN e ON e.vec_id <> q.vec_id), " +
         "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +

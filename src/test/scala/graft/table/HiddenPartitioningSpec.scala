@@ -221,6 +221,28 @@ class HiddenPartitioningSpec extends SparkSpecBase {
     assert(allFiles(t).map(_.partition.keySet).distinct == Seq(Set("id_bucket")))
   }
 
+  test("streaming micro-batch appends land in the transform layout") {
+    val dir = tmpDir("hp-stream")
+    val t = GraftTable.create(dir, idSchema, partitionBy = Seq("bucket(4,id)"))
+    // two micro-batches through the exactly-once streaming commit path
+    val b0 = (0L until 8L).map(i => Row(i, s"v$i"))
+    val b1 = (8L until 16L).map(i => Row(i, s"v$i"))
+    assert(t.appendStreamBatch(spark.createDataFrame(
+      spark.sparkContext.parallelize(b0, 1), idSchema), "sink", 0L,
+      Some(1000L)).isDefined)
+    assert(t.appendStreamBatch(spark.createDataFrame(
+      spark.sparkContext.parallelize(b1, 1), idSchema), "sink", 1L,
+      Some(2000L)).isDefined)
+    // re-delivery of batch 1 is dropped (cursor), layout stays bucketed
+    assert(t.appendStreamBatch(spark.createDataFrame(
+      spark.sparkContext.parallelize(b1, 1), idSchema), "sink", 1L,
+      Some(3000L)).isEmpty)
+    assert(allFiles(t).nonEmpty &&
+      allFiles(t).forall(_.partition.keySet == Set("id_bucket")))
+    assert(t.read(spark).count() == 16)
+    assert(keep(t, col("id") === 11L).size < allFiles(t).size)
+  }
+
   test("bad transform specs are rejected at create") {
     intercept[IllegalArgumentException] {
       GraftTable.create(tmpDir("hp-bad1"), idSchema,
