@@ -154,8 +154,13 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
         t = t.addColumn(add.fieldNames()(0), add.dataType())
+      case set: TableChange.SetProperty =>
+        t = t.updateProperties(Map(set.property() -> set.value()))
+      case rm: TableChange.RemoveProperty =>
+        t = t.updateProperties(Map.empty, Set(rm.property()))
       case other => throw new UnsupportedOperationException(
-        s"graft supports only top-level ADD COLUMN, got $other")
+        "graft supports top-level ADD COLUMN and SET/UNSET TBLPROPERTIES, " +
+          s"got $other")
     }
     new GraftV2Table(identToName(ident), t, None)
   }

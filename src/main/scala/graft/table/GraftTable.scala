@@ -987,6 +987,26 @@ final class GraftTable private (
     new GraftTable(dir, newSchema, properties, partitionColumns)
   }
 
+  /** Update table properties (set `updates`, drop `removals`) — the knobs
+    * behind blooms (`graft.bloom.columns`), writer options
+    * (`graft.write.option.*`), write distribution, and the virtual-column
+    * rename all live here; this is the API (and SQL `ALTER TABLE … SET /
+    * UNSET TBLPROPERTIES`) path to change them after create. Metadata is
+    * swapped atomically; data files are untouched. */
+  def updateProperties(
+      updates: Map[String, String],
+      removals: Set[String] = Set.empty): GraftTable = {
+    val newProps = properties -- removals ++ updates
+    val meta = Map(
+      "format_version" -> 1L,
+      "schema" -> schema.json,
+      "partition_columns" -> partitionColumns,
+      "properties" -> newProps)
+    graft.util.Json.writeFileAtomic(s"$dir/metadata.json",
+      graft.util.Json.write(meta))
+    new GraftTable(dir, schema, newProps, partitionColumns)
+  }
+
   /** Partition-spec EVOLUTION (Iceberg's signature table feature): change
     * the partition layout for FUTURE writes without rewriting a single
     * existing byte. Existing data files keep the layout they were written

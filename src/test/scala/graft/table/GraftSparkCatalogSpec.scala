@@ -101,6 +101,24 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     spark.sql("DROP TABLE g2.db.bkt")
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES reaches table metadata") {
+    val t = GraftTable.create(s"$wh/db/props", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+
+    // set the virtual-column rename property through SQL and observe it
+    spark.sql("ALTER TABLE g2.db.props SET TBLPROPERTIES " +
+      "('graft.snapshot.virtual.column.name' = 'commit_id', " +
+      "'graft.demo' = 'x')")
+    val renamed = GraftTable.load(s"$wh/db/props")
+    assert(renamed.properties("graft.demo") == "x")
+    assert(renamed.virtualColumn == "commit_id")
+    assert(renamed.read(spark).columns.contains("commit_id"))
+
+    spark.sql("ALTER TABLE g2.db.props UNSET TBLPROPERTIES ('graft.demo')")
+    assert(!GraftTable.load(s"$wh/db/props").properties.contains("graft.demo"))
+    spark.sql("DROP TABLE g2.db.props")
+  }
+
   test("catalog reads push filters into the parquet scan; empty tables read") {
     val t = GraftTable.create(s"$wh/db/push", schema)
     t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
