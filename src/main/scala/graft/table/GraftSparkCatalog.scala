@@ -224,10 +224,10 @@ final class GraftV2Table(
           s"${s.snapshotId} — compact() to materialize them before " +
           "reading through the DSv2 catalog")
     }
-    val paths = snap.toSeq.flatMap { s =>
+    val entries = snap.toSeq.flatMap { s =>
       Manifest.read(s"${t.dir}/${s.manifestList}").files
-        .map(f => s"${t.dir}/${f.path}")
     }
+    val paths = entries.map(f => s"${t.dir}/${f.path}")
     // this surface hands the list to the PARQUET source; avro entries
     // (appendAvro mixed-format tables) would fail at task time — refuse
     // with direction instead (the library scan path dispatches per file)
@@ -241,8 +241,17 @@ final class GraftV2Table(
     // read fine as leaf files without discovery
     if (t.partitionFields.exists(_.isIdentity))
       opts.put("basePath", s"${t.dir}/data")
-    org.apache.spark.sql.classic.GraftBridge
-      .parquetTable(spark, tableName, paths, t.schema, opts)
-      .newScanBuilder(new CaseInsensitiveStringMap(opts))
+    // manifest pruning BEFORE the parquet source sees the list: the
+    // pushed Catalyst data filters drive the same stats/bloom/transform
+    // walk the library scan path uses (sound: everything stays residual)
+    new org.apache.spark.sql.classic.GraftPruningScanBuilder(
+      spark, tableName, t.schema, opts, paths,
+      filters => {
+        val keep = filters
+          .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(t.pruneKeep)
+          .getOrElse((_: DataFileEntry) => true)
+        entries.filter(keep).map(f => s"${t.dir}/${f.path}")
+      })
   }
 }

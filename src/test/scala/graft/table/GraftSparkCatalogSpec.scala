@@ -101,6 +101,40 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     spark.sql("DROP TABLE g2.db.bkt")
   }
 
+  test("DSv2 reads prune the file list from the manifest (incl. bucket)") {
+    spark.sql("CREATE TABLE g2.db.bkt2 (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    val t = GraftTable.load(s"$wh/db/bkt2")
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 64L).map(i => Row(i, s"v$i")), 1),
+      t.schema), Some(1000L))
+    val total = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+      .files.size
+    assert(total >= 4, s"fixture should spread over buckets, got $total files")
+
+    def scannedFiles(sql: String): Int = {
+      val df = spark.sql(sql)
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+              p.fileIndex.inputFiles.length
+            case _ => Int.MaxValue
+          }
+      }.sum
+    }
+    // a point lookup on the bucket SOURCE plans a strict subset of files
+    assert(scannedFiles("SELECT v FROM g2.db.bkt2 WHERE id = 7") < total)
+    // and still answers correctly (residual filter applies post-scan)
+    assert(spark.sql("SELECT v FROM g2.db.bkt2 WHERE id = 7")
+      .collect().map(_.getString(0)).toSeq == Seq("v7"))
+    // an unfiltered read keeps every file
+    assert(scannedFiles("SELECT v FROM g2.db.bkt2") == total)
+    // a lookup that misses every file still answers (empty, no crash)
+    assert(spark.sql("SELECT v FROM g2.db.bkt2 WHERE id = 999").count() == 0)
+    spark.sql("DROP TABLE g2.db.bkt2")
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES reaches table metadata") {
     val t = GraftTable.create(s"$wh/db/props", schema)
     t.append(mkDf(1L -> "a"), Some(1000L))
