@@ -108,6 +108,29 @@ class PartitionEvolutionSpec extends SparkSpecBase {
     }
   }
 
+  test("appends through a STALE pre-evolution handle stay readable") {
+    // updatePartitionSpec returns a new immutable handle; a writer still
+    // holding the old one (the realistic race after a spec change) writes
+    // the old layout — the manifest records each file's own spec, so the
+    // table stays consistent and both eras read back
+    val dir = tmpDir("evo-stale")
+    val t0 = GraftTable.create(dir, nation.schema,
+      partitionBy = Seq("n_regionkey"))
+    val t1 = t0.updatePartitionSpec(Seq("n_nationkey"))
+    t1.append(nation.filter(col("n_nationkey") < 12), Some(1000L))
+    t0.append(nation.filter(col("n_nationkey") >= 12), Some(2000L)) // stale
+
+    val fresh = GraftTable.load(dir)
+    assert(fresh.partitionColumns == Seq("n_nationkey"))
+    val got = fresh.read(spark).drop("snapshot__id")
+      .orderBy("n_nationkey").collect().map(_.toSeq)
+    val want = nation.orderBy("n_nationkey").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    val specs = Manifest.read(s"$dir/${fresh.log.current.get.manifestList}")
+      .files.map(_.partition.keySet).distinct.toSet
+    assert(specs == Set(Set("n_regionkey"), Set("n_nationkey")))
+  }
+
   test("time travel into the pre-evolution era still reads its layout") {
     val dir = tmpDir("evo-tt")
     val t0 = GraftTable.create(dir, nation.schema,
