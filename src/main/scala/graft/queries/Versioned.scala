@@ -81,6 +81,27 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Write–audit–publish fixture: snapshot 1 = region; a branch then
+    * stages a shifted copy (+100 keys), the audit step deletes the bad
+    * row (key 102) ON THE BRANCH, and publish fast-forwards the audited
+    * state into the table as ONE atomic commit (snapshot 2). The fork
+    * and the publish are both metadata-only — no data byte is copied at
+    * any scale. The branch is dropped after publish (its data dir now
+    * belongs to the table's manifests). */
+  private def wapFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "region_wap", 2) { dir =>
+      val region = t(spark, sfDir, "region")
+      val tb = GraftTable.create(dir, region.schema)
+      tb.append(region, committedAt = Some(1000L))
+      val br = tb.createBranch("audit", committedAt = Some(1500L))
+      br.append(region.withColumn("r_regionkey", col("r_regionkey") + 100),
+        committedAt = Some(2000L))
+      br.delete(spark, col("r_regionkey") === 102, committedAt = Some(2500L))
+      tb.publishBranch("audit", committedAt = Some(3000L))
+      tb.dropBranch("audit")
+      tb
+    }
+
   /** Schema-evolution fixture: snapshot 1 = region as-is; then an
     * `r_extra` BIGINT column is added and snapshot 2 appends region again
     * with `r_extra = r_regionkey * 10`. Pre-evolution files read the new
@@ -384,6 +405,11 @@ object Versioned extends QueryPack {
     "v01_graft_scan" -> ((s, d) =>
       fixture(s, d).read(s)),
 
+    // WRITE–AUDIT–PUBLISH: the branch-staged, branch-audited batch lands
+    // as one atomic publish commit; the scan reads base + audited rows
+    "v23_graft_branch_wap" -> ((s, d) =>
+      wapFixture(s, d).read(s).orderBy("r_regionkey")),
+
     // V3/P16: time travel via the snapshot__id predicate — back to snap 1
     "v02_graft_timetravel" -> ((s, d) =>
       fixture(s, d).scan(s, Some(col("snapshot__id") === 1L))),
@@ -500,6 +526,14 @@ object Versioned extends QueryPack {
         "CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation " +
         "WHERE n_regionkey NOT IN (2, 4) " +
         "GROUP BY n_regionkey ORDER BY n_regionkey"),
+    // base region + the branch's audited batch (shifted keys minus the
+    // audit-deleted 102), all at the publish snapshot
+    "v23_graft_branch_wap" ->
+      ("SELECT r.*, CAST(2 AS BIGINT) AS snapshot__id FROM " +
+        "(SELECT * FROM region UNION ALL " +
+        "SELECT CAST(r_regionkey + 100 AS INTEGER) AS r_regionkey, r_name " +
+        "FROM region WHERE r_regionkey + 100 <> 102) r " +
+        "ORDER BY r_regionkey"),
     "v11_graft_evolution" ->
       ("SELECT r.*, CAST(NULL AS BIGINT) AS r_extra, " +
         "CAST(2 AS BIGINT) AS snapshot__id FROM region r " +

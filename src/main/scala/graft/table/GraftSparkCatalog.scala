@@ -227,7 +227,12 @@ final class GraftV2Table(
     val entries = snap.toSeq.flatMap { s =>
       Manifest.read(s"${t.dir}/${s.manifestList}").files
     }
-    val paths = entries.map(f => s"${t.dir}/${f.path}")
+    // normalize: a published branch leaves `branches/<name>/data/…`
+    // entries in the parent manifest (and a branch table holds `../../`
+    // fork entries) — the parquet source must see clean absolute paths
+    def abs(rel: String): String =
+      java.nio.file.Paths.get(t.dir, rel).normalize().toString
+    val paths = entries.map(f => abs(f.path))
     // this surface hands the list to the PARQUET source; avro entries
     // (appendAvro mixed-format tables) would fail at task time — refuse
     // with direction instead (the library scan path dispatches per file)
@@ -239,8 +244,17 @@ final class GraftV2Table(
     // identity directory keys need path recovery; transform-derived keys
     // (bucket/days/truncate) keep their source column in the footers and
     // read fine as leaf files without discovery
-    if (t.partitionFields.exists(_.isIdentity))
+    if (t.partitionFields.exists(_.isIdentity)) {
+      // identity recovery needs ONE basePath ancestor for every file;
+      // a multi-root manifest (fork/publish entries) can't satisfy it
+      // here — refuse with direction (the library scan path groups by
+      // root and handles it)
+      require(entries.forall(f =>
+        !f.path.startsWith("../") && !f.path.startsWith("branches/")),
+        s"${t.dir} is identity-partitioned with branch-era data files — " +
+          "read it via GraftTable.scan/GraftCatalog, not the DSv2 catalog")
       opts.put("basePath", s"${t.dir}/data")
+    }
     // manifest pruning BEFORE the parquet source sees the list: the
     // pushed Catalyst data filters drive the same stats/bloom/transform
     // walk the library scan path uses (sound: everything stays residual)
@@ -251,7 +265,7 @@ final class GraftV2Table(
           .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
           .map(t.pruneKeep)
           .getOrElse((_: DataFileEntry) => true)
-        entries.filter(keep).map(f => s"${t.dir}/${f.path}")
+        entries.filter(keep).map(f => abs(f.path))
       })
   }
 }

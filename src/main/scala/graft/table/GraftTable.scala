@@ -144,10 +144,157 @@ final class GraftTable private (
     read(spark, Some(refs.getOrElse(name,
       throw new IllegalArgumentException(s"no tag '$name' on $dir"))))
 
+  // ------------------------------------------------------------------
+  // branches (write–audit–publish)
+  // ------------------------------------------------------------------
+
+  private def branchesPath = s"$dir/branches.json"
+  private def branchDir(name: String) = s"$dir/branches/$name"
+
+  /** Registered branches: name → (fork snapshot id, published?). Fork
+    * snapshots are retention anchors exactly like tags — expiration
+    * stops at them, so a live branch's inherited files can never be
+    * reclaimed out from under it. */
+  def branches: Map[String, (Long, Boolean)] = {
+    val p = Paths.get(branchesPath)
+    if (!Files.exists(p)) Map.empty
+    else graft.util.Json.parseObject(Files.readString(p)).map { case (k, v) =>
+      val m = v.asInstanceOf[Map[String, Any]]
+      k -> (m("fork").asInstanceOf[Long],
+        m.getOrElse("published", false).asInstanceOf[Boolean])
+    }
+  }
+
+  private def writeBranches(b: Map[String, (Long, Boolean)]): Unit =
+    graft.util.Json.writeFileAtomic(branchesPath,
+      graft.util.Json.write(b.map { case (k, (f, p)) =>
+        k -> Map("fork" -> f, "published" -> p)
+      }))
+
+  /** Fork a BRANCH off the current snapshot — the write-audit-publish
+    * pattern (Iceberg's WAP / Delta's branch writes): candidate data is
+    * committed to the branch, audited there with the full read surface
+    * (the branch IS a [[GraftTable]] — scans, time travel, DML,
+    * compaction all work), and only [[publishBranch]] makes it visible
+    * to readers of this table. Abandoning is [[dropBranch]]: the parent
+    * never saw anything.
+    *
+    * The fork is METADATA-ONLY at any scale: the branch's first snapshot
+    * references the parent's live files through relative `../../` paths
+    * (manifest paths are table-root-relative precisely so this works);
+    * no data byte is copied. Branch-side commits write under the
+    * branch's own `data/` dir, so parent and branch never contend.
+    *
+    * Refused while deferred deletes are pending (their file-name
+    * scoping is meaningless across the fork — compact() first), exactly
+    * like the other copy-on-write refusals. */
+  def createBranch(name: String, committedAt: Option[Long] = None): GraftTable = {
+    require(name.nonEmpty && !name.contains('/') && !name.forall(_.isDigit),
+      s"branch name '$name' must be non-empty, slash-free, not numeric")
+    require(pendingDeletes.isEmpty,
+      s"cannot branch $dir with deferred deletes pending — compact() first")
+    withRefsLock {
+      require(!branches.contains(name) && !GraftTable.exists(branchDir(name)),
+        s"branch '$name' already exists on $dir")
+      val cur = log.current
+      val bt = GraftTable.create(branchDir(name), schema, properties,
+        partitionColumns)
+      cur.foreach { c =>
+        val m = Manifest.read(s"$dir/${c.manifestList}")
+        val forked = Manifest(m.files.map(f => f.copy(path = s"../../${f.path}")))
+        bt.commit(bt.log, 1L, forked, Nil, operation = "branch", committedAt,
+          extraSummary = Map("fork-of" -> dir,
+            "fork-snapshot-id" -> c.snapshotId.toString))
+      }
+      writeBranches(branches +
+        (name -> (cur.map(_.snapshotId).getOrElse(0L), false)))
+      bt
+    }
+  }
+
+  /** The branch as a live table handle (audit + write surface). */
+  def branch(name: String): GraftTable = {
+    require(branches.contains(name), s"no branch '$name' on $dir")
+    GraftTable.load(branchDir(name))
+  }
+
+  /** Read a branch's current state (the audit read). */
+  def readBranch(spark: SparkSession, name: String): DataFrame =
+    branch(name).read(spark)
+
+  /** PUBLISH: fast-forward this table to the branch head as one atomic
+    * commit. Metadata-only at any scale — the publish snapshot's
+    * manifest re-addresses the branch's entries from branch-relative to
+    * parent-relative paths (`../../X` → `X`; branch-local `data/Y` →
+    * `branches/<name>/data/Y`); no data file moves, so publishing a
+    * 100 TB audit batch costs one manifest write. The branch's data dir
+    * is owned by the parent afterwards ([[dropBranch]] then removes
+    * only branch metadata).
+    *
+    * Fast-forward requires this table's head to still be the fork
+    * snapshot — a parent that advanced since the fork fails loudly
+    * (recreate the branch from the new head; implicit rebase would
+    * silently drop the parent's commits). Schema or partition-spec
+    * drift on the branch likewise refuses. */
+  def publishBranch(name: String, committedAt: Option[Long] = None): Snapshot = {
+    val (forkId, published) = branches.getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' on $dir"))
+    require(!published, s"branch '$name' already published on $dir")
+    val bt = branch(name)
+    require(bt.schema.json == schema.json &&
+      bt.partitionColumns == partitionColumns,
+      s"branch '$name' evolved its schema/partition spec — " +
+        "fast-forward publish requires identical metadata")
+    require(bt.pendingDeletes.isEmpty,
+      s"branch '$name' has deferred deletes pending — compact() it first")
+    val bcur = bt.log.current.getOrElse(
+      throw new IllegalStateException(s"branch '$name' has no snapshot"))
+    val lg = log
+    require(lg.current.map(_.snapshotId).getOrElse(0L) == forkId,
+      s"$dir advanced past fork snapshot $forkId since branch '$name' " +
+        "was created — fast-forward is not possible; recreate the branch")
+    val bm = Manifest.read(s"${bt.dir}/${bcur.manifestList}")
+    val entries = bm.files.map { f =>
+      if (f.path.startsWith("../../")) f.copy(path = f.path.drop(6))
+      else f.copy(path = s"branches/$name/${f.path}")
+    }
+    val snap = commit(lg, lg.nextId, Manifest(entries), Nil,
+      operation = "publish", committedAt,
+      extraSummary = Map("branch" -> name,
+        "branch-snapshot-id" -> bcur.snapshotId.toString))
+    withRefsLock { writeBranches(branches + (name -> (forkId, true))) }
+    snap
+  }
+
+  /** Drop a branch. Unpublished: everything under it (metadata AND its
+    * never-published data files) is deleted — the parent never
+    * referenced any of it. Published: only branch METADATA is removed;
+    * the data dir now belongs to the parent's manifests and stays. */
+  def dropBranch(name: String): Unit = withRefsLock {
+    val (_, published) = branches.getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' on $dir"))
+    val root = Paths.get(branchDir(name))
+    if (!published) GraftTable.deleteRecursively(root)
+    else Seq("metadata.json", "snapshots.json", "branches.json", "refs.json")
+      .foreach(f => Files.deleteIfExists(root.resolve(f)))
+    if (published) GraftTable.deleteRecursively(root.resolve("manifests"))
+    writeBranches(branches - name)
+  }
+
   /** The snapshot that wrote a data file, parsed from its
     * `part-<snap>-<token>-<seq>` name — the scope key for deferred
-    * deletes. */
+    * deletes. Files OUTSIDE this table's own data dir — a branch's
+    * fork-inherited `../../data/…` entries, or a parent's published
+    * `branches/<name>/data/…` entries — carry snapshot ids from a
+    * DIFFERENT table's sequence, so their names mean nothing here:
+    * they resolve to None, which every consumer treats conservatively
+    * (always covered by a deferred delete, force-included in the
+    * compaction that materializes one). Correct in both directions:
+    * foreign-era files always predate any delete committed in THIS
+    * table's log. */
   private def fileSnapId(path: String): Option[Long] = {
+    if (path.startsWith("../") || path.startsWith("branches/") ||
+        path.contains("/branches/")) return None
     val base = path.substring(path.lastIndexOf('/') + 1)
     if (!base.startsWith("part-")) return None
     val seg = base.drop(5).takeWhile(_ != '-')
@@ -925,12 +1072,14 @@ final class GraftTable private (
         // is gone — changes() would then find no parent diff and re-emit the
         // next commit's whole carried-over file set as new rows. A prefix cut
         // keeps every surviving snapshot's lineage intact by construction.
-        val tagged = refs.values.toSet
+        // tags AND live-branch fork snapshots are retention anchors; the
+        // prefix cut stops at either (keeps the surviving chain's lineage
+        // contiguous, and keeps every file a branch inherited alive)
+        val tagged = refs.values.toSet ++
+          branches.collect { case (_, (fork, false)) => fork }
         val expired = lg.snapshots.takeWhile(s =>
           s.committedAt < olderThanMillis &&
             s.snapshotId != current.snapshotId &&
-            // a tag is a retention anchor; the prefix cut stops at it (keeps
-            // the surviving chain's lineage contiguous)
             !tagged.contains(s.snapshotId))
         val kept = lg.snapshots.drop(expired.size)
         if (expired.isEmpty) None
@@ -953,6 +1102,9 @@ final class GraftTable private (
           .flatMap(s =>
             Manifest.read(s"$dir/${s.manifestList}").files.map(_.path))
           .distinct.filterNot(live)
+          // fork-inherited `../…` entries point into the PARENT table —
+          // a branch never owns those bytes and must not reclaim them
+          .filterNot(_.startsWith("../"))
         dead.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
         expired.foreach(s =>
           Files.deleteIfExists(Paths.get(dir, s.manifestList)))
@@ -1056,10 +1208,23 @@ final class GraftTable private (
     * per table. Every branch is projected to exactly `schema` in order,
     * so the union is positional (no unionByName widening). */
   private def readFiles(spark: SparkSession, files: Seq[DataFileEntry]): DataFrame = {
-    val bySpec = files.groupBy(_.partition.keySet)
-    bySpec.toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
-      .map { case (specCols, fs) =>
-        val paths = fs.map(f => s"$dir/${f.path}")
+    // A manifest can address files under SEVERAL data roots: this table's
+    // own `data/`, a branch fork's `../../data/`, a published branch's
+    // `branches/<name>/data/`. Normalize each path (the `..` segments must
+    // not reach Spark's file index) and key the grouping by (spec, root):
+    // `basePath`-driven partition-value recovery requires every path in a
+    // read to sit under ONE root.
+    def dataRoot(relPath: String): String = {
+      val segs = relPath.split('/')
+      val i = segs.lastIndexWhere(_ == "data")
+      require(i >= 0, s"manifest path without a data/ segment: $relPath")
+      Paths.get(dir, segs.take(i + 1).mkString("/")).normalize().toString
+    }
+    val bySpec = files.groupBy(f => (f.partition.keySet, dataRoot(f.path)))
+    bySpec.toSeq.sortBy { case ((cols, root), _) =>
+      (cols.toSeq.sorted.mkString(","), root) }
+      .map { case ((specCols, root), fs) =>
+        val paths = fs.map(f => Paths.get(dir, f.path).normalize().toString)
         val (avroPaths, parqPaths) = paths.partition(_.endsWith(".avro"))
         val branches = Seq(
           Option.when(parqPaths.nonEmpty) {
@@ -1070,7 +1235,7 @@ final class GraftTable private (
             // source column in the footers, and leaf-file paths without
             // basePath skip directory discovery entirely
             if (specCols.exists(schema.fieldNames.contains))
-              r.option("basePath", s"$dir/data")
+              r.option("basePath", root)
             r.parquet(parqPaths: _*)
           },
           Option.when(avroPaths.nonEmpty) {
@@ -1262,9 +1427,12 @@ final class GraftTable private (
       val parentPaths = parentFiles(s).map(_.path).toSet
       files(s).filterNot(f => parentPaths.contains(f.path))
     }
-    // row-level diffs for rewriting commits (update/merge)
+    // row-level diffs for rewriting commits (update/merge, and branch
+    // publish — its manifest may both add branch-written files and drop
+    // fork files the branch's own DML rewrote)
     val rewriteDiffs = chain
-      .filter(s => s.operation == "update" || s.operation == "merge")
+      .filter(s => s.operation == "update" || s.operation == "merge" ||
+        s.operation == "publish")
       .map { s =>
         val pf = parentFiles(s)
         val parentPaths = pf.map(_.path).toSet
@@ -1357,7 +1525,9 @@ final class GraftTable private (
             // keeps the row — same semantics as the read path)
             tag(survivors.filter(expr(predSql) <=> true), "delete", s)
           }
-        case "delete" | "update" | "merge" =>
+        // publish = the branch's accumulated changes landing as one
+        // commit: the multiset file diff nets them exactly
+        case "delete" | "update" | "merge" | "publish" =>
           val pf = files(parent(s))
           val parentPaths = pf.map(_.path).toSet
           val curPaths = files(s).map(_.path).toSet
@@ -1533,6 +1703,13 @@ object GraftTable {
     StructField("record_count", LongType, nullable = false),
     StructField("file_size_bytes", LongType, nullable = false),
     StructField("partition", MapType(StringType, StringType), nullable = true)))
+
+  /** Partitions system-table schema (Iceberg `partitions` analog). */
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition", MapType(StringType, StringType), nullable = false),
+    StructField("file_count", LongType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false)))
 
   /** Snapshots system-table schema (FIXTURES.md F4 /
     * SnapshotIterable.java:48-57). */

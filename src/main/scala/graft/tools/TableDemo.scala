@@ -131,6 +131,20 @@ object TableDemo {
       d2.orderBy("id").collect().mkString(", ")))
     println("FEED cursor: " + feed.cursor)
 
+    // write–audit–publish: candidate rows land on a branch, get audited
+    // and fixed there, then fast-forward into the table as ONE commit
+    val wap = GraftTable.create(s"$dir/wap", schema)
+    wap.append(df(1L -> "base"), Some(1000L))
+    val br = wap.createBranch("audit", Some(1500L))
+    br.append(df(2L -> "good", 3L -> "BAD"), Some(2000L))
+    br.delete(spark, col("data") === "BAD", Some(2500L)) // the audit fix
+    println("BRANCH audit: branch=" + br.read(spark).count() +
+      " parent=" + wap.read(spark).count())
+    val pub = wap.publishBranch("audit", Some(3000L))
+    wap.dropBranch("audit")
+    println("BRANCH published: op=" + pub.operation + " rows=" +
+      wap.read(spark).orderBy("id").collect().mkString(", "))
+
     val e = GraftTable.create(s"$dir/empty", schema)
     println("EMPTY: count=" + e.read(spark).count() +
       " cols=" + e.read(spark).columns.mkString(","))

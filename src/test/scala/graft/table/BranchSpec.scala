@@ -1,0 +1,148 @@
+package graft.table
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Write–audit–publish branches: metadata-only fork, isolated branch
+  * commits (the branch is a full GraftTable), atomic fast-forward
+  * publish, retention anchoring, and the conflict / drift refusals.
+  */
+class BranchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+
+  test("fork is metadata-only and branch reads the parent's data") {
+    val dir = tmpDir("graft-branch-fork")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    val bt = t.createBranch("audit", Some(1500L))
+    // no data byte copied: the branch dir holds no parquet
+    val branchFiles = scala.util.Using.resource(java.nio.file.Files.walk(
+      java.nio.file.Paths.get(t.dir, "branches", "audit"))) { st =>
+      st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    assert(branchFiles == 0)
+    assert(bt.read(spark).count() == 3)
+    assert(bt.read(spark).select(sum($"id")).as[Long].head() == 6L)
+  }
+
+  test("branch commits are invisible to the parent until publish") {
+    val dir = tmpDir("graft-branch-iso")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    val bt = t.createBranch("audit", Some(1500L))
+    bt.append(Seq((4L, "d"), (5L, "e")).toDF("id", "v"), Some(2000L))
+    assert(t.read(spark).count() == 3)       // parent unchanged
+    assert(bt.read(spark).count() == 5)      // branch sees both
+    val snap = t.publishBranch("audit", Some(3000L))
+    assert(snap.operation == "publish")
+    assert(t.read(spark).count() == 5)       // one atomic commit
+    assert(t.read(spark).select(sum($"id")).as[Long].head() == 15L)
+    // time travel to the pre-publish snapshot still shows 3 rows
+    assert(t.read(spark, Some(1L)).count() == 3)
+  }
+
+  test("branch DML (delete + compact) publishes the audited state") {
+    val dir = tmpDir("graft-branch-dml")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    val bt = t.createBranch("fix", Some(1500L))
+    bt.append(Seq((4L, "dup"), (5L, "dup")).toDF("id", "v"), Some(2000L))
+    bt.delete(spark, col("v") === "dup" && col("id") === 5L, Some(2500L))
+    assert(bt.read(spark).count() == 4)
+    t.publishBranch("fix", Some(3000L))
+    assert(t.read(spark).count() == 4)
+    assert(t.read(spark).filter($"id" === 5L).count() == 0)
+    // the parent's change feed nets the publish as one insert delta
+    val feed = t.changes(spark, fromSnapshotId = 1L)
+    assert(feed.count() == 1)
+    assert(feed.select($"id").as[Long].collect().toSet == Set(4L))
+  }
+
+  test("abandoned branch leaves no trace; unpublished data deleted") {
+    val dir = tmpDir("graft-branch-drop")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    val bt = t.createBranch("bad", Some(1500L))
+    bt.append(Seq((9L, "x")).toDF("id", "v"), Some(2000L))
+    t.dropBranch("bad")
+    assert(t.branches.isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "branches", "bad")))
+    assert(t.read(spark).count() == 3)
+  }
+
+  test("publish refuses when the parent advanced past the fork") {
+    val dir = tmpDir("graft-branch-conflict")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    val bt = t.createBranch("late", Some(1500L))
+    bt.append(Seq((4L, "d")).toDF("id", "v"), Some(2000L))
+    t.append(Seq((6L, "f")).toDF("id", "v"), Some(2500L)) // parent moves on
+    val e = intercept[IllegalArgumentException] {
+      t.publishBranch("late", Some(3000L))
+    }
+    assert(e.getMessage.contains("advanced past fork"))
+    t.dropBranch("late")
+  }
+
+  test("publish refuses schema drift; double publish refuses") {
+    val dir = tmpDir("graft-branch-drift")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    t.createBranch("evo", Some(1500L))
+    t.branch("evo").addColumn("extra", org.apache.spark.sql.types.LongType)
+    val e = intercept[IllegalArgumentException] {
+      t.publishBranch("evo", Some(2000L))
+    }
+    assert(e.getMessage.contains("evolved its schema"))
+    t.dropBranch("evo")
+    val bt2 = t.createBranch("ok", Some(2500L))
+    bt2.append(Seq((4L, "d")).toDF("id", "v"), Some(3000L))
+    t.publishBranch("ok", Some(3500L))
+    val e2 = intercept[IllegalArgumentException] {
+      t.publishBranch("ok", Some(4000L))
+    }
+    assert(e2.getMessage.contains("already published"))
+  }
+
+  test("live branch forks anchor parent expiration; branch expire never reclaims parent bytes") {
+    val dir = tmpDir("graft-branch-expire")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))            // snap 1 = fork anchor
+    val bt = t.createBranch("hold", Some(1200L))
+    bt.append(Seq((4L, "d")).toDF("id", "v"), Some(1300L))
+    // branch-side expiration: fork snapshot 1 expires off the branch log,
+    // but its `../../` files belong to the parent and must survive
+    bt.append(Seq((5L, "e")).toDF("id", "v"), Some(1400L))
+    // parent files still readable through the parent afterwards
+    bt.expireSnapshots(olderThanMillis = 1350L)
+    assert(t.read(spark).count() == 3)
+    // parent-side: snapshot 1 is a live branch's fork → expire keeps it
+    t.append(Seq((7L, "g")).toDF("id", "v"), Some(2000L))
+    val expired = t.expireSnapshots(olderThanMillis = 5000L)
+    assert(!expired.contains(1L))
+    assert(t.log.byId(1L).isDefined)
+  }
+
+  test("published branch files survive dropBranch and parent compaction reowns them") {
+    val dir = tmpDir("graft-branch-compact")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    val bt = t.createBranch("pub", Some(1500L))
+    bt.append(Seq((4L, "d")).toDF("id", "v"), Some(2000L))
+    t.publishBranch("pub", Some(2500L))
+    t.dropBranch("pub")
+    assert(t.read(spark).count() == 4)     // branches/pub/data/... still live
+    // compaction rewrites everything into the parent's own data dir
+    val snap = t.compact(spark, smallerThanBytes = Long.MaxValue,
+      committedAt = Some(3000L))
+    assert(snap.isDefined)
+    val m = Manifest.read(s"$dir/${snap.get.manifestList}")
+    assert(m.files.forall(f => f.path.startsWith("data/")))
+    assert(t.read(spark).count() == 4)
+  }
+}
