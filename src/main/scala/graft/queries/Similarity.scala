@@ -184,6 +184,59 @@ object Similarity extends QueryPack {
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     }),
 
+    // MMR DIVERSIFIED RETRIEVAL (maximal marginal relevance): re-rank the
+    // top-50 candidate pool of one query into 10 results that balance
+    // relevance against redundancy (λ=0.7) — the diversity-aware
+    // retrieval / diverse-subset-selection primitive of a curation
+    // pipeline, where plain top-k returns 10 near-copies of the same
+    // neighborhood. Scale split: candidate generation is the DISTRIBUTED
+    // part (the s01 bounded-heap kernel — corpus never shuffles) and the
+    // greedy selection runs driver-side over the POOL-BOUNDED state
+    // (50 rows + 50×49 pairwise sims, constant in SF — the localKMeans
+    // class of bounded driver work; the greedy argmax chain is inherently
+    // sequential). Determinism: relevance and pairwise sims are rounded
+    // to 6 decimals by the SAME engine expressions the s01/d06 oracles
+    // prove cross-engine exact, and the MMR score is quantized to a Q6
+    // LONG via floor(x·1e6) — the identical double multiply/subtract/
+    // floor on both engines — so the argmax (mmr_e6 DESC, id ASC) is
+    // bit-stable and the whole greedy chain hash-matches the oracle's
+    // ten unrolled selection steps.
+    "s15_mmr_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val topk = bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 50)
+        .select(col("n_id").as("id"), col("cos_sim").as("rel"))
+      val candV = topk.join(
+        emb.select(col("vec_id").as("id"), vecD(col("embedding")).as("v")),
+        "id")
+      val simRows = candV.alias("a")
+        .join(candV.alias("b"), col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("ia"), col("b.id").as("ib"),
+          round(Dedup.cosineSim(col("a.v"), col("b.v")), 6).as("sim"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+      val pool = candV.select(col("id"), col("rel")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val selected = scala.collection.mutable.ArrayBuffer.empty[
+        (Int, Long, Double, Long)]
+      val chosen = scala.collection.mutable.Set.empty[Long]
+      for (rank <- 1 to math.min(10, pool.length)) {
+        val best = pool.iterator.filterNot(p => chosen(p._1)).map {
+          case (id, rel) =>
+            val maxSim =
+              if (chosen.isEmpty) 0.0
+              else chosen.iterator.map(sid => simRows((id, sid))).max
+            (id, rel, math.floor((0.7 * rel - 0.3 * maxSim) * 1e6).toLong)
+        }.reduce { (x, y) =>
+          if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+        }
+        selected += ((rank, best._1, best._2, best._3))
+        chosen += best._1
+      }
+      import s.implicits._
+      selected.toSeq.toDF("rank", "vec_id", "rel", "mmr_e6")
+    }),
+
     // ANN via sign-LSH buckets — the oracle replicates the bucketing with
     // the same literal hyperplanes, so the approximate result is itself
     // hash-checked; recall vs brute force is asserted in SimilaritySpec
@@ -897,6 +950,42 @@ object Similarity extends QueryPack {
         "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
         "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"),
+    "s15_mmr_rerank" -> {
+      // the greedy chain unrolled as ten selection CTEs: each step picks
+      // the (mmr_e6 DESC, id ASC) argmax among unselected candidates,
+      // with the identical floor((0.7·rel − 0.3·maxSim)·1e6) Q6 score
+      // (maxSim = 0 at step 1 — subtracting 0.0 is exact, so one
+      // uniform formula matches the Spark side bit for bit)
+      // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+      // each step references its predecessor three times — inlining
+      // would expand 3^10 copies of the whole chain (and reopen the
+      // parquet once per copy)
+      val steps = (2 to 10).map { k =>
+        s"sel$k AS MATERIALIZED (SELECT c.id, c.rel, CAST(floor((0.7 * c.rel - 0.3 * " +
+          s"(SELECT max(s.sim) FROM sims s WHERE s.ia = c.id AND s.ib IN " +
+          s"(SELECT id FROM u${k - 1}))) * 1000000) AS BIGINT) AS mmr_e6, " +
+          s"$k AS rank FROM cand c WHERE c.id NOT IN (SELECT id FROM u${k - 1}) " +
+          s"ORDER BY mmr_e6 DESC, c.id ASC LIMIT 1), " +
+          s"u$k AS MATERIALIZED (SELECT * FROM u${k - 1} UNION ALL SELECT * FROM sel$k)"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "q AS (SELECT v FROM e WHERE vec_id = 0), " +
+        "scored AS (SELECT e.vec_id AS id, e.v, " +
+        "list_cosine_similarity(q.v, e.v) AS cos FROM q, e WHERE e.vec_id <> 0), " +
+        "cand AS MATERIALIZED (SELECT id, round(cos, 6) AS rel, v FROM " +
+        "(SELECT id, cos, v, row_number() OVER (ORDER BY cos DESC, id ASC) AS rk " +
+        "FROM scored) WHERE rk <= 50), " +
+        "sims AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, " +
+        "round(list_cosine_similarity(a.v, b.v), 6) AS sim " +
+        "FROM cand a JOIN cand b ON a.id <> b.id), " +
+        "sel1 AS MATERIALIZED (SELECT id, rel, CAST(floor((0.7 * rel - 0.3 * 0.0) * 1000000) " +
+        "AS BIGINT) AS mmr_e6, 1 AS rank FROM cand " +
+        "ORDER BY mmr_e6 DESC, id ASC LIMIT 1), " +
+        "u1 AS MATERIALIZED (SELECT * FROM sel1), " +
+        steps + " " +
+        "SELECT rank, id AS vec_id, rel, mmr_e6 FROM u10 ORDER BY rank"
+    },
+
     "s02_knn_lsh" -> {
       // one bucket expression per hyperplane table, table index folded in
       // exactly like the Spark side (bucket + ti * 2^nPlanes)

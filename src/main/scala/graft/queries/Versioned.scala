@@ -410,6 +410,19 @@ object Versioned extends QueryPack {
     "v23_graft_branch_wap" -> ((s, d) =>
       wapFixture(s, d).read(s).orderBy("r_regionkey")),
 
+    // the `partitions` metadata table (layout-health view): per-partition
+    // record totals straight from the manifest — METADATA-ONLY (no data
+    // I/O), yet the record counts are oracle-checkable against a real
+    // GROUP BY over the source. The map column projects to its one key
+    // (file counts depend on write parallelism and stay out of the gate).
+    "v24_graft_partitions" -> ((s, d) =>
+      partFixture(s, d).partitionsTable(s)
+        .select(
+          element_at(col("partition"), "n_regionkey").cast("int")
+            .as("n_regionkey"),
+          col("record_count"))
+        .orderBy("n_regionkey")),
+
     // V3/P16: time travel via the snapshot__id predicate — back to snap 1
     "v02_graft_timetravel" -> ((s, d) =>
       fixture(s, d).scan(s, Some(col("snapshot__id") === 1L))),
@@ -526,6 +539,10 @@ object Versioned extends QueryPack {
         "CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation " +
         "WHERE n_regionkey NOT IN (2, 4) " +
         "GROUP BY n_regionkey ORDER BY n_regionkey"),
+    // the manifest's per-partition record totals ≡ a GROUP BY recompute
+    "v24_graft_partitions" ->
+      ("SELECT n_regionkey, CAST(count(*) AS BIGINT) AS record_count " +
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
     // base region + the branch's audited batch (shifted keys minus the
     // audit-deleted 102), all at the publish snapshot
     "v23_graft_branch_wap" ->

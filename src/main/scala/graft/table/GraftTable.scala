@@ -475,7 +475,40 @@ final class GraftTable private (
     writeAlignedDataFiles(aligned, snapId)
   }
 
-  private def writeAlignedDataFiles(df: DataFrame, snapId: Long): Seq[DataFileEntry] = {
+  /** WRITE CONSTRAINTS (Delta's CHECK/NOT NULL invariants): table
+    * properties `graft.check.<name> = <sql predicate>` and
+    * `graft.notnull.columns = a,b` are enforced on every data-file
+    * write — append, copy-on-write DML rewrites, compaction — WITHOUT
+    * an extra validation pass: the first schema column is routed
+    * through a per-row guard that raises on the first violating row,
+    * so the write job itself fails (distributed, single pass, nothing
+    * committed — staging is discarded). SQL CHECK semantics: a NULL
+    * predicate passes; only a strictly-false one violates. Constraints
+    * added via properties() apply to FUTURE writes — existing files are
+    * not re-validated (revalidate by compacting). */
+  private def constraintGuard(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, raise_error, when}
+    val checks: Seq[(String, Column)] =
+      properties.toSeq.sortBy(_._1).collect {
+        case (k, v) if k.startsWith(PropCheckPrefix) =>
+          s"CHECK ${k.stripPrefix(PropCheckPrefix)} ($v)" -> expr(v)
+      } ++
+      properties.get(PropNotNullColumns).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+        .filter(schema.fieldNames.contains)
+        .map(c => s"NOT NULL $c" -> col(c).isNotNull)
+    if (checks.isEmpty) return df
+    val c0 = schema.fields.head
+    val guarded = checks.foldLeft(col(c0.name)) { case (acc, (name, pred)) =>
+      when(coalesce(pred, lit(true)), acc)
+        .otherwise(raise_error(
+          lit(s"graft constraint violated on $dir: $name")).cast(c0.dataType))
+    }
+    df.withColumn(c0.name, guarded)
+  }
+
+  private def writeAlignedDataFiles(dfIn: DataFrame, snapId: Long): Seq[DataFileEntry] = {
+    val df = constraintGuard(dfIn)
     // unique per-ATTEMPT token: two writers racing on the same provisional
     // snapshot id must not share a staging dir (mode=overwrite would
     // truncate each other mid-write) or part-file names (the commit
@@ -522,7 +555,12 @@ final class GraftTable private (
       if (k.startsWith(PropWriteOptionPrefix))
         writer.option(k.stripPrefix(PropWriteOptionPrefix), v)
     }
-    writer.parquet(staging)
+    // a failed write job (constraint violation, executor loss) must not
+    // leave a half-written staging dir behind — nothing was committed
+    try writer.parquet(staging)
+    catch { case e: Throwable =>
+      deleteRecursively(Paths.get(staging)); throw e
+    }
 
     val dataDir = Paths.get(dir, "data")
     Files.createDirectories(dataDir)
@@ -1646,6 +1684,29 @@ final class GraftTable private (
       spark.sparkContext.parallelize(rows, 1), FilesSchema)
   }
 
+  /** The partitions metadata table (Iceberg's `partitions` analog): one
+    * row per partition of the scanned snapshot with file/record/byte
+    * totals — the layout-health view (skew, small-file pressure,
+    * compaction targeting) that is pure manifest aggregation:
+    * metadata-only, no data I/O at any scale. An unpartitioned table
+    * yields one row with an empty partition map; rows are ordered by
+    * the partition values' canonical string form so the output is
+    * deterministic. */
+  def partitionsTable(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
+    val rows = resolveSnapshot(snapshotId).toSeq.flatMap { s =>
+      Manifest.read(s"$dir/${s.manifestList}").files
+        .groupBy(_.partition.map { case (k, v) => k -> v.orNull })
+        .toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(","))
+        .map { case (part, fs) =>
+          Row(part, fs.size.toLong, fs.map(_.recordCount).sum,
+            fs.map(_.fileSizeBytes).sum)
+        }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), PartitionsSchema)
+  }
+
   /** The `__snapshots` system table (V1/S7). Tiny metadata → a local
     * DataFrame is correct at any scale (the data it describes is big; the
     * log is not). Schema mirrors SnapshotIterable.createSnapshotRecord. */
@@ -1687,6 +1748,8 @@ object GraftTable {
 
   val DefaultVirtualColumn = "snapshot__id"
   val PropVirtualColumnName = "graft.snapshot.virtual.column.name"
+  val PropCheckPrefix = "graft.check."
+  val PropNotNullColumns = "graft.notnull.columns"
   val PropSnapshotsTable = "graft.snapshots.table"
   val PropBloomColumns = "graft.bloom.columns"
   val PropWriteDistribution = "graft.write.distribution"

@@ -1,0 +1,88 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Write constraints (`graft.check.*`, `graft.notnull.columns`) enforced
+  * in the write job itself — no extra validation pass, nothing committed
+  * on violation — plus the `partitions` metadata table.
+  */
+class ConstraintSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mkTable(dir: String, props: Map[String, String]) =
+    GraftTable.create(dir, Seq((1L, "a", 1)).toDF("id", "v", "n").schema, props)
+
+  test("CHECK constraint fails the write job and commits nothing") {
+    val dir = tmpDir("graft-check")
+    val t = mkTable(dir, Map("graft.check.pos" -> "n >= 0"))
+    t.append(Seq((1L, "a", 5)).toDF("id", "v", "n"), Some(1000L))
+    val e = intercept[Exception] {
+      t.append(Seq((2L, "b", -1)).toDF("id", "v", "n"), Some(2000L))
+    }
+    assert(e.getMessage != null)
+    assert(t.log.snapshots.size == 1)          // nothing committed
+    assert(t.read(spark).count() == 1)
+    // no staging garbage left behind
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.getFileName.toString.startsWith(".staging"))
+      .count()
+    assert(leftovers == 0)
+  }
+
+  test("NULL check predicate passes (SQL CHECK semantics)") {
+    val dir = tmpDir("graft-checknull")
+    val t = GraftTable.create(dir,
+      Seq((1L, Option(1))).toDF("id", "n").schema,
+      Map("graft.check.pos" -> "n >= 0"))
+    // n = NULL → predicate NULL → row passes
+    t.append(Seq((1L, None: Option[Int])).toDF("id", "n"), Some(1000L))
+    assert(t.read(spark).count() == 1)
+  }
+
+  test("NOT NULL columns reject null writes") {
+    val dir = tmpDir("graft-notnull")
+    val t = GraftTable.create(dir,
+      Seq((1L, Option("x"))).toDF("id", "v").schema,
+      Map("graft.notnull.columns" -> "v"))
+    t.append(Seq((1L, Option("a"))).toDF("id", "v"), Some(1000L))
+    intercept[Exception] {
+      t.append(Seq((2L, None: Option[String])).toDF("id", "v"), Some(2000L))
+    }
+    assert(t.log.snapshots.size == 1)
+  }
+
+  test("constraints gate copy-on-write UPDATE rewrites too") {
+    val dir = tmpDir("graft-checkupd")
+    val t = mkTable(dir, Map("graft.check.pos" -> "n >= 0"))
+    t.append(Seq((1L, "a", 5), (2L, "b", 6)).toDF("id", "v", "n"), Some(1000L))
+    intercept[Exception] {
+      t.update(spark, col("id") === 1L, Map("n" -> lit(-7)), Some(2000L))
+    }
+    assert(t.log.snapshots.size == 1)
+    assert(t.read(spark).filter($"n" < 0).count() == 0)
+    // a constraint-respecting update still works
+    t.update(spark, col("id") === 1L, Map("n" -> lit(7)), Some(3000L))
+    assert(t.read(spark).filter($"id" === 1L).select($"n").as[Int].head() == 7)
+  }
+
+  test("partitions metadata table aggregates the manifest per partition") {
+    val dir = tmpDir("graft-parts")
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cat")
+    val t = GraftTable.create(dir, df.schema, partitionBy = Seq("cat"))
+    t.append(df, Some(1000L))
+    t.append(Seq((4L, "a")).toDF("id", "cat"), Some(2000L))
+    val parts = t.partitionsTable(spark)
+      .select(element_at($"partition", "cat").as("cat"),
+        $"record_count", $"file_count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(parts == Map("a" -> 3L, "b" -> 1L))
+    // unpartitioned: one row, empty partition map
+    val u = GraftTable.create(tmpDir("graft-parts-u"), df.schema)
+    u.append(df, Some(1000L))
+    val row = u.partitionsTable(spark).collect()
+    assert(row.length == 1)
+    assert(row.head.getMap[String, String](0).isEmpty)
+    assert(row.head.getLong(2) == 3L)
+  }
+}
