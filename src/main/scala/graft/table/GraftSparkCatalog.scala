@@ -77,15 +77,22 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
   override def loadTable(ident: Identifier): Table =
     load(ident, snapshotId = None)
 
-  /** `VERSION AS OF <v>` — v is the snapshot id. */
+  /** `VERSION AS OF <v>` — v is a snapshot id, a tag name, or
+    * `branch:<name>` (the branch's CURRENT snapshot — the SQL audit
+    * read of the write–audit–publish flow). */
   override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadGraft(ident)
+    if (version.startsWith("branch:")) {
+      val bt = t.branch(version.stripPrefix("branch:"))
+      return new GraftV2Table(s"${identToName(ident)}@$version", bt, None)
+    }
     // numeric → snapshot id; otherwise a tag name from refs.json —
     // resolved on ONE loaded instance (no second metadata read)
-    val t = loadGraft(ident)
     val id = version.toLongOption.getOrElse(
       t.refs.getOrElse(version,
         throw new IllegalArgumentException(
-          s"graft version must be a snapshot id or tag, got '$version'")))
+          s"graft version must be a snapshot id, tag, or 'branch:<name>', " +
+            s"got '$version'")))
     new GraftV2Table(identToName(ident), t, Some(id))
   }
 

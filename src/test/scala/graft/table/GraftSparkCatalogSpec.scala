@@ -54,6 +54,23 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
+  test("VERSION AS OF 'branch:<name>' is the SQL audit read") {
+    val t = GraftTable.create(s"$wh/db/wap", schema)
+    t.append(mkDf(1L -> "base"), Some(1000L))
+    val br = t.createBranch("audit", Some(1500L))
+    br.append(mkDf(2L -> "staged"), Some(2000L))
+    // the branch read sees staged rows; the plain read does not
+    assert(spark.sql("SELECT id FROM g2.db.wap VERSION AS OF 'branch:audit'")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(spark.sql("SELECT * FROM g2.db.wap").count() == 1)
+    t.publishBranch("audit", Some(3000L))
+    assert(spark.sql("SELECT * FROM g2.db.wap").count() == 2)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM g2.db.wap VERSION AS OF 'branch:nope'").count()
+    }
+    assert(e.getMessage.contains("no branch"))
+  }
+
   test("CREATE TABLE, ALTER ADD COLUMN, DROP through SQL DDL") {
     spark.sql("CREATE TABLE g2.db.made (id BIGINT, cat STRING) " +
       "PARTITIONED BY (cat)")
