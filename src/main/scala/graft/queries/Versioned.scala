@@ -407,7 +407,7 @@ object Versioned extends QueryPack {
 
     // WRITE–AUDIT–PUBLISH: the branch-staged, branch-audited batch lands
     // as one atomic publish commit; the scan reads base + audited rows
-    "v23_graft_branch_wap" -> ((s, d) =>
+    "v26_graft_branch_wap" -> ((s, d) =>
       wapFixture(s, d).read(s).orderBy("r_regionkey")),
 
     // the `partitions` metadata table (layout-health view): per-partition
@@ -415,7 +415,7 @@ object Versioned extends QueryPack {
     // I/O), yet the record counts are oracle-checkable against a real
     // GROUP BY over the source. The map column projects to its one key
     // (file counts depend on write parallelism and stay out of the gate).
-    "v24_graft_partitions" -> ((s, d) =>
+    "v27_graft_partitions" -> ((s, d) =>
       partFixture(s, d).partitionsTable(s)
         .select(
           element_at(col("partition"), "n_regionkey").cast("int")
@@ -540,12 +540,12 @@ object Versioned extends QueryPack {
         "WHERE n_regionkey NOT IN (2, 4) " +
         "GROUP BY n_regionkey ORDER BY n_regionkey"),
     // the manifest's per-partition record totals ≡ a GROUP BY recompute
-    "v24_graft_partitions" ->
+    "v27_graft_partitions" ->
       ("SELECT n_regionkey, CAST(count(*) AS BIGINT) AS record_count " +
         "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
     // base region + the branch's audited batch (shifted keys minus the
     // audit-deleted 102), all at the publish snapshot
-    "v23_graft_branch_wap" ->
+    "v26_graft_branch_wap" ->
       ("SELECT r.*, CAST(2 AS BIGINT) AS snapshot__id FROM " +
         "(SELECT * FROM region UNION ALL " +
         "SELECT CAST(r_regionkey + 100 AS INTEGER) AS r_regionkey, r_name " +

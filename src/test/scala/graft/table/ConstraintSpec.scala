@@ -66,6 +66,46 @@ class ConstraintSpec extends SparkSpecBase {
     assert(t.read(spark).filter($"id" === 1L).select($"n").as[Int].head() == 7)
   }
 
+  test("constraints gate streaming batch appends; a failed batch leaves the cursor") {
+    val dir = tmpDir("graft-checkstream")
+    val t = mkTable(dir, Map("graft.check.pos" -> "n >= 0"))
+    t.appendStreamBatch(Seq((1L, "a", 1)).toDF("id", "v", "n"),
+      sinkId = "s", batchId = 0L, Some(1000L))
+    intercept[Exception] {
+      t.appendStreamBatch(Seq((2L, "b", -1)).toDF("id", "v", "n"),
+        sinkId = "s", batchId = 1L, Some(2000L))
+    }
+    // the violating batch committed nothing and did NOT advance the
+    // cursor — the stream's retry of batch 1 re-ingests (at-least-once)
+    assert(t.streamCursors == Map("s" -> 0L))
+    t.appendStreamBatch(Seq((2L, "b", 7)).toDF("id", "v", "n"),
+      sinkId = "s", batchId = 1L, Some(3000L))
+    assert(t.streamCursors == Map("s" -> 1L))
+    assert(t.read(spark).count() == 2)
+  }
+
+  test("branch cycle on a PARTITIONED table keeps identity recovery per root") {
+    val dir = tmpDir("graft-branch-part")
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
+    val t = GraftTable.create(dir, df0.schema, partitionBy = Seq("cat"))
+    t.append(df0, Some(1000L))
+    val bt = t.createBranch("p", Some(1500L))
+    bt.append(Seq((3L, "a"), (4L, "c")).toDF("id", "cat"), Some(2000L))
+    // branch read mixes fork-root and branch-root partitioned files
+    assert(bt.read(spark).select($"cat").as[String].collect().sorted.toSeq
+      == Seq("a", "a", "b", "c"))
+    t.publishBranch("p", Some(2500L))
+    assert(t.read(spark).count() == 4)
+    // partition pruning still holds across the two roots
+    val pruned = t.scan(spark, Some(col("cat") === "c"))
+    assert(pruned.select($"id").as[Long].collect().toSeq == Seq(4L))
+    // and the partitions view aggregates across roots
+    val parts = t.partitionsTable(spark)
+      .select(element_at($"partition", "cat").as("c"), $"record_count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(parts == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("partitions metadata table aggregates the manifest per partition") {
     val dir = tmpDir("graft-parts")
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cat")
