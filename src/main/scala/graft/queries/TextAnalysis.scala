@@ -512,6 +512,65 @@ object TextAnalysis extends QueryPack {
     // every other pair and the second pass the rest — equivalent to
     // bpeMerges' applyMerge for a≠b merges (BpeSpec pins this against
     // the full corpus vocabulary).
+    // DISTRIBUTED CLASSIFIER TRAINING, oracle-exact: five full-batch
+    // gradient steps of a logistic-style model (hard-sigmoid
+    // clamp(0.25z+0.5) — no transcendental, so every op is IEEE-exact
+    // cross-engine) predicting lang='en' from three quality features.
+    // The g01/s12 technique applied to ML training: per-row gradient
+    // contributions are quantized to Q20 longs and INTEGER-summed
+    // (order-independent under any parallelism), the 4-weight vector is
+    // bounded driver state recomputed from the sums with the exact
+    // operation sequence the oracle replays, and weights re-quantize to
+    // Q20 after every step so both engines carry identical doubles.
+    // Per step: ONE hash aggregation over the cached narrow feature
+    // relation (4 doubles + label) — at 100 TB, 5 map-reduce passes and
+    // 40 bytes of driver state. Output is all-integer (Q20 weights,
+    // counts), so the driver hash-match is bulletproof.
+    "t26_train_classifier" -> ((s, d) => {
+      val Q = 1048576.0 // Q20
+      val toks = graft.functions.TextOps.tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val feats = t(s, d, "documents")
+        .filter(size(toks) > 0)
+        .select(
+          (size(filter(toks, x => x.isin("the", "a", "data", "value")))
+            .cast("double") / nTok).as("x1"),
+          (size(array_distinct(toks)).cast("double") / nTok).as("x2"),
+          (nTok / lit(100.0)).as("x3"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        .persist()
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      def zExpr = lit(w(0)) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      def pExpr = greatest(lit(0.0), least(lit(1.0),
+        lit(0.25) * zExpr + lit(0.5)))
+      for (_ <- 1 to 5) {
+        val err = pExpr - col("y")
+        val row = feats.agg(
+          count(lit(1)).as("n"),
+          sum(floor(err * lit(Q))).as("s0"),
+          sum(floor((err * col("x1")) * lit(Q))).as("s1"),
+          sum(floor((err * col("x2")) * lit(Q))).as("s2"),
+          sum(floor((err * col("x3")) * lit(Q))).as("s3")).head()
+        val n = row.getLong(0).toDouble
+        w = w.indices.map { j =>
+          val sj = row.getLong(1 + j).toDouble
+          math.floor((w(j) - (0.5 * (sj / Q) / n)) * Q) / Q
+        }.toArray
+      }
+      val pred = pExpr >= lit(0.5)
+      val correct = (pred && col("y") === 1.0) || (!pred && col("y") === 0.0)
+      feats.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(correct, 1L).otherwise(0L)).as("n_correct"))
+        .select(
+          lit(math.floor(w(0) * Q).toLong).as("w0_q"),
+          lit(math.floor(w(1) * Q).toLong).as("w1_q"),
+          lit(math.floor(w(2) * Q).toLong).as("w2_q"),
+          lit(math.floor(w(3) * Q).toLong).as("w3_q"),
+          col("n_docs"), col("n_correct"))
+    }),
+
     "t24_bpe_seeded" -> ((s, d) => {
       val toks = graft.functions.TextOps.tokens(col("text"))
       val spaced = concat(lit("|"), regexp_replace(col("w"), "(?<=.)", "|"))
@@ -813,6 +872,52 @@ object TextAnalysis extends QueryPack {
           "SELECT doc_id, lang, " +
           "-1.2 * stop_ratio + 0.9 * distinct_ratio + 0.15 * mean_len + 0.002 * n_tok + lang_boost AS score " +
           "FROM feat ORDER BY score DESC, doc_id ASC LIMIT 100"),
+
+      "t26_train_classifier" -> {
+        // the five gradient steps unrolled as (g_k, w_k) CTE pairs — the
+        // weight vector is carried as a ONE-ROW relation cross-joined
+        // into each step, every arithmetic op in the same order as the
+        // Spark side, gradient sums as integers, weights re-quantized to
+        // Q20 per step. MATERIALIZED throughout (the inlining lesson).
+        val Q = "1048576.0"
+        val z = "(w.a + w.b * x1 + w.c * x2 + w.dd * x3)"
+        val p = s"greatest(0.0, least(1.0, 0.25 * $z + 0.5))"
+        val xs = Seq("1.0" -> "s0", "x1" -> "s1", "x2" -> "s2", "x3" -> "s3")
+        val steps = (1 to 5).map { k =>
+          val sums = xs.map { case (x, sn) =>
+            val g = if (x == "1.0") "err" else s"(err * $x)"
+            s"CAST(sum(CAST(floor($g * $Q) AS BIGINT)) AS DOUBLE) AS $sn"
+          }.mkString(", ")
+          val upd = Seq("a" -> "s0", "b" -> "s1", "c" -> "s2", "dd" -> "s3")
+            .map { case (wn, sn) =>
+              s"floor((w.$wn - (0.5 * (g.$sn / $Q) / g.n)) * $Q) / $Q AS $wn"
+            }.mkString(", ")
+          s"g$k AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n, $sums " +
+            s"FROM (SELECT $p - y AS err, x1, x2, x3 " +
+            s"FROM feats, w${k - 1} w)), " +
+            s"w$k AS MATERIALIZED (SELECT $upd FROM w${k - 1} w, g$k g)"
+        }.mkString(", ")
+        "WITH f0 AS (SELECT lang, " +
+          "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS l " +
+          "FROM documents), " +
+          "feats AS MATERIALIZED (SELECT " +
+          "CAST(len(list_filter(l, x -> x IN ('the', 'a', 'data', 'value'))) AS DOUBLE) / CAST(len(l) AS DOUBLE) AS x1, " +
+          "CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE) AS x2, " +
+          "CAST(len(l) AS DOUBLE) / 100.0 AS x3, " +
+          "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y " +
+          "FROM f0 WHERE len(l) > 0), " +
+          "w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS dd), " +
+          steps + ", " +
+          s"fin AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(CASE WHEN (p >= 0.5 AND y = 1.0) OR (p < 0.5 AND y = 0.0) " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS n_correct FROM " +
+          s"(SELECT $p AS p, y FROM feats, w5 w)) " +
+          s"SELECT CAST(floor(w.a * $Q) AS BIGINT) AS w0_q, " +
+          s"CAST(floor(w.b * $Q) AS BIGINT) AS w1_q, " +
+          s"CAST(floor(w.c * $Q) AS BIGINT) AS w2_q, " +
+          s"CAST(floor(w.dd * $Q) AS BIGINT) AS w3_q, " +
+          "fin.n_docs, fin.n_correct FROM w5 w, fin"
+      },
 
       "t24_bpe_seeded" -> {
         // nested anchored double-replace generated from the SAME literal
