@@ -512,6 +512,28 @@ object TextAnalysis extends QueryPack {
     // every other pair and the second pass the rest — equivalent to
     // bpeMerges' applyMerge for a≠b merges (BpeSpec pins this against
     // the full corpus vocabulary).
+    // INVERTED-INDEX keyword search: the posting list (token, doc_id)
+    // lives in a GraftTable laid out by `bucket(16, tok)`, and the
+    // probe's IN-list predicate prunes to ≤2 of the 16 bucket slices
+    // via the manifest's derived-key stats BEFORE Spark plans a file —
+    // the "index once, probe per query" pattern where a keyword query
+    // reads O(selectivity), not O(corpus). Index build is one explode +
+    // hash-distributed write (each bucket written by its own task);
+    // conjunctive search = posting intersection via one hash agg on
+    // doc_id. The oracle recomputes containment by scanning the raw
+    // corpus — proving index-served ≡ full-scan semantics.
+    "t27_inverted_index" -> ((s, d) => {
+      val idx = Versioned.invertedIndexFixture(s, d)
+      val hits = idx.scan(s, Some(col("tok").isin("spark", "join")))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tok")).as("n_terms"))
+        .filter(col("n_terms") === 2)
+      hits.join(t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id")
+        .select(col("doc_id"), col("n_terms"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // DISTRIBUTED CLASSIFIER TRAINING, oracle-exact: five full-batch
     // gradient steps of a logistic-style model (hard-sigmoid
     // clamp(0.25z+0.5) — no transcendental, so every op is IEEE-exact
@@ -872,6 +894,16 @@ object TextAnalysis extends QueryPack {
           "SELECT doc_id, lang, " +
           "-1.2 * stop_ratio + 0.9 * distinct_ratio + 0.15 * mean_len + 0.002 * n_tok + lang_boost AS score " +
           "FROM feat ORDER BY score DESC, doc_id ASC LIMIT 100"),
+
+      "t27_inverted_index" ->
+        // full-scan containment recompute: index-served search must
+        // return exactly the docs whose token set holds both terms
+        ("WITH toks AS (SELECT doc_id, n_chars, " +
+          "list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS t " +
+          "FROM documents) " +
+          "SELECT doc_id, CAST(2 AS BIGINT) AS n_terms, n_chars FROM toks " +
+          "WHERE list_contains(t, 'spark') AND list_contains(t, 'join') " +
+          "ORDER BY doc_id"),
 
       "t26_train_classifier" -> {
         // the five gradient steps unrolled as (g_k, w_k) CTE pairs — the

@@ -134,6 +134,26 @@ object Versioned extends QueryPack {
       t1
     }
 
+  /** INVERTED-INDEX fixture: the distinct (token, doc_id) posting list
+    * of the documents corpus as a GraftTable laid out by
+    * `bucket(16, tok)` with hash write distribution — each bucket slice
+    * is written by one task and a keyword probe's IN-list prunes to its
+    * buckets' files via the manifest (t27). */
+  private[queries] def invertedIndexFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "docs_inv", 1) { dir =>
+      val posts = t(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.TextOps.tokens(col("text"))))
+            .as("tok"))
+        .select(col("tok"), col("doc_id"))
+      val tb = GraftTable.create(dir, posts.schema,
+        partitionBy = Seq("bucket(16,tok)"),
+        properties = Map(GraftTable.PropWriteDistribution -> "hash"))
+      tb.append(posts, committedAt = Some(1000L))
+      tb
+    }
+
   /** HIDDEN-partitioning fixture: documents laid out by `bucket(8,
     * doc_id)` (xxhash64 mod 8 directory key). Point lookups on doc_id
     * prune to the matching buckets' files — the pruning power footer
