@@ -1063,7 +1063,17 @@ final class GraftTable private (
     * manifest are physically deleted — how space is actually reclaimed
     * after compaction/delete rewrites. Time travel to an expired snapshot
     * fails loudly afterwards. Returns the expired snapshot ids. */
-  def expireSnapshots(olderThanMillis: Long): Seq[Long] = {
+  def expireSnapshots(olderThanMillis: Long): Seq[Long] =
+    expireSnapshots(olderThanMillis, retainLast = 1)
+
+  /** [[expireSnapshots]] with a RETAIN-LAST floor (Iceberg's
+    * `retainLast` / Delta's version-count retention): at least the
+    * newest `retainLast` snapshots survive regardless of age — the
+    * guard that keeps an aggressive age policy from collapsing a
+    * table's recent history (and its rollback window) after a burst of
+    * commits. The current snapshot always survives (`retainLast` is
+    * clamped to ≥ 1); tags and live-branch forks stay anchors. */
+  def expireSnapshots(olderThanMillis: Long, retainLast: Int): Seq[Long] = {
     // serialize against committers via the same claim a commit for the
     // NEXT id would take: a writer mid-commit makes this throw (retry via
     // withCommitRetry); holding it, no commit can interleave between our
@@ -1091,11 +1101,12 @@ final class GraftTable private (
         throw new java.util.ConcurrentModificationException(
           s"a commit landed while acquiring the expire claim on $dir; " +
             "retry expiration")
-      expireUnderClaim(olderThanMillis)
+      expireUnderClaim(olderThanMillis, math.max(1, retainLast))
     } finally Files.deleteIfExists(marker)
   }
 
-  private def expireUnderClaim(olderThanMillis: Long): Seq[Long] = {
+  private def expireUnderClaim(
+      olderThanMillis: Long, retainLast: Int): Seq[Long] = {
     // The refs read, prefix cut, and log rewrite happen UNDER the refs
     // lock: a tag() committed between a bare refs read and the rewrite
     // would lose its retention-anchor role and see its snapshot expired
@@ -1115,7 +1126,9 @@ final class GraftTable private (
         // contiguous, and keeps every file a branch inherited alive)
         val tagged = refs.values.toSet ++
           branches.collect { case (_, (fork, false)) => fork }
-        val expired = lg.snapshots.takeWhile(s =>
+        // the retain-last floor caps the expirable prefix length
+        val maxExpirable = math.max(0, lg.snapshots.size - retainLast)
+        val expired = lg.snapshots.take(maxExpirable).takeWhile(s =>
           s.committedAt < olderThanMillis &&
             s.snapshotId != current.snapshotId &&
             !tagged.contains(s.snapshotId))
@@ -1707,6 +1720,20 @@ final class GraftTable private (
       spark.sparkContext.parallelize(rows, 1), PartitionsSchema)
   }
 
+  /** The refs metadata table (Iceberg `refs` analog): every named ref —
+    * tags and branches — as rows. Branch rows carry the FORK snapshot
+    * (the retention anchor while the branch is live) and whether the
+    * branch has been published. Metadata-only. */
+  def refsTable(spark: SparkSession): DataFrame = {
+    val rows =
+      refs.toSeq.sortBy(_._1).map { case (n, id) => Row(n, "tag", id) } ++
+      branches.toSeq.sortBy(_._1).map { case (n, (fork, pub)) =>
+        Row(n, if (pub) "branch-published" else "branch", fork)
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), RefsSchema)
+  }
+
   /** The `__snapshots` system table (V1/S7). Tiny metadata → a local
     * DataFrame is correct at any scale (the data it describes is big; the
     * log is not). Schema mirrors SnapshotIterable.createSnapshotRecord. */
@@ -1766,6 +1793,12 @@ object GraftTable {
     StructField("record_count", LongType, nullable = false),
     StructField("file_size_bytes", LongType, nullable = false),
     StructField("partition", MapType(StringType, StringType), nullable = true)))
+
+  /** Refs system-table schema (tags + branches). */
+  val RefsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
 
   /** Partitions system-table schema (Iceberg `partitions` analog). */
   val PartitionsSchema: StructType = StructType(Seq(

@@ -128,6 +128,27 @@ class BranchSpec extends SparkSpecBase {
     assert(t.log.byId(1L).isDefined)
   }
 
+  test("refs metadata table lists tags and branches; retain-last floors expiration") {
+    val dir = tmpDir("graft-refs")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    t.append(Seq((4L, "d")).toDF("id", "v"), Some(2000L))
+    t.append(Seq((5L, "e")).toDF("id", "v"), Some(3000L))
+    t.tag("gold", 1L)
+    t.createBranch("wip", Some(3500L))
+    val refs = t.refsTable(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refs == Set(("gold", "tag", 1L), ("wip", "branch", 3L)))
+    t.dropBranch("wip")
+    t.dropTag("gold")
+    // aggressive age cutoff, but retainLast=3 keeps the whole history
+    assert(t.expireSnapshots(olderThanMillis = 5000L, retainLast = 3).isEmpty)
+    assert(t.log.snapshots.size == 3)
+    // retainLast=2 expires exactly the oldest
+    assert(t.expireSnapshots(olderThanMillis = 5000L, retainLast = 2) == Seq(1L))
+    assert(t.log.snapshots.map(_.snapshotId) == Seq(2L, 3L))
+  }
+
   test("published branch files survive dropBranch and parent compaction reowns them") {
     val dir = tmpDir("graft-branch-compact")
     val t = GraftTable.create(dir, base.schema)
