@@ -141,9 +141,25 @@ object TableDemo {
     println("BRANCH audit: branch=" + br.read(spark).count() +
       " parent=" + wap.read(spark).count())
     val pub = wap.publishBranch("audit", Some(3000L))
+    println("BRANCH refs: " + wap.refsTable(spark).collect().mkString(", "))
     wap.dropBranch("audit")
     println("BRANCH published: op=" + pub.operation + " rows=" +
       wap.read(spark).orderBy("id").collect().mkString(", "))
+
+    // write constraints: the violating append fails inside the write job
+    // and commits nothing; the clean append lands
+    val guarded = GraftTable.create(s"$dir/checked", schema,
+      Map(GraftTable.PropCheckPrefix + "idpos" -> "id > 0",
+        GraftTable.PropNotNullColumns -> "data"))
+    guarded.append(df(1L -> "ok"), Some(1000L))
+    val rejected =
+      try { guarded.append(df(-5L -> "bad"), Some(2000L)); "MISSED" }
+      catch { case _: Throwable => "rejected" }
+    println("CONSTRAINT: bad append " + rejected +
+      " snapshots=" + guarded.log.snapshots.size +
+      " rows=" + guarded.read(spark).count())
+    println("PARTITIONS: " + guarded.partitionsTable(spark)
+      .select("file_count", "record_count").collect().mkString(", "))
 
     val e = GraftTable.create(s"$dir/empty", schema)
     println("EMPTY: count=" + e.read(spark).count() +
