@@ -189,8 +189,13 @@ final class GraftTable private (
     * scoping is meaningless across the fork — compact() first), exactly
     * like the other copy-on-write refusals. */
   def createBranch(name: String, committedAt: Option[Long] = None): GraftTable = {
-    require(name.nonEmpty && !name.contains('/') && !name.forall(_.isDigit),
-      s"branch name '$name' must be non-empty, slash-free, not numeric")
+    // one path segment, no traversal: "." / ".." would resolve the branch
+    // dir onto (or above) the table root and corrupt it
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-') &&
+        name != "." && name != ".." && !name.forall(_.isDigit),
+      s"branch name '$name' must be a plain [A-Za-z0-9._-]+ segment, " +
+        "not '.'/'..', and not purely numeric")
     require(pendingDeletes.isEmpty,
       s"cannot branch $dir with deferred deletes pending — compact() first")
     withRefsLock {

@@ -128,6 +128,15 @@ class BranchSpec extends SparkSpecBase {
     assert(t.log.byId(1L).isDefined)
   }
 
+  test("branch names with path traversal or separators are rejected") {
+    val dir = tmpDir("graft-branch-names")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    for (bad <- Seq("..", ".", "a/b", "a\\b", "x y", "", "42"))
+      intercept[IllegalArgumentException] { t.createBranch(bad) }
+    assert(t.branches.isEmpty)
+  }
+
   test("refs metadata table lists tags and branches; retain-last floors expiration") {
     val dir = tmpDir("graft-refs")
     val t = GraftTable.create(dir, base.schema)
