@@ -879,7 +879,9 @@ final class GraftTable private (
         org.apache.spark.sql.functions.expr(sql)))
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     manifest.files.foreach(f => require(fileSnapId(f.path).isDefined,
-      s"cannot scope a deferred delete: unattributable data file ${f.path}"))
+      s"cannot scope a deferred delete: data file ${f.path} is from a " +
+        "branch era (fork/publish) whose snapshot ids belong to another " +
+        "table's sequence — compact() first to re-own the files"))
     // same short-circuit as copy-on-write delete(): when stats/blooms
     // prove NO file can hold a matching row, don't commit — a pending
     // predicate taxes every later read and blocks CoW DML until a
