@@ -55,6 +55,16 @@ final class GraftCatalog(warehouse: String) {
         return GraftTable.load(tableDir(identifier)).read(spark)
       val base = identifier.dropRight(GraftTable.FilesSuffix.length)
       GraftTable.load(tableDir(base)).filesTable(spark)
+    } else if (identifier.endsWith(GraftTable.PartitionsSuffix)) {
+      if (GraftTable.exists(tableDir(identifier)))
+        return GraftTable.load(tableDir(identifier)).read(spark)
+      val base = identifier.dropRight(GraftTable.PartitionsSuffix.length)
+      GraftTable.load(tableDir(base)).partitionsTable(spark)
+    } else if (identifier.endsWith(GraftTable.RefsSuffix)) {
+      if (GraftTable.exists(tableDir(identifier)))
+        return GraftTable.load(tableDir(identifier)).read(spark)
+      val base = identifier.dropRight(GraftTable.RefsSuffix.length)
+      GraftTable.load(tableDir(base)).refsTable(spark)
     } else {
       GraftTable.load(tableDir(identifier)).read(spark)
     }

@@ -1793,6 +1793,8 @@ object GraftTable {
   val PropBloomNdv = "graft.bloom.ndv"
   val SnapshotsSuffix = "__snapshots"
   val FilesSuffix = "__files"
+  val PartitionsSuffix = "__partitions"
+  val RefsSuffix = "__refs"
 
   /** Files metadata-table schema (see [[GraftTable.filesTable]]). */
   val FilesSchema: StructType = StructType(Seq(

@@ -106,6 +106,22 @@ class ConstraintSpec extends SparkSpecBase {
     assert(parts == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("__partitions and __refs resolve through the catalog naming convention") {
+    val wh = tmpDir("graft-sysnames")
+    val cat = new GraftCatalog(wh)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
+    val t = cat.createTable("db.part", df.schema, partitionBy = Seq("cat"))
+    t.append(df, Some(1000L))
+    t.tag("v1", 1L)
+    val parts = cat.loadDataFrame(spark, "db.part__partitions")
+      .select(element_at($"partition", "cat").as("c"), $"record_count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(parts == Map("a" -> 1L, "b" -> 1L))
+    val refs = cat.loadDataFrame(spark, "db.part__refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSeq == Seq(("v1", "tag", 1L)))
+  }
+
   test("partitions metadata table aggregates the manifest per partition") {
     val dir = tmpDir("graft-parts")
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cat")
