@@ -237,6 +237,43 @@ object Similarity extends QueryPack {
       selected.toSeq.toDF("rank", "vec_id", "rel", "mmr_e6")
     }),
 
+    // HYBRID RETRIEVAL with reciprocal-rank fusion (RRF, k=60): the
+    // modern search stack's fusion of a KEYWORD ranking (t27's bucketed
+    // posting-list index — terms 'spark','join', ranked by terms-matched
+    // then id) with a VECTOR ranking (s01's bounded-heap top-k for query
+    // vec 0), full-outer-joined on id, scored 1/(60+rank) per leg.
+    // Partial-coverage is the realistic case (only some docs carry
+    // embeddings) and RRF handles it natively — a missing leg
+    // contributes 0. Both legs select their top-50 via the
+    // (score DESC, id ASC) bounded-heap aggregate, so neither ranking
+    // ever sorts a corpus-scale relation globally; the fusion join runs
+    // on two ≤50-row inputs. All arithmetic is exact (integer ranks,
+    // one IEEE division + one sum per leg), so the fused scores
+    // hash-match the oracle bit for bit.
+    "s16_hybrid_rrf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val vecTop = bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 50)
+        .select(col("n_id").as("id"), col("rank").as("vec_rank"))
+      val idx = Versioned.invertedIndexFixture(s, d)
+      val kwTop = idx.scan(s, Some(col("tok").isin("spark", "join")))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tok")).cast("double").as("n_terms"))
+        .agg(graft.functions.GraftFunctions
+          .top_k_by_score(col("n_terms"), col("doc_id"), 50).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.id").as("id"), (col("pos") + 1).as("kw_rank"))
+      vecTop.join(kwTop, Seq("id"), "full")
+        .select(col("id"),
+          (coalesce(lit(1.0) / (lit(60) + col("kw_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+            .as("rrf"),
+          coalesce(col("kw_rank"), lit(-1)).as("kw_rank"),
+          coalesce(col("vec_rank"), lit(-1)).as("vec_rank"))
+        .orderBy(col("rrf").desc, col("id").asc)
+        .limit(20)
+    }),
+
     // ANN via sign-LSH buckets — the oracle replicates the bucketing with
     // the same literal hyperplanes, so the approximate result is itself
     // hash-checked; recall vs brute force is asserted in SimilaritySpec
@@ -950,6 +987,34 @@ object Similarity extends QueryPack {
         "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
         "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"),
+    "s16_hybrid_rrf" ->
+      // both legs re-ranked with the same (score DESC, id ASC) order,
+      // integer 60+rank denominators keep the division in DOUBLE (a bare
+      // 60.0 literal is DECIMAL in DuckDB and its arithmetic is not IEEE)
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "q AS (SELECT v FROM e WHERE vec_id = 0), " +
+        "scored AS (SELECT e.vec_id AS id, list_cosine_similarity(q.v, e.v) AS cos " +
+        "FROM q, e WHERE e.vec_id <> 0), " +
+        "vec AS (SELECT id, CAST(rk AS INTEGER) AS vec_rank FROM " +
+        "(SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rk FROM scored) " +
+        "WHERE rk <= 50), " +
+        "toks AS (SELECT doc_id, " +
+        "list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS t " +
+        "FROM documents), " +
+        "kwc AS (SELECT doc_id, " +
+        "CAST(list_contains(t, 'spark') AS INT) + CAST(list_contains(t, 'join') AS INT) AS n " +
+        "FROM toks WHERE list_contains(t, 'spark') OR list_contains(t, 'join')), " +
+        "kw AS (SELECT doc_id AS id, CAST(rk AS INTEGER) AS kw_rank FROM " +
+        "(SELECT doc_id, row_number() OVER (ORDER BY n DESC, doc_id ASC) AS rk FROM kwc) " +
+        "WHERE rk <= 50) " +
+        "SELECT COALESCE(v.id, k.id) AS id, " +
+        "COALESCE(CAST(1.0 AS DOUBLE) / (60 + k.kw_rank), 0.0) + " +
+        "COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0.0) AS rrf, " +
+        "COALESCE(k.kw_rank, -1) AS kw_rank, " +
+        "COALESCE(v.vec_rank, -1) AS vec_rank " +
+        "FROM vec v FULL JOIN kw k ON v.id = k.id " +
+        "ORDER BY rrf DESC, id ASC LIMIT 20"),
+
     "s15_mmr_rerank" -> {
       // the greedy chain unrolled as ten selection CTEs: each step picks
       // the (mmr_e6 DESC, id ASC) argmax among unselected candidates,
