@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
@@ -13,6 +14,44 @@ import graft.multimodal.Multimodal
 object MultimodalQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
+
+    // AUDIO-shaped stub: silence detection + trim accounting. The
+    // payload's 16-char windows play the role of PCM frames; a window is
+    // "silent" when spaces hold the majority (the stub's energy proxy —
+    // pure string builtins, so both engines replay it exactly). Per doc:
+    // window/silence counts, the LONGEST VOICED RUN (gaps-and-islands
+    // with windows partitioned per doc — bounded per key, the canonical
+    // distributed formulation), and the chars a silence-trim would keep.
+    "m07_silence_trim" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      val win = docs
+        .withColumn("w_idx",
+          explode(sequence(lit(0), floor((col("n") - 1) / 16).cast("int"))))
+        .withColumn("seg", expr("substring(text, w_idx * 16 + 1, 16)"))
+        .withColumn("seg_len", length(col("seg")))
+        .withColumn("silent",
+          (col("seg_len") - length(translate(col("seg"), " ", ""))) * 2
+            >= col("seg_len"))
+      val runs = win.filter(!col("silent"))
+        .withColumn("grp", col("w_idx") - row_number()
+          .over(Window.partitionBy(col("doc_id")).orderBy(col("w_idx"))))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("run")).as("longest_voiced"))
+      win.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
+          sum(when(!col("silent"), col("seg_len").cast("long"))
+            .otherwise(0L)).as("voiced_chars"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"), col("n_silent"),
+          coalesce(col("longest_voiced"), lit(0L)).as("longest_voiced"),
+          col("voiced_chars"))
+        .orderBy("doc_id")
+    }),
 
     // binary column plumbing: payload bytes + length + content digest
     "m01_binary_meta" -> ((s, d) =>
@@ -123,6 +162,28 @@ object MultimodalQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "m07_silence_trim" ->
+      ("WITH d0 AS (SELECT doc_id, text, len(text) AS n FROM documents " +
+        "WHERE len(text) > 0), " +
+        "win AS (SELECT doc_id, CAST(i AS INT) AS w_idx, " +
+        "substr(text, CAST(i * 16 + 1 AS INT), 16) AS seg " +
+        "FROM d0, UNNEST(range(0, CAST(floor((n - 1) / 16) AS BIGINT) + 1)) AS u(i)), " +
+        "w2 AS (SELECT doc_id, w_idx, len(seg) AS seg_len, " +
+        "(len(seg) - len(replace(seg, ' ', ''))) * 2 >= len(seg) AS silent FROM win), " +
+        "runs AS (SELECT doc_id, " +
+        "w_idx - row_number() OVER (PARTITION BY doc_id ORDER BY w_idx) AS grp " +
+        "FROM w2 WHERE NOT silent), " +
+        "agg1 AS (SELECT doc_id, count(*) AS n_windows, " +
+        "CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent, " +
+        "CAST(sum(CASE WHEN NOT silent THEN seg_len ELSE 0 END) AS BIGINT) AS voiced_chars " +
+        "FROM w2 GROUP BY doc_id), " +
+        "agg2 AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS longest_voiced FROM " +
+        "(SELECT doc_id, grp, count(*) AS cnt FROM runs GROUP BY doc_id, grp) " +
+        "GROUP BY doc_id) " +
+        "SELECT a.doc_id, a.n_windows, a.n_silent, " +
+        "COALESCE(b.longest_voiced, 0) AS longest_voiced, a.voiced_chars " +
+        "FROM agg1 a LEFT JOIN agg2 b USING (doc_id) ORDER BY a.doc_id"),
+
     "m01_binary_meta" ->
       // DuckDB 1.0 md5() only takes VARCHAR; the payload is the UTF-8
       // encoding of `text`, so md5(text) hashes the identical bytes
