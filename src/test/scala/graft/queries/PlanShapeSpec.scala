@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{SparkEntry, SparkSpecBase}
+import graft.table.Manifest
 
 /** Plan-shape gates for the join strategies that matter at cluster scale.
   *
@@ -40,6 +41,34 @@ class PlanShapeSpec extends SparkSpecBase {
     val allMonths = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(date_format(col("l_shipdate"), "yyyy-MM")).distinct().count()
     assert(allMonths > 50, s"fixture degenerate: only $allMonths months")
+  }
+
+  test("t27 index probe reads only the probed buckets' files") {
+    val idx = Versioned.invertedIndexFixture(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val probe = idx.scan(spark, Some(col("tok").isin("spark", "join")))
+    val read = probe.inputFiles.toSet
+    assert(read.nonEmpty)
+    // files read come from at most 2 of the 16 bucket directories
+    val buckets = read.flatMap(p =>
+      "tok_bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1)))
+    assert(buckets.nonEmpty && buckets.size <= 2,
+      s"probe touched buckets $buckets")
+    // and the index holds (far) more buckets than were read
+    val all = Manifest
+      .read(s"${idx.dir}/${idx.log.current.get.manifestList}")
+      .files.flatMap(f => f.partition.get("tok_bucket")).flatten.toSet
+    assert(all.size > buckets.size, s"fixture degenerate: $all")
+  }
+
+  test("s16 hybrid fusion never globally sorts a corpus-scale relation") {
+    val df = SparkEntry.queries("s16_hybrid_rrf")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the final top-20 is a bounded TakeOrderedAndProject, and no
+    // range-partitioning exchange (the global-sort shuffle) appears —
+    // both legs select their top-50 through the bounded-heap aggregate
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
   }
 
   test("q26 fact-fact join plans SortMergeJoin when no side is broadcastable") {
