@@ -822,22 +822,36 @@ final class GraftTable private (
     if (candidates.isEmpty) return None
 
     val snapId = lg.nextId
+    // METADATA-ONLY DROP fast path: a candidate file whose stats PROVE
+    // every row matches the predicate (Pruning.mustMatchAll — same
+    // augmented predicate/schema the keep-side pruning walks, so
+    // identity partition values and transform-derived keys both prove)
+    // is removed from the manifest without reading a byte. Deleting a
+    // whole day/tenant/bucket slice at 100 TB is then a manifest edit;
+    // only genuinely partial files pay the rewrite.
+    val aug = PartitionField.augment(resolved, partitionFields)
+    val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
+    val (dropped, rewrites) =
+      candidates.partition(f => Pruning.mustMatchAll(aug, f, augSchema))
     // SQL DELETE removes only rows where the predicate is TRUE; a NULL
     // predicate (e.g. over a column added by addColumn, NULL for old rows)
     // must KEEP the row — plain !predicate maps NULL→NULL and filter drops
     // it, silently deleting rows the predicate never matched.
-    val remaining = readFiles(spark, candidates)
-      .filter(org.apache.spark.sql.functions.coalesce(
-        !predicate, org.apache.spark.sql.functions.lit(true)))
-    val newFiles = writeDataFiles(remaining, snapId)
-      .filter(_.recordCount > 0) // drop empty rewrite outputs
+    val newFiles =
+      if (rewrites.isEmpty) Nil
+      else writeDataFiles(
+        readFiles(spark, rewrites)
+          .filter(org.apache.spark.sql.functions.coalesce(
+            !predicate, org.apache.spark.sql.functions.lit(true))),
+        snapId).filter(_.recordCount > 0) // drop empty rewrite outputs
     val removed = candidates.map(_.recordCount).sum -
       newFiles.map(_.recordCount).sum
     Some(commit(lg, snapId, Manifest(untouched ++ newFiles), newFiles,
       operation = "delete", committedAt,
       extraSummary = Map(
         "deleted-records" -> removed.toString,
-        "rewritten-data-files" -> candidates.size.toString)))
+        "dropped-data-files" -> dropped.size.toString,
+        "rewritten-data-files" -> rewrites.size.toString)))
   }
 
   /** DEFERRED (merge-on-read) DELETE: commit the PREDICATE, not a

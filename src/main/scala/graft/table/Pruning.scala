@@ -111,6 +111,94 @@ object Pruning {
     case _ => true // unknown shape: never prune
   }
 
+  /** True only when EVERY row of the file PROVABLY satisfies `pred` —
+    * the metadata-only DROP proof for copy-on-write DELETE (the
+    * partition-drop fast path: deleting a whole day/bucket/tenant slice
+    * becomes a manifest edit, no data I/O, at any scale). Strictly
+    * sound in the opposite direction from [[mayMatch]]: any missing
+    * stat, unknown shape, or doubt answers false and the file takes the
+    * ordinary rewrite path. Null discipline: no null row satisfies
+    * `attr op lit`, so every value proof also requires null_count == 0.
+    */
+  def mustMatchAll(
+      pred: Expression,
+      file: DataFileEntry,
+      schema: StructType): Boolean = pred match {
+    case Literal(true, BooleanType) => true
+    case And(l, r) =>
+      mustMatchAll(l, file, schema) && mustMatchAll(r, file, schema)
+    case Or(l, r) =>
+      mustMatchAll(l, file, schema) || mustMatchAll(r, file, schema)
+    // every row satisfies NOT x ⟸ no row may satisfy x AND no referenced
+    // column holds nulls — a null row satisfies NEITHER x nor NOT x
+    // under SQL three-valued logic, so nulls break the complement proof
+    // (caught by the mustMatchAll soundness property sweep)
+    case Not(x) =>
+      x.references.forall(a =>
+        colStats(a, file.stats).flatMap(_.nullCount).contains(0L)) &&
+        !mayMatchFile(x, file, schema)
+
+    case EqualTo(a: Attribute, Literal(v, _)) => onlyValue(a, v, file.stats, schema)
+    case EqualTo(Literal(v, _), a: Attribute) => onlyValue(a, v, file.stats, schema)
+    case EqualNullSafe(a: Attribute, Literal(v, _)) if v != null =>
+      onlyValue(a, v, file.stats, schema)
+    case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists { case Literal(v, _) => onlyValue(a, v, file.stats, schema) }
+
+    case GreaterThan(a: Attribute, Literal(v, _)) =>
+      allCmpMin(a, v, file.stats, schema)(_ > 0)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
+      allCmpMin(a, v, file.stats, schema)(_ >= 0)
+    case LessThan(a: Attribute, Literal(v, _)) =>
+      allCmpMax(a, v, file.stats, schema)(_ < 0)
+    case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
+      allCmpMax(a, v, file.stats, schema)(_ <= 0)
+    // flipped literal-first forms (lit < a ⟺ a > lit)
+    case LessThan(Literal(v, _), a: Attribute) =>
+      allCmpMin(a, v, file.stats, schema)(_ > 0)
+    case LessThanOrEqual(Literal(v, _), a: Attribute) =>
+      allCmpMin(a, v, file.stats, schema)(_ >= 0)
+    case GreaterThan(Literal(v, _), a: Attribute) =>
+      allCmpMax(a, v, file.stats, schema)(_ < 0)
+    case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
+      allCmpMax(a, v, file.stats, schema)(_ <= 0)
+
+    case IsNull(a: Attribute) =>
+      colStats(a, file.stats).flatMap(_.nullCount)
+        .contains(file.recordCount)
+    case IsNotNull(a: Attribute) =>
+      colStats(a, file.stats).flatMap(_.nullCount).contains(0L)
+
+    case _ => false // unknown shape: never prove, never drop
+  }
+
+  /** Every (non-null) row value compares `ok` against the literal via
+    * the MIN bound — with null_count == 0 required, the proof covers
+    * every row. */
+  private def allCmpMin(a: Attribute, v: Any, stats: Map[String, ColumnStats],
+      schema: StructType)(ok: Int => Boolean): Boolean =
+    (colStats(a, stats), fieldType(a, schema)) match {
+      case (Some(st), Some(dt)) =>
+        (litValue(v, dt), st.typedMin(dt), st.nullCount) match {
+          case (Some(lit), Some(mn), Some(0L)) =>
+            ColumnStats.compare(mn, lit).exists(ok)
+          case _ => false
+        }
+      case _ => false
+    }
+
+  private def allCmpMax(a: Attribute, v: Any, stats: Map[String, ColumnStats],
+      schema: StructType)(ok: Int => Boolean): Boolean =
+    (colStats(a, stats), fieldType(a, schema)) match {
+      case (Some(st), Some(dt)) =>
+        (litValue(v, dt), st.typedMax(dt), st.nullCount) match {
+          case (Some(lit), Some(mx), Some(0L)) =>
+            ColumnStats.compare(mx, lit).exists(ok)
+          case _ => false
+        }
+      case _ => false
+    }
+
   private def colStats(a: Attribute, stats: Map[String, ColumnStats]): Option[ColumnStats] =
     stats.get(a.name)
 

@@ -106,6 +106,37 @@ class ConstraintSpec extends SparkSpecBase {
     assert(parts == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("copy-on-write DELETE drops fully-matching files metadata-only") {
+    // partition slice: the cat='a' files' synthesized stats PROVE every
+    // row matches -> manifest edit, zero rewrite I/O
+    val dir = tmpDir("graft-dropdel")
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cat")
+    val t = GraftTable.create(dir, df.schema, partitionBy = Seq("cat"))
+    t.append(df, Some(1000L))
+    val snap = t.delete(spark, col("cat") === "a", Some(2000L)).get
+    assert(snap.summary("dropped-data-files").toInt >= 1)
+    assert(snap.summary("rewritten-data-files") == "0")
+    assert(snap.summary("deleted-records") == "2")
+    assert(t.read(spark).select($"id").as[Long].collect().toSeq == Seq(3L))
+    // time travel still sees the dropped slice (files untouched on disk)
+    assert(t.read(spark, Some(1L)).count() == 3)
+    // and CDC nets the drop as two delete rows
+    val cdc = t.changesCdc(spark, 1L)
+    assert(cdc.filter($"_change_type" === "delete").count() == 2)
+
+    // range proof on plain footer stats: ids 1-2 file drops, 10-11 stays
+    val u = GraftTable.create(tmpDir("graft-dropdel-u"), df.schema)
+    u.append(Seq((1L, "x"), (2L, "x")).toDF("id", "cat"), Some(1000L))
+    u.append(Seq((10L, "y"), (11L, "y")).toDF("id", "cat"), Some(2000L))
+    val s2 = u.delete(spark, col("id") < 5L, Some(3000L)).get
+    // the 2-row input may land as 1-2 files depending on parallelism;
+    // all of them prove and drop, none rewrites
+    assert(s2.summary("dropped-data-files").toInt >= 1)
+    assert(s2.summary("rewritten-data-files") == "0")
+    assert(u.read(spark).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(10L, 11L))
+  }
+
   test("__partitions and __refs resolve through the catalog naming convention") {
     val wh = tmpDir("graft-sysnames")
     val cat = new GraftCatalog(wh)

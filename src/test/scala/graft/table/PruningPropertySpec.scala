@@ -115,6 +115,24 @@ class PruningPropertySpec extends AnyFunSuite {
     }, minSuccessful = 4000)
   }
 
+  test("property: a drop-proved file holds ONLY matching rows (mustMatchAll soundness)") {
+    // the DELETE fast path's proof obligation is the mirror image of
+    // pruning's: mustMatchAll=true ⇒ EVERY row (nulls included)
+    // strictly satisfies the predicate — a false proof silently deletes
+    // surviving rows, so this is a correctness property, not a perf one
+    val fileGen: Gen[Seq[Option[Long]]] =
+      Gen.nonEmptyListOf(Gen.frequency(
+        8 -> Gen.chooseNum(-20L, 20L).map(Some(_)),
+        1 -> Gen.const(None)))
+    check(Prop.forAll(fileGen, predGen(3), Gen.choose(0, 3)) {
+      (values, pred, degrade) =>
+        val file = DataFileEntry("data/f.parquet", values.size.toLong, 1L,
+          statsOf(values, degrade))
+        val proved = Pruning.mustMatchAll(pred, file, schema)
+        !proved || values.forall(v => evalRow(pred, v).contains(true))
+    }, minSuccessful = 4000)
+  }
+
   test("property: partition-derived stats never prune a matching partition") {
     // a partitioned file's rows ALL carry the partition value; its stats
     // are synthesized by PartitionValues.stats (min = max = value, or
