@@ -854,6 +854,39 @@ final class GraftTable private (
         "rewritten-data-files" -> rewrites.size.toString)))
   }
 
+  /** Predicate COUNT with metadata acceleration — the other consumer of
+    * the [[Pruning.mustMatchAll]] proof: files provably ALL-matching
+    * contribute their manifest record counts, files that cannot match
+    * contribute zero, and only the uncertain remainder is scanned. A
+    * partition-aligned count at 100 TB (rows per day/tenant/bucket) is
+    * then metadata-only, like the unconditional `count(*)`. Counts rows
+    * where the predicate is TRUE (SQL semantics — NULL rows don't
+    * count). Refuses while deferred deletes are pending (their residual
+    * filters would falsify the manifest counts). */
+  def countWhere(
+      spark: SparkSession,
+      predicate: Column,
+      snapshotId: Option[Long] = None): Long = {
+    val s = resolveSnapshot(snapshotId).getOrElse(return 0L)
+    require(parsePending(s).isEmpty,
+      s"$dir has deferred deletes pending — compact() before countWhere")
+    val resolved = resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(predicate))
+    require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
+      s"countWhere predicate cannot reference $virtualColumn")
+    val manifest = Manifest.read(s"$dir/${s.manifestList}")
+    val candidates = manifest.files.filter(pruneKeep(resolved))
+    val aug = PartitionField.augment(resolved, partitionFields)
+    val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
+    val (proved, toScan) =
+      candidates.partition(f => Pruning.mustMatchAll(aug, f, augSchema))
+    val metadataCount = proved.map(_.recordCount).sum
+    val scanned =
+      if (toScan.isEmpty) 0L
+      else readFiles(spark, toScan).filter(predicate).count()
+    metadataCount + scanned
+  }
+
   /** DEFERRED (merge-on-read) DELETE: commit the PREDICATE, not a
     * rewrite. The commit is metadata-only — O(1) I/O regardless of how
     * many files hold matching rows — and every subsequent read applies

@@ -137,6 +137,24 @@ class ConstraintSpec extends SparkSpecBase {
       == Seq(10L, 11L))
   }
 
+  test("countWhere: metadata-accelerated predicate counts match a full scan") {
+    val dir = tmpDir("graft-countwhere")
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("id", "cat")
+    val t = GraftTable.create(dir, df.schema, partitionBy = Seq("cat"))
+    t.append(df, Some(1000L))
+    def scanCount(p: org.apache.spark.sql.Column) =
+      t.read(spark).filter(p).count()
+    for (p <- Seq(col("cat") === "a", col("cat") =!= "b", col("id") < 4L,
+        col("id") >= 3L && col("cat") === "b", col("cat") === "zzz",
+        col("id").isNotNull, col("cat").isin("a", "c")))
+      assert(t.countWhere(spark, p) == scanCount(p), s"predicate $p")
+    // time travel: count at an earlier snapshot
+    t.delete(spark, col("cat") === "a", Some(2000L))
+    assert(t.countWhere(spark, col("cat") === "a") == 0L)
+    assert(t.countWhere(spark, col("cat") === "a", Some(1L)) == 2L)
+  }
+
   test("__partitions and __refs resolve through the catalog naming convention") {
     val wh = tmpDir("graft-sysnames")
     val cat = new GraftCatalog(wh)
