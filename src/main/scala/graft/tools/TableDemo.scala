@@ -160,6 +160,10 @@ object TableDemo {
       " rows=" + guarded.read(spark).count())
     println("PARTITIONS: " + guarded.partitionsTable(spark)
       .select("file_count", "record_count").collect().mkString(", "))
+    // predicate count accelerated by the all-match proof (metadata-only
+    // when every candidate file proves)
+    println("COUNT-WHERE id>0: " + guarded.countWhere(spark, col("id") > 0L) +
+      " | id>99: " + guarded.countWhere(spark, col("id") > 99L))
 
     val e = GraftTable.create(s"$dir/empty", schema)
     println("EMPTY: count=" + e.read(spark).count() +
