@@ -829,10 +829,13 @@ final class GraftTable private (
     // is removed from the manifest without reading a byte. Deleting a
     // whole day/tenant/bucket slice at 100 TB is then a manifest edit;
     // only genuinely partial files pay the rewrite.
-    val aug = PartitionField.augment(resolved, partitionFields)
+    // proofAugment weaves strict derived-key bounds into each conjunct
+    // (row-wise equivalent), so a days()/truncate() slice proves from its
+    // partition stats even when footer stats can't carry the proof
+    val proofPred = PartitionField.proofAugment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
     val (dropped, rewrites) =
-      candidates.partition(f => Pruning.mustMatchAll(aug, f, augSchema))
+      candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
     // SQL DELETE removes only rows where the predicate is TRUE; a NULL
     // predicate (e.g. over a column added by addColumn, NULL for old rows)
     // must KEEP the row — plain !predicate maps NULL→NULL and filter drops
@@ -876,10 +879,10 @@ final class GraftTable private (
       s"countWhere predicate cannot reference $virtualColumn")
     val manifest = Manifest.read(s"$dir/${s.manifestList}")
     val candidates = manifest.files.filter(pruneKeep(resolved))
-    val aug = PartitionField.augment(resolved, partitionFields)
+    val proofPred = PartitionField.proofAugment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
     val (proved, toScan) =
-      candidates.partition(f => Pruning.mustMatchAll(aug, f, augSchema))
+      candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
     val metadataCount = proved.map(_.recordCount).sum
     val scanned =
       if (toScan.isEmpty) 0L

@@ -3,7 +3,7 @@ package graft.table
 import java.time.ZoneOffset
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, XxHash64}
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.functions.{col, lit, pmod, substring, unix_date, xxhash64}
 import org.apache.spark.sql.types._
@@ -270,6 +270,77 @@ object PartitionField {
     derived.foldLeft(pred)(And(_, _))
   }
 
+  /** PROOF-side augmentation (the mirror of [[augment]]): each top-level
+    * conjunct `c` becomes `c OR s` where `s` is a derived-key condition
+    * that row-wise IMPLIES `c` — so the rewrite is EQUIVALENT to the
+    * original predicate, and `Pruning.mustMatchAll` can prove the
+    * all-rows-match obligation through the derived key's exact per-file
+    * stats where source-column footer stats are absent or too loose.
+    * Floor-transform soundness: `key(row) < key(lit)` puts the row's
+    * whole period strictly before the literal's period, hence
+    * `row < lit`; `key(row) > key(lit)` puts it strictly after, hence
+    * `row > lit` — STRICT derived bounds, unlike [[mapConjunct]]'s
+    * relaxed inclusive ones (which go the other direction: conjunct ⇒
+    * derived). Only order-preserving transforms participate. */
+  def proofAugment(pred: Expression, fields: Seq[PartitionField]): Expression = {
+    val transforms = fields.filter(f => f.orderPreserving && !f.isIdentity)
+    if (transforms.isEmpty) return pred
+    def rebuild(e: Expression): Expression = e match {
+      case And(l, r) => And(rebuild(l), rebuild(r))
+      case c => transforms.flatMap(f => proofConjunct(c, f))
+        .foldLeft(c)((acc, s) => Or(acc, s))
+    }
+    rebuild(pred)
+  }
+
+  private def proofConjunct(c: Expression, f: PartitionField): Option[Expression] = {
+    def attr = AttributeReference(f.fieldName, f.derivedType)()
+    def dlit(v: Any, dt: DataType): Literal = Literal(f.derive(v, dt), f.derivedType)
+    c match {
+      // a < lit / a <= lit ⟸ key(a) < key(lit)
+      case LessThan(a: AttributeReference, Literal(v, dt))
+          if a.name == f.source && v != null =>
+        Some(LessThan(attr, dlit(v, dt)))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt))
+          if a.name == f.source && v != null =>
+        Some(LessThan(attr, dlit(v, dt)))
+      // a > lit / a >= lit ⟸ key(a) > key(lit)
+      case GreaterThan(a: AttributeReference, Literal(v, dt))
+          if a.name == f.source && v != null =>
+        Some(GreaterThan(attr, dlit(v, dt)))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt))
+          if a.name == f.source && v != null =>
+        Some(GreaterThan(attr, dlit(v, dt)))
+      // flipped literal-first spellings
+      case LessThan(Literal(v, dt), a: AttributeReference)
+          if a.name == f.source && v != null => // a > lit
+        Some(GreaterThan(attr, dlit(v, dt)))
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference)
+          if a.name == f.source && v != null => // a >= lit
+        Some(GreaterThan(attr, dlit(v, dt)))
+      case GreaterThan(Literal(v, dt), a: AttributeReference)
+          if a.name == f.source && v != null => // a < lit
+        Some(LessThan(attr, dlit(v, dt)))
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference)
+          if a.name == f.source && v != null => // a <= lit
+        Some(LessThan(attr, dlit(v, dt)))
+      case _ => None
+    }
+  }
+
+  /** Whether a time literal sits EXACTLY on the transform's period start
+    * (derive of the previous instant differs). Only time-typed sources
+    * participate — strings/others answer false and keep the relaxed
+    * inclusive mapping. */
+  private def isPeriodStart(v: Any, dt: DataType, f: PartitionField): Boolean =
+    try dt match {
+      case TimestampType | TimestampNTZType =>
+        f.derive(v, dt) != f.derive(v.asInstanceOf[Long] - 1L, dt)
+      case DateType =>
+        f.derive(v, dt) != f.derive(v.asInstanceOf[Int] - 1, dt)
+      case _ => false
+    } catch { case _: Exception => false }
+
   private def mapConjunct(c: Expression, f: PartitionField): Option[Expression] = {
     def attr = AttributeReference(f.fieldName, f.derivedType)()
     def dlit(v: Any, dt: DataType): Literal = Literal(f.derive(v, dt), f.derivedType)
@@ -297,7 +368,11 @@ object PartitionField {
         Some(GreaterThanOrEqual(attr, dlit(v, dt)))
       case LessThan(a: AttributeReference, Literal(v, dt))
           if a.name == f.source && v != null && f.orderPreserving =>
-        Some(LessThanOrEqual(attr, dlit(v, dt)))
+        // boundary-exact: `ts < <period start>` (the retention shape)
+        // admits NO row of the literal's own period — the derived bound
+        // is strict and the whole boundary slice prunes
+        if (isPeriodStart(v, dt, f)) Some(LessThan(attr, dlit(v, dt)))
+        else Some(LessThanOrEqual(attr, dlit(v, dt)))
       case LessThanOrEqual(a: AttributeReference, Literal(v, dt))
           if a.name == f.source && v != null && f.orderPreserving =>
         Some(LessThanOrEqual(attr, dlit(v, dt)))

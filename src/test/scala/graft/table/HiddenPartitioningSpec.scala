@@ -221,6 +221,30 @@ class HiddenPartitioningSpec extends SparkSpecBase {
     assert(allFiles(t).map(_.partition.keySet).distinct == Seq(Set("id_bucket")))
   }
 
+  test("deleting a whole day slice under days(ts) drops files metadata-only") {
+    val dir = tmpDir("hp-dropday")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType, nullable = true),
+      StructField("n", LongType, nullable = false)))
+    val t = GraftTable.create(dir, schema, partitionBy = Seq("days(ts)"))
+    val day0 = 1700000000000L - (1700000000000L % 86400000L)
+    val rows = (0 until 96).map { i =>
+      Row(new Timestamp(day0 + i * 3600_000L), i.toLong)
+    }
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema), Some(1000L))
+    // the retention sweep: everything before day 1 goes — the footer ts
+    // bounds PROVE each day-0 file all-matches, so the delete is a
+    // manifest edit (zero rewrite), the 100 TB retention pattern
+    val cut = new Timestamp(day0 + 86400_000L)
+    val snap = t.delete(spark, col("ts") < lit(cut), Some(2000L)).get
+    assert(snap.summary("dropped-data-files").toInt >= 1)
+    assert(snap.summary("rewritten-data-files") == "0")
+    assert(snap.summary("deleted-records") == "24")
+    assert(t.read(spark).count() == 72)
+    assert(t.read(spark).filter(col("ts") < lit(cut)).count() == 0)
+  }
+
   test("streaming micro-batch appends land in the transform layout") {
     val dir = tmpDir("hp-stream")
     val t = GraftTable.create(dir, idSchema, partitionBy = Seq("bucket(4,id)"))
