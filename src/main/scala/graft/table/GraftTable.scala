@@ -561,10 +561,23 @@ final class GraftTable private (
         writer.option(k.stripPrefix(PropWriteOptionPrefix), v)
     }
     // a failed write job (constraint violation, executor loss) must not
-    // leave a half-written staging dir behind — nothing was committed
+    // leave a half-written staging dir behind — nothing was committed.
+    // Timestamps are written as TIMESTAMP_MICROS, not Spark's INT96
+    // default: INT96 carries no usable parquet min/max, which blinds the
+    // manifest's footer-stat pruning (and the all-match delete proof)
+    // for every timestamp column. Session conf is the only lever the
+    // parquet writer honors — set/restore around the job (a concurrent
+    // writer seeing micros mid-flight only gets the better format).
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val session = df.sparkSession
+    val prevTs = session.conf.getOption(tsKey)
+    session.conf.set(tsKey, "TIMESTAMP_MICROS")
     try writer.parquet(staging)
     catch { case e: Throwable =>
       deleteRecursively(Paths.get(staging)); throw e
+    } finally prevTs match {
+      case Some(v) => session.conf.set(tsKey, v)
+      case None => session.conf.unset(tsKey)
     }
 
     val dataDir = Paths.get(dir, "data")
