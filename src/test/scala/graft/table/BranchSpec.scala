@@ -128,6 +128,30 @@ class BranchSpec extends SparkSpecBase {
     assert(t.log.byId(1L).isDefined)
   }
 
+  test("published branch data is physically reclaimed once compaction re-owns it") {
+    val dir = tmpDir("graft-branch-reclaim")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    val bt = t.createBranch("pub", Some(1500L))
+    bt.append(Seq((4L, "d")).toDF("id", "v"), Some(2000L))
+    t.publishBranch("pub", Some(2500L))
+    t.dropBranch("pub")
+    def branchParquets = {
+      val root = java.nio.file.Paths.get(dir, "branches", "pub", "data")
+      if (!java.nio.file.Files.exists(root)) 0L
+      else scala.util.Using.resource(java.nio.file.Files.walk(root)) {
+        _.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      }
+    }
+    assert(branchParquets == 1L) // still live under the parent's manifest
+    // compaction rewrites into the parent's own data dir; expiration then
+    // reclaims the orphaned bytes under branches/ — full lifecycle closure
+    t.compact(spark, smallerThanBytes = Long.MaxValue, committedAt = Some(3000L))
+    t.expireSnapshots(olderThanMillis = 10000L)
+    assert(branchParquets == 0L, "published-branch bytes were not reclaimed")
+    assert(t.read(spark).count() == 4)
+  }
+
   test("branch names with path traversal or separators are rejected") {
     val dir = tmpDir("graft-branch-names")
     val t = GraftTable.create(dir, base.schema)
