@@ -35,5 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.ZOrderKey].getName, "zorder_key"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           graft.functions.ZOrderKey(exprs)))
+    // the text pipeline's shared tokenizer (trim → lowercase → \s+ split,
+    // empties dropped) as a SQL function — the same kernel every dedup/
+    // text query builds on, so SQL users segment identically
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("tokens"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.Tokens].getName, "tokens"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.Tokens(exprs.head, lowercase = true)))
   }
 }

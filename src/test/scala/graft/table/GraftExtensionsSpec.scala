@@ -59,6 +59,11 @@ class GraftExtensionsSpec extends SparkSpecBase {
         "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
         .collect()(0).getDouble(0)
       assert(dp == 11.0)
+
+      // tokens registered too — the shared text-pipeline tokenizer
+      val tk = s.sql("SELECT tokens('  Hello   WORLD  ') AS t")
+        .collect()(0).getSeq[String](0)
+      assert(tk == Seq("hello", "world"))
     }
   }
 }
