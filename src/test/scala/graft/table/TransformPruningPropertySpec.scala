@@ -45,7 +45,11 @@ class TransformPruningPropertySpec extends SparkSpecBase {
       val ts = rows.flatMap(r => Option(r.get(2))).map(_.asInstanceOf[Timestamp])
       if (ts.isEmpty) new Timestamp(day0) else ts(rnd.nextInt(ts.size))
     }
-    rnd.nextInt(8) match {
+    // exact period boundaries exercise the strict mapping in mapConjunct
+    // and the proof bounds in proofAugment — the retention shapes
+    def boundaryTs: Timestamp =
+      new Timestamp(day0 + rnd.nextInt(11) * 86400000L)
+    rnd.nextInt(10) match {
       case 0 => col("k") === someK
       case 1 => col("k").isin(someK, someK, s"absent_${rnd.nextInt(9)}")
       case 2 => col("k") >= someK
@@ -54,6 +58,8 @@ class TransformPruningPropertySpec extends SparkSpecBase {
       case 5 => col("ts") < lit(someTs)
       case 6 => col("ts").isNull
       case 7 => col("k") === someK && col("x") < rnd.nextInt(100)
+      case 8 => col("ts") < lit(boundaryTs)
+      case 9 => col("ts") >= lit(boundaryTs)
     }
   }
 
@@ -78,6 +84,36 @@ class TransformPruningPropertySpec extends SparkSpecBase {
           .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
         assert(got.toSeq == want.toSeq,
           s"spec=$spec case=$pi lost/gained rows (got ${got.size}, want ${want.size})")
+      }
+    }
+  }
+
+  test("random spec × data × predicate: DELETE keeps exactly the non-matching rows") {
+    // end-to-end soundness of the metadata-only drop fast path under
+    // every transform family: delete(pred) must keep precisely the rows
+    // a plain SQL DELETE would (NULL predicate keeps the row). A wrong
+    // mustMatchAll/proofAugment proof silently deletes survivors —
+    // caught here across drops, rewrites, and their mixtures.
+    val rnd = new Random(20260814L)
+    val specs = Seq(
+      Seq("days(ts)"), Seq("hours(ts)"), Seq("truncate(2,k)"),
+      Seq("bucket(3,k)"), Seq("x"), Seq("bucket(2,k)", "days(ts)"))
+    specs.zipWithIndex.foreach { case (spec, si) =>
+      val rows = randomRows(rnd, 100)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), schema)
+      (0 until 4).foreach { pi =>
+        val t = GraftTable.create(tmpDir(s"tp-del-$si-$pi"), schema,
+          partitionBy = spec)
+        t.append(df, Some(1000L))
+        val pred = randomPred(rnd, rows)
+        t.delete(spark, pred, Some(2000L))
+        val got = t.read(spark).drop("snapshot__id")
+          .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        val want = df.filter(coalesce(!pred, lit(true)))
+          .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        assert(got.toSeq == want.toSeq,
+          s"spec=$spec case=$pi delete kept ${got.size}, want ${want.size}")
       }
     }
   }
