@@ -219,6 +219,48 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** POSITIONAL-delete fixture: nation appended (snapshot 1), regions
+    * 2/4 deleted as POSITIONS (snapshot 2 — no data file touched), the
+    * region-2 rows re-appended (snapshot 3 — positions pin exact files,
+    * so the new copies live), then the 'A…' nations deleted BY KEY
+    * through the curation entry point (snapshot 4). */
+  private def posFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_posdel", 4) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      tb.deletePositional(spark, col("n_regionkey").isin(2, 4), Some(2000L))
+      tb.append(nation.filter(col("n_regionkey") === 2), committedAt = Some(3000L))
+      // key-addressed deletes hit EVERY live copy, old files and the
+      // re-append alike
+      val keys = nation.filter(col("n_nationkey") % 5 === 1).select("n_nationkey")
+      tb.deletePositionalByKeys(spark, keys, Seq("n_nationkey"), Some(4000L))
+      tb
+    }
+
+  /** Dedup-driven merge-on-read fixture: the documents corpus plus a
+    * planted second copy of the low-id docs (snapshot 1/2), then the
+    * keep-first exact-dedup LOSERS deleted as positions by key
+    * (snapshot 3) — the 100 TB curation shape: identify victim rows
+    * with a dedup job, delete them without rewriting a data file. */
+  private def dedupMorFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "docs_mor", 3) { dir =>
+      val docs = t(spark, sfDir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val tb = GraftTable.create(dir, docs.schema)
+      tb.append(docs, committedAt = Some(1000L))
+      tb.append(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)),
+        committedAt = Some(2000L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text")).orderBy(col("doc_id"))
+      val losers = tb.read(spark)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1).select("doc_id")
+      tb.deletePositionalByKeys(spark, losers, Seq("doc_id"), Some(3000L))
+      tb
+    }
+
   /** Bloom-lookup fixture: nation appended TWICE with fully-overlapping
     * n_nationkey ranges (evens, then odds) and `graft.bloom.columns` on
     * the key — min/max can never separate the files, so a point lookup
@@ -326,6 +368,23 @@ object Versioned extends QueryPack {
     "v20_graft_deferred_delete" -> ((s, d) =>
       morFixture(s, d).read(s)
         .select("n_nationkey", "n_name", "n_regionkey")),
+
+    // POSITIONAL merge-on-read delete: row-level (file, pos) delete
+    // entries — predicate form, key form, and a later re-append that
+    // must survive both (positions pin exact files). The scan anti-joins
+    // only the targeted files against the delete parquets.
+    "v28_graft_positional_delete" -> ((s, d) =>
+      posFixture(s, d).read(s)
+        .select("n_nationkey", "n_name", "n_regionkey")),
+
+    // dedup-driven MoR: keep-first exact dedup emits loser doc_ids, the
+    // table deletes exactly those rows as positions (no data rewrite),
+    // and the surviving corpus aggregates per language
+    "v29_graft_dedup_mor" -> ((s, d) =>
+      dedupMorFixture(s, d).read(s)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("n_chars_sum"))),
 
     // files metadata table: per-file record counts keyed by partition
     // value (one file per partition in this fixture, so the counts are
@@ -601,6 +660,24 @@ object Versioned extends QueryPack {
         "WHERE n_regionkey NOT IN (2, 4) " +
         "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "WHERE n_regionkey = 2"),
+    "v28_graft_positional_delete" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_regionkey NOT IN (2, 4) AND n_nationkey % 5 <> 1 " +
+        "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_regionkey = 2 AND n_nationkey % 5 <> 1"),
+    "v29_graft_dedup_mor" ->
+      ("WITH corpus AS (" +
+        "SELECT doc_id, text, lang, n_chars FROM documents " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000, text, lang, n_chars FROM documents " +
+        "WHERE doc_id < 50), " +
+        "keep AS (SELECT lang, n_chars FROM (" +
+        "SELECT lang, n_chars, " +
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
+        "FROM corpus) WHERE rn = 1) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_sum " +
+        "FROM keep GROUP BY lang"),
     "v13_graft_files" ->
       ("SELECT n_regionkey, CAST(count(*) AS BIGINT) AS record_count " +
         "FROM nation GROUP BY n_regionkey"),

@@ -48,9 +48,11 @@ final case class GraftRelation(dir: String, output: Seq[Attribute])
           // pending DEFERRED deletes make manifest counts an upper bound,
           // not an exact rowCount — withhold it rather than overstate
           // (sizeInBytes stays: overstating size only suppresses a
-          // broadcast, the safe direction)
+          // broadcast, the safe direction). POSITIONAL deletes carry
+          // exact per-target counts, so subtraction keeps exactness.
           rowCount =
-            if (t.pendingDeletes.isEmpty) Some(BigInt(manifest.totalRecords))
+            if (t.pendingDeletes.isEmpty)
+              Some(BigInt(manifest.totalRecords - t.positionalDeletedCount))
             else None)
       }
     } catch {
@@ -132,12 +134,14 @@ final case class ResolveGraftScan(spark: SparkSession)
         if isLiteralCountOnly(aggExprs) =>
       val t = GraftTable.load(g.dir)
       // pending DEFERRED deletes make manifest counts an OVERCOUNT
-      // (rows are filtered at read time) — fall through to a real scan
+      // (rows are filtered at read time) — fall through to a real scan.
+      // POSITIONAL deletes stay metadata-answerable: their summary
+      // carries exact per-target deleted-row counts.
       if (t.pendingDeletes.nonEmpty) agg.mapChildren(apply)
       else {
         val n = t.log.current
           .map(s => Manifest.read(s"${g.dir}/${s.manifestList}").totalRecords)
-          .getOrElse(0L)
+          .getOrElse(0L) - t.positionalDeletedCount
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
           aggExprs.map(_.toAttribute),
           Seq(org.apache.spark.sql.catalyst.InternalRow(

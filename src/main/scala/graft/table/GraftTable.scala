@@ -79,6 +79,47 @@ final class GraftTable private (
   def pendingDeletes: Seq[(Long, String)] =
     log.current.map(parsePending).getOrElse(Nil)
 
+  /** POSITIONAL merge-on-read deletes pending on a snapshot, parsed from
+    * the `positional-deletes` summary entry (see
+    * [[GraftTable.PositionalDeletes]]). */
+  private[table] def parsePositional(s: Snapshot): Seq[PositionalDeletes] =
+    s.summary.get(SummaryPositionalDeletes) match {
+      case None | Some("") | Some("[]") => Nil
+      case Some(json) =>
+        graft.util.Json.parse(json).asInstanceOf[Seq[Any]].map { e =>
+          val m = e.asInstanceOf[Map[String, Any]]
+          PositionalDeletes(
+            m("files").asInstanceOf[Seq[Any]].map(_.toString),
+            m("targets").asInstanceOf[Map[String, Any]]
+              .map { case (k, v) => k -> v.asInstanceOf[Long] })
+        }
+    }
+
+  private def positionalJson(entries: Seq[PositionalDeletes]): String =
+    graft.util.Json.write(entries.map(e =>
+      Map("files" -> e.files,
+        "targets" -> e.targets.map { case (k, v) => k -> (v: Any) })))
+
+  /** Pending positional delete entries of the CURRENT snapshot. */
+  def positionalDeletes: Seq[PositionalDeletes] =
+    log.current.map(parsePositional).getOrElse(Nil)
+
+  /** Rows hidden by pending positional deletes at the current snapshot —
+    * exact by the disjointness + targets-⊆-manifest invariants, so
+    * metadata `count(*)`/stats stay exact under positional deletes. */
+  def positionalDeletedCount: Long = positionalDeletes.map(_.deletedRows).sum
+
+  /** Strip `gone` data-file paths from positional entries (the files were
+    * dropped or rewritten — their deletions are materialized); entries
+    * with no remaining targets disappear (their delete parquets stay on
+    * disk until [[expireSnapshots]] reclaims them). */
+  private def stripPositional(
+      entries: Seq[PositionalDeletes],
+      gone: Set[String]): Seq[PositionalDeletes] =
+    entries
+      .map(e => e.copy(targets = e.targets.filterNot { case (p, _) => gone(p) }))
+      .filter(_.targets.nonEmpty)
+
   // ------------------------------------------------------------------
   // named refs (tags)
   // ------------------------------------------------------------------
@@ -198,6 +239,10 @@ final class GraftTable private (
         "not '.'/'..', and not purely numeric")
     require(pendingDeletes.isEmpty,
       s"cannot branch $dir with deferred deletes pending — compact() first")
+    require(positionalDeletes.isEmpty,
+      s"cannot branch $dir with positional deletes pending — the fork's " +
+        "relative paths would break the entries' target addressing; " +
+        "compact() first")
     withRefsLock {
       require(!branches.contains(name) && !GraftTable.exists(branchDir(name)),
         s"branch '$name' already exists on $dir")
@@ -252,6 +297,8 @@ final class GraftTable private (
         "fast-forward publish requires identical metadata")
     require(bt.pendingDeletes.isEmpty,
       s"branch '$name' has deferred deletes pending — compact() it first")
+    require(bt.positionalDeletes.isEmpty,
+      s"branch '$name' has positional deletes pending — compact() it first")
     val bcur = bt.log.current.getOrElse(
       throw new IllegalStateException(s"branch '$name' has no snapshot"))
     val lg = log
@@ -675,7 +722,8 @@ final class GraftTable private (
         case Some(v) => Some(v)
         case None => lg.current.flatMap(_.summary.get(key))
       }).filter(v => v.nonEmpty && v != "[]" && v != "{}")
-    val carriedKeys = Seq(SummaryPendingDeletes, SummaryStreamCursors)
+    val carriedKeys =
+      Seq(SummaryPendingDeletes, SummaryPositionalDeletes, SummaryStreamCursors)
     val snap = Snapshot(
       snapshotId = snapId,
       parentId = lg2.current.map(_.snapshotId),
@@ -737,21 +785,24 @@ final class GraftTable private (
     val current = lg.current.getOrElse(return None)
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val pend = parsePending(current)
+    val posPend = parsePositional(current)
+    val posTargets: Set[String] = posPend.flatMap(_.targets.keys).toSet
     val (smallRaw, bigRaw) =
       manifest.files.partition(_.fileSizeBytes < smallerThanBytes)
-    // files covered by a PENDING deferred delete are force-included in the
-    // rewrite regardless of size: compact() is the only materialization
-    // step, and a pending predicate whose covered files all sit ABOVE the
-    // threshold would otherwise never clear — leaving copy-on-write DML
-    // blocked by an error message whose remedy doesn't work
-    val (forced, big) = bigRaw.partition(f => pend.exists {
-      case (covered, _) => fileSnapId(f.path).forall(_ <= covered) })
+    // files covered by a PENDING deferred delete — either form — are
+    // force-included in the rewrite regardless of size: compact() is the
+    // materialization step, and a pending delete whose covered files all
+    // sit ABOVE the threshold would otherwise never clear
+    val (forced, big) = bigRaw.partition(f =>
+      posTargets.contains(f.path) || pend.exists {
+        case (covered, _) => fileSnapId(f.path).forall(_ <= covered) })
     val small = smallRaw ++ forced
     // a single qualifying file is not worth repacking — UNLESS deferred
     // deletes are pending: then the rewrite IS the materialization step
     // (without this, a one-file table could never clear its pending set
     // and copy-on-write DML would stay blocked forever)
-    if (small.isEmpty || (small.size < 2 && pend.isEmpty)) return None
+    if (small.isEmpty ||
+        (small.size < 2 && pend.isEmpty && posPend.isEmpty)) return None
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are mutually exclusive")
     (sortBy ++ zorderBy).foreach(c => require(schema.fieldNames.contains(c),
@@ -799,13 +850,18 @@ final class GraftTable private (
     val stillPending = pend.filter { case (covered, _) =>
       big.exists(f => fileSnapId(f.path).forall(_ <= covered))
     }
+    // positional entries lose their rewritten targets (those deletions
+    // are now physical); by force-inclusion the strip empties every
+    // entry — kept general for the same safety reason as stillPending
+    val stillPositional = stripPositional(posPend, small.map(_.path).toSet)
     Some(commit(lg, snapId, Manifest(big ++ newFiles), newFiles,
       operation = "replace", committedAt,
       extraSummary = Map(
         "rewritten-data-files" -> small.size.toString,
         "added-data-files" -> newFiles.size.toString,
         "rewritten-bytes" -> totalBytes.toString,
-        SummaryPendingDeletes -> pendingJson(stillPending))))
+        SummaryPendingDeletes -> pendingJson(stillPending),
+        SummaryPositionalDeletes -> positionalJson(stillPositional))))
   }
 
   /** Copy-on-write DELETE: rewrite only the files that MAY contain
@@ -853,21 +909,34 @@ final class GraftTable private (
     // predicate (e.g. over a column added by addColumn, NULL for old rows)
     // must KEEP the row — plain !predicate maps NULL→NULL and filter drops
     // it, silently deleting rows the predicate never matched.
+    // Pending POSITIONAL deletes compose: the rewrite reads candidates
+    // through the visible-row reader (their dead positions stay dead),
+    // and rewritten/dropped files leave the positional entries — their
+    // deletions are materialized by this commit.
+    val posPend = parsePositional(current)
+    val priorDeleted: Map[String, Long] =
+      posPend.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
     val newFiles =
       if (rewrites.isEmpty) Nil
       else writeDataFiles(
-        readFiles(spark, rewrites)
+        readVisible(spark, Nil, posPend, rewrites)
           .filter(org.apache.spark.sql.functions.coalesce(
             !predicate, org.apache.spark.sql.functions.lit(true))),
         snapId).filter(_.recordCount > 0) // drop empty rewrite outputs
-    val removed = candidates.map(_.recordCount).sum -
+    // visible rows removed: candidates' SURVIVOR counts minus what the
+    // rewrite kept (rows already positionally dead don't count twice)
+    val removed = candidates.map(f =>
+      f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum -
       newFiles.map(_.recordCount).sum
+    val stillPositional =
+      stripPositional(posPend, candidates.map(_.path).toSet)
     Some(commit(lg, snapId, Manifest(untouched ++ newFiles), newFiles,
       operation = "delete", committedAt,
       extraSummary = Map(
         "deleted-records" -> removed.toString,
         "dropped-data-files" -> dropped.size.toString,
-        "rewritten-data-files" -> rewrites.size.toString)))
+        "rewritten-data-files" -> rewrites.size.toString,
+        SummaryPositionalDeletes -> positionalJson(stillPositional))))
   }
 
   /** Predicate COUNT with metadata acceleration — the other consumer of
@@ -896,10 +965,17 @@ final class GraftTable private (
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
     val (proved, toScan) =
       candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
-    val metadataCount = proved.map(_.recordCount).sum
+    // positional deletes keep the metadata path EXACT: a proved file
+    // contributes its survivors (all of which match), and the scanned
+    // remainder reads through the visible-row reader
+    val posPend = parsePositional(s)
+    val priorDeleted: Map[String, Long] =
+      posPend.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
+    val metadataCount = proved.map(f =>
+      f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum
     val scanned =
       if (toScan.isEmpty) 0L
-      else readFiles(spark, toScan).filter(predicate).count()
+      else readVisible(spark, Nil, posPend, toScan).filter(predicate).count()
     metadataCount + scanned
   }
 
@@ -929,6 +1005,9 @@ final class GraftTable private (
       committedAt: Option[Long] = None): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
+    require(parsePositional(current).isEmpty,
+      s"$dir has positional deletes pending — the two merge-on-read " +
+        "forms do not stack; compact() first")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -960,6 +1039,208 @@ final class GraftTable private (
         SummaryPendingDeletes -> pendingJson(pend))))
   }
 
+  /** POSITIONAL merge-on-read DELETE (Iceberg v2 position-delete files):
+    * record WHICH physical rows die — `(data file, row position)` pairs
+    * written as small parquet delete files under `deletes/` — instead of
+    * rewriting data files (copy-on-write [[delete]]) or re-evaluating a
+    * predicate on every read ([[deleteDeferred]]). Reads anti-join only
+    * the targeted files against the delete relation; untouched files keep
+    * their plain scans. The 100 TB shape this exists for: a curation job
+    * identifies a few million victim rows across a petabyte table — the
+    * commit writes megabytes of positions, no data file is copied, and
+    * the table stays exactly countable (per-target deleted-row counts
+    * ride in the summary).
+    *
+    * Semantics and invariants:
+    *  - rows where `predicate` is TRUE die; NULL keeps the row (SQL
+    *    DELETE, same as [[delete]]);
+    *  - files whose stats PROVE every visible row matches are dropped
+    *    from the manifest with no position I/O (the [[delete]] fast
+    *    path);
+    *  - stored positions are DISJOINT across stacked entries (new
+    *    positions are anti-joined against prior delete files), and
+    *    targets always ⊆ the live manifest — so deleted-row counts are
+    *    exact by addition;
+    *  - time travel to earlier snapshots sees the rows again (the entry
+    *    lives in THIS snapshot's summary);
+    *  - [[compact]] materializes positions into rewritten files; the
+    *    delete parquets are reclaimed by [[expireSnapshots]];
+    *  - refused while PREDICATE-deferred deletes are pending (the two
+    *    merge-on-read forms do not stack — compact() first), and avro
+    *    targets are refused (no parquet row index to address).
+    *
+    * Returns None when no file can match or no row matches. */
+  def deletePositional(
+      spark: SparkSession,
+      predicate: Column,
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.coalesce
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — the two " +
+        "merge-on-read forms do not stack; compact() first")
+    val resolved = resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(predicate))
+    require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
+      s"delete predicate cannot reference the virtual column $virtualColumn")
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val (candidates, untouched) =
+      manifest.files.partition(pruneKeep(resolved))
+    if (candidates.isEmpty) return None
+    // the same metadata-only whole-file drop proof as copy-on-write
+    // delete(): still sound here — "all rows match" implies "all
+    // VISIBLE rows match"
+    val proofPred = PartitionField.proofAugment(resolved, partitionFields)
+    val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
+    val (dropped, partial) =
+      candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
+    positionalCore(spark, lg, current, manifest, untouched, dropped, partial,
+      raw => raw.filter(coalesce(predicate, lit(false))), committedAt)
+  }
+
+  /** [[deletePositional]] addressed by KEYS instead of a predicate — the
+    * curation-pipeline entry point: a dedup/decontamination job emits the
+    * victim keys as a DataFrame (millions of ids — far past any literal
+    * IN list), and this deletes exactly those rows without rewriting a
+    * file. Candidate files are pruned by the FIRST key column's bounds
+    * (one tiny aggregate; two scalars of driver state), the position scan
+    * is a semi-join of the candidates against the distinct keys, and
+    * everything else — disjoint stacking, exact counts, compaction,
+    * expiration — is shared with the predicate form. Null key rows match
+    * nothing (SQL join semantics). */
+  def deletePositionalByKeys(
+      spark: SparkSession,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    require(keyCols.nonEmpty, "at least one key column required")
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"unknown key column '$c'"))
+    keyCols.foreach(c => require(keys.columns.contains(c),
+      s"keys DataFrame lacks column '$c'"))
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — the two " +
+        "merge-on-read forms do not stack; compact() first")
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val k0 = keyCols.head
+    val bounds = keys.agg(fmin(col(k0)), fmax(col(k0))).head()
+    if (bounds.isNullAt(0)) return None // no non-null keys: nothing matches
+    val rangePred = resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(
+        col(k0) >= lit(bounds.get(0)) && col(k0) <= lit(bounds.get(1))))
+    val (candidates, untouched) = manifest.files.partition(pruneKeep(rangePred))
+    if (candidates.isEmpty) return None
+    val keySel = keys.select(keyCols.map(col): _*).distinct()
+    positionalCore(spark, lg, current, manifest, untouched,
+      dropped = Nil, partial = candidates,
+      raw => raw.join(keySel, keyCols, "left_semi"), committedAt)
+  }
+
+  /** Shared tail of the positional-delete entry points: compute victim
+    * positions over `partial` (already-deleted positions excluded, so
+    * entries stay disjoint), stage + land the delete parquets, and commit
+    * `untouched ++ partial` with the adjusted entry list ("dropped" files
+    * leave the manifest and are stripped from prior entries). */
+  private def positionalCore(
+      spark: SparkSession,
+      lg: SnapshotLog,
+      current: Snapshot,
+      manifest: Manifest,
+      untouched: Seq[DataFileEntry],
+      dropped: Seq[DataFileEntry],
+      partial: Seq[DataFileEntry],
+      selectVictims: DataFrame => DataFrame,
+      committedAt: Option[Long]): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.substring_index
+    val prior = parsePositional(current)
+    val priorDeleted: Map[String, Long] =
+      prior.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
+    require(partial.forall(f => !f.path.endsWith(".avro")),
+      s"positional delete cannot target avro data files in $dir " +
+        "(no parquet row index) — use copy-on-write delete() or compact() first")
+    val snapId = lg.nextId
+    var counts = Map.empty[String, Long]
+    var delRels = Seq.empty[String]
+    if (partial.nonEmpty) {
+      // the read path joins on basenames — they must identify files
+      // uniquely across the whole manifest this entry will live in
+      val bns = manifest.files.map(f => baseName(f.path))
+      require(bns.distinct.size == bns.size,
+        s"duplicate data-file basenames in the manifest of $dir — " +
+          "positional deletes would be ambiguous")
+      val bnToRel = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          partial.map(f => Row(baseName(f.path), f.path)).toSeq, 1),
+        StructType(Seq(
+          StructField(MetaFileCol, StringType, nullable = false),
+          StructField("file", StringType, nullable = false))))
+      val raw = readFiles(spark, partial, withMeta = true)
+      var victims = selectVictims(raw)
+        .select(col(MetaFileCol), col(MetaPosCol))
+      if (prior.nonEmpty) {
+        // disjointness invariant: never re-record an already-dead row
+        val priorPaths = prior.flatMap(_.files).distinct
+          .map(p => Paths.get(dir, p).normalize().toString)
+        val priorDf = spark.read.schema(DeleteFileSchema)
+          .parquet(priorPaths: _*)
+          .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
+            col("pos").as(MetaPosCol))
+        victims = victims.join(priorDf,
+          Seq(MetaFileCol, MetaPosCol), "left_anti")
+      }
+      val out = victims.join(bnToRel, Seq(MetaFileCol))
+        .select(col("file"), col(MetaPosCol).cast(LongType).as("pos"))
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val staging = s"$dir/.staging-del-$snapId-$token"
+      try out.write.mode("overwrite").parquet(staging)
+      catch { case e: Throwable =>
+        GraftTable.deleteRecursively(Paths.get(staging)); throw e
+      }
+      counts = spark.read.schema(DeleteFileSchema).parquet(staging)
+        .groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.nonEmpty) {
+        Files.createDirectories(Paths.get(dir, "deletes"))
+        val staged = scala.util.Using.resource(Files.list(Paths.get(staging))) {
+          s => s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.toString)
+        }
+        delRels = staged.zipWithIndex.map { case (src, i) =>
+          val rel = f"deletes/del-$snapId%05d-$token-$i%05d.parquet"
+          Files.move(src, Paths.get(dir, rel), StandardCopyOption.REPLACE_EXISTING)
+          rel
+        }
+      }
+      GraftTable.deleteRecursively(Paths.get(staging))
+    }
+    if (counts.isEmpty && dropped.isEmpty) return None
+    val droppedPaths = dropped.map(_.path).toSet
+    val adjusted = stripPositional(prior, droppedPaths)
+    val entries =
+      if (counts.isEmpty) adjusted
+      else adjusted :+ PositionalDeletes(delRels, counts)
+    val removed = dropped.map(f =>
+      f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum +
+      counts.values.sum
+    try Some(commit(lg, snapId, Manifest(untouched ++ partial), Nil,
+      operation = "delete", committedAt,
+      extraSummary = Map(
+        "positional" -> "true",
+        "deleted-records" -> removed.toString,
+        "dropped-data-files" -> dropped.size.toString,
+        "position-delete-files" -> delRels.size.toString,
+        SummaryPositionalDeletes -> positionalJson(entries))))
+    catch { case e: Throwable =>
+      delRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+      throw e
+    }
+  }
+
   /** Read `files` of snapshot `s` with its pending deferred deletes
     * applied — the single read chokepoint for merge-on-read semantics.
     * Files are grouped by WHICH predicates cover them (by file snapshot
@@ -970,27 +1251,74 @@ final class GraftTable private (
       spark: SparkSession,
       s: Snapshot,
       files: Seq[DataFileEntry]): DataFrame =
-    readFilteredByPending(spark, parsePending(s), files)
+    readVisible(spark, parsePending(s), parsePositional(s), files)
 
   private def readFilteredByPending(
       spark: SparkSession,
       pend: Seq[(Long, String)],
+      files: Seq[DataFileEntry]): DataFrame =
+    readVisible(spark, pend, Nil, files)
+
+  /** The single VISIBLE-ROW reader: `files` minus both merge-on-read
+    * delete forms. Predicate-deferred deletes group files by which
+    * predicates cover them (by file snapshot id) and filter each group;
+    * positional deletes apply as ONE left-anti join on
+    * `(file basename, row position)` — only to the files some entry
+    * actually targets, so untouched files keep their plain codegen'd
+    * scan with zero join overhead. The anti-join key embeds the file
+    * identity, so a single global delete relation is correct without
+    * per-file filtering; at scale it is O(deleted rows) and AQE
+    * broadcasts it when small. */
+  private def readVisible(
+      spark: SparkSession,
+      pend: Seq[(Long, String)],
+      posEntries: Seq[PositionalDeletes],
       files: Seq[DataFileEntry]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, substring_index}
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    if (pend.isEmpty)
-      return readFiles(spark, files)
-    val groups = files.groupBy { f =>
-      val fs = fileSnapId(f.path).getOrElse(Long.MinValue) // unattributable: assume oldest (over-filtering is impossible — deleteDeferred refuses such tables; this path exists for robustness only)
-      pend.filter { case (covered, _) => fs <= covered }.map(_._2)
-    }
-    groups.toSeq.sortBy(_._2.head.path).map { case (preds, fs) =>
-      val base = readFiles(spark, fs)
-      preds.foldLeft(base)((d, p) =>
-        d.filter(coalesce(not(expr(p)), lit(true))))
-    }.reduce(_ union _)
+    val targeted: Set[String] = posEntries.flatMap(_.targets.keys).toSet
+    val (withDel, clean) = files.partition(f => targeted.contains(f.path))
+    // predicate-deferred grouping, shared by both halves
+    def pendGroups(fs: Seq[DataFileEntry], meta: Boolean): Seq[DataFrame] =
+      if (fs.isEmpty) Nil
+      else if (pend.isEmpty) Seq(readFiles(spark, fs, meta))
+      else {
+        val groups = fs.groupBy { f =>
+          val fsn = fileSnapId(f.path).getOrElse(Long.MinValue) // unattributable: assume oldest (over-filtering is impossible — deleteDeferred refuses such tables; this path exists for robustness only)
+          pend.filter { case (covered, _) => fsn <= covered }.map(_._2)
+        }
+        groups.toSeq.sortBy(_._2.head.path).map { case (preds, gfs) =>
+          preds.foldLeft(readFiles(spark, gfs, meta))((d, p) =>
+            d.filter(coalesce(not(expr(p)), lit(true))))
+        }
+      }
+    val delBranches =
+      if (withDel.isEmpty) Nil
+      else {
+        // the anti-join keys on basenames: within one read they must
+        // identify files uniquely (they do — write tokens randomize
+        // names — but soundness is asserted, not assumed)
+        val bns = files.map(f => baseName(f.path))
+        require(bns.distinct.size == bns.size,
+          s"duplicate data-file basenames in one scan of $dir — " +
+            "positional-delete join key would be ambiguous")
+        val delPaths = posEntries.flatMap(_.files).distinct
+          .map(p => Paths.get(dir, p).normalize().toString)
+        val deletes = spark.read.schema(DeleteFileSchema)
+          .parquet(delPaths: _*)
+          .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
+            col("pos").as(MetaPosCol))
+        pendGroups(withDel, meta = true)
+          .map(_.join(deletes, Seq(MetaFileCol, MetaPosCol), "left_anti"))
+      }
+    (pendGroups(clean, meta = false) ++ delBranches)
+      .map(_.select(schema.fieldNames.map(col): _*))
+      .reduce(_ union _)
   }
+
+  private def baseName(relPath: String): String =
+    relPath.substring(relPath.lastIndexOf('/') + 1)
 
   /** Copy-on-write UPDATE: set `assignments` on rows matching
     * `predicate`. Same candidate-file discipline as [[delete]] — only
@@ -1024,7 +1352,11 @@ final class GraftTable private (
     if (candidates.isEmpty) return None
 
     val snapId = lg.nextId
-    val src = readFiles(spark, candidates)
+    // pending POSITIONAL deletes compose exactly as in delete(): the
+    // rewrite reads visible rows only, and rewritten files leave the
+    // entries (their deletions are materialized by this commit)
+    val posPend = parsePositional(current)
+    val src = readVisible(spark, Nil, posPend, candidates)
     // ONE projection computing every assignment from the OLD row (SQL
     // UPDATE semantics): chained withColumn would let later assignments
     // observe earlier ones' new values — wrong, and Map-order-dependent
@@ -1035,11 +1367,14 @@ final class GraftTable private (
       }
     }: _*)
     val newFiles = writeDataFiles(rewritten, snapId)
+    val stillPositional =
+      stripPositional(posPend, candidates.map(_.path).toSet)
     Some(commit(lg, snapId, Manifest(untouched ++ newFiles), newFiles,
       operation = "update", committedAt,
       extraSummary = Map(
         "rewritten-data-files" -> candidates.size.toString,
-        "updated-columns" -> assignments.keys.toSeq.sorted.mkString(","))))
+        "updated-columns" -> assignments.keys.toSeq.sorted.mkString(","),
+        SummaryPositionalDeletes -> positionalJson(stillPositional))))
   }
 
   /** MERGE (upsert) by key, one atomic commit: rows of `source` replace
@@ -1089,20 +1424,25 @@ final class GraftTable private (
       }
 
     // no forced broadcast: delta batches are usually tiny (AQE broadcasts
-    // them), but a huge backfill source must be allowed to shuffle-join
+    // them), but a huge backfill source must be allowed to shuffle-join.
+    // Pending POSITIONAL deletes compose as in delete()/update().
+    val posPend = lg.current.map(parsePositional).getOrElse(Nil)
     val survivors =
       if (candidates.isEmpty) source
-      else readFiles(spark, candidates)
+      else readVisible(spark, Nil, posPend, candidates)
         .join(source.select(col(keyCol).as("__mk")).distinct(),
           col(keyCol) === col("__mk"), "left_anti")
         .unionByName(source)
     val newFiles = writeDataFiles(survivors, snapId)
       .filter(_.recordCount > 0)
+    val stillPositional =
+      stripPositional(posPend, candidates.map(_.path).toSet)
     commit(lg, snapId, Manifest(untouched ++ newFiles), newFiles,
       operation = "merge", committedAt,
       extraSummary = Map(
         "rewritten-data-files" -> candidates.size.toString,
-        "merge-key" -> keyCol))
+        "merge-key" -> keyCol,
+        SummaryPositionalDeletes -> positionalJson(stillPositional)))
   }
 
   /** Roll the table back to an earlier snapshot by committing a NEW
@@ -1123,6 +1463,7 @@ final class GraftTable private (
         // stream cursors — so a replay of a rolled-back stream batch
         // re-ingests instead of being dropped as a re-delivery
         SummaryPendingDeletes -> pendingJson(parsePending(target)),
+        SummaryPositionalDeletes -> positionalJson(parsePositional(target)),
         SummaryStreamCursors -> target.summary
           .getOrElse(SummaryStreamCursors, "{}")))
   }
@@ -1227,6 +1568,15 @@ final class GraftTable private (
           // a branch never owns those bytes and must not reclaim them
           .filterNot(_.startsWith("../"))
         dead.foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
+        // positional delete parquets are referenced from snapshot
+        // SUMMARIES, not manifests — reclaim the ones no surviving
+        // snapshot's entries mention (compaction/DML strip entries but
+        // keep the parquets so older snapshots stay readable)
+        val liveDel: Set[String] =
+          kept.flatMap(s => parsePositional(s).flatMap(_.files)).toSet
+        expired.flatMap(s => parsePositional(s).flatMap(_.files))
+          .distinct.filterNot(liveDel).filterNot(_.startsWith("../"))
+          .foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
         expired.foreach(s =>
           Files.deleteIfExists(Paths.get(dir, s.manifestList)))
         expired.map(_.snapshotId)
@@ -1328,7 +1678,20 @@ final class GraftTable private (
     * file footers of the other, so recovery must be per group, not
     * per table. Every branch is projected to exactly `schema` in order,
     * so the union is positional (no unionByName widening). */
-  private def readFiles(spark: SparkSession, files: Seq[DataFileEntry]): DataFrame = {
+  private def readFiles(spark: SparkSession, files: Seq[DataFileEntry]): DataFrame =
+    readFiles(spark, files, withMeta = false)
+
+  /** [[readFiles]] with optional per-row PROVENANCE columns for the
+    * positional-delete machinery: `__gf_file` (the source file's
+    * basename — unique within a table by the write token discipline,
+    * enforced where it matters) and `__gf_pos` (the row's physical
+    * position, parquet's `_metadata.row_index`). Avro files carry NULL
+    * provenance: they can never be positional-delete targets (refused at
+    * write time), and NULL join keys pass a left-anti join untouched. */
+  private def readFiles(
+      spark: SparkSession,
+      files: Seq[DataFileEntry],
+      withMeta: Boolean): DataFrame = {
     // A manifest can address files under SEVERAL data roots: this table's
     // own `data/`, a branch fork's `../../data/`, a published branch's
     // `branches/<name>/data/`. Normalize each path (the `..` segments must
@@ -1347,6 +1710,7 @@ final class GraftTable private (
       .map { case ((specCols, root), fs) =>
         val paths = fs.map(f => Paths.get(dir, f.path).normalize().toString)
         val (avroPaths, parqPaths) = paths.partition(_.endsWith(".avro"))
+        val base = schema.fieldNames.map(col)
         val branches = Seq(
           Option.when(parqPaths.nonEmpty) {
             val r = spark.read.schema(schema)
@@ -1357,15 +1721,25 @@ final class GraftTable private (
             // basePath skip directory discovery entirely
             if (specCols.exists(schema.fieldNames.contains))
               r.option("basePath", root)
-            r.parquet(parqPaths: _*)
+            val df = r.parquet(parqPaths: _*)
+            if (!withMeta) df.select(base: _*)
+            else df.select(base ++ Seq(
+              org.apache.spark.sql.functions
+                .substring_index(col("_metadata.file_path"), "/", -1)
+                .as(MetaFileCol),
+              col("_metadata.row_index").as(MetaPosCol)): _*)
           },
           Option.when(avroPaths.nonEmpty) {
             // table schema as the TARGET: post-evolution columns absent
             // from the avro writer schema null-fill (parquet-branch
             // parity)
-            graft.sources.AvroSource.readFiles(spark, avroPaths,
+            val df = graft.sources.AvroSource.readFiles(spark, avroPaths,
               targetSchema = Some(schema))
-          }).flatten.map(_.select(schema.fieldNames.map(col): _*))
+            if (!withMeta) df.select(base: _*)
+            else df.select(base ++ Seq( // no parquet metadata struct
+              lit(null).cast(StringType).as(MetaFileCol),
+              lit(null).cast(LongType).as(MetaPosCol)): _*)
+          }).flatten
         branches.reduce(_ union _)
       }.reduce(_ union _)
   }
@@ -1550,17 +1924,28 @@ final class GraftTable private (
     }
     // row-level diffs for rewriting commits (update/merge, and branch
     // publish — its manifest may both add branch-written files and drop
-    // fork files the branch's own DML rewrote)
+    // fork files the branch's own DML rewrote). Removed files are read
+    // as VISIBLE AT THE PARENT (its pending merge-on-read deletes
+    // applied): a positionally-dead row was never part of the readable
+    // state, and subtracting it raw could cancel a legitimately
+    // re-inserted identical row from the added side.
     val rewriteDiffs = chain
       .filter(s => s.operation == "update" || s.operation == "merge" ||
         s.operation == "publish")
       .map { s =>
-        val pf = parentFiles(s)
+        val p = lg.byId(s.parentId.getOrElse(-1L)).getOrElse(
+          throw new IllegalStateException(
+            s"snapshot ${s.snapshotId}'s parent is missing from the log " +
+              s"of $dir (expired?) — its incremental diff cannot be computed"))
+        val pf = files(p)
         val parentPaths = pf.map(_.path).toSet
         val curPaths = files(s).map(_.path).toSet
         val added = files(s).filterNot(f => parentPaths.contains(f.path))
         val removed = pf.filterNot(f => curPaths.contains(f.path))
-        readOrEmpty(added).exceptAll(readOrEmpty(removed))
+        val removedVisible =
+          if (removed.isEmpty) empty
+          else readVisible(spark, parsePending(p), parsePositional(p), removed)
+        readOrEmpty(added).exceptAll(removedVisible)
       }
     val base = (readOrEmpty(appended) +: rewriteDiffs).reduce(_ union _)
     base.withColumn(virtualColumn, lit(to.snapshotId))
@@ -1646,17 +2031,55 @@ final class GraftTable private (
             // keeps the row — same semantics as the read path)
             tag(survivors.filter(expr(predSql) <=> true), "delete", s)
           }
+        // POSITIONAL delete: deletes = whole-file drops' visible
+        // survivors + the new entries' exact rows (target files
+        // semi-joined against their delete parquets). Disjointness of
+        // stacked entries guarantees these rows were visible at the
+        // parent — each is retracted exactly once.
+        case "delete" if s.summary.get("positional").contains("true") =>
+          import org.apache.spark.sql.functions.substring_index
+          val p = parent(s)
+          val pPos = parsePositional(p)
+          val pf = files(p)
+          val curPaths = files(s).map(_.path).toSet
+          val droppedFs = pf.filterNot(f => curPaths.contains(f.path))
+          val droppedDel =
+            if (droppedFs.isEmpty) Nil
+            else Seq(tag(readVisible(spark, Nil, pPos, droppedFs), "delete", s))
+          val parentEntryFiles = pPos.flatMap(_.files).toSet
+          val newEntries = parsePositional(s)
+            .filterNot(e => e.files.forall(parentEntryFiles.contains))
+          val posDel = newEntries.map { e =>
+            val targets = files(s).filter(f => e.targets.contains(f.path))
+            val delPaths = e.files
+              .map(rp => Paths.get(dir, rp).normalize().toString)
+            val delDf = spark.read.schema(DeleteFileSchema)
+              .parquet(delPaths: _*)
+              .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
+                col("pos").as(MetaPosCol))
+            tag(readFiles(spark, targets, withMeta = true)
+              .join(delDf, Seq(MetaFileCol, MetaPosCol), "left_semi")
+              .select(schema.fieldNames.map(col): _*), "delete", s)
+          }
+          droppedDel ++ posDel
         // publish = the branch's accumulated changes landing as one
-        // commit: the multiset file diff nets them exactly
+        // commit: the multiset file diff nets them exactly. Removed
+        // files read VISIBLE AT THE PARENT (pending merge-on-read
+        // deletes applied) — their dead rows were never inserted
+        // downstream and must not be retracted.
         case "delete" | "update" | "merge" | "publish" =>
-          val pf = files(parent(s))
+          val p = parent(s)
+          val pf = files(p)
           val parentPaths = pf.map(_.path).toSet
           val curPaths = files(s).map(_.path).toSet
           val added = files(s).filterNot(f => parentPaths.contains(f.path))
           val removed = pf.filterNot(f => curPaths.contains(f.path))
+          val removedVisible =
+            if (removed.isEmpty) empty
+            else readVisible(spark, parsePending(p), parsePositional(p), removed)
           Seq(
-            tag(readOrEmpty(added).exceptAll(readOrEmpty(removed)), "insert", s),
-            tag(readOrEmpty(removed).exceptAll(readOrEmpty(added)), "delete", s))
+            tag(readOrEmpty(added).exceptAll(removedVisible), "insert", s),
+            tag(removedVisible.exceptAll(readOrEmpty(added)), "delete", s))
         case _ => Nil
       }
     }
@@ -1852,7 +2275,33 @@ object GraftTable {
   val PropWriteDistribution = "graft.write.distribution"
   val PropWriteOptionPrefix = "graft.write.option."
   val SummaryPendingDeletes = "pending-deletes"
+  val SummaryPositionalDeletes = "positional-deletes"
   val SummaryStreamCursors = "stream-cursors"
+
+  /** One POSITIONAL merge-on-read delete commit's bookkeeping: the
+    * parquet delete files it wrote (`deletes/del-…`, rows of
+    * `(file, pos)` — the manifest-relative target path and the row's
+    * physical position in it) and, per target data file, how many of its
+    * rows the entry deletes. Targets pin EXACT files, so — unlike the
+    * predicate-deferred form — no snapshot-id scoping is needed and
+    * later appends are untouched by construction. The per-target counts
+    * keep `count(*)`/stats exact without reading a byte: entries are
+    * maintained so stored positions are DISJOINT across entries (the
+    * write path anti-joins new positions against prior delete files)
+    * and targets always ⊆ the live manifest (DML/compaction strip
+    * rewritten or dropped files). */
+  final case class PositionalDeletes(files: Seq[String], targets: Map[String, Long]) {
+    def deletedRows: Long = targets.values.sum
+  }
+
+  /** On-disk schema of a positional delete file. */
+  val DeleteFileSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Internal provenance column names (never visible to readers). */
+  private[table] val MetaFileCol = "__gf_file"
+  private[table] val MetaPosCol = "__gf_pos"
   val PropBloomNdv = "graft.bloom.ndv"
   val SnapshotsSuffix = "__snapshots"
   val FilesSuffix = "__files"

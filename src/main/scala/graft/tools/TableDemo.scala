@@ -69,6 +69,19 @@ object TableDemo {
     println("DEFERRED-MATERIALIZED: rows=" + mt.read(spark).orderBy("id")
       .collect().mkString(", ") + " pending=" + mt.pendingDeletes.size)
 
+    // positional (merge-on-read) delete: row-level (file, pos) entries —
+    // no data rewrite; key-addressed deletes are the curation entry point
+    val pdt = GraftTable.create(s"$dir/pos", schema)
+    pdt.append(df(1L -> "keep", 2L -> "dup", 3L -> "dup"), Some(1000L))
+    pdt.deletePositionalByKeys(spark, df(3L -> "dup").select("id"),
+      Seq("id"), Some(2000L))
+    println("POSITIONAL-DELETE: rows=" + pdt.read(spark).orderBy("id")
+      .collect().mkString(", ") + " deleted=" + pdt.positionalDeletedCount +
+      " count=" + pdt.read(spark).count())
+    pdt.compact(spark, smallerThanBytes = Long.MaxValue, Some(3000L))
+    println("POSITIONAL-MATERIALIZED: rows=" + pdt.read(spark).orderBy("id")
+      .collect().mkString(", ") + " pending=" + pdt.positionalDeletes.size)
+
     val preCompact = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t/data"))
       .filter(_.toString.endsWith(".parquet")).count()
     val cSnap = t.compact(spark, smallerThanBytes = 1 << 20, Some(3500L))

@@ -1,0 +1,260 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** POSITIONAL merge-on-read deletes (Iceberg v2 position-delete files):
+  * row-level deletes recorded as (file, pos) parquet entries — no data
+  * rewrite at commit, per-file anti-joins at read, exact counts from the
+  * summary bookkeeping, materialization through compaction, reclamation
+  * through expiration, and composition with the copy-on-write DML.
+  */
+class PositionalDeleteSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  private def mkDf(rows: (Long, String)*) = {
+    val rdd = spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1)
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-posdel").toString
+
+  private def ids(t: GraftTable, snap: Option[Long] = None): Seq[Long] =
+    t.read(spark, snap).select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def dataFiles(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(s"$dir/data")
+    if (!java.nio.file.Files.exists(p)) return Nil
+    val st = java.nio.file.Files.walk(p)
+    try {
+      val it = st.iterator()
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) { val x = it.next(); if (x.toString.endsWith(".parquet")) buf += x.toString }
+      buf.result()
+    } finally st.close()
+  }
+
+  private def deleteFiles(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(s"$dir/deletes")
+    if (!java.nio.file.Files.exists(p)) return Nil
+    val st = java.nio.file.Files.list(p)
+    try {
+      val it = st.iterator()
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) { val x = it.next(); if (x.toString.endsWith(".parquet")) buf += x.toString }
+      buf.result()
+    } finally st.close()
+  }
+
+  test("delete writes positions, not data; reads hide rows; time travel sees them") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "drop", 3L -> "c"), Some(1000L))
+    t.append(mkDf(4L -> "drop", 5L -> "e"), Some(2000L))
+    val before = dataFiles(s"$dir/t").sorted
+
+    val snap = t.deletePositional(spark, col("data") === "drop", Some(3000L))
+    assert(snap.get.operation == "delete")
+    assert(snap.get.summary("positional") == "true")
+    assert(snap.get.summary("deleted-records") == "2")
+    assert(dataFiles(s"$dir/t").sorted == before, "a data file changed")
+    assert(deleteFiles(s"$dir/t").nonEmpty, "no delete parquet written")
+
+    assert(ids(t) == Seq(1L, 3L, 5L))
+    assert(ids(t, Some(1L)) == Seq(1L, 2L, 3L), "time travel lost rows")
+    assert(ids(t) == Seq(1L, 3L, 5L), "statelessness after TT")
+    assert(t.positionalDeletedCount == 2L)
+    assert(t.read(spark).count() == 3L)
+  }
+
+  test("NULL predicate keeps the row (SQL DELETE semantics)") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "x", 2L -> null, 3L -> "y"), Some(1000L))
+    t.deletePositional(spark, col("data") === "x", Some(2000L))
+    assert(ids(t) == Seq(2L, 3L), "NULL-predicate row was deleted")
+  }
+
+  test("stacked deletes stay disjoint; counts stay exact; appends are untouched") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "x", 2L -> "x", 3L -> "y"), Some(1000L))
+    t.deletePositional(spark, col("data") === "x", Some(2000L))
+    // overlapping predicate: positions of already-dead rows must NOT be
+    // re-recorded (disjointness keeps counts additive)
+    t.deletePositional(spark, col("id") <= 2, Some(3000L))
+    assert(ids(t) == Seq(3L))
+    assert(t.positionalDeletedCount == 2L, "overlap double-counted")
+    // same values arriving later live on: targets pin exact files
+    t.append(mkDf(10L -> "x", 11L -> "y"), Some(4000L))
+    assert(ids(t) == Seq(3L, 10L, 11L))
+    assert(t.read(spark).count() == 3L)
+    // no-op delete commits nothing
+    val n0 = t.log.snapshots.size
+    assert(t.deletePositional(spark, col("data") === "zzz", Some(5000L)).isEmpty)
+    assert(t.log.snapshots.size == n0)
+  }
+
+  test("deletePositionalByKeys: dedup-driven row deletes without rewrite") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "dup", 2L -> "dup", 3L -> "solo"), Some(1000L))
+    t.append(mkDf(4L -> "dup", 5L -> "other"), Some(2000L))
+    val before = dataFiles(s"$dir/t").sorted
+    // keep-first exact dedup: losers = every id beyond the min per text
+    val losers = t.read(spark)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("data")).orderBy(col("id"))))
+      .filter(col("rn") > 1).select("id")
+    val snap = t.deletePositionalByKeys(spark, losers, Seq("id"), Some(3000L))
+    assert(snap.get.summary("deleted-records") == "2")
+    assert(dataFiles(s"$dir/t").sorted == before, "a data file changed")
+    assert(ids(t) == Seq(1L, 3L, 5L))
+    // null keys match nothing; empty keys are a no-op
+    assert(t.deletePositionalByKeys(spark,
+      mkDf().select(col("id")), Seq("id"), Some(4000L)).isEmpty)
+  }
+
+  test("untouched files keep plain scans (no anti-join in a pruned read)") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))   // file 1: ids 1-2
+    t.append(mkDf(10L -> "c", 11L -> "d"), Some(2000L)) // file 2: ids 10-11
+    t.deletePositional(spark, col("id") === 1, Some(3000L))
+    // a scan pruned to the untouched file must not pay the join
+    val pruned = t.scan(spark, Some(col("id") >= 10))
+    assert(pruned.queryExecution.executedPlan.toString.indexOf("Join") < 0,
+      "pruned scan of an untargeted file still carries the delete join")
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(10L, 11L))
+    // the full read pays it exactly where needed and is correct
+    assert(ids(t) == Seq(2L, 10L, 11L))
+  }
+
+  test("whole-file drop fast path: proved files leave the manifest with no position I/O") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.append(mkDf(10L -> "c", 11L -> "d"), Some(2000L))
+    val snap = t.deletePositional(spark, col("id") >= 10, Some(3000L))
+    assert(snap.get.summary("dropped-data-files") == "1")
+    assert(snap.get.summary("position-delete-files") == "0")
+    assert(snap.get.summary("deleted-records") == "2")
+    assert(t.positionalDeletes.isEmpty, "drop-only commit left entries")
+    assert(ids(t) == Seq(1L, 2L))
+  }
+
+  test("compaction materializes positions; expiration reclaims the delete parquets") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "drop", 3L -> "c"), Some(1000L))
+    t.append(mkDf(4L -> "drop", 5L -> "e"), Some(2000L))
+    t.deletePositional(spark, col("data") === "drop", Some(3000L))
+    assert(deleteFiles(s"$dir/t").nonEmpty)
+
+    val rs = t.compact(spark, smallerThanBytes = Long.MaxValue, Some(4000L))
+    assert(rs.get.operation == "replace")
+    assert(t.positionalDeletes.isEmpty, "compaction left positional entries")
+    assert(ids(t) == Seq(1L, 3L, 5L))
+    assert(t.read(spark).count() == 3L)
+    // the delete parquets survive (older snapshots still read them) ...
+    assert(deleteFiles(s"$dir/t").nonEmpty)
+    assert(ids(t, Some(3L)) == Seq(1L, 3L, 5L))
+    // ... until the snapshots that reference them expire
+    t.expireSnapshots(olderThanMillis = Long.MaxValue, retainLast = 1)
+    assert(deleteFiles(s"$dir/t").isEmpty, "expire left orphan delete files")
+    assert(ids(t) == Seq(1L, 3L, 5L))
+  }
+
+  test("copy-on-write UPDATE/DELETE compose with pending positions (no resurrection)") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "x", 2L -> "x", 3L -> "y"), Some(1000L))
+    t.deletePositional(spark, col("id") === 2, Some(2000L))
+    // UPDATE whose predicate also matches the dead row: it must stay dead
+    t.update(spark, col("data") === "x", Map("data" -> lit("z")), Some(3000L))
+    assert(t.positionalDeletes.isEmpty, "rewrite left stale entries")
+    val rows = t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "z", 3L -> "y"))
+    // CoW DELETE over a table with fresh pending positions
+    t.deletePositional(spark, col("id") === 3, Some(4000L))
+    t.delete(spark, col("data") === "z", Some(5000L))
+    assert(ids(t) == Nil)
+    assert(t.read(spark).count() == 0L)
+  }
+
+  test("merge composes with pending positions") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    t.deletePositional(spark, col("id") === 2, Some(2000L))
+    t.merge(spark, mkDf(3L -> "C", 4L -> "d"), "id", Some(3000L))
+    assert(t.positionalDeletes.isEmpty)
+    val rows = t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "a", 3L -> "C", 4L -> "d"),
+      "merge resurrected a positionally-deleted row or lost a survivor")
+  }
+
+  test("changesCdc: positional deletes emit exact retractions; fold reproduces state") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L)) // snap 1
+    t.deletePositional(spark, col("id") === 2, Some(2000L))      // snap 2
+    t.append(mkDf(4L -> "d"), Some(3000L))                       // snap 3
+    t.deletePositionalByKeys(spark, mkDf(3L -> "c").select("id"),
+      Seq("id"), Some(4000L))                                    // snap 4
+    t.update(spark, col("id") === 4, Map("data" -> lit("D")), Some(5000L)) // snap 5
+
+    val cdc = t.changesCdc(spark, fromSnapshotId = 1L)
+      .select("id", "data", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // fold the deltas over snapshot-1 state (multiset)
+    var state = scala.collection.mutable.Map(
+      (1L, "a") -> 1, (2L, "b") -> 1, (3L, "c") -> 1)
+    cdc.foreach { case (id, d, tpe) =>
+      val k = (id, d)
+      if (tpe == "delete") {
+        assert(state.getOrElse(k, 0) > 0, s"retraction of absent row $k")
+        state(k) = state(k) - 1
+      } else state(k) = state.getOrElse(k, 0) + 1
+    }
+    val finalRows = state.filter(_._2 > 0).flatMap { case (k, n) =>
+      Seq.fill(n)(k) }.toSeq.sorted
+    val expect = t.read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(finalRows == expect, "CDC fold diverged from the final state")
+    // exactly two positional retractions across snaps 2 and 4
+    assert(cdc.count(_._3 == "delete") >= 2)
+  }
+
+  test("the two merge-on-read forms refuse to stack; branch fork refuses; rollback adopts") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.deletePositional(spark, col("id") === 1, Some(2000L)) // snap 2
+    intercept[IllegalArgumentException] {
+      t.deleteDeferred(spark, col("id") === 2, Some(3000L))
+    }
+    intercept[IllegalArgumentException] { t.createBranch("audit") }
+    t.append(mkDf(3L -> "c"), Some(3000L)) // snap 3
+    t.rollbackTo(2L, Some(4000L))
+    assert(t.positionalDeletedCount == 1L, "rollback dropped the entries")
+    assert(ids(t) == Seq(2L))
+    // and the deferred direction: predicate-pending refuses positional
+    val t2 = GraftTable.create(s"$dir/t2", schema)
+    t2.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t2.deleteDeferred(spark, col("id") === 2, Some(2000L))
+    assert(t2.pendingDeletes.nonEmpty)
+    intercept[IllegalArgumentException] {
+      t2.deletePositional(spark, col("id") === 1, Some(3000L))
+    }
+  }
+}
