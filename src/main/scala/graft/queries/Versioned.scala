@@ -238,6 +238,23 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** POSITIONAL-update fixture: nation appended (snapshot 1), region-3
+    * names retagged through the merge-on-read UPDATE (snapshot 2 — old
+    * files untouched, superseding rows in a new file), then a key-set
+    * deleted positionally (snapshot 3 — hits original AND superseding
+    * copies alike). */
+  private def posUpdFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_posupd", 3) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      tb.updatePositional(spark, col("n_regionkey") === 3,
+        Map("n_name" -> concat(col("n_name"), lit("_X"))), Some(2000L))
+      val keys = nation.filter(col("n_nationkey") % 7 === 2).select("n_nationkey")
+      tb.deletePositionalByKeys(spark, keys, Seq("n_nationkey"), Some(3000L))
+      tb
+    }
+
   /** Dedup-driven merge-on-read fixture: the documents corpus plus a
     * planted second copy of the low-id docs (snapshot 1/2), then the
     * keep-first exact-dedup LOSERS deleted as positions by key
@@ -375,6 +392,13 @@ object Versioned extends QueryPack {
     // only the targeted files against the delete parquets.
     "v28_graft_positional_delete" -> ((s, d) =>
       posFixture(s, d).read(s)
+        .select("n_nationkey", "n_name", "n_regionkey")),
+
+    // POSITIONAL merge-on-read UPDATE: superseding rows in new files,
+    // old copies killed by positions, then a key-delete hitting original
+    // and superseding copies alike
+    "v30_graft_positional_update" -> ((s, d) =>
+      posUpdFixture(s, d).read(s)
         .select("n_nationkey", "n_name", "n_regionkey")),
 
     // dedup-driven MoR: keep-first exact dedup emits loser doc_ids, the
@@ -665,6 +689,10 @@ object Versioned extends QueryPack {
         "WHERE n_regionkey NOT IN (2, 4) AND n_nationkey % 5 <> 1 " +
         "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "WHERE n_regionkey = 2 AND n_nationkey % 5 <> 1"),
+    "v30_graft_positional_update" ->
+      ("SELECT n_nationkey, " +
+        "CASE WHEN n_regionkey = 3 THEN n_name || '_X' ELSE n_name END " +
+        "AS n_name, n_regionkey FROM nation WHERE n_nationkey % 7 <> 2"),
     "v29_graft_dedup_mor" ->
       ("WITH corpus AS (" +
         "SELECT doc_id, text, lang, n_chars FROM documents " +

@@ -1155,69 +1155,12 @@ final class GraftTable private (
       partial: Seq[DataFileEntry],
       selectVictims: DataFrame => DataFrame,
       committedAt: Option[Long]): Option[Snapshot] = {
-    import org.apache.spark.sql.functions.substring_index
     val prior = parsePositional(current)
     val priorDeleted: Map[String, Long] =
       prior.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
-    require(partial.forall(f => !f.path.endsWith(".avro")),
-      s"positional delete cannot target avro data files in $dir " +
-        "(no parquet row index) — use copy-on-write delete() or compact() first")
     val snapId = lg.nextId
-    var counts = Map.empty[String, Long]
-    var delRels = Seq.empty[String]
-    if (partial.nonEmpty) {
-      // the read path joins on basenames — they must identify files
-      // uniquely across the whole manifest this entry will live in
-      val bns = manifest.files.map(f => baseName(f.path))
-      require(bns.distinct.size == bns.size,
-        s"duplicate data-file basenames in the manifest of $dir — " +
-          "positional deletes would be ambiguous")
-      val bnToRel = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          partial.map(f => Row(baseName(f.path), f.path)).toSeq, 1),
-        StructType(Seq(
-          StructField(MetaFileCol, StringType, nullable = false),
-          StructField("file", StringType, nullable = false))))
-      val raw = readFiles(spark, partial, withMeta = true)
-      var victims = selectVictims(raw)
-        .select(col(MetaFileCol), col(MetaPosCol))
-      if (prior.nonEmpty) {
-        // disjointness invariant: never re-record an already-dead row
-        val priorPaths = prior.flatMap(_.files).distinct
-          .map(p => Paths.get(dir, p).normalize().toString)
-        val priorDf = spark.read.schema(DeleteFileSchema)
-          .parquet(priorPaths: _*)
-          .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
-            col("pos").as(MetaPosCol))
-        victims = victims.join(priorDf,
-          Seq(MetaFileCol, MetaPosCol), "left_anti")
-      }
-      val out = victims.join(bnToRel, Seq(MetaFileCol))
-        .select(col("file"), col(MetaPosCol).cast(LongType).as("pos"))
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val staging = s"$dir/.staging-del-$snapId-$token"
-      try out.write.mode("overwrite").parquet(staging)
-      catch { case e: Throwable =>
-        GraftTable.deleteRecursively(Paths.get(staging)); throw e
-      }
-      counts = spark.read.schema(DeleteFileSchema).parquet(staging)
-        .groupBy("file").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (counts.nonEmpty) {
-        Files.createDirectories(Paths.get(dir, "deletes"))
-        val staged = scala.util.Using.resource(Files.list(Paths.get(staging))) {
-          s => s.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .toSeq.sortBy(_.toString)
-        }
-        delRels = staged.zipWithIndex.map { case (src, i) =>
-          val rel = f"deletes/del-$snapId%05d-$token-$i%05d.parquet"
-          Files.move(src, Paths.get(dir, rel), StandardCopyOption.REPLACE_EXISTING)
-          rel
-        }
-      }
-      GraftTable.deleteRecursively(Paths.get(staging))
-    }
+    val (delRels, counts) =
+      writePositions(spark, manifest, partial, selectVictims, prior, snapId)
     if (counts.isEmpty && dropped.isEmpty) return None
     val droppedPaths = dropped.map(_.path).toSet
     val adjusted = stripPositional(prior, droppedPaths)
@@ -1234,6 +1177,153 @@ final class GraftTable private (
         "deleted-records" -> removed.toString,
         "dropped-data-files" -> dropped.size.toString,
         "position-delete-files" -> delRels.size.toString,
+        SummaryPositionalDeletes -> positionalJson(entries))))
+    catch { case e: Throwable =>
+      delRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+      throw e
+    }
+  }
+
+  /** Write the delete parquets for one positional commit: victim rows of
+    * `partial` (selected by `selectVictims` over raw provenance rows,
+    * already-dead positions excluded so entries stay disjoint) land as
+    * `deletes/del-<snap>-…` files. Returns (delete-file rel paths,
+    * per-target deleted-row counts) — both empty when nothing matched. */
+  private def writePositions(
+      spark: SparkSession,
+      manifest: Manifest,
+      partial: Seq[DataFileEntry],
+      selectVictims: DataFrame => DataFrame,
+      prior: Seq[PositionalDeletes],
+      snapId: Long): (Seq[String], Map[String, Long]) = {
+    import org.apache.spark.sql.functions.substring_index
+    require(partial.forall(f => !f.path.endsWith(".avro")),
+      s"positional DML cannot target avro data files in $dir " +
+        "(no parquet row index) — use the copy-on-write form or compact() first")
+    if (partial.isEmpty) return (Nil, Map.empty)
+    // the read path joins on basenames — they must identify files
+    // uniquely across the whole manifest this entry will live in
+    val bns = manifest.files.map(f => baseName(f.path))
+    require(bns.distinct.size == bns.size,
+      s"duplicate data-file basenames in the manifest of $dir — " +
+        "positional deletes would be ambiguous")
+    val bnToRel = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        partial.map(f => Row(baseName(f.path), f.path)).toSeq, 1),
+      StructType(Seq(
+        StructField(MetaFileCol, StringType, nullable = false),
+        StructField("file", StringType, nullable = false))))
+    val raw = readFiles(spark, partial, withMeta = true)
+    var victims = selectVictims(raw)
+      .select(col(MetaFileCol), col(MetaPosCol))
+    if (prior.nonEmpty) {
+      // disjointness invariant: never re-record an already-dead row
+      val priorPaths = prior.flatMap(_.files).distinct
+        .map(p => Paths.get(dir, p).normalize().toString)
+      val priorDf = spark.read.schema(DeleteFileSchema)
+        .parquet(priorPaths: _*)
+        .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
+          col("pos").as(MetaPosCol))
+      victims = victims.join(priorDf,
+        Seq(MetaFileCol, MetaPosCol), "left_anti")
+    }
+    val out = victims.join(bnToRel, Seq(MetaFileCol))
+      .select(col("file"), col(MetaPosCol).cast(LongType).as("pos"))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$dir/.staging-del-$snapId-$token"
+    try out.write.mode("overwrite").parquet(staging)
+    catch { case e: Throwable =>
+      GraftTable.deleteRecursively(Paths.get(staging)); throw e
+    }
+    val counts = spark.read.schema(DeleteFileSchema).parquet(staging)
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var delRels = Seq.empty[String]
+    if (counts.nonEmpty) {
+      Files.createDirectories(Paths.get(dir, "deletes"))
+      val staged = scala.util.Using.resource(Files.list(Paths.get(staging))) {
+        s => s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.toString)
+      }
+      delRels = staged.zipWithIndex.map { case (src, i) =>
+        val rel = f"deletes/del-$snapId%05d-$token-$i%05d.parquet"
+        Files.move(src, Paths.get(dir, rel), StandardCopyOption.REPLACE_EXISTING)
+        rel
+      }
+    }
+    GraftTable.deleteRecursively(Paths.get(staging))
+    (delRels, counts)
+  }
+
+  /** POSITIONAL merge-on-read UPDATE — the MoR DML triad's third leg:
+    * matching rows are superseded by (a) a position-delete entry killing
+    * their old copies and (b) freshly written data files carrying their
+    * new values, ONE atomic commit, and the candidate files' NON-matching
+    * rows are never rewritten. Copy-on-write [[update]] rewrites whole
+    * candidate files (right when most of their rows change); this form
+    * writes O(matching rows) — the 100 TB shape for sparse updates
+    * (fix a per-row label on 0.1% of a petabyte table without copying
+    * the other 99.9%).
+    *
+    * Semantics match [[update]]: every assignment is evaluated against
+    * the OLD row in one projection; a NULL predicate row is untouched;
+    * partition source columns refuse. Stacks freely on pending
+    * positional deletes (victims are VISIBLE rows only); refused while
+    * predicate-deferred deletes are pending. Returns None when nothing
+    * matches. */
+  def updatePositional(
+      spark: SparkSession,
+      predicate: Column,
+      assignments: Map[String, Column],
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.coalesce
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — the two " +
+        "merge-on-read forms do not stack; compact() first")
+    require(assignments.nonEmpty, "update requires at least one assignment")
+    assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"unknown update column '$c'"))
+    require(assignments.keys.forall(c => !partitionFields.exists(_.source == c)),
+      "updating a partition source column is not supported (it would move " +
+        "rows across partition directories)")
+    val resolved = resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(predicate))
+    require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
+      s"update predicate cannot reference the virtual column $virtualColumn")
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val (candidates, untouched) =
+      manifest.files.partition(pruneKeep(resolved))
+    if (candidates.isEmpty) return None
+    val prior = parsePositional(current)
+    val snapId = lg.nextId
+    val (delRels, counts) = writePositions(spark, manifest, candidates,
+      raw => raw.filter(coalesce(predicate, lit(false))), prior, snapId)
+    if (counts.isEmpty) return None // no visible row matched: no commit
+    // new values for exactly the superseded rows — assignments all read
+    // the OLD row (one projection; predicate is TRUE on every victim)
+    val newRows = readVisible(spark, Nil, prior, candidates)
+      .filter(coalesce(predicate, lit(false)))
+      .select(schema.fieldNames.map { c =>
+        assignments.get(c).map(_.as(c)).getOrElse(col(c))
+      }: _*)
+    val newFiles =
+      try writeDataFiles(newRows, snapId)
+      catch { case e: Throwable =>
+        delRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+        throw e
+      }
+    val entries = prior :+ PositionalDeletes(delRels, counts)
+    try Some(commit(lg, snapId,
+      Manifest(untouched ++ candidates ++ newFiles), newFiles,
+      operation = "update", committedAt,
+      extraSummary = Map(
+        "positional" -> "true",
+        "updated-rows" -> counts.values.sum.toString,
+        "position-delete-files" -> delRels.size.toString,
+        "updated-columns" -> assignments.keys.toSeq.sorted.mkString(","),
         SummaryPositionalDeletes -> positionalJson(entries))))
     catch { case e: Throwable =>
       delRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
@@ -2031,21 +2121,29 @@ final class GraftTable private (
             // keeps the row — same semantics as the read path)
             tag(survivors.filter(expr(predSql) <=> true), "delete", s)
           }
-        // POSITIONAL delete: deletes = whole-file drops' visible
+        // POSITIONAL delete/update: deletes = whole-file drops' visible
         // survivors + the new entries' exact rows (target files
-        // semi-joined against their delete parquets). Disjointness of
-        // stacked entries guarantees these rows were visible at the
-        // parent — each is retracted exactly once.
-        case "delete" if s.summary.get("positional").contains("true") =>
+        // semi-joined against their delete parquets); inserts = the
+        // commit's freshly added files (an update's superseding values;
+        // empty for a pure delete). Disjointness of stacked entries
+        // guarantees retracted rows were visible at the parent — each is
+        // retracted exactly once.
+        case "delete" | "update"
+            if s.summary.get("positional").contains("true") =>
           import org.apache.spark.sql.functions.substring_index
           val p = parent(s)
           val pPos = parsePositional(p)
           val pf = files(p)
+          val parentPaths = pf.map(_.path).toSet
           val curPaths = files(s).map(_.path).toSet
           val droppedFs = pf.filterNot(f => curPaths.contains(f.path))
+          val addedFs = files(s).filterNot(f => parentPaths.contains(f.path))
           val droppedDel =
             if (droppedFs.isEmpty) Nil
             else Seq(tag(readVisible(spark, Nil, pPos, droppedFs), "delete", s))
+          val inserts =
+            if (addedFs.isEmpty) Nil
+            else Seq(tag(readOrEmpty(addedFs), "insert", s))
           val parentEntryFiles = pPos.flatMap(_.files).toSet
           val newEntries = parsePositional(s)
             .filterNot(e => e.files.forall(parentEntryFiles.contains))
@@ -2061,7 +2159,7 @@ final class GraftTable private (
               .join(delDf, Seq(MetaFileCol, MetaPosCol), "left_semi")
               .select(schema.fieldNames.map(col): _*), "delete", s)
           }
-          droppedDel ++ posDel
+          droppedDel ++ posDel ++ inserts
         // publish = the branch's accumulated changes landing as one
         // commit: the multiset file diff nets them exactly. Removed
         // files read VISIBLE AT THE PARENT (pending merge-on-read

@@ -235,6 +235,66 @@ class PositionalDeleteSpec extends SparkSpecBase {
     assert(cdc.count(_._3 == "delete") >= 2)
   }
 
+  test("updatePositional supersedes rows without rewriting candidate files") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "x", 2L -> "y", 3L -> "x"), Some(1000L))
+    t.append(mkDf(10L -> "z"), Some(2000L))
+    val before = dataFiles(s"$dir/t").sorted
+
+    val snap = t.updatePositional(spark, col("data") === "x",
+      Map("data" -> lit("X")), Some(3000L))
+    assert(snap.get.operation == "update")
+    assert(snap.get.summary("updated-rows") == "2")
+    // the old files are untouched; the new values landed as NEW files
+    val after = dataFiles(s"$dir/t").sorted
+    assert(before.forall(after.contains), "an existing data file changed")
+    assert(after.size > before.size, "no superseding file written")
+
+    val rows = t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "X", 2L -> "y", 3L -> "X", 10L -> "z"))
+    assert(t.read(spark).count() == 4L, "count drifted after MoR update")
+    assert(ids(t, Some(2L)) == Seq(1L, 2L, 3L, 10L))
+    // time travel still shows the old values
+    val old = t.read(spark, Some(2L)).filter(col("id") === 1).head().getString(1)
+    assert(old == "x")
+
+    // a second positional update hits the SUPERSEDING copy (it lives in
+    // a new file, which the fresh entry targets)
+    t.updatePositional(spark, col("id") === 1, Map("data" -> lit("XX")), Some(4000L))
+    val rows2 = t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows2 == Map(1L -> "XX", 2L -> "y", 3L -> "X", 10L -> "z"))
+    assert(t.read(spark).count() == 4L)
+
+    // no visible match: no commit
+    val n0 = t.log.snapshots.size
+    assert(t.updatePositional(spark, col("data") === "none",
+      Map("data" -> lit("?")), Some(5000L)).isEmpty)
+    assert(t.log.snapshots.size == n0)
+
+    // CDC fold across both updates reproduces the final state
+    val cdc = t.changesCdc(spark, fromSnapshotId = 2L)
+      .select("id", "data", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    var state = scala.collection.mutable.Map(
+      (1L, "x") -> 1, (2L, "y") -> 1, (3L, "x") -> 1, (10L, "z") -> 1)
+    cdc.foreach { case (id, d, tpe) =>
+      val k = (id, d)
+      if (tpe == "delete") {
+        assert(state.getOrElse(k, 0) > 0, s"retraction of absent row $k")
+        state(k) = state(k) - 1
+      } else state(k) = state.getOrElse(k, 0) + 1
+    }
+    val finalRows = state.filter(_._2 > 0).keys.toSeq.sorted
+    assert(finalRows == rows2.toSeq.sorted, "CDC fold diverged")
+
+    // compaction materializes everything
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(6000L))
+    assert(t.positionalDeletes.isEmpty)
+    assert(t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == rows2)
+  }
+
   test("the two merge-on-read forms refuse to stack; branch fork refuses; rollback adopts") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
