@@ -1673,6 +1673,51 @@ final class GraftTable private (
     }
   }
 
+  /** ADMIN: reclaim ORPHAN files — bytes under this table's `data/` and
+    * `deletes/` that NO snapshot in the log references (Iceberg's
+    * `remove_orphan_files`). Orphans come from hard-crashed writers:
+    * the commit-race loser cleans up after itself, but a writer killed
+    * between staging/moving files and committing leaves bytes no
+    * manifest (and therefore no [[expireSnapshots]] run) will ever
+    * reclaim. Also removes abandoned `.staging-*` dirs.
+    *
+    * `olderThanMillis` is an AGE guard (like [[clearStaleClaims]]):
+    * only files/dirs whose mtime is older survive-proofed against a
+    * LIVE writer whose staged work simply hasn't committed yet — pick
+    * an age well above the longest legitimate write.
+    *
+    * Branch safety: a live branch's fork-era files are referenced by
+    * the fork snapshot in THIS table's log (fork snapshots are
+    * retention anchors, so expiration cannot drop them while the
+    * branch lives), and a branch's own files live under `branches/…`,
+    * outside the walked roots — neither can be reclaimed here. */
+  def removeOrphanFiles(olderThanMillis: Long): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val lg = log
+    val referenced: Set[String] = (lg.snapshots.flatMap { s =>
+      Manifest.read(s"$dir/${s.manifestList}").files.map(f =>
+        Paths.get(dir, f.path).normalize().toString)
+    } ++ lg.snapshots.flatMap(s => parsePositional(s).flatMap(_.files))
+      .map(p => Paths.get(dir, p).normalize().toString)).toSet
+    def walk(root: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (!Files.exists(root)) Nil
+      else scala.util.Using.resource(Files.walk(root)) { st =>
+        st.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      }
+    val orphans = (walk(Paths.get(dir, "data")) ++ walk(Paths.get(dir, "deletes")))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .filterNot(p => referenced.contains(p.normalize().toString))
+    orphans.foreach(Files.deleteIfExists(_))
+    val staged = scala.util.Using.resource(Files.list(Paths.get(dir))) { st =>
+      st.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(".staging"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toSeq
+    }
+    staged.foreach(GraftTable.deleteRecursively)
+    (orphans ++ staged).map(p => Paths.get(dir).relativize(p).toString)
+  }
+
   /** Schema evolution: add a nullable column (the add-column slice of
     * Iceberg's schema evolution; the reference reads its schema from table
     * metadata, never from data — `table.schema()`, IcebergSerDe.java:52 —

@@ -104,6 +104,13 @@ object TableDemo {
       " rows=" + lt.read(spark).count())
     println("EXPIRE <3500: ids=" +
       lt.expireSnapshots(olderThanMillis = 3500L).mkString(","))
+    // a crashed writer's moved-but-uncommitted file: no manifest knows it
+    val orphan = java.nio.file.Paths.get(s"$dir/lt/data/part-99999-dead-0.parquet")
+    java.nio.file.Files.writeString(orphan, "junk")
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    println("ORPHANS: removed=" + lt.removeOrphanFiles(60000L).mkString(",") +
+      " rows=" + lt.read(spark).count())
 
     val pSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),

@@ -295,6 +295,41 @@ class PositionalDeleteSpec extends SparkSpecBase {
       == rows2)
   }
 
+  test("removeOrphanFiles reclaims unreferenced bytes, keeps referenced and young ones") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "drop"), Some(1000L))
+    t.deletePositional(spark, col("data") === "drop", Some(2000L))
+    val live = (dataFiles(s"$dir/t") ++ deleteFiles(s"$dir/t")).toSet
+
+    // plant orphans: an old data parquet, an old delete parquet, an old
+    // staging dir, and a YOUNG data parquet (in-flight writer)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10 * 60 * 1000)
+    def plant(rel: String, age: Boolean): java.nio.file.Path = {
+      val p = java.nio.file.Paths.get(s"$dir/t/$rel")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, "junk")
+      if (age) java.nio.file.Files.setLastModifiedTime(p, old)
+      p
+    }
+    val o1 = plant("data/part-99999-dead-00000.parquet", age = true)
+    val o2 = plant("deletes/del-99999-dead-00000.parquet", age = true)
+    val o3 = plant(".staging-99-dead/part-x.parquet", age = true)
+    java.nio.file.Files.setLastModifiedTime(o3.getParent, old)
+    val young = plant("data/part-88888-live-00000.parquet", age = false)
+
+    val removed = t.removeOrphanFiles(olderThanMillis = 60 * 1000)
+    assert(removed.nonEmpty)
+    assert(!java.nio.file.Files.exists(o1) && !java.nio.file.Files.exists(o2) &&
+      !java.nio.file.Files.exists(o3.getParent), s"orphans survived: $removed")
+    assert(java.nio.file.Files.exists(young), "young (in-flight) file reclaimed")
+    assert((dataFiles(s"$dir/t") ++ deleteFiles(s"$dir/t"))
+      .toSet.intersect(live) == live, "a referenced file was reclaimed")
+    assert(ids(t) == Seq(1L), "table state changed")
+    java.nio.file.Files.deleteIfExists(young)
+  }
+
   test("the two merge-on-read forms refuse to stack; branch fork refuses; rollback adopts") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
