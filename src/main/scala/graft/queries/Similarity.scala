@@ -324,6 +324,14 @@ object Similarity extends QueryPack {
         "embedding", k = 10)
     }),
 
+    // INCREMENTALLY-maintained stored IVF index: corpus + index live in
+    // versioned graft tables, a new-vector batch refreshes the index via
+    // the change feed (O(batch), no rescan/retrain), and the probe scans
+    // only the probed cells' files. Seeded quantizer ⇒ incremental union
+    // == full rebuild, so the result hash-matches the s09-style oracle
+    // computed over the raw corpus
+    "s17_incremental_index" -> ((s, d) => incIdxProbe(s, d)),
+
     // PQ with a SEEDED literal codebook — the oracle-hashed twin of s06
     // (same encode → ADC → rerank-cut → exact-rerank plan; only the
     // codebook training differs), so the PQ machinery itself is
@@ -465,6 +473,78 @@ object Similarity extends QueryPack {
     // nCentroids distinct values, so a shuffle join here would hash the
     // whole corpus into nCentroids partitions (parallelism collapse +
     // skew); with the probes broadcast the corpus never moves at all
+    val scored = assigned.join(broadcast(q), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
+    rankTopK(scored, k)
+  }
+
+  /** INCREMENTALLY-MAINTAINED stored IVF index: the corpus lives in a
+    * versioned graft table, the index in a second, cid-partitioned one —
+    * and when a batch of new vectors lands on the corpus, the index is
+    * refreshed by assigning ONLY the change feed (O(batch) work, no
+    * corpus rescan or retrain) and appending those rows. The quantizer
+    * is the s09 seeded literal codebook, so per-row assignment is
+    * deterministic and "incremental union == full rebuild" holds exactly
+    * — which is what lets the probe result hash-match the s09 oracle
+    * over the raw corpus. The 100 TB maintenance story: a nightly
+    * embedding batch costs O(batch) index work, and probes read only the
+    * probed cells' files (manifest partition pruning on cid). */
+  private[queries] def incIdxFixture(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): graft.table.GraftTable = {
+    val corpus = Versioned.cachedFixture(sfDir, "emb_inc", 2) { dir =>
+      val emb = t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      val tb = graft.table.GraftTable.create(dir, emb.schema)
+      tb.append(emb.filter(col("vec_id") % 10 =!= 0), committedAt = Some(1000L))
+      tb.append(emb.filter(col("vec_id") % 10 === 0), committedAt = Some(2000L))
+      tb
+    }
+    Versioned.cachedFixture(sfDir, "emb_inc_idx", 2) { dir =>
+      val cb = graft.functions.CellAssign.codebook(
+        seededCentroids(nCentroids = 8, seed = 23L), roundTo = 6)
+      def assign(df: DataFrame): DataFrame = df
+        .select(col("vec_id").as("n_id"), col("v").as("n_v"))
+        .withColumn("cid",
+          graft.functions.CellAssign.cell_argmax(col("n_v"), cb))
+      val base = assign(corpus.read(spark, Some(1L)).drop("snapshot__id"))
+      val idx = graft.table.GraftTable.create(dir, base.schema,
+        // hash distribution: one writer task per cell — 8 cells must not
+        // become 8 × n_tasks small files
+        properties = Map(graft.table.GraftTable.PropWriteDistribution -> "hash"),
+        partitionBy = Seq("cid"))
+      idx.append(base, committedAt = Some(1000L))
+      // the incremental refresh: ONLY the change feed is assigned
+      val batch = corpus.changes(spark, 1L, Some(2L)).drop("snapshot__id")
+      idx.append(assign(batch), committedAt = Some(2000L))
+      idx
+    }
+  }
+
+  /** Probe the stored incremental index: queries go to their nProbe best
+    * cells, and the index SCAN is pinned to exactly those cells — the
+    * probed-cell id set is bounded (≤ queries × nProbe values, driver
+    * metadata-class), so manifest partition pruning keeps the read to
+    * the probed cells' files. */
+  private[queries] def incIdxProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      nProbe: Int = 2): DataFrame = {
+    val idx = incIdxFixture(spark, sfDir)
+    val cb = graft.functions.CellAssign.codebook(
+      seededCentroids(nCentroids = 8, seed = 23L), roundTo = 6)
+    val q = t(spark, sfDir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), vecD(col("embedding")).as("q_v"))
+      .limit(1024) // broadcast-policy bound, same as every probe side
+      .withColumn("cid",
+        explode(graft.functions.CellAssign.cell_topn(col("q_v"), cb, nProbe)))
+      .select(col("q_id"), col("q_v"), col("cid"))
+    val cids = q.select("cid").distinct().collect().map(_.getInt(0))
+    val assigned = idx
+      .scan(spark, Some(col("cid").isin(cids.map(Int.box).toSeq: _*)))
+      .select("n_id", "n_v", "cid")
     val scored = assigned.join(broadcast(q), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
@@ -1077,6 +1157,31 @@ object Similarity extends QueryPack {
       // the SAME seeded centroids as the Spark side, embedded as literal
       // double lists; assignment/probe replay the rounded-sim argmax with
       // ties to the larger cid (ORDER BY sim DESC, cid DESC)
+      val centers = seededCentroids(nCentroids = 8, seed = 23L)
+      val centValues = centers.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.map(_.toString).mkString("[", ", ", "]")})"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        s"cents(cid, c) AS (SELECT * FROM (VALUES $centValues) t(cid, c)), " +
+        "sims AS (SELECT vec_id, cid, round(list_cosine_similarity(v, c), 6) AS sim " +
+        "FROM e, cents), " +
+        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sims) WHERE rn = 1), " +
+        "probe AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sims " +
+        "WHERE vec_id < 5) WHERE rn <= 2), " +
+        "cand AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id FROM probe p " +
+        "JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id), " +
+        "scored AS (SELECT q_id, n_id, list_cosine_similarity(eq.v, en.v) AS cos " +
+        "FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id), " +
+        "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
+        "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
+    },
+    "s17_incremental_index" -> {
+      // identical computation to s09's oracle (same seed/cells/probes):
+      // the incremental index is provably equal to the full assignment,
+      // so the oracle replays assignment+probe over the raw corpus
       val centers = seededCentroids(nCentroids = 8, seed = 23L)
       val centValues = centers.zipWithIndex.map { case (c, i) =>
         s"($i, ${c.map(_.toString).mkString("[", ", ", "]")})"

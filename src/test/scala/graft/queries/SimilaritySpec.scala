@@ -169,4 +169,41 @@ class SimilaritySpec extends SparkSpecBase {
       "cid filter did not prune partitions")
     GraftTable.deleteRecursively(java.nio.file.Paths.get(dir))
   }
+
+  test("s17: incremental index == full rebuild; batch refresh is O(batch); probe prunes") {
+    val sfDir = "/root/testdata/sf0.001"
+    val idx = Similarity.incIdxFixture(spark, sfDir)
+
+    // the snapshot-2 refresh wrote exactly the BATCH's rows — no corpus
+    // reassignment (files added at snap 2 hold only the 10% batch)
+    val m1 = graft.table.Manifest.read(
+      s"${idx.dir}/${idx.log.byId(1L).get.manifestList}")
+    val m2 = graft.table.Manifest.read(
+      s"${idx.dir}/${idx.log.byId(2L).get.manifestList}")
+    val snap1Paths = m1.files.map(_.path).toSet
+    val added = m2.files.filterNot(f => snap1Paths.contains(f.path))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val batchRows = emb.filter(col("vec_id") % 10 === 0).count()
+    val corpusRows = emb.count()
+    assert(added.map(_.recordCount).sum == batchRows,
+      "refresh rewrote more than the batch")
+    assert(m2.totalRecords == corpusRows)
+
+    // incremental union equals a from-scratch assignment of the corpus
+    val cb = graft.functions.CellAssign.codebook(
+      Similarity.seededCentroids(nCentroids = 8, seed = 23L), roundTo = 6)
+    val full = emb
+      .select(col("vec_id").as("n_id"),
+        col("embedding").cast("array<double>").as("n_v"))
+      .withColumn("cid", graft.functions.CellAssign.cell_argmax(col("n_v"), cb))
+      .select("n_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val inc = idx.read(spark).select("n_id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(inc == full, "incremental index diverged from full rebuild")
+
+    // a probe's pinned-cell scan plans fewer files than the full index
+    val probed = idx.scan(spark, Some(col("cid").isin(0, 1)))
+    assert(probed.inputFiles.length < idx.read(spark).inputFiles.length,
+      "probe scan did not prune to the probed cells")
+  }
 }
