@@ -255,6 +255,23 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** EQUALITY-delete fixture: nation appended (snapshot 1), every third
+    * nationkey equality-deleted (snapshot 2 — an O(keys) commit, no scan,
+    * no data file touched), then a subset of the SAME keys re-appended
+    * (snapshot 3 — entries are snapshot-scoped, so the new copies live). */
+  private def eqFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_eqdel", 3) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      tb.deleteEquality(spark,
+        nation.filter(col("n_nationkey") % 3 === 0).select("n_nationkey"),
+        Seq("n_nationkey"), Some(2000L))
+      tb.append(nation.filter(col("n_nationkey") % 6 === 0),
+        committedAt = Some(3000L))
+      tb
+    }
+
   /** Dedup-driven merge-on-read fixture: the documents corpus plus a
     * planted second copy of the low-id docs (snapshot 1/2), then the
     * keep-first exact-dedup LOSERS deleted as positions by key
@@ -392,6 +409,13 @@ object Versioned extends QueryPack {
     // only the targeted files against the delete parquets.
     "v28_graft_positional_delete" -> ((s, d) =>
       posFixture(s, d).read(s)
+        .select("n_nationkey", "n_name", "n_regionkey")),
+
+    // EQUALITY merge-on-read delete: O(keys) commit (no candidate scan),
+    // key anti-join at read scoped to pre-delete files, re-appended keys
+    // survive
+    "v31_graft_equality_delete" -> ((s, d) =>
+      eqFixture(s, d).read(s)
         .select("n_nationkey", "n_name", "n_regionkey")),
 
     // POSITIONAL merge-on-read UPDATE: superseding rows in new files,
@@ -689,6 +713,11 @@ object Versioned extends QueryPack {
         "WHERE n_regionkey NOT IN (2, 4) AND n_nationkey % 5 <> 1 " +
         "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "WHERE n_regionkey = 2 AND n_nationkey % 5 <> 1"),
+    "v31_graft_equality_delete" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_nationkey % 3 <> 0 " +
+        "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_nationkey % 6 = 0"),
     "v30_graft_positional_update" ->
       ("SELECT n_nationkey, " +
         "CASE WHEN n_regionkey = 3 THEN n_name || '_X' ELSE n_name END " +

@@ -51,7 +51,7 @@ final case class GraftRelation(dir: String, output: Seq[Attribute])
           // broadcast, the safe direction). POSITIONAL deletes carry
           // exact per-target counts, so subtraction keeps exactness.
           rowCount =
-            if (t.pendingDeletes.isEmpty)
+            if (t.pendingDeletes.isEmpty && t.equalityDeletes.isEmpty)
               Some(BigInt(manifest.totalRecords - t.positionalDeletedCount))
             else None)
       }
@@ -137,7 +137,8 @@ final case class ResolveGraftScan(spark: SparkSession)
       // (rows are filtered at read time) — fall through to a real scan.
       // POSITIONAL deletes stay metadata-answerable: their summary
       // carries exact per-target deleted-row counts.
-      if (t.pendingDeletes.nonEmpty) agg.mapChildren(apply)
+      if (t.pendingDeletes.nonEmpty || t.equalityDeletes.nonEmpty)
+        agg.mapChildren(apply)
       else {
         val n = t.log.current
           .map(s => Manifest.read(s"${g.dir}/${s.manifestList}").totalRecords)

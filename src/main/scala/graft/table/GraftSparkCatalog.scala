@@ -234,6 +234,10 @@ final class GraftV2Table(
         s"${t.dir} has positional deletes pending at snapshot " +
           s"${s.snapshotId} — compact() to materialize them before " +
           "reading through the DSv2 catalog")
+      require(t.parseEquality(s).isEmpty,
+        s"${t.dir} has equality deletes pending at snapshot " +
+          s"${s.snapshotId} — compact() to materialize them before " +
+          "reading through the DSv2 catalog")
     }
     val entries = snap.toSeq.flatMap { s =>
       Manifest.read(s"${t.dir}/${s.manifestList}").files

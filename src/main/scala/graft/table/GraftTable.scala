@@ -109,6 +109,29 @@ final class GraftTable private (
     * metadata `count(*)`/stats stay exact under positional deletes. */
   def positionalDeletedCount: Long = positionalDeletes.map(_.deletedRows).sum
 
+  /** EQUALITY merge-on-read deletes pending on a snapshot, parsed from
+    * the `equality-deletes` summary entry. */
+  private[table] def parseEquality(s: Snapshot): Seq[EqualityDeletes] =
+    s.summary.get(SummaryEqualityDeletes) match {
+      case None | Some("") | Some("[]") => Nil
+      case Some(json) =>
+        graft.util.Json.parse(json).asInstanceOf[Seq[Any]].map { e =>
+          val m = e.asInstanceOf[Map[String, Any]]
+          EqualityDeletes(
+            m("files").asInstanceOf[Seq[Any]].map(_.toString),
+            m("cols").asInstanceOf[Seq[Any]].map(_.toString),
+            m("snap").asInstanceOf[Long])
+        }
+    }
+
+  private def equalityJson(entries: Seq[EqualityDeletes]): String =
+    graft.util.Json.write(entries.map(e =>
+      Map("files" -> e.files, "cols" -> e.cols, "snap" -> (e.covered: Any))))
+
+  /** Pending equality-delete entries of the CURRENT snapshot. */
+  def equalityDeletes: Seq[EqualityDeletes] =
+    log.current.map(parseEquality).getOrElse(Nil)
+
   /** Strip `gone` data-file paths from positional entries (the files were
     * dropped or rewritten — their deletions are materialized); entries
     * with no remaining targets disappear (their delete parquets stay on
@@ -243,6 +266,9 @@ final class GraftTable private (
       s"cannot branch $dir with positional deletes pending — the fork's " +
         "relative paths would break the entries' target addressing; " +
         "compact() first")
+    require(equalityDeletes.isEmpty,
+      s"cannot branch $dir with equality deletes pending — the fork's " +
+        "snapshot-id scoping does not survive re-addressing; compact() first")
     withRefsLock {
       require(!branches.contains(name) && !GraftTable.exists(branchDir(name)),
         s"branch '$name' already exists on $dir")
@@ -299,6 +325,8 @@ final class GraftTable private (
       s"branch '$name' has deferred deletes pending — compact() it first")
     require(bt.positionalDeletes.isEmpty,
       s"branch '$name' has positional deletes pending — compact() it first")
+    require(bt.equalityDeletes.isEmpty,
+      s"branch '$name' has equality deletes pending — compact() it first")
     val bcur = bt.log.current.getOrElse(
       throw new IllegalStateException(s"branch '$name' has no snapshot"))
     val lg = log
@@ -722,8 +750,8 @@ final class GraftTable private (
         case Some(v) => Some(v)
         case None => lg.current.flatMap(_.summary.get(key))
       }).filter(v => v.nonEmpty && v != "[]" && v != "{}")
-    val carriedKeys =
-      Seq(SummaryPendingDeletes, SummaryPositionalDeletes, SummaryStreamCursors)
+    val carriedKeys = Seq(SummaryPendingDeletes, SummaryPositionalDeletes,
+      SummaryEqualityDeletes, SummaryStreamCursors)
     val snap = Snapshot(
       snapshotId = snapId,
       parentId = lg2.current.map(_.snapshotId),
@@ -786,23 +814,26 @@ final class GraftTable private (
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val pend = parsePending(current)
     val posPend = parsePositional(current)
+    val eqPend = parseEquality(current)
     val posTargets: Set[String] = posPend.flatMap(_.targets.keys).toSet
     val (smallRaw, bigRaw) =
       manifest.files.partition(_.fileSizeBytes < smallerThanBytes)
-    // files covered by a PENDING deferred delete — either form — are
+    // files covered by a PENDING deferred delete — any form — are
     // force-included in the rewrite regardless of size: compact() is the
     // materialization step, and a pending delete whose covered files all
     // sit ABOVE the threshold would otherwise never clear
     val (forced, big) = bigRaw.partition(f =>
       posTargets.contains(f.path) || pend.exists {
-        case (covered, _) => fileSnapId(f.path).forall(_ <= covered) })
+        case (covered, _) => fileSnapId(f.path).forall(_ <= covered) } ||
+      eqPend.exists(e => fileSnapId(f.path).forall(_ <= e.covered)))
     val small = smallRaw ++ forced
     // a single qualifying file is not worth repacking — UNLESS deferred
     // deletes are pending: then the rewrite IS the materialization step
     // (without this, a one-file table could never clear its pending set
     // and copy-on-write DML would stay blocked forever)
     if (small.isEmpty ||
-        (small.size < 2 && pend.isEmpty && posPend.isEmpty)) return None
+        (small.size < 2 && pend.isEmpty && posPend.isEmpty &&
+          eqPend.isEmpty)) return None
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are mutually exclusive")
     (sortBy ++ zorderBy).foreach(c => require(schema.fieldNames.contains(c),
@@ -854,6 +885,8 @@ final class GraftTable private (
     // are now physical); by force-inclusion the strip empties every
     // entry — kept general for the same safety reason as stillPending
     val stillPositional = stripPositional(posPend, small.map(_.path).toSet)
+    val stillEquality = eqPend.filter(e =>
+      big.exists(f => fileSnapId(f.path).forall(_ <= e.covered)))
     Some(commit(lg, snapId, Manifest(big ++ newFiles), newFiles,
       operation = "replace", committedAt,
       extraSummary = Map(
@@ -861,7 +894,8 @@ final class GraftTable private (
         "added-data-files" -> newFiles.size.toString,
         "rewritten-bytes" -> totalBytes.toString,
         SummaryPendingDeletes -> pendingJson(stillPending),
-        SummaryPositionalDeletes -> positionalJson(stillPositional))))
+        SummaryPositionalDeletes -> positionalJson(stillPositional),
+        SummaryEqualityDeletes -> equalityJson(stillEquality))))
   }
 
   /** Copy-on-write DELETE: rewrite only the files that MAY contain
@@ -878,7 +912,7 @@ final class GraftTable private (
       committedAt: Option[Long] = None): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
+    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
       s"$dir has deferred deletes pending — compact() to materialize " +
         "them before running copy-on-write DML")
     val resolved = resolveAgainst(spark, schema,
@@ -953,7 +987,7 @@ final class GraftTable private (
       predicate: Column,
       snapshotId: Option[Long] = None): Long = {
     val s = resolveSnapshot(snapshotId).getOrElse(return 0L)
-    require(parsePending(s).isEmpty,
+    require(parsePending(s).isEmpty && parseEquality(s).isEmpty,
       s"$dir has deferred deletes pending — compact() before countWhere")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
@@ -1005,9 +1039,9 @@ final class GraftTable private (
       committedAt: Option[Long] = None): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePositional(current).isEmpty,
-      s"$dir has positional deletes pending — the two merge-on-read " +
-        "forms do not stack; compact() first")
+    require(parsePositional(current).isEmpty && parseEquality(current).isEmpty,
+      s"$dir has other merge-on-read deletes pending — the forms do not " +
+        "stack; compact() first")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -1037,6 +1071,92 @@ final class GraftTable private (
       extraSummary = Map(
         "deferred" -> "true",
         SummaryPendingDeletes -> pendingJson(pend))))
+  }
+
+  /** EQUALITY merge-on-read DELETE (Iceberg v2 equality-delete files):
+    * the victim KEY TUPLES are written as a small parquet under
+    * `deletes/` and the commit is done — O(keys) I/O, no candidate scan,
+    * no position computation: the cheapest delete commit there is, the
+    * shape for high-frequency key retractions (GDPR erasure queues, CDC
+    * tombstones) at 100 TB. Every read anti-joins the covered files
+    * against the key file until [[compact]] materializes; like the
+    * predicate-deferred form the entry is SCOPED to files written at
+    * snapshot ≤ commit time, so re-inserting a deleted key later works.
+    *
+    * Trade-offs versus the siblings: [[deletePositionalByKeys]] pays a
+    * candidate scan at delete time and buys back join-free reads for
+    * untouched files and exact counts; this form pays nothing at commit
+    * and taxes every covered-file read. Null key tuples match nothing
+    * (SQL join semantics). Counts become upper bounds while pending
+    * (stats/`count(*)` fall back to scans, like the predicate form).
+    * Refused while the other merge-on-read forms are pending, on
+    * branch-era files, and by CoW DML / branching / DSv2 while pending.
+    * Returns None for an empty key set. */
+  def deleteEquality(
+      spark: SparkSession,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    require(parsePending(current).isEmpty && parsePositional(current).isEmpty,
+      s"$dir has other merge-on-read deletes pending — the forms do not " +
+        "stack; compact() first")
+    require(keyCols.nonEmpty, "at least one key column required")
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"unknown key column '$c'"))
+    keyCols.foreach(c => require(keys.columns.contains(c),
+      s"keys DataFrame lacks column '$c'"))
+    keyCols.foreach { c =>
+      val kt = keys.schema(c).dataType
+      require(kt == schema(c).dataType,
+        s"key column '$c' is ${kt.sql}, table expects " +
+          s"${schema(c).dataType.sql} (cast explicitly — the key file is " +
+          "read back under the table schema)")
+    }
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    manifest.files.foreach(f => require(fileSnapId(f.path).isDefined,
+      s"cannot scope an equality delete: data file ${f.path} is from a " +
+        "branch era whose snapshot ids belong to another table's " +
+        "sequence — compact() first to re-own the files"))
+    val snapId = lg.nextId
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$dir/.staging-eq-$snapId-$token"
+    try keys.select(keyCols.map(col): _*).distinct()
+      .write.mode("overwrite").parquet(staging)
+    catch { case e: Throwable =>
+      GraftTable.deleteRecursively(Paths.get(staging)); throw e
+    }
+    val keySchema = StructType(keyCols.map(c => schema(c)).toArray)
+    val nKeys = spark.read.schema(keySchema).parquet(staging).count()
+    if (nKeys == 0L) {
+      GraftTable.deleteRecursively(Paths.get(staging))
+      return None
+    }
+    Files.createDirectories(Paths.get(dir, "deletes"))
+    val staged = scala.util.Using.resource(Files.list(Paths.get(staging))) {
+      s => s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+    }
+    val rels = staged.zipWithIndex.map { case (src, i) =>
+      val rel = f"deletes/eq-$snapId%05d-$token-$i%05d.parquet"
+      Files.move(src, Paths.get(dir, rel), StandardCopyOption.REPLACE_EXISTING)
+      rel
+    }
+    GraftTable.deleteRecursively(Paths.get(staging))
+    val entries = parseEquality(current) :+
+      EqualityDeletes(rels, keyCols, current.snapshotId)
+    try Some(commit(lg, snapId, manifest, Nil,
+      operation = "delete", committedAt,
+      extraSummary = Map(
+        "equality" -> "true",
+        "equality-key-rows" -> nKeys.toString,
+        SummaryEqualityDeletes -> equalityJson(entries))))
+    catch { case e: Throwable =>
+      rels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+      throw e
+    }
   }
 
   /** POSITIONAL merge-on-read DELETE (Iceberg v2 position-delete files):
@@ -1077,9 +1197,9 @@ final class GraftTable private (
     import org.apache.spark.sql.functions.coalesce
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — the two " +
-        "merge-on-read forms do not stack; compact() first")
+    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
+      s"$dir has other merge-on-read deletes pending — the forms do not " +
+        "stack; compact() first")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -1122,9 +1242,9 @@ final class GraftTable private (
       s"keys DataFrame lacks column '$c'"))
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — the two " +
-        "merge-on-read forms do not stack; compact() first")
+    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
+      s"$dir has other merge-on-read deletes pending — the forms do not " +
+        "stack; compact() first")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val k0 = keyCols.head
     val bounds = keys.agg(fmin(col(k0)), fmax(col(k0))).head()
@@ -1280,9 +1400,9 @@ final class GraftTable private (
     import org.apache.spark.sql.functions.coalesce
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — the two " +
-        "merge-on-read forms do not stack; compact() first")
+    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
+      s"$dir has other merge-on-read deletes pending — the forms do not " +
+        "stack; compact() first")
     require(assignments.nonEmpty, "update requires at least one assignment")
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown update column '$c'"))
@@ -1341,7 +1461,8 @@ final class GraftTable private (
       spark: SparkSession,
       s: Snapshot,
       files: Seq[DataFileEntry]): DataFrame =
-    readVisible(spark, parsePending(s), parsePositional(s), files)
+    readVisible(spark, parsePending(s), parsePositional(s), files,
+      parseEquality(s))
 
   private def readFilteredByPending(
       spark: SparkSession,
@@ -1349,38 +1470,45 @@ final class GraftTable private (
       files: Seq[DataFileEntry]): DataFrame =
     readVisible(spark, pend, Nil, files)
 
-  /** The single VISIBLE-ROW reader: `files` minus both merge-on-read
-    * delete forms. Predicate-deferred deletes group files by which
-    * predicates cover them (by file snapshot id) and filter each group;
-    * positional deletes apply as ONE left-anti join on
-    * `(file basename, row position)` — only to the files some entry
-    * actually targets, so untouched files keep their plain codegen'd
-    * scan with zero join overhead. The anti-join key embeds the file
-    * identity, so a single global delete relation is correct without
-    * per-file filtering; at scale it is O(deleted rows) and AQE
-    * broadcasts it when small. */
+  /** The single VISIBLE-ROW reader: `files` minus every merge-on-read
+    * delete form. Predicate-deferred and EQUALITY deletes group files by
+    * which entries cover them (by file snapshot id) — each group gets
+    * the covering predicates as filters and the covering key files as
+    * anti-joins (null keys never match, SQL semantics); positional
+    * deletes apply as ONE left-anti join on `(file basename, row
+    * position)` — only to the files some entry actually targets, so
+    * untouched files keep their plain codegen'd scan with zero join
+    * overhead. The positional anti-join key embeds the file identity,
+    * so a single global delete relation is correct without per-file
+    * filtering; at scale the delete relations are O(deleted rows/keys)
+    * and AQE broadcasts them when small. */
   private def readVisible(
       spark: SparkSession,
       pend: Seq[(Long, String)],
       posEntries: Seq[PositionalDeletes],
-      files: Seq[DataFileEntry]): DataFrame = {
+      files: Seq[DataFileEntry],
+      eqEntries: Seq[EqualityDeletes] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not, substring_index}
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val targeted: Set[String] = posEntries.flatMap(_.targets.keys).toSet
     val (withDel, clean) = files.partition(f => targeted.contains(f.path))
-    // predicate-deferred grouping, shared by both halves
+    def eqKeys(e: EqualityDeletes): DataFrame = readEqKeys(spark, e)
+    // predicate-deferred + equality grouping, shared by both halves
     def pendGroups(fs: Seq[DataFileEntry], meta: Boolean): Seq[DataFrame] =
       if (fs.isEmpty) Nil
-      else if (pend.isEmpty) Seq(readFiles(spark, fs, meta))
+      else if (pend.isEmpty && eqEntries.isEmpty) Seq(readFiles(spark, fs, meta))
       else {
         val groups = fs.groupBy { f =>
           val fsn = fileSnapId(f.path).getOrElse(Long.MinValue) // unattributable: assume oldest (over-filtering is impossible — deleteDeferred refuses such tables; this path exists for robustness only)
-          pend.filter { case (covered, _) => fsn <= covered }.map(_._2)
+          (pend.filter { case (covered, _) => fsn <= covered }.map(_._2),
+            eqEntries.filter(e => fsn <= e.covered))
         }
-        groups.toSeq.sortBy(_._2.head.path).map { case (preds, gfs) =>
-          preds.foldLeft(readFiles(spark, gfs, meta))((d, p) =>
+        groups.toSeq.sortBy(_._2.head.path).map { case ((preds, eqs), gfs) =>
+          val base = preds.foldLeft(readFiles(spark, gfs, meta))((d, p) =>
             d.filter(coalesce(not(expr(p)), lit(true))))
+          eqs.foldLeft(base)((d, e) =>
+            d.join(eqKeys(e), e.cols, "left_anti"))
         }
       }
     val delBranches =
@@ -1410,6 +1538,13 @@ final class GraftTable private (
   private def baseName(relPath: String): String =
     relPath.substring(relPath.lastIndexOf('/') + 1)
 
+  /** An equality-delete entry's key relation, read under the TABLE
+    * schema's column types. */
+  private def readEqKeys(spark: SparkSession, e: EqualityDeletes): DataFrame =
+    spark.read
+      .schema(StructType(e.cols.map(c => schema(c)).toArray))
+      .parquet(e.files.map(p => Paths.get(dir, p).normalize().toString): _*)
+
   /** Copy-on-write UPDATE: set `assignments` on rows matching
     * `predicate`. Same candidate-file discipline as [[delete]] — only
     * files whose stats MAY match are rewritten (matching rows get the new
@@ -1423,7 +1558,7 @@ final class GraftTable private (
     import org.apache.spark.sql.functions.when
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
+    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
       s"$dir has deferred deletes pending — compact() to materialize " +
         "them before running copy-on-write DML")
     require(assignments.nonEmpty, "update requires at least one assignment")
@@ -1495,7 +1630,8 @@ final class GraftTable private (
           "would write files the table schema cannot read back)")
     }
     val lg = log
-    require(lg.current.forall(c => parsePending(c).isEmpty),
+    require(lg.current.forall(c =>
+        parsePending(c).isEmpty && parseEquality(c).isEmpty),
       s"$dir has deferred deletes pending — compact() to materialize " +
         "them before running copy-on-write DML")
     val snapId = lg.nextId
@@ -1554,6 +1690,7 @@ final class GraftTable private (
         // re-ingests instead of being dropped as a re-delivery
         SummaryPendingDeletes -> pendingJson(parsePending(target)),
         SummaryPositionalDeletes -> positionalJson(parsePositional(target)),
+        SummaryEqualityDeletes -> equalityJson(parseEquality(target)),
         SummaryStreamCursors -> target.summary
           .getOrElse(SummaryStreamCursors, "{}")))
   }
@@ -1663,8 +1800,10 @@ final class GraftTable private (
         // snapshot's entries mention (compaction/DML strip entries but
         // keep the parquets so older snapshots stay readable)
         val liveDel: Set[String] =
-          kept.flatMap(s => parsePositional(s).flatMap(_.files)).toSet
-        expired.flatMap(s => parsePositional(s).flatMap(_.files))
+          kept.flatMap(s => parsePositional(s).flatMap(_.files) ++
+            parseEquality(s).flatMap(_.files)).toSet
+        expired.flatMap(s => parsePositional(s).flatMap(_.files) ++
+            parseEquality(s).flatMap(_.files))
           .distinct.filterNot(liveDel).filterNot(_.startsWith("../"))
           .foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
         expired.foreach(s =>
@@ -1697,7 +1836,8 @@ final class GraftTable private (
     val referenced: Set[String] = (lg.snapshots.flatMap { s =>
       Manifest.read(s"$dir/${s.manifestList}").files.map(f =>
         Paths.get(dir, f.path).normalize().toString)
-    } ++ lg.snapshots.flatMap(s => parsePositional(s).flatMap(_.files))
+    } ++ lg.snapshots.flatMap(s => parsePositional(s).flatMap(_.files) ++
+        parseEquality(s).flatMap(_.files))
       .map(p => Paths.get(dir, p).normalize().toString)).toSet
     def walk(root: java.nio.file.Path): Seq[java.nio.file.Path] =
       if (!Files.exists(root)) Nil
@@ -2079,7 +2219,8 @@ final class GraftTable private (
         val removed = pf.filterNot(f => curPaths.contains(f.path))
         val removedVisible =
           if (removed.isEmpty) empty
-          else readVisible(spark, parsePending(p), parsePositional(p), removed)
+          else readVisible(spark, parsePending(p), parsePositional(p), removed,
+            parseEquality(p))
         readOrEmpty(added).exceptAll(removedVisible)
       }
     val base = (readOrEmpty(appended) +: rewriteDiffs).reduce(_ union _)
@@ -2166,6 +2307,22 @@ final class GraftTable private (
             // keeps the row — same semantics as the read path)
             tag(survivors.filter(expr(predSql) <=> true), "delete", s)
           }
+        // EQUALITY delete: deletes = each new key entry's matches among
+        // its covered files' visible-at-parent survivors (the semi-join
+        // mirror of the read path's anti-join) — O(covered data) per
+        // entry, nothing rewritten
+        case "delete" if s.summary.get("equality").contains("true") =>
+          val p = parent(s)
+          val parentEq = parseEquality(p)
+          val entries = parseEquality(s).drop(parentEq.size)
+          entries.map { e =>
+            val covered = files(s).filter(f =>
+              fileSnapId(f.path).forall(_ <= e.covered))
+            val survivors = readVisible(spark, parsePending(p),
+              parsePositional(p), covered, parentEq)
+            tag(survivors.join(readEqKeys(spark, e), e.cols, "left_semi"),
+              "delete", s)
+          }
         // POSITIONAL delete/update: deletes = whole-file drops' visible
         // survivors + the new entries' exact rows (target files
         // semi-joined against their delete parquets); inserts = the
@@ -2219,7 +2376,8 @@ final class GraftTable private (
           val removed = pf.filterNot(f => curPaths.contains(f.path))
           val removedVisible =
             if (removed.isEmpty) empty
-            else readVisible(spark, parsePending(p), parsePositional(p), removed)
+            else readVisible(spark, parsePending(p), parsePositional(p),
+              removed, parseEquality(p))
           Seq(
             tag(readOrEmpty(added).exceptAll(removedVisible), "insert", s),
             tag(removedVisible.exceptAll(readOrEmpty(added)), "delete", s))
@@ -2419,7 +2577,19 @@ object GraftTable {
   val PropWriteOptionPrefix = "graft.write.option."
   val SummaryPendingDeletes = "pending-deletes"
   val SummaryPositionalDeletes = "positional-deletes"
+  val SummaryEqualityDeletes = "equality-deletes"
   val SummaryStreamCursors = "stream-cursors"
+
+  /** One EQUALITY merge-on-read delete commit's bookkeeping (Iceberg v2
+    * equality-delete files): `files` are parquet key files under
+    * `deletes/` holding the victim key tuples in columns `cols`; the
+    * entry applies to data files written at snapshot ≤ `covered` (the
+    * predicate-deferred scoping — rows appended later are untouched).
+    * Commit cost is O(keys) with NO candidate scan at all — the
+    * cheapest possible delete; reads pay a key anti-join on covered
+    * files until compaction materializes. */
+  final case class EqualityDeletes(
+      files: Seq[String], cols: Seq[String], covered: Long)
 
   /** One POSITIONAL merge-on-read delete commit's bookkeeping: the
     * parquet delete files it wrote (`deletes/del-…`, rows of

@@ -1,0 +1,154 @@
+package graft.table
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** EQUALITY merge-on-read deletes (Iceberg v2 equality-delete files):
+  * O(keys) commits with no candidate scan, snapshot-scoped key
+  * anti-joins at read, materialization through compaction, exact CDC
+  * retractions, and the conservative refusals shared with the other
+  * merge-on-read forms.
+  */
+class EqualityDeleteSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  private def mkDf(rows: (Long, String)*) = {
+    val rdd = spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1)
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-eqdel").toString
+
+  private def ids(t: GraftTable, snap: Option[Long] = None): Seq[Long] =
+    t.read(spark, snap).select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def listSeq[A](st: java.util.stream.Stream[A]): Seq[A] =
+    try {
+      val b = Seq.newBuilder[A]
+      st.iterator().forEachRemaining(x => b += x)
+      b.result()
+    } finally st.close()
+
+  private def dataFiles(dir: String): Set[String] = {
+    val p = java.nio.file.Paths.get(s"$dir/data")
+    if (!java.nio.file.Files.exists(p)) return Set.empty
+    listSeq(java.nio.file.Files.walk(p))
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+  }
+
+  test("O(keys) commit: no data I/O, reads hide keys, scoping + TT hold") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    val before = dataFiles(s"$dir/t")
+
+    val snap = t.deleteEquality(spark, mkDf(2L -> "x", 9L -> "y").select("id"),
+      Seq("id"), Some(2000L))
+    assert(snap.get.summary("equality") == "true")
+    assert(snap.get.summary("equality-key-rows") == "2")
+    assert(dataFiles(s"$dir/t") == before, "an equality delete touched data files")
+
+    assert(ids(t) == Seq(1L, 3L))
+    assert(ids(t, Some(1L)) == Seq(1L, 2L, 3L), "time travel lost the row")
+    // scoping: the SAME key appended after the delete lives
+    t.append(mkDf(2L -> "reborn"), Some(3000L))
+    assert(ids(t) == Seq(1L, 2L, 3L), "equality delete leaked onto a later append")
+    // empty and all-null key sets are no-ops
+    val n0 = t.log.snapshots.size
+    assert(t.deleteEquality(spark, mkDf().select("id"), Seq("id")).isEmpty)
+    assert(t.log.snapshots.size == n0)
+  }
+
+  test("null keys never match; multi-column keys; stacking") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "x", 2L -> null, 3L -> "x"), Some(1000L))
+    // (id, data) composite keys: the null-data row cannot be matched
+    t.deleteEquality(spark, mkDf(1L -> "x", 2L -> null),
+      Seq("id", "data"), Some(2000L))
+    assert(ids(t) == Seq(2L, 3L), "a null key tuple matched a row")
+    // stacked second entry
+    t.deleteEquality(spark, mkDf(3L -> "x"), Seq("id", "data"), Some(3000L))
+    assert(ids(t) == Seq(2L))
+    assert(t.equalityDeletes.size == 2)
+    assert(t.read(spark).count() == 1L)
+  }
+
+  test("compaction materializes; expiration reclaims key files; CDC is exact") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L)) // snap 1
+    t.deleteEquality(spark, mkDf(2L -> "x").select("id"),
+      Seq("id"), Some(2000L))                                    // snap 2
+    t.append(mkDf(2L -> "B", 4L -> "d"), Some(3000L))            // snap 3
+    t.deleteEquality(spark, mkDf(4L -> "x", 1L -> "y").select("id"),
+      Seq("id"), Some(4000L))                                    // snap 4
+
+    // CDC fold reproduces the final state; the snap-2 retraction is only
+    // the OLD copy of id=2, the snap-4 one hits id=1 (snap-1 era) and
+    // id=4 (snap-3 era) but NOT the reborn id=2
+    val cdc = t.changesCdc(spark, fromSnapshotId = 1L)
+      .select("id", "data", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    var state = scala.collection.mutable.Map((1L, "a") -> 1, (2L, "b") -> 1, (3L, "c") -> 1)
+    cdc.foreach { case (id, d, tpe) =>
+      val k = (id, d)
+      if (tpe == "delete") {
+        assert(state.getOrElse(k, 0) > 0, s"retraction of absent row $k")
+        state(k) = state(k) - 1
+      } else state(k) = state.getOrElse(k, 0) + 1
+    }
+    val folded = state.filter(_._2 > 0).keys.toSeq.sorted
+    val expect = t.read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(folded == expect, s"CDC fold diverged: $folded vs $expect")
+    assert(expect.map(_._1) == Seq(2L, 3L))
+
+    val delDir = java.nio.file.Paths.get(s"$dir/t/deletes")
+    assert(listSeq(java.nio.file.Files.list(delDir)).nonEmpty)
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(5000L))
+    assert(t.equalityDeletes.isEmpty, "compaction left equality entries")
+    assert(ids(t) == Seq(2L, 3L))
+    t.expireSnapshots(olderThanMillis = Long.MaxValue, retainLast = 1)
+    assert(listSeq(java.nio.file.Files.list(delDir)).isEmpty,
+      "expire left orphan equality key files")
+    assert(ids(t) == Seq(2L, 3L))
+  }
+
+  test("refusals: form stacking, CoW DML, countWhere, branch, key-type mismatch") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"), Some(2000L))
+    intercept[IllegalArgumentException] {
+      t.deletePositional(spark, col("id") === 2, Some(3000L)) }
+    intercept[IllegalArgumentException] {
+      t.deleteDeferred(spark, col("id") === 2, Some(3000L)) }
+    intercept[IllegalArgumentException] {
+      t.delete(spark, col("id") === 2, Some(3000L)) }
+    intercept[IllegalArgumentException] {
+      t.update(spark, col("id") === 2, Map("data" -> lit("z")), Some(3000L)) }
+    intercept[IllegalArgumentException] {
+      t.countWhere(spark, col("id") === 2) }
+    intercept[IllegalArgumentException] { t.createBranch("audit") }
+    // but count() via read stays correct (falls back to a scan)
+    assert(t.read(spark).count() == 1L)
+    // key-type mismatch refuses before writing anything
+    intercept[IllegalArgumentException] {
+      t.deleteEquality(spark,
+        mkDf(2L -> "x").select(col("id").cast("int").as("id")), Seq("id"))
+    }
+    // rollback adopts the entries
+    t.append(mkDf(9L -> "z"), Some(3000L))
+    t.rollbackTo(2L, Some(4000L))
+    assert(t.equalityDeletes.size == 1, "rollback dropped equality entries")
+    assert(ids(t) == Seq(2L))
+  }
+}
