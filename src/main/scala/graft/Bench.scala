@@ -41,7 +41,8 @@ object Bench {
     // compact demo tables under /tmp): that is DISK SETUP, not query work,
     // and would otherwise be billed to the first timed run of each v-query
     SparkEntry.queries.keys
-      .filter(n => n.startsWith("v") || n == "d14_incremental_dedup")
+      .filter(n => n.startsWith("v") || n == "d14_incremental_dedup" ||
+        n == "s17_incremental_index")
       .toSeq.sorted.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

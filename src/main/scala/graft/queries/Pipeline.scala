@@ -12,7 +12,85 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline extends QueryPack {
 
+  /** The CURATION CYCLE fixture: the corpus lives in a versioned graft
+    * table and every curation pass lands as merge-on-read DML — the
+    * 100 TB loop where nothing rewrites the corpus until maintenance:
+    *
+    *   1. append the raw corpus (snapshot 1);
+    *   2. quality gate as a positional PREDICATE delete — sub-quality
+    *      rows die as (file, pos) entries, no data file copied
+    *      (snapshot 2);
+    *   3. exact-dup LOSERS (keep-first by normalized-text fingerprint,
+    *      computed over the surviving corpus) deleted BY KEY through the
+    *      curation entry point (snapshot 3);
+    *   4. compact() materializes the accumulated deletions — the
+    *      nightly maintenance step (snapshot 4);
+    *   5. the held-out split leaves the training corpus as an EQUALITY
+    *      delete — an O(keys) commit (snapshot 5).
+    */
+  /** Synthetic quality text planted twice (guaranteed exact dup that
+    * passes the gate — the raw corpus may have neither dups nor
+    * sub-quality rows at small SF). */
+  private[queries] val CycleSynthText =
+    "the quick brown fox jumps over the lazy dog again and again"
+
+  private def cycleFixture(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): graft.table.GraftTable =
+    Versioned.cachedFixture(d, "docs_cycle", 6) { dir =>
+      val docs = t(s, d, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val tb = graft.table.GraftTable.create(dir, docs.schema)
+      tb.append(docs, committedAt = Some(1000L))
+      // the arriving batch: exact copies of the low-id docs (dup
+      // victims), junk rows (quality victims), and a duplicated
+      // synthetic quality doc (a dup pair that survives the gate)
+      val dups = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val junk = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          lit("#" * 40).as("text"), lit("xx").as("lang"),
+          lit("junk").as("source"), lit(40L).as("n_chars"))
+      val synth = s.range(2).select(
+        (col("id") + lit(3000000L)).as("doc_id"),
+        lit(CycleSynthText).as("text"), lit("en").as("lang"),
+        lit("synth").as("source"),
+        lit(CycleSynthText.length.toLong).as("n_chars"))
+      tb.append(dups.unionByName(junk).unionByName(synth),
+        committedAt = Some(2000L))
+      val nTokens = size(graft.functions.TextOps.tokens(col("text"),
+        lowercase = false))
+      val cleanRatio = round(
+        length(regexp_replace(col("text"), "[^a-zA-Z ]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)), 6)
+      val quality = nTokens.between(10, 120) && cleanRatio > 0.9
+      tb.deletePositional(s, !quality, Some(3000L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .orderBy(col("doc_id"))
+      val losers = tb.read(s)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1).select("doc_id")
+      tb.deletePositionalByKeys(s, losers, Seq("doc_id"), Some(4000L))
+      tb.compact(s, smallerThanBytes = Long.MaxValue, Some(5000L))
+      tb.deleteEquality(s,
+        tb.read(s).filter(col("doc_id") % 10 === 0).select("doc_id"),
+        Seq("doc_id"), Some(6000L))
+      tb
+    }
+
   val queries: Map[String, Q] = Map(
+    // the CURATION CYCLE: quality gate, dedup, maintenance and held-out
+    // removal all land as merge-on-read DML on a versioned corpus table
+    // (positional predicate + key deletes, compaction, equality delete);
+    // the surviving training corpus aggregates per language
+    "p04_curation_cycle" -> ((s, d) =>
+      cycleFixture(s, d).read(s)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("n_chars_sum"))),
+
     "p01_prep_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val toks = graft.functions.TextOps.tokens(col("text"),
@@ -107,6 +185,29 @@ object Pipeline extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p04_curation_cycle" ->
+      ("WITH corpus AS (" +
+        "SELECT doc_id, text, lang, n_chars FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text, lang, n_chars " +
+        "FROM documents WHERE doc_id < 50 " +
+        "UNION ALL SELECT doc_id + 2000000, repeat('#', 40), 'xx', 40 " +
+        "FROM documents WHERE doc_id < 30 " +
+        "UNION ALL SELECT 3000000 + u.i, '" + CycleSynthText + "', 'en', " +
+        s"${CycleSynthText.length} FROM (SELECT unnest([0, 1]) AS i) u), " +
+        "scored AS (SELECT doc_id, lang, text, n_chars, " +
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS n_tokens, " +
+        "round(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS clean_ratio " +
+        "FROM corpus), " +
+        "quality AS (SELECT doc_id, lang, text, n_chars FROM scored " +
+        "WHERE n_tokens BETWEEN 10 AND 120 AND clean_ratio > 0.9), " +
+        "keep AS (SELECT doc_id, lang, n_chars FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
+        "ORDER BY doc_id) AS rn FROM quality) WHERE rn = 1), " +
+        "final AS (SELECT * FROM keep WHERE doc_id % 10 <> 0) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS docs, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_sum " +
+        "FROM final GROUP BY lang"),
     "p03_asset_pipeline" ->
       ("""WITH bytes AS (
          |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i FROM documents
