@@ -191,10 +191,63 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
 final class GraftV2Table(
     tableName: String,
     t: GraftTable,
-    snapshotId: Option[Long]) extends Table with SupportsRead {
+    snapshotId: Option[Long]) extends Table with SupportsRead
+    with SupportsDelete {
 
   override def name(): String = tableName
   override def schema(): StructType = t.schema
+
+  /** V1 source filter → Column, for the SQL DELETE surface. Conservative:
+    * any shape outside this translatable core makes [[canDeleteWhere]]
+    * answer false and Spark reports the statement unsupported instead of
+    * this table guessing semantics. */
+  private def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.functions.{col, lit, not => fnot}
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(fnot)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  /** SQL `DELETE FROM graft.db.t WHERE …` — routed to the library's
+    * copy-on-write [[GraftTable.delete]]: manifest pruning picks the
+    * candidate files, stats-proved files leave as metadata-only drops,
+    * and only genuinely partial files rewrite. `TRUNCATE TABLE` arrives
+    * as AlwaysTrue and becomes an all-drop manifest edit. Refused on
+    * time-travel reads and while merge-on-read deletes are pending
+    * (same stance as the programmatic CoW DML). */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    snapshotId.isEmpty && filters.forall(f => filterToColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(snapshotId.isEmpty, s"cannot DELETE from a time-travel read of $tableName")
+    val pred = filters.flatMap(filterToColumn(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    t.delete(SparkSession.active, pred)
+  }
 
   override def partitioning(): Array[Transform] =
     t.partitionFields.map {

@@ -2514,6 +2514,33 @@ final class GraftTable private (
       spark.sparkContext.parallelize(rows, 1), PartitionsSchema)
   }
 
+  /** The `deletes` metadata table: one row per PENDING merge-on-read
+    * delete entry at the scanned snapshot — the MoR-debt view an
+    * operator reads before scheduling compaction ("how many entries tax
+    * reads, how many rows are dead, which key columns"). Metadata-only:
+    * everything comes from the snapshot summary.
+    *  - predicate entries: `detail` = the stored predicate SQL;
+    *  - positional entries: `deleted_rows` exact, `n_files` = delete
+    *    parquets, `detail` = target-file count;
+    *  - equality entries: `detail` = the key columns. */
+  def deletesTable(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
+    val rows = resolveSnapshot(snapshotId).toSeq.flatMap { s =>
+      parsePending(s).map { case (covered, predSql) =>
+        Row("predicate", predSql, Long.box(covered), 0L, null)
+      } ++
+      parsePositional(s).map { e =>
+        Row("positional", s"targets=${e.targets.size}", null,
+          e.files.size.toLong, Long.box(e.deletedRows))
+      } ++
+      parseEquality(s).map { e =>
+        Row("equality", e.cols.mkString(","), Long.box(e.covered),
+          e.files.size.toLong, null)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), DeletesSchema)
+  }
+
   /** The refs metadata table (Iceberg `refs` analog): every named ref —
     * tags and branches — as rows. Branch rows carry the FORK snapshot
     * (the retention anchor while the branch is live) and whether the
@@ -2620,6 +2647,15 @@ object GraftTable {
   val FilesSuffix = "__files"
   val PartitionsSuffix = "__partitions"
   val RefsSuffix = "__refs"
+  val DeletesSuffix = "__deletes"
+
+  /** Deletes system-table schema (pending merge-on-read entries). */
+  val DeletesSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("detail", StringType, nullable = false),
+    StructField("covered_snapshot", LongType, nullable = true),
+    StructField("n_files", LongType, nullable = false),
+    StructField("deleted_rows", LongType, nullable = true)))
 
   /** Files metadata-table schema (see [[GraftTable.filesTable]]). */
   val FilesSchema: StructType = StructType(Seq(

@@ -78,6 +78,8 @@ object TableDemo {
     println("POSITIONAL-DELETE: rows=" + pdt.read(spark).orderBy("id")
       .collect().mkString(", ") + " deleted=" + pdt.positionalDeletedCount +
       " count=" + pdt.read(spark).count())
+    println("DELETES-TABLE: " + pdt.deletesTable(spark)
+      .select("kind", "deleted_rows").collect().mkString(", "))
     pdt.compact(spark, smallerThanBytes = Long.MaxValue, Some(3000L))
     println("POSITIONAL-MATERIALIZED: rows=" + pdt.read(spark).orderBy("id")
       .collect().mkString(", ") + " pending=" + pdt.positionalDeletes.size)

@@ -54,6 +54,28 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
+  test("SQL DELETE FROM routes to the copy-on-write delete") {
+    val t = GraftTable.create(s"$wh/db/del", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    spark.sql("DELETE FROM g2.db.del WHERE id = 2")
+    assert(spark.sql("SELECT id FROM g2.db.del ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val t2 = GraftTable.load(s"$wh/db/del")
+    assert(t2.log.current.get.operation == "delete")
+    // time travel still sees the deleted row
+    assert(spark.sql("SELECT id FROM g2.db.del VERSION AS OF 1").count() == 3)
+    // string pushdown shapes translate too
+    spark.sql("DELETE FROM g2.db.del WHERE data LIKE 'a%'")
+    assert(spark.sql("SELECT id FROM g2.db.del").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    // unconditional DELETE = AlwaysTrue = all-drop manifest edit
+    spark.sql("DELETE FROM g2.db.del")
+    assert(spark.sql("SELECT * FROM g2.db.del").count() == 0)
+    assert(GraftTable.load(s"$wh/db/del").log.current.get
+      .summary("dropped-data-files").toLong >= 1,
+      "unconditional SQL DELETE did not take the metadata-only drop path")
+  }
+
   test("VERSION AS OF 'branch:<name>' is the SQL audit read") {
     val t = GraftTable.create(s"$wh/db/wap", schema)
     t.append(mkDf(1L -> "base"), Some(1000L))

@@ -295,6 +295,37 @@ class PositionalDeleteSpec extends SparkSpecBase {
       == rows2)
   }
 
+  test("deletes metadata table reports pending MoR debt per kind") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    assert(t.deletesTable(spark).count() == 0)
+    t.deletePositional(spark, col("id") === 2, Some(2000L))
+    val rows = t.deletesTable(spark).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "positional" && rows(0).getLong(4) == 1L)
+    // snapshot-pinned view: empty at snapshot 1
+    assert(t.deletesTable(spark, Some(1L)).count() == 0)
+    // the catalog resolves <name>__deletes like the other metadata tables
+    val cat = new GraftCatalog(dir)
+    assert(cat.loadDataFrame(spark, "t__deletes").collect()
+      .map(_.getString(0)).toSeq == Seq("positional"))
+    // equality on a second table (forms don't stack on one table)
+    val t2 = GraftTable.create(s"$dir/t2", schema)
+    t2.append(mkDf(1L -> "a"), Some(1000L))
+    t2.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"), Some(2000L))
+    val r2 = t2.deletesTable(spark).collect()
+    assert(r2.length == 1 && r2(0).getString(0) == "equality" &&
+      r2(0).getString(1) == "id" && r2(0).getLong(2) == 1L)
+    // predicate-deferred kind
+    val t3 = GraftTable.create(s"$dir/t3", schema)
+    t3.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t3.deleteDeferred(spark, col("id") === 2, Some(2000L))
+    val r3 = t3.deletesTable(spark).collect()
+    assert(r3.length == 1 && r3(0).getString(0) == "predicate" &&
+      r3(0).getString(1).nonEmpty)
+  }
+
   test("removeOrphanFiles reclaims unreferenced bytes, keeps referenced and young ones") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
