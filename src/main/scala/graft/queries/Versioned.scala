@@ -255,6 +255,22 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** CDC fixture: nation appended (snapshot 1), region-1 names retagged
+    * by copy-on-write UPDATE (snapshot 2), then a key set positionally
+    * deleted (snapshot 3) — the retraction-carrying change feed over a
+    * mixed DML chain. */
+  private def cdcFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_cdc", 3) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      tb.update(spark, col("n_regionkey") === 1,
+        Map("n_name" -> concat(col("n_name"), lit("_U"))), Some(2000L))
+      val keys = nation.filter(col("n_nationkey") % 4 === 1).select("n_nationkey")
+      tb.deletePositionalByKeys(spark, keys, Seq("n_nationkey"), Some(3000L))
+      tb
+    }
+
   /** EQUALITY-delete fixture: nation appended (snapshot 1), every third
     * nationkey equality-deleted (snapshot 2 — an O(keys) commit, no scan,
     * no data file touched), then a subset of the SAME keys re-appended
@@ -410,6 +426,18 @@ object Versioned extends QueryPack {
     "v28_graft_positional_delete" -> ((s, d) =>
       posFixture(s, d).read(s)
         .select("n_nationkey", "n_name", "n_regionkey")),
+
+    // NET-CHANGE CDC read over a mixed DML chain: the CoW update nets to
+    // retract-old + insert-new pairs (file-diff exceptAll), the
+    // positional delete to exact per-row retractions with their
+    // POST-update values — per-snapshot attribution via the virtual
+    // column. Applying the deltas to the from-state reproduces the
+    // current table (CdcSpec proves the fold; here the rows themselves
+    // are oracle-hashed)
+    "v32_graft_cdc_feed" -> ((s, d) =>
+      cdcFixture(s, d).changesCdc(s, fromSnapshotId = 1L)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("_change_type"), col("snapshot__id"))),
 
     // EQUALITY merge-on-read delete: O(keys) commit (no candidate scan),
     // key anti-join at read scoped to pre-delete files, re-appended keys
@@ -713,6 +741,16 @@ object Versioned extends QueryPack {
         "WHERE n_regionkey NOT IN (2, 4) AND n_nationkey % 5 <> 1 " +
         "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "WHERE n_regionkey = 2 AND n_nationkey % 5 <> 1"),
+    "v32_graft_cdc_feed" ->
+      ("SELECT n_nationkey, n_name, n_regionkey, " +
+        "'delete' AS _change_type, CAST(2 AS BIGINT) AS snapshot__id " +
+        "FROM nation WHERE n_regionkey = 1 " +
+        "UNION ALL SELECT n_nationkey, n_name || '_U', n_regionkey, " +
+        "'insert', CAST(2 AS BIGINT) FROM nation WHERE n_regionkey = 1 " +
+        "UNION ALL SELECT n_nationkey, " +
+        "CASE WHEN n_regionkey = 1 THEN n_name || '_U' ELSE n_name END, " +
+        "n_regionkey, 'delete', CAST(3 AS BIGINT) FROM nation " +
+        "WHERE n_nationkey % 4 = 1"),
     "v31_graft_equality_delete" ->
       ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "WHERE n_nationkey % 3 <> 0 " +
