@@ -255,6 +255,26 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** MERGE-ON-READ upsert fixture: nation appended (snapshot 1), then an
+    * upsert batch — region-2 names retagged plus one brand-new key —
+    * lands as ONE O(source) commit (appended rows + key tombstone;
+    * snapshot 2). */
+  private def morMergeFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_mormerge", 2) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      val retag = nation.filter(col("n_regionkey") === 2)
+        .withColumn("n_name", concat(col("n_name"), lit("_M")))
+      val fresh = spark.range(1).select(
+        lit(999L).cast(nation.schema("n_nationkey").dataType).as("n_nationkey"),
+        lit("NEWLAND").as("n_name"),
+        lit(2L).cast(nation.schema("n_regionkey").dataType).as("n_regionkey"))
+      tb.mergeEquality(spark, retag.unionByName(fresh), Seq("n_nationkey"),
+        Some(2000L))
+      tb
+    }
+
   /** CDC fixture: nation appended (snapshot 1), region-1 names retagged
     * by copy-on-write UPDATE (snapshot 2), then a key set positionally
     * deleted (snapshot 3) — the retraction-carrying change feed over a
@@ -425,6 +445,13 @@ object Versioned extends QueryPack {
     // only the targeted files against the delete parquets.
     "v28_graft_positional_delete" -> ((s, d) =>
       posFixture(s, d).read(s)
+        .select("n_nationkey", "n_name", "n_regionkey")),
+
+    // MERGE-ON-READ upsert: the source batch replaces same-key rows and
+    // appends new keys in one O(source) commit (no candidate-file
+    // rewrite) — reads resolve the tombstone anti-join
+    "v33_graft_mor_merge" -> ((s, d) =>
+      morMergeFixture(s, d).read(s)
         .select("n_nationkey", "n_name", "n_regionkey")),
 
     // NET-CHANGE CDC read over a mixed DML chain: the CoW update nets to
@@ -741,6 +768,12 @@ object Versioned extends QueryPack {
         "WHERE n_regionkey NOT IN (2, 4) AND n_nationkey % 5 <> 1 " +
         "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "WHERE n_regionkey = 2 AND n_nationkey % 5 <> 1"),
+    "v33_graft_mor_merge" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_regionkey <> 2 " +
+        "UNION ALL SELECT n_nationkey, n_name || '_M', n_regionkey " +
+        "FROM nation WHERE n_regionkey = 2 " +
+        "UNION ALL SELECT 999, 'NEWLAND', 2"),
     "v32_graft_cdc_feed" ->
       ("SELECT n_nationkey, n_name, n_regionkey, " +
         "'delete' AS _change_type, CAST(2 AS BIGINT) AS snapshot__id " +

@@ -1159,6 +1159,80 @@ final class GraftTable private (
     }
   }
 
+  /** MERGE-ON-READ UPSERT by key — the O(source) merge: ONE commit pairs
+    * an equality-delete entry (the source's key tuples, superseding every
+    * older copy) with the appended source rows. Nothing else is read or
+    * written — where copy-on-write [[merge]] rewrites every candidate
+    * file, this writes exactly the batch, which is the continuous
+    * CDC-ingest shape at 100 TB (upsert streams land as appends + key
+    * tombstones; compaction amortizes the read-side anti-join away).
+    *
+    * Semantics match [[merge]]: source rows replace same-key rows, new
+    * keys append, duplicate keys WITHIN the source all insert, null-key
+    * source rows append without replacing anything. The entry is scoped
+    * to pre-commit files, so the source's own rows are never hidden.
+    * Stacks freely on prior equality entries; refused while the other
+    * merge-on-read forms are pending and on branch-era files. */
+  def mergeEquality(
+      spark: SparkSession,
+      source: DataFrame,
+      keyCols: Seq[String],
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    val lg = log
+    val current = lg.current.getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no snapshot — append() the initial data first"))
+    require(parsePending(current).isEmpty && parsePositional(current).isEmpty,
+      s"$dir has other merge-on-read deletes pending — the forms do not " +
+        "stack; compact() first")
+    require(keyCols.nonEmpty, "at least one key column required")
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"unknown key column '$c'"))
+    require(source.columns.sorted.toSeq == schema.fieldNames.sorted.toSeq,
+      s"source columns [${source.columns.sorted.mkString(",")}] must match " +
+        s"table schema [${schema.fieldNames.sorted.mkString(",")}] of $dir")
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    manifest.files.foreach(f => require(fileSnapId(f.path).isDefined,
+      s"cannot scope a merge-on-read upsert: data file ${f.path} is from " +
+        "a branch era — compact() first to re-own the files"))
+    val snapId = lg.nextId
+    val newFiles = writeDataFiles(source, snapId).filter(_.recordCount > 0)
+    if (newFiles.isEmpty) return None // empty source: no upsert, no entry
+    // key file: the source's distinct non-null-free key tuples
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$dir/.staging-eq-$snapId-$token"
+    try source.select(keyCols.map(col): _*).distinct()
+      .write.mode("overwrite").parquet(staging)
+    catch { case e: Throwable =>
+      newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
+      GraftTable.deleteRecursively(Paths.get(staging)); throw e
+    }
+    Files.createDirectories(Paths.get(dir, "deletes"))
+    val staged = scala.util.Using.resource(Files.list(Paths.get(staging))) {
+      s => s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+    }
+    val rels = staged.zipWithIndex.map { case (src, i) =>
+      val rel = f"deletes/eq-$snapId%05d-$token-$i%05d.parquet"
+      Files.move(src, Paths.get(dir, rel), StandardCopyOption.REPLACE_EXISTING)
+      rel
+    }
+    GraftTable.deleteRecursively(Paths.get(staging))
+    val entries = parseEquality(current) :+
+      EqualityDeletes(rels, keyCols, current.snapshotId)
+    try Some(commit(lg, snapId, Manifest(manifest.files ++ newFiles), newFiles,
+      operation = "merge", committedAt,
+      extraSummary = Map(
+        "equality" -> "true",
+        "merge-key" -> keyCols.mkString(","),
+        SummaryEqualityDeletes -> equalityJson(entries))))
+    catch { case e: Throwable =>
+      rels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+      throw e
+    }
+  }
+
   /** POSITIONAL merge-on-read DELETE (Iceberg v2 position-delete files):
     * record WHICH physical rows die — `(data file, row position)` pairs
     * written as small parquet delete files under `deletes/` — instead of
@@ -2307,13 +2381,21 @@ final class GraftTable private (
             // keeps the row — same semantics as the read path)
             tag(survivors.filter(expr(predSql) <=> true), "delete", s)
           }
-        // EQUALITY delete: deletes = each new key entry's matches among
-        // its covered files' visible-at-parent survivors (the semi-join
-        // mirror of the read path's anti-join) — O(covered data) per
-        // entry, nothing rewritten
-        case "delete" if s.summary.get("equality").contains("true") =>
+        // EQUALITY delete / merge-on-read upsert: deletes = each new key
+        // entry's matches among its covered files' visible-at-parent
+        // survivors (the semi-join mirror of the read path's anti-join)
+        // — O(covered data) per entry, nothing rewritten; inserts = the
+        // commit's appended files (the upsert's superseding rows; empty
+        // for a pure delete)
+        case "delete" | "merge"
+            if s.summary.get("equality").contains("true") =>
           val p = parent(s)
           val parentEq = parseEquality(p)
+          val parentPaths = files(p).map(_.path).toSet
+          val addedFs = files(s).filterNot(f => parentPaths.contains(f.path))
+          val inserts =
+            if (addedFs.isEmpty) Nil
+            else Seq(tag(readOrEmpty(addedFs), "insert", s))
           val entries = parseEquality(s).drop(parentEq.size)
           entries.map { e =>
             val covered = files(s).filter(f =>
@@ -2322,7 +2404,7 @@ final class GraftTable private (
               parsePositional(p), covered, parentEq)
             tag(survivors.join(readEqKeys(spark, e), e.cols, "left_semi"),
               "delete", s)
-          }
+          } ++ inserts
         // POSITIONAL delete/update: deletes = whole-file drops' visible
         // survivors + the new entries' exact rows (target files
         // semi-joined against their delete parquets); inserts = the

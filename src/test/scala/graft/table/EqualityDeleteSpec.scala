@@ -122,6 +122,59 @@ class EqualityDeleteSpec extends SparkSpecBase {
     assert(ids(t) == Seq(2L, 3L))
   }
 
+  test("mergeEquality: O(source) upsert — appended rows + key tombstone in one commit") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    t.append(mkDf(2L -> "b2"), Some(2000L)) // a second live copy of key 2
+    val before = dataFiles(s"$dir/t")
+
+    val snap = t.mergeEquality(spark, mkDf(2L -> "B", 4L -> "d"), Seq("id"), Some(3000L))
+    assert(snap.get.operation == "merge")
+    assert(snap.get.summary("equality") == "true")
+    // no pre-existing file touched: exactly the batch was written
+    val after = dataFiles(s"$dir/t")
+    assert(before.subsetOf(after) && after.size > before.size)
+
+    val rows = t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"),
+      "upsert missed an old copy or lost a row")
+    assert(t.read(spark).count() == 4L)
+    // time travel: both old copies of key 2 visible at snapshot 2
+    assert(t.read(spark, Some(2L)).filter(col("id") === 2).count() == 2L)
+
+    // stacked upsert supersedes the superseding row
+    t.mergeEquality(spark, mkDf(4L -> "D2"), Seq("id"), Some(4000L))
+    assert(t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D2"))
+    // empty source: no commit
+    val n0 = t.log.snapshots.size
+    assert(t.mergeEquality(spark, mkDf(), Seq("id"), Some(5000L)).isEmpty)
+    assert(t.log.snapshots.size == n0)
+
+    // CDC fold across the upserts reproduces state
+    val cdc = t.changesCdc(spark, fromSnapshotId = 2L)
+      .select("id", "data", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    var state = scala.collection.mutable.Map(
+      (1L, "a") -> 1, (2L, "b") -> 1, (2L, "b2") -> 1, (3L, "c") -> 1)
+    cdc.foreach { case (id, d, tpe) =>
+      val k = (id, d)
+      if (tpe == "delete") {
+        assert(state.getOrElse(k, 0) > 0, s"retraction of absent row $k")
+        state(k) = state(k) - 1
+      } else state(k) = state.getOrElse(k, 0) + 1
+    }
+    assert(state.filter(_._2 > 0).keys.toSeq.sorted ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D2")), "CDC fold diverged")
+
+    // compaction materializes; reads unchanged
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(6000L))
+    assert(t.equalityDeletes.isEmpty)
+    assert(t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D2"))
+  }
+
   test("refusals: form stacking, CoW DML, countWhere, branch, key-type mismatch") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
