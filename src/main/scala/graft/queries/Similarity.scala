@@ -162,7 +162,49 @@ object Similarity extends QueryPack {
     rankTopK(scored, k)
   }
 
+  /** kNN JOIN: top-k neighbors for EVERY corpus row (vs [[lshTopK]]'s
+    * bounded query batch) — the all-to-all shape behind dedup-graph
+    * construction and recommendation candidate generation. All-pairs is
+    * the trap; the pair space is LSH sign-bucket blocked (collisions in
+    * ANY of the tables), deduped per pair, exactly rescored, and reduced
+    * with the bounded-heap top-k aggregate — O(n · tables) bucket rows
+    * and O(collisions) scored pairs, never O(n²). More planes shrink
+    * buckets (recall/cost dial, same as [[lshTopK]]). Seeded literal
+    * hyperplanes, so the DuckDB oracle replays blocking + rescoring and
+    * the whole join is hash-checked. */
+  def knnJoinSeeded(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 6,
+      nTables: Int = 8,
+      seed: Long = 11L): DataFrame = {
+    val fam = graft.functions.LshBuckets.family(lshTables(nPlanes, nTables, seed))
+    def buckets(v: Column): Column =
+      graft.functions.LshBuckets.hyperplane_buckets(v, fam)
+    val base = corpus.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_v"))
+    val lb = base.withColumn("bucket", explode(buckets(col("q_v"))))
+    val rb = base.select(col("q_id").as("n_id"), col("q_v").as("n_v"))
+      .withColumn("bucket", explode(buckets(col("n_v"))))
+    // corpus-vs-corpus: both sides shuffle on the bucket key (no
+    // broadcast — neither side is bounded); multi-table collisions
+    // dedup per (q, n) pair before the exact rescore
+    val cand = lb.join(rb, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_v", "n_id", "n_v")
+      .dropDuplicates("q_id", "n_id")
+    val scored = cand.withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
+    rankTopK(scored, k)
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // kNN JOIN: LSH-blocked top-3 neighbors for EVERY vector (the
+    // dedup-graph/recommendation all-to-all shape) — oracle-hashed end
+    // to end via the seeded literal hyperplanes
+    "s18_knn_join" -> ((s, d) =>
+      knnJoinSeeded(t(s, d, "embeddings"), "vec_id", "embedding", k = 3)),
 
     // exact k-NN for 5 fixed query vectors (vec_id < 5), k = 10
     "s01_knn_brute" -> ((s, d) => {
@@ -1152,6 +1194,27 @@ object Similarity extends QueryPack {
         "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
         "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
+    },
+    "s18_knn_join" -> {
+      // same literal hyperplane family as the Spark side (the s02
+      // spelling); both join sides are the full corpus
+      val tables = lshTables(nPlanes = 6, nTables = 8, seed = 11L)
+      val bucketExprs = tables.zipWithIndex.map { case (planes, ti) =>
+        val bits = planes.zipWithIndex.map { case (p, i) =>
+          val arr = p.map(_.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_cosine_similarity(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"($bits + ${ti.toLong * 64L})"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        s"b AS (SELECT vec_id, v, unnest([$bucketExprs]) AS bucket FROM e), " +
+        "cand AS (SELECT DISTINCT l.vec_id AS q_id, r.vec_id AS n_id " +
+        "FROM b l JOIN b r ON l.bucket = r.bucket AND r.vec_id <> l.vec_id), " +
+        "scored AS (SELECT q_id, n_id, list_cosine_similarity(eq.v, en.v) AS cos " +
+        "FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id), " +
+        "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
+        "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 3"
     },
     "s09_knn_ivf_seeded" -> {
       // the SAME seeded centroids as the Spark side, embedded as literal
