@@ -204,7 +204,8 @@ object Similarity extends QueryPack {
     // dedup-graph/recommendation all-to-all shape) — oracle-hashed end
     // to end via the seeded literal hyperplanes
     "s18_knn_join" -> ((s, d) =>
-      knnJoinSeeded(t(s, d, "embeddings"), "vec_id", "embedding", k = 3)),
+      knnJoinSeeded(t(s, d, "embeddings"), "vec_id", "embedding", k = 3,
+        nPlanes = 8)),
 
     // exact k-NN for 5 fixed query vectors (vec_id < 5), k = 10
     "s01_knn_brute" -> ((s, d) => {
@@ -1197,14 +1198,16 @@ object Similarity extends QueryPack {
     },
     "s18_knn_join" -> {
       // same literal hyperplane family as the Spark side (the s02
-      // spelling); both join sides are the full corpus
-      val tables = lshTables(nPlanes = 6, nTables = 8, seed = 11L)
+      // spelling, at 8 planes — 256 buckets/table keeps the blocked
+      // pair space ~4x tighter than the s02 search setting); both join
+      // sides are the full corpus
+      val tables = lshTables(nPlanes = 8, nTables = 8, seed = 11L)
       val bucketExprs = tables.zipWithIndex.map { case (planes, ti) =>
         val bits = planes.zipWithIndex.map { case (p, i) =>
           val arr = p.map(_.toString).mkString("[", ", ", "]")
           s"(CASE WHEN list_cosine_similarity(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
         }.mkString(" + ")
-        s"($bits + ${ti.toLong * 64L})"
+        s"($bits + ${ti.toLong * 256L})"
       }.mkString(", ")
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
         s"b AS (SELECT vec_id, v, unnest([$bucketExprs]) AS bucket FROM e), " +
