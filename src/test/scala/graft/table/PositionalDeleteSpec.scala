@@ -295,6 +295,35 @@ class PositionalDeleteSpec extends SparkSpecBase {
       == rows2)
   }
 
+  test("a lost commit race leaves no orphan delete files") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    // another writer holds the claim for the next snapshot id
+    val marker = java.nio.file.Paths.get(s"$dir/t/manifests/.commit-00002")
+    java.nio.file.Files.createFile(marker)
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        t.deletePositional(spark, col("id") === 1, Some(2000L))
+      }
+      assert(deleteFiles(s"$dir/t").isEmpty,
+        "lost positional race left delete parquets behind")
+      intercept[java.util.ConcurrentModificationException] {
+        t.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"), Some(2000L))
+      }
+      assert(deleteFiles(s"$dir/t").isEmpty,
+        "lost equality race left key files behind")
+      intercept[java.util.ConcurrentModificationException] {
+        t.mergeEquality(spark, mkDf(5L -> "e"), Seq("id"), Some(2000L))
+      }
+      assert(deleteFiles(s"$dir/t").isEmpty,
+        "lost upsert race left key files behind")
+    } finally java.nio.file.Files.deleteIfExists(marker)
+    // the claim released, everything works again
+    assert(t.deletePositional(spark, col("id") === 1, Some(3000L)).isDefined)
+    assert(ids(t) == Seq(2L))
+  }
+
   test("deletes metadata table reports pending MoR debt per kind") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
