@@ -87,6 +87,25 @@ class GraftChangeFeedSpec extends SparkSpecBase {
     run()
     assert(mirror.sorted.toSeq == tableRows(), s"mirror=$mirror")
     assert(mirror.sorted.toSeq == Seq(1L -> "a2", 3L -> "b"))
+
+    // the merge-on-read family through the same feed: a positional key
+    // delete, a fresh append, the O(source) upsert (replace + new key),
+    // maintenance, and an equality delete — one poll per window, the
+    // mirror must track every retraction/insertion exactly
+    t.deletePositionalByKeys(spark, mk(3L -> "x").select("id"),
+      Seq("id"), Some(6000L))
+    t.append(mk(4L -> "d", 5L -> "e"), Some(7000L))
+    run()
+    assert(mirror.sorted.toSeq == tableRows(), s"mirror=$mirror")
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(8000L))
+    t.mergeEquality(spark, mk(5L -> "E2", 6L -> "f"), Seq("id"), Some(9000L))
+    run()
+    assert(mirror.sorted.toSeq == tableRows(), s"mirror=$mirror")
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(10000L))
+    t.deleteEquality(spark, mk(4L -> "x").select("id"), Seq("id"), Some(11000L))
+    run()
+    assert(mirror.sorted.toSeq == tableRows(), s"mirror=$mirror")
+    assert(mirror.sorted.toSeq == Seq(1L -> "a2", 5L -> "E2", 6L -> "f"))
   }
 
   test("expired cursor: loud error + reset() recovery, never a silent wedge") {
