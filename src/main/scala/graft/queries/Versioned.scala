@@ -346,7 +346,63 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Session with [[graft.table.GraftExtensions]] for the SQL-DML fixture:
+    * the analyzer rule routing UPDATE/MERGE INTO needs the extensions, and
+    * some callers (plan-audit specs) run query closures on a session built
+    * without them. One cached secondary session on the same SparkContext;
+    * never stopped (it shares the context with every other session). */
+  @volatile private var dmlSessionCache: SparkSession = _
+  private def dmlSession(base: SparkSession): SparkSession = synchronized {
+    if (dmlSessionCache == null) {
+      dmlSessionCache = SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.table.GraftExtensions)
+        .config("spark.sql.shuffle.partitions",
+          base.conf.get("spark.sql.shuffle.partitions"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .create()
+    }
+    dmlSessionCache
+  }
+
+  /** Three-snapshot fixture driven entirely through SQL DML on the DSv2
+    * catalog: append nation, `UPDATE … WHERE n_regionkey = 0`, then the
+    * canonical `MERGE INTO … SET * / INSERT *` upsert (keys ≤ 1 renamed,
+    * keys +990 inserted) — the statements land on [[GraftTable.update]] /
+    * [[GraftTable.merge]] via [[graft.table.ResolveGraftDml]]. */
+  private def sqlDmlFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/nation_sqldml", 3) { dir =>
+      val s2 = dmlSession(spark)
+      val nation = t(s2, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      val wh = Paths.get(dir).getParent.getParent.toString
+      s2.conf.set("spark.sql.catalog.g34", "graft.table.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.g34.warehouse", wh)
+      s2.sql("UPDATE g34.db.nation_sqldml " +
+        "SET n_name = concat('U-', n_name) WHERE n_regionkey = 0")
+      val keyType = nation.schema("n_nationkey").dataType
+      nation.filter(col("n_nationkey") <= 1)
+        .withColumn("n_name", concat(lit("M-"), col("n_name")))
+        .unionByName(nation.filter(col("n_nationkey") <= 1)
+          .withColumn("n_nationkey", (col("n_nationkey") + 990).cast(keyType))
+          .withColumn("n_name", lit("NEWLAND")))
+        .createOrReplaceTempView("nation_sqldml_src")
+      s2.sql("MERGE INTO g34.db.nation_sqldml t USING nation_sqldml_src s " +
+        "ON t.n_nationkey = s.n_nationkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      tb
+    }
+
   val queries: Map[String, Q] = Map(
+
+    // SQL DML through the DSv2 catalog: UPDATE + MERGE INTO statements
+    // routed to the library's copy-on-write commit paths by the injected
+    // analyzer rule; the read sees the post-DML table at snapshot 3
+    "v34_graft_sql_dml" -> ((s, d) =>
+      sqlDmlFixture(s, d).read(s)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("snapshot__id"))),
 
     // schema evolution: one scan spanning pre- and post-evolution files;
     // the added column is NULL for rows from pre-evolution files
@@ -714,6 +770,14 @@ object Versioned extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "v34_graft_sql_dml" ->
+      ("SELECT n_nationkey, " +
+        "CASE WHEN n_nationkey <= 1 THEN 'M-' || n_name " +
+        "WHEN n_regionkey = 0 THEN 'U-' || n_name " +
+        "ELSE n_name END AS n_name, " +
+        "n_regionkey, CAST(3 AS BIGINT) AS snapshot__id FROM nation " +
+        "UNION ALL SELECT n_nationkey + 990, 'NEWLAND', n_regionkey, " +
+        "CAST(3 AS BIGINT) FROM nation WHERE n_nationkey <= 1"),
     // the maintained view must equal a from-scratch recompute of the
     // final state (nation minus the deleted regions)
     "v22_graft_ivm" ->

@@ -17,6 +17,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session => ResolveGraftScan(session))
+    // SQL UPDATE / MERGE INTO over GraftSparkCatalog tables → the
+    // library's CoW/MoR commit paths (must run during resolution: the
+    // relation is read-only DSv2, so an untouched UpdateTable would fail
+    // CheckAnalysis as unsupported)
+    e.injectResolutionRule(session => ResolveGraftDml(session))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -197,6 +197,13 @@ final class GraftV2Table(
   override def name(): String = tableName
   override def schema(): StructType = t.schema
 
+  /** The library table behind this DSv2 wrapper — the SQL DML rule
+    * ([[ResolveGraftDml]]) routes UPDATE/MERGE to its commit paths. */
+  private[table] def underlying: GraftTable = t
+
+  /** Pinned snapshot of a `VERSION/TIMESTAMP AS OF` read (DML refused). */
+  private[table] def pinned: Option[Long] = snapshotId
+
   /** V1 source filter → Column, for the SQL DELETE surface. Conservative:
     * any shape outside this translatable core makes [[canDeleteWhere]]
     * answer false and Spark reports the statement unsupported instead of
@@ -238,7 +245,13 @@ final class GraftV2Table(
     * (same stance as the programmatic CoW DML). */
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    snapshotId.isEmpty && filters.forall(f => filterToColumn(f).isDefined)
+    // Predicate and equality merge-on-read entries refuse CoW DML deep in
+    // GraftTable.delete; answering false here makes Spark report the
+    // statement unsupported instead of surfacing the internal require.
+    // Positional entries compose with CoW, so they stay allowed.
+    snapshotId.isEmpty && t.pendingDeletes.isEmpty &&
+      t.equalityDeletes.isEmpty &&
+      filters.forall(f => filterToColumn(f).isDefined)
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {

@@ -1,0 +1,263 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+
+/** SQL `UPDATE` / `MERGE INTO` over [[GraftSparkCatalog]] tables, routed to
+  * the library's existing DML commit paths (copy-on-write [[GraftTable.update]]
+  * / [[GraftTable.merge]], merge-on-read [[GraftTable.mergeEquality]]) by an
+  * injected analyzer rule — the same integration stance Iceberg takes for its
+  * SQL extensions: the session registers `graft.table.GraftExtensions` and
+  * standard DML statements reach the table's own atomic commit protocol
+  * instead of failing as "not supported" on a read-only DSv2 relation.
+  * (Reference analog: the storage-handler surface of
+  * IcebergStorageHandler.java:38-113, which delegates all mutation to the
+  * table format's own transaction layer.)
+  *
+  * Supported surface:
+  *  - `UPDATE cat.db.t SET c = expr, … [WHERE pred]` — top-level columns
+  *    only; routed to the copy-on-write rewrite (manifest pruning picks
+  *    candidate files; untouched files carry over byte-identical).
+  *  - `MERGE INTO cat.db.t USING src ON t.k = src.k
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  *    — the canonical upsert (per-column assignments are accepted when the
+  *    matched and not-matched assignment for each column is the same
+  *    source-side expression, which is what `SET *` / `INSERT *` expand
+  *    to). Routed to [[GraftTable.merge]] (copy-on-write) or, when the
+  *    table property `write.merge.mode = merge-on-read` is set, to
+  *    [[GraftTable.mergeEquality]] (O(source) commit, tombstone anti-join
+  *    at read). Exotic shapes (conditional actions, DELETE actions,
+  *    NOT MATCHED BY SOURCE) are refused with a clear error rather than
+  *    guessed at.
+  */
+case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u @ UpdateTable(target, assignments, condition) if u.resolved =>
+      graftTarget(target) match {
+        case Some(g) => rewriteUpdate(g, assignments, condition)
+        case None => plan
+      }
+    case m: MergeIntoTable if m.resolved =>
+      graftTarget(m.targetTable) match {
+        case Some(g) => rewriteMerge(g, m)
+        case None => plan
+      }
+    case _ => substituteMorReads(plan)
+  }
+
+  /** A DSv2 graft relation whose snapshot has merge-on-read deletes
+    * pending cannot be served by the raw parquet file-list scan (it would
+    * resurrect deleted rows — [[GraftV2Table.newScanBuilder]] refuses).
+    * With the extensions registered we can do better: splice in the
+    * library's visible-rows plan ([[GraftTable.read]] → readVisible, the
+    * single MoR read chokepoint), re-aliased to the relation's attribute
+    * ids so the surrounding query is untouched. Catalyst then pushes
+    * filters/pruning into the underlying parquet scans of that plan as
+    * usual. Sessions WITHOUT the extensions keep the loud refusal —
+    * silence would mean wrong rows. */
+  private def substituteMorReads(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case r: DataSourceV2Relation if morPending(r).isDefined =>
+        val g = morPending(r).get
+        val tb = g.underlying
+        val df = tb.read(spark, g.pinned)
+          .select(tb.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
+        val child = GraftBridge.analyzedPlan(df)
+        val aliases = r.output.map { out =>
+          val in = child.output.find(_.name.equalsIgnoreCase(out.name))
+            .getOrElse(fail(s"visible-rows plan for ${g.name()} lacks " +
+              s"column ${out.name}"))
+          Alias(in, out.name)(exprId = out.exprId)
+        }
+        Project(aliases, child)
+    }
+
+  private def morPending(r: DataSourceV2Relation): Option[GraftV2Table] =
+    r.table match {
+      case g: GraftV2Table =>
+        val tb = g.underlying
+        val snap = g.pinned match {
+          case Some(id) => tb.log.byId(id)
+          case None => tb.log.current
+        }
+        val pending = snap.exists(s => tb.parsePending(s).nonEmpty ||
+          tb.parsePositional(s).nonEmpty || tb.parseEquality(s).nonEmpty)
+        if (pending) Some(g) else None
+      case _ => None
+    }
+
+  /** The GraftV2Table beneath the target's alias chain, if this statement
+    * addresses a graft catalog table. */
+  private def graftTarget(plan: LogicalPlan): Option[GraftV2Table] = plan match {
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case r: DataSourceV2Relation =>
+      r.table match {
+        case g: GraftV2Table => Some(g)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_0035",
+      messageParameters = Map("message" -> msg))
+
+  /** Re-target a resolved expression at the table's own read frame: every
+    * attribute becomes an unresolved by-name reference, so the Column can
+    * be resolved again inside [[GraftTable.update]]'s single projection. */
+  private def byName(e: Expression): Column =
+    GraftBridge.column(e.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+    })
+
+  private def rewriteUpdate(
+      g: GraftV2Table,
+      assignments: Seq[Assignment],
+      condition: Option[Expression]): LogicalPlan = {
+    if (g.pinned.nonEmpty)
+      fail(s"cannot UPDATE a time-travel read of ${g.name()}")
+    val assigns = assignments.flatMap { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => fail(
+          s"UPDATE of nested field ${other.sql} is not supported on graft tables")
+      }
+      // drop aligned identity assignments (c := c) defensively
+      if (a.value.semanticEquals(a.key)) None
+      else Some(name -> byName(a.value))
+    }.toMap
+    if (assigns.isEmpty) GraftNoopCommand()
+    else GraftUpdateCommand(g.underlying,
+      condition.map(byName).getOrElse(lit(true)), assigns)
+  }
+
+  private def rewriteMerge(g: GraftV2Table, m: MergeIntoTable): LogicalPlan = {
+    if (g.pinned.nonEmpty)
+      fail(s"cannot MERGE INTO a time-travel read of ${g.name()}")
+    val tbl = g.underlying
+    val targetOut = m.targetTable.outputSet
+    val sourceOut = m.sourceTable.outputSet
+
+    // ON condition: conjunction of target.k = source.k equalities
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys = conjuncts(m.mergeCondition).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if targetOut.contains(l) && sourceOut.contains(r) => l.name
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if sourceOut.contains(l) && targetOut.contains(r) => r.name
+      case other => fail(
+        s"MERGE condition ${other.sql} is not a target-key = source-key " +
+          "equality — graft merges are keyed upserts")
+    }
+
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
+    val updAssigns = m.matchedActions match {
+      case Seq(UpdateAction(None, as, _)) => as
+      case _ => fail(
+        "graft MERGE supports exactly one unconditional " +
+          "WHEN MATCHED THEN UPDATE SET … action")
+    }
+    val insAssigns = m.notMatchedActions match {
+      case Seq(InsertAction(None, as)) => as
+      case _ => fail(
+        "graft MERGE supports exactly one unconditional " +
+          "WHEN NOT MATCHED THEN INSERT … action")
+    }
+
+    // per table column: matched and not-matched must assign the same
+    // source-side expression (the SET * / INSERT * expansion)
+    def assignMap(as: Seq[Assignment]): Map[String, Expression] =
+      as.map { a =>
+        a.key match {
+          case ar: AttributeReference => ar.name -> a.value
+          case other => fail(s"MERGE assignment to nested field ${other.sql} " +
+            "is not supported on graft tables")
+        }
+      }.toMap
+    val upd = assignMap(updAssigns)
+    val ins = assignMap(insAssigns)
+    val exprs = tbl.schema.fieldNames.toSeq.map { c =>
+      val u = upd.getOrElse(c, fail(
+        s"MERGE must assign every table column; '$c' missing from UPDATE SET"))
+      val i = ins.getOrElse(c, fail(
+        s"MERGE must assign every table column; '$c' missing from INSERT"))
+      if (!u.semanticEquals(i)) fail(
+        s"UPDATE SET and INSERT assign different values to '$c' — graft " +
+          "merges replace whole rows (use SET * / INSERT *)")
+      if (u.references.exists(targetOut.contains)) fail(
+        s"MERGE value for '$c' references the target table — values must " +
+          "come from the source")
+      c -> u
+    }
+
+    // project the source plan to the table schema (exprs are resolved
+    // against m.sourceTable, so this is a plain Project on it)
+    val project = Project(
+      exprs.map { case (c, e) => Alias(e, c)() }, m.sourceTable)
+
+    tbl.properties.getOrElse("write.merge.mode", "copy-on-write") match {
+      case "merge-on-read" =>
+        GraftMorMergeCommand(tbl, project, keys)
+      case _ =>
+        if (keys.size != 1) fail(
+          "copy-on-write MERGE supports a single key column; set table " +
+            "property write.merge.mode=merge-on-read for composite keys")
+        GraftCowMergeCommand(tbl, project, keys.head)
+    }
+  }
+}
+
+/** UPDATE routed to the copy-on-write rewrite. */
+case class GraftUpdateCommand(
+    table: GraftTable,
+    cond: Column,
+    assigns: Map[String, Column]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    table.withCommitRetry() { table.update(spark, cond, assigns) }
+    Nil
+  }
+}
+
+/** MERGE routed to the copy-on-write keyed upsert. */
+case class GraftCowMergeCommand(
+    table: GraftTable,
+    source: LogicalPlan,
+    keyCol: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftBridge.ofRows(spark, source)
+    table.withCommitRetry() { table.merge(spark, src, keyCol) }
+    Nil
+  }
+}
+
+/** MERGE routed to the merge-on-read (equality tombstone) upsert. */
+case class GraftMorMergeCommand(
+    table: GraftTable,
+    source: LogicalPlan,
+    keyCols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftBridge.ofRows(spark, source)
+    table.withCommitRetry() { table.mergeEquality(spark, src, keyCols) }
+    Nil
+  }
+}
+
+/** An UPDATE whose every assignment was the identity — nothing to do. */
+case class GraftNoopCommand() extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = Nil
+}

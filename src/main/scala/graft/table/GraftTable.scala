@@ -85,14 +85,16 @@ final class GraftTable private (
   private[table] def parsePositional(s: Snapshot): Seq[PositionalDeletes] =
     s.summary.get(SummaryPositionalDeletes) match {
       case None | Some("") | Some("[]") => Nil
-      case Some(json) =>
-        graft.util.Json.parse(json).asInstanceOf[Seq[Any]].map { e =>
-          val m = e.asInstanceOf[Map[String, Any]]
-          PositionalDeletes(
-            m("files").asInstanceOf[Seq[Any]].map(_.toString),
-            m("targets").asInstanceOf[Map[String, Any]]
-              .map { case (k, v) => k -> v.asInstanceOf[Long] })
-        }
+      case Some(json) => parsePositionalJson(json)
+    }
+
+  private def parsePositionalJson(json: String): Seq[PositionalDeletes] =
+    graft.util.Json.parse(json).asInstanceOf[Seq[Any]].map { e =>
+      val m = e.asInstanceOf[Map[String, Any]]
+      PositionalDeletes(
+        m("files").asInstanceOf[Seq[Any]].map(_.toString),
+        m("targets").asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.asInstanceOf[Long] })
     }
 
   private def positionalJson(entries: Seq[PositionalDeletes]): String =
@@ -736,6 +738,28 @@ final class GraftTable private (
       throw new java.util.ConcurrentModificationException(
         s"snapshot log advanced to ${lg2.nextId} during commit of $snapId on $dir")
     }
+    // Positional anti-joins key on basename: writePositions proves
+    // uniqueness against the manifest AT ENTRY CREATION, but a later
+    // append could (with token-randomized names, astronomically unlikely)
+    // reuse a pending target's basename and silently lose the wrong
+    // file's rows — re-check every commit that adds files while entries
+    // are pending.
+    if (newFiles.nonEmpty) {
+      val posJson = extraSummary.get(SummaryPositionalDeletes)
+        .orElse(lg2.current.flatMap(_.summary.get(SummaryPositionalDeletes)))
+        .filter(v => v.nonEmpty && v != "[]")
+      val pendingBns = posJson.toSeq.flatMap(parsePositionalJson)
+        .flatMap(_.targets.keys).map(baseName).toSet
+      val clash = newFiles.map(f => baseName(f.path)).filter(pendingBns)
+      if (clash.nonEmpty) {
+        newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
+        Files.deleteIfExists(marker)
+        throw new IllegalStateException(
+          s"new data-file basename(s) ${clash.mkString(", ")} collide with " +
+            s"pending positional-delete targets on $dir — retry the write " +
+            "(fresh tokens) or compact() to materialize the entries first")
+      }
+    }
     manifest.write(s"$dir/$manifestRel")
 
     // carried-summary inheritance (pending-deletes, stream cursors): an
@@ -1229,6 +1253,10 @@ final class GraftTable private (
         SummaryEqualityDeletes -> equalityJson(entries))))
     catch { case e: Throwable =>
       rels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+      // commit() deletes newFiles on its detected race paths only; a
+      // non-race failure (manifest write I/O error after the claim)
+      // would otherwise leak them until removeOrphanFiles
+      newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
       throw e
     }
   }
@@ -1314,6 +1342,13 @@ final class GraftTable private (
       s"unknown key column '$c'"))
     keyCols.foreach(c => require(keys.columns.contains(c),
       s"keys DataFrame lacks column '$c'"))
+    keyCols.foreach { c =>
+      val kt = keys.schema(c).dataType
+      require(kt == schema(c).dataType,
+        s"key column '$c' is ${kt.sql}, table expects " +
+          s"${schema(c).dataType.sql} (cast explicitly — a coerced key " +
+          "silently changes the bounds prune and the position semi-join)")
+    }
     val lg = log
     val current = lg.current.getOrElse(return None)
     require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
@@ -1521,6 +1556,9 @@ final class GraftTable private (
         SummaryPositionalDeletes -> positionalJson(entries))))
     catch { case e: Throwable =>
       delRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+      // see mergeEquality: non-race commit failures must not leak the
+      // rewritten data files
+      newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
       throw e
     }
   }

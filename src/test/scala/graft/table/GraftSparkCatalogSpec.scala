@@ -216,4 +216,145 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     // whatever the analyzer phrases it as, the table must be unchanged
     assert(GraftTable.load(s"$wh/db/ro").read(spark).count() == 1)
   }
+
+  // ----------------------------------------------------------------
+  // SQL UPDATE / MERGE INTO (ResolveGraftDml via GraftExtensions)
+  // ----------------------------------------------------------------
+
+  /** Secondary session WITH the extensions (UPDATE/MERGE need the analyzer
+    * rule). Same SparkContext; never stopped (shared with every suite). */
+  private lazy val sqlS: org.apache.spark.sql.SparkSession = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .create()
+    s.conf.set("spark.sql.catalog.g2", "graft.table.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.g2.warehouse", wh)
+    s
+  }
+
+  test("SQL UPDATE routes to the copy-on-write update") {
+    val t = GraftTable.create(s"$wh/db/upd", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    sqlS.sql("UPDATE g2.db.upd SET data = concat(data, '!') WHERE id >= 2")
+    assert(sqlS.sql("SELECT data FROM g2.db.upd ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b!", "c!"))
+    val t2 = GraftTable.load(s"$wh/db/upd")
+    assert(t2.log.current.get.operation == "update")
+    // time travel still sees the old values
+    assert(sqlS.sql("SELECT data FROM g2.db.upd VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // unconditional UPDATE hits every row
+    sqlS.sql("UPDATE g2.db.upd SET data = 'z'")
+    assert(sqlS.sql("SELECT DISTINCT data FROM g2.db.upd")
+      .collect().map(_.getString(0)).toSeq == Seq("z"))
+  }
+
+  test("SQL UPDATE multi-assignment evaluates against the OLD row") {
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    val t = GraftTable.create(s"$wh/db/swap", s2)
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 10L, 20L)), 1), s2),
+      Some(1000L))
+    sqlS.sql("UPDATE g2.db.swap SET a = b, b = a")
+    val r = sqlS.sql("SELECT a, b FROM g2.db.swap").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((20L, 10L)),
+      "assignments leaked new values into each other")
+  }
+
+  test("SQL MERGE INTO routes to the copy-on-write keyed upsert") {
+    val t = GraftTable.create(s"$wh/db/mrg", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    sqlS.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, "B2"), Row(9L, "new")), 1),
+      schema).createOrReplaceTempView("mrg_src")
+    sqlS.sql(
+      "MERGE INTO g2.db.mrg t USING mrg_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(sqlS.sql("SELECT id, data FROM g2.db.mrg ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (9L, "new")))
+    assert(GraftTable.load(s"$wh/db/mrg").log.current.get.operation == "merge")
+  }
+
+  test("SQL MERGE INTO honors write.merge.mode=merge-on-read") {
+    val t = GraftTable.create(s"$wh/db/mrgmor", schema,
+      properties = Map("write.merge.mode" -> "merge-on-read"))
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    sqlS.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, "B2"), Row(9L, "new")), 1),
+      schema).createOrReplaceTempView("mrgmor_src")
+    sqlS.sql(
+      "MERGE INTO g2.db.mrgmor t USING mrgmor_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(sqlS.sql("SELECT id, data FROM g2.db.mrgmor ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (9L, "new")))
+    // the MoR path left an equality tombstone instead of rewriting files
+    assert(GraftTable.load(s"$wh/db/mrgmor").equalityDeletes.nonEmpty,
+      "merge-on-read mode did not take the equality-delete path")
+  }
+
+  test("SQL reads over MoR-pending tables: extensions splice the visible-rows plan") {
+    import org.apache.spark.sql.functions.col
+    // predicate (deferred) form
+    val t = GraftTable.create(s"$wh/db/morsel", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    t.deleteDeferred(spark, col("id") === 2L, Some(2000L))
+    // plain session: loud refusal (raw file-list scan would resurrect rows)
+    val e = intercept[Exception] { spark.sql("SELECT * FROM g2.db.morsel").count() }
+    assert(e.getMessage.contains("deferred deletes pending"), e.getMessage)
+    // extensions session: visible-rows plan spliced in
+    assert(sqlS.sql("SELECT id FROM g2.db.morsel ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // filters/projections over the spliced plan stay correct
+    assert(sqlS.sql("SELECT data FROM g2.db.morsel WHERE id > 1")
+      .collect().map(_.getString(0)).toSeq == Seq("c"))
+    // VERSION AS OF 1 pins the pre-delete snapshot (no entries → raw scan)
+    assert(sqlS.sql("SELECT * FROM g2.db.morsel VERSION AS OF 1").count() == 3)
+
+    // positional form
+    val tp = GraftTable.create(s"$wh/db/morpos", schema)
+    tp.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    tp.deletePositional(spark, col("data") === "b", Some(2000L))
+    assert(sqlS.sql("SELECT id FROM g2.db.morpos ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("SQL DML refusals: time travel, exotic MERGE, MoR-pending DELETE") {
+    val t = GraftTable.create(s"$wh/db/dmlref", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    val e1 = intercept[Exception] {
+      sqlS.sql("UPDATE g2.db.dmlref VERSION AS OF 1 SET data = 'x'")
+    }
+    // (parser may reject AS OF on UPDATE targets before our rule sees it;
+    // either way the statement must not commit)
+    assert(GraftTable.load(s"$wh/db/dmlref").log.snapshots.size == 1, e1)
+
+    sqlS.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "x")), 1),
+      schema).createOrReplaceTempView("dmlref_src")
+    val e2 = intercept[Exception] {
+      sqlS.sql("MERGE INTO g2.db.dmlref t USING dmlref_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(e2.getMessage.toLowerCase.contains("matched"), e2.getMessage)
+
+    // deferred (predicate) MoR delete pending → SQL DELETE must be
+    // refused as unsupported up front, not die in a deep require
+    t.deleteDeferred(spark, org.apache.spark.sql.functions.col("id") === 1L,
+      Some(2000L))
+    val e3 = intercept[Exception] {
+      sqlS.sql("DELETE FROM g2.db.dmlref WHERE id = 2")
+    }
+    assert(!e3.getMessage.contains("compact() first"),
+      s"refusal leaked the internal require: ${e3.getMessage}")
+    assert(GraftTable.load(s"$wh/db/dmlref").log.snapshots.size == 2)
+  }
 }

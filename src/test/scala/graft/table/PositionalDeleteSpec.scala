@@ -412,4 +412,24 @@ class PositionalDeleteSpec extends SparkSpecBase {
       t2.deletePositional(spark, col("id") === 1, Some(3000L))
     }
   }
+
+  test("deleteByKeys validates key column types against the table schema") {
+    val dir = tmp()
+    val t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    // string ids vs LONG key column: must refuse up front, not silently
+    // coerce in the bounds aggregate / semi-join
+    val badKeys = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("1"), Row("2")), 1),
+      StructType(Seq(StructField("id", StringType, nullable = false))))
+    val e = intercept[IllegalArgumentException] {
+      t.deletePositionalByKeys(spark, badKeys, Seq("id"), Some(2000L))
+    }
+    assert(e.getMessage.contains("cast explicitly"), e.getMessage)
+    assert(ids(t) == Seq(1L, 2L), "mistyped keys must not commit anything")
+    // exact-typed keys still work
+    import spark.implicits._
+    t.deletePositionalByKeys(spark, Seq(2L).toDF("id"), Seq("id"), Some(2000L))
+    assert(ids(t) == Seq(1L))
+  }
 }
