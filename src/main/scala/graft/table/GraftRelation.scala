@@ -45,15 +45,17 @@ final case class GraftRelation(dir: String, output: Seq[Attribute])
           .getOrElse(Manifest.empty) // a snapshotless table IS tiny
         Statistics(
           sizeInBytes = BigInt(manifest.files.map(_.fileSizeBytes).sum).max(1),
-          // pending DEFERRED deletes make manifest counts an upper bound,
-          // not an exact rowCount — withhold it rather than overstate
-          // (sizeInBytes stays: overstating size only suppresses a
-          // broadcast, the safe direction). POSITIONAL deletes carry
-          // exact per-target counts, so subtraction keeps exactness.
-          rowCount =
-            if (t.pendingDeletes.isEmpty && t.equalityDeletes.isEmpty)
-              Some(BigInt(manifest.totalRecords - t.positionalDeletedCount))
-            else None)
+          // every merge-on-read form carries exact dead-row counts in the
+          // summary (positional: per-target; predicate/equality: counted
+          // at commit), so rowCount stays exact while entries pend. It is
+          // withheld only for entries committed with exactCount = false —
+          // never overstated. (sizeInBytes stays: overstating size only
+          // suppresses a broadcast, the safe direction.)
+          rowCount = for {
+            p <- t.pendingDeletedCount
+            e <- t.equalityDeletedCount
+          } yield BigInt(
+            manifest.totalRecords - t.positionalDeletedCount - p - e))
       }
     } catch {
       case _: Exception => Statistics(sizeInBytes = BigInt(Long.MaxValue))
@@ -133,20 +135,20 @@ final case class ResolveGraftScan(spark: SparkSession)
     case agg @ Aggregate(Seq(), aggExprs, MetadataCountChild(g), _)
         if isLiteralCountOnly(aggExprs) =>
       val t = GraftTable.load(g.dir)
-      // pending DEFERRED deletes make manifest counts an OVERCOUNT
-      // (rows are filtered at read time) — fall through to a real scan.
-      // POSITIONAL deletes stay metadata-answerable: their summary
-      // carries exact per-target deleted-row counts.
-      if (t.pendingDeletes.nonEmpty || t.equalityDeletes.nonEmpty)
-        agg.mapChildren(apply)
-      else {
-        val n = t.log.current
-          .map(s => Manifest.read(s"${g.dir}/${s.manifestList}").totalRecords)
-          .getOrElse(0L) - t.positionalDeletedCount
-        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-          aggExprs.map(_.toAttribute),
-          Seq(org.apache.spark.sql.catalyst.InternalRow(
-            aggExprs.map(_ => n): _*)))
+      // every merge-on-read form carries exact dead-row counts in the
+      // summary (positional: per-target; predicate/equality: counted at
+      // commit), so the metadata answer subtracts them. Only entries
+      // committed with exactCount = false fall through to a real scan.
+      (t.pendingDeletedCount, t.equalityDeletedCount) match {
+        case (Some(pd), Some(ed)) =>
+          val n = t.log.current
+            .map(s => Manifest.read(s"${g.dir}/${s.manifestList}").totalRecords)
+            .getOrElse(0L) - t.positionalDeletedCount - pd - ed
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+            aggExprs.map(_.toAttribute),
+            Seq(org.apache.spark.sql.catalyst.InternalRow(
+              aggExprs.map(_ => n): _*)))
+        case _ => agg.mapChildren(apply)
       }
 
     case f @ Filter(cond, g: GraftRelation) =>

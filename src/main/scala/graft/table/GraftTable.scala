@@ -60,24 +60,45 @@ final class GraftTable private (
     * `coveredSnap` — rows appended AFTER the delete are never affected
     * (the sequence-number scoping Iceberg's equality deletes use). */
   private[table] def parsePending(s: Snapshot): Seq[(Long, String)] =
+    parsePendingFull(s).map(e => (e._1, e._2))
+
+  /** [[parsePending]] plus each entry's commit-time exact dead-row count
+    * (`None` for entries committed with `exactCount = false`). The count
+    * is immutable once written: covered files never change, so the rows a
+    * predicate kills are fixed at commit. */
+  private[table] def parsePendingFull(
+      s: Snapshot): Seq[(Long, String, Option[Long])] =
     s.summary.get(SummaryPendingDeletes) match {
       case None | Some("") | Some("[]") => Nil
       case Some(json) =>
         graft.util.Json.parse(json).asInstanceOf[Seq[Any]].map { e =>
           val m = e.asInstanceOf[Map[String, Any]]
-          (m("snap").asInstanceOf[Long], m("pred").asInstanceOf[String])
+          (m("snap").asInstanceOf[Long], m("pred").asInstanceOf[String],
+            m.get("dead").collect { case d: Long => d })
         }
     }
 
-  private def pendingJson(entries: Seq[(Long, String)]): String =
-    graft.util.Json.write(entries.map { case (sn, p) =>
-      Map("snap" -> sn, "pred" -> p)
+  private def pendingJsonFull(
+      entries: Seq[(Long, String, Option[Long])]): String =
+    graft.util.Json.write(entries.map { case (sn, p, dead) =>
+      val base = Map[String, Any]("snap" -> sn, "pred" -> p)
+      dead.fold(base)(d => base + ("dead" -> d))
     })
 
   /** Pending deferred deletes of the CURRENT snapshot (empty when all
     * deletes are materialized). */
   def pendingDeletes: Seq[(Long, String)] =
     log.current.map(parsePending).getOrElse(Nil)
+
+  /** Exact rows hidden by pending PREDICATE deletes at the current
+    * snapshot — `Some` only when every entry carries its commit-time
+    * count (the default). Each entry was counted against the rows visible
+    * under its predecessors, so the sum is exact and `count(*)`/stats can
+    * stay metadata-only while entries are pending. */
+  def pendingDeletedCount: Option[Long] = {
+    val es = log.current.map(parsePendingFull).getOrElse(Nil)
+    if (es.forall(_._3.isDefined)) Some(es.flatMap(_._3).sum) else None
+  }
 
   /** POSITIONAL merge-on-read deletes pending on a snapshot, parsed from
     * the `positional-deletes` summary entry (see
@@ -122,17 +143,29 @@ final class GraftTable private (
           EqualityDeletes(
             m("files").asInstanceOf[Seq[Any]].map(_.toString),
             m("cols").asInstanceOf[Seq[Any]].map(_.toString),
-            m("snap").asInstanceOf[Long])
+            m("snap").asInstanceOf[Long],
+            m.get("dead").collect { case d: Long => d })
         }
     }
 
   private def equalityJson(entries: Seq[EqualityDeletes]): String =
-    graft.util.Json.write(entries.map(e =>
-      Map("files" -> e.files, "cols" -> e.cols, "snap" -> (e.covered: Any))))
+    graft.util.Json.write(entries.map { e =>
+      val base = Map[String, Any](
+        "files" -> e.files, "cols" -> e.cols, "snap" -> e.covered)
+      e.dead.fold(base)(d => base + ("dead" -> d))
+    })
 
   /** Pending equality-delete entries of the CURRENT snapshot. */
   def equalityDeletes: Seq[EqualityDeletes] =
     log.current.map(parseEquality).getOrElse(Nil)
+
+  /** Exact rows hidden by pending EQUALITY deletes at the current
+    * snapshot — `Some` only when every entry carries its commit-time
+    * count (see [[EqualityDeletes.dead]]). */
+  def equalityDeletedCount: Option[Long] = {
+    val es = equalityDeletes
+    if (es.forall(_.dead.isDefined)) Some(es.flatMap(_.dead).sum) else None
+  }
 
   /** Strip `gone` data-file paths from positional entries (the files were
     * dropped or rewritten — their deletions are materialized); entries
@@ -901,23 +934,28 @@ final class GraftTable private (
         .sortWithinPartitions(clusterKey: _*)
     val newFiles = writeDataFiles(df, snapId)
     // every covered file was force-included above, so this is empty unless
-    // a predicate's coverage check itself is conservative (kept for safety)
-    val stillPending = pend.filter { case (covered, _) =>
-      big.exists(f => fileSnapId(f.path).forall(_ <= covered))
-    }
+    // a predicate's coverage check itself is conservative (kept for safety).
+    // A conservatively-surviving entry drops its commit-time dead count:
+    // part of its victims may just have been materialized by the rewrite,
+    // so the recorded count is no longer trustworthy — degrade, never lie.
+    val stillPending = parsePendingFull(current)
+      .filter { case (covered, _, _) =>
+        big.exists(f => fileSnapId(f.path).forall(_ <= covered))
+      }.map { case (covered, p, _) => (covered, p, None: Option[Long]) }
     // positional entries lose their rewritten targets (those deletions
     // are now physical); by force-inclusion the strip empties every
     // entry — kept general for the same safety reason as stillPending
     val stillPositional = stripPositional(posPend, small.map(_.path).toSet)
     val stillEquality = eqPend.filter(e =>
       big.exists(f => fileSnapId(f.path).forall(_ <= e.covered)))
+      .map(_.copy(dead = None))
     Some(commit(lg, snapId, Manifest(big ++ newFiles), newFiles,
       operation = "replace", committedAt,
       extraSummary = Map(
         "rewritten-data-files" -> small.size.toString,
         "added-data-files" -> newFiles.size.toString,
         "rewritten-bytes" -> totalBytes.toString,
-        SummaryPendingDeletes -> pendingJson(stillPending),
+        SummaryPendingDeletes -> pendingJsonFull(stillPending),
         SummaryPositionalDeletes -> positionalJson(stillPositional),
         SummaryEqualityDeletes -> equalityJson(stillEquality))))
   }
@@ -1060,7 +1098,8 @@ final class GraftTable private (
   def deleteDeferred(
       spark: SparkSession,
       predicate: Column,
-      committedAt: Option[Long] = None): Option[Snapshot] = {
+      committedAt: Option[Long] = None,
+      exactCount: Boolean = true): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
     require(parsePositional(current).isEmpty && parseEquality(current).isEmpty,
@@ -1086,15 +1125,27 @@ final class GraftTable private (
     // prove NO file can hold a matching row, don't commit — a pending
     // predicate taxes every later read and blocks CoW DML until a
     // compaction, a real cost for a provable no-op
-    if (!manifest.files.exists(pruneKeep(resolved)))
-      return None
+    val candidates = manifest.files.filter(pruneKeep(resolved))
+    if (candidates.isEmpty) return None
+    // exact dead-row count (default): ONE bounds-pruned count job over
+    // the candidate files, prior pending entries applied, so
+    // `count(*)`/stats stay metadata-only while the entry pends. Covered
+    // files are immutable, so the count recorded at commit never drifts.
+    // `exactCount = false` keeps the pure metadata-only O(1) commit;
+    // counts then degrade to scans until compaction.
+    val prior = parsePendingFull(current)
+    val dead: Option[Long] =
+      if (!exactCount) None
+      else Some(readVisible(spark, prior.map(e => (e._1, e._2)), Nil,
+        candidates).filter(predicate).count())
+    if (dead.contains(0L)) return None // provably nothing to delete
     val snapId = lg.nextId
-    val pend = parsePending(current) :+ (current.snapshotId -> sql)
+    val pend = prior :+ ((current.snapshotId, sql, dead))
     Some(commit(lg, snapId, manifest, Nil,
       operation = "delete", committedAt,
       extraSummary = Map(
         "deferred" -> "true",
-        SummaryPendingDeletes -> pendingJson(pend))))
+        SummaryPendingDeletes -> pendingJsonFull(pend))))
   }
 
   /** EQUALITY merge-on-read DELETE (Iceberg v2 equality-delete files):
@@ -1120,7 +1171,8 @@ final class GraftTable private (
       spark: SparkSession,
       keys: DataFrame,
       keyCols: Seq[String],
-      committedAt: Option[Long] = None): Option[Snapshot] = {
+      committedAt: Option[Long] = None,
+      exactCount: Boolean = true): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
     require(parsePending(current).isEmpty && parsePositional(current).isEmpty,
@@ -1169,8 +1221,11 @@ final class GraftTable private (
       rel
     }
     GraftTable.deleteRecursively(Paths.get(staging))
-    val entries = parseEquality(current) :+
-      EqualityDeletes(rels, keyCols, current.snapshotId)
+    val prior = parseEquality(current)
+    val dead = equalityDeadCount(spark, exactCount, manifest, rels,
+      keySchema, keyCols, prior)
+    val entries = prior :+
+      EqualityDeletes(rels, keyCols, current.snapshotId, dead)
     try Some(commit(lg, snapId, manifest, Nil,
       operation = "delete", committedAt,
       extraSummary = Map(
@@ -1197,11 +1252,43 @@ final class GraftTable private (
     * to pre-commit files, so the source's own rows are never hidden.
     * Stacks freely on prior equality entries; refused while the other
     * merge-on-read forms are pending and on branch-era files. */
+  /** Exact victim count of a NEW equality entry: rows of the covered
+    * manifest visible under the `prior` entries whose key tuple appears
+    * in the new entry's key files. Candidates are bounds-pruned on the
+    * first key column (one tiny agg over the key files — metadata-class
+    * driver state), so the count job reads O(candidate files), never the
+    * table. `exact = false` skips the job entirely (dead = None; stats
+    * degrade to the scan fallback until compaction). */
+  private def equalityDeadCount(
+      spark: SparkSession,
+      exact: Boolean,
+      manifest: Manifest,
+      keyRels: Seq[String],
+      keySchema: StructType,
+      keyCols: Seq[String],
+      prior: Seq[EqualityDeletes]): Option[Long] = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    if (!exact) return None
+    val keySel = spark.read.schema(keySchema)
+      .parquet(keyRels.map(r => s"$dir/$r"): _*)
+    val k0 = keyCols.head
+    val b = keySel.agg(fmin(col(k0)), fmax(col(k0))).head()
+    if (b.isNullAt(0)) return Some(0L) // all-null keys match nothing
+    val rangePred = resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(
+        col(k0) >= lit(b.get(0)) && col(k0) <= lit(b.get(1))))
+    val candidates = manifest.files.filter(pruneKeep(rangePred))
+    if (candidates.isEmpty) return Some(0L)
+    Some(readVisible(spark, Nil, Nil, candidates, prior)
+      .join(keySel, keyCols.toSeq, "left_semi").count())
+  }
+
   def mergeEquality(
       spark: SparkSession,
       source: DataFrame,
       keyCols: Seq[String],
-      committedAt: Option[Long] = None): Option[Snapshot] = {
+      committedAt: Option[Long] = None,
+      exactCount: Boolean = true): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(
       throw new IllegalArgumentException(
@@ -1243,8 +1330,14 @@ final class GraftTable private (
       rel
     }
     GraftTable.deleteRecursively(Paths.get(staging))
-    val entries = parseEquality(current) :+
-      EqualityDeletes(rels, keyCols, current.snapshotId)
+    val prior = parseEquality(current)
+    // counted over the PRE-merge manifest: the tombstone covers files ≤
+    // current.snapshotId, so the freshly-written source files are never
+    // its victims
+    val dead = equalityDeadCount(spark, exactCount, manifest, rels,
+      StructType(keyCols.map(c => schema(c)).toArray), keyCols, prior)
+    val entries = prior :+
+      EqualityDeletes(rels, keyCols, current.snapshotId, dead)
     try Some(commit(lg, snapId, Manifest(manifest.files ++ newFiles), newFiles,
       operation = "merge", committedAt,
       extraSummary = Map(
@@ -1800,7 +1893,7 @@ final class GraftTable private (
         // inherit the rolled-back head's): pending deferred deletes AND
         // stream cursors — so a replay of a rolled-back stream batch
         // re-ingests instead of being dropped as a re-delivery
-        SummaryPendingDeletes -> pendingJson(parsePending(target)),
+        SummaryPendingDeletes -> pendingJsonFull(parsePendingFull(target)),
         SummaryPositionalDeletes -> positionalJson(parsePositional(target)),
         SummaryEqualityDeletes -> equalityJson(parseEquality(target)),
         SummaryStreamCursors -> target.summary
@@ -2732,11 +2825,17 @@ object GraftTable {
     * `deletes/` holding the victim key tuples in columns `cols`; the
     * entry applies to data files written at snapshot ≤ `covered` (the
     * predicate-deferred scoping — rows appended later are untouched).
-    * Commit cost is O(keys) with NO candidate scan at all — the
-    * cheapest possible delete; reads pay a key anti-join on covered
-    * files until compaction materializes. */
+    * Commit cost is O(keys) plus, by default, one bounds-pruned
+    * candidate-scan count job that records `dead` — the entry's exact
+    * victim count (counted against rows visible under its predecessor
+    * entries, so summing entries is exact and `count(*)`/stats stay
+    * metadata-only while entries pend). `exactCount = false` skips the
+    * scan for the pure-O(keys) commit; `dead = None` then degrades
+    * counts to the pre-count behavior (scan fallback). Reads pay a key
+    * anti-join on covered files until compaction materializes. */
   final case class EqualityDeletes(
-      files: Seq[String], cols: Seq[String], covered: Long)
+      files: Seq[String], cols: Seq[String], covered: Long,
+      dead: Option[Long] = None)
 
   /** One POSITIONAL merge-on-read delete commit's bookkeeping: the
     * parquet delete files it wrote (`deletes/del-…`, rows of

@@ -126,7 +126,11 @@ class CdcSpec extends SparkSpecBase {
     t.append(mkDf(1L -> "x", 2L -> "x", 3L -> "y"), Some(1000L))   // 1
     t.deleteDeferred(spark, col("data") === "x", Some(2000L))      // 2
     t.append(mkDf(4L -> "x"), Some(3000L))                         // 3: NOT covered
-    t.deleteDeferred(spark, col("id") === 1L, Some(4000L))         // 4: 1 already gone
+    // exactCount = false: with the default commit-time count this entry
+    // would be skipped as a provable no-op (its only match is already
+    // dead) — force it so the CDC fold must net it to zero
+    t.deleteDeferred(spark, col("id") === 1L, Some(4000L),
+      exactCount = false)                                          // 4: 1 already gone
 
     val d2 = t.changesCdc(spark, 1L, Some(2L))
     assert(d2.filter(col("_change_type") === "delete")

@@ -154,7 +154,7 @@ class DeferredDeleteSpec extends SparkSpecBase {
     }
   }
 
-  test("SQL path applies pending deletes; count(*) falls back to a scan") {
+  test("SQL path applies pending deletes; count(*) stays metadata-exact") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
     t.append(mkDf(1L -> "a", 2L -> "drop", 3L -> "c"), Some(1000L))
@@ -165,10 +165,27 @@ class DeferredDeleteSpec extends SparkSpecBase {
     val viaSql = spark.sql("SELECT id FROM mor_t ORDER BY id")
       .collect().map(_.getLong(0)).toSeq
     assert(viaSql == Seq(1L, 3L), s"SQL path saw $viaSql")
-    // metadata-only count would answer 3 from the manifest; the guard
-    // must force a real (filtered) scan
-    val n = spark.sql("SELECT count(*) AS n FROM mor_t").head().getLong(0)
-    assert(n == 2L, s"count(*) said $n — manifest overcount leaked")
+    // the entry carries its commit-time exact dead count, so count(*)
+    // subtracts it from the manifest total WITHOUT scanning
+    assert(t.pendingDeletedCount.contains(1L), t.pendingDeletedCount)
+    val cq = spark.sql("SELECT count(*) AS n FROM mor_t")
+    assert(cq.head().getLong(0) == 2L)
+    assert(!cq.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "exact pending count should keep count(*) metadata-only")
+    // stacked entry counted against the survivors of the first: only the
+    // still-visible id=3 dies, not the already-dead id=2
+    t.deleteDeferred(spark, col("id") >= 2L, Some(3000L))
+    assert(t.pendingDeletedCount.contains(2L), t.pendingDeletedCount)
+    assert(spark.sql("SELECT count(*) FROM mor_t").head().getLong(0) == 1L)
+    // an entry committed WITHOUT the count degrades to the scan fallback
+    // — still correct, no longer metadata-only
+    t.deleteDeferred(spark, col("id") === 1L, Some(4000L),
+      exactCount = false)
+    assert(t.pendingDeletedCount.isEmpty)
+    val cq2 = spark.sql("SELECT count(*) AS n FROM mor_t")
+    assert(cq2.head().getLong(0) == 0L)
+    assert(cq2.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "unknown dead count must fall back to a real scan")
     // snapshot-pinned SQL time travel still sees the old rows
     val tt = spark.sql("SELECT id FROM mor_t WHERE snapshot__id = 1 ORDER BY id")
       .collect().map(_.getLong(0)).toSeq

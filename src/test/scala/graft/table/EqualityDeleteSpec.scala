@@ -204,4 +204,42 @@ class EqualityDeleteSpec extends SparkSpecBase {
     assert(t.equalityDeletes.size == 1, "rollback dropped equality entries")
     assert(ids(t) == Seq(2L))
   }
+
+  test("exact metadata-only count(*) while equality entries pend") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), Some(1000L))
+    // delete 2 keys; entry records dead = 2 at commit
+    t.deleteEquality(spark, mkDf(2L -> "x", 3L -> "x").select("id"),
+      Seq("id"), Some(2000L))
+    assert(t.equalityDeletedCount.contains(2L), t.equalityDeletedCount)
+    // same-key re-delete stacks but kills nothing NEW (already dead under
+    // the prior entry) — and a missing key kills nothing either
+    t.deleteEquality(spark, mkDf(3L -> "x", 99L -> "x").select("id"),
+      Seq("id"), Some(3000L))
+    assert(t.equalityDeletedCount.contains(2L), t.equalityDeletedCount)
+    // upsert: replaces id=4 (1 dead) and appends id=7; total stays exact
+    t.mergeEquality(spark, mkDf(4L -> "D", 7L -> "new"), Seq("id"),
+      Some(4000L))
+    assert(t.equalityDeletedCount.contains(3L), t.equalityDeletedCount)
+
+    GraftCatalog.injectRule(spark)
+    GraftRelation.dataFrame(spark, t).createOrReplaceTempView("eq_cnt_t")
+    // visible = {1→a, 4→D, 7→new}: 6 manifest records − 3 dead
+    val cq = spark.sql("SELECT count(*) AS n FROM eq_cnt_t")
+    assert(cq.head().getLong(0) == 3L)
+    assert(cq.head().getLong(0) == t.read(spark).count(),
+      "metadata count disagrees with the scan")
+    assert(!cq.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "exact equality counts should keep count(*) metadata-only")
+
+    // an entry committed without the count degrades count(*) to a scan
+    t.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"),
+      Some(5000L), exactCount = false)
+    assert(t.equalityDeletedCount.isEmpty)
+    val cq2 = spark.sql("SELECT count(*) AS n FROM eq_cnt_t")
+    assert(cq2.head().getLong(0) == 2L)
+    assert(cq2.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "unknown equality dead count must fall back to a real scan")
+  }
 }
