@@ -17,7 +17,10 @@ import org.apache.spark.sql.types._
   * {{{
   *   <dir>/metadata.json            schema + properties
   *   <dir>/snapshots.json           snapshot log (SnapshotLog)
-  *   <dir>/manifests/snap-<id>.json full file list + stats at that snapshot
+  *   <dir>/manifests/snap-<id>.json manifest LIST: segment refs + totals
+  *   <dir>/manifests/seg-….json     immutable file-list segments, shared
+  *                                  by ref across snapshots (a commit
+  *                                  writes O(batch) segment bytes)
   *   <dir>/data/part-<snap>-<token>-<n>.parquet
   * }}}
   *
@@ -469,7 +472,7 @@ final class GraftTable private (
     val newFiles = writeDataFiles(df, snapId)
     val prevManifest = lg.current.map(s => Manifest.read(s"$dir/${s.manifestList}"))
       .getOrElse(Manifest.empty)
-    commit(lg, snapId, Manifest(prevManifest.files ++ newFiles), newFiles,
+    commit(lg, snapId, prevManifest.append(newFiles), newFiles,
       operation = "append", committedAt,
       extraSummary = extraSummary ++ Map(
         "added-data-files" -> newFiles.size.toString,
@@ -560,7 +563,7 @@ final class GraftTable private (
     deleteRecursively(Paths.get(staging))
     val prevManifest = lg.current.map(s => Manifest.read(s"$dir/${s.manifestList}"))
       .getOrElse(Manifest.empty)
-    commit(lg, snapId, Manifest(prevManifest.files ++ newFiles), newFiles,
+    commit(lg, snapId, prevManifest.append(newFiles), newFiles,
       operation = "append", committedAt,
       extraSummary = Map(
         "added-data-files" -> newFiles.size.toString,
@@ -793,7 +796,9 @@ final class GraftTable private (
             "(fresh tokens) or compact() to materialize the entries first")
       }
     }
-    manifest.write(s"$dir/$manifestRel")
+    // write fresh segments + the manifest list; O(batch) bytes — carried
+    // segments are shared by ref with ancestor snapshots
+    val createdSegs = manifest.write(s"$dir/$manifestRel")
 
     // carried-summary inheritance (pending-deletes, stream cursors): an
     // explicit entry in extraSummary wins (deferred delete adds, compact
@@ -817,12 +822,23 @@ final class GraftTable private (
       manifestList = manifestRel,
       summary = (extraSummary -- carriedKeys) ++
         carriedKeys.flatMap(k => carried(k).map(k -> _)).toMap ++ Map(
-        "total-data-files" -> manifest.files.size.toString,
+        // totals from the manifest LIST's per-segment metadata — an
+        // append commit never parses the carried segments' entries
+        "total-data-files" -> manifest.totalFiles.toString,
         "total-records" -> manifest.totalRecords.toString))
     // append to the RE-READ log: a concurrent expireSnapshots may have
     // removed a prefix since `lg` was captured — writing the stale list
     // would resurrect expired snapshots whose files are already deleted
-    SnapshotLog(lg2.snapshots :+ snap).write(s"$dir/snapshots.json")
+    try SnapshotLog(lg2.snapshots :+ snap).write(s"$dir/snapshots.json")
+    catch { case e: Throwable =>
+      // unpublished commit: reclaim everything this call created (the
+      // data files, the fresh segments, the manifest list, the claim)
+      newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
+      createdSegs.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+      Files.deleteIfExists(Paths.get(dir, manifestRel))
+      Files.deleteIfExists(marker)
+      throw e
+    }
     // claim served its purpose (the log now holds snapId, so no racer can
     // pass the nextId re-check) — delete it rather than accumulate one
     // zero-byte marker per commit forever
@@ -949,7 +965,8 @@ final class GraftTable private (
     val stillEquality = eqPend.filter(e =>
       big.exists(f => fileSnapId(f.path).forall(_ <= e.covered)))
       .map(_.copy(dead = None))
-    Some(commit(lg, snapId, Manifest(big ++ newFiles), newFiles,
+    Some(commit(lg, snapId,
+      manifest.retainPaths(big.map(_.path).toSet).append(newFiles), newFiles,
       operation = "replace", committedAt,
       extraSummary = Map(
         "rewritten-data-files" -> small.size.toString,
@@ -1026,7 +1043,9 @@ final class GraftTable private (
       newFiles.map(_.recordCount).sum
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
-    Some(commit(lg, snapId, Manifest(untouched ++ newFiles), newFiles,
+    Some(commit(lg, snapId,
+      manifest.retainPaths(untouched.map(_.path).toSet).append(newFiles),
+      newFiles,
       operation = "delete", committedAt,
       extraSummary = Map(
         "deleted-records" -> removed.toString,
@@ -1338,7 +1357,7 @@ final class GraftTable private (
       StructType(keyCols.map(c => schema(c)).toArray), keyCols, prior)
     val entries = prior :+
       EqualityDeletes(rels, keyCols, current.snapshotId, dead)
-    try Some(commit(lg, snapId, Manifest(manifest.files ++ newFiles), newFiles,
+    try Some(commit(lg, snapId, manifest.append(newFiles), newFiles,
       operation = "merge", committedAt,
       extraSummary = Map(
         "equality" -> "true",
@@ -1492,7 +1511,8 @@ final class GraftTable private (
     val removed = dropped.map(f =>
       f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum +
       counts.values.sum
-    try Some(commit(lg, snapId, Manifest(untouched ++ partial), Nil,
+    try Some(commit(lg, snapId,
+      manifest.retainPaths((untouched ++ partial).map(_.path).toSet), Nil,
       operation = "delete", committedAt,
       extraSummary = Map(
         "positional" -> "true",
@@ -1638,8 +1658,7 @@ final class GraftTable private (
         throw e
       }
     val entries = prior :+ PositionalDeletes(delRels, counts)
-    try Some(commit(lg, snapId,
-      Manifest(untouched ++ candidates ++ newFiles), newFiles,
+    try Some(commit(lg, snapId, manifest.append(newFiles), newFiles,
       operation = "update", committedAt,
       extraSummary = Map(
         "positional" -> "true",
@@ -1799,7 +1818,9 @@ final class GraftTable private (
     val newFiles = writeDataFiles(rewritten, snapId)
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
-    Some(commit(lg, snapId, Manifest(untouched ++ newFiles), newFiles,
+    Some(commit(lg, snapId,
+      manifest.retainPaths(untouched.map(_.path).toSet).append(newFiles),
+      newFiles,
       operation = "update", committedAt,
       extraSummary = Map(
         "rewritten-data-files" -> candidates.size.toString,
@@ -1868,7 +1889,9 @@ final class GraftTable private (
       .filter(_.recordCount > 0)
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
-    commit(lg, snapId, Manifest(untouched ++ newFiles), newFiles,
+    commit(lg, snapId,
+      manifest.retainPaths(untouched.map(_.path).toSet).append(newFiles),
+      newFiles,
       operation = "merge", committedAt,
       extraSummary = Map(
         "rewritten-data-files" -> candidates.size.toString,
@@ -2011,6 +2034,16 @@ final class GraftTable private (
             parseEquality(s).flatMap(_.files))
           .distinct.filterNot(liveDel).filterNot(_.startsWith("../"))
           .foreach(p => Files.deleteIfExists(Paths.get(dir, p)))
+        // manifest SEGMENTS are shared by ref across snapshots — reclaim
+        // only the ones no surviving manifest list mentions, then the
+        // expired lists themselves
+        val liveSegs: Set[String] = kept
+          .flatMap(s => Manifest.segmentRefsOf(s"$dir/${s.manifestList}"))
+          .toSet
+        expired
+          .flatMap(s => Manifest.segmentRefsOf(s"$dir/${s.manifestList}"))
+          .distinct.filterNot(liveSegs)
+          .foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
         expired.foreach(s =>
           Files.deleteIfExists(Paths.get(dir, s.manifestList)))
         expired.map(_.snapshotId)
@@ -2053,6 +2086,17 @@ final class GraftTable private (
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
       .filterNot(p => referenced.contains(p.normalize().toString))
     orphans.foreach(Files.deleteIfExists(_))
+    // segment files a hard-crashed committer wrote but never published
+    // in a manifest list (the race loser and the log-write failure path
+    // clean up after themselves; a kill -9 between the two does not)
+    val refSegs: Set[String] = lg.snapshots
+      .flatMap(s => Manifest.segmentRefsOf(s"$dir/${s.manifestList}"))
+      .map(r => Paths.get(dir, r).normalize().toString).toSet
+    val orphanSegs = walk(Paths.get(dir, "manifests"))
+      .filter(p => p.getFileName.toString.startsWith("seg-"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .filterNot(p => refSegs.contains(p.normalize().toString))
+    orphanSegs.foreach(Files.deleteIfExists(_))
     val staged = scala.util.Using.resource(Files.list(Paths.get(dir))) { st =>
       st.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith(".staging"))
@@ -2060,7 +2104,8 @@ final class GraftTable private (
         .toSeq
     }
     staged.foreach(GraftTable.deleteRecursively)
-    (orphans ++ staged).map(p => Paths.get(dir).relativize(p).toString)
+    (orphans ++ orphanSegs ++ staged)
+      .map(p => Paths.get(dir).relativize(p).toString)
   }
 
   /** Schema evolution: add a nullable column (the add-column slice of

@@ -19,71 +19,231 @@ final case class DataFileEntry(
     partition: Map[String, Option[String]] = Map.empty,
     blooms: Map[String, String] = Map.empty)
 
-/** The full file list of one snapshot (Iceberg "manifest list" collapsed to
-  * a single JSON document — at graft's metadata scale one level is enough,
-  * and it keeps snapshot reads to one metadata file + footer-free planning).
+/** One shard of a snapshot's file list — the reusable unit of the
+  * two-level manifest design (Iceberg's manifest-list → manifest files,
+  * which is what lets a commit against a million-file table write
+  * O(batch) metadata instead of re-serializing every entry).
+  *
+  *  - `ref = Some(relPath)`: an IMMUTABLE on-disk segment
+  *    (`manifests/seg-…json`) shared by every snapshot whose manifest
+  *    list points at it. Its entries are parsed LAZILY (and cached), so
+  *    a commit that only carries the ref forward never reads it.
+  *  - `ref = None`: fresh in-memory entries this commit introduced;
+  *    [[Manifest.write]] persists them as a new segment file.
+  *
+  * `fileCount`/`recordCount`/`sizeBytes` ride in the manifest list, so
+  * snapshot-level totals need no segment reads.
   */
-final case class Manifest(files: Seq[DataFileEntry]) {
-  def totalRecords: Long = files.map(_.recordCount).sum
+final class ManifestSegment private (
+    val ref: Option[String],
+    filesThunk: () => Vector[DataFileEntry],
+    val fileCount: Long,
+    val recordCount: Long,
+    val sizeBytes: Long) {
+  lazy val files: Vector[DataFileEntry] = filesThunk()
+}
 
-  def write(absPath: String): Unit = {
-    val obj = Map("files" -> files.map { f =>
-      val base = Map(
-        "path" -> f.path,
-        "record_count" -> f.recordCount,
-        "file_size_bytes" -> f.fileSizeBytes,
-        "stats" -> f.stats.map { case (c, st) =>
-          c -> Map(
-            "min" -> st.min.orNull,
-            "max" -> st.max.orNull,
-            "null_count" -> st.nullCount.map(Long.box).orNull,
-            "value_count" -> st.valueCount.map(Long.box).orNull)
-        })
-      val withPart =
-        if (f.partition.isEmpty) base
-        else base + ("partition" -> f.partition.map { case (c, v) => c -> v.orNull })
-      if (f.blooms.isEmpty) withPart
-      else withPart + ("blooms" -> f.blooms)
+object ManifestSegment {
+  /** Fresh entries introduced by the current commit. */
+  def fresh(entries: Seq[DataFileEntry]): ManifestSegment = {
+    val v = entries.toVector
+    new ManifestSegment(None, () => v, v.size.toLong,
+      v.map(_.recordCount).sum, v.map(_.fileSizeBytes).sum)
+  }
+
+  /** A lazily-parsed on-disk segment referenced from a manifest list. */
+  private[table] def loaded(
+      ref: String,
+      tableDir: String,
+      fileCount: Long,
+      recordCount: Long,
+      sizeBytes: Long): ManifestSegment =
+    new ManifestSegment(Some(ref),
+      () => Manifest.readSegmentFiles(s"$tableDir/$ref"),
+      fileCount, recordCount, sizeBytes)
+}
+
+/** The file list of one snapshot as an ordered list of segments.
+  *
+  * The public surface the table layer consumes is unchanged — `files`
+  * concatenates the segments — but commits now express themselves as
+  * segment reuse: [[append]] carries every prior ref and adds one fresh
+  * segment (O(batch) bytes written whatever the table size), and
+  * [[retainPaths]] keeps untouched segments by ref while rewriting only
+  * the segments a DML actually punched files out of.
+  */
+final class Manifest private[table] (val segments: Vector[ManifestSegment]) {
+
+  lazy val files: Seq[DataFileEntry] = segments.flatMap(_.files)
+
+  def totalRecords: Long = segments.map(_.recordCount).sum
+  def totalFiles: Long = segments.map(_.fileCount).sum
+  def totalBytes: Long = segments.map(_.sizeBytes).sum
+
+  /** Segment refs this manifest shares (for expiration ref-counting). */
+  def segmentRefs: Seq[String] = segments.flatMap(_.ref)
+
+  /** All prior segments carried by ref + one fresh segment of `newFiles`.
+    * Never parses the carried segments. */
+  def append(newFiles: Seq[DataFileEntry]): Manifest =
+    if (newFiles.isEmpty) this
+    else new Manifest(segments :+ ManifestSegment.fresh(newFiles))
+
+  /** Keep only files whose path is in `keep`: segments fully inside the
+    * set carry over by ref (no parse of on-disk content beyond what the
+    * caller already forced); partially-covered segments are rewritten as
+    * fresh segments of their survivors; emptied segments drop. */
+  def retainPaths(keep: Set[String]): Manifest =
+    new Manifest(segments.flatMap { seg =>
+      val kept = seg.files.filter(f => keep.contains(f.path))
+      if (kept.size == seg.files.size) Some(seg)
+      else if (kept.isEmpty) None
+      else Some(ManifestSegment.fresh(kept))
     })
-    Json.writeFileAtomic(absPath, Json.write(obj))
+
+  /** Persist at `absPath` (`…/manifests/snap-<id>.json`): fresh segments
+    * land as immutable `manifests/seg-<id>-<k>-<token>.json` files, then
+    * the manifest list records every segment's ref + totals. Small fresh
+    * segments accumulated over many commits are coalesced first (bounded
+    * amortized cost — see [[Manifest.coalesceThreshold]]) so list length
+    * stays O(table/segment-target), not O(commits).
+    *
+    * Returns the table-root-relative paths of segment files this call
+    * CREATED (for crash-cleanup by the committer). */
+  def write(absPath: String): Seq[String] = {
+    val p = Paths.get(absPath)
+    val manifestsDir = p.getParent
+    val tableDir = manifestsDir.getParent
+    val snapTag = p.getFileName.toString
+      .stripPrefix("snap-").stripSuffix(".json")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val coalesced = Manifest.coalesceSmall(segments)
+    val created = Seq.newBuilder[String]
+    var k = 0
+    val withRefs = coalesced.map { seg =>
+      seg.ref match {
+        case Some(_) => seg
+        case None =>
+          val rel = s"manifests/seg-$snapTag-$k-$token.json"
+          k += 1
+          Json.writeFileAtomic(s"$tableDir/$rel",
+            Json.write(Map("files" -> seg.files.map(Manifest.entryToJson))))
+          created += rel
+          ManifestSegment.loaded(rel, tableDir.toString,
+            seg.fileCount, seg.recordCount, seg.sizeBytes)
+      }
+    }
+    val listObj = Map("segments" -> withRefs.map { seg =>
+      Map(
+        "path" -> seg.ref.get,
+        "file_count" -> seg.fileCount,
+        "record_count" -> seg.recordCount,
+        "size_bytes" -> seg.sizeBytes)
+    })
+    Json.writeFileAtomic(absPath, Json.write(listObj))
+    created.result()
   }
 }
 
 object Manifest {
-  val empty: Manifest = Manifest(Seq.empty)
 
-  /** Parsed-manifest cache. Manifest files are write-once (the commit
-    * claim serializes who publishes `snap-<id>.json`, and snapshot ids
-    * never decrease because the current snapshot is never expired), so a
-    * repeat scan of the same snapshot can skip the O(files) JSON parse on
-    * the driver — at 100 TB that parse is the per-query planning floor.
-    * The key carries (size, mtime) so a table DROPPED AND RECREATED at
-    * the same path (tests do this; prod can) never serves the old
-    * table's file list. Bounded LRU; entries are immutable case classes,
-    * safe to share across threads. */
-  private val CacheCap = 64
+  val empty: Manifest = new Manifest(Vector.empty)
+
+  /** All entries as one fresh segment (fork/publish re-addressing, tests). */
+  def apply(files: Seq[DataFileEntry]): Manifest =
+    if (files.isEmpty) empty
+    else new Manifest(Vector(ManifestSegment.fresh(files)))
+
+  /** Segment-coalescing policy: once a manifest list carries more than
+    * `coalesceMaxSegments` segments, every segment smaller than
+    * `coalesceSmallFiles` entries is merged into one fresh segment.
+    * Append-heavy histories therefore pay a bounded, amortized rewrite
+    * (a segment that grows past the threshold is never merged again)
+    * instead of accumulating one tiny segment per commit — the same
+    * trade Iceberg's `commit.manifest-merge.enabled` makes. */
+  private[table] val coalesceMaxSegments = 32
+  private[table] val coalesceSmallFiles = 512
+
+  private[table] def coalesceSmall(
+      segments: Vector[ManifestSegment]): Vector[ManifestSegment] = {
+    if (segments.size <= coalesceMaxSegments) return segments
+    val (small, big) =
+      segments.partition(_.fileCount < coalesceSmallFiles)
+    if (small.size <= 1) segments
+    else big ++ Vector(ManifestSegment.fresh(small.flatMap(_.files)))
+  }
+
+  /** Parsed-segment cache. Segment files are write-once (named by the
+    * claimed snapshot id + a random token; losers clean up), so a repeat
+    * scan skips the O(files) JSON parse on the driver — at 100 TB that
+    * parse is the per-query planning floor. The key carries (size,
+    * mtime) so a table DROPPED AND RECREATED at the same path (tests do
+    * this; prod can) never serves the old table's file list. Bounded
+    * LRU; entries are immutable, safe to share across threads. */
+  private val CacheCap = 256
   private val cache =
-    new java.util.LinkedHashMap[(String, Long, Long), Manifest](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long, Long), Vector[DataFileEntry]](
+      16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), Manifest]): Boolean =
-        size() > CacheCap
+          e: java.util.Map.Entry[(String, Long, Long), Vector[DataFileEntry]])
+          : Boolean = size() > CacheCap
     }
 
-  def read(absPath: String): Manifest = {
+  private def cachedFiles(absPath: String)(
+      parse: String => Vector[DataFileEntry]): Vector[DataFileEntry] = {
     val attrs = Files.readAttributes(Paths.get(absPath),
       classOf[java.nio.file.attribute.BasicFileAttributes])
     val key = (absPath, attrs.size(), attrs.lastModifiedTime().toMillis)
     val hit = cache.synchronized(Option(cache.get(key)))
     hit.getOrElse {
-      val m = parseFile(absPath)
-      cache.synchronized(cache.put(key, m))
-      m
+      val v = parse(Files.readString(Paths.get(absPath)))
+      cache.synchronized(cache.put(key, v))
+      v
     }
   }
 
-  private def parseFile(absPath: String): Manifest = {
+  /** Read a snapshot's manifest. Format v2 (`segments`) assembles lazy
+    * segments — a caller that never touches `.files` (an append commit)
+    * reads only the list. Format v1 (`files`, pre-segmentation) parses
+    * inline and presents as one fresh segment, so the next commit
+    * migrates it to a segment file transparently. */
+  def read(absPath: String): Manifest = {
+    val tableDir = Paths.get(absPath).getParent.getParent.toString
     val obj = Json.parseObject(Files.readString(Paths.get(absPath)))
-    val files = obj("files").asInstanceOf[Seq[Any]].map { f =>
+    obj.get("segments") match {
+      case Some(segs) =>
+        new Manifest(segs.asInstanceOf[Seq[Any]].map { s =>
+          val m = s.asInstanceOf[Map[String, Any]]
+          ManifestSegment.loaded(
+            m("path").asInstanceOf[String],
+            tableDir,
+            m("file_count").asInstanceOf[Long],
+            m("record_count").asInstanceOf[Long],
+            m("size_bytes").asInstanceOf[Long])
+        }.toVector)
+      case None =>
+        val files = parseEntries(obj)
+        if (files.isEmpty) empty
+        else new Manifest(Vector(ManifestSegment.fresh(files)))
+    }
+  }
+
+  /** The segment refs of a manifest list without touching any segment
+    * (expiration ref-counting; v1 manifests have none). */
+  def segmentRefsOf(absPath: String): Seq[String] = {
+    val obj = Json.parseObject(Files.readString(Paths.get(absPath)))
+    obj.get("segments") match {
+      case Some(segs) => segs.asInstanceOf[Seq[Any]]
+        .map(s => s.asInstanceOf[Map[String, Any]]("path").asInstanceOf[String])
+      case None => Nil
+    }
+  }
+
+  private[table] def readSegmentFiles(absPath: String): Vector[DataFileEntry] =
+    cachedFiles(absPath)(s => parseEntries(Json.parseObject(s)))
+
+  private def parseEntries(obj: Map[String, Any]): Vector[DataFileEntry] =
+    obj.getOrElse("files", Seq.empty[Any]).asInstanceOf[Seq[Any]].map { f =>
       val m = f.asInstanceOf[Map[String, Any]]
       val stats = m.getOrElse("stats", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]]
@@ -108,7 +268,24 @@ object Manifest {
         stats,
         partition,
         blooms)
-    }
-    Manifest(files)
+    }.toVector
+
+  private[table] def entryToJson(f: DataFileEntry): Map[String, Any] = {
+    val base = Map[String, Any](
+      "path" -> f.path,
+      "record_count" -> f.recordCount,
+      "file_size_bytes" -> f.fileSizeBytes,
+      "stats" -> f.stats.map { case (c, st) =>
+        c -> Map(
+          "min" -> st.min.orNull,
+          "max" -> st.max.orNull,
+          "null_count" -> st.nullCount.map(Long.box).orNull,
+          "value_count" -> st.valueCount.map(Long.box).orNull)
+      })
+    val withPart =
+      if (f.partition.isEmpty) base
+      else base + ("partition" -> f.partition.map { case (c, v) => c -> v.orNull })
+    if (f.blooms.isEmpty) withPart
+    else withPart + ("blooms" -> f.blooms)
   }
 }

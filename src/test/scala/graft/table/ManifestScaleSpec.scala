@@ -1,0 +1,182 @@
+package graft.table
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** The two-level manifest design (segments + manifest list): a commit
+  * against an N-file table writes O(batch) manifest bytes — prior
+  * segments carry over BY REF — instead of re-serializing all N entries
+  * per snapshot (O(snapshots × files) metadata growth, the round-6
+  * verdict's one 100×-scale debt).
+  */
+class ManifestScaleSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  private def mkDf(rows: (Long, String)*) = {
+    val rdd = spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1)
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-mscale").toString
+
+  /** name → size of every file under <dir>/manifests. */
+  private def manifestFiles(dir: String): Map[String, Long] = {
+    val p = java.nio.file.Paths.get(s"$dir/manifests")
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    scala.util.Using.resource(java.nio.file.Files.list(p)) { st =>
+      val b = Map.newBuilder[String, Long]
+      st.iterator().forEachRemaining { f =>
+        if (java.nio.file.Files.isRegularFile(f))
+          b += f.getFileName.toString -> java.nio.file.Files.size(f)
+      }
+      b.result()
+    }
+  }
+
+  private def newlyWritten(
+      before: Map[String, Long], after: Map[String, Long]): Map[String, Long] =
+    after.filter { case (n, _) => !before.contains(n) }
+
+  test("append to an N-file table writes O(batch) manifest bytes") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    // 8 appends × 4 files = 32 data files across 8 segments
+    for (i <- 0 until 8)
+      t.append(mkDf((0L until 8L).map(j => (i * 100L + j) -> s"v$i-$j"): _*)
+        .repartition(4), Some(1000L + i))
+    val m8 = Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+    assert(m8.totalFiles == 32L, s"fixture built ${m8.totalFiles} files")
+    assert(m8.segmentRefs.size == 8, "one segment per append expected")
+
+    val before = manifestFiles(dir)
+    t.append(mkDf(9999L -> "one"), Some(9000L)) // ONE new file
+    val after = manifestFiles(dir)
+    val fresh = newlyWritten(before, after)
+
+    // structurally O(batch): one new manifest list + ONE new segment
+    // holding exactly the appended file; all 8 prior segments shared
+    val m9 = Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+    assert(m9.segmentRefs.size == 9)
+    assert(m8.segmentRefs.forall(m9.segmentRefs.contains),
+      "append dropped a prior segment ref")
+    val newSegs = fresh.keys.filter(_.startsWith("seg-")).toSeq
+    assert(newSegs.size == 1, s"append wrote segments $newSegs")
+    assert(m9.segments.find(_.ref.exists(r => r.endsWith(newSegs.head)))
+      .get.fileCount == 1L)
+
+    // byte assertion: the new metadata is a fraction of what a full
+    // re-serialization costs (the 32-entry history ≈ sum of prior segs)
+    val priorSegBytes = before.filter(_._1.startsWith("seg-")).values.sum
+    val newBytes = fresh.values.sum
+    assert(newBytes < priorSegBytes / 3,
+      s"append wrote $newBytes manifest bytes vs $priorSegBytes of " +
+        "history — not O(batch)")
+
+    // and the table still reads every row
+    assert(t.read(spark).count() == 65L)
+  }
+
+  test("metadata-only commits write a list and zero segments") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    t.append(mkDf((0L until 20L).map(j => j -> s"v$j"): _*)
+      .repartition(4), Some(1000L))
+    val before = manifestFiles(dir)
+    t.rollbackTo(1L, Some(2000L)) // reuses the target's manifest
+    val fresh = newlyWritten(before, manifestFiles(dir))
+    assert(fresh.keys.forall(_.startsWith("snap-")),
+      s"metadata-only commit wrote segments: ${fresh.keys}")
+    assert(t.read(spark).count() == 20L)
+  }
+
+  test("partial DML rewrites only the segments it touches") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    // three appends with DISJOINT id ranges → per-append segments whose
+    // stats prune cleanly
+    t.append(mkDf((0L until 10L).map(j => j -> "a"): _*), Some(1000L))
+    t.append(mkDf((100L until 110L).map(j => j -> "b"): _*), Some(2000L))
+    t.append(mkDf((200L until 210L).map(j => j -> "c"): _*), Some(3000L))
+    val segsBefore = Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+      .segmentRefs
+    assert(segsBefore.size == 3)
+
+    // delete rows inside the MIDDLE range only
+    t.delete(spark, col("id").between(100L, 104L), Some(4000L))
+    val m = Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+    // the untouched first and third segments carry over by ref
+    assert(m.segmentRefs.contains(segsBefore.head),
+      "delete rewrote an untouched segment")
+    assert(m.segmentRefs.contains(segsBefore(2)),
+      "delete rewrote an untouched segment")
+    assert(!m.segmentRefs.contains(segsBefore(1)),
+      "delete kept the punched segment's ref")
+    assert(t.read(spark).count() == 25L)
+  }
+
+  test("expiration reclaims unshared segments, keeps shared ones") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    // CoW delete of row 1 rewrites snapshot 1's segment; snapshot 2's
+    // second segment is shared by snapshots 2 and 3
+    t.delete(spark, col("id") === 1L, Some(3000L))
+    val seg1 = Manifest.segmentRefsOf(
+      s"$dir/${t.log.byId(1L).get.manifestList}")
+    val seg3 = Manifest.segmentRefsOf(
+      s"$dir/${t.log.current.get.manifestList}")
+    val unshared = seg1.filterNot(seg3.contains)
+    assert(unshared.nonEmpty, "fixture needs an unshared segment")
+
+    t.expireSnapshots(olderThanMillis = 2500L)
+    // snapshots 1 and 2 expired; their unshared segments are gone,
+    // shared ones survive
+    unshared.foreach(r => assert(
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, r)),
+      s"expire leaked unshared segment $r"))
+    seg3.foreach(r => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, r)),
+      s"expire reclaimed a live segment $r"))
+    assert(t.read(spark).select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L))
+  }
+
+  test("segment coalescing bounds list length over many small commits") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    for (i <- 0 until 40)
+      t.append(mkDf(i.toLong -> s"v$i"), Some(1000L + i))
+    val m = Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+    assert(m.totalFiles == 40L)
+    assert(m.segments.size <= Manifest.coalesceMaxSegments + 1,
+      s"list grew to ${m.segments.size} segments over 40 commits")
+    assert(t.read(spark).count() == 40L)
+  }
+
+  test("v1 (pre-segmentation) manifests read and migrate transparently") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    // rewrite the current manifest in the OLD inline-files format
+    val cur = t.log.current.get
+    val m = Manifest.read(s"$dir/${cur.manifestList}")
+    graft.util.Json.writeFileAtomic(s"$dir/${cur.manifestList}",
+      graft.util.Json.write(
+        Map("files" -> m.files.map(Manifest.entryToJson))))
+    // reads see the same table
+    assert(t.read(spark).count() == 2L)
+    // the next commit migrates the inline list into a segment
+    t.append(mkDf(3L -> "c"), Some(2000L))
+    val m2 = Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+    assert(m2.segmentRefs.size == 2)
+    assert(t.read(spark).count() == 3L)
+  }
+}
