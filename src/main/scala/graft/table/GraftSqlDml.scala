@@ -49,7 +49,46 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(g) => rewriteMerge(g, m)
         case None => plan
       }
+    case a @ AppendData(table, query, _, isByName, _, _) if query.resolved =>
+      graftTarget(table) match {
+        case Some(g) => rewriteInsert(g, query, isByName)
+        case None => plan
+      }
     case _ => substituteMorReads(plan)
+  }
+
+  /** SQL `INSERT INTO cat.db.t …` → [[GraftTable.append]]'s manifest
+    * commit protocol (a bare DSv2 write would bypass it — the relation
+    * deliberately lacks BATCH_WRITE). Column-list inserts arrive
+    * by-name; bare inserts by-position; both are cast to the table
+    * schema (ANSI failures surface at execution, same as any insert). */
+  private def rewriteInsert(
+      g: GraftV2Table,
+      query: LogicalPlan,
+      isByName: Boolean): LogicalPlan = {
+    if (g.pinned.nonEmpty)
+      fail(s"cannot INSERT INTO a time-travel read of ${g.name()}")
+    val fields = g.underlying.schema.fields.toSeq
+    val aligned: Seq[(org.apache.spark.sql.catalyst.expressions.Attribute,
+        org.apache.spark.sql.types.StructField)] =
+      if (isByName)
+        fields.map { f =>
+          query.output.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
+            fail(s"INSERT is missing column '${f.name}' of ${g.name()}")) -> f
+        }
+      else {
+        if (query.output.size != fields.size)
+          fail(s"INSERT provides ${query.output.size} columns, " +
+            s"${g.name()} has ${fields.size}")
+        query.output.zip(fields)
+      }
+    val prj = Project(aligned.map { case (attr, f) =>
+      val v =
+        if (attr.dataType == f.dataType) attr
+        else org.apache.spark.sql.catalyst.expressions.Cast(attr, f.dataType)
+      Alias(v, f.name)()
+    }, query)
+    GraftInsertCommand(g.underlying, prj)
   }
 
   /** A DSv2 graft relation whose snapshot has merge-on-read deletes
@@ -253,6 +292,17 @@ case class GraftMorMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
     table.withCommitRetry() { table.mergeEquality(spark, src, keyCols) }
+    Nil
+  }
+}
+
+/** INSERT INTO routed to the append commit protocol. */
+case class GraftInsertCommand(
+    table: GraftTable,
+    source: LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftBridge.ofRows(spark, source)
+    table.appendWithRetry(src)
     Nil
   }
 }

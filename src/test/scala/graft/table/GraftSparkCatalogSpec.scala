@@ -301,6 +301,29 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       "merge-on-read mode did not take the equality-delete path")
   }
 
+  test("SQL INSERT INTO routes to the append commit protocol") {
+    val t = GraftTable.create(s"$wh/db/ins", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    // bare positional insert, with an implicit INT → BIGINT cast
+    sqlS.sql("INSERT INTO g2.db.ins VALUES (2, 'b'), (3, 'c')")
+    assert(sqlS.sql("SELECT id FROM g2.db.ins ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val t2 = GraftTable.load(s"$wh/db/ins")
+    assert(t2.log.current.get.operation == "append")
+    assert(t2.log.snapshots.size == 2, "one INSERT statement = one snapshot")
+    // column-list (by-name, reordered) insert
+    sqlS.sql("INSERT INTO g2.db.ins (data, id) VALUES ('d', 4)")
+    assert(sqlS.sql("SELECT data FROM g2.db.ins WHERE id = 4")
+      .collect().map(_.getString(0)).toSeq == Seq("d"))
+    // INSERT ... SELECT
+    sqlS.sql("INSERT INTO g2.db.ins SELECT id + 100, concat(data, '!') " +
+      "FROM g2.db.ins WHERE id <= 2")
+    assert(sqlS.sql("SELECT id FROM g2.db.ins ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 101L, 102L))
+    // the plain session (no extensions) still rejects SQL writes
+    intercept[Exception] { spark.sql("INSERT INTO g2.db.ins VALUES (9, 'z')") }
+  }
+
   test("SQL reads over MoR-pending tables: extensions splice the visible-rows plan") {
     import org.apache.spark.sql.functions.col
     // predicate (deferred) form
