@@ -54,6 +54,27 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(g) => rewriteInsert(g, query, isByName)
         case None => plan
       }
+    case o @ OverwriteByExpression(table, deleteExpr, query, _, isByName, _, _)
+        if query.resolved =>
+      graftTarget(table) match {
+        case Some(g) =>
+          // full-table overwrite only (INSERT OVERWRITE TABLE t …):
+          // deleteExpr is the always-true literal. Partition-scoped
+          // overwrites would need the CoW delete's per-file proofs fused
+          // with the append — refused with direction instead of guessed.
+          deleteExpr match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(true, _) =>
+              rewriteInsert(g, query, isByName) match {
+                case GraftInsertCommand(t, src) => GraftOverwriteCommand(t, src)
+                case other => other
+              }
+            case _ => fail(
+              s"graft supports only full-table INSERT OVERWRITE on " +
+                s"${g.name()} (use DELETE + INSERT, or the library's " +
+                "delete()/append() for predicate-scoped replacement)")
+          }
+        case None => plan
+      }
     case _ => substituteMorReads(plan)
   }
 
@@ -303,6 +324,17 @@ case class GraftInsertCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
     table.appendWithRetry(src)
+    Nil
+  }
+}
+
+/** INSERT OVERWRITE TABLE routed to the atomic truncate-and-replace. */
+case class GraftOverwriteCommand(
+    table: GraftTable,
+    source: LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftBridge.ofRows(spark, source)
+    table.withCommitRetry() { table.overwrite(src) }
     Nil
   }
 }

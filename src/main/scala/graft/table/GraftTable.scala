@@ -479,6 +479,35 @@ final class GraftTable private (
         "added-records" -> newFiles.map(_.recordCount).sum.toString))
   }
 
+  /** INSERT OVERWRITE TABLE semantics in ONE atomic commit: every
+    * current data file leaves the manifest (metadata-only — the
+    * truncation half reads no bytes) and `df`'s files replace them.
+    * Pending merge-on-read state of every form clears with the files it
+    * covered (entries only ever cover pre-overwrite files, all gone).
+    * Time travel to pre-overwrite snapshots still sees the old rows;
+    * expiration reclaims them. */
+  def overwrite(
+      df: DataFrame,
+      committedAt: Option[Long] = None): Snapshot = {
+    val lg = log
+    val snapId = lg.nextId
+    val newFiles = writeDataFiles(df, snapId)
+    val prevFiles = lg.current
+      .map(s => Manifest.read(s"$dir/${s.manifestList}").totalFiles)
+      .getOrElse(0L)
+    commit(lg, snapId, Manifest(newFiles), newFiles,
+      operation = "overwrite", committedAt,
+      extraSummary = Map(
+        "dropped-data-files" -> prevFiles.toString,
+        "added-data-files" -> newFiles.size.toString,
+        "added-records" -> newFiles.map(_.recordCount).sum.toString,
+        // explicit empty values beat the carried-summary inheritance:
+        // no covered file survives, so no entry survives
+        SummaryPendingDeletes -> "[]",
+        SummaryPositionalDeletes -> "[]",
+        SummaryEqualityDeletes -> "[]"))
+  }
+
   /** [[append]] with optimistic-concurrency RETRY — the production
     * behavior for concurrent writers on one table: a committer that
     * loses the snapshot-id race (commit's O_EXCL claim or the log
@@ -2456,7 +2485,7 @@ final class GraftTable private (
     // re-inserted identical row from the added side.
     val rewriteDiffs = chain
       .filter(s => s.operation == "update" || s.operation == "merge" ||
-        s.operation == "publish")
+        s.operation == "publish" || s.operation == "overwrite")
       .map { s =>
         val p = lg.byId(s.parentId.getOrElse(-1L)).getOrElse(
           throw new IllegalStateException(
@@ -2625,7 +2654,7 @@ final class GraftTable private (
         // files read VISIBLE AT THE PARENT (pending merge-on-read
         // deletes applied) — their dead rows were never inserted
         // downstream and must not be retracted.
-        case "delete" | "update" | "merge" | "publish" =>
+        case "delete" | "update" | "merge" | "publish" | "overwrite" =>
           val p = parent(s)
           val pf = files(p)
           val parentPaths = pf.map(_.path).toSet

@@ -324,6 +324,33 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     intercept[Exception] { spark.sql("INSERT INTO g2.db.ins VALUES (9, 'z')") }
   }
 
+  test("SQL INSERT OVERWRITE is one atomic truncate-and-replace commit") {
+    val t = GraftTable.create(s"$wh/db/ovr", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    // pending MoR state clears with the files it covered
+    t.deleteDeferred(spark, org.apache.spark.sql.functions.col("id") === 1L,
+      Some(2000L))
+    sqlS.sql("INSERT OVERWRITE g2.db.ovr VALUES (7, 'x'), (8, 'y')")
+    val t2 = GraftTable.load(s"$wh/db/ovr")
+    assert(t2.log.current.get.operation == "overwrite")
+    assert(t2.log.snapshots.size == 3, "overwrite must be ONE commit")
+    assert(t2.pendingDeletes.isEmpty, "overwrite must clear pending entries")
+    assert(sqlS.sql("SELECT id FROM g2.db.ovr ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(7L, 8L))
+    // time travel still sees the pre-overwrite state (MoR applied)
+    assert(sqlS.sql("SELECT id FROM g2.db.ovr VERSION AS OF 2")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // metadata count(*) stays exact after the state reset
+    val cq = sqlS.sql("SELECT count(*) AS n FROM g2.db.ovr")
+    assert(cq.head().getLong(0) == 2L)
+    // the CDC fold nets the overwrite exactly: retract 2 (1 was already
+    // dead), insert 2
+    val cdc = t2.changesCdc(spark, 2L)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cdc == Map("insert" -> 2L, "delete" -> 1L), cdc.toString)
+  }
+
   test("SQL reads over MoR-pending tables: extensions splice the visible-rows plan") {
     import org.apache.spark.sql.functions.col
     // predicate (deferred) form
