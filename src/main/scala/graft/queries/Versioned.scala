@@ -394,7 +394,36 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** SQL ingest fixture: the table is built ENTIRELY by SQL statements —
+    * CREATE TABLE through the catalog, INSERT INTO … SELECT (append
+    * commit), then INSERT OVERWRITE … SELECT (atomic truncate-and-
+    * replace). Final state = the overwrite's projection of nation. */
+  private def sqlIngestFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/nation_sqlingest", 2) { dir =>
+      val s2 = dmlSession(spark)
+      val wh = Paths.get(dir).getParent.getParent.toString
+      s2.conf.set("spark.sql.catalog.g35", "graft.table.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.g35.warehouse", wh)
+      t(s2, sfDir, "nation").createOrReplaceTempView("nation_sqlingest_src")
+      s2.sql("CREATE TABLE g35.db.nation_sqlingest " +
+        "(n_nationkey INT, n_name STRING, n_regionkey INT)")
+      s2.sql("INSERT INTO g35.db.nation_sqlingest " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_sqlingest_src")
+      s2.sql("INSERT OVERWRITE g35.db.nation_sqlingest " +
+        "SELECT n_nationkey, concat('O-', n_name), n_regionkey " +
+        "FROM nation_sqlingest_src WHERE n_regionkey <> 3")
+      GraftTable.load(dir)
+    }
+
   val queries: Map[String, Q] = Map(
+
+    // SQL ingest: CREATE TABLE + INSERT INTO + atomic INSERT OVERWRITE,
+    // all through the catalog — the read sees exactly the overwrite's
+    // projection (snapshot 2; snapshot 1's full append is time travel)
+    "v35_graft_sql_ingest" -> ((s, d) =>
+      sqlIngestFixture(s, d).read(s)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("snapshot__id"))),
 
     // SQL DML through the DSv2 catalog: UPDATE + MERGE INTO statements
     // routed to the library's copy-on-write commit paths by the injected
@@ -770,6 +799,10 @@ object Versioned extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "v35_graft_sql_ingest" ->
+      ("SELECT n_nationkey, 'O-' || n_name AS n_name, n_regionkey, " +
+        "CAST(2 AS BIGINT) AS snapshot__id FROM nation " +
+        "WHERE n_regionkey <> 3"),
     "v34_graft_sql_dml" ->
       ("SELECT n_nationkey, " +
         "CASE WHEN n_nationkey <= 1 THEN 'M-' || n_name " +

@@ -363,9 +363,14 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     // extensions session: visible-rows plan spliced in
     assert(sqlS.sql("SELECT id FROM g2.db.morsel ORDER BY id")
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
-    // filters/projections over the spliced plan stay correct
-    assert(sqlS.sql("SELECT data FROM g2.db.morsel WHERE id > 1")
-      .collect().map(_.getString(0)).toSeq == Seq("c"))
+    // filters/projections over the spliced plan stay correct AND still
+    // push into the underlying parquet scans (the splice is a plain
+    // logical subtree — Catalyst optimizes through it)
+    val fq = sqlS.sql("SELECT data FROM g2.db.morsel WHERE id > 1")
+    assert(fq.collect().map(_.getString(0)).toSeq == Seq("c"))
+    val fplan = fq.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"filter did not reach the parquet scan through the splice:\n$fplan")
     // VERSION AS OF 1 pins the pre-delete snapshot (no entries → raw scan)
     assert(sqlS.sql("SELECT * FROM g2.db.morsel VERSION AS OF 1").count() == 3)
 
