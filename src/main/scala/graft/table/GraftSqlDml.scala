@@ -75,6 +75,20 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case None => plan
       }
+    case ctas @ CreateTableAsSelect(
+        name: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier,
+        partitioning, query, tableSpec, _, ignoreIfExists, _)
+        if query.resolved && name.catalog.isInstanceOf[GraftSparkCatalog] =>
+      // Spark's own non-atomic CTAS would create the table and then die
+      // on the write (the relation deliberately lacks BATCH_WRITE);
+      // route create + first append through the library instead.
+      val props: Map[String, String] = tableSpec match {
+        case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
+          ts.properties
+        case _ => Map.empty
+      }
+      GraftCtasCommand(name.catalog.asInstanceOf[GraftSparkCatalog],
+        name.identifier, partitioning.toArray, props, query, ignoreIfExists)
     case _ => substituteMorReads(plan)
   }
 
@@ -335,6 +349,41 @@ case class GraftOverwriteCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
     table.withCommitRetry() { table.overwrite(src) }
+    Nil
+  }
+}
+
+/** CREATE TABLE … AS SELECT: create through the catalog (schema from the
+  * query, PARTITIONED BY transforms honored), then the first append. Not
+  * atomic across the two steps — on a failed append the empty table is
+  * dropped again, matching Spark's own non-atomic CTAS contract. */
+case class GraftCtasCommand(
+    catalog: GraftSparkCatalog,
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+    properties: Map[String, String],
+    query: LogicalPlan,
+    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (catalog.tableExists(ident)) {
+      if (ignoreIfExists) return Nil
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_0035",
+        messageParameters = Map("message" ->
+          s"table $ident already exists (CTAS)"))
+    }
+    val src = GraftBridge.ofRows(spark, query)
+    val schema = org.apache.spark.sql.types.StructType(
+      src.schema.fields.map(_.copy(metadata =
+        org.apache.spark.sql.types.Metadata.empty)))
+    import scala.jdk.CollectionConverters._
+    val v2 = catalog.createTable(ident, schema, partitioning,
+      properties.asJava).asInstanceOf[GraftV2Table]
+    try v2.underlying.appendWithRetry(src)
+    catch { case e: Throwable =>
+      try catalog.dropTable(ident) catch { case _: Throwable => () }
+      throw e
+    }
     Nil
   }
 }

@@ -324,6 +324,31 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     intercept[Exception] { spark.sql("INSERT INTO g2.db.ins VALUES (9, 'z')") }
   }
 
+  test("CREATE TABLE AS SELECT creates and loads in one statement") {
+    val t0 = GraftTable.create(s"$wh/db/ctassrc", schema)
+    t0.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    sqlS.sql("CREATE TABLE g2.db.ctas AS " +
+      "SELECT id, concat(data, '!') AS data FROM g2.db.ctassrc WHERE id <= 2")
+    val t = GraftTable.load(s"$wh/db/ctas")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "data"))
+    assert(t.log.snapshots.size == 1)
+    assert(sqlS.sql("SELECT data FROM g2.db.ctas ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a!", "b!"))
+    // partitioned CTAS honors the transform DDL
+    sqlS.sql("CREATE TABLE g2.db.ctasp PARTITIONED BY (bucket(4, id)) AS " +
+      "SELECT id, data FROM g2.db.ctassrc")
+    assert(GraftTable.load(s"$wh/db/ctasp").partitionColumns ==
+      Seq("bucket(4,id)"))
+    assert(sqlS.sql("SELECT count(*) FROM g2.db.ctasp").head().getLong(0) == 3L)
+    // existing table refused; IF NOT EXISTS is a no-op
+    intercept[Exception] {
+      sqlS.sql("CREATE TABLE g2.db.ctas AS SELECT 1L AS id, 'x' AS data")
+    }
+    sqlS.sql("CREATE TABLE IF NOT EXISTS g2.db.ctas AS " +
+      "SELECT 9L AS id, 'x' AS data")
+    assert(sqlS.sql("SELECT count(*) FROM g2.db.ctas").head().getLong(0) == 2L)
+  }
+
   test("SQL INSERT OVERWRITE is one atomic truncate-and-replace commit") {
     val t = GraftTable.create(s"$wh/db/ovr", schema)
     t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
