@@ -68,10 +68,16 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
                 case GraftInsertCommand(t, src) => GraftOverwriteCommand(t, src)
                 case other => other
               }
-            case _ => fail(
-              s"graft supports only full-table INSERT OVERWRITE on " +
-                s"${g.name()} (use DELETE + INSERT, or the library's " +
-                "delete()/append() for predicate-scoped replacement)")
+            case pred =>
+              // static-partition / predicate-scoped overwrite
+              // (`INSERT OVERWRITE t PARTITION (p = …)`): atomic slice
+              // replacement via overwriteWhere — whole-slice files drop
+              // metadata-only, only boundary files rewrite
+              rewriteInsert(g, query, isByName) match {
+                case GraftInsertCommand(t, src) =>
+                  GraftOverwriteWhereCommand(t, byName(pred), src)
+                case other => other
+              }
           }
         case None => plan
       }
@@ -338,6 +344,19 @@ case class GraftInsertCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
     table.appendWithRetry(src)
+    Nil
+  }
+}
+
+/** Predicate-scoped INSERT OVERWRITE routed to the atomic slice
+  * replacement ([[GraftTable.overwriteWhere]]). */
+case class GraftOverwriteWhereCommand(
+    table: GraftTable,
+    pred: Column,
+    source: LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftBridge.ofRows(spark, source)
+    table.withCommitRetry() { table.overwriteWhere(spark, pred, src) }
     Nil
   }
 }

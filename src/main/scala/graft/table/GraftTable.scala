@@ -508,6 +508,71 @@ final class GraftTable private (
         SummaryEqualityDeletes -> "[]"))
   }
 
+  /** Predicate-scoped OVERWRITE — atomic "replace this slice": rows
+    * matching `predicate` leave (whole-file drops stay metadata-only via
+    * the [[Pruning.mustMatchAll]] proof; genuinely partial files rewrite
+    * keeping their non-matching rows) and `df`'s rows land, all in ONE
+    * `"overwrite"` snapshot. The daily-batch idiom at 100 TB: replacing
+    * a day/tenant/bucket slice of a partitioned table is a manifest edit
+    * plus the new slice's write — no unrelated file is touched. Inserted
+    * rows are NOT constrained to match the predicate (same as SQL's
+    * `INSERT OVERWRITE … PARTITION` trust model — callers enforce
+    * alignment with a [[GraftTable.PropCheckPrefix]] constraint if they
+    * want it hard). MoR stance matches [[delete]]: refuses pending
+    * predicate/equality entries, composes with positional. */
+  def overwriteWhere(
+      spark: SparkSession,
+      predicate: Column,
+      df: DataFrame,
+      committedAt: Option[Long] = None): Snapshot = {
+    val lg = log
+    val current = lg.current.getOrElse(
+      return overwrite(df, committedAt)) // empty table: plain first write
+    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
+      s"$dir has deferred deletes pending — compact() to materialize " +
+        "them before running copy-on-write DML")
+    val resolved = resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(predicate))
+    require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
+      s"overwrite predicate cannot reference the virtual column $virtualColumn")
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val (candidates, untouched) =
+      manifest.files.partition(pruneKeep(resolved))
+    val snapId = lg.nextId
+    val proofPred = PartitionField.proofAugment(resolved, partitionFields)
+    val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
+    val (dropped, rewrites) =
+      candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
+    val posPend = parsePositional(current)
+    val priorDeleted: Map[String, Long] =
+      posPend.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
+    val keptFiles =
+      if (rewrites.isEmpty) Nil
+      else writeDataFiles(
+        readVisible(spark, Nil, posPend, rewrites)
+          .filter(org.apache.spark.sql.functions.coalesce(
+            !predicate, org.apache.spark.sql.functions.lit(true))),
+        snapId).filter(_.recordCount > 0)
+    val inserted = writeDataFiles(df, snapId)
+    val removed = candidates.map(f =>
+      f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum -
+      keptFiles.map(_.recordCount).sum
+    val stillPositional =
+      stripPositional(posPend, candidates.map(_.path).toSet)
+    commit(lg, snapId,
+      manifest.retainPaths(untouched.map(_.path).toSet)
+        .append(keptFiles ++ inserted),
+      keptFiles ++ inserted,
+      operation = "overwrite", committedAt,
+      extraSummary = Map(
+        "deleted-records" -> removed.toString,
+        "dropped-data-files" -> dropped.size.toString,
+        "rewritten-data-files" -> rewrites.size.toString,
+        "added-data-files" -> inserted.size.toString,
+        "added-records" -> inserted.map(_.recordCount).sum.toString,
+        SummaryPositionalDeletes -> positionalJson(stillPositional)))
+  }
+
   /** [[append]] with optimistic-concurrency RETRY — the production
     * behavior for concurrent writers on one table: a committer that
     * loses the snapshot-id race (commit's O_EXCL claim or the log

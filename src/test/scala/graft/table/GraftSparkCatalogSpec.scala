@@ -376,6 +376,46 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(cdc == Map("insert" -> 2L, "delete" -> 1L), cdc.toString)
   }
 
+  test("predicate-scoped INSERT OVERWRITE replaces one slice atomically") {
+    import org.apache.spark.sql.functions.col
+    // identity-partitioned table: the slice drop must be metadata-only
+    sqlS.sql("CREATE TABLE g2.db.slices (id BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    val t = GraftTable.load(s"$wh/db/slices")
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cat", StringType, nullable = true)))
+    t.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "a"), Row(2L, "a"), Row(3L, "b"), Row(4L, "b")), 1), s2),
+      Some(1000L))
+
+    sqlS.sql("INSERT OVERWRITE g2.db.slices PARTITION (cat = 'a') " +
+      "VALUES (10), (11)")
+    val t2 = GraftTable.load(s"$wh/db/slices")
+    assert(t2.log.snapshots.size == 2, "slice overwrite must be ONE commit")
+    assert(t2.log.current.get.operation == "overwrite")
+    // whole-partition files drop without a rewrite
+    assert(t2.log.current.get.summary("dropped-data-files").toLong >= 1)
+    assert(t2.log.current.get.summary("rewritten-data-files") == "0",
+      "identity-partition slice drop should be metadata-only")
+    assert(sqlS.sql("SELECT id FROM g2.db.slices ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 10L, 11L))
+    // untouched partition rows carry over; time travel sees the old slice
+    assert(sqlS.sql("SELECT id FROM g2.db.slices VERSION AS OF 1 " +
+      "WHERE cat = 'a' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+
+    // library form: a mid-file (non-partition-aligned) predicate rewrites
+    // the boundary file but keeps its non-matching rows
+    val t3 = GraftTable.create(s"$wh/db/slices2", schema)
+    t3.append(mkDf(1L -> "x", 2L -> "y", 3L -> "z"), Some(1000L))
+    t3.overwriteWhere(spark, col("id") >= 2L,
+      mkDf(20L -> "new"), Some(2000L))
+    assert(t3.read(spark).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 20L))
+    assert(t3.log.snapshots.size == 2)
+  }
+
   test("SQL reads over MoR-pending tables: extensions splice the visible-rows plan") {
     import org.apache.spark.sql.functions.col
     // predicate (deferred) form
