@@ -748,7 +748,29 @@ final class GraftTable private (
           properties.getOrElse(PropWriteDistribution, "none") == "hash")
         withDerived.repartition(partitionFields.map(f => col(f.fieldName)): _*)
       else withDerived
-    val writer = distributed.write.mode("overwrite")
+    // WRITE SORT ORDER (Iceberg's write sort-order analog): table
+    // property `graft.write.sort = c1,c2` range-partitions + sorts every
+    // data-file write on those columns, so files land RANGE-DISJOINT
+    // with tight footer min/max — point/range predicates on the sort
+    // prefix then prune to O(1) files without any post-hoc compaction.
+    // Cost: one extra shuffle per write job — the standard price of a
+    // declared sort order; leave unset for ingest-speed-first tables
+    // (compact(sortBy/zorderBy) clusters after the fact instead).
+    val sorted = properties.get(PropWriteSort) match {
+      case Some(spec) if spec.trim.nonEmpty =>
+        val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"unknown ${PropWriteSort} column '$c'"))
+        // explicit partition count (the session's configured shuffle
+        // parallelism): an AQE-coalesced range exchange would fold small
+        // writes back into one file and lose the disjointness this
+        // property exists for
+        val n = distributed.sparkSession.sessionState.conf.numShufflePartitions
+        distributed.repartitionByRange(n, cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*)
+      case _ => distributed
+    }
+    val writer = sorted.write.mode("overwrite")
     if (partitionFields.nonEmpty)
       writer.partitionBy(partitionFields.map(_.fieldName): _*)
     // `bloom.columns`: have the parquet writer emit standard split-block
@@ -2953,6 +2975,7 @@ object GraftTable {
   val PropSnapshotsTable = "graft.snapshots.table"
   val PropBloomColumns = "graft.bloom.columns"
   val PropWriteDistribution = "graft.write.distribution"
+  val PropWriteSort = "graft.write.sort"
   val PropWriteOptionPrefix = "graft.write.option."
   val SummaryPendingDeletes = "pending-deletes"
   val SummaryPositionalDeletes = "positional-deletes"

@@ -1227,4 +1227,44 @@ class GraftTableSpec extends SparkSpecBase {
     // the Hive null marker decodes to None (null partition)
     assert(PartitionValues.decode(PartitionValues.NullMarker).isEmpty)
   }
+
+  test("graft.write.sort clusters writes into range-disjoint, prunable files") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("graft-writesort")
+    val t = GraftTable.create(s"$dir/t", simpleSchema,
+      properties = Map(GraftTable.PropWriteSort -> "id"))
+    // shuffled ids across several input partitions: without the sort
+    // order every output file would span the whole id range
+    val rows = new scala.util.Random(7).shuffle((0L until 64L).toList)
+      .map(i => Row(i, s"v$i"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), simpleSchema)
+    t.append(df, Some(1000L))
+
+    val files = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+      .files
+    assert(files.size >= 2, s"fixture wrote ${files.size} file(s)")
+    // footer ranges are pairwise DISJOINT on the sort column
+    val ranges = files.map { f =>
+      val st = f.stats("id")
+      (st.min.get.toLong, st.max.get.toLong)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping sorted-write ranges: $ranges")
+      case _ => ()
+    }
+    // a point lookup prunes to exactly one file
+    val hit = files.count(f => Pruning.mayMatchFile(
+      GraftTable.resolveAgainst(spark, t.schema,
+        org.apache.spark.sql.classic.GraftBridge.expr(col("id") === 42L)),
+      f, t.schema))
+    assert(hit == 1, s"point lookup admitted $hit files")
+    // rows read back complete and correct
+    assert(t.read(spark).count() == 64L)
+    // a misspelled sort column refuses before writing anything
+    val bad = GraftTable.create(s"$dir/bad", simpleSchema,
+      properties = Map(GraftTable.PropWriteSort -> "nope"))
+    intercept[IllegalArgumentException] { bad.append(mkDf(1L -> "a")) }
+  }
 }
