@@ -415,7 +415,46 @@ object Versioned extends QueryPack {
       GraftTable.load(dir)
     }
 
+  /** Partitioned slice-replacement fixture: nation identity-partitioned
+    * on n_regionkey; SQL `INSERT OVERWRITE … PARTITION (n_regionkey = 2)`
+    * atomically replaces that region's rows (whole-partition files drop
+    * metadata-only; the commit records zero rewrites) with a renamed,
+    * re-keyed batch. */
+  private def sqlSliceFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/nation_sqlslice", 2) { dir =>
+      val s2 = dmlSession(spark)
+      val wh = Paths.get(dir).getParent.getParent.toString
+      s2.conf.set("spark.sql.catalog.g36", "graft.table.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.g36.warehouse", wh)
+      t(s2, sfDir, "nation").createOrReplaceTempView("nation_sqlslice_src")
+      s2.sql("CREATE TABLE g36.db.nation_sqlslice " +
+        "(n_nationkey INT, n_name STRING, n_regionkey INT) " +
+        "PARTITIONED BY (n_regionkey)")
+      s2.sql("INSERT INTO g36.db.nation_sqlslice " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_sqlslice_src")
+      s2.sql("INSERT OVERWRITE g36.db.nation_sqlslice " +
+        "PARTITION (n_regionkey = 2) " +
+        "SELECT CAST(n_nationkey + 500 AS INT), concat('R2-', n_name) " +
+        "FROM nation_sqlslice_src WHERE n_regionkey = 2")
+      val tb = GraftTable.load(dir)
+      // the slice replacement must have been metadata-only on the drop
+      // side — a rewrite here would mean partition pruning regressed
+      val cur = tb.log.current.get
+      require(cur.operation == "overwrite" &&
+        cur.summary("rewritten-data-files") == "0",
+        s"slice overwrite rewrote files: ${cur.summary}")
+      tb
+    }
+
   val queries: Map[String, Q] = Map(
+
+    // SQL slice replacement on a partitioned table: one atomic commit,
+    // whole-partition files dropped metadata-only (fixture asserts zero
+    // rewrites), other partitions byte-untouched
+    "v36_graft_sql_slice" -> ((s, d) =>
+      sqlSliceFixture(s, d).read(s)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("snapshot__id"))),
 
     // SQL ingest: CREATE TABLE + INSERT INTO + atomic INSERT OVERWRITE,
     // all through the catalog — the read sees exactly the overwrite's
@@ -799,6 +838,13 @@ object Versioned extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "v36_graft_sql_slice" ->
+      ("SELECT n_nationkey, n_name, n_regionkey, " +
+        "CAST(2 AS BIGINT) AS snapshot__id FROM nation " +
+        "WHERE n_regionkey <> 2 " +
+        "UNION ALL SELECT CAST(n_nationkey + 500 AS INTEGER), " +
+        "'R2-' || n_name, n_regionkey, CAST(2 AS BIGINT) FROM nation " +
+        "WHERE n_regionkey = 2"),
     "v35_graft_sql_ingest" ->
       ("SELECT n_nationkey, 'O-' || n_name AS n_name, n_regionkey, " +
         "CAST(2 AS BIGINT) AS snapshot__id FROM nation " +

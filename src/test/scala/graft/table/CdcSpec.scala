@@ -58,11 +58,15 @@ class CdcSpec extends SparkSpecBase {
     t.update(spark, col("id") === 3L, Map("data" -> lit("c2")), Some(4000L)) // 4
     t.merge(spark, mkDf(5L -> "e2", 6L -> "f"), "id", Some(5000L)) // 5
     t.compact(spark, smallerThanBytes = Long.MaxValue, Some(6000L)) // 6
+    t.overwriteWhere(spark, col("id") >= 5L,
+      mkDf(8L -> "h"), Some(7000L))                                // 7 slice
+    t.overwrite(mkDf(9L -> "i", 10L -> "j"), Some(8000L))          // 8 full
 
     val toSnap = t.log.current.get.snapshotId
     assertSameRows(reconstruct(t, 1L, toSnap), state(t, toSnap), "fold 1->head")
     // from mid-chain too
     assertSameRows(reconstruct(t, 3L, toSnap), state(t, toSnap), "fold 3->head")
+    assertSameRows(reconstruct(t, 6L, toSnap), state(t, toSnap), "fold 6->head")
 
     // per-op attribution: the CoW delete emitted exactly row 2 as delete
     val d3 = t.changesCdc(spark, 2L, Some(3L))
