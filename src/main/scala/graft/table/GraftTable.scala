@@ -1093,6 +1093,32 @@ final class GraftTable private (
         SummaryEqualityDeletes -> equalityJson(stillEquality))))
   }
 
+  /** ADMIN: re-shard the current snapshot's manifest into segments of
+    * ~`targetFiles` entries each (Iceberg's `rewrite_manifests`): after a
+    * long small-commit history this bounds per-scan segment-read count
+    * without touching a data byte. The automatic coalescing on commit
+    * ([[Manifest.coalesceSmall]]) keeps lists loosely bounded; this is
+    * the explicit, tighter form for maintenance windows. Commits a
+    * `"replace"` snapshot — the file set is bit-identical, so change
+    * feeds skip it. No-op (None) when the manifest is already at most
+    * this coarse. */
+  def rewriteManifests(
+      targetFiles: Int = Manifest.coalesceSmallFiles,
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val grouped = manifest.files.grouped(targetFiles)
+      .map(g => ManifestSegment.fresh(g)).toVector
+    if (manifest.segments.size <= grouped.size) return None
+    Some(commit(lg, lg.nextId, new Manifest(grouped), Nil,
+      operation = "replace", committedAt,
+      extraSummary = Map(
+        "rewritten-manifest-segments" ->
+          s"${manifest.segments.size}->${grouped.size}")))
+  }
+
   /** Copy-on-write DELETE: rewrite only the files that MAY contain
     * matching rows (manifest pruning picks the candidates), keeping the
     * non-matching rows; untouched files carry over. Commits a `"delete"`

@@ -161,6 +161,29 @@ class ManifestScaleSpec extends SparkSpecBase {
     assert(t.read(spark).count() == 40L)
   }
 
+  test("rewriteManifests re-shards without touching data") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    for (i <- 0 until 10)
+      t.append(mkDf(i.toLong -> s"v$i"), Some(1000L + i))
+    val dataBefore = manifestFiles(dir) // includes segs; data under data/
+    assert(Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+      .segments.size == 10)
+
+    val snap = t.rewriteManifests(targetFiles = 512, Some(5000L))
+    assert(snap.get.operation == "replace")
+    val m = Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+    assert(m.segments.size == 1, s"re-shard left ${m.segments.size} segments")
+    assert(m.totalFiles == 10L)
+    assert(t.read(spark).count() == 10L)
+    // bit-identical file set: the change feed skips it
+    assert(t.changes(spark, 10L).count() == 0)
+    // prior snapshots still read through their own lists
+    assert(t.read(spark, Some(5L)).count() == 5L)
+    // already-coarse manifest: no-op
+    assert(t.rewriteManifests(targetFiles = 512).isEmpty)
+  }
+
   test("v1 (pre-segmentation) manifests read and migrate transparently") {
     val dir = s"${tmp()}/t"
     val t = GraftTable.create(dir, schema)
