@@ -161,13 +161,17 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
         t = t.addColumn(add.fieldNames()(0), add.dataType())
+      case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
+        t = t.renameColumn(ren.fieldNames()(0), ren.newName())
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        t = t.dropColumn(del.fieldNames()(0))
       case set: TableChange.SetProperty =>
         t = t.updateProperties(Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>
         t = t.updateProperties(Map.empty, Set(rm.property()))
       case other => throw new UnsupportedOperationException(
-        "graft supports top-level ADD COLUMN and SET/UNSET TBLPROPERTIES, " +
-          s"got $other")
+        "graft supports top-level ADD/RENAME/DROP COLUMN and SET/UNSET " +
+          s"TBLPROPERTIES, got $other")
     }
     new GraftV2Table(identToName(ident), t, None)
   }
@@ -308,6 +312,14 @@ final class GraftV2Table(
     val entries = snap.toSeq.flatMap { s =>
       Manifest.read(s"${t.dir}/${s.manifestList}").files
     }
+    // this surface hands the file list + LOGICAL schema to one parquet
+    // scan; a file predating a column rename holds the old physical name
+    // and would read the renamed column as NULL — refuse (the library
+    // scan and the extensions' SQL splice alias per era)
+    entries.foreach(f => require(!t.renameAffects(f),
+      s"${t.dir} has pre-rename data files — read via GraftTable.scan/" +
+        "GraftCatalog or a GraftExtensions session, or compact() to " +
+        "rewrite under the current column names"))
     // normalize: a published branch leaves `branches/<name>/data/…`
     // entries in the parent manifest (and a branch table holds `../../`
     // fork entries) — the parquet source must see clean absolute paths

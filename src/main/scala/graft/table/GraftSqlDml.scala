@@ -170,7 +170,12 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         val pending = snap.exists(s => tb.parsePending(s).nonEmpty ||
           tb.parsePositional(s).nonEmpty || tb.parseEquality(s).nonEmpty)
-        if (pending) Some(g) else None
+        // pre-rename files also need the library's per-era aliasing —
+        // the raw file-list scan would read renamed columns as NULL
+        val renamed = tb.renames.nonEmpty && snap.exists(s =>
+          Manifest.read(s"${tb.dir}/${s.manifestList}").files
+            .exists(tb.renameAffects))
+        if (pending || renamed) Some(g) else None
       case _ => None
     }
 

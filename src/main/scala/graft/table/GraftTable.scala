@@ -41,9 +41,56 @@ final class GraftTable private (
     val dir: String,
     val schema: StructType,
     val properties: Map[String, String],
-    val partitionColumns: Seq[String] = Nil) {
+    val partitionColumns: Seq[String] = Nil,
+    val droppedColumns: Seq[String] = Nil,
+    val renames: Seq[GraftTable.ColumnRename] = Nil) {
 
   import GraftTable._
+
+  /** Rewrite `metadata.json` with the given deltas (atomic swap) and
+    * return the updated handle — the single chokepoint for every schema/
+    * property/spec mutation, so the rename/tombstone bookkeeping can
+    * never be silently dropped by one writer site. */
+  private def writeMeta(
+      newSchema: StructType = schema,
+      newProps: Map[String, String] = properties,
+      newSpec: Seq[String] = partitionColumns,
+      newDropped: Seq[String] = droppedColumns,
+      newRenames: Seq[ColumnRename] = renames): GraftTable = {
+    val meta = Map(
+      "format_version" -> 1L,
+      "schema" -> newSchema.json,
+      "partition_columns" -> newSpec,
+      "properties" -> newProps,
+      "dropped_columns" -> newDropped,
+      "column_renames" -> newRenames.map(r =>
+        Map("at" -> r.at, "from" -> r.from, "to" -> r.to)))
+    graft.util.Json.writeFileAtomic(s"$dir/metadata.json",
+      graft.util.Json.write(meta))
+    new GraftTable(dir, newSchema, newProps, newSpec, newDropped, newRenames)
+  }
+
+  /** Whether any logical column of `f` lives under a different physical
+    * name (the file predates a rename) — the DSv2 raw-file-list surface
+    * refuses such files (it cannot alias per era) and the extensions'
+    * SQL splice takes over. */
+  private[table] def renameAffects(f: DataFileEntry): Boolean = {
+    val sid = fileSnapId(f.path)
+    schema.fieldNames.exists(c => physicalName(c, sid) != c)
+  }
+
+  /** The PHYSICAL column name holding logical column `c` in a file
+    * written at snapshot `snapId` — the rename chain walked newest→
+    * oldest (renames are metadata-only; files keep the name of their
+    * era). `None` snapIds (foreign-era fork/publish files) predate every
+    * rename in this table's log, same stance as deferred-delete
+    * coverage. */
+  private def physicalName(c: String, snapId: Option[Long]): String = {
+    val s = snapId.getOrElse(Long.MinValue)
+    renames.sortBy(-_.at).foldLeft(c) { (cur, r) =>
+      if (s < r.at && r.to == cur) r.from else cur
+    }
+  }
 
   def log: SnapshotLog = SnapshotLog.read(s"$dir/snapshots.json")
 
@@ -2265,16 +2312,97 @@ final class GraftTable private (
       s"column '$name' already exists in $dir")
     require(name != virtualColumn,
       s"column '$name' would shadow the virtual snapshot column")
-    val newSchema =
-      StructType(schema.fields :+ StructField(name, dataType, nullable = true))
-    val meta = Map(
-      "format_version" -> 1L,
-      "schema" -> newSchema.json,
-      "partition_columns" -> partitionColumns,
-      "properties" -> properties)
-    graft.util.Json.writeFileAtomic(s"$dir/metadata.json",
-      graft.util.Json.write(meta))
-    new GraftTable(dir, newSchema, properties, partitionColumns)
+    // name-based (field-id-free) evolution's one hard rule: a name whose
+    // PHYSICAL values still sit in existing files can never come back —
+    // re-adding would resurrect those values instead of reading NULL
+    require(!droppedColumns.contains(name),
+      s"column '$name' was dropped from $dir — existing files still " +
+        "carry its physical values, so re-adding it would resurrect " +
+        "them; pick a new name")
+    require(!renames.exists(_.from == name),
+      s"column '$name' is an old-era physical name in $dir (renamed " +
+        "away) — adding it would resurrect pre-rename values; pick a " +
+        "new name")
+    writeMeta(newSchema =
+      StructType(schema.fields :+ StructField(name, dataType, nullable = true)))
+  }
+
+  /** Schema evolution: DROP a column — metadata-only, like [[addColumn]]
+    * (Iceberg drops are metadata edits too; the vectorized reader simply
+    * stops projecting the physical column). The name is tombstoned along
+    * with its whole old-era physical alias chain, so [[addColumn]] can
+    * refuse the resurrection case. Refused for partition sources (the
+    * layout is name-addressed) and while predicate/equality merge-on-read
+    * entries pend (their stored SQL/cols are name-addressed). */
+  def dropColumn(name: String): GraftTable = {
+    require(schema.fieldNames.contains(name), s"unknown column '$name'")
+    require(schema.fields.length > 1, s"cannot drop the last column of $dir")
+    require(!partitionFields.exists(_.source == name),
+      s"column '$name' is a partition source of $dir — evolve the " +
+        "partition spec first")
+    require(pendingDeletes.isEmpty && equalityDeletes.isEmpty,
+      s"$dir has merge-on-read entries pending — their predicates/keys " +
+        "are name-addressed; compact() before dropping columns")
+    // tombstone every physical name that ever held this column
+    val aliases = (name +: renames.sortBy(-_.at).scanLeft(name) {
+      (cur, r) => if (r.to == cur) r.from else cur
+    }).distinct
+    writeMeta(
+      newSchema = StructType(schema.fields.filterNot(_.name == name)),
+      newDropped = (droppedColumns ++ aliases).distinct)
+  }
+
+  /** Schema evolution: RENAME a column — metadata-only. Files keep their
+    * era's physical name; reads map it back per file (name-based analog
+    * of Iceberg's field-id indirection, [[physicalName]]). Old manifest
+    * entries keep stats/blooms under the old name, which only COSTS
+    * pruning precision on pre-rename files (absent stats keep the file —
+    * conservative), never correctness; `compact()` rewrites under the
+    * new name and restores precision. Refusals keep the name-addressed
+    * surfaces sound: partition sources, pending predicate/equality
+    * entries, properties referencing the column, foreign-era (fork/
+    * publish) files whose snapshot attribution is unknowable, and names
+    * whose resurrection [[addColumn]] would otherwise allow. Single-
+    * writer semantics like every schema change: a write racing the
+    * rename can land files of the old era tagged with a new-era id. */
+  def renameColumn(from: String, to: String): GraftTable = {
+    require(schema.fieldNames.contains(from), s"unknown column '$from'")
+    require(!schema.fieldNames.contains(to),
+      s"column '$to' already exists in $dir")
+    require(to != virtualColumn,
+      s"column '$to' would shadow the virtual snapshot column")
+    require(!droppedColumns.contains(to),
+      s"column '$to' was dropped from $dir — old files still carry its " +
+        "physical values; pick a new name")
+    require(!renames.exists(_.from == to),
+      s"column '$to' is an old-era physical name in $dir; pick a new name")
+    require(!partitionFields.exists(_.source == from),
+      s"column '$from' is a partition source of $dir — the directory " +
+        "layout and spec are name-addressed")
+    require(pendingDeletes.isEmpty && equalityDeletes.isEmpty,
+      s"$dir has merge-on-read entries pending — their predicates/keys " +
+        "are name-addressed; compact() before renaming")
+    Seq(PropNotNullColumns, PropBloomColumns, PropWriteSort).foreach { k =>
+      require(!properties.get(k).exists(
+          _.split(',').map(_.trim).contains(from)),
+        s"table property $k references '$from' — update it first")
+    }
+    require(!properties.exists { case (k, v) =>
+        k.startsWith(PropCheckPrefix) &&
+          v.matches(s".*\\b${java.util.regex.Pattern.quote(from)}\\b.*")
+      },
+      s"a ${PropCheckPrefix}* constraint references '$from' — update it first")
+    log.current.foreach { s =>
+      Manifest.read(s"$dir/${s.manifestList}").files.foreach(f =>
+        require(fileSnapId(f.path).isDefined,
+          s"cannot scope a rename: data file ${f.path} is from a branch " +
+            "era whose snapshot attribution belongs to another table — " +
+            "compact() first to re-own the files"))
+    }
+    writeMeta(
+      newSchema = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)),
+      newRenames = renames :+ ColumnRename(log.nextId, from, to))
   }
 
   /** Update table properties (set `updates`, drop `removals`) — the knobs
@@ -2285,17 +2413,8 @@ final class GraftTable private (
     * swapped atomically; data files are untouched. */
   def updateProperties(
       updates: Map[String, String],
-      removals: Set[String] = Set.empty): GraftTable = {
-    val newProps = properties -- removals ++ updates
-    val meta = Map(
-      "format_version" -> 1L,
-      "schema" -> schema.json,
-      "partition_columns" -> partitionColumns,
-      "properties" -> newProps)
-    graft.util.Json.writeFileAtomic(s"$dir/metadata.json",
-      graft.util.Json.write(meta))
-    new GraftTable(dir, schema, newProps, partitionColumns)
-  }
+      removals: Set[String] = Set.empty): GraftTable =
+    writeMeta(newProps = properties -- removals ++ updates)
 
   /** Partition-spec EVOLUTION (Iceberg's signature table feature): change
     * the partition layout for FUTURE writes without rewriting a single
@@ -2315,14 +2434,7 @@ final class GraftTable private (
   def updatePartitionSpec(newSpec: Seq[String]): GraftTable = {
     // validates identity columns AND hidden transforms against the schema
     PartitionField.parseSpec(newSpec, schema)
-    val meta = Map(
-      "format_version" -> 1L,
-      "schema" -> schema.json,
-      "partition_columns" -> newSpec,
-      "properties" -> properties)
-    graft.util.Json.writeFileAtomic(s"$dir/metadata.json",
-      graft.util.Json.write(meta))
-    new GraftTable(dir, schema, properties, newSpec)
+    writeMeta(newSpec = newSpec)
   }
 
   // ------------------------------------------------------------------
@@ -2371,22 +2483,36 @@ final class GraftTable private (
       require(i >= 0, s"manifest path without a data/ segment: $relPath")
       Paths.get(dir, segs.take(i + 1).mkString("/")).normalize().toString
     }
-    val bySpec = files.groupBy(f => (f.partition.keySet, dataRoot(f.path)))
-    bySpec.toSeq.sortBy { case ((cols, root), _) =>
-      (cols.toSeq.sorted.mkString(","), root) }
-      .map { case ((specCols, root), fs) =>
+    // files additionally group by their ERA's physical column names
+    // (metadata-only renames leave each file holding its era's name;
+    // reads alias back to the logical schema — [[physicalName]])
+    def mapping(f: DataFileEntry): Seq[String] = {
+      val sid = fileSnapId(f.path)
+      schema.fieldNames.toSeq.map(c => physicalName(c, sid))
+    }
+    val bySpec =
+      files.groupBy(f => (f.partition.keySet, dataRoot(f.path), mapping(f)))
+    bySpec.toSeq.sortBy { case ((cols, root, m), _) =>
+      (cols.toSeq.sorted.mkString(","), root, m.mkString(",")) }
+      .map { case ((specCols, root, physNames), fs) =>
         val paths = fs.map(f => Paths.get(dir, f.path).normalize().toString)
         val (avroPaths, parqPaths) = paths.partition(_.endsWith(".avro"))
-        val base = schema.fieldNames.map(col)
+        val physSchema = StructType(schema.fields.zip(physNames).map {
+          case (f, p) => f.copy(name = p)
+        })
+        // physical → logical projection (identity when no rename applies)
+        val base = physNames.zip(schema.fieldNames).map {
+          case (p, l) => col(p).as(l)
+        }
         val branches = Seq(
           Option.when(parqPaths.nonEmpty) {
-            val r = spark.read.schema(schema)
+            val r = spark.read.schema(physSchema)
             // basePath recovery is needed only for IDENTITY directory keys
             // (the value exists nowhere else); transform-derived keys
             // (bucket/days/truncate fields, never in the schema) keep their
             // source column in the footers, and leaf-file paths without
             // basePath skip directory discovery entirely
-            if (specCols.exists(schema.fieldNames.contains))
+            if (specCols.exists(physSchema.fieldNames.contains))
               r.option("basePath", root)
             val df = r.parquet(parqPaths: _*)
             if (!withMeta) df.select(base: _*)
@@ -2397,11 +2523,11 @@ final class GraftTable private (
               col("_metadata.row_index").as(MetaPosCol)): _*)
           },
           Option.when(avroPaths.nonEmpty) {
-            // table schema as the TARGET: post-evolution columns absent
+            // era schema as the TARGET: post-evolution columns absent
             // from the avro writer schema null-fill (parquet-branch
             // parity)
             val df = graft.sources.AvroSource.readFiles(spark, avroPaths,
-              targetSchema = Some(schema))
+              targetSchema = Some(physSchema))
             if (!withMeta) df.select(base: _*)
             else df.select(base ++ Seq( // no parquet metadata struct
               lit(null).cast(StringType).as(MetaFileCol),
@@ -3041,6 +3167,11 @@ object GraftTable {
     def deletedRows: Long = targets.values.sum
   }
 
+  /** One column rename era: files written at snapshot < `at` hold the
+    * column under `from`; files at ≥ `at` under `to` (the name-based
+    * analog of Iceberg's field-id indirection — [[GraftTable.renameColumn]]). */
+  final case class ColumnRename(at: Long, from: String, to: String)
+
   /** On-disk schema of a positional delete file. */
   val DeleteFileSchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
@@ -3125,7 +3256,15 @@ object GraftTable {
       .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString }
     val partitionBy = meta.getOrElse("partition_columns", Seq.empty[Any])
       .asInstanceOf[Seq[Any]].map(_.toString)
-    new GraftTable(dir, schema, props, partitionBy)
+    val dropped = meta.getOrElse("dropped_columns", Seq.empty[Any])
+      .asInstanceOf[Seq[Any]].map(_.toString)
+    val renames = meta.getOrElse("column_renames", Seq.empty[Any])
+      .asInstanceOf[Seq[Any]].map { r =>
+        val m = r.asInstanceOf[Map[String, Any]]
+        ColumnRename(m("at").asInstanceOf[Long],
+          m("from").asInstanceOf[String], m("to").asInstanceOf[String])
+      }
+    new GraftTable(dir, schema, props, partitionBy, dropped, renames)
   }
 
   def exists(dir: String): Boolean =

@@ -1,0 +1,166 @@
+package graft.table
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** RENAME / DROP column evolution — metadata-only, name-mapped per file
+  * era (the field-id-free analog of Iceberg's schema evolution): files
+  * keep their era's physical column names; reads alias them back to the
+  * logical schema. The resurrection rule is the load-bearing invariant:
+  * a name whose physical values still sit in any file can never re-enter
+  * the schema.
+  */
+class SchemaEvolutionSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  private def mkDf(rows: (Long, String)*) = {
+    val rdd = spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1)
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-schevo").toString
+
+  test("rename: old-era files read under the new name; values intact") {
+    val dir = s"${tmp()}/t"
+    var t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L)) // era 1: 'data'
+    t = t.renameColumn("data", "payload")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "payload"))
+    // reads map era-1 files' physical 'data' to logical 'payload'
+    assert(t.read(spark).select("payload").collect().map(_.getString(0))
+      .sorted.toSeq == Seq("a", "b"))
+    // new writes land under the new name and mix with old-era files
+    t.append(mkDf(3L -> "c").withColumnRenamed("data", "payload"), Some(2000L))
+    assert(t.read(spark).select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel to the pre-rename snapshot reads the CURRENT logical
+    // schema (schema is table-level metadata, not snapshot-level)
+    assert(t.read(spark, Some(1L)).columns.contains("payload"))
+    // chained rename: payload -> body; both eras still map
+    t = t.renameColumn("payload", "body")
+    t.append(mkDf(4L -> "d").withColumnRenamed("data", "body"), Some(3000L))
+    assert(t.read(spark).select("body").collect().map(_.getString(0))
+      .sorted.toSeq == Seq("a", "b", "c", "d"))
+    // a reloaded handle sees the same mapping (metadata round-trip)
+    val t2 = GraftTable.load(dir)
+    assert(t2.read(spark).select("body").collect().map(_.getString(0))
+      .sorted.toSeq == Seq("a", "b", "c", "d"))
+    // predicates and pruning on the new name stay CORRECT over old-era
+    // files (their stats sit under the old name — conservative keep)
+    assert(t2.scan(spark, Some(col("body") === "a"))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("rename: DML and compaction migrate files to the current name") {
+    val dir = s"${tmp()}/t"
+    var t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    t = t.renameColumn("data", "payload")
+    // CoW update reads era-mapped rows and writes current-name files
+    t.update(spark, col("id") === 2L,
+      Map("payload" -> lit("B")), Some(2000L))
+    assert(t.read(spark).select("payload").collect().map(_.getString(0))
+      .sorted.toSeq == Seq("B", "a", "c"))
+    // compaction rewrites everything under the current name: the DSv2
+    // raw path (which refuses pre-rename files) works again after it
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(3000L))
+    val files = Manifest.read(s"$dir/${t.log.current.get.manifestList}").files
+    assert(files.forall(f => f.stats.contains("payload") &&
+      !f.stats.contains("data")),
+      s"compaction did not migrate stats: ${files.map(_.stats.keySet)}")
+    assert(t.read(spark).count() == 3L)
+  }
+
+  test("drop: metadata-only; remaining columns read; resurrection refused") {
+    val dir = s"${tmp()}/t"
+    var t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t = t.dropColumn("data")
+    assert(t.schema.fieldNames.toSeq == Seq("id"))
+    assert(t.read(spark).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L))
+    // re-adding the dropped name must refuse: era-1 files still hold
+    // physical 'data' values that would silently resurrect
+    val e = intercept[IllegalArgumentException] {
+      t.addColumn("data", StringType)
+    }
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    // a different name is fine and null-fills
+    t = t.addColumn("note", StringType)
+    assert(t.read(spark).select("note").collect().forall(_.isNullAt(0)))
+  }
+
+  test("rename+drop interplay: old physical names stay tombstoned") {
+    val dir = s"${tmp()}/t"
+    var t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t = t.renameColumn("data", "payload")
+    // the old physical name cannot come back as a fresh column
+    val e1 = intercept[IllegalArgumentException] {
+      t.addColumn("data", StringType)
+    }
+    assert(e1.getMessage.contains("resurrect"), e1.getMessage)
+    // dropping the renamed column tombstones its whole alias chain
+    t = t.dropColumn("payload")
+    intercept[IllegalArgumentException] { t.addColumn("payload", LongType) }
+    intercept[IllegalArgumentException] { t.addColumn("data", LongType) }
+    // and renaming another column ONTO a tombstoned name refuses
+    intercept[IllegalArgumentException] { t.renameColumn("id", "data") }
+  }
+
+  test("refusals: partition sources, MoR pending, property references") {
+    val dir = s"${tmp()}/t"
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cat", StringType, nullable = true)))
+    val tp = GraftTable.create(s"$dir/p", s2, partitionBy = Seq("cat"))
+    intercept[IllegalArgumentException] { tp.renameColumn("cat", "c2") }
+    intercept[IllegalArgumentException] { tp.dropColumn("cat") }
+
+    val tm = GraftTable.create(s"$dir/m", schema)
+    tm.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    tm.deleteDeferred(spark, col("data") === "a", Some(2000L))
+    intercept[IllegalArgumentException] { tm.renameColumn("data", "d2") }
+    intercept[IllegalArgumentException] { tm.dropColumn("data") }
+
+    val tc = GraftTable.create(s"$dir/c", schema,
+      properties = Map(GraftTable.PropCheckPrefix + "pos" -> "id > 0"))
+    tc.append(mkDf(1L -> "a"), Some(1000L))
+    intercept[IllegalArgumentException] { tc.renameColumn("id", "id2") }
+  }
+
+  test("SQL ALTER TABLE RENAME/DROP COLUMN + reads through the extensions") {
+    val wh = tmpDir("graft-schevo-sql")
+    spark.conf.set("spark.sql.catalog.gse", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gse.warehouse", wh)
+    val t = GraftTable.create(s"$wh/db/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    spark.sql("ALTER TABLE gse.db.t RENAME COLUMN data TO payload")
+    assert(GraftTable.load(s"$wh/db/t").schema.fieldNames.toSeq ==
+      Seq("id", "payload"))
+    // the plain session's raw DSv2 scan refuses pre-rename files loudly
+    val e = intercept[Exception] { spark.sql("SELECT * FROM gse.db.t").count() }
+    assert(e.getMessage.contains("pre-rename"), e.getMessage)
+    // an extensions session splices the era-mapped library plan
+    val sE = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .create()
+    sE.conf.set("spark.sql.catalog.gse", "graft.table.GraftSparkCatalog")
+    sE.conf.set("spark.sql.catalog.gse.warehouse", wh)
+    assert(sE.sql("SELECT payload FROM gse.db.t ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    sE.sql("ALTER TABLE gse.db.t DROP COLUMN payload")
+    assert(sE.sql("SELECT * FROM gse.db.t").columns.toSeq == Seq("id"))
+  }
+}
