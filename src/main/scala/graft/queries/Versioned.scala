@@ -446,7 +446,30 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Rename-evolution fixture: keys ≤ 12 written under the ORIGINAL
+    * column name, the column renamed (metadata-only), keys > 12 written
+    * under the new name — one scan spans both eras and must alias the
+    * old era's physical column back to the logical schema. */
+  private def renameFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_renamed", 2) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      var tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation.filter(col("n_nationkey") <= 12), Some(1000L))
+      tb = tb.renameColumn("n_name", "nation_name")
+      tb.append(nation.filter(col("n_nationkey") > 12)
+        .withColumnRenamed("n_name", "nation_name"), Some(2000L))
+      tb
+    }
+
   val queries: Map[String, Q] = Map(
+
+    // COLUMN RENAME evolution: era-mapped read across pre- and
+    // post-rename files — old files' physical n_name aliases to the
+    // logical nation_name; values byte-identical to the source
+    "v37_graft_rename" -> ((s, d) =>
+      renameFixture(s, d).read(s)
+        .select(col("n_nationkey"), col("nation_name"), col("n_regionkey"),
+          col("snapshot__id"))),
 
     // SQL slice replacement on a partitioned table: one atomic commit,
     // whole-partition files dropped metadata-only (fixture asserts zero
@@ -838,6 +861,9 @@ object Versioned extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "v37_graft_rename" ->
+      ("SELECT n_nationkey, n_name AS nation_name, n_regionkey, " +
+        "CAST(2 AS BIGINT) AS snapshot__id FROM nation"),
     "v36_graft_sql_slice" ->
       ("SELECT n_nationkey, n_name, n_regionkey, " +
         "CAST(2 AS BIGINT) AS snapshot__id FROM nation " +
