@@ -165,6 +165,8 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
         t = t.renameColumn(ren.fieldNames()(0), ren.newName())
       case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
         t = t.dropColumn(del.fieldNames()(0))
+      case wid: TableChange.UpdateColumnType if wid.fieldNames().length == 1 =>
+        t = t.widenColumn(wid.fieldNames()(0), wid.newDataType())
       case set: TableChange.SetProperty =>
         t = t.updateProperties(Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>

@@ -43,7 +43,8 @@ final class GraftTable private (
     val properties: Map[String, String],
     val partitionColumns: Seq[String] = Nil,
     val droppedColumns: Seq[String] = Nil,
-    val renames: Seq[GraftTable.ColumnRename] = Nil) {
+    val renames: Seq[GraftTable.ColumnRename] = Nil,
+    val widenings: Seq[GraftTable.ColumnWidening] = Nil) {
 
   import GraftTable._
 
@@ -56,7 +57,8 @@ final class GraftTable private (
       newProps: Map[String, String] = properties,
       newSpec: Seq[String] = partitionColumns,
       newDropped: Seq[String] = droppedColumns,
-      newRenames: Seq[ColumnRename] = renames): GraftTable = {
+      newRenames: Seq[ColumnRename] = renames,
+      newWidenings: Seq[ColumnWidening] = widenings): GraftTable = {
     val meta = Map(
       "format_version" -> 1L,
       "schema" -> newSchema.json,
@@ -64,32 +66,50 @@ final class GraftTable private (
       "properties" -> newProps,
       "dropped_columns" -> newDropped,
       "column_renames" -> newRenames.map(r =>
-        Map("at" -> r.at, "from" -> r.from, "to" -> r.to)))
+        Map("at" -> r.at, "from" -> r.from, "to" -> r.to)),
+      "column_widenings" -> newWidenings.map(w =>
+        Map("at" -> w.at, "col" -> w.col,
+          "from" -> w.from.json, "to" -> w.to.json)))
     graft.util.Json.writeFileAtomic(s"$dir/metadata.json",
       graft.util.Json.write(meta))
-    new GraftTable(dir, newSchema, newProps, newSpec, newDropped, newRenames)
+    new GraftTable(dir, newSchema, newProps, newSpec, newDropped,
+      newRenames, newWidenings)
   }
 
   /** Whether any logical column of `f` lives under a different physical
-    * name (the file predates a rename) — the DSv2 raw-file-list surface
-    * refuses such files (it cannot alias per era) and the extensions'
-    * SQL splice takes over. */
+    * name or type (the file predates a rename/widening) — the DSv2
+    * raw-file-list surface refuses such files (it cannot alias/cast per
+    * era) and the extensions' SQL splice takes over. */
   private[table] def renameAffects(f: DataFileEntry): Boolean = {
     val sid = fileSnapId(f.path)
-    schema.fieldNames.exists(c => physicalName(c, sid) != c)
+    schema.fields.exists { fd =>
+      val (p, t) = physicalField(fd.name, sid)
+      p != fd.name || t != fd.dataType
+    }
   }
 
-  /** The PHYSICAL column name holding logical column `c` in a file
-    * written at snapshot `snapId` — the rename chain walked newest→
-    * oldest (renames are metadata-only; files keep the name of their
-    * era). `None` snapIds (foreign-era fork/publish files) predate every
-    * rename in this table's log, same stance as deferred-delete
-    * coverage. */
-  private def physicalName(c: String, snapId: Option[Long]): String = {
+  /** The PHYSICAL (name, type) holding logical column `c` in a file
+    * written at snapshot `snapId` — the rename + widening chains walked
+    * newest→oldest together (both are metadata-only; files keep their
+    * era's name and type). A widening recorded its column's logical name
+    * AT WIDENING TIME, which is exactly what the name has been unwound
+    * to when the walk reaches it. `None` snapIds (foreign-era fork/
+    * publish files) predate every event in this table's log, same stance
+    * as deferred-delete coverage. */
+  private def physicalField(c: String, snapId: Option[Long]): (String, DataType) = {
     val s = snapId.getOrElse(Long.MinValue)
-    renames.sortBy(-_.at).foldLeft(c) { (cur, r) =>
-      if (s < r.at && r.to == cur) r.from else cur
+    val events: Seq[(Long, Either[ColumnRename, ColumnWidening])] =
+      renames.map(r => r.at -> (Left(r): Either[ColumnRename, ColumnWidening])) ++
+        widenings.map(w => w.at -> (Right(w): Either[ColumnRename, ColumnWidening]))
+    var name = c
+    var tpe = schema(c).dataType
+    events.sortBy(-_._1).foreach {
+      case (at, Left(r)) if s < at && r.to == name => name = r.from
+      case (at, Right(w)) if s < at && w.col == name && w.to == tpe =>
+        tpe = w.from
+      case _ => ()
     }
+    (name, tpe)
   }
 
   def log: SnapshotLog = SnapshotLog.read(s"$dir/snapshots.json")
@@ -496,8 +516,24 @@ final class GraftTable private (
       : DataFileEntry => Boolean = {
     val aug = PartitionField.augment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
-    f => Pruning.mayMatchFile(aug, f, augSchema)
+    f => Pruning.mayMatchFile(aug, stripStaleBlooms(f), augSchema)
   }
+
+  /** Drop bloom entries for columns TYPE-WIDENED after `f` was written:
+    * parquet bloom hashing is type-sensitive, so probing an int-era
+    * bloom with a long literal could false-negative — an unsound skip.
+    * (Renamed columns are naturally safe: the bloom sits under the old
+    * name and a new-name probe finds nothing — conservative keep. Footer
+    * MIN/MAX stats stay consulted either way: the string-stored bounds
+    * parse identically under the widened type.) */
+  private def stripStaleBlooms(f: DataFileEntry): DataFileEntry =
+    if (widenings.isEmpty || f.blooms.isEmpty) f
+    else {
+      val sid = fileSnapId(f.path).getOrElse(Long.MinValue)
+      val stale = widenings.filter(w => sid < w.at).map(_.col).toSet
+      if (stale.isEmpty) f
+      else f.copy(blooms = f.blooms.filterNot { case (c, _) => stale(c) })
+    }
 
   // ------------------------------------------------------------------
   // commits
@@ -2405,6 +2441,41 @@ final class GraftTable private (
       newRenames = renames :+ ColumnRename(log.nextId, from, to))
   }
 
+  /** Schema evolution: losslessly WIDEN a column's type (Iceberg's type
+    * promotion — int→long, float→double, the small-int chain, decimal
+    * precision). Metadata-only: files keep their era's physical type;
+    * reads cast up per era ([[physicalField]]). Old-era footer stats
+    * still prune (string-stored bounds parse under either type), but
+    * old-era BLOOMS are type-hashed and get stripped from pruning for
+    * affected files ([[pruneKeep]]) — skipping on them would be unsound.
+    * Refused for partition sources (transform derivation — bucket
+    * hashing — is type-sensitive) and while name-addressed merge-on-read
+    * entries pend. */
+  def widenColumn(name: String, to: DataType): GraftTable = {
+    require(schema.fieldNames.contains(name), s"unknown column '$name'")
+    val from = schema(name).dataType
+    require(losslessWidening(from, to),
+      s"${from.sql} → ${to.sql} is not a lossless widening " +
+        "(supported: byte/short/int→long chain, float→double, decimal " +
+        "precision growth at fixed scale)")
+    require(!partitionFields.exists(_.source == name),
+      s"column '$name' is a partition source of $dir — transform " +
+        "derivation is type-sensitive; evolve the spec first")
+    require(pendingDeletes.isEmpty && equalityDeletes.isEmpty,
+      s"$dir has merge-on-read entries pending — their predicates/key " +
+        "files are typed; compact() before widening")
+    log.current.foreach { s =>
+      Manifest.read(s"$dir/${s.manifestList}").files.foreach(f =>
+        require(fileSnapId(f.path).isDefined,
+          s"cannot scope a widening: data file ${f.path} is from a " +
+            "branch era — compact() first to re-own the files"))
+    }
+    writeMeta(
+      newSchema = StructType(schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f)),
+      newWidenings = widenings :+ ColumnWidening(log.nextId, name, from, to))
+  }
+
   /** Update table properties (set `updates`, drop `removals`) — the knobs
     * behind blooms (`graft.bloom.columns`), writer options
     * (`graft.write.option.*`), write distribution, and the virtual-column
@@ -2483,26 +2554,29 @@ final class GraftTable private (
       require(i >= 0, s"manifest path without a data/ segment: $relPath")
       Paths.get(dir, segs.take(i + 1).mkString("/")).normalize().toString
     }
-    // files additionally group by their ERA's physical column names
-    // (metadata-only renames leave each file holding its era's name;
-    // reads alias back to the logical schema — [[physicalName]])
-    def mapping(f: DataFileEntry): Seq[String] = {
+    // files additionally group by their ERA's physical column names and
+    // types (metadata-only renames/widenings leave each file holding its
+    // era's name/type; reads alias + losslessly cast back to the logical
+    // schema — [[physicalField]])
+    def mapping(f: DataFileEntry): Seq[(String, DataType)] = {
       val sid = fileSnapId(f.path)
-      schema.fieldNames.toSeq.map(c => physicalName(c, sid))
+      schema.fieldNames.toSeq.map(c => physicalField(c, sid))
     }
     val bySpec =
       files.groupBy(f => (f.partition.keySet, dataRoot(f.path), mapping(f)))
     bySpec.toSeq.sortBy { case ((cols, root, m), _) =>
-      (cols.toSeq.sorted.mkString(","), root, m.mkString(",")) }
-      .map { case ((specCols, root, physNames), fs) =>
+      (cols.toSeq.sorted.mkString(","), root, m.map(_._1).mkString(",")) }
+      .map { case ((specCols, root, phys), fs) =>
         val paths = fs.map(f => Paths.get(dir, f.path).normalize().toString)
         val (avroPaths, parqPaths) = paths.partition(_.endsWith(".avro"))
-        val physSchema = StructType(schema.fields.zip(physNames).map {
-          case (f, p) => f.copy(name = p)
+        val physSchema = StructType(schema.fields.zip(phys).map {
+          case (f, (p, t)) => f.copy(name = p, dataType = t)
         })
-        // physical → logical projection (identity when no rename applies)
-        val base = physNames.zip(schema.fieldNames).map {
-          case (p, l) => col(p).as(l)
+        // physical → logical projection (identity when no event applies);
+        // widened columns cast losslessly up to the logical type
+        val base = phys.zip(schema.fields).map { case ((p, t), lf) =>
+          val c0 = col(p)
+          (if (t == lf.dataType) c0 else c0.cast(lf.dataType)).as(lf.name)
         }
         val branches = Seq(
           Option.when(parqPaths.nonEmpty) {
@@ -3172,6 +3246,24 @@ object GraftTable {
     * analog of Iceberg's field-id indirection — [[GraftTable.renameColumn]]). */
   final case class ColumnRename(at: Long, from: String, to: String)
 
+  /** One lossless type-widening era (Iceberg's type promotion): files
+    * written at snapshot < `at` hold `col` (its logical name AT widening
+    * time) under physical type `from`; reads cast to `to`. */
+  final case class ColumnWidening(
+      at: Long, col: String, from: DataType, to: DataType)
+
+  /** Lossless promotions (the Iceberg set plus the small-int chain). */
+  private[table] def losslessWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision >= f.precision
+      case _ => false
+    }
+
   /** On-disk schema of a positional delete file. */
   val DeleteFileSchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
@@ -3264,7 +3356,16 @@ object GraftTable {
         ColumnRename(m("at").asInstanceOf[Long],
           m("from").asInstanceOf[String], m("to").asInstanceOf[String])
       }
-    new GraftTable(dir, schema, props, partitionBy, dropped, renames)
+    val widenings = meta.getOrElse("column_widenings", Seq.empty[Any])
+      .asInstanceOf[Seq[Any]].map { w =>
+        val m = w.asInstanceOf[Map[String, Any]]
+        ColumnWidening(m("at").asInstanceOf[Long],
+          m("col").asInstanceOf[String],
+          DataType.fromJson(m("from").asInstanceOf[String]),
+          DataType.fromJson(m("to").asInstanceOf[String]))
+      }
+    new GraftTable(dir, schema, props, partitionBy, dropped, renames,
+      widenings)
   }
 
   def exists(dir: String): Boolean =

@@ -137,6 +137,68 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { tc.renameColumn("id", "id2") }
   }
 
+  test("widen: int-era files read as long; stats prune; blooms stripped") {
+    val dir = s"${tmp()}/t"
+    val s2 = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("data", StringType, nullable = true)))
+    def df(rows: (Int, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), s2)
+    var t = GraftTable.create(dir, s2,
+      properties = Map(GraftTable.PropBloomColumns -> "id"))
+    t.append(df(1 -> "a", 2 -> "b"), Some(1000L))    // era 1: INT + bloom
+    t = t.widenColumn("id", LongType)
+    assert(t.schema("id").dataType == LongType)
+    // era-1 rows read as LONG, values intact
+    assert(t.read(spark).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L))
+    // mixed eras: new LONG files union with cast INT files
+    t.append(df(3 -> "c")
+      .withColumn("id", col("id").cast(LongType)), Some(2000L))
+    assert(t.read(spark).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L))
+    // point-lookup scan over the widened column stays CORRECT on era-1
+    // files (their int-typed bloom must be stripped, not probed)
+    assert(t.scan(spark, Some(col("id") === 2L))
+      .select("data").collect().map(_.getString(0)).toSeq == Seq("b"))
+    // and era-1 footer STATS still prune: a miss outside every range
+    // plans zero files
+    assert(t.scan(spark, Some(col("id") === 999L)).count() == 0)
+    // a reloaded handle round-trips the widening metadata
+    assert(GraftTable.load(dir).read(spark).count() == 3L)
+    // lossy "widenings" refuse
+    intercept[IllegalArgumentException] {
+      GraftTable.load(dir).widenColumn("id", IntegerType)
+    }
+    // CoW update migrates rewritten files to the new type
+    val t2 = GraftTable.load(dir)
+    t2.update(spark, col("id") === 1L, Map("data" -> lit("A")), Some(3000L))
+    assert(t2.read(spark).select("data").collect().map(_.getString(0))
+      .sorted.toSeq == Seq("A", "b", "c"))
+  }
+
+  test("widen composes with rename across eras") {
+    val dir = s"${tmp()}/t"
+    val s2 = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("data", StringType, nullable = true)))
+    def df(rows: (Int, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), s2)
+    var t = GraftTable.create(dir, s2)
+    t.append(df(1 -> "a"), Some(1000L))          // era 1: id INT
+    t = t.widenColumn("id", LongType)            // era 2: id LONG
+    t.append(df(2 -> "b").withColumn("id", col("id").cast(LongType)),
+      Some(2000L))
+    t = t.renameColumn("id", "key")              // era 3: key LONG
+    t.append(df(3 -> "c").withColumn("id", col("id").cast(LongType))
+      .withColumnRenamed("id", "key"), Some(3000L))
+    // all three eras: (id INT), (id LONG), (key LONG) → logical key LONG
+    assert(t.read(spark).select("key").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(GraftTable.load(dir).read(spark).select("key").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("SQL ALTER TABLE RENAME/DROP COLUMN + reads through the extensions") {
     val wh = tmpDir("graft-schevo-sql")
     spark.conf.set("spark.sql.catalog.gse", "graft.table.GraftSparkCatalog")
