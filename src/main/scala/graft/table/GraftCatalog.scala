@@ -70,6 +70,11 @@ final class GraftCatalog(warehouse: String) {
         return GraftTable.load(tableDir(identifier)).read(spark)
       val base = identifier.dropRight(GraftTable.DeletesSuffix.length)
       GraftTable.load(tableDir(base)).deletesTable(spark)
+    } else if (identifier.endsWith(GraftTable.SegmentsSuffix)) {
+      if (GraftTable.exists(tableDir(identifier)))
+        return GraftTable.load(tableDir(identifier)).read(spark)
+      val base = identifier.dropRight(GraftTable.SegmentsSuffix.length)
+      GraftTable.load(tableDir(base)).segmentsTable(spark)
     } else {
       GraftTable.load(tableDir(identifier)).read(spark)
     }

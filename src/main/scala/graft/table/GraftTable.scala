@@ -3091,6 +3091,22 @@ final class GraftTable private (
       spark.sparkContext.parallelize(rows, 1), FilesSchema)
   }
 
+  /** The segments metadata table: one row per manifest segment of the
+    * scanned snapshot — shared-by-ref metadata observability for the
+    * two-level manifest layer (how many shards, how big, how much of the
+    * list a [[rewriteManifests]] would fold). Metadata-only: totals come
+    * from the manifest LIST, no segment is parsed. */
+  def segmentsTable(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
+    val rows = resolveSnapshot(snapshotId).toSeq.flatMap { s =>
+      Manifest.read(s"$dir/${s.manifestList}").segments.map { seg =>
+        Row(seg.ref.getOrElse(""), seg.fileCount, seg.recordCount,
+          seg.sizeBytes)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), SegmentsSchema)
+  }
+
   /** The partitions metadata table (Iceberg's `partitions` analog): one
     * row per partition of the scanned snapshot with file/record/byte
     * totals — the layout-health view (skew, small-file pressure,
@@ -3278,6 +3294,7 @@ object GraftTable {
   val PartitionsSuffix = "__partitions"
   val RefsSuffix = "__refs"
   val DeletesSuffix = "__deletes"
+  val SegmentsSuffix = "__segments"
 
   /** Deletes system-table schema (pending merge-on-read entries). */
   val DeletesSchema: StructType = StructType(Seq(
@@ -3293,6 +3310,13 @@ object GraftTable {
     StructField("record_count", LongType, nullable = false),
     StructField("file_size_bytes", LongType, nullable = false),
     StructField("partition", MapType(StringType, StringType), nullable = true)))
+
+  /** Segments metadata-table schema (two-level manifest observability). */
+  val SegmentsSchema: StructType = StructType(Seq(
+    StructField("segment_path", StringType, nullable = false),
+    StructField("file_count", LongType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
 
   /** Refs system-table schema (tags + branches). */
   val RefsSchema: StructType = StructType(Seq(

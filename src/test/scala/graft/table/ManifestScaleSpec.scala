@@ -184,6 +184,24 @@ class ManifestScaleSpec extends SparkSpecBase {
     assert(t.rewriteManifests(targetFiles = 512).isEmpty)
   }
 
+  test("__segments metadata table reflects the manifest list") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.append(mkDf(3L -> "c"), Some(2000L))
+    val segs = t.segmentsTable(spark).collect()
+    assert(segs.length == 2)
+    assert(segs.map(_.getLong(1)).sum == 2L) // file counts: 1 + 1
+    assert(segs.map(_.getLong(2)).sum == 3L) // record counts: 2 + 1
+    assert(segs.forall(_.getString(0).startsWith("manifests/seg-")))
+    // catalog naming resolves <name>__segments like the other metadata tables
+    val wh = tmpDir("graft-segtbl")
+    val cat = new GraftCatalog(wh)
+    val ct = cat.createTable("db.st", schema)
+    ct.append(mkDf(1L -> "x"), Some(1000L))
+    assert(cat.loadDataFrame(spark, "db.st__segments").count() == 1L)
+  }
+
   test("v1 (pre-segmentation) manifests read and migrate transparently") {
     val dir = s"${tmp()}/t"
     val t = GraftTable.create(dir, schema)
