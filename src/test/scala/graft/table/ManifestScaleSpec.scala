@@ -184,6 +184,41 @@ class ManifestScaleSpec extends SparkSpecBase {
     assert(t.rewriteManifests(targetFiles = 512).isEmpty)
   }
 
+  test("20k-file manifest: an append writes orders of magnitude fewer bytes") {
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/manifests"))
+    def entry(i: Int) = DataFileEntry(
+      f"data/part-00001-synthetic-$i%06d.parquet", 100L, 1 << 20,
+      Map("id" -> ColumnStats(
+        Some((i * 100L).toString), Some((i * 100L + 99).toString),
+        Some(0L), Some(100L))))
+    val n = 20000
+    // snapshot 1: the unavoidable one-time full write
+    val created1 = Manifest((1 to n).map(entry))
+      .write(s"$dir/manifests/snap-00001.json")
+    def bytes(rels: Seq[String], list: String): Long =
+      rels.map(r => java.nio.file.Files.size(
+        java.nio.file.Paths.get(dir, r))).sum +
+        java.nio.file.Files.size(java.nio.file.Paths.get(list))
+    val fullBytes = bytes(created1, s"$dir/manifests/snap-00001.json")
+
+    // snapshot 2: append ONE file — carried segments never re-serialize
+    val t0 = System.nanoTime()
+    val m2 = Manifest.read(s"$dir/manifests/snap-00001.json")
+      .append(Seq(entry(n + 1)))
+    val created2 = m2.write(s"$dir/manifests/snap-00002.json")
+    val commitMs = (System.nanoTime() - t0) / 1e6
+    val appendBytes = bytes(created2, s"$dir/manifests/snap-00002.json")
+
+    assert(appendBytes * 100 < fullBytes,
+      s"append wrote $appendBytes B vs $fullBytes B full — not O(batch)")
+    // and the carried content is intact without parsing during commit
+    assert(m2.totalFiles == n + 1L)
+    assert(Manifest.read(s"$dir/manifests/snap-00002.json").files.size == n + 1)
+    info(f"full=$fullBytes%,d B append=$appendBytes%,d B commit=$commitMs%.1f ms")
+  }
+
   test("__segments metadata table reflects the manifest list") {
     val dir = s"${tmp()}/t"
     val t = GraftTable.create(dir, schema)
