@@ -66,10 +66,10 @@ final class GraftTable private (
       "properties" -> newProps,
       "dropped_columns" -> newDropped,
       "column_renames" -> newRenames.map(r =>
-        Map("at" -> r.at, "from" -> r.from, "to" -> r.to)),
+        Map("at" -> r.at, "from" -> r.from, "to" -> r.to, "seq" -> r.seq)),
       "column_widenings" -> newWidenings.map(w =>
         Map("at" -> w.at, "col" -> w.col,
-          "from" -> w.from.json, "to" -> w.to.json)))
+          "from" -> w.from.json, "to" -> w.to.json, "seq" -> w.seq)))
     graft.util.Json.writeFileAtomic(s"$dir/metadata.json",
       graft.util.Json.write(meta))
     new GraftTable(dir, newSchema, newProps, newSpec, newDropped,
@@ -98,14 +98,18 @@ final class GraftTable private (
     * as deferred-delete coverage. */
   private def physicalField(c: String, snapId: Option[Long]): (String, DataType) = {
     val s = snapId.getOrElse(Long.MinValue)
-    val events: Seq[(Long, Either[ColumnRename, ColumnWidening])] =
-      renames.map(r => r.at -> (Left(r): Either[ColumnRename, ColumnWidening])) ++
-        widenings.map(w => w.at -> (Right(w): Either[ColumnRename, ColumnWidening]))
+    val events: Seq[((Long, Long), Either[ColumnRename, ColumnWidening])] =
+      renames.map(r => (r.at, r.seq) ->
+          (Left(r): Either[ColumnRename, ColumnWidening])) ++
+        widenings.map(w => (w.at, w.seq) ->
+          (Right(w): Either[ColumnRename, ColumnWidening]))
     var name = c
     var tpe = schema(c).dataType
-    events.sortBy(-_._1).foreach {
-      case (at, Left(r)) if s < at && r.to == name => name = r.from
-      case (at, Right(w)) if s < at && w.col == name && w.to == tpe =>
+    // strictly newest-first: at DESC, then the per-event sequence DESC
+    // (several evolutions can land between two commits and share an at)
+    events.sortBy { case ((at, seq), _) => (-at, -seq) }.foreach {
+      case ((at, _), Left(r)) if s < at && r.to == name => name = r.from
+      case ((at, _), Right(w)) if s < at && w.col == name && w.to == tpe =>
         tpe = w.from
       case _ => ()
     }
@@ -2380,8 +2384,8 @@ final class GraftTable private (
       s"$dir has merge-on-read entries pending — their predicates/keys " +
         "are name-addressed; compact() before dropping columns")
     // tombstone every physical name that ever held this column
-    val aliases = (name +: renames.sortBy(-_.at).scanLeft(name) {
-      (cur, r) => if (r.to == cur) r.from else cur
+    val aliases = (name +: renames.sortBy(r => (-r.at, -r.seq))
+      .scanLeft(name) { (cur, r) => if (r.to == cur) r.from else cur
     }).distinct
     writeMeta(
       newSchema = StructType(schema.fields.filterNot(_.name == name)),
@@ -2438,7 +2442,8 @@ final class GraftTable private (
     writeMeta(
       newSchema = StructType(schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f)),
-      newRenames = renames :+ ColumnRename(log.nextId, from, to))
+      newRenames = renames :+ ColumnRename(log.nextId, from, to,
+        seq = renames.size.toLong + widenings.size))
   }
 
   /** Schema evolution: losslessly WIDEN a column's type (Iceberg's type
@@ -2473,7 +2478,8 @@ final class GraftTable private (
     writeMeta(
       newSchema = StructType(schema.fields.map(f =>
         if (f.name == name) f.copy(dataType = to) else f)),
-      newWidenings = widenings :+ ColumnWidening(log.nextId, name, from, to))
+      newWidenings = widenings :+ ColumnWidening(log.nextId, name, from, to,
+        seq = renames.size.toLong + widenings.size))
   }
 
   /** Update table properties (set `updates`, drop `removals`) — the knobs
@@ -3260,13 +3266,18 @@ object GraftTable {
   /** One column rename era: files written at snapshot < `at` hold the
     * column under `from`; files at ≥ `at` under `to` (the name-based
     * analog of Iceberg's field-id indirection — [[GraftTable.renameColumn]]). */
-  final case class ColumnRename(at: Long, from: String, to: String)
+  final case class ColumnRename(
+      at: Long, from: String, to: String, seq: Long = 0L)
 
   /** One lossless type-widening era (Iceberg's type promotion): files
     * written at snapshot < `at` hold `col` (its logical name AT widening
-    * time) under physical type `from`; reads cast to `to`. */
+    * time) under physical type `from`; reads cast to `to`. `seq` orders
+    * events that share an `at` (several metadata-only evolutions between
+    * two commits): the newest→oldest walk must unwind the LATER event
+    * first or chained renames/widenings in one commit window resolve to
+    * the wrong era (caught by SchemaEvolutionPropertySpec). */
   final case class ColumnWidening(
-      at: Long, col: String, from: DataType, to: DataType)
+      at: Long, col: String, from: DataType, to: DataType, seq: Long = 0L)
 
   /** Lossless promotions (the Iceberg set plus the small-int chain). */
   private[table] def losslessWidening(from: DataType, to: DataType): Boolean =
@@ -3378,7 +3389,8 @@ object GraftTable {
       .asInstanceOf[Seq[Any]].map { r =>
         val m = r.asInstanceOf[Map[String, Any]]
         ColumnRename(m("at").asInstanceOf[Long],
-          m("from").asInstanceOf[String], m("to").asInstanceOf[String])
+          m("from").asInstanceOf[String], m("to").asInstanceOf[String],
+          m.get("seq").collect { case l: Long => l }.getOrElse(0L))
       }
     val widenings = meta.getOrElse("column_widenings", Seq.empty[Any])
       .asInstanceOf[Seq[Any]].map { w =>
@@ -3386,7 +3398,8 @@ object GraftTable {
         ColumnWidening(m("at").asInstanceOf[Long],
           m("col").asInstanceOf[String],
           DataType.fromJson(m("from").asInstanceOf[String]),
-          DataType.fromJson(m("to").asInstanceOf[String]))
+          DataType.fromJson(m("to").asInstanceOf[String]),
+          m.get("seq").collect { case l: Long => l }.getOrElse(0L))
       }
     new GraftTable(dir, schema, props, partitionBy, dropped, renames,
       widenings)
