@@ -170,11 +170,13 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         val pending = snap.exists(s => tb.parsePending(s).nonEmpty ||
           tb.parsePositional(s).nonEmpty || tb.parseEquality(s).nonEmpty)
-        // pre-rename files also need the library's per-era aliasing —
-        // the raw file-list scan would read renamed columns as NULL
-        val renamed = tb.renames.nonEmpty && snap.exists(s =>
-          Manifest.read(s"${tb.dir}/${s.manifestList}").files
-            .exists(tb.renameAffects))
+        // pre-rename/pre-widening files also need the library's per-era
+        // aliasing/casting — the raw file-list scan would read renamed
+        // columns as NULL and widened columns with the wrong parquet type
+        val renamed = (tb.renames.nonEmpty || tb.widenings.nonEmpty) &&
+          snap.exists(s =>
+            Manifest.read(s"${tb.dir}/${s.manifestList}").files
+              .exists(tb.renameAffects))
         if (pending || renamed) Some(g) else None
       case _ => None
     }

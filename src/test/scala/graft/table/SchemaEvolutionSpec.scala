@@ -224,5 +224,15 @@ class SchemaEvolutionSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
     sE.sql("ALTER TABLE gse.db.t DROP COLUMN payload")
     assert(sE.sql("SELECT * FROM gse.db.t").columns.toSeq == Seq("id"))
+
+    // widening through SQL DDL: INT column promoted to BIGINT, era-read
+    val tw = GraftTable.create(s"$wh/db/w",
+      StructType(Seq(StructField("n", IntegerType, nullable = false))))
+    tw.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(7)), 1), tw.schema), Some(1000L))
+    sE.sql("ALTER TABLE gse.db.w ALTER COLUMN n TYPE BIGINT")
+    assert(GraftTable.load(s"$wh/db/w").schema("n").dataType == LongType)
+    assert(sE.sql("SELECT n FROM gse.db.w").collect().map(_.getLong(0))
+      .toSeq == Seq(7L))
   }
 }
