@@ -44,7 +44,10 @@ object Bench {
     // 11 s/10 s there vs ~1 s in isolation)
     try {
       import org.apache.spark.sql.functions.{col, get_json_object, from_json}
-      spark.read.parquet(s"$sfDir/events.parquet")
+      // through the canonical events reader (ts physical-type drift):
+      // a plain parquet read could silently break on a future driver
+      // round and this warmup would no-op behind the catch
+      graft.queries.Events.events(spark, sfDir)
         .select(col("props")).limit(10000)
         .select(get_json_object(col("props"), "$.k").as("a"),
           from_json(col("props"),

@@ -17,7 +17,10 @@ object Events extends QueryPack {
 
   /** The events table with `ts` normalized to a microsecond TIMESTAMP —
     * see [[QueryPack.eventsTable]] for the physical-type cases. */
-  private def events(s: org.apache.spark.sql.SparkSession, d: String) =
+  /** The normalized events relation (ts-physical-type drift handled by
+    * [[QueryPack.eventsTable]]) — public so Bench's JSON-kernel warmup
+    * reads events the same way every query does. */
+  def events(s: org.apache.spark.sql.SparkSession, d: String) =
     eventsTable(s, d)
 
   val queries: Map[String, Q] = Map(

@@ -44,7 +44,10 @@ final case class GraftRelation(dir: String, output: Seq[Attribute])
           .map(s => Manifest.read(s"$dir/${s.manifestList}"))
           .getOrElse(Manifest.empty) // a snapshotless table IS tiny
         Statistics(
-          sizeInBytes = BigInt(manifest.files.map(_.fileSizeBytes).sum).max(1),
+          // totals come from the manifest LIST's per-segment metadata —
+          // touching .files here would force every lazy segment parse at
+          // plan time, the exact O(files) cost segmentation removed
+          sizeInBytes = BigInt(manifest.totalBytes).max(1),
           // every merge-on-read form carries exact dead-row counts in the
           // summary (positional: per-target; predicate/equality: counted
           // at commit), so rowCount stays exact while entries pend. It is

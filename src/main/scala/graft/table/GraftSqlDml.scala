@@ -39,24 +39,48 @@ import org.apache.spark.sql.functions.lit
 case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case u @ UpdateTable(target, assignments, condition) if u.resolved =>
-      graftTarget(target) match {
+    // DML roots: rewrite once fully resolved; BEFORE that, leave the tree
+    // completely untouched — the MoR/rename splice must never replace a
+    // DML statement's target relation (the rewrite cases below would stop
+    // matching, and Spark's own row-level paths require a DSv2 relation).
+    // DeleteFromTable stays Spark-handled end-to-end (SupportsDelete,
+    // which deliberately composes with pending positional entries), so it
+    // is exempted from the splice rather than rewritten.
+    case u @ UpdateTable(target, assignments, condition) =>
+      if (!u.resolved) plan
+      else graftTarget(target) match {
         case Some(g) => rewriteUpdate(g, assignments, condition)
         case None => plan
       }
-    case m: MergeIntoTable if m.resolved =>
-      graftTarget(m.targetTable) match {
+    case m: MergeIntoTable =>
+      if (!m.resolved) plan
+      else graftTarget(m.targetTable) match {
         case Some(g) => rewriteMerge(g, m)
         case None => plan
       }
-    case a @ AppendData(table, query, _, isByName, _, _) if query.resolved =>
-      graftTarget(table) match {
+    case a @ AppendData(table, query, _, isByName, _, _) =>
+      if (!query.resolved) plan
+      else graftTarget(table) match {
         case Some(g) => rewriteInsert(g, query, isByName)
         case None => plan
       }
-    case o @ OverwriteByExpression(table, deleteExpr, query, _, isByName, _, _)
-        if query.resolved =>
-      graftTarget(table) match {
+    case d @ DeleteFromTable(target, condition) =>
+      if (!d.resolved) plan
+      else graftTarget(target) match {
+        // POSITIONAL entries compose with CoW delete in the library, but
+        // the DSv2 DELETE plan still builds a scan of the relation and
+        // the raw scan refuses MoR-pending tables — route the statement
+        // to GraftTable.delete directly (plain sessions keep Spark's
+        // SupportsDelete path, which only works on entry-free tables)
+        case Some(g) if g.pinned.isEmpty &&
+            g.underlying.positionalDeletes.nonEmpty =>
+          GraftDeleteCommand(g.underlying, byName(condition))
+        case _ => plan
+      }
+    case _: OverwritePartitionsDynamic => plan
+    case o @ OverwriteByExpression(table, deleteExpr, query, _, isByName, _, _) =>
+      if (!query.resolved) plan
+      else graftTarget(table) match {
         case Some(g) =>
           // full-table overwrite only (INSERT OVERWRITE TABLE t …):
           // deleteExpr is the always-true literal. Partition-scoped
@@ -142,10 +166,13 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     * filters/pruning into the underlying parquet scans of that plan as
     * usual. Sessions WITHOUT the extensions keep the loud refusal —
     * silence would mean wrong rows. */
+  private object NeedsSplice {
+    def unapply(r: DataSourceV2Relation): Option[GraftV2Table] = morPending(r)
+  }
+
   private def substituteMorReads(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
-      case r: DataSourceV2Relation if morPending(r).isDefined =>
-        val g = morPending(r).get
+      case r @ NeedsSplice(g) =>
         val tb = g.underlying
         val df = tb.read(spark, g.pinned)
           .select(tb.schema.fieldNames.map(org.apache.spark.sql.functions.col)
@@ -306,6 +333,18 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
             "property write.merge.mode=merge-on-read for composite keys")
         GraftCowMergeCommand(tbl, project, keys.head)
     }
+  }
+}
+
+/** DELETE routed to the copy-on-write delete (the positional-pending
+  * composition the DSv2 SupportsDelete path cannot serve — its plan
+  * scans the relation, and the raw scan refuses MoR-pending tables). */
+case class GraftDeleteCommand(
+    table: GraftTable,
+    cond: Column) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    table.withCommitRetry() { table.delete(spark, cond) }
+    Nil
   }
 }
 

@@ -81,6 +81,7 @@ final class GraftTable private (
     * raw-file-list surface refuses such files (it cannot alias/cast per
     * era) and the extensions' SQL splice takes over. */
   private[table] def renameAffects(f: DataFileEntry): Boolean = {
+    if (renames.isEmpty && widenings.isEmpty) return false
     val sid = fileSnapId(f.path)
     schema.fields.exists { fd =>
       val (p, t) = physicalField(fd.name, sid)
@@ -96,20 +97,25 @@ final class GraftTable private (
     * to when the walk reaches it. `None` snapIds (foreign-era fork/
     * publish files) predate every event in this table's log, same stance
     * as deferred-delete coverage. */
+  /** Schema events sorted strictly newest-first — at DESC, then the
+    * per-event sequence DESC (several evolutions can land between two
+    * commits and share an at). Computed once per handle, not per
+    * (file, column) in a scan's grouping pass. */
+  private lazy val schemaEventsDesc
+      : Seq[(Long, Either[ColumnRename, ColumnWidening])] =
+    (renames.map(r => (r.at, r.seq, Left(r): Either[ColumnRename, ColumnWidening])) ++
+      widenings.map(w => (w.at, w.seq, Right(w): Either[ColumnRename, ColumnWidening])))
+      .sortBy { case (at, seq, _) => (-at, -seq) }
+      .map { case (at, _, e) => (at, e) }
+
   private def physicalField(c: String, snapId: Option[Long]): (String, DataType) = {
+    if (renames.isEmpty && widenings.isEmpty) return (c, schema(c).dataType)
     val s = snapId.getOrElse(Long.MinValue)
-    val events: Seq[((Long, Long), Either[ColumnRename, ColumnWidening])] =
-      renames.map(r => (r.at, r.seq) ->
-          (Left(r): Either[ColumnRename, ColumnWidening])) ++
-        widenings.map(w => (w.at, w.seq) ->
-          (Right(w): Either[ColumnRename, ColumnWidening]))
     var name = c
     var tpe = schema(c).dataType
-    // strictly newest-first: at DESC, then the per-event sequence DESC
-    // (several evolutions can land between two commits and share an at)
-    events.sortBy { case ((at, seq), _) => (-at, -seq) }.foreach {
-      case ((at, _), Left(r)) if s < at && r.to == name => name = r.from
-      case ((at, _), Right(w)) if s < at && w.col == name && w.to == tpe =>
+    schemaEventsDesc.foreach {
+      case (at, Left(r)) if s < at && r.to == name => name = r.from
+      case (at, Right(w)) if s < at && w.col == name && w.to == tpe =>
         tpe = w.from
       case _ => ()
     }
@@ -1408,10 +1414,13 @@ final class GraftTable private (
     *
     * Trade-offs versus the siblings: [[deletePositionalByKeys]] pays a
     * candidate scan at delete time and buys back join-free reads for
-    * untouched files and exact counts; this form pays nothing at commit
-    * and taxes every covered-file read. Null key tuples match nothing
-    * (SQL join semantics). Counts become upper bounds while pending
-    * (stats/`count(*)` fall back to scans, like the predicate form).
+    * untouched files and exact counts; this form's commit pays only the
+    * key write plus (by default) one bounds-pruned count job, and taxes
+    * every covered-file read. Null key tuples match nothing (SQL join
+    * semantics). The default `exactCount = true` records the entry's
+    * exact dead-row count so `count(*)`/stats stay metadata-exact while
+    * pending; `exactCount = false` restores the pure O(keys) commit and
+    * degrades counts to the scan fallback.
     * Refused while the other merge-on-read forms are pending, on
     * branch-era files, and by CoW DML / branching / DSv2 while pending.
     * Returns None for an empty key set. */
@@ -2383,6 +2392,18 @@ final class GraftTable private (
     require(pendingDeletes.isEmpty && equalityDeletes.isEmpty,
       s"$dir has merge-on-read entries pending — their predicates/keys " +
         "are name-addressed; compact() before dropping columns")
+    // property references would brick every later write (writeDataFiles'
+    // sort/notnull/bloom requires, constraintGuard's expr resolution)
+    Seq(PropNotNullColumns, PropBloomColumns, PropWriteSort).foreach { k =>
+      require(!properties.get(k).exists(
+          _.split(',').map(_.trim).contains(name)),
+        s"table property $k references '$name' — update it first")
+    }
+    require(!properties.exists { case (k, v) =>
+        k.startsWith(PropCheckPrefix) &&
+          v.matches(s".*\\b${java.util.regex.Pattern.quote(name)}\\b.*")
+      },
+      s"a ${PropCheckPrefix}* constraint references '$name' — update it first")
     // tombstone every physical name that ever held this column
     val aliases = (name +: renames.sortBy(r => (-r.at, -r.seq))
       .scanLeft(name) { (cur, r) => if (r.to == cur) r.from else cur

@@ -189,11 +189,20 @@ object Manifest {
           : Boolean = size() > CacheCap
     }
 
-  private def cachedFiles(absPath: String)(
-      parse: String => Vector[DataFileEntry]): Vector[DataFileEntry] = {
+  private def cacheKey(absPath: String): (String, Long, Long) = {
     val attrs = Files.readAttributes(Paths.get(absPath),
       classOf[java.nio.file.attribute.BasicFileAttributes])
-    val key = (absPath, attrs.size(), attrs.lastModifiedTime().toMillis)
+    (absPath, attrs.size(), attrs.lastModifiedTime().toMillis)
+  }
+
+  private def cacheGet(absPath: String): Option[Vector[DataFileEntry]] = {
+    val key = cacheKey(absPath)
+    cache.synchronized(Option(cache.get(key)))
+  }
+
+  private def cachedFiles(absPath: String)(
+      parse: String => Vector[DataFileEntry]): Vector[DataFileEntry] = {
+    val key = cacheKey(absPath)
     val hit = cache.synchronized(Option(cache.get(key)))
     hit.getOrElse {
       val v = parse(Files.readString(Paths.get(absPath)))
@@ -209,6 +218,13 @@ object Manifest {
     * migrates it to a segment file transparently. */
   def read(absPath: String): Manifest = {
     val tableDir = Paths.get(absPath).getParent.getParent.toString
+    // v1 fast path BEFORE any parse: historical pre-segmentation
+    // manifests keep the inline-files format forever and can be huge —
+    // a cache hit skips the whole JSON parse, like a segment's would
+    cacheGet(absPath).foreach { files =>
+      return if (files.isEmpty) empty
+      else new Manifest(Vector(ManifestSegment.fresh(files)))
+    }
     val obj = Json.parseObject(Files.readString(Paths.get(absPath)))
     obj.get("segments") match {
       case Some(segs) =>
@@ -222,7 +238,11 @@ object Manifest {
             m("size_bytes").asInstanceOf[Long])
         }.toVector)
       case None =>
-        val files = parseEntries(obj)
+        // v1 manifests are immutable too (only the HEAD migrates on the
+        // next commit; historical snapshots keep this format forever) —
+        // cache their entry parse like a segment's, or every time-travel/
+        // CDC walk over a pre-segmentation chain re-pays O(files) JSON
+        val files = cachedFiles(absPath)(_ => parseEntries(obj))
         if (files.isEmpty) empty
         else new Manifest(Vector(ManifestSegment.fresh(files)))
     }

@@ -447,6 +447,40 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 
+  test("SQL DML composes with its OWN pending MoR state (splice must not eat targets)") {
+    import org.apache.spark.sql.functions.col
+    // second MERGE on a merge-on-read table: equality entries are pending
+    // from the first — the DML rewrite must still claim the statement
+    // (an over-eager visible-rows splice of the target would orphan it)
+    val t = GraftTable.create(s"$wh/db/mor2", schema,
+      properties = Map("write.merge.mode" -> "merge-on-read"))
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    sqlS.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, "B2"), Row(3L, "c")), 1),
+      schema).createOrReplaceTempView("mor2_src1")
+    sqlS.sql("MERGE INTO g2.db.mor2 t USING mor2_src1 s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(GraftTable.load(s"$wh/db/mor2").equalityDeletes.nonEmpty)
+    sqlS.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(3L, "C3"), Row(4L, "d")), 1),
+      schema).createOrReplaceTempView("mor2_src2")
+    sqlS.sql("MERGE INTO g2.db.mor2 t USING mor2_src2 s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(sqlS.sql("SELECT id, data FROM g2.db.mor2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (3L, "C3"), (4L, "d")))
+    // and UPDATE composes with pending POSITIONAL entries the same way
+    val tp = GraftTable.create(s"$wh/db/pos2", schema)
+    tp.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    tp.deletePositional(spark, col("id") === 2L, Some(2000L))
+    // SQL DELETE in the extensions session: positional pending is the
+    // composition canDeleteWhere deliberately allows — the splice must
+    // leave DeleteFromTable's target relation alone
+    sqlS.sql("DELETE FROM g2.db.pos2 WHERE id = 3")
+    assert(sqlS.sql("SELECT id FROM g2.db.pos2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("SQL DML refusals: time travel, exotic MERGE, MoR-pending DELETE") {
     val t = GraftTable.create(s"$wh/db/dmlref", schema)
     t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
