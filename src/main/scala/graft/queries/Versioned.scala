@@ -461,7 +461,34 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Manifest-maintenance fixture: ten single-slice appends build a
+    * ten-segment manifest list; [[GraftTable.rewriteManifests]] folds it
+    * to one segment in a bit-identical `"replace"` snapshot. */
+  private def manifestMaintFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_mmaint", 11) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      for (i <- 0 until 10)
+        tb.append(nation.filter(col("n_nationkey") % 10 === i),
+          Some(1000L + i))
+      val before = graft.table.Manifest
+        .read(s"$dir/${tb.log.current.get.manifestList}").segments.size
+      tb.rewriteManifests(committedAt = Some(5000L))
+      val m = graft.table.Manifest
+        .read(s"$dir/${tb.log.current.get.manifestList}")
+      require(before == 10 && m.segments.size == 1,
+        s"manifest maintenance did not fold: $before -> ${m.segments.size}")
+      tb
+    }
+
   val queries: Map[String, Q] = Map(
+
+    // MANIFEST MAINTENANCE: ten small appends re-sharded into one
+    // segment by rewriteManifests — rows bit-identical, tagged with the
+    // replace snapshot
+    "v38_graft_manifest_maint" -> ((s, d) =>
+      manifestMaintFixture(s, d).read(s)),
 
     // COLUMN RENAME evolution: era-mapped read across pre- and
     // post-rename files — old files' physical n_name aliases to the
@@ -861,6 +888,9 @@ object Versioned extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "v38_graft_manifest_maint" ->
+      ("SELECT n_nationkey, n_name, n_regionkey, " +
+        "CAST(11 AS BIGINT) AS snapshot__id FROM nation"),
     "v37_graft_rename" ->
       ("SELECT n_nationkey, n_name AS nation_name, n_regionkey, " +
         "CAST(2 AS BIGINT) AS snapshot__id FROM nation"),
