@@ -199,6 +199,31 @@ class SchemaEvolutionSpec extends SparkSpecBase {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("evolution vs live branches: publish refuses drift; branch era maps") {
+    val dir = s"${tmp()}/t"
+    var t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    val br = t.createBranch("audit", Some(1500L))
+    br.append(mkDf(2L -> "staged"), Some(2000L))
+    // parent renames while the branch lives: the branch keeps its fork
+    // metadata, so a fast-forward publish would graft old-schema files
+    // under a renamed parent — refused as metadata drift
+    t = t.renameColumn("data", "payload")
+    val e = intercept[IllegalArgumentException] {
+      t.publishBranch("audit", Some(3000L))
+    }
+    assert(e.getMessage.contains("identical metadata"), e.getMessage)
+    // the parent's own era-mapped read is unaffected
+    assert(t.read(spark).select("payload").collect().map(_.getString(0))
+      .toSeq == Seq("a"))
+    // and a rename ON the branch is refused outright: fork-inherited
+    // `../../` entries cannot be era-attributed in the branch's sequence
+    val e2 = intercept[IllegalArgumentException] {
+      br.renameColumn("data", "d2")
+    }
+    assert(e2.getMessage.contains("branch era"), e2.getMessage)
+  }
+
   test("SQL ALTER TABLE RENAME/DROP COLUMN + reads through the extensions") {
     val wh = tmpDir("graft-schevo-sql")
     spark.conf.set("spark.sql.catalog.gse", "graft.table.GraftSparkCatalog")
