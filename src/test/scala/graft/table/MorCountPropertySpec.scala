@@ -84,11 +84,17 @@ class MorCountPropertySpec extends SparkSpecBase {
         }
         if (!hasPending && !hasEquality && ids.nonEmpty) legal += "positional"
         if (!hasPending && !hasEquality && ids.nonEmpty) legal += "cowDelete"
+        if (!hasPending && !hasEquality) legal += "overwriteWhere"
         val ops = legal.result()
         val op = ops(rnd.nextInt(ops.size))
         op match {
           case "append" => t.append(mkDf(freshRows(1 + rnd.nextInt(4))), Some(ts))
           case "overwrite" => t.overwrite(mkDf(freshRows(3)), Some(ts))
+          case "overwriteWhere" =>
+            // atomic slice replacement of a trailing id range
+            val lo = nextId - rnd.nextInt(4)
+            t.overwriteWhere(spark, col("id") >= lo,
+              mkDf(freshRows(2)), Some(ts))
           case "compact" =>
             t.compact(spark, smallerThanBytes = Long.MaxValue, Some(ts))
           case "deferred" =>
