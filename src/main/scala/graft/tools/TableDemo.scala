@@ -17,6 +17,7 @@ object TableDemo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new graft.table.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -226,6 +227,33 @@ object TableDemo {
     println("CATALOG-V2 v1: " +
       spark.sql("SELECT * FROM gdemo.db.people VERSION AS OF 1 ORDER BY id")
         .collect().mkString(", "))
+
+    // full SQL DML through the catalog (ResolveGraftDml via the
+    // extensions this session registered): INSERT / UPDATE / MERGE /
+    // predicate-scoped INSERT OVERWRITE, each one atomic commit
+    spark.sql("INSERT INTO gdemo.db.people VALUES (7, 'ins')")
+    spark.sql("UPDATE gdemo.db.people SET data = concat(data, '!') " +
+      "WHERE id = 7")
+    spark.sql("SELECT 7L AS id, 'merged' AS data UNION ALL " +
+      "SELECT 8L, 'new'").createOrReplaceTempView("demo_src")
+    spark.sql("MERGE INTO gdemo.db.people t USING demo_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    println("SQL-DML: " +
+      spark.sql("SELECT * FROM gdemo.db.people WHERE id >= 7 ORDER BY id")
+        .collect().mkString(", "))
+
+    // schema evolution: era-mapped rename + widen, metadata-only
+    val evo = GraftTable.create(s"$dir/evo", StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("data", StringType, nullable = true))))
+    evo.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1, "old-era")), 1),
+      evo.schema), Some(1000L))
+    val evo2 = evo.renameColumn("data", "payload").widenColumn("k", LongType)
+    println("SCHEMA-EVO: " + evo2.read(spark)
+      .select("k", "payload").collect().mkString(", ") +
+      " | schema=" + evo2.schema.map(f => s"${f.name}:${f.dataType.simpleString}")
+        .mkString(","))
 
     spark.stop()
   }
