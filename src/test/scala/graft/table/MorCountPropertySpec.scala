@@ -32,7 +32,7 @@ class MorCountPropertySpec extends SparkSpecBase {
   }
 
   test("metadata count identity holds across random legal DML chains") {
-    val rnd = new scala.util.Random(42)
+    val rnd = new scala.util.Random(sys.env.getOrElse("GRAFT_FUZZ_SEED", "42").toLong)
     var nextId = 0L
     def freshRows(n: Int): Seq[(Long, String)] =
       (0 until n).map { _ =>

@@ -17,7 +17,7 @@ import graft.SparkSpecBase
 class SchemaEvolutionPropertySpec extends SparkSpecBase {
 
   test("random evolution chains read exactly like the model") {
-    val rnd = new scala.util.Random(11)
+    val rnd = new scala.util.Random(sys.env.getOrElse("GRAFT_FUZZ_SEED", "11").toLong)
 
     for (trial <- 1 to 5) {
       val dir = java.nio.file.Files
