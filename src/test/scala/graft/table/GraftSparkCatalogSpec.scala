@@ -340,6 +340,18 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(GraftTable.load(s"$wh/db/ctasp").partitionColumns ==
       Seq("bucket(4,id)"))
     assert(sqlS.sql("SELECT count(*) FROM g2.db.ctasp").head().getLong(0) == 3L)
+    // TBLPROPERTIES flow through: a merge-on-read table in one statement
+    sqlS.sql("CREATE TABLE g2.db.ctasmor " +
+      "TBLPROPERTIES ('write.merge.mode' = 'merge-on-read') AS " +
+      "SELECT id, data FROM g2.db.ctassrc")
+    assert(GraftTable.load(s"$wh/db/ctasmor")
+      .properties.get("write.merge.mode").contains("merge-on-read"))
+    sqlS.sql("MERGE INTO g2.db.ctasmor t USING " +
+      "(SELECT 1L AS id, 'A' AS data) s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(GraftTable.load(s"$wh/db/ctasmor").equalityDeletes.nonEmpty,
+      "CTAS property did not route the merge to the MoR path")
+
     // existing table refused; IF NOT EXISTS is a no-op
     intercept[Exception] {
       sqlS.sql("CREATE TABLE g2.db.ctas AS SELECT 1L AS id, 'x' AS data")
