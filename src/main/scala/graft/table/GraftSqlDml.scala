@@ -108,17 +108,34 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     case ctas @ CreateTableAsSelect(
         name: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier,
         partitioning, query, tableSpec, _, ignoreIfExists, _)
-        if query.resolved && name.catalog.isInstanceOf[GraftSparkCatalog] =>
+        if query.resolved && name.catalog.isInstanceOf[GraftSparkCatalog] &&
+          tableSpec.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.TableSpec] =>
       // Spark's own non-atomic CTAS would create the table and then die
       // on the write (the relation deliberately lacks BATCH_WRITE);
-      // route create + first append through the library instead.
-      val props: Map[String, String] = tableSpec match {
-        case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
-          ts.properties
-        case _ => Map.empty
-      }
+      // route create + first append through the library instead. The
+      // guard requires the RESOLVED TableSpec — matching an
+      // UnresolvedTableSpec would silently truncate TBLPROPERTIES to
+      // empty; leaving the plan lets the fixed point resolve it first.
+      val props = tableSpec
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.TableSpec]
+        .properties
       GraftCtasCommand(name.catalog.asInstanceOf[GraftSparkCatalog],
         name.identifier, partitioning.toArray, props, query, ignoreIfExists)
+    case rtas: ReplaceTableAsSelect
+        if rtas.name.isInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier] &&
+          rtas.name.asInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier]
+            .catalog.isInstanceOf[GraftSparkCatalog] =>
+      // Spark's non-atomic ReplaceTableAsSelectExec DROPS the existing
+      // table first and only then discovers the relation cannot be
+      // written — unrecoverable data loss from a statement that errors.
+      // Refuse before anything is dropped.
+      fail("CREATE OR REPLACE TABLE is not supported on graft catalogs " +
+        "(Spark's non-atomic replace would drop the table before the " +
+        "doomed write) — use INSERT OVERWRITE for the content, or " +
+        "DROP TABLE + CREATE TABLE ... AS SELECT")
     case _ => substituteMorReads(plan)
   }
 
@@ -136,11 +153,17 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     val fields = g.underlying.schema.fields.toSeq
     val aligned: Seq[(org.apache.spark.sql.catalyst.expressions.Attribute,
         org.apache.spark.sql.types.StructField)] =
-      if (isByName)
+      if (isByName) {
+        // by-name requires the exact column set: silently dropping an
+        // extra source column would turn a typo into a partial ingest
+        query.output.foreach(a =>
+          if (!fields.exists(_.name.equalsIgnoreCase(a.name)))
+            fail(s"INSERT column '${a.name}' does not exist in ${g.name()}"))
         fields.map { f =>
           query.output.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
             fail(s"INSERT is missing column '${f.name}' of ${g.name()}")) -> f
         }
+      }
       else {
         if (query.output.size != fields.size)
           fail(s"INSERT provides ${query.output.size} columns, " +
@@ -191,20 +214,35 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     r.table match {
       case g: GraftV2Table =>
         val tb = g.underlying
-        val snap = g.pinned match {
-          case Some(id) => tb.log.byId(id)
-          case None => tb.log.current
+        // memoized per (dir, log mtime, pin): this runs for every graft
+        // relation on every fixed-point iteration of every query — the
+        // uncached form re-read snapshots.json (and, on evolved tables,
+        // a manifest) each time
+        def mt(f: String): Long =
+          try java.nio.file.Files.getLastModifiedTime(
+            java.nio.file.Paths.get(s"${tb.dir}/$f")).toMillis
+          catch { case _: Exception => -1L }
+        // snapshots.json covers every commit; metadata.json covers the
+        // metadata-only schema evolutions that never touch the log
+        val mtime = mt("snapshots.json") ^ (mt("metadata.json") * 31L)
+        val needs = ResolveGraftDml.spliceMemo(
+          (tb.dir, mtime, g.pinned)) {
+          val snap = g.pinned match {
+            case Some(id) => tb.log.byId(id)
+            case None => tb.log.current
+          }
+          val pending = snap.exists(s => tb.parsePending(s).nonEmpty ||
+            tb.parsePositional(s).nonEmpty || tb.parseEquality(s).nonEmpty)
+          // pre-rename/pre-widening files also need the library's per-era
+          // aliasing/casting — the raw file-list scan would read renamed
+          // columns as NULL and widened columns with the wrong parquet type
+          val renamed = (tb.renames.nonEmpty || tb.widenings.nonEmpty) &&
+            snap.exists(s =>
+              Manifest.read(s"${tb.dir}/${s.manifestList}").files
+                .exists(tb.renameAffects))
+          pending || renamed
         }
-        val pending = snap.exists(s => tb.parsePending(s).nonEmpty ||
-          tb.parsePositional(s).nonEmpty || tb.parseEquality(s).nonEmpty)
-        // pre-rename/pre-widening files also need the library's per-era
-        // aliasing/casting — the raw file-list scan would read renamed
-        // columns as NULL and widened columns with the wrong parquet type
-        val renamed = (tb.renames.nonEmpty || tb.widenings.nonEmpty) &&
-          snap.exists(s =>
-            Manifest.read(s"${tb.dir}/${s.manifestList}").files
-              .exists(tb.renameAffects))
-        if (pending || renamed) Some(g) else None
+        if (needs) Some(g) else None
       case _ => None
     }
 
@@ -333,6 +371,24 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
             "property write.merge.mode=merge-on-read for composite keys")
         GraftCowMergeCommand(tbl, project, keys.head)
     }
+  }
+}
+
+object ResolveGraftDml {
+  /** (table dir, combined snapshots+metadata mtime, pinned snapshot) →
+    * whether the relation needs the visible-rows splice. Any commit
+    * rewrites snapshots.json and any schema evolution rewrites
+    * metadata.json, so the combined key invalidates on both; a stale hit
+    * can therefore only serve the state the files still describe.
+    * Bounded defensively. */
+  private val spliceMemoMap =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Option[Long]), java.lang.Boolean]()
+
+  private[table] def spliceMemo(key: (String, Long, Option[Long]))(
+      f: => Boolean): Boolean = {
+    if (spliceMemoMap.size() > 1024) spliceMemoMap.clear()
+    spliceMemoMap.computeIfAbsent(key, _ => f).booleanValue()
   }
 }
 

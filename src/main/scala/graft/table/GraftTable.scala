@@ -384,12 +384,29 @@ final class GraftTable private (
     require(equalityDeletes.isEmpty,
       s"cannot branch $dir with equality deletes pending — the fork's " +
         "snapshot-id scoping does not survive re-addressing; compact() first")
+    // schema-evolution eras do not survive the fork either: branch-side
+    // reads attribute `../../` entries to ONE (oldest) era, so a parent
+    // with files spanning a rename/widening boundary would read silent
+    // NULLs or crash on the branch — refuse until compact() migrates
+    // every file to the current schema. Tombstones (dropped columns and
+    // old-era physical names) DO carry: fork files still hold those
+    // physical values, and a branch-side add/rename onto such a name
+    // would resurrect them.
+    log.current.foreach { c =>
+      Manifest.read(s"$dir/${c.manifestList}").files.foreach(f =>
+        require(!renameAffects(f),
+          s"cannot branch $dir with pre-rename/pre-widening data files " +
+            s"(${f.path}) — compact() first to migrate them to the " +
+            "current schema"))
+    }
     withRefsLock {
       require(!branches.contains(name) && !GraftTable.exists(branchDir(name)),
         s"branch '$name' already exists on $dir")
       val cur = log.current
       val bt = GraftTable.create(branchDir(name), schema, properties,
         partitionColumns)
+        .writeMeta(newDropped =
+          (droppedColumns ++ renames.map(_.from)).distinct)
       cur.foreach { c =>
         val m = Manifest.read(s"$dir/${c.manifestList}")
         val forked = Manifest(m.files.map(f => f.copy(path = s"../../${f.path}")))
@@ -1107,15 +1124,21 @@ final class GraftTable private (
     val (forced, big) = bigRaw.partition(f =>
       posTargets.contains(f.path) || pend.exists {
         case (covered, _) => fileSnapId(f.path).forall(_ <= covered) } ||
-      eqPend.exists(e => fileSnapId(f.path).forall(_ <= e.covered)))
+      eqPend.exists(e => fileSnapId(f.path).forall(_ <= e.covered)) ||
+      // compaction is ALSO the schema-era migration step: pre-rename/
+      // pre-widening files rewrite under the current names/types
+      // whatever their size (branching and the raw DSv2 path require a
+      // fully-migrated table)
+      renameAffects(f))
     val small = smallRaw ++ forced
     // a single qualifying file is not worth repacking — UNLESS deferred
-    // deletes are pending: then the rewrite IS the materialization step
-    // (without this, a one-file table could never clear its pending set
-    // and copy-on-write DML would stay blocked forever)
+    // deletes are pending or a schema-era migration is due: then the
+    // rewrite IS the materialization step (without this, a one-file
+    // table could never clear its pending set / old eras, and
+    // copy-on-write DML / branching would stay blocked forever)
     if (small.isEmpty ||
         (small.size < 2 && pend.isEmpty && posPend.isEmpty &&
-          eqPend.isEmpty)) return None
+          eqPend.isEmpty && !small.exists(renameAffects))) return None
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are mutually exclusive")
     (sortBy ++ zorderBy).foreach(c => require(schema.fieldNames.contains(c),

@@ -200,6 +200,11 @@ object Manifest {
     cache.synchronized(Option(cache.get(key)))
   }
 
+  private def cachePut(absPath: String, v: Vector[DataFileEntry]): Unit = {
+    val key = cacheKey(absPath)
+    cache.synchronized(cache.put(key, v))
+  }
+
   private def cachedFiles(absPath: String)(
       parse: String => Vector[DataFileEntry]): Vector[DataFileEntry] = {
     val key = cacheKey(absPath)
@@ -240,22 +245,38 @@ object Manifest {
       case None =>
         // v1 manifests are immutable too (only the HEAD migrates on the
         // next commit; historical snapshots keep this format forever) —
-        // cache their entry parse like a segment's, or every time-travel/
-        // CDC walk over a pre-segmentation chain re-pays O(files) JSON
-        val files = cachedFiles(absPath)(_ => parseEntries(obj))
+        // cache the ALREADY-parsed entries (the miss path above read the
+        // file once; re-reading through cachedFiles would double the I/O)
+        val files = parseEntries(obj)
+        cachePut(absPath, files)
         if (files.isEmpty) empty
         else new Manifest(Vector(ManifestSegment.fresh(files)))
     }
   }
 
   /** The segment refs of a manifest list without touching any segment
-    * (expiration ref-counting; v1 manifests have none). */
+    * (expiration/orphan ref-counting, called once per snapshot per run).
+    * Cached: a LEGACY v1 manifest would otherwise pay its full O(files)
+    * inline parse on every maintenance pass just to return Nil. */
+  private val refsCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Seq[String]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Seq[String]]): Boolean =
+        size() > CacheCap
+    }
+
   def segmentRefsOf(absPath: String): Seq[String] = {
-    val obj = Json.parseObject(Files.readString(Paths.get(absPath)))
-    obj.get("segments") match {
-      case Some(segs) => segs.asInstanceOf[Seq[Any]]
-        .map(s => s.asInstanceOf[Map[String, Any]]("path").asInstanceOf[String])
-      case None => Nil
+    val key = cacheKey(absPath)
+    refsCache.synchronized(Option(refsCache.get(key))).getOrElse {
+      val obj = Json.parseObject(Files.readString(Paths.get(absPath)))
+      val refs = obj.get("segments") match {
+        case Some(segs) => segs.asInstanceOf[Seq[Any]]
+          .map(s => s.asInstanceOf[Map[String, Any]]("path").asInstanceOf[String])
+        case None => Seq.empty[String]
+      }
+      refsCache.synchronized(refsCache.put(key, refs))
+      refs
     }
   }
 

@@ -359,6 +359,29 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     sqlS.sql("CREATE TABLE IF NOT EXISTS g2.db.ctas AS " +
       "SELECT 9L AS id, 'x' AS data")
     assert(sqlS.sql("SELECT count(*) FROM g2.db.ctas").head().getLong(0) == 2L)
+
+    // CREATE OR REPLACE is refused BEFORE anything is dropped (Spark's
+    // non-atomic replace would delete the table, then fail the write)
+    val er = intercept[Exception] {
+      sqlS.sql("CREATE OR REPLACE TABLE g2.db.ctas AS SELECT 1L AS id, 'y' AS data")
+    }
+    assert(er.getMessage.contains("REPLACE"), er.getMessage)
+    assert(GraftTable.exists(s"$wh/db/ctas"),
+      "CREATE OR REPLACE destroyed the table")
+    assert(sqlS.sql("SELECT count(*) FROM g2.db.ctas").head().getLong(0) == 2L)
+  }
+
+  test("INSERT BY NAME refuses extra source columns") {
+    val t = GraftTable.create(s"$wh/db/byname", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    // column-list inserts are by-name: a nonexistent column must error,
+    // not silently drop
+    val e = intercept[Exception] {
+      sqlS.sql("INSERT INTO g2.db.byname (id, data, bogus) " +
+        "VALUES (2, 'b', 'x')")
+    }
+    assert(GraftTable.load(s"$wh/db/byname").read(spark).count() == 1,
+      s"extra-column insert committed: ${e.getMessage}")
   }
 
   test("SQL INSERT OVERWRITE is one atomic truncate-and-replace commit") {

@@ -224,6 +224,27 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("branch era"), e2.getMessage)
   }
 
+  test("branching an evolved table: refused until compact; tombstones carry") {
+    val dir = s"${tmp()}/t"
+    var t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t = t.renameColumn("data", "payload")
+    // pre-rename files cannot be era-attributed across the fork
+    val e = intercept[IllegalArgumentException] { t.createBranch("audit") }
+    assert(e.getMessage.contains("pre-rename"), e.getMessage)
+    // compact migrates every file to the current schema; branching works
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(2000L))
+    val br = t.createBranch("audit", Some(3000L))
+    assert(br.read(spark).select("payload").collect().map(_.getString(0))
+      .toSeq == Seq("a"))
+    // the old physical name is tombstoned ON THE BRANCH too: fork files
+    // (and the parent's history) still hold physical 'data' values
+    val e2 = intercept[IllegalArgumentException] {
+      br.addColumn("data", StringType)
+    }
+    assert(e2.getMessage.contains("resurrect"), e2.getMessage)
+  }
+
   test("SQL ALTER TABLE RENAME/DROP COLUMN + reads through the extensions") {
     val wh = tmpDir("graft-schevo-sql")
     spark.conf.set("spark.sql.catalog.gse", "graft.table.GraftSparkCatalog")
