@@ -71,20 +71,17 @@ object TextAnalysis extends QueryPack {
         col("doc_id"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))),
 
-    // corpus bigram frequencies: the n-gram analysis pass — posexplode +
-    // window lead keeps it codegen'd (same shape as the dedup shingles);
-    // one shuffle for the count.
+    // corpus bigram frequencies: the n-gram analysis pass. Per-row fused
+    // Bigrams kernel + explode + hash-agg — ONE shuffle (the count), no
+    // sort. The earlier posexplode + window-lead spelling sort-shuffled
+    // the entire corpus token stream by doc_id just to look one slot
+    // ahead (the round-4 minhash lesson; ~2x measured) — same gram
+    // strings, so the result is identical.
     "t06_bigrams" -> ((s, d) => {
       val toks = graft.functions.TextOps.tokens(col("text"))
-      val tokRows = t(s, d, "documents")
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      tokRows
-        .withColumn("nxt", lead(col("tok"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .groupBy(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      t(s, d, "documents")
+        .select(explode(graft.functions.TextOps.bigrams(toks)).as("bigram"))
+        .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 30)
         .orderBy("bigram")
@@ -223,26 +220,25 @@ object TextAnalysis extends QueryPack {
 
     // repetition detection (the duplicate-n-gram quality rule): fraction
     // of 3-gram occurrences that are repeats of an earlier 3-gram in the
-    // same doc. High ratio = boilerplate/looping text. One explode + one
-    // two-level aggregation; map-side partial aggregation carries it.
+    // same doc. High ratio = boilerplate/looping text. Fully per-row via
+    // the fused KGrams kernel: size(grams) / size(array_distinct(grams))
+    // — ZERO shuffles (grams never leave the row). The earlier
+    // posexplode + window-lead spelling sort-shuffled the whole corpus
+    // token stream per doc; gram strings are identical so the result is
+    // unchanged.
     "t13_repetition" -> ((s, d) => {
       val toks = graft.functions.TextOps.tokens(col("text"))
-      val docs = t(s, d, "documents")
+      // NB: KGrams emits one whole-sequence gram when n < k (the minhash
+      // convention), so the <3-token docs must be dropped on token count,
+      // not on gram count, to match the windowed formulation.
+      t(s, d, "documents")
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) >= 3)
-      val grams = docs.select(col("doc_id"),
-        posexplode(col("t")).as(Seq("pos", "tok")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val g3 = grams
-        .withColumn("t1", lead(col("tok"), 1).over(w))
-        .withColumn("t2", lead(col("tok"), 2).over(w))
-        .filter(col("t2").isNotNull)
         .select(col("doc_id"),
-          concat_ws(" ", col("tok"), col("t1"), col("t2")).as("g"))
-      g3.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          countDistinct(col("g")).as("n_distinct"))
+          graft.functions.TextOps.kgrams(col("t"), 3).as("g"))
+        .select(col("doc_id"),
+          size(col("g")).cast("long").as("n_grams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct"))
         .withColumn("dup_ratio",
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
         .select("doc_id", "n_grams", "n_distinct", "dup_ratio")

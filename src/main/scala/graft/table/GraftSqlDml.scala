@@ -56,13 +56,18 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
       if (!m.resolved) plan
       else graftTarget(m.targetTable) match {
         case Some(g) => rewriteMerge(g, m)
-        case None => plan
+        // non-graft target: Spark's own MERGE path keeps the statement,
+        // but its SOURCE may still read a MoR-pending / pre-rename graft
+        // table — splice those reads (the target is not graft, so the
+        // splice-must-not-touch-target rule is not at risk)
+        case None =>
+          spliceSource(plan, m.sourceTable)(s => m.copy(sourceTable = s))
       }
     case a @ AppendData(table, query, _, isByName, _, _) =>
       if (!query.resolved) plan
       else graftTarget(table) match {
         case Some(g) => rewriteInsert(g, query, isByName)
-        case None => plan
+        case None => spliceSource(plan, query)(q => a.copy(query = q))
       }
     case d @ DeleteFromTable(target, condition) =>
       if (!d.resolved) plan
@@ -103,7 +108,7 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
                 case other => other
               }
           }
-        case None => plan
+        case None => spliceSource(plan, query)(q => o.copy(query = q))
       }
     case ctas @ CreateTableAsSelect(
         name: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier,
@@ -191,6 +196,18 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     * silence would mean wrong rows. */
   private object NeedsSplice {
     def unapply(r: DataSourceV2Relation): Option[GraftV2Table] = morPending(r)
+  }
+
+  /** Splice MoR/rename graft reads inside a non-graft-target DML root's
+    * SOURCE subtree only, leaving the root (and its target relation)
+    * untouched when nothing changed — without this, a statement writing
+    * to a non-graft sink while SELECTing from a MoR-pending graft table
+    * failed with the raw-scan refusal even in an extensions session,
+    * where the same SELECT alone would work. */
+  private def spliceSource(root: LogicalPlan, source: LogicalPlan)(
+      rebuild: LogicalPlan => LogicalPlan): LogicalPlan = {
+    val spliced = substituteMorReads(source)
+    if (spliced eq source) root else rebuild(spliced)
   }
 
   private def substituteMorReads(plan: LogicalPlan): LogicalPlan =

@@ -470,6 +470,22 @@ final class GraftTable private (
       if (f.path.startsWith("../../")) f.copy(path = f.path.drop(6))
       else f.copy(path = s"branches/$name/${f.path}")
     }
+    // Era-soundness guard, mirroring createBranch: re-addressed
+    // branch-LOCAL files (`branches/<name>/data/…`) resolve
+    // fileSnapId = None, which physicalField attributes to the OLDEST
+    // schema era — on a parent with rename/widening history the parent
+    // would then request pre-rename physical names / pre-widening types
+    // from files that actually hold the CURRENT era (silent NULLs, or a
+    // parquet type mismatch). Fork-carried `../../X` entries re-address
+    // back to `X` with parseable parent snap ids and publish fine; only
+    // branch-local files on an evolved parent are refused.
+    entries.foreach(f => require(!renameAffects(f),
+      s"cannot publish branch '$name' onto $dir: the parent's " +
+        s"rename/widening history would mis-attribute re-addressed entry " +
+        s"${f.path} to the oldest schema era — branch WRITES on a " +
+        "rename/widen-evolved parent cannot be published (fork-carried " +
+        "entries alone publish fine); apply the branch's changes to the " +
+        "parent directly instead"))
     val snap = commit(lg, lg.nextId, Manifest(entries), Nil,
       operation = "publish", committedAt,
       extraSummary = Map("branch" -> name,
