@@ -394,6 +394,77 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** CDC-apply fixture: ONE conditional-action SQL MERGE (the idiom a CDC
+    * consumer writes) — `WHEN MATCHED AND s.op = 'D' THEN DELETE`, a
+    * conditional partial UPDATE whose value references the TARGET row,
+    * and a conditional INSERT that skips delete events for absent keys —
+    * routed to the general copy-on-write [[GraftTable.mergeActions]]
+    * rewrite in one atomic snapshot. Victims are planted: keys %5==0
+    * deleted, keys 1-2 renamed in place, keys 991-992 inserted, and a
+    * delete event for the absent key 993 no-ops. */
+  private def sqlCdcFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/nation_cdc", 2) { dir =>
+      val s2 = dmlSession(spark)
+      val nation = t(s2, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      val wh = Paths.get(dir).getParent.getParent.toString
+      s2.conf.set("spark.sql.catalog.g39", "graft.table.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.g39.warehouse", wh)
+      val keyType = nation.schema("n_nationkey").dataType
+      nation.filter(col("n_nationkey") % 5 === 0).withColumn("op", lit("D"))
+        .unionByName(nation
+          .filter(col("n_nationkey") <= 2 && col("n_nationkey") % 5 =!= 0)
+          .withColumn("op", lit("U")))
+        .unionByName(nation.filter(col("n_nationkey").isin(1, 2))
+          .withColumn("n_nationkey", (col("n_nationkey") + 990).cast(keyType))
+          .withColumn("n_name", concat(lit("NEW-"), col("n_name")))
+          .withColumn("op", lit("U")))
+        .unionByName(nation.filter(col("n_nationkey") === 1)
+          .withColumn("n_nationkey", (col("n_nationkey") + 992).cast(keyType))
+          .withColumn("op", lit("D")))
+        .createOrReplaceTempView("nation_cdc_src")
+      s2.sql("MERGE INTO g39.db.nation_cdc t USING nation_cdc_src s " +
+        "ON t.n_nationkey = s.n_nationkey " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET n_name = concat('C-', t.n_name) " +
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT " +
+        "(n_nationkey, n_name, n_regionkey) " +
+        "VALUES (s.n_nationkey, s.n_name, s.n_regionkey)")
+      tb
+    }
+
+  /** Merge-on-read SQL ROUTING fixture: `write.update.mode` and
+    * `write.delete.mode` = merge-on-read make plain SQL UPDATE/DELETE
+    * statements commit positional deltas (v30/v28 library paths) instead
+    * of copy-on-write rewrites — asserted here by the base data files
+    * surviving in the final manifest untouched. */
+  private def sqlMorRouteFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/nation_morroute", 3) { dir =>
+      val s2 = dmlSession(spark)
+      val nation = t(s2, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema, properties = Map(
+        "write.update.mode" -> "merge-on-read",
+        "write.delete.mode" -> "merge-on-read"))
+      tb.append(nation, committedAt = Some(1000L))
+      val baseFiles = graft.table.Manifest
+        .read(s"$dir/${tb.log.current.get.manifestList}").files.map(_.path).toSet
+      val wh = Paths.get(dir).getParent.getParent.toString
+      s2.conf.set("spark.sql.catalog.g40", "graft.table.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.g40.warehouse", wh)
+      s2.sql("UPDATE g40.db.nation_morroute " +
+        "SET n_name = concat('P-', n_name) WHERE n_regionkey = 1")
+      s2.sql("DELETE FROM g40.db.nation_morroute WHERE n_nationkey % 7 = 3")
+      val t2 = GraftTable.load(dir)
+      require(t2.positionalDeletes.nonEmpty,
+        "SQL UPDATE/DELETE did not take the positional merge-on-read path")
+      val live = graft.table.Manifest
+        .read(s"$dir/${t2.log.current.get.manifestList}").files.map(_.path).toSet
+      require(baseFiles.subsetOf(live),
+        "merge-on-read SQL DML rewrote base data files")
+      t2
+    }
+
   /** SQL ingest fixture: the table is built ENTIRELY by SQL statements —
     * CREATE TABLE through the catalog, INSERT INTO … SELECT (append
     * commit), then INSERT OVERWRITE … SELECT (atomic truncate-and-
@@ -519,6 +590,22 @@ object Versioned extends QueryPack {
     // analyzer rule; the read sees the post-DML table at snapshot 3
     "v34_graft_sql_dml" -> ((s, d) =>
       sqlDmlFixture(s, d).read(s)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("snapshot__id"))),
+
+    // CDC-apply: ONE conditional-action SQL MERGE (matched-DELETE,
+    // target-referencing partial UPDATE, conditional INSERT) — the
+    // general copy-on-write action rewrite, one atomic snapshot
+    "v39_graft_sql_cdc" -> ((s, d) =>
+      sqlCdcFixture(s, d).read(s)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("snapshot__id"))),
+
+    // merge-on-read SQL routing: write.update.mode / write.delete.mode
+    // make plain UPDATE/DELETE commit positional deltas — base data
+    // files stay byte-untouched (fixture asserts), reads stay exact
+    "v40_graft_sql_mor_route" -> ((s, d) =>
+      sqlMorRouteFixture(s, d).read(s)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
           col("snapshot__id"))),
 
@@ -913,6 +1000,27 @@ object Versioned extends QueryPack {
         "n_regionkey, CAST(3 AS BIGINT) AS snapshot__id FROM nation " +
         "UNION ALL SELECT n_nationkey + 990, 'NEWLAND', n_regionkey, " +
         "CAST(3 AS BIGINT) FROM nation WHERE n_nationkey <= 1"),
+    // keys %5==0 deleted by the matched-DELETE action, keys 1-2 renamed
+    // in place from the TARGET value, keys 991-992 inserted; every
+    // surviving row was rewritten by the CoW action rewrite (snapshot 2)
+    "v39_graft_sql_cdc" ->
+      ("SELECT n_nationkey, " +
+        "CASE WHEN n_nationkey <= 2 THEN 'C-' || n_name ELSE n_name END " +
+        "AS n_name, n_regionkey, CAST(2 AS BIGINT) AS snapshot__id " +
+        "FROM nation WHERE n_nationkey % 5 <> 0 " +
+        "UNION ALL SELECT n_nationkey + 990, 'NEW-' || n_name, " +
+        "n_regionkey, CAST(2 AS BIGINT) FROM nation " +
+        "WHERE n_nationkey IN (1, 2)"),
+    // positional merge-on-read routing: region-1 rows renamed by the SQL
+    // UPDATE (positional delta), %7==3 keys removed by the SQL DELETE
+    // (positions only — fixture asserts base files survive untouched);
+    // the read is at snapshot 3 (the virtual column tags the snapshot
+    // being read)
+    "v40_graft_sql_mor_route" ->
+      ("SELECT n_nationkey, " +
+        "CASE WHEN n_regionkey = 1 THEN 'P-' || n_name ELSE n_name END " +
+        "AS n_name, n_regionkey, CAST(3 AS BIGINT) AS snapshot__id " +
+        "FROM nation WHERE n_nationkey % 7 <> 3"),
     // the maintained view must equal a from-scratch recompute of the
     // final state (nation minus the deleted regions)
     "v22_graft_ivm" ->

@@ -77,23 +77,44 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
   override def loadTable(ident: Identifier): Table =
     load(ident, snapshotId = None)
 
-  /** `VERSION AS OF <v>` — v is a snapshot id, a tag name, or
-    * `branch:<name>` (the branch's CURRENT snapshot — the SQL audit
-    * read of the write–audit–publish flow). */
+  /** `VERSION AS OF <v>` — v is a snapshot id, a tag name, a branch
+    * name (the branch's CURRENT snapshot — the SQL audit read of the
+    * write–audit–publish flow), or the explicit `branch:<name>` /
+    * `tag:<name>` prefix forms. A bare name naming BOTH a tag and a
+    * branch is ambiguous and refused loudly (use a prefix form) —
+    * resolution order would otherwise silently pick one. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = loadGraft(ident)
-    if (version.startsWith("branch:")) {
-      val bt = t.branch(version.stripPrefix("branch:"))
-      return new GraftV2Table(s"${identToName(ident)}@$version", bt, None)
+    def branchTable(name: String): Table =
+      new GraftV2Table(s"${identToName(ident)}@branch:$name", t.branch(name), None)
+    if (version.startsWith("branch:"))
+      return branchTable(version.stripPrefix("branch:"))
+    if (version.startsWith("tag:")) {
+      val name = version.stripPrefix("tag:")
+      return new GraftV2Table(identToName(ident), t,
+        Some(t.refs.getOrElse(name, throw new IllegalArgumentException(
+          s"no tag '$name' in ${identToName(ident)}"))))
     }
-    // numeric → snapshot id; otherwise a tag name from refs.json —
-    // resolved on ONE loaded instance (no second metadata read)
-    val id = version.toLongOption.getOrElse(
-      t.refs.getOrElse(version,
-        throw new IllegalArgumentException(
-          s"graft version must be a snapshot id, tag, or 'branch:<name>', " +
-            s"got '$version'")))
-    new GraftV2Table(identToName(ident), t, Some(id))
+    // numeric → snapshot id; otherwise a tag or branch name — resolved
+    // on ONE loaded instance (no second metadata read)
+    version.toLongOption match {
+      case Some(id) => new GraftV2Table(identToName(ident), t, Some(id))
+      case None =>
+        val tag = t.refs.get(version)
+        val isBranch = t.branches.contains(version)
+        (tag, isBranch) match {
+          case (Some(_), true) => throw new IllegalArgumentException(
+            s"'$version' names both a tag and a branch in " +
+              s"${identToName(ident)} — disambiguate with " +
+              s"'tag:$version' or 'branch:$version'")
+          case (Some(id), false) =>
+            new GraftV2Table(identToName(ident), t, Some(id))
+          case (None, true) => branchTable(version)
+          case (None, false) => throw new IllegalArgumentException(
+            s"graft version must be a snapshot id, tag, branch, " +
+              s"'tag:<name>' or 'branch:<name>', got '$version'")
+        }
+    }
   }
 
   /** `TIMESTAMP AS OF <t>` — Spark hands micros since epoch. */

@@ -22,19 +22,25 @@ import org.apache.spark.sql.functions.lit
   *
   * Supported surface:
   *  - `UPDATE cat.db.t SET c = expr, … [WHERE pred]` — top-level columns
-  *    only; routed to the copy-on-write rewrite (manifest pruning picks
-  *    candidate files; untouched files carry over byte-identical).
-  *  - `MERGE INTO cat.db.t USING src ON t.k = src.k
-  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-  *    — the canonical upsert (per-column assignments are accepted when the
-  *    matched and not-matched assignment for each column is the same
-  *    source-side expression, which is what `SET *` / `INSERT *` expand
-  *    to). Routed to [[GraftTable.merge]] (copy-on-write) or, when the
-  *    table property `write.merge.mode = merge-on-read` is set, to
-  *    [[GraftTable.mergeEquality]] (O(source) commit, tombstone anti-join
-  *    at read). Exotic shapes (conditional actions, DELETE actions,
-  *    NOT MATCHED BY SOURCE) are refused with a clear error rather than
-  *    guessed at.
+  *    only; routed to the copy-on-write rewrite, or to the positional
+  *    merge-on-read delta ([[GraftTable.updatePositional]]) when the
+  *    table property `write.update.mode = merge-on-read` is set.
+  *  - `DELETE FROM cat.db.t [WHERE pred]` — Spark's own SupportsDelete
+  *    path by default; routed to [[GraftTable.deletePositional]] when
+  *    `write.delete.mode = merge-on-read` is set (and to the library's
+  *    CoW delete when positional entries pend — see the case comments).
+  *  - `MERGE INTO cat.db.t USING src ON t.k1 = src.k1 [AND …]` with the
+  *    full action surface: conditional `WHEN MATCHED [AND p] THEN
+  *    UPDATE SET …/DELETE`, conditional `WHEN NOT MATCHED [AND p] THEN
+  *    INSERT …`, `WHEN NOT MATCHED BY SOURCE [AND p] THEN
+  *    UPDATE/DELETE`, composite keys, partial SET lists and
+  *    target-referencing values. Routing (see [[rewriteMerge]]): the
+  *    canonical whole-row upsert keeps [[GraftTable.merge]] /
+  *    [[GraftTable.mergeEquality]]; general shapes take
+  *    [[GraftTable.mergeActions]] (copy-on-write) or, under
+  *    `write.merge.mode = merge-on-read` with source-only outcomes,
+  *    [[GraftTable.mergeEqualityConditional]] (the CDC-apply shape:
+  *    one tombstone+upsert commit, no data file rewritten).
   */
 case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -72,6 +78,13 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     case d @ DeleteFromTable(target, condition) =>
       if (!d.resolved) plan
       else graftTarget(target) match {
+        // write.delete.mode=merge-on-read: commit positions, not a
+        // rewrite (the v28/v29 library path) — O(victim rows) of delete
+        // metadata, untouched files keep their plain scans
+        case Some(g) if g.pinned.isEmpty &&
+            g.underlying.properties.get("write.delete.mode")
+              .contains("merge-on-read") =>
+          GraftMorDeleteCommand(g.underlying, byName(condition))
         // POSITIONAL entries compose with CoW delete in the library, but
         // the DSv2 DELETE plan still builds a scan of the relation and
         // the raw scan refuses MoR-pending tables — route the statement
@@ -235,10 +248,15 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         // relation on every fixed-point iteration of every query — the
         // uncached form re-read snapshots.json (and, on evolved tables,
         // a manifest) each time
-        def mt(f: String): Long =
-          try java.nio.file.Files.getLastModifiedTime(
-            java.nio.file.Paths.get(s"${tb.dir}/$f")).toMillis
+        def mt(f: String): Long = {
+          val p = java.nio.file.Paths.get(s"${tb.dir}/$f")
+          // size folded in alongside mtime (the Manifest cache's
+          // (path, size, mtime) discipline): two commits inside the
+          // same millisecond still change the key
+          try java.nio.file.Files.getLastModifiedTime(p).toMillis ^
+            (java.nio.file.Files.size(p) * 1000003L)
           catch { case _: Exception => -1L }
+        }
         // snapshots.json covers every commit; metadata.json covers the
         // metadata-only schema evolutions that never touch the log
         val mtime = mt("snapshots.json") ^ (mt("metadata.json") * 31L)
@@ -306,10 +324,34 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
       else Some(name -> byName(a.value))
     }.toMap
     if (assigns.isEmpty) GraftNoopCommand()
-    else GraftUpdateCommand(g.underlying,
-      condition.map(byName).getOrElse(lit(true)), assigns)
+    else {
+      val cond = condition.map(byName).getOrElse(lit(true))
+      // write.update.mode=merge-on-read routes to the positional-delta
+      // form (old copies tombstoned as positions + new rows appended —
+      // O(matching rows) written, no candidate file rewritten); default
+      // stays the copy-on-write rewrite
+      g.underlying.properties.getOrElse("write.update.mode", "copy-on-write") match {
+        case "merge-on-read" => GraftMorUpdateCommand(g.underlying, cond, assigns)
+        case _ => GraftUpdateCommand(g.underlying, cond, assigns)
+      }
+    }
   }
 
+  /** MERGE routing, three tiers:
+    *  1. the canonical whole-row upsert (one unconditional UPDATE + one
+    *     unconditional INSERT assigning every column the same source
+    *     expression — the SET * / INSERT * expansion) keeps its proven
+    *     fast paths: [[GraftTable.merge]] (copy-on-write, single key) or
+    *     [[GraftTable.mergeEquality]] (`write.merge.mode=merge-on-read`);
+    *  2. any other shape — conditional actions, DELETE actions, partial
+    *     SET, target-referencing values, composite keys, NOT MATCHED BY
+    *     SOURCE — goes to the general copy-on-write
+    *     [[GraftTable.mergeActions]];
+    *  3. under `write.merge.mode=merge-on-read`, general shapes whose
+    *     conditions/values are source-only and whose updates assign
+    *     whole rows (the CDC-apply idiom: `WHEN MATCHED AND s.op = 'D'
+    *     THEN DELETE …`) go to [[GraftTable.mergeEqualityConditional]] —
+    *     one tombstone + upsert-files commit, no data file rewritten. */
   private def rewriteMerge(g: GraftV2Table, m: MergeIntoTable): LogicalPlan = {
     if (g.pinned.nonEmpty)
       fail(s"cannot MERGE INTO a time-travel read of ${g.name()}")
@@ -323,79 +365,174 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    val keys = conjuncts(m.mergeCondition).map {
+    val keyPairs: Seq[(String, String)] = conjuncts(m.mergeCondition).map {
       case EqualTo(l: AttributeReference, r: AttributeReference)
-          if targetOut.contains(l) && sourceOut.contains(r) => l.name
+          if targetOut.contains(l) && sourceOut.contains(r) => (l.name, r.name)
       case EqualTo(l: AttributeReference, r: AttributeReference)
-          if sourceOut.contains(l) && targetOut.contains(r) => r.name
+          if sourceOut.contains(l) && targetOut.contains(r) => (r.name, l.name)
       case other => fail(
         s"MERGE condition ${other.sql} is not a target-key = source-key " +
           "equality — graft merges are keyed upserts")
     }
 
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
-    val updAssigns = m.matchedActions match {
-      case Seq(UpdateAction(None, as, _)) => as
-      case _ => fail(
-        "graft MERGE supports exactly one unconditional " +
-          "WHEN MATCHED THEN UPDATE SET … action")
+    def parseAssign(a: Assignment): (String, Expression) = a.key match {
+      case ar: AttributeReference => ar.name -> a.value
+      case other => fail(s"MERGE assignment to nested field ${other.sql} " +
+        "is not supported on graft tables")
     }
-    val insAssigns = m.notMatchedActions match {
-      case Seq(InsertAction(None, as)) => as
-      case _ => fail(
-        "graft MERGE supports exactly one unconditional " +
-          "WHEN NOT MATCHED THEN INSERT … action")
+    // action-shape validation up front (loud errors before any routing)
+    m.matchedActions.foreach {
+      case _: UpdateAction | _: DeleteAction => ()
+      case other => fail("unsupported WHEN MATCHED action: " +
+        other.getClass.getSimpleName)
+    }
+    m.notMatchedActions.foreach {
+      case InsertAction(cond, as) =>
+        (cond.toSeq ++ as.map(_.value)).foreach(e =>
+          if (e.references.exists(targetOut.contains)) fail(
+            "WHEN NOT MATCHED conditions/values cannot reference the " +
+              "target table (no target row exists for an insert)"))
+      case other => fail("unsupported WHEN NOT MATCHED action: " +
+        other.getClass.getSimpleName)
+    }
+    m.notMatchedBySourceActions.foreach {
+      case UpdateAction(cond, as, _) =>
+        (cond.toSeq ++ as.map(_.value)).foreach(e =>
+          if (e.references.exists(sourceOut.contains)) fail(
+            "WHEN NOT MATCHED BY SOURCE conditions/values cannot " +
+              "reference the source (no source row exists)"))
+      case DeleteAction(cond) =>
+        cond.foreach(e => if (e.references.exists(sourceOut.contains)) fail(
+          "WHEN NOT MATCHED BY SOURCE conditions/values cannot " +
+            "reference the source (no source row exists)"))
+      case other => fail("unsupported WHEN NOT MATCHED BY SOURCE action: " +
+        other.getClass.getSimpleName)
     }
 
-    // per table column: matched and not-matched must assign the same
-    // source-side expression (the SET * / INSERT * expansion)
-    def assignMap(as: Seq[Assignment]): Map[String, Expression] =
-      as.map { a =>
-        a.key match {
-          case ar: AttributeReference => ar.name -> a.value
-          case other => fail(s"MERGE assignment to nested field ${other.sql} " +
-            "is not supported on graft tables")
+    // canonical whole-row upsert? (returns the source projected to the
+    // table schema; None on any deviation — the general path takes over)
+    val canonical: Option[LogicalPlan] =
+      (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
+        case (Seq(UpdateAction(None, ua, _)), Seq(InsertAction(None, ia)), Seq()) =>
+          val upd = ua.map(parseAssign).toMap
+          val ins = ia.map(parseAssign).toMap
+          val per = tbl.schema.fieldNames.toSeq.map { c =>
+            (upd.get(c), ins.get(c)) match {
+              case (Some(u), Some(i)) if u.semanticEquals(i) &&
+                  !u.references.exists(targetOut.contains) => Some(c -> u)
+              case _ => None
+            }
+          }
+          if (per.exists(_.isEmpty)) None
+          else Some(Project(
+            per.flatten.map { case (c, e) => Alias(e, c)() }, m.sourceTable))
+        case _ => None
+      }
+
+    val mode = tbl.properties.getOrElse("write.merge.mode", "copy-on-write")
+    canonical match {
+      case Some(project) if mode == "merge-on-read" =>
+        GraftMorMergeCommand(tbl, project, keyPairs.map(_._1))
+      case Some(project) if keyPairs.size == 1 =>
+        GraftCowMergeCommand(tbl, project, keyPairs.head._1)
+      case _ if mode == "merge-on-read" =>
+        // general shape under merge-on-read: expressible as ONE
+        // tombstone+upsert commit only when every outcome is a function
+        // of the source row alone (whole-row updates, source-only
+        // conditions); anything touching target VALUES needs the
+        // copy-on-write rewrite
+        if (m.notMatchedBySourceActions.nonEmpty) fail(
+          "WHEN NOT MATCHED BY SOURCE rewrites the whole table — not " +
+            "supported under write.merge.mode=merge-on-read (unset the " +
+            "property for this statement's copy-on-write path)")
+        def srcOnly(e: Expression, what: String): Unit =
+          if (e.references.exists(targetOut.contains)) fail(
+            s"$what references the target table — under " +
+              "write.merge.mode=merge-on-read outcomes must be functions " +
+              "of the source row alone (unset the property to use the " +
+              "copy-on-write path)")
+        val matched = m.matchedActions.map {
+          case UpdateAction(cond, as, _) =>
+            cond.foreach(srcOnly(_, "a WHEN MATCHED condition"))
+            val assigns = as.map(parseAssign).toMap
+            tbl.schema.fieldNames.foreach { c =>
+              val v = assigns.getOrElse(c, fail(
+                s"MERGE UPDATE under merge-on-read must assign every " +
+                  s"table column ('$c' missing) — rows are replaced whole"))
+              srcOnly(v, s"the UPDATE value for '$c'")
+            }
+            MergeUpdate(cond.map(overSource(_, sourceOut)),
+              assigns.map { case (c, v) => c -> overSource(v, sourceOut) })
+          case DeleteAction(cond) =>
+            cond.foreach(srcOnly(_, "a WHEN MATCHED DELETE condition"))
+            MergeDelete(cond.map(overSource(_, sourceOut)))
         }
-      }.toMap
-    val upd = assignMap(updAssigns)
-    val ins = assignMap(insAssigns)
-    val exprs = tbl.schema.fieldNames.toSeq.map { c =>
-      val u = upd.getOrElse(c, fail(
-        s"MERGE must assign every table column; '$c' missing from UPDATE SET"))
-      val i = ins.getOrElse(c, fail(
-        s"MERGE must assign every table column; '$c' missing from INSERT"))
-      if (!u.semanticEquals(i)) fail(
-        s"UPDATE SET and INSERT assign different values to '$c' — graft " +
-          "merges replace whole rows (use SET * / INSERT *)")
-      if (u.references.exists(targetOut.contains)) fail(
-        s"MERGE value for '$c' references the target table — values must " +
-          "come from the source")
-      c -> u
-    }
-
-    // project the source plan to the table schema (exprs are resolved
-    // against m.sourceTable, so this is a plain Project on it)
-    val project = Project(
-      exprs.map { case (c, e) => Alias(e, c)() }, m.sourceTable)
-
-    tbl.properties.getOrElse("write.merge.mode", "copy-on-write") match {
-      case "merge-on-read" =>
-        GraftMorMergeCommand(tbl, project, keys)
+        val notMatched = m.notMatchedActions.map {
+          case InsertAction(cond, as) =>
+            MergeInsert(cond.map(overSource(_, sourceOut)),
+              as.map(parseAssign).toMap
+                .map { case (c, v) => c -> overSource(v, sourceOut) })
+        }
+        GraftMorMergeActionsCommand(tbl, m.sourceTable, keyPairs,
+          matched, notMatched)
       case _ =>
-        if (keys.size != 1) fail(
-          "copy-on-write MERGE supports a single key column; set table " +
-            "property write.merge.mode=merge-on-read for composite keys")
-        GraftCowMergeCommand(tbl, project, keys.head)
+        // general copy-on-write: conditions/values see the joined row
+        // (target bare, source under the reserved prefix)
+        def oj(e: Expression): Column = overJoin(e, targetOut, sourceOut)
+        val matched = m.matchedActions.map {
+          case UpdateAction(cond, as, _) =>
+            MergeUpdate(cond.map(oj),
+              as.map(parseAssign).toMap.map { case (c, v) => c -> oj(v) })
+          case DeleteAction(cond) => MergeDelete(cond.map(oj))
+        }
+        val notMatched = m.notMatchedActions.map {
+          case InsertAction(cond, as) =>
+            MergeInsert(cond.map(oj),
+              as.map(parseAssign).toMap.map { case (c, v) => c -> oj(v) })
+        }
+        val bySource = m.notMatchedBySourceActions.map {
+          case UpdateAction(cond, as, _) =>
+            MergeUpdate(cond.map(oj),
+              as.map(parseAssign).toMap.map { case (c, v) => c -> oj(v) })
+          case DeleteAction(cond) => MergeDelete(cond.map(oj))
+        }
+        GraftMergeActionsCommand(tbl, m.sourceTable, keyPairs,
+          matched, notMatched, bySource)
     }
   }
+
+  /** Re-target a resolved expression at [[GraftTable.mergeActions]]'s
+    * joined frame: target attributes become bare by-name references,
+    * source attributes go under the reserved source prefix. */
+  private def overJoin(
+      e: Expression,
+      targetOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): Column =
+    GraftBridge.column(e.transform {
+      case a: AttributeReference if sourceOut.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(GraftTable.MergeSrcPrefix + a.name)
+      case a: AttributeReference if targetOut.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+    })
+
+  /** Re-target a source-only expression at the bare SOURCE frame (the
+    * merge-on-read conditional path evaluates everything on the source). */
+  private def overSource(
+      e: Expression,
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): Column =
+    GraftBridge.column(e.transform {
+      case a: AttributeReference if sourceOut.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+    })
 }
 
 object ResolveGraftDml {
-  /** (table dir, combined snapshots+metadata mtime, pinned snapshot) →
-    * whether the relation needs the visible-rows splice. Any commit
-    * rewrites snapshots.json and any schema evolution rewrites
-    * metadata.json, so the combined key invalidates on both; a stale hit
+  /** (table dir, combined snapshots+metadata mtime⊕size, pinned
+    * snapshot) → whether the relation needs the visible-rows splice.
+    * Any commit rewrites snapshots.json and any schema evolution
+    * rewrites metadata.json, so the combined key invalidates on both
+    * (size disambiguates same-millisecond double commits); a stale hit
     * can therefore only serve the state the files still describe.
     * Bounded defensively. */
   private val spliceMemoMap =
@@ -440,6 +577,64 @@ case class GraftCowMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
     table.withCommitRetry() { table.merge(spark, src, keyCol) }
+    Nil
+  }
+}
+
+/** UPDATE routed to the positional merge-on-read delta
+  * ([[GraftTable.updatePositional]] — `write.update.mode=merge-on-read`). */
+case class GraftMorUpdateCommand(
+    table: GraftTable,
+    cond: Column,
+    assigns: Map[String, Column]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    table.withCommitRetry() { table.updatePositional(spark, cond, assigns) }
+    Nil
+  }
+}
+
+/** DELETE routed to the positional merge-on-read form
+  * ([[GraftTable.deletePositional]] — `write.delete.mode=merge-on-read`). */
+case class GraftMorDeleteCommand(
+    table: GraftTable,
+    cond: Column) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    table.withCommitRetry() { table.deletePositional(spark, cond) }
+    Nil
+  }
+}
+
+/** Conditional-action MERGE routed to the general copy-on-write rewrite
+  * ([[GraftTable.mergeActions]]). */
+case class GraftMergeActionsCommand(
+    table: GraftTable,
+    source: LogicalPlan,
+    keyPairs: Seq[(String, String)],
+    matched: Seq[MergeMatchedAction],
+    notMatched: Seq[MergeInsert],
+    bySource: Seq[MergeMatchedAction]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftBridge.ofRows(spark, source)
+    table.withCommitRetry() {
+      table.mergeActions(spark, src, keyPairs, matched, notMatched, bySource)
+    }
+    Nil
+  }
+}
+
+/** Conditional-action MERGE routed to the merge-on-read tombstone+upsert
+  * commit ([[GraftTable.mergeEqualityConditional]]). */
+case class GraftMorMergeActionsCommand(
+    table: GraftTable,
+    source: LogicalPlan,
+    keyPairs: Seq[(String, String)],
+    matched: Seq[MergeMatchedAction],
+    notMatched: Seq[MergeInsert]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftBridge.ofRows(spark, source)
+    table.withCommitRetry() {
+      table.mergeEqualityConditional(spark, src, keyPairs, matched, notMatched)
+    }
     Nil
   }
 }

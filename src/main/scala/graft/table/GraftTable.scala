@@ -1584,7 +1584,8 @@ final class GraftTable private (
       source: DataFrame,
       keyCols: Seq[String],
       committedAt: Option[Long] = None,
-      exactCount: Boolean = true): Option[Snapshot] = {
+      exactCount: Boolean = true,
+      deleteKeys: Option[DataFrame] = None): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(
       throw new IllegalArgumentException(
@@ -1602,13 +1603,26 @@ final class GraftTable private (
     manifest.files.foreach(f => require(fileSnapId(f.path).isDefined,
       s"cannot scope a merge-on-read upsert: data file ${f.path} is from " +
         "a branch era — compact() first to re-own the files"))
+    deleteKeys.foreach(dk => keyCols.foreach(c =>
+      require(dk.columns.contains(c), s"deleteKeys lacks key column '$c'")))
     val snapId = lg.nextId
     val newFiles = writeDataFiles(source, snapId).filter(_.recordCount > 0)
-    if (newFiles.isEmpty) return None // empty source: no upsert, no entry
-    // key file: the source's distinct non-null-free key tuples
+    if (newFiles.isEmpty && deleteKeys.isEmpty)
+      return None // empty source: no upsert, no entry
+    // key file: the distinct non-null-free key tuples of the source's
+    // upsert rows plus (conditional MERGE with DELETE actions) the
+    // explicit extra victim keys — one tombstone entry covers both
+    val keyTuples = {
+      val srcKeys = source.select(keyCols.map(col): _*)
+      deleteKeys match {
+        case Some(dk) => srcKeys.unionByName(
+          dk.select(keyCols.map(c => col(c).cast(schema(c).dataType).as(c)): _*))
+        case None => srcKeys
+      }
+    }
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"$dir/.staging-eq-$snapId-$token"
-    try source.select(keyCols.map(col): _*).distinct()
+    try keyTuples.distinct()
       .write.mode("overwrite").parquet(staging)
     catch { case e: Throwable =>
       newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
@@ -1626,6 +1640,18 @@ final class GraftTable private (
       rel
     }
     GraftTable.deleteRecursively(Paths.get(staging))
+    // a conditional merge can reduce to no upserts AND no victims —
+    // don't commit an entry whose empty tombstone would tax every read
+    // (the count is parquet-footer metadata, not a scan)
+    if (newFiles.isEmpty) {
+      val n = spark.read
+        .schema(StructType(keyCols.map(c => schema(c)).toArray))
+        .parquet(rels.map(r => s"$dir/$r"): _*).count()
+      if (n == 0) {
+        rels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+        return None
+      }
+    }
     val prior = parseEquality(current)
     // counted over the PRE-merge manifest: the tombstone covers files ≤
     // current.snapshotId, so the freshly-written source files are never
@@ -2174,6 +2200,291 @@ final class GraftTable private (
         "rewritten-data-files" -> candidates.size.toString,
         "merge-key" -> keyCol,
         SummaryPositionalDeletes -> positionalJson(stillPositional)))
+  }
+
+  /** General conditional MERGE, copy-on-write: the full
+    * `WHEN MATCHED [AND p] THEN UPDATE SET …/DELETE …
+    *  WHEN NOT MATCHED [AND p] THEN INSERT …
+    *  [WHEN NOT MATCHED BY SOURCE [AND p] THEN UPDATE/DELETE]`
+    * action surface over composite keys, one atomic commit — the
+    * CDC-apply idiom ([[merge]] handles only the canonical whole-row
+    * upsert). SQL MERGE semantics: per row, actions are tried in listed
+    * order and the FIRST whose condition holds applies (a NULL condition
+    * does not hold); a matched/by-source row matching no action is kept
+    * unchanged, a source row matching no insert action is skipped.
+    * Conditions and update values see the whole joined row — target
+    * columns bare, source columns under [[GraftTable.MergeSrcPrefix]]
+    * (see [[MergeMatchedAction]]); all of one action's assignments
+    * evaluate against the OLD joined row in one projection.
+    *
+    * Scale shape: candidate files are pruned by the source key ranges
+    * (per-key min/max — driver scalars), read once through the
+    * visible-row reader, LEFT-joined to the source (no forced broadcast;
+    * AQE broadcasts small deltas) and rewritten; files outside the key
+    * range carry over by reference. `WHEN NOT MATCHED BY SOURCE` must
+    * see every target row, so its presence widens the candidate set to
+    * the whole table — the inherently global sync-to-source shape.
+    * A target row matching more than one source row is refused (SQL
+    * MERGE cardinality), checked as one aggregate over the source's key
+    * tuples. Pending positional deletes compose as in [[merge]]; the
+    * other merge-on-read forms refuse (compact() first). Returns None
+    * when the merge provably touches nothing. */
+  def mergeActions(
+      spark: SparkSession,
+      source: DataFrame,
+      keyPairs: Seq[(String, String)],
+      matched: Seq[MergeMatchedAction],
+      notMatched: Seq[MergeInsert],
+      notMatchedBySource: Seq[MergeMatchedAction] = Nil,
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.{count_distinct, sum => fsum, when, max => fmax, min => fmin}
+    require(keyPairs.nonEmpty, "at least one merge key pair required")
+    keyPairs.foreach { case (tk, sk) =>
+      require(schema.fieldNames.contains(tk), s"unknown merge key '$tk'")
+      require(source.columns.contains(sk), s"source lacks key column '$sk'")
+    }
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "MERGE requires at least one action")
+    val P = GraftTable.MergeSrcPrefix
+    require(!schema.fieldNames.exists(_.startsWith(P)),
+      s"table columns may not start with the reserved prefix $P")
+    val lg = log
+    require(lg.current.forall(c =>
+        parsePending(c).isEmpty && parseEquality(c).isEmpty),
+      s"$dir has deferred deletes pending — compact() to materialize " +
+        "them before running copy-on-write DML")
+    val snapId = lg.nextId
+    val manifest = lg.current
+      .map(s => Manifest.read(s"$dir/${s.manifestList}"))
+      .getOrElse(Manifest.empty)
+    val srcKeyCols = keyPairs.map(_._2)
+
+    // SQL MERGE cardinality: a target row matching more than one source
+    // row would make the applied action nondeterministic — refused.
+    // Checked as "non-null key tuples are distinct" with ONE aggregate
+    // over the source (null-key rows never match, SQL equality).
+    if (matched.nonEmpty) {
+      val keysNotNull = srcKeyCols.map(col(_).isNotNull).reduce(_ && _)
+      val a = source.agg(
+        fsum(when(keysNotNull, 1L).otherwise(0L)),
+        count_distinct(col(srcKeyCols.head), srcKeyCols.tail.map(col): _*))
+        .head()
+      require(a.isNullAt(0) || a.getLong(0) == a.getLong(1),
+        "MERGE source has duplicate key tuples — a target row would " +
+          "match more than one source row (dedupe the source first)")
+    }
+
+    // candidate files by source key ranges; by-source actions must see
+    // EVERY target row, so their presence touches the whole table
+    val (candidates, untouched) =
+      if (notMatchedBySource.nonEmpty) (manifest.files, Seq.empty[DataFileEntry])
+      else {
+        val aggs = keyPairs.flatMap { case (_, sk) =>
+          Seq(fmin(col(sk)), fmax(col(sk))) }
+        val b = source.agg(aggs.head, aggs.tail: _*).head()
+        val pred = keyPairs.zipWithIndex.map { case ((tk, _), i) =>
+          // an all-null source key makes the equality unsatisfiable
+          if (b.isNullAt(2 * i)) lit(false)
+          else col(tk) >= lit(b.get(2 * i)) && col(tk) <= lit(b.get(2 * i + 1))
+        }.reduce(_ && _)
+        val resolved = resolveAgainst(spark, schema,
+          org.apache.spark.sql.classic.GraftBridge.expr(pred))
+        manifest.files.partition(pruneKeep(resolved))
+      }
+
+    val posPend = lg.current.map(parsePositional).getOrElse(Nil)
+    val srcP = source.select(source.columns.map(c => col(c).as(P + c)) :+
+      lit(true).as(P + "__matched"): _*)
+
+    // first-applicable-action chains, shared by drop flag and values so
+    // every row resolves to exactly one action (or none)
+    def chainDrop(actions: Seq[MergeMatchedAction]): Column =
+      actions.foldRight(lit(false)) { (a, els) =>
+        when(a.condition.getOrElse(lit(true)),
+          lit(a.isInstanceOf[MergeDelete])).otherwise(els)
+      }
+    def chainVal(actions: Seq[MergeMatchedAction], c: String): Column =
+      actions.foldRight(col(c)) { (a, els) =>
+        val v = a match {
+          case MergeUpdate(_, as) => as.getOrElse(c, col(c))
+          case _: MergeDelete => col(c) // row is dropped; value unused
+        }
+        when(a.condition.getOrElse(lit(true)), v).otherwise(els)
+      }
+
+    val rewrittenOpt: Option[DataFrame] =
+      if (candidates.isEmpty) None
+      else {
+        val tgt = readVisible(spark, Nil, posPend, candidates)
+        val joinCond = keyPairs.map { case (tk, sk) =>
+          tgt(tk) === srcP(P + sk) }.reduce(_ && _)
+        val joined = tgt.join(srcP, joinCond, "left_outer")
+        val isM = col(P + "__matched").isNotNull
+        val drop =
+          when(isM, chainDrop(matched)).otherwise(chainDrop(notMatchedBySource))
+        val vals = schema.fields.toSeq.map { f =>
+          when(isM, chainVal(matched, f.name))
+            .otherwise(chainVal(notMatchedBySource, f.name))
+            .cast(f.dataType).as(f.name)
+        }
+        Some(joined.filter(!drop).select(vals: _*))
+      }
+
+    val insertsOpt: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val unmatched =
+          if (candidates.isEmpty) srcP
+          else {
+            // every possibly-matching target key lives in a candidate
+            // file (pruning is conservative over the source key range),
+            // so the anti-join against candidate keys is exact
+            val tgtKeys = readVisible(spark, Nil, posPend, candidates)
+              .select(keyPairs.map { case (tk, _) =>
+                col(tk).as(P + "__t_" + tk) }: _*)
+              .distinct()
+            srcP.join(tgtKeys,
+              keyPairs.map { case (tk, sk) =>
+                col(P + sk) === col(P + "__t_" + tk) }.reduce(_ && _),
+              "left_anti")
+          }
+        val applies = notMatched.foldRight(lit(false)) { (a, els) =>
+          when(a.condition.getOrElse(lit(true)), lit(true)).otherwise(els) }
+        val vals = schema.fields.toSeq.map { f =>
+          notMatched.foldRight(lit(null).cast(f.dataType): Column) { (a, els) =>
+            when(a.condition.getOrElse(lit(true)),
+              a.values.getOrElse(f.name, lit(null)).cast(f.dataType))
+              .otherwise(els)
+          }.cast(f.dataType).as(f.name)
+        }
+        Some(unmatched.filter(applies).select(vals: _*))
+      }
+
+    val out = (rewrittenOpt, insertsOpt) match {
+      case (Some(r), Some(i)) => Some(r.unionByName(i))
+      case (r, i) => r.orElse(i)
+    }
+    val newFiles = out
+      .map(df => writeDataFiles(df, snapId).filter(_.recordCount > 0))
+      .getOrElse(Nil)
+    if (candidates.isEmpty && newFiles.isEmpty) return None // provable no-op
+    val stillPositional =
+      stripPositional(posPend, candidates.map(_.path).toSet)
+    Some(commit(lg, snapId,
+      manifest.retainPaths(untouched.map(_.path).toSet).append(newFiles),
+      newFiles,
+      operation = "merge", committedAt,
+      extraSummary = Map(
+        "rewritten-data-files" -> candidates.size.toString,
+        "merge-key" -> keyPairs.map(_._1).mkString(","),
+        SummaryPositionalDeletes -> positionalJson(stillPositional))))
+  }
+
+  /** Conditional MERGE, merge-on-read: the CDC-apply action surface
+    * (`WHEN MATCHED AND p THEN DELETE`, conditional whole-row updates,
+    * conditional inserts) committed as ONE equality-tombstone entry plus
+    * the upsert rows' data files — no data file is rewritten
+    * ([[mergeEquality]] generalized beyond the unconditional upsert).
+    * Conditions and values must reference SOURCE columns only (bare
+    * names), and every update must assign the whole row: outcomes that
+    * depend on target VALUES need the copy-on-write [[mergeActions]].
+    * Matched-ness still matters when conditions differ between the
+    * matched and not-matched chains, so each source row is flagged by
+    * one semi-join against the candidate files' KEY columns (pruned by
+    * source key range, column-pruned — a key-slice read, not a rewrite).
+    * Then per row, first-applicable-action: update → upsert (tombstone
+    * key + new row), delete → tombstone only, insert → new row, none →
+    * no-op. One atomic commit via [[mergeEquality]]; same scoping,
+    * counting and refusal discipline. */
+  def mergeEqualityConditional(
+      spark: SparkSession,
+      source: DataFrame,
+      keyPairs: Seq[(String, String)],
+      matched: Seq[MergeMatchedAction],
+      notMatched: Seq[MergeInsert],
+      committedAt: Option[Long] = None,
+      exactCount: Boolean = true): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.{count_distinct, sum => fsum, when, max => fmax, min => fmin}
+    require(keyPairs.nonEmpty, "at least one merge key pair required")
+    keyPairs.foreach { case (tk, sk) =>
+      require(schema.fieldNames.contains(tk), s"unknown merge key '$tk'")
+      require(source.columns.contains(sk), s"source lacks key column '$sk'")
+    }
+    val lg = log
+    val current = lg.current.getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no snapshot — append() the initial data first"))
+    require(parsePending(current).isEmpty && parsePositional(current).isEmpty,
+      s"$dir has other merge-on-read deletes pending — the forms do not " +
+        "stack; compact() first")
+    val srcKeyCols = keyPairs.map(_._2)
+    if (matched.nonEmpty) {
+      val keysNotNull = srcKeyCols.map(col(_).isNotNull).reduce(_ && _)
+      val a = source.agg(
+        fsum(when(keysNotNull, 1L).otherwise(0L)),
+        count_distinct(col(srcKeyCols.head), srcKeyCols.tail.map(col): _*))
+        .head()
+      require(a.isNullAt(0) || a.getLong(0) == a.getLong(1),
+        "MERGE source has duplicate key tuples — a target row would " +
+          "match more than one source row (dedupe the source first)")
+    }
+    // matched flag: semi-join against candidate files' key tuples,
+    // candidates pruned by the source key ranges
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val aggs = keyPairs.flatMap { case (_, sk) =>
+      Seq(fmin(col(sk)), fmax(col(sk))) }
+    val b = source.agg(aggs.head, aggs.tail: _*).head()
+    val rangePred = keyPairs.zipWithIndex.map { case ((tk, _), i) =>
+      if (b.isNullAt(2 * i)) lit(false)
+      else col(tk) >= lit(b.get(2 * i)) && col(tk) <= lit(b.get(2 * i + 1))
+    }.reduce(_ && _)
+    val resolved = resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(rangePred))
+    val candidates = manifest.files.filter(pruneKeep(resolved))
+    val M = GraftTable.MergeSrcPrefix + "__matched"
+    val flagged =
+      if (candidates.isEmpty) source.withColumn(M, lit(false))
+      else {
+        val eq = parseEquality(current)
+        val tgtKeys = readVisible(spark, Nil, Nil, candidates, eq)
+          .select(keyPairs.map { case (tk, _) =>
+            col(tk).as(GraftTable.MergeSrcPrefix + tk) }: _*)
+          .distinct()
+        val cond = keyPairs.map { case (tk, sk) =>
+          col(sk) === col(GraftTable.MergeSrcPrefix + tk) }.reduce(_ && _)
+        source.join(tgtKeys, cond, "left_outer")
+          .withColumn(M,
+            col(GraftTable.MergeSrcPrefix + keyPairs.head._1).isNotNull)
+          .drop(keyPairs.map(p => GraftTable.MergeSrcPrefix + p._1): _*)
+      }
+    // per-row outcome: 'U' upsert, 'D' tombstone, 'I' insert, 'N' no-op
+    def kindChain(actions: Seq[(Option[Column], String)]): Column =
+      actions.foldRight(lit("N"): Column) { case ((c, k), els) =>
+        when(c.getOrElse(lit(true)), lit(k)).otherwise(els) }
+    val matchedKinds = matched.map {
+      case MergeUpdate(c, _) => (c, "U")
+      case MergeDelete(c) => (c, "D")
+    }
+    val insertKinds = notMatched.map(a => (a.condition, "I"))
+    val kind = when(col(M), kindChain(matchedKinds))
+      .otherwise(kindChain(insertKinds))
+    val classified = flagged.withColumn(M, kind)
+    def project(df: DataFrame, actions: Seq[(Option[Column], Map[String, Column])]): DataFrame =
+      df.select(schema.fields.toSeq.map { f =>
+        actions.foldRight(lit(null).cast(f.dataType): Column) { case ((c, vs), els) =>
+          when(c.getOrElse(lit(true)),
+            vs.getOrElse(f.name, lit(null)).cast(f.dataType)).otherwise(els)
+        }.cast(f.dataType).as(f.name)
+      }: _*)
+    val upserts = project(classified.filter(col(M) === "U"),
+        matched.collect { case MergeUpdate(c, as) => (c, as) })
+      .unionByName(project(classified.filter(col(M) === "I"),
+        notMatched.map(a => (a.condition, a.values))))
+    val delKeys = classified.filter(col(M) === "D")
+      .select(keyPairs.map { case (tk, sk) =>
+        col(sk).cast(schema(tk).dataType).as(tk) }: _*)
+    mergeEquality(spark, upserts, keyPairs.map(_._1), committedAt,
+      exactCount, deleteKeys = Some(delKeys))
   }
 
   /** Roll the table back to an earlier snapshot by committing a NEW
@@ -3285,6 +3596,11 @@ object GraftTable {
   val PropWriteDistribution = "graft.write.distribution"
   val PropWriteSort = "graft.write.sort"
   val PropWriteOptionPrefix = "graft.write.option."
+  /** Column-name prefix under which [[GraftTable.mergeActions]] exposes
+    * SOURCE columns to action conditions/values over the joined row
+    * (target columns keep their bare names). */
+  val MergeSrcPrefix = "__graft_src__"
+
   val SummaryPendingDeletes = "pending-deletes"
   val SummaryPositionalDeletes = "positional-deletes"
   val SummaryEqualityDeletes = "equality-deletes"

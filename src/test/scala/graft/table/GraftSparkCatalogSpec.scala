@@ -529,11 +529,12 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     sqlS.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(1L, "x")), 1),
       schema).createOrReplaceTempView("dmlref_src")
+    // a non-equality ON condition is still refused (not a keyed upsert)
     val e2 = intercept[Exception] {
-      sqlS.sql("MERGE INTO g2.db.dmlref t USING dmlref_src s ON t.id = s.id " +
+      sqlS.sql("MERGE INTO g2.db.dmlref t USING dmlref_src s ON t.id > s.id " +
         "WHEN MATCHED THEN DELETE")
     }
-    assert(e2.getMessage.toLowerCase.contains("matched"), e2.getMessage)
+    assert(e2.getMessage.toLowerCase.contains("keyed upserts"), e2.getMessage)
 
     // deferred (predicate) MoR delete pending → SQL DELETE must be
     // refused as unsupported up front, not die in a deep require
@@ -545,5 +546,201 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(!e3.getMessage.contains("compact() first"),
       s"refusal leaked the internal require: ${e3.getMessage}")
     assert(GraftTable.load(s"$wh/db/dmlref").log.snapshots.size == 2)
+  }
+
+  private val cdcSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("data", StringType, nullable = true),
+    StructField("op", StringType, nullable = false)))
+
+  private def cdcDf(rows: (Long, String, String)*) =
+    sqlS.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3)), 1), cdcSchema)
+
+  test("MERGE conditional + DELETE actions: the CDC-apply idiom (CoW)") {
+    val t = GraftTable.create(s"$wh/db/cdc", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), Some(1000L))
+    // 1: update (matched, op=U); 2: delete (matched, op=D); 9: insert
+    // (unmatched, op=U); 8: delete event for an absent key → no-op
+    cdcDf((1L, "A", "U"), (2L, null, "D"), (9L, "new", "U"), (8L, null, "D"))
+      .createOrReplaceTempView("cdc_src")
+    sqlS.sql(
+      "MERGE INTO g2.db.cdc t USING cdc_src s ON t.id = s.id " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        // target-referencing value + partial SET: only CoW can do this
+        "WHEN MATCHED THEN UPDATE SET data = concat(t.data, '->', s.data) " +
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (id, data) " +
+        "VALUES (s.id, s.data)")
+    assert(sqlS.sql("SELECT id, data FROM g2.db.cdc ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a->A"), (3L, "c"), (4L, "d"), (9L, "new")))
+    assert(GraftTable.load(s"$wh/db/cdc").log.current.get.operation == "merge")
+
+    // WHEN MATCHED THEN DELETE alone is the SQL anti-join delete
+    cdcDf((3L, null, "D")).createOrReplaceTempView("cdc_src2")
+    sqlS.sql("MERGE INTO g2.db.cdc t USING cdc_src2 s ON t.id = s.id " +
+      "WHEN MATCHED THEN DELETE")
+    assert(sqlS.sql("SELECT id FROM g2.db.cdc ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 4L, 9L))
+  }
+
+  test("MERGE cardinality violation: duplicate source keys are refused") {
+    val t = GraftTable.create(s"$wh/db/card", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    cdcDf((1L, "x", "U"), (1L, "y", "U")).createOrReplaceTempView("card_src")
+    val e = intercept[Exception] {
+      sqlS.sql("MERGE INTO g2.db.card t USING card_src s ON t.id = s.id " +
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET data = s.data")
+    }
+    assert(e.getMessage.contains("duplicate key tuples"), e.getMessage)
+    assert(GraftTable.load(s"$wh/db/card").log.snapshots.size == 1)
+  }
+
+  test("MERGE with a composite key routes through the general CoW path") {
+    val s3 = StructType(Seq(
+      StructField("k1", LongType, nullable = false),
+      StructField("k2", StringType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val t = GraftTable.create(s"$wh/db/ck", s3)
+    t.append(sqlS.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "x", "a"), Row(1L, "y", "b"), Row(2L, "x", "c")), 1), s3),
+      Some(1000L))
+    sqlS.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "y", "B2"), Row(3L, "z", "new")), 1), s3)
+      .createOrReplaceTempView("ck_src")
+    sqlS.sql("MERGE INTO g2.db.ck t USING ck_src s " +
+      "ON t.k1 = s.k1 AND t.k2 = s.k2 " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(sqlS.sql("SELECT k1, k2, v FROM g2.db.ck ORDER BY k1, k2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((1L, "x", "a"), (1L, "y", "B2"), (2L, "x", "c"),
+        (3L, "z", "new")))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: the sync-to-source shape") {
+    val t = GraftTable.create(s"$wh/db/sync", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    sqlS.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "A")), 1), schema)
+      .createOrReplaceTempView("sync_src")
+    sqlS.sql("MERGE INTO g2.db.sync t USING sync_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED BY SOURCE AND t.id >= 3 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET data = 'stale'")
+    assert(sqlS.sql("SELECT id, data FROM g2.db.sync ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "A"), (2L, "stale")))
+  }
+
+  test("MERGE conditional actions under merge-on-read: tombstone, no rewrite") {
+    val t = GraftTable.create(s"$wh/db/cdcmor", schema,
+      properties = Map("write.merge.mode" -> "merge-on-read"))
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    cdcDf((1L, "A", "U"), (2L, null, "D"), (9L, "new", "U"))
+      .createOrReplaceTempView("cdcmor_src")
+    sqlS.sql(
+      "MERGE INTO g2.db.cdcmor t USING cdcmor_src s ON t.id = s.id " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET id = s.id, data = s.data " +
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (id, data) " +
+        "VALUES (s.id, s.data)")
+    assert(sqlS.sql("SELECT id, data FROM g2.db.cdcmor ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "A"), (3L, "c"), (9L, "new")))
+    val t2 = GraftTable.load(s"$wh/db/cdcmor")
+    assert(t2.equalityDeletes.nonEmpty,
+      "conditional MoR merge did not take the equality-tombstone path")
+    // exact pending-dead accounting keeps count(*) metadata-exact:
+    // victims are 1 (replaced) and 2 (deleted); 3 survives untouched
+    assert(t2.equalityDeletes.map(_.dead.getOrElse(0L)).sum == 2)
+
+    // outcomes that need target VALUES are refused with direction
+    val e = intercept[Exception] {
+      sqlS.sql("MERGE INTO g2.db.cdcmor t USING cdcmor_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET id = t.id, data = concat(t.data, '!')")
+    }
+    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
+  }
+
+  test("write.update.mode / write.delete.mode = merge-on-read SQL routing") {
+    val t = GraftTable.create(s"$wh/db/morroute", schema,
+      properties = Map(
+        "write.update.mode" -> "merge-on-read",
+        "write.delete.mode" -> "merge-on-read"))
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), Some(1000L))
+    val baseFiles = Manifest.read(
+      s"$wh/db/morroute/${t.log.current.get.manifestList}")
+      .files.map(_.path).toSet
+
+    sqlS.sql("UPDATE g2.db.morroute SET data = concat(data, '!') WHERE id >= 3")
+    val t2 = GraftTable.load(s"$wh/db/morroute")
+    assert(t2.positionalDeletes.nonEmpty,
+      "merge-on-read UPDATE mode did not take the positional path")
+    assert(t2.log.current.get.operation == "update")
+
+    sqlS.sql("DELETE FROM g2.db.morroute WHERE id = 2")
+    val t3 = GraftTable.load(s"$wh/db/morroute")
+    assert(t3.positionalDeletes.map(_.deletedRows).sum == 3,
+      "positional delete accounting drifted") // 2 update victims + 1 delete
+    assert(sqlS.sql("SELECT id, data FROM g2.db.morroute ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "c!"), (4L, "d!")))
+    // the original data files were never rewritten — MoR means exactly
+    // that the base files stay in the manifest
+    val live = Manifest.read(
+      s"$wh/db/morroute/${t3.log.current.get.manifestList}")
+      .files.map(_.path).toSet
+    assert(baseFiles.subsetOf(live),
+      "merge-on-read DML rewrote base data files")
+    // count(*) stays exact (positional per-target counts)
+    assert(t3.countWhere(sqlS, org.apache.spark.sql.functions.lit(true)) == 3)
+  }
+
+  test("VERSION AS OF accepts bare branch names; collisions refuse loudly") {
+    val t = GraftTable.create(s"$wh/db/bare", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.createBranch("audit", Some(2000L))
+    t.branch("audit").append(mkDf(2L -> "staged"), Some(3000L))
+    // bare branch name resolves to the branch head
+    assert(spark.sql("SELECT id FROM g2.db.bare VERSION AS OF 'audit'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // prefix forms still work
+    assert(spark.sql("SELECT id FROM g2.db.bare VERSION AS OF 'branch:audit'")
+      .count() == 2)
+    // a tag with the same name makes the bare form ambiguous
+    t.tag("audit", 1L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT id FROM g2.db.bare VERSION AS OF 'audit'").collect()
+    }
+    assert(e.getMessage.contains("both a tag and a branch"), e.getMessage)
+    assert(spark.sql("SELECT id FROM g2.db.bare VERSION AS OF 'tag:audit'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql("SELECT id FROM g2.db.bare VERSION AS OF 'branch:audit'")
+      .count() == 2)
+  }
+
+  test("spliceMemo key survives a same-millisecond double commit") {
+    import java.nio.file.{Files, Paths}
+    val dir = s"$wh/db/memoms"
+    val t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    // prime the memo: current state needs NO splice
+    assert(sqlS.sql("SELECT id FROM g2.db.memoms").count() == 2)
+    val snapPath = Paths.get(s"$dir/snapshots.json")
+    val metaPath = Paths.get(s"$dir/metadata.json")
+    val mt1 = Files.getLastModifiedTime(snapPath)
+    val mt2 = Files.getLastModifiedTime(metaPath)
+    // second commit leaves equality entries pending…
+    t.deleteEquality(sqlS, mkDf(1L -> "a").select("id"), Seq("id"),
+      Some(2000L))
+    // …and lands "in the same millisecond": force the mtimes back
+    Files.setLastModifiedTime(snapPath, mt1)
+    Files.setLastModifiedTime(metaPath, mt2)
+    // with size folded into the memo key the stale "no splice" verdict
+    // cannot be served — the read must splice and hide the deleted row
+    assert(sqlS.sql("SELECT id FROM g2.db.memoms").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L),
+      "stale spliceMemo verdict served after a same-ms double commit")
   }
 }
