@@ -44,6 +44,58 @@ object ColumnStats {
   /** Render a stat value to its stored string form. */
   def render(v: Any): String = v.toString
 
+  /** Merge per-file stats into a SEGMENT-LEVEL envelope (the manifest
+    * list's analog of Iceberg's manifest-list partition summaries):
+    * per column, min of mins / max of maxes under the column's own
+    * order, null/value counts summed. Strictly conservative — any file
+    * missing stats for a column drops the column from the envelope
+    * (consumers then cannot skip on it), a bound that fails to parse or
+    * compare (floats) is dropped, and a file with provably no values
+    * (null_count == value_count) contributes nothing to the bounds.
+    * Soundness invariant (property-swept): for every predicate `p` and
+    * file `f` in the segment, ¬mayMatch(p, envelope) ⟹ ¬mayMatch(p, f). */
+  def mergeEnvelope(
+      files: Seq[DataFileEntry],
+      schema: StructType): Map[String, ColumnStats] = {
+    if (files.isEmpty) return Map.empty
+    val cols = files.head.stats.keySet.filter(c =>
+      files.forall(_.stats.contains(c)))
+    cols.iterator.flatMap { c =>
+      schema.fields.find(_.name == c).map(_.dataType).map { dt =>
+        val sts = files.map(_.stats(c))
+        def mergeBound(
+            get: ColumnStats => Option[String],
+            pickMax: Boolean): Option[String] = {
+          // files with provably no values are skipped; any OTHER file
+          // with an absent/unparsable bound poisons the merge to None
+          val contributing = sts.filter(st =>
+            !(st.nullCount.isDefined && st.nullCount == st.valueCount))
+          if (contributing.isEmpty) None
+          else {
+            val typed = contributing.map(st =>
+              get(st).flatMap(parse(_, dt)))
+            if (typed.exists(_.isEmpty)) None
+            else typed.flatten.foldLeft(Option.empty[Any]) {
+              case (None, v) => Some(v)
+              case (Some(acc), v) => compare(acc, v) match {
+                case Some(cmp) =>
+                  Some(if ((cmp >= 0) == pickMax) acc else v)
+                case None => return None // incomparable type: no bound
+              }
+            }.map(render)
+          }
+        }
+        val nc = if (sts.forall(_.nullCount.isDefined))
+          Some(sts.flatMap(_.nullCount).sum) else None
+        val vc = if (sts.forall(_.valueCount.isDefined))
+          Some(sts.flatMap(_.valueCount).sum) else None
+        c -> ColumnStats(
+          mergeBound(_.min, pickMax = false),
+          mergeBound(_.max, pickMax = true), nc, vc)
+      }
+    }.toMap
+  }
+
   /** Ordering used to compare a literal against stored min/max. Returns None
     * when the type is not totally ordered here (then: no pruning).
     *

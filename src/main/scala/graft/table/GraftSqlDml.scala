@@ -216,7 +216,16 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     * untouched when nothing changed — without this, a statement writing
     * to a non-graft sink while SELECTing from a MoR-pending graft table
     * failed with the raw-scan refusal even in an extensions session,
-    * where the same SELECT alone would work. */
+    * where the same SELECT alone would work.
+    *
+    * Deliberately NOT extended to non-graft-target `UpdateTable` /
+    * `DeleteFromTable`: those statements carry graft reads only inside
+    * PLAN-EXPRESSION subqueries (their condition/assignments), not a
+    * source child — splicing would mean rewriting expression-embedded
+    * plans under a row-level-operation root, exactly the
+    * touch-the-DML-tree risk the case arms above exist to avoid. Such a
+    * statement keeps the loud raw-scan refusal; materialize the MoR
+    * state (compact()) or stage the subquery's result first. */
   private def spliceSource(root: LogicalPlan, source: LogicalPlan)(
       rebuild: LogicalPlan => LogicalPlan): LogicalPlan = {
     val spliced = substituteMorReads(source)

@@ -484,8 +484,9 @@ final class GraftTable private (
         s"rename/widening history would mis-attribute re-addressed entry " +
         s"${f.path} to the oldest schema era — branch WRITES on a " +
         "rename/widen-evolved parent cannot be published (fork-carried " +
-        "entries alone publish fine); apply the branch's changes to the " +
-        "parent directly instead"))
+        "entries publish fine when the parent's schema history predates " +
+        "the fork); apply the branch's changes to the parent directly " +
+        "instead"))
     val snap = commit(lg, lg.nextId, Manifest(entries), Nil,
       operation = "publish", committedAt,
       extraSummary = Map("branch" -> name,
@@ -561,6 +562,36 @@ final class GraftTable private (
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
     f => Pruning.mayMatchFile(aug, stripStaleBlooms(f), augSchema)
   }
+
+  /** Whole-SEGMENT may-match on the manifest-list envelope — the level
+    * above [[pruneKeep]]: a segment whose merged min/max rule the
+    * predicate out is skipped without being parsed (no blooms at this
+    * level; a missing envelope keeps the segment — legacy lists and
+    * schema-less writers stay correct, just unaccelerated). */
+  private def segKeep(
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression)
+      : ManifestSegment => Boolean = {
+    val aug = PartitionField.augment(resolved, partitionFields)
+    val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
+    seg => seg.envelope.forall(env => Pruning.mayMatch(aug, env, augSchema))
+  }
+
+  /** Predicate-pruned file list with segment-envelope skipping — the
+    * planning path every predicate-scoped read goes through. */
+  private[table] def prunedFiles(
+      manifest: Manifest,
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[DataFileEntry] =
+    manifest.prunedFiles(segKeep(resolved), pruneKeep(resolved))
+
+  /** (candidate files, manifest of the rest) with segment-envelope
+    * skipping — predicate-scoped DML parses and rewrites only the
+    * segments its predicate may touch. */
+  private[table] def partitionPruned(
+      manifest: Manifest,
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Seq[DataFileEntry], Manifest) =
+    manifest.partitionFiles(segKeep(resolved), pruneKeep(resolved))
 
   /** Drop bloom entries for columns TYPE-WIDENED after `f` was written:
     * parquet bloom hashing is type-sensitive, so probing an int-era
@@ -662,8 +693,7 @@ final class GraftTable private (
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
       s"overwrite predicate cannot reference the virtual column $virtualColumn")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
-    val (candidates, untouched) =
-      manifest.files.partition(pruneKeep(resolved))
+    val (candidates, untouchedM) = partitionPruned(manifest, resolved)
     val snapId = lg.nextId
     val proofPred = PartitionField.proofAugment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
@@ -686,8 +716,7 @@ final class GraftTable private (
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
     commit(lg, snapId,
-      manifest.retainPaths(untouched.map(_.path).toSet)
-        .append(keptFiles ++ inserted),
+      untouchedM.append(keptFiles ++ inserted),
       keptFiles ++ inserted,
       operation = "overwrite", committedAt,
       extraSummary = Map(
@@ -1039,8 +1068,12 @@ final class GraftTable private (
       }
     }
     // write fresh segments + the manifest list; O(batch) bytes — carried
-    // segments are shared by ref with ancestor snapshots
-    val createdSegs = manifest.write(s"$dir/$manifestRel")
+    // segments are shared by ref with ancestor snapshots. The augmented
+    // schema types the segment envelopes (derived partition-key stats
+    // included), so later predicate-scoped planning can skip whole
+    // segments from the list alone.
+    val createdSegs = manifest.write(s"$dir/$manifestRel",
+      Some(PartitionField.augmentedSchema(schema, partitionFields)))
 
     // carried-summary inheritance (pending-deletes, stream cursors): an
     // explicit entry in extraSummary wins (deferred delete adds, compact
@@ -1273,8 +1306,7 @@ final class GraftTable private (
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
       s"delete predicate cannot reference the virtual column $virtualColumn")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
-    val (candidates, untouched) =
-      manifest.files.partition(pruneKeep(resolved))
+    val (candidates, untouchedM) = partitionPruned(manifest, resolved)
     if (candidates.isEmpty) return None
 
     val snapId = lg.nextId
@@ -1318,7 +1350,7 @@ final class GraftTable private (
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
     Some(commit(lg, snapId,
-      manifest.retainPaths(untouched.map(_.path).toSet).append(newFiles),
+      untouchedM.append(newFiles),
       newFiles,
       operation = "delete", committedAt,
       extraSummary = Map(
@@ -1349,7 +1381,7 @@ final class GraftTable private (
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
       s"countWhere predicate cannot reference $virtualColumn")
     val manifest = Manifest.read(s"$dir/${s.manifestList}")
-    val candidates = manifest.files.filter(pruneKeep(resolved))
+    val candidates = prunedFiles(manifest, resolved)
     val proofPred = PartitionField.proofAugment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
     val (proved, toScan) =
@@ -1418,7 +1450,7 @@ final class GraftTable private (
     // prove NO file can hold a matching row, don't commit — a pending
     // predicate taxes every later read and blocks CoW DML until a
     // compaction, a real cost for a provable no-op
-    val candidates = manifest.files.filter(pruneKeep(resolved))
+    val candidates = prunedFiles(manifest, resolved)
     if (candidates.isEmpty) return None
     // exact dead-row count (default): ONE bounds-pruned count job over
     // the candidate files, prior pending entries applied, so
@@ -1573,7 +1605,7 @@ final class GraftTable private (
     val rangePred = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(
         col(k0) >= lit(b.get(0)) && col(k0) <= lit(b.get(1))))
-    val candidates = manifest.files.filter(pruneKeep(rangePred))
+    val candidates = prunedFiles(manifest, rangePred)
     if (candidates.isEmpty) return Some(0L)
     Some(readVisible(spark, Nil, Nil, candidates, prior)
       .join(keySel, keyCols.toSeq, "left_semi").count())
@@ -1722,8 +1754,7 @@ final class GraftTable private (
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
       s"delete predicate cannot reference the virtual column $virtualColumn")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
-    val (candidates, untouched) =
-      manifest.files.partition(pruneKeep(resolved))
+    val (candidates, untouchedM) = partitionPruned(manifest, resolved)
     if (candidates.isEmpty) return None
     // the same metadata-only whole-file drop proof as copy-on-write
     // delete(): still sound here — "all rows match" implies "all
@@ -1732,7 +1763,7 @@ final class GraftTable private (
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
     val (dropped, partial) =
       candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
-    positionalCore(spark, lg, current, manifest, untouched, dropped, partial,
+    positionalCore(spark, lg, current, manifest, untouchedM, dropped, partial,
       raw => raw.filter(coalesce(predicate, lit(false))), committedAt)
   }
 
@@ -1776,10 +1807,10 @@ final class GraftTable private (
     val rangePred = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(
         col(k0) >= lit(bounds.get(0)) && col(k0) <= lit(bounds.get(1))))
-    val (candidates, untouched) = manifest.files.partition(pruneKeep(rangePred))
+    val (candidates, untouchedM) = partitionPruned(manifest, rangePred)
     if (candidates.isEmpty) return None
     val keySel = keys.select(keyCols.map(col): _*).distinct()
-    positionalCore(spark, lg, current, manifest, untouched,
+    positionalCore(spark, lg, current, manifest, untouchedM,
       dropped = Nil, partial = candidates,
       raw => raw.join(keySel, keyCols, "left_semi"), committedAt)
   }
@@ -1794,7 +1825,7 @@ final class GraftTable private (
       lg: SnapshotLog,
       current: Snapshot,
       manifest: Manifest,
-      untouched: Seq[DataFileEntry],
+      untouchedM: Manifest,
       dropped: Seq[DataFileEntry],
       partial: Seq[DataFileEntry],
       selectVictims: DataFrame => DataFrame,
@@ -1815,7 +1846,7 @@ final class GraftTable private (
       f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum +
       counts.values.sum
     try Some(commit(lg, snapId,
-      manifest.retainPaths((untouched ++ partial).map(_.path).toSet), Nil,
+      untouchedM.append(partial), Nil,
       operation = "delete", committedAt,
       extraSummary = Map(
         "positional" -> "true",
@@ -1939,8 +1970,7 @@ final class GraftTable private (
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
       s"update predicate cannot reference the virtual column $virtualColumn")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
-    val (candidates, untouched) =
-      manifest.files.partition(pruneKeep(resolved))
+    val candidates = prunedFiles(manifest, resolved)
     if (candidates.isEmpty) return None
     val prior = parsePositional(current)
     val snapId = lg.nextId
@@ -2099,8 +2129,7 @@ final class GraftTable private (
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
       s"update predicate cannot reference the virtual column $virtualColumn")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
-    val (candidates, untouched) =
-      manifest.files.partition(pruneKeep(resolved))
+    val (candidates, untouchedM) = partitionPruned(manifest, resolved)
     if (candidates.isEmpty) return None
 
     val snapId = lg.nextId
@@ -2122,7 +2151,7 @@ final class GraftTable private (
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
     Some(commit(lg, snapId,
-      manifest.retainPaths(untouched.map(_.path).toSet).append(newFiles),
+      untouchedM.append(newFiles),
       newFiles,
       operation = "update", committedAt,
       extraSummary = Map(
@@ -2169,13 +2198,13 @@ final class GraftTable private (
       .getOrElse(Manifest.empty)
 
     val bounds = source.agg(fmin(col(keyCol)), fmax(col(keyCol))).head()
-    val (candidates, untouched) =
-      if (bounds.isNullAt(0)) (Seq.empty[DataFileEntry], manifest.files)
+    val (candidates, untouchedM) =
+      if (bounds.isNullAt(0)) (Seq.empty[DataFileEntry], manifest)
       else {
         val pred = resolveAgainst(spark, schema,
           org.apache.spark.sql.classic.GraftBridge.expr(
             col(keyCol) >= lit(bounds.get(0)) && col(keyCol) <= lit(bounds.get(1))))
-        manifest.files.partition(pruneKeep(pred))
+        partitionPruned(manifest, pred)
       }
 
     // no forced broadcast: delta batches are usually tiny (AQE broadcasts
@@ -2193,7 +2222,7 @@ final class GraftTable private (
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
     commit(lg, snapId,
-      manifest.retainPaths(untouched.map(_.path).toSet).append(newFiles),
+      untouchedM.append(newFiles),
       newFiles,
       operation = "merge", committedAt,
       extraSummary = Map(
@@ -2276,8 +2305,8 @@ final class GraftTable private (
 
     // candidate files by source key ranges; by-source actions must see
     // EVERY target row, so their presence touches the whole table
-    val (candidates, untouched) =
-      if (notMatchedBySource.nonEmpty) (manifest.files, Seq.empty[DataFileEntry])
+    val (candidates, untouchedM) =
+      if (notMatchedBySource.nonEmpty) (manifest.files, Manifest.empty)
       else {
         val aggs = keyPairs.flatMap { case (_, sk) =>
           Seq(fmin(col(sk)), fmax(col(sk))) }
@@ -2289,7 +2318,7 @@ final class GraftTable private (
         }.reduce(_ && _)
         val resolved = resolveAgainst(spark, schema,
           org.apache.spark.sql.classic.GraftBridge.expr(pred))
-        manifest.files.partition(pruneKeep(resolved))
+        partitionPruned(manifest, resolved)
       }
 
     val posPend = lg.current.map(parsePositional).getOrElse(Nil)
@@ -2371,7 +2400,7 @@ final class GraftTable private (
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
     Some(commit(lg, snapId,
-      manifest.retainPaths(untouched.map(_.path).toSet).append(newFiles),
+      untouchedM.append(newFiles),
       newFiles,
       operation = "merge", committedAt,
       extraSummary = Map(
@@ -2440,7 +2469,7 @@ final class GraftTable private (
     }.reduce(_ && _)
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(rangePred))
-    val candidates = manifest.files.filter(pruneKeep(resolved))
+    val candidates = prunedFiles(manifest, resolved)
     val M = GraftTable.MergeSrcPrefix + "__matched"
     val flagged =
       if (candidates.isEmpty) source.withColumn(M, lit(false))
@@ -3044,7 +3073,7 @@ final class GraftTable private (
         val kept = filter match {
           case Some(f) =>
             val pred = TimeTravel.neutralize(expr(f), virtualColumn)
-            manifest.files.filter(pruneKeep(pred))
+            prunedFiles(manifest, pred)
           case None => manifest.files
         }
         val df =
@@ -3078,7 +3107,7 @@ final class GraftTable private (
       case Some(s) =>
         val manifest = Manifest.read(s"$dir/${s.manifestList}")
         val kept = prunePredicate match {
-          case Some(p) => manifest.files.filter(pruneKeep(p))
+          case Some(p) => prunedFiles(manifest, p)
           case None => manifest.files
         }
         val base =

@@ -39,16 +39,25 @@ final class ManifestSegment private (
     filesThunk: () => Vector[DataFileEntry],
     val fileCount: Long,
     val recordCount: Long,
-    val sizeBytes: Long) {
+    val sizeBytes: Long,
+    /** Segment-level pruning envelope (per-column merged min/max/null
+      * stats — [[ColumnStats.mergeEnvelope]]), carried IN THE MANIFEST
+      * LIST so predicate-scoped scans and DML skip whole segments
+      * without parsing them (Iceberg's manifest-list partition-summary
+      * analog). None = unknown (legacy lists, schema-less writers) —
+      * consumers must then parse. */
+    val envelope: Option[Map[String, ColumnStats]]) {
   lazy val files: Vector[DataFileEntry] = filesThunk()
 }
 
 object ManifestSegment {
-  /** Fresh entries introduced by the current commit. */
+  /** Fresh entries introduced by the current commit. The envelope is
+    * computed at [[Manifest.write]] time (it needs the table schema for
+    * type-aware bound merging). */
   def fresh(entries: Seq[DataFileEntry]): ManifestSegment = {
     val v = entries.toVector
     new ManifestSegment(None, () => v, v.size.toLong,
-      v.map(_.recordCount).sum, v.map(_.fileSizeBytes).sum)
+      v.map(_.recordCount).sum, v.map(_.fileSizeBytes).sum, None)
   }
 
   /** A lazily-parsed on-disk segment referenced from a manifest list. */
@@ -57,10 +66,11 @@ object ManifestSegment {
       tableDir: String,
       fileCount: Long,
       recordCount: Long,
-      sizeBytes: Long): ManifestSegment =
+      sizeBytes: Long,
+      envelope: Option[Map[String, ColumnStats]] = None): ManifestSegment =
     new ManifestSegment(Some(ref),
       () => Manifest.readSegmentFiles(s"$tableDir/$ref"),
-      fileCount, recordCount, sizeBytes)
+      fileCount, recordCount, sizeBytes, envelope)
 }
 
 /** The file list of one snapshot as an ordered list of segments.
@@ -101,6 +111,41 @@ final class Manifest private[table] (val segments: Vector[ManifestSegment]) {
       else Some(ManifestSegment.fresh(kept))
     })
 
+  /** Predicate-pruned file list with SEGMENT-level skipping: a segment
+    * whose envelope rules the predicate out contributes nothing — and is
+    * never parsed. The per-query planning cost on a large table drops
+    * from O(all files) JSON parse to O(matching segments). */
+  def prunedFiles(
+      segMayMatch: ManifestSegment => Boolean,
+      fileKeep: DataFileEntry => Boolean): Seq[DataFileEntry] =
+    segments.flatMap { seg =>
+      if (!segMayMatch(seg)) Vector.empty
+      else seg.files.filter(fileKeep)
+    }
+
+  /** Split into (candidate files, manifest of everything else) for
+    * predicate-scoped DML: segments the envelope rules out carry over
+    * BY REF — unparsed, unserialized; only segments that may hold
+    * matching rows are parsed and (if partially touched) rewritten.
+    * Equivalent to `files.partition(fileKeep)` + [[retainPaths]], minus
+    * the full parse. */
+  def partitionFiles(
+      segMayMatch: ManifestSegment => Boolean,
+      fileKeep: DataFileEntry => Boolean): (Seq[DataFileEntry], Manifest) = {
+    val cands = Vector.newBuilder[DataFileEntry]
+    val rest = segments.flatMap { seg =>
+      if (!segMayMatch(seg)) Some(seg) // untouched whole segment, by ref
+      else {
+        val (c, keep) = seg.files.partition(fileKeep)
+        cands ++= c
+        if (c.isEmpty) Some(seg) // parsed, but carried unchanged by ref
+        else if (keep.isEmpty) None
+        else Some(ManifestSegment.fresh(keep))
+      }
+    }
+    (cands.result(), new Manifest(rest))
+  }
+
   /** Persist at `absPath` (`…/manifests/snap-<id>.json`): fresh segments
     * land as immutable `manifests/seg-<id>-<k>-<token>.json` files, then
     * the manifest list records every segment's ref + totals. Small fresh
@@ -110,7 +155,10 @@ final class Manifest private[table] (val segments: Vector[ManifestSegment]) {
     *
     * Returns the table-root-relative paths of segment files this call
     * CREATED (for crash-cleanup by the committer). */
-  def write(absPath: String): Seq[String] = {
+  def write(
+      absPath: String,
+      envSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[String] = {
     val p = Paths.get(absPath)
     val manifestsDir = p.getParent
     val tableDir = manifestsDir.getParent
@@ -129,16 +177,31 @@ final class Manifest private[table] (val segments: Vector[ManifestSegment]) {
           Json.writeFileAtomic(s"$tableDir/$rel",
             Json.write(Map("files" -> seg.files.map(Manifest.entryToJson))))
           created += rel
+          // fresh segments get their envelope HERE (files are already in
+          // memory; the schema types the bound merge); carried segments
+          // keep theirs untouched below
+          val env = envSchema.map(sch =>
+            ColumnStats.mergeEnvelope(seg.files, sch))
           ManifestSegment.loaded(rel, tableDir.toString,
-            seg.fileCount, seg.recordCount, seg.sizeBytes)
+            seg.fileCount, seg.recordCount, seg.sizeBytes, env)
       }
     }
     val listObj = Map("segments" -> withRefs.map { seg =>
-      Map(
+      val base = Map[String, Any](
         "path" -> seg.ref.get,
         "file_count" -> seg.fileCount,
         "record_count" -> seg.recordCount,
         "size_bytes" -> seg.sizeBytes)
+      seg.envelope match {
+        case Some(env) => base + ("stats" -> env.map { case (c, st) =>
+          c -> Map(
+            "min" -> st.min.orNull,
+            "max" -> st.max.orNull,
+            "null_count" -> st.nullCount.map(Long.box).orNull,
+            "value_count" -> st.valueCount.map(Long.box).orNull)
+        })
+        case None => base
+      }
     })
     Json.writeFileAtomic(absPath, Json.write(listObj))
     created.result()
@@ -235,12 +298,24 @@ object Manifest {
       case Some(segs) =>
         new Manifest(segs.asInstanceOf[Seq[Any]].map { s =>
           val m = s.asInstanceOf[Map[String, Any]]
+          val env = m.get("stats").map(_.asInstanceOf[Map[String, Any]]
+            .map { case (c, raw) =>
+              val sm = raw.asInstanceOf[Map[String, Any]]
+              c -> ColumnStats(
+                Option(sm.getOrElse("min", null)).map(_.toString),
+                Option(sm.getOrElse("max", null)).map(_.toString),
+                Option(sm.getOrElse("null_count", null))
+                  .map(_.asInstanceOf[Long]),
+                Option(sm.getOrElse("value_count", null))
+                  .map(_.asInstanceOf[Long]))
+            })
           ManifestSegment.loaded(
             m("path").asInstanceOf[String],
             tableDir,
             m("file_count").asInstanceOf[Long],
             m("record_count").asInstanceOf[Long],
-            m("size_bytes").asInstanceOf[Long])
+            m("size_bytes").asInstanceOf[Long],
+            env)
         }.toVector)
       case None =>
         // v1 manifests are immutable too (only the HEAD migrates on the
@@ -280,8 +355,19 @@ object Manifest {
     }
   }
 
+  /** Absolute paths of segments ever parsed from disk (cache misses) —
+    * observable by scale tests asserting a predicate-scoped operation
+    * did NOT parse untouched segments. Bounded: evictions follow the
+    * parse cache's own LRU churn, which the tests don't reach. */
+  private[table] val parsedSegmentPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[table] def readSegmentFiles(absPath: String): Vector[DataFileEntry] =
-    cachedFiles(absPath)(s => parseEntries(Json.parseObject(s)))
+    cachedFiles(absPath) { s =>
+      if (parsedSegmentPaths.size > 4096) parsedSegmentPaths.clear()
+      parsedSegmentPaths.add(absPath)
+      parseEntries(Json.parseObject(s))
+    }
 
   private def parseEntries(obj: Map[String, Any]): Vector[DataFileEntry] =
     obj.getOrElse("files", Seq.empty[Any]).asInstanceOf[Seq[Any]].map { f =>

@@ -121,6 +121,45 @@ class ManifestScaleSpec extends SparkSpecBase {
     assert(t.read(spark).count() == 25L)
   }
 
+  test("segment envelopes: predicate-scoped DML and scans parse only touched segments") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    // three appends with DISJOINT id ranges → three segments whose
+    // manifest-list envelopes separate cleanly
+    t.append(mkDf((0L until 10L).map(j => j -> "a"): _*), Some(1000L))
+    t.append(mkDf((100L until 110L).map(j => j -> "b"): _*), Some(2000L))
+    t.append(mkDf((200L until 210L).map(j => j -> "c"): _*), Some(3000L))
+    val segs = Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+      .segmentRefs
+    assert(segs.size == 3)
+    def parsed(ref: String): Boolean =
+      Manifest.parsedSegmentPaths.contains(s"$dir/$ref")
+    assert(segs.forall(r => !parsed(r)),
+      "freshly written segments should not have been read back yet")
+
+    // a predicate-scoped DELETE inside the middle range parses ONLY the
+    // middle segment — the outer two carry over by ref, unread
+    t.delete(spark, col("id").between(100L, 104L), Some(4000L))
+    assert(parsed(segs(1)), "the touched segment must be parsed")
+    assert(!parsed(segs.head) && !parsed(segs(2)),
+      "predicate-scoped delete parsed untouched segments " +
+        "(envelope skip regressed)")
+    assert(t.read(spark).count() == 25L)
+
+    // a predicate-scoped SCAN likewise: rebuild a fresh table (the read
+    // above parsed everything) and scan one range
+    val dir2 = s"${tmp()}/t2"
+    val t2 = GraftTable.create(dir2, schema)
+    t2.append(mkDf((0L until 10L).map(j => j -> "a"): _*), Some(1000L))
+    t2.append(mkDf((100L until 110L).map(j => j -> "b"): _*), Some(2000L))
+    val segs2 = Manifest.read(s"$dir2/${t2.log.current.get.manifestList}")
+      .segmentRefs
+    assert(t2.scan(spark, Some(col("id") >= 100L)).count() == 10L)
+    assert(Manifest.parsedSegmentPaths.contains(s"$dir2/${segs2(1)}"))
+    assert(!Manifest.parsedSegmentPaths.contains(s"$dir2/${segs2.head}"),
+      "range scan parsed a segment its envelope rules out")
+  }
+
   test("expiration reclaims unshared segments, keeps shared ones") {
     val dir = s"${tmp()}/t"
     val t = GraftTable.create(dir, schema)

@@ -163,4 +163,35 @@ class PruningPropertySpec extends AnyFunSuite {
         Pruning.mayMatch(pred, stats, sschema)
     }, minSuccessful = 500)
   }
+
+  test("property: the segment envelope never skips a segment holding a match") {
+    // the manifest-list envelope (ColumnStats.mergeEnvelope over a
+    // segment's per-file stats) gates whether a segment is PARSED at
+    // all — an unsound merge silently drops matching files from every
+    // predicate-scoped scan and DML. Property: for random file sets
+    // (with degraded stats) and random predicates,
+    //   ¬mayMatch(pred, envelope) ⟹ no file in the segment may match
+    //   (and in particular no row anywhere in the segment matches).
+    val fileGen: Gen[(Seq[Option[Long]], Int)] = for {
+      values <- Gen.nonEmptyListOf(Gen.frequency(
+        8 -> Gen.chooseNum(-20L, 20L).map(Some(_)),
+        1 -> Gen.const(None)))
+      degrade <- Gen.choose(0, 3)
+    } yield (values, degrade)
+    check(Prop.forAll(Gen.nonEmptyListOf(fileGen), predGen(3)) {
+      (files, pred) =>
+        val entries = files.zipWithIndex.map { case ((values, degrade), i) =>
+          DataFileEntry(s"data/f$i.parquet", values.size.toLong, 1L,
+            statsOf(values, degrade))
+        }
+        val env = ColumnStats.mergeEnvelope(entries, schema)
+        val segKept = Pruning.mayMatch(pred, env, schema)
+        val anyFileKept = entries.exists(e =>
+          Pruning.mayMatch(pred, e.stats, schema))
+        val anyRowMatch = files.exists(_._1.exists(v =>
+          evalRow(pred, v).contains(true)))
+        // skip ⟹ every file would have been pruned anyway ⟹ no match
+        segKept || (!anyFileKept && !anyRowMatch)
+    }, minSuccessful = 4000)
+  }
 }
