@@ -465,6 +465,74 @@ object Versioned extends QueryPack {
       t2
     }
 
+  /** CDC REPLICATION fixture — the full chain the round's DML surface
+    * exists for: an upstream table takes DML (CoW update + positional
+    * key delete, the v32 fixture), its [[GraftTable.changesCdc]] feed is
+    * NETTED per key (last change wins; an update's retract+insert pair
+    * nets to the new row), and the net batch is applied to a replica
+    * seeded from upstream snapshot 1 with ONE conditional-action SQL
+    * MERGE (`WHEN MATCHED AND _change_type='delete' THEN DELETE …`).
+    * The fixture asserts replica ≡ upstream current state both ways. */
+  private def cdcReplicationFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/nation_cdcrep", 2) { dir =>
+      val s2 = dmlSession(spark)
+      val up = cdcFixture(s2, sfDir)
+      val cols = Seq("n_nationkey", "n_name", "n_regionkey")
+      val tb = GraftTable.create(dir,
+        org.apache.spark.sql.types.StructType(up.schema.fields))
+      tb.append(up.read(s2, Some(1L)).select(cols.map(col): _*), Some(1000L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_nationkey"))
+        .orderBy(col("snapshot__id").desc, col("_change_type").desc)
+      up.changesCdc(s2, fromSnapshotId = 1L)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("_change_type"))
+        .createOrReplaceTempView("nation_cdcrep_feed")
+      val wh = Paths.get(dir).getParent.getParent.toString
+      s2.conf.set("spark.sql.catalog.g42", "graft.table.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.g42.warehouse", wh)
+      s2.sql("MERGE INTO g42.db.nation_cdcrep t USING nation_cdcrep_feed s " +
+        "ON t.n_nationkey = s.n_nationkey " +
+        "WHEN MATCHED AND s._change_type = 'delete' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET n_name = s.n_name, " +
+        "n_regionkey = s.n_regionkey " +
+        "WHEN NOT MATCHED AND s._change_type <> 'delete' THEN INSERT " +
+        "(n_nationkey, n_name, n_regionkey) " +
+        "VALUES (s.n_nationkey, s.n_name, s.n_regionkey)")
+      val replica = tb.read(s2).select(cols.map(col): _*)
+      val upstream = up.read(s2).select(cols.map(col): _*)
+      require(replica.exceptAll(upstream).isEmpty &&
+        upstream.exceptAll(replica).isEmpty,
+        "CDC replication drifted from the upstream state")
+      tb
+    }
+
+  /** Subquery-delete fixture: `DELETE FROM t WHERE k IN (SELECT …)` —
+    * the SQL spelling of "apply a curation job's loser set", which
+    * Spark's own SupportsDelete path cannot serve (no subquery
+    * pushdown). The subquery here reads the TARGET TABLE itself
+    * (self-curation); routed to the copy-on-write anti-join rewrite
+    * ([[GraftTable.deleteByKeys]]) in one atomic snapshot. */
+  private def sqlDeleteInFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/nation_delin", 2) { dir =>
+      val s2 = dmlSession(spark)
+      val nation = t(s2, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      val wh = Paths.get(dir).getParent.getParent.toString
+      s2.conf.set("spark.sql.catalog.g41", "graft.table.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.g41.warehouse", wh)
+      s2.sql("DELETE FROM g41.db.nation_delin WHERE n_nationkey IN " +
+        "(SELECT n_nationkey FROM g41.db.nation_delin WHERE n_regionkey = 3)")
+      val t2 = GraftTable.load(dir)
+      require(t2.log.current.get.operation == "delete" &&
+        t2.positionalDeletes.isEmpty,
+        "subquery DELETE did not take the CoW key-delete path")
+      t2
+    }
+
   /** SQL ingest fixture: the table is built ENTIRELY by SQL statements —
     * CREATE TABLE through the catalog, INSERT INTO … SELECT (append
     * commit), then INSERT OVERWRITE … SELECT (atomic truncate-and-
@@ -606,6 +674,23 @@ object Versioned extends QueryPack {
     // files stay byte-untouched (fixture asserts), reads stay exact
     "v40_graft_sql_mor_route" -> ((s, d) =>
       sqlMorRouteFixture(s, d).read(s)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("snapshot__id"))),
+
+    // DELETE … WHERE key IN (SELECT …) — a curation job's loser set
+    // applied through pure SQL (self-referential subquery), routed to
+    // the CoW anti-join key delete; SupportsDelete alone cannot do this
+    "v41_graft_sql_delete_in" -> ((s, d) =>
+      sqlDeleteInFixture(s, d).read(s)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("snapshot__id"))),
+
+    // CDC REPLICATION: upstream DML → changesCdc feed → per-key netting
+    // → ONE conditional-action MERGE onto a replica; the replica's state
+    // must equal the upstream's (fixture-asserted both ways, and the
+    // rows oracle-hashed here)
+    "v42_graft_cdc_replication" -> ((s, d) =>
+      cdcReplicationFixture(s, d).read(s)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
           col("snapshot__id"))),
 
@@ -1021,6 +1106,20 @@ object Versioned extends QueryPack {
         "CASE WHEN n_regionkey = 1 THEN 'P-' || n_name ELSE n_name END " +
         "AS n_name, n_regionkey, CAST(3 AS BIGINT) AS snapshot__id " +
         "FROM nation WHERE n_nationkey % 7 <> 3"),
+    // region-3 keys removed by the subquery key-delete; the read is at
+    // the delete snapshot (2)
+    "v41_graft_sql_delete_in" ->
+      ("SELECT n_nationkey, n_name, n_regionkey, " +
+        "CAST(2 AS BIGINT) AS snapshot__id FROM nation " +
+        "WHERE n_regionkey <> 3"),
+    // the replica after CDC apply ≡ the upstream's final state: region-1
+    // names updated (+_U), %4==1 keys deleted; read at the replica's
+    // merge snapshot (2)
+    "v42_graft_cdc_replication" ->
+      ("SELECT n_nationkey, " +
+        "CASE WHEN n_regionkey = 1 THEN n_name || '_U' ELSE n_name END " +
+        "AS n_name, n_regionkey, CAST(2 AS BIGINT) AS snapshot__id " +
+        "FROM nation WHERE n_nationkey % 4 <> 1"),
     // the maintained view must equal a from-scratch recompute of the
     // final state (nation minus the deleted regions)
     "v22_graft_ivm" ->

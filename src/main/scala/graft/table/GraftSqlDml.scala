@@ -25,10 +25,18 @@ import org.apache.spark.sql.functions.lit
   *    only; routed to the copy-on-write rewrite, or to the positional
   *    merge-on-read delta ([[GraftTable.updatePositional]]) when the
   *    table property `write.update.mode = merge-on-read` is set.
+  *    `WHERE k IN (SELECT …)` routes to a matched-only key merge
+  *    ([[GraftTable.mergeActions]]) over the deduplicated tuples.
   *  - `DELETE FROM cat.db.t [WHERE pred]` — Spark's own SupportsDelete
   *    path by default; routed to [[GraftTable.deletePositional]] when
   *    `write.delete.mode = merge-on-read` is set (and to the library's
   *    CoW delete when positional entries pend — see the case comments).
+  *    `WHERE k IN (SELECT …)` — the curation-loser idiom SupportsDelete
+  *    cannot push — routes to [[GraftTable.deleteByKeys]] (CoW anti-join
+  *    rewrite) or [[GraftTable.deletePositionalByKeys]] (MoR mode).
+  *    Graft-target statements SPLICE MoR-pending/pre-rename graft reads
+  *    inside their SOURCE subtrees (INSERT/MERGE/CTAS sources, delete
+  *    subqueries) — CDC chains read from exactly such tables.
   *  - `MERGE INTO cat.db.t USING src ON t.k1 = src.k1 [AND …]` with the
   *    full action surface: conditional `WHEN MATCHED [AND p] THEN
   *    UPDATE SET …/DELETE`, conditional `WHEN NOT MATCHED [AND p] THEN
@@ -55,7 +63,7 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     case u @ UpdateTable(target, assignments, condition) =>
       if (!u.resolved) plan
       else graftTarget(target) match {
-        case Some(g) => rewriteUpdate(g, assignments, condition)
+        case Some(g) => rewriteUpdate(g, target.outputSet, assignments, condition)
         case None => plan
       }
     case m: MergeIntoTable =>
@@ -78,6 +86,20 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     case d @ DeleteFromTable(target, condition) =>
       if (!d.resolved) plan
       else graftTarget(target) match {
+        // DELETE … WHERE k IN (SELECT …) — the dedup-loser /
+        // decontamination idiom in SQL. Spark's SupportsDelete path
+        // cannot push a subquery; route to the key-delete forms:
+        // positional under write.delete.mode=merge-on-read
+        // (O(victims) written), copy-on-write anti-join rewrite
+        // otherwise. Uncorrelated, bare-attribute keys only — anything
+        // else keeps today's loud refusal.
+        case Some(g) if g.pinned.isEmpty &&
+            inSubqueryKeys(condition, target.outputSet).isDefined =>
+          val (cols, src) = inSubqueryKeys(condition, target.outputSet).get
+          if (g.underlying.properties.get("write.delete.mode")
+              .contains("merge-on-read"))
+            GraftMorDeleteKeysCommand(g.underlying, src, cols)
+          else GraftCowDeleteKeysCommand(g.underlying, src, cols)
         // write.delete.mode=merge-on-read: commit positions, not a
         // rewrite (the v28/v29 library path) — O(victim rows) of delete
         // metadata, untouched files keep their plain scans
@@ -139,7 +161,8 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.TableSpec]
         .properties
       GraftCtasCommand(name.catalog.asInstanceOf[GraftSparkCatalog],
-        name.identifier, partitioning.toArray, props, query, ignoreIfExists)
+        name.identifier, partitioning.toArray, props,
+        substituteMorReads(query), ignoreIfExists)
     case rtas: ReplaceTableAsSelect
         if rtas.name.isInstanceOf[
             org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier] &&
@@ -164,10 +187,15 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     * schema (ANSI failures surface at execution, same as any insert). */
   private def rewriteInsert(
       g: GraftV2Table,
-      query: LogicalPlan,
+      sourceQuery: LogicalPlan,
       isByName: Boolean): LogicalPlan = {
     if (g.pinned.nonEmpty)
       fail(s"cannot INSERT INTO a time-travel read of ${g.name()}")
+    // the INSERT's source may itself read MoR-pending / pre-rename graft
+    // tables (CDC chains do) — splice those reads like any SELECT's; the
+    // TARGET is not part of this subtree, so the never-splice-the-target
+    // rule is not at risk
+    val query = substituteMorReads(sourceQuery)
     val fields = g.underlying.schema.fields.toSeq
     val aligned: Seq[(org.apache.spark.sql.catalyst.expressions.Attribute,
         org.apache.spark.sql.types.StructField)] =
@@ -249,6 +277,31 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         Project(aliases, child)
     }
 
+  /** `(t.k1, …) IN (SELECT …)` as a whole DELETE condition → (target key
+    * column names, subquery plan projected+cast to those key names).
+    * Uncorrelated subqueries over bare target attributes only; None for
+    * every other shape (the caller keeps its existing stance). */
+  private def inSubqueryKeys(
+      condition: Expression,
+      targetOut: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Option[(Seq[String], LogicalPlan)] = condition match {
+    case org.apache.spark.sql.catalyst.expressions.InSubquery(values,
+        lq: org.apache.spark.sql.catalyst.expressions.ListQuery)
+        if lq.outerAttrs.isEmpty &&
+          values.forall(v => v.isInstanceOf[AttributeReference] &&
+            targetOut.contains(v.asInstanceOf[AttributeReference])) &&
+          lq.plan.output.size == values.size =>
+      val names = values.map(_.asInstanceOf[AttributeReference].name)
+      // the subquery may read MoR-pending graft tables (incl. the target
+      // itself) — splice those reads; only the DML root's own target
+      // relation must stay untouched, and it is not in this subtree
+      val project = Project(
+        names.zip(lq.plan.output).map { case (n, out) => Alias(out, n)() },
+        substituteMorReads(lq.plan))
+      Some((names, project))
+    case _ => None
+  }
+
   private def morPending(r: DataSourceV2Relation): Option[GraftV2Table] =
     r.table match {
       case g: GraftV2Table =>
@@ -318,6 +371,7 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewriteUpdate(
       g: GraftV2Table,
+      targetOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
       assignments: Seq[Assignment],
       condition: Option[Expression]): LogicalPlan = {
     if (g.pinned.nonEmpty)
@@ -333,7 +387,16 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
       else Some(name -> byName(a.value))
     }.toMap
     if (assigns.isEmpty) GraftNoopCommand()
-    else {
+    else condition.flatMap(inSubqueryKeys(_, targetOut)) match {
+      case Some((cols, src)) =>
+        // UPDATE … WHERE k IN (SELECT …) ≡ a matched-only MERGE keyed on
+        // the (deduplicated) subquery tuples — routed to the CoW action
+        // rewrite. The write.update.mode property governs only the
+        // predicate form (a positional update needs a row predicate).
+        GraftMergeActionsCommand(g.underlying, Distinct(src),
+          cols.map(c => (c, c)),
+          Seq(MergeUpdate(None, assigns)), Nil, Nil)
+      case None => {
       val cond = condition.map(byName).getOrElse(lit(true))
       // write.update.mode=merge-on-read routes to the positional-delta
       // form (old copies tombstoned as positions + new rows appended —
@@ -342,6 +405,7 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
       g.underlying.properties.getOrElse("write.update.mode", "copy-on-write") match {
         case "merge-on-read" => GraftMorUpdateCommand(g.underlying, cond, assigns)
         case _ => GraftUpdateCommand(g.underlying, cond, assigns)
+      }
       }
     }
   }
@@ -367,6 +431,11 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     val tbl = g.underlying
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
+    // the merge SOURCE may read MoR-pending / pre-rename graft tables
+    // (a CDC chain's upstream) — splice those reads; output attribute
+    // ids are preserved, so expressions resolved against m.sourceTable
+    // stay valid over the spliced plan
+    val sourcePlan = substituteMorReads(m.sourceTable)
 
     // ON condition: conjunction of target.k = source.k equalities
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -434,7 +503,7 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           if (per.exists(_.isEmpty)) None
           else Some(Project(
-            per.flatten.map { case (c, e) => Alias(e, c)() }, m.sourceTable))
+            per.flatten.map { case (c, e) => Alias(e, c)() }, sourcePlan))
         case _ => None
       }
 
@@ -482,7 +551,7 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
               as.map(parseAssign).toMap
                 .map { case (c, v) => c -> overSource(v, sourceOut) })
         }
-        GraftMorMergeActionsCommand(tbl, m.sourceTable, keyPairs,
+        GraftMorMergeActionsCommand(tbl, sourcePlan, keyPairs,
           matched, notMatched)
       case _ =>
         // general copy-on-write: conditions/values see the joined row
@@ -505,7 +574,7 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
               as.map(parseAssign).toMap.map { case (c, v) => c -> oj(v) })
           case DeleteAction(cond) => MergeDelete(cond.map(oj))
         }
-        GraftMergeActionsCommand(tbl, m.sourceTable, keyPairs,
+        GraftMergeActionsCommand(tbl, sourcePlan, keyPairs,
           matched, notMatched, bySource)
     }
   }
@@ -609,6 +678,42 @@ case class GraftMorDeleteCommand(
     cond: Column) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     table.withCommitRetry() { table.deletePositional(spark, cond) }
+    Nil
+  }
+}
+
+/** `DELETE … WHERE k IN (SELECT …)` routed to the copy-on-write
+  * anti-join rewrite ([[GraftTable.deleteByKeys]]). */
+case class GraftCowDeleteKeysCommand(
+    table: GraftTable,
+    source: LogicalPlan,
+    keyCols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keys = castKeys(spark, table, source, keyCols)
+    table.withCommitRetry() { table.deleteByKeys(spark, keys, keyCols) }
+    Nil
+  }
+  private def castKeys(spark: SparkSession, t: GraftTable,
+      src: LogicalPlan, cols: Seq[String]) =
+    GraftBridge.ofRows(spark, src).select(cols.map(c =>
+      org.apache.spark.sql.functions.col(c)
+        .cast(t.schema(c).dataType).as(c)): _*)
+}
+
+/** `DELETE … WHERE k IN (SELECT …)` routed to the positional
+  * merge-on-read key delete ([[GraftTable.deletePositionalByKeys]] —
+  * `write.delete.mode=merge-on-read`). */
+case class GraftMorDeleteKeysCommand(
+    table: GraftTable,
+    source: LogicalPlan,
+    keyCols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keys = GraftBridge.ofRows(spark, source).select(keyCols.map(c =>
+      org.apache.spark.sql.functions.col(c)
+        .cast(table.schema(c).dataType).as(c)): _*)
+    table.withCommitRetry() {
+      table.deletePositionalByKeys(spark, keys, keyCols)
+    }
     Nil
   }
 }

@@ -1360,6 +1360,76 @@ final class GraftTable private (
         SummaryPositionalDeletes -> positionalJson(stillPositional))))
   }
 
+  /** Copy-on-write DELETE BY KEYS (the SQL
+    * `DELETE FROM t WHERE k IN (SELECT …)` shape — a dedup or
+    * decontamination job's loser set applied to the table): candidate
+    * files are pruned by the key DataFrame's first-key bounds (two
+    * driver scalars, like [[merge]]/[[deletePositionalByKeys]]), their
+    * visible rows anti-joined against the distinct key tuples, and the
+    * survivors rewritten in one atomic `"delete"` commit; files outside
+    * the key range — and whole segments, via the manifest-list envelope
+    * — carry over by ref. Null key tuples match nothing (SQL IN
+    * semantics: `k IN (…)` is never TRUE for a null `k` or null list
+    * row). Pending positional deletes compose exactly as in [[delete]];
+    * the other merge-on-read forms refuse. The positional sibling
+    * ([[deletePositionalByKeys]]) writes O(victims) instead of
+    * rewriting candidate files — this form is the rewrite-now spelling
+    * SQL DELETE defaults to on copy-on-write tables. Returns None when
+    * no file can hold a matching key. */
+  def deleteByKeys(
+      spark: SparkSession,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    require(keyCols.nonEmpty, "at least one key column required")
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"unknown key column '$c'"))
+    keyCols.foreach(c => require(keys.columns.contains(c),
+      s"keys DataFrame lacks column '$c'"))
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
+      s"$dir has deferred deletes pending — compact() to materialize " +
+        "them before running copy-on-write DML")
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val k0 = keyCols.head
+    val bounds = keys.agg(fmin(col(k0)), fmax(col(k0))).head()
+    if (bounds.isNullAt(0)) return None // no non-null keys: nothing matches
+    val rangePred = resolveAgainst(spark, schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(
+        col(k0) >= lit(bounds.get(0)) && col(k0) <= lit(bounds.get(1))))
+    val (candidates, untouchedM) = partitionPruned(manifest, rangePred)
+    if (candidates.isEmpty) return None
+    val snapId = lg.nextId
+    val posPend = parsePositional(current)
+    val priorDeleted: Map[String, Long] =
+      posPend.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
+    val P = GraftTable.MergeSrcPrefix
+    val keySel = keys
+      .select(keyCols.map(c => col(c).cast(schema(c).dataType).as(P + c)): _*)
+      .distinct()
+    val survivors = readVisible(spark, Nil, posPend, candidates)
+      .join(keySel,
+        keyCols.map(c => col(c) === col(P + c)).reduce(_ && _), "left_anti")
+      .select(schema.fieldNames.map(col): _*)
+    val newFiles = writeDataFiles(survivors, snapId)
+      .filter(_.recordCount > 0)
+    val removed = candidates.map(f =>
+      f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum -
+      newFiles.map(_.recordCount).sum
+    val stillPositional =
+      stripPositional(posPend, candidates.map(_.path).toSet)
+    Some(commit(lg, snapId,
+      untouchedM.append(newFiles),
+      newFiles,
+      operation = "delete", committedAt,
+      extraSummary = Map(
+        "deleted-records" -> removed.toString,
+        "rewritten-data-files" -> candidates.size.toString,
+        SummaryPositionalDeletes -> positionalJson(stillPositional))))
+  }
+
   /** Predicate COUNT with metadata acceleration — the other consumer of
     * the [[Pruning.mustMatchAll]] proof: files provably ALL-matching
     * contribute their manifest record counts, files that cannot match

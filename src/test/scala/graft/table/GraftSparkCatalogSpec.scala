@@ -720,6 +720,96 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .count() == 2)
   }
 
+  test("graft-target DML splices MoR-pending graft SOURCES (CDC chains)") {
+    import org.apache.spark.sql.functions.col
+    // upstream table with pending equality tombstones
+    val up = GraftTable.create(s"$wh/db/chainup", schema)
+    up.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    up.deleteEquality(sqlS, mkDf(2L -> "b").select("id"), Seq("id"),
+      Some(2000L))
+    assert(up.equalityDeletes.nonEmpty)
+    // INSERT INTO a clean graft table FROM the MoR-pending one: the
+    // source read must splice to visible rows (2 is tombstoned)
+    val down = GraftTable.create(s"$wh/db/chaindown", schema)
+    sqlS.sql("INSERT INTO g2.db.chaindown SELECT id, data FROM g2.db.chainup")
+    assert(sqlS.sql("SELECT id FROM g2.db.chaindown ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // MERGE with the MoR-pending table as SOURCE
+    val tgt = GraftTable.create(s"$wh/db/chainmrg", schema)
+    tgt.append(mkDf(1L -> "old", 9L -> "z"), Some(1000L))
+    sqlS.sql("MERGE INTO g2.db.chainmrg t USING g2.db.chainup s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(sqlS.sql("SELECT id, data FROM g2.db.chainmrg ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "c"), (9L, "z")))
+    // DELETE ... IN (SELECT from the MoR-pending table)
+    val td = GraftTable.create(s"$wh/db/chaindel", schema)
+    td.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    sqlS.sql("DELETE FROM g2.db.chaindel WHERE id IN " +
+      "(SELECT id FROM g2.db.chainup)")
+    // 2 is tombstoned upstream, so it SURVIVES here
+    assert(sqlS.sql("SELECT id FROM g2.db.chaindel ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // CTAS from the MoR-pending table splices too
+    sqlS.sql("CREATE TABLE g2.db.chainctas AS " +
+      "SELECT id, data FROM g2.db.chainup")
+    assert(sqlS.sql("SELECT id FROM g2.db.chainctas ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("DELETE WHERE key IN (SELECT ...) routes to the key-delete forms") {
+    // copy-on-write table: anti-join rewrite in one "delete" snapshot
+    val t = GraftTable.create(s"$wh/db/delin", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), Some(1000L))
+    sqlS.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, "x"), Row(4L, "y")), 1),
+      schema).createOrReplaceTempView("delin_losers")
+    sqlS.sql("DELETE FROM g2.db.delin WHERE id IN " +
+      "(SELECT id FROM delin_losers)")
+    assert(sqlS.sql("SELECT id FROM g2.db.delin ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val t2 = GraftTable.load(s"$wh/db/delin")
+    assert(t2.log.current.get.operation == "delete")
+    assert(t2.log.current.get.summary("deleted-records") == "2")
+    assert(t2.positionalDeletes.isEmpty, "CoW table took the MoR path")
+
+    // merge-on-read mode: positional entries, base files untouched
+    val tm = GraftTable.create(s"$wh/db/delinmor", schema,
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    tm.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    sqlS.sql("DELETE FROM g2.db.delinmor WHERE id IN " +
+      "(SELECT id FROM delin_losers)")
+    val tm2 = GraftTable.load(s"$wh/db/delinmor")
+    assert(tm2.positionalDeletes.map(_.deletedRows).sum == 1) // only key 2
+    assert(sqlS.sql("SELECT id FROM g2.db.delinmor ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+
+    // a subquery over ANOTHER graft table works too (self-curation)
+    sqlS.sql("DELETE FROM g2.db.delin WHERE id IN " +
+      "(SELECT id FROM g2.db.delinmor WHERE data = 'c')")
+    assert(sqlS.sql("SELECT id FROM g2.db.delin ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("UPDATE WHERE key IN (SELECT ...) routes to the matched-only merge") {
+    val t = GraftTable.create(s"$wh/db/updin", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    // duplicate subquery rows must not trip the MERGE cardinality check
+    // (IN semantics: the key set is deduplicated)
+    sqlS.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "x"), Row(1L, "y"), Row(3L, "z")), 1),
+      schema).createOrReplaceTempView("updin_keys")
+    sqlS.sql("UPDATE g2.db.updin SET data = concat(data, '!') " +
+      "WHERE id IN (SELECT id FROM updin_keys)")
+    assert(sqlS.sql("SELECT id, data FROM g2.db.updin ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a!"), (2L, "b"), (3L, "c!")))
+    assert(GraftTable.load(s"$wh/db/updin").log.current.get
+      .operation == "merge")
+  }
+
   test("spliceMemo key survives a same-millisecond double commit") {
     import java.nio.file.{Files, Paths}
     val dir = s"$wh/db/memoms"

@@ -258,6 +258,40 @@ class ManifestScaleSpec extends SparkSpecBase {
     info(f"full=$fullBytes%,d B append=$appendBytes%,d B commit=$commitMs%.1f ms")
   }
 
+  test("20k-entry manifest: predicate planning parses only matching segments") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/manifests"))
+    val schema20 = StructType(Seq(StructField("id", LongType)))
+    def entry(i: Int) = DataFileEntry(
+      f"data/part-00001-synthetic-$i%06d.parquet", 100L, 1 << 20,
+      Map("id" -> ColumnStats(
+        Some((i * 100L).toString), Some((i * 100L + 99).toString),
+        Some(0L), Some(100L))))
+    // 20 segments × 1000 entries with disjoint id ranges
+    var m = Manifest.empty
+    (0 until 20).foreach { k =>
+      m = m.append((1 to 1000).map(i => entry(k * 1000 + i)))
+    }
+    m.write(s"$dir/manifests/snap-00001.json", Some(schema20))
+    val loaded = Manifest.read(s"$dir/manifests/snap-00001.json")
+    assert(loaded.segments.size == 20)
+    assert(loaded.segments.forall(_.envelope.isDefined),
+      "write did not record segment envelopes")
+    // a point lookup inside segment 7's range
+    val attr = AttributeReference("id", LongType)()
+    val pred = EqualTo(attr, Literal(750000L, LongType)) // entry 7500
+    val files = loaded.prunedFiles(
+      seg => seg.envelope.forall(env => Pruning.mayMatch(pred, env, schema20)),
+      f => Pruning.mayMatchFile(pred, f, schema20))
+    assert(files.size == 1 && files.head.path.contains("007500"))
+    val parsed = loaded.segmentRefs.filter(r =>
+      Manifest.parsedSegmentPaths.contains(s"$dir/$r"))
+    assert(parsed.size == 1,
+      s"point lookup parsed ${parsed.size} of 20 segments (want 1)")
+  }
+
   test("__segments metadata table reflects the manifest list") {
     val dir = s"${tmp()}/t"
     val t = GraftTable.create(dir, schema)
