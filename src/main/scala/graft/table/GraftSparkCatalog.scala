@@ -188,6 +188,20 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
         t = t.dropColumn(del.fieldNames()(0))
       case wid: TableChange.UpdateColumnType if wid.fieldNames().length == 1 =>
         t = t.widenColumn(wid.fieldNames()(0), wid.newDataType())
+      case set: TableChange.SetProperty
+          if set.property() == "graft.partition.spec" =>
+        // PARTITION-SPEC EVOLUTION through SQL (Spark's TableChange has
+        // no Iceberg-style partition-field op, so the spec rides a
+        // reserved property): a comma-separated spec string —
+        // `bucket(8,id),days(ts)`, `n_regionkey`, or '' to go
+        // unpartitioned — routed to the library's metadata-only layout
+        // change (existing files keep their era's layout; v23 machinery)
+        // split on commas OUTSIDE transform parens (`bucket(4, id),days(ts)`
+        // is two entries) and normalize whitespace to the canonical
+        // spec spelling (`bucket(4,id)`)
+        val spec = set.value().split(",(?![^(]*\\))")
+          .map(_.replaceAll("\\s+", "")).filter(_.nonEmpty).toSeq
+        t = t.updatePartitionSpec(spec)
       case set: TableChange.SetProperty =>
         t = t.updateProperties(Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>
@@ -369,7 +383,27 @@ final class GraftV2Table(
         !f.path.startsWith("../") && !f.path.startsWith("branches/")),
         s"${t.dir} is identity-partitioned with branch-era data files — " +
           "read it via GraftTable.scan/GraftCatalog, not the DSv2 catalog")
+      // ONE uniform directory layout is required for recovery: a file
+      // from another partition-spec ERA (updatePartitionSpec) sits at a
+      // different depth/key set — silent NULLs or dropped rows, not an
+      // error — so mixed-era identity tables refuse with direction (the
+      // library scan path groups files by their own era's spec)
+      val expected = t.partitionFields.map(_.fieldName).toSet
+      require(entries.forall(_.partition.keySet == expected),
+        s"${t.dir} mixes partition-spec eras under an identity layout — " +
+          "read it via GraftTable.scan/GraftCatalog or an extensions " +
+          "session, or compact() to migrate files to the current spec")
       opts.put("basePath", s"${t.dir}/data")
+    } else {
+      // leaf-file reads recover NOTHING from directories — a file from
+      // an identity-partitioned era holds that column only in its path
+      // (partitionBy drops it from the footers), so reading it here
+      // would silently produce NULLs for a schema column — refuse
+      require(entries.forall(f =>
+        !f.partition.keySet.exists(k => t.schema.fieldNames.contains(k))),
+        s"${t.dir} holds identity-partitioned era data files under a " +
+          "non-identity current spec — read it via GraftTable.scan/" +
+          "GraftCatalog or an extensions session, or compact() first")
     }
     // manifest pruning BEFORE the parquet source sees the list: the
     // pushed Catalyst data filters drive the same stats/bloom/transform

@@ -337,7 +337,24 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
             snap.exists(s =>
               Manifest.read(s"${tb.dir}/${s.manifestList}").files
                 .exists(tb.renameAffects))
-          pending || renamed
+          // mixed partition-spec ERAS break the raw scan's uniform-layout
+          // assumptions exactly like renames (identity keys live in
+          // directories, and only in the era that declared them); the
+          // updatePartitionSpec marker keeps never-evolved tables at
+          // zero extra planning I/O
+          val specMixed =
+            tb.properties.contains(GraftTable.PropSpecEvolved) &&
+              snap.exists { s =>
+                val files =
+                  Manifest.read(s"${tb.dir}/${s.manifestList}").files
+                val pf = tb.partitionFields
+                if (pf.exists(_.isIdentity)) {
+                  val expected = pf.map(_.fieldName).toSet
+                  files.exists(_.partition.keySet != expected)
+                } else files.exists(_.partition.keySet
+                  .exists(k => tb.schema.fieldNames.contains(k)))
+              }
+          pending || renamed || specMixed
         }
         if (needs) Some(g) else None
       case _ => None
@@ -614,13 +631,22 @@ object ResolveGraftDml {
     * can therefore only serve the state the files still describe.
     * Bounded defensively. */
   private val spliceMemoMap =
-    new java.util.concurrent.ConcurrentHashMap[
-      (String, Long, Option[Long]), java.lang.Boolean]()
+    new java.util.LinkedHashMap[(String, Long, Option[Long]), java.lang.Boolean](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Option[Long]), java.lang.Boolean])
+          : Boolean = size() > 1024
+    }
 
   private[table] def spliceMemo(key: (String, Long, Option[Long]))(
       f: => Boolean): Boolean = {
-    if (spliceMemoMap.size() > 1024) spliceMemoMap.clear()
-    spliceMemoMap.computeIfAbsent(key, _ => f).booleanValue()
+    spliceMemoMap.synchronized(Option(spliceMemoMap.get(key))) match {
+      case Some(v) => v.booleanValue()
+      case None =>
+        val v = f // outside the lock: computes I/O (snapshot/manifest reads)
+        spliceMemoMap.synchronized(spliceMemoMap.put(key, v))
+        v
+    }
   }
 }
 

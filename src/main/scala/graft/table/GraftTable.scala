@@ -2981,7 +2981,12 @@ final class GraftTable private (
   def updatePartitionSpec(newSpec: Seq[String]): GraftTable = {
     // validates identity columns AND hidden transforms against the schema
     PartitionField.parseSpec(newSpec, schema)
-    writeMeta(newSpec = newSpec)
+    // permanent marker: spec ERAS may now mix in the manifests. Readers
+    // that need a uniform layout (the raw DSv2 surface) key their
+    // mixed-era check on it, so never-evolved tables pay ZERO extra
+    // planning I/O for the check
+    writeMeta(newSpec = newSpec,
+      newProps = properties + (GraftTable.PropSpecEvolved -> "true"))
   }
 
   // ------------------------------------------------------------------
@@ -3699,6 +3704,10 @@ object GraftTable {
     * SOURCE columns to action conditions/values over the joined row
     * (target columns keep their bare names). */
   val MergeSrcPrefix = "__graft_src__"
+
+  /** Internal marker set by [[GraftTable.updatePartitionSpec]]: the
+    * table's manifests MAY mix partition-spec eras. */
+  val PropSpecEvolved = "graft.internal.spec.evolved"
 
   val SummaryPendingDeletes = "pending-deletes"
   val SummaryPositionalDeletes = "positional-deletes"

@@ -810,6 +810,48 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .operation == "merge")
   }
 
+  test("partition-spec evolution through SQL TBLPROPERTIES") {
+    spark.sql("CREATE TABLE g2.db.specevo (id BIGINT, cat STRING)")
+    val t = GraftTable.load(s"$wh/db/specevo")
+    def catDf(rows: (Long, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+      t.schema)
+    t.append(catDf(1L -> "x", 2L -> "y"), Some(1000L))
+    // evolve the layout for FUTURE writes — metadata-only
+    spark.sql("ALTER TABLE g2.db.specevo " +
+      "SET TBLPROPERTIES ('graft.partition.spec' = 'cat')")
+    val t2 = GraftTable.load(s"$wh/db/specevo")
+    assert(t2.partitionColumns == Seq("cat"))
+    t2.append(catDf(3L -> "x", 4L -> "z"), Some(2000L))
+    // the raw DSv2 surface cannot serve MIXED identity-layout eras
+    // (directory recovery would silently null/drop era-1 rows) — the
+    // plain session refuses loudly…
+    val eMixed = intercept[Exception] {
+      spark.sql("SELECT id FROM g2.db.specevo WHERE cat = 'x'").collect()
+    }
+    assert(eMixed.getMessage.contains("partition-spec eras"),
+      eMixed.getMessage)
+    // …and an EXTENSIONS session splices the library's era-grouped plan:
+    // both eras read as one table, partition predicates answer correctly
+    assert(sqlS.sql("SELECT id FROM g2.db.specevo WHERE cat = 'x'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(sqlS.sql("SELECT count(*) FROM g2.db.specevo").head().getLong(0) == 4L)
+    // hidden transforms spell the same way; '' goes unpartitioned
+    spark.sql("ALTER TABLE g2.db.specevo " +
+      "SET TBLPROPERTIES ('graft.partition.spec' = 'bucket(4, id)')")
+    assert(GraftTable.load(s"$wh/db/specevo")
+      .partitionColumns == Seq("bucket(4,id)"))
+    spark.sql("ALTER TABLE g2.db.specevo " +
+      "SET TBLPROPERTIES ('graft.partition.spec' = '')")
+    assert(GraftTable.load(s"$wh/db/specevo").partitionColumns.isEmpty)
+    // an invalid spec refuses loudly, nothing changes
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE g2.db.specevo " +
+        "SET TBLPROPERTIES ('graft.partition.spec' = 'nope_col')")
+    }
+    assert(e.getMessage.contains("nope_col"), e.getMessage)
+  }
+
   test("spliceMemo key survives a same-millisecond double commit") {
     import java.nio.file.{Files, Paths}
     val dir = s"$wh/db/memoms"
