@@ -2358,11 +2358,18 @@ final class GraftTable private (
       .getOrElse(Manifest.empty)
     val srcKeyCols = keyPairs.map(_._2)
 
+    // does any action MODIFY existing rows? An insert-only merge never
+    // rewrites a candidate file (and never joins target rows to the
+    // source — which would duplicate them under duplicate source keys,
+    // a legal insert-only source)
+    val rowModifying = matched.nonEmpty || notMatchedBySource.nonEmpty
+
     // SQL MERGE cardinality: a target row matching more than one source
-    // row would make the applied action nondeterministic — refused.
+    // row would make the applied action (or the rewrite join itself)
+    // nondeterministic — refused whenever the rewrite join runs.
     // Checked as "non-null key tuples are distinct" with ONE aggregate
     // over the source (null-key rows never match, SQL equality).
-    if (matched.nonEmpty) {
+    if (rowModifying) {
       val keysNotNull = srcKeyCols.map(col(_).isNotNull).reduce(_ && _)
       val a = source.agg(
         fsum(when(keysNotNull, 1L).otherwise(0L)),
@@ -2412,7 +2419,7 @@ final class GraftTable private (
       }
 
     val rewrittenOpt: Option[DataFrame] =
-      if (candidates.isEmpty) None
+      if (candidates.isEmpty || !rowModifying) None
       else {
         val tgt = readVisible(spark, Nil, posPend, candidates)
         val joinCond = keyPairs.map { case (tk, sk) =>
@@ -2466,6 +2473,18 @@ final class GraftTable private (
     val newFiles = out
       .map(df => writeDataFiles(df, snapId).filter(_.recordCount > 0))
       .getOrElse(Nil)
+    if (!rowModifying) {
+      // insert-only: every existing file (candidates included) stays in
+      // place with its positional entries intact; only the inserted
+      // files append
+      if (newFiles.isEmpty) return None // no row inserted: no commit
+      return Some(commit(lg, snapId, manifest.append(newFiles), newFiles,
+        operation = "merge", committedAt,
+        extraSummary = Map(
+          "rewritten-data-files" -> "0",
+          "merge-key" -> keyPairs.map(_._1).mkString(","),
+          SummaryPositionalDeletes -> positionalJson(posPend))))
+    }
     if (candidates.isEmpty && newFiles.isEmpty) return None // provable no-op
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)

@@ -585,6 +585,32 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 4L, 9L))
   }
 
+  test("insert-only MERGE: no rewrite, and duplicate source keys are legal") {
+    val t = GraftTable.create(s"$wh/db/insonly", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    val baseFiles = Manifest.read(
+      s"$wh/db/insonly/${t.log.current.get.manifestList}")
+      .files.map(_.path).toSet
+    // dup keys are LEGAL for an insert-only merge (both rows are "not
+    // matched" against the statement-start state and both insert); a
+    // dup key that IS matched must neither error nor duplicate the row
+    cdcDf((1L, "dup-matched", "U"), (1L, "dup-matched-2", "U"),
+      (9L, "n1", "U"), (9L, "n2", "U"))
+      .createOrReplaceTempView("insonly_src")
+    sqlS.sql("MERGE INTO g2.db.insonly t USING insonly_src s ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT (id, data) VALUES (s.id, s.data)")
+    assert(sqlS.sql("SELECT id, data FROM g2.db.insonly ORDER BY id, data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (9L, "n1"), (9L, "n2")))
+    // nothing was rewritten: base files all still live
+    val t2 = GraftTable.load(s"$wh/db/insonly")
+    assert(t2.log.current.get.summary("rewritten-data-files") == "0")
+    val live = Manifest.read(
+      s"$wh/db/insonly/${t2.log.current.get.manifestList}")
+      .files.map(_.path).toSet
+    assert(baseFiles.subsetOf(live), "insert-only merge rewrote base files")
+  }
+
   test("MERGE cardinality violation: duplicate source keys are refused") {
     val t = GraftTable.create(s"$wh/db/card", schema)
     t.append(mkDf(1L -> "a"), Some(1000L))

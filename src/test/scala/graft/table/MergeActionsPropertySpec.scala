@@ -109,10 +109,16 @@ class MergeActionsPropertySpec extends SparkSpecBase {
             (cf, Left(af): Either[R => R, Unit]))
         } else (MergeDelete(c): MergeMatchedAction, (cf, Right(())))
       }
+      // duplicate source keys are legal exactly when no action joins
+      // target rows to the source (insert-only merges)
+      val src2 =
+        if (nM + nB == 0 && source.nonEmpty && rnd.nextBoolean())
+          source ++ source.take(2)
+        else source
       if (nM + nI + nB == 0) () // mergeActions requires an action
       else {
         // ---- reference evaluation ----
-        val srcByKey = source.collect { case s @ (Some(k), _, _) => k -> s }.toMap
+        val srcByKey = src2.collect { case s @ (Some(k), _, _) => k -> s }.toMap
         val kept = target.flatMap { t =>
           t._1.flatMap(srcByKey.get) match {
             case Some(s) =>
@@ -130,7 +136,7 @@ class MergeActionsPropertySpec extends SparkSpecBase {
           }
         }
         val tgtKeys = target.flatMap(_._1).toSet
-        val ins = source
+        val ins = src2
           .filter(s => !s._1.exists(tgtKeys.contains))
           .flatMap { s =>
             inserts.find { case (_, (cf, _)) => cf(s) }
@@ -145,7 +151,7 @@ class MergeActionsPropertySpec extends SparkSpecBase {
           .createTempDirectory(s"graft-maprop$trial").toString
         val tb = GraftTable.create(s"$dir/t", schema)
         tb.append(df(target), Some(1000L))
-        tb.mergeActions(spark, df(source), Seq(("k", "k")),
+        tb.mergeActions(spark, df(src2), Seq(("k", "k")),
           matched.map(_._1), inserts.map(_._1), bySource.map(_._1),
           Some(2000L))
         val got = tb.read(spark).select("k", "v", "w").collect()
