@@ -560,8 +560,37 @@ final class GraftTable private (
       : DataFileEntry => Boolean = {
     val aug = PartitionField.augment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
-    f => Pruning.mayMatchFile(aug, stripStaleBlooms(f), augSchema)
+    f => Pruning.mayMatchFile(aug, aliasLegacyStats(stripStaleBlooms(f)),
+      augSchema)
   }
+
+  /** Era-gated compatibility alias for derived-stat keys. Probes use the
+    * PARAMETER-QUALIFIED [[PartitionField.statName]] (`tok_bucket_16`);
+    * files written before qualification hold the synthesized stats under
+    * the bare directory key (`tok_bucket`). On a table whose spec has
+    * NEVER evolved ([[GraftTable.PropSpecEvolved]] unset) exactly one
+    * parameterization can ever have written that key, so serving the
+    * bare value under the qualified name is sound and keeps legacy
+    * tables pruning. The moment the spec evolves the bare key is
+    * ambiguous across moduli/widths and the alias shuts off — those
+    * legacy files are conservatively kept instead (the exact unsound
+    * cross-era skip the qualification exists to prevent). */
+  private lazy val legacyStatAliases: Map[String, String] =
+    if (properties.contains(GraftTable.PropSpecEvolved)) Map.empty
+    else partitionFields.iterator
+      .filter(f => f.statName != f.fieldName)
+      .map(f => f.fieldName -> f.statName).toMap
+
+  private def aliasLegacyStats(
+      stats: Map[String, ColumnStats]): Map[String, ColumnStats] =
+    if (legacyStatAliases.isEmpty) stats
+    else stats ++ legacyStatAliases.collect {
+      case (bare, q) if stats.contains(bare) && !stats.contains(q) =>
+        q -> stats(bare)
+    }
+
+  private def aliasLegacyStats(f: DataFileEntry): DataFileEntry =
+    if (legacyStatAliases.isEmpty) f else f.copy(stats = aliasLegacyStats(f.stats))
 
   /** Whole-SEGMENT may-match on the manifest-list envelope — the level
     * above [[pruneKeep]]: a segment whose merged min/max rule the
@@ -573,7 +602,8 @@ final class GraftTable private (
       : ManifestSegment => Boolean = {
     val aug = PartitionField.augment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
-    seg => seg.envelope.forall(env => Pruning.mayMatch(aug, env, augSchema))
+    seg => seg.envelope.forall(env =>
+      Pruning.mayMatch(aug, aliasLegacyStats(env), augSchema))
   }
 
   /** Predicate-pruned file list with segment-envelope skipping — the
@@ -995,9 +1025,12 @@ final class GraftTable private (
       // exact min=max=value stats so the same sound min/max pruning
       // machinery (Pruning/PruningPropertySpec) prunes partitions too
       val partStats = partition.map { case (c, v) =>
-        val dt = partitionFields.find(_.fieldName == c).map(_.derivedType)
-          .getOrElse(schema(c).dataType)
-        c -> PartitionValues.stats(v, dt, rows)
+        // synthesized stats live under the PARAMETER-QUALIFIED statName
+        // (id_bucket_8), never the bare directory key — so a later
+        // re-parameterized era can never probe this era's values
+        val pf = partitionFields.find(_.fieldName == c)
+        val dt = pf.map(_.derivedType).getOrElse(schema(c).dataType)
+        pf.map(_.statName).getOrElse(c) -> PartitionValues.stats(v, dt, rows)
       }
       val blooms = FileBloom.harvest(dst.toString, conf, bloomCols)
       val rel = (partDirs :+ name).mkString("/")

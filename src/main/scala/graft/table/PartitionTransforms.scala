@@ -40,6 +40,16 @@ sealed trait PartitionField {
   /** The directory key (`<fieldName>=<value>/`); equals `source` for
     * identity. */
   def fieldName: String
+  /** The key the derived SYNTHESIZED STATS live under — parameter-
+    * qualified for parameterized transforms (`id_bucket_8`,
+    * `s_trunc_4`), so a spec evolution that RE-PARAMETERIZES a
+    * transform (bucket(4)→bucket(8)) can never compare one era's
+    * derived probe against another era's derived stats: the other
+    * era's files simply lack the qualified key and are kept
+    * (conservative — the unsound cross-modulus skip is structurally
+    * impossible). Directory layout keys ([[fieldName]]) are
+    * unqualified and unchanged. */
+  def statName: String = fieldName
   /** Type of the derived directory value. */
   def derivedType: DataType
   /** The derived value as a write-time column over the data. */
@@ -72,6 +82,7 @@ final case class IdentityField(source: String, derivedType: DataType)
 
 final case class BucketField(n: Int, source: String) extends PartitionField {
   val fieldName: String = s"${source}_bucket"
+  override val statName: String = s"${source}_bucket_$n"
   val derivedType: DataType = IntegerType
   def writeExpr: Column =
     pmod(xxhash64(col(source)), lit(n.toLong)).cast("int")
@@ -169,6 +180,7 @@ final case class HoursField(source: String) extends TimeUnitField {
 
 final case class TruncateField(w: Int, source: String) extends PartitionField {
   val fieldName: String = s"${source}_trunc"
+  override val statName: String = s"${source}_trunc_$w"
   val derivedType: DataType = StringType
   def writeExpr: Column = substring(col(source), 1, w)
   def derive(v: Any, dt: DataType): Any =
@@ -253,7 +265,7 @@ object PartitionField {
     * walk needs to type the synthesized directory-value stats. */
   def augmentedSchema(schema: StructType, fields: Seq[PartitionField]): StructType =
     StructType(schema.fields ++ fields.filterNot(_.isIdentity)
-      .map(f => StructField(f.fieldName, f.derivedType, nullable = true)))
+      .map(f => StructField(f.statName, f.derivedType, nullable = true)))
 
   /** Conjoin the resolved predicate with every sound derived-column
     * implication of its top-level conjuncts. Identity fields need no
@@ -294,7 +306,7 @@ object PartitionField {
   }
 
   private def proofConjunct(c: Expression, f: PartitionField): Option[Expression] = {
-    def attr = AttributeReference(f.fieldName, f.derivedType)()
+    def attr = AttributeReference(f.statName, f.derivedType)()
     def dlit(v: Any, dt: DataType): Literal = Literal(f.derive(v, dt), f.derivedType)
     c match {
       // a < lit / a <= lit ⟸ key(a) < key(lit)
@@ -342,7 +354,7 @@ object PartitionField {
     } catch { case _: Exception => false }
 
   private def mapConjunct(c: Expression, f: PartitionField): Option[Expression] = {
-    def attr = AttributeReference(f.fieldName, f.derivedType)()
+    def attr = AttributeReference(f.statName, f.derivedType)()
     def dlit(v: Any, dt: DataType): Literal = Literal(f.derive(v, dt), f.derivedType)
     c match {
       case EqualTo(a: AttributeReference, Literal(v, dt))
