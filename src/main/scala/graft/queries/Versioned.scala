@@ -621,6 +621,30 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Co-bucketed fact tables for the storage-partitioned join: orders
+    * and lineitem written as graft tables laid out `bucket(8, orderkey)`
+    * — the layout that lets their join (the canonical fact-fact shape)
+    * run with NO shuffle on either side once the DSv2 scan reports
+    * `KeyGroupedPartitioning` (`GraftKeyGroupedScan`,
+    * StoragePartitionedJoinSpec asserts the zero-shuffle plan). */
+  private def spjOrdersFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/spj_orders", 1) { dir =>
+      val o = t(spark, sfDir, "orders")
+      val tb = GraftTable.create(dir, o.schema,
+        partitionBy = Seq("bucket(8,o_orderkey)"))
+      tb.append(o, committedAt = Some(1000L))
+      tb
+    }
+
+  private def spjLineitemFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/spj_lineitem", 1) { dir =>
+      val l = t(spark, sfDir, "lineitem")
+      val tb = GraftTable.create(dir, l.schema,
+        partitionBy = Seq("bucket(8,l_orderkey)"))
+      tb.append(l, committedAt = Some(1000L))
+      tb
+    }
+
   val queries: Map[String, Q] = Map(
 
     // MANIFEST MAINTENANCE: ten small appends re-sharded into one
@@ -693,6 +717,31 @@ object Versioned extends QueryPack {
       cdcReplicationFixture(s, d).read(s)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
           col("snapshot__id"))),
+
+    // STORAGE-PARTITIONED JOIN: orders ⋈ lineitem, both graft tables
+    // bucketed bucket(8, orderkey) — the key-grouped DSv2 scans report
+    // matching KeyGroupedPartitioning, so at cluster scale (where
+    // neither side broadcasts) the fact-fact join shuffles NEITHER side;
+    // at bench SFs Spark's statistics may still elect a broadcast, which
+    // is the right plan there (StoragePartitionedJoinSpec pins the
+    // zero-shuffle shape under no-broadcast planner state)
+    "v43_graft_spj" -> ((s, d) => {
+      val ot = spjOrdersFixture(s, d)
+      spjLineitemFixture(s, d)
+      val wh = Paths.get(ot.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g43", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g43.warehouse", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      val o = s.read.option("key-grouped", "true").table("g43.db.spj_orders")
+      val l = s.read.option("key-grouped", "true").table("g43.db.spj_lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
 
     // schema evolution: one scan spanning pre- and post-evolution files;
     // the added column is NULL for rows from pre-evolution files
@@ -1120,6 +1169,15 @@ object Versioned extends QueryPack {
         "CASE WHEN n_regionkey = 1 THEN n_name || '_U' ELSE n_name END " +
         "AS n_name, n_regionkey, CAST(2 AS BIGINT) AS snapshot__id " +
         "FROM nation WHERE n_nationkey % 4 <> 1"),
+    // the co-bucketed fact-fact join must agree with a from-source
+    // recompute (the graft tables hold exactly orders/lineitem)
+    "v43_graft_spj" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "CAST(round(sum(CAST(l_extendedprice * " +
+        "(CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4))), 2) " +
+        "AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     // the maintained view must equal a from-scratch recompute of the
     // final state (nation minus the deleted regions)
     "v22_graft_ivm" ->

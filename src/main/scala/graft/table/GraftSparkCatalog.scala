@@ -37,10 +37,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * time travel here uses the standard `VERSION AS OF` syntax; the virtual-
   * column dialect lives on [[GraftCatalog.register]]'s view path.
   */
-class GraftSparkCatalog extends CatalogPlugin with TableCatalog {
+class GraftSparkCatalog extends CatalogPlugin with TableCatalog
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** Catalog functions backing storage-partitioned joins: Spark resolves
+    * a scan-reported `bucket(n, col)` partitioning against this catalog
+    * ([[GraftV2Functions]]); transform functions live in the EMPTY
+    * namespace, which is where `V2ExpressionUtils` looks them up. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftV2Functions.names.map(Identifier.of(Array.empty[String], _)).toArray
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val found =
+      if (ident.namespace().isEmpty) GraftV2Functions.load(ident.name())
+      else None
+    found.getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident))
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -405,6 +424,34 @@ final class GraftV2Table(
           "non-identity current spec — read it via GraftTable.scan/" +
           "GraftCatalog or an extensions session, or compact() first")
     }
+    // Storage-partitioned-join mode, opted into per read
+    // (`option("key-grouped", "true")`) or per table
+    // (`graft.read.key-grouped=true`): when the spec is a single bucket
+    // transform and every live file carries its bucket id from ONE spec
+    // era, the scan reports KeyGroupedPartitioning(bucket(n, col)) and
+    // groups splits by bucket, so a join of two co-bucketed tables on
+    // the bucket source shuffles NEITHER side. Mixed-era tables
+    // (PropSpecEvolved) never qualify — two eras' bucket ids are not
+    // comparable. Opt-in because the trade is real: scan parallelism
+    // collapses to #buckets, right for the co-located join, wrong for a
+    // plain wide scan.
+    val keyGroupedOn =
+      "true".equalsIgnoreCase(options.getOrDefault("key-grouped",
+        t.properties.getOrElse("graft.read.key-grouped", "false")))
+    val keyGrouped = t.partitionFields match {
+      case Seq(b @ BucketField(n, src)) if keyGroupedOn &&
+          !t.properties.contains(GraftTable.PropSpecEvolved) &&
+          entries.nonEmpty &&
+          entries.forall(_.partition.get(b.fieldName)
+            .exists(_.exists(_.forall(_.isDigit)))) =>
+        def norm(p: String): String =
+          new org.apache.hadoop.fs.Path(p).toUri.getPath
+        val buckets = entries.map(f =>
+          norm(abs(f.path)) -> f.partition(b.fieldName).get.toInt).toMap
+        Some((Array[org.apache.spark.sql.connector.expressions.Expression](
+          Expressions.bucket(n, src)), buckets.get _))
+      case _ => None
+    }
     // manifest pruning BEFORE the parquet source sees the list: the
     // pushed Catalyst data filters drive the same stats/bloom/transform
     // walk the library scan path uses (sound: everything stays residual)
@@ -416,6 +463,7 @@ final class GraftV2Table(
           .map(t.pruneKeep)
           .getOrElse((_: DataFileEntry) => true)
         entries.filter(keep).map(f => abs(f.path))
-      })
+      },
+      keyGrouped)
   }
 }

@@ -27,7 +27,10 @@ final class GraftPruningScanBuilder(
     schema: StructType,
     options: java.util.Map[String, String],
     allPaths: Seq[String],
-    prune: Seq[Expression] => Seq[String])
+    prune: Seq[Expression] => Seq[String],
+    keyGrouped: Option[(
+        Array[org.apache.spark.sql.connector.expressions.Expression],
+        String => Option[Int])] = None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -60,6 +63,13 @@ final class GraftPruningScanBuilder(
       case c: SupportsPushDownRequiredColumns => c.pruneColumns(required)
       case _ => ()
     }
-    delegate.build()
+    val built = delegate.build()
+    keyGrouped match {
+      // a pruned-to-empty scan keeps the plain shape (a zero-partition
+      // KeyGroupedPartitioning has nothing to report)
+      case Some((keys, bucketOf)) if paths.nonEmpty =>
+        new GraftKeyGroupedScan(built, keys, bucketOf)
+      case _ => built
+    }
   }
 }
