@@ -140,6 +140,65 @@ class StoragePartitionedJoinSpec extends SparkSpecBase {
     assert(keyed("g3.db.evo_b").count() == 20)
   }
 
+  test("SQL joins opt in through the table property") {
+    // pure-SQL surface: no read options exist there, so the property is
+    // the opt-in — both tables marked key-grouped, SQL join co-locates
+    val p = Map("graft.read.key-grouped" -> "true")
+    GraftTable.create(s"$wh/db/cust_p", custSchema, properties = p,
+      partitionBy = Seq("bucket(8,ckey)")).append(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize((1L to 40L).map(i => Row(i, s"s$i")), 2),
+        custSchema), Some(1000L))
+    GraftTable.create(s"$wh/db/ords_p", ordSchema, properties = p,
+      partitionBy = Seq("bucket(8,cust)")).append(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize((1L to 400L).map(i => Row(i, i % 40 + 1, i)), 2),
+        ordSchema), Some(1000L))
+    val j = spark.sql(
+      "SELECT seg, count(*) AS n FROM g3.db.cust_p c " +
+        "JOIN g3.db.ords_p o ON c.ckey = o.cust GROUP BY seg")
+    assert(j.collect().map(_.getLong(1)).sum == 400)
+    val nodes = allNodes(j.queryExecution.executedPlan)
+    val joins = nodes.filter(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec])
+    assert(joins.nonEmpty, "expected a partitioned join in the SQL plan")
+    // the join itself is shuffle-free; the GROUP BY above it may shuffle
+    val underJoin = joins.flatMap(allNodes)
+    assert(!underJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"property-gated SQL SPJ shuffled:\n${nodes.map(_.nodeName).mkString("\n")}")
+  }
+
+  test("one un-bucketed side re-buckets through the catalog function") {
+    // storage-partitioned SHUFFLE: with v2.bucketing.shuffle enabled the
+    // plain side is hashed by the CATALOG's bucket function (evaluated
+    // via produceResult) into the table's layout — only that side moves
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // kill broadcast so the planner must move rows: the SMJ/SHJ shape
+    // with exactly ONE exchange proves the plain side was hashed into
+    // the table's layout by the catalog function, not vice versa
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (1L to 200L).map(i => Row(i, i % 37 + 1, i * 3)), 4), ordSchema)
+      val j = keyed("g3.db.cust_b").join(plain, col("ckey") === col("cust"))
+      val rows = j.collect()
+      assert(rows.length == 200, s"re-bucketed join lost rows: ${rows.length}")
+      val nodes = allNodes(j.queryExecution.executedPlan)
+      assert(nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+        n.isInstanceOf[ShuffledHashJoinExec]),
+        s"expected a partitioned join:\n${nodes.map(_.nodeName).mkString("\n")}")
+      val shuffles = nodes.filter(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles.size == 1,
+        s"expected exactly the plain side to shuffle, got ${shuffles.size}:\n" +
+          nodes.map(_.nodeName).mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "false")
+    }
+  }
+
   test("the catalog bucket function matches the write-side derivation") {
     // the function the join-compatibility proof binds must place every
     // value in the directory the writer chose
