@@ -636,6 +636,23 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Fact table for the runtime-pruning star join: customer laid out
+    * `bucket(16, c_nationkey)`. The join's selective predicate lives on
+    * the NATION side (`n_name = …`), so static pushdown cannot touch
+    * this table — only Spark's dynamic partition pruning, which the
+    * graft DSv2 scan serves via `SupportsRuntimeV2Filtering`
+    * (`GraftRuntimeFilterScan`): the dim's surviving join keys arrive at
+    * execution time and the manifest walk keeps only their buckets'
+    * files. RuntimeFilteringSpec asserts the file-count narrowing. */
+  private def rtCustomerFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/rt_customer", 1) { dir =>
+      val c = t(spark, sfDir, "customer")
+      val tb = GraftTable.create(dir, c.schema,
+        partitionBy = Seq("bucket(16,c_nationkey)"))
+      tb.append(c, committedAt = Some(1000L))
+      tb
+    }
+
   private def spjLineitemFixture(spark: SparkSession, sfDir: String): GraftTable =
     cachedFixture(sfDir, "db/spj_lineitem", 1) { dir =>
       val l = t(spark, sfDir, "lineitem")
@@ -741,6 +758,44 @@ object Versioned extends QueryPack {
           round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // RUNTIME (DPP) FILE PRUNING: star join whose selective filter is on
+    // the dimension — the fact scan's own filter list is empty, and only
+    // dynamic partition pruning can skip its files. The graft DSv2 scan
+    // serves it (SupportsRuntimeV2Filtering): nation's surviving join key
+    // arrives at execution time and the bucket(16, c_nationkey) layout
+    // keeps 1 of 16 files. At 100 TB this is the difference between
+    // scanning the whole fact table and scanning one bucket.
+    "v44_graft_runtime_prune" -> ((s, d) => {
+      val tb = rtCustomerFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g44", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g44.warehouse", wh)
+      val fact = s.read.table("g44.db.rt_customer")
+      val dim = t(s, d, "nation").filter(col("n_name") === "NATION_7")
+      fact.join(dim, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double").as("acct_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // METADATA-ONLY AGGREGATES: group-less count/min/max answered from
+    // the manifest's per-file record counts and footer stats through
+    // DSv2 aggregate pushdown — the plan is a one-row LocalTableScan,
+    // zero tasks, zero file reads (AggregatePushdownSpec pins the plan;
+    // at 100 TB this is the difference between a metadata lookup and a
+    // full-table scan for the most common sanity query there is)
+    "v45_graft_agg_stats" -> ((s, d) => {
+      val tb = rtCustomerFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g44", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g44.warehouse", wh)
+      s.sql("SELECT count(*) AS n_rows, min(c_custkey) AS lo_key, " +
+        "max(c_custkey) AS hi_key, count(c_name) AS n_names " +
+        "FROM g44.db.rt_customer")
     }),
 
     // schema evolution: one scan spanning pre- and post-evolution files;
@@ -1178,6 +1233,19 @@ object Versioned extends QueryPack {
         "AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // the runtime-pruned star join must agree with a from-source
+    // recompute (the graft fact table holds exactly customer)
+    "v44_graft_runtime_prune" ->
+      ("SELECT c_mktsegment, count(*) AS n_cust, " +
+        "CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) " +
+        "AS acct_sum " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_7' " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the metadata-answered aggregates must equal a real scan's answers
+    "v45_graft_agg_stats" ->
+      ("SELECT count(*) AS n_rows, min(c_custkey) AS lo_key, " +
+        "max(c_custkey) AS hi_key, count(c_name) AS n_names FROM customer"),
     // the maintained view must equal a from-scratch recompute of the
     // final state (nation minus the deleted regions)
     "v22_graft_ivm" ->

@@ -1,0 +1,150 @@
+package graft.table
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** Answers group-less `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)`
+  * exactly from manifest metadata — the DSv2 aggregate-pushdown
+  * (`SupportsPushDownAggregates`) backend for graft tables.
+  *
+  * `SELECT count(*) FROM t` on a 100 TB table is a metadata question:
+  * the manifest already carries per-file record counts and per-column
+  * min/max/null stats from the parquet footers at write time. When every
+  * file can contribute an EXACT answer, the whole aggregate collapses to
+  * a driver-local one-row scan — zero tasks, zero file I/O. The DSv2
+  * surface this serves already refuses merge-on-read-pending state
+  * (`GraftSparkCatalog.newScanBuilder`), so manifest totals ARE the
+  * visible-row totals there.
+  *
+  * Refusal (return None → Spark plans the normal scan) is the default on
+  * any doubt:
+  *  - any grouping, DISTINCT, or an aggregate function beyond the four;
+  *  - MIN/MAX on strings/binary (parquet writers may truncate binary
+  *    bounds — a truncated max is not the max) and on float/double
+  *    (writer stats are unreliable in the presence of NaN, which Spark
+  *    orders above every value);
+  *  - a file with a missing or unparsable stat for the asked column,
+  *    unless its stats PROVE it holds no values for it (all-null files
+  *    contribute nothing to MIN/MAX, exactly as the SQL semantics skip
+  *    nulls).
+  */
+object AggregatePushdown {
+
+  /** Exact one-row answer for `agg` over `entries`, or None. */
+  def localScan(
+      agg: Aggregation,
+      schema: StructType,
+      entries: Seq[DataFileEntry],
+      describe: String): Option[Scan] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val fns = agg.aggregateExpressions().toSeq
+    if (fns.isEmpty) return None
+    val cells = fns.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          java.lang.Long.valueOf(entries.map(_.recordCount).sum)))
+      case c: Count if !c.isDistinct =>
+        column(c.column, schema).flatMap { f =>
+          val perFile = entries.map(e =>
+            e.stats.get(f.name).flatMap(_.nullCount)
+              .map(n => e.recordCount - n))
+          if (perFile.exists(_.isEmpty)) None
+          else Some((StructField(s"count(${f.name})", LongType,
+            nullable = false),
+            java.lang.Long.valueOf(perFile.flatten.sum)))
+        }
+      case m: Min =>
+        column(m.column, schema).flatMap(f =>
+          bound(f, entries, pickMax = false).map(v =>
+            (StructField(s"min(${f.name})", f.dataType), v)))
+      case m: Max =>
+        column(m.column, schema).flatMap(f =>
+          bound(f, entries, pickMax = true).map(v =>
+            (StructField(s"max(${f.name})", f.dataType), v)))
+      case _ => None
+    }
+    if (cells.exists(_.isEmpty)) None
+    else {
+      val (fields, values) = cells.flatten.unzip
+      Some(new GraftLocalAggScan(StructType(fields), values, describe))
+    }
+  }
+
+  /** The referenced TOP-LEVEL schema column, if the aggregate's child is
+    * a plain column reference. */
+  private def column(
+      e: org.apache.spark.sql.connector.expressions.Expression,
+      schema: StructType): Option[StructField] = e match {
+    case r: NamedReference => r.fieldNames() match {
+      case Array(name) =>
+        schema.fields.find(_.name.equalsIgnoreCase(name))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Types whose footer min/max are exact (no truncation, no NaN). */
+  private def exactBounds(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | DateType |
+        TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Fold per-file bounds into the table MIN or MAX (Catalyst-internal
+    * value; null when every row is null). None refuses the pushdown. */
+  private def bound(
+      f: StructField,
+      entries: Seq[DataFileEntry],
+      pickMax: Boolean): Option[Any] = {
+    if (!exactBounds(f.dataType)) return None
+    // files provably holding no values for the column are skipped (SQL
+    // MIN/MAX skip nulls); anything else must contribute an exact bound
+    val contributing = entries.filterNot { e =>
+      e.stats.get(f.name).exists(st =>
+        st.nullCount.isDefined && st.nullCount == st.valueCount)
+    }
+    val bounds = contributing.map(e =>
+      e.stats.get(f.name).flatMap(st =>
+        if (pickMax) st.typedMax(f.dataType) else st.typedMin(f.dataType)))
+    if (bounds.exists(_.isEmpty)) return None
+    val flat = bounds.flatten
+    if (flat.isEmpty) return Some(null) // zero contributing files: SQL null
+    var acc = flat.head
+    for (v <- flat.tail) ColumnStats.compare(acc, v) match {
+      case Some(c) => if (if (pickMax) c < 0 else c > 0) acc = v
+      case None => return None // incomparable pair — refuse, don't guess
+    }
+    internal(f.dataType, acc)
+  }
+
+  /** Parsed stat value → Catalyst-internal representation. */
+  private def internal(dt: DataType, v: Any): Option[Any] = dt match {
+    case BooleanType | IntegerType | LongType | DateType |
+        TimestampType | TimestampNTZType => Some(v)
+    case d: DecimalType => v match {
+      case bd: BigDecimal =>
+        val dec = Decimal(bd)
+        if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
+      case _ => None
+    }
+    case _ => None
+  }
+}
+
+/** One-row, driver-local scan: Spark's [[LocalScan]] plans it as a
+  * LocalTableScan — no tasks, no files. */
+final class GraftLocalAggScan(
+    schema: StructType,
+    values: Seq[Any],
+    desc: String)
+    extends LocalScan {
+  override def rows(): Array[InternalRow] =
+    Array(new GenericInternalRow(values.toArray))
+  override def readSchema(): StructType = schema
+  override def description(): String = desc
+}

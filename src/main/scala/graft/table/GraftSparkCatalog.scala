@@ -464,6 +464,11 @@ final class GraftV2Table(
           .getOrElse((_: DataFileEntry) => true)
         entries.filter(keep).map(f => abs(f.path))
       },
-      keyGrouped)
+      keyGrouped,
+      // group-less COUNT/MIN/MAX from manifest metadata: exact here
+      // because this surface already refused merge-on-read-pending
+      // state above (manifest totals = visible rows)
+      agg => AggregatePushdown.localScan(agg, t.schema, entries,
+        s"graft agg-stats scan of ${t.dir}"))
   }
 }

@@ -36,6 +36,13 @@ final class GraftKeyGroupedScan(
     bucketOf: String => Option[Int])
     extends Scan with Batch with SupportsReportPartitioning {
 
+  // Deliberately does NOT forward SupportsReportStatistics: a
+  // key-grouped read is an explicit opt-in to the aligned partitioned
+  // join, and withholding size estimates keeps the planner from
+  // broadcasting one side and discarding the bucket alignment the user
+  // paid for at write time. Plain scans (GraftRuntimeFilterScan) do
+  // forward stats.
+
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String =
     s"graft key-grouped over ${delegate.description()}"

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.classic
 
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -18,6 +19,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * none) while the delegate builder gets the same filters re-pushed for
   * parquet row-group skipping and the required-column pruning forwarded.
   *
+  * Plain (non-key-grouped) scans come out wrapped in
+  * [[GraftRuntimeFilterScan]], which re-runs the same manifest walk when
+  * Spark's dynamic partition pruning delivers the join keys at execution
+  * time — the star-join case where the selective filter lives on the
+  * other side of the join and static pushdown alone cannot prune.
+  *
   * Lives in this package because the delegate family and the Catalyst
   * pushdown interface are package-private to org.apache.spark.sql.
   */
@@ -30,13 +37,30 @@ final class GraftPruningScanBuilder(
     prune: Seq[Expression] => Seq[String],
     keyGrouped: Option[(
         Array[org.apache.spark.sql.connector.expressions.Expression],
-        String => Option[Int])] = None)
+        String => Option[Int])] = None,
+    aggPush: Aggregation => Option[Scan] = _ => None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var pushed: Seq[Expression] = Nil
   private var required: StructType = schema
+  private var aggScan: Option[Scan] = None
+
+  /** Group-less COUNT/MIN/MAX answered exactly from manifest metadata
+    * ([[graft.table.AggregatePushdown]]) collapse to a one-row local
+    * scan. Spark only offers the aggregation here when every filter was
+    * fully pushed — this builder keeps all filters residual, so a
+    * filtered aggregate always takes the normal scan path and stays
+    * exact by construction. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggPush(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggScan = aggPush(agg)
+    aggScan.isDefined
+  }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushed = filters
@@ -50,26 +74,37 @@ final class GraftPruningScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
+  override def build(): Scan = aggScan.getOrElse(buildFileScan())
+
+  private def buildFileScan(): Scan = {
+    // rebuildable delegate: the runtime-filter wrapper re-invokes this
+    // with a narrower path list when a DPP predicate lands, re-applying
+    // the SAME pushed filters / required columns to the new scan
+    def mkDelegate(paths: Seq[String]): Scan = {
+      val b = GraftBridge
+        .parquetTable(spark, tableName, paths, schema, options)
+        .newScanBuilder(new CaseInsensitiveStringMap(options))
+      b match {
+        case f: SupportsPushDownCatalystFilters => f.pushFilters(pushed)
+        case _ => ()
+      }
+      b match {
+        case c: SupportsPushDownRequiredColumns => c.pruneColumns(required)
+        case _ => ()
+      }
+      b.build()
+    }
     val paths = if (pushed.isEmpty) allPaths else prune(pushed)
-    val delegate = GraftBridge
-      .parquetTable(spark, tableName, paths, schema, options)
-      .newScanBuilder(new CaseInsensitiveStringMap(options))
-    delegate match {
-      case f: SupportsPushDownCatalystFilters => f.pushFilters(pushed)
-      case _ => ()
-    }
-    delegate match {
-      case c: SupportsPushDownRequiredColumns => c.pruneColumns(required)
-      case _ => ()
-    }
-    val built = delegate.build()
     keyGrouped match {
       // a pruned-to-empty scan keeps the plain shape (a zero-partition
-      // KeyGroupedPartitioning has nothing to report)
+      // KeyGroupedPartitioning has nothing to report). Key-grouped scans
+      // never take the runtime-filter wrapper: their partitions must
+      // stay bucket-aligned with the join's other side.
       case Some((keys, bucketOf)) if paths.nonEmpty =>
-        new GraftKeyGroupedScan(built, keys, bucketOf)
-      case _ => built
+        new GraftKeyGroupedScan(mkDelegate(paths), keys, bucketOf)
+      case Some(_) => mkDelegate(paths)
+      case None =>
+        new GraftRuntimeFilterScan(mkDelegate, paths, pushed, prune, schema)
     }
   }
 }

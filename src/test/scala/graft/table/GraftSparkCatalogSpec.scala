@@ -156,6 +156,8 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
           b.scan match {
+            case r: org.apache.spark.sql.classic.GraftRuntimeFilterScan =>
+              r.plannedFileCount
             case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
               p.fileIndex.inputFiles.length
             case _ => Int.MaxValue
