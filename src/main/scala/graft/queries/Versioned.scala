@@ -653,6 +653,19 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Two-snapshot nation table for the streaming read: the stream must
+    * deliver snapshot 1 as the backfill batch and snapshot 2 as an
+    * incremental batch, exactly once each. */
+  private def streamNationFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/stream_nation", 2) { dir =>
+      val n = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, n.schema)
+      tb.append(n.filter(col("n_nationkey") < 12), Some(1000L))
+      tb.append(n.filter(col("n_nationkey") >= 12), Some(2000L))
+      tb
+    }
+
   private def spjLineitemFixture(spark: SparkSession, sfDir: String): GraftTable =
     cachedFixture(sfDir, "db/spj_lineitem", 1) { dir =>
       val l = t(spark, sfDir, "lineitem")
@@ -796,6 +809,29 @@ object Versioned extends QueryPack {
       s.sql("SELECT count(*) AS n_rows, min(c_custkey) AS lo_key, " +
         "max(c_custkey) AS hi_key, count(c_name) AS n_names " +
         "FROM g44.db.rt_customer")
+    }),
+
+    // STREAMING READ through the DSv2 catalog: a REAL readStream.table
+    // drained with Trigger.AvailableNow — offsets are snapshot ids, each
+    // micro-batch plans only the files its snapshots appended (manifest
+    // path diff, O(new files) metadata per trigger — what makes a 100 TB
+    // table streamable). Both snapshots must arrive exactly once
+    // (MicroBatchStreamSpec pins restarts, tailing, and refusals).
+    "v46_graft_stream_read" -> ((s, d) => {
+      val tb = streamNationFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g46", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g46.warehouse", wh)
+      val qn = "v46_sink_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = Files.createTempDirectory("v46-ckpt").toString
+      val q = s.readStream.table("g46.db.stream_nation")
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000L), "v46 stream did not drain")
+      s.table(qn).orderBy(col("n_nationkey"))
     }),
 
     // schema evolution: one scan spanning pre- and post-evolution files;
@@ -1242,6 +1278,10 @@ object Versioned extends QueryPack {
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE n_name = 'NATION_7' " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the drained stream must hold exactly the source rows, once each
+    "v46_graft_stream_read" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "ORDER BY n_nationkey"),
     // the metadata-answered aggregates must equal a real scan's answers
     "v45_graft_agg_stats" ->
       ("SELECT count(*) AS n_rows, min(c_custkey) AS lo_key, " +

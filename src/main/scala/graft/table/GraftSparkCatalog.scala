@@ -339,7 +339,8 @@ final class GraftV2Table(
     t.properties.asJava
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
@@ -469,6 +470,17 @@ final class GraftV2Table(
       // because this surface already refused merge-on-read-pending
       // state above (manifest totals = visible rows)
       agg => AggregatePushdown.localScan(agg, t.schema, entries,
-        s"graft agg-stats scan of ${t.dir}"))
+        s"graft agg-stats scan of ${t.dir}"),
+      // snapshot-incremental streaming read (readStream.table):
+      // offsets are snapshot ids; each trigger plans only the files the
+      // new snapshots appended. `starting-snapshot-id` tails from after
+      // that snapshot instead of backfilling from the beginning.
+      Some(mkDelegate => new org.apache.spark.sql.classic.GraftMicroBatchStream(
+        t.dir,
+        options.getOrDefault("starting-snapshot-id", "0").trim.toLong,
+        mkDelegate,
+        (tbl, f) => tbl.renameAffects(f),
+        Option(options.get("max-files-per-trigger")).map(_.trim.toInt),
+        Option(options.get("max-rows-per-trigger")).map(_.trim.toLong))))
   }
 }

@@ -3,6 +3,7 @@ package org.apache.spark.sql.classic
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -38,7 +39,8 @@ final class GraftPruningScanBuilder(
     keyGrouped: Option[(
         Array[org.apache.spark.sql.connector.expressions.Expression],
         String => Option[Int])] = None,
-    aggPush: Aggregation => Option[Scan] = _ => None)
+    aggPush: Aggregation => Option[Scan] = _ => None,
+    microBatch: Option[(Seq[String] => Scan) => MicroBatchStream] = None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -104,7 +106,8 @@ final class GraftPruningScanBuilder(
         new GraftKeyGroupedScan(mkDelegate(paths), keys, bucketOf)
       case Some(_) => mkDelegate(paths)
       case None =>
-        new GraftRuntimeFilterScan(mkDelegate, paths, pushed, prune, schema)
+        new GraftRuntimeFilterScan(mkDelegate, paths, pushed, prune, schema,
+          microBatch.map(mk => () => mk(mkDelegate)))
     }
   }
 }

@@ -49,8 +49,16 @@ final class GraftRuntimeFilterScan(
     initialPaths: Seq[String],
     staticPushed: Seq[Expression],
     prune: Seq[Expression] => Seq[String],
-    tableSchema: StructType)
+    tableSchema: StructType,
+    microBatch: Option[() => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
     extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  /** Snapshot-incremental streaming read ([[GraftMicroBatchStream]]);
+    * only offered when the catalog wired it (MICRO_BATCH_READ tables). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    microBatch.map(_.apply())
+      .getOrElse(super.toMicroBatchStream(checkpointLocation))
 
   @volatile private var keptPaths: Seq[String] = initialPaths
   @volatile private var inner: Scan = mkDelegate(initialPaths)
