@@ -834,6 +834,35 @@ object Versioned extends QueryPack {
       s.table(qn).orderBy(col("n_nationkey"))
     }),
 
+    // STREAMING PIPE, graft to graft: readStream.table over the source's
+    // snapshot log, writeStream.toTable into a fresh graft sink — the
+    // DSv2 streaming SINK writes parquet from executor tasks and commits
+    // one append snapshot per epoch with an idempotent epoch cursor
+    // (StreamingWriteSpec pins replay-dedup and refusals). The full
+    // ingestion loop a 100 TB pipeline runs, through standard APIs.
+    "v47_graft_stream_pipe" -> ((s, d) => {
+      val src = streamNationFixture(s, d)
+      val wh = Paths.get(src.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g46", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g46.warehouse", wh)
+      // fresh sink warehouse per run: the pipe re-backfills from a fresh
+      // checkpoint, so reusing a sink table would double its rows
+      val whTmp = Files.createTempDirectory("v47-wh").toString
+      s.conf.set("spark.sql.catalog.g47", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g47.warehouse", whTmp)
+      GraftTable.create(s"$whTmp/db/pipe_dst", src.schema)
+      val q = s.readStream.table("g46.db.stream_nation")
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("v47-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("g47.db.pipe_dst")
+      require(q.awaitTermination(180000L), "v47 pipe did not drain")
+      GraftTable.load(s"$whTmp/db/pipe_dst").read(s)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // schema evolution: one scan spanning pre- and post-evolution files;
     // the added column is NULL for rows from pre-evolution files
     "v11_graft_evolution" -> ((s, d) =>
@@ -1278,6 +1307,10 @@ object Versioned extends QueryPack {
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE n_name = 'NATION_7' " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the piped sink must hold exactly the source rows, once each
+    "v47_graft_stream_pipe" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "ORDER BY n_nationkey"),
     // the drained stream must hold exactly the source rows, once each
     "v46_graft_stream_read" ->
       ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +

@@ -252,7 +252,8 @@ final class GraftV2Table(
     tableName: String,
     t: GraftTable,
     snapshotId: Option[Long]) extends Table with SupportsRead
-    with SupportsDelete {
+    with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = t.schema
@@ -339,8 +340,100 @@ final class GraftV2Table(
     t.properties.asJava
 
   override def capabilities(): util.Set[TableCapability] =
+    // NO BATCH_WRITE: batch SQL DML routes through the extensions'
+    // analyzer rewrite to the library's commit protocol; only the
+    // STREAMING sink writes through the DSv2 write path
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
+
+  /** DSv2 STREAMING sink (`writeStream.toTable`): executors write
+    * parquet straight under `data/` with Spark's own writer machinery;
+    * each epoch commits ONE append snapshot idempotently
+    * ([[GraftTable.commitStreamFiles]] — replayed epochs delete their
+    * duplicates). Refusals here run BEFORE any task: partitioned tables
+    * and write constraints need the DataFrame write path
+    * (`writeStreamInto` / foreachBatch), and the incoming schema must
+    * match the table schema exactly (name set + types — the same
+    * bricked-table guard as [[GraftTable.append]]). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(snapshotId.isEmpty,
+      s"cannot write to a time-travel read of $tableName")
+    require(t.partitionFields.isEmpty,
+      s"$tableName is partitioned — the DSv2 streaming sink writes " +
+        "leaf files only; stream into it with " +
+        "GraftTable.writeStreamInto (foreachBatch) instead")
+    require(!t.properties.contains(GraftTable.PropNotNullColumns) &&
+      !t.properties.keys.exists(_.startsWith(GraftTable.PropCheckPrefix)),
+      s"$tableName declares write constraints — the file-level streaming " +
+        "sink cannot enforce them; stream into it with " +
+        "GraftTable.writeStreamInto (foreachBatch) instead")
+    val in = info.schema()
+    require(in.fieldNames.sorted.toSeq == t.schema.fieldNames.sorted.toSeq,
+      s"streaming input columns [${in.fieldNames.sorted.mkString(",")}] " +
+        s"must match table schema " +
+        s"[${t.schema.fieldNames.sorted.mkString(",")}] of $tableName")
+    in.fields.foreach { f =>
+      val tf = t.schema(f.name)
+      require(f.dataType == tf.dataType,
+        s"column '${f.name}' is ${f.dataType.sql}, table expects " +
+          s"${tf.dataType.sql} (cast in the stream; writing a widened " +
+          "type produces files the table schema cannot read back)")
+    }
+    // writer conf mirroring the batch write path: TIMESTAMP_MICROS (an
+    // INT96 file would blind footer-stat pruning), modern rebase, the
+    // table's bloom-filter options and write-option passthroughs
+    val conf = scala.collection.mutable.Map[String, String](
+      "spark.sql.parquet.writeLegacyFormat" -> "false",
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      "spark.sql.parquet.datetimeRebaseModeInWrite" -> "CORRECTED",
+      "spark.sql.parquet.int96RebaseModeInWrite" -> "CORRECTED",
+      // the schema converter's Configuration constructor reads these
+      // with NO default — an unset key is a task-time parse crash
+      "spark.sql.parquet.fieldId.write.enabled" -> "true",
+      "spark.sql.parquet.variant.annotateLogicalType.enabled" -> "false",
+      "parquet.compression" -> "snappy")
+    t.bloomColumns.foreach { c =>
+      conf(s"parquet.bloom.filter.enabled#$c") = "true"
+      conf(s"parquet.bloom.filter.expected.ndv#$c") =
+        t.properties.getOrElse(GraftTable.PropBloomNdv, "10000")
+    }
+    t.properties.foreach { case (k, v) =>
+      if (k.startsWith(GraftTable.PropWriteOptionPrefix))
+        conf(k.stripPrefix(GraftTable.PropWriteOptionPrefix)) = v
+    }
+    val sinkId = s"dsv2:${info.queryId()}"
+    val dirCaptured = t.dir
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new org.apache.spark.sql.classic.GraftStreamingWrite(
+              dirCaptured, in, info.queryId(), conf.toMap,
+              (rels, epoch) => {
+                val fresh = GraftTable.load(dirCaptured)
+                // mid-stream schema evolution: the epoch's files were
+                // written under the START schema, but the canonical
+                // part-<snapId> rename would attribute them to the
+                // POST-evolution era (silent NULLs on renamed columns)
+                // — drop the uncommitted epoch and refuse loudly; the
+                // restarted query replays it under the current schema
+                if (fresh.schema != t.schema) {
+                  rels.foreach(r => java.nio.file.Files.deleteIfExists(
+                    java.nio.file.Paths.get(dirCaptured, r)))
+                  throw new IllegalStateException(
+                    s"$tableName's schema evolved while the stream was " +
+                      "running — restart the streaming query so its " +
+                      "writes carry the current schema")
+                }
+                fresh.commitStreamFiles(rels, sinkId, epoch)
+              })
+        }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active

@@ -3560,6 +3560,89 @@ final class GraftTable private (
         SummaryStreamCursors -> cursorsJson(cursors + (sinkId -> batchId)))))
     }
 
+  /** Commit files ALREADY WRITTEN by streaming executor tasks as one
+    * append snapshot, idempotently per (sinkId, batchId) — the driver
+    * half of the DSv2 streaming sink (`writeStream.toTable`), whose
+    * [[org.apache.spark.sql.classic.GraftStreamingWrite]] tasks wrote
+    * parquet directly under `data/` with temporary names.
+    *
+    * Inside the (retried) commit attempt each file is RENAMED to the
+    * canonical `part-<snapId>-<token>-<seq>.parquet` form: the snapshot
+    * id in the name is what attributes the file to its schema ERA
+    * (physicalField) and scopes deferred-delete coverage — a
+    * non-canonical name would resolve to the OLDEST era and be treated
+    * as covered by any pending predicate delete. Footer stats and
+    * manifest blooms are harvested driver-side (per-file metadata
+    * reads, no data scan).
+    *
+    * A re-delivered (sinkId, batchId) — streaming epochs replay on
+    * restart — DELETES the duplicate files and commits nothing
+    * (exactly-once snapshots, the [[appendStreamBatch]] contract).
+    * Partitioned and constraint-bearing tables are refused at the
+    * catalog layer before any task runs (see `GraftV2Table`). */
+  def commitStreamFiles(
+      relPaths: Seq[String],
+      sinkId: String,
+      batchId: Long,
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    require(sinkId.nonEmpty, "sinkId must be non-empty")
+    if (relPaths.isEmpty) return None
+    var current: Seq[java.nio.file.Path] =
+      relPaths.map(r => Paths.get(dir, r))
+    // commit() is handed newFiles = Nil: its failure paths DELETE the
+    // files it is given, but these files hold the only copy of the
+    // epoch's rows — a lost commit race must retry with the files
+    // intact, not re-run a write job (there is none to re-run). The
+    // commit-loss cleanup commit() would have done is taken over here:
+    // any terminal failure deletes the staged/renamed files.
+    try withCommitRetry() {
+      val cursors = streamCursors
+      if (cursors.get(sinkId).exists(_ >= batchId)) {
+        current.foreach(Files.deleteIfExists)
+        None
+      } else {
+        val lg = log
+        val snapId = lg.nextId
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val bloomCols = bloomColumns
+        val entries = current.zipWithIndex.map { case (src, i) =>
+          val name = f"part-$snapId%05d-$token-$i%05d.parquet"
+          val dst = Paths.get(dir, "data", name)
+          Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
+          val (rows, stats) = ParquetStats.forFile(dst.toString, conf)
+          val blooms = FileBloom.harvest(dst.toString, conf, bloomCols)
+          DataFileEntry(s"data/$name", rows, Files.size(dst), stats,
+            Map.empty, blooms)
+        }
+        // a lost commit race retries with a NEW snapshot id — the next
+        // attempt must move from THIS attempt's canonical names
+        current = entries.map(e => Paths.get(dir, e.path))
+        // mirror commit()'s pending-positional basename guard (it only
+        // runs there when newFiles is non-empty)
+        val pendingBns = lg.current.toSeq.flatMap(parsePositional)
+          .flatMap(_.targets.keys).map(baseName).toSet
+        val clash = entries.map(e => baseName(e.path)).filter(pendingBns)
+        require(clash.isEmpty,
+          s"new data-file basename(s) ${clash.mkString(", ")} collide " +
+            s"with pending positional-delete targets on $dir")
+        val prevManifest = lg.current
+          .map(s => Manifest.read(s"$dir/${s.manifestList}"))
+          .getOrElse(Manifest.empty)
+        Some(commit(lg, snapId, prevManifest.append(entries), Nil,
+          operation = "append", committedAt,
+          extraSummary = Map(
+            "added-data-files" -> entries.size.toString,
+            "added-records" -> entries.map(_.recordCount).sum.toString,
+            SummaryStreamCursors ->
+              cursorsJson(cursors + (sinkId -> batchId)))))
+      }
+    } catch { case e: Throwable =>
+      current.foreach(Files.deleteIfExists)
+      throw e
+    }
+  }
+
   /** Structured-Streaming WRITE into this table: every micro-batch lands
     * as one append snapshot via [[appendStreamBatch]]. ALWAYS set a
     * checkpointLocation and derive `sinkId` from it — without a
