@@ -653,6 +653,18 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Identity-partitioned nation (by n_regionkey) for the
+    * partition-grouped metadata aggregate. */
+  private def aggNationFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/agg_nation", 1) { dir =>
+      val n = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, n.schema,
+        partitionBy = Seq("n_regionkey"))
+      tb.append(n, Some(1000L))
+      tb
+    }
+
   /** Two-snapshot nation table for the streaming read: the stream must
     * deliver snapshot 1 as the backfill batch and snapshot 2 as an
     * incremental batch, exactly once each. */
@@ -793,6 +805,21 @@ object Versioned extends QueryPack {
           round(sum(col("c_acctbal").cast("decimal(18,4)")), 2)
             .cast("double").as("acct_sum"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // PARTITION-GROUPED METADATA AGGREGATES: GROUP BY an identity
+    // partition column answers from the manifest's partition values and
+    // per-file stats — one LocalTableScan row per partition, zero file
+    // reads (the "daily counts over a day-partitioned table" question
+    // at 100 TB; AggregatePushdownSpec pins the plan shape)
+    "v48_graft_agg_group" -> ((s, d) => {
+      val tb = aggNationFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g48", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g48.warehouse", wh)
+      s.sql("SELECT n_regionkey, count(*) AS n_nations, " +
+        "min(n_nationkey) AS lo_key, max(n_nationkey) AS hi_key " +
+        "FROM g48.db.agg_nation GROUP BY n_regionkey ORDER BY n_regionkey")
     }),
 
     // METADATA-ONLY AGGREGATES: group-less count/min/max answered from
@@ -1315,6 +1342,12 @@ object Versioned extends QueryPack {
     "v46_graft_stream_read" ->
       ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "ORDER BY n_nationkey"),
+    // the partition-grouped metadata aggregates must equal a real
+    // GROUP BY recompute
+    "v48_graft_agg_group" ->
+      ("SELECT n_regionkey, count(*) AS n_nations, " +
+        "min(n_nationkey) AS lo_key, max(n_nationkey) AS hi_key " +
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
     // the metadata-answered aggregates must equal a real scan's answers
     "v45_graft_agg_stats" ->
       ("SELECT count(*) AS n_rows, min(c_custkey) AS lo_key, " +

@@ -34,13 +34,76 @@ import org.apache.spark.sql.types._
   */
 object AggregatePushdown {
 
-  /** Exact one-row answer for `agg` over `entries`, or None. */
+  /** Exact answer for `agg` over `entries`, or None. Group-less: one
+    * row. `GROUP BY` is served when every group expression is an
+    * IDENTITY partition column — the manifest's partition values are
+    * the exact group keys and partition groups are disjoint, so
+    * per-group totals/bounds are final (`SELECT day, count(*)` on a
+    * day-partitioned table never touches a data file). */
   def localScan(
+      agg: Aggregation,
+      schema: StructType,
+      partitionFields: Seq[PartitionField],
+      entries: Seq[DataFileEntry],
+      describe: String): Option[Scan] = {
+    val groupFields: Seq[StructField] =
+      agg.groupByExpressions().toSeq.map {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          val name = r.fieldNames()(0)
+          val identity = partitionFields.exists(f =>
+            f.isIdentity && f.fieldName.equalsIgnoreCase(name))
+          val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+          if (!identity || field.isEmpty ||
+              !entries.forall(_.partition.contains(field.get.name)))
+            return None
+          field.get
+        case _ => return None
+      }
+    if (groupFields.isEmpty) answerGroup(agg, schema, entries, describe)
+    else {
+      val groups = entries.groupBy(e =>
+        groupFields.map(f => e.partition(f.name)))
+      val rows = groups.toSeq.sortBy(_._1.toString).map {
+        case (keyVals, groupEntries) =>
+          val keyCells = groupFields.zip(keyVals).map { case (f, v) =>
+            groupValue(f, v).getOrElse(return None)
+          }
+          answerGroup(agg, schema, groupEntries, describe) match {
+            case Some(s: GraftLocalAggScan) =>
+              (s.readSchema(), keyCells ++ s.values)
+            case _ => return None
+          }
+      }
+      val aggSchema = rows.headOption.map(_._1)
+        .getOrElse(return None)
+      Some(new GraftLocalAggScan(
+        StructType(groupFields ++ aggSchema.fields),
+        rows.map(_._2), describe))
+    }
+  }
+
+  /** The partition-value string in its Catalyst-internal group-key
+    * form (None refuses the pushdown; a null partition value is a SQL
+    * null group key). */
+  private def groupValue(f: StructField, v: Option[String]): Option[Any] =
+    v match {
+      case None => Some(null)
+      case Some(s) => f.dataType match {
+        case StringType =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case DateType =>
+          scala.util.Try(
+            java.time.LocalDate.parse(s).toEpochDay.toInt).toOption
+        case dt =>
+          ColumnStats.parse(s, dt).flatMap(internal(dt, _))
+      }
+    }
+
+  private def answerGroup(
       agg: Aggregation,
       schema: StructType,
       entries: Seq[DataFileEntry],
       describe: String): Option[Scan] = {
-    if (agg.groupByExpressions().nonEmpty) return None
     val fns = agg.aggregateExpressions().toSeq
     if (fns.isEmpty) return None
     val cells = fns.map {
@@ -70,7 +133,7 @@ object AggregatePushdown {
     if (cells.exists(_.isEmpty)) None
     else {
       val (fields, values) = cells.flatten.unzip
-      Some(new GraftLocalAggScan(StructType(fields), values, describe))
+      Some(new GraftLocalAggScan(StructType(fields), Seq(values), describe))
     }
   }
 
@@ -136,15 +199,18 @@ object AggregatePushdown {
   }
 }
 
-/** One-row, driver-local scan: Spark's [[LocalScan]] plans it as a
-  * LocalTableScan — no tasks, no files. */
+/** Driver-local scan of precomputed rows: Spark's [[LocalScan]] plans
+  * it as a LocalTableScan — no tasks, no files. One row for group-less
+  * aggregates; one row per partition group for pushed GROUP BYs. */
 final class GraftLocalAggScan(
     schema: StructType,
-    values: Seq[Any],
+    rowsData: Seq[Seq[Any]],
     desc: String)
     extends LocalScan {
+  /** Single-row accessor for composing grouped answers. */
+  private[table] def values: Seq[Any] = rowsData.head
   override def rows(): Array[InternalRow] =
-    Array(new GenericInternalRow(values.toArray))
+    rowsData.map(r => new GenericInternalRow(r.toArray): InternalRow).toArray
   override def readSchema(): StructType = schema
   override def description(): String = desc
 }

@@ -562,8 +562,8 @@ final class GraftV2Table(
       // group-less COUNT/MIN/MAX from manifest metadata: exact here
       // because this surface already refused merge-on-read-pending
       // state above (manifest totals = visible rows)
-      agg => AggregatePushdown.localScan(agg, t.schema, entries,
-        s"graft agg-stats scan of ${t.dir}"),
+      agg => AggregatePushdown.localScan(agg, t.schema, t.partitionFields,
+        entries, s"graft agg-stats scan of ${t.dir}"),
       // snapshot-incremental streaming read (readStream.table):
       // offsets are snapshot ids; each trigger plans only the files the
       // new snapshots appended. `starting-snapshot-id` tails from after

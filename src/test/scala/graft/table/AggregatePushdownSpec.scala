@@ -130,11 +130,45 @@ class AggregatePushdownSpec extends SparkSpecBase {
     assert(q.collect().toSeq == Seq(Row(60L, 1L)))
   }
 
+  test("GROUP BY an identity partition column answers from metadata") {
+    val pschema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("region", StringType, nullable = true)))
+    val tb = GraftTable.create(s"$wh/db/agg_part", pschema,
+      partitionBy = Seq("region"))
+    tb.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 30L).map(i => Row(i, s"r${i % 3}")), 2), pschema),
+      Some(1000L))
+    val q = spark.sql("SELECT region, count(*) AS n, min(k) AS lo, " +
+      "max(k) AS hi FROM g6.db.agg_part GROUP BY region ORDER BY region")
+    assert(isLocal(q), "partition-grouped aggregate fell back to a scan:\n" +
+      q.queryExecution.executedPlan)
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val exp = (1L to 30L).groupBy(i => s"r${i % 3}").toSeq.sortBy(_._1)
+      .map { case (g, ks) => (g, ks.size.toLong, ks.min, ks.max) }
+    assert(got == exp)
+    // grouping by a NON-partition column falls back and stays exact
+    val qf = spark.sql(
+      "SELECT k % 2 AS b, count(*) AS n FROM g6.db.agg_part GROUP BY k % 2")
+    assert(!isLocal(qf))
+    assert(qf.collect().map(_.getLong(1)).sum == 30L)
+  }
+
   test("driver query v45 is plan-gated to the metadata answer") {
     val q = graft.SparkEntry.queries("v45_graft_agg_stats")(
       spark, "/root/testdata/sf0.001")
     assert(isLocal(q),
       "v45_graft_agg_stats fell back to a file scan:\n" +
+        q.queryExecution.executedPlan)
+  }
+
+  test("driver query v48 is plan-gated to the partition-grouped answer") {
+    val q = graft.SparkEntry.queries("v48_graft_agg_group")(
+      spark, "/root/testdata/sf0.001")
+    assert(isLocal(q),
+      "v48_graft_agg_group fell back to a file scan:\n" +
         q.queryExecution.executedPlan)
   }
 }
