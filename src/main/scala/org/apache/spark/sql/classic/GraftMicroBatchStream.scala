@@ -163,13 +163,22 @@ final class GraftMicroBatchStream(
     val lg = t.log
     val chain = lg.snapshots
       .filter(s => s.snapshotId > from && s.snapshotId <= to)
-    chain.foreach(s => require(s.operation == "append",
+    // "replace" (compaction / manifest rewrite) is row-preserving by
+    // construction and contributes NOTHING to an additive stream — a
+    // compaction must not kill a long-running tail. The one replace
+    // that is not bit-identical (materializing pending merge-on-read
+    // state) is always preceded by the delete/merge commit that CREATED
+    // the pending state, and that commit is refused below before the
+    // replace is ever reached.
+    chain.foreach(s => require(
+      s.operation == "append" || s.operation == "replace",
       s"streaming read of $dir hit snapshot ${s.snapshotId} " +
         s"(op=${s.operation}): an additive stream can only represent " +
         "append commits — consume the CDC feed " +
         "(GraftTable.changesCdc / GraftChangeFeed.pollCdc) for a " +
         "history with rewrites or deletes"))
-    val appended = chain.flatMap(s => appendedBy(lg, s))
+    val appended = chain.filter(_.operation == "append")
+      .flatMap(s => appendedBy(lg, s))
     appended.foreach { f =>
       require(!renameAffects(t, f),
         s"$dir file ${f.path} predates a column rename/widening — the " +

@@ -134,6 +134,30 @@ class MicroBatchStreamSpec extends SparkSpecBase {
     assert(fed.forall(_.numInputRows == 4))
   }
 
+  test("compaction mid-stream is skipped, never re-emitted") {
+    val tb = GraftTable.create(s"$wh/db/s8", schema)
+    tb.append(df(batch(1, 10)), Some(1000L))
+    val ckpt = tmpDir("mbs-ckpt8")
+    val q = spark.readStream.table("g7.db.s8")
+      .writeStream.format("memory").queryName("mbs8")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mbs8").count() == 10)
+      // compact (a row-preserving "replace") then append more: the
+      // stream must deliver ONLY the new rows — a path-diff that
+      // treated the compacted files as additions would re-emit 1-10
+      tb.append(df(batch(11, 14)), Some(2000L))
+      tb.compact(spark, smallerThanBytes = Long.MaxValue,
+        committedAt = Some(3000L))
+      tb.append(df(batch(15, 17)), Some(4000L))
+      q.processAllAvailable()
+      val got = spark.table("mbs8").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (1L to 17L),
+        s"compaction duplicated or dropped rows: $got")
+    } finally q.stop()
+  }
+
   test("a non-append snapshot in range refuses loudly") {
     val tb = GraftTable.create(s"$wh/db/s6", schema)
     tb.append(df(batch(1, 10)), Some(1000L))
