@@ -26,10 +26,12 @@ final case class GraftStreamOffset(snapshotId: Long) extends Offset {
   * batch scans (`mkDelegate` — bin-packed splits, vectorized reader),
   * so a streaming row is byte-identical to a batch row.
   *
-  * Refusals are loud, never silent re-emission:
-  *  - a non-append snapshot in range (update/delete/merge/replace
-  *    rewrite or remove rows — an additive stream cannot represent
-  *    them; consume [[graft.table.GraftTable.changesCdc]] instead);
+  * Row-preserving `"replace"` snapshots (compaction, manifest
+  * rewrites) are SKIPPED — table maintenance never kills a tail.
+  * Everything else refuses loudly, never silent re-emission:
+  *  - a rewriting/removing snapshot in range (update/delete/merge/
+  *    overwrite/rollback — an additive stream cannot represent them;
+  *    consume [[graft.table.GraftTable.changesCdc]] instead);
   *  - a chain snapshot whose parent has been EXPIRED (the diff is
   *    uncomputable — re-emitting the whole file set would duplicate);
   *  - a file predating a column rename/widening (the fixed stream

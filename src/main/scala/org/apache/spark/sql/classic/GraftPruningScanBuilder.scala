@@ -50,12 +50,13 @@ final class GraftPruningScanBuilder(
   private var required: StructType = schema
   private var aggScan: Option[Scan] = None
 
-  /** Group-less COUNT/MIN/MAX answered exactly from manifest metadata
-    * ([[graft.table.AggregatePushdown]]) collapse to a one-row local
-    * scan. Spark only offers the aggregation here when every filter was
-    * fully pushed — this builder keeps all filters residual, so a
-    * filtered aggregate always takes the normal scan path and stays
-    * exact by construction. */
+  /** COUNT/MIN/MAX — group-less, or GROUP BY identity partition
+    * columns — answered exactly from manifest metadata
+    * ([[graft.table.AggregatePushdown]]) collapse to a local scan of
+    * one row per group. Spark only offers the aggregation here when
+    * every filter was fully pushed — this builder keeps all filters
+    * residual, so a filtered aggregate always takes the normal scan
+    * path and stays exact by construction. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     aggPush(agg).isDefined
 

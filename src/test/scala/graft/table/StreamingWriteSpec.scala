@@ -115,6 +115,33 @@ class StreamingWriteSpec extends SparkSpecBase {
       (1L to 30L))
   }
 
+  test("streaming sink interleaves with batch appends; cursor carries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tb = GraftTable.create(s"$wh/db/w_mix", StructType(Seq(
+      StructField("id", LongType, nullable = false))))
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().toDF("id")
+      .writeStream
+      .option("checkpointLocation", tmpDir("sw-ckpt-mix"))
+      .toTable("g8.db.w_mix")
+    try {
+      ms.addData(1L, 2L)
+      q.processAllAvailable()
+      // a BATCH append lands between two stream epochs: the sink's
+      // epoch cursor must survive it (carried-summary inheritance) so
+      // the next epoch still commits instead of reading a reset cursor
+      tb.append(spark.range(100, 103).toDF("id"), Some(5000L))
+      ms.addData(3L, 4L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = GraftTable.load(tb.dir).read(spark)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L, 100L, 101L, 102L),
+      s"interleaved writers lost rows: $got")
+    assert(GraftTable.load(tb.dir).log.snapshots.size == 3)
+  }
+
   test("mid-stream schema evolution drops the epoch and refuses loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
