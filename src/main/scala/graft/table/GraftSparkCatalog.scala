@@ -574,6 +574,7 @@ final class GraftV2Table(
         mkDelegate,
         (tbl, f) => tbl.renameAffects(f),
         Option(options.get("max-files-per-trigger")).map(_.trim.toInt),
-        Option(options.get("max-rows-per-trigger")).map(_.trim.toLong))))
+        Option(options.get("max-rows-per-trigger")).map(_.trim.toLong),
+        Option(options.get("max-bytes-per-trigger")).map(_.trim.toLong))))
   }
 }

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.classic
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 
 import graft.table.{DataFileEntry, GraftTable, Manifest, Snapshot, SnapshotLog}
 
@@ -50,7 +50,8 @@ final class GraftMicroBatchStream(
     // over it here)
     renameAffects: (GraftTable, DataFileEntry) => Boolean,
     maxFilesPerTrigger: Option[Int] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -84,7 +85,8 @@ final class GraftMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit = {
     val lims: Seq[ReadLimit] =
       maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
-        maxRowsPerTrigger.map(ReadLimit.maxRows).toSeq
+        maxRowsPerTrigger.map(ReadLimit.maxRows).toSeq ++
+        maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
     lims match {
       case Seq() => ReadLimit.allAvailable()
       case Seq(one) => one
@@ -92,15 +94,18 @@ final class GraftMicroBatchStream(
     }
   }
 
-  private def capsOf(limit: ReadLimit): (Option[Int], Option[Long]) =
+  private def capsOf(limit: ReadLimit)
+      : (Option[Int], Option[Long], Option[Long]) =
     limit match {
-      case _: ReadAllAvailable => (None, None)
-      case f: ReadMaxFiles => (Some(f.maxFiles()), None)
-      case r: ReadMaxRows => (None, Some(r.maxRows()))
+      case _: ReadAllAvailable => (None, None, None)
+      case f: ReadMaxFiles => (Some(f.maxFiles()), None, None)
+      case r: ReadMaxRows => (None, Some(r.maxRows()), None)
+      case b: ReadMaxBytes => (None, None, Some(b.maxBytes()))
       case c: CompositeReadLimit =>
         val parts = c.getReadLimits.toSeq.map(capsOf)
-        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
-      case _ => (None, None) // unknown limit kinds admit everything
+        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption,
+          parts.flatMap(_._3).minOption)
+      case _ => (None, None, None) // unknown limit kinds admit everything
     }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
@@ -110,22 +115,26 @@ final class GraftMicroBatchStream(
     // under AvailableNow the drain never reads past the frozen end
     val latest = availableNowEnd.fold(live)(math.min(live, _))
     if (latest <= from) return GraftStreamOffset(from)
-    val (maxF, maxR) = capsOf(limit)
-    if (maxF.isEmpty && maxR.isEmpty) return GraftStreamOffset(latest)
+    val (maxF, maxR, maxB) = capsOf(limit)
+    if (maxF.isEmpty && maxR.isEmpty && maxB.isEmpty)
+      return GraftStreamOffset(latest)
     var files = 0L
     var rows = 0L
+    var bytes = 0L
     var end = from
     for (s <- lg.snapshots
         if s.snapshotId > from && s.snapshotId <= latest) {
-      // non-append snapshots count as empty here; the range including
-      // them still refuses loudly at plan time (never silently skipped)
+      // non-append snapshots count as empty here; replaces skip and the
+      // rest still refuse loudly at plan time (never silently dropped)
       val added = if (s.operation == "append") appendedBy(lg, s) else Nil
       val overflow = end > from &&
         (maxF.exists(m => files + added.size > m) ||
-          maxR.exists(m => rows + added.map(_.recordCount).sum > m))
+          maxR.exists(m => rows + added.map(_.recordCount).sum > m) ||
+          maxB.exists(m => bytes + added.map(_.fileSizeBytes).sum > m))
       if (overflow) return GraftStreamOffset(end)
       files += added.size
       rows += added.map(_.recordCount).sum
+      bytes += added.map(_.fileSizeBytes).sum
       end = s.snapshotId
     }
     GraftStreamOffset(end)

@@ -134,6 +134,25 @@ class MicroBatchStreamSpec extends SparkSpecBase {
     assert(fed.forall(_.numInputRows == 4))
   }
 
+  test("max-bytes-per-trigger paces by manifest file sizes") {
+    val tb = GraftTable.create(s"$wh/db/s9", schema)
+    tb.append(df(batch(1, 4), parts = 1), Some(1000L))
+    tb.append(df(batch(5, 8), parts = 1), Some(2000L))
+    // one byte: every snapshot overflows the cap alone, so the drain
+    // must still advance one whole snapshot per batch (progress floor)
+    val q = spark.readStream
+      .option("max-bytes-per-trigger", "1")
+      .table("g7.db.s9")
+      .writeStream.format("memory").queryName("mbs9")
+      .option("checkpointLocation", tmpDir("mbs-ckpt9"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(spark.table("mbs9").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 8L))
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+      "byte cap should admit exactly one snapshot per batch")
+  }
+
   test("compaction mid-stream is skipped, never re-emitted") {
     val tb = GraftTable.create(s"$wh/db/s8", schema)
     tb.append(df(batch(1, 10)), Some(1000L))
