@@ -678,6 +678,25 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Mixed-DML chain for the CDC streaming read (v49): append → CoW
+    * update → CoW delete → append, 4 snapshots — the history the
+    * additive stream refuses and the CDC stream must survive. */
+  private def cdcStreamFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/cdc_nation", 4) { dir =>
+      val n = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, n.schema)
+      tb.append(n, Some(1000L))
+      tb.update(spark, col("n_regionkey") === 2,
+        Map("n_name" -> concat(lit("P_"), col("n_name"))), Some(2000L))
+      tb.delete(spark, col("n_nationkey") >= 20, Some(3000L))
+      val keyType = n.schema("n_nationkey").dataType
+      tb.append(n.filter(col("n_nationkey") < 5)
+        .withColumn("n_nationkey", (col("n_nationkey") + 100).cast(keyType))
+        .withColumn("n_name", lit("NEWLAND")), Some(4000L))
+      tb
+    }
+
   private def spjLineitemFixture(spark: SparkSession, sfDir: String): GraftTable =
     cachedFixture(sfDir, "db/spj_lineitem", 1) { dir =>
       val l = t(spark, sfDir, "lineitem")
@@ -859,6 +878,51 @@ object Versioned extends QueryPack {
         .start()
       require(q.awaitTermination(180000L), "v46 stream did not drain")
       s.table(qn).orderBy(col("n_nationkey"))
+    }),
+
+    // CDC STREAMING READ: readStream.table of `<name>__changes` over a
+    // mixed append/update/delete history — the chain the additive stream
+    // refuses. Each paced micro-batch materializes the changesCdc
+    // retraction rows (_change_type insert|delete + snapshot id) as a
+    // distributed spill under the stream's checkpoint, and the consumer
+    // applies them to a mirror (equality merge-on-read retractions +
+    // appends, O(changed keys) per batch). The mirror's final state must
+    // equal the source's — the continuous-pipeline contract that
+    // survives the engine's whole DML surface at 100 TB.
+    "v49_graft_cdc_stream" -> ((s, d) => {
+      val src = cdcStreamFixture(s, d)
+      val wh = Paths.get(src.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g49", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g49.warehouse", wh)
+      // fresh mirror + checkpoint per run: the stream re-drains the
+      // whole chain from offset 0 each time
+      val mirrorDir =
+        Files.createTempDirectory("v49-mirror").toString + "/m"
+      GraftTable.create(mirrorDir, src.schema)
+      val q = s.readStream
+        .option("max-files-per-trigger", "1") // one snapshot per batch
+        .table("g49.db.cdc_nation__changes")
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("v49-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the CDC apply contract: retract, then insert (an update is
+          // delete(old)+insert(new) in one batch)
+          val m = GraftTable.load(mirrorDir)
+          val dels = b.filter(col("_change_type") === "delete")
+            .select(col("n_nationkey"))
+          if (!dels.isEmpty)
+            m.deleteEquality(b.sparkSession, dels, Seq("n_nationkey")): Unit
+          val ins = b.filter(col("_change_type") === "insert")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          if (!ins.isEmpty) { m.append(ins): Unit }
+        }
+        .start()
+      require(q.awaitTermination(180000L), "v49 CDC stream did not drain")
+      GraftTable.load(mirrorDir).read(s)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
     }),
 
     // STREAMING PIPE, graft to graft: readStream.table over the source's
@@ -1334,6 +1398,17 @@ object Versioned extends QueryPack {
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE n_name = 'NATION_7' " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the CDC-mirrored table must equal the source's final state:
+    // region-2 names patched, keys ≥ 20 deleted, NEWLAND rows appended
+    "v49_graft_cdc_stream" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM (" +
+        "SELECT n_nationkey, CASE WHEN n_regionkey = 2 " +
+        "THEN 'P_' || n_name ELSE n_name END AS n_name, n_regionkey " +
+        "FROM nation WHERE n_nationkey < 20 " +
+        "UNION ALL " +
+        "SELECT n_nationkey + 100 AS n_nationkey, 'NEWLAND' AS n_name, " +
+        "n_regionkey FROM nation WHERE n_nationkey < 5" +
+        ") ORDER BY n_nationkey"),
     // the piped sink must hold exactly the source rows, once each
     "v47_graft_stream_pipe" ->
       ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +

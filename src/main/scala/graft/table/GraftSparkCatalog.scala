@@ -93,8 +93,20 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
   override def tableExists(ident: Identifier): Boolean =
     GraftTable.exists(dirFor(ident))
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // `<name>__changes` — the CDC changes table (Iceberg's `t.changes`
+    // analog, suffix-spelled like `__snapshots`): a MICRO_BATCH_READ-only
+    // surface streaming `changesCdc` retraction rows so continuous
+    // pipelines survive UPDATE/DELETE/MERGE. A REAL table of that name
+    // always wins (no silent shadowing).
+    if (!tableExists(ident) && ident.name().endsWith("__changes")) {
+      val base = Identifier.of(
+        ident.namespace(), ident.name().stripSuffix("__changes"))
+      if (base.name().nonEmpty && tableExists(base))
+        return new GraftCdcV2Table(identToName(ident), loadGraft(base))
+    }
     load(ident, snapshotId = None)
+  }
 
   /** `VERSION AS OF <v>` — v is a snapshot id, a tag name, a branch
     * name (the branch's CURRENT snapshot — the SQL audit read of the
@@ -568,7 +580,7 @@ final class GraftV2Table(
       // offsets are snapshot ids; each trigger plans only the files the
       // new snapshots appended. `starting-snapshot-id` tails from after
       // that snapshot instead of backfilling from the beginning.
-      Some(mkDelegate => new org.apache.spark.sql.classic.GraftMicroBatchStream(
+      Some((mkDelegate, _) => new org.apache.spark.sql.classic.GraftMicroBatchStream(
         t.dir,
         options.getOrDefault("starting-snapshot-id", "0").trim.toLong,
         mkDelegate,
@@ -576,5 +588,53 @@ final class GraftV2Table(
         Option(options.get("max-files-per-trigger")).map(_.trim.toInt),
         Option(options.get("max-rows-per-trigger")).map(_.trim.toLong),
         Option(options.get("max-bytes-per-trigger")).map(_.trim.toLong))))
+  }
+}
+
+/** The `<name>__changes` CDC table: streaming-only DSv2 surface whose
+  * rows are the base table's changes — schema plus `_change_type`
+  * (`insert` | `delete`) and the snapshot id that produced each change
+  * ([[GraftTable.changesCdc]]'s shape, Delta-CDF style). Batch reads
+  * refuse (no BATCH_READ capability — batch consumers have
+  * `changesCdc` / `GraftChangeFeed.pollCdc`); the stream survives the
+  * whole DML surface, pacing and checkpointing like the append stream
+  * ([[org.apache.spark.sql.classic.GraftCdcMicroBatchStream]]). */
+final class GraftCdcV2Table(
+    tableName: String,
+    t: GraftTable) extends Table with SupportsRead {
+
+  private val cdcSchema: StructType = StructType(
+    t.schema.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = true) :+
+      org.apache.spark.sql.types.StructField(t.virtualColumn,
+        org.apache.spark.sql.types.LongType, nullable = true))
+
+  override def name(): String = tableName
+  override def schema(): StructType = cdcSchema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] =
+    util.Collections.emptyMap()
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    new org.apache.spark.sql.classic.GraftPruningScanBuilder(
+      spark, tableName, cdcSchema, opts,
+      allPaths = Nil, // no batch surface: rows exist only per micro-batch
+      prune = _ => Nil,
+      microBatch = Some((mkDelegate, ckpt) =>
+        new org.apache.spark.sql.classic.GraftCdcMicroBatchStream(
+          t.dir,
+          options.getOrDefault("starting-snapshot-id", "0").trim.toLong,
+          ckpt,
+          t.schema,
+          mkDelegate,
+          Option(options.get("max-files-per-trigger")).map(_.trim.toInt),
+          Option(options.get("max-rows-per-trigger")).map(_.trim.toLong),
+          Option(options.get("max-bytes-per-trigger")).map(_.trim.toLong))))
   }
 }

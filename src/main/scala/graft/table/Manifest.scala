@@ -293,6 +293,7 @@ object Manifest {
       return if (files.isEmpty) empty
       else new Manifest(Vector(ManifestSegment.fresh(files)))
     }
+    listParses.incrementAndGet()
     val obj = Json.parseObject(Files.readString(Paths.get(absPath)))
     obj.get("segments") match {
       case Some(segs) =>
@@ -354,6 +355,12 @@ object Manifest {
       refs
     }
   }
+
+  /** Manifest-LIST parse counter (cache misses only) — observable by
+    * streaming specs asserting a catch-up over N snapshots walks the
+    * chain once (N+1 list parses, not 2N — [[SnapshotDiffs]]). */
+  private[table] val listParses =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** Absolute paths of segments ever parsed from disk (cache misses) —
     * observable by scale tests asserting a predicate-scoped operation

@@ -3,12 +3,46 @@ package org.apache.spark.sql.classic
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 
-import graft.table.{DataFileEntry, GraftTable, Manifest, Snapshot, SnapshotLog}
+import graft.table.{DataFileEntry, GraftTable, Snapshot, SnapshotDiffs, SnapshotLog}
 
 /** Snapshot id as a streaming offset — the natural cursor of an
   * append-only table log (monotone, durable, replayable). */
 final case class GraftStreamOffset(snapshotId: Long) extends Offset {
   override def json(): String = snapshotId.toString
+}
+
+/** Shared ReadLimit decomposition for the graft streaming sources. */
+private[classic] object GraftReadLimits {
+  /** (maxFiles, maxRows, maxBytes) caps carried by `limit`. */
+  def caps(limit: ReadLimit): (Option[Int], Option[Long], Option[Long]) =
+    limit match {
+      case _: ReadAllAvailable => (None, None, None)
+      case f: ReadMaxFiles => (Some(f.maxFiles()), None, None)
+      case r: ReadMaxRows => (None, Some(r.maxRows()), None)
+      case b: ReadMaxBytes => (None, None, Some(b.maxBytes()))
+      case c: CompositeReadLimit =>
+        val parts = c.getReadLimits.toSeq.map(caps)
+        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption,
+          parts.flatMap(_._3).minOption)
+      case _ => (None, None, None) // unknown limit kinds admit everything
+    }
+
+  /** The composite default limit for the three per-trigger cap options
+    * (allAvailable when none are set). */
+  def defaultLimit(
+      maxFiles: Option[Int],
+      maxRows: Option[Long],
+      maxBytes: Option[Long]): ReadLimit = {
+    val lims: Seq[ReadLimit] =
+      maxFiles.map(ReadLimit.maxFiles).toSeq ++
+        maxRows.map(ReadLimit.maxRows).toSeq ++
+        maxBytes.map(ReadLimit.maxBytes).toSeq
+    lims match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 }
 
 /** Snapshot-incremental streaming read of a graft table —
@@ -82,31 +116,9 @@ final class GraftMicroBatchStream(
     * (always at least one, so the stream makes progress). The manifest
     * already carries per-file record counts, so the row cap costs no
     * file I/O to enforce. */
-  override def getDefaultReadLimit: ReadLimit = {
-    val lims: Seq[ReadLimit] =
-      maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
-        maxRowsPerTrigger.map(ReadLimit.maxRows).toSeq ++
-        maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
-    lims match {
-      case Seq() => ReadLimit.allAvailable()
-      case Seq(one) => one
-      case many => ReadLimit.compositeLimit(many.toArray)
-    }
-  }
-
-  private def capsOf(limit: ReadLimit)
-      : (Option[Int], Option[Long], Option[Long]) =
-    limit match {
-      case _: ReadAllAvailable => (None, None, None)
-      case f: ReadMaxFiles => (Some(f.maxFiles()), None, None)
-      case r: ReadMaxRows => (None, Some(r.maxRows()), None)
-      case b: ReadMaxBytes => (None, None, Some(b.maxBytes()))
-      case c: CompositeReadLimit =>
-        val parts = c.getReadLimits.toSeq.map(capsOf)
-        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption,
-          parts.flatMap(_._3).minOption)
-      case _ => (None, None, None) // unknown limit kinds admit everything
-    }
+  override def getDefaultReadLimit: ReadLimit =
+    GraftReadLimits.defaultLimit(
+      maxFilesPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftStreamOffset].snapshotId
@@ -122,12 +134,10 @@ final class GraftMicroBatchStream(
     var rows = 0L
     var bytes = 0L
     var end = from
-    for (s <- lg.snapshots
-        if s.snapshotId > from && s.snapshotId <= latest) {
+    for ((sid, op, added) <- appendsIn(lg, from, latest)) {
       // non-append snapshots count as empty here; replaces skip and the
       // rest still refuse loudly at plan time (never silently dropped)
-      val added = if (s.operation == "append") appendedBy(lg, s) else Nil
-      val overflow = end > from &&
+      val overflow = end > from && op == "append" &&
         (maxF.exists(m => files + added.size > m) ||
           maxR.exists(m => rows + added.map(_.recordCount).sum > m) ||
           maxB.exists(m => bytes + added.map(_.fileSizeBytes).sum > m))
@@ -135,7 +145,7 @@ final class GraftMicroBatchStream(
       files += added.size
       rows += added.map(_.recordCount).sum
       bytes += added.map(_.fileSizeBytes).sum
-      end = s.snapshotId
+      end = sid
     }
     GraftStreamOffset(end)
   }
@@ -143,24 +153,44 @@ final class GraftMicroBatchStream(
   override def reportLatestOffset(): Offset =
     availableNowEnd.map(GraftStreamOffset(_)).getOrElse(latestOffset())
 
-  /** Files snapshot `s` appended, by manifest path diff with its parent
-    * (throws when the parent has been expired — the diff would silently
-    * re-emit the whole file set otherwise). */
-  private def appendedBy(lg: SnapshotLog, s: Snapshot): Seq[DataFileEntry] = {
-    val parentPaths = s.parentId match {
-      case None => Set.empty[String]
-      case Some(pid) => lg.byId(pid) match {
-        case Some(p) =>
-          Manifest.read(s"$dir/${p.manifestList}").files.map(_.path).toSet
-        case None => throw new IllegalStateException(
-          s"snapshot ${s.snapshotId}'s parent $pid is missing from the " +
-            s"log of $dir (expired?) — its incremental diff cannot be " +
-            "computed; restart the stream from a live snapshot")
-      }
+  /** Per-snapshot appended-file memo: a trigger walks the chain twice
+    * (offset pacing, then planning) and a restart replays the last
+    * range — snapshots are immutable, so a diff keyed by snapshot id
+    * never goes stale. Bounded LRU (metadata scale). */
+  private val diffMemo =
+    new java.util.LinkedHashMap[Long, Seq[DataFileEntry]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Seq[DataFileEntry]]): Boolean =
+        size() > 256
     }
-    Manifest.read(s"$dir/${s.manifestList}").files
-      .filterNot(f => parentPaths.contains(f.path))
+
+  /** `(snapshotId, operation, appendedFiles)` for the chain in
+    * `(from, to]`, walking the manifest chain ONCE for the un-memoized
+    * suffix ([[SnapshotDiffs]] — N+1 list parses, not 2N) and lazily
+    * (admission pacing stops at the cap without parsing the rest).
+    * Non-append snapshots report no files: replaces are skipped and the
+    * rest refuse at plan time. */
+  private def appendsIn(lg: SnapshotLog, from: Long, to: Long)
+      : Iterator[(Long, String, Seq[DataFileEntry])] = {
+    val chain = lg.snapshots
+      .filter(s => s.snapshotId > from && s.snapshotId <= to)
+    val memoized = diffMemo.synchronized {
+      chain.takeWhile(s => diffMemo.containsKey(s.snapshotId))
+        .map(s => (s, diffMemo.get(s.snapshotId)))
+    }
+    val rest = chain.drop(memoized.size)
+    memoized.iterator.map { case (s, added) =>
+      (s.snapshotId, s.operation, added)
+    } ++ SnapshotDiffs.alongChain(dir, lg, rest).map { d =>
+      val added = if (d.snapshot.operation == "append") d.added else Nil
+      diffMemo.synchronized {
+        diffMemo.put(d.snapshot.snapshotId, added): Unit
+      }
+      (d.snapshot.snapshotId, d.snapshot.operation, added)
+    }
   }
+
+  private def capsOf(limit: ReadLimit) = GraftReadLimits.caps(limit)
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toLong)
@@ -185,11 +215,10 @@ final class GraftMicroBatchStream(
       s.operation == "append" || s.operation == "replace",
       s"streaming read of $dir hit snapshot ${s.snapshotId} " +
         s"(op=${s.operation}): an additive stream can only represent " +
-        "append commits — consume the CDC feed " +
-        "(GraftTable.changesCdc / GraftChangeFeed.pollCdc) for a " +
-        "history with rewrites or deletes"))
-    val appended = chain.filter(_.operation == "append")
-      .flatMap(s => appendedBy(lg, s))
+        "append commits — consume the CDC feed (readStream.table of " +
+        "<name>__changes, GraftTable.changesCdc, or " +
+        "GraftChangeFeed.pollCdc) for a history with rewrites or deletes"))
+    val appended = appendsIn(lg, from, to).flatMap(_._3).toSeq
     appended.foreach { f =>
       require(!renameAffects(t, f),
         s"$dir file ${f.path} predates a column rename/widening — the " +

@@ -40,7 +40,7 @@ final class GraftPruningScanBuilder(
         Array[org.apache.spark.sql.connector.expressions.Expression],
         String => Option[Int])] = None,
     aggPush: Aggregation => Option[Scan] = _ => None,
-    microBatch: Option[(Seq[String] => Scan) => MicroBatchStream] = None)
+    microBatch: Option[(Seq[String] => Scan, String) => MicroBatchStream] = None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -108,7 +108,7 @@ final class GraftPruningScanBuilder(
       case Some(_) => mkDelegate(paths)
       case None =>
         new GraftRuntimeFilterScan(mkDelegate, paths, pushed, prune, schema,
-          microBatch.map(mk => () => mk(mkDelegate)))
+          microBatch.map(mk => (ckpt: String) => mk(mkDelegate, ckpt)))
     }
   }
 }

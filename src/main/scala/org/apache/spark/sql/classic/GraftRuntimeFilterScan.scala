@@ -50,14 +50,15 @@ final class GraftRuntimeFilterScan(
     staticPushed: Seq[Expression],
     prune: Seq[Expression] => Seq[String],
     tableSchema: StructType,
-    microBatch: Option[() => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+    microBatch: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
     extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
-  /** Snapshot-incremental streaming read ([[GraftMicroBatchStream]]);
-    * only offered when the catalog wired it (MICRO_BATCH_READ tables). */
+  /** Streaming read ([[GraftMicroBatchStream]] / [[GraftCdcMicroBatchStream]],
+    * handed the engine's per-source checkpoint dir); only offered when
+    * the catalog wired it (MICRO_BATCH_READ tables). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    microBatch.map(_.apply())
+    microBatch.map(_.apply(checkpointLocation))
       .getOrElse(super.toMicroBatchStream(checkpointLocation))
 
   @volatile private var keptPaths: Seq[String] = initialPaths

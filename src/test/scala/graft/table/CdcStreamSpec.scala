@@ -1,0 +1,227 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** CDC-mode streaming reads: `readStream.table("<name>__changes")`
+  * emits `changesCdc` retraction rows (`_change_type` insert|delete,
+  * snapshot-id offsets) so a continuous pipeline survives
+  * UPDATE/DELETE/MERGE instead of dying at the additive stream's
+  * refusal. Netting every insert against every delete in arrival order
+  * must reconstruct the table's final state exactly. */
+class CdcStreamSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType, nullable = true)))
+
+  private lazy val wh = tmpDir("graft-cdc")
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.gc", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gc.warehouse", wh)
+  }
+
+  private def df(rows: Seq[Row], parts: Int = 2): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), schema)
+
+  private def batch(lo: Long, hi: Long): Seq[Row] =
+    (lo to hi).map(i => Row(i, s"v$i"))
+
+  /** Net mirror state from raw CDC rows: multiset inserts minus
+    * multiset deletes (every delete retracts a previously-inserted
+    * identical row by the changesCdc contract). Spelled as one
+    * aggregation — a self-exceptAll over the same memory-sink view
+    * trips Spark's attribute dedup. */
+  private def net(cdc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{sum, when, lit}
+    cdc.groupBy(col("id"), col("v"))
+      .agg(sum(when(col("_change_type") === "insert", lit(1L))
+        .otherwise(lit(-1L))).as("n"))
+      .filter(col("n") > 0).drop("n")
+  }
+
+  test("mixed append/update/delete chain mirrors to the final state") {
+    val tb = GraftTable.create(s"$wh/db/c1", schema)
+    tb.append(df(batch(1, 10)), Some(1000L))
+    tb.update(spark, col("id") <= 3L,
+      Map("v" -> org.apache.spark.sql.functions.lit("patched")),
+      Some(2000L))
+    tb.delete(spark, col("id") === 7L, Some(3000L))
+    tb.append(df(batch(11, 13)), Some(4000L))
+    val q = spark.readStream.table("gc.db.c1__changes")
+      .writeStream.format("memory").queryName("cdc1")
+      .option("checkpointLocation", tmpDir("cdc-ckpt1"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "CDC drain did not terminate")
+    val mirror = net(spark.table("cdc1"))
+    val want = tb.read(spark).select(col("id"), col("v"))
+    assert(mirror.exceptAll(want).isEmpty && want.exceptAll(mirror).isEmpty,
+      "netted CDC rows differ from the table's final state")
+    assert(mirror.count() == 12) // 10 - 1 deleted + 3 appended
+  }
+
+  test("incremental: DML after the seed batch arrives as retractions") {
+    val tb = GraftTable.create(s"$wh/db/c2", schema)
+    tb.append(df(batch(1, 6)), Some(1000L))
+    val ckpt = tmpDir("cdc-ckpt2")
+    val q = spark.readStream.table("gc.db.c2__changes")
+      .writeStream.format("memory").queryName("cdc2")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc2").count() == 6) // seed inserts
+      tb.update(spark, col("id") === 2L,
+        Map("v" -> org.apache.spark.sql.functions.lit("B")), Some(2000L))
+      tb.delete(spark, col("id") === 5L, Some(3000L))
+      q.processAllAvailable()
+      val rows = spark.table("cdc2")
+      // the update emits delete(2,v2) + insert(2,B); the delete emits
+      // delete(5,v5) — all tagged with their producing snapshot
+      assert(rows.filter(col("_change_type") === "delete").count() == 2)
+      val mirror = net(rows)
+      val want = tb.read(spark).select(col("id"), col("v"))
+      assert(mirror.exceptAll(want).isEmpty && want.exceptAll(mirror).isEmpty)
+      val sids = rows.select(col("snapshot__id")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(sids == Seq(1L, 2L, 3L), s"snapshot tags wrong: $sids")
+    } finally q.stop()
+  }
+
+  test("restart from the checkpoint is exactly-once across DML") {
+    val tb = GraftTable.create(s"$wh/db/c3", schema)
+    tb.append(df(batch(1, 5)), Some(1000L))
+    val ckpt = tmpDir("cdc-ckpt3")
+    val sink = tmpDir("cdc-sink3")
+    val sinkSchema = StructType(schema.fields.toSeq :+
+      StructField("_change_type", StringType) :+
+      StructField("snapshot__id", LongType))
+    def run(): Unit = {
+      val q = spark.readStream.table("gc.db.c3__changes")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "run did not drain")
+    }
+    run()
+    assert(spark.read.schema(sinkSchema).parquet(sink).count() == 5)
+    tb.delete(spark, col("id") === 1L, Some(2000L))
+    tb.append(df(batch(6, 8)), Some(3000L))
+    run()
+    val mirror = net(spark.read.schema(sinkSchema).parquet(sink))
+    val want = tb.read(spark).select(col("id"), col("v"))
+    assert(mirror.exceptAll(want).isEmpty && want.exceptAll(mirror).isEmpty,
+      "restart replayed or skipped CDC rows")
+    assert(mirror.count() == 7)
+  }
+
+  test("max-files-per-trigger paces the catch-up in snapshot steps") {
+    val tb = GraftTable.create(s"$wh/db/c4", schema)
+    tb.append(df(batch(1, 4), parts = 1), Some(1000L))
+    tb.delete(spark, col("id") === 2L, Some(2000L))
+    tb.append(df(batch(5, 8), parts = 1), Some(3000L))
+    val q = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("gc.db.c4__changes")
+      .writeStream.format("memory").queryName("cdc4")
+      .option("checkpointLocation", tmpDir("cdc-ckpt4"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "paced CDC drain did not terminate")
+    val mirror = net(spark.table("cdc4"))
+    val want = tb.read(spark).select(col("id"), col("v"))
+    assert(mirror.exceptAll(want).isEmpty && want.exceptAll(mirror).isEmpty)
+    // seed batch collapses to (0, s1]; the delete and the append must
+    // each land in their own paced batch
+    assert(spark.table("cdc4").select(col("snapshot__id")).distinct()
+      .count() == 3)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "file cap did not split the catch-up")
+  }
+
+  test("starting-snapshot-id skips the seed and tails changes only") {
+    val tb = GraftTable.create(s"$wh/db/c5", schema)
+    tb.append(df(batch(1, 50)), Some(1000L))
+    val startAfter = tb.log.current.get.snapshotId
+    tb.update(spark, col("id") === 10L,
+      Map("v" -> org.apache.spark.sql.functions.lit("X")), Some(2000L))
+    val q = spark.readStream
+      .option("starting-snapshot-id", startAfter.toString)
+      .table("gc.db.c5__changes")
+      .writeStream.format("memory").queryName("cdc5")
+      .option("checkpointLocation", tmpDir("cdc-ckpt5"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val rows = spark.table("cdc5").collect()
+    assert(rows.length == 2, s"expected delete+insert only, got ${rows.length}")
+    assert(rows.count(_.getString(2) == "delete") == 1)
+    assert(rows.count(_.getString(2) == "insert") == 1)
+  }
+
+  test("a rollback in range refuses loudly (re-seed, never skip)") {
+    val tb = GraftTable.create(s"$wh/db/c6", schema)
+    tb.append(df(batch(1, 5)), Some(1000L))
+    val anchor = tb.log.current.get.snapshotId
+    tb.append(df(batch(6, 9)), Some(2000L))
+    tb.rollbackTo(anchor, Some(3000L))
+    val q = spark.readStream
+      .option("starting-snapshot-id", anchor.toString)
+      .table("gc.db.c6__changes")
+      .writeStream.format("memory").queryName("cdc6")
+      .option("checkpointLocation", tmpDir("cdc-ckpt6")).start()
+    val e = intercept[StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(120000)
+    }
+    q.stop()
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("rollback"),
+      s"expected the rollback refusal, got: $msg")
+  }
+
+  test("batch reads of the changes table refuse (streaming-only surface)") {
+    val tb = GraftTable.create(s"$wh/db/c7", schema)
+    tb.append(df(batch(1, 3)), Some(1000L))
+    val e = intercept[Exception] {
+      spark.read.table("gc.db.c7__changes").collect()
+    }
+    assert(Option(e.getMessage).exists(m =>
+      m.toLowerCase.contains("batch") || m.toLowerCase.contains("scan")),
+      s"expected a no-batch-capability error, got: ${e.getMessage}")
+  }
+
+  test("a real table named __changes wins over the CDC view") {
+    val tb = GraftTable.create(s"$wh/db/real__changes", schema)
+    tb.append(df(batch(1, 4)), Some(1000L))
+    val got = spark.read.table("gc.db.real__changes")
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"),
+      "real table shadowed by the CDC surface")
+    assert(got.count() == 4)
+  }
+
+  test("append-stream catch-up parses each chain manifest once (N+1)") {
+    val n = 10
+    val tb = GraftTable.create(s"$wh/db/c8", schema)
+    (1 to n).foreach(i =>
+      tb.append(df(batch(i * 10L, i * 10L + 3), parts = 1),
+        Some(1000L * i)))
+    val before = Manifest.listParses.get()
+    val q = spark.readStream.table("gc.db.c8")
+      .writeStream.format("memory").queryName("cdc8")
+      .option("checkpointLocation", tmpDir("cdc-ckpt8"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(spark.table("cdc8").count() == n * 4L)
+    val parses = Manifest.listParses.get() - before
+    // one walk: N chain manifests + the first parent; plus the scan
+    // builder's read of the current manifest at analysis. The old
+    // 2-per-snapshot spelling cost ≥ 2N here.
+    assert(parses <= n + 4,
+      s"catch-up over $n snapshots parsed $parses manifest lists " +
+        s"(want ≤ ${n + 4} — chain walked more than once?)")
+  }
+}
