@@ -678,6 +678,20 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Events copied into a `days(ts)`-partitioned graft table (v51): the
+    * layout the engine recommends for time-series, at DATA scale — the
+    * "daily counts" question must answer from manifest partition values
+    * alone. One snapshot; ts normalized via [[eventsTable]]. */
+  private def eventsDaysFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/events_days", 1) { dir =>
+      val ev = eventsTable(spark, sfDir)
+      val tb = GraftTable.create(dir, ev.schema,
+        partitionBy = Seq("days(ts)"))
+      tb.append(ev, Some(1000L))
+      tb
+    }
+
   /** Mixed-DML chain for the CDC streaming read (v49): append → CoW
     * update → CoW delete → append, 4 snapshots — the history the
     * additive stream refuses and the CDC stream must survive. */
@@ -878,6 +892,40 @@ object Versioned extends QueryPack {
         .start()
       require(q.awaitTermination(180000L), "v46 stream did not drain")
       s.table(qn).orderBy(col("n_nationkey"))
+    }),
+
+    // FILTERED METADATA-ONLY AGGREGATES: `count(*) WHERE partition
+    // slice` — the single most common query on a partitioned table. The
+    // pruning walk keeps only the r2 partition's files, every kept file
+    // PROVES all-match (partition-value stats), the filter is claimed as
+    // fully pushed, and the aggregate collapses to a LocalTableScan —
+    // zero file I/O at any scale (AggregatePushdownSpec pins the plan
+    // and the straddling-filter refusal).
+    "v50_graft_agg_filtered" -> ((s, d) => {
+      val tb = aggNationFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g48", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g48.warehouse", wh)
+      s.sql("SELECT count(*) AS n_nations, min(n_nationkey) AS lo_key, " +
+        "max(n_nationkey) AS hi_key FROM g48.db.agg_nation " +
+        "WHERE n_regionkey = 2")
+    }),
+
+    // TRANSFORM-GROUPED METADATA AGGREGATES: daily event counts over the
+    // recommended days(ts) layout, GROUP BY CAST(ts AS DATE) — served
+    // entirely from manifest partition ordinals + per-file stats, one
+    // LocalTableScan row per day, zero file reads over a DATA-scale
+    // events table (the spelling matters: date_trunc never reaches v2
+    // pushdown; AggregatePushdownSpec pins alignment and refusals).
+    "v51_graft_agg_daily" -> ((s, d) => {
+      val tb = eventsDaysFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g51", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g51.warehouse", wh)
+      s.sql("SELECT CAST(ts AS DATE) AS day, count(*) AS n_events, " +
+        "count(value) AS n_vals, min(event_id) AS lo_event, " +
+        "max(event_id) AS hi_event FROM g51.db.events_days " +
+        "GROUP BY 1 ORDER BY day")
     }),
 
     // CDC STREAMING READ: readStream.table of `<name>__changes` over a
@@ -1398,6 +1446,15 @@ object Versioned extends QueryPack {
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE n_name = 'NATION_7' " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the filtered metadata count must equal a real filtered recompute
+    "v50_graft_agg_filtered" ->
+      ("SELECT count(*) AS n_nations, min(n_nationkey) AS lo_key, " +
+        "max(n_nationkey) AS hi_key FROM nation WHERE n_regionkey = 2"),
+    // the per-day metadata answers must equal a real GROUP BY recompute
+    "v51_graft_agg_daily" ->
+      ("SELECT CAST(ts AS DATE) AS day, count(*) AS n_events, " +
+        "count(value) AS n_vals, min(event_id) AS lo_event, " +
+        "max(event_id) AS hi_event FROM events GROUP BY 1 ORDER BY day"),
     // the CDC-mirrored table must equal the source's final state:
     // region-2 names patched, keys ≥ 20 deleted, NEWLAND rows appended
     "v49_graft_cdc_stream" ->

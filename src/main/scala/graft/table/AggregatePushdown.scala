@@ -35,40 +35,35 @@ import org.apache.spark.sql.types._
 object AggregatePushdown {
 
   /** Exact answer for `agg` over `entries`, or None. Group-less: one
-    * row. `GROUP BY` is served when every group expression is an
-    * IDENTITY partition column — the manifest's partition values are
-    * the exact group keys and partition groups are disjoint, so
-    * per-group totals/bounds are final (`SELECT day, count(*)` on a
-    * day-partitioned table never touches a data file). */
+    * row. `GROUP BY` is served when every group expression is
+    * PARTITION-ALIGNED — an identity partition column, a `days(c)`-
+    * partitioned date column, or `CAST(c AS DATE)` over a `days(c)` /
+    * `hours(c)` layout (the "daily counts" question on the recommended
+    * events layout; `date_trunc` never reaches this surface — Spark
+    * cannot translate it to a v2 expression — so the cast is the
+    * servable spelling). Manifest partition values are the exact group
+    * keys and every layout partition maps into exactly ONE group, so
+    * per-group totals/bounds are final without touching a data file.
+    * Misaligned expressions (a coarser layout than the grouping —
+    * `CAST(ts AS DATE)` over `months(ts)` — or anything else) refuse. */
   def localScan(
       agg: Aggregation,
       schema: StructType,
       partitionFields: Seq[PartitionField],
       entries: Seq[DataFileEntry],
       describe: String): Option[Scan] = {
-    val groupFields: Seq[StructField] =
-      agg.groupByExpressions().toSeq.map {
-        case r: NamedReference if r.fieldNames().length == 1 =>
-          val name = r.fieldNames()(0)
-          val identity = partitionFields.exists(f =>
-            f.isIdentity && f.fieldName.equalsIgnoreCase(name))
-          val field = schema.fields.find(_.name.equalsIgnoreCase(name))
-          if (!identity || field.isEmpty ||
-              !entries.forall(_.partition.contains(field.get.name)))
-            return None
-          field.get
-        case _ => return None
-      }
-    if (groupFields.isEmpty) answerGroup(agg, schema, entries, describe)
+    val extractors: Seq[(StructField, DataFileEntry => Option[Any])] =
+      agg.groupByExpressions().toSeq.map(e =>
+        groupExtractor(e, schema, partitionFields, entries)
+          .getOrElse(return None))
+    if (extractors.isEmpty) answerGroup(agg, schema, entries, describe)
     else {
-      val groups = entries.groupBy(e =>
-        groupFields.map(f => e.partition(f.name)))
-      val rows = groups.toSeq.sortBy(_._1.toString).map {
-        case (keyVals, groupEntries) =>
-          val keyCells = groupFields.zip(keyVals).map { case (f, v) =>
-            groupValue(f, v).getOrElse(return None)
-          }
-          answerGroup(agg, schema, groupEntries, describe) match {
+      val keyed = entries.map(e =>
+        (extractors.map(_._2(e).getOrElse(return None)), e))
+      val groups = keyed.groupBy(_._1)
+      val rows = groups.toSeq.sortBy(_._1.mkString("|")).map {
+        case (keyCells, groupEntries) =>
+          answerGroup(agg, schema, groupEntries.map(_._2), describe) match {
             case Some(s: GraftLocalAggScan) =>
               (s.readSchema(), keyCells ++ s.values)
             case _ => return None
@@ -77,8 +72,82 @@ object AggregatePushdown {
       val aggSchema = rows.headOption.map(_._1)
         .getOrElse(return None)
       Some(new GraftLocalAggScan(
-        StructType(groupFields ++ aggSchema.fields),
+        StructType(extractors.map(_._1) ++ aggSchema.fields),
         rows.map(_._2), describe))
+    }
+  }
+
+  /** One group expression → (output field, per-entry internal group
+    * key). None refuses the pushdown; a per-entry None (missing
+    * partition key — another spec era's file) also refuses. */
+  private def groupExtractor(
+      e: org.apache.spark.sql.connector.expressions.Expression,
+      schema: StructType,
+      partitionFields: Seq[PartitionField],
+      entries: Seq[DataFileEntry])
+      : Option[(StructField, DataFileEntry => Option[Any])] = {
+
+    def covered(fieldName: String): Boolean =
+      entries.forall(_.partition.contains(fieldName))
+    // days/hours ordinals are written as plain ints; a group key parse
+    // failure refuses (None) rather than guessing
+    def ordinal(f: PartitionField, toKey: Int => Any)
+        : DataFileEntry => Option[Any] =
+      en => en.partition.get(f.fieldName).flatMap {
+        case None => Some(null) // null partition: SQL null group key
+        case Some(s) => s.toIntOption.map(toKey)
+      }
+    // CAST(c AS DATE) over TimestampType follows the SESSION timezone;
+    // the layout ordinals are UTC-derived, so only a UTC session aligns
+    def tzSafe(dt: DataType): Boolean = dt match {
+      case TimestampType =>
+        scala.util.Try(java.time.ZoneId.of(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          .normalized() == java.time.ZoneOffset.UTC).getOrElse(false)
+      case TimestampNTZType | DateType => true
+      case _ => false
+    }
+
+    e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        val name = r.fieldNames()(0)
+        val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+          .getOrElse(return None)
+        partitionFields.find(f =>
+          f.isIdentity && f.fieldName.equalsIgnoreCase(name)) match {
+          case Some(_) if covered(field.name) =>
+            Some((field, en => groupValue(field, en.partition(field.name))))
+          case _ =>
+            // GROUP BY a days(d)-partitioned DATE column: the ordinal
+            // IS the epoch day
+            partitionFields.collectFirst {
+              case f @ DaysField(src)
+                  if src.equalsIgnoreCase(name) &&
+                    field.dataType == DateType && covered(f.fieldName) =>
+                (field, ordinal(f, identity[Int]))
+            }
+        }
+      case c: org.apache.spark.sql.connector.expressions.Cast
+          if c.dataType() == DateType =>
+        c.expression() match {
+          case r: NamedReference if r.fieldNames().length == 1 =>
+            val name = r.fieldNames()(0)
+            val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+              .getOrElse(return None)
+            if (!tzSafe(field.dataType)) return None
+            val out = StructField(s"CAST(${field.name} AS DATE)", DateType)
+            partitionFields.collectFirst {
+              case f @ DaysField(src)
+                  if src.equalsIgnoreCase(name) && covered(f.fieldName) =>
+                (out, ordinal(f, identity[Int]))
+              case f @ HoursField(src)
+                  if src.equalsIgnoreCase(name) && covered(f.fieldName) =>
+                // every hour partition lies in exactly one day
+                (out, ordinal(f, h => Math.floorDiv(h, 24)))
+            }
+          case _ => None
+        }
+      case _ => None
     }
   }
 

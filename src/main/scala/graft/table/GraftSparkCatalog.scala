@@ -571,11 +571,19 @@ final class GraftV2Table(
         entries.filter(keep).map(f => abs(f.path))
       },
       keyGrouped,
-      // group-less COUNT/MIN/MAX from manifest metadata: exact here
-      // because this surface already refused merge-on-read-pending
-      // state above (manifest totals = visible rows)
-      agg => AggregatePushdown.localScan(agg, t.schema, t.partitionFields,
-        entries, s"graft agg-stats scan of ${t.dir}"),
+      // COUNT/MIN/MAX from manifest metadata: exact here because this
+      // surface already refused merge-on-read-pending state above
+      // (manifest totals = visible rows). Under pushed filters the
+      // builder only asks when EVERY conjunct was claimed, so the kept
+      // entries hold precisely the matching rows — `count(*) WHERE
+      // day = X` on a partitioned table is a manifest sum.
+      (agg, filters) => {
+        val kept = filters
+          .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(e => entries.filter(t.pruneKeep(e))).getOrElse(entries)
+        AggregatePushdown.localScan(agg, t.schema, t.partitionFields,
+          kept, s"graft agg-stats scan of ${t.dir}")
+      },
       // snapshot-incremental streaming read (readStream.table):
       // offsets are snapshot ids; each trigger plans only the files the
       // new snapshots appended. `starting-snapshot-id` tails from after
@@ -587,7 +595,21 @@ final class GraftV2Table(
         (tbl, f) => tbl.renameAffects(f),
         Option(options.get("max-files-per-trigger")).map(_.trim.toInt),
         Option(options.get("max-rows-per-trigger")).map(_.trim.toLong),
-        Option(options.get("max-bytes-per-trigger")).map(_.trim.toLong))))
+        Option(options.get("max-bytes-per-trigger")).map(_.trim.toLong))),
+      // a conjunct is CLAIMED (served by file selection alone, no
+      // post-scan re-apply) when every file the pruning walk keeps
+      // PROVABLY all-matches it — stats/partition-value proofs, the
+      // countWhere discipline. What this unlocks: Spark then sees the
+      // filter as fully pushed and offers the aggregate pushdown, so
+      // the most common question on a partitioned table ("count WHERE
+      // partition slice") collapses to a manifest sum.
+      claimFilters = filters => {
+        val keep = filters
+          .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(t.pruneKeep).getOrElse((_: DataFileEntry) => true)
+        val kept = entries.filter(keep)
+        filters.filter(c => kept.forall(f => t.provenAll(c, f)))
+      })
   }
 }
 

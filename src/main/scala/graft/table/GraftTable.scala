@@ -564,6 +564,21 @@ final class GraftTable private (
       augSchema)
   }
 
+  /** Whether EVERY row of `file` PROVABLY satisfies `resolved`
+    * ([[countWhere]]'s metadata proof, exposed for the DSv2 surface):
+    * with pruning dropping the proven-non-matching files, a filter whose
+    * every KEPT file proves is fully served by file selection alone —
+    * the claim behind metadata-only filtered aggregates. Any doubt
+    * answers false. */
+  private[table] def provenAll(
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression,
+      file: DataFileEntry): Boolean = {
+    val proof = PartitionField.proofAugment(resolved, partitionFields)
+    val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
+    Pruning.mustMatchAll(proof, aliasLegacyStats(stripStaleBlooms(file)),
+      augSchema)
+  }
+
   /** Era-gated compatibility alias for derived-stat keys. Probes use the
     * PARAMETER-QUALIFIED [[PartitionField.statName]] (`tok_bucket_16`);
     * files written before qualification hold the synthesized stats under

@@ -39,35 +39,49 @@ final class GraftPruningScanBuilder(
     keyGrouped: Option[(
         Array[org.apache.spark.sql.connector.expressions.Expression],
         String => Option[Int])] = None,
-    aggPush: Aggregation => Option[Scan] = _ => None,
-    microBatch: Option[(Seq[String] => Scan, String) => MicroBatchStream] = None)
+    aggPush: (Aggregation, Seq[Expression]) => Option[Scan] = (_, _) => None,
+    microBatch: Option[(Seq[String] => Scan, String) => MicroBatchStream] = None,
+    claimFilters: Seq[Expression] => Seq[Expression] = _ => Nil)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates {
 
   private var pushed: Seq[Expression] = Nil
+  private var residual: Seq[Expression] = Nil
   private var required: StructType = schema
   private var aggScan: Option[Scan] = None
 
-  /** COUNT/MIN/MAX — group-less, or GROUP BY identity partition
-    * columns — answered exactly from manifest metadata
+  /** COUNT/MIN/MAX — group-less, or GROUP BY partition-aligned
+    * expressions — answered exactly from manifest metadata
     * ([[graft.table.AggregatePushdown]]) collapse to a local scan of
     * one row per group. Spark only offers the aggregation here when
-    * every filter was fully pushed — this builder keeps all filters
-    * residual, so a filtered aggregate always takes the normal scan
-    * path and stays exact by construction. */
+    * every filter was fully pushed — which happens exactly when every
+    * conjunct was CLAIMED below (file selection alone serves it), so the
+    * kept entries hold precisely the matching rows and manifest totals
+    * stay exact. The residual guard makes that precondition local. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    aggPush(agg).isDefined
+    attemptAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    aggScan = aggPush(agg)
+    aggScan = attemptAgg(agg)
     aggScan.isDefined
   }
 
+  private def attemptAgg(agg: Aggregation): Option[Scan] =
+    if (residual.nonEmpty) None else aggPush(agg, pushed)
+
+  /** A conjunct comes back NON-residual only when `claimFilters` PROVES
+    * file selection fully serves it (every kept file all-matches —
+    * [[graft.table.GraftTable.provenAll]] over the same pruning walk
+    * that picks the file list). Everything else stays residual and
+    * Spark re-applies it post-scan — correctness never depends on the
+    * pruning. */
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushed = filters
-    filters // all residual here — correctness never depends on the pruning
+    val claimed = claimFilters(filters).toSet
+    residual = filters.filterNot(claimed)
+    residual
   }
 
   override def pushedFilters()

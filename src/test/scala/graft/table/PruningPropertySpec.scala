@@ -133,6 +133,34 @@ class PruningPropertySpec extends AnyFunSuite {
     }, minSuccessful = 4000)
   }
 
+  test("property: claimed filters make kept-file totals the exact count") {
+    // the DSv2 claim (GraftPruningScanBuilder/provenAll): when every
+    // file KEPT by the pruning walk proves all-match, the filter is
+    // fully served by file selection — so the manifest record-count sum
+    // over kept files must equal the true matching-row count across the
+    // WHOLE table (dropped files contribute nothing by mayMatch
+    // soundness). A violation would corrupt filtered metadata-only
+    // aggregates, not just waste I/O.
+    val fileGen: Gen[Seq[Option[Long]]] =
+      Gen.nonEmptyListOf(Gen.frequency(
+        8 -> Gen.chooseNum(-20L, 20L).map(Some(_)),
+        1 -> Gen.const(None)))
+    val tableGen: Gen[List[Seq[Option[Long]]]] =
+      Gen.nonEmptyListOf(fileGen)
+    check(Prop.forAll(tableGen, predGen(3), Gen.choose(0, 3)) {
+      (files, pred, degrade) =>
+        val entries = files.map(values =>
+          (values, DataFileEntry("data/f.parquet", values.size.toLong, 1L,
+            statsOf(values, degrade))))
+        val kept = entries.filter { case (_, f) =>
+          Pruning.mayMatchFile(pred, f, schema) }
+        val claimed = kept.forall { case (_, f) =>
+          Pruning.mustMatchAll(pred, f, schema) }
+        val exact = files.flatten.count(v => evalRow(pred, v).contains(true))
+        !claimed || kept.map(_._2.recordCount).sum == exact.toLong
+    }, minSuccessful = 4000)
+  }
+
   test("property: partition-derived stats never prune a matching partition") {
     // a partitioned file's rows ALL carry the partition value; its stats
     // are synthesized by PartitionValues.stats (min = max = value, or
