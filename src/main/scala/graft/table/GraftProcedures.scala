@@ -1,0 +1,179 @@
+package graft.table
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL maintenance procedures — `CALL graft.system.<proc>(...)`, the
+  * operator-at-a-SQL-shop interface over the proven library calls
+  * (Iceberg's procedure surface, re-expressed through Spark 4's DSv2
+  * `ProcedureCatalog`):
+  *
+  * {{{
+  *   CALL graft.system.expire_snapshots('db.t', older_than_ms => <ts>, retain_last => 2)
+  *   CALL graft.system.remove_orphan_files('db.t', older_than_ms => <ts>)
+  *   CALL graft.system.rewrite_data_files('db.t')                -- compact
+  *   CALL graft.system.rewrite_data_files('db.t', zorder_by => 'a,b')
+  *   CALL graft.system.rewrite_manifests('db.t')
+  *   CALL graft.system.rollback_to_snapshot('db.t', 3)
+  * }}}
+  *
+  * Timestamps are epoch MILLIS (`older_than_ms`), absolute for both
+  * expiration and orphan reclamation (the library's orphan API takes an
+  * age; the procedure converts — one convention at the SQL surface).
+  * Every procedure returns a result-set scan (ids expired, paths
+  * reclaimed, the snapshot a rewrite committed), so `CALL` composes with
+  * the operator's runbook instead of printing into a void. Tag/branch
+  * retention anchors, the retain-last floor, and the commit-claim
+  * serialization all come from the library calls themselves.
+  */
+object GraftProcedures {
+
+  val names: Seq[String] = Seq(
+    "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
+    "rewrite_manifests", "rollback_to_snapshot")
+
+  def load(warehouse: String, name: String): Option[UnboundProcedure] =
+    name match {
+      case "expire_snapshots" => Some(expireSnapshots(warehouse))
+      case "remove_orphan_files" => Some(removeOrphanFiles(warehouse))
+      case "rewrite_data_files" => Some(rewriteDataFiles(warehouse))
+      case "rewrite_manifests" => Some(rewriteManifests(warehouse))
+      case "rollback_to_snapshot" => Some(rollbackToSnapshot(warehouse))
+      case _ => None
+    }
+
+  private def in(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def tableOf(warehouse: String, row: InternalRow): GraftTable = {
+    require(!row.isNullAt(0), "table argument must not be null")
+    val name = row.getUTF8String(0).toString
+    GraftTable.load(new GraftCatalog(warehouse).tableDir(name))
+  }
+
+  private def result(schema: StructType, rows: Seq[Seq[Any]], desc: String)
+      : java.util.Iterator[Scan] =
+    java.util.List.of[Scan](
+      new GraftLocalAggScan(schema, rows, desc)).iterator()
+
+  /** One-class procedure shell: graft procedures are all IN-parameter,
+    * single-result, side-effecting maintenance calls. */
+  private final class Proc(
+      procName: String,
+      procDescription: String,
+      params: Array[ProcedureParameter],
+      outSchema: StructType,
+      run: InternalRow => Seq[Seq[Any]])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      result(outSchema, run(input), s"graft procedure $procName")
+  }
+
+  private def expireSnapshots(wh: String): UnboundProcedure = new Proc(
+    "expire_snapshots",
+    "Expire snapshots committed before older_than_ms (epoch millis), " +
+      "keeping at least retain_last newest; tags and live branch forks " +
+      "stay retention anchors. Returns the expired snapshot ids.",
+    Array(
+      in("table", StringType),
+      in("older_than_ms", LongType),
+      inDefault("retain_last", IntegerType, "1")),
+    StructType(Seq(StructField("expired_snapshot_id", LongType,
+      nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      t.expireSnapshots(row.getLong(1), row.getInt(2))
+        .map(id => Seq[Any](id))
+    })
+
+  private def removeOrphanFiles(wh: String): UnboundProcedure = new Proc(
+    "remove_orphan_files",
+    "Delete files under the table's data/deletes/manifests roots that " +
+      "no snapshot references and that are older than older_than_ms " +
+      "(epoch millis — keep it well above any in-flight write). " +
+      "Returns the reclaimed paths.",
+    Array(
+      in("table", StringType),
+      in("older_than_ms", LongType)),
+    StructType(Seq(StructField("orphan_path", StringType,
+      nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      // the library call takes an AGE; the SQL surface is absolute
+      val age = math.max(0L, System.currentTimeMillis() - row.getLong(1))
+      t.removeOrphanFiles(age)
+        .map(p => Seq[Any](UTF8String.fromString(p)))
+    })
+
+  private def rewriteDataFiles(wh: String): UnboundProcedure = new Proc(
+    "rewrite_data_files",
+    "Compact files smaller than smaller_than_bytes into target-size " +
+      "files (one row-preserving replace snapshot; streams skip it). " +
+      "sort_by/zorder_by take comma-separated columns for clustered " +
+      "rewrites. Returns the replace snapshot id, or no rows when " +
+      "nothing qualified.",
+    Array(
+      in("table", StringType),
+      inDefault("smaller_than_bytes", LongType, "9223372036854775807"),
+      inDefault("target_file_bytes", LongType, "0"),
+      inDefault("sort_by", StringType, "''"),
+      inDefault("zorder_by", StringType, "''")),
+    StructType(Seq(StructField("replace_snapshot_id", LongType,
+      nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      def cols(i: Int): Seq[String] =
+        if (row.isNullAt(i)) Nil
+        else row.getUTF8String(i).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      val target = row.getLong(2)
+      t.compact(org.apache.spark.sql.SparkSession.active,
+        smallerThanBytes = row.getLong(1),
+        sortBy = cols(3),
+        targetFileBytes = if (target > 0L) Some(target) else None,
+        zorderBy = cols(4))
+        .map(s => Seq[Any](s.snapshotId)).toSeq
+    })
+
+  private def rewriteManifests(wh: String): UnboundProcedure = new Proc(
+    "rewrite_manifests",
+    "Re-shard the current manifest list into segments of target_files " +
+      "entries (metadata-only replace snapshot). Returns the replace " +
+      "snapshot id, or no rows when already at most this coarse.",
+    Array(
+      in("table", StringType),
+      inDefault("target_files", IntegerType,
+        Manifest.coalesceSmallFiles.toString)),
+    StructType(Seq(StructField("replace_snapshot_id", LongType,
+      nullable = false))),
+    row => tableOf(wh, row).rewriteManifests(row.getInt(1))
+      .map(s => Seq[Any](s.snapshotId)).toSeq)
+
+  private def rollbackToSnapshot(wh: String): UnboundProcedure = new Proc(
+    "rollback_to_snapshot",
+    "Roll the table back to snapshot_id as a NEW rollback commit (the " +
+      "abandoned suffix stays time-travelable until expired). Returns " +
+      "(previous current, new current).",
+    Array(
+      in("table", StringType),
+      in("snapshot_id", LongType)),
+    StructType(Seq(
+      StructField("previous_snapshot_id", LongType, nullable = true),
+      StructField("current_snapshot_id", LongType, nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      val prev = t.log.current.map(_.snapshotId)
+      val snap = t.rollbackTo(row.getLong(1))
+      Seq(Seq[Any](prev.map(Long.box).orNull, snap.snapshotId))
+    })
+}

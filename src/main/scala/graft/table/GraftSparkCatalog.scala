@@ -38,10 +38,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * column dialect lives on [[GraftCatalog.register]]'s view path.
   */
 class GraftSparkCatalog extends CatalogPlugin with TableCatalog
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** SQL maintenance procedures — `CALL graft.system.expire_snapshots(
+    * 'db.t', <ms>)` etc. ([[GraftProcedures]]): Iceberg's operator
+    * surface over the proven library maintenance calls. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val found =
+      if (ident.namespace().sameElements(Array("system")))
+        GraftProcedures.load(warehouse, ident.name())
+      else None
+    found.getOrElse(throw new RuntimeException(
+      s"no such graft procedure ${ident.namespace().mkString(".")}." +
+        s"${ident.name()} — available: graft system procedures " +
+        GraftProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   /** Catalog functions backing storage-partitioned joins: Spark resolves
     * a scan-reported `bucket(n, col)` partitioning against this catalog
@@ -363,20 +384,20 @@ final class GraftV2Table(
     * parquet straight under `data/` with Spark's own writer machinery;
     * each epoch commits ONE append snapshot idempotently
     * ([[GraftTable.commitStreamFiles]] — replayed epochs delete their
-    * duplicates). Refusals here run BEFORE any task: partitioned tables
-    * and write constraints need the DataFrame write path
-    * (`writeStreamInto` / foreachBatch), and the incoming schema must
-    * match the table schema exactly (name set + types — the same
-    * bricked-table guard as [[GraftTable.append]]). */
+    * duplicates). Partitioned tables stream through the same path: the
+    * tasks evaluate the table's partition transforms per row and write
+    * the batch layout's `<field>=<value>/` directories (identity
+    * sources dropped from footers), the epoch clustered + ordered on
+    * the partition sources so files stay one-per-partition-per-epoch.
+    * Refusals here run BEFORE any task: write constraints need the
+    * DataFrame write path (`writeStreamInto` / foreachBatch), and the
+    * incoming schema must match the table schema exactly (name set +
+    * types — the same bricked-table guard as [[GraftTable.append]]). */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(snapshotId.isEmpty,
       s"cannot write to a time-travel read of $tableName")
-    require(t.partitionFields.isEmpty,
-      s"$tableName is partitioned — the DSv2 streaming sink writes " +
-        "leaf files only; stream into it with " +
-        "GraftTable.writeStreamInto (foreachBatch) instead")
     require(!t.properties.contains(GraftTable.PropNotNullColumns) &&
       !t.properties.keys.exists(_.startsWith(GraftTable.PropCheckPrefix)),
       s"$tableName declares write constraints — the file-level streaming " +
@@ -418,6 +439,36 @@ final class GraftV2Table(
     }
     val sinkId = s"dsv2:${info.queryId()}"
     val dirCaptured = t.dir
+    // partition transforms, resolved against the INPUT attribute order
+    // and bound for task-side row evaluation — the same Spark
+    // expressions the batch writer's writeExpr column evaluates, so the
+    // streamed directory layout is bit-identical to a batch write's
+    val partFields: Seq[org.apache.spark.sql.classic.GraftStreamPartField] =
+      if (t.partitionFields.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences}
+        import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+        val inAttrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+          .toAttributes(in)
+        t.partitionFields.map { f =>
+          val raw = org.apache.spark.sql.classic.GraftBridge.expr(f.writeExpr)
+          val analyzed = SparkSession.active.sessionState.analyzer.execute(
+            Project(Seq(Alias(raw, f.fieldName)()), LocalRelation(inAttrs)))
+          val resolved = analyzed.collectFirst {
+            case p: Project if p.projectList.nonEmpty &&
+                p.projectList.head.resolved =>
+              p.projectList.head.asInstanceOf[Alias].child
+          }.getOrElse(throw new IllegalArgumentException(
+            s"cannot resolve partition transform ${f.spec} of $tableName " +
+              "against the streaming input schema"))
+          org.apache.spark.sql.classic.GraftStreamPartField(
+            f.fieldName, f.source,
+            BindReferences.bindReference(resolved, inAttrs),
+            f.derivedType)
+        }
+      }
+    val identitySources =
+      t.partitionFields.filter(_.isIdentity).map(_.fieldName).toSet
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
@@ -427,22 +478,26 @@ final class GraftV2Table(
               dirCaptured, in, info.queryId(), conf.toMap,
               (rels, epoch) => {
                 val fresh = GraftTable.load(dirCaptured)
-                // mid-stream schema evolution: the epoch's files were
-                // written under the START schema, but the canonical
-                // part-<snapId> rename would attribute them to the
-                // POST-evolution era (silent NULLs on renamed columns)
-                // — drop the uncommitted epoch and refuse loudly; the
-                // restarted query replays it under the current schema
-                if (fresh.schema != t.schema) {
+                // mid-stream schema OR partition-spec evolution: the
+                // epoch's files were written under the START layout,
+                // but the canonical part-<snapId> rename would
+                // attribute them to the POST-evolution era (silent
+                // NULLs on renamed columns; mixed-spec directories) —
+                // drop the uncommitted epoch and refuse loudly; the
+                // restarted query replays it under the current state
+                if (fresh.schema != t.schema ||
+                    fresh.partitionColumns != t.partitionColumns) {
                   rels.foreach(r => java.nio.file.Files.deleteIfExists(
                     java.nio.file.Paths.get(dirCaptured, r)))
                   throw new IllegalStateException(
-                    s"$tableName's schema evolved while the stream was " +
-                      "running — restart the streaming query so its " +
-                      "writes carry the current schema")
+                    s"$tableName's schema or partition spec evolved " +
+                      "while the stream was running — restart the " +
+                      "streaming query so its writes carry the current " +
+                      "layout")
                 }
                 fresh.commitStreamFiles(rels, sinkId, epoch)
-              })
+              },
+              partFields, identitySources)
         }
     }
   }

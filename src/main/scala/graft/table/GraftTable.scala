@@ -3593,8 +3593,11 @@ final class GraftTable private (
     * A re-delivered (sinkId, batchId) — streaming epochs replay on
     * restart — DELETES the duplicate files and commits nothing
     * (exactly-once snapshots, the [[appendStreamBatch]] contract).
-    * Partitioned and constraint-bearing tables are refused at the
-    * catalog layer before any task runs (see `GraftV2Table`). */
+    * Partitioned epochs arrive under the batch `<field>=<value>/`
+    * layout; partition values and synthesized stats derive from the
+    * path segments exactly as in a batch write. Constraint-bearing
+    * tables are refused at the catalog layer before any task runs
+    * (see `GraftV2Table`). */
   def commitStreamFiles(
       relPaths: Seq[String],
       sinkId: String,
@@ -3622,13 +3625,29 @@ final class GraftTable private (
         val conf = new org.apache.hadoop.conf.Configuration()
         val bloomCols = bloomColumns
         val entries = current.zipWithIndex.map { case (src, i) =>
+          // partitioned epochs keep the batch layout: the writer task
+          // placed the file under its <field>=<value>/ segments; derive
+          // the partition values and synthesized stats from the path
+          // exactly as the batch write does
+          val segs = Paths.get(dir, "data").relativize(src)
+            .iterator().asScala.map(_.toString).toSeq.dropRight(1)
+          val partition: Map[String, Option[String]] = segs.map { seg =>
+            val (c, raw) = seg.splitAt(seg.indexOf('='))
+            c -> PartitionValues.decode(raw.drop(1))
+          }.toMap
           val name = f"part-$snapId%05d-$token-$i%05d.parquet"
-          val dst = Paths.get(dir, "data", name)
+          val dst = src.getParent.resolve(name)
           Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
           val (rows, stats) = ParquetStats.forFile(dst.toString, conf)
+          val partStats = partition.map { case (c, v) =>
+            val pf = partitionFields.find(_.fieldName == c)
+            val dt = pf.map(_.derivedType).getOrElse(schema(c).dataType)
+            pf.map(_.statName).getOrElse(c) ->
+              PartitionValues.stats(v, dt, rows)
+          }
           val blooms = FileBloom.harvest(dst.toString, conf, bloomCols)
-          DataFileEntry(s"data/$name", rows, Files.size(dst), stats,
-            Map.empty, blooms)
+          DataFileEntry((Seq("data") ++ segs :+ name).mkString("/"),
+            rows, Files.size(dst), stats ++ partStats, partition, blooms)
         }
         // a lost commit race retries with a NEW snapshot id — the next
         // attempt must move from THIS attempt's canonical names

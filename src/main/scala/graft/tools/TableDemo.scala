@@ -242,6 +242,29 @@ object TableDemo {
       spark.sql("SELECT * FROM gdemo.db.people WHERE id >= 7 ORDER BY id")
         .collect().mkString(", "))
 
+    // SQL maintenance procedures (DSv2 ProcedureCatalog): the operator
+    // surface over compact/expire/orphans/rollback
+    spark.sql("INSERT INTO gdemo.db.people VALUES (9, 'tmp')")
+    val rewrite = spark.sql(
+      "CALL gdemo.system.rewrite_data_files('db.people')").collect()
+    val rolled = spark.sql(
+      "CALL gdemo.system.rollback_to_snapshot('db.people', " +
+        GraftTable.load(s"$dir/wh/db/people").log.snapshots
+          .takeRight(2).head.snapshotId + ")").collect()
+    val expired = spark.sql(
+      "CALL gdemo.system.expire_snapshots('db.people', " +
+        "older_than_ms => " + (System.currentTimeMillis() + 1000) +
+        ", retain_last => 2)").collect()
+    val orphans = spark.sql(
+      "CALL gdemo.system.remove_orphan_files('db.people', " +
+        "older_than_ms => " + (System.currentTimeMillis() + 1000) + ")")
+      .collect()
+    println("PROCEDURES: rewrite=" + rewrite.mkString(",") +
+      " rollback=" + rolled.mkString(",") +
+      " expired=" + expired.length + " orphans=" + orphans.length +
+      " rows=" + spark.sql("SELECT count(*) FROM gdemo.db.people")
+        .collect().head.getLong(0))
+
     // schema evolution: era-mapped rename + widen, metadata-only
     val evo = GraftTable.create(s"$dir/evo", StructType(Seq(
       StructField("k", IntegerType, nullable = false),

@@ -96,13 +96,19 @@ final class GraftPruningScanBuilder(
   private def buildFileScan(): Scan = {
     // rebuildable delegate: the runtime-filter wrapper re-invokes this
     // with a narrower path list when a DPP predicate lands, re-applying
-    // the SAME pushed filters / required columns to the new scan
+    // the SAME pushed filters / required columns to the new scan.
+    // ONLY the residual filters reach the parquet source: a CLAIMED
+    // filter's column may be pruned out of the read schema (nothing
+    // re-applies it post-scan), and parquet record filtering on an
+    // unread column silently drops every row; its row-group skipping
+    // would be a no-op anyway — every kept file all-matches by the
+    // claim proof.
     def mkDelegate(paths: Seq[String]): Scan = {
       val b = GraftBridge
         .parquetTable(spark, tableName, paths, schema, options)
         .newScanBuilder(new CaseInsensitiveStringMap(options))
       b match {
-        case f: SupportsPushDownCatalystFilters => f.pushFilters(pushed)
+        case f: SupportsPushDownCatalystFilters => f.pushFilters(residual)
         case _ => ()
       }
       b match {

@@ -6,20 +6,33 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection}
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DateType, StructType}
 
-/** Table-relative paths of the parquet file one task wrote (empty when
-  * the task saw no rows — no file is created for an empty split). */
+/** Table-relative paths of the parquet files one task wrote (empty when
+  * the task saw no rows — no file is created for an empty split). A
+  * partitioned task writes one file per partition value it actually saw,
+  * each under its `<field>=<value>/` directory. */
 final case class GraftFileCommitMessage(relPaths: Seq[String])
     extends WriterCommitMessage
 
+/** One partition field's task-side spelling: the BOUND derived-value
+  * expression over the input row (evaluates the same Spark expression
+  * the batch writer's `writeExpr` column does — values agree bit-exactly)
+  * plus what's needed to render the `<field>=<value>` directory. */
+final case class GraftStreamPartField(
+    fieldName: String,
+    source: String,
+    bound: Expression,
+    derivedType: DataType)
+
 /** DSv2 streaming sink for graft tables — `writeStream.toTable`.
   *
-  * Executors write each task's rows STRAIGHT to a parquet file under
-  * the table's `data/` directory (temporary `.stream-…` name, invisible
+  * Executors write each task's rows STRAIGHT to parquet files under
+  * the table's `data/` directory (temporary `.stream-…` names, invisible
   * to readers — scans plan from the manifest, never a listing), using
   * Spark's own `ParquetWriteSupport`/`ParquetOutputWriter` machinery so
   * a streamed file is byte-compatible with a batch-written one
@@ -32,6 +45,21 @@ final case class GraftFileCommitMessage(relPaths: Seq[String])
   * their duplicate files and commit nothing, so snapshot commits are
   * exactly-once while the transport stays at-least-once.
   *
+  * PARTITIONED tables take the same path: each task evaluates the
+  * table's partition transforms per row (the bound form of the batch
+  * writer's `writeExpr`, so layouts agree bit-exactly), routes rows to
+  * one open writer per partition value under the batch layout's
+  * Hive-escaped `<field>=<value>/` directories, and drops IDENTITY
+  * source columns from the footers exactly as `partitionBy` does — a
+  * streamed partition is indistinguishable from a batch one (pruning,
+  * recovery, stats all included; the commit derives partition values
+  * and synthesized stats from the directory segments, same as batch).
+  * The write declares a CLUSTERED distribution + ordering on the
+  * partition sources ([[GraftStreamingWrite.requiredDistribution]]), so
+  * each micro-batch task sees a co-located slice and the open-writer
+  * set stays small — the small-file/memory guard a 100 TB partitioned
+  * stream needs.
+  *
   * A crashed task/epoch can leave `.stream-…` temporaries behind; they
   * are never referenced by any manifest and `removeOrphanFiles` (with
   * an age threshold above the epoch duration) reclaims them — the same
@@ -41,12 +69,44 @@ final class GraftStreamingWrite(
     writeSchema: StructType,
     queryId: String,
     writerConf: Map[String, String],
-    commitFiles: (Seq[String], Long) => Option[AnyRef])
-    extends StreamingWrite {
+    commitFiles: (Seq[String], Long) => Option[AnyRef],
+    partFields: Seq[GraftStreamPartField] = Nil,
+    identitySources: Set[String] = Set.empty)
+    extends StreamingWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** Cluster + order each epoch by the partition SOURCE columns: rows of
+    * one table partition land in one task, consecutively — bounding both
+    * file counts (one per partition per epoch, not per task) and the
+    * open-writer set. Source columns (not transforms) so resolution
+    * never depends on catalog function lookup; a transform's value is a
+    * function of its sources, so source clustering implies transform
+    * co-location. Unpartitioned sinks leave the query untouched. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.{distributions => d}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (partFields.isEmpty) d.Distributions.unspecified()
+    else d.Distributions.clustered(
+      sourceColumns.map(c => Expressions.column(c):
+        org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    sourceColumns.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+  }
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  private def sourceColumns: Seq[String] = partFields.map(_.source).distinct
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftStreamWriterFactory(dir, writeSchema, queryId, writerConf)
+    new GraftStreamWriterFactory(dir, writeSchema, queryId, writerConf,
+      partFields, identitySources)
 
   override def commit(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -68,20 +128,23 @@ private final class GraftStreamWriterFactory(
     dir: String,
     schema: StructType,
     queryId: String,
-    writerConf: Map[String, String])
+    writerConf: Map[String, String],
+    partFields: Seq[GraftStreamPartField],
+    identitySources: Set[String])
     extends StreamingDataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new GraftStreamDataWriter(
-      dir, schema, queryId, writerConf, partitionId, taskId, epochId)
+    new GraftStreamDataWriter(dir, schema, queryId, writerConf,
+      partitionId, taskId, epochId, partFields, identitySources)
 }
 
-/** One task's writer: rows → one parquet file (created lazily on the
-  * first row; task attempts are disambiguated by taskId + a UUID, and
-  * the commit coordinator ensures only one attempt's message commits —
-  * a losing attempt's abort deletes its file). */
+/** One task's writer: rows → one parquet file per partition value seen
+  * (created lazily on the first row; task attempts are disambiguated by
+  * taskId + a UUID, and the commit coordinator ensures only one
+  * attempt's message commits — a losing attempt's abort deletes its
+  * files). */
 private final class GraftStreamDataWriter(
     dir: String,
     schema: StructType,
@@ -89,45 +152,88 @@ private final class GraftStreamDataWriter(
     writerConf: Map[String, String],
     partitionId: Int,
     taskId: Long,
-    epochId: Long)
+    epochId: Long,
+    partFields: Seq[GraftStreamPartField],
+    identitySources: Set[String])
     extends DataWriter[InternalRow] {
 
-  private var writer: ParquetOutputWriter = null
-  private var rel: String = null
+  // data footers drop IDENTITY sources (they live in the directory,
+  // exactly like partitionBy) and keep everything else, input order
+  private val dataFieldIdx: Seq[Int] =
+    schema.fields.indices.filterNot(i =>
+      identitySources.contains(schema.fields(i).name))
+  private val dataSchema: StructType =
+    StructType(dataFieldIdx.map(schema.fields(_)))
 
-  private def ensureOpen(): Unit = if (writer == null) {
-    val name = f".stream-$queryId-$epochId%05d-$partitionId%05d-$taskId-" +
-      java.util.UUID.randomUUID().toString.take(8) + ".parquet"
-    rel = s"data/$name"
-    Files.createDirectories(Paths.get(dir, "data"))
-    val conf = new Configuration()
-    writerConf.foreach { case (k, v) => conf.set(k, v) }
-    ParquetWriteSupport.setSchema(schema, conf)
-    conf.set("parquet.write.support.class",
-      classOf[ParquetWriteSupport].getName)
-    val attempt = new TaskAttemptID(
-      new TaskID(new JobID(s"graft-stream-$epochId", partitionId),
-        TaskType.MAP, partitionId), 0)
-    val ctx = new TaskAttemptContextImpl(conf, attempt)
-    writer = new ParquetOutputWriter(
-      Paths.get(dir, rel).toString, ctx)
-  }
+  private lazy val dataProj: UnsafeProjection = UnsafeProjection.create(
+    dataFieldIdx.map(i =>
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, schema.fields(i).dataType, schema.fields(i).nullable)
+        : Expression))
+
+  private final class Open(val rel: String, val writer: ParquetOutputWriter)
+  private val open = scala.collection.mutable.LinkedHashMap[String, Open]()
+  private var closedRels: List[String] = Nil
+
+  /** Batch-layout directory segments for one row: Hive-escaped
+    * `<field>=<value>` per partition field ([[PartitionValues.decode]]'s
+    * exact inverse; dates render ISO like Spark's own partition paths). */
+  private def dirOf(row: InternalRow): String =
+    partFields.map { f =>
+      val v = f.bound.eval(row)
+      val rendered =
+        if (v == null) graft.table.PartitionValues.NullMarker
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(f.derivedType match {
+            case DateType =>
+              java.time.LocalDate.ofEpochDay(
+                v.asInstanceOf[Int].toLong).toString
+            case _ => v.toString
+          })
+      s"${f.fieldName}=$rendered"
+    }.mkString("/")
+
+  private def writerFor(segs: String): Open =
+    open.getOrElseUpdate(segs, {
+      val name = f".stream-$queryId-$epochId%05d-$partitionId%05d-$taskId-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".parquet"
+      val rel = if (segs.isEmpty) s"data/$name" else s"data/$segs/$name"
+      Files.createDirectories(Paths.get(dir, rel).getParent)
+      val conf = new Configuration()
+      writerConf.foreach { case (k, v) => conf.set(k, v) }
+      ParquetWriteSupport.setSchema(dataSchema, conf)
+      conf.set("parquet.write.support.class",
+        classOf[ParquetWriteSupport].getName)
+      val attempt = new TaskAttemptID(
+        new TaskID(new JobID(s"graft-stream-$epochId", partitionId),
+          TaskType.MAP, partitionId), 0)
+      val ctx = new TaskAttemptContextImpl(conf, attempt)
+      new Open(rel, new ParquetOutputWriter(Paths.get(dir, rel).toString, ctx))
+    })
 
   override def write(row: InternalRow): Unit = {
-    ensureOpen()
-    writer.write(row)
+    val o = writerFor(if (partFields.isEmpty) "" else dirOf(row))
+    o.writer.write(if (identitySources.isEmpty) row else dataProj(row))
+  }
+
+  private def closeAll(): Unit = {
+    open.values.foreach { o =>
+      o.writer.close()
+      closedRels ::= o.rel
+    }
+    open.clear()
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) { writer.close(); writer = null }
-    GraftFileCommitMessage(Option(rel).toSeq)
+    closeAll()
+    GraftFileCommitMessage(closedRels.reverse)
   }
 
   override def abort(): Unit = {
-    if (writer != null) { writer.close(); writer = null }
-    if (rel != null) Files.deleteIfExists(Paths.get(dir, rel))
+    closeAll()
+    closedRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+    closedRels = Nil
   }
 
-  override def close(): Unit =
-    if (writer != null) { writer.close(); writer = null }
+  override def close(): Unit = closeAll()
 }

@@ -903,4 +903,98 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .map(_.getLong(0)).toSeq == Seq(2L),
       "stale spliceMemo verdict served after a same-ms double commit")
   }
+
+  // ---- CALL graft.system.* maintenance procedures -------------------
+
+  test("CALL expire_snapshots honors retain-last and tag anchors") {
+    val t = GraftTable.create(s"$wh/db/proc_exp", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    t.append(mkDf(3L -> "c"), Some(3000L))
+    t.tag("audited", 2L)
+    val got = spark.sql(
+      "CALL g2.system.expire_snapshots('db.proc_exp', " +
+        "older_than_ms => 2500, retain_last => 1)").collect()
+    // snapshot 1 is old enough; snapshot 2 is tagged (anchor) and the
+    // prefix cut stops there, so exactly one id comes back
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L), got.mkString(","))
+    val t2 = GraftTable.load(s"$wh/db/proc_exp")
+    assert(t2.log.snapshots.map(_.snapshotId) == Seq(2L, 3L))
+    assert(spark.sql("SELECT id FROM g2.db.proc_exp ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("CALL remove_orphan_files reclaims planted junk, keeps live data") {
+    val t = GraftTable.create(s"$wh/db/proc_orph", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    val junk = java.nio.file.Paths.get(
+      s"$wh/db/proc_orph/data/junk-not-committed.parquet")
+    java.nio.file.Files.write(junk, Array[Byte](1, 2, 3))
+    val got = spark.sql(
+      "CALL g2.system.remove_orphan_files('db.proc_orph', " +
+        s"older_than_ms => ${System.currentTimeMillis() + 5000})").collect()
+    assert(got.length == 1 && got.head.getString(0).contains("junk"),
+      got.mkString(","))
+    assert(!java.nio.file.Files.exists(junk))
+    assert(spark.sql("SELECT count(*) AS n FROM g2.db.proc_orph")
+      .collect().head.getLong(0) == 2L)
+  }
+
+  test("CALL rewrite_data_files compacts and reports the replace snapshot") {
+    val t = GraftTable.create(s"$wh/db/proc_cmp", schema)
+    (1 to 5).foreach(i =>
+      t.append(mkDf(i.toLong -> s"v$i"), Some(1000L * i)))
+    val before = GraftTable.load(s"$wh/db/proc_cmp")
+    val filesBefore = Manifest.read(
+      s"${before.dir}/${before.log.current.get.manifestList}").files.size
+    val got = spark.sql(
+      "CALL g2.system.rewrite_data_files('db.proc_cmp')").collect()
+    assert(got.length == 1)
+    val t2 = GraftTable.load(s"$wh/db/proc_cmp")
+    val cur = t2.log.current.get
+    assert(cur.snapshotId == got.head.getLong(0))
+    assert(cur.operation == "replace")
+    val filesAfter = Manifest.read(s"${t2.dir}/${cur.manifestList}").files.size
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    assert(spark.sql("SELECT id FROM g2.db.proc_cmp ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == (1L to 5L))
+    // idempotent no-op second run returns no rows
+    assert(spark.sql("CALL g2.system.rewrite_data_files('db.proc_cmp')")
+      .collect().isEmpty)
+  }
+
+  test("CALL rewrite_manifests re-shards; rollback_to_snapshot restores") {
+    val t = GraftTable.create(s"$wh/db/proc_man", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    val rb = spark.sql(
+      "CALL g2.system.rollback_to_snapshot('db.proc_man', 1)").collect()
+    assert(rb.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+    assert(spark.sql("SELECT id FROM g2.db.proc_man ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val man = GraftTable.create(s"$wh/db/proc_man2", schema)
+    (1 to 6).foreach(i =>
+      man.append(mkDf(i.toLong -> s"v$i"), Some(1000L * i)))
+    val got = spark.sql(
+      "CALL g2.system.rewrite_manifests('db.proc_man2', " +
+        "target_files => 100)").collect()
+    assert(got.length == 1)
+    val t2 = GraftTable.load(s"$wh/db/proc_man2")
+    assert(Manifest.read(
+      s"${t2.dir}/${t2.log.current.get.manifestList}").segments.size == 1)
+    assert(spark.sql("SELECT count(*) AS n FROM g2.db.proc_man2")
+      .collect().head.getLong(0) == 6L)
+  }
+
+  test("unknown procedures refuse with the available list") {
+    val e = intercept[Exception] {
+      spark.sql("CALL g2.system.vacuum('db.x')").collect()
+    }
+    // Spark wraps the catalog's refusal in FAILED_TO_LOAD_ROUTINE; the
+    // helpful list rides the cause
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("expire_snapshots"),
+      s"unhelpful refusal: $msgs")
+  }
 }
