@@ -96,6 +96,75 @@ object ColumnStats {
     }.toMap
   }
 
+  /** Byte budget for STRING bounds carried in manifests. parquet chunk
+    * stats arrive verbatim; on a long-text corpus that is multi-KB per
+    * file per column in every segment — at 100 TB the manifest bloat
+    * dominates. Bounds are capped at write time (Iceberg's
+    * `write.metadata.metrics truncate(16)` discipline, wider here):
+    * min truncates DOWN, max rounds UP ([[truncateMaxString]]), so
+    * pruning stays strictly conservative. */
+  val StringBoundCapBytes: Int = 64
+
+  /** Longest prefix of `s` whose UTF-8 encoding fits `capBytes`, cut at
+    * a code-point boundary. A prefix sorts ≤ the full string in UTF-8
+    * byte order, so this is the sound MIN-side truncation. */
+  def truncateMinString(s: String, capBytes: Int): String = {
+    if (utf8Length(s) <= capBytes) return s
+    val out = new java.lang.StringBuilder
+    var bytes = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = cpUtf8Width(cp)
+      if (bytes + w > capBytes) return out.toString
+      out.appendCodePoint(cp)
+      bytes += w
+      i += Character.charCount(cp)
+    }
+    out.toString
+  }
+
+  /** MAX-side truncation: the capped prefix with its last incrementable
+    * code point bumped by one (skipping the surrogate gap) and the rest
+    * dropped — strictly GREATER in UTF-8 byte order than every string
+    * sharing the original prefix, hence a sound upper bound. None when
+    * every prefix code point is already U+10FFFF (no finite bound —
+    * consumers then cannot prune above, the conservative fallback). */
+  def truncateMaxString(s: String, capBytes: Int): Option[String] = {
+    if (utf8Length(s) <= capBytes) return Some(s)
+    val prefix = truncateMinString(s, capBytes)
+    val cps = prefix.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < Character.MAX_CODE_POINT) {
+        val next =
+          if (cps(i) == Character.MIN_SURROGATE - 1)
+            Character.MAX_SURROGATE + 1 // D7FF -> E000: skip surrogates
+          else cps(i) + 1
+        val out = new java.lang.StringBuilder
+        (0 until i).foreach(j => out.appendCodePoint(cps(j)))
+        out.appendCodePoint(next)
+        return Some(out.toString)
+      }
+      i -= 1
+    }
+    None
+  }
+
+  private def utf8Length(s: String): Int = {
+    var bytes = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      bytes += cpUtf8Width(cp)
+      i += Character.charCount(cp)
+    }
+    bytes
+  }
+
+  private def cpUtf8Width(cp: Int): Int =
+    if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+
   /** Ordering used to compare a literal against stored min/max. Returns None
     * when the type is not totally ordered here (then: no pruning).
     *

@@ -70,9 +70,24 @@ object ParquetStats {
       }
       val stats = agg.toMap.map {
         case (c, (mn, mx, nulls, values, usable, nullsKnown)) =>
+          // STRING bounds are capped before they enter the manifest
+          // (long-text corpora would otherwise carry multi-KB bounds per
+          // file per column in every segment): min truncates DOWN, max
+          // rounds UP — strictly conservative for every pruning consumer
+          def cap(v: Any, isMax: Boolean): Option[Any] = v match {
+            case s: String =>
+              if (isMax)
+                ColumnStats.truncateMaxString(
+                  s, ColumnStats.StringBoundCapBytes)
+              else Some(ColumnStats.truncateMinString(
+                s, ColumnStats.StringBoundCapBytes))
+            case other => Some(other)
+          }
           c -> ColumnStats(
-            if (usable) mn.map(ColumnStats.render) else None,
-            if (usable) mx.map(ColumnStats.render) else None,
+            if (usable) mn.flatMap(cap(_, isMax = false))
+              .map(ColumnStats.render) else None,
+            if (usable) mx.flatMap(cap(_, isMax = true))
+              .map(ColumnStats.render) else None,
             if (nullsKnown) Some(nulls) else None,
             Some(values))
       }

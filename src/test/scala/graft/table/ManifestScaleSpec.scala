@@ -328,4 +328,40 @@ class ManifestScaleSpec extends SparkSpecBase {
     assert(m2.segmentRefs.size == 2)
     assert(t.read(spark).count() == 3L)
   }
+
+  test("long-text string bounds are capped at write time, pruning intact") {
+    val dir = s"${tmp()}/longtext"
+    val t = GraftTable.create(dir, schema)
+    // 200-byte document bodies: big enough that verbatim chunk stats
+    // would bloat every manifest segment, small enough that parquet-mr
+    // still records them (it silently DROPS stats for multi-KB values —
+    // absent stats are the other, already-conservative path)
+    val doc = ("lorem ipsum dolor sit amet " * 10).take(200)
+    t.append(mkDf(
+      1L -> (doc + "alpha"), 2L -> (doc + "omega"), 3L -> "short"),
+      Some(1000L))
+    val entries = Manifest.read(
+      s"$dir/${t.log.current.get.manifestList}").files
+    val st = entries.head.stats("data")
+    assert(st.min.get.getBytes("UTF-8").length <=
+      ColumnStats.StringBoundCapBytes, s"min not capped: ${st.min}")
+    assert(st.max.get.getBytes("UTF-8").length <=
+      ColumnStats.StringBoundCapBytes, s"max not capped: ${st.max}")
+    // bounds stay usable: a matching long value keeps the file, a value
+    // above the rounded-up max prunes it
+    val attr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("data", StringType)()
+    def lit(v: String) = org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType)
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan}
+    assert(Pruning.mayMatchFile(
+      EqualTo(attr, lit(doc + "alpha")), entries.head, schema))
+    assert(!Pruning.mayMatchFile(
+      GreaterThan(attr, lit("~~~~")), entries.head, schema),
+      "capped max lost its pruning power entirely")
+    // and the scan still answers exactly
+    assert(t.scan(spark,
+      Some(org.apache.spark.sql.functions.col("data") === (doc + "alpha")))
+      .count() == 1L)
+  }
 }

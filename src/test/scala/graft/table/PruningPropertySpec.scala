@@ -161,6 +161,80 @@ class PruningPropertySpec extends AnyFunSuite {
     }, minSuccessful = 4000)
   }
 
+  test("property: truncated string bounds stay sound for keep AND proof") {
+    // manifests cap string bounds (ColumnStats.StringBoundCapBytes —
+    // min truncates down, max rounds UP in UTF-8 byte order). Soundness
+    // both ways: a file holding a matching row is never pruned, and a
+    // drop/claim proof over capped bounds still implies every row
+    // matches. Mixed-width code points (1..4 UTF-8 bytes) are the
+    // interesting cases — the cap cuts at code-point boundaries.
+    val strSchema = StructType(Seq(StructField("s", StringType)))
+    val sAttr = AttributeReference("s", StringType)()
+    val tokens = Seq("a", "b", "z", "é", "中",
+      new String(Character.toChars(0x1F600)))
+    val strGen: Gen[String] = for {
+      n <- Gen.choose(0, 10)
+      parts <- Gen.listOfN(n, Gen.oneOf(tokens))
+    } yield parts.mkString
+    val fileGen: Gen[Seq[Option[String]]] =
+      Gen.nonEmptyListOf(Gen.frequency(
+        8 -> strGen.map(Some(_)), 1 -> Gen.const(None)))
+    def utf8Cmp(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    def slit(v: String) =
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        StringType)
+    val predGenS: Gen[Expression] = for {
+      v <- strGen
+      leaf <- Gen.oneOf[Expression](
+        EqualTo(sAttr, slit(v)),
+        LessThan(sAttr, slit(v)),
+        LessThanOrEqual(sAttr, slit(v)),
+        GreaterThan(sAttr, slit(v)),
+        GreaterThanOrEqual(sAttr, slit(v)),
+        In(sAttr, Seq(slit(v), slit(v + "a"))),
+        StartsWith(sAttr, slit(v.take(3))),
+        IsNull(sAttr), IsNotNull(sAttr))
+    } yield leaf
+    def evalStr(e: Expression, v: Option[String]): Option[Boolean] = e match {
+      case EqualTo(_, Literal(l, _)) => v.map(s => utf8Cmp(s, l.toString) == 0)
+      case LessThan(_, Literal(l, _)) => v.map(s => utf8Cmp(s, l.toString) < 0)
+      case LessThanOrEqual(_, Literal(l, _)) =>
+        v.map(s => utf8Cmp(s, l.toString) <= 0)
+      case GreaterThan(_, Literal(l, _)) =>
+        v.map(s => utf8Cmp(s, l.toString) > 0)
+      case GreaterThanOrEqual(_, Literal(l, _)) =>
+        v.map(s => utf8Cmp(s, l.toString) >= 0)
+      case In(_, ls) => v.map(s => ls.exists {
+        case Literal(l, _) => utf8Cmp(s, l.toString) == 0 })
+      case StartsWith(_, Literal(l, _)) => v.map(_.startsWith(l.toString))
+      case IsNull(_) => Some(v.isEmpty)
+      case IsNotNull(_) => Some(v.isDefined)
+      case _ => None
+    }
+    check(Prop.forAll(fileGen, predGenS, Gen.choose(4, 12)) {
+      (values, pred, cap) =>
+        val present = values.flatten
+        val mn = present.reduceOption((a, b) => if (utf8Cmp(a, b) <= 0) a else b)
+        val mx = present.reduceOption((a, b) => if (utf8Cmp(a, b) >= 0) a else b)
+        val stats = Map("s" -> ColumnStats(
+          mn.map(ColumnStats.truncateMinString(_, cap)),
+          mx.flatMap(ColumnStats.truncateMaxString(_, cap)),
+          Some(values.count(_.isEmpty).toLong),
+          Some(values.size.toLong)))
+        val file = DataFileEntry("data/f.parquet", values.size.toLong, 1L,
+          stats)
+        val anyMatch = values.exists(v => evalStr(pred, v).contains(true))
+        val kept = Pruning.mayMatchFile(pred, file, strSchema)
+        val proved = Pruning.mustMatchAll(pred, file, strSchema)
+        val keepSound = !anyMatch || kept
+        val proofSound = !proved ||
+          values.forall(v => evalStr(pred, v).contains(true))
+        keepSound && proofSound
+    }, minSuccessful = 4000)
+  }
+
   test("property: partition-derived stats never prune a matching partition") {
     // a partitioned file's rows ALL carry the partition value; its stats
     // are synthesized by PartitionValues.stats (min = max = value, or
