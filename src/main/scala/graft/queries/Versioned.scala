@@ -692,6 +692,42 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** SQL maintenance cycle (v52): five small appends compacted, aged
+    * history expired (retain-last floor), planted junk reclaimed — all
+    * through `CALL graft.system.*` procedures, the operator surface.
+    * End state: 2 snapshots (last append + the compaction replace),
+    * rows bit-identical to the source. */
+  private def sqlMaintFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/maint_nation", 2) { dir =>
+      val n = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, n.schema)
+      (0 to 4).foreach(r => tb.append(
+        n.filter(col("n_regionkey") === r), Some(1000L * (r + 1))))
+      val junk = Paths.get(dir, "data", "junk-never-committed.parquet")
+      Files.write(junk, Array[Byte](1, 2, 3))
+      val wh = Paths.get(dir).getParent.getParent.toString
+      spark.conf.set("spark.sql.catalog.g52", "graft.table.GraftSparkCatalog")
+      spark.conf.set("spark.sql.catalog.g52.warehouse", wh)
+      val compacted = spark.sql(
+        "CALL g52.system.rewrite_data_files('db.maint_nation')").collect()
+      require(compacted.length == 1, "compaction did not commit")
+      val expired = spark.sql(
+        "CALL g52.system.expire_snapshots('db.maint_nation', " +
+          s"older_than_ms => ${System.currentTimeMillis() + 60000}, " +
+          "retain_last => 2)").collect()
+      require(expired.length == 4,
+        s"expected 4 expired snapshots, got ${expired.length}")
+      val orphans = spark.sql(
+        "CALL g52.system.remove_orphan_files('db.maint_nation', " +
+          s"older_than_ms => ${System.currentTimeMillis() + 60000})")
+        .collect()
+      require(orphans.exists(_.getString(0).contains("junk")),
+        "planted junk file not reclaimed")
+      require(!Files.exists(junk), "junk survived remove_orphan_files")
+      GraftTable.load(dir)
+    }
+
   /** Mixed-DML chain for the CDC streaming read (v49): append → CoW
     * update → CoW delete → append, 4 snapshots — the history the
     * additive stream refuses and the CDC stream must survive. */
@@ -892,6 +928,23 @@ object Versioned extends QueryPack {
         .start()
       require(q.awaitTermination(180000L), "v46 stream did not drain")
       s.table(qn).orderBy(col("n_nationkey"))
+    }),
+
+    // SQL MAINTENANCE PROCEDURES: the full operator cycle — compact the
+    // small-file history (CALL rewrite_data_files), expire the aged
+    // snapshots behind a retain-last floor (CALL expire_snapshots),
+    // reclaim a planted orphan (CALL remove_orphan_files) — through the
+    // DSv2 ProcedureCatalog, Iceberg's CALL surface. The rows that
+    // survive the whole cycle must be bit-identical to the source
+    // (fixture also asserts the junk file is gone and exactly 4
+    // snapshots expired).
+    "v52_graft_sql_maintenance" -> ((s, d) => {
+      val tb = sqlMaintFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g52", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g52.warehouse", wh)
+      s.sql("SELECT n_nationkey, n_name, n_regionkey " +
+        "FROM g52.db.maint_nation ORDER BY n_nationkey")
     }),
 
     // FILTERED METADATA-ONLY AGGREGATES: `count(*) WHERE partition
@@ -1446,6 +1499,11 @@ object Versioned extends QueryPack {
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE n_name = 'NATION_7' " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the maintained (compacted + expired + orphan-swept) table must
+    // hold exactly the source rows, once each
+    "v52_graft_sql_maintenance" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "ORDER BY n_nationkey"),
     // the filtered metadata count must equal a real filtered recompute
     "v50_graft_agg_filtered" ->
       ("SELECT count(*) AS n_nations, min(n_nationkey) AS lo_key, " +

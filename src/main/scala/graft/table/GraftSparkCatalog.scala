@@ -663,7 +663,7 @@ final class GraftV2Table(
           .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
           .map(t.pruneKeep).getOrElse((_: DataFileEntry) => true)
         val kept = entries.filter(keep)
-        filters.filter(c => kept.forall(f => t.provenAll(c, f)))
+        filters.filter(c => kept.forall(t.provenAll(c)))
       })
   }
 }

@@ -564,18 +564,19 @@ final class GraftTable private (
       augSchema)
   }
 
-  /** Whether EVERY row of `file` PROVABLY satisfies `resolved`
-    * ([[countWhere]]'s metadata proof, exposed for the DSv2 surface):
-    * with pruning dropping the proven-non-matching files, a filter whose
-    * every KEPT file proves is fully served by file selection alone —
-    * the claim behind metadata-only filtered aggregates. Any doubt
-    * answers false. */
+  /** Per-file proof that EVERY row satisfies `resolved` ([[countWhere]]'s
+    * metadata discipline, exposed for the DSv2 surface): with pruning
+    * dropping the proven-non-matching files, a filter whose every KEPT
+    * file proves is fully served by file selection alone — the claim
+    * behind metadata-only filtered aggregates. Any doubt answers false.
+    * Curried: the proof augmentation is built once, the returned closure
+    * runs per file (plan-time cost O(files), not O(files × rewrites)). */
   private[table] def provenAll(
-      resolved: org.apache.spark.sql.catalyst.expressions.Expression,
-      file: DataFileEntry): Boolean = {
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression)
+      : DataFileEntry => Boolean = {
     val proof = PartitionField.proofAugment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
-    Pruning.mustMatchAll(proof, aliasLegacyStats(stripStaleBlooms(file)),
+    f => Pruning.mustMatchAll(proof, aliasLegacyStats(stripStaleBlooms(f)),
       augSchema)
   }
 
