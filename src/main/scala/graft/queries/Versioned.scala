@@ -1009,12 +1009,16 @@ object Versioned extends QueryPack {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           // the CDC apply contract: retract, then insert (an update is
-          // delete(old)+insert(new) in one batch)
+          // delete(old)+insert(new) in one batch). exactCount=false is
+          // the high-frequency-apply spelling: pure O(keys) commit, no
+          // per-batch dead-row count job (mirror counts degrade to the
+          // scan fallback, which the final read doesn't use anyway)
           val m = GraftTable.load(mirrorDir)
           val dels = b.filter(col("_change_type") === "delete")
             .select(col("n_nationkey"))
           if (!dels.isEmpty)
-            m.deleteEquality(b.sparkSession, dels, Seq("n_nationkey")): Unit
+            m.deleteEquality(b.sparkSession, dels, Seq("n_nationkey"),
+              exactCount = false): Unit
           val ins = b.filter(col("_change_type") === "insert")
             .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           if (!ins.isEmpty) { m.append(ins): Unit }

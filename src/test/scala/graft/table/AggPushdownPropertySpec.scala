@@ -87,6 +87,61 @@ class AggPushdownPropertySpec extends SparkSpecBase {
         assert(gp == gr,
           s"table $i grouped: pushed $gp != $gr")
       }
+
+      // FILTERED aggregates: whether a conjunct gets CLAIMED (whole-file
+      // proofs) or stays residual, the answer must equal the recompute —
+      // this sweeps the claim decision end-to-end through real plans
+      val filters = Seq(
+        "part = 'p1'", "part IS NULL", "lv > 0", "iv <= 100",
+        s"lv > ${rnd.nextLong() % 50000L}",
+        "part = 'p0' AND iv > 0")
+      for (w <- filters) {
+        val f = s"SELECT $aggs FROM %s WHERE $w"
+        val fp = spark.sql(f.format(s"g9.db.$name"))
+          .collect().map(_.toSeq).toSeq
+        val fr = spark.sql(f.format(s"raw_$name"))
+          .collect().map(_.toSeq).toSeq
+        assert(fp == fr,
+          s"table $i WHERE $w: pushed $fp != $fr")
+      }
+    }
+  }
+
+  test("date-grouped pushed aggregates equal recomputes over time layouts") {
+    val rnd = new Random(seed + 1)
+    val tschema = StructType(Seq(
+      StructField("ts", TimestampType, nullable = true),
+      StructField("v", LongType, nullable = true)))
+    for ((layout, i) <- Seq("days(ts)", "hours(ts)", "months(ts)").zipWithIndex) {
+      val name = s"tt$i"
+      val tb = GraftTable.create(s"$wh/db/$name", tschema,
+        partitionBy = Seq(layout))
+      val rows = (0 until 60).map { _ =>
+        val ts =
+          if (rnd.nextInt(8) == 0) null
+          else java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(
+            2026, 1 + rnd.nextInt(3), 1 + rnd.nextInt(5),
+            rnd.nextInt(24), rnd.nextInt(60), 0))
+        Row(ts, if (rnd.nextInt(5) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(1000).toLong))
+      }
+      tb.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), tschema), Some(1000L))
+      tb.read(spark).createOrReplaceTempView(s"rawt_$name")
+      // days/hours serve the cast grouping metadata-only; months must
+      // fall back — either way the answer equals the recompute
+      val q = "SELECT CAST(ts AS DATE) AS d, count(*) AS n, " +
+        "count(v) AS nv, min(v) AS lo, max(v) AS hi FROM %s " +
+        "GROUP BY 1 ORDER BY d NULLS FIRST"
+      val gp = spark.sql(q.format(s"g9.db.$name")).collect().map(_.toSeq).toSeq
+      val gr = spark.sql(q.format(s"rawt_$name")).collect().map(_.toSeq).toSeq
+      assert(gp == gr, s"$layout date grouping: pushed $gp != $gr")
+      // filtered + grouped compose
+      val qf = "SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM %s " +
+        "WHERE ts >= TIMESTAMP'2026-02-01 00:00:00' GROUP BY 1 ORDER BY d"
+      val fp = spark.sql(qf.format(s"g9.db.$name")).collect().map(_.toSeq).toSeq
+      val fr = spark.sql(qf.format(s"rawt_$name")).collect().map(_.toSeq).toSeq
+      assert(fp == fr, s"$layout filtered grouping: pushed $fp != $fr")
     }
   }
 }

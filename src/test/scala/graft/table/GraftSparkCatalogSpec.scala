@@ -986,6 +986,32 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .collect().head.getLong(0) == 6L)
   }
 
+  test("SHOW PROCEDURES lists the system namespace; zorder CALL clusters") {
+    val shown = spark.sql("SHOW PROCEDURES IN g2.system").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|"))
+    GraftProcedures.names.foreach(p =>
+      assert(shown.exists(_.contains(p)), s"$p missing from $shown"))
+    // rewrite_data_files with zorder_by: rows re-clustered on the
+    // z-curve, one replace snapshot, bit-identical content
+    val t = GraftTable.create(s"$wh/db/proc_z", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("x", LongType, nullable = false))))
+    (1 to 4).foreach(i => t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 8L).map(j => Row(i * 100L + j, (j * 7) % 13)), 1),
+      t.schema), Some(1000L * i)))
+    val got = spark.sql("CALL g2.system.rewrite_data_files('db.proc_z', " +
+      "zorder_by => 'id,x')").collect()
+    assert(got.length == 1)
+    val t2 = GraftTable.load(s"$wh/db/proc_z")
+    assert(t2.log.current.get.operation == "replace")
+    assert(spark.sql("SELECT count(*) AS n FROM g2.db.proc_z")
+      .collect().head.getLong(0) == 32L)
+    assert(spark.sql("SELECT sum(id) AS s FROM g2.db.proc_z")
+      .collect().head.getLong(0) ==
+      (1 to 4).flatMap(i => (1L to 8L).map(i * 100L + _)).sum)
+  }
+
   test("unknown procedures refuse with the available list") {
     val e = intercept[Exception] {
       spark.sql("CALL g2.system.vacuum('db.x')").collect()
