@@ -930,6 +930,23 @@ object Versioned extends QueryPack {
       s.table(qn).orderBy(col("n_nationkey"))
     }),
 
+    // DSv2 METADATA TABLES: the system-table family on the STANDARD
+    // catalog path — `__snapshots` joined against `__partitions` (per-
+    // partition record totals straight from the manifest, zero file
+    // I/O), the layout-health view an operator reads before targeting
+    // compaction. Values must equal a real GROUP BY recompute of the
+    // source (and the snapshot log's literal content).
+    "v53_graft_meta_tables" -> ((s, d) => {
+      val tb = aggNationFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g48", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g48.warehouse", wh)
+      s.sql("SELECT s.snapshot_id, s.operation, " +
+        "p.partition['n_regionkey'] AS region, p.record_count " +
+        "FROM g48.db.agg_nation__snapshots s " +
+        "CROSS JOIN g48.db.agg_nation__partitions p ORDER BY region")
+    }),
+
     // SQL MAINTENANCE PROCEDURES: the full operator cycle — compact the
     // small-file history (CALL rewrite_data_files), expire the aged
     // snapshots behind a retain-last floor (CALL expire_snapshots),
@@ -1503,6 +1520,12 @@ object Versioned extends QueryPack {
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE n_name = 'NATION_7' " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the metadata tables' per-partition totals must equal a real
+    // GROUP BY recompute; the snapshot row is the fixture's literal log
+    "v53_graft_meta_tables" ->
+      ("SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation, " +
+        "CAST(n_regionkey AS VARCHAR) AS region, count(*) AS record_count " +
+        "FROM nation GROUP BY n_regionkey ORDER BY region"),
     // the maintained (compacted + expired + orphan-swept) table must
     // hold exactly the source rows, once each
     "v52_graft_sql_maintenance" ->

@@ -33,7 +33,8 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq(
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
-    "rewrite_manifests", "rollback_to_snapshot")
+    "rewrite_manifests", "rollback_to_snapshot",
+    "create_tag", "create_branch", "publish_branch", "drop_branch")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -42,6 +43,10 @@ object GraftProcedures {
       case "rewrite_data_files" => Some(rewriteDataFiles(warehouse))
       case "rewrite_manifests" => Some(rewriteManifests(warehouse))
       case "rollback_to_snapshot" => Some(rollbackToSnapshot(warehouse))
+      case "create_tag" => Some(createTag(warehouse))
+      case "create_branch" => Some(createBranch(warehouse))
+      case "publish_branch" => Some(publishBranch(warehouse))
+      case "drop_branch" => Some(dropBranch(warehouse))
       case _ => None
     }
 
@@ -158,6 +163,78 @@ object GraftProcedures {
       nullable = false))),
     row => tableOf(wh, row).rewriteManifests(row.getInt(1))
       .map(s => Seq[Any](s.snapshotId)).toSeq)
+
+  private def createTag(wh: String): UnboundProcedure = new Proc(
+    "create_tag",
+    "Name a snapshot (retention anchor + `VERSION AS OF 'name'` target); " +
+      "snapshot_id defaults to the current snapshot (0 sentinel).",
+    Array(
+      in("table", StringType),
+      in("name", StringType),
+      inDefault("snapshot_id", LongType, "0")),
+    StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      val asked = row.getLong(2)
+      val id = if (asked > 0L) asked
+        else t.log.current.map(_.snapshotId).getOrElse(
+          throw new IllegalArgumentException(
+            "cannot tag an empty table — no current snapshot"))
+      val tagName = row.getUTF8String(1).toString
+      t.tag(tagName, id)
+      Seq(Seq[Any](UTF8String.fromString(tagName), id))
+    })
+
+  private def createBranch(wh: String): UnboundProcedure = new Proc(
+    "create_branch",
+    "Fork a write-audit-publish branch at the current snapshot " +
+      "(metadata-only; the fork anchors retention while the branch " +
+      "lives). Audit-read it with VERSION AS OF 'branch:<name>'.",
+    Array(
+      in("table", StringType),
+      in("name", StringType)),
+    StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("fork_snapshot_id", LongType, nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      val name = row.getUTF8String(1).toString
+      t.createBranch(name)
+      Seq(Seq[Any](UTF8String.fromString(name),
+        t.branches(name)._1))
+    })
+
+  private def publishBranch(wh: String): UnboundProcedure = new Proc(
+    "publish_branch",
+    "Atomically land an audited branch's accumulated commits on the " +
+      "main table (one publish snapshot; change feeds net it exactly).",
+    Array(
+      in("table", StringType),
+      in("name", StringType)),
+    StructType(Seq(StructField("publish_snapshot_id", LongType,
+      nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      val snap = t.publishBranch(row.getUTF8String(1).toString)
+      Seq(Seq[Any](snap.snapshotId))
+    })
+
+  private def dropBranch(wh: String): UnboundProcedure = new Proc(
+    "drop_branch",
+    "Abandon an unpublished branch (its files and retention anchor go " +
+      "with it).",
+    Array(
+      in("table", StringType),
+      in("name", StringType)),
+    StructType(Seq(StructField("dropped", StringType, nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      val name = row.getUTF8String(1).toString
+      t.dropBranch(name)
+      Seq(Seq[Any](UTF8String.fromString(name)))
+    })
 
   private def rollbackToSnapshot(wh: String): UnboundProcedure = new Proc(
     "rollback_to_snapshot",

@@ -114,6 +114,37 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
   override def tableExists(ident: Identifier): Boolean =
     GraftTable.exists(dirFor(ident))
 
+  /** Metadata-table suffixes served on the DSv2 path (the reference's
+    * `__snapshots` naming, V1, extended to the whole metadata family):
+    * each resolves against the BASE table and yields a tiny read-only
+    * table — a REAL table of the suffixed name always wins. The
+    * snapshot-scoped ones also honor `VERSION AS OF` (numeric id or
+    * tag). `__snapshots` respects the same `graft.snapshots.table`
+    * opt-out as the view path. */
+  private val metaTables: Map[String,
+      (GraftTable, SparkSession, Option[Long]) => org.apache.spark.sql.DataFrame] = Map(
+    "__snapshots" -> ((t, s, _) => t.snapshots(s)),
+    "__files" -> ((t, s, v) => t.filesTable(s, v)),
+    "__segments" -> ((t, s, v) => t.segmentsTable(s, v)),
+    "__partitions" -> ((t, s, v) => t.partitionsTable(s, v)),
+    "__deletes" -> ((t, s, v) => t.deletesTable(s, v)),
+    "__refs" -> ((t, s, _) => t.refsTable(s)))
+
+  private def loadMeta(
+      ident: Identifier, snapshotId: Option[Long]): Option[Table] =
+    metaTables.collectFirst {
+      case (suffix, mk) if ident.name().endsWith(suffix) &&
+          ident.name().length > suffix.length &&
+          !tableExists(ident) =>
+        val base = Identifier.of(
+          ident.namespace(), ident.name().stripSuffix(suffix))
+        if (!tableExists(base)) return None
+        val t = loadGraft(base)
+        if (suffix == "__snapshots" && !t.snapshotsTableEnabled) return None
+        new GraftMetadataV2Table(identToName(ident),
+          mk(t, SparkSession.active, snapshotId)): Table
+    }
+
   override def loadTable(ident: Identifier): Table = {
     // `<name>__changes` — the CDC changes table (Iceberg's `t.changes`
     // analog, suffix-spelled like `__snapshots`): a MICRO_BATCH_READ-only
@@ -126,7 +157,8 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
       if (base.name().nonEmpty && tableExists(base))
         return new GraftCdcV2Table(identToName(ident), loadGraft(base))
     }
-    load(ident, snapshotId = None)
+    loadMeta(ident, snapshotId = None)
+      .getOrElse(load(ident, snapshotId = None))
   }
 
   /** `VERSION AS OF <v>` — v is a snapshot id, a tag name, a branch
@@ -136,6 +168,26 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
     * branch is ambiguous and refused loudly (use a prefix form) —
     * resolution order would otherwise silently pick one. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    // snapshot-scoped metadata tables honor VERSION AS OF (numeric id
+    // or tag on the BASE table); table-global ones refuse loudly
+    if (!tableExists(ident)) {
+      val hit = metaTables.keys.find(sfx =>
+        ident.name().endsWith(sfx) && ident.name().length > sfx.length)
+      hit.foreach { sfx =>
+        val base = Identifier.of(
+          ident.namespace(), ident.name().stripSuffix(sfx))
+        if (tableExists(base)) {
+          require(sfx != "__snapshots" && sfx != "__refs",
+            s"$sfx is table-global — it has no per-snapshot form")
+          val bt = loadGraft(base)
+          val id = version.toLongOption.orElse(bt.refs.get(version))
+            .getOrElse(throw new IllegalArgumentException(
+              s"metadata-table version must be a snapshot id or tag, " +
+                s"got '$version'"))
+          return loadMeta(ident, Some(id)).get
+        }
+      }
+    }
     val t = loadGraft(ident)
     def branchTable(name: String): Table =
       new GraftV2Table(s"${identToName(ident)}@branch:$name", t.branch(name), None)
@@ -666,6 +718,40 @@ final class GraftV2Table(
         filters.filter(c => kept.forall(t.provenAll(c)))
       })
   }
+}
+
+/** Read-only DSv2 metadata table (`<name>__snapshots` / `__files` /
+  * `__segments` / `__partitions` / `__deletes` / `__refs` on the
+  * standard catalog path — the reference's system-table naming, V1,
+  * extended to the whole family). Metadata is tiny at any data scale
+  * (the files it DESCRIBES are big; the manifest/log are not), so the
+  * scan is a driver-local row set — zero executor I/O. Stateless: every
+  * query re-resolves through `loadTable`, so a new commit is visible to
+  * the very next query (the V3 discipline). */
+final class GraftMetadataV2Table(
+    tableName: String,
+    df: org.apache.spark.sql.DataFrame) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] =
+    util.Collections.emptyMap()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows()
+              : Array[org.apache.spark.sql.catalyst.InternalRow] =
+            df.queryExecution.executedPlan.executeCollect()
+          override def readSchema(): StructType = df.schema
+          override def description(): String =
+            s"graft metadata table $tableName"
+        }
+    }
 }
 
 /** The `<name>__changes` CDC table: streaming-only DSv2 surface whose

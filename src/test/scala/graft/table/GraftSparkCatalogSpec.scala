@@ -1012,6 +1012,84 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       (1 to 4).flatMap(i => (1L to 8L).map(i * 100L + _)).sum)
   }
 
+  test("DSv2 metadata tables: __snapshots/__files/__partitions/__refs") {
+    val t = GraftTable.create(s"$wh/db/meta_t", schema,
+      partitionBy = Seq("data"))
+    t.append(mkDf(1L -> "x", 2L -> "y"), Some(1000L))
+    t.append(mkDf(3L -> "x"), Some(2000L))
+    t.tag("cut", 1L)
+    val snaps = spark.sql("SELECT snapshot_id, operation " +
+      "FROM g2.db.meta_t__snapshots ORDER BY snapshot_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snaps == Seq(1L -> "append", 2L -> "append"))
+    // statelessness: a commit after the first query is visible next query
+    t.append(mkDf(4L -> "z"), Some(3000L))
+    assert(spark.sql("SELECT count(*) FROM g2.db.meta_t__snapshots")
+      .head().getLong(0) == 3L)
+    // snapshot-scoped: __files honors VERSION AS OF (id and tag)
+    assert(spark.sql(
+      "SELECT count(*) FROM g2.db.meta_t__files VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT count(*) FROM g2.db.meta_t__files VERSION AS OF 'cut'")
+      .head().getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM g2.db.meta_t__files")
+      .head().getLong(0) == 4L)
+    // partitions: per-value record totals, metadata-only
+    val parts = spark.sql("SELECT partition['data'] AS v, record_count " +
+      "FROM g2.db.meta_t__partitions ORDER BY v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(parts == Seq("x" -> 2L, "y" -> 1L, "z" -> 1L), parts)
+    // refs: the tag shows
+    val refs = spark.sql(
+      "SELECT name, type FROM g2.db.meta_t__refs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs.contains("cut" -> "tag"), refs)
+    // table-global metadata has no per-snapshot form
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM g2.db.meta_t__refs VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("table-global"))
+    // __snapshots opt-out falls through to NoSuchTable
+    t.updateProperties(Map("graft.snapshots.table" -> "false"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM g2.db.meta_t__snapshots").collect()
+    }
+    assert(e2.getMessage.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND")
+      || e2.getMessage.contains("meta_t__snapshots"))
+  }
+
+  test("write-audit-publish entirely from SQL: CALL branch/tag procedures") {
+    val t = GraftTable.create(s"$wh/db/wap_sql", schema)
+    t.append(mkDf(1L -> "base"), Some(1000L))
+    val br = spark.sql(
+      "CALL g2.system.create_branch('db.wap_sql', 'audit')").collect()
+    assert(br.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq("audit" -> 1L))
+    // stage rows on the branch (library write — branches are write-
+    // isolated), audit-read through SQL, then publish through SQL
+    GraftTable.load(s"$wh/db/wap_sql").branch("audit")
+      .append(mkDf(2L -> "staged"), Some(2000L))
+    assert(spark.sql(
+      "SELECT id FROM g2.db.wap_sql VERSION AS OF 'branch:audit'")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(spark.sql("SELECT count(*) FROM g2.db.wap_sql")
+      .head().getLong(0) == 1L) // unpublished: main unchanged
+    val tagged = spark.sql(
+      "CALL g2.system.create_tag('db.wap_sql', 'pre-publish')").collect()
+    assert(tagged.head.getLong(1) == 1L) // defaults to current snapshot
+    val pub = spark.sql(
+      "CALL g2.system.publish_branch('db.wap_sql', 'audit')").collect()
+    assert(pub.head.getLong(0) >= 2L)
+    assert(spark.sql("SELECT id FROM g2.db.wap_sql ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // an abandoned branch drops cleanly
+    spark.sql("CALL g2.system.create_branch('db.wap_sql', 'scrap')")
+      .collect()
+    spark.sql("CALL g2.system.drop_branch('db.wap_sql', 'scrap')").collect()
+    assert(!GraftTable.load(s"$wh/db/wap_sql").branches.contains("scrap"))
+  }
+
   test("unknown procedures refuse with the available list") {
     val e = intercept[Exception] {
       spark.sql("CALL g2.system.vacuum('db.x')").collect()
