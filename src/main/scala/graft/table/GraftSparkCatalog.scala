@@ -578,30 +578,46 @@ final class GraftV2Table(
           s"${s.snapshotId} — compact() to materialize them before " +
           "reading through the DSv2 catalog")
     }
-    val entries = snap.toSeq.flatMap { s =>
-      Manifest.read(s"${t.dir}/${s.manifestList}").files
-    }
+    // LAZY planning: the manifest LIST is read here (small), but its
+    // segment files are only parsed for the files a query actually
+    // plans — a filtered query over an N-segment table parses only the
+    // envelope-matching segments (t.prunedFiles), never the whole
+    // manifest. The per-file correctness refusals below force the full
+    // list only on tables that can actually exhibit their hazard
+    // (rename eras, identity layouts, evolved specs, key-grouped reads);
+    // the common 100 TB shape — transform-partitioned, no renames —
+    // plans O(matching segments), same as the library scan path.
+    val manifest = snap.map(s => Manifest.read(s"${t.dir}/${s.manifestList}"))
+      .getOrElse(Manifest.empty)
+    lazy val entries = manifest.files
     // this surface hands the file list + LOGICAL schema to one parquet
     // scan; a file predating a column rename holds the old physical name
     // and would read the renamed column as NULL — refuse (the library
-    // scan and the extensions' SQL splice alias per era)
-    entries.foreach(f => require(!t.renameAffects(f),
-      s"${t.dir} has pre-rename data files — read via GraftTable.scan/" +
-        "GraftCatalog or a GraftExtensions session, or compact() to " +
-        "rewrite under the current column names"))
+    // scan and the extensions' SQL splice alias per era). Only tables
+    // with recorded rename/widening eras can hold such files.
+    if (t.renames.nonEmpty || t.widenings.nonEmpty)
+      entries.foreach(f => require(!t.renameAffects(f),
+        s"${t.dir} has pre-rename data files — read via GraftTable.scan/" +
+          "GraftCatalog or a GraftExtensions session, or compact() to " +
+          "rewrite under the current column names"))
     // normalize: a published branch leaves `branches/<name>/data/…`
     // entries in the parent manifest (and a branch table holds `../../`
     // fork entries) — the parquet source must see clean absolute paths
     def abs(rel: String): String =
       java.nio.file.Paths.get(t.dir, rel).normalize().toString
-    val paths = entries.map(f => abs(f.path))
-    // this surface hands the list to the PARQUET source; avro entries
-    // (appendAvro mixed-format tables) would fail at task time — refuse
-    // with direction instead (the library scan path dispatches per file)
-    require(paths.forall(_.endsWith(".parquet")),
-      s"${t.dir} holds non-parquet data files — read it via " +
-        "GraftTable.scan/GraftCatalog (per-file format dispatch), not " +
-        "the DSv2 catalog")
+    // this surface hands the planned list to the PARQUET source; avro
+    // entries (appendAvro mixed-format tables) would fail at task time —
+    // refuse with direction instead (the library scan path dispatches
+    // per file). Checked on whatever list is actually planned — a
+    // pruned-away avro file is never read, so never a hazard.
+    def assemble(files: Seq[DataFileEntry]): Seq[String] = {
+      val ps = files.map(f => abs(f.path))
+      require(ps.forall(_.endsWith(".parquet")),
+        s"${t.dir} holds non-parquet data files — read it via " +
+          "GraftTable.scan/GraftCatalog (per-file format dispatch), not " +
+          "the DSv2 catalog")
+      ps
+    }
     val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())
     // identity directory keys need path recovery; transform-derived keys
     // (bucket/days/truncate) keep their source column in the footers and
@@ -626,11 +642,13 @@ final class GraftV2Table(
           "read it via GraftTable.scan/GraftCatalog or an extensions " +
           "session, or compact() to migrate files to the current spec")
       opts.put("basePath", s"${t.dir}/data")
-    } else {
+    } else if (t.properties.contains(GraftTable.PropSpecEvolved)) {
       // leaf-file reads recover NOTHING from directories — a file from
       // an identity-partitioned era holds that column only in its path
       // (partitionBy drops it from the footers), so reading it here
-      // would silently produce NULLs for a schema column — refuse
+      // would silently produce NULLs for a schema column — refuse. Only
+      // spec-EVOLVED tables can hold another era's identity files; a
+      // never-evolved non-identity table stays on the lazy path.
       require(entries.forall(f =>
         !f.partition.keySet.exists(k => t.schema.fieldNames.contains(k))),
         s"${t.dir} holds identity-partitioned era data files under a " +
@@ -665,18 +683,19 @@ final class GraftV2Table(
           Expressions.bucket(n, src)), buckets.get _))
       case _ => None
     }
+    // kept entries for a pushed-filter conjunction, with SEGMENT-LEVEL
+    // envelope skipping (t.prunedFiles): only the may-matching segments
+    // are ever parsed — the same planning discipline as the library path
+    def keptFor(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Seq[DataFileEntry] = filters
+      .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+      .map(e => t.prunedFiles(manifest, e)).getOrElse(entries)
     // manifest pruning BEFORE the parquet source sees the list: the
     // pushed Catalyst data filters drive the same stats/bloom/transform
     // walk the library scan path uses (sound: everything stays residual)
     new org.apache.spark.sql.classic.GraftPruningScanBuilder(
-      spark, tableName, t.schema, opts, paths,
-      filters => {
-        val keep = filters
-          .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
-          .map(t.pruneKeep)
-          .getOrElse((_: DataFileEntry) => true)
-        entries.filter(keep).map(f => abs(f.path))
-      },
+      spark, tableName, t.schema, opts, assemble(entries),
+      filters => assemble(keptFor(filters)),
       keyGrouped,
       // COUNT/MIN/MAX from manifest metadata: exact here because this
       // surface already refused merge-on-read-pending state above
@@ -684,13 +703,9 @@ final class GraftV2Table(
       // builder only asks when EVERY conjunct was claimed, so the kept
       // entries hold precisely the matching rows — `count(*) WHERE
       // day = X` on a partitioned table is a manifest sum.
-      (agg, filters) => {
-        val kept = filters
-          .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
-          .map(e => entries.filter(t.pruneKeep(e))).getOrElse(entries)
-        AggregatePushdown.localScan(agg, t.schema, t.partitionFields,
-          kept, s"graft agg-stats scan of ${t.dir}")
-      },
+      (agg, filters) => AggregatePushdown.localScan(
+        agg, t.schema, t.partitionFields, keptFor(filters),
+        s"graft agg-stats scan of ${t.dir}"),
       // snapshot-incremental streaming read (readStream.table):
       // offsets are snapshot ids; each trigger plans only the files the
       // new snapshots appended. `starting-snapshot-id` tails from after
@@ -711,10 +726,7 @@ final class GraftV2Table(
       // the most common question on a partitioned table ("count WHERE
       // partition slice") collapses to a manifest sum.
       claimFilters = filters => {
-        val keep = filters
-          .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
-          .map(t.pruneKeep).getOrElse((_: DataFileEntry) => true)
-        val kept = entries.filter(keep)
+        val kept = keptFor(filters)
         filters.filter(c => kept.forall(t.provenAll(c)))
       })
   }

@@ -34,7 +34,7 @@ final class GraftPruningScanBuilder(
     tableName: String,
     schema: StructType,
     options: java.util.Map[String, String],
-    allPaths: Seq[String],
+    allPaths: => Seq[String], // by-name: a filtered scan never assembles it
     prune: Seq[Expression] => Seq[String],
     keyGrouped: Option[(
         Array[org.apache.spark.sql.connector.expressions.Expression],

@@ -329,6 +329,30 @@ class ManifestScaleSpec extends SparkSpecBase {
     assert(t.read(spark).count() == 3L)
   }
 
+  test("DSv2 point query parses only the touched segment (lazy planning)") {
+    val wh = tmp()
+    val dir = s"$wh/db/seg_t"
+    val t = GraftTable.create(dir, schema)
+    (0 until 12).foreach(k => t.append(
+      mkDf((k * 100L + 1) -> s"v$k", (k * 100L + 2) -> s"w$k"),
+      Some(1000L * (k + 1))))
+    val m = Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+    assert(m.segments.size == 12 &&
+      m.segments.forall(_.envelope.isDefined))
+    spark.conf.set("spark.sql.catalog.gms", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gms.warehouse", wh)
+    val before = m.segmentRefs.filter(r =>
+      Manifest.parsedSegmentPaths.contains(s"$dir/$r")).toSet
+    val got = spark.sql("SELECT data FROM gms.db.seg_t WHERE id = 701")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("v7"))
+    val parsed = m.segmentRefs.filter(r =>
+      Manifest.parsedSegmentPaths.contains(s"$dir/$r")).toSet -- before
+    assert(parsed.size == 1,
+      s"DSv2 point lookup parsed ${parsed.size} of 12 segments (want 1) " +
+        "— lazy planning regressed to a full manifest materialization")
+  }
+
   test("long-text string bounds are capped at write time, pruning intact") {
     val dir = s"${tmp()}/longtext"
     val t = GraftTable.create(dir, schema)
