@@ -203,6 +203,34 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(got.count() == 4)
   }
 
+  test("compaction mid-stream contributes nothing; DML keeps flowing") {
+    val tb = GraftTable.create(s"$wh/db/c9", schema)
+    tb.append(df(batch(1, 6)), Some(1000L))
+    val q = spark.readStream.table("gc.db.c9__changes")
+      .writeStream.format("memory").queryName("cdc9")
+      .option("checkpointLocation", tmpDir("cdc-ckpt9")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc9").count() == 6)
+      // a row-preserving replace (compaction) lands mid-stream: the CDC
+      // feed must emit NOTHING for it (rows are bit-identical), and the
+      // stream must keep following the DML after it
+      tb.compact(spark, smallerThanBytes = Long.MaxValue,
+        committedAt = Some(2000L))
+      val compactSnap = tb.log.current.get.snapshotId
+      tb.delete(spark, col("id") === 2L, Some(3000L))
+      tb.append(df(batch(7, 9)), Some(4000L))
+      q.processAllAvailable()
+      val rows = spark.table("cdc9")
+      assert(rows.filter(col("snapshot__id") === compactSnap).count() == 0,
+        "compaction re-emitted rows into the CDC stream")
+      val mirror = net(rows)
+      val want = tb.read(spark).select(col("id"), col("v"))
+      assert(mirror.exceptAll(want).isEmpty && want.exceptAll(mirror).isEmpty)
+      assert(mirror.count() == 8) // 6 - 1 deleted + 3 appended
+    } finally q.stop()
+  }
+
   test("GraftCdcMirror keeps a replica equal through mixed DML + restart") {
     val tb = GraftTable.create(s"$wh/db/m1", schema)
     tb.append(df(batch(1, 8)), Some(1000L))

@@ -991,6 +991,10 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .map(_.toSeq.map(String.valueOf).mkString("|"))
     GraftProcedures.names.foreach(p =>
       assert(shown.exists(_.contains(p)), s"$p missing from $shown"))
+    val desc = spark.sql(
+      "DESCRIBE PROCEDURE g2.system.expire_snapshots").collect()
+      .map(_.toSeq.map(String.valueOf).mkString(" ")).mkString("\n")
+    assert(desc.contains("expire_snapshots"), s"got: $desc")
     // rewrite_data_files with zorder_by: rows re-clustered on the
     // z-curve, one replace snapshot, bit-identical content
     val t = GraftTable.create(s"$wh/db/proc_z", StructType(Seq(
