@@ -450,11 +450,6 @@ final class GraftV2Table(
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(snapshotId.isEmpty,
       s"cannot write to a time-travel read of $tableName")
-    require(!t.properties.contains(GraftTable.PropNotNullColumns) &&
-      !t.properties.keys.exists(_.startsWith(GraftTable.PropCheckPrefix)),
-      s"$tableName declares write constraints — the file-level streaming " +
-        "sink cannot enforce them; stream into it with " +
-        "GraftTable.writeStreamInto (foreachBatch) instead")
     val in = info.schema()
     require(in.fieldNames.sorted.toSeq == t.schema.fieldNames.sorted.toSeq,
       s"streaming input columns [${in.fieldNames.sorted.mkString(",")}] " +
@@ -521,6 +516,43 @@ final class GraftV2Table(
       }
     val identitySources =
       t.partitionFields.filter(_.isIdentity).map(_.fieldName).toSet
+    // write CONSTRAINTS (graft.check.* + graft.notnull.columns) enforce
+    // INSIDE the writer tasks, same contract as the batch write job's
+    // constraintGuard: a row whose check is FALSE fails the epoch before
+    // anything commits; NULL passes (SQL CHECK semantics). Resolved
+    // against the input attributes here, bound, and evaluated task-side
+    // through a codegen'd predicate (Coalesce(check, true) keeps the
+    // null-passes semantics under BasePredicate's null-as-false).
+    val constraintChecks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+      import org.apache.spark.sql.catalyst.expressions.{BindReferences, Coalesce, IsNotNull, Literal}
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+      val inAttrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+        .toAttributes(in)
+      val raws: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
+        t.properties.toSeq.sortBy(_._1).collect {
+          case (k, v) if k.startsWith(GraftTable.PropCheckPrefix) =>
+            s"CHECK ${k.stripPrefix(GraftTable.PropCheckPrefix)} ($v)" ->
+              org.apache.spark.sql.classic.GraftBridge.expr(
+                org.apache.spark.sql.functions.expr(v))
+        } ++
+        t.properties.get(GraftTable.PropNotNullColumns).toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+          .filter(c => in.fieldNames.contains(c))
+          .map(c => s"NOT NULL $c" -> (IsNotNull(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(c))
+            : org.apache.spark.sql.catalyst.expressions.Expression))
+      raws.map { case (label, raw) =>
+        val analyzed = SparkSession.active.sessionState.analyzer.execute(
+          Filter(raw, LocalRelation(inAttrs)))
+        val resolved = analyzed.collectFirst {
+          case f: Filter if f.condition.resolved => f.condition
+        }.getOrElse(throw new IllegalArgumentException(
+          s"cannot resolve write constraint [$label] of $tableName " +
+            "against the streaming input schema"))
+        label -> BindReferences.bindReference(
+          Coalesce(Seq(resolved, Literal(true))), inAttrs)
+      }
+    }
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
@@ -549,7 +581,7 @@ final class GraftV2Table(
                 }
                 fresh.commitStreamFiles(rels, sinkId, epoch)
               },
-              partFields, identitySources)
+              partFields, identitySources, constraintChecks)
         }
     }
   }

@@ -71,7 +71,8 @@ final class GraftStreamingWrite(
     writerConf: Map[String, String],
     commitFiles: (Seq[String], Long) => Option[AnyRef],
     partFields: Seq[GraftStreamPartField] = Nil,
-    identitySources: Set[String] = Set.empty)
+    identitySources: Set[String] = Set.empty,
+    constraintChecks: Seq[(String, Expression)] = Nil)
     extends StreamingWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -106,7 +107,7 @@ final class GraftStreamingWrite(
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamWriterFactory(dir, writeSchema, queryId, writerConf,
-      partFields, identitySources)
+      partFields, identitySources, constraintChecks)
 
   override def commit(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -130,14 +131,16 @@ private final class GraftStreamWriterFactory(
     queryId: String,
     writerConf: Map[String, String],
     partFields: Seq[GraftStreamPartField],
-    identitySources: Set[String])
+    identitySources: Set[String],
+    constraintChecks: Seq[(String, Expression)])
     extends StreamingDataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftStreamDataWriter(dir, schema, queryId, writerConf,
-      partitionId, taskId, epochId, partFields, identitySources)
+      partitionId, taskId, epochId, partFields, identitySources,
+      constraintChecks)
 }
 
 /** One task's writer: rows → one parquet file per partition value seen
@@ -154,8 +157,15 @@ private final class GraftStreamDataWriter(
     taskId: Long,
     epochId: Long,
     partFields: Seq[GraftStreamPartField],
-    identitySources: Set[String])
+    identitySources: Set[String],
+    constraintChecks: Seq[(String, Expression)])
     extends DataWriter[InternalRow] {
+
+  // codegen'd per-task constraint predicates (Coalesce(check, true) —
+  // NULL passes, FALSE fails the epoch, same as the batch write guard)
+  private lazy val constraintPreds = constraintChecks.map { case (label, e) =>
+    label -> org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+  }
 
   // data footers drop IDENTITY sources (they live in the directory,
   // exactly like partitionBy) and keep everything else, input order
@@ -212,6 +222,10 @@ private final class GraftStreamDataWriter(
     })
 
   override def write(row: InternalRow): Unit = {
+    constraintPreds.foreach { case (label, p) =>
+      if (!p.eval(row)) throw new IllegalStateException(
+        s"graft constraint violated on $dir: $label")
+    }
     val o = writerFor(if (partFields.isEmpty) "" else dirOf(row))
     o.writer.write(if (identitySources.isEmpty) row else dataProj(row))
   }

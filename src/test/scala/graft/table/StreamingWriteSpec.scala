@@ -172,12 +172,13 @@ class StreamingWriteSpec extends SparkSpecBase {
     assert(temps.isEmpty, s"uncommitted epoch leaked: ${temps.toSeq}")
   }
 
-  test("refusals: constrained and schema-mismatched sinks") {
+  test("write constraints enforce INSIDE streaming tasks; schema refuses") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    def tryStream(target: String, colName: String = "id"): String = {
+    def tryStream(target: String, colName: String = "id",
+        data: Seq[Long] = Seq(1L)): String = {
       val ms = MemoryStream[Long]
-      ms.addData(1L)
+      ms.addData(data: _*)
       val q = ms.toDF().toDF(colName)
         .writeStream
         .option("checkpointLocation", tmpDir("sw-ckpt-r"))
@@ -186,12 +187,50 @@ class StreamingWriteSpec extends SparkSpecBase {
         q.processAllAvailable(); q.awaitTermination(60000)
       }
       q.stop()
-      Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     }
     val tc = GraftTable.create(s"$wh/db/w_con", StructType(Seq(
       StructField("id", LongType, nullable = false))))
     tc.updateProperties(Map("graft.check.pos" -> "id > 0"))
-    assert(tryStream("g8.db.w_con").contains("constraints"))
+    // valid rows stream through a CHECK-constrained sink (same contract
+    // as the batch write guard — enforced inside the tasks)
+    val ms = MemoryStream[Long]
+    ms.addData(1L, 2L)
+    val ok = ms.toDF().toDF("id").writeStream
+      .option("checkpointLocation", tmpDir("sw-ckpt-c1"))
+      .toTable("g8.db.w_con")
+    try { ok.processAllAvailable() } finally ok.stop()
+    assert(GraftTable.load(s"$wh/db/w_con").read(spark).count() == 2L)
+    // a violating row fails the epoch BEFORE anything commits, loudly
+    val msg = tryStream("g8.db.w_con", data = Seq(3L, -1L))
+    assert(msg.contains("constraint violated") && msg.contains("CHECK pos"),
+      s"got: $msg")
+    val after = GraftTable.load(s"$wh/db/w_con")
+    assert(after.read(spark).count() == 2L,
+      "violating epoch leaked rows into the table")
+    assert(new java.io.File(s"${after.dir}/data").listFiles()
+      .forall(!_.getName.startsWith(".stream-")),
+      "violating epoch leaked temporaries")
+    // NOT NULL columns enforce the same way
+    val tn = GraftTable.create(s"$wh/db/w_nn", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true))))
+    tn.updateProperties(Map("graft.notnull.columns" -> "v"))
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData(1L -> "a", 2L -> null)
+    val qn = ms2.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", tmpDir("sw-ckpt-c2"))
+      .toTable("g8.db.w_nn")
+    val e2 = intercept[StreamingQueryException] {
+      qn.processAllAvailable(); qn.awaitTermination(60000)
+    }
+    qn.stop()
+    val m2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(m2.contains("NOT NULL v"), s"got: $m2")
+    // schema mismatch still refuses before any task
     GraftTable.create(s"$wh/db/w_schema", StructType(Seq(
       StructField("id", LongType, nullable = false))))
     assert(tryStream("g8.db.w_schema", colName = "wrong")
