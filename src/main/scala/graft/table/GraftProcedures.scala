@@ -34,7 +34,8 @@ object GraftProcedures {
   val names: Seq[String] = Seq(
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
     "rewrite_manifests", "rollback_to_snapshot",
-    "create_tag", "create_branch", "publish_branch", "drop_branch")
+    "create_tag", "create_branch", "publish_branch", "drop_branch",
+    "add_files")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -47,6 +48,7 @@ object GraftProcedures {
       case "create_branch" => Some(createBranch(warehouse))
       case "publish_branch" => Some(publishBranch(warehouse))
       case "drop_branch" => Some(dropBranch(warehouse))
+      case "add_files" => Some(addFiles(warehouse))
       case _ => None
     }
 
@@ -234,6 +236,40 @@ object GraftProcedures {
       val name = row.getUTF8String(1).toString
       t.dropBranch(name)
       Seq(Seq[Any](UTF8String.fromString(name)))
+    })
+
+  private def addFiles(wh: String): UnboundProcedure = new Proc(
+    "add_files",
+    "File-level import (migration onboarding): copy existing parquet " +
+      "files — one file, or every *.parquet under a directory — into " +
+      "the table as ONE append snapshot. Footer schemas must match the " +
+      "table exactly; no row is rewritten, no Spark job runs. " +
+      "Partitioned and constraint-bearing tables refuse (append() " +
+      "instead). Returns (snapshot_id, added_files, added_records).",
+    Array(
+      in("table", StringType),
+      in("source", StringType)),
+    StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("added_files", LongType, nullable = false),
+      StructField("added_records", LongType, nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      val src = java.nio.file.Paths.get(row.getUTF8String(1).toString)
+      val files: Seq[String] =
+        if (java.nio.file.Files.isDirectory(src))
+          scala.util.Using.resource(java.nio.file.Files.walk(src)) { w =>
+            import scala.jdk.CollectionConverters._
+            w.iterator().asScala.map(_.toString)
+              .filter(_.endsWith(".parquet")).toSeq.sorted
+          }
+        else Seq(src.toString)
+      require(files.nonEmpty, s"no parquet files under $src")
+      val snap = t.importFiles(
+        org.apache.spark.sql.SparkSession.active, files)
+      Seq(Seq[Any](snap.snapshotId,
+        snap.summary("added-data-files").toLong,
+        snap.summary("added-records").toLong))
     })
 
   private def rollbackToSnapshot(wh: String): UnboundProcedure = new Proc(

@@ -3678,6 +3678,85 @@ final class GraftTable private (
     }
   }
 
+  /** FILE-LEVEL IMPORT (migration onboarding): land existing parquet
+    * files' rows in this table by COPYING them under `data/` with
+    * canonical names — one append snapshot, footer stats + blooms
+    * harvested, NO row rewrite and NO Spark job (O(bytes copied) driver
+    * I/O; sources stay untouched, so a failed import leaves nothing).
+    * The Iceberg `add_files` shape: onboarding a 100 TB parquet dataset
+    * costs a copy, not a cluster-wide rewrite (and on a same-filesystem
+    * deployment the copy is the storage layer's problem, not the
+    * engine's).
+    *
+    * Refusals (loud, before anything lands):
+    *  - a file whose FOOTER schema differs from the table schema (name
+    *    set + types — the same bricked-table guard as [[append]]; reads
+    *    are by name, so column order may differ);
+    *  - partitioned tables (imported files carry no partition values —
+    *    use a normal [[append]], which lays them out);
+    *  - constraint-bearing tables (imported rows bypass the write-time
+    *    guard; nothing is scanned here, so nothing could enforce them).
+    */
+  def importFiles(
+      spark: SparkSession,
+      absPaths: Seq[String],
+      committedAt: Option[Long] = None): Snapshot = {
+    require(absPaths.nonEmpty, "importFiles needs at least one file")
+    require(partitionFields.isEmpty,
+      s"$dir is partitioned — imported leaf files carry no partition " +
+        "values; append() lays rows out instead")
+    require(!properties.contains(PropNotNullColumns) &&
+      !properties.keys.exists(_.startsWith(PropCheckPrefix)),
+      s"$dir declares write constraints — file-level import cannot " +
+        "enforce them; append() the rows instead")
+    absPaths.foreach(p => require(p.endsWith(".parquet"),
+      s"importFiles takes parquet files, got $p"))
+    // per-file footer schema check (strict — no union/merge leniency)
+    absPaths.foreach { p =>
+      val fs = spark.read.parquet(p).schema
+      require(fs.fieldNames.sorted.toSeq == schema.fieldNames.sorted.toSeq,
+        s"$p columns [${fs.fieldNames.sorted.mkString(",")}] must match " +
+          s"table schema [${schema.fieldNames.sorted.mkString(",")}]")
+      fs.fields.foreach { f =>
+        require(schema(f.name).dataType == f.dataType,
+          s"$p column '${f.name}' is ${f.dataType.sql}, table expects " +
+            s"${schema(f.name).dataType.sql} — rewrite via append()")
+      }
+    }
+    var created: Seq[java.nio.file.Path] = Nil
+    try withCommitRetry() {
+      val lg = log
+      val snapId = lg.nextId
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val conf = spark.sessionState.newHadoopConf()
+      val bloomCols = bloomColumns
+      Files.createDirectories(Paths.get(dir, "data"))
+      val entries = absPaths.zipWithIndex.map { case (src, i) =>
+        val name = f"part-$snapId%05d-$token-$i%05d.parquet"
+        val dst = Paths.get(dir, "data", name)
+        Files.copy(Paths.get(src), dst,
+          StandardCopyOption.REPLACE_EXISTING)
+        created = created :+ dst
+        val (rows, stats) = ParquetStats.forFile(dst.toString, conf)
+        val blooms = FileBloom.harvest(dst.toString, conf, bloomCols)
+        DataFileEntry(s"data/$name", rows, Files.size(dst), stats,
+          Map.empty, blooms)
+      }
+      val prevManifest = lg.current
+        .map(s => Manifest.read(s"$dir/${s.manifestList}"))
+        .getOrElse(Manifest.empty)
+      commit(lg, snapId, prevManifest.append(entries), entries,
+        operation = "append", committedAt,
+        extraSummary = Map(
+          "added-data-files" -> entries.size.toString,
+          "added-records" -> entries.map(_.recordCount).sum.toString,
+          "imported" -> "true"))
+    } catch { case e: Throwable =>
+      created.foreach(Files.deleteIfExists)
+      throw e
+    }
+  }
+
   /** Structured-Streaming WRITE into this table: every micro-batch lands
     * as one append snapshot via [[appendStreamBatch]]. ALWAYS set a
     * checkpointLocation and derive `sinkId` from it — without a

@@ -1094,6 +1094,55 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(!GraftTable.load(s"$wh/db/wap_sql").branches.contains("scrap"))
   }
 
+  test("CALL add_files imports existing parquet file-level, no rewrite") {
+    val t = GraftTable.create(s"$wh/db/proc_imp", schema)
+    t.append(mkDf(1L -> "native"), Some(1000L))
+    // a foreign parquet dataset with the SAME schema, written elsewhere
+    val srcDir = tmpDir("import-src")
+    mkDf(2L -> "imported", 3L -> "imported").write
+      .mode("overwrite").parquet(srcDir)
+    val srcFiles = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toPath)
+    val got = spark.sql(
+      s"CALL g2.system.add_files('db.proc_imp', '$srcDir')").collect()
+    assert(got.length == 1 && got.head.getLong(2) == 2L, got.mkString(","))
+    // rows landed, sources untouched, ONE append snapshot, stats usable
+    assert(spark.sql("SELECT id FROM g2.db.proc_imp ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(srcFiles.forall(java.nio.file.Files.exists(_)),
+      "import must COPY, not move")
+    val t2 = GraftTable.load(s"$wh/db/proc_imp")
+    assert(t2.log.snapshots.size == 2)
+    assert(t2.log.current.get.summary.get("imported").contains("true"))
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM g2.db.proc_imp WHERE id >= 2")
+      .collect().head.getLong(0) == 2L)
+    // schema-mismatched imports refuse loudly, nothing lands
+    val badDir = tmpDir("import-bad")
+    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS wrong")
+      .write.mode("overwrite").parquet(badDir)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL g2.system.add_files('db.proc_imp', '$badDir')")
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("must match"), s"got: $msgs")
+    assert(GraftTable.load(s"$wh/db/proc_imp").log.snapshots.size == 2)
+    // partitioned tables refuse toward append()
+    GraftTable.create(s"$wh/db/proc_imp_p", schema,
+      partitionBy = Seq("data"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL g2.system.add_files('db.proc_imp_p', '$srcDir')")
+        .collect()
+    }
+    val m2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(m2.contains("partitioned"), s"got: $m2")
+  }
+
   test("unknown procedures refuse with the available list") {
     val e = intercept[Exception] {
       spark.sql("CALL g2.system.vacuum('db.x')").collect()
