@@ -692,6 +692,24 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** File-level import fixture (v54): the driver's OWN nation.parquet
+    * copied straight into a graft table via CALL add_files — one append
+    * snapshot, footer schema guarded, no row rewrite. */
+  private def addFilesFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/import_nation", 1) { dir =>
+      val n = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, n.schema)
+      val wh = Paths.get(dir).getParent.getParent.toString
+      spark.conf.set("spark.sql.catalog.g54", "graft.table.GraftSparkCatalog")
+      spark.conf.set("spark.sql.catalog.g54.warehouse", wh)
+      val got = spark.sql("CALL g54.system.add_files('db.import_nation', " +
+        s"'$sfDir/nation.parquet')").collect()
+      require(got.length == 1 && got.head.getLong(1) == 1L,
+        s"add_files did not import exactly one file: ${got.mkString(",")}")
+      GraftTable.load(dir)
+    }
+
   /** SQL maintenance cycle (v52): five small appends compacted, aged
     * history expired (retain-last floor), planted junk reclaimed — all
     * through `CALL graft.system.*` procedures, the operator surface.
@@ -928,6 +946,21 @@ object Versioned extends QueryPack {
         .start()
       require(q.awaitTermination(180000L), "v46 stream did not drain")
       s.table(qn).orderBy(col("n_nationkey"))
+    }),
+
+    // FILE-LEVEL IMPORT (CALL add_files): the driver's own source
+    // parquet copied into a graft table WITHOUT a rewrite — one append
+    // snapshot, footer stats harvested, schema-guarded. At 100 TB this
+    // is the migration-onboarding path: a copy (or a storage-layer
+    // clone), never a cluster-wide rewrite job. The imported rows must
+    // be bit-identical to the source.
+    "v54_graft_add_files" -> ((s, d) => {
+      val tb = addFilesFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g54", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g54.warehouse", wh)
+      s.sql("SELECT n_nationkey, n_name, n_regionkey " +
+        "FROM g54.db.import_nation ORDER BY n_nationkey")
     }),
 
     // DSv2 METADATA TABLES: the system-table family on the STANDARD
@@ -1520,6 +1553,10 @@ object Versioned extends QueryPack {
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE n_name = 'NATION_7' " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the file-level import must hold exactly the source rows
+    "v54_graft_add_files" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "ORDER BY n_nationkey"),
     // the metadata tables' per-partition totals must equal a real
     // GROUP BY recompute; the snapshot row is the fixture's literal log
     "v53_graft_meta_tables" ->

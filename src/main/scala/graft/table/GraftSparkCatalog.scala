@@ -223,6 +223,26 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
 
   /** `TIMESTAMP AS OF <t>` — Spark hands micros since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    // snapshot-scoped metadata tables travel like their base table
+    if (!tableExists(ident)) {
+      val hit = metaTables.keys.find(sfx =>
+        ident.name().endsWith(sfx) && ident.name().length > sfx.length)
+      hit.foreach { sfx =>
+        val base = Identifier.of(
+          ident.namespace(), ident.name().stripSuffix(sfx))
+        if (tableExists(base)) {
+          require(sfx != "__snapshots" && sfx != "__refs",
+            s"$sfx is table-global — it has no per-snapshot form")
+          val bt = loadGraft(base)
+          val id = bt.snapshotAsOfTime(timestampMicros / 1000L)
+            .map(_.snapshotId).getOrElse(
+              throw new IllegalArgumentException(
+                s"no snapshot at or before ${timestampMicros / 1000L}ms " +
+                  s"in ${identToName(base)}"))
+          return loadMeta(ident, Some(id)).get
+        }
+      }
+    }
     val t = loadGraft(ident)
     val snap = t.snapshotAsOfTime(timestampMicros / 1000L).map(_.snapshotId)
       .getOrElse(throw new IllegalArgumentException(

@@ -1037,6 +1037,9 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(spark.sql(
       "SELECT count(*) FROM g2.db.meta_t__files VERSION AS OF 'cut'")
       .head().getLong(0) == 2L)
+    // …and TIMESTAMP AS OF (commit time 1500ms → snapshot 1)
+    assert(spark.sql("SELECT count(*) FROM g2.db.meta_t__files " +
+      "TIMESTAMP AS OF CAST(1.5 AS TIMESTAMP)").head().getLong(0) == 2L)
     assert(spark.sql("SELECT count(*) FROM g2.db.meta_t__files")
       .head().getLong(0) == 4L)
     // partitions: per-value record totals, metadata-only
