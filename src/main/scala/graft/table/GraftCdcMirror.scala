@@ -36,13 +36,26 @@ object GraftCdcMirror {
   /** Apply ONE CDC micro-batch to `mirror`, exactly-once per
     * (sinkId, batchId). Public so replay safety is testable and so
     * custom pipelines (extra transforms before the apply) can reuse the
-    * contract. */
+    * contract.
+    *
+    * `compactEvery` bounds the merge-on-read DEBT a long-running mirror
+    * accumulates: each batch's tombstone is one pending equality entry,
+    * and reads anti-join every pending entry — unbounded stacking would
+    * slowly tax every mirror read. Once the pending count reaches the
+    * threshold, the entries MATERIALIZE (one compact() before the
+    * batch applies — amortized O(mirror)/`compactEvery`, and the
+    * compaction is a row-preserving replace, so mirror readers and
+    * mirror-of-mirror streams are undisturbed). */
   def applyBatch(
-      mirror: GraftTable, keyCols: Seq[String], sinkId: String)(
+      mirror: GraftTable, keyCols: Seq[String], sinkId: String,
+      compactEvery: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
     // replayed epoch (crash AFTER the full apply): skip the whole batch
     // — re-running the tombstone would kill the already-applied inserts
     if (mirror.streamCursors.get(sinkId).exists(_ >= batchId)) return
+    if (compactEvery > 0 && mirror.equalityDeletes.size >= compactEvery)
+      mirror.compact(batch.sparkSession,
+        smallerThanBytes = Long.MaxValue): Unit
     val cols = mirror.schema.fieldNames.map(col).toSeq
     val dels = batch.filter(col("_change_type") === "delete")
       .select(keyCols.map(col): _*)
@@ -66,7 +79,8 @@ object GraftCdcMirror {
       sourceTable: String,
       mirror: GraftTable,
       keyCols: Seq[String],
-      readOptions: Map[String, String] = Map.empty)
+      readOptions: Map[String, String] = Map.empty,
+      compactEvery: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     require(keyCols.nonEmpty, "at least one key column required")
     keyCols.foreach(c => require(mirror.schema.fieldNames.contains(c),
@@ -79,6 +93,6 @@ object GraftCdcMirror {
     readOptions.foreach { case (k, v) => reader = reader.option(k, v) }
     reader.table(changes)
       .writeStream
-      .foreachBatch(applyBatch(mirror, keyCols, sinkId) _)
+      .foreachBatch(applyBatch(mirror, keyCols, sinkId, compactEvery) _)
   }
 }

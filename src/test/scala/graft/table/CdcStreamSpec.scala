@@ -283,6 +283,33 @@ class CdcStreamSpec extends SparkSpecBase {
       .map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("GraftCdcMirror bounds merge-on-read debt via periodic compaction") {
+    val mirror = GraftTable.create(s"$wh/db/m3_mirror", schema)
+    import org.apache.spark.sql.functions.lit
+    def cdcDf(ins: Seq[(Long, String)], dels: Seq[(Long, String)]) =
+      df(ins.map(r => Row(r._1, r._2))).withColumn("_change_type", lit("insert"))
+        .unionByName(df(dels.map(r => Row(r._1, r._2)))
+          .withColumn("_change_type", lit("delete")))
+    val apply = GraftCdcMirror
+      .applyBatch(mirror, Seq("id"), "m3-sink", compactEvery = 2) _
+    apply(cdcDf((1L to 6L).map(i => i -> s"v$i"), Nil), 0L)
+    // four update batches, each stacking one tombstone entry: the
+    // threshold must fold them before the debt grows unbounded
+    (1 to 4).foreach { b =>
+      val k = b.toLong
+      apply(cdcDf(Seq(k -> s"u$b"), Seq(k -> s"v$b")), b.toLong)
+    }
+    val m = GraftTable.load(mirror.dir)
+    assert(m.equalityDeletes.size <= 2,
+      s"tombstone debt unbounded: ${m.equalityDeletes.size} entries")
+    assert(m.log.snapshots.exists(_.operation == "replace"),
+      "no compaction ran despite the threshold")
+    val got = m.read(spark).select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq(1L -> "u1", 2L -> "u2", 3L -> "u3", 4L -> "u4",
+      5L -> "v5", 6L -> "v6"), s"compaction corrupted the mirror: $got")
+  }
+
   test("append-stream catch-up parses each chain manifest once (N+1)") {
     val n = 10
     val tb = GraftTable.create(s"$wh/db/c8", schema)
