@@ -9,10 +9,19 @@ import org.apache.spark.sql.functions.col
   * runs in batch):
   *
   * {{{
-  *   val q = GraftCdcMirror.into(spark, "cat.db.src", mirror, Seq("id"))
+  *   val q = GraftCdcMirror
+  *     .into(spark, "cat.db.src", mirror, Seq("id"), sinkId = "mirror-v1")
   *     .option("checkpointLocation", ckpt)
   *     .start()
   * }}}
+  *
+  * `sinkId` names this (checkpoint, mirror) pairing and MUST change
+  * whenever the checkpoint does (the [[GraftTable.appendStreamBatch]]
+  * contract: batch ids are only unique within one checkpoint — reusing
+  * a sinkId against a fresh checkpoint would make the restarted batch 0
+  * look already-applied and silently stop replication). Re-seeding after
+  * source-history expiration = fresh checkpoint + fresh (or truncated)
+  * mirror + fresh sinkId.
   *
   * Each micro-batch applies retract-then-insert: the batch's `delete`
   * rows become ONE equality merge-on-read tombstone commit (O(changed
@@ -79,16 +88,17 @@ object GraftCdcMirror {
       sourceTable: String,
       mirror: GraftTable,
       keyCols: Seq[String],
+      sinkId: String,
       readOptions: Map[String, String] = Map.empty,
       compactEvery: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     require(keyCols.nonEmpty, "at least one key column required")
+    require(sinkId.nonEmpty, "sinkId must be non-empty")
     keyCols.foreach(c => require(mirror.schema.fieldNames.contains(c),
       s"key column '$c' is not in the mirror schema"))
     val changes =
       if (sourceTable.endsWith("__changes")) sourceTable
       else s"${sourceTable}__changes"
-    val sinkId = s"cdc-mirror:$changes"
     var reader = spark.readStream
     readOptions.foreach { case (k, v) => reader = reader.option(k, v) }
     reader.table(changes)

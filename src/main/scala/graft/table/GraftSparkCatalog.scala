@@ -534,6 +534,21 @@ final class GraftV2Table(
             f.derivedType)
         }
       }
+    // V2 transform spellings driving the epoch's clustered distribution
+    // + ordering; non-identity transforms resolve against this catalog's
+    // own functions (GraftV2Functions — bit-identical to the write-side
+    // derivation). Driver-only: never shipped to tasks.
+    val clusterOn: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+      t.partitionFields.map {
+        case IdentityField(c, _) => Expressions.column(c)
+        case BucketField(n, c) => Expressions.bucket(n, c)
+        case DaysField(c) => Expressions.days(c)
+        case YearsField(c) => Expressions.years(c)
+        case MonthsField(c) => Expressions.months(c)
+        case HoursField(c) => Expressions.hours(c)
+        case TruncateField(w, c) => Expressions.apply("truncate",
+          Expressions.literal(w), Expressions.column(c))
+      }
     val identitySources =
       t.partitionFields.filter(_.isIdentity).map(_.fieldName).toSet
     // write CONSTRAINTS (graft.check.* + graft.notnull.columns) enforce
@@ -574,30 +589,59 @@ final class GraftV2Table(
       }
     }
     new org.apache.spark.sql.connector.write.WriteBuilder {
+      // RequiresDistributionAndOrdering must sit on the WRITE object
+      // Spark's V2Writes hands to DistributionAndOrderingUtils (the
+      // MicroBatchWrite wrapper never forwards it from the
+      // StreamingWrite): each epoch clusters + orders on the partition
+      // TRANSFORM values, resolved against this catalog's own V2
+      // functions (GraftV2Functions — bit-identical to the write-side
+      // derivation), so one partition's rows land in ONE task,
+      // consecutively — one file per partition per epoch, one open
+      // writer per task.
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.Write {
+        new org.apache.spark.sql.connector.write.Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution = {
+            import org.apache.spark.sql.connector.{distributions => d}
+            if (clusterOn.isEmpty) d.Distributions.unspecified()
+            else d.Distributions.clustered(clusterOn.toArray)
+          }
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+            import org.apache.spark.sql.connector.expressions.{SortDirection, Expressions => E}
+            clusterOn.map(e => E.sort(e, SortDirection.ASCENDING)).toArray
+          }
+          override def distributionStrictlyRequired(): Boolean = false
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new org.apache.spark.sql.classic.GraftStreamingWrite(
               dirCaptured, in, info.queryId(), conf.toMap,
               (rels, epoch) => {
                 val fresh = GraftTable.load(dirCaptured)
-                // mid-stream schema OR partition-spec evolution: the
-                // epoch's files were written under the START layout,
-                // but the canonical part-<snapId> rename would
-                // attribute them to the POST-evolution era (silent
-                // NULLs on renamed columns; mixed-spec directories) —
-                // drop the uncommitted epoch and refuse loudly; the
-                // restarted query replays it under the current state
+                // mid-stream schema / partition-spec / CONSTRAINT
+                // evolution: the epoch's files were written under the
+                // START state — the canonical part-<snapId> rename
+                // would attribute them to the POST-evolution era
+                // (silent NULLs on renamed columns; mixed-spec
+                // directories), and rows validated against the START
+                // constraint set must not land once stricter checks
+                // exist — drop the uncommitted epoch and refuse loudly;
+                // the restarted query replays under the current state
+                def guarded(p: Map[String, String]) = p.filter { case (k, _) =>
+                  k == GraftTable.PropNotNullColumns ||
+                    k.startsWith(GraftTable.PropCheckPrefix)
+                }
                 if (fresh.schema != t.schema ||
-                    fresh.partitionColumns != t.partitionColumns) {
+                    fresh.partitionColumns != t.partitionColumns ||
+                    guarded(fresh.properties) != guarded(t.properties)) {
                   rels.foreach(r => java.nio.file.Files.deleteIfExists(
                     java.nio.file.Paths.get(dirCaptured, r)))
                   throw new IllegalStateException(
-                    s"$tableName's schema or partition spec evolved " +
-                      "while the stream was running — restart the " +
-                      "streaming query so its writes carry the current " +
-                      "layout")
+                    s"$tableName's schema, partition spec, or write " +
+                      "constraints evolved while the stream was " +
+                      "running — restart the streaming query so its " +
+                      "writes carry the current state")
                 }
                 fresh.commitStreamFiles(rels, sinkId, epoch)
               },

@@ -3596,9 +3596,9 @@ final class GraftTable private (
     * (exactly-once snapshots, the [[appendStreamBatch]] contract).
     * Partitioned epochs arrive under the batch `<field>=<value>/`
     * layout; partition values and synthesized stats derive from the
-    * path segments exactly as in a batch write. Constraint-bearing
-    * tables are refused at the catalog layer before any task runs
-    * (see `GraftV2Table`). */
+    * path segments exactly as in a batch write. Write constraints are
+    * enforced per row INSIDE the writer tasks (see `GraftV2Table` /
+    * `GraftStreamingWrite` — the batch constraintGuard's semantics). */
   def commitStreamFiles(
       relPaths: Seq[String],
       sinkId: String,
@@ -3679,14 +3679,21 @@ final class GraftTable private (
   }
 
   /** FILE-LEVEL IMPORT (migration onboarding): land existing parquet
-    * files' rows in this table by COPYING them under `data/` with
-    * canonical names — one append snapshot, footer stats + blooms
-    * harvested, NO row rewrite and NO Spark job (O(bytes copied) driver
-    * I/O; sources stay untouched, so a failed import leaves nothing).
-    * The Iceberg `add_files` shape: onboarding a 100 TB parquet dataset
-    * costs a copy, not a cluster-wide rewrite (and on a same-filesystem
-    * deployment the copy is the storage layer's problem, not the
-    * engine's).
+    * files' rows in this table under canonical names — one append
+    * snapshot, footer stats + blooms harvested, NO row rewrite and NO
+    * Spark job. Staging HARD-LINKS when the filesystem allows (O(file
+    * count) metadata — the actual 100 TB onboarding cost on a
+    * same-filesystem deployment; never a driver-side byte path) and
+    * falls back to a copy across devices; sources stay untouched either
+    * way, and a failed import leaves nothing. Linked imports share the
+    * source's blocks, so the usual immutable-parquet discipline must
+    * hold for the SOURCE too (the same trust model as Iceberg's
+    * reference-in-place `add_files`, strictly safer: deleting the
+    * source later cannot hurt the table).
+    *
+    * Staging happens ONCE; a lost commit race RENAMES the staged files
+    * to the retry's canonical names instead of re-staging — no
+    * duplicate bytes, no orphaned first-attempt files.
     *
     * Refusals (loud, before anything lands):
     *  - a file whose FOOTER schema differs from the table schema (name
@@ -3723,36 +3730,65 @@ final class GraftTable private (
             s"${schema(f.name).dataType.sql} — rewrite via append()")
       }
     }
-    var created: Seq[java.nio.file.Path] = Nil
-    try withCommitRetry() {
-      val lg = log
-      val snapId = lg.nextId
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val conf = spark.sessionState.newHadoopConf()
-      val bloomCols = bloomColumns
+    var current: Seq[java.nio.file.Path] = Nil
+    try {
+      val stage = java.util.UUID.randomUUID().toString.take(8)
       Files.createDirectories(Paths.get(dir, "data"))
-      val entries = absPaths.zipWithIndex.map { case (src, i) =>
-        val name = f"part-$snapId%05d-$token-$i%05d.parquet"
-        val dst = Paths.get(dir, "data", name)
-        Files.copy(Paths.get(src), dst,
-          StandardCopyOption.REPLACE_EXISTING)
-        created = created :+ dst
-        val (rows, stats) = ParquetStats.forFile(dst.toString, conf)
-        val blooms = FileBloom.harvest(dst.toString, conf, bloomCols)
-        DataFileEntry(s"data/$name", rows, Files.size(dst), stats,
-          Map.empty, blooms)
+      current = absPaths.zipWithIndex.map { case (src, i) =>
+        val dst = Paths.get(dir, "data",
+          f".import-$stage-$i%05d.parquet")
+        try Files.createLink(dst, Paths.get(src))
+        catch {
+          case _: UnsupportedOperationException |
+              _: java.nio.file.FileSystemException =>
+            Files.move(
+              Files.copy(Paths.get(src),
+                Paths.get(dst.toString + ".tmp"),
+                StandardCopyOption.REPLACE_EXISTING),
+              dst, StandardCopyOption.REPLACE_EXISTING)
+        }
+        dst
       }
-      val prevManifest = lg.current
-        .map(s => Manifest.read(s"$dir/${s.manifestList}"))
-        .getOrElse(Manifest.empty)
-      commit(lg, snapId, prevManifest.append(entries), entries,
-        operation = "append", committedAt,
-        extraSummary = Map(
-          "added-data-files" -> entries.size.toString,
-          "added-records" -> entries.map(_.recordCount).sum.toString,
-          "imported" -> "true"))
+      withCommitRetry() {
+        val lg = log
+        val snapId = lg.nextId
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val conf = spark.sessionState.newHadoopConf()
+        val bloomCols = bloomColumns
+        val entries = current.zipWithIndex.map { case (src, i) =>
+          val name = f"part-$snapId%05d-$token-$i%05d.parquet"
+          val dst = Paths.get(dir, "data", name)
+          Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
+          val (rows, stats) = ParquetStats.forFile(dst.toString, conf)
+          val blooms = FileBloom.harvest(dst.toString, conf, bloomCols)
+          DataFileEntry(s"data/$name", rows, Files.size(dst), stats,
+            Map.empty, blooms)
+        }
+        // a lost race retries with a NEW snapshot id — the next attempt
+        // must move from THIS attempt's canonical names
+        current = entries.map(e => Paths.get(dir, e.path))
+        // mirror commit()'s pending-positional basename guard (it only
+        // runs there when newFiles is non-empty; these files hold the
+        // only staged copy, so commit is handed Nil and cleanup stays
+        // with this method's catch)
+        val pendingBns = lg.current.toSeq.flatMap(parsePositional)
+          .flatMap(_.targets.keys).map(baseName).toSet
+        val clash = entries.map(e => baseName(e.path)).filter(pendingBns)
+        require(clash.isEmpty,
+          s"imported basename(s) ${clash.mkString(", ")} collide with " +
+            s"pending positional-delete targets on $dir")
+        val prevManifest = lg.current
+          .map(s => Manifest.read(s"$dir/${s.manifestList}"))
+          .getOrElse(Manifest.empty)
+        commit(lg, snapId, prevManifest.append(entries), Nil,
+          operation = "append", committedAt,
+          extraSummary = Map(
+            "added-data-files" -> entries.size.toString,
+            "added-records" -> entries.map(_.recordCount).sum.toString,
+            "imported" -> "true"))
+      }
     } catch { case e: Throwable =>
-      created.foreach(Files.deleteIfExists)
+      current.foreach(Files.deleteIfExists)
       throw e
     }
   }

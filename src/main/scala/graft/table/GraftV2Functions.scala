@@ -24,11 +24,50 @@ import org.apache.spark.sql.types._
   */
 private[table] object GraftV2Functions {
 
-  val names: Seq[String] = Seq("bucket")
+  val names: Seq[String] =
+    Seq("bucket", "years", "months", "days", "hours", "truncate")
 
   def load(name: String): Option[UnboundFunction] = name match {
     case "bucket" => Some(BucketUnbound)
+    case "years" | "months" | "days" | "hours" =>
+      Some(TimeUnitUnbound(name))
+    case "truncate" => Some(TruncateUnbound)
     case _ => None
+  }
+
+  /** `years/months/days/hours(col)` — the time-transform ordinals, used
+    * by the streaming sink's transform-clustered write distribution
+    * (and available to key-grouped reads). Bit-identical to the write
+    * side: evaluation delegates to the same [[PartitionField.derive]]
+    * the directory layout uses. */
+  final case class TimeUnitUnbound(unit: String) extends UnboundFunction {
+    override def name(): String = unit
+    override def description(): String =
+      s"$unit(col): the graft $unit-transform ordinal (UTC)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"$unit expects one argument, got $inputType")
+      val dt = inputType.fields(0).dataType
+      dt match {
+        case DateType | TimestampType | TimestampNTZType =>
+          GraftTimeUnitFunction(unit, dt)
+        case other => throw new UnsupportedOperationException(
+          s"graft $unit transform takes date/timestamp values, got $other")
+      }
+    }
+  }
+
+  object TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(w, col): the graft string-prefix transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == StringType,
+        s"truncate expects (width int, value string), got $inputType")
+      GraftTruncateFunction
+    }
   }
 
   /** Spark binds `bucket(n, col)` with a two-field struct:
@@ -59,6 +98,54 @@ private[table] object GraftV2Functions {
   * `pmod(hash, n)` — identical bits to [[BucketField.writeExpr]], so a
   * bucket id computed here always lands in the directory the writer
   * chose. */
+/** Bound time-unit transform: evaluates through the SAME
+  * [[PartitionField.derive]] the writer's directory layout uses, so an
+  * ordinal computed here always matches the partition a row landed in.
+  * Null in → null out (time transforms are null-propagating, like the
+  * write side's null partition). */
+final case class GraftTimeUnitFunction(unit: String, valueType: DataType)
+    extends ScalarFunction[java.lang.Integer] {
+
+  override def name(): String = unit
+  override def canonicalName(): String =
+    s"graft.$unit(${valueType.catalogString})"
+  override def inputTypes(): Array[DataType] = Array(valueType)
+  override def resultType(): DataType = IntegerType
+  override def isResultNullable: Boolean = true
+
+  @transient private lazy val field: PartitionField = unit match {
+    case "years" => YearsField("c")
+    case "months" => MonthsField("c")
+    case "days" => DaysField("c")
+    case "hours" => HoursField("c")
+  }
+
+  override def produceResult(input: InternalRow): java.lang.Integer =
+    if (input.isNullAt(0)) null
+    else {
+      val v = valueType match {
+        case DateType => input.getInt(0): Any
+        case _ => input.getLong(0): Any // timestamp micros
+      }
+      field.derive(v, valueType).asInstanceOf[Int]
+    }
+}
+
+/** Bound `truncate(w, value)` — [[TruncateField.derive]]'s substring. */
+case object GraftTruncateFunction
+    extends ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
+  override def name(): String = "truncate"
+  override def canonicalName(): String = "graft.truncate(string)"
+  override def inputTypes(): Array[DataType] =
+    Array(IntegerType, StringType)
+  override def resultType(): DataType = StringType
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow)
+      : org.apache.spark.unsafe.types.UTF8String =
+    if (input.isNullAt(1)) null
+    else input.getUTF8String(1).substringSQL(1, input.getInt(0))
+}
+
 final case class GraftBucketFunction(valueType: DataType)
     extends ScalarFunction[java.lang.Integer] {
 

@@ -24,13 +24,18 @@ object SnapshotDiffs {
 
   /** Diffs for every snapshot in `chain` (ascending log order), lazily —
     * callers that stop early (admission-control pacing) never parse the
-    * rest of the chain. Throws when a chain member's parent has been
-    * expired: the diff is uncomputable, and re-emitting the whole file
-    * set would silently duplicate downstream state. */
+    * rest of the chain. An EXPIRED parent throws by default (the diff is
+    * uncomputable, and re-emitting the whole file set would silently
+    * duplicate downstream state); `lenientMissingParent` treats it as an
+    * empty parent instead — the whole manifest reads as "added", the
+    * conservative UPPER BOUND a pacing estimate wants (a from-0 CDC seed
+    * never computes real diffs, so pricing must not die where planning
+    * would succeed). Planning paths must NEVER pass lenient. */
   def alongChain(
       dir: String,
       lg: SnapshotLog,
-      chain: Seq[Snapshot]): Iterator[Diff] = {
+      chain: Seq[Snapshot],
+      lenientMissingParent: Boolean = false): Iterator[Diff] = {
     var prevId: Option[Long] = None
     var prevFiles: Seq[DataFileEntry] = Nil
     chain.iterator.map { s =>
@@ -39,6 +44,7 @@ object SnapshotDiffs {
         case pid if pid == prevId => prevFiles
         case Some(p) => lg.byId(p) match {
           case Some(ps) => Manifest.read(s"$dir/${ps.manifestList}").files
+          case None if lenientMissingParent => Nil
           case None => throw new IllegalStateException(
             s"snapshot ${s.snapshotId}'s parent $p is missing from the " +
               s"log of $dir (expired?) — its incremental diff cannot be " +

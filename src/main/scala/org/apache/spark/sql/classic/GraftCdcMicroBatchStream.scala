@@ -101,8 +101,13 @@ final class GraftCdcMicroBatchStream(
         .map(s => (s.snapshotId, costMemo.get(s.snapshotId)))
     }
     val rest = chain.drop(memoized.size)
+    // lenient on expired parents: pricing is an ESTIMATE — a from-0 seed
+    // never computes real diffs (it materializes full state), so pacing
+    // must not die where planning succeeds; a from>0 range with an
+    // expired parent still refuses properly at plan time via changesCdc
     val priced: Iterator[(Long, (Long, Long, Long))] =
-      memoized.iterator ++ SnapshotDiffs.alongChain(dir, lg, rest).map { d =>
+      memoized.iterator ++ SnapshotDiffs.alongChain(dir, lg, rest,
+        lenientMissingParent = true).map { d =>
         // a replace (compaction) contributes nothing to the CDC feed;
         // everything else is priced by its manifest diff — an upper
         // bound on the emitted rows (copy-on-write nets unchanged rows

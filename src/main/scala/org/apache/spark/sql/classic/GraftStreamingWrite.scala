@@ -54,11 +54,14 @@ final case class GraftStreamPartField(
   * streamed partition is indistinguishable from a batch one (pruning,
   * recovery, stats all included; the commit derives partition values
   * and synthesized stats from the directory segments, same as batch).
-  * The write declares a CLUSTERED distribution + ordering on the
-  * partition sources ([[GraftStreamingWrite.requiredDistribution]]), so
-  * each micro-batch task sees a co-located slice and the open-writer
-  * set stays small — the small-file/memory guard a 100 TB partitioned
-  * stream needs.
+  * The enclosing `Write` (built in `GraftV2Table.newWriteBuilder` — the
+  * object Spark actually inspects for `RequiresDistributionAndOrdering`;
+  * putting the trait HERE does nothing, `MicroBatchWrite` never
+  * forwards it) declares a CLUSTERED distribution + ordering on the
+  * partition TRANSFORM values, so one table partition's rows land in
+  * one task, consecutively, and each task holds ONE open parquet writer
+  * at a time (close-on-boundary) — the small-file/memory guard a 100 TB
+  * partitioned stream needs.
   *
   * A crashed task/epoch can leave `.stream-…` temporaries behind; they
   * are never referenced by any manifest and `removeOrphanFiles` (with
@@ -73,36 +76,7 @@ final class GraftStreamingWrite(
     partFields: Seq[GraftStreamPartField] = Nil,
     identitySources: Set[String] = Set.empty,
     constraintChecks: Seq[(String, Expression)] = Nil)
-    extends StreamingWrite
-    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-
-  /** Cluster + order each epoch by the partition SOURCE columns: rows of
-    * one table partition land in one task, consecutively — bounding both
-    * file counts (one per partition per epoch, not per task) and the
-    * open-writer set. Source columns (not transforms) so resolution
-    * never depends on catalog function lookup; a transform's value is a
-    * function of its sources, so source clustering implies transform
-    * co-location. Unpartitioned sinks leave the query untouched. */
-  override def requiredDistribution()
-      : org.apache.spark.sql.connector.distributions.Distribution = {
-    import org.apache.spark.sql.connector.{distributions => d}
-    import org.apache.spark.sql.connector.expressions.Expressions
-    if (partFields.isEmpty) d.Distributions.unspecified()
-    else d.Distributions.clustered(
-      sourceColumns.map(c => Expressions.column(c):
-        org.apache.spark.sql.connector.expressions.Expression).toArray)
-  }
-
-  override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
-    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-    sourceColumns.map(c =>
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
-  }
-
-  override def distributionStrictlyRequired(): Boolean = false
-
-  private def sourceColumns: Seq[String] = partFields.map(_.source).distinct
+    extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -181,8 +155,15 @@ private final class GraftStreamDataWriter(
         i, schema.fields(i).dataType, schema.fields(i).nullable)
         : Expression))
 
-  private final class Open(val rel: String, val writer: ParquetOutputWriter)
-  private val open = scala.collection.mutable.LinkedHashMap[String, Open]()
+  private final class Open(val key: String, val rel: String,
+      val writer: ParquetOutputWriter)
+  // ONE open writer at a time: the write's clustering + ordering land
+  // each partition's rows consecutively, so closing at the boundary
+  // bounds task memory at a single parquet row-group buffer whatever
+  // the partition count. If the planner could not honor the ordering,
+  // a revisited partition value simply opens a SECOND file for it —
+  // more small files, never wrong rows and never unbounded memory.
+  private var open: Open = null
   private var closedRels: List[String] = Nil
 
   /** Batch-layout directory segments for one row: Hive-escaped
@@ -203,23 +184,30 @@ private final class GraftStreamDataWriter(
       s"${f.fieldName}=$rendered"
     }.mkString("/")
 
-  private def writerFor(segs: String): Open =
-    open.getOrElseUpdate(segs, {
-      val name = f".stream-$queryId-$epochId%05d-$partitionId%05d-$taskId-" +
-        java.util.UUID.randomUUID().toString.take(8) + ".parquet"
-      val rel = if (segs.isEmpty) s"data/$name" else s"data/$segs/$name"
-      Files.createDirectories(Paths.get(dir, rel).getParent)
-      val conf = new Configuration()
-      writerConf.foreach { case (k, v) => conf.set(k, v) }
-      ParquetWriteSupport.setSchema(dataSchema, conf)
-      conf.set("parquet.write.support.class",
-        classOf[ParquetWriteSupport].getName)
-      val attempt = new TaskAttemptID(
-        new TaskID(new JobID(s"graft-stream-$epochId", partitionId),
-          TaskType.MAP, partitionId), 0)
-      val ctx = new TaskAttemptContextImpl(conf, attempt)
-      new Open(rel, new ParquetOutputWriter(Paths.get(dir, rel).toString, ctx))
-    })
+  private def writerFor(segs: String): Open = {
+    if (open != null && open.key == segs) return open
+    if (open != null) { // partition boundary: close, keep one buffer live
+      open.writer.close()
+      closedRels ::= open.rel
+      open = null
+    }
+    val name = f".stream-$queryId-$epochId%05d-$partitionId%05d-$taskId-" +
+      java.util.UUID.randomUUID().toString.take(8) + ".parquet"
+    val rel = if (segs.isEmpty) s"data/$name" else s"data/$segs/$name"
+    Files.createDirectories(Paths.get(dir, rel).getParent)
+    val conf = new Configuration()
+    writerConf.foreach { case (k, v) => conf.set(k, v) }
+    ParquetWriteSupport.setSchema(dataSchema, conf)
+    conf.set("parquet.write.support.class",
+      classOf[ParquetWriteSupport].getName)
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID(s"graft-stream-$epochId", partitionId),
+        TaskType.MAP, partitionId), 0)
+    val ctx = new TaskAttemptContextImpl(conf, attempt)
+    open = new Open(segs, rel,
+      new ParquetOutputWriter(Paths.get(dir, rel).toString, ctx))
+    open
+  }
 
   override def write(row: InternalRow): Unit = {
     constraintPreds.foreach { case (label, p) =>
@@ -230,12 +218,10 @@ private final class GraftStreamDataWriter(
     o.writer.write(if (identitySources.isEmpty) row else dataProj(row))
   }
 
-  private def closeAll(): Unit = {
-    open.values.foreach { o =>
-      o.writer.close()
-      closedRels ::= o.rel
-    }
-    open.clear()
+  private def closeAll(): Unit = if (open != null) {
+    open.writer.close()
+    closedRels ::= open.rel
+    open = null
   }
 
   override def commit(): WriterCommitMessage = {

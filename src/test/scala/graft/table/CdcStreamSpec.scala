@@ -240,6 +240,7 @@ class CdcStreamSpec extends SparkSpecBase {
     val ckpt = tmpDir("cdc-mirror-ckpt")
     def run(): Unit = {
       val q = GraftCdcMirror.into(spark, "gc.db.m1", mirror, Seq("id"),
+        sinkId = "m1-mirror-v1",
         readOptions = Map("max-files-per-trigger" -> "1"))
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()

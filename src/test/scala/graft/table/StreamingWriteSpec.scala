@@ -247,13 +247,16 @@ class StreamingWriteSpec extends SparkSpecBase {
       StructField("v", StringType, nullable = true))),
       partitionBy = Seq("bucket(4,id)"))
     val ms = MemoryStream[(Long, String)]
+    // SEVERAL input blocks in one batch: without the transform-clustered
+    // write distribution each block's task would write its own per-bucket
+    // files (tasks × buckets), so one-file-per-bucket below proves the
+    // epoch exchange really runs
+    (0L until 16L).grouped(4).foreach(g =>
+      ms.addData(g.map(i => (i, s"v$i")): _*))
     val q = ms.toDF().toDF("id", "v").writeStream
       .option("checkpointLocation", tmpDir("sw-ckpt-pb"))
       .toTable("g8.db.wp_bkt")
-    try {
-      ms.addData((0L until 16L).map(i => (i, s"v$i")): _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     val t2 = GraftTable.load(s"$wh/db/wp_bkt")
     val entries = Manifest.read(
       s"${t2.dir}/${t2.log.current.get.manifestList}").files
