@@ -235,6 +235,28 @@ class StreamingWriteSpec extends SparkSpecBase {
       StructField("id", LongType, nullable = false))))
     assert(tryStream("g8.db.w_schema", colName = "wrong")
       .contains("must match table schema"))
+    // a constraint ADDED mid-stream refuses the epoch (rows validated
+    // against the start set must not land under stricter checks)
+    val te = GraftTable.create(s"$wh/db/w_cevo", StructType(Seq(
+      StructField("id", LongType, nullable = false))))
+    val ms3 = MemoryStream[Long]
+    val qe = ms3.toDF().toDF("id").writeStream
+      .option("checkpointLocation", tmpDir("sw-ckpt-c3"))
+      .toTable("g8.db.w_cevo")
+    try {
+      ms3.addData(1L)
+      qe.processAllAvailable()
+      te.updateProperties(Map("graft.check.pos" -> "id > 0"))
+      ms3.addData(2L)
+      val e3 = intercept[StreamingQueryException] {
+        qe.processAllAvailable(); qe.awaitTermination(60000)
+      }
+      val m3 = Iterator.iterate(e3: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(m3.contains("evolved"), s"got: $m3")
+    } finally qe.stop()
+    assert(GraftTable.load(s"$wh/db/w_cevo").read(spark).count() == 1L)
   }
 
   // ---- partitioned streaming sinks -----------------------------------
