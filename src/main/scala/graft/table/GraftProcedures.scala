@@ -240,12 +240,15 @@ object GraftProcedures {
 
   private def addFiles(wh: String): UnboundProcedure = new Proc(
     "add_files",
-    "File-level import (migration onboarding): copy existing parquet " +
-      "files — one file, or every *.parquet under a directory — into " +
-      "the table as ONE append snapshot. Footer schemas must match the " +
-      "table exactly; no row is rewritten, no Spark job runs. " +
-      "Partitioned and constraint-bearing tables refuse (append() " +
-      "instead). Returns (snapshot_id, added_files, added_records).",
+    "File-level import (migration onboarding): hard-link or copy " +
+      "existing parquet files — one file, or every *.parquet under a " +
+      "directory — into the table as ONE append snapshot. Footer " +
+      "schemas must match the table exactly; no row is rewritten, no " +
+      "Spark job runs. Identity-partitioned tables import a Hive " +
+      "<col>=<value> directory layout (values + stats from the paths); " +
+      "transform layouts and constraint-bearing tables refuse " +
+      "(append() instead). Returns (snapshot_id, added_files, " +
+      "added_records).",
     Array(
       in("table", StringType),
       in("source", StringType)),
@@ -266,7 +269,10 @@ object GraftProcedures {
         else Seq(src.toString)
       require(files.nonEmpty, s"no parquet files under $src")
       val snap = t.importFiles(
-        org.apache.spark.sql.SparkSession.active, files)
+        org.apache.spark.sql.SparkSession.active, files,
+        sourceRoot =
+          if (java.nio.file.Files.isDirectory(src)) Some(src.toString)
+          else None)
       Seq(Seq[Any](snap.snapshotId,
         snap.summary("added-data-files").toLong,
         snap.summary("added-records").toLong))

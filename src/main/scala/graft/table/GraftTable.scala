@@ -3698,45 +3698,94 @@ final class GraftTable private (
     * Refusals (loud, before anything lands):
     *  - a file whose FOOTER schema differs from the table schema (name
     *    set + types — the same bricked-table guard as [[append]]; reads
-    *    are by name, so column order may differ);
-    *  - partitioned tables (imported files carry no partition values —
-    *    use a normal [[append]], which lays them out);
+    *    are by name, so column order may differ; identity-partitioned
+    *    tables expect the partition columns ABSENT from footers and
+    *    present as `<col>=<value>` directories under `sourceRoot`,
+    *    exactly the Hive layout `partitionBy` writes);
+    *  - TRANSFORM-partitioned tables (a foreign layout's bucket/days
+    *    values claim a derivation this table cannot verify — importing
+    *    them would silently mis-prune; append() re-derives instead);
+    *  - identity-partitioned tables without a `sourceRoot`, or files
+    *    whose directory keys don't match the spec;
     *  - constraint-bearing tables (imported rows bypass the write-time
     *    guard; nothing is scanned here, so nothing could enforce them).
     */
   def importFiles(
       spark: SparkSession,
       absPaths: Seq[String],
-      committedAt: Option[Long] = None): Snapshot = {
+      committedAt: Option[Long] = None,
+      sourceRoot: Option[String] = None): Snapshot = {
     require(absPaths.nonEmpty, "importFiles needs at least one file")
-    require(partitionFields.isEmpty,
-      s"$dir is partitioned — imported leaf files carry no partition " +
-        "values; append() lays rows out instead")
+    val identitySpec = partitionFields.nonEmpty &&
+      partitionFields.forall(_.isIdentity)
+    require(partitionFields.isEmpty || identitySpec,
+      s"$dir has a transform partition layout — a foreign dataset's " +
+        "derived values cannot be verified; append() re-derives instead")
+    require(!identitySpec || sourceRoot.isDefined,
+      s"$dir is identity-partitioned — importFiles needs the sourceRoot " +
+        "whose <col>=<value> directories carry the partition values")
     require(!properties.contains(PropNotNullColumns) &&
       !properties.keys.exists(_.startsWith(PropCheckPrefix)),
       s"$dir declares write constraints — file-level import cannot " +
         "enforce them; append() the rows instead")
     absPaths.foreach(p => require(p.endsWith(".parquet"),
       s"importFiles takes parquet files, got $p"))
+    // identity layouts: partition values ride the Hive directory
+    // segments relative to sourceRoot, exactly like a batch write's
+    val expectedKeys = partitionFields.map(_.fieldName)
+    def partitionOf(p: String): Map[String, Option[String]] =
+      if (!identitySpec) Map.empty
+      else {
+        val root = Paths.get(sourceRoot.get).normalize()
+        val rel = root.relativize(Paths.get(p).normalize())
+        val segs = rel.iterator().asScala.map(_.toString).toSeq.dropRight(1)
+        val kv = segs.flatMap { seg =>
+          val eq = seg.indexOf('=')
+          if (eq <= 0) None
+          else Some(seg.take(eq) -> PartitionValues.decode(seg.drop(eq + 1)))
+        }.toMap
+        require(kv.keySet == expectedKeys.toSet,
+          s"$p carries partition keys [${kv.keySet.mkString(",")}], the " +
+            s"table spec needs [${expectedKeys.mkString(",")}]")
+        kv
+      }
+    val expectedFooter =
+      schema.fieldNames.filterNot(expectedKeys.contains).sorted.toSeq
     // per-file footer schema check (strict — no union/merge leniency)
     absPaths.foreach { p =>
+      partitionOf(p): Unit
       val fs = spark.read.parquet(p).schema
-      require(fs.fieldNames.sorted.toSeq == schema.fieldNames.sorted.toSeq,
+      require(fs.fieldNames.sorted.toSeq == expectedFooter,
         s"$p columns [${fs.fieldNames.sorted.mkString(",")}] must match " +
-          s"table schema [${schema.fieldNames.sorted.mkString(",")}]")
+          s"table schema [${expectedFooter.mkString(",")}]" +
+          (if (identitySpec) " (identity partition columns live in the " +
+            "directories, not the footers)" else ""))
       fs.fields.foreach { f =>
         require(schema(f.name).dataType == f.dataType,
           s"$p column '${f.name}' is ${f.dataType.sql}, table expects " +
             s"${schema(f.name).dataType.sql} — rewrite via append()")
       }
     }
-    var current: Seq[java.nio.file.Path] = Nil
+    var current: Seq[(java.nio.file.Path, Map[String, Option[String]])] = Nil
     try {
       val stage = java.util.UUID.randomUUID().toString.take(8)
       Files.createDirectories(Paths.get(dir, "data"))
       current = absPaths.zipWithIndex.map { case (src, i) =>
-        val dst = Paths.get(dir, "data",
-          f".import-$stage-$i%05d.parquet")
+        val part = partitionOf(src)
+        // canonical directory segments in SPEC order (a foreign layout
+        // may nest keys differently), Hive-escaped like the batch write
+        val segs = partitionFields.map { f =>
+          val v = part(f.fieldName)
+          val rendered = v match {
+            case None => PartitionValues.NullMarker
+            case Some(x) => org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.escapePathName(x)
+          }
+          s"${f.fieldName}=$rendered"
+        }
+        val dstDir = segs.foldLeft(Paths.get(dir, "data"))(_.resolve(_))
+        Files.createDirectories(dstDir)
+        val dst = dstDir.resolve(f".import-$stage-$i%05d.parquet")
         try Files.createLink(dst, Paths.get(src))
         catch {
           case _: UnsupportedOperationException |
@@ -3747,7 +3796,7 @@ final class GraftTable private (
                 StandardCopyOption.REPLACE_EXISTING),
               dst, StandardCopyOption.REPLACE_EXISTING)
         }
-        dst
+        (dst, part)
       }
       withCommitRetry() {
         val lg = log
@@ -3755,18 +3804,24 @@ final class GraftTable private (
         val token = java.util.UUID.randomUUID().toString.take(8)
         val conf = spark.sessionState.newHadoopConf()
         val bloomCols = bloomColumns
-        val entries = current.zipWithIndex.map { case (src, i) =>
+        val entries = current.zipWithIndex.map { case ((src, part), i) =>
           val name = f"part-$snapId%05d-$token-$i%05d.parquet"
-          val dst = Paths.get(dir, "data", name)
+          val dst = src.getParent.resolve(name)
           Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
           val (rows, stats) = ParquetStats.forFile(dst.toString, conf)
+          val partStats = part.map { case (c, v) =>
+            c -> PartitionValues.stats(v, schema(c).dataType, rows)
+          }
           val blooms = FileBloom.harvest(dst.toString, conf, bloomCols)
-          DataFileEntry(s"data/$name", rows, Files.size(dst), stats,
-            Map.empty, blooms)
+          val rel = Paths.get(dir).relativize(dst).iterator().asScala
+            .map(_.toString).mkString("/")
+          DataFileEntry(rel, rows, Files.size(dst),
+            stats ++ partStats, part, blooms)
         }
         // a lost race retries with a NEW snapshot id — the next attempt
         // must move from THIS attempt's canonical names
-        current = entries.map(e => Paths.get(dir, e.path))
+        current = entries.map(e =>
+          (Paths.get(dir, e.path), e.partition))
         // mirror commit()'s pending-positional basename guard (it only
         // runs there when newFiles is non-empty; these files hold the
         // only staged copy, so commit is handed Nil and cleanup stays
@@ -3788,7 +3843,7 @@ final class GraftTable private (
             "imported" -> "true"))
       }
     } catch { case e: Throwable =>
-      current.foreach(Files.deleteIfExists)
+      current.foreach { case (p, _) => Files.deleteIfExists(p) }
       throw e
     }
   }

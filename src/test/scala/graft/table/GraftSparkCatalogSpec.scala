@@ -1133,17 +1133,59 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .mkString(" | ")
     assert(msgs.contains("must match"), s"got: $msgs")
     assert(GraftTable.load(s"$wh/db/proc_imp").log.snapshots.size == 2)
-    // partitioned tables refuse toward append()
-    GraftTable.create(s"$wh/db/proc_imp_p", schema,
-      partitionBy = Seq("data"))
+    // TRANSFORM layouts refuse toward append() (a foreign dataset's
+    // derived values cannot be verified)
+    GraftTable.create(s"$wh/db/proc_imp_b", schema,
+      partitionBy = Seq("bucket(4,id)"))
     val e2 = intercept[Exception] {
-      spark.sql(s"CALL g2.system.add_files('db.proc_imp_p', '$srcDir')")
+      spark.sql(s"CALL g2.system.add_files('db.proc_imp_b', '$srcDir')")
         .collect()
     }
     val m2 = Iterator.iterate(e2: Throwable)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString(" | ")
-    assert(m2.contains("partitioned"), s"got: $m2")
+    assert(m2.contains("transform"), s"got: $m2")
+  }
+
+  test("CALL add_files imports a Hive-partitioned layout into identity spec") {
+    GraftTable.create(s"$wh/db/proc_imp_p", schema,
+      partitionBy = Seq("data"))
+    // a foreign partitionBy dataset: values live in <data=...> dirs and
+    // are absent from footers — exactly what the identity spec expects
+    val srcDir = tmpDir("import-part-src")
+    mkDf(1L -> "x", 2L -> "y", 3L -> "x", 4L -> null).write
+      .partitionBy("data").mode("overwrite").parquet(srcDir)
+    val got = spark.sql(
+      s"CALL g2.system.add_files('db.proc_imp_p', '$srcDir')").collect()
+    assert(got.head.getLong(2) == 4L, got.mkString(","))
+    // values recovered, null partition intact, rows exact
+    val rows = spark.sql(
+      "SELECT id, data FROM g2.db.proc_imp_p ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, null)))
+    // partition pruning works on the imported manifest values: the
+    // slice count is metadata-only (synthesized stats prove the claim)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM g2.db.proc_imp_p WHERE data = 'x'")
+      .collect().head.getLong(0) == 2L)
+    val t2 = GraftTable.load(s"$wh/db/proc_imp_p")
+    val entries = Manifest.read(
+      s"${t2.dir}/${t2.log.current.get.manifestList}").files
+    assert(entries.forall(_.partition.contains("data")))
+    assert(entries.exists(_.partition("data").isEmpty),
+      "null partition lost on import")
+    // a flat (unpartitioned) foreign file refuses against this spec:
+    // its footer carries the partition column
+    val flatDir = tmpDir("import-flat-src")
+    mkDf(9L -> "z").write.mode("overwrite").parquet(flatDir)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL g2.system.add_files('db.proc_imp_p', '$flatDir')")
+        .collect()
+    }
+    val m = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(m.contains("partition") || m.contains("must match"), s"got: $m")
   }
 
   test("unknown procedures refuse with the available list") {
