@@ -804,11 +804,12 @@ final class GraftV2Table(
         s"graft agg-stats scan of ${t.dir}"),
       // snapshot-incremental streaming read (readStream.table):
       // offsets are snapshot ids; each trigger plans only the files the
-      // new snapshots appended. `starting-snapshot-id` tails from after
-      // that snapshot instead of backfilling from the beginning.
+      // new snapshots appended. `starting-snapshot-id` (exact) or
+      // `starting-timestamp-ms` (as-of resolution) tail from after that
+      // point instead of backfilling from the beginning.
       Some((mkDelegate, _) => new org.apache.spark.sql.classic.GraftMicroBatchStream(
         t.dir,
-        options.getOrDefault("starting-snapshot-id", "0").trim.toLong,
+        GraftStreamStart.resolve(t, options),
         mkDelegate,
         (tbl, f) => tbl.renameAffects(f),
         Option(options.get("max-files-per-trigger")).map(_.trim.toInt),
@@ -825,6 +826,26 @@ final class GraftV2Table(
         val kept = keptFor(filters)
         filters.filter(c => kept.forall(t.provenAll(c)))
       })
+  }
+}
+
+
+/** Shared by both streaming sources: the snapshot id to tail AFTER,
+  * from `starting-snapshot-id` (exact) or `starting-timestamp-ms`
+  * (resolved via as-of-time — snapshots committed after that instant
+  * stream, Iceberg's stream-from-timestamp semantics; an instant before
+  * the first snapshot means a full backfill). Both set = refuse. */
+private[table] object GraftStreamStart {
+  def resolve(t: GraftTable, options: CaseInsensitiveStringMap): Long = {
+    val bySnap = Option(options.get("starting-snapshot-id")).map(_.trim)
+    val byTs = Option(options.get("starting-timestamp-ms")).map(_.trim)
+    require(bySnap.isEmpty || byTs.isEmpty,
+      "set starting-snapshot-id OR starting-timestamp-ms, not both")
+    byTs match {
+      case Some(ms) =>
+        t.snapshotAsOfTime(ms.toLong).map(_.snapshotId).getOrElse(0L)
+      case None => bySnap.map(_.toLong).getOrElse(0L)
+    }
   }
 }
 
@@ -900,7 +921,7 @@ final class GraftCdcV2Table(
       microBatch = Some((mkDelegate, ckpt) =>
         new org.apache.spark.sql.classic.GraftCdcMicroBatchStream(
           t.dir,
-          options.getOrDefault("starting-snapshot-id", "0").trim.toLong,
+          GraftStreamStart.resolve(t, options),
           ckpt,
           t.schema,
           mkDelegate,

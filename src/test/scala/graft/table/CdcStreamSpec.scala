@@ -162,6 +162,40 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(rows.count(_.getString(2) == "insert") == 1)
   }
 
+  test("starting-timestamp-ms tails snapshots committed after the instant") {
+    val tb = GraftTable.create(s"$wh/db/c10", schema)
+    tb.append(df(batch(1, 40)), Some(1000L))
+    tb.delete(spark, col("id") === 3L, Some(2000L))
+    tb.append(df(batch(41, 42)), Some(3000L))
+    // tail from t=1500ms: the delete retraction and the late append
+    // stream; the 40-row backfill does not
+    val q = spark.readStream
+      .option("starting-timestamp-ms", "1500")
+      .table("gc.db.c10__changes")
+      .writeStream.format("memory").queryName("cdc10")
+      .option("checkpointLocation", tmpDir("cdc-ckpt10"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val rows = spark.table("cdc10").collect()
+    assert(rows.length == 3, s"expected delete + 2 inserts, got ${rows.length}")
+    assert(rows.count(_.getString(2) == "delete") == 1)
+    // setting both start options refuses loudly
+    val e = intercept[Exception] {
+      spark.readStream
+        .option("starting-timestamp-ms", "1500")
+        .option("starting-snapshot-id", "1")
+        .table("gc.db.c10__changes")
+        .writeStream.format("memory").queryName("cdc10b")
+        .option("checkpointLocation", tmpDir("cdc-ckpt10b"))
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination(120000)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("not both"), s"got: $msgs")
+  }
+
   test("a rollback in range refuses loudly (re-seed, never skip)") {
     val tb = GraftTable.create(s"$wh/db/c6", schema)
     tb.append(df(batch(1, 5)), Some(1000L))

@@ -100,6 +100,21 @@ class MicroBatchStreamSpec extends SparkSpecBase {
     assert(got == (51L to 55L), s"backfill not skipped: $got")
   }
 
+  test("starting-timestamp-ms tails appends committed after the instant") {
+    val tb = GraftTable.create(s"$wh/db/s10", schema)
+    tb.append(df(batch(1, 50)), Some(1000L))
+    tb.append(df(batch(51, 55)), Some(2000L))
+    val q = spark.readStream
+      .option("starting-timestamp-ms", "1500")
+      .table("g7.db.s10")
+      .writeStream.format("memory").queryName("mbs10")
+      .option("checkpointLocation", tmpDir("mbs-ckpt10"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(spark.table("mbs10").collect().map(_.getLong(0)).sorted.toSeq ==
+      (51L to 55L), "backfill not cut at the timestamp")
+  }
+
   test("filters and projections apply on top of the stream") {
     val tb = GraftTable.create(s"$wh/db/s5", schema)
     tb.append(df(batch(1, 20)), Some(1000L))
