@@ -61,7 +61,17 @@ object AggregatePushdown {
       val keyed = entries.map(e =>
         (extractors.map(_._2(e).getOrElse(return None)), e))
       val groups = keyed.groupBy(_._1)
-      val rows = groups.toSeq.sortBy(_._1.mkString("|")).map {
+      // deterministic TYPED output order (Spark re-sorts above; this
+      // only keeps the local scan's row order stable run-to-run)
+      val keyTypes = extractors.map(_._1.dataType)
+      val keyOrdering: Ordering[Seq[Any]] = (x: Seq[Any], y: Seq[Any]) => {
+        var i = 0; var c = 0
+        while (c == 0 && i < keyTypes.length) {
+          c = cellCompare(keyTypes(i), x(i), y(i)); i += 1
+        }
+        c
+      }
+      val rows = groups.toSeq.sortBy(_._1)(keyOrdering).map {
         case (keyCells, groupEntries) =>
           answerGroup(agg, schema, groupEntries.map(_._2), describe) match {
             case Some(s: GraftLocalAggScan) =>
@@ -74,6 +84,31 @@ object AggregatePushdown {
       Some(new GraftLocalAggScan(
         StructType(extractors.map(_._1) ++ aggSchema.fields),
         rows.map(_._2), describe))
+    }
+  }
+
+  /** Typed comparison of two Catalyst-internal group-key cells (nulls
+    * first). Group keys only ever hold the partition-value types
+    * [[groupValue]]/ordinal extractors emit; anything exotic falls back
+    * to a deterministic string compare. */
+  private def cellCompare(dt: DataType, a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case _ => dt match {
+      case StringType =>
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      case BooleanType =>
+        java.lang.Boolean.compare(
+          a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case IntegerType | DateType =>
+        Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case LongType | TimestampType | TimestampNTZType =>
+        java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case _: DecimalType =>
+        a.asInstanceOf[Decimal].compare(b.asInstanceOf[Decimal])
+      case _ => a.toString.compareTo(b.toString)
     }
   }
 

@@ -130,6 +130,10 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
     "__deletes" -> ((t, s, v) => t.deletesTable(s, v)),
     "__refs" -> ((t, s, _) => t.refsTable(s)))
 
+  /** The file-granular views keep their distributed lineage (V1Scan);
+    * the summary-driven rest stay driver-local row sets. */
+  private val distributedMeta = Set("__files", "__partitions")
+
   private def loadMeta(
       ident: Identifier, snapshotId: Option[Long]): Option[Table] =
     metaTables.collectFirst {
@@ -141,8 +145,18 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
         if (!tableExists(base)) return None
         val t = loadGraft(base)
         if (suffix == "__snapshots" && !t.snapshotsTableEnabled) return None
+        // row-count hint from the manifest LIST totals (no segment
+        // parse): sizes the distributed views so broadcast decisions
+        // against them stay sane ('__partitions' rows ≤ file totals —
+        // an upper bound is the safe direction)
+        val hint =
+          if (!distributedMeta(suffix)) None
+          else snapshotId.flatMap(id => t.log.byId(id))
+            .orElse(t.log.current)
+            .map(s => Manifest.read(s"${t.dir}/${s.manifestList}").totalFiles)
         new GraftMetadataV2Table(identToName(ident),
-          mk(t, SparkSession.active, snapshotId)): Table
+          mk(t, SparkSession.active, snapshotId),
+          distributed = distributedMeta(suffix), rowCountHint = hint): Table
     }
 
   override def loadTable(ident: Identifier): Table = {
@@ -551,6 +565,21 @@ final class GraftV2Table(
       }
     val identitySources =
       t.partitionFields.filter(_.isIdentity).map(_.fieldName).toSet
+    // WRITE-TIME SORT ORDER (graft.write.sort) carries into STREAM
+    // epochs: the sort keys extend the declared per-task ordering
+    // (after the partition transforms), and an unpartitioned sorted
+    // table asks for a RANGE distribution — each epoch's files then
+    // land range-disjoint with tight footer min/max, exactly like the
+    // batch path's repartitionByRange + sortWithinPartitions, so
+    // min/max pruning works on FRESH streamed data without waiting for
+    // a rewrite_data_files pass. (AQE may coalesce the range exchange;
+    // merging ADJACENT ranges preserves disjointness.)
+    val streamSortCols: Seq[String] =
+      t.properties.get(GraftTable.PropWriteSort)
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    streamSortCols.foreach(c => require(t.schema.fieldNames.contains(c),
+      s"unknown ${GraftTable.PropWriteSort} column '$c' on $tableName"))
     // write CONSTRAINTS (graft.check.* + graft.notnull.columns) enforce
     // INSIDE the writer tasks, same contract as the batch write job's
     // constraintGuard: a row whose check is FALSE fails the epoch before
@@ -603,14 +632,20 @@ final class GraftV2Table(
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution = {
+            import org.apache.spark.sql.connector.expressions.{SortDirection, Expressions => E}
             import org.apache.spark.sql.connector.{distributions => d}
-            if (clusterOn.isEmpty) d.Distributions.unspecified()
-            else d.Distributions.clustered(clusterOn.toArray)
+            if (clusterOn.nonEmpty) d.Distributions.clustered(clusterOn.toArray)
+            else if (streamSortCols.nonEmpty)
+              d.Distributions.ordered(streamSortCols.map(c =>
+                E.sort(E.column(c), SortDirection.ASCENDING)).toArray)
+            else d.Distributions.unspecified()
           }
           override def requiredOrdering()
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
             import org.apache.spark.sql.connector.expressions.{SortDirection, Expressions => E}
-            clusterOn.map(e => E.sort(e, SortDirection.ASCENDING)).toArray
+            (clusterOn.map(e => E.sort(e, SortDirection.ASCENDING)) ++
+              streamSortCols.map(c =>
+                E.sort(E.column(c), SortDirection.ASCENDING))).toArray
           }
           override def distributionStrictlyRequired(): Boolean = false
           override def toStreaming
@@ -852,14 +887,28 @@ private[table] object GraftStreamStart {
 /** Read-only DSv2 metadata table (`<name>__snapshots` / `__files` /
   * `__segments` / `__partitions` / `__deletes` / `__refs` on the
   * standard catalog path — the reference's system-table naming, V1,
-  * extended to the whole family). Metadata is tiny at any data scale
-  * (the files it DESCRIBES are big; the manifest/log are not), so the
-  * scan is a driver-local row set — zero executor I/O. Stateless: every
-  * query re-resolves through `loadTable`, so a new commit is visible to
-  * the very next query (the V3 discipline). */
+  * extended to the whole family). Stateless: every query re-resolves
+  * through `loadTable`, so a new commit is visible to the very next
+  * query (the V3 discipline).
+  *
+  * Two scan shapes, by the view's SCALE:
+  *  - summary-driven views (`__snapshots`/`__segments`/`__deletes`/
+  *    `__refs` — O(commits)/O(segments)/O(entries), bounded at any data
+  *    scale) collapse to a driver-local row set (LocalScan → a
+  *    LocalTableScan; downstream operators still parallelize);
+  *  - file-granular views (`__files`/`__partitions` — O(data files),
+  *    ~1 M rows on a big table) keep their DISTRIBUTED lineage through
+  *    a [[org.apache.spark.sql.connector.read.V1Scan]]: the segment
+  *    shards parse in executor tasks ([[GraftTable.filesTable]]'s
+  *    `entriesRdd`), never as one driver row set on one task.
+  *    `rowCountHint` (manifest-list file totals — no parse) sizes the
+  *    relation so joins against genuinely small metadata still
+  *    broadcast. */
 final class GraftMetadataV2Table(
     tableName: String,
-    df: org.apache.spark.sql.DataFrame) extends Table with SupportsRead {
+    df: org.apache.spark.sql.DataFrame,
+    distributed: Boolean = false,
+    rowCountHint: Option[Long] = None) extends Table with SupportsRead {
 
   override def name(): String = tableName
   override def schema(): StructType = df.schema
@@ -872,7 +921,27 @@ final class GraftMetadataV2Table(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): org.apache.spark.sql.connector.read.Scan =
-        new org.apache.spark.sql.connector.read.LocalScan {
+        if (distributed) new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = df.schema
+          override def description(): String =
+            s"graft metadata table $tableName (distributed)"
+          override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan](
+              context: org.apache.spark.sql.SQLContext): T =
+            new org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = context
+              override def schema: StructType = df.schema
+              override def sizeInBytes: Long = rowCountHint match {
+                case Some(n) =>
+                  math.max(1L, n) * math.max(8, df.schema.defaultSize)
+                case None => super.sizeInBytes
+              }
+              override def buildScan(): org.apache.spark.rdd.RDD[
+                org.apache.spark.sql.Row] = df.rdd
+            }.asInstanceOf[T]
+        }
+        else new org.apache.spark.sql.connector.read.LocalScan {
           override def rows()
               : Array[org.apache.spark.sql.catalyst.InternalRow] =
             df.queryExecution.executedPlan.executeCollect()

@@ -3538,6 +3538,35 @@ final class GraftTable private (
     else deltas.reduce(_ union _)
   }
 
+  /** The data files whose RAW parquet scan equals the VISIBLE rows at
+    * snapshot `snapshotId` — `Some(files)` only when nothing stands
+    * between the bytes on disk and the table's row semantics: no
+    * merge-on-read delete form pending at that snapshot, no file
+    * predating a column rename/widening (a fixed-schema reader would
+    * mis-read it), and every file parquet. Sorted by path, so callers
+    * may slice the list for paced emission (the CDC stream's seed batch
+    * serves the table's own files through this — a 100 TB seed is then
+    * a read of the data, never a second copy of it). `None` = take the
+    * materializing read path instead. "Raw" means a LEAF-file scan with
+    * no path recovery, so files from an identity-partitioned spec era
+    * are disqualifying too — their partition column's value lives only
+    * in the directory name. Throws when the snapshot is gone from the
+    * log (expired mid-stream — refuse loudly, never skip). */
+  def rawVisibleFiles(snapshotId: Long): Option[Seq[DataFileEntry]] = {
+    val s = log.byId(snapshotId).getOrElse(throw new IllegalStateException(
+      s"no snapshot $snapshotId in $dir (expired?) — re-seed the consumer"))
+    if (parsePending(s).nonEmpty || parsePositional(s).nonEmpty ||
+        parseEquality(s).nonEmpty) None
+    else {
+      val fs = Manifest.read(s"$dir/${s.manifestList}").files
+        .sortBy(_.path)
+      if (fs.forall(f => f.path.endsWith(".parquet") && !renameAffects(f) &&
+          !f.partition.keySet.exists(schema.fieldNames.contains)))
+        Some(fs)
+      else None
+    }
+  }
+
   /** Epoch cursors of every streaming sink writing to this table, from
     * the CURRENT snapshot's carried `stream-cursors` summary (sinkId →
     * last committed batch id). The map is inherited into every child
@@ -3895,28 +3924,57 @@ final class GraftTable private (
     spark.readStream.schema(schema).parquet(s"$dir/data")
   }
 
+  /** Manifest entries of snapshot `s` as a DISTRIBUTED RDD: the driver
+    * ships O(segments) refs; each task parses its own segment shard and
+    * emits its entries. At ~1 M files the driver never materializes the
+    * file list — this is what keeps the `__files`/`__partitions`
+    * metadata tables queryable (and parallel) at any table size.
+    * Unreferenced segments (fresh, or legacy v1 inline manifests) are
+    * already parsed driver-side and ship as a small sliced RDD. */
+  private def entriesRdd(
+      spark: SparkSession, s: Snapshot): org.apache.spark.rdd.RDD[DataFileEntry] = {
+    val m = Manifest.read(s"$dir/${s.manifestList}")
+    val (refSegs, inline) = m.segments.partition(_.ref.isDefined)
+    val refs = refSegs.flatMap(_.ref)
+    val td = dir
+    val refRdd =
+      if (refs.isEmpty) spark.sparkContext.emptyRDD[DataFileEntry]
+      else spark.sparkContext
+        .parallelize(refs, math.min(refs.size,
+          math.max(1, spark.sparkContext.defaultParallelism)))
+        .flatMap(rel => Manifest.readSegmentFiles(s"$td/$rel"))
+    val inlineEntries = inline.flatMap(_.files)
+    if (inlineEntries.isEmpty) refRdd
+    else refRdd.union(spark.sparkContext.parallelize(inlineEntries,
+      math.min(inlineEntries.size,
+        math.max(1, spark.sparkContext.defaultParallelism))))
+  }
+
   /** The files metadata table (Iceberg's `files` analog, a sibling of the
     * reference's `__snapshots` surface): one row per data file in the
     * scanned snapshot, with record counts, sizes and partition values —
     * the operational "what does this table hold" view that drives
     * compaction decisions and skew diagnosis. Metadata-only (manifest
-    * read); no data I/O at any scale. */
+    * read — no data I/O), and DISTRIBUTED: segment shards parse in
+    * executor tasks ([[entriesRdd]]), so the view stays usable — and SQL
+    * over it parallel — at a million files. */
   def filesTable(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
-    val rows = resolveSnapshot(snapshotId).toSeq.flatMap { s =>
-      Manifest.read(s"$dir/${s.manifestList}").files.map { f =>
+    val rdd = resolveSnapshot(snapshotId) match {
+      case None => spark.sparkContext.emptyRDD[Row]
+      case Some(s) => entriesRdd(spark, s).map(f =>
         Row(f.path, f.recordCount, f.fileSizeBytes,
-          f.partition.map { case (k, v) => k -> v.orNull })
-      }
+          f.partition.map { case (k, v) => k -> v.orNull }))
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), FilesSchema)
+    spark.createDataFrame(rdd, FilesSchema)
   }
 
   /** The segments metadata table: one row per manifest segment of the
     * scanned snapshot — shared-by-ref metadata observability for the
     * two-level manifest layer (how many shards, how big, how much of the
     * list a [[rewriteManifests]] would fold). Metadata-only: totals come
-    * from the manifest LIST, no segment is parsed. */
+    * from the manifest LIST, no segment is parsed; rows are O(segments)
+    * (bounded by the coalescing policy) but still ship sliced so SQL
+    * over the view runs parallel. */
   def segmentsTable(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
     val rows = resolveSnapshot(snapshotId).toSeq.flatMap { s =>
       Manifest.read(s"$dir/${s.manifestList}").segments.map { seg =>
@@ -3925,30 +3983,40 @@ final class GraftTable private (
       }
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), SegmentsSchema)
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size,
+        spark.sparkContext.defaultParallelism))), SegmentsSchema)
   }
 
   /** The partitions metadata table (Iceberg's `partitions` analog): one
     * row per partition of the scanned snapshot with file/record/byte
     * totals — the layout-health view (skew, small-file pressure,
     * compaction targeting) that is pure manifest aggregation:
-    * metadata-only, no data I/O at any scale. An unpartitioned table
-    * yields one row with an empty partition map; rows are ordered by
-    * the partition values' canonical string form so the output is
-    * deterministic. */
+    * metadata-only, no data I/O at any scale, and DISTRIBUTED — segment
+    * shards parse in executor tasks and aggregate with a map-side
+    * combine ([[entriesRdd]] + reduceByKey), never a driver-side file
+    * list. An unpartitioned table yields one row with an empty partition
+    * map; rows are ordered by the partition values' canonical string
+    * form so the output is deterministic. */
   def partitionsTable(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
-    val rows = resolveSnapshot(snapshotId).toSeq.flatMap { s =>
-      Manifest.read(s"$dir/${s.manifestList}").files
-        .groupBy(_.partition.map { case (k, v) => k -> v.orNull })
-        .toSeq
-        .sortBy(_._1.toSeq.sorted.mkString(","))
-        .map { case (part, fs) =>
-          Row(part, fs.size.toLong, fs.map(_.recordCount).sum,
-            fs.map(_.fileSizeBytes).sum)
+    val rdd = resolveSnapshot(snapshotId) match {
+      case None => spark.sparkContext.emptyRDD[Row]
+      case Some(s) => entriesRdd(spark, s)
+        .map(f => (f.partition.toSeq.sortBy(_._1)
+          .map { case (k, v) => k -> v.orNull },
+          (1L, f.recordCount, f.fileSizeBytes)))
+        // map-side combine does the distributed work; the combined rows
+        // are O(partitions) — one output slice sorts them locally (an
+        // RDD sortBy would launch an eager range-sampling job at
+        // DataFrame CONSTRUCTION, i.e. on every loadTable)
+        .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3), 1)
+        .mapPartitions(it => it.toSeq
+          .sortBy(_._1.map { case (k, v) => s"$k=$v" }.mkString(","))
+          .iterator)
+        .map { case (part, (nFiles, nRecords, nBytes)) =>
+          Row(part.toMap, nFiles, nRecords, nBytes)
         }
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), PartitionsSchema)
+    spark.createDataFrame(rdd, PartitionsSchema)
   }
 
   /** The `deletes` metadata table: one row per PENDING merge-on-read

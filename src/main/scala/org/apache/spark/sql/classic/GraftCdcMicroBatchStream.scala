@@ -4,12 +4,117 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.table.{GraftTable, SnapshotDiffs}
+import graft.table.{DataFileEntry, GraftTable, SnapshotDiffs}
+
+/** CDC stream offset: the snapshot-id cursor, plus — ONLY while the
+  * offset-0 seed is being served in paced, file-granular steps — the
+  * count of seed files already emitted. `seedPos = -1` means tailing
+  * (or seed complete); its JSON form is the bare snapshot id, so
+  * checkpoints written by earlier versions deserialize unchanged. A
+  * mid-seed offset `(S, k)` pins the seed snapshot in the offset
+  * itself, which is what makes a crash/restart replay deterministic
+  * (the file list of an immutable snapshot, sorted by path, sliced at
+  * the checkpointed positions). */
+private[classic] final case class GraftCdcOffset(
+    snap: Long, seedPos: Long = -1L) extends Offset {
+  override def json(): String =
+    if (seedPos < 0) snap.toString else s"$snap:$seedPos"
+}
+
+private[classic] object GraftCdcOffset {
+  def parse(json: String): GraftCdcOffset = json.trim.split(":") match {
+    case Array(s, p) => GraftCdcOffset(s.toLong, p.toLong)
+    case Array(s) => GraftCdcOffset(s.toLong)
+    case _ => throw new IllegalArgumentException(s"bad CDC offset: $json")
+  }
+
+  def of(o: Offset): GraftCdcOffset = o match {
+    case c: GraftCdcOffset => c
+    case other => parse(other.json())
+  }
+}
+
+/** A seed-batch input partition: the delegate parquet partition over the
+  * table's OWN data files, plus the two constant columns the CDC shape
+  * adds (`_change_type = 'insert'`, virtual snapshot id = the seed
+  * snapshot). Ordinals are positions in the delegate's (possibly
+  * column-pruned) read schema; -1 = pruned away, nothing to fill. */
+private[classic] final case class GraftCdcSeedPartition(
+    inner: InputPartition,
+    readSchema: StructType,
+    changeTypeOrd: Int,
+    snapIdOrd: Int,
+    snapId: Long) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Wraps the delegate parquet reader factory so seed partitions get
+  * their constant columns filled IN THE SCAN (both the row path — a
+  * codegen'd projection — and the vectorized path — constant column
+  * vectors swapped into the batch), while spill-backed partitions pass
+  * through untouched. This is what lets the offset-0 seed plan the
+  * table's own files instead of materializing a full copy first. */
+private[classic] final class GraftCdcSeedReaderFactory(
+    inner: PartitionReaderFactory) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case s: GraftCdcSeedPartition => inner.supportColumnarReads(s.inner)
+    case other => inner.supportColumnarReads(other)
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case s: GraftCdcSeedPartition =>
+        val base = inner.createReader(s.inner)
+        new PartitionReader[InternalRow] {
+          private val proj = UnsafeProjection.create(
+            s.readSchema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+              if (i == s.changeTypeOrd) Literal.create("insert", f.dataType)
+              else if (i == s.snapIdOrd) Literal.create(s.snapId, f.dataType)
+              else BoundReference(i, f.dataType, f.nullable)
+            })
+          override def next(): Boolean = base.next()
+          override def get(): InternalRow = proj(base.get())
+          override def close(): Unit = base.close()
+        }
+      case other => inner.createReader(other)
+    }
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] = p match {
+    case s: GraftCdcSeedPartition =>
+      val base = inner.createColumnarReader(s.inner)
+      new PartitionReader[ColumnarBatch] {
+        override def next(): Boolean = base.next()
+        override def get(): ColumnarBatch = {
+          val b = base.get()
+          val n = b.numRows()
+          val cols = Array.tabulate[ColumnVector](b.numCols()) { i =>
+            if (i == s.changeTypeOrd) {
+              val v = new ConstantColumnVector(n, StringType)
+              v.setUtf8String(UTF8String.fromString("insert")); v
+            } else if (i == s.snapIdOrd) {
+              val v = new ConstantColumnVector(n, LongType)
+              v.setLong(s.snapId); v
+            } else b.column(i)
+          }
+          new ColumnarBatch(cols, n)
+        }
+        override def close(): Unit = base.close()
+      }
+    case other => inner.createColumnarReader(other)
+  }
+}
 
 /** CDC-mode streaming read of a graft table —
   * `spark.readStream.table("cat.db.t__changes")`.
@@ -23,19 +128,35 @@ import graft.table.{GraftTable, SnapshotDiffs}
   * `_change_type` column (`insert` | `delete`, Delta-CDF style) and the
   * snapshot id that produced each change — so a downstream mirror, search
   * index, or feature store can APPLY deletions instead of dying on them.
-  * A first batch from offset 0 seeds with the full state as inserts (the
-  * [[graft.table.GraftChangeFeed.pollCdc]] contract); `starting-snapshot-id`
-  * skips the seed and tails changes only.
   *
-  * Execution model: `planInputPartitions` runs the CDC diff as a normal
-  * DISTRIBUTED Spark job and materializes the delta as parquet under the
-  * stream's own checkpoint directory (`graft-cdc-spill/cdc-<from>-<to>`),
-  * then plans the same delegate parquet scan every graft read uses over
-  * the spilled files. O(changed data) written + read per trigger — the
+  * SEED: a stream from offset 0 first emits the full state as inserts
+  * (the [[graft.table.GraftChangeFeed.pollCdc]] contract), pinned at the
+  * snapshot current when the first trigger fires; `starting-snapshot-id`
+  * skips it and tails changes only. The seed is insert-only by
+  * construction, so whenever the pinned snapshot's visible rows equal
+  * its raw data files ([[graft.table.GraftTable.rawVisibleFiles]] —
+  * no merge-on-read state pending, no rename-era or identity-layout
+  * files) the seed batches plan the table's OWN files through the
+  * delegate parquet scan, with the `_change_type`/snapshot-id constants
+  * filled in the readers ([[GraftCdcSeedReaderFactory]]) — zero copies
+  * of data volume, and admission control paces it file-granularly
+  * across triggers (offsets carry the file position,
+  * [[GraftCdcOffset]]). Only the ineligible shapes fall back to
+  * materializing the state once.
+  *
+  * TAIL execution model: `planInputPartitions` runs the CDC diff as a
+  * normal DISTRIBUTED Spark job and materializes the delta as parquet
+  * under the stream's own checkpoint directory
+  * (`graft-cdc-spill/cdc-<from>-<to>`), then plans the same delegate
+  * parquet scan every graft read uses over the spilled files.
+  * O(changed data) written + read per trigger — the
   * changelog-materialization shape CDC systems use — never a driver-side
   * row path, and idempotent across restarts (a replayed epoch finds its
   * `_SUCCESS`-marked spill and re-plans it without recomputing; `commit`
-  * reclaims spills the engine will never request again).
+  * reclaims spills the engine will never request again, and the first
+  * plan of a run sweeps every spill that is not the replayed range's —
+  * an abandoned incarnation's in-flight spill never outlives the next
+  * start).
   *
   * Pacing shares the snapshot-id offset + admission-control design of the
   * append stream; a snapshot's cost is estimated from its manifest diff
@@ -65,10 +186,10 @@ final class GraftCdcMicroBatchStream(
     availableNowEnd = Some(GraftTable.load(dir).log.current
       .map(_.snapshotId).getOrElse(startAfter))
 
-  override def initialOffset(): Offset = GraftStreamOffset(startAfter)
+  override def initialOffset(): Offset = GraftCdcOffset(startAfter)
 
   override def latestOffset(): Offset =
-    GraftStreamOffset(GraftTable.load(dir).log.current
+    GraftCdcOffset(GraftTable.load(dir).log.current
       .map(_.snapshotId).getOrElse(startAfter))
 
   override def getDefaultReadLimit: ReadLimit =
@@ -86,14 +207,16 @@ final class GraftCdcMicroBatchStream(
     }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[GraftStreamOffset].snapshotId
+    val s = GraftCdcOffset.of(start)
+    if (s.snap == 0L || s.seedPos >= 0) return seedOffset(s, limit)
+    val from = s.snap
     val lg = GraftTable.load(dir).log
     val live = lg.snapshots.lastOption.map(_.snapshotId).getOrElse(from)
     val latest = availableNowEnd.fold(live)(math.min(live, _))
-    if (latest <= from) return GraftStreamOffset(from)
+    if (latest <= from) return GraftCdcOffset(from)
     val (maxF, maxR, maxB) = GraftReadLimits.caps(limit)
     if (maxF.isEmpty && maxR.isEmpty && maxB.isEmpty)
-      return GraftStreamOffset(latest)
+      return GraftCdcOffset(latest)
     val chain = lg.snapshots
       .filter(s => s.snapshotId > from && s.snapshotId <= latest)
     val memoized = costMemo.synchronized {
@@ -101,10 +224,9 @@ final class GraftCdcMicroBatchStream(
         .map(s => (s.snapshotId, costMemo.get(s.snapshotId)))
     }
     val rest = chain.drop(memoized.size)
-    // lenient on expired parents: pricing is an ESTIMATE — a from-0 seed
-    // never computes real diffs (it materializes full state), so pacing
-    // must not die where planning succeeds; a from>0 range with an
-    // expired parent still refuses properly at plan time via changesCdc
+    // lenient on expired parents: pricing is an ESTIMATE — pacing must
+    // not die where planning succeeds; a range with an expired parent
+    // still refuses properly at plan time via changesCdc
     val priced: Iterator[(Long, (Long, Long, Long))] =
       memoized.iterator ++ SnapshotDiffs.alongChain(dir, lg, rest,
         lenientMissingParent = true).map { d =>
@@ -129,39 +251,127 @@ final class GraftCdcMicroBatchStream(
         (maxF.exists(m => files + f > m) ||
           maxR.exists(m => rows + r > m) ||
           maxB.exists(m => bytes + b > m))
-      if (overflow) return GraftStreamOffset(end)
+      if (overflow) return GraftCdcOffset(end)
       files += f; rows += r; bytes += b
       end = sid
     }
-    GraftStreamOffset(end)
+    GraftCdcOffset(end)
+  }
+
+  /** Seed-phase admission: pin the seed snapshot (the live/frozen
+    * current on the FIRST seed trigger; thereafter the one the offset
+    * carries) and admit raw data files under the caps — always at least
+    * one, so the stream progresses. Snapshots ineligible for raw
+    * serving admit the whole state in one (materializing) batch, the
+    * pre-file-pacing behavior. */
+  private def seedOffset(s: GraftCdcOffset, limit: ReadLimit): Offset = {
+    val t = GraftTable.load(dir)
+    val live = t.log.snapshots.lastOption.map(_.snapshotId).getOrElse(0L)
+    val target =
+      if (s.seedPos >= 0) s.snap
+      else availableNowEnd.fold(live)(math.min(live, _))
+    if (target <= 0L) return s // nothing committed yet
+    t.rawVisibleFiles(target) match {
+      case None => GraftCdcOffset(target)
+      case Some(files) =>
+        val fromPos = math.max(s.seedPos, 0L).toInt
+        if (fromPos >= files.size) return GraftCdcOffset(target)
+        val (maxF, maxR, maxB) = GraftReadLimits.caps(limit)
+        if (maxF.isEmpty && maxR.isEmpty && maxB.isEmpty)
+          return GraftCdcOffset(target)
+        var nf = 0L; var nr = 0L; var nb = 0L
+        var pos = fromPos
+        while (pos < files.size) {
+          val f = files(pos)
+          val overflow = pos > fromPos &&
+            (maxF.exists(m => nf + 1 > m) ||
+              maxR.exists(m => nr + f.recordCount > m) ||
+              maxB.exists(m => nb + f.fileSizeBytes > m))
+          if (overflow) return GraftCdcOffset(target, pos)
+          nf += 1; nr += f.recordCount; nb += f.fileSizeBytes
+          pos += 1
+        }
+        GraftCdcOffset(target)
+    }
   }
 
   override def reportLatestOffset(): Offset =
-    availableNowEnd.map(GraftStreamOffset(_)).getOrElse(latestOffset())
+    availableNowEnd.map(GraftCdcOffset(_)).getOrElse(latestOffset())
 
   override def deserializeOffset(json: String): Offset =
-    GraftStreamOffset(json.trim.toLong)
+    GraftCdcOffset.parse(json)
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[GraftStreamOffset].snapshotId
-    val to = end.asInstanceOf[GraftStreamOffset].snapshotId
-    if (to <= from) return Array.empty
+    val a = GraftCdcOffset.of(start)
+    val b = GraftCdcOffset.of(end)
+    if (a == b) return Array.empty
+    sweepStaleSpills(keep = s"cdc-${a.snap}-${b.snap}")
+    val t = GraftTable.load(dir)
+    // mid-stream schema evolution: the stream's fixed schema would
+    // read renamed/retyped columns wrong — refuse loudly; the
+    // restarted query re-resolves the current schema
+    require(t.schema == declaredSchema,
+      s"$dir's schema evolved while the CDC stream was running — " +
+        "restart the streaming query to pick up the new schema")
+    if (a.snap == 0L || a.seedPos >= 0 || b.seedPos >= 0) {
+      // seed range: serve the table's own files when the snapshot is
+      // raw-servable (the eligibility is a pure function of the pinned
+      // snapshot, so replays decide identically)
+      val target = b.snap
+      if (target <= 0L) return Array.empty
+      t.rawVisibleFiles(target) match {
+        case Some(files) =>
+          val fromPos = math.max(a.seedPos, 0L).toInt
+          val until = if (b.seedPos < 0) files.size else b.seedPos.toInt
+          val slice = files.slice(fromPos, until)
+          if (slice.isEmpty) Array.empty
+          else planSeed(t, slice, target)
+        case None =>
+          require(a.snap == 0L && a.seedPos < 0 && b.seedPos < 0,
+            s"mid-seed offset ${a.json()} but snapshot $target of $dir " +
+              "is not raw-servable — the seed eligibility changed " +
+              "underneath a running stream (expired snapshot?)")
+          planSpill(t, 0L, target)
+      }
+    } else planSpill(t, a.snap, b.snap)
+  }
+
+  /** Plan a paced slice of the seed directly over the table's data
+    * files: the delegate parquet scan over the slice, each partition
+    * wrapped with the constant-column ordinals for the reader factory.
+    * No spill, no copy — a 100 TB seed reads 100 TB once. */
+  private def planSeed(
+      t: GraftTable,
+      files: Seq[DataFileEntry],
+      snapId: Long): Array[InputPartition] = {
+    val paths = files.map(f =>
+      Paths.get(dir, f.path).normalize().toString)
+    val scan = mkDelegate(paths)
+    val rs = scan.readSchema()
+    val ctOrd = rs.fieldNames.indexOf("_change_type")
+    val vcOrd = rs.fieldNames.indexOf(t.virtualColumn)
+    val inner = scan.toBatch.planInputPartitions()
+    if (ctOrd < 0 && vcOrd < 0) inner
+    else inner.map(p =>
+      GraftCdcSeedPartition(p, rs, ctOrd, vcOrd, snapId): InputPartition)
+  }
+
+  /** Materializing path: run the CDC diff (or the ineligible seed's full
+    * state) as a distributed job, spill as parquet under the checkpoint,
+    * plan the delegate scan over the spill. O(changed data) per trigger;
+    * `_SUCCESS`-idempotent across restarts. */
+  private def planSpill(
+      t: GraftTable, from: Long, to: Long): Array[InputPartition] = {
     val spill = spillRoot.resolve(s"cdc-$from-$to")
     if (!Files.exists(spill.resolve("_SUCCESS"))) {
       val spark = org.apache.spark.sql.SparkSession.active
-      val t = GraftTable.load(dir)
-      // mid-stream schema evolution: the stream's fixed schema would
-      // read renamed/retyped columns wrong — refuse loudly; the
-      // restarted query re-resolves the current schema
-      require(t.schema == declaredSchema,
-        s"$dir's schema evolved while the CDC stream was running — " +
-          "restart the streaming query to pick up the new schema")
       val vc = t.virtualColumn
       val df =
         if (from == 0L)
-          // seed batch: the full state at the admitted end, as inserts —
-          // column ORDER matches changesCdc's (schema, _change_type, vc)
+          // ineligible-seed batch: the full state at the pinned end, as
+          // inserts — column ORDER matches changesCdc's
+          // (schema, _change_type, vc)
           t.read(spark, Some(to)).drop(vc)
             .withColumn("_change_type", lit("insert"))
             .withColumn(vc, lit(to))
@@ -186,13 +396,38 @@ final class GraftCdcMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    mkDelegate(Nil).toBatch.createReaderFactory()
+    new GraftCdcSeedReaderFactory(
+      mkDelegate(Nil).toBatch.createReaderFactory())
+
+  /** One-shot sweep at the first plan of this run: the only spill a
+    * correct run can ever reuse is the REPLAYED range's (`keep`) —
+    * everything else under the spill root is debris (a crashed commit's
+    * reclaimable range, or an abandoned incarnation's in-flight spill,
+    * which for an ineligible seed used to be a full table copy) and is
+    * deleted here so it cannot sit under the checkpoint forever. */
+  private val sweptAtStart = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def sweepStaleSpills(keep: String): Unit = {
+    if (!sweptAtStart.compareAndSet(false, true)) return
+    if (!Files.isDirectory(spillRoot)) return
+    val stale = scala.util.Using.resource(Files.list(spillRoot)) { s =>
+      s.iterator().asScala.filter(_.getFileName.toString != keep).toSeq
+    }
+    stale.foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    scala.util.Using.resource(Files.walk(p)) { w =>
+      w.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+    }
 
   /** Committed ranges are never requested again — reclaim their spills
     * (the replayed-after-restart batch is precisely the one whose range
     * was NOT committed, so its spill survives for reuse). */
   override def commit(end: Offset): Unit = {
-    val upTo = end.asInstanceOf[GraftStreamOffset].snapshotId
+    val e = GraftCdcOffset.of(end)
+    val upTo = if (e.seedPos >= 0) e.snap - 1 else e.snap
     if (!Files.isDirectory(spillRoot)) return
     val done = scala.util.Using.resource(Files.list(spillRoot)) { s =>
       s.iterator().asScala.filter { p =>
@@ -202,12 +437,7 @@ final class GraftCdcMicroBatchStream(
         }
       }.toSeq
     }
-    done.foreach { p =>
-      scala.util.Using.resource(Files.walk(p)) { w =>
-        w.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
-      }
-    }
+    done.foreach(deleteRecursively)
   }
 
   override def stop(): Unit = ()

@@ -120,27 +120,150 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(mirror.count() == 7)
   }
 
-  test("max-files-per-trigger paces the catch-up in snapshot steps") {
+  test("max-files-per-trigger paces seed files and post-seed snapshots") {
     val tb = GraftTable.create(s"$wh/db/c4", schema)
     tb.append(df(batch(1, 4), parts = 1), Some(1000L))
     tb.delete(spark, col("id") === 2L, Some(2000L))
     tb.append(df(batch(5, 8), parts = 1), Some(3000L))
-    val q = spark.readStream
-      .option("max-files-per-trigger", "1")
-      .table("gc.db.c4__changes")
-      .writeStream.format("memory").queryName("cdc4")
-      .option("checkpointLocation", tmpDir("cdc-ckpt4"))
-      .trigger(Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(120000), "paced CDC drain did not terminate")
-    val mirror = net(spark.table("cdc4"))
+    val seedSnap = tb.log.current.get.snapshotId
+    val ckpt = tmpDir("cdc-ckpt4")
+    val sink = tmpDir("cdc-sink4")
+    val sinkSchema = StructType(schema.fields.toSeq :+
+      StructField("_change_type", StringType) :+
+      StructField("snapshot__id", LongType))
+    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream
+        .option("max-files-per-trigger", "1")
+        .table("gc.db.c4__changes")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "paced CDC drain did not terminate")
+      q
+    }
+    val q = run()
+    def sunk() = spark.read.schema(sinkSchema).parquet(sink)
+    val mirror = net(sunk())
     val want = tb.read(spark).select(col("id"), col("v"))
     assert(mirror.exceptAll(want).isEmpty && want.exceptAll(mirror).isEmpty)
-    // seed batch collapses to (0, s1]; the delete and the append must
-    // each land in their own paced batch
-    assert(spark.table("cdc4").select(col("snapshot__id")).distinct()
-      .count() == 3)
+    // the seed pins the CURRENT snapshot and serves its two raw data
+    // files one per trigger — all rows insert-tagged at the seed
+    // snapshot, no spill directory ever created
+    assert(sunk().select(col("snapshot__id")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(seedSnap))
+    assert(sunk().filter(col("_change_type") =!= "insert").count() == 0)
     assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
-      "file cap did not split the catch-up")
+      "file cap did not split the seed")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckpt, "sources", "0", "graft-cdc-spill")),
+      "raw-servable seed wrote a spill copy")
+    // post-seed DML still paces in snapshot steps and flows as
+    // retractions from the pinned point
+    tb.delete(spark, col("id") === 3L, Some(4000L))
+    tb.append(df(batch(9, 9), parts = 1), Some(5000L))
+    run(): Unit
+    val mirror2 = net(sunk())
+    val want2 = tb.read(spark).select(col("id"), col("v"))
+    assert(mirror2.exceptAll(want2).isEmpty && want2.exceptAll(mirror2).isEmpty)
+    assert(sunk().select(col("snapshot__id")).distinct().count() == 3,
+      "post-seed snapshots did not flow from the pinned point")
+  }
+
+  test("offset-0 seed serves the table's own files — no spill copy") {
+    val tb = GraftTable.create(s"$wh/db/c11", schema)
+    tb.append(df(batch(1, 9), parts = 3), Some(1000L))
+    val seedSnap = tb.log.current.get.snapshotId
+    val ckpt = tmpDir("cdc-ckpt11")
+    val q = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("gc.db.c11__changes")
+      .writeStream.format("memory").queryName("cdc11")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "seed drain did not terminate")
+    val rows = spark.table("cdc11")
+    assert(rows.count() == 9)
+    assert(rows.filter(col("_change_type") === "insert").count() == 9)
+    assert(rows.select(col("snapshot__id")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(seedSnap))
+    // three data files, one per trigger — the 100 TB backfill guard now
+    // applies INSIDE the seed
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      s"expected 3 paced seed batches, got " +
+        q.recentProgress.filter(_.numInputRows > 0).length)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckpt, "sources", "0", "graft-cdc-spill")),
+      "raw-servable seed wrote a spill copy")
+    // mirror equality: the netted seed equals the table
+    val mirror = net(rows)
+    val want = tb.read(spark).select(col("id"), col("v"))
+    assert(mirror.exceptAll(want).isEmpty && want.exceptAll(mirror).isEmpty)
+  }
+
+  test("a filter over the raw-served seed stays correct (pushdown canary)") {
+    // the raw seed relies on Spark NOT pushing data filters into
+    // streaming v2 scans (a pushed `_change_type = …` predicate would
+    // hit files that lack the column and drop row groups); this canary
+    // fails loudly if a Spark upgrade ever changes that
+    val tb = GraftTable.create(s"$wh/db/c12", schema)
+    tb.append(df(batch(1, 6)), Some(1000L))
+    val q = spark.readStream.table("gc.db.c12__changes")
+      .filter(col("_change_type") === "insert" && col("id") > 2L)
+      .writeStream.format("memory").queryName("cdc12")
+      .option("checkpointLocation", tmpDir("cdc-ckpt12"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(spark.table("cdc12").count() == 4,
+      "filtered raw seed lost rows — streaming filter pushdown hazard")
+  }
+
+  test("merge-on-read-pending tables fall back to the materializing seed") {
+    val tb = GraftTable.create(s"$wh/db/c13", schema)
+    tb.append(df(batch(1, 5)), Some(1000L))
+    // pending equality tombstone: raw files no longer equal visible rows
+    tb.deleteEquality(spark,
+      df(Seq(Row(2L, "v2"))).select(col("id")), Seq("id"), Some(2000L))
+    assert(tb.rawVisibleFiles(tb.log.current.get.snapshotId).isEmpty)
+    val q = spark.readStream.table("gc.db.c13__changes")
+      .writeStream.format("memory").queryName("cdc13")
+      .option("checkpointLocation", tmpDir("cdc-ckpt13"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val rows = spark.table("cdc13")
+    assert(rows.count() == 4, "materializing seed must emit VISIBLE rows")
+    assert(rows.filter(col("_change_type") =!= "insert").count() == 0)
+  }
+
+  test("stream start sweeps spills from abandoned incarnations") {
+    val tb = GraftTable.create(s"$wh/db/c14", schema)
+    tb.append(df(batch(1, 4)), Some(1000L))
+    val ckpt = tmpDir("cdc-ckpt14")
+    val sink = tmpDir("cdc-sink14")
+    def drain(): Unit = {
+      val q = spark.readStream.table("gc.db.c14__changes")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    drain()
+    // plant debris an abandoned incarnation would leave: a stale range
+    // spill (for an ineligible seed this used to be a full table copy)
+    val spillRoot = java.nio.file.Paths
+      .get(ckpt, "sources", "0", "graft-cdc-spill")
+    val stray = spillRoot.resolve("cdc-5-7")
+    java.nio.file.Files.createDirectories(stray)
+    java.nio.file.Files.writeString(stray.resolve("junk.parquet"), "x")
+    java.nio.file.Files.writeString(
+      spillRoot.resolve("not-a-range"), "y"): Unit
+    // more DML so the restarted stream plans a batch (the sweep runs at
+    // the first plan of the run)
+    tb.delete(spark, col("id") === 1L, Some(2000L))
+    drain()
+    assert(!java.nio.file.Files.exists(stray),
+      "stale spill survived the restart sweep")
+    assert(!java.nio.file.Files.exists(spillRoot.resolve("not-a-range")),
+      "non-range debris survived the restart sweep")
   }
 
   test("starting-snapshot-id skips the seed and tails changes only") {

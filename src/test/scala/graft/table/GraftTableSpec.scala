@@ -1267,4 +1267,37 @@ class GraftTableSpec extends SparkSpecBase {
       properties = Map(GraftTable.PropWriteSort -> "nope"))
     intercept[IllegalArgumentException] { bad.append(mkDf(1L -> "a")) }
   }
+
+  test("graft.write.sort holds through copy-on-write DML rewrites") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpDir("graft-writesort-dml")
+    val t = GraftTable.create(s"$dir/t", simpleSchema,
+      properties = Map(GraftTable.PropWriteSort -> "id"))
+    val rows = new scala.util.Random(11).shuffle((0L until 64L).toList)
+      .map(i => Row(i, s"v$i"))
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), simpleSchema), Some(1000L))
+    val before = Manifest.read(
+      s"${t.dir}/${t.log.current.get.manifestList}").files.map(_.path).toSet
+    // rewrite everything: the update's replacement files must come out
+    // range-disjoint again — fresh DML output stays prunable without
+    // waiting for a rewrite_data_files pass
+    t.update(spark, col("id") >= 0L, Map("data" -> lit("u")), Some(2000L))
+    val after = Manifest.read(
+      s"${t.dir}/${t.log.current.get.manifestList}").files
+    val rewritten = after.filterNot(f => before(f.path))
+    assert(rewritten.size >= 2,
+      s"update rewrote ${rewritten.size} file(s) — fixture too small")
+    val ranges = rewritten.map { f =>
+      val st = f.stats("id")
+      (st.min.get.toLong, st.max.get.toLong)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping DML-rewrite ranges: $ranges")
+      case _ => ()
+    }
+    assert(t.read(spark).count() == 64L)
+    assert(t.read(spark).filter(col("data") === "u").count() == 64L)
+  }
 }

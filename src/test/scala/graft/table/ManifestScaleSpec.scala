@@ -310,6 +310,57 @@ class ManifestScaleSpec extends SparkSpecBase {
     assert(cat.loadDataFrame(spark, "db.st__segments").count() == 1L)
   }
 
+  test("__files/__partitions are DISTRIBUTED: segments parse in tasks") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    // 4 appends × 2 files = 8 data files across 4 on-disk segments
+    for (i <- 0 until 4)
+      t.append(mkDf((0L until 4L).map(j => (i * 100L + j) -> s"v$i-$j"): _*)
+        .repartition(2), Some(1000L + i))
+    val m = Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+    assert(m.segmentRefs.size == 4)
+
+    // one RDD partition per segment shard — the 1M-file posture: the
+    // driver ships O(segments) refs, tasks parse and emit file rows
+    val files = t.filesTable(spark)
+    assert(files.rdd.getNumPartitions >= 4,
+      s"__files collapsed to ${files.rdd.getNumPartitions} partition(s)")
+    // row equality with a direct manifest parse
+    val got = files.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = m.files
+      .map(f => (f.path, f.recordCount, f.fileSizeBytes)).sorted
+    assert(got == want, "distributed __files rows diverge from the manifest")
+
+    // __partitions aggregates distributed too (map-side combine over the
+    // same shards) and equals a driver-side recompute
+    val parts = t.partitionsTable(spark).collect()
+    assert(parts.length == 1) // unpartitioned: one empty-map group
+    assert(parts.head.getLong(1) == 8L && // n files
+      parts.head.getLong(2) == m.totalRecords &&
+      parts.head.getLong(3) == m.totalBytes)
+
+    // the SQL path keeps the distribution (V1Scan, not a driver-local
+    // row set): multi-partition scan + correct totals
+    val wh = java.nio.file.Files.createTempDirectory("graft-distmeta").toString
+    spark.conf.set("spark.sql.catalog.gdm", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gdm.warehouse", wh)
+    val ct = new GraftCatalog(wh).createTable("db.dm", schema)
+    for (i <- 0 until 3)
+      ct.append(mkDf((0L until 4L).map(j => (i * 10L + j) -> "x"): _*)
+        .repartition(2), Some(1000L + i))
+    val sqlFiles = spark.sql("SELECT * FROM gdm.db.dm__files")
+    assert(sqlFiles.rdd.getNumPartitions >= 3,
+      "SQL over __files collapsed to a driver-local scan")
+    assert(sqlFiles.count() == 6L)
+    assert(spark.sql(
+      "SELECT sum(record_count) FROM gdm.db.dm__files").collect()
+      .head.getLong(0) == 12L)
+    assert(spark.sql(
+      "SELECT record_count FROM gdm.db.dm__partitions").collect()
+      .map(_.getLong(0)).toSeq == Seq(12L))
+  }
+
   test("v1 (pre-segmentation) manifests read and migrate transparently") {
     val dir = s"${tmp()}/t"
     val t = GraftTable.create(dir, schema)

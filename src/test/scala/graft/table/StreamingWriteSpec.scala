@@ -399,4 +399,64 @@ class StreamingWriteSpec extends SparkSpecBase {
       "FROM g8.db.wp_days GROUP BY 1 ORDER BY d")
     assert(daily.collect().map(_.getLong(1)).toSeq == Seq(4L, 4L, 4L))
   }
+
+  test("graft.write.sort range-sorts stream epochs into disjoint files") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val tb = GraftTable.create(s"$wh/db/wsort", tschema,
+      properties = Map(GraftTable.PropWriteSort -> "id"))
+    val ms = MemoryStream[(Long, String)]
+    // at test scale AQE folds the tiny range exchange into ONE partition
+    // (adjacent-range merges keep disjointness — the production-scale
+    // behavior is fine); hold coalescing off so several files land and
+    // the disjointness is observable
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    val q = ms.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", tmpDir("sw-ckpt-sort"))
+      .toTable("g8.db.wsort")
+    try {
+      // several addData calls BEFORE the trigger: one call = ONE input
+      // partition, so an undeclared distribution would hide in a
+      // single-block stream (the r10 sharp edge) — interleaved ids
+      // across blocks force a real range exchange
+      ms.addData((1L to 37L by 4).map(i => (i, s"a$i")): _*)
+      ms.addData((2L to 38L by 4).map(i => (i, s"b$i")): _*)
+      ms.addData((3L to 39L by 4).map(i => (i, s"c$i")): _*)
+      ms.addData((4L to 40L by 4).map(i => (i, s"d$i")): _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevCoalesce match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
+      }
+    }
+    val entries = Manifest.read(
+      s"${tb.dir}/${tb.log.current.get.manifestList}").files
+    assert(entries.size >= 2,
+      s"epoch wrote ${entries.size} file(s) — nothing to check")
+    // footer ranges pairwise DISJOINT on the sort column: min/max
+    // pruning works on FRESH streamed data, no rewrite_data_files needed
+    val ranges = entries.map { f =>
+      val st = f.stats("id")
+      (st.min.get.toLong, st.max.get.toLong)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping stream-epoch ranges: $ranges")
+      case _ => ()
+    }
+    // a point lookup prunes to exactly one streamed file
+    val hit = entries.count(f => Pruning.mayMatchFile(
+      GraftTable.resolveAgainst(spark, tb.schema,
+        org.apache.spark.sql.classic.GraftBridge.expr(col("id") === 17L)),
+      f, tb.schema))
+    assert(hit == 1, s"point lookup admitted $hit streamed files")
+    assert(tb.read(spark).count() == 40L)
+  }
 }
