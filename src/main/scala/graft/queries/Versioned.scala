@@ -692,6 +692,33 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Additive-evolution fixture (v55): nation appended, then ONE
+    * `mergeSchema = true` MERGE whose source carries a new `n_score`
+    * column — the table widens through the ALTER add-column path
+    * mid-flow (metadata-only, so still 2 snapshots), keys < 10 update
+    * with scores, +100 keys insert; every pre-evolution row reads
+    * n_score as NULL. */
+  private def mergeSchemaFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/evolve_nation", 2) { dir =>
+      val n = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, n.schema)
+      tb.append(n, Some(1000L))
+      val updates = n.filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey"),
+          concat(lit("UPD_"), col("n_name")).as("n_name"),
+          col("n_regionkey"),
+          (col("n_nationkey") * 10).cast("long").as("n_score"))
+      val inserts = n.filter(col("n_nationkey") < 5)
+        .select((col("n_nationkey") + 100).as("n_nationkey"),
+          concat(lit("NEW_"), col("n_name")).as("n_name"),
+          col("n_regionkey"),
+          (col("n_nationkey") * 10).cast("long").as("n_score"))
+      tb.merge(spark, updates.unionByName(inserts), "n_nationkey",
+        Some(2000L), mergeSchema = true)
+      GraftTable.load(dir)
+    }
+
   /** File-level import fixture (v54): the driver's OWN nation.parquet
     * copied straight into a graft table via CALL add_files — one append
     * snapshot, footer schema guarded, no row rewrite. */
@@ -961,6 +988,21 @@ object Versioned extends QueryPack {
       s.conf.set("spark.sql.catalog.g54.warehouse", wh)
       s.sql("SELECT n_nationkey, n_name, n_regionkey " +
         "FROM g54.db.import_nation ORDER BY n_nationkey")
+    }),
+
+    // OPT-IN ADDITIVE SCHEMA EVOLUTION ON WRITE (merge-schema): a MERGE
+    // whose source carries a NEW column widens the TABLE first (the
+    // ALTER add-column metadata path — evolution event, NULL-fill on
+    // pre-evolution files, resurrection guards intact), then upserts in
+    // the same flow; the exact-type default still refuses. The evolving-
+    // pipeline ask at 100 TB: a new feature column lands with ZERO data
+    // rewrite — old files simply read NULL for it.
+    "v55_graft_merge_schema" -> ((s, d) => {
+      val tb = mergeSchemaFixture(s, d)
+      tb.read(s)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_score"))
+        .orderBy(col("n_nationkey"))
     }),
 
     // DSv2 METADATA TABLES: the system-table family on the STANDARD
@@ -1553,6 +1595,22 @@ object Versioned extends QueryPack {
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE n_name = 'NATION_7' " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the evolved table must equal a from-source recompute: keys < 10
+    // updated with scores, +100 keys inserted, pre-evolution rows
+    // reading the NEW column as NULL
+    "v55_graft_merge_schema" ->
+      ("SELECT n_nationkey, n_name, n_regionkey, n_score FROM (" +
+        "SELECT n_nationkey, CASE WHEN n_nationkey < 10 " +
+        "THEN 'UPD_' || n_name ELSE n_name END AS n_name, n_regionkey, " +
+        "CASE WHEN n_nationkey < 10 " +
+        "THEN CAST(n_nationkey * 10 AS BIGINT) END AS n_score FROM nation " +
+        "UNION ALL " +
+        "SELECT n_nationkey + 100 AS n_nationkey, " +
+        "'NEW_' || n_name AS n_name, n_regionkey, " +
+        "CAST(n_nationkey * 10 AS BIGINT) AS n_score " +
+        "FROM nation WHERE n_nationkey < 5" +
+        ") ORDER BY n_nationkey"),
+
     // the file-level import must hold exactly the source rows
     "v54_graft_add_files" ->
       ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +

@@ -669,7 +669,13 @@ final class GraftTable private (
   def append(
       df: DataFrame,
       committedAt: Option[Long] = None,
-      extraSummary: Map[String, String] = Map.empty): Snapshot = {
+      extraSummary: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false): Snapshot = {
+    if (mergeSchema) {
+      val widened = widenForSource(df.schema)
+      if (widened ne this)
+        return widened.append(df, committedAt, extraSummary)
+    }
     val lg = log
     val snapId = lg.nextId
     val newFiles = writeDataFiles(df, snapId)
@@ -680,6 +686,24 @@ final class GraftTable private (
       extraSummary = extraSummary ++ Map(
         "added-data-files" -> newFiles.size.toString,
         "added-records" -> newFiles.map(_.recordCount).sum.toString))
+  }
+
+  /** OPT-IN additive schema evolution on write (Delta `mergeSchema` /
+    * Iceberg `merge-schema` analog), shared by [[append]] and [[merge]]:
+    * source columns absent from the table schema are ADDED to the table
+    * first — each through the [[addColumn]] metadata-only path, so the
+    * evolution events land, pre-evolution files read the new column as
+    * NULL, and every resurrection guard (dropped names, old-era physical
+    * names, the virtual column) still refuses. Existing columns keep the
+    * EXACT-type requirement — this never widens a type (the
+    * `unionByName` trap stays refused); the default everywhere remains
+    * exact-schema. Returns the widened handle (`this` when nothing to
+    * add); the CALLER's handle still sees the old schema — reload after
+    * an evolving write. */
+  def widenForSource(source: StructType): GraftTable = {
+    val extra = source.fields.filterNot(f =>
+      schema.fieldNames.contains(f.name))
+    extra.foldLeft(this)((t, f) => t.addColumn(f.name, f.dataType))
   }
 
   /** INSERT OVERWRITE TABLE semantics in ONE atomic commit: every
@@ -2294,8 +2318,18 @@ final class GraftTable private (
       spark: SparkSession,
       source: DataFrame,
       keyCol: String,
-      committedAt: Option[Long] = None): Snapshot = {
+      committedAt: Option[Long] = None,
+      mergeSchema: Boolean = false): Snapshot = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    if (mergeSchema) {
+      val widened = widenForSource(source.schema)
+      if (widened ne this)
+        // the widened schema appends the new columns in source order; the
+        // reorder keeps the strict column-order contract satisfied
+        return widened.merge(spark,
+          source.select(widened.schema.fieldNames.map(col): _*),
+          keyCol, committedAt)
+    }
     require(schema.fieldNames.contains(keyCol), s"unknown merge key '$keyCol'")
     require(source.columns.toSeq == schema.fieldNames.toSeq,
       s"source columns ${source.columns.mkString(",")} must match table " +

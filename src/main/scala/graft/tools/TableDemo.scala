@@ -188,6 +188,43 @@ object TableDemo {
     println("COUNT-WHERE id>0: " + guarded.countWhere(spark, col("id") > 0L) +
       " | id>99: " + guarded.countWhere(spark, col("id") > 99L))
 
+    // write-time sort order: a declared graft.write.sort range-clusters
+    // every write into range-disjoint files, so fresh data prunes
+    // without waiting for a compaction pass
+    val sorted = GraftTable.create(s"$dir/sorted", schema,
+      Map(GraftTable.PropWriteSort -> "id"))
+    sorted.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        new scala.util.Random(3).shuffle((0L until 32L).toList)
+          .map(i => Row(i, s"s$i")), 4), schema), Some(1000L))
+    val sortedFiles = Manifest.read(
+      s"${sorted.dir}/${sorted.log.current.get.manifestList}").files
+    val sortedRanges = sortedFiles.map(f =>
+      (f.stats("id").min.get.toLong, f.stats("id").max.get.toLong))
+      .sortBy(_._1)
+    println("WRITE-SORT: files=" + sortedFiles.size +
+      " disjoint=" + sortedRanges.sliding(2).forall {
+        case Seq((_, hi), (lo2, _)) => hi < lo2
+        case _ => true
+      } + " probe=" + sorted.scan(spark, Some(col("id") === 7L))
+        .inputFiles.length + "/" + sortedFiles.size)
+
+    // opt-in additive evolution on write: a mergeSchema append widens
+    // the table (NULL-fill on old files); the default still refuses
+    val evolving = GraftTable.create(s"$dir/evolving", schema)
+    evolving.append(df(1L -> "a"), Some(1000L))
+    val withExtra = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, "b", 20L)), 1),
+      StructType(schema.fields.toSeq :+
+        StructField("score", LongType, nullable = true)))
+    val refused =
+      try { evolving.append(withExtra, Some(2000L)); "MISSED" }
+      catch { case _: IllegalArgumentException => "refused" }
+    evolving.append(withExtra, Some(2000L), mergeSchema = true)
+    println("MERGE-SCHEMA: default=" + refused + " rows=" +
+      GraftTable.load(s"$dir/evolving").read(spark).orderBy("id")
+        .select("id", "data", "score").collect().mkString(", "))
+
     val e = GraftTable.create(s"$dir/empty", schema)
     println("EMPTY: count=" + e.read(spark).count() +
       " cols=" + e.read(spark).columns.mkString(","))

@@ -245,6 +245,91 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("resurrect"), e2.getMessage)
   }
 
+  test("mergeSchema append: new source column widens the table first") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    val evolvedDf = {
+      val rows = Seq(Row(3L, "c", 30L), Row(4L, "d", null))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(schema.fields.toSeq :+
+          StructField("score", LongType, nullable = true)))
+    }
+    // refusal stays the DEFAULT: an un-opted append with an extra column
+    // must not silently evolve anything
+    intercept[IllegalArgumentException] { t.append(evolvedDf, Some(2000L)) }
+    assert(t.schema.fieldNames.toSeq == Seq("id", "data"))
+    // opt in: the table widens (ALTER add-column path — evolution event,
+    // nullable), then the rows land; pre-evolution files read NULL
+    t.append(evolvedDf, Some(2000L), mergeSchema = true): Unit
+    val t2 = GraftTable.load(dir)
+    assert(t2.schema.fieldNames.toSeq == Seq("id", "data", "score"))
+    val got = t2.read(spark).select("id", "data", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", null), (2L, "b", null),
+      (3L, "c", 30L), (4L, "d", null)), s"got $got")
+    // identical source schema: mergeSchema is a no-op passthrough
+    t2.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(5L, "e", 50L)), 1),
+      t2.schema), Some(3000L), mergeSchema = true): Unit
+    assert(GraftTable.load(dir).read(spark).count() == 5L)
+    // a widened TYPE still refuses even under mergeSchema (additive
+    // columns only — never the unionByName widening trap)
+    val widenedType = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(6L, "f", "not-a-long")), 1),
+      StructType(Seq(schema.fields(0), schema.fields(1),
+        StructField("score", StringType, nullable = true))))
+    intercept[IllegalArgumentException] {
+      GraftTable.load(dir).append(widenedType, Some(4000L),
+        mergeSchema = true)
+    }
+  }
+
+  test("mergeSchema merge: INSERT with extra source column upserts + widens") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(2L, "B2", 20L), // matched: replaced, score lands
+        Row(9L, "i9", 90L)), 1), // not matched: inserted
+      StructType(schema.fields.toSeq :+
+        StructField("score", LongType, nullable = true)))
+    // default refuses; opted-in widens then merges in one flow
+    intercept[IllegalArgumentException] { t.merge(spark, src, "id") }
+    t.merge(spark, src, "id", Some(2000L), mergeSchema = true): Unit
+    val t2 = GraftTable.load(dir)
+    assert(t2.schema.fieldNames.toSeq == Seq("id", "data", "score"))
+    val got = t2.read(spark).select("id", "data", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", null), (2L, "B2", 20L),
+      (3L, "c", null), (9L, "i9", 90L)), s"got $got")
+    assert(t2.log.current.get.operation == "merge")
+  }
+
+  test("mergeSchema keeps the resurrection guards: dropped names refuse") {
+    val dir = s"${tmp()}/t"
+    var t = GraftTable.create(dir, StructType(schema.fields.toSeq :+
+      StructField("old", LongType, nullable = true)))
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a", 10L)), 1),
+      t.schema), Some(1000L))
+    t = t.dropColumn("old")
+    // a mergeSchema write must NOT resurrect the dropped column's stored
+    // physical values — same refusal as ALTER ADD COLUMN
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, "b", 99L)), 1),
+      StructType(schema.fields.toSeq :+
+        StructField("old", LongType, nullable = true)))
+    val e = intercept[IllegalArgumentException] {
+      t.append(src, Some(2000L), mergeSchema = true)
+    }
+    assert(e.getMessage.contains("dropped"), e.getMessage)
+  }
+
   test("SQL ALTER TABLE RENAME/DROP COLUMN + reads through the extensions") {
     val wh = tmpDir("graft-schevo-sql")
     spark.conf.set("spark.sql.catalog.gse", "graft.table.GraftSparkCatalog")
