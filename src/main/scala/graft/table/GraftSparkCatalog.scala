@@ -983,6 +983,21 @@ final class GraftCdcV2Table(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
     val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    // seed delegate for IDENTITY-partitioned tables: their partition
+    // column's value lives only in the directory name, so the raw-file
+    // seed needs `basePath` path recovery (the same discipline the base
+    // table's DSv2 scan uses) — the plain delegate serves the spilled
+    // tail batches, whose files materialize every column physically
+    val mkSeedDelegate: Option[Seq[String] => org.apache.spark.sql.connector.read.Scan] =
+      if (!t.partitionFields.exists(_.isIdentity)) None
+      else Some { paths =>
+        val o = new util.HashMap[String, String](options.asCaseSensitiveMap())
+        o.put("basePath", s"${t.dir}/data")
+        org.apache.spark.sql.classic.GraftBridge
+          .parquetTable(spark, tableName, paths, cdcSchema, o)
+          .newScanBuilder(new CaseInsensitiveStringMap(o))
+          .build()
+      }
     new org.apache.spark.sql.classic.GraftPruningScanBuilder(
       spark, tableName, cdcSchema, opts,
       allPaths = Nil, // no batch surface: rows exist only per micro-batch
@@ -996,6 +1011,7 @@ final class GraftCdcV2Table(
           mkDelegate,
           Option(options.get("max-files-per-trigger")).map(_.trim.toInt),
           Option(options.get("max-rows-per-trigger")).map(_.trim.toLong),
-          Option(options.get("max-bytes-per-trigger")).map(_.trim.toLong))))
+          Option(options.get("max-bytes-per-trigger")).map(_.trim.toLong),
+          mkSeedDelegate)))
   }
 }

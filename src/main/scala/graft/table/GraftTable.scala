@@ -3581,24 +3581,44 @@ final class GraftTable private (
     * may slice the list for paced emission (the CDC stream's seed batch
     * serves the table's own files through this — a 100 TB seed is then
     * a read of the data, never a second copy of it). `None` = take the
-    * materializing read path instead. "Raw" means a LEAF-file scan with
-    * no path recovery, so files from an identity-partitioned spec era
-    * are disqualifying too — their partition column's value lives only
-    * in the directory name. Throws when the snapshot is gone from the
-    * log (expired mid-stream — refuse loudly, never skip). */
-  def rawVisibleFiles(snapshotId: Long): Option[Seq[DataFileEntry]] = {
+    * materializing read path instead. By default "raw" means a LEAF-file
+    * scan with no path recovery, so files from an identity-partitioned
+    * spec era are disqualifying too — their partition column's value
+    * lives only in the directory name. `identityViaPathRecovery = true`
+    * relaxes that for callers whose scan recovers identity values with a
+    * `basePath` (the DSv2 catalog discipline): identity-era files then
+    * qualify exactly when recovery is sound — the CURRENT spec is
+    * identity, every file sits under this table's own data root (no
+    * fork/publish `../`/`branches/` entries), and every file carries the
+    * same spec era's keys (mixed depths break directory discovery).
+    * Throws when the snapshot is gone from the log (expired mid-stream —
+    * refuse loudly, never skip). */
+  def rawVisibleFiles(
+      snapshotId: Long,
+      identityViaPathRecovery: Boolean = false): Option[Seq[DataFileEntry]] = {
     val s = log.byId(snapshotId).getOrElse(throw new IllegalStateException(
       s"no snapshot $snapshotId in $dir (expired?) — re-seed the consumer"))
     if (parsePending(s).nonEmpty || parsePositional(s).nonEmpty ||
-        parseEquality(s).nonEmpty) None
-    else {
-      val fs = Manifest.read(s"$dir/${s.manifestList}").files
-        .sortBy(_.path)
-      if (fs.forall(f => f.path.endsWith(".parquet") && !renameAffects(f) &&
-          !f.partition.keySet.exists(schema.fieldNames.contains)))
-        Some(fs)
-      else None
+        parseEquality(s).nonEmpty) return None
+    val fs = Manifest.read(s"$dir/${s.manifestList}").files
+      .sortBy(_.path)
+    def identityOk: Boolean = {
+      val anyIdentityFile = fs.exists(
+        _.partition.keySet.exists(schema.fieldNames.contains))
+      if (!anyIdentityFile) true
+      else if (!identityViaPathRecovery) false
+      else {
+        val expected = partitionFields.map(_.fieldName).toSet
+        partitionFields.exists(_.isIdentity) &&
+          fs.forall(f => !f.path.startsWith("../") &&
+            !f.path.startsWith("branches/") &&
+            f.partition.keySet == expected)
+      }
     }
+    if (fs.forall(f => f.path.endsWith(".parquet") && !renameAffects(f)) &&
+        identityOk)
+      Some(fs)
+    else None
   }
 
   /** Epoch cursors of every streaming sink writing to this table, from

@@ -45,43 +45,53 @@ private[classic] object GraftCdcOffset {
 }
 
 /** A seed-batch input partition: the delegate parquet partition over the
-  * table's OWN data files, plus the two constant columns the CDC shape
-  * adds (`_change_type = 'insert'`, virtual snapshot id = the seed
-  * snapshot). Ordinals are positions in the delegate's (possibly
-  * column-pruned) read schema; -1 = pruned away, nothing to fill. */
+  * table's OWN data files, the OUTPUT schema downstream expects (the
+  * same layout the spill batches emit), and per-output-field source
+  * ordinals into the inner reader's rows — a partitioned parquet scan
+  * emits `dataSchema ++ partitionSchema` order, NOT the declared order,
+  * so the wrapper both reorders and fills the two constant columns the
+  * CDC shape adds (`_change_type = 'insert'`, virtual snapshot id = the
+  * seed snapshot; their output positions carry srcOrd -1). */
 private[classic] final case class GraftCdcSeedPartition(
     inner: InputPartition,
-    readSchema: StructType,
-    changeTypeOrd: Int,
-    snapIdOrd: Int,
+    // the reader factory of the EXACT scan that planned `inner`: a
+    // partitioned seed scan's factory carries the partition schema that
+    // appends directory-recovered values — the stream-level factory
+    // (built from the path-less spill delegate) would read them as NULL
+    factory: PartitionReaderFactory,
+    output: StructType,
+    srcOrd: Seq[Int],
+    changeTypeOut: Int,
+    snapIdOut: Int,
     snapId: Long) extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
 /** Wraps the delegate parquet reader factory so seed partitions get
-  * their constant columns filled IN THE SCAN (both the row path — a
-  * codegen'd projection — and the vectorized path — constant column
-  * vectors swapped into the batch), while spill-backed partitions pass
-  * through untouched. This is what lets the offset-0 seed plan the
-  * table's own files instead of materializing a full copy first. */
+  * their constant columns filled and columns reordered IN THE SCAN
+  * (both the row path — a codegen'd projection — and the vectorized
+  * path — column-vector permutation + constant vectors), while
+  * spill-backed partitions pass through untouched. This is what lets
+  * the offset-0 seed plan the table's own files instead of
+  * materializing a full copy first. */
 private[classic] final class GraftCdcSeedReaderFactory(
     inner: PartitionReaderFactory) extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case s: GraftCdcSeedPartition => inner.supportColumnarReads(s.inner)
+    case s: GraftCdcSeedPartition => s.factory.supportColumnarReads(s.inner)
     case other => inner.supportColumnarReads(other)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case s: GraftCdcSeedPartition =>
-        val base = inner.createReader(s.inner)
+        val base = s.factory.createReader(s.inner)
         new PartitionReader[InternalRow] {
           private val proj = UnsafeProjection.create(
-            s.readSchema.fields.toSeq.zipWithIndex.map { case (f, i) =>
-              if (i == s.changeTypeOrd) Literal.create("insert", f.dataType)
-              else if (i == s.snapIdOrd) Literal.create(s.snapId, f.dataType)
-              else BoundReference(i, f.dataType, f.nullable)
+            s.output.fields.toSeq.zipWithIndex.map { case (f, i) =>
+              if (i == s.changeTypeOut) Literal.create("insert", f.dataType)
+              else if (i == s.snapIdOut) Literal.create(s.snapId, f.dataType)
+              else BoundReference(s.srcOrd(i), f.dataType, f.nullable)
             })
           override def next(): Boolean = base.next()
           override def get(): InternalRow = proj(base.get())
@@ -93,20 +103,20 @@ private[classic] final class GraftCdcSeedReaderFactory(
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] = p match {
     case s: GraftCdcSeedPartition =>
-      val base = inner.createColumnarReader(s.inner)
+      val base = s.factory.createColumnarReader(s.inner)
       new PartitionReader[ColumnarBatch] {
         override def next(): Boolean = base.next()
         override def get(): ColumnarBatch = {
           val b = base.get()
           val n = b.numRows()
-          val cols = Array.tabulate[ColumnVector](b.numCols()) { i =>
-            if (i == s.changeTypeOrd) {
+          val cols = Array.tabulate[ColumnVector](s.output.length) { i =>
+            if (i == s.changeTypeOut) {
               val v = new ConstantColumnVector(n, StringType)
               v.setUtf8String(UTF8String.fromString("insert")); v
-            } else if (i == s.snapIdOrd) {
+            } else if (i == s.snapIdOut) {
               val v = new ConstantColumnVector(n, LongType)
               v.setLong(s.snapId); v
-            } else b.column(i)
+            } else b.column(s.srcOrd(i))
           }
           new ColumnarBatch(cols, n)
         }
@@ -135,12 +145,13 @@ private[classic] final class GraftCdcSeedReaderFactory(
   * skips it and tails changes only. The seed is insert-only by
   * construction, so whenever the pinned snapshot's visible rows equal
   * its raw data files ([[graft.table.GraftTable.rawVisibleFiles]] —
-  * no merge-on-read state pending, no rename-era or identity-layout
-  * files) the seed batches plan the table's OWN files through the
-  * delegate parquet scan, with the `_change_type`/snapshot-id constants
-  * filled in the readers ([[GraftCdcSeedReaderFactory]]) — zero copies
-  * of data volume, and admission control paces it file-granularly
-  * across triggers (offsets carry the file position,
+  * no merge-on-read state pending, no rename-era files; identity-layout
+  * files qualify when the catalog wired a basePath-recovering
+  * `mkSeedDelegate`) the seed batches plan the table's OWN files through
+  * the delegate parquet scan, with the `_change_type`/snapshot-id
+  * constants filled in the readers ([[GraftCdcSeedReaderFactory]]) —
+  * zero copies of data volume, and admission control paces it
+  * file-granularly across triggers (offsets carry the file position,
   * [[GraftCdcOffset]]). Only the ineligible shapes fall back to
   * materializing the state once.
   *
@@ -172,9 +183,21 @@ final class GraftCdcMicroBatchStream(
     mkDelegate: Seq[String] => Scan,
     maxFilesPerTrigger: Option[Int] = None,
     maxRowsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    // identity-partitioned tables: a basePath-equipped delegate that
+    // recovers identity partition values from directory names, used for
+    // SEED batches only (spilled tail batches materialize every column
+    // physically and keep the plain delegate)
+    mkSeedDelegate: Option[Seq[String] => Scan] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  /** Raw-seed eligibility is relaxed to identity-era files exactly when
+    * the catalog wired a path-recovering seed delegate. */
+  private def rawSeedFiles(t: GraftTable, snapshotId: Long)
+      : Option[Seq[DataFileEntry]] =
+    t.rawVisibleFiles(snapshotId,
+      identityViaPathRecovery = mkSeedDelegate.isDefined)
 
   private val spillRoot: java.nio.file.Path = Paths.get(
     new org.apache.hadoop.fs.Path(checkpointLocation).toUri.getPath,
@@ -271,7 +294,7 @@ final class GraftCdcMicroBatchStream(
       if (s.seedPos >= 0) s.snap
       else availableNowEnd.fold(live)(math.min(live, _))
     if (target <= 0L) return s // nothing committed yet
-    t.rawVisibleFiles(target) match {
+    rawSeedFiles(t, target) match {
       case None => GraftCdcOffset(target)
       case Some(files) =>
         val fromPos = math.max(s.seedPos, 0L).toInt
@@ -320,7 +343,7 @@ final class GraftCdcMicroBatchStream(
       // snapshot, so replays decide identically)
       val target = b.snap
       if (target <= 0L) return Array.empty
-      t.rawVisibleFiles(target) match {
+      rawSeedFiles(t, target) match {
         case Some(files) =>
           val fromPos = math.max(a.seedPos, 0L).toInt
           val until = if (b.seedPos < 0) files.size else b.seedPos.toInt
@@ -339,22 +362,44 @@ final class GraftCdcMicroBatchStream(
 
   /** Plan a paced slice of the seed directly over the table's data
     * files: the delegate parquet scan over the slice, each partition
-    * wrapped with the constant-column ordinals for the reader factory.
-    * No spill, no copy — a 100 TB seed reads 100 TB once. */
+    * wrapped with the output mapping + constant-column positions for the
+    * reader factory. The OUTPUT layout downstream expects is whatever
+    * the spill delegate emits (one reader factory serves every batch);
+    * the seed scan's own layout can differ — a partitioned parquet scan
+    * emits `dataSchema ++ partitionSchema` order — so each output field
+    * maps to its source ordinal explicitly. No spill, no copy — a
+    * 100 TB seed reads 100 TB once. */
   private def planSeed(
       t: GraftTable,
       files: Seq[DataFileEntry],
       snapId: Long): Array[InputPartition] = {
     val paths = files.map(f =>
       Paths.get(dir, f.path).normalize().toString)
-    val scan = mkDelegate(paths)
+    val scan = mkSeedDelegate.getOrElse(mkDelegate)(paths)
     val rs = scan.readSchema()
-    val ctOrd = rs.fieldNames.indexOf("_change_type")
-    val vcOrd = rs.fieldNames.indexOf(t.virtualColumn)
-    val inner = scan.toBatch.planInputPartitions()
-    if (ctOrd < 0 && vcOrd < 0) inner
-    else inner.map(p =>
-      GraftCdcSeedPartition(p, rs, ctOrd, vcOrd, snapId): InputPartition)
+    val output = mkDelegate(Nil).readSchema()
+    val ctOut = output.fieldNames.indexOf("_change_type")
+    val vcOut = output.fieldNames.indexOf(t.virtualColumn)
+    val srcOrd = output.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      if (i == ctOut || i == vcOut) -1 else rs.fieldNames.indexOf(f.name)
+    }
+    require(srcOrd.zipWithIndex.forall { case (s, i) =>
+        s >= 0 || i == ctOut || i == vcOut },
+      s"seed scan of $dir is missing output column(s) " +
+        output.fieldNames.zip(srcOrd).collect {
+          case (n, -1) if n != "_change_type" && n != t.virtualColumn => n
+        }.mkString(", "))
+    val identityLayout = rs.length != output.length ||
+      srcOrd.zipWithIndex.exists { case (s, i) => s >= 0 && s != i }
+    val batch = scan.toBatch
+    val inner = batch.planInputPartitions()
+    if (ctOut < 0 && vcOut < 0 && !identityLayout) inner
+    else {
+      val factory = batch.createReaderFactory()
+      inner.map(p =>
+        GraftCdcSeedPartition(p, factory, output, srcOrd, ctOut, vcOut,
+          snapId): InputPartition)
+    }
   }
 
   /** Materializing path: run the CDC diff (or the ineligible seed's full

@@ -234,6 +234,35 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(rows.filter(col("_change_type") =!= "insert").count() == 0)
   }
 
+  test("identity-partitioned seed serves raw files via basePath recovery") {
+    // identity partition values live ONLY in the directory names
+    // (partitionBy drops them from the footers) — the seed's
+    // basePath-equipped delegate must recover them, still with no spill
+    val tb = GraftTable.create(s"$wh/db/c15", schema,
+      partitionBy = Seq("v"))
+    tb.append(df(Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "a"),
+      Row(4L, null))), Some(1000L))
+    assert(tb.rawVisibleFiles(1L).isEmpty, // leaf-file tier refuses
+      "identity files must not qualify without path recovery")
+    assert(tb.rawVisibleFiles(1L, identityViaPathRecovery = true).nonEmpty)
+    val ckpt = tmpDir("cdc-ckpt15")
+    val q = spark.readStream.table("gc.db.c15__changes")
+      .writeStream.format("memory").queryName("cdc15")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val rows = spark.table("cdc15")
+    val got = rows.select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, null)),
+      s"identity values not recovered: $got")
+    assert(rows.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckpt, "sources", "0", "graft-cdc-spill")),
+      "identity seed still wrote a spill copy")
+  }
+
   test("stream start sweeps spills from abandoned incarnations") {
     val tb = GraftTable.create(s"$wh/db/c14", schema)
     tb.append(df(batch(1, 4)), Some(1000L))
