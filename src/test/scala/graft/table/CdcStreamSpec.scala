@@ -263,6 +263,68 @@ class CdcStreamSpec extends SparkSpecBase {
       "identity seed still wrote a spill copy")
   }
 
+  test("restart MID-SEED resumes at the checkpointed file position") {
+    // the engine's restart protocol, driven directly (Trigger.Once
+    // deliberately ignores read limits, so a real paced mid-seed stop
+    // can't be scheduled deterministically): pace the seed one file per
+    // trigger, then hand the serialized MID-SEED offset to a FRESH
+    // stream instance — the remaining files must replay exactly once
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+    val tb = GraftTable.create(s"$wh/db/c16", schema)
+    tb.append(df(batch(1, 9), parts = 3), Some(1000L)) // 3 seed files
+    val snap = tb.log.current.get.snapshotId
+    val cdcSchema = StructType(schema.fields.toSeq :+
+      StructField("_change_type", StringType) :+
+      StructField("snapshot__id", LongType))
+    def mkDelegate(paths: Seq[String]) = {
+      val o = new java.util.HashMap[String, String]()
+      org.apache.spark.sql.classic.GraftBridge
+        .parquetTable(spark, "c16", paths, cdcSchema, o)
+        .newScanBuilder(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(o))
+        .build()
+    }
+    val ckpt = tmpDir("cdc-ckpt16-src")
+    def stream() = new org.apache.spark.sql.classic.GraftCdcMicroBatchStream(
+      tb.dir, 0L, ckpt, tb.schema, mkDelegate,
+      maxFilesPerTrigger = Some(1))
+    def readRows(st: org.apache.spark.sql.classic.GraftCdcMicroBatchStream,
+        a: Offset, b: Offset): Seq[(Long, String, String, Long)] = {
+      val rf = st.createReaderFactory()
+      st.planInputPartitions(a, b).toSeq.flatMap { p =>
+        val r = rf.createReader(p)
+        val buf = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
+        while (r.next()) {
+          val row = r.get()
+          buf += ((row.getLong(0), row.getUTF8String(1).toString,
+            row.getUTF8String(2).toString, row.getLong(3)))
+        }
+        r.close(); buf.toSeq
+      }
+    }
+    val s1 = stream()
+    val o0 = s1.initialOffset()
+    val o1 = s1.latestOffset(o0, ReadLimit.maxFiles(1))
+    assert(o1.json() == s"$snap:1", s"mid-seed offset wrong: ${o1.json()}")
+    val b1 = readRows(s1, o0, o1)
+    assert(b1.size == 3 && b1.forall(_._3 == "insert"))
+    // RESTART: fresh instance, offset restored from its serialized form
+    val s2 = stream()
+    val restored = s2.deserializeOffset(o1.json())
+    val o2 = s2.latestOffset(restored, ReadLimit.maxFiles(1))
+    assert(o2.json() == s"$snap:2")
+    val b2 = readRows(s2, restored, o2)
+    val o3 = s2.latestOffset(o2, ReadLimit.maxFiles(1))
+    assert(o3.json() == snap.toString, "seed did not complete")
+    val b3 = readRows(s2, o2, o3)
+    val all = b1 ++ b2 ++ b3
+    assert(all.map(_._1).sorted.toSeq == (1L to 9L),
+      s"mid-seed restart lost/duplicated rows: ${all.map(_._1).sorted}")
+    assert(all.forall(r => r._3 == "insert" && r._4 == snap))
+    // drained: no further progress from the completed-seed offset
+    assert(s2.latestOffset(o3, ReadLimit.maxFiles(1)).json() == o3.json())
+  }
+
   test("stream start sweeps spills from abandoned incarnations") {
     val tb = GraftTable.create(s"$wh/db/c14", schema)
     tb.append(df(batch(1, 4)), Some(1000L))
