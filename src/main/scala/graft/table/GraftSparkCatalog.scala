@@ -575,11 +575,7 @@ final class GraftV2Table(
     // a rewrite_data_files pass. (AQE may coalesce the range exchange;
     // merging ADJACENT ranges preserves disjointness.)
     val streamSortCols: Seq[String] =
-      t.properties.get(GraftTable.PropWriteSort)
-        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
-    streamSortCols.foreach(c => require(t.schema.fieldNames.contains(c),
-      s"unknown ${GraftTable.PropWriteSort} column '$c' on $tableName"))
+      GraftTable.writeSortColumns(t.properties, t.schema)
     // write CONSTRAINTS (graft.check.* + graft.notnull.columns) enforce
     // INSIDE the writer tasks, same contract as the batch write job's
     // constraintGuard: a row whose check is FALSE fails the epoch before

@@ -697,12 +697,33 @@ final class GraftTable private (
     * names, the virtual column) still refuses. Existing columns keep the
     * EXACT-type requirement — this never widens a type (the
     * `unionByName` trap stays refused); the default everywhere remains
-    * exact-schema. Returns the widened handle (`this` when nothing to
-    * add); the CALLER's handle still sees the old schema — reload after
-    * an evolving write. */
+    * exact-schema. Every DETERMINISTIC write precondition is validated
+    * BEFORE the first addColumn commits metadata — a schema widened for
+    * a write that then refuses would be permanent (dropColumn tombstones
+    * the name forever), so missing/case-variant/type-mismatched source
+    * columns refuse here with nothing evolved. Returns the widened
+    * handle (`this` when nothing to add); the CALLER's handle still sees
+    * the old schema — reload after an evolving write. */
   def widenForSource(source: StructType): GraftTable = {
+    // case-insensitive NEW-column detection: a case-variant of an
+    // existing column ('ID' vs 'id') is never "new" — adding it would
+    // pollute the schema and break case-insensitive SQL resolution
     val extra = source.fields.filterNot(f =>
-      schema.fieldNames.contains(f.name))
+      schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    if (extra.isEmpty) return this
+    val missing = schema.fieldNames.filterNot(source.fieldNames.contains)
+    require(missing.isEmpty,
+      s"mergeSchema write is missing table column(s) " +
+        s"${missing.mkString(", ")} of $dir (case-variant names do not " +
+        "match; additive evolution never drops or renames)")
+    schema.fields.foreach { tf =>
+      source.fields.find(_.name == tf.name).foreach { sf =>
+        require(sf.dataType == tf.dataType,
+          s"column '${tf.name}' is ${sf.dataType.sql}, table expects " +
+            s"${tf.dataType.sql} — cast the source; mergeSchema adds " +
+            "columns, it never widens types")
+      }
+    }
     extra.foldLeft(this)((t, f) => t.addColumn(f.name, f.dataType))
   }
 
@@ -981,11 +1002,9 @@ final class GraftTable private (
     // Cost: one extra shuffle per write job — the standard price of a
     // declared sort order; leave unset for ingest-speed-first tables
     // (compact(sortBy/zorderBy) clusters after the fact instead).
-    val sorted = properties.get(PropWriteSort) match {
-      case Some(spec) if spec.trim.nonEmpty =>
-        val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        cols.foreach(c => require(schema.fieldNames.contains(c),
-          s"unknown ${PropWriteSort} column '$c'"))
+    val sorted = GraftTable.writeSortColumns(properties, schema) match {
+      case Nil => distributed
+      case cols =>
         // explicit partition count (the session's configured shuffle
         // parallelism): an AQE-coalesced range exchange would fold small
         // writes back into one file and lose the disjointness this
@@ -993,7 +1012,6 @@ final class GraftTable private (
         val n = distributed.sparkSession.sessionState.conf.numShufflePartitions
         distributed.repartitionByRange(n, cols.map(col): _*)
           .sortWithinPartitions(cols.map(col): _*)
-      case _ => distributed
     }
     val writer = sorted.write.mode("overwrite")
     if (partitionFields.nonEmpty)
@@ -3585,8 +3603,8 @@ final class GraftTable private (
     * scan with no path recovery, so files from an identity-partitioned
     * spec era are disqualifying too — their partition column's value
     * lives only in the directory name. `identityViaPathRecovery = true`
-    * relaxes that for callers whose scan recovers identity values with a
-    * `basePath` (the DSv2 catalog discipline): identity-era files then
+    * relaxes that for callers whose scan recovers identity values with
+    * a `basePath` (the DSv2 catalog discipline): identity-era files then
     * qualify exactly when recovery is sound — the CURRENT spec is
     * identity, every file sits under this table's own data root (no
     * fork/publish `../`/`branches/` entries), and every file carries the
@@ -4017,7 +4035,13 @@ final class GraftTable private (
       case None => spark.sparkContext.emptyRDD[Row]
       case Some(s) => entriesRdd(spark, s).map(f =>
         Row(f.path, f.recordCount, f.fileSizeBytes,
-          f.partition.map { case (k, v) => k -> v.orNull }))
+          f.partition.map { case (k, v) => k -> v.orNull },
+          f.stats.collect { case (c, st) if st.min.isDefined =>
+            c -> st.min.get },
+          f.stats.collect { case (c, st) if st.max.isDefined =>
+            c -> st.max.get },
+          f.stats.collect { case (c, st) if st.nullCount.isDefined =>
+            c -> st.nullCount.get }))
     }
     spark.createDataFrame(rdd, FilesSchema)
   }
@@ -4153,6 +4177,22 @@ object GraftTable {
     } catch { case _: Exception => raw }
   }
 
+  /** Parsed + validated `graft.write.sort` column list (Nil when unset)
+    * — the ONE parser behind both the batch write job's range-sort and
+    * the streaming Write's declared distribution/ordering, so the two
+    * paths can never drift on the property's format. */
+  private[table] def writeSortColumns(
+      props: Map[String, String],
+      schema: StructType): Seq[String] =
+    props.get(PropWriteSort) match {
+      case Some(spec) if spec.trim.nonEmpty =>
+        val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"unknown ${PropWriteSort} column '$c'"))
+        cols
+      case _ => Nil
+    }
+
   val DefaultVirtualColumn = "snapshot__id"
   val PropVirtualColumnName = "graft.snapshot.virtual.column.name"
   val PropCheckPrefix = "graft.check."
@@ -4266,7 +4306,14 @@ object GraftTable {
     StructField("file_path", StringType, nullable = false),
     StructField("record_count", LongType, nullable = false),
     StructField("file_size_bytes", LongType, nullable = false),
-    StructField("partition", MapType(StringType, StringType), nullable = true)))
+    StructField("partition", MapType(StringType, StringType), nullable = true),
+    // readable per-column metrics (Iceberg's readable_metrics analog):
+    // the manifest's footer-derived bounds/null counts, as strings in
+    // the stats' canonical form — the skew/pruning-power view an
+    // operator reads before clustering decisions
+    StructField("min_values", MapType(StringType, StringType), nullable = true),
+    StructField("max_values", MapType(StringType, StringType), nullable = true),
+    StructField("null_counts", MapType(StringType, LongType), nullable = true)))
 
   /** Segments metadata-table schema (two-level manifest observability). */
   val SegmentsSchema: StructType = StructType(Seq(

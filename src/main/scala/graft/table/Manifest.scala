@@ -284,6 +284,22 @@ object Manifest {
     * reads only the list. Format v1 (`files`, pre-segmentation) parses
     * inline and presents as one fresh segment, so the next commit
     * migrates it to a segment file transparently. */
+  /** Parsed v2 manifest-LIST cache. Lists are write-once like segments
+    * (`snap-<id>.json`, atomic publish), and the hot paths — loadTable
+    * per SQL query, scan planning, stream pacing — all start with a
+    * `Manifest.read` of the current list; the (size, mtime)-keyed hit
+    * skips the O(segments) JSON parse. A cached [[Manifest]] is
+    * immutable and its lazy segment thunks are themselves backed by the
+    * segment cache, so sharing one object across readers only improves
+    * locality. */
+  private val listCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Manifest](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Manifest]): Boolean =
+        size() > CacheCap
+    }
+
   def read(absPath: String): Manifest = {
     val tableDir = Paths.get(absPath).getParent.getParent.toString
     // v1 fast path BEFORE any parse: historical pre-segmentation
@@ -293,11 +309,13 @@ object Manifest {
       return if (files.isEmpty) empty
       else new Manifest(Vector(ManifestSegment.fresh(files)))
     }
+    val key = cacheKey(absPath)
+    listCache.synchronized(Option(listCache.get(key))).foreach(m => return m)
     listParses.incrementAndGet()
     val obj = Json.parseObject(Files.readString(Paths.get(absPath)))
     obj.get("segments") match {
       case Some(segs) =>
-        new Manifest(segs.asInstanceOf[Seq[Any]].map { s =>
+        val parsed = new Manifest(segs.asInstanceOf[Seq[Any]].map { s =>
           val m = s.asInstanceOf[Map[String, Any]]
           val env = m.get("stats").map(_.asInstanceOf[Map[String, Any]]
             .map { case (c, raw) =>
@@ -318,6 +336,8 @@ object Manifest {
             m("size_bytes").asInstanceOf[Long],
             env)
         }.toVector)
+        listCache.synchronized(listCache.put(key, parsed): Unit)
+        parsed
       case None =>
         // v1 manifests are immutable too (only the HEAD migrates on the
         // next commit; historical snapshots keep this format forever) —

@@ -231,7 +231,13 @@ final class GraftCdcMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = GraftCdcOffset.of(start)
-    if (s.snap == 0L || s.seedPos >= 0) return seedOffset(s, limit)
+    if (s.snap == 0L || s.seedPos >= 0) {
+      seedOffset(s, limit) match {
+        case Some(o) => return o
+        case None => () // ineligible seed: snapshot-stepped pricing
+                        // below (from = 0) keeps the caps honored
+      }
+    }
     val from = s.snap
     val lg = GraftTable.load(dir).log
     val live = lg.snapshots.lastOption.map(_.snapshotId).getOrElse(from)
@@ -284,24 +290,30 @@ final class GraftCdcMicroBatchStream(
   /** Seed-phase admission: pin the seed snapshot (the live/frozen
     * current on the FIRST seed trigger; thereafter the one the offset
     * carries) and admit raw data files under the caps — always at least
-    * one, so the stream progresses. Snapshots ineligible for raw
-    * serving admit the whole state in one (materializing) batch, the
-    * pre-file-pacing behavior. */
-  private def seedOffset(s: GraftCdcOffset, limit: ReadLimit): Offset = {
+    * one, so the stream progresses. `None` = the pinned snapshot is not
+    * raw-servable; the caller falls back to SNAPSHOT-STEPPED chain
+    * pricing from 0 (the materializing catch-up then still respects the
+    * caps, seeding at the first admitted snapshot and replaying the rest
+    * as paced changesCdc steps — never the whole state in one batch). */
+  private def seedOffset(s: GraftCdcOffset, limit: ReadLimit): Option[Offset] = {
     val t = GraftTable.load(dir)
     val live = t.log.snapshots.lastOption.map(_.snapshotId).getOrElse(0L)
     val target =
       if (s.seedPos >= 0) s.snap
       else availableNowEnd.fold(live)(math.min(live, _))
-    if (target <= 0L) return s // nothing committed yet
+    if (target <= 0L) return Some(s) // nothing committed yet
     rawSeedFiles(t, target) match {
-      case None => GraftCdcOffset(target)
+      case None =>
+        // a MID-seed offset can only arise on the raw path and
+        // eligibility is a pure function of the immutable pinned
+        // snapshot — close the seed and let plan-time refuse loudly
+        if (s.seedPos >= 0) Some(GraftCdcOffset(s.snap)) else None
       case Some(files) =>
         val fromPos = math.max(s.seedPos, 0L).toInt
-        if (fromPos >= files.size) return GraftCdcOffset(target)
+        if (fromPos >= files.size) return Some(GraftCdcOffset(target))
         val (maxF, maxR, maxB) = GraftReadLimits.caps(limit)
         if (maxF.isEmpty && maxR.isEmpty && maxB.isEmpty)
-          return GraftCdcOffset(target)
+          return Some(GraftCdcOffset(target))
         var nf = 0L; var nr = 0L; var nb = 0L
         var pos = fromPos
         while (pos < files.size) {
@@ -310,11 +322,11 @@ final class GraftCdcMicroBatchStream(
             (maxF.exists(m => nf + 1 > m) ||
               maxR.exists(m => nr + f.recordCount > m) ||
               maxB.exists(m => nb + f.fileSizeBytes > m))
-          if (overflow) return GraftCdcOffset(target, pos)
+          if (overflow) return Some(GraftCdcOffset(target, pos))
           nf += 1; nr += f.recordCount; nb += f.fileSizeBytes
           pos += 1
         }
-        GraftCdcOffset(target)
+        Some(GraftCdcOffset(target))
     }
   }
 

@@ -234,6 +234,37 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(rows.filter(col("_change_type") =!= "insert").count() == 0)
   }
 
+  test("ineligible seed under caps paces in snapshot steps, never one shot") {
+    // when the PINNED snapshot is not raw-servable, admission control
+    // must fall back to snapshot-stepped chain pricing from 0 — the
+    // 100 TB backfill guard cannot be waived by merge-on-read state
+    val tb = GraftTable.create(s"$wh/db/c17", schema)
+    tb.append(df(batch(1, 5), parts = 1), Some(1000L))
+    tb.append(df(batch(6, 8), parts = 1), Some(2000L))
+    tb.deleteEquality(spark,
+      df(Seq(Row(2L, "v2"))).select(col("id")), Seq("id"), Some(3000L))
+    assert(tb.rawVisibleFiles(tb.log.current.get.snapshotId).isEmpty)
+    val q = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("gc.db.c17__changes")
+      .writeStream.format("memory").queryName("cdc17")
+      .option("checkpointLocation", tmpDir("cdc-ckpt17"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val rows = spark.table("cdc17")
+    // batch 1 seeds at snapshot 1 (raw-servable THERE — the pending
+    // state arrived later); batch 2 replays the second append plus the
+    // equality-delete retraction: two paced batches, never the whole
+    // state at once
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+      "ineligible seed was not paced in snapshot steps")
+    assert(rows.filter(col("_change_type") === "delete").count() == 1)
+    val mirror = net(rows)
+    val want = tb.read(spark).select(col("id"), col("v"))
+    assert(mirror.exceptAll(want).isEmpty && want.exceptAll(mirror).isEmpty)
+    assert(mirror.count() == 7)
+  }
+
   test("identity-partitioned seed serves raw files via basePath recovery") {
     // identity partition values live ONLY in the directory names
     // (partitionBy drops them from the footers) — the seed's

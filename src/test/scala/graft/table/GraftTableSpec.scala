@@ -1207,7 +1207,8 @@ class GraftTableSpec extends SparkSpecBase {
     // __files naming resolves the files metadata table
     val files = cat.loadDataFrame(spark, "db.people__files")
     assert(files.columns.toSeq ==
-      Seq("file_path", "record_count", "file_size_bytes", "partition"))
+      Seq("file_path", "record_count", "file_size_bytes", "partition",
+        "min_values", "max_values", "null_counts"))
     assert(files.select("record_count").collect().map(_.getLong(0)).sum == 1)
   }
 

@@ -331,6 +331,12 @@ class ManifestScaleSpec extends SparkSpecBase {
     val want = m.files
       .map(f => (f.path, f.recordCount, f.fileSizeBytes)).sorted
     assert(got == want, "distributed __files rows diverge from the manifest")
+    // readable per-column metrics ride along (bounds + null counts)
+    assert(files.collect().forall { r =>
+      r.getAs[Map[String, String]]("min_values").contains("id") &&
+        r.getAs[Map[String, String]]("max_values").contains("id") &&
+        r.getAs[Map[String, Long]]("null_counts").get("id").contains(0L)
+    }, "__files lost its per-column metrics")
 
     // __partitions aggregates distributed too (map-side combine over the
     // same shards) and equals a driver-side recompute
