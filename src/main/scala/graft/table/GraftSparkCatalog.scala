@@ -674,7 +674,14 @@ final class GraftV2Table(
                       "running — restart the streaming query so its " +
                       "writes carry the current state")
                 }
-                fresh.commitStreamFiles(rels, sinkId, epoch)
+                val out = fresh.commitStreamFiles(rels, sinkId, epoch)
+                // opt-in epoch-threshold small-file compaction (a
+                // row-preserving replace streams skip); replayed epochs
+                // commit nothing and never re-compact
+                if (out.isDefined)
+                  GraftTable.load(dirCaptured)
+                    .maybeStreamCompact(SparkSession.active, epoch)
+                out
               },
               partFields, identitySources, constraintChecks)
         }

@@ -3668,14 +3668,42 @@ final class GraftTable private (
       df: DataFrame,
       sinkId: String,
       batchId: Long,
-      committedAt: Option[Long] = None): Option[Snapshot] =
-    withCommitRetry() {
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    val out = withCommitRetry() {
       require(sinkId.nonEmpty, "sinkId must be non-empty")
       val cursors = streamCursors
       if (cursors.get(sinkId).exists(_ >= batchId)) None
       else Some(append(df, committedAt, extraSummary = Map(
         SummaryStreamCursors -> cursorsJson(cursors + (sinkId -> batchId)))))
     }
+    if (out.isDefined)
+      maybeStreamCompact(df.sparkSession, batchId, committedAt)
+    out
+  }
+
+  /** Opt-in SMALL-FILE auto-compaction for streaming sinks: with
+    * `graft.stream.compact-every-epochs = N` set, every Nth committed
+    * epoch is followed by a `compact()` of files smaller than
+    * `graft.stream.compact.smaller-than-bytes` (default 32 MiB) — the
+    * row-preserving `replace` the snapshot-incremental and CDC streams
+    * already skip, so tails survive it. This is the operational lever a
+    * continuous ingest needs at 100 TB: one small file per epoch per
+    * partition compounds into a read-killing file count unless something
+    * folds it, and bounding the debt by EPOCH COUNT is an O(1) decision
+    * per commit (no manifest scan to count candidates). Replayed epochs
+    * commit nothing and therefore never re-compact. Off by default. */
+  private[table] def maybeStreamCompact(
+      spark: SparkSession,
+      epoch: Long,
+      committedAt: Option[Long] = None): Unit = {
+    val every = properties.get(PropStreamCompactEvery).map(_.trim.toInt)
+    every.filter(n => n > 0 && epoch % n == 0).foreach { _ =>
+      val thr = properties.get(PropStreamCompactBytes)
+        .map(_.trim.toLong).getOrElse(32L * 1024 * 1024)
+      GraftTable.load(dir).compact(spark, smallerThanBytes = thr,
+        committedAt = committedAt): Unit
+    }
+  }
 
   /** Commit files ALREADY WRITTEN by streaming executor tasks as one
     * append snapshot, idempotently per (sinkId, batchId) — the driver
@@ -4210,6 +4238,11 @@ object GraftTable {
   /** Internal marker set by [[GraftTable.updatePartitionSpec]]: the
     * table's manifests MAY mix partition-spec eras. */
   val PropSpecEvolved = "graft.internal.spec.evolved"
+
+  /** Streaming-sink auto-compaction (opt-in): compact small files after
+    * every Nth committed epoch / below this size (default 32 MiB). */
+  val PropStreamCompactEvery = "graft.stream.compact-every-epochs"
+  val PropStreamCompactBytes = "graft.stream.compact.smaller-than-bytes"
 
   val SummaryPendingDeletes = "pending-deletes"
   val SummaryPositionalDeletes = "positional-deletes"

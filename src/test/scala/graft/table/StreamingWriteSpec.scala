@@ -400,6 +400,42 @@ class StreamingWriteSpec extends SparkSpecBase {
     assert(daily.collect().map(_.getLong(1)).toSeq == Seq(4L, 4L, 4L))
   }
 
+  test("graft.stream.compact-every-epochs folds streamed small files") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val tb = GraftTable.create(s"$wh/db/wcomp", tschema,
+      properties = Map(GraftTable.PropStreamCompactEvery -> "1"))
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", tmpDir("sw-ckpt-comp"))
+      .toTable("g8.db.wcomp")
+    try {
+      ms.addData((1L to 4L).map(i => (i, s"a$i")): _*)
+      q.processAllAvailable() // epoch 0: 1 file, compact no-ops
+      ms.addData((5L to 8L).map(i => (i, s"b$i")): _*)
+      q.processAllAvailable() // epoch 1: 2 files -> folded to 1
+      ms.addData((9L to 10L).map(i => (i, s"c$i")): _*)
+      q.processAllAvailable() // epoch 2: folded again
+    } finally q.stop()
+    val fresh = GraftTable.load(tb.dir)
+    // the debt is BOUNDED: every epoch's small files fold into one
+    val entries = Manifest.read(
+      s"${fresh.dir}/${fresh.log.current.get.manifestList}").files
+    assert(entries.size == 1,
+      s"auto-compaction left ${entries.size} files")
+    assert(fresh.log.snapshots.count(_.operation == "replace") >= 2,
+      "threshold compaction never ran")
+    // rows intact, exactly once
+    val got = fresh.read(spark).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 10L), s"compaction corrupted the sink: $got")
+    // the epoch cursor survives compaction (a replayed epoch still skips)
+    assert(fresh.streamCursors.values.max == 2L)
+  }
+
   test("graft.write.sort range-sorts stream epochs into disjoint files") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
