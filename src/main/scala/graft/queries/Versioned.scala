@@ -692,6 +692,22 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Per-file-metrics fixture (v56): nation in THREE single-file
+    * appends of known key slices, so each `__files` row's bounds are
+    * recomputable from the source — the proof that the metadata view's
+    * metrics are EXACT, not approximate. */
+  private def filesMetaFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/files_meta_nation", 3) { dir =>
+      val n = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, n.schema)
+      tb.append(n.filter(col("n_nationkey") < 10).coalesce(1), Some(1000L))
+      tb.append(n.filter(col("n_nationkey") >= 10 &&
+        col("n_nationkey") < 20).coalesce(1), Some(2000L))
+      tb.append(n.filter(col("n_nationkey") >= 20).coalesce(1), Some(3000L))
+      tb
+    }
+
   /** Additive-evolution fixture (v55): nation appended, then ONE
     * `mergeSchema = true` MERGE whose source carries a new `n_score`
     * column — the table widens through the ALTER add-column path
@@ -988,6 +1004,23 @@ object Versioned extends QueryPack {
       s.conf.set("spark.sql.catalog.g54.warehouse", wh)
       s.sql("SELECT n_nationkey, n_name, n_regionkey " +
         "FROM g54.db.import_nation ORDER BY n_nationkey")
+    }),
+
+    // PER-FILE METRICS in the __files metadata view: each data file's
+    // footer-derived bounds and null counts ride the manifest
+    // (min_values/max_values/null_counts — Iceberg's readable_metrics
+    // analog) and must EQUAL a real recompute of each file's slice.
+    // This is the view pruning power is made of: an operator can see
+    // exactly which predicates min/max can serve before touching data.
+    "v56_graft_files_metrics" -> ((s, d) => {
+      val tb = filesMetaFixture(s, d)
+      tb.filesTable(s)
+        .select(
+          col("min_values")("n_nationkey").cast("int").as("lo_key"),
+          col("max_values")("n_nationkey").cast("int").as("hi_key"),
+          col("record_count").as("n_rows"),
+          col("null_counts")("n_name").as("n_name_nulls"))
+        .orderBy(col("lo_key"))
     }),
 
     // OPT-IN ADDITIVE SCHEMA EVOLUTION ON WRITE (merge-schema): a MERGE
@@ -1595,6 +1628,24 @@ object Versioned extends QueryPack {
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE n_name = 'NATION_7' " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // each file's manifest metrics must equal a real recompute of its
+    // key slice (the fixture wrote one file per slice)
+    "v56_graft_files_metrics" ->
+      ("SELECT * FROM (" +
+        "SELECT min(n_nationkey) AS lo_key, max(n_nationkey) AS hi_key, " +
+        "count(*) AS n_rows, CAST(sum(CASE WHEN n_name IS NULL THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS n_name_nulls " +
+        "FROM nation WHERE n_nationkey < 10 " +
+        "UNION ALL " +
+        "SELECT min(n_nationkey), max(n_nationkey), count(*), " +
+        "CAST(sum(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 20 " +
+        "UNION ALL " +
+        "SELECT min(n_nationkey), max(n_nationkey), count(*), " +
+        "CAST(sum(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM nation WHERE n_nationkey >= 20" +
+        ") ORDER BY lo_key"),
+
     // the evolved table must equal a from-source recompute: keys < 10
     // updated with scores, +100 keys inserted, pre-evolution rows
     // reading the NEW column as NULL
