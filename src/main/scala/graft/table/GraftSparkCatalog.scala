@@ -677,10 +677,10 @@ final class GraftV2Table(
                 val out = fresh.commitStreamFiles(rels, sinkId, epoch)
                 // opt-in epoch-threshold small-file compaction (a
                 // row-preserving replace streams skip); replayed epochs
-                // commit nothing and never re-compact
+                // commit nothing and never re-compact. `fresh` already
+                // carries the properties; the compact itself reloads.
                 if (out.isDefined)
-                  GraftTable.load(dirCaptured)
-                    .maybeStreamCompact(SparkSession.active, epoch)
+                  fresh.maybeStreamCompact(SparkSession.active, epoch)
                 out
               },
               partFields, identitySources, constraintChecks)
@@ -991,15 +991,23 @@ final class GraftCdcV2Table(
     // seed needs `basePath` path recovery (the same discipline the base
     // table's DSv2 scan uses) — the plain delegate serves the spilled
     // tail batches, whose files materialize every column physically
-    val mkSeedDelegate: Option[Seq[String] => org.apache.spark.sql.connector.read.Scan] =
+    val mkSeedDelegate: Option[(Seq[String], org.apache.spark.sql.types.StructType) =>
+        org.apache.spark.sql.connector.read.Scan] =
       if (!t.partitionFields.exists(_.isIdentity)) None
-      else Some { paths =>
+      else Some { (paths, required) =>
         val o = new util.HashMap[String, String](options.asCaseSensitiveMap())
         o.put("basePath", s"${t.dir}/data")
-        org.apache.spark.sql.classic.GraftBridge
+        val b = org.apache.spark.sql.classic.GraftBridge
           .parquetTable(spark, tableName, paths, cdcSchema, o)
           .newScanBuilder(new CaseInsensitiveStringMap(o))
-          .build()
+        // honor the plain delegate's required-column set, so a pruned
+        // streaming read prunes the seed scan too
+        b match {
+          case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+            c.pruneColumns(required)
+          case _ => ()
+        }
+        b.build()
       }
     new org.apache.spark.sql.classic.GraftPruningScanBuilder(
       spark, tableName, cdcSchema, opts,

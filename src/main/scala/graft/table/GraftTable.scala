@@ -3700,8 +3700,13 @@ final class GraftTable private (
     every.filter(n => n > 0 && epoch % n == 0).foreach { _ =>
       val thr = properties.get(PropStreamCompactBytes)
         .map(_.trim.toLong).getOrElse(32L * 1024 * 1024)
-      GraftTable.load(dir).compact(spark, smallerThanBytes = thr,
-        committedAt = committedAt): Unit
+      // retry-wrapped like every other streaming commit path: a benign
+      // race with a concurrent writer must never fail the stream (the
+      // retried compact recomputes against the winner's log)
+      withCommitRetry() {
+        GraftTable.load(dir).compact(spark, smallerThanBytes = thr,
+          committedAt = committedAt): Unit
+      }
     }
   }
 

@@ -187,8 +187,10 @@ final class GraftCdcMicroBatchStream(
     // identity-partitioned tables: a basePath-equipped delegate that
     // recovers identity partition values from directory names, used for
     // SEED batches only (spilled tail batches materialize every column
-    // physically and keep the plain delegate)
-    mkSeedDelegate: Option[Seq[String] => Scan] = None)
+    // physically and keep the plain delegate). Takes the REQUIRED
+    // schema too, so a column-pruned streaming read prunes the seed
+    // scan exactly like the plain delegate would.
+    mkSeedDelegate: Option[(Seq[String], StructType) => Scan] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -231,21 +233,21 @@ final class GraftCdcMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = GraftCdcOffset.of(start)
-    if (s.snap == 0L || s.seedPos >= 0) {
-      seedOffset(s, limit) match {
-        case Some(o) => return o
-        case None => () // ineligible seed: snapshot-stepped pricing
-                        // below (from = 0) keeps the caps honored
-      }
-    }
-    val from = s.snap
+    if (s.snap == 0L || s.seedPos >= 0) seedOffset(s, limit)
+    else GraftCdcOffset(pricedEnd(s.snap, limit))
+  }
+
+  /** Snapshot-stepped admission from `from`: the largest chain end whose
+    * cumulative manifest-diff cost fits the caps (always at least one
+    * snapshot, so the stream progresses; `from` itself when drained). */
+  private def pricedEnd(from: Long, limit: ReadLimit): Long = {
     val lg = GraftTable.load(dir).log
     val live = lg.snapshots.lastOption.map(_.snapshotId).getOrElse(from)
     val latest = availableNowEnd.fold(live)(math.min(live, _))
-    if (latest <= from) return GraftCdcOffset(from)
+    if (latest <= from) return from
     val (maxF, maxR, maxB) = GraftReadLimits.caps(limit)
     if (maxF.isEmpty && maxR.isEmpty && maxB.isEmpty)
-      return GraftCdcOffset(latest)
+      return latest
     val chain = lg.snapshots
       .filter(s => s.snapshotId > from && s.snapshotId <= latest)
     val memoized = costMemo.synchronized {
@@ -280,40 +282,51 @@ final class GraftCdcMicroBatchStream(
         (maxF.exists(m => files + f > m) ||
           maxR.exists(m => rows + r > m) ||
           maxB.exists(m => bytes + b > m))
-      if (overflow) return GraftCdcOffset(end)
+      if (overflow) return end
       files += f; rows += r; bytes += b
       end = sid
     }
-    GraftCdcOffset(end)
+    end
   }
 
-  /** Seed-phase admission: pin the seed snapshot (the live/frozen
-    * current on the FIRST seed trigger; thereafter the one the offset
-    * carries) and admit raw data files under the caps — always at least
-    * one, so the stream progresses. `None` = the pinned snapshot is not
-    * raw-servable; the caller falls back to SNAPSHOT-STEPPED chain
-    * pricing from 0 (the materializing catch-up then still respects the
-    * caps, seeding at the first admitted snapshot and replaying the rest
-    * as paced changesCdc steps — never the whole state in one batch). */
-  private def seedOffset(s: GraftCdcOffset, limit: ReadLimit): Option[Offset] = {
+  /** Seed-phase admission. The seed snapshot pins to: the offset's own
+    * (mid-seed), else the live/frozen current when raw-servable, else
+    * the end the SNAPSHOT-STEPPED pricing from 0 admits under the caps
+    * (the merge-on-read-pending catch-up) — and if THAT snapshot is
+    * itself raw-servable, its files still pace file-granularly (the
+    * bulk-load shape: one giant initial append must never land in one
+    * batch just because later state made the frozen end ineligible).
+    * Only a genuinely ineligible pinned snapshot materializes, and its
+    * range is whatever the chain pricing admitted, caps honored. */
+  private def seedOffset(s: GraftCdcOffset, limit: ReadLimit): Offset = {
     val t = GraftTable.load(dir)
     val live = t.log.snapshots.lastOption.map(_.snapshotId).getOrElse(0L)
-    val target =
+    val pin: Long =
       if (s.seedPos >= 0) s.snap
-      else availableNowEnd.fold(live)(math.min(live, _))
-    if (target <= 0L) return Some(s) // nothing committed yet
-    rawSeedFiles(t, target) match {
+      else {
+        val target = availableNowEnd.fold(live)(math.min(live, _))
+        if (target <= 0L) return s // nothing committed yet
+        if (rawSeedFiles(t, target).isDefined) target
+        else {
+          val e = pricedEnd(0L, limit)
+          if (e <= 0L) return s
+          if (rawSeedFiles(t, e).isEmpty)
+            return GraftCdcOffset(e) // materializing seed of (0, e]
+          e
+        }
+      }
+    rawSeedFiles(t, pin) match {
       case None =>
         // a MID-seed offset can only arise on the raw path and
         // eligibility is a pure function of the immutable pinned
         // snapshot — close the seed and let plan-time refuse loudly
-        if (s.seedPos >= 0) Some(GraftCdcOffset(s.snap)) else None
+        GraftCdcOffset(s.snap)
       case Some(files) =>
         val fromPos = math.max(s.seedPos, 0L).toInt
-        if (fromPos >= files.size) return Some(GraftCdcOffset(target))
+        if (fromPos >= files.size) return GraftCdcOffset(pin)
         val (maxF, maxR, maxB) = GraftReadLimits.caps(limit)
         if (maxF.isEmpty && maxR.isEmpty && maxB.isEmpty)
-          return Some(GraftCdcOffset(target))
+          return GraftCdcOffset(pin)
         var nf = 0L; var nr = 0L; var nb = 0L
         var pos = fromPos
         while (pos < files.size) {
@@ -322,11 +335,11 @@ final class GraftCdcMicroBatchStream(
             (maxF.exists(m => nf + 1 > m) ||
               maxR.exists(m => nr + f.recordCount > m) ||
               maxB.exists(m => nb + f.fileSizeBytes > m))
-          if (overflow) return Some(GraftCdcOffset(target, pos))
+          if (overflow) return GraftCdcOffset(pin, pos)
           nf += 1; nr += f.recordCount; nb += f.fileSizeBytes
           pos += 1
         }
-        Some(GraftCdcOffset(target))
+        GraftCdcOffset(pin)
     }
   }
 
@@ -387,9 +400,10 @@ final class GraftCdcMicroBatchStream(
       snapId: Long): Array[InputPartition] = {
     val paths = files.map(f =>
       Paths.get(dir, f.path).normalize().toString)
-    val scan = mkSeedDelegate.getOrElse(mkDelegate)(paths)
-    val rs = scan.readSchema()
     val output = mkDelegate(Nil).readSchema()
+    val scan = mkSeedDelegate.map(_(paths, output))
+      .getOrElse(mkDelegate(paths))
+    val rs = scan.readSchema()
     val ctOut = output.fieldNames.indexOf("_change_type")
     val vcOut = output.fieldNames.indexOf(t.virtualColumn)
     val srcOrd = output.fields.toSeq.zipWithIndex.map { case (f, i) =>

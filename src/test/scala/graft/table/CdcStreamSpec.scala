@@ -265,6 +265,34 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(mirror.count() == 7)
   }
 
+  test("bulk-loaded table made ineligible later still file-paces its seed") {
+    // the 100 TB shape: ONE giant initial append, then a merge-on-read
+    // delete makes the frozen end raw-ineligible — the fallback must pin
+    // the first ADMITTED snapshot and still pace ITS files, never emit
+    // the whole bulk load in one batch just because later state
+    // disqualified the head
+    val tb = GraftTable.create(s"$wh/db/c18", schema)
+    tb.append(df(batch(1, 9), parts = 3), Some(1000L)) // 3 files
+    tb.deleteEquality(spark,
+      df(Seq(Row(2L, "v2"))).select(col("id")), Seq("id"), Some(2000L))
+    val q = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("gc.db.c18__changes")
+      .writeStream.format("memory").queryName("cdc18")
+      .option("checkpointLocation", tmpDir("cdc-ckpt18"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val rows = spark.table("cdc18")
+    // 3 paced seed batches at snapshot 1 + 1 retraction batch
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4,
+      "bulk-load seed was not file-paced under the ineligible fallback")
+    assert(rows.filter(col("_change_type") === "delete").count() == 1)
+    val mirror = net(rows)
+    val want = tb.read(spark).select(col("id"), col("v"))
+    assert(mirror.exceptAll(want).isEmpty && want.exceptAll(mirror).isEmpty)
+    assert(mirror.count() == 8)
+  }
+
   test("identity-partitioned seed serves raw files via basePath recovery") {
     // identity partition values live ONLY in the directory names
     // (partitionBy drops them from the footers) — the seed's
