@@ -60,7 +60,8 @@ object Bench {
     // and would otherwise be billed to the first timed run of each v-query
     SparkEntry.queries.keys
       .filter(n => n.startsWith("v") || n == "d14_incremental_dedup" ||
-        n == "s17_incremental_index" || n == "p04_curation_cycle")
+        n == "s17_incremental_index" || n == "s19_ivfpq_indexed" ||
+        n == "p04_curation_cycle")
       .toSeq.sorted.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

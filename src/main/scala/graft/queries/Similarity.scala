@@ -395,6 +395,13 @@ object Similarity extends QueryPack {
         "embedding", k = 10)
     }),
 
+    // MATERIALIZED IVF-PQ index (s17 applied to s11): codes live in a
+    // cid-partitioned graft table, refreshed from the change feed; the
+    // probe reads probed cells' CODES only — no corpus pq_encode in the
+    // plan (SimilaritySpec asserts it). Same seeded quantizers as s11,
+    // so the result hash-matches the same oracle
+    "s19_ivfpq_indexed" -> ((s, d) => ivfPqIdxProbe(s, d)),
+
     // SPHERICAL-KMEANS Lloyd step with SEEDED centroids — the machinery
     // twin of s04 (assign every vector to its best centroid, then reduce
     // per-cell coordinate sums + member counts: exactly the corpus pass
@@ -533,10 +540,14 @@ object Similarity extends QueryPack {
     * over the raw corpus. The 100 TB maintenance story: a nightly
     * embedding batch costs O(batch) index work, and probes read only the
     * probed cells' files (manifest partition pruning on cid). */
-  private[queries] def incIdxFixture(
+  /** The two-snapshot versioned embedding corpus shared by the stored
+    * ANN indexes (s17 IVF, s19 IVF-PQ): 90% of the vectors land at
+    * snapshot 1, the rest arrive as the snapshot-2 "nightly batch" the
+    * incremental refreshes consume through the change feed. */
+  private[queries] def incCorpusFixture(
       spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): graft.table.GraftTable = {
-    val corpus = Versioned.cachedFixture(sfDir, "emb_inc", 2) { dir =>
+      sfDir: String): graft.table.GraftTable =
+    Versioned.cachedFixture(sfDir, "emb_inc", 2) { dir =>
       val emb = t(spark, sfDir, "embeddings")
         .select(col("vec_id"), vecD(col("embedding")).as("v"))
       val tb = graft.table.GraftTable.create(dir, emb.schema)
@@ -544,6 +555,11 @@ object Similarity extends QueryPack {
       tb.append(emb.filter(col("vec_id") % 10 === 0), committedAt = Some(2000L))
       tb
     }
+
+  private[queries] def incIdxFixture(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): graft.table.GraftTable = {
+    val corpus = incCorpusFixture(spark, sfDir)
     Versioned.cachedFixture(sfDir, "emb_inc_idx", 2) { dir =>
       val cb = graft.functions.CellAssign.codebook(
         seededCentroids(nCentroids = 8, seed = 23L), roundTo = 6)
@@ -590,6 +606,100 @@ object Similarity extends QueryPack {
       .select("n_id", "n_v", "cid")
     val scored = assigned.join(broadcast(q), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
+    rankTopK(scored, k)
+  }
+
+  // shared s19 quantizers — the s11 seeds, so the stored-index probe
+  // hash-matches the s11 oracle computed over the raw corpus
+  private def s19CellCb = graft.functions.CellAssign.codebook(
+    seededCentroids(nCentroids = 8, seed = 53L), roundTo = 6)
+  private def s19PqCb = graft.functions.PqCodebook(
+    seededPqBooks(m = 8, k = 16, seed = 61L), roundTo = 6)
+
+  /** MATERIALIZED IVF-PQ index — the FAISS-on-a-lake shape (the s17
+    * stored-IVF machinery applied to the s11 IVF-PQ plan): `(n_id, cid,
+    * codes)` persisted in a cid-partitioned graft table, built once from
+    * the corpus and refreshed INCREMENTALLY by encoding only the change
+    * feed (O(batch) — no corpus re-encode, no retrain). This is the
+    * scale fix for the one per-query O(corpus) compute left in the ANN
+    * surface: the inline-encode paths (s10/s11) re-run `pq_encode` over
+    * every vector per query batch, where a probe of this table reads m
+    * small int codes for the PROBED CELLS' files only. Deterministic
+    * seeded quantizers ⇒ incremental union == full rebuild exactly
+    * (asserted in SimilaritySpec). */
+  private[queries] def ivfPqIdxFixture(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): graft.table.GraftTable = {
+    val corpus = incCorpusFixture(spark, sfDir)
+    Versioned.cachedFixture(sfDir, "emb_ivfpq_idx", 2) { dir =>
+      val cellCb = s19CellCb
+      val pqCb = s19PqCb
+      // one fused pass per batch: cell argmax + PQ encode, nothing else
+      // ever recomputes codes (the probe is lookup-only)
+      def index(df: DataFrame): DataFrame = df
+        .select(col("vec_id").as("n_id"),
+          graft.functions.CellAssign.cell_argmax(col("v"), cellCb).as("cid"),
+          graft.functions.ProductQuantization.pq_encode(col("v"), pqCb)
+            .as("codes"))
+      val base = index(corpus.read(spark, Some(1L)).drop("snapshot__id"))
+      val idx = graft.table.GraftTable.create(dir, base.schema,
+        // hash distribution: one writer task per cell — 8 cells must not
+        // become 8 × n_tasks small files
+        properties = Map(graft.table.GraftTable.PropWriteDistribution -> "hash"),
+        partitionBy = Seq("cid"))
+      idx.append(base, committedAt = Some(1000L))
+      // the incremental refresh: ONLY the change feed is encoded
+      val batch = corpus.changes(spark, 1L, Some(2L)).drop("snapshot__id")
+      idx.append(index(batch), committedAt = Some(2000L))
+      idx
+    }
+  }
+
+  /** Probe the stored IVF-PQ index: queries go to their nProbe best
+    * cells; the index scan is pinned to exactly those cells (manifest
+    * partition pruning on cid) and yields CODES ONLY — no corpus vector
+    * is read and no `pq_encode` of the corpus appears anywhere in the
+    * probe plan (SimilaritySpec asserts this). ADC-score the probed
+    * cells' codes, cut to `rerank` candidates with the bounded heap,
+    * then re-rank exactly against the corpus table (a candidate-sized
+    * id join — O(queries × rerank) full vectors, not O(corpus)). */
+  private[queries] def ivfPqIdxProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      nProbe: Int = 3,
+      rerank: Int = 256): DataFrame = {
+    import graft.functions.DotProduct.dot_product
+    import graft.functions.ProductQuantization
+    val corpus = incCorpusFixture(spark, sfDir)
+    val idx = ivfPqIdxFixture(spark, sfDir)
+    val cellCb = s19CellCb
+    val pqCb = s19PqCb
+    val q0 = t(spark, sfDir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), vecD(col("embedding")).as("q_v"))
+      .limit(1024) // broadcast-policy bound, same as every probe side
+    val probes = q0.select(col("q_id"),
+      sqrt(dot_product(col("q_v"), col("q_v"))).as("q_norm"),
+      ProductQuantization.pq_dot_tables(col("q_v"), pqCb).as("tab"),
+      explode(graft.functions.CellAssign.cell_topn(col("q_v"), cellCb,
+        nProbe)).as("cid"))
+    // bounded driver state: ≤ queries × nProbe cell ids
+    val cids = probes.select("cid").distinct().collect().map(_.getInt(0))
+    val indexed = idx
+      .scan(spark, Some(col("cid").isin(cids.map(Int.box).toSeq: _*)))
+      .select("n_id", "cid", "codes")
+    val cand = indexed.join(broadcast(probes), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("approx_cos", adcCos(pqCb, roundApprox = 6))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.GraftFunctions
+        .top_k_by_score(col("approx_cos"), col("n_id"), rerank).as("top"))
+      .select(col("q_id"), explode(col("top")).as("cnd"))
+      .select(col("q_id"), col("cnd.id").as("n_id"))
+    val c = corpus.read(spark)
+      .select(col("vec_id").as("n_id"), col("v").as("n_v"))
+    val scored = cand.join(broadcast(q0), "q_id").join(c, "n_id")
       .withColumn("cos", Dedup.cosineSim(col("q_v"), col("n_v")))
     rankTopK(scored, k)
   }
@@ -691,6 +801,25 @@ object Similarity extends QueryPack {
     pqAdcTopK(c, q0, cb, k, rerank, roundApprox = 6)
   }
 
+  /** The ADC score column shared by every PQ consumer (trained s06/s08,
+    * seeded s10/s11, the stored s19 index): m lookups into the query's
+    * per-subspace dot tables (`tab`) by the row's `codes`, normalized by
+    * `q_norm` and the codeword-norm literal table. Left-assoc sum order
+    * on both terms — the seeded oracles replay it bit for bit. */
+  private def adcCos(
+      cb: graft.functions.PqCodebook, roundApprox: Int): Column = {
+    val m = cb.m
+    val normSqLit = typedLit(cb.normSq.map(_.toSeq).toSeq)
+    val approxDot = (0 until m)
+      .map(mi => element_at(element_at(col("tab"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
+    val approxNormSq = (0 until m)
+      .map(mi => element_at(element_at(normSqLit, mi + 1),
+        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
+    val raw = approxDot / (col("q_norm") * sqrt(approxNormSq))
+    if (roundApprox < 0) raw else round(raw, roundApprox)
+  }
+
   /** The PQ ADC plan shared by the trained ([[pqTopK]]) and seeded
     * ([[pqTopKSeeded]]) paths: encode the corpus, score with per-query dot
     * tables, cut to `rerank` candidates with the bounded heap, re-rank the
@@ -705,7 +834,6 @@ object Similarity extends QueryPack {
       roundApprox: Int = -1): DataFrame = {
     import graft.functions.DotProduct.dot_product
     import graft.functions.ProductQuantization
-    val m = cb.m
 
     // encode: exact-L2 nearest codeword per subspace, one fused loop
     val codes = c.select(col("n_id"),
@@ -718,15 +846,7 @@ object Similarity extends QueryPack {
 
     // ADC scan: m table lookups per row — neither the full vectors nor
     // any vector math enter this pass
-    val normSqLit = typedLit(cb.normSq.map(_.toSeq).toSeq)
-    val approxDot = (0 until m)
-      .map(mi => element_at(element_at(col("tab"), mi + 1),
-        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
-    val approxNormSq = (0 until m)
-      .map(mi => element_at(element_at(normSqLit, mi + 1),
-        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
-    val approxRaw = approxDot / (col("q_norm") * sqrt(approxNormSq))
-    val approxCos = if (roundApprox < 0) approxRaw else round(approxRaw, roundApprox)
+    val approxCos = adcCos(cb, roundApprox)
     val cand = codes.join(broadcast(qTabs), col("n_id") =!= col("q_id"))
       .withColumn("approx_cos", approxCos)
       .groupBy(col("q_id"))
@@ -836,7 +956,6 @@ object Similarity extends QueryPack {
       roundApprox: Int = -1): DataFrame = {
     import graft.functions.DotProduct.dot_product
     import graft.functions.ProductQuantization
-    val m = cb.m
 
     // index pass: one corpus scan emits (cell id, PQ codes) per vector
     val indexed = c.select(col("n_id"),
@@ -853,15 +972,7 @@ object Similarity extends QueryPack {
     // ADC inside probed cells only; broadcast the LIMIT-bounded probe side
     // (cid has nCells distinct values — a shuffle join would hash the
     // corpus into nCells partitions, the s05 lesson)
-    val normSqLit = typedLit(cb.normSq.map(_.toSeq).toSeq)
-    val approxDot = (0 until m)
-      .map(mi => element_at(element_at(col("tab"), mi + 1),
-        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
-    val approxNormSq = (0 until m)
-      .map(mi => element_at(element_at(normSqLit, mi + 1),
-        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
-    val approxRaw = approxDot / (col("q_norm") * sqrt(approxNormSq))
-    val approxCos = if (roundApprox < 0) approxRaw else round(approxRaw, roundApprox)
+    val approxCos = adcCos(cb, roundApprox)
     val cand = indexed.join(broadcast(probes), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("approx_cos", approxCos)
@@ -1091,6 +1202,47 @@ object Similarity extends QueryPack {
     PqOracleFragments(cbCtes, encCtes, codeJoins, codeCols, dotTerms, nsTerms)
   }
 
+  /** The seeded IVF-PQ oracle (s09's assign/probe CTEs composed with
+    * s10's encode/ADC CTEs): the candidate space is (probed cell ∩
+    * corpus cell) — each corpus vector lives in exactly one cell, so no
+    * pair dedup is needed — and the ADC scoring, rerank cut, and exact
+    * re-rank replay s10. Shared by s11 (inline encode) and s19 (stored
+    * index) — both compute the identical result. */
+  private lazy val ivfPqSeededOracleSql: String = {
+    val cells = seededCentroids(nCentroids = 8, seed = 53L)
+    val cb = graft.functions.PqCodebook(
+      seededPqBooks(m = 8, k = 16, seed = 61L), roundTo = 6)
+    val f = pqOracleFragments(cb)
+      val centValues = cells.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.map(_.toString).mkString("[", ", ", "]")})"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        s"cents(cid, c) AS (SELECT * FROM (VALUES $centValues) t(cid, c)), " +
+        "sims AS (SELECT vec_id, cid, round(list_cosine_similarity(v, c), 6) AS sim " +
+        "FROM e, cents), " +
+        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sims) WHERE rn = 1), " +
+        "probe AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sims " +
+        "WHERE vec_id < 5) WHERE rn <= 3), " +
+        s"${f.cbCtes}, ${f.encCtes}, " +
+        s"codes AS (SELECT e.vec_id, ${f.codeCols} FROM e ${f.codeJoins}), " +
+        "qt AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS q_norm " +
+        "FROM e WHERE vec_id < 5), " +
+        "adc AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id, " +
+        s"round(${f.dotTerms} / (q.q_norm * sqrt(${f.nsTerms})), 6) AS approx " +
+        "FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id " +
+        "JOIN qt q ON q.vec_id = p.vec_id " +
+        "JOIN codes n ON n.vec_id = a.vec_id), " +
+        "cand AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY approx DESC, n_id ASC) AS rn FROM adc) WHERE rn <= 256), " +
+        "scored AS (SELECT q_id, n_id, list_cosine_similarity(eq.v, en.v) AS cos " +
+        "FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id), " +
+        "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
+        "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "s01_knn_brute" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
@@ -1317,44 +1469,11 @@ object Similarity extends QueryPack {
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
         "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
     },
-    "s11_knn_ivfpq_seeded" -> {
-      // s09's assign/probe CTEs composed with s10's encode/ADC CTEs: the
-      // candidate space is (probed cell ∩ corpus cell) — each corpus
-      // vector lives in exactly one cell, so no pair dedup is needed —
-      // and the ADC scoring, rerank cut, and exact re-rank replay s10
-      val cells = seededCentroids(nCentroids = 8, seed = 53L)
-      val cb = graft.functions.PqCodebook(
-        seededPqBooks(m = 8, k = 16, seed = 61L), roundTo = 6)
-      val f = pqOracleFragments(cb)
-      val centValues = cells.zipWithIndex.map { case (c, i) =>
-        s"($i, ${c.map(_.toString).mkString("[", ", ", "]")})"
-      }.mkString(", ")
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
-        s"cents(cid, c) AS (SELECT * FROM (VALUES $centValues) t(cid, c)), " +
-        "sims AS (SELECT vec_id, cid, round(list_cosine_similarity(v, c), 6) AS sim " +
-        "FROM e, cents), " +
-        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
-        "(PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sims) WHERE rn = 1), " +
-        "probe AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
-        "(PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM sims " +
-        "WHERE vec_id < 5) WHERE rn <= 3), " +
-        s"${f.cbCtes}, ${f.encCtes}, " +
-        s"codes AS (SELECT e.vec_id, ${f.codeCols} FROM e ${f.codeJoins}), " +
-        "qt AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS q_norm " +
-        "FROM e WHERE vec_id < 5), " +
-        "adc AS (SELECT p.vec_id AS q_id, a.vec_id AS n_id, " +
-        s"round(${f.dotTerms} / (q.q_norm * sqrt(${f.nsTerms})), 6) AS approx " +
-        "FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id " +
-        "JOIN qt q ON q.vec_id = p.vec_id " +
-        "JOIN codes n ON n.vec_id = a.vec_id), " +
-        "cand AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY approx DESC, n_id ASC) AS rn FROM adc) WHERE rn <= 256), " +
-        "scored AS (SELECT q_id, n_id, list_cosine_similarity(eq.v, en.v) AS cos " +
-        "FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id), " +
-        "ranked AS (SELECT q_id, n_id, cos, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
-        "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
-    },
+    "s11_knn_ivfpq_seeded" -> ivfPqSeededOracleSql,
+    // the stored-index probe computes the SAME result as s11 (identical
+    // seeded quantizers, corpus, queries) — only WHERE the codes come
+    // from differs (materialized cid-partitioned table vs inline encode)
+    "s19_ivfpq_indexed" -> ivfPqSeededOracleSql,
     "s07_retrieval" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
         "q AS (SELECT vec_id, v FROM e WHERE vec_id < 3), " +

@@ -1044,6 +1044,30 @@ object Versioned extends QueryPack {
     // I/O), the layout-health view an operator reads before targeting
     // compaction. Values must equal a real GROUP BY recompute of the
     // source (and the snapshot log's literal content).
+    // `_file`/`_pos` METADATA COLUMNS (Iceberg row-provenance parity on
+    // the DSv2 catalog, SupportsMetadataColumns): per-file row counts
+    // computed FROM THE ROWS via `_file` must equal the manifest's
+    // recorded `__files` counts, and `_pos` enumerates each file densely
+    // from 0 (max_pos = n_rows - 1) — the coordinates a SQL curation job
+    // selects victims by and applies with deletePositionalAt (the
+    // end-to-end flow is spec-checked; this query proves the columns).
+    "v57_graft_filepos" -> ((s, d) => {
+      val tb = filesMetaFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g57", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g57.warehouse", wh)
+      s.sql(
+        "WITH per_file AS (SELECT _file, count(*) AS n_rows, " +
+          "min(n_nationkey) AS lo_key, max(_pos) AS max_pos " +
+          "FROM g57.db.files_meta_nation GROUP BY _file) " +
+          "SELECT p.lo_key, p.n_rows, p.max_pos, " +
+          "f.record_count AS recorded " +
+          "FROM per_file p JOIN g57.db.files_meta_nation__files f " +
+          "ON substring_index(p._file, '/', -1) = " +
+          "substring_index(f.file_path, '/', -1) " +
+          "ORDER BY p.lo_key")
+    }),
+
     "v53_graft_meta_tables" -> ((s, d) => {
       val tb = aggNationFixture(s, d)
       val wh = Paths.get(tb.dir).getParent.getParent.toString
@@ -1672,6 +1696,15 @@ object Versioned extends QueryPack {
       ("SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation, " +
         "CAST(n_regionkey AS VARCHAR) AS region, count(*) AS record_count " +
         "FROM nation GROUP BY n_regionkey ORDER BY region"),
+    // per-file counts via _file / dense _pos must replay the fixture's
+    // three key-slice single-file appends over the raw source
+    "v57_graft_filepos" ->
+      ("WITH s AS (SELECT CASE WHEN n_nationkey < 10 THEN 0 " +
+        "WHEN n_nationkey < 20 THEN 1 ELSE 2 END AS g, n_nationkey " +
+        "FROM nation) " +
+        "SELECT min(n_nationkey) AS lo_key, count(*) AS n_rows, " +
+        "count(*) - 1 AS max_pos, count(*) AS recorded " +
+        "FROM s GROUP BY g ORDER BY lo_key"),
     // the maintained (compacted + expired + orphan-swept) table must
     // hold exactly the source rows, once each
     "v52_graft_sql_maintenance" ->

@@ -65,6 +65,11 @@ final class GraftCatalog(warehouse: String) {
         return GraftTable.load(tableDir(identifier)).read(spark)
       val base = identifier.dropRight(GraftTable.RefsSuffix.length)
       GraftTable.load(tableDir(base)).refsTable(spark)
+    } else if (identifier.endsWith(GraftTable.HistorySuffix)) {
+      if (GraftTable.exists(tableDir(identifier)))
+        return GraftTable.load(tableDir(identifier)).read(spark)
+      val base = identifier.dropRight(GraftTable.HistorySuffix.length)
+      GraftTable.load(tableDir(base)).historyTable(spark)
     } else if (identifier.endsWith(GraftTable.DeletesSuffix)) {
       if (GraftTable.exists(tableDir(identifier)))
         return GraftTable.load(tableDir(identifier)).read(spark)

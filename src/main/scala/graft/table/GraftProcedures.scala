@@ -125,16 +125,20 @@ object GraftProcedures {
   private def rewriteDataFiles(wh: String): UnboundProcedure = new Proc(
     "rewrite_data_files",
     "Compact files smaller than smaller_than_bytes into target-size " +
-      "files (one row-preserving replace snapshot; streams skip it). " +
+      "files (row-preserving replace snapshots; streams skip them). " +
       "sort_by/zorder_by take comma-separated columns for clustered " +
-      "rewrites. Returns the replace snapshot id, or no rows when " +
-      "nothing qualified.",
+      "rewrites. max_file_group_bytes > 0 enables PARTIAL PROGRESS: " +
+      "candidates are bin-packed into input groups of at most that many " +
+      "bytes and each group commits its own replace snapshot (a failed " +
+      "group never rolls back completed ones). Returns the replace " +
+      "snapshot id(s), or no rows when nothing qualified.",
     Array(
       in("table", StringType),
       inDefault("smaller_than_bytes", LongType, "9223372036854775807"),
       inDefault("target_file_bytes", LongType, "0"),
       inDefault("sort_by", StringType, "''"),
-      inDefault("zorder_by", StringType, "''")),
+      inDefault("zorder_by", StringType, "''"),
+      inDefault("max_file_group_bytes", LongType, "0")),
     StructType(Seq(StructField("replace_snapshot_id", LongType,
       nullable = false))),
     row => {
@@ -144,12 +148,23 @@ object GraftProcedures {
         else row.getUTF8String(i).toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
       val target = row.getLong(2)
-      t.compact(org.apache.spark.sql.SparkSession.active,
-        smallerThanBytes = row.getLong(1),
-        sortBy = cols(3),
-        targetFileBytes = if (target > 0L) Some(target) else None,
-        zorderBy = cols(4))
-        .map(s => Seq[Any](s.snapshotId)).toSeq
+      val groupBytes = row.getLong(5)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val snaps =
+        if (groupBytes > 0L)
+          t.compactPartial(spark,
+            smallerThanBytes = row.getLong(1),
+            maxFileGroupBytes = groupBytes,
+            sortBy = cols(3),
+            targetFileBytes = if (target > 0L) Some(target) else None,
+            zorderBy = cols(4))
+        else
+          t.compact(spark,
+            smallerThanBytes = row.getLong(1),
+            sortBy = cols(3),
+            targetFileBytes = if (target > 0L) Some(target) else None,
+            zorderBy = cols(4)).toSeq
+      snaps.map(s => Seq[Any](s.snapshotId))
     })
 
   private def rewriteManifests(wh: String): UnboundProcedure = new Proc(

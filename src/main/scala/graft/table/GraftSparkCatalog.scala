@@ -128,7 +128,8 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
     "__segments" -> ((t, s, v) => t.segmentsTable(s, v)),
     "__partitions" -> ((t, s, v) => t.partitionsTable(s, v)),
     "__deletes" -> ((t, s, v) => t.deletesTable(s, v)),
-    "__refs" -> ((t, s, _) => t.refsTable(s)))
+    "__refs" -> ((t, s, _) => t.refsTable(s)),
+    "__history" -> ((t, s, _) => t.historyTable(s)))
 
   /** The file-granular views keep their distributed lineage (V1Scan);
     * the summary-driven rest stay driver-local row sets. */
@@ -191,7 +192,8 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
         val base = Identifier.of(
           ident.namespace(), ident.name().stripSuffix(sfx))
         if (tableExists(base)) {
-          require(sfx != "__snapshots" && sfx != "__refs",
+          require(sfx != "__snapshots" && sfx != "__refs" &&
+              sfx != "__history",
             s"$sfx is table-global — it has no per-snapshot form")
           val bt = loadGraft(base)
           val id = version.toLongOption.orElse(bt.refs.get(version))
@@ -245,7 +247,8 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
         val base = Identifier.of(
           ident.namespace(), ident.name().stripSuffix(sfx))
         if (tableExists(base)) {
-          require(sfx != "__snapshots" && sfx != "__refs",
+          require(sfx != "__snapshots" && sfx != "__refs" &&
+              sfx != "__history",
             s"$sfx is table-global — it has no per-snapshot form")
           val bt = loadGraft(base)
           val id = bt.snapshotAsOfTime(timestampMicros / 1000L)
@@ -372,10 +375,37 @@ final class GraftV2Table(
     t: GraftTable,
     snapshotId: Option[Long]) extends Table with SupportsRead
     with SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = tableName
   override def schema(): StructType = t.schema
+
+  /** Iceberg-parity row-provenance metadata columns: `_file` (the data
+    * file serving the row) and `_pos` (its row position in that file —
+    * the positional-delete coordinate). Selecting either routes the scan
+    * through a V1 relation projecting the parquet reader's
+    * `_metadata.file_path`/`row_index` over the same manifest-pruned
+    * file list, so `_pos` is EXACTLY the index the positional-delete
+    * machinery joins on — a SQL curation job can SELECT victims by
+    * `_file`/`_pos` and apply them with [[GraftTable.deletePositionalAt]]
+    * end to end, no full-precision rewrite anywhere. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "data file path serving the row"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "row position within its data file"
+    })
 
   /** The library table behind this DSv2 wrapper — the SQL DML rule
     * ([[ResolveGraftDml]]) routes UPDATE/MERGE to its commit paths. */
@@ -863,8 +893,56 @@ final class GraftV2Table(
       claimFilters = filters => {
         val kept = keptFor(filters)
         filters.filter(c => kept.forall(t.provenAll(c)))
-      })
+      },
+      metadataColScan = Some((req, paths) =>
+        new GraftFileposScan(tableName, t.schema, req,
+          new util.HashMap[String, String](opts), paths)))
   }
+}
+
+/** V1-relation scan serving the `_file`/`_pos` metadata columns of
+  * [[GraftV2Table]]: the pruned parquet file list is read through the
+  * DataFrame path (where the reader's `_metadata` provenance struct is
+  * available) and projected to the required schema — `_file` ←
+  * `_metadata.file_path`, `_pos` ← `_metadata.row_index`, data columns
+  * as themselves. No filter is applied here: everything stayed residual
+  * at the pruning builder, so Spark re-applies the full predicate above
+  * this relation — and with no parquet row-group skipping in play,
+  * `row_index` is the plain physical position, bit-identical to what the
+  * positional-delete write path records. Identity-partitioned layouts
+  * recover their directory keys through the same `basePath` option as
+  * the delegate scan. */
+final class GraftFileposScan(
+    tableName: String,
+    tableSchema: StructType,
+    required: StructType,
+    options: util.Map[String, String],
+    paths: Seq[String]) extends org.apache.spark.sql.connector.read.V1Scan {
+  override def readSchema(): StructType = required
+  override def description(): String = s"graft _file/_pos scan of $tableName"
+  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](
+      context: org.apache.spark.sql.SQLContext): T =
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.Row] = {
+        val spark = context.sparkSession
+        if (paths.isEmpty)
+          return spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+        import org.apache.spark.sql.functions.col
+        val df = spark.read.schema(tableSchema)
+          .options(options.asScala.toMap).parquet(paths: _*)
+        val cols = required.fields.toSeq.map(_.name match {
+          case "_file" => col("_metadata.file_path").as("_file")
+          case "_pos" => col("_metadata.row_index").as("_pos")
+          case n => col(n)
+        })
+        df.select(cols: _*).rdd
+      }
+    }.asInstanceOf[T]
 }
 
 

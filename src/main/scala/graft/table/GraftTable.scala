@@ -59,6 +59,10 @@ final class GraftTable private (
       newDropped: Seq[String] = droppedColumns,
       newRenames: Seq[ColumnRename] = renames,
       newWidenings: Seq[ColumnWidening] = widenings): GraftTable = {
+    // malformed auto-compaction values refuse HERE, not inside a
+    // running stream's commit path
+    GraftTable.streamCompactEvery(newProps)
+    GraftTable.streamCompactBytes(newProps): Unit
     val meta = Map(
       "format_version" -> 1L,
       "schema" -> newSchema.json,
@@ -724,6 +728,26 @@ final class GraftTable private (
             "columns, it never widens types")
       }
     }
+    // pre-validate EVERY extra against addColumn's pure guards before the
+    // first one commits metadata: extra #1's addColumn is permanent, so a
+    // refusal on extra #2 (resurrection guard, virtual-column shadow,
+    // duplicate source name) must fire with nothing evolved
+    val dupes = extra.map(_.name).groupBy(_.toLowerCase)
+      .collect { case (_, vs) if vs.size > 1 => vs.head }
+    require(dupes.isEmpty,
+      s"mergeSchema source repeats new column(s) ${dupes.mkString(", ")}")
+    extra.foreach { f =>
+      require(f.name != virtualColumn,
+        s"column '${f.name}' would shadow the virtual snapshot column")
+      require(!droppedColumns.contains(f.name),
+        s"column '${f.name}' was dropped from $dir — existing files " +
+          "still carry its physical values, so re-adding it would " +
+          "resurrect them; pick a new name")
+      require(!renames.exists(_.from == f.name),
+        s"column '${f.name}' is an old-era physical name in $dir " +
+          "(renamed away) — adding it would resurrect pre-rename " +
+          "values; pick a new name")
+    }
     extra.foldLeft(this)((t, f) => t.addColumn(f.name, f.dataType))
   }
 
@@ -1241,44 +1265,64 @@ final class GraftTable private (
     * carried into the new manifest untouched. Partitioned tables rewrite
     * through the same partitioned writer, so files never mix partitions.
     * Returns None (no commit) when fewer than two files qualify. */
+  /** The files a compaction of `current` would rewrite: everything under
+    * the size threshold, plus — regardless of size — files covered by a
+    * PENDING deferred delete of any form (compact() is the
+    * materialization step; a pending delete whose covered files all sit
+    * above the threshold would otherwise never clear) and pre-rename/
+    * pre-widening era files (compaction is also the schema-era migration
+    * step — branching and the raw DSv2 path require a fully-migrated
+    * table). Shared by [[compact]] and [[compactPartial]]'s group
+    * planner, in manifest order. */
+  private def compactCandidates(
+      current: Snapshot,
+      manifest: Manifest,
+      smallerThanBytes: Long): Seq[DataFileEntry] = {
+    val pend = parsePending(current)
+    val eqPend = parseEquality(current)
+    val posTargets: Set[String] =
+      parsePositional(current).flatMap(_.targets.keys).toSet
+    manifest.files.filter(f =>
+      f.fileSizeBytes < smallerThanBytes ||
+      posTargets.contains(f.path) || pend.exists {
+        case (covered, _) => fileSnapId(f.path).forall(_ <= covered) } ||
+      eqPend.exists(e => fileSnapId(f.path).forall(_ <= e.covered)) ||
+      renameAffects(f))
+  }
+
   def compact(
       spark: SparkSession,
       smallerThanBytes: Long,
       committedAt: Option[Long] = None,
       sortBy: Seq[String] = Nil,
       targetFileBytes: Option[Long] = None,
-      zorderBy: Seq[String] = Nil): Option[Snapshot] = {
+      zorderBy: Seq[String] = Nil,
+      onlyPaths: Option[Set[String]] = None): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val pend = parsePending(current)
     val posPend = parsePositional(current)
     val eqPend = parseEquality(current)
-    val posTargets: Set[String] = posPend.flatMap(_.targets.keys).toSet
-    val (smallRaw, bigRaw) =
-      manifest.files.partition(_.fileSizeBytes < smallerThanBytes)
-    // files covered by a PENDING deferred delete — any form — are
-    // force-included in the rewrite regardless of size: compact() is the
-    // materialization step, and a pending delete whose covered files all
-    // sit ABOVE the threshold would otherwise never clear
-    val (forced, big) = bigRaw.partition(f =>
-      posTargets.contains(f.path) || pend.exists {
-        case (covered, _) => fileSnapId(f.path).forall(_ <= covered) } ||
-      eqPend.exists(e => fileSnapId(f.path).forall(_ <= e.covered)) ||
-      // compaction is ALSO the schema-era migration step: pre-rename/
-      // pre-widening files rewrite under the current names/types
-      // whatever their size (branching and the raw DSv2 path require a
-      // fully-migrated table)
-      renameAffects(f))
-    val small = smallRaw ++ forced
+    val small0 = compactCandidates(current, manifest, smallerThanBytes)
+    // onlyPaths restricts the rewrite to one planned FILE GROUP (the
+    // compactPartial per-group commit); everything else — including
+    // other groups' candidates — carries over untouched
+    val small = onlyPaths.map(ps => small0.filter(f => ps(f.path)))
+      .getOrElse(small0)
+    val smallSet = small.map(_.path).toSet
+    val big = manifest.files.filterNot(f => smallSet(f.path))
     // a single qualifying file is not worth repacking — UNLESS deferred
     // deletes are pending or a schema-era migration is due: then the
     // rewrite IS the materialization step (without this, a one-file
     // table could never clear its pending set / old eras, and
-    // copy-on-write DML / branching would stay blocked forever)
+    // copy-on-write DML / branching would stay blocked forever).
+    // An explicit onlyPaths group was PLANNED by compactPartial —
+    // rewrite it as mandated even when it holds one file
     if (small.isEmpty ||
-        (small.size < 2 && pend.isEmpty && posPend.isEmpty &&
-          eqPend.isEmpty && !small.exists(renameAffects))) return None
+        (onlyPaths.isEmpty && small.size < 2 && pend.isEmpty &&
+          posPend.isEmpty && eqPend.isEmpty &&
+          !small.exists(renameAffects))) return None
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are mutually exclusive")
     (sortBy ++ zorderBy).foreach(c => require(schema.fieldNames.contains(c),
@@ -1347,6 +1391,75 @@ final class GraftTable private (
         SummaryPendingDeletes -> pendingJsonFull(stillPending),
         SummaryPositionalDeletes -> positionalJson(stillPositional),
         SummaryEqualityDeletes -> equalityJson(stillEquality))))
+  }
+
+  /** PARTIAL-PROGRESS compaction (the Iceberg `rewrite_data_files`
+    * `partial-progress` + `max-file-group-size-bytes` analog): the
+    * candidate set is planned ONCE against the current snapshot, greedily
+    * bin-packed in manifest order into groups of at most
+    * `maxFileGroupBytes` input bytes, and each group is rewritten and
+    * committed INDEPENDENTLY — one retry-wrapped `"replace"` snapshot per
+    * group, each replanned against the then-current log so concurrent
+    * writers compose. The 100 TB point: one all-candidates rewrite is a
+    * giant conflict window and an all-or-nothing job; per-group commits
+    * bound both — a failure loses ONE group's work and every completed
+    * group stays committed (rows are never lost: a failed group's files
+    * simply remain in the manifest). Groups that fail do not stop later
+    * groups; if any failed, the error is rethrown AFTER the sweep with
+    * the committed/total counts (partial progress is still on disk).
+    * Returns the committed replace snapshots in commit order. */
+  def compactPartial(
+      spark: SparkSession,
+      smallerThanBytes: Long,
+      maxFileGroupBytes: Long,
+      committedAt: Option[Long] = None,
+      sortBy: Seq[String] = Nil,
+      targetFileBytes: Option[Long] = None,
+      zorderBy: Seq[String] = Nil): Seq[Snapshot] = {
+    require(maxFileGroupBytes > 0, "maxFileGroupBytes must be positive")
+    val current = log.current.getOrElse(return Nil)
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val candidates = compactCandidates(current, manifest, smallerThanBytes)
+    if (candidates.size < 2) // single group, single commit: delegate
+      return compact(spark, smallerThanBytes, committedAt, sortBy,
+        targetFileBytes, zorderBy).toSeq
+    // greedy bin-pack in manifest order; a file larger than the cap
+    // (force-included MoR/era candidates) forms its own group
+    val groups = candidates.foldLeft(List.empty[(Long, List[DataFileEntry])]) {
+      case (acc, f) => acc match {
+        case (bytes, g) :: rest if bytes + f.fileSizeBytes <= maxFileGroupBytes =>
+          (bytes + f.fileSizeBytes, f :: g) :: rest
+        case _ => (f.fileSizeBytes, f :: Nil) :: acc
+      }
+    }.reverse.map(_._2.reverse)
+    if (groups.size == 1)
+      return compact(spark, smallerThanBytes, committedAt, sortBy,
+        targetFileBytes, zorderBy).toSeq
+    var failures = List.empty[(Int, Throwable)]
+    val committed = groups.zipWithIndex.flatMap { case (g, i) =>
+      try withCommitRetry() {
+        // reload: each group's rewrite replans against the winner of any
+        // concurrent commit (including the previous group's replace)
+        GraftTable.load(dir).compact(spark, smallerThanBytes, committedAt,
+          sortBy, targetFileBytes, zorderBy,
+          onlyPaths = Some(g.map(_.path).toSet))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          failures ::= (i, e); None
+      }
+    }
+    if (failures.nonEmpty) {
+      val fs = failures.reverse
+      throw new IllegalStateException(
+        s"compactPartial committed ${committed.size}/${groups.size} file " +
+          s"groups of $dir; failed group(s): " +
+          fs.map { case (i, e) =>
+            s"#$i (${String.valueOf(e.getMessage).linesIterator
+              .take(1).mkString.take(200)})" }.mkString("; ") +
+          " — their files remain unrewritten; completed groups stay " +
+          "committed", fs.head._2)
+    }
+    committed
   }
 
   /** ADMIN: re-shard the current snapshot's manifest into segments of
@@ -1976,6 +2089,48 @@ final class GraftTable private (
       raw => raw.join(keySel, keyCols, "left_semi"), committedAt)
   }
 
+  /** [[deletePositional]] addressed by explicit `(file, position)`
+    * pairs — the `_file`/`_pos` metadata-column curation flow
+    * ([[GraftV2Table.metadataColumns]]): a SQL job SELECTs victim rows'
+    * `_file`/`_pos` through the DSv2 catalog and hands them here to land
+    * as a merge-on-read positional entry, no file rewritten. `victims`
+    * needs columns `_file` (any path form — only the BASENAME identifies
+    * a file, same as the read-path anti-join) and `_pos` (castable to
+    * long). Candidate files are exactly the named ones (driver state =
+    * the distinct basenames, O(named files) — metadata-class); the
+    * position scan semi-joins those files' provenance rows against the
+    * pairs, so a pair pointing at an already-deleted or nonexistent
+    * position is simply ignored (the entry stays disjoint and exact). */
+  def deletePositionalAt(
+      spark: SparkSession,
+      victims: DataFrame,
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.substring_index
+    Seq("_file", "_pos").foreach(c => require(victims.columns.contains(c),
+      s"victims DataFrame lacks column '$c'"))
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
+      s"$dir has other merge-on-read deletes pending — the forms do not " +
+        "stack; compact() first")
+    val pairs = victims
+      .select(substring_index(col("_file"), "/", -1).as(MetaFileCol),
+        col("_pos").cast(LongType).as(MetaPosCol))
+      .distinct()
+    val names = pairs.select(MetaFileCol).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (names.isEmpty) return None
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val (partial, untouched) =
+      manifest.files.partition(f => names(baseName(f.path)))
+    if (partial.isEmpty) return None
+    val untouchedM = manifest.retainPaths(untouched.map(_.path).toSet)
+    positionalCore(spark, lg, current, manifest, untouchedM,
+      dropped = Nil, partial = partial,
+      raw => raw.join(pairs, Seq(MetaFileCol, MetaPosCol), "left_semi"),
+      committedAt)
+  }
+
   /** Shared tail of the positional-delete entry points: compute victim
     * positions over `partial` (already-deleted positions excluded, so
     * entries stay disjoint), stage + land the delete parquets, and commit
@@ -2340,6 +2495,19 @@ final class GraftTable private (
       mergeSchema: Boolean = false): Snapshot = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     if (mergeSchema) {
+      // EVERY deterministic refusal this merge could hit is checked
+      // BEFORE widenForSource commits addColumn metadata (which is
+      // permanent — dropColumn only tombstones): the CoW pending-deletes
+      // refusal, and the merge key against the WOULD-BE widened field
+      // set. A merge that would refuse must refuse with nothing evolved.
+      require(log.current.forall(c =>
+          parsePending(c).isEmpty && parseEquality(c).isEmpty),
+        s"$dir has deferred deletes pending — compact() to materialize " +
+          "them before running copy-on-write DML")
+      val widenedNames = schema.fieldNames ++
+        source.schema.fieldNames.filterNot(n =>
+          schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(widenedNames.contains(keyCol), s"unknown merge key '$keyCol'")
       val widened = widenForSource(source.schema)
       if (widened ne this)
         // the widened schema appends the new columns in source order; the
@@ -3696,10 +3864,11 @@ final class GraftTable private (
       spark: SparkSession,
       epoch: Long,
       committedAt: Option[Long] = None): Unit = {
-    val every = properties.get(PropStreamCompactEvery).map(_.trim.toInt)
-    every.filter(n => n > 0 && epoch % n == 0).foreach { _ =>
-      val thr = properties.get(PropStreamCompactBytes)
-        .map(_.trim.toLong).getOrElse(32L * 1024 * 1024)
+    // epoch 0 trivially satisfies epoch % n == 0 — the very first
+    // committed batch has at most one file, nothing worth folding
+    val every = GraftTable.streamCompactEvery(properties)
+    every.filter(n => epoch > 0 && epoch % n == 0).foreach { _ =>
+      val thr = GraftTable.streamCompactBytes(properties)
       // retry-wrapped like every other streaming commit path: a benign
       // race with a concurrent writer must never fail the stream (the
       // retried compact recomputes against the winner's log)
@@ -4171,6 +4340,38 @@ final class GraftTable private (
       spark.sparkContext.parallelize(rows, 1), RefsSchema)
   }
 
+  /** The `__history` system table (Iceberg `history` parity): one row
+    * per log entry with `is_current_ancestor` computed over the
+    * EFFECTIVE state lineage — a `"rollback"` commit's state-parent is
+    * the snapshot it rolled back to (its `rolled-back-to` summary), not
+    * its physical parent, so snapshots rolled PAST are correctly not
+    * ancestors of the current state while the rollback commit and its
+    * target are. O(commits) driver rows, like `__snapshots`; expired
+    * targets simply truncate the walk (their rows are gone anyway). */
+  def historyTable(spark: SparkSession): DataFrame = {
+    val lg = log
+    val byId = lg.snapshots.map(s => s.snapshotId -> s).toMap
+    val ancestors = scala.collection.mutable.Set.empty[Long]
+    var cur = lg.current
+    while (cur.isDefined) {
+      val s = cur.get
+      if (!ancestors.add(s.snapshotId)) cur = None // defensive cycle guard
+      else {
+        val parent =
+          if (s.operation == "rollback")
+            s.summary.get("rolled-back-to").flatMap(_.toLongOption)
+          else s.parentId
+        cur = parent.flatMap(byId.get)
+      }
+    }
+    val rows = lg.snapshots.map { s =>
+      Row(s.committedAt, s.snapshotId, s.parentId.map(Long.box).orNull,
+        ancestors.contains(s.snapshotId))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), HistorySchema)
+  }
+
   /** The `__snapshots` system table (V1/S7). Tiny metadata → a local
     * DataFrame is correct at any scale (the data it describes is big; the
     * log is not). Schema mirrors SnapshotIterable.createSnapshotRecord. */
@@ -4248,6 +4449,30 @@ object GraftTable {
     * every Nth committed epoch / below this size (default 32 MiB). */
   val PropStreamCompactEvery = "graft.stream.compact-every-epochs"
   val PropStreamCompactBytes = "graft.stream.compact.smaller-than-bytes"
+
+  /** Parse + validate the auto-compaction properties. Called from the
+    * metadata-write chokepoints ([[GraftTable.create]] / `writeMeta`) so
+    * a malformed value refuses at PROPERTY-SET time with a clear
+    * message — never as a NumberFormatException that fails a running
+    * stream at its next committed epoch. The per-epoch trigger reuses
+    * the same parse (covers hand-edited metadata.json). */
+  private[table] def streamCompactEvery(props: Map[String, String]): Option[Int] =
+    props.get(PropStreamCompactEvery).map { v =>
+      val n = v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"$PropStreamCompactEvery must be a positive epoch count, got '$v'"))
+      require(n > 0,
+        s"$PropStreamCompactEvery must be positive, got '$v'")
+      n
+    }
+
+  private[table] def streamCompactBytes(props: Map[String, String]): Long =
+    props.get(PropStreamCompactBytes).map { v =>
+      val n = v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$PropStreamCompactBytes must be a positive byte count, got '$v'"))
+      require(n > 0,
+        s"$PropStreamCompactBytes must be positive, got '$v'")
+      n
+    }.getOrElse(32L * 1024 * 1024)
 
   val SummaryPendingDeletes = "pending-deletes"
   val SummaryPositionalDeletes = "positional-deletes"
@@ -4328,6 +4553,7 @@ object GraftTable {
   val FilesSuffix = "__files"
   val PartitionsSuffix = "__partitions"
   val RefsSuffix = "__refs"
+  val HistorySuffix = "__history"
   val DeletesSuffix = "__deletes"
   val SegmentsSuffix = "__segments"
 
@@ -4375,6 +4601,12 @@ object GraftTable {
 
   /** Snapshots system-table schema (FIXTURES.md F4 /
     * SnapshotIterable.java:48-57). */
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("made_current_at", LongType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
+    StructField("is_current_ancestor", BooleanType, nullable = false)))
+
   val SnapshotsSchema: StructType = StructType(Seq(
     StructField("committed_at", LongType, nullable = false),
     StructField("snapshot_id", LongType, nullable = false),
@@ -4393,6 +4625,8 @@ object GraftTable {
     // validates identity columns AND hidden transforms
     // (bucket/days/truncate) against the schema
     PartitionField.parseSpec(partitionBy, schema)
+    streamCompactEvery(properties)
+    streamCompactBytes(properties): Unit
     Files.createDirectories(p)
     val meta = Map(
       "format_version" -> 1L,

@@ -41,7 +41,8 @@ final class GraftPruningScanBuilder(
         String => Option[Int])] = None,
     aggPush: (Aggregation, Seq[Expression]) => Option[Scan] = (_, _) => None,
     microBatch: Option[(Seq[String] => Scan, String) => MicroBatchStream] = None,
-    claimFilters: Seq[Expression] => Seq[Expression] = _ => Nil)
+    claimFilters: Seq[Expression] => Seq[Expression] = _ => Nil,
+    metadataColScan: Option[(StructType, Seq[String]) => Scan] = None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -94,6 +95,17 @@ final class GraftPruningScanBuilder(
   override def build(): Scan = aggScan.getOrElse(buildFileScan())
 
   private def buildFileScan(): Scan = {
+    // `_file`/`_pos` metadata columns (SupportsMetadataColumns on the
+    // owning table): the delegate parquet FileTable cannot serve them,
+    // so the owner supplies a dedicated scan (V1 relation projecting
+    // `_metadata.file_path`/`row_index`) over the SAME pruned file
+    // list. Residual filters still re-apply post-scan (nothing is
+    // claimed into the delegate here).
+    if (required.fieldNames.exists(n => n == "_file" || n == "_pos")) {
+      val mk = metadataColScan.getOrElse(throw new IllegalStateException(
+        s"$tableName scan requires metadata columns it does not serve"))
+      return mk(required, if (pushed.isEmpty) allPaths else prune(pushed))
+    }
     // rebuildable delegate: the runtime-filter wrapper re-invokes this
     // with a narrower path list when a DPP predicate lands, re-applying
     // the SAME pushed filters / required columns to the new scan.

@@ -206,4 +206,64 @@ class SimilaritySpec extends SparkSpecBase {
     assert(probed.inputFiles.length < idx.read(spark).inputFiles.length,
       "probe scan did not prune to the probed cells")
   }
+
+  test("s19: stored IVF-PQ codes — incremental == rebuild; probe never re-encodes") {
+    val sfDir = "/root/testdata/sf0.001"
+    val idx = Similarity.ivfPqIdxFixture(spark, sfDir)
+
+    // the snapshot-2 refresh ENCODED exactly the batch's rows — no
+    // corpus re-encode (files added at snap 2 hold only the 10% batch)
+    val m1 = graft.table.Manifest.read(
+      s"${idx.dir}/${idx.log.byId(1L).get.manifestList}")
+    val m2 = graft.table.Manifest.read(
+      s"${idx.dir}/${idx.log.byId(2L).get.manifestList}")
+    val snap1Paths = m1.files.map(_.path).toSet
+    val added = m2.files.filterNot(f => snap1Paths.contains(f.path))
+    val embRaw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val batchRows = embRaw.filter(col("vec_id") % 10 === 0).count()
+    assert(added.map(_.recordCount).sum == batchRows,
+      "refresh encoded more than the batch")
+    assert(m2.totalRecords == embRaw.count())
+
+    // incremental union equals a from-scratch (cid, codes) assignment
+    val cellCb = graft.functions.CellAssign.codebook(
+      Similarity.seededCentroids(nCentroids = 8, seed = 53L), roundTo = 6)
+    val pqCb = graft.functions.PqCodebook(
+      Similarity.seededPqBooks(m = 8, k = 16, seed = 61L), roundTo = 6)
+    val full = embRaw
+      .select(col("vec_id").as("n_id"),
+        col("embedding").cast("array<double>").as("n_v"))
+      .select(col("n_id"),
+        graft.functions.CellAssign.cell_argmax(col("n_v"), cellCb).as("cid"),
+        graft.functions.ProductQuantization.pq_encode(col("n_v"), pqCb)
+          .as("codes"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2))))
+      .toMap
+    val inc = idx.read(spark).select("n_id", "cid", "codes")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2))))
+      .toMap
+    assert(inc == full, "incremental index diverged from full rebuild")
+
+    // the probe hash-matches the inline-encode s11 plan (same seeded
+    // quantizers, corpus, queries)
+    val probe = Similarity.ivfPqIdxProbe(spark, sfDir)
+    val inline = Similarity.ivfPqTopKSeeded(emb,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    assert(probe.collect().map(_.toSeq).toSet ==
+      inline.collect().map(_.toSeq).toSet,
+      "stored-index probe diverged from the inline IVF-PQ plan")
+
+    // the materialization payoff: NO pq_encode of the corpus anywhere in
+    // the probe plan (the inline plan has one — control)
+    val probePlan = probe.queryExecution.optimizedPlan.toString
+    assert(!probePlan.contains("pq_encode"),
+      "probe plan re-encodes the corpus")
+    assert(inline.queryExecution.optimizedPlan.toString.contains("pq_encode"),
+      "control: the inline plan should contain pq_encode")
+
+    // probed-cell file pruning on the stored codes
+    val probedScan = idx.scan(spark, Some(col("cid").isin(0, 1)))
+    assert(probedScan.inputFiles.length < idx.read(spark).inputFiles.length,
+      "probe scan did not prune to the probed cells")
+  }
 }

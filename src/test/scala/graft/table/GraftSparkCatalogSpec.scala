@@ -963,6 +963,132 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .collect().isEmpty)
   }
 
+  test("_file/_pos metadata columns; SQL-selected victims apply positionally") {
+    val t = GraftTable.create(s"$wh/db/fp_t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    GraftTable.load(s"$wh/db/fp_t")
+      .append(mkDf(4L -> "d", 5L -> "e"), Some(2000L)): Unit
+    // per-file counts via _file match __files; _pos is dense from 0
+    val perFile = spark.sql(
+      "SELECT substring_index(_file, '/', -1) AS bn, count(*) AS n, " +
+        "max(_pos) AS mp FROM g2.db.fp_t GROUP BY 1").collect()
+    val recorded = spark.sql(
+      "SELECT substring_index(file_path, '/', -1) AS bn, record_count " +
+        "FROM g2.db.fp_t__files").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perFile.map(_.getString(0)).toSet == recorded.keySet)
+    perFile.foreach { r =>
+      assert(recorded(r.getString(0)) == r.getLong(1),
+        s"_file count diverged from __files for ${r.getString(0)}")
+      assert(r.getLong(2) == r.getLong(1) - 1,
+        s"_pos not dense in ${r.getString(0)}")
+    }
+    // data columns + filters still work alongside the metadata columns
+    val row2 = spark.sql(
+      "SELECT id, data, _pos FROM g2.db.fp_t WHERE id = 2").collect()
+    assert(row2.length == 1 && row2.head.getString(1) == "b")
+    assert(row2.head.getLong(2) == 1L) // second row of the first file
+
+    // the curation flow: SELECT victims by VALUE, carry their
+    // coordinates, apply as a merge-on-read positional delete — no data
+    // file rewritten
+    val victims = spark.sql(
+      "SELECT _file, _pos FROM g2.db.fp_t WHERE id IN (2, 5)")
+    val filesBefore = Manifest.read(s"${t.dir}/" +
+      GraftTable.load(t.dir).log.current.get.manifestList)
+      .files.map(_.path).toSet
+    val snap = GraftTable.load(t.dir).deletePositionalAt(spark, victims)
+    assert(snap.isDefined && snap.get.operation == "delete")
+    val after = GraftTable.load(t.dir)
+    assert(after.read(spark).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L))
+    assert(after.positionalDeletes.nonEmpty, "expected a pending entry")
+    assert(after.positionalDeletedCount == 2L)
+    val filesAfter = Manifest.read(
+      s"${after.dir}/${after.log.current.get.manifestList}")
+      .files.map(_.path).toSet
+    assert(filesAfter == filesBefore, "positional delete rewrote files")
+  }
+
+  test("__history: rollback breaks ancestry for rolled-past snapshots") {
+    val t = GraftTable.create(s"$wh/db/hist_t", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L)) // snap 1
+    t.append(mkDf(2L -> "b"), Some(2000L)) // snap 2
+    t.append(mkDf(3L -> "c"), Some(3000L)) // snap 3
+    GraftTable.load(s"$wh/db/hist_t").rollbackTo(1L, Some(4000L)) // snap 4
+    GraftTable.load(s"$wh/db/hist_t")
+      .append(mkDf(4L -> "d"), Some(5000L)): Unit // snap 5
+    val rows = spark.sql(
+      "SELECT made_current_at, snapshot_id, parent_id, is_current_ancestor " +
+        "FROM g2.db.hist_t__history ORDER BY snapshot_id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // rolled-PAST snapshots 2 and 3 are not ancestors of the current
+    // state; the rollback target (1), the rollback commit (4) and the
+    // later append (5) are
+    assert(rows.map(r => r.getLong(1) -> r.getBoolean(3)).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> true))
+    // physical parent ids are reported as logged (4's parent is 3)
+    assert(rows.find(_.getLong(1) == 4L).get.getLong(2) == 3L)
+    assert(rows.find(_.getLong(1) == 1L).get.isNullAt(2))
+    // table-global: refuses VERSION AS OF like __snapshots/__refs
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM g2.db.hist_t__history VERSION AS OF 1")
+        .collect()
+    }
+    assert(e.getMessage.contains("table-global"), e.getMessage)
+  }
+
+  test("partial-progress rewrite: per-group replace commits; failure keeps completed groups") {
+    val t = GraftTable.create(s"$wh/db/proc_pp", schema)
+    (1 to 6).foreach(i =>
+      t.append(mkDf(i.toLong -> s"v$i"), Some(1000L * i)))
+    val before = GraftTable.load(s"$wh/db/proc_pp")
+    val filesBefore = Manifest.read(
+      s"${before.dir}/${before.log.current.get.manifestList}").files
+    // cap ≈ 2 files' input bytes → several groups, several commits
+    val cap = filesBefore.map(_.fileSizeBytes).max * 2
+    val got = spark.sql("CALL g2.system.rewrite_data_files('db.proc_pp', " +
+      s"max_file_group_bytes => $cap)").collect()
+    assert(got.length >= 2, s"expected >=2 group commits, got ${got.length}")
+    val t2 = GraftTable.load(s"$wh/db/proc_pp")
+    val replaces = t2.log.snapshots.filter(_.operation == "replace")
+    assert(replaces.size == got.length,
+      s"${replaces.size} replace snapshots vs ${got.length} returned")
+    assert(got.map(_.getLong(0)).toSet == replaces.map(_.snapshotId).toSet)
+    // identical content, fewer files
+    assert(spark.sql("SELECT id FROM g2.db.proc_pp ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == (1L to 6L))
+    val filesAfter = Manifest.read(
+      s"${t2.dir}/${t2.log.current.get.manifestList}").files.size
+    assert(filesAfter < filesBefore.size, s"${filesBefore.size} -> $filesAfter")
+
+    // mid-run failure: plant a row violating a LATER-added check
+    // constraint — its group's rewrite fails at write time, every other
+    // group must stay committed (partial progress on disk)
+    val f = GraftTable.create(s"$wh/db/proc_ppf", schema)
+    f.append(mkDf(1L -> "ok1"), Some(1000L))
+    f.append(mkDf(2L -> "bad"), Some(2000L))
+    f.append(mkDf(3L -> "ok3"), Some(3000L))
+    GraftTable.load(s"$wh/db/proc_ppf").updateProperties(
+      Map(s"${GraftTable.PropCheckPrefix}vok" -> "data <> 'bad'")): Unit
+    val loaded = GraftTable.load(s"$wh/db/proc_ppf")
+    val snapsBefore = loaded.log.snapshots.size
+    val e = intercept[IllegalStateException] {
+      // cap 1 byte → every file its own group; group 1 (the 'bad' file)
+      // fails its rewrite, groups 0 and 2 commit
+      loaded.compactPartial(spark, smallerThanBytes = Long.MaxValue,
+        maxFileGroupBytes = 1L, committedAt = Some(4000L))
+    }
+    assert(e.getMessage.contains("committed 2/3"), e.getMessage)
+    val f2 = GraftTable.load(s"$wh/db/proc_ppf")
+    assert(f2.log.snapshots.size == snapsBefore + 2,
+      "completed groups must stay committed after a failed group")
+    assert(f2.log.snapshots.drop(snapsBefore).forall(_.operation == "replace"))
+    // no row lost: the failed group's file is still in the manifest
+    assert(spark.sql("SELECT data FROM g2.db.proc_ppf ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("ok1", "bad", "ok3"))
+  }
+
   test("CALL rewrite_manifests re-shards; rollback_to_snapshot restores") {
     val t = GraftTable.create(s"$wh/db/proc_man", schema)
     t.append(mkDf(1L -> "a"), Some(1000L))

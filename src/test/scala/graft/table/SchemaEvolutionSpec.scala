@@ -330,6 +330,62 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     assert(e.getMessage.contains("dropped"), e.getMessage)
   }
 
+  test("mergeSchema merge refuses BEFORE widening when CoW preconditions fail") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    val t1 = GraftTable.load(dir)
+    t1.deleteDeferred(spark, col("id") === 1L, Some(1500L)): Unit
+    val pending = GraftTable.load(dir)
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(3L, "c", 30L)), 1),
+      StructType(schema.fields.toSeq :+
+        StructField("score", LongType, nullable = true)))
+    // the merge must refuse (pending predicate deletes block CoW) with
+    // NOTHING evolved — a widened-then-refused schema would be permanent
+    val e = intercept[IllegalArgumentException] {
+      pending.merge(spark, src, "id", Some(2000L), mergeSchema = true)
+    }
+    assert(e.getMessage.contains("pending"), e.getMessage)
+    assert(GraftTable.load(dir).schema.fieldNames.toSeq ==
+      Seq("id", "data"), "refused merge must not have widened the schema")
+    // same atomicity for a bogus merge key: checked against the
+    // would-be widened field set before any addColumn
+    val clean = s"${tmp()}/t2"
+    val tc = GraftTable.create(clean, schema)
+    tc.append(mkDf(1L -> "a"), Some(1000L))
+    intercept[IllegalArgumentException] {
+      GraftTable.load(clean).merge(spark, src, "nope", Some(2000L),
+        mergeSchema = true)
+    }
+    assert(GraftTable.load(clean).schema.fieldNames.toSeq ==
+      Seq("id", "data"), "bogus-key merge must not have widened the schema")
+  }
+
+  test("widenForSource is all-or-nothing across several extra columns") {
+    val dir = s"${tmp()}/t"
+    var t = GraftTable.create(dir, StructType(schema.fields.toSeq :+
+      StructField("old", LongType, nullable = true)))
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a", 10L)), 1),
+      t.schema), Some(1000L))
+    t = t.dropColumn("old")
+    // extras = (fresh, old): the SECOND trips the resurrection guard, so
+    // the FIRST must not have committed its addColumn either
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, "b", 1L, 99L)), 1),
+      StructType(schema.fields.toSeq ++ Seq(
+        StructField("fresh", LongType, nullable = true),
+        StructField("old", LongType, nullable = true))))
+    val e = intercept[IllegalArgumentException] {
+      t.append(src, Some(2000L), mergeSchema = true)
+    }
+    assert(e.getMessage.contains("dropped"), e.getMessage)
+    assert(GraftTable.load(dir).schema.fieldNames.toSeq ==
+      Seq("id", "data"),
+      "partial widening leaked from a refused multi-column mergeSchema")
+  }
+
   test("SQL ALTER TABLE RENAME/DROP COLUMN + reads through the extensions") {
     val wh = tmpDir("graft-schevo-sql")
     spark.conf.set("spark.sql.catalog.gse", "graft.table.GraftSparkCatalog")

@@ -400,6 +400,29 @@ class StreamingWriteSpec extends SparkSpecBase {
     assert(daily.collect().map(_.getLong(1)).toSeq == Seq(4L, 4L, 4L))
   }
 
+  test("malformed auto-compaction properties refuse at property-set time") {
+    val tschema = StructType(Seq(
+      StructField("id", LongType, nullable = false)))
+    // create-time: a bad value must never reach a running stream's
+    // commit path (where it would fail the stream at its next epoch)
+    intercept[IllegalArgumentException] {
+      GraftTable.create(s"$wh/db/wcompbad", tschema,
+        properties = Map(GraftTable.PropStreamCompactEvery -> "three"))
+    }
+    val t = GraftTable.create(s"$wh/db/wcompok", tschema)
+    intercept[IllegalArgumentException] {
+      t.updateProperties(Map(GraftTable.PropStreamCompactEvery -> "0"))
+    }
+    intercept[IllegalArgumentException] {
+      t.updateProperties(Map(GraftTable.PropStreamCompactBytes -> "32mb"))
+    }
+    // valid values still land
+    val t2 = t.updateProperties(Map(
+      GraftTable.PropStreamCompactEvery -> "4",
+      GraftTable.PropStreamCompactBytes -> "1048576"))
+    assert(t2.properties(GraftTable.PropStreamCompactEvery) == "4")
+  }
+
   test("graft.stream.compact-every-epochs folds streamed small files") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
