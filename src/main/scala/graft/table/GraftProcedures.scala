@@ -35,7 +35,7 @@ object GraftProcedures {
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
     "rewrite_manifests", "rollback_to_snapshot",
     "create_tag", "create_branch", "publish_branch", "drop_branch",
-    "add_files")
+    "add_files", "analyze_table")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -49,6 +49,7 @@ object GraftProcedures {
       case "publish_branch" => Some(publishBranch(warehouse))
       case "drop_branch" => Some(dropBranch(warehouse))
       case "add_files" => Some(addFiles(warehouse))
+      case "analyze_table" => Some(analyzeTable(warehouse))
       case _ => None
     }
 
@@ -165,6 +166,32 @@ object GraftProcedures {
             targetFileBytes = if (target > 0L) Some(target) else None,
             zorderBy = cols(4)).toSeq
       snaps.map(s => Seq[Any](s.snapshotId))
+    })
+
+  private def analyzeTable(wh: String): UnboundProcedure = new Proc(
+    "analyze_table",
+    "Compute per-column NDV statistics for the cost-based optimizer " +
+      "(mergeable HLL sketches stored in table properties; re-running " +
+      "after appends sketches only the NEW files and unions). columns " +
+      "is a comma-separated list; empty = every atomic column. Returns " +
+      "(column_name, ndv).",
+    Array(
+      in("table", StringType),
+      inDefault("columns", StringType, "''")),
+    StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("ndv", LongType, nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      val cols =
+        if (row.isNullAt(1)) Nil
+        else row.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      val analyzed = t.analyze(
+        org.apache.spark.sql.SparkSession.active, cols)
+      analyzed.columnNdv.toSeq.sortBy(_._1).map { case (c, n) =>
+        Seq[Any](UTF8String.fromString(c), n)
+      }
     })
 
   private def rewriteManifests(wh: String): UnboundProcedure = new Proc(

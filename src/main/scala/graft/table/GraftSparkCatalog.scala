@@ -896,7 +896,52 @@ final class GraftV2Table(
       },
       metadataColScan = Some((req, paths) =>
         new GraftFileposScan(tableName, t.schema, req,
-          new util.HashMap[String, String](opts), paths)))
+          new util.HashMap[String, String](opts), paths)),
+      // manifest-exact scan statistics for CBO: rowCount/sizeInBytes
+      // summed over the statically-kept entries (exact — merge-on-read
+      // state was refused above), per-column nullCounts from footer
+      // stats, and NDV from the table's ANALYZE sketches
+      // (GraftTable.analyze). Join reorder and broadcast decisions then
+      // work from real numbers instead of byte-derived guesses.
+      scanStats = filters => {
+        val kept = keptFor(filters)
+        val rows = kept.map(_.recordCount).sum
+        val bytes = kept.map(_.fileSizeBytes).sum
+        val ndv = t.columnNdv
+        val colStats = new util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        t.schema.fields.foreach { f =>
+          val nulls: Option[Long] = {
+            val per = kept.map(_.stats.get(f.name).flatMap(_.nullCount))
+            if (per.nonEmpty && per.forall(_.isDefined))
+              Some(per.flatten.sum) else None
+          }
+          // a pruned scan cannot hold more distinct values than rows
+          val dc = ndv.get(f.name).map(n => math.min(n, math.max(rows, 1L)))
+          if (nulls.isDefined || dc.isDefined)
+            colStats.put(
+              Expressions.column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  dc.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def nullCount(): java.util.OptionalLong =
+                  nulls.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+              })
+        }
+        Some(new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(math.max(bytes, 1L))
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(rows)
+          override def columnStats(): util.Map[
+              org.apache.spark.sql.connector.expressions.NamedReference,
+              org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+            colStats
+        })
+      })
   }
 }
 

@@ -1488,6 +1488,89 @@ final class GraftTable private (
           s"${manifest.segments.size}->${grouped.size}")))
   }
 
+  /** ANALYZE — per-column NDV (number-of-distinct-values) statistics for
+    * the cost-based optimizer (Iceberg's `ANALYZE TABLE` / puffin-sketch
+    * analog): one distributed pass sketches every requested column with
+    * a mergeable DataSketches HLL (`hll_sketch_agg`, KB-sized driver
+    * state per column at any SF) and stores the sketch + its estimate in
+    * table properties, where [[GraftV2Table]]'s scan statistics pick the
+    * NDVs up for join-reorder/broadcast decisions.
+    *
+    * INCREMENTAL by construction: a re-analyze after appends sketches
+    * only the files committed since the last analyzed snapshot and
+    * UNIONS the batch sketch with the stored one — O(batch) I/O for the
+    * nightly-append shape, never a full-corpus rescan. Values are
+    * sketched as their string form (HLL input typing; injective for
+    * atomic types). The stored NDV is an UPPER bound of the current
+    * table's (deletes/rewrites never shrink a union) — the safe
+    * direction for CBO, which only needs the magnitude. */
+  def analyze(
+      spark: SparkSession,
+      columns: Seq[String] = Nil): GraftTable = {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union, lit}
+    val current = log.current.getOrElse(return this)
+    val cols =
+      if (columns.nonEmpty) columns
+      else schema.fields.collect {
+        // scalar columns only: complex types have no meaningful single
+        // NDV, and binary→string casts are lossy
+        case f if !f.dataType.isInstanceOf[StructType] &&
+            !f.dataType.isInstanceOf[ArrayType] &&
+            !f.dataType.isInstanceOf[MapType] &&
+            f.dataType != BinaryType =>
+          f.name
+      }.toSeq
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"unknown column '$c'"))
+    val analyzedUpTo = properties.get(PropStatsSnapshot).flatMap(_.toLongOption)
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val fresh = analyzedUpTo match {
+      case Some(upTo) => manifest.files.filter(f =>
+        fileSnapId(f.path).forall(_ > upTo))
+      case None => manifest.files
+    }
+    val batch: Map[String, Array[Byte]] =
+      if (fresh.isEmpty) Map.empty
+      else {
+        val df = readFiles(spark, fresh)
+        val aggs = cols.map(c =>
+          hll_sketch_agg(col(c).cast("string")).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        cols.zipWithIndex.collect {
+          case (c, i) if !row.isNullAt(i) => c -> row.getAs[Array[Byte]](i)
+        }.toMap
+      }
+    val b64 = java.util.Base64.getEncoder
+    val d64 = java.util.Base64.getDecoder
+    val updates = cols.flatMap { c =>
+      val prior = properties.get(s"$PropStatsSketchPrefix$c")
+        .map(s => d64.decode(s))
+      val merged: Option[Array[Byte]] = (prior, batch.get(c)) match {
+        case (Some(p), Some(b)) =>
+          // driver-side union of two KB sketches through the same
+          // engine kernel the distributed agg used
+          Some(spark.range(1)
+            .select(hll_union(lit(p), lit(b))).head().getAs[Array[Byte]](0))
+        case (p, b) => b.orElse(p)
+      }
+      merged.toSeq.flatMap { m =>
+        val est = spark.range(1)
+          .select(hll_sketch_estimate(lit(m))).head().getLong(0)
+        Seq(s"$PropStatsSketchPrefix$c" -> b64.encodeToString(m),
+          s"$PropStatsNdvPrefix$c" -> est.toString)
+      }
+    }.toMap
+    updateProperties(updates +
+      (PropStatsSnapshot -> current.snapshotId.toString))
+  }
+
+  /** Analyzed per-column NDV estimates ([[analyze]]), by column name. */
+  def columnNdv: Map[String, Long] = properties.collect {
+    case (k, v) if k.startsWith(PropStatsNdvPrefix) &&
+        v.trim.forall(_.isDigit) =>
+      k.stripPrefix(PropStatsNdvPrefix) -> v.trim.toLong
+  }
+
   /** Copy-on-write DELETE: rewrite only the files that MAY contain
     * matching rows (manifest pruning picks the candidates), keeping the
     * non-matching rows; untouched files carry over. Commits a `"delete"`
@@ -4473,6 +4556,14 @@ object GraftTable {
         s"$PropStreamCompactBytes must be positive, got '$v'")
       n
     }.getOrElse(32L * 1024 * 1024)
+
+  /** ANALYZE-maintained NDV statistics ([[GraftTable.analyze]]): the
+    * estimate served to CBO, the mergeable HLL sketch behind it, and
+    * the snapshot the table was analyzed up to (incremental re-analyze
+    * sketches only later files). */
+  val PropStatsNdvPrefix = "graft.stats.ndv."
+  val PropStatsSketchPrefix = "graft.stats.sketch."
+  val PropStatsSnapshot = "graft.stats.analyzed-snapshot"
 
   val SummaryPendingDeletes = "pending-deletes"
   val SummaryPositionalDeletes = "positional-deletes"

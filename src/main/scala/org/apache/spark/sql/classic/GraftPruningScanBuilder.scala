@@ -42,7 +42,9 @@ final class GraftPruningScanBuilder(
     aggPush: (Aggregation, Seq[Expression]) => Option[Scan] = (_, _) => None,
     microBatch: Option[(Seq[String] => Scan, String) => MicroBatchStream] = None,
     claimFilters: Seq[Expression] => Seq[Expression] = _ => Nil,
-    metadataColScan: Option[(StructType, Seq[String]) => Scan] = None)
+    metadataColScan: Option[(StructType, Seq[String]) => Scan] = None,
+    scanStats: Seq[Expression] => Option[
+      org.apache.spark.sql.connector.read.Statistics] = _ => None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -140,7 +142,11 @@ final class GraftPruningScanBuilder(
       case Some(_) => mkDelegate(paths)
       case None =>
         new GraftRuntimeFilterScan(mkDelegate, paths, pushed, prune, schema,
-          microBatch.map(mk => (ckpt: String) => mk(mkDelegate, ckpt)))
+          microBatch.map(mk => (ckpt: String) => mk(mkDelegate, ckpt)),
+          // manifest-exact statistics for the statically-kept file set
+          // (rowCount + NDV colStats) — CBO-grade where the delegate
+          // only guesses from bytes
+          graftStats = () => scanStats(pushed))
     }
   }
 }

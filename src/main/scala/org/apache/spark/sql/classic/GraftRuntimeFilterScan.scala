@@ -50,7 +50,8 @@ final class GraftRuntimeFilterScan(
     staticPushed: Seq[Expression],
     prune: Seq[Expression] => Seq[String],
     tableSchema: StructType,
-    microBatch: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+    microBatch: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
+    graftStats: () => Option[Statistics] = () => None)
     extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   /** Streaming read ([[GraftMicroBatchStream]] / [[GraftCdcMicroBatchStream]],
@@ -78,13 +79,18 @@ final class GraftRuntimeFilterScan(
     * would make every DSv2 graft read look `defaultSizeInBytes`-huge,
     * killing auto-broadcast for small tables and with it the broadcast
     * reuse DPP itself piggybacks on. */
-  override def estimateStatistics(): Statistics = inner match {
-    case s: SupportsReportStatistics => s.estimateStatistics()
-    case _ => new Statistics {
-      override def sizeInBytes() = java.util.OptionalLong.empty()
-      override def numRows() = java.util.OptionalLong.empty()
-    }
-  }
+  override def estimateStatistics(): Statistics =
+    // manifest-exact stats from the owning table first (rowCount from
+    // the kept entries' record counts + analyzed NDV column stats — what
+    // CBO join reorder needs); the parquet delegate's byte-derived
+    // estimate is the fallback
+    graftStats().getOrElse(inner match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    })
 
   /** Every top-level atomic column in the READ schema can potentially
     * prune: footer min/max stats are recorded for all of them at write
