@@ -199,13 +199,19 @@ final class GraftTable private (
       PositionalDeletes(
         m("files").asInstanceOf[Seq[Any]].map(_.toString),
         m("targets").asInstanceOf[Map[String, Any]]
-          .map { case (k, v) => k -> v.asInstanceOf[Long] })
+          .map { case (k, v) => k -> v.asInstanceOf[Long] },
+        m.get("dvs").map(_.asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty))
     }
 
   private def positionalJson(entries: Seq[PositionalDeletes]): String =
-    graft.util.Json.write(entries.map(e =>
-      Map("files" -> e.files,
-        "targets" -> e.targets.map { case (k, v) => k -> (v: Any) })))
+    graft.util.Json.write(entries.map { e =>
+      val base = Map[String, Any]("files" -> e.files,
+        "targets" -> e.targets.map { case (k, v) => k -> (v: Any) })
+      // "dvs" only when present — legacy (file,pos)-parquet entries keep
+      // their exact historical JSON shape
+      if (e.dvs.isEmpty) base else base + ("dvs" -> e.dvs)
+    })
 
   /** Pending positional delete entries of the CURRENT snapshot. */
   def positionalDeletes: Seq[PositionalDeletes] =
@@ -259,7 +265,17 @@ final class GraftTable private (
       entries: Seq[PositionalDeletes],
       gone: Set[String]): Seq[PositionalDeletes] =
     entries
-      .map(e => e.copy(targets = e.targets.filterNot { case (p, _) => gone(p) }))
+      .map { e =>
+        // a removed target's per-file deletion vector leaves with it
+        // (the file becomes unreferenced → expire/orphan reclaims it);
+        // legacy shared parquets stay — their rows for gone files are
+        // harmless (those files no longer exist to join against)
+        val goneDvs = e.dvs.collect { case (p, dv) if gone(p) => dv }.toSet
+        e.copy(
+          targets = e.targets.filterNot { case (p, _) => gone(p) },
+          dvs = e.dvs.filterNot { case (p, _) => gone(p) },
+          files = e.files.filterNot(goneDvs))
+      }
       .filter(_.targets.nonEmpty)
 
   // ------------------------------------------------------------------
@@ -2233,17 +2249,16 @@ final class GraftTable private (
     val priorDeleted: Map[String, Long] =
       prior.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
     val snapId = lg.nextId
-    val (delRels, counts) =
-      writePositions(spark, manifest, partial, selectVictims, prior, snapId)
-    if (counts.isEmpty && dropped.isEmpty) return None
     val droppedPaths = dropped.map(_.path).toSet
+    // drop-adjusted prior state FIRST: a dropped target's vector must
+    // not be merged into the consolidated entry
     val adjusted = stripPositional(prior, droppedPaths)
-    val entries =
-      if (counts.isEmpty) adjusted
-      else adjusted :+ PositionalDeletes(delRels, counts)
+    val (entries, newRels, newlyDead) =
+      writeDeletionVectors(spark, manifest, partial, selectVictims,
+        adjusted, snapId)
+    if (newRels.isEmpty && dropped.isEmpty) return None
     val removed = dropped.map(f =>
-      f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum +
-      counts.values.sum
+      f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum + newlyDead
     try Some(commit(lg, snapId,
       untouchedM.append(partial), Nil,
       operation = "delete", committedAt,
@@ -2251,84 +2266,206 @@ final class GraftTable private (
         "positional" -> "true",
         "deleted-records" -> removed.toString,
         "dropped-data-files" -> dropped.size.toString,
-        "position-delete-files" -> delRels.size.toString,
+        "position-delete-files" -> newRels.size.toString,
         SummaryPositionalDeletes -> positionalJson(entries))))
     catch { case e: Throwable =>
-      delRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+      newRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
       throw e
     }
   }
 
-  /** Write the delete parquets for one positional commit: victim rows of
-    * `partial` (selected by `selectVictims` over raw provenance rows,
-    * already-dead positions excluded so entries stay disjoint) land as
-    * `deletes/del-<snap>-…` files. Returns (delete-file rel paths,
-    * per-target deleted-row counts) — both empty when nothing matched. */
-  private def writePositions(
+  /** Write the DELETION VECTORS for one positional commit and build the
+    * CONSOLIDATED entry. New victims of `partial` (selected by
+    * `selectVictims` over raw provenance rows, already-dead positions
+    * excluded) are merged with each affected file's prior vector into
+    * ONE `deletes/dv-…` blob per data file; prior vectors of unaffected
+    * files CARRY by reference (no rewrite); any legacy (file,pos)
+    * parquet entries are converted in the same pass. The result is a
+    * SINGLE entry with at most one delete artifact per data file,
+    * whatever the stacking history — the read side then filters
+    * in-reader ([[DvContains]]) instead of anti-joining a union that
+    * grows with debt depth, and per-target counts stay exact (the
+    * vector IS the distinct position set).
+    *
+    * Returns (entries, newly-written rel paths, newly-dead row count);
+    * entries echo the adjusted prior state when nothing matched. */
+  private def writeDeletionVectors(
       spark: SparkSession,
       manifest: Manifest,
       partial: Seq[DataFileEntry],
       selectVictims: DataFrame => DataFrame,
       prior: Seq[PositionalDeletes],
-      snapId: Long): (Seq[String], Map[String, Long]) = {
+      snapId: Long): (Seq[PositionalDeletes], Seq[String], Long) = {
     import org.apache.spark.sql.functions.substring_index
     require(partial.forall(f => !f.path.endsWith(".avro")),
       s"positional DML cannot target avro data files in $dir " +
         "(no parquet row index) — use the copy-on-write form or compact() first")
-    if (partial.isEmpty) return (Nil, Map.empty)
-    // the read path joins on basenames — they must identify files
+    if (partial.isEmpty) return (prior, Nil, 0L)
+    // the read path keys on basenames — they must identify files
     // uniquely across the whole manifest this entry will live in
     val bns = manifest.files.map(f => baseName(f.path))
     require(bns.distinct.size == bns.size,
       s"duplicate data-file basenames in the manifest of $dir — " +
         "positional deletes would be ambiguous")
-    val bnToRel = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        partial.map(f => Row(baseName(f.path), f.path)).toSeq, 1),
-      StructType(Seq(
-        StructField(MetaFileCol, StringType, nullable = false),
-        StructField("file", StringType, nullable = false))))
+    val bnToPath: Map[String, String] =
+      manifest.files.map(f => baseName(f.path) -> f.path).toMap
+    val dvByTarget: Map[String, String] = prior.flatMap(_.dvs).toMap
+    require(dvByTarget.size == prior.map(_.dvs.size).sum,
+      s"conflicting deletion-vector entries in $dir")
+    val legacyFiles = prior.filter(_.dvs.isEmpty).flatMap(_.files).distinct
+    val legacyTargets: Set[String] =
+      prior.filter(_.dvs.isEmpty).flatMap(_.targets.keys).toSet
+
     val raw = readFiles(spark, partial, withMeta = true)
     var victims = selectVictims(raw)
-      .select(col(MetaFileCol), col(MetaPosCol))
-    if (prior.nonEmpty) {
-      // disjointness invariant: never re-record an already-dead row
-      val priorPaths = prior.flatMap(_.files).distinct
-        .map(p => Paths.get(dir, p).normalize().toString)
+      .select(col(MetaFileCol), col(MetaPosCol).cast(LongType).as(MetaPosCol))
+    // disjointness/exactness: never re-record an already-dead row.
+    // Vector-recorded priors drop with an in-reader filter; legacy
+    // parquet priors with the historical anti-join.
+    if (dvByTarget.nonEmpty) {
+      val idx = DvIndex(dvByTarget.map { case (t, rel) =>
+        baseName(t) -> Paths.get(dir, rel).normalize().toString })
+      val b = org.apache.spark.sql.classic.GraftBridge
+      victims = victims.filter(!b.column(DvContains(
+        b.expr(col(MetaFileCol)), b.expr(col(MetaPosCol)), idx)))
+    }
+    if (legacyFiles.nonEmpty) {
       val priorDf = spark.read.schema(DeleteFileSchema)
-        .parquet(priorPaths: _*)
+        .parquet(legacyFiles
+          .map(p => Paths.get(dir, p).normalize().toString): _*)
         .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
-          col("pos").as(MetaPosCol))
-      victims = victims.join(priorDf,
-        Seq(MetaFileCol, MetaPosCol), "left_anti")
+          col("pos").cast(LongType).as(MetaPosCol))
+      victims = victims.join(priorDf, Seq(MetaFileCol, MetaPosCol), "left_anti")
     }
-    val out = victims.join(bnToRel, Seq(MetaFileCol))
-      .select(col("file"), col(MetaPosCol).cast(LongType).as("pos"))
+
+    // AFFECTED bns (bounded driver state, ≤ |partial|): these files'
+    // vectors rewrite; everything else carries
+    val affectedBns: Set[String] = victims.select(MetaFileCol).distinct()
+      .collect().map(_.getString(0)).toSet
+    // nothing matched: no commit (legacy conversion only ever
+    // piggybacks on a real delete)
+    if (affectedBns.isEmpty) return (prior, Nil, 0L)
+    // rewrite set = affected ∪ every legacy target (converted now, so
+    // the table is single-entry/one-artifact-per-file from here on)
+    val rewriteBns: Set[String] = affectedBns ++ legacyTargets.map(baseName)
+
+    // prior positions feeding the merge: affected files' vectors +
+    // ALL legacy positions (their targets all convert)
+    val priorDvIn: DataFrame = {
+      val m = dvByTarget.collect {
+        case (t, rel) if rewriteBns(baseName(t)) =>
+          baseName(t) -> Paths.get(dir, rel).normalize().toString
+      }
+      dvRelation(spark, m)
+    }
+    val legacyIn: DataFrame =
+      if (legacyFiles.isEmpty) dvRelation(spark, Map.empty)
+      else {
+        // restrict to LIVE legacy targets: shared legacy parquets may
+        // still hold rows for files stripped long ago — converting
+        // those would fabricate vectors for ghosts
+        val liveBns = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            legacyTargets.toSeq.sorted.map(t => Row(baseName(t))), 1),
+          StructType(Seq(StructField(MetaFileCol, StringType,
+            nullable = false))))
+        spark.read.schema(DeleteFileSchema)
+          .parquet(legacyFiles
+            .map(p => Paths.get(dir, p).normalize().toString): _*)
+          .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
+            col("pos").cast(LongType).as(MetaPosCol))
+          .join(liveBns, Seq(MetaFileCol), "left_semi")
+      }
+
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val staging = s"$dir/.staging-del-$snapId-$token"
-    try out.write.mode("overwrite").parquet(staging)
-    catch { case e: Throwable =>
-      GraftTable.deleteRecursively(Paths.get(staging)); throw e
-    }
-    val counts = spark.read.schema(DeleteFileSchema).parquet(staging)
-      .groupBy("file").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    var delRels = Seq.empty[String]
-    if (counts.nonEmpty) {
-      Files.createDirectories(Paths.get(dir, "deletes"))
-      val staged = scala.util.Using.resource(Files.list(Paths.get(staging))) {
-        s => s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.toString)
+    val staging = s"$dir/.staging-dv-$snapId-$token"
+    Files.createDirectories(Paths.get(staging))
+    val stagingCaptured = staging
+    import spark.implicits._
+    // one partition per rewritten file (capped by parallelism), rows
+    // sorted so each vector streams out in O(1) task memory
+    val nParts = math.max(1, math.min(rewriteBns.size,
+      spark.sparkContext.defaultParallelism))
+    val counts: Map[String, Long] =
+      try victims.union(priorDvIn).union(legacyIn)
+        .select(col(MetaFileCol).as("_1"), col(MetaPosCol).as("_2"))
+        .as[(String, Long)]
+        .repartition(nParts, col("_1"))
+        .sortWithinPartitions("_1", "_2")
+        .mapPartitions { rows =>
+          val it = rows.buffered
+          val acc = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+          while (it.hasNext) {
+            val bn = it.head._1
+            val posIter = new Iterator[Long] {
+              override def hasNext: Boolean = it.hasNext && it.head._1 == bn
+              override def next(): Long = it.next()._2
+            }
+            val n = DeletionVector.write(s"$stagingCaptured/$bn.bin", posIter)
+            acc += ((bn, n))
+          }
+          acc.iterator
+        }
+        .collect().toMap
+      catch { case e: Throwable =>
+        GraftTable.deleteRecursively(Paths.get(staging)); throw e
       }
-      delRels = staged.zipWithIndex.map { case (src, i) =>
-        val rel = f"deletes/del-$snapId%05d-$token-$i%05d.parquet"
+
+    // publish: one canonical dv file per rewritten data file
+    Files.createDirectories(Paths.get(dir, "deletes"))
+    val staged = scala.util.Using.resource(Files.list(Paths.get(staging))) {
+      s => s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".bin"))
+        .toSeq.sortBy(_.toString)
+    }
+    val newByBn: Map[String, String] = staged.zipWithIndex.map {
+      case (src, i) =>
+        val bn = src.getFileName.toString.stripSuffix(".bin")
+        val rel = f"deletes/dv-$snapId%05d-$token-$i%05d.bin"
         Files.move(src, Paths.get(dir, rel), StandardCopyOption.REPLACE_EXISTING)
-        rel
-      }
-    }
+        bn -> rel
+    }.toMap
     GraftTable.deleteRecursively(Paths.get(staging))
-    (delRels, counts)
+
+    // consolidated single entry: carried (unaffected dv targets, by
+    // reference) + rewritten (merged vectors, exact distinct counts)
+    val carriedDvs = dvByTarget.filterNot { case (t, _) =>
+      rewriteBns(baseName(t)) }
+    val carriedTargets = prior.flatMap(_.targets).toMap
+      .filter { case (t, _) => carriedDvs.contains(t) }
+    val newTargets: Map[String, Long] = counts.map { case (bn, n) =>
+      bnToPath.getOrElse(bn, throw new IllegalStateException(
+        s"deletion vector for unknown data file $bn in $dir")) -> n
+    }
+    val newDvs: Map[String, String] = newByBn.map { case (bn, rel) =>
+      bnToPath(bn) -> rel }
+    val priorTotal = prior.flatMap(_.targets.values).sum
+    val entry = PositionalDeletes(
+      files = (carriedDvs.values ++ newDvs.values).toSeq.sorted,
+      targets = carriedTargets ++ newTargets,
+      dvs = carriedDvs ++ newDvs)
+    val newlyDead = entry.deletedRows - priorTotal
+    (Seq(entry), newByBn.values.toSeq.sorted, newlyDead)
+  }
+
+  /** A set of deletion vectors as a (basename, position) relation —
+    * distributed (one task per vector file), for the commit-time merge
+    * and the CDC retraction delta. */
+  private def dvRelation(
+      spark: SparkSession, byBn: Map[String, String]): DataFrame = {
+    val sch = StructType(Seq(
+      StructField(MetaFileCol, StringType, nullable = false),
+      StructField(MetaPosCol, LongType, nullable = false)))
+    if (byBn.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    val seq = byBn.toSeq
+    val rdd = spark.sparkContext
+      .parallelize(seq, math.min(seq.size,
+        math.max(1, spark.sparkContext.defaultParallelism)))
+      .flatMap { case (bn, path) =>
+        DeletionVector.read(path).iterator.map(pos => Row(bn, pos))
+      }
+    spark.createDataFrame(rdd, sch)
   }
 
   /** POSITIONAL merge-on-read UPDATE — the MoR DML triad's third leg:
@@ -2373,9 +2510,10 @@ final class GraftTable private (
     if (candidates.isEmpty) return None
     val prior = parsePositional(current)
     val snapId = lg.nextId
-    val (delRels, counts) = writePositions(spark, manifest, candidates,
-      raw => raw.filter(coalesce(predicate, lit(false))), prior, snapId)
-    if (counts.isEmpty) return None // no visible row matched: no commit
+    val (entries, newRels, newlyDead) =
+      writeDeletionVectors(spark, manifest, candidates,
+        raw => raw.filter(coalesce(predicate, lit(false))), prior, snapId)
+    if (newRels.isEmpty) return None // no visible row matched: no commit
     // new values for exactly the superseded rows — assignments all read
     // the OLD row (one projection; predicate is TRUE on every victim)
     val newRows = readVisible(spark, Nil, prior, candidates)
@@ -2386,20 +2524,19 @@ final class GraftTable private (
     val newFiles =
       try writeDataFiles(newRows, snapId)
       catch { case e: Throwable =>
-        delRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+        newRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
         throw e
       }
-    val entries = prior :+ PositionalDeletes(delRels, counts)
     try Some(commit(lg, snapId, manifest.append(newFiles), newFiles,
       operation = "update", committedAt,
       extraSummary = Map(
         "positional" -> "true",
-        "updated-rows" -> counts.values.sum.toString,
-        "position-delete-files" -> delRels.size.toString,
+        "updated-rows" -> newlyDead.toString,
+        "position-delete-files" -> newRels.size.toString,
         "updated-columns" -> assignments.keys.toSeq.sorted.mkString(","),
         SummaryPositionalDeletes -> positionalJson(entries))))
     catch { case e: Throwable =>
-      delRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+      newRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
       // see mergeEquality: non-race commit failures must not leak the
       // rewritten data files
       newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
@@ -2470,21 +2607,44 @@ final class GraftTable private (
     val delBranches =
       if (withDel.isEmpty) Nil
       else {
-        // the anti-join keys on basenames: within one read they must
+        // both forms key on basenames: within one read they must
         // identify files uniquely (they do — write tokens randomize
         // names — but soundness is asserted, not assumed)
         val bns = files.map(f => baseName(f.path))
         require(bns.distinct.size == bns.size,
           s"duplicate data-file basenames in one scan of $dir — " +
-            "positional-delete join key would be ambiguous")
-        val delPaths = posEntries.flatMap(_.files).distinct
-          .map(p => Paths.get(dir, p).normalize().toString)
-        val deletes = spark.read.schema(DeleteFileSchema)
-          .parquet(delPaths: _*)
-          .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
-            col("pos").as(MetaPosCol))
-        pendGroups(withDel, meta = true)
-          .map(_.join(deletes, Seq(MetaFileCol, MetaPosCol), "left_anti"))
+            "positional-delete key would be ambiguous")
+        // DELETION-VECTOR entries filter IN-READER: a codegen'd boolean
+        // per row (binary search of the file's lazily-loaded vector —
+        // [[DvContains]]), no join in the plan and no delete relation
+        // re-read per query; tasks load only the vectors of the files
+        // they scan. Legacy (file,pos)-parquet entries keep the
+        // historical anti-join until the next positional commit
+        // consolidates them.
+        val dvByBn: Map[String, String] = posEntries.flatMap(_.dvs).map {
+          case (t, rel) =>
+            baseName(t) -> Paths.get(dir, rel).normalize().toString
+        }.toMap
+        val legacyEntries = posEntries.filter(_.dvs.isEmpty)
+        val base = pendGroups(withDel, meta = true)
+        val withDv =
+          if (dvByBn.isEmpty) base
+          else {
+            val b = org.apache.spark.sql.classic.GraftBridge
+            val idx = DvIndex(dvByBn)
+            base.map(_.filter(!b.column(DvContains(
+              b.expr(col(MetaFileCol)), b.expr(col(MetaPosCol)), idx))))
+          }
+        if (legacyEntries.isEmpty) withDv
+        else {
+          val delPaths = legacyEntries.flatMap(_.files).distinct
+            .map(p => Paths.get(dir, p).normalize().toString)
+          val deletes = spark.read.schema(DeleteFileSchema)
+            .parquet(delPaths: _*)
+            .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
+              col("pos").as(MetaPosCol))
+          withDv.map(_.join(deletes, Seq(MetaFileCol, MetaPosCol), "left_anti"))
+        }
       }
     (pendGroups(clean, meta = false) ++ delBranches)
       .map(_.select(schema.fieldNames.map(col): _*))
@@ -3802,16 +3962,53 @@ final class GraftTable private (
           val newEntries = parsePositional(s)
             .filterNot(e => e.files.forall(parentEntryFiles.contains))
           val posDel = newEntries.map { e =>
-            val targets = files(s).filter(f => e.targets.contains(f.path))
-            val delPaths = e.files
-              .map(rp => Paths.get(dir, rp).normalize().toString)
-            val delDf = spark.read.schema(DeleteFileSchema)
-              .parquet(delPaths: _*)
-              .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
-                col("pos").as(MetaPosCol))
-            tag(readFiles(spark, targets, withMeta = true)
-              .join(delDf, Seq(MetaFileCol, MetaPosCol), "left_semi")
-              .select(schema.fieldNames.map(col): _*), "delete", s)
+            if (e.dvs.nonEmpty) {
+              // CONSOLIDATED deletion-vector entry: the commit's delta
+              // is (this snapshot's vectors) − (the parent's positions)
+              // for the REWRITTEN targets only — a carried vector file
+              // also appears in the parent entry, so it is excluded by
+              // path identity; prior positions inside a rewritten
+              // vector are anti-joined away (legacy parquet priors
+              // included, for the conversion commit)
+              val changed = e.dvs.filterNot { case (_, rel) =>
+                parentEntryFiles.contains(rel) }
+              val curPos = dvRelation(spark, changed.map { case (t, rel) =>
+                baseName(t) -> Paths.get(dir, rel).normalize().toString })
+              val changedBns = changed.keySet.map(baseName)
+              val parentDvPos = dvRelation(spark,
+                pPos.flatMap(_.dvs).collect {
+                  case (t, rel) if changedBns(baseName(t)) =>
+                    baseName(t) -> Paths.get(dir, rel).normalize().toString
+                }.toMap)
+              val parentLegacy = pPos.filter(_.dvs.isEmpty)
+                .flatMap(_.files).distinct
+              val parentPos =
+                if (parentLegacy.isEmpty) parentDvPos
+                else parentDvPos.unionByName(
+                  spark.read.schema(DeleteFileSchema)
+                    .parquet(parentLegacy
+                      .map(p => Paths.get(dir, p).normalize().toString): _*)
+                    .select(substring_index(col("file"), "/", -1)
+                      .as(MetaFileCol),
+                      col("pos").cast(LongType).as(MetaPosCol)))
+              val newPos = curPos
+                .join(parentPos, Seq(MetaFileCol, MetaPosCol), "left_anti")
+              val targets = files(s).filter(f => changed.contains(f.path))
+              tag(readFiles(spark, targets, withMeta = true)
+                .join(newPos, Seq(MetaFileCol, MetaPosCol), "left_semi")
+                .select(schema.fieldNames.map(col): _*), "delete", s)
+            } else {
+              val targets = files(s).filter(f => e.targets.contains(f.path))
+              val delPaths = e.files
+                .map(rp => Paths.get(dir, rp).normalize().toString)
+              val delDf = spark.read.schema(DeleteFileSchema)
+                .parquet(delPaths: _*)
+                .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
+                  col("pos").as(MetaPosCol))
+              tag(readFiles(spark, targets, withMeta = true)
+                .join(delDf, Seq(MetaFileCol, MetaPosCol), "left_semi")
+                .select(schema.fieldNames.map(col): _*), "delete", s)
+            }
           }
           droppedDel ++ posDel ++ inserts
         // publish = the branch's accumulated changes landing as one
@@ -3869,6 +4066,14 @@ final class GraftTable private (
       s"no snapshot $snapshotId in $dir (expired?) — re-seed the consumer"))
     if (parsePending(s).nonEmpty || parsePositional(s).nonEmpty ||
         parseEquality(s).nonEmpty) return None
+    rawFilesCore(s, identityViaPathRecovery)
+  }
+
+  /** The file-layout half of raw-seed eligibility: parquet-only,
+    * rename-era-free, identity layouts only via path recovery. */
+  private def rawFilesCore(
+      s: Snapshot,
+      identityViaPathRecovery: Boolean): Option[Seq[DataFileEntry]] = {
     val fs = Manifest.read(s"$dir/${s.manifestList}").files
       .sortBy(_.path)
     def identityOk: Boolean = {
@@ -3888,6 +4093,34 @@ final class GraftTable private (
         identityOk)
       Some(fs)
     else None
+  }
+
+  /** CDC seed plan for `snapshotId`: the raw data files PLUS the
+    * per-file deletion vectors (basename → absolute path) a seed reader
+    * needs to serve exactly the VISIBLE rows straight from those files.
+    * Extends [[rawVisibleFiles]] eligibility to POSITIONAL-pending
+    * snapshots whose entries are fully vector-backed (the consolidated
+    * form every positional commit writes) — the zero-copy seed then
+    * filters dead positions in place instead of materializing a
+    * full-state spill. Predicate/equality-pending snapshots and legacy
+    * parquet-entry positional state still return None (materialize).
+    * Like the base eligibility, this is a pure function of the
+    * immutable snapshot — replays decide identically. */
+  def rawSeedState(
+      snapshotId: Long,
+      identityViaPathRecovery: Boolean = false)
+      : Option[(Seq[DataFileEntry], Map[String, String])] = {
+    val s = log.byId(snapshotId).getOrElse(throw new IllegalStateException(
+      s"no snapshot $snapshotId in $dir (expired?) — re-seed the consumer"))
+    if (parsePending(s).nonEmpty || parseEquality(s).nonEmpty) return None
+    val pos = parsePositional(s)
+    if (pos.exists(e => e.dvs.keySet != e.targets.keySet)) return None
+    rawFilesCore(s, identityViaPathRecovery).map { fs =>
+      val dvByBn = pos.flatMap(_.dvs).map { case (t, rel) =>
+        baseName(t) -> Paths.get(dir, rel).normalize().toString
+      }.toMap
+      (fs, dvByBn)
+    }
   }
 
   /** Epoch cursors of every streaming sink writing to this table, from
@@ -4599,7 +4832,10 @@ object GraftTable {
     * write path anti-joins new positions against prior delete files)
     * and targets always ⊆ the live manifest (DML/compaction strip
     * rewritten or dropped files). */
-  final case class PositionalDeletes(files: Seq[String], targets: Map[String, Long]) {
+  final case class PositionalDeletes(
+      files: Seq[String],
+      targets: Map[String, Long],
+      dvs: Map[String, String] = Map.empty) {
     def deletedRows: Long = targets.values.sum
   }
 

@@ -63,7 +63,29 @@ private[classic] final case class GraftCdcSeedPartition(
     srcOrd: Seq[Int],
     changeTypeOut: Int,
     snapIdOut: Int,
-    snapId: Long) extends InputPartition {
+    snapId: Long,
+    // Spark refuses a batch mixing columnar and row partitions — when a
+    // deletion-vector partition (row-only) shares the batch, the clean
+    // partitions drop to the row path too
+    forceRow: Boolean = false) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** A seed partition over a data file with a DELETION VECTOR pending:
+  * like [[GraftCdcSeedPartition]], plus the vector path — the reader
+  * walks the WHOLE file (splits pre-merged, row-group order), counts
+  * positions from 0 and drops recorded ones, so a positional-pending
+  * snapshot seeds zero-copy: no full-state spill, just an in-reader
+  * skip against a KB-class sidecar. Row path only (per-row filter). */
+private[classic] final case class GraftCdcDvSeedPartition(
+    inner: InputPartition,
+    factory: PartitionReaderFactory,
+    output: StructType,
+    srcOrd: Seq[Int],
+    changeTypeOut: Int,
+    snapIdOut: Int,
+    snapId: Long,
+    dvPath: String) extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
@@ -78,7 +100,9 @@ private[classic] final class GraftCdcSeedReaderFactory(
     inner: PartitionReaderFactory) extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case s: GraftCdcSeedPartition => s.factory.supportColumnarReads(s.inner)
+    case s: GraftCdcSeedPartition =>
+      !s.forceRow && s.factory.supportColumnarReads(s.inner)
+    case _: GraftCdcDvSeedPartition => false // per-row position filter
     case other => inner.supportColumnarReads(other)
   }
 
@@ -94,6 +118,27 @@ private[classic] final class GraftCdcSeedReaderFactory(
               else BoundReference(s.srcOrd(i), f.dataType, f.nullable)
             })
           override def next(): Boolean = base.next()
+          override def get(): InternalRow = proj(base.get())
+          override def close(): Unit = base.close()
+        }
+      case s: GraftCdcDvSeedPartition =>
+        val base = s.factory.createReader(s.inner)
+        new PartitionReader[InternalRow] {
+          private val dv = graft.table.DeletionVector.read(s.dvPath)
+          private var pos = -1L
+          private val proj = UnsafeProjection.create(
+            s.output.fields.toSeq.zipWithIndex.map { case (f, i) =>
+              if (i == s.changeTypeOut) Literal.create("insert", f.dataType)
+              else if (i == s.snapIdOut) Literal.create(s.snapId, f.dataType)
+              else BoundReference(s.srcOrd(i), f.dataType, f.nullable)
+            })
+          override def next(): Boolean = {
+            while (base.next()) {
+              pos += 1
+              if (java.util.Arrays.binarySearch(dv, pos) < 0) return true
+            }
+            false
+          }
           override def get(): InternalRow = proj(base.get())
           override def close(): Unit = base.close()
         }
@@ -194,11 +239,13 @@ final class GraftCdcMicroBatchStream(
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  /** Raw-seed eligibility is relaxed to identity-era files exactly when
-    * the catalog wired a path-recovering seed delegate. */
+  /** Raw-seed eligibility — files plus the per-file deletion vectors a
+    * positional-pending snapshot needs ([[graft.table.GraftTable.rawSeedState]]);
+    * relaxed to identity-era files exactly when the catalog wired a
+    * path-recovering seed delegate. */
   private def rawSeedFiles(t: GraftTable, snapshotId: Long)
-      : Option[Seq[DataFileEntry]] =
-    t.rawVisibleFiles(snapshotId,
+      : Option[(Seq[DataFileEntry], Map[String, String])] =
+    t.rawSeedState(snapshotId,
       identityViaPathRecovery = mkSeedDelegate.isDefined)
 
   private val spillRoot: java.nio.file.Path = Paths.get(
@@ -321,7 +368,7 @@ final class GraftCdcMicroBatchStream(
         // eligibility is a pure function of the immutable pinned
         // snapshot — close the seed and let plan-time refuse loudly
         GraftCdcOffset(s.snap)
-      case Some(files) =>
+      case Some((files, _)) =>
         val fromPos = math.max(s.seedPos, 0L).toInt
         if (fromPos >= files.size) return GraftCdcOffset(pin)
         val (maxF, maxR, maxB) = GraftReadLimits.caps(limit)
@@ -369,12 +416,12 @@ final class GraftCdcMicroBatchStream(
       val target = b.snap
       if (target <= 0L) return Array.empty
       rawSeedFiles(t, target) match {
-        case Some(files) =>
+        case Some((files, dvByBn)) =>
           val fromPos = math.max(a.seedPos, 0L).toInt
           val until = if (b.seedPos < 0) files.size else b.seedPos.toInt
           val slice = files.slice(fromPos, until)
           if (slice.isEmpty) Array.empty
-          else planSeed(t, slice, target)
+          else planSeed(t, slice, target, dvByBn)
         case None =>
           require(a.snap == 0L && a.seedPos < 0 && b.seedPos < 0,
             s"mid-seed offset ${a.json()} but snapshot $target of $dir " +
@@ -397,35 +444,80 @@ final class GraftCdcMicroBatchStream(
   private def planSeed(
       t: GraftTable,
       files: Seq[DataFileEntry],
-      snapId: Long): Array[InputPartition] = {
-    val paths = files.map(f =>
-      Paths.get(dir, f.path).normalize().toString)
+      snapId: Long,
+      dvByBn: Map[String, String] = Map.empty): Array[InputPartition] = {
+    def bn(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val (dvFiles, cleanFiles) =
+      files.partition(f => dvByBn.contains(bn(f.path)))
     val output = mkDelegate(Nil).readSchema()
-    val scan = mkSeedDelegate.map(_(paths, output))
-      .getOrElse(mkDelegate(paths))
-    val rs = scan.readSchema()
     val ctOut = output.fieldNames.indexOf("_change_type")
     val vcOut = output.fieldNames.indexOf(t.virtualColumn)
-    val srcOrd = output.fields.toSeq.zipWithIndex.map { case (f, i) =>
-      if (i == ctOut || i == vcOut) -1 else rs.fieldNames.indexOf(f.name)
+    // one seed scan's layout mapping: a partitioned parquet scan emits
+    // dataSchema ++ partitionSchema order, NOT the declared order
+    def layout(scan: Scan): (Seq[Int], Boolean) = {
+      val rs = scan.readSchema()
+      val srcOrd = output.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        if (i == ctOut || i == vcOut) -1 else rs.fieldNames.indexOf(f.name)
+      }
+      require(srcOrd.zipWithIndex.forall { case (s, i) =>
+          s >= 0 || i == ctOut || i == vcOut },
+        s"seed scan of $dir is missing output column(s) " +
+          output.fieldNames.zip(srcOrd).collect {
+            case (n, -1) if n != "_change_type" && n != t.virtualColumn => n
+          }.mkString(", "))
+      val identityLayout = rs.length != output.length ||
+        srcOrd.zipWithIndex.exists { case (s, i) => s >= 0 && s != i }
+      (srcOrd, identityLayout)
     }
-    require(srcOrd.zipWithIndex.forall { case (s, i) =>
-        s >= 0 || i == ctOut || i == vcOut },
-      s"seed scan of $dir is missing output column(s) " +
-        output.fieldNames.zip(srcOrd).collect {
-          case (n, -1) if n != "_change_type" && n != t.virtualColumn => n
-        }.mkString(", "))
-    val identityLayout = rs.length != output.length ||
-      srcOrd.zipWithIndex.exists { case (s, i) => s >= 0 && s != i }
-    val batch = scan.toBatch
-    val inner = batch.planInputPartitions()
-    if (ctOut < 0 && vcOut < 0 && !identityLayout) inner
-    else {
+    val cleanParts: Array[InputPartition] =
+      if (cleanFiles.isEmpty) Array.empty
+      else {
+        val paths = cleanFiles.map(f =>
+          Paths.get(dir, f.path).normalize().toString)
+        val scan = mkSeedDelegate.map(_(paths, output))
+          .getOrElse(mkDelegate(paths))
+        val (srcOrd, identityLayout) = layout(scan)
+        val batch = scan.toBatch
+        val inner = batch.planInputPartitions()
+        if (ctOut < 0 && vcOut < 0 && !identityLayout && dvFiles.isEmpty)
+          inner
+        else {
+          val factory = batch.createReaderFactory()
+          inner.map(p =>
+            GraftCdcSeedPartition(p, factory, output, srcOrd, ctOut, vcOut,
+              snapId, forceRow = dvFiles.nonEmpty): InputPartition)
+        }
+      }
+    // DELETION-VECTOR-targeted files: one whole-file partition each —
+    // the reader counts row positions from 0 (identical to the
+    // _metadata.row_index the vectors were recorded against, since the
+    // seed pushes no filters and reads every row group in order) and
+    // skips recorded positions in place. Splits of the file are merged
+    // back into ONE partition in file order so the count stays global.
+    val dvParts: Seq[InputPartition] = dvFiles.map { f =>
+      val path = Paths.get(dir, f.path).normalize().toString
+      val scan = mkSeedDelegate.map(_(Seq(path), output))
+        .getOrElse(mkDelegate(Seq(path)))
+      val (srcOrd, _) = layout(scan)
+      val batch = scan.toBatch
+      val parts = batch.planInputPartitions()
       val factory = batch.createReaderFactory()
-      inner.map(p =>
-        GraftCdcSeedPartition(p, factory, output, srcOrd, ctOut, vcOut,
-          snapId): InputPartition)
+      val merged: InputPartition =
+        if (parts.length == 1) parts.head
+        else {
+          val pieces = parts.toSeq.flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.toSeq
+            case other => throw new IllegalStateException(
+              s"unexpected seed partition shape ${other.getClass} for $path")
+          }.sortBy(_.start)
+          org.apache.spark.sql.execution.datasources.FilePartition(
+            0, pieces.toArray)
+        }
+      GraftCdcDvSeedPartition(merged, factory, output, srcOrd, ctOut,
+        vcOut, snapId, dvByBn(bn(f.path))): InputPartition
     }
+    cleanParts ++ dvParts
   }
 
   /** Materializing path: run the CDC diff (or the ineligible seed's full

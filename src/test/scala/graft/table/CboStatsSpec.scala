@@ -19,8 +19,8 @@ class CboStatsSpec extends SparkSpecBase {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    spark.conf.set("spark.sql.catalog.g9", "graft.table.GraftSparkCatalog")
-    spark.conf.set("spark.sql.catalog.g9.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.g11", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.g11.warehouse", wh)
   }
 
   private def mk(name: String, df: org.apache.spark.sql.DataFrame): GraftTable = {
@@ -58,7 +58,7 @@ class CboStatsSpec extends SparkSpecBase {
     import spark.implicits._
     mk("an_p", (1L to 100L).map(i => (i, s"g${i % 5}")).toDF("id", "v"))
     val got = spark.sql(
-      "CALL g9.system.analyze_table('db.an_p', columns => 'v')").collect()
+      "CALL g11.system.analyze_table('db.an_p', columns => 'v')").collect()
     assert(got.length == 1 && got.head.getString(0) == "v")
     assert(math.abs(got.head.getLong(1) - 5L) <= 1, got.mkString(","))
   }
@@ -67,7 +67,7 @@ class CboStatsSpec extends SparkSpecBase {
     import spark.implicits._
     val t = mk("st_t", (1L to 400L).map(i => (i, i % 20)).toDF("id", "k"))
     t.analyze(spark): Unit
-    val df = spark.sql("SELECT id, k FROM g9.db.st_t")
+    val df = spark.sql("SELECT id, k FROM g11.db.st_t")
     val rel = df.queryExecution.optimizedPlan.collectFirst {
       case r: DataSourceV2ScanRelation => r
     }.get
@@ -76,7 +76,7 @@ class CboStatsSpec extends SparkSpecBase {
       s"rowCount=${stats.rowCount}")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try {
-      val rel2 = spark.sql("SELECT id, k FROM g9.db.st_t")
+      val rel2 = spark.sql("SELECT id, k FROM g11.db.st_t")
         .queryExecution.optimizedPlan.collectFirst {
           case r: DataSourceV2ScanRelation => r
         }.get
@@ -92,7 +92,7 @@ class CboStatsSpec extends SparkSpecBase {
     GraftTable.load(t.dir)
       .append((1000L to 1100L).map(i => (i, 99L)).toDF("id", "k"),
         Some(2000L)): Unit
-    val pruned = spark.sql("SELECT id FROM g9.db.st_t WHERE id <= 400")
+    val pruned = spark.sql("SELECT id FROM g11.db.st_t WHERE id <= 400")
     val prel = pruned.queryExecution.optimizedPlan.collectFirst {
       case r: DataSourceV2ScanRelation => r
     }.get
@@ -112,9 +112,9 @@ class CboStatsSpec extends SparkSpecBase {
     mk("dc_t", (0L until 3L).map(i => (i, s"c$i")).toDF("c_k", "c_v"))
     Seq("f_t", "db_t", "dc_t").foreach(n =>
       GraftTable.load(s"$wh/db/$n").analyze(spark): Unit)
-    val q = "SELECT f.id, b.b_v, c.c_v FROM g9.db.f_t f " +
-      "JOIN g9.db.db_t b ON f.b_k = b.b_k " +
-      "JOIN g9.db.dc_t c ON f.c_k = c.c_k"
+    val q = "SELECT f.id, b.b_v, c.c_v FROM g11.db.f_t f " +
+      "JOIN g11.db.db_t b ON f.b_k = b.b_k " +
+      "JOIN g11.db.dc_t c ON f.c_k = c.c_k"
     def scanOrder(): Seq[String] = spark.sql(q).queryExecution.optimizedPlan
       .collect { case r: DataSourceV2ScanRelation => r.relation.name }
     val plain = scanOrder()

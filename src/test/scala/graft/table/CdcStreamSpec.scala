@@ -234,6 +234,37 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(rows.filter(col("_change_type") =!= "insert").count() == 0)
   }
 
+  test("positional-pending seed serves zero-copy through deletion vectors") {
+    val tb = GraftTable.create(s"$wh/db/c19", schema)
+    tb.append(df(batch(1, 6)), Some(1000L))
+    tb.append(df(batch(7, 9)), Some(2000L))
+    tb.deletePositional(spark,
+      col("id") === 2L || col("id") === 8L, Some(3000L))
+    val cur = GraftTable.load(tb.dir)
+    val snap = cur.log.current.get.snapshotId
+    // the strict raw check still refuses (visible ≠ raw rows) …
+    assert(cur.rawVisibleFiles(snap).isEmpty)
+    // … but the vector-backed seed state qualifies: raw files + DVs
+    val seedState = cur.rawSeedState(snap)
+    assert(seedState.nonEmpty, "dv-backed positional seed must qualify")
+    assert(seedState.get._2.nonEmpty, "expected per-file deletion vectors")
+    val ckpt = tmpDir("cdc-ckpt19")
+    val q = spark.readStream.table("gc.db.c19__changes")
+      .writeStream.format("memory").queryName("cdc19")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val rows = spark.table("cdc19")
+    assert(rows.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(rows.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 4L, 5L, 6L, 7L, 9L),
+      "dv seed must emit exactly the visible rows")
+    // the whole point: NO full-state spill copy was ever written
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckpt, "sources", "0", "graft-cdc-spill")),
+      "positional-pending seed wrote a spill copy")
+  }
+
   test("ineligible seed under caps paces in snapshot steps, never one shot") {
     // when the PINNED snapshot is not raw-servable, admission control
     // must fall back to snapshot-stepped chain pricing from 0 — the

@@ -48,7 +48,12 @@ class PositionalDeleteSpec extends SparkSpecBase {
     try {
       val it = st.iterator()
       val buf = Seq.newBuilder[String]
-      while (it.hasNext) { val x = it.next(); if (x.toString.endsWith(".parquet")) buf += x.toString }
+      // legacy (file,pos) parquets AND deletion-vector bins
+      while (it.hasNext) {
+        val x = it.next()
+        if (x.toString.endsWith(".parquet") || x.toString.endsWith(".bin"))
+          buf += x.toString
+      }
       buf.result()
     } finally st.close()
   }
@@ -172,6 +177,44 @@ class PositionalDeleteSpec extends SparkSpecBase {
     t.expireSnapshots(olderThanMillis = Long.MaxValue, retainLast = 1)
     assert(deleteFiles(s"$dir/t").isEmpty, "expire left orphan delete files")
     assert(ids(t) == Seq(1L, 3L, 5L))
+  }
+
+  test("deletion vectors: one artifact per data file after stacking; no join in the read plan") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "x", 2L -> "x", 3L -> "y", 4L -> "x"), Some(1000L))
+    t.append(mkDf(5L -> "x", 6L -> "z"), Some(2000L))
+    // three STACKED positional commits hitting the same files
+    t.deletePositional(spark, col("id") === 1, Some(3000L))
+    t.deletePositional(spark, col("id") === 4 || col("id") === 5, Some(4000L))
+    t.deletePositional(spark, col("id") === 2, Some(5000L))
+    val fresh = GraftTable.load(s"$dir/t")
+    // the stack CONSOLIDATES: one entry, one deletion vector per
+    // targeted data file, counts exact
+    val entries = fresh.positionalDeletes
+    assert(entries.size == 1, s"expected one consolidated entry, got $entries")
+    val e = entries.head
+    assert(e.dvs.nonEmpty && e.dvs.keySet == e.targets.keySet)
+    assert(e.files.sorted == e.dvs.values.toSeq.sorted,
+      "entry files must be exactly the per-file vectors")
+    assert(e.targets.size == 2, s"targets=${e.targets}") // both data files hit
+    assert(e.deletedRows == 4L)
+    assert(fresh.positionalDeletedCount == 4L)
+    assert(ids(fresh) == Seq(3L, 6L))
+    // the read plan has NO join: vectors filter in-reader (DvContains)
+    val plan = fresh.read(spark).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"positional read still joins:\n$plan")
+    assert(plan.contains("dv_contains"), s"expected dv filter in:\n$plan")
+    // stacking a fourth delete rewrites ONLY the affected file's vector
+    val dvBefore = e.dvs
+    fresh.deletePositional(spark, col("id") === 6, Some(6000L))
+    val after = GraftTable.load(s"$dir/t").positionalDeletes.head
+    val untouched = dvBefore.filter { case (tp, _) =>
+      after.dvs.get(tp).contains(dvBefore(tp)) }
+    assert(untouched.nonEmpty,
+      "an unaffected file's vector was rewritten (expected carry-by-ref)")
+    assert(GraftTable.load(s"$dir/t").positionalDeletedCount == 5L)
   }
 
   test("copy-on-write UPDATE/DELETE compose with pending positions (no resurrection)") {
