@@ -69,40 +69,6 @@ object DeletionVector {
     } finally in.close()
   }
 
-  /** Header-only distinct-position count (12-byte read). */
-  def readCount(path: String): Long = {
-    val in = new DataInputStream(new FileInputStream(path))
-    try {
-      require(in.readInt() == Magic, s"not a deletion vector: $path")
-      in.readLong()
-    } finally in.close()
-  }
-
-  /** Sorted-distinct union of two ascending iterators (two-pointer,
-    * O(1) memory) — the commit-time merge of a file's prior vector with
-    * its new victims. */
-  def mergeSorted(a: Iterator[Long], b: Iterator[Long]): Iterator[Long] =
-    new Iterator[Long] {
-      private val pa = a.buffered
-      private val pb = b.buffered
-      private var last = -1L
-      private def skipDupes(): Unit = {
-        while (pa.hasNext && pa.head == last) pa.next()
-        while (pb.hasNext && pb.head == last) pb.next()
-      }
-      override def hasNext: Boolean = { skipDupes(); pa.hasNext || pb.hasNext }
-      override def next(): Long = {
-        skipDupes()
-        val v =
-          if (!pa.hasNext) pb.next()
-          else if (!pb.hasNext) pa.next()
-          else if (pa.head <= pb.head) pa.next()
-          else pb.next()
-        last = v
-        v
-      }
-    }
-
   private def writeVarint(out: DataOutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7fL) != 0L) {
@@ -131,13 +97,35 @@ object DeletionVector {
   * actually reads (per-JVM cache), so a wide scan never materializes the
   * whole delete set anywhere. */
 final case class DvIndex(byBasename: Map[String, String]) extends Serializable {
+  // vectors loaded once per JVM, shared across tasks
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  // rows arrive file-clustered, so a per-thread last-seen memo turns the
+  // per-row map lookup + UTF8String→String allocation into one bytes
+  // compare; the UTF8String is CLONED before memoizing (row buffers are
+  // reused underneath it)
+  @transient private lazy val lastSeen =
+    new ThreadLocal[Array[AnyRef]] {
+      override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
+    }
+  private val noDv = new Array[Long](0)
 
   def contains(bn: UTF8String, pos: Long): Boolean = {
-    val key = bn.toString
-    val path = byBasename.getOrElse(key, return false)
-    val arr = cache.computeIfAbsent(key, _ => DeletionVector.read(path))
+    val memo = lastSeen.get()
+    var arr: Array[Long] = null
+    val last = memo(0).asInstanceOf[UTF8String]
+    if (last != null && bn.equals(last)) {
+      arr = memo(1).asInstanceOf[Array[Long]]
+    } else {
+      val key = bn.toString
+      arr = byBasename.get(key) match {
+        case Some(path) =>
+          cache.computeIfAbsent(key, _ => DeletionVector.read(path))
+        case None => noDv
+      }
+      memo(0) = bn.clone()
+      memo(1) = arr
+    }
     java.util.Arrays.binarySearch(arr, pos) >= 0
   }
 }

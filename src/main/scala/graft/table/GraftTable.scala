@@ -1545,37 +1545,52 @@ final class GraftTable private (
         fileSnapId(f.path).forall(_ > upTo))
       case None => manifest.files
     }
-    val batch: Map[String, Array[Byte]] =
-      if (fresh.isEmpty) Map.empty
+    val b64 = java.util.Base64.getEncoder
+    val d64 = java.util.Base64.getDecoder
+    // the snapshot gate is GLOBAL but sketches are PER COLUMN: a column
+    // without a stored sketch (first analyze of it, or renamed since)
+    // must sketch the WHOLE file list — the incremental fresh-files pass
+    // only composes with a prior sketch covering everything older
+    val prior: Map[String, Array[Byte]] = cols.flatMap(c =>
+      properties.get(s"$PropStatsSketchPrefix$c")
+        .map(s => c -> d64.decode(s))).toMap
+    val (incCols, fullCols) = cols.partition(prior.contains)
+    def sketch(files: Seq[DataFileEntry], over: Seq[String])
+        : Map[String, Array[Byte]] =
+      if (files.isEmpty || over.isEmpty) Map.empty
       else {
-        val df = readFiles(spark, fresh)
-        val aggs = cols.map(c =>
-          hll_sketch_agg(col(c).cast("string")).as(c))
+        val df = readFiles(spark, files)
+        val aggs = over.map(c => hll_sketch_agg(col(c).cast("string")).as(c))
         val row = df.agg(aggs.head, aggs.tail: _*).head()
-        cols.zipWithIndex.collect {
+        over.zipWithIndex.collect {
           case (c, i) if !row.isNullAt(i) => c -> row.getAs[Array[Byte]](i)
         }.toMap
       }
-    val b64 = java.util.Base64.getEncoder
-    val d64 = java.util.Base64.getDecoder
-    val updates = cols.flatMap { c =>
-      val prior = properties.get(s"$PropStatsSketchPrefix$c")
-        .map(s => d64.decode(s))
-      val merged: Option[Array[Byte]] = (prior, batch.get(c)) match {
-        case (Some(p), Some(b)) =>
-          // driver-side union of two KB sketches through the same
-          // engine kernel the distributed agg used
-          Some(spark.range(1)
-            .select(hll_union(lit(p), lit(b))).head().getAs[Array[Byte]](0))
-        case (p, b) => b.orElse(p)
+    val batch = sketch(fresh, incCols) ++ sketch(manifest.files, fullCols)
+    // ONE driver-local job for every merge + estimate (each is a
+    // KB-sized sketch op — per-column jobs would be pure launch
+    // overhead on a wide table)
+    val mergedByCol: Seq[(String, Column, Column)] = cols.flatMap { c =>
+      val m: Option[Column] = (prior.get(c), batch.get(c)) match {
+        case (Some(p), Some(b)) => Some(hll_union(lit(p), lit(b)))
+        case (_, Some(b)) => Some(lit(b))
+        case (Some(p), None) => Some(lit(p))
+        case (None, None) => None
       }
-      merged.toSeq.flatMap { m =>
-        val est = spark.range(1)
-          .select(hll_sketch_estimate(lit(m))).head().getLong(0)
-        Seq(s"$PropStatsSketchPrefix$c" -> b64.encodeToString(m),
-          s"$PropStatsNdvPrefix$c" -> est.toString)
+      m.map(col => (c, col, hll_sketch_estimate(col)))
+    }
+    val updates: Map[String, String] =
+      if (mergedByCol.isEmpty) Map.empty
+      else {
+        val exprs = mergedByCol.flatMap { case (_, m, e) => Seq(m, e) }
+        val row = spark.range(1).select(exprs: _*).head()
+        mergedByCol.zipWithIndex.flatMap { case ((c, _, _), i) =>
+          Seq(
+            s"$PropStatsSketchPrefix$c" ->
+              b64.encodeToString(row.getAs[Array[Byte]](2 * i)),
+            s"$PropStatsNdvPrefix$c" -> row.getLong(2 * i + 1).toString)
+        }.toMap
       }
-    }.toMap
     updateProperties(updates +
       (PropStatsSnapshot -> current.snapshotId.toString))
   }
@@ -3341,6 +3356,7 @@ final class GraftTable private (
       s"column '$name' already exists in $dir")
     require(name != virtualColumn,
       s"column '$name' would shadow the virtual snapshot column")
+    GraftTable.requireNotReserved(name, dir)
     // name-based (field-id-free) evolution's one hard rule: a name whose
     // PHYSICAL values still sit in existing files can never come back —
     // re-adding would resurrect those values instead of reading NULL
@@ -3390,6 +3406,9 @@ final class GraftTable private (
     }).distinct
     writeMeta(
       newSchema = StructType(schema.fields.filterNot(_.name == name)),
+      // the dropped column's ANALYZE stats leave with it
+      newProps = properties --
+        Seq(s"$PropStatsNdvPrefix$name", s"$PropStatsSketchPrefix$name"),
       newDropped = (droppedColumns ++ aliases).distinct)
   }
 
@@ -3412,6 +3431,7 @@ final class GraftTable private (
       s"column '$to' already exists in $dir")
     require(to != virtualColumn,
       s"column '$to' would shadow the virtual snapshot column")
+    GraftTable.requireNotReserved(to, dir)
     require(!droppedColumns.contains(to),
       s"column '$to' was dropped from $dir — old files still carry its " +
         "physical values; pick a new name")
@@ -3440,9 +3460,18 @@ final class GraftTable private (
             "era whose snapshot attribution belongs to another table — " +
             "compact() first to re-own the files"))
     }
+    // ANALYZE stats migrate with the column (the sketch is over VALUES,
+    // which a rename does not change) — left behind under the old name
+    // they would be orphaned AND a later re-analyze of the new name
+    // would silently cover only post-rename files
+    val statKeys = Seq(PropStatsNdvPrefix, PropStatsSketchPrefix)
+    val migrated = properties ++ statKeys.flatMap(pfx =>
+      properties.get(s"$pfx$from").map(v => s"$pfx$to" -> v)) --
+      statKeys.map(pfx => s"$pfx$from")
     writeMeta(
       newSchema = StructType(schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f)),
+      newProps = migrated,
       newRenames = renames :+ ColumnRename(log.nextId, from, to,
         seq = renames.size.toLong + widenings.size))
   }
@@ -4875,6 +4904,20 @@ object GraftTable {
   /** Internal provenance column names (never visible to readers). */
   private[table] val MetaFileCol = "__gf_file"
   private[table] val MetaPosCol = "__gf_pos"
+
+  /** Column names the engine reserves: the DSv2 metadata columns — a
+    * data column named `_file`/`_pos` would be silently shadow-routed to
+    * the provenance scan ([[GraftFileposScan]]) — and the internal
+    * provenance columns the positional machinery appends. Checked at
+    * every schema-introducing path (create / addColumn / renameColumn;
+    * mergeSchema rides addColumn). */
+  private[table] val ReservedColumns = Seq("_file", "_pos",
+    MetaFileCol, MetaPosCol)
+
+  private[table] def requireNotReserved(name: String, dir: String): Unit =
+    require(!ReservedColumns.exists(_.equalsIgnoreCase(name)),
+      s"column name '$name' is reserved by the engine in $dir " +
+        s"(reserved: ${ReservedColumns.mkString(", ")})")
   val PropBloomNdv = "graft.bloom.ndv"
   val SnapshotsSuffix = "__snapshots"
   val FilesSuffix = "__files"
@@ -4952,6 +4995,7 @@ object GraftTable {
     // validates identity columns AND hidden transforms
     // (bucket/days/truncate) against the schema
     PartitionField.parseSpec(partitionBy, schema)
+    schema.fieldNames.foreach(requireNotReserved(_, dir))
     streamCompactEvery(properties)
     streamCompactBytes(properties): Unit
     Files.createDirectories(p)

@@ -79,18 +79,22 @@ final class GraftRuntimeFilterScan(
     * would make every DSv2 graft read look `defaultSizeInBytes`-huge,
     * killing auto-broadcast for small tables and with it the broadcast
     * reuse DPP itself piggybacks on. */
-  override def estimateStatistics(): Statistics =
+  override def estimateStatistics(): Statistics = {
     // manifest-exact stats from the owning table first (rowCount from
     // the kept entries' record counts + analyzed NDV column stats — what
-    // CBO join reorder needs); the parquet delegate's byte-derived
-    // estimate is the fallback
-    graftStats().getOrElse(inner match {
+    // CBO join reorder needs). They describe the STATICALLY-kept file
+    // set, so once a runtime (DPP) filter has narrowed the scan the
+    // rebuilt delegate's estimate is the honest one again.
+    val static =
+      if (keptPaths.size == initialPaths.size) graftStats() else None
+    static.getOrElse(inner match {
       case s: SupportsReportStatistics => s.estimateStatistics()
       case _ => new Statistics {
         override def sizeInBytes() = java.util.OptionalLong.empty()
         override def numRows() = java.util.OptionalLong.empty()
       }
     })
+  }
 
   /** Every top-level atomic column in the READ schema can potentially
     * prune: footer min/max stats are recorded for all of them at write

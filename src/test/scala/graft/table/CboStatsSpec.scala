@@ -54,6 +54,27 @@ class CboStatsSpec extends SparkSpecBase {
     assert(re2.columnNdv == ndv2)
   }
 
+  test("analyze: a column first analyzed LATER still covers the whole table") {
+    import spark.implicits._
+    // analyze only id at snapshot 1; then ask for v with NO new commits —
+    // the per-column sketch gate must sketch v over ALL files, not the
+    // empty fresh set (the global-snapshot-gate bug)
+    val t = mk("an_l", (1L to 300L).map(i => (i, s"v${i % 23}"))
+      .toDF("id", "v"))
+    t.analyze(spark, Seq("id")): Unit
+    val re = GraftTable.load(t.dir).analyze(spark, Seq("v"))
+    assert(math.abs(re.columnNdv("v") - 23L) <= 2,
+      s"late-analyzed column missed rows: ${re.columnNdv.get("v")}")
+    // rename migrates the stats (values unchanged ⇒ sketch still valid);
+    // a re-analyze under the new name stays incremental
+    val renamed = re.renameColumn("v", "w")
+    assert(renamed.columnNdv.contains("w") && !renamed.columnNdv.contains("v"))
+    assert(math.abs(renamed.columnNdv("w") - 23L) <= 2)
+    // drop removes them
+    val dropped = renamed.dropColumn("w")
+    assert(!dropped.columnNdv.contains("w"))
+  }
+
   test("CALL analyze_table surfaces NDVs through the procedure catalog") {
     import spark.implicits._
     mk("an_p", (1L to 100L).map(i => (i, s"g${i % 5}")).toDF("id", "v"))

@@ -1010,6 +1010,29 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(filesAfter == filesBefore, "positional delete rewrote files")
   }
 
+  test("reserved column names (_file/_pos) refuse at every schema-introducing path") {
+    // a data column named _file would be silently shadow-routed to the
+    // provenance scan — reserved up front instead
+    intercept[IllegalArgumentException] {
+      GraftTable.create(s"$wh/db/resv1", StructType(Seq(
+        StructField("_file", StringType, nullable = true),
+        StructField("id", LongType, nullable = false))))
+    }
+    val t = GraftTable.create(s"$wh/db/resv2", schema)
+    intercept[IllegalArgumentException] { t.addColumn("_pos", LongType) }
+    intercept[IllegalArgumentException] { t.addColumn("_FILE", LongType) }
+    intercept[IllegalArgumentException] { t.renameColumn("data", "_pos") }
+    // mergeSchema rides addColumn's guard
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, "b", 9L)), 1),
+      StructType(schema.fields.toSeq :+
+        StructField("_pos", LongType, nullable = true)))
+    intercept[IllegalArgumentException] {
+      GraftTable.load(t.dir).append(src, Some(2000L), mergeSchema = true)
+    }
+  }
+
   test("__history: rollback breaks ancestry for rolled-past snapshots") {
     val t = GraftTable.create(s"$wh/db/hist_t", schema)
     t.append(mkDf(1L -> "a"), Some(1000L)) // snap 1
