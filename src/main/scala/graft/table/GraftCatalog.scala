@@ -70,6 +70,11 @@ final class GraftCatalog(warehouse: String) {
         return GraftTable.load(tableDir(identifier)).read(spark)
       val base = identifier.dropRight(GraftTable.HistorySuffix.length)
       GraftTable.load(tableDir(base)).historyTable(spark)
+    } else if (identifier.endsWith(GraftTable.AllFilesSuffix)) {
+      if (GraftTable.exists(tableDir(identifier)))
+        return GraftTable.load(tableDir(identifier)).read(spark)
+      val base = identifier.dropRight(GraftTable.AllFilesSuffix.length)
+      GraftTable.load(tableDir(base)).allFilesTable(spark)
     } else if (identifier.endsWith(GraftTable.DeletesSuffix)) {
       if (GraftTable.exists(tableDir(identifier)))
         return GraftTable.load(tableDir(identifier)).read(spark)

@@ -129,11 +129,12 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
     "__partitions" -> ((t, s, v) => t.partitionsTable(s, v)),
     "__deletes" -> ((t, s, v) => t.deletesTable(s, v)),
     "__refs" -> ((t, s, _) => t.refsTable(s)),
-    "__history" -> ((t, s, _) => t.historyTable(s)))
+    "__history" -> ((t, s, _) => t.historyTable(s)),
+    "__all_files" -> ((t, s, _) => t.allFilesTable(s)))
 
   /** The file-granular views keep their distributed lineage (V1Scan);
     * the summary-driven rest stay driver-local row sets. */
-  private val distributedMeta = Set("__files", "__partitions")
+  private val distributedMeta = Set("__files", "__partitions", "__all_files")
 
   private def loadMeta(
       ident: Identifier, snapshotId: Option[Long]): Option[Table] =
@@ -193,7 +194,7 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
           ident.namespace(), ident.name().stripSuffix(sfx))
         if (tableExists(base)) {
           require(sfx != "__snapshots" && sfx != "__refs" &&
-              sfx != "__history",
+              sfx != "__history" && sfx != "__all_files",
             s"$sfx is table-global — it has no per-snapshot form")
           val bt = loadGraft(base)
           val id = version.toLongOption.orElse(bt.refs.get(version))
@@ -248,7 +249,7 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
           ident.namespace(), ident.name().stripSuffix(sfx))
         if (tableExists(base)) {
           require(sfx != "__snapshots" && sfx != "__refs" &&
-              sfx != "__history",
+              sfx != "__history" && sfx != "__all_files",
             s"$sfx is table-global — it has no per-snapshot form")
           val bt = loadGraft(base)
           val id = bt.snapshotAsOfTime(timestampMicros / 1000L)

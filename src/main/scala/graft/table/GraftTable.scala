@@ -4569,6 +4569,67 @@ final class GraftTable private (
         math.max(1, spark.sparkContext.defaultParallelism))))
   }
 
+  /** The `__all_files` metadata table (Iceberg `all_files`/
+    * `all_data_files` analog): every data file referenced by ANY live
+    * snapshot — the audit view of what expiration would or would not
+    * reclaim. One row per distinct file with its entry metadata plus the
+    * count and id range of the snapshots referencing it. DISTRIBUTED and
+    * dedup-aware: the two-level manifest shares segment shards BY REF
+    * across snapshots, so the driver maps each DISTINCT segment to the
+    * snapshot ids whose lists carry it (O(snapshots × refs) strings),
+    * executor tasks parse each segment ONCE and every file row inherits
+    * its segment's referencing set — a 500-commit million-file history
+    * costs one parse per distinct shard, not per (snapshot × shard).
+    * Table-global (like `__refs`/`__history`): refuses VERSION AS OF. */
+  def allFilesTable(spark: SparkSession): DataFrame = {
+    val lg = log
+    val td = dir
+    // distinct segment ref -> referencing snapshot ids; inline entries
+    // (small, driver-held) keyed per snapshot directly
+    val bySeg = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    val inline = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFileEntry, Long)]
+    lg.snapshots.foreach { s =>
+      val m = Manifest.read(s"$dir/${s.manifestList}")
+      m.segments.foreach { seg =>
+        seg.ref match {
+          case Some(r) =>
+            bySeg.getOrElseUpdate(r,
+              scala.collection.mutable.ArrayBuffer.empty) += s.snapshotId
+          case None => seg.files.foreach(f => inline += ((f, s.snapshotId)))
+        }
+      }
+    }
+    val segSeq = bySeg.toSeq.map { case (r, ids) => (r, ids.toSeq) }
+    val refRdd =
+      if (segSeq.isEmpty)
+        spark.sparkContext.emptyRDD[(DataFileEntry, Seq[Long])]
+      else spark.sparkContext
+        .parallelize(segSeq, math.min(segSeq.size,
+          math.max(1, spark.sparkContext.defaultParallelism)))
+        .flatMap { case (rel, ids) =>
+          Manifest.readSegmentFiles(s"$td/$rel").map(f => (f, ids))
+        }
+    val inlineRdd =
+      if (inline.isEmpty)
+        spark.sparkContext.emptyRDD[(DataFileEntry, Seq[Long])]
+      else spark.sparkContext.parallelize(
+        inline.toSeq.map { case (f, id) => (f, Seq(id)) },
+        math.min(inline.size,
+          math.max(1, spark.sparkContext.defaultParallelism)))
+    val rows = refRdd.union(inlineRdd)
+      .map { case (f, ids) => (f.path, (f, ids)) }
+      .reduceByKey((x, y) => (x._1, x._2 ++ y._2))
+      .map { case (_, (f, ids)) =>
+        val distinctIds = ids.distinct
+        Row(f.path, f.recordCount, f.fileSizeBytes,
+          f.partition.map { case (k, v) => k -> v.orNull },
+          distinctIds.size.toLong, distinctIds.min, distinctIds.max)
+      }
+    spark.createDataFrame(rows, AllFilesSchema)
+  }
+
   /** The files metadata table (Iceberg's `files` analog, a sibling of the
     * reference's `__snapshots` surface): one row per data file in the
     * scanned snapshot, with record counts, sizes and partition values —
@@ -4924,6 +4985,7 @@ object GraftTable {
   val PartitionsSuffix = "__partitions"
   val RefsSuffix = "__refs"
   val HistorySuffix = "__history"
+  val AllFilesSuffix = "__all_files"
   val DeletesSuffix = "__deletes"
   val SegmentsSuffix = "__segments"
 
@@ -4936,6 +4998,15 @@ object GraftTable {
     StructField("deleted_rows", LongType, nullable = true)))
 
   /** Files metadata-table schema (see [[GraftTable.filesTable]]). */
+  val AllFilesSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size_bytes", LongType, nullable = false),
+    StructField("partition", MapType(StringType, StringType), nullable = true),
+    StructField("ref_snapshot_count", LongType, nullable = false),
+    StructField("first_snapshot_id", LongType, nullable = false),
+    StructField("last_snapshot_id", LongType, nullable = false)))
+
   val FilesSchema: StructType = StructType(Seq(
     StructField("file_path", StringType, nullable = false),
     StructField("record_count", LongType, nullable = false),

@@ -1010,6 +1010,47 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(filesAfter == filesBefore, "positional delete rewrote files")
   }
 
+  test("__all_files: every live snapshot's files, deduped, with reference ranges") {
+    val t = GraftTable.create(s"$wh/db/af_t", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L)) // snap 1: file A
+    t.append(mkDf(2L -> "b"), Some(2000L)) // snap 2: + file B
+    GraftTable.load(t.dir)
+      .compact(spark, smallerThanBytes = Long.MaxValue, Some(3000L)): Unit
+    // snap 3 replaced A+B with C; A and B remain referenced by snaps 1-2
+    val rows = spark.sql(
+      "SELECT file_path, record_count, ref_snapshot_count, " +
+        "first_snapshot_id, last_snapshot_id FROM g2.db.af_t__all_files " +
+        "ORDER BY file_path").collect()
+    val current = Manifest.read(s"${t.dir}/" +
+      GraftTable.load(t.dir).log.current.get.manifestList)
+      .files.map(_.path).toSet
+    assert(rows.length == 3, s"expected A, B, C — got ${rows.length}")
+    assert(current.subsetOf(rows.map(_.getString(0)).toSet))
+    // pre-compaction files reference snapshots [own..2]; the compacted
+    // file references snapshot 3 only
+    val byPath = rows.map(r => r.getString(0) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (old, fresh) = byPath.partition { case (p, _) => !current(p) }
+    assert(old.size == 2 && fresh.size == 1)
+    old.values.foreach { case (n, _, last) =>
+      assert(last == 2L && n >= 1L, s"old-file refs wrong: $old") }
+    fresh.values.foreach { case (n, first, last) =>
+      assert(n == 1L && first == 3L && last == 3L) }
+    // record counts carried from the entries
+    assert(rows.map(_.getLong(1)).sum == 4L) // 1 + 1 + 2
+    // table-global: refuses VERSION AS OF
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM g2.db.af_t__all_files VERSION AS OF 1")
+        .collect()
+    }
+    assert(e.getMessage.contains("table-global"), e.getMessage)
+    // expiration shrinks the view with the log
+    GraftTable.load(t.dir)
+      .expireSnapshots(olderThanMillis = Long.MaxValue, retainLast = 1): Unit
+    assert(spark.sql("SELECT count(*) AS n FROM g2.db.af_t__all_files")
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("reserved column names (_file/_pos) refuse at every schema-introducing path") {
     // a data column named _file would be silently shadow-routed to the
     // provenance scan — reserved up front instead
