@@ -655,6 +655,24 @@ object Versioned extends QueryPack {
 
   /** Identity-partitioned nation (by n_regionkey) for the
     * partition-grouped metadata aggregate. */
+  /** Rollback-history fixture (v58): append → append → rollback-to-1 →
+    * append. Snapshot 2 is rolled PAST (not an ancestor of the current
+    * state); 1, the rollback commit 3 and the later append 4 are. The
+    * chain is fully deterministic, so the `__history` ancestry flags
+    * replay as oracle literals. */
+  private def historyFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/hist_nation", 4) { dir =>
+      val n = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, n.schema)
+      tb.append(n.filter(col("n_nationkey") < 10), Some(1000L)) // snap 1
+      tb.append(n.filter(col("n_nationkey") >= 10), Some(2000L)) // snap 2
+      GraftTable.load(dir).rollbackTo(1L, Some(3000L)) // snap 3
+      GraftTable.load(dir)
+        .append(n.filter(col("n_nationkey") >= 20), Some(4000L)) // snap 4
+      GraftTable.load(dir)
+    }
+
   private def aggNationFixture(
       spark: SparkSession, sfDir: String): GraftTable =
     cachedFixture(sfDir, "db/agg_nation", 1) { dir =>
@@ -1066,6 +1084,21 @@ object Versioned extends QueryPack {
           "ON substring_index(p._file, '/', -1) = " +
           "substring_index(f.file_path, '/', -1) " +
           "ORDER BY p.lo_key")
+    }),
+
+    // `__history` METADATA TABLE (Iceberg `history` parity): snapshot
+    // lineage with is_current_ancestor computed over the EFFECTIVE state
+    // chain — the rollback commit's state-parent is its target, so the
+    // rolled-past snapshot correctly reads false. Deterministic fixture
+    // ⇒ the whole view hash-checks as literals.
+    "v58_graft_history" -> ((s, d) => {
+      val tb = historyFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g58", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g58.warehouse", wh)
+      s.sql("SELECT made_current_at, snapshot_id, parent_id, " +
+        "is_current_ancestor FROM g58.db.hist_nation__history " +
+        "ORDER BY snapshot_id")
     }),
 
     "v53_graft_meta_tables" -> ((s, d) => {
@@ -1696,6 +1729,14 @@ object Versioned extends QueryPack {
       ("SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation, " +
         "CAST(n_regionkey AS VARCHAR) AS region, count(*) AS record_count " +
         "FROM nation GROUP BY n_regionkey ORDER BY region"),
+    // the deterministic rollback chain's lineage as literals: snapshot 2
+    // rolled past (false); 1, the rollback 3 and the append 4 ancestors
+    "v58_graft_history" ->
+      ("SELECT * FROM (VALUES " +
+        "(CAST(1000 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true), " +
+        "(2000, 2, 1, false), (3000, 3, 2, true), (4000, 4, 3, true)) " +
+        "t(made_current_at, snapshot_id, parent_id, is_current_ancestor) " +
+        "ORDER BY snapshot_id"),
     // per-file counts via _file / dense _pos must replay the fixture's
     // three key-slice single-file appends over the raw source
     "v57_graft_filepos" ->

@@ -153,6 +153,9 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
         // an upper bound is the safe direction)
         val hint =
           if (!distributedMeta(suffix)) None
+          // __all_files spans ALL snapshots — the current list's totals
+          // would UNDERCOUNT (the unsafe direction for broadcast sizing)
+          else if (suffix == "__all_files") Some(t.allFilesRowHint)
           else snapshotId.flatMap(id => t.log.byId(id))
             .orElse(t.log.current)
             .map(s => Manifest.read(s"${t.dir}/${s.manifestList}").totalFiles)

@@ -1538,23 +1538,21 @@ final class GraftTable private (
       }.toSeq
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown column '$c'"))
-    val analyzedUpTo = properties.get(PropStatsSnapshot).flatMap(_.toLongOption)
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
-    val fresh = analyzedUpTo match {
-      case Some(upTo) => manifest.files.filter(f =>
-        fileSnapId(f.path).forall(_ > upTo))
-      case None => manifest.files
-    }
     val b64 = java.util.Base64.getEncoder
     val d64 = java.util.Base64.getDecoder
-    // the snapshot gate is GLOBAL but sketches are PER COLUMN: a column
-    // without a stored sketch (first analyze of it, or renamed since)
-    // must sketch the WHOLE file list — the incremental fresh-files pass
-    // only composes with a prior sketch covering everything older
+    // the sketch AND its coverage gate are PER COLUMN: a global gate
+    // would let analyzing a SUBSET advance the watermark past files
+    // other columns never sketched (silent permanent undercount). A
+    // column's incremental pass covers files newer than ITS recorded
+    // snapshot; no sketch, or a sketch without a recorded snapshot
+    // (legacy) ⇒ the whole file list (union stays an upper bound).
     val prior: Map[String, Array[Byte]] = cols.flatMap(c =>
       properties.get(s"$PropStatsSketchPrefix$c")
         .map(s => c -> d64.decode(s))).toMap
-    val (incCols, fullCols) = cols.partition(prior.contains)
+    val upToByCol: Map[String, Option[Long]] = cols.map(c =>
+      c -> properties.get(s"$PropStatsSnapPrefix$c")
+        .flatMap(_.toLongOption).filter(_ => prior.contains(c))).toMap
     def sketch(files: Seq[DataFileEntry], over: Seq[String])
         : Map[String, Array[Byte]] =
       if (files.isEmpty || over.isEmpty) Map.empty
@@ -1566,7 +1564,16 @@ final class GraftTable private (
           case (c, i) if !row.isNullAt(i) => c -> row.getAs[Array[Byte]](i)
         }.toMap
       }
-    val batch = sketch(fresh, incCols) ++ sketch(manifest.files, fullCols)
+    // one scan pass per DISTINCT watermark (typically one or two)
+    val batch: Map[String, Array[Byte]] =
+      cols.groupBy(upToByCol).flatMap { case (upTo, cs) =>
+        val files = upTo match {
+          case Some(u) => manifest.files.filter(f =>
+            fileSnapId(f.path).forall(_ > u))
+          case None => manifest.files
+        }
+        sketch(files, cs)
+      }
     // ONE driver-local job for every merge + estimate (each is a
     // KB-sized sketch op — per-column jobs would be pure launch
     // overhead on a wide table)
@@ -1591,8 +1598,9 @@ final class GraftTable private (
             s"$PropStatsNdvPrefix$c" -> row.getLong(2 * i + 1).toString)
         }.toMap
       }
-    updateProperties(updates +
-      (PropStatsSnapshot -> current.snapshotId.toString))
+    updateProperties(updates ++
+      cols.map(c => s"$PropStatsSnapPrefix$c" ->
+        current.snapshotId.toString))
   }
 
   /** Analyzed per-column NDV estimates ([[analyze]]), by column name. */
@@ -3407,8 +3415,8 @@ final class GraftTable private (
     writeMeta(
       newSchema = StructType(schema.fields.filterNot(_.name == name)),
       // the dropped column's ANALYZE stats leave with it
-      newProps = properties --
-        Seq(s"$PropStatsNdvPrefix$name", s"$PropStatsSketchPrefix$name"),
+      newProps = properties -- Seq(s"$PropStatsNdvPrefix$name",
+        s"$PropStatsSketchPrefix$name", s"$PropStatsSnapPrefix$name"),
       newDropped = (droppedColumns ++ aliases).distinct)
   }
 
@@ -3464,7 +3472,8 @@ final class GraftTable private (
     // which a rename does not change) — left behind under the old name
     // they would be orphaned AND a later re-analyze of the new name
     // would silently cover only post-rename files
-    val statKeys = Seq(PropStatsNdvPrefix, PropStatsSketchPrefix)
+    val statKeys = Seq(PropStatsNdvPrefix, PropStatsSketchPrefix,
+      PropStatsSnapPrefix)
     val migrated = properties ++ statKeys.flatMap(pfx =>
       properties.get(s"$pfx$from").map(v => s"$pfx$to" -> v)) --
       statKeys.map(pfx => s"$pfx$from")
@@ -4601,33 +4610,64 @@ final class GraftTable private (
         }
       }
     }
-    val segSeq = bySeg.toSeq.map { case (r, ids) => (r, ids.toSeq) }
+    // referencing-snapshot lists resolve AFTER the reduce through a
+    // broadcast table keyed by segment index — shuffling the id list on
+    // every file row would carry O(files × referencing snapshots) longs
+    // (a 500-commit million-file history ≈ GBs of ids) where the index
+    // sets are O(files × segments-per-file) ints
+    val segSeq = bySeg.toSeq
+    val idTable: Array[Array[Long]] =
+      (segSeq.map(_._2.distinct.sorted.toArray) ++
+        inline.map { case (_, id) => Array(id) }).toArray
+    val bc = spark.sparkContext.broadcast(idTable)
     val refRdd =
       if (segSeq.isEmpty)
-        spark.sparkContext.emptyRDD[(DataFileEntry, Seq[Long])]
+        spark.sparkContext.emptyRDD[(DataFileEntry, Set[Int])]
       else spark.sparkContext
-        .parallelize(segSeq, math.min(segSeq.size,
-          math.max(1, spark.sparkContext.defaultParallelism)))
-        .flatMap { case (rel, ids) =>
-          Manifest.readSegmentFiles(s"$td/$rel").map(f => (f, ids))
+        .parallelize(segSeq.zipWithIndex.map { case ((r, _), i) => (r, i) },
+          math.min(segSeq.size,
+            math.max(1, spark.sparkContext.defaultParallelism)))
+        .flatMap { case (rel, i) =>
+          Manifest.readSegmentFiles(s"$td/$rel").map(f => (f, Set(i)))
         }
     val inlineRdd =
       if (inline.isEmpty)
-        spark.sparkContext.emptyRDD[(DataFileEntry, Seq[Long])]
+        spark.sparkContext.emptyRDD[(DataFileEntry, Set[Int])]
       else spark.sparkContext.parallelize(
-        inline.toSeq.map { case (f, id) => (f, Seq(id)) },
+        inline.toSeq.zipWithIndex.map { case ((f, _), j) =>
+          (f, Set(segSeq.size + j)) },
         math.min(inline.size,
           math.max(1, spark.sparkContext.defaultParallelism)))
     val rows = refRdd.union(inlineRdd)
-      .map { case (f, ids) => (f.path, (f, ids)) }
+      .map { case (f, idxs) => (f.path, (f, idxs)) }
       .reduceByKey((x, y) => (x._1, x._2 ++ y._2))
-      .map { case (_, (f, ids)) =>
-        val distinctIds = ids.distinct
+      .map { case (_, (f, idxs)) =>
+        val ids = idxs.toSeq.flatMap(i => bc.value(i)).distinct
         Row(f.path, f.recordCount, f.fileSizeBytes,
           f.partition.map { case (k, v) => k -> v.orNull },
-          distinctIds.size.toLong, distinctIds.min, distinctIds.max)
+          ids.size.toLong, ids.min, ids.max)
       }
     spark.createDataFrame(rows, AllFilesSchema)
+  }
+
+  /** Upper-bound row count for [[allFilesTable]] without a segment
+    * parse: distinct segment fileCounts + inline entries across all
+    * snapshots. A file retained into a fresh segment counts once per
+    * holding segment — an UPPER bound, the safe direction for the
+    * V1Scan's broadcast sizing (the current-snapshot totals the other
+    * file-granular views use would UNDERCOUNT this all-snapshots view). */
+  private[table] def allFilesRowHint: Long = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    var n = 0L
+    log.snapshots.foreach { s =>
+      Manifest.read(s"$dir/${s.manifestList}").segments.foreach { seg =>
+        seg.ref match {
+          case Some(r) => if (seen.add(r)) n += seg.fileCount
+          case None => n += seg.files.size
+        }
+      }
+    }
+    n
   }
 
   /** The files metadata table (Iceberg's `files` analog, a sibling of the
@@ -4882,11 +4922,12 @@ object GraftTable {
 
   /** ANALYZE-maintained NDV statistics ([[GraftTable.analyze]]): the
     * estimate served to CBO, the mergeable HLL sketch behind it, and
-    * the snapshot the table was analyzed up to (incremental re-analyze
-    * sketches only later files). */
+    * PER COLUMN the snapshot it was analyzed up to (incremental
+    * re-analyze sketches only later files — per column, so analyzing a
+    * subset never poisons another column's coverage). */
   val PropStatsNdvPrefix = "graft.stats.ndv."
   val PropStatsSketchPrefix = "graft.stats.sketch."
-  val PropStatsSnapshot = "graft.stats.analyzed-snapshot"
+  val PropStatsSnapPrefix = "graft.stats.snapshot."
 
   val SummaryPendingDeletes = "pending-deletes"
   val SummaryPositionalDeletes = "positional-deletes"

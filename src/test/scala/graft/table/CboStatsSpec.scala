@@ -38,7 +38,7 @@ class CboStatsSpec extends SparkSpecBase {
     // HLL on a few hundred values is exact or near-exact
     assert(math.abs(ndv("id") - 500L) <= 10, s"ndv(id)=${ndv("id")}")
     assert(math.abs(ndv("v") - 37L) <= 2, s"ndv(v)=${ndv("v")}")
-    assert(analyzed.properties(GraftTable.PropStatsSnapshot) == "1")
+    assert(analyzed.properties(s"${GraftTable.PropStatsSnapPrefix}id") == "1")
 
     // append NEW distinct values; re-analyze sketches ONLY the new files
     // and unions with the stored sketch — the estimate must cover both
@@ -48,7 +48,7 @@ class CboStatsSpec extends SparkSpecBase {
     val ndv2 = re.columnNdv
     assert(math.abs(ndv2("id") - 700L) <= 15, s"ndv2(id)=${ndv2("id")}")
     assert(math.abs(ndv2("v") - 48L) <= 3, s"ndv2(v)=${ndv2("v")}")
-    assert(re.properties(GraftTable.PropStatsSnapshot) == "2")
+    assert(re.properties(s"${GraftTable.PropStatsSnapPrefix}id") == "2")
     // a third analyze with nothing new is a metadata-only no-op pass
     val re2 = GraftTable.load(t.dir).analyze(spark)
     assert(re2.columnNdv == ndv2)
@@ -73,6 +73,26 @@ class CboStatsSpec extends SparkSpecBase {
     // drop removes them
     val dropped = renamed.dropColumn("w")
     assert(!dropped.columnNdv.contains("w"))
+  }
+
+  test("analyze: a column SUBSET never poisons another column's coverage") {
+    import spark.implicits._
+    // sketch both at snap 1; append NEW values; re-analyze ONLY id —
+    // v's watermark must NOT advance, so a later analyze of v still
+    // sketches the snap-2 files (the global-gate poisoning bug)
+    val t = mk("an_s", (1L to 200L).map(i => (i, s"v${i % 10}"))
+      .toDF("id", "v"))
+    t.analyze(spark): Unit
+    GraftTable.load(t.dir)
+      .append((201L to 400L).map(i => (i, s"w${i % 15}")).toDF("id", "v"),
+        Some(2000L)): Unit
+    val mid = GraftTable.load(t.dir).analyze(spark, Seq("id"))
+    assert(mid.properties(s"${GraftTable.PropStatsSnapPrefix}id") == "2")
+    assert(mid.properties(s"${GraftTable.PropStatsSnapPrefix}v") == "1",
+      "subset analyze advanced another column's watermark")
+    val fin = mid.analyze(spark, Seq("v"))
+    assert(math.abs(fin.columnNdv("v") - 25L) <= 2,
+      s"v's coverage was poisoned: ${fin.columnNdv.get("v")}")
   }
 
   test("CALL analyze_table surfaces NDVs through the procedure catalog") {
