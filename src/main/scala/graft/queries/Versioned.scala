@@ -655,6 +655,16 @@ object Versioned extends QueryPack {
 
   /** Identity-partitioned nation (by n_regionkey) for the
     * partition-grouped metadata aggregate. */
+  private def aggNationFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/agg_nation", 1) { dir =>
+      val n = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, n.schema,
+        partitionBy = Seq("n_regionkey"))
+      tb.append(n, Some(1000L))
+      tb
+    }
+
   /** Rollback-history fixture (v58): append → append → rollback-to-1 →
     * append. Snapshot 2 is rolled PAST (not an ancestor of the current
     * state); 1, the rollback commit 3 and the later append 4 are. The
@@ -671,16 +681,6 @@ object Versioned extends QueryPack {
       GraftTable.load(dir)
         .append(n.filter(col("n_nationkey") >= 20), Some(4000L)) // snap 4
       GraftTable.load(dir)
-    }
-
-  private def aggNationFixture(
-      spark: SparkSession, sfDir: String): GraftTable =
-    cachedFixture(sfDir, "db/agg_nation", 1) { dir =>
-      val n = t(spark, sfDir, "nation")
-      val tb = GraftTable.create(dir, n.schema,
-        partitionBy = Seq("n_regionkey"))
-      tb.append(n, Some(1000L))
-      tb
     }
 
   /** Two-snapshot nation table for the streaming read: the stream must

@@ -131,15 +131,19 @@ object GraftProcedures {
       "rewrites. max_file_group_bytes > 0 enables PARTIAL PROGRESS: " +
       "candidates are bin-packed into input groups of at most that many " +
       "bytes and each group commits its own replace snapshot (a failed " +
-      "group never rolls back completed ones). Returns the replace " +
-      "snapshot id(s), or no rows when nothing qualified.",
+      "group never rolls back completed ones). where scopes the pass to " +
+      "files that MAY hold matching rows (manifest pruning — partition " +
+      "values, stats, transforms), the compact-one-slice maintenance " +
+      "shape. Returns the replace snapshot id(s), or no rows when " +
+      "nothing qualified.",
     Array(
       in("table", StringType),
       inDefault("smaller_than_bytes", LongType, "9223372036854775807"),
       inDefault("target_file_bytes", LongType, "0"),
       inDefault("sort_by", StringType, "''"),
       inDefault("zorder_by", StringType, "''"),
-      inDefault("max_file_group_bytes", LongType, "0")),
+      inDefault("max_file_group_bytes", LongType, "0"),
+      inDefault("where", StringType, "''")),
     StructType(Seq(StructField("replace_snapshot_id", LongType,
       nullable = false))),
     row => {
@@ -150,6 +154,10 @@ object GraftProcedures {
           .filter(_.nonEmpty).toSeq
       val target = row.getLong(2)
       val groupBytes = row.getLong(5)
+      val where: Option[org.apache.spark.sql.Column] =
+        if (row.isNullAt(6)) None
+        else Option(row.getUTF8String(6).toString.trim).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.functions.expr)
       val spark = org.apache.spark.sql.SparkSession.active
       val snaps =
         if (groupBytes > 0L)
@@ -158,13 +166,15 @@ object GraftProcedures {
             maxFileGroupBytes = groupBytes,
             sortBy = cols(3),
             targetFileBytes = if (target > 0L) Some(target) else None,
-            zorderBy = cols(4))
+            zorderBy = cols(4),
+            where = where)
         else
           t.compact(spark,
             smallerThanBytes = row.getLong(1),
             sortBy = cols(3),
             targetFileBytes = if (target > 0L) Some(target) else None,
-            zorderBy = cols(4)).toSeq
+            zorderBy = cols(4),
+            where = where).toSeq
       snaps.map(s => Seq[Any](s.snapshotId))
     })
 

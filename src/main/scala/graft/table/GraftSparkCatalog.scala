@@ -151,7 +151,11 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
         // parse): sizes the distributed views so broadcast decisions
         // against them stay sane ('__partitions' rows ≤ file totals —
         // an upper bound is the safe direction)
-        val hint =
+        // LAZY: the hint is only priced when a scan is actually built —
+        // __all_files' hint walks every snapshot's manifest list, and
+        // loadTable alone must not pay that twice (the view build walks
+        // them again; the list LRU dedups parses either way)
+        def hint: Option[Long] =
           if (!distributedMeta(suffix)) None
           // __all_files spans ALL snapshots — the current list's totals
           // would UNDERCOUNT (the unsafe direction for broadcast sizing)
@@ -161,7 +165,8 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
             .map(s => Manifest.read(s"${t.dir}/${s.manifestList}").totalFiles)
         new GraftMetadataV2Table(identToName(ident),
           mk(t, SparkSession.active, snapshotId),
-          distributed = distributedMeta(suffix), rowCountHint = hint): Table
+          distributed = distributedMeta(suffix),
+          rowCountHint = () => hint): Table
     }
 
   override def loadTable(ident: Identifier): Table = {
@@ -1038,7 +1043,8 @@ final class GraftMetadataV2Table(
     tableName: String,
     df: org.apache.spark.sql.DataFrame,
     distributed: Boolean = false,
-    rowCountHint: Option[Long] = None) extends Table with SupportsRead {
+    rowCountHint: () => Option[Long] = () => None)
+    extends Table with SupportsRead {
 
   override def name(): String = tableName
   override def schema(): StructType = df.schema
@@ -1062,7 +1068,7 @@ final class GraftMetadataV2Table(
                 with org.apache.spark.sql.sources.TableScan {
               override def sqlContext: org.apache.spark.sql.SQLContext = context
               override def schema: StructType = df.schema
-              override def sizeInBytes: Long = rowCountHint match {
+              override def sizeInBytes: Long = rowCountHint() match {
                 case Some(n) =>
                   math.max(1L, n) * math.max(8, df.schema.defaultSize)
                 case None => super.sizeInBytes

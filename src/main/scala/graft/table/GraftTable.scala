@@ -1313,7 +1313,8 @@ final class GraftTable private (
       sortBy: Seq[String] = Nil,
       targetFileBytes: Option[Long] = None,
       zorderBy: Seq[String] = Nil,
-      onlyPaths: Option[Set[String]] = None): Option[Snapshot] = {
+      onlyPaths: Option[Set[String]] = None,
+      where: Option[Column] = None): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
@@ -1321,11 +1322,25 @@ final class GraftTable private (
     val posPend = parsePositional(current)
     val eqPend = parseEquality(current)
     val small0 = compactCandidates(current, manifest, smallerThanBytes)
+    // `where` scopes a maintenance pass to one slice of a huge table —
+    // the manifest prune keeps only files that MAY hold matching rows
+    // (partition values, footer stats, transforms), so compacting
+    // yesterday's partition never plans today's files. Conservative-
+    // keep pruning can only WIDEN the slice (extra files compact too —
+    // harmless); rows are never filtered, only whole files scoped.
+    val scoped = where match {
+      case None => small0
+      case Some(w) =>
+        val resolved = resolveAgainst(spark, schema,
+          org.apache.spark.sql.classic.GraftBridge.expr(w))
+        val keep = prunedFiles(manifest, resolved).map(_.path).toSet
+        small0.filter(f => keep(f.path))
+    }
     // onlyPaths restricts the rewrite to one planned FILE GROUP (the
     // compactPartial per-group commit); everything else — including
     // other groups' candidates — carries over untouched
-    val small = onlyPaths.map(ps => small0.filter(f => ps(f.path)))
-      .getOrElse(small0)
+    val small = onlyPaths.map(ps => scoped.filter(f => ps(f.path)))
+      .getOrElse(scoped)
     val smallSet = small.map(_.path).toSet
     val big = manifest.files.filterNot(f => smallSet(f.path))
     // a single qualifying file is not worth repacking — UNLESS deferred
@@ -1431,14 +1446,23 @@ final class GraftTable private (
       committedAt: Option[Long] = None,
       sortBy: Seq[String] = Nil,
       targetFileBytes: Option[Long] = None,
-      zorderBy: Seq[String] = Nil): Seq[Snapshot] = {
+      zorderBy: Seq[String] = Nil,
+      where: Option[Column] = None): Seq[Snapshot] = {
     require(maxFileGroupBytes > 0, "maxFileGroupBytes must be positive")
     val current = log.current.getOrElse(return Nil)
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
-    val candidates = compactCandidates(current, manifest, smallerThanBytes)
+    val all = compactCandidates(current, manifest, smallerThanBytes)
+    val candidates = where match {
+      case None => all
+      case Some(w) =>
+        val resolved = resolveAgainst(spark, schema,
+          org.apache.spark.sql.classic.GraftBridge.expr(w))
+        val keep = prunedFiles(manifest, resolved).map(_.path).toSet
+        all.filter(f => keep(f.path))
+    }
     if (candidates.size < 2) // single group, single commit: delegate
       return compact(spark, smallerThanBytes, committedAt, sortBy,
-        targetFileBytes, zorderBy).toSeq
+        targetFileBytes, zorderBy, where = where).toSeq
     // greedy bin-pack in manifest order; a file larger than the cap
     // (force-included MoR/era candidates) forms its own group
     val groups = candidates.foldLeft(List.empty[(Long, List[DataFileEntry])]) {
@@ -1450,7 +1474,7 @@ final class GraftTable private (
     }.reverse.map(_._2.reverse)
     if (groups.size == 1)
       return compact(spark, smallerThanBytes, committedAt, sortBy,
-        targetFileBytes, zorderBy).toSeq
+        targetFileBytes, zorderBy, where = where).toSeq
     var failures = List.empty[(Int, Throwable)]
     val committed = groups.zipWithIndex.flatMap { case (g, i) =>
       try withCommitRetry() {
@@ -1600,7 +1624,9 @@ final class GraftTable private (
       }
     updateProperties(updates ++
       cols.map(c => s"$PropStatsSnapPrefix$c" ->
-        current.snapshotId.toString))
+        current.snapshotId.toString),
+      // pre-per-column tables carried one global watermark — dead now
+      removals = Set("graft.stats.analyzed-snapshot"))
   }
 
   /** Analyzed per-column NDV estimates ([[analyze]]), by column name. */
@@ -4640,7 +4666,16 @@ final class GraftTable private (
           math.max(1, spark.sparkContext.defaultParallelism)))
     val rows = refRdd.union(inlineRdd)
       .map { case (f, idxs) => (f.path, (f, idxs)) }
-      .reduceByKey((x, y) => (x._1, x._2 ++ y._2))
+      // deterministic entry choice: entries for one path are identical
+      // today, but nothing enforces it — order the tie-break explicitly
+      // so the view can never flip between runs
+      .reduceByKey { (x, y) =>
+        val keep =
+          if (x._1 == y._1) x._1
+          else Seq(x._1, y._1).minBy(e =>
+            (e.recordCount, e.fileSizeBytes, e.partition.toString))
+        (keep, x._2 ++ y._2)
+      }
       .map { case (_, (f, idxs)) =>
         val ids = idxs.toSeq.flatMap(i => bc.value(i)).distinct
         Row(f.path, f.recordCount, f.fileSizeBytes,

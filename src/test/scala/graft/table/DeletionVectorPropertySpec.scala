@@ -27,14 +27,16 @@ class DeletionVectorPropertySpec extends AnyFunSuite {
 
   // position sets mixing dense runs (delta 1 — the mass-delete shape),
   // small gaps, and huge jumps (varint multi-byte paths)
-  private val genPositions: Gen[Seq[Long]] = for {
-    n <- Gen.choose(0, 400)
-    start <- Gen.choose(0L, 1L << 40)
-    deltas <- Gen.listOfN(n, Gen.frequency(
-      5 -> Gen.const(1L),
-      3 -> Gen.choose(1L, 64L),
-      1 -> Gen.choose(1L, 1L << 33)))
-  } yield deltas.scanLeft(start)(_ + _)
+  private val genPositions: Gen[Seq[Long]] = Gen.frequency(
+    1 -> Gen.const(Seq.empty[Long]), // the count-0 header/patch path
+    9 -> (for {
+      n <- Gen.choose(0, 400)
+      start <- Gen.choose(0L, 1L << 40)
+      deltas <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.const(1L),
+        3 -> Gen.choose(1L, 64L),
+        1 -> Gen.choose(1L, 1L << 33)))
+    } yield deltas.scanLeft(start)(_ + _)))
 
   test("write → read is identity on sorted-distinct sets; count exact") {
     check(Prop.forAll(genPositions, Gen.choose(1, 5)) { (pos, dupEvery) =>

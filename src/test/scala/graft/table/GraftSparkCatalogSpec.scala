@@ -1153,6 +1153,30 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toSeq == Seq("ok1", "bad", "ok3"))
   }
 
+  test("rewrite_data_files where-scope compacts one slice, leaves the rest") {
+    val t = GraftTable.create(s"$wh/db/proc_w", schema,
+      partitionBy = Seq("data"))
+    (1 to 3).foreach(i => t.append(
+      mkDf(i.toLong -> "a", (i + 10).toLong -> "b"), Some(1000L * i)))
+    val before = Manifest.read(s"${t.dir}/" +
+      GraftTable.load(t.dir).log.current.get.manifestList).files
+    val bBefore = before.filter(_.partition.get("data").contains(Some("b")))
+      .map(_.path).toSet
+    assert(bBefore.size == 3)
+    val got = spark.sql("CALL g2.system.rewrite_data_files('db.proc_w', " +
+      "where => \"data = 'a'\")").collect()
+    assert(got.length == 1)
+    val after = Manifest.read(s"${t.dir}/" +
+      GraftTable.load(t.dir).log.current.get.manifestList).files
+    // b-partition files untouched (carried by path); a-slice folded
+    assert(after.filter(_.partition.get("data").contains(Some("b")))
+      .map(_.path).toSet == bBefore, "where-scope rewrote the other slice")
+    assert(after.count(_.partition.get("data").contains(Some("a"))) == 1,
+      "a-slice did not fold")
+    assert(spark.sql("SELECT id FROM g2.db.proc_w ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 11L, 12L, 13L))
+  }
+
   test("CALL rewrite_manifests re-shards; rollback_to_snapshot restores") {
     val t = GraftTable.create(s"$wh/db/proc_man", schema)
     t.append(mkDf(1L -> "a"), Some(1000L))
