@@ -1294,16 +1294,24 @@ final class GraftTable private (
       current: Snapshot,
       manifest: Manifest,
       smallerThanBytes: Long): Seq[DataFileEntry] = {
+    val forced = compactForced(current)
+    manifest.files.filter(f =>
+      f.fileSizeBytes < smallerThanBytes || forced(f))
+  }
+
+  /** Whether a compaction pass MUST rewrite `f` regardless of size:
+    * pending merge-on-read coverage to materialize, or a pre-rename/
+    * pre-widening era to migrate. */
+  private def compactForced(current: Snapshot): DataFileEntry => Boolean = {
     val pend = parsePending(current)
     val eqPend = parseEquality(current)
     val posTargets: Set[String] =
       parsePositional(current).flatMap(_.targets.keys).toSet
-    manifest.files.filter(f =>
-      f.fileSizeBytes < smallerThanBytes ||
+    f =>
       posTargets.contains(f.path) || pend.exists {
         case (covered, _) => fileSnapId(f.path).forall(_ <= covered) } ||
       eqPend.exists(e => fileSnapId(f.path).forall(_ <= e.covered)) ||
-      renameAffects(f))
+      renameAffects(f)
   }
 
   def compact(
@@ -1465,13 +1473,20 @@ final class GraftTable private (
         targetFileBytes, zorderBy, where = where).toSeq
     // greedy bin-pack in manifest order; a file larger than the cap
     // (force-included MoR/era candidates) forms its own group
-    val groups = candidates.foldLeft(List.empty[(Long, List[DataFileEntry])]) {
+    val packed = candidates.foldLeft(List.empty[(Long, List[DataFileEntry])]) {
       case (acc, f) => acc match {
         case (bytes, g) :: rest if bytes + f.fileSizeBytes <= maxFileGroupBytes =>
           (bytes + f.fileSizeBytes, f :: g) :: rest
         case _ => (f.fileSizeBytes, f :: Nil) :: acc
       }
     }.reverse.map(_._2.reverse)
+    // a single-file group with no materialization obligation buys
+    // nothing from a repack — and without this skip, a steady-state
+    // table under MaxValue-threshold maintenance would re-compact its
+    // files forever (a maintenance pass must reach a FIXPOINT)
+    val forced = compactForced(current)
+    val groups = packed.filter(g => g.size > 1 || g.exists(forced))
+    if (groups.isEmpty) return Nil
     if (groups.size == 1)
       return compact(spark, smallerThanBytes, committedAt, sortBy,
         targetFileBytes, zorderBy, where = where).toSeq

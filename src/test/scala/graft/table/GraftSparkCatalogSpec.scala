@@ -1131,26 +1131,31 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     // group must stay committed (partial progress on disk)
     val f = GraftTable.create(s"$wh/db/proc_ppf", schema)
     f.append(mkDf(1L -> "ok1"), Some(1000L))
-    f.append(mkDf(2L -> "bad"), Some(2000L))
+    f.append(mkDf(2L -> "ok2"), Some(2000L))
     f.append(mkDf(3L -> "ok3"), Some(3000L))
+    f.append(mkDf(4L -> "bad"), Some(4000L))
     GraftTable.load(s"$wh/db/proc_ppf").updateProperties(
       Map(s"${GraftTable.PropCheckPrefix}vok" -> "data <> 'bad'")): Unit
     val loaded = GraftTable.load(s"$wh/db/proc_ppf")
+    val sizes = Manifest.read(
+      s"${loaded.dir}/${loaded.log.current.get.manifestList}")
+      .files.map(_.fileSizeBytes)
     val snapsBefore = loaded.log.snapshots.size
     val e = intercept[IllegalStateException] {
-      // cap 1 byte → every file its own group; group 1 (the 'bad' file)
-      // fails its rewrite, groups 0 and 2 commit
+      // cap ≈ 2 files → groups [ok1,ok2] and [ok3,bad]; the second
+      // fails its rewrite, the first commits and stays
       loaded.compactPartial(spark, smallerThanBytes = Long.MaxValue,
-        maxFileGroupBytes = 1L, committedAt = Some(4000L))
+        maxFileGroupBytes = sizes.max * 2, committedAt = Some(5000L))
     }
-    assert(e.getMessage.contains("committed 2/3"), e.getMessage)
+    assert(e.getMessage.contains("committed 1/2"), e.getMessage)
     val f2 = GraftTable.load(s"$wh/db/proc_ppf")
-    assert(f2.log.snapshots.size == snapsBefore + 2,
-      "completed groups must stay committed after a failed group")
+    assert(f2.log.snapshots.size == snapsBefore + 1,
+      "the completed group must stay committed after a failed group")
     assert(f2.log.snapshots.drop(snapsBefore).forall(_.operation == "replace"))
-    // no row lost: the failed group's file is still in the manifest
+    // no row lost: the failed group's files are still in the manifest
     assert(spark.sql("SELECT data FROM g2.db.proc_ppf ORDER BY id")
-      .collect().map(_.getString(0)).toSeq == Seq("ok1", "bad", "ok3"))
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("ok1", "ok2", "ok3", "bad"))
   }
 
   test("rewrite_data_files where-scope compacts one slice, leaves the rest") {
