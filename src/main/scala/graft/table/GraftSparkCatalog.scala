@@ -736,20 +736,19 @@ final class GraftV2Table(
     }
     snap.foreach { s =>
       // this surface hands the raw file list to the parquet source — it
-      // cannot apply merge-on-read delete predicates; refuse rather than
-      // resurrect deleted rows (materialize via compact() first)
-      require(t.parsePending(s).isEmpty,
-        s"${t.dir} has deferred deletes pending at snapshot " +
-          s"${s.snapshotId} — compact() to materialize them before " +
-          "reading through the DSv2 catalog")
-      require(t.parsePositional(s).isEmpty,
-        s"${t.dir} has positional deletes pending at snapshot " +
-          s"${s.snapshotId} — compact() to materialize them before " +
-          "reading through the DSv2 catalog")
-      require(t.parseEquality(s).isEmpty,
-        s"${t.dir} has equality deletes pending at snapshot " +
-          s"${s.snapshotId} — compact() to materialize them before " +
-          "reading through the DSv2 catalog")
+      // cannot apply merge-on-read delete state; refuse rather than
+      // resurrect deleted rows, and refuse LOUDLY WITH DIRECTION: a
+      // GraftExtensions session serves these reads with the visible-rows
+      // plan and full pushdown (a silent slow fallback here would
+      // full-scan a 100 TB table per query instead)
+      def refuse(kind: String): String =
+        s"${t.dir} has $kind pending at snapshot ${s.snapshotId} — " +
+          "read through a GraftExtensions session (builder" +
+          ".withExtensions(new GraftExtensions)), via GraftTable.read/" +
+          "scan, or compact() to materialize them first"
+      require(t.parsePending(s).isEmpty, refuse("deferred deletes"))
+      require(t.parsePositional(s).isEmpty, refuse("positional deletes"))
+      require(t.parseEquality(s).isEmpty, refuse("equality deletes"))
     }
     // LAZY planning: the manifest LIST is read here (small), but its
     // segment files are only parsed for the files a query actually
