@@ -291,6 +291,41 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Batch-changelog fixture (v60): the cdcFixture chain — append, CoW
+    * region-1 retag, positional key delete — laid out under `db/` so the
+    * DSv2 catalog serves its `__changes` BATCH surface by name. */
+  private def changelogFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/changelog_nation", 3) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      tb.update(spark, col("n_regionkey") === 1,
+        Map("n_name" -> concat(col("n_name"), lit("_U"))), Some(2000L))
+      val keys = nation.filter(col("n_nationkey") % 4 === 1).select("n_nationkey")
+      tb.deletePositionalByKeys(spark, keys, Seq("n_nationkey"), Some(3000L))
+      tb
+    }
+
+  /** Snapshot-procedure fixture (v61): a FOREIGN Hive-partitioned
+    * parquet dump of nation (plain `write.partitionBy`, no graft
+    * anywhere), turned into a zero-copy shadow graft table by
+    * `CALL system.snapshot` — schema from footers, the partition
+    * directory becomes an identity partition field, files hard-link.
+    * The source dump is never touched. */
+  private def snapshotBootFixture(
+      spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/boot_nation", 1) { dir =>
+      val src = s"${dir}__src"
+      t(spark, sfDir, "nation")
+        .write.partitionBy("n_regionkey").mode("overwrite").parquet(src)
+      val wh = Paths.get(dir).getParent.getParent.toString
+      spark.conf.set("spark.sql.catalog.g61boot", "graft.table.GraftSparkCatalog")
+      spark.conf.set("spark.sql.catalog.g61boot.warehouse", wh)
+      spark.sql(
+        s"CALL g61boot.system.snapshot('$src', 'db.boot_nation')").collect()
+      GraftTable.load(dir)
+    }
+
   /** EQUALITY-delete fixture: nation appended (snapshot 1), every third
     * nationkey equality-deleted (snapshot 2 — an O(keys) commit, no scan,
     * no data file touched), then a subset of the SAME keys re-appended
@@ -305,6 +340,40 @@ object Versioned extends QueryPack {
         Seq("n_nationkey"), Some(2000L))
       tb.append(nation.filter(col("n_nationkey") % 6 === 0),
         committedAt = Some(3000L))
+      tb
+    }
+
+  /** COMPOSED merge-on-read fixture (v59): positional and equality
+    * entries STACKING on one table — the pipeline where a curation job
+    * (deletion vectors) and a CDC equality-upsert mirror share a corpus
+    * table with no compact() between them. Deletion vectors land first
+    * (snapshot 2), an equality upsert stacks on the DV-pending table
+    * (snapshot 3 — retags region 3, inserts key 998), then a second
+    * positional key-delete stacks on both (snapshot 4 — hits surviving
+    * originals AND the upsert's superseding copies; victims are always
+    * FULLY VISIBLE rows, so the forms' dead sets stay disjoint and
+    * counts exact). Reads resolve DV filter + scoped key anti-joins in
+    * one plan. */
+  private def morCompFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_morcomp", 4) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      tb.deletePositional(spark, col("n_nationkey") % 5 === 1, Some(2000L))
+      val retag = nation
+        .filter(col("n_regionkey") === 3 && col("n_nationkey") % 5 =!= 1)
+        .withColumn("n_name", concat(col("n_name"), lit("_E")))
+      val fresh = spark.range(1).select(
+        lit(998L).cast(nation.schema("n_nationkey").dataType)
+          .as("n_nationkey"),
+        lit("COMPOSED").as("n_name"),
+        lit(3L).cast(nation.schema("n_regionkey").dataType)
+          .as("n_regionkey"))
+      tb.mergeEquality(spark, retag.unionByName(fresh), Seq("n_nationkey"),
+        Some(3000L))
+      tb.deletePositionalByKeys(spark,
+        nation.filter(col("n_nationkey") % 7 === 2).select("n_nationkey"),
+        Seq("n_nationkey"), Some(4000L))
       tb
     }
 
@@ -1366,6 +1435,49 @@ object Versioned extends QueryPack {
       eqFixture(s, d).read(s)
         .select("n_nationkey", "n_name", "n_regionkey")),
 
+    // COMPOSED merge-on-read: positional (deletion vectors) and equality
+    // entries pending TOGETHER on one table — DV delete, then an
+    // equality upsert stacked on it, then a second positional key-delete
+    // stacked on both; no compact() anywhere. One read plan resolves the
+    // in-reader DV filter plus the snapshot-scoped key anti-join
+    "v59_graft_mor_composed" -> ((s, d) =>
+      morCompFixture(s, d).read(s)
+        .select("n_nationkey", "n_name", "n_regionkey")),
+
+    // TABLE BOOTSTRAP (Iceberg snapshot-procedure parity): a foreign
+    // Hive-partitioned parquet dump becomes a zero-copy shadow graft
+    // table (schema from footers, directory keys → identity partition
+    // field, files hard-linked); the filtered read plans through the
+    // recovered partition spec — manifest partition pruning, no listing
+    "v61_graft_snapshot_boot" -> ((s, d) => {
+      val tb = snapshotBootFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g61", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g61.warehouse", wh)
+      s.sql(
+        "SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) " +
+          "AS n_regionkey FROM g61.db.boot_nation WHERE n_regionkey <= 2")
+    }),
+
+    // BATCH SQL CHANGELOG (Iceberg create_changelog_view parity): plain
+    // SQL over `<name>__changes` serves the snapshot-range CDC feed as a
+    // batch relation (default range = table creation → current). The
+    // query FOLDS the changelog from the empty state — net insert−delete
+    // per row — and must reproduce the current table exactly, across a
+    // mixed append/CoW-update/positional-delete chain
+    "v60_graft_changelog_batch" -> ((s, d) => {
+      val tb = changelogFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g60", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g60.warehouse", wh)
+      s.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM (" +
+          "SELECT n_nationkey, n_name, n_regionkey, " +
+          "sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS net " +
+          "FROM g60.db.changelog_nation__changes " +
+          "GROUP BY n_nationkey, n_name, n_regionkey) WHERE net > 0")
+    }),
+
     // POSITIONAL merge-on-read UPDATE: superseding rows in new files,
     // old copies killed by positions, then a key-delete hitting original
     // and superseding copies alike
@@ -1864,6 +1976,28 @@ object Versioned extends QueryPack {
         "WHERE n_nationkey % 3 <> 0 " +
         "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "WHERE n_nationkey % 6 = 0"),
+    // replay of the composed chain: DV kills %5=1; the equality upsert
+    // supersedes surviving region-3 rows with '_E' copies and inserts
+    // 998; the stacked key-delete then removes %7=2 from originals and
+    // superseding copies alike
+    "v59_graft_mor_composed" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_nationkey % 5 <> 1 AND n_regionkey <> 3 " +
+        "AND n_nationkey % 7 <> 2 " +
+        "UNION ALL SELECT n_nationkey, n_name || '_E', n_regionkey " +
+        "FROM nation WHERE n_nationkey % 5 <> 1 AND n_regionkey = 3 " +
+        "AND n_nationkey % 7 <> 2 " +
+        "UNION ALL SELECT 998, 'COMPOSED', 3"),
+    // the shadow table serves exactly the dump's rows for the slice
+    "v61_graft_snapshot_boot" ->
+      ("SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) " +
+        "AS n_regionkey FROM nation WHERE n_regionkey <= 2"),
+    // folding the full changelog from empty must equal the fixture's
+    // final state: region-1 names retagged, %4=1 keys deleted
+    "v60_graft_changelog_batch" ->
+      ("SELECT n_nationkey, " +
+        "CASE WHEN n_regionkey = 1 THEN n_name || '_U' ELSE n_name END " +
+        "AS n_name, n_regionkey FROM nation WHERE n_nationkey % 4 <> 1"),
     "v30_graft_positional_update" ->
       ("SELECT n_nationkey, " +
         "CASE WHEN n_regionkey = 3 THEN n_name || '_X' ELSE n_name END " +

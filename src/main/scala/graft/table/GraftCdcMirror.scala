@@ -48,13 +48,15 @@ object GraftCdcMirror {
     * contract.
     *
     * `compactEvery` bounds the merge-on-read DEBT a long-running mirror
-    * accumulates: each batch's tombstone is one pending equality entry,
-    * and reads anti-join every pending entry — unbounded stacking would
-    * slowly tax every mirror read. Once the pending count reaches the
-    * threshold, the entries MATERIALIZE (one compact() before the
-    * batch applies — amortized O(mirror)/`compactEvery`, and the
-    * compaction is a row-preserving replace, so mirror readers and
-    * mirror-of-mirror streams are undisturbed). */
+    * accumulates: each batch's tombstone keys CONSOLIDATE into one
+    * entry per key-column set (reads pay one anti-join however deep the
+    * stacking), but the consolidated key relation itself still grows
+    * with every batch — so the threshold counts stacking DEPTH (folded
+    * commits per entry) and MATERIALIZES once it's reached (one
+    * compact() before the batch applies — amortized
+    * O(mirror)/`compactEvery`, and the compaction is a row-preserving
+    * replace, so mirror readers and mirror-of-mirror streams are
+    * undisturbed). */
   def applyBatch(
       mirror: GraftTable, keyCols: Seq[String], sinkId: String,
       compactEvery: Int = 64)(
@@ -62,7 +64,8 @@ object GraftCdcMirror {
     // replayed epoch (crash AFTER the full apply): skip the whole batch
     // — re-running the tombstone would kill the already-applied inserts
     if (mirror.streamCursors.get(sinkId).exists(_ >= batchId)) return
-    if (compactEvery > 0 && mirror.equalityDeletes.size >= compactEvery)
+    val debtDepth = mirror.equalityDeletes.map(_.covs.size).sum
+    if (compactEvery > 0 && debtDepth >= compactEvery)
       mirror.compact(batch.sparkSession,
         smallerThanBytes = Long.MaxValue): Unit
     val cols = mirror.schema.fieldNames.map(col).toSeq

@@ -35,7 +35,7 @@ object GraftProcedures {
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
     "rewrite_manifests", "rollback_to_snapshot",
     "create_tag", "create_branch", "publish_branch", "drop_branch",
-    "add_files", "analyze_table")
+    "add_files", "analyze_table", "snapshot", "migrate")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -50,6 +50,8 @@ object GraftProcedures {
       case "drop_branch" => Some(dropBranch(warehouse))
       case "add_files" => Some(addFiles(warehouse))
       case "analyze_table" => Some(analyzeTable(warehouse))
+      case "snapshot" => Some(snapshotTable(warehouse))
+      case "migrate" => Some(migrateTable(warehouse))
       case _ => None
     }
 
@@ -325,6 +327,123 @@ object GraftProcedures {
         sourceRoot =
           if (java.nio.file.Files.isDirectory(src)) Some(src.toString)
           else None)
+      Seq(Seq[Any](snap.snapshotId,
+        snap.summary("added-data-files").toLong,
+        snap.summary("added-records").toLong))
+    })
+
+  /** Shared bootstrap scaffolding for `snapshot`/`migrate`: discover a
+    * foreign parquet directory's files, data schema and Hive-layout
+    * identity partition columns (types from Spark's partition
+    * discovery — the same inference a plain `spark.read.parquet` uses,
+    * so the created table reads exactly what the directory read). */
+  private def discoverLayout(srcDir: String)
+      : (Seq[String], StructType, Seq[String]) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val src = java.nio.file.Paths.get(srcDir)
+    require(java.nio.file.Files.isDirectory(src),
+      s"$srcDir is not a directory")
+    require(!java.nio.file.Files.exists(src.resolve("metadata.json")),
+      s"$srcDir is already a graft table")
+    val files = scala.util.Using.resource(java.nio.file.Files.walk(src)) { w =>
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+    }
+    require(files.nonEmpty, s"no parquet files under $srcDir")
+    // full schema WITH partition discovery vs one footer: the
+    // discovery-only columns are the Hive-layout partition columns (in
+    // discovery order, with Spark's inferred types)
+    val full = spark.read.parquet(srcDir).schema
+    val footer = spark.read.parquet(files.head).schema
+    val partCols = full.fieldNames.filterNot(footer.fieldNames.contains).toSeq
+    (files, full, partCols)
+  }
+
+  private def bootstrapInto(
+      destDir: String,
+      srcDir: String,
+      files: Seq[String],
+      schema: StructType,
+      partCols: Seq[String]): (GraftTable, Snapshot) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val tb = GraftTable.create(destDir, schema, partitionBy = partCols)
+    val snap = tb.importFiles(spark, files,
+      sourceRoot = if (partCols.nonEmpty) Some(srcDir) else None)
+    (tb, snap)
+  }
+
+  private def snapshotTable(wh: String): UnboundProcedure = new Proc(
+    "snapshot",
+    "ZERO-COPY shadow table over a foreign parquet directory (Iceberg " +
+      "snapshot parity, onboarding beyond add_files): derive the schema " +
+      "from the footers (Hive <col>=<value> directories become identity " +
+      "partition columns, types from Spark's partition discovery), " +
+      "create `table` under the warehouse, and import every file by " +
+      "hard link (copy across devices) — the SOURCE directory is never " +
+      "touched, no row is rewritten, no Spark job scans data. The " +
+      "shadow then takes the full table surface (DML, time travel, " +
+      "compaction) without affecting the source. Returns (snapshot_id, " +
+      "imported_files, imported_records).",
+    Array(
+      in("source", StringType),
+      in("table", StringType)),
+    StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("imported_files", LongType, nullable = false),
+      StructField("imported_records", LongType, nullable = false))),
+    row => {
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        "source and table must not be null")
+      val srcDir = row.getUTF8String(0).toString
+      val destDir = new GraftCatalog(wh)
+        .tableDir(row.getUTF8String(1).toString)
+      val (files, schema, partCols) = discoverLayout(srcDir)
+      val (_, snap) = bootstrapInto(destDir, srcDir, files, schema, partCols)
+      Seq(Seq[Any](snap.snapshotId,
+        snap.summary("added-data-files").toLong,
+        snap.summary("added-records").toLong))
+    })
+
+  private def migrateTable(wh: String): UnboundProcedure = new Proc(
+    "migrate",
+    "IN-PLACE conversion of a plain parquet directory under the " +
+      "warehouse into a graft table (Iceberg migrate parity): the " +
+      "directory's own files become snapshot 1 — schema from footers, " +
+      "Hive <col>=<value> directories become identity partition " +
+      "columns, files land under data/ as hard links (copy across " +
+      "devices) and the ORIGINAL loose files are then removed (their " +
+      "bytes live on under the table; a link shares them outright). " +
+      "Refuses directories that are already graft tables. Returns " +
+      "(snapshot_id, migrated_files, migrated_records).",
+    Array(in("table", StringType)),
+    StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("migrated_files", LongType, nullable = false),
+      StructField("migrated_records", LongType, nullable = false))),
+    row => {
+      require(!row.isNullAt(0), "table argument must not be null")
+      val dir = new GraftCatalog(wh).tableDir(row.getUTF8String(0).toString)
+      val (files, schema, partCols) = discoverLayout(dir)
+      val (_, snap) = bootstrapInto(dir, dir, files, schema, partCols)
+      // conversion, not a copy: the originals' rows now live under
+      // data/ (hard links share the bytes) — drop the loose paths so
+      // nothing double-imports and the table root stays canonical.
+      // Best-effort empty-directory cleanup; a leftover loose file is
+      // harmless (outside data/, invisible to reads and maintenance)
+      files.foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+      val root = java.nio.file.Paths.get(dir).normalize()
+      files.flatMap { f =>
+        Iterator.iterate(java.nio.file.Paths.get(f).getParent)(_.getParent)
+          .takeWhile(p => p != null && p.normalize() != root)
+          .toSeq
+      }.distinct
+        .sortBy(-_.getNameCount)
+        .foreach { p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+        }
       Seq(Seq[Any](snap.snapshotId,
         snap.summary("added-data-files").toLong,
         snap.summary("added-records").toLong))

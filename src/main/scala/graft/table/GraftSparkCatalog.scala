@@ -1087,14 +1087,25 @@ final class GraftMetadataV2Table(
     }
 }
 
-/** The `<name>__changes` CDC table: streaming-only DSv2 surface whose
-  * rows are the base table's changes — schema plus `_change_type`
+/** The `<name>__changes` CDC table: the DSv2 surface whose rows are the
+  * base table's changes — schema plus `_change_type`
   * (`insert` | `delete`) and the snapshot id that produced each change
-  * ([[GraftTable.changesCdc]]'s shape, Delta-CDF style). Batch reads
-  * refuse (no BATCH_READ capability — batch consumers have
-  * `changesCdc` / `GraftChangeFeed.pollCdc`); the stream survives the
-  * whole DML surface, pacing and checkpointing like the append stream
-  * ([[org.apache.spark.sql.classic.GraftCdcMicroBatchStream]]). */
+  * ([[GraftTable.changesCdc]]'s shape, Delta-CDF style).
+  *
+  * STREAMING reads survive the whole DML surface, pacing and
+  * checkpointing like the append stream
+  * ([[org.apache.spark.sql.classic.GraftCdcMicroBatchStream]]).
+  *
+  * BATCH reads (Iceberg `create_changelog_view` parity) serve a
+  * snapshot-range changelog as plain SQL/DataFrame rows: read options
+  * `start-snapshot-id` (EXCLUSIVE base; default 0 = table creation, so
+  * the unoptioned read is the full changelog whose empty-state fold
+  * reproduces the current table) and `end-snapshot-id` (inclusive;
+  * default current) scope the range. Range validation and the rollback
+  * refusal are `changesCdc`'s own (unknown ids, inverted ranges and
+  * rollback-crossing ranges all refuse loudly); the batch relation is
+  * the same per-snapshot delta plan the streaming tail uses — O(changed
+  * data) per snapshot, never a table copy. */
 final class GraftCdcV2Table(
     tableName: String,
     t: GraftTable) extends Table with SupportsRead {
@@ -1113,7 +1124,8 @@ final class GraftCdcV2Table(
     util.Collections.emptyMap()
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
@@ -1141,9 +1153,9 @@ final class GraftCdcV2Table(
         }
         b.build()
       }
-    new org.apache.spark.sql.classic.GraftPruningScanBuilder(
+    val streamBuilder = new org.apache.spark.sql.classic.GraftPruningScanBuilder(
       spark, tableName, cdcSchema, opts,
-      allPaths = Nil, // no batch surface: rows exist only per micro-batch
+      allPaths = Nil, // streaming rows exist only per micro-batch
       prune = _ => Nil,
       microBatch = Some((mkDelegate, ckpt) =>
         new org.apache.spark.sql.classic.GraftCdcMicroBatchStream(
@@ -1156,5 +1168,46 @@ final class GraftCdcV2Table(
           Option(options.get("max-rows-per-trigger")).map(_.trim.toLong),
           Option(options.get("max-bytes-per-trigger")).map(_.trim.toLong),
           mkSeedDelegate)))
+    // the batch half: a V1 relation over changesCdc's per-snapshot delta
+    // plan, range-scoped by read options; streaming delegates to the
+    // pruning builder's scan untouched (its column pruning included)
+    val startId = Option(options.get("start-snapshot-id"))
+      .map(_.trim.toLong).getOrElse(0L)
+    val endId = Option(options.get("end-snapshot-id")).map(_.trim.toLong)
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var required: StructType = cdcSchema
+      override def pruneColumns(r: StructType): Unit = {
+        required = r
+        streamBuilder.pruneColumns(r)
+      }
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val streamScan = streamBuilder.build()
+        val requiredNow = required
+        new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = requiredNow
+          override def description(): String =
+            s"graft changelog $tableName [start=$startId, " +
+              s"end=${endId.getOrElse("current")}]"
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            streamScan.toMicroBatchStream(checkpointLocation)
+          override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan](
+              context: org.apache.spark.sql.SQLContext): T =
+            new org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = context
+              override def schema: StructType = requiredNow
+              override def buildScan()
+                  : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                t.changesCdc(context.sparkSession, startId, endId)
+                  .select(requiredNow.fieldNames.map(
+                    org.apache.spark.sql.functions.col).toSeq: _*)
+                  .rdd
+            }.asInstanceOf[T]
+        }
+      }
+    }
   }
 }

@@ -234,7 +234,9 @@ final class GraftTable private (
             m("files").asInstanceOf[Seq[Any]].map(_.toString),
             m("cols").asInstanceOf[Seq[Any]].map(_.toString),
             m("snap").asInstanceOf[Long],
-            m.get("dead").collect { case d: Long => d })
+            m.get("dead").collect { case d: Long => d },
+            m.get("covs").map(_.asInstanceOf[Seq[Any]]
+              .map(_.asInstanceOf[Long])).getOrElse(Nil))
         }
     }
 
@@ -242,7 +244,9 @@ final class GraftTable private (
     graft.util.Json.write(entries.map { e =>
       val base = Map[String, Any](
         "files" -> e.files, "cols" -> e.cols, "snap" -> e.covered)
-      e.dead.fold(base)(d => base + ("dead" -> d))
+      val withDead = e.dead.fold(base)(d => base + ("dead" -> d))
+      if (e.coveredSnaps.isEmpty) withDead
+      else withDead + ("covs" -> e.coveredSnaps)
     })
 
   /** Pending equality-delete entries of the CURRENT snapshot. */
@@ -1919,6 +1923,10 @@ final class GraftTable private (
     * against the key file until [[compact]] materializes; like the
     * predicate-deferred form the entry is SCOPED to files written at
     * snapshot ≤ commit time, so re-inserting a deleted key later works.
+    * Stacked commits CONSOLIDATE ([[consolidateEqKeys]]): each commit
+    * folds its keys with every prior same-key-column entry into ONE key
+    * parquet (rows tagged per-commit for exact scoping), so read cost is
+    * one anti-join per key-column set however deep the debt.
     *
     * Trade-offs versus the siblings: [[deletePositionalByKeys]] pays a
     * candidate scan at delete time and buys back join-free reads for
@@ -1929,8 +1937,12 @@ final class GraftTable private (
     * exact dead-row count so `count(*)`/stats stay metadata-exact while
     * pending; `exactCount = false` restores the pure O(keys) commit and
     * degrades counts to the scan fallback.
-    * Refused while the other merge-on-read forms are pending, on
-    * branch-era files, and by CoW DML / branching / DSv2 while pending.
+    * COMPOSES with pending positional entries (Iceberg v2 allows both
+    * delete kinds concurrently): the dead count is taken against rows
+    * visible under the deletion vectors, so the two forms' dead sets
+    * stay disjoint and counts add exactly. Refused while
+    * predicate-deferred deletes are pending, on branch-era files, and
+    * by CoW DML / branching / raw DSv2 while pending.
     * Returns None for an empty key set. */
   def deleteEquality(
       spark: SparkSession,
@@ -1940,9 +1952,9 @@ final class GraftTable private (
       exactCount: Boolean = true): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty && parsePositional(current).isEmpty,
-      s"$dir has other merge-on-read deletes pending — the forms do not " +
-        "stack; compact() first")
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — that form does not " +
+        "stack with equality entries; compact() first")
     require(keyCols.nonEmpty, "at least one key column required")
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown key column '$c'"))
@@ -1962,17 +1974,79 @@ final class GraftTable private (
         "sequence — compact() first to re-own the files"))
     val snapId = lg.nextId
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val staging = s"$dir/.staging-eq-$snapId-$token"
+    val newStaging = s"$dir/.staging-eq-$snapId-$token"
     try keys.select(keyCols.map(col): _*).distinct()
-      .write.mode("overwrite").parquet(staging)
+      .write.mode("overwrite").parquet(newStaging)
     catch { case e: Throwable =>
-      GraftTable.deleteRecursively(Paths.get(staging)); throw e
+      GraftTable.deleteRecursively(Paths.get(newStaging)); throw e
     }
     val keySchema = StructType(keyCols.map(c => schema(c)).toArray)
-    val nKeys = spark.read.schema(keySchema).parquet(staging).count()
+    val newKeys = spark.read.schema(keySchema).parquet(newStaging)
+    val nKeys = newKeys.count()
     if (nKeys == 0L) {
-      GraftTable.deleteRecursively(Paths.get(staging))
+      GraftTable.deleteRecursively(Paths.get(newStaging))
       return None
+    }
+    val prior = parseEquality(current)
+    // dead of the NEW keys ONLY (consolidation must not re-count prior
+    // entries' victims — their dead counts carry into the merged entry)
+    val deadNew = equalityDeadCount(spark, exactCount, manifest, newKeys,
+      keyCols, prior, parsePositional(current))
+    val (rels, covsAll, samePrior, otherPrior) =
+      try consolidateEqKeys(spark, newStaging, keyCols, keySchema, prior,
+        current.snapshotId, snapId, token)
+      finally GraftTable.deleteRecursively(Paths.get(newStaging))
+    val dead =
+      if (deadNew.isDefined && samePrior.forall(_.dead.isDefined))
+        Some(deadNew.get + samePrior.flatMap(_.dead).sum)
+      else None
+    val entries = otherPrior :+
+      EqualityDeletes(rels, keyCols, current.snapshotId, dead, covsAll)
+    try Some(commit(lg, snapId, manifest, Nil,
+      operation = "delete", committedAt,
+      extraSummary = Map(
+        "equality" -> "true",
+        "equality-key-rows" -> nKeys.toString,
+        SummaryEqualityDeletes -> equalityJson(entries))))
+    catch { case e: Throwable =>
+      rels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+      throw e
+    }
+  }
+
+  /** COMMIT-TIME CONSOLIDATION of equality-delete keys (the deletion-
+    * vector discipline applied to the equality side): the freshly staged
+    * key tuples (at `newStaging`, keyCols under table types) merge with
+    * every PRIOR entry of the same key-column set into ONE key parquet,
+    * each row tagged with the snapshot its commit covered
+    * ([[GraftTable.EqCovCol]] — per-row scoping, so folding never widens
+    * an old commit's reach to newer files). Reads then pay ONE anti-join
+    * per key-column set regardless of stacking depth; legacy untagged
+    * entries fold with their wholesale covered snapshot as the constant
+    * tag. O(total pending keys) I/O per commit — key relations are
+    * metadata-class, never data-class. Prior entries' files stay on disk
+    * for the ancestor snapshots that reference them (expire reclaims).
+    * Returns (published rels, consolidated covering snapshots,
+    * same-cols prior entries, other-cols prior entries). */
+  private def consolidateEqKeys(
+      spark: SparkSession,
+      newStaging: String,
+      keyCols: Seq[String],
+      keySchema: StructType,
+      prior: Seq[EqualityDeletes],
+      coveredAt: Long,
+      snapId: Long,
+      token: String)
+      : (Seq[String], Seq[Long], Seq[EqualityDeletes], Seq[EqualityDeletes]) = {
+    val (samePrior, otherPrior) = prior.partition(_.cols == keyCols)
+    val newTagged = spark.read.schema(keySchema).parquet(newStaging)
+      .withColumn(GraftTable.EqCovCol, lit(coveredAt))
+    val merged = samePrior.map(e => readEqKeysTagged(spark, e))
+      .foldLeft(newTagged)(_ unionByName _)
+    val staging = s"$dir/.staging-eqc-$snapId-$token"
+    try merged.write.mode("overwrite").parquet(staging)
+    catch { case e: Throwable =>
+      GraftTable.deleteRecursively(Paths.get(staging)); throw e
     }
     Files.createDirectories(Paths.get(dir, "deletes"))
     val staged = scala.util.Using.resource(Files.list(Paths.get(staging))) {
@@ -1986,21 +2060,8 @@ final class GraftTable private (
       rel
     }
     GraftTable.deleteRecursively(Paths.get(staging))
-    val prior = parseEquality(current)
-    val dead = equalityDeadCount(spark, exactCount, manifest, rels,
-      keySchema, keyCols, prior)
-    val entries = prior :+
-      EqualityDeletes(rels, keyCols, current.snapshotId, dead)
-    try Some(commit(lg, snapId, manifest, Nil,
-      operation = "delete", committedAt,
-      extraSummary = Map(
-        "equality" -> "true",
-        "equality-key-rows" -> nKeys.toString,
-        SummaryEqualityDeletes -> equalityJson(entries))))
-    catch { case e: Throwable =>
-      rels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
-      throw e
-    }
+    val covs = (samePrior.flatMap(_.covs) :+ coveredAt).distinct.sorted
+    (rels, covs, samePrior, otherPrior)
   }
 
   /** MERGE-ON-READ UPSERT by key — the O(source) merge: ONE commit pairs
@@ -2015,8 +2076,9 @@ final class GraftTable private (
     * keys append, duplicate keys WITHIN the source all insert, null-key
     * source rows append without replacing anything. The entry is scoped
     * to pre-commit files, so the source's own rows are never hidden.
-    * Stacks freely on prior equality entries; refused while the other
-    * merge-on-read forms are pending and on branch-era files. */
+    * Stacks freely on prior equality entries AND on pending positional
+    * entries (the CDC-mirror + curation-job composition); refused while
+    * predicate-deferred deletes are pending and on branch-era files. */
   /** Exact victim count of a NEW equality entry: rows of the covered
     * manifest visible under the `prior` entries whose key tuple appears
     * in the new entry's key files. Candidates are bounds-pruned on the
@@ -2028,14 +2090,12 @@ final class GraftTable private (
       spark: SparkSession,
       exact: Boolean,
       manifest: Manifest,
-      keyRels: Seq[String],
-      keySchema: StructType,
+      keySel: DataFrame,
       keyCols: Seq[String],
-      prior: Seq[EqualityDeletes]): Option[Long] = {
+      prior: Seq[EqualityDeletes],
+      posPend: Seq[PositionalDeletes]): Option[Long] = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     if (!exact) return None
-    val keySel = spark.read.schema(keySchema)
-      .parquet(keyRels.map(r => s"$dir/$r"): _*)
     val k0 = keyCols.head
     val b = keySel.agg(fmin(col(k0)), fmax(col(k0))).head()
     if (b.isNullAt(0)) return Some(0L) // all-null keys match nothing
@@ -2044,7 +2104,11 @@ final class GraftTable private (
         col(k0) >= lit(b.get(0)) && col(k0) <= lit(b.get(1))))
     val candidates = prunedFiles(manifest, rangePred)
     if (candidates.isEmpty) return Some(0L)
-    Some(readVisible(spark, Nil, Nil, candidates, prior)
+    // count against rows visible under PRIOR entries of every pending
+    // form (deletion vectors included): an already-dead row is never a
+    // new entry's victim, so the per-form dead sets stay disjoint and
+    // count(*)/stats remain exact by addition while forms stack
+    Some(readVisible(spark, Nil, posPend, candidates, prior)
       .join(keySel, keyCols.toSeq, "left_semi").count())
   }
 
@@ -2059,9 +2123,9 @@ final class GraftTable private (
     val current = lg.current.getOrElse(
       throw new IllegalArgumentException(
         s"$dir has no snapshot — append() the initial data first"))
-    require(parsePending(current).isEmpty && parsePositional(current).isEmpty,
-      s"$dir has other merge-on-read deletes pending — the forms do not " +
-        "stack; compact() first")
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — that form does not " +
+        "stack with equality entries; compact() first")
     require(keyCols.nonEmpty, "at least one key column required")
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown key column '$c'"))
@@ -2090,45 +2154,47 @@ final class GraftTable private (
       }
     }
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val staging = s"$dir/.staging-eq-$snapId-$token"
+    val newStaging = s"$dir/.staging-eq-$snapId-$token"
     try keyTuples.distinct()
-      .write.mode("overwrite").parquet(staging)
+      .write.mode("overwrite").parquet(newStaging)
     catch { case e: Throwable =>
       newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
-      GraftTable.deleteRecursively(Paths.get(staging)); throw e
+      GraftTable.deleteRecursively(Paths.get(newStaging)); throw e
     }
-    Files.createDirectories(Paths.get(dir, "deletes"))
-    val staged = scala.util.Using.resource(Files.list(Paths.get(staging))) {
-      s => s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.toString)
-    }
-    val rels = staged.zipWithIndex.map { case (src, i) =>
-      val rel = f"deletes/eq-$snapId%05d-$token-$i%05d.parquet"
-      Files.move(src, Paths.get(dir, rel), StandardCopyOption.REPLACE_EXISTING)
-      rel
-    }
-    GraftTable.deleteRecursively(Paths.get(staging))
+    val keySchema = StructType(keyCols.map(c => schema(c)).toArray)
+    val newKeys = spark.read.schema(keySchema).parquet(newStaging)
     // a conditional merge can reduce to no upserts AND no victims —
     // don't commit an entry whose empty tombstone would tax every read
     // (the count is parquet-footer metadata, not a scan)
-    if (newFiles.isEmpty) {
-      val n = spark.read
-        .schema(StructType(keyCols.map(c => schema(c)).toArray))
-        .parquet(rels.map(r => s"$dir/$r"): _*).count()
-      if (n == 0) {
-        rels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
-        return None
-      }
+    if (newFiles.isEmpty && newKeys.count() == 0L) {
+      GraftTable.deleteRecursively(Paths.get(newStaging))
+      return None
     }
     val prior = parseEquality(current)
-    // counted over the PRE-merge manifest: the tombstone covers files ≤
+    // counted over the PRE-merge manifest (the tombstone covers files ≤
     // current.snapshotId, so the freshly-written source files are never
-    // its victims
-    val dead = equalityDeadCount(spark, exactCount, manifest, rels,
-      StructType(keyCols.map(c => schema(c)).toArray), keyCols, prior)
-    val entries = prior :+
-      EqualityDeletes(rels, keyCols, current.snapshotId, dead)
+    // its victims), NEW keys only — prior entries' dead counts carry
+    val deadNew =
+      try equalityDeadCount(spark, exactCount, manifest, newKeys, keyCols,
+        prior, parsePositional(current))
+      catch { case e: Throwable =>
+        newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
+        GraftTable.deleteRecursively(Paths.get(newStaging)); throw e
+      }
+    val (rels, covsAll, samePrior, otherPrior) =
+      try consolidateEqKeys(spark, newStaging, keyCols, keySchema, prior,
+        current.snapshotId, snapId, token)
+      catch { case e: Throwable =>
+        newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
+        throw e
+      }
+      finally GraftTable.deleteRecursively(Paths.get(newStaging))
+    val dead =
+      if (deadNew.isDefined && samePrior.forall(_.dead.isDefined))
+        Some(deadNew.get + samePrior.flatMap(_.dead).sum)
+      else None
+    val entries = otherPrior :+
+      EqualityDeletes(rels, keyCols, current.snapshotId, dead, covsAll)
     try Some(commit(lg, snapId, manifest.append(newFiles), newFiles,
       operation = "merge", committedAt,
       extraSummary = Map(
@@ -2171,9 +2237,12 @@ final class GraftTable private (
     *    lives in THIS snapshot's summary);
     *  - [[compact]] materializes positions into rewritten files; the
     *    delete parquets are reclaimed by [[expireSnapshots]];
-    *  - refused while PREDICATE-deferred deletes are pending (the two
-    *    merge-on-read forms do not stack — compact() first), and avro
-    *    targets are refused (no parquet row index to address).
+    *  - COMPOSES with pending equality entries (victims are rows visible
+    *    under them, so the forms' dead sets stay disjoint and counts add
+    *    exactly; the whole-file drop fast path demotes to a vector
+    *    rewrite while they pend); refused while PREDICATE-deferred
+    *    deletes are pending, and avro targets are refused (no parquet
+    *    row index to address).
     *
     * Returns None when no file can match or no row matches. */
   def deletePositional(
@@ -2183,9 +2252,9 @@ final class GraftTable private (
     import org.apache.spark.sql.functions.coalesce
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
-      s"$dir has other merge-on-read deletes pending — the forms do not " +
-        "stack; compact() first")
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — that form does not " +
+        "stack with positional entries; compact() first")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -2198,8 +2267,17 @@ final class GraftTable private (
     // VISIBLE rows match"
     val proofPred = PartitionField.proofAugment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
-    val (dropped, partial) =
+    val (dropped0, partial0) =
       candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
+    // under pending EQUALITY entries the whole-file drop demotes to a
+    // vector rewrite: dropping a file whose rows are partly equality-dead
+    // would double-count them ("deleted-records" counts raw recordCount
+    // minus DV debt only) and leave the equality entries' dead counts
+    // referencing vanished files — DV-ing the visible victims instead
+    // keeps every count exact by disjointness
+    val (dropped, partial) =
+      if (parseEquality(current).isEmpty) (dropped0, partial0)
+      else (Nil, dropped0 ++ partial0)
     positionalCore(spark, lg, current, manifest, untouchedM, dropped, partial,
       raw => raw.filter(coalesce(predicate, lit(false))), committedAt)
   }
@@ -2234,9 +2312,9 @@ final class GraftTable private (
     }
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
-      s"$dir has other merge-on-read deletes pending — the forms do not " +
-        "stack; compact() first")
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — that form does not " +
+        "stack with positional entries; compact() first")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val k0 = keyCols.head
     val bounds = keys.agg(fmin(col(k0)), fmax(col(k0))).head()
@@ -2273,9 +2351,9 @@ final class GraftTable private (
       s"victims DataFrame lacks column '$c'"))
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
-      s"$dir has other merge-on-read deletes pending — the forms do not " +
-        "stack; compact() first")
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — that form does not " +
+        "stack with positional entries; compact() first")
     val pairs = victims
       .select(substring_index(col("_file"), "/", -1).as(MetaFileCol),
         col("_pos").cast(LongType).as(MetaPosCol))
@@ -2319,7 +2397,7 @@ final class GraftTable private (
     val adjusted = stripPositional(prior, droppedPaths)
     val (entries, newRels, newlyDead) =
       writeDeletionVectors(spark, manifest, partial, selectVictims,
-        adjusted, snapId)
+        adjusted, snapId, parseEquality(current))
     if (newRels.isEmpty && dropped.isEmpty) return None
     val removed = dropped.map(f =>
       f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum + newlyDead
@@ -2359,7 +2437,9 @@ final class GraftTable private (
       partial: Seq[DataFileEntry],
       selectVictims: DataFrame => DataFrame,
       prior: Seq[PositionalDeletes],
-      snapId: Long): (Seq[PositionalDeletes], Seq[String], Long) = {
+      snapId: Long,
+      eqEntries: Seq[EqualityDeletes] = Nil)
+      : (Seq[PositionalDeletes], Seq[String], Long) = {
     import org.apache.spark.sql.functions.substring_index
     require(partial.forall(f => !f.path.endsWith(".avro")),
       s"positional DML cannot target avro data files in $dir " +
@@ -2380,7 +2460,26 @@ final class GraftTable private (
     val legacyTargets: Set[String] =
       prior.filter(_.dvs.isEmpty).flatMap(_.targets.keys).toSet
 
-    val raw = readFiles(spark, partial, withMeta = true)
+    // victims come from rows VISIBLE under pending equality entries: a
+    // row an equality tombstone already hides is never re-recorded in a
+    // vector, so the DV and equality dead sets stay disjoint (counts add
+    // exactly) and CDC never emits a second delete for a retracted row.
+    // Scoping matches the read path: entry e covers files written at
+    // snapshot ≤ e.covered (every file is attributable here — equality
+    // commits require it and refuse branch-era files).
+    val raw =
+      if (eqEntries.isEmpty) readFiles(spark, partial, withMeta = true)
+      else partial
+        .groupBy(f => eqEntries.map(e => e.covs.filter(
+          _ >= fileSnapId(f.path).getOrElse(Long.MinValue))))
+        .toSeq.sortBy(_._2.head.path)
+        .map { case (covSets, gfs) =>
+          eqEntries.zip(covSets).filter(_._2.nonEmpty)
+            .foldLeft(readFiles(spark, gfs, withMeta = true)) {
+              case (d, (e, covs)) =>
+                d.join(eqKeysScoped(spark, e, covs), e.cols, "left_anti")
+            }
+        }.reduce(_ unionByName _)
     var victims = selectVictims(raw)
       .select(col(MetaFileCol), col(MetaPosCol).cast(LongType).as(MetaPosCol))
     // disjointness/exactness: never re-record an already-dead row.
@@ -2545,9 +2644,10 @@ final class GraftTable private (
     * Semantics match [[update]]: every assignment is evaluated against
     * the OLD row in one projection; a NULL predicate row is untouched;
     * partition source columns refuse. Stacks freely on pending
-    * positional deletes (victims are VISIBLE rows only); refused while
-    * predicate-deferred deletes are pending. Returns None when nothing
-    * matches. */
+    * positional deletes AND equality entries (victims are VISIBLE rows
+    * only — an equality-dead row is neither vectored nor rewritten);
+    * refused while predicate-deferred deletes are pending. Returns None
+    * when nothing matches. */
   def updatePositional(
       spark: SparkSession,
       predicate: Column,
@@ -2556,9 +2656,9 @@ final class GraftTable private (
     import org.apache.spark.sql.functions.coalesce
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
-      s"$dir has other merge-on-read deletes pending — the forms do not " +
-        "stack; compact() first")
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — that form does not " +
+        "stack with positional entries; compact() first")
     require(assignments.nonEmpty, "update requires at least one assignment")
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown update column '$c'"))
@@ -2573,14 +2673,19 @@ final class GraftTable private (
     val candidates = prunedFiles(manifest, resolved)
     if (candidates.isEmpty) return None
     val prior = parsePositional(current)
+    val eqPend = parseEquality(current)
     val snapId = lg.nextId
     val (entries, newRels, newlyDead) =
       writeDeletionVectors(spark, manifest, candidates,
-        raw => raw.filter(coalesce(predicate, lit(false))), prior, snapId)
+        raw => raw.filter(coalesce(predicate, lit(false))), prior, snapId,
+        eqPend)
     if (newRels.isEmpty) return None // no visible row matched: no commit
     // new values for exactly the superseded rows — assignments all read
-    // the OLD row (one projection; predicate is TRUE on every victim)
-    val newRows = readVisible(spark, Nil, prior, candidates)
+    // the OLD row (one projection; predicate is TRUE on every victim).
+    // Equality entries apply too: an equality-dead row must not be
+    // resurrected as an updated copy (its position was excluded from the
+    // vectors above for the same reason)
+    val newRows = readVisible(spark, Nil, prior, candidates, eqPend)
       .filter(coalesce(predicate, lit(false)))
       .select(schema.fieldNames.map { c =>
         assignments.get(c).map(_.as(c)).getOrElse(col(c))
@@ -2650,8 +2755,12 @@ final class GraftTable private (
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val targeted: Set[String] = posEntries.flatMap(_.targets.keys).toSet
     val (withDel, clean) = files.partition(f => targeted.contains(f.path))
-    def eqKeys(e: EqualityDeletes): DataFrame = readEqKeys(spark, e)
-    // predicate-deferred + equality grouping, shared by both halves
+    // predicate-deferred + equality grouping, shared by both halves.
+    // Equality entries scope PER ROW (consolidated key files carry each
+    // row's covering snapshot): a group's anti-join relation is the
+    // entry's keys restricted to the covering snapshots ≥ the group's
+    // file snapshot — still ONE anti-join per (group, key-column set),
+    // whatever the stacking depth
     def pendGroups(fs: Seq[DataFileEntry], meta: Boolean): Seq[DataFrame] =
       if (fs.isEmpty) Nil
       else if (pend.isEmpty && eqEntries.isEmpty) Seq(readFiles(spark, fs, meta))
@@ -2659,13 +2768,15 @@ final class GraftTable private (
         val groups = fs.groupBy { f =>
           val fsn = fileSnapId(f.path).getOrElse(Long.MinValue) // unattributable: assume oldest (over-filtering is impossible — deleteDeferred refuses such tables; this path exists for robustness only)
           (pend.filter { case (covered, _) => fsn <= covered }.map(_._2),
-            eqEntries.filter(e => fsn <= e.covered))
+            eqEntries.map(e => e.covs.filter(_ >= fsn)))
         }
-        groups.toSeq.sortBy(_._2.head.path).map { case ((preds, eqs), gfs) =>
+        groups.toSeq.sortBy(_._2.head.path).map { case ((preds, covSets), gfs) =>
           val base = preds.foldLeft(readFiles(spark, gfs, meta))((d, p) =>
             d.filter(coalesce(not(expr(p)), lit(true))))
-          eqs.foldLeft(base)((d, e) =>
-            d.join(eqKeys(e), e.cols, "left_anti"))
+          eqEntries.zip(covSets).filter(_._2.nonEmpty).foldLeft(base) {
+            case (d, (e, covs)) =>
+              d.join(eqKeysScoped(spark, e, covs), e.cols, "left_anti")
+          }
         }
       }
     val delBranches =
@@ -2719,11 +2830,39 @@ final class GraftTable private (
     relPath.substring(relPath.lastIndexOf('/') + 1)
 
   /** An equality-delete entry's key relation, read under the TABLE
-    * schema's column types. */
+    * schema's column types (parquet projection drops the consolidated
+    * per-row covering-snapshot column when present). */
   private def readEqKeys(spark: SparkSession, e: EqualityDeletes): DataFrame =
     spark.read
       .schema(StructType(e.cols.map(c => schema(c)).toArray))
       .parquet(e.files.map(p => Paths.get(dir, p).normalize().toString): _*)
+
+  /** The entry's key relation WITH each row's covering snapshot:
+    * consolidated entries carry it as a physical column; legacy
+    * single-commit entries get their wholesale [[EqualityDeletes.covered]]
+    * as a constant (so consolidation commits can fold them in). */
+  private def readEqKeysTagged(
+      spark: SparkSession, e: EqualityDeletes): DataFrame =
+    if (e.coveredSnaps.nonEmpty)
+      spark.read
+        .schema(StructType((e.cols.map(c => schema(c)) :+
+          StructField(GraftTable.EqCovCol, LongType, nullable = false))
+          .toArray))
+        .parquet(e.files.map(p => Paths.get(dir, p).normalize().toString): _*)
+    else readEqKeys(spark, e).withColumn(GraftTable.EqCovCol, lit(e.covered))
+
+  /** The key tuples of `e` applicable to a file group whose applicable
+    * covering snapshots are `covs` (⊆ `e.covs`, nonempty): all-applicable
+    * reads skip the filter entirely — the common case for files older
+    * than every folded commit — so one consolidated entry costs ONE
+    * anti-join per group regardless of stacking depth. */
+  private def eqKeysScoped(
+      spark: SparkSession, e: EqualityDeletes, covs: Seq[Long]): DataFrame =
+    if (e.coveredSnaps.isEmpty || covs.size == e.coveredSnaps.size)
+      readEqKeys(spark, e)
+    else readEqKeysTagged(spark, e)
+      .filter(col(GraftTable.EqCovCol).isin(covs: _*))
+      .select(e.cols.map(col): _*)
 
   /** Copy-on-write UPDATE: set `assignments` on rows matching
     * `predicate`. Same candidate-file discipline as [[delete]] — only
@@ -3108,9 +3247,9 @@ final class GraftTable private (
     val current = lg.current.getOrElse(
       throw new IllegalArgumentException(
         s"$dir has no snapshot — append() the initial data first"))
-    require(parsePending(current).isEmpty && parsePositional(current).isEmpty,
-      s"$dir has other merge-on-read deletes pending — the forms do not " +
-        "stack; compact() first")
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — that form does not " +
+        "stack with equality entries; compact() first")
     val srcKeyCols = keyPairs.map(_._2)
     if (matched.nonEmpty) {
       val keysNotNull = srcKeyCols.map(col(_).isNotNull).reduce(_ && _)
@@ -3140,7 +3279,8 @@ final class GraftTable private (
       if (candidates.isEmpty) source.withColumn(M, lit(false))
       else {
         val eq = parseEquality(current)
-        val tgtKeys = readVisible(spark, Nil, Nil, candidates, eq)
+        val tgtKeys = readVisible(spark, Nil, parsePositional(current),
+            candidates, eq)
           .select(keyPairs.map { case (tk, _) =>
             col(tk).as(GraftTable.MergeSrcPrefix + tk) }: _*)
           .distinct()
@@ -3933,6 +4073,10 @@ final class GraftTable private (
     *
     * Rows carry the virtual snapshot column valued at their OWN commit
     * (per-snapshot attribution), unlike [[changes]]'s to-valued column.
+    * `fromSnapshotId = 0` means "before the first snapshot" — the FULL
+    * changelog from table creation, first commit's inserts included
+    * (the batch `__changes` default; folding it from empty reproduces
+    * the `to` state).
     */
   def changesCdc(
       spark: SparkSession,
@@ -3940,17 +4084,23 @@ final class GraftTable private (
       toSnapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.expr
     val lg = log
-    val from = lg.byId(fromSnapshotId).getOrElse(
-      throw new IllegalArgumentException(s"no snapshot $fromSnapshotId in $dir"))
+    // fromSnapshotId = 0 means "before the first snapshot": the full
+    // changelog from table creation (the batch `__changes` default) —
+    // every snapshot's delta including the first commit's inserts
+    val from: Option[Snapshot] =
+      if (fromSnapshotId == 0L) None
+      else Some(lg.byId(fromSnapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot $fromSnapshotId in $dir")))
     val to = toSnapshotId match {
       case Some(id) => lg.byId(id).getOrElse(
         throw new IllegalArgumentException(s"no snapshot $id in $dir"))
       case None => lg.current.get
     }
-    require(to.snapshotId >= from.snapshotId,
-      s"to=${to.snapshotId} precedes from=${from.snapshotId}")
+    require(from.forall(f => to.snapshotId >= f.snapshotId),
+      s"to=${to.snapshotId} precedes from=${from.map(_.snapshotId).get}")
     val chain = lg.snapshots
-      .filter(s => s.snapshotId > from.snapshotId && s.snapshotId <= to.snapshotId)
+      .filter(s => s.snapshotId > fromSnapshotId && s.snapshotId <= to.snapshotId)
     chain.find(_.operation == "rollback").foreach { s =>
       throw new IllegalStateException(
         s"snapshot ${s.snapshotId} is a rollback — its delta is a state " +
@@ -3974,7 +4124,13 @@ final class GraftTable private (
       val deferred = s.summary.get("deferred").contains("true")
       s.operation match {
         case "append" =>
-          val parentPaths = files(parent(s)).map(_.path).toSet
+          // the FIRST snapshot has no parent by construction (a from=0
+          // full-changelog read includes it): its whole file set is the
+          // insert delta. A parent that EXISTED but expired still throws.
+          val parentPaths = s.parentId match {
+            case None => Set.empty[String]
+            case Some(_) => files(parent(s)).map(_.path).toSet
+          }
           val added = files(s).filterNot(f => parentPaths.contains(f.path))
           Seq(tag(readOrEmpty(added), "insert", s))
         case "replace" => Nil
@@ -4005,13 +4161,27 @@ final class GraftTable private (
           val inserts =
             if (addedFs.isEmpty) Nil
             else Seq(tag(readOrEmpty(addedFs), "insert", s))
-          val entries = parseEquality(s).drop(parentEq.size)
-          entries.map { e =>
+          // the commit's NEW tombstone: a consolidation commit rewrites
+          // its key-column set's file, so "new" = any entry whose file
+          // set is not carried verbatim from the parent; its fresh keys
+          // are the rows tagged with the parent snapshot (this commit's
+          // covered scope). Legacy single-commit entries ARE their
+          // fresh keys (their covered equals the parent snapshot).
+          val parentEqFiles = parentEq.flatMap(_.files).toSet
+          val newEntries = parseEquality(s)
+            .filterNot(e => e.files.forall(parentEqFiles.contains))
+          newEntries.map { e =>
+            val newKeys =
+              if (e.coveredSnaps.nonEmpty)
+                readEqKeysTagged(spark, e)
+                  .filter(col(GraftTable.EqCovCol) === p.snapshotId)
+                  .select(e.cols.map(col): _*)
+              else readEqKeys(spark, e)
             val covered = files(s).filter(f =>
-              fileSnapId(f.path).forall(_ <= e.covered))
+              fileSnapId(f.path).forall(_ <= p.snapshotId))
             val survivors = readVisible(spark, parsePending(p),
               parsePositional(p), covered, parentEq)
-            tag(survivors.join(readEqKeys(spark, e), e.cols, "left_semi"),
+            tag(survivors.join(newKeys, e.cols, "left_semi"),
               "delete", s)
           } ++ inserts
         // POSITIONAL delete/update: deletes = whole-file drops' visible
@@ -4999,7 +5169,18 @@ object GraftTable {
     * anti-join on covered files until compaction materializes. */
   final case class EqualityDeletes(
       files: Seq[String], cols: Seq[String], covered: Long,
-      dead: Option[Long] = None)
+      dead: Option[Long] = None, coveredSnaps: Seq[Long] = Nil) {
+    /** Per-row covering snapshots present in this entry's key files:
+      * CONSOLIDATED entries (one parquet per key-column set, each key
+      * row tagged with the snapshot its commit covered — the DV
+      * discipline applied to the equality side, so read cost stops
+      * growing with stacking depth) list every folded commit's covered
+      * snapshot; legacy single-commit entries scope wholesale by
+      * [[covered]]. `covered` is always the max — the entry's scope
+      * ceiling, so whole-entry applicability checks stay exact. */
+    def covs: Seq[Long] =
+      if (coveredSnaps.nonEmpty) coveredSnaps else Seq(covered)
+  }
 
   /** One POSITIONAL merge-on-read delete commit's bookkeeping: the
     * parquet delete files it wrote (`deletes/del-…`, rows of
@@ -5057,14 +5238,18 @@ object GraftTable {
   private[table] val MetaFileCol = "__gf_file"
   private[table] val MetaPosCol = "__gf_pos"
 
+  /** Per-row covering-snapshot column inside CONSOLIDATED equality-delete
+    * key files (never visible to readers). */
+  private[table] val EqCovCol = "__eq_covered"
+
   /** Column names the engine reserves: the DSv2 metadata columns — a
     * data column named `_file`/`_pos` would be silently shadow-routed to
     * the provenance scan ([[GraftFileposScan]]) — and the internal
-    * provenance columns the positional machinery appends. Checked at
-    * every schema-introducing path (create / addColumn / renameColumn;
-    * mergeSchema rides addColumn). */
+    * provenance/scoping columns the merge-on-read machinery appends.
+    * Checked at every schema-introducing path (create / addColumn /
+    * renameColumn; mergeSchema rides addColumn). */
   private[table] val ReservedColumns = Seq("_file", "_pos",
-    MetaFileCol, MetaPosCol)
+    MetaFileCol, MetaPosCol, EqCovCol)
 
   private[table] def requireNotReserved(name: String, dir: String): Unit =
     require(!ReservedColumns.exists(_.equalsIgnoreCase(name)),

@@ -521,15 +521,68 @@ class CdcStreamSpec extends SparkSpecBase {
       s"expected the rollback refusal, got: $msg")
   }
 
-  test("batch reads of the changes table refuse (streaming-only surface)") {
+  test("batch changelog: full-range fold reproduces the state; SQL works") {
     val tb = GraftTable.create(s"$wh/db/c7", schema)
-    tb.append(df(batch(1, 3)), Some(1000L))
+    tb.append(df(batch(1, 6)), Some(1000L))                       // 1
+    tb.update(spark, col("id") <= 2L,
+      Map("v" -> org.apache.spark.sql.functions.lit("u")), Some(2000L)) // 2
+    tb.deletePositional(spark, col("id") === 5L, Some(3000L))     // 3
+    // unoptioned batch read = the FULL changelog (start = table
+    // creation): folding it from empty equals the current table
+    val cdc = spark.read.table("gc.db.c7__changes")
+    assert(cdc.schema.fieldNames.toSeq ==
+      Seq("id", "v", "_change_type", "snapshot__id"))
+    val folded = net(cdc).collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val now = tb.read(spark).collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(folded == now, s"fold $folded != state $now")
+    // the first commit's inserts ARE part of the full changelog
+    assert(cdc.filter(col("snapshot__id") === 1L &&
+      col("_change_type") === "insert").count() == 6L)
+    // plain SQL over the same surface (the create_changelog_view shape)
+    assert(spark.sql(
+      "SELECT count(*) FROM gc.db.c7__changes WHERE _change_type = 'delete'")
+      .head().getLong(0) == 3L) // 2 update retractions + 1 positional
+  }
+
+  test("batch changelog: range options scope; validation + rollback refuse") {
+    val tb = GraftTable.create(s"$wh/db/c7r", schema)
+    tb.append(df(batch(1, 4)), Some(1000L))                      // 1
+    tb.delete(spark, col("id") === 1L, Some(2000L))              // 2
+    tb.append(df(batch(5, 6)), Some(3000L))                      // 3
+    def ranged(start: Long, end: Long): DataFrame = spark.read
+      .option("start-snapshot-id", start.toString)
+      .option("end-snapshot-id", end.toString)
+      .table("gc.db.c7r__changes")
+    // a ranged read equals changesCdc over the same range; folding it
+    // onto VERSION AS OF start equals VERSION AS OF end
+    val d = ranged(1L, 3L)
+    val direct = tb.changesCdc(spark, 1L, Some(3L))
+    assert(d.exceptAll(direct).isEmpty && direct.exceptAll(d).isEmpty)
+    val startState = tb.read(spark, Some(1L)).drop("snapshot__id")
+    val endState = tb.read(spark, Some(3L)).drop("snapshot__id")
+    val folded = startState
+      .exceptAll(d.filter(col("_change_type") === "delete")
+        .drop("_change_type", "snapshot__id"))
+      .unionByName(d.filter(col("_change_type") === "insert")
+        .drop("_change_type", "snapshot__id"))
+    assert(folded.exceptAll(endState).isEmpty &&
+      endState.exceptAll(folded).isEmpty, "ranged fold diverged")
+    // validation: unknown ids and inverted ranges refuse loudly
+    intercept[Exception] { ranged(1L, 99L).collect() }
+    intercept[Exception] { ranged(99L, 3L).collect() }
+    intercept[Exception] { ranged(3L, 1L).collect() }
+    // a rollback inside the range refuses (state reset, not a delta)
+    tb.rollbackTo(1L, Some(4000L))                               // 4
     val e = intercept[Exception] {
-      spark.read.table("gc.db.c7__changes").collect()
+      ranged(1L, 4L).collect()
     }
-    assert(Option(e.getMessage).exists(m =>
-      m.toLowerCase.contains("batch") || m.toLowerCase.contains("scan")),
-      s"expected a no-batch-capability error, got: ${e.getMessage}")
+    assert(Option(e.getMessage).exists(_.contains("rollback")), e.getMessage)
+    // but a post-rollback range is served again
+    tb.append(df(batch(7, 7)), Some(5000L))                      // 5
+    assert(ranged(4L, 5L).filter(col("_change_type") === "insert")
+      .count() == 1L)
   }
 
   test("a real table named __changes wins over the CDC view") {
@@ -639,8 +692,10 @@ class CdcStreamSpec extends SparkSpecBase {
       apply(cdcDf(Seq(k -> s"u$b"), Seq(k -> s"v$b")), b.toLong)
     }
     val m = GraftTable.load(mirror.dir)
-    assert(m.equalityDeletes.size <= 2,
-      s"tombstone debt unbounded: ${m.equalityDeletes.size} entries")
+    // consolidation keeps ENTRIES at one per key-column set; the debt
+    // that must stay bounded is the stacking DEPTH (folded commits)
+    val depth = m.equalityDeletes.map(_.covs.size).sum
+    assert(depth <= 2, s"tombstone debt unbounded: depth $depth")
     assert(m.log.snapshots.exists(_.operation == "replace"),
       "no compaction ran despite the threshold")
     val got = m.read(spark).select(col("id"), col("v")).collect()

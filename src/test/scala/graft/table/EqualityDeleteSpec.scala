@@ -74,10 +74,11 @@ class EqualityDeleteSpec extends SparkSpecBase {
     t.deleteEquality(spark, mkDf(1L -> "x", 2L -> null),
       Seq("id", "data"), Some(2000L))
     assert(ids(t) == Seq(2L, 3L), "a null key tuple matched a row")
-    // stacked second entry
+    // stacked second commit CONSOLIDATES: one entry, depth 2
     t.deleteEquality(spark, mkDf(3L -> "x"), Seq("id", "data"), Some(3000L))
     assert(ids(t) == Seq(2L))
-    assert(t.equalityDeletes.size == 2)
+    assert(t.equalityDeletes.size == 1, "stacked commits did not consolidate")
+    assert(t.equalityDeletes.head.covs.size == 2)
     assert(t.read(spark).count() == 1L)
   }
 
@@ -175,13 +176,13 @@ class EqualityDeleteSpec extends SparkSpecBase {
       == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D2"))
   }
 
-  test("refusals: form stacking, CoW DML, countWhere, branch, key-type mismatch") {
+  test("refusals: deferred stacking, CoW DML, countWhere, branch, key-type mismatch") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
     t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
     t.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"), Some(2000L))
-    intercept[IllegalArgumentException] {
-      t.deletePositional(spark, col("id") === 2, Some(3000L)) }
+    // positional COMPOSES now (MorCompositionSpec covers it); the
+    // predicate-deferred form still refuses
     intercept[IllegalArgumentException] {
       t.deleteDeferred(spark, col("id") === 2, Some(3000L)) }
     intercept[IllegalArgumentException] {
@@ -203,6 +204,42 @@ class EqualityDeleteSpec extends SparkSpecBase {
     t.rollbackTo(2L, Some(4000L))
     assert(t.equalityDeletes.size == 1, "rollback dropped equality entries")
     assert(ids(t) == Seq(2L))
+  }
+
+  test("commit-time consolidation: one artifact, one anti-join, scoping intact") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), Some(1000L))
+    t.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"), Some(2000L))
+    // the SAME key re-inserted: the old tombstone must not reach it
+    t.append(mkDf(1L -> "reborn"), Some(3000L))
+    t.deleteEquality(spark, mkDf(2L -> "x").select("id"), Seq("id"), Some(4000L))
+    t.deleteEquality(spark, mkDf(3L -> "x").select("id"), Seq("id"), Some(5000L))
+    // 3-deep stacking → ONE consolidated entry, ONE key parquet set,
+    // depth 3, dead counts summed exactly
+    assert(t.equalityDeletes.size == 1)
+    val e = t.equalityDeletes.head
+    assert(e.covs.size == 3, s"covs=${e.covs}")
+    assert(t.equalityDeletedCount.contains(3L), t.equalityDeletedCount)
+    // per-row scoping: key 1's tombstone (covered snap 1) must not hide
+    // the snap-3 re-insert; keys 2/3 (covered ≥ 3) must hide originals
+    assert(t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap == Map(1L -> "reborn", 4L -> "d"))
+    // read plan: exactly ONE anti-join per covered file group, not one
+    // per folded commit. The fixture has two groups (snap-1 file: all 3
+    // covs apply; snap-3 file: covs {3,4} apply) → 2 anti-joins, where
+    // unconsolidated stacking would pay 3 + 2 = 5
+    val plan = t.read(spark).queryExecution.executedPlan.toString
+    val antiJoins = "LeftAnti".r.findAllIn(plan).length
+    assert(antiJoins == 2, s"expected 2 anti-joins (one per group), got " +
+      s"$antiJoins in:\n$plan")
+    // time travel through the consolidated representation
+    assert(ids(t, Some(3L)) == Seq(1L, 2L, 3L, 4L))
+    // compaction still materializes
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(6000L))
+    assert(t.equalityDeletes.isEmpty)
+    assert(t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap == Map(1L -> "reborn", 4L -> "d"))
   }
 
   test("exact metadata-only count(*) while equality entries pend") {

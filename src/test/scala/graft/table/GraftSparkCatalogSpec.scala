@@ -1418,4 +1418,87 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(msgs.contains("expire_snapshots"),
       s"unhelpful refusal: $msgs")
   }
+
+  test("CALL snapshot: zero-copy shadow table, sources untouched, schema derived") {
+    // a foreign Hive-partitioned parquet dump, written by plain Spark
+    val srcDir = tmpDir("snap-src")
+    spark.range(20).selectExpr("id", "CAST(id % 3 AS INT) AS bucket_col",
+        "CAST(id AS STRING) AS payload")
+      .write.partitionBy("bucket_col").mode("overwrite").parquet(srcDir)
+    val srcBefore = {
+      val b = Seq.newBuilder[(String, Long)]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(srcDir)).forEach(p =>
+        if (p.toString.endsWith(".parquet"))
+          b += ((p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+      b.result()
+    }
+    val got = spark.sql(
+      s"CALL g2.system.snapshot('$srcDir', 'db.proc_snap')").collect()
+    assert(got.length == 1 && got.head.getLong(2) == 20L, got.mkString(","))
+    // reads equal the plain directory read; partition column recovered
+    // as an IDENTITY partition field (pruning works through it)
+    val viaTable = spark.sql(
+      "SELECT id, bucket_col, payload FROM g2.db.proc_snap")
+    val viaDir = spark.read.parquet(srcDir)
+      .selectExpr("id", "bucket_col", "payload")
+    assert(viaTable.exceptAll(viaDir).isEmpty &&
+      viaDir.exceptAll(viaTable).isEmpty, "shadow diverged from source")
+    val t = GraftTable.load(s"$wh/db/proc_snap")
+    assert(t.partitionFields.map(_.fieldName) == Seq("bucket_col"))
+    assert(spark.sql(
+      "SELECT count(*) FROM g2.db.proc_snap WHERE bucket_col = 1")
+      .head().getLong(0) == viaDir.filter("bucket_col = 1").count())
+    // the SOURCE is byte-for-byte untouched
+    srcBefore.foreach { case (p, mtime) =>
+      val path = java.nio.file.Paths.get(p)
+      assert(java.nio.file.Files.exists(path), s"source file vanished: $p")
+      assert(java.nio.file.Files.getLastModifiedTime(path).toMillis == mtime,
+        s"source file rewritten: $p")
+    }
+    // the shadow takes DML without affecting the source
+    t.delete(spark, org.apache.spark.sql.functions.col("id") === 0L)
+    assert(spark.sql("SELECT count(*) FROM g2.db.proc_snap")
+      .head().getLong(0) == 19L)
+    assert(spark.read.parquet(srcDir).count() == 20L,
+      "shadow DML leaked into the source")
+    // refusals: an existing graft table as source; a taken destination
+    intercept[Exception] { spark.sql(
+      s"CALL g2.system.snapshot('$wh/db/proc_snap', 'db.proc_snap2')")
+      .collect() }
+    intercept[Exception] { spark.sql(
+      s"CALL g2.system.snapshot('$srcDir', 'db.proc_snap')").collect() }
+  }
+
+  test("CALL migrate: in-place conversion, originals become snapshot 1") {
+    // a plain parquet directory sitting INSIDE the warehouse
+    val dir = s"$wh/db/proc_mig"
+    spark.range(12).selectExpr("id", "CAST(id AS STRING) AS payload")
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    val got = spark.sql("CALL g2.system.migrate('db.proc_mig')").collect()
+    assert(got.length == 1 && got.head.getLong(2) == 12L, got.mkString(","))
+    // a real graft table now, full surface; snapshot 1 = original rows
+    val t = GraftTable.load(dir)
+    assert(t.log.snapshots.size == 1)
+    assert(spark.sql("SELECT sum(id) FROM g2.db.proc_mig")
+      .head().getLong(0) == (0L until 12L).sum)
+    // the loose originals are gone (their bytes live on under data/)
+    val loose = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(loose.isEmpty, s"loose originals left: ${loose.mkString(",")}")
+    // converting again refuses (it is a graft table now)
+    val e = intercept[Exception] {
+      spark.sql("CALL g2.system.migrate('db.proc_mig')").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("already a graft table"), msgs)
+    // and the converted table keeps working under DML + time travel
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(99L, "post")), 1),
+      t.schema), Some(5000L))
+    assert(spark.sql("SELECT count(*) FROM g2.db.proc_mig")
+      .head().getLong(0) == 13L)
+    assert(t.read(spark, Some(1L)).count() == 12L)
+  }
 }

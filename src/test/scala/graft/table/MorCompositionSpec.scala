@@ -1,0 +1,220 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** CROSS-FORM merge-on-read composition: positional (deletion-vector)
+  * and equality delete entries stacking on ONE table — the pipeline
+  * shape where a CDC equality-upsert mirror and a positional curation
+  * job share a corpus table without a compact() between them. The
+  * invariants under test:
+  *
+  *  - reads subtract both forms (in either stacking order), time travel
+  *    sees through both;
+  *  - victim computations always run against FULLY VISIBLE rows, so the
+  *    two forms' dead sets stay DISJOINT and
+  *    `totalRecords − dv − equality` stays exact;
+  *  - an equality-dead row is never re-recorded in a vector, never
+  *    resurrected by a positional update, and never re-retracted by CDC;
+  *  - the whole-file drop fast path demotes to a vector rewrite while
+  *    equality entries pend (counts would otherwise double);
+  *  - CDC reconstruction across composed commits reproduces the state;
+  *  - rollback adopts BOTH kinds of entries; expire keeps both kinds of
+  *    artifacts while referenced and reclaims them after;
+  *  - compact() materializes both in one pass.
+  */
+class MorCompositionSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  private def mkDf(rows: (Long, String)*) = {
+    val rdd = spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1)
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-morcomp").toString
+
+  private def ids(t: GraftTable, snap: Option[Long] = None): Seq[Long] =
+    t.read(spark, snap).select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def rows(t: GraftTable): Map[Long, String] =
+    t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  /** The exact-count identity that must hold while forms stack. */
+  private def assertExactCounts(t: GraftTable, hint: String): Unit = {
+    val total = t.log.current
+      .map(s => Manifest.read(s"${t.dir}/${s.manifestList}").totalRecords)
+      .getOrElse(0L)
+    val eq = t.equalityDeletedCount
+    assert(eq.isDefined, s"$hint: equality dead count degraded")
+    assert(total - t.positionalDeletedCount - eq.get == t.read(spark).count(),
+      s"$hint: metadata count (total=$total dv=${t.positionalDeletedCount} " +
+        s"eq=${eq.get}) != scan")
+  }
+
+  private def artifacts(dir: String, suffix: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(s"$dir/deletes")
+    if (!java.nio.file.Files.exists(p)) return Nil
+    val st = java.nio.file.Files.walk(p)
+    try {
+      val b = Seq.newBuilder[String]
+      st.iterator().forEachRemaining(x =>
+        if (x.toString.endsWith(suffix)) b += x.toString)
+      b.result()
+    } finally st.close()
+  }
+
+  test("equality upsert stacks on a DV-pending table; counts stay exact") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), Some(1000L))
+    // curation job lands first: DV kills id=2
+    t.deletePositional(spark, col("id") === 2L, Some(2000L))
+    assert(t.positionalDeletes.nonEmpty)
+    assertExactCounts(t, "after positional")
+    // CDC mirror upserts id=3 and inserts id=5 — stacks, no compact()
+    val snap = t.mergeEquality(spark,
+      mkDf(3L -> "C2", 5L -> "e"), Seq("id"), Some(3000L))
+    assert(snap.isDefined)
+    assert(t.positionalDeletes.nonEmpty && t.equalityDeletes.nonEmpty,
+      "both forms must pend together")
+    assert(rows(t) == Map(1L -> "a", 3L -> "C2", 4L -> "d", 5L -> "e"))
+    assertExactCounts(t, "after stacked upsert")
+    // time travel sees through both
+    assert(ids(t, Some(1L)) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(t, Some(2L)) == Seq(1L, 3L, 4L))
+    // another positional pass on the stacked table: kills the UPSERTED
+    // row's new copy (a post-entry file, outside every tombstone's scope)
+    t.deletePositional(spark, col("id") === 5L, Some(4000L))
+    assert(rows(t) == Map(1L -> "a", 3L -> "C2", 4L -> "d"))
+    assertExactCounts(t, "after second positional")
+    // compact materializes everything in one pass
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(5000L))
+    assert(t.positionalDeletes.isEmpty && t.equalityDeletes.isEmpty)
+    assert(rows(t) == Map(1L -> "a", 3L -> "C2", 4L -> "d"))
+  }
+
+  test("equality-dead rows are never re-vectored, resurrected, or double-counted") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    // equality kills id=2 first
+    t.deleteEquality(spark, mkDf(2L -> "x").select("id"), Seq("id"), Some(2000L))
+    assert(t.equalityDeletedCount.contains(1L))
+    // positional predicate covers ids {1,2}: only the VISIBLE id=1 may
+    // be vectored — id=2 is already equality-dead
+    t.deletePositional(spark, col("id") <= 2L, Some(3000L))
+    assert(t.positionalDeletedCount == 1L,
+      s"equality-dead row re-vectored: dv=${t.positionalDeletedCount}")
+    assert(ids(t) == Seq(3L))
+    assertExactCounts(t, "after composed delete")
+    // positional update matching id=2 must NOT resurrect it
+    val up = t.updatePositional(spark, col("id") === 2L,
+      Map("data" -> lit("zombie")), Some(4000L))
+    assert(up.isEmpty, "updatePositional resurrected an equality-dead row")
+    assert(ids(t) == Seq(3L))
+  }
+
+  test("whole-file drop demotes to a vector rewrite while equality entries pend") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L)) // one file
+    t.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"), Some(2000L))
+    // predicate provably matches ALL rows of the file — without the
+    // demotion this would drop the file and count id=1 twice
+    val before = t.log.current.map(s =>
+      Manifest.read(s"${t.dir}/${s.manifestList}").files.map(_.path).toSet).get
+    t.deletePositional(spark, col("id") <= 2L, Some(3000L))
+    val after = t.log.current.map(s =>
+      Manifest.read(s"${t.dir}/${s.manifestList}").files.map(_.path).toSet).get
+    assert(after == before, "a file was dropped despite pending equality")
+    assert(t.positionalDeletedCount == 1L, "only the visible row is vectored")
+    assert(ids(t).isEmpty)
+    assertExactCounts(t, "after demoted drop")
+  }
+
+  test("new equality entries count dead against DV-visible rows only") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    t.deletePositional(spark, col("id") === 1L, Some(2000L))
+    // keys cover {1,2}: id=1 is DV-dead, so the entry's dead count is 1
+    t.deleteEquality(spark, mkDf(1L -> "x", 2L -> "x").select("id"),
+      Seq("id"), Some(3000L))
+    assert(t.equalityDeletedCount.contains(1L),
+      s"DV-dead row double-counted: ${t.equalityDeletedCount}")
+    assert(ids(t) == Seq(3L))
+    assertExactCounts(t, "after eq-on-dv")
+  }
+
+  test("CDC reconstruction + no double retraction across composed commits") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), Some(1000L)) // 1
+    t.deletePositional(spark, col("id") === 1L, Some(2000L))                // 2
+    t.mergeEquality(spark, mkDf(2L -> "B", 5L -> "e"), Seq("id"), Some(3000L)) // 3
+    t.deletePositional(spark, col("id") === 3L, Some(4000L))                // 4
+    t.deleteEquality(spark, mkDf(4L -> "x").select("id"), Seq("id"), Some(5000L)) // 5
+    val head = t.log.current.get.snapshotId
+
+    val cdc = t.changesCdc(spark, 1L, Some(head))
+    // each victim is retracted EXACTLY once across the whole chain
+    val dels = cdc.filter(col("_change_type") === "delete")
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(dels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), dels.toString)
+    // reconstruction: from-state − deletes + inserts per snapshot
+    val snaps = cdc.select("snapshot__id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val reconstructed = snaps.foldLeft(
+      t.read(spark, Some(1L)).drop("snapshot__id"): DataFrame) { (st, sn) =>
+      val d = cdc.filter(col("snapshot__id") === sn)
+      st.exceptAll(d.filter(col("_change_type") === "delete")
+          .drop("_change_type", "snapshot__id"))
+        .unionByName(d.filter(col("_change_type") === "insert")
+          .drop("_change_type", "snapshot__id"))
+    }
+    val now = t.read(spark).drop("snapshot__id")
+    assert(reconstructed.exceptAll(now).isEmpty &&
+      now.exceptAll(reconstructed).isEmpty, "CDC reconstruction diverged")
+  }
+
+  test("rollback adopts both entry kinds; expire tracks both artifact kinds") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L)) // 1
+    t.deletePositional(spark, col("id") === 1L, Some(2000L))     // 2
+    t.deleteEquality(spark, mkDf(2L -> "x").select("id"),
+      Seq("id"), Some(3000L))                                    // 3
+    val composed = t.log.current.get.snapshotId
+    t.append(mkDf(9L -> "z"), Some(4000L))                       // 4
+    t.rollbackTo(composed, Some(5000L))                          // 5
+    assert(t.positionalDeletes.nonEmpty && t.equalityDeletes.nonEmpty,
+      "rollback dropped a composed entry kind")
+    assert(ids(t) == Seq(3L))
+    assertExactCounts(t, "after rollback")
+    // both artifact kinds survive expire while the head references them
+    assert(artifacts(s"$dir/t", ".bin").nonEmpty)
+    assert(artifacts(s"$dir/t", ".parquet").nonEmpty)
+    t.expireSnapshots(olderThanMillis = Long.MaxValue, retainLast = 1)
+    assert(t.positionalDeletes.nonEmpty && t.equalityDeletes.nonEmpty)
+    assert(ids(t) == Seq(3L), "expire changed visible state")
+    assert(artifacts(s"$dir/t", ".bin").nonEmpty,
+      "expire reclaimed a referenced deletion vector")
+    assert(artifacts(s"$dir/t", ".parquet").nonEmpty,
+      "expire reclaimed a referenced equality key file")
+    // materialize, expire again: every delete artifact is reclaimed
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(6000L))
+    t.expireSnapshots(olderThanMillis = Long.MaxValue, retainLast = 1)
+    assert(artifacts(s"$dir/t", ".bin").isEmpty &&
+      artifacts(s"$dir/t", ".parquet").isEmpty,
+      "expire left orphan delete artifacts after materialization")
+    assert(ids(t) == Seq(3L))
+  }
+}

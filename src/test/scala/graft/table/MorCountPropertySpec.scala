@@ -9,7 +9,8 @@ import graft.SparkSpecBase
 /** Property sweep for the commit-time exact-count bookkeeping: across
   * random legal DML chains (append / overwrite / CoW delete / deferred
   * predicate delete / equality delete / MoR upsert / positional delete /
-  * compaction / rollback), the metadata identity
+  * compaction / rollback — positional and equality entries stacking
+  * freely on one table), the metadata identity
   *
   *   totalRecords − positionalDead − pendingDead − equalityDead
   *     == count of the visible-rows scan
@@ -68,7 +69,7 @@ class MorCountPropertySpec extends SparkSpecBase {
       }
 
       var ts = 2000L
-      for (step <- 1 to 7) {
+      for (step <- 1 to 9) {
         ts += 1000L
         val hasPending = t.pendingDeletes.nonEmpty
         val hasPositional = t.positionalDeletes.nonEmpty
@@ -79,10 +80,13 @@ class MorCountPropertySpec extends SparkSpecBase {
         legal += "overwrite"
         legal += "compact"
         if (!hasPositional && !hasEquality) legal += "deferred"
-        if (!hasPending && !hasPositional && ids.nonEmpty) {
+        // positional and equality entries COMPOSE on one table (only the
+        // predicate-deferred form refuses both) — the identity must keep
+        // holding while they stack in either order
+        if (!hasPending && ids.nonEmpty) {
           legal += "equality"; legal += "upsert"
         }
-        if (!hasPending && !hasEquality && ids.nonEmpty) legal += "positional"
+        if (!hasPending && ids.nonEmpty) legal += "positional"
         if (!hasPending && !hasEquality && ids.nonEmpty) legal += "cowDelete"
         if (!hasPending && !hasEquality) legal += "overwriteWhere"
         val ops = legal.result()

@@ -14,8 +14,10 @@ import graft.SparkSpecBase
   * differ structurally: unpartitioned leaf files, identity directories
   * (basePath partition-value recovery UNDER the provenance-column read),
   * bucket(4) and truncate(2) hidden transforms (derived keys, footer
-  * source columns). A separate equality-delete sequence runs per layout
-  * (the forms refuse to stack on one table).
+  * source columns). A separate equality-delete sequence runs per layout,
+  * and a COMPOSED sequence interleaves positional, equality and upsert
+  * commits on one table (the forms stack; only predicate-deferred
+  * refuses).
   */
 class MorSoundnessSpec extends SparkSpecBase {
 
@@ -130,6 +132,76 @@ class MorSoundnessSpec extends SparkSpecBase {
         assert(readSet(t) == modelSet(model),
           s"[$name] equality diverged after step $step")
       }
+      GraftTable.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+
+  // positional and equality entries COMPOSE on one table (Iceberg v2
+  // allows both delete kinds concurrently): one random sequence drives
+  // both forms plus the MoR upsert interleaved, against the same
+  // row-multiset model, under every layout
+  for ((name, partitionBy) <- layouts)
+    test(s"random composed positional+equality sequence matches the model [$name]") {
+      val rng = new scala.util.Random(4242 + name.hashCode)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"mor-comp-$name").toString
+      val t = GraftTable.create(s"$dir/t", schema, partitionBy = partitionBy)
+      var model = Vector.empty[M]
+      var nextId = 0L
+      val cats = Seq("aa", "ab", "bb", "bc", null)
+      def batch(n: Int): Seq[M] = (0 until n).map { _ =>
+        nextId += 1
+        M(nextId, cats(rng.nextInt(cats.size)), rng.nextInt(50).toLong)
+      }
+      val b0 = batch(40); t.append(df(b0)); model ++= b0
+
+      (1 to 14).foreach { step =>
+        rng.nextInt(7) match {
+          case 0 => // append
+            val b = batch(5 + rng.nextInt(10))
+            t.append(df(b)); model ++= b
+          case 1 => // positional predicate delete (stacks on equality)
+            val bound = rng.nextInt(50)
+            t.deletePositional(spark, col("score") < bound)
+            model = model.filterNot(_.score < bound)
+          case 2 => // positional key delete
+            val victims = model.filter(_.score % 5 == step % 5).map(_.id).distinct
+            t.deletePositionalByKeys(spark,
+              df(model.filter(m => victims.contains(m.id))).select("id"),
+              Seq("id"))
+            model = model.filterNot(m => victims.contains(m.id))
+          case 3 => // positional update under pending equality entries
+            val from = cats(rng.nextInt(4))
+            t.updatePositional(spark, col("cat") === from,
+              Map("score" -> (col("score") + lit(100L))))
+            model = model.map(m =>
+              if (m.cat == from) m.copy(score = m.score + 100L) else m)
+          case 4 => // equality delete by id (stacks on positional)
+            val victims = model.filter(_.score % 3 == step % 3)
+              .map(_.id).distinct.take(6)
+            if (victims.nonEmpty) {
+              t.deleteEquality(spark,
+                df(victims.map(M(_, null, 0L))).select("id"), Seq("id"))
+              model = model.filterNot(m => victims.contains(m.id))
+            }
+          case 5 => // MoR upsert on a DV/equality-pending table
+            val hit = rng.shuffle(model).take(2).map(m =>
+              m.copy(cat = "up", score = m.score + 1000L))
+            val b = hit ++ batch(2)
+            if (b.nonEmpty) {
+              t.mergeEquality(spark, df(b), Seq("id"))
+              val keys = b.map(_.id).toSet
+              model = model.filterNot(m => keys(m.id)) ++ b
+            }
+          case 6 => // maintenance materializes both forms
+            t.compact(spark, smallerThanBytes = Long.MaxValue)
+        }
+        assert(readSet(t) == modelSet(model),
+          s"[$name] composed diverged after step $step")
+      }
+      t.compact(spark, smallerThanBytes = Long.MaxValue)
+      assert(t.positionalDeletes.isEmpty && t.equalityDeletes.isEmpty)
+      assert(readSet(t) == modelSet(model),
+        s"[$name] composed diverged after final compact")
       GraftTable.deleteRecursively(java.nio.file.Paths.get(dir))
     }
 }
