@@ -291,6 +291,58 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** Retraction-aware streaming-aggregate fixture (st10): a grouped
+    * COUNT/SUM aggregate table maintained from the source's CDC feed
+    * through a mixed DML chain (append → CoW name retag, whose
+    * retract+insert delta nets to ZERO on these measures — the fold must
+    * handle it — → positional key delete), applied batch-per-snapshot
+    * via [[graft.table.GraftCdcAggregate.applyBatch]] exactly like the
+    * foreachBatch stream (same contract, deterministic replay). */
+  private def cdcAggFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_stagg", 4) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val srcDir = s"${dir}__src"
+      if (Files.exists(Paths.get(srcDir)))
+        GraftTable.deleteRecursively(Paths.get(srcDir))
+      val src = GraftTable.create(srcDir, nation.schema)
+      src.append(nation, committedAt = Some(1000L))
+      src.update(spark, col("n_regionkey") === 1,
+        Map("n_name" -> concat(col("n_name"), lit("_U"))), Some(2000L))
+      src.deletePositionalByKeys(spark,
+        nation.filter(col("n_nationkey") % 4 === 1).select("n_nationkey"),
+        Seq("n_nationkey"), Some(3000L))
+      val aggSchema = org.apache.spark.sql.types.StructType(Seq(
+        nation.schema("n_regionkey"),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sum_key",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val agg = GraftTable.create(dir, aggSchema)
+      val apply = graft.table.GraftCdcAggregate.applyBatch(agg,
+        Seq("n_regionkey"), Seq("n_nationkey" -> "sum_key"), "st10") _
+      apply(src.changesCdc(spark, 0L, Some(1L)), 0L)
+      apply(src.changesCdc(spark, 1L, Some(2L)), 1L)
+      apply(src.changesCdc(spark, 2L, Some(3L)), 2L)
+      agg
+    }
+
+  /** write.format fixture (v62): snapshot 1 lands as parquet, then the
+    * table switches `write.format=orc` and a CoW UPDATE rewrites region
+    * 2's file IN ORC — a mixed parquet+ORC table whose one scan
+    * dispatches per file (the v18 avro-mixing shape, now property-driven
+    * for whole-estate format continuity under DML). */
+  private def orcFormatFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "region_orcfmt", 2) { dir =>
+      val region = t(spark, sfDir, "region")
+      val t1 = GraftTable.create(dir, region.schema)
+      t1.append(region, committedAt = Some(1000L))
+      val t2 = t1.updateProperties(
+        Map(GraftTable.PropWriteFormat -> "orc"))
+      t2.update(spark, col("r_regionkey") === 2,
+        Map("r_name" -> concat(col("r_name"), lit("_O"))), Some(2000L))
+      t2
+    }
+
   /** Batch-changelog fixture (v60): the cdcFixture chain — append, CoW
     * region-1 retag, positional key delete — laid out under `db/` so the
     * DSv2 catalog serves its `__changes` BATCH surface by name. */
@@ -1444,6 +1496,25 @@ object Versioned extends QueryPack {
       morCompFixture(s, d).read(s)
         .select("n_nationkey", "n_name", "n_regionkey")),
 
+    // RETRACTION-AWARE streaming aggregation replay: the grouped
+    // COUNT/SUM table maintained batch-per-snapshot from the CDC feed
+    // (GraftCdcAggregate's foreachBatch contract — inserts add, deletes
+    // subtract, net-zero update deltas fold clean, dead groups
+    // tombstone) must equal the full GROUP BY recompute of the source's
+    // final state
+    "st10_cdc_agg_replay" -> ((s, d) =>
+      cdcAggFixture(s, d).read(s)
+        .select("n_regionkey", "cnt", "sum_key")),
+
+    // write.format=orc (Iceberg write.format.default parity): the CoW
+    // rewrite lands ORC next to the original parquet — one scan
+    // dispatches per file and unions the readers (v18's shape,
+    // property-driven); ORC entries carry exact record counts, no
+    // footer stats (conservative keeps, still correct)
+    "v62_graft_orc_format" -> ((s, d) =>
+      orcFormatFixture(s, d).read(s)
+        .select("r_regionkey", "r_name")),
+
     // TABLE BOOTSTRAP (Iceberg snapshot-procedure parity): a foreign
     // Hive-partitioned parquet dump becomes a zero-copy shadow graft
     // table (schema from footers, directory keys → identity partition
@@ -1988,6 +2059,15 @@ object Versioned extends QueryPack {
         "FROM nation WHERE n_nationkey % 5 <> 1 AND n_regionkey = 3 " +
         "AND n_nationkey % 7 <> 2 " +
         "UNION ALL SELECT 998, 'COMPOSED', 3"),
+    // the stream-maintained aggregate equals the final-state recompute
+    "st10_cdc_agg_replay" ->
+      ("SELECT n_regionkey, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(sum(n_nationkey) AS BIGINT) AS sum_key FROM nation " +
+        "WHERE n_nationkey % 4 <> 1 GROUP BY n_regionkey"),
+    // the mixed parquet+ORC read must equal the retag replay
+    "v62_graft_orc_format" ->
+      ("SELECT r_regionkey, CASE WHEN r_regionkey = 2 " +
+        "THEN r_name || '_O' ELSE r_name END AS r_name FROM region"),
     // the shadow table serves exactly the dump's rows for the slice
     "v61_graft_snapshot_boot" ->
       ("SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) " +

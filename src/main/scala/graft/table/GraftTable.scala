@@ -1057,43 +1057,71 @@ final class GraftTable private (
         distributed.repartitionByRange(n, cols.map(col): _*)
           .sortWithinPartitions(cols.map(col): _*)
     }
-    val writer = sorted.write.mode("overwrite")
-    if (partitionFields.nonEmpty)
-      writer.partitionBy(partitionFields.map(_.fieldName): _*)
-    // `bloom.columns`: have the parquet writer emit standard split-block
-    // bloom filters for these columns (plain write options — they land in
-    // the write job's hadoop conf); harvested into the manifest below
-    val bloomCols = bloomColumns
-    bloomCols.foreach { c =>
-      writer.option(s"parquet.bloom.filter.enabled#$c", "true")
-      writer.option(s"parquet.bloom.filter.expected.ndv#$c",
-        properties.getOrElse(PropBloomNdv, "10000"))
-    }
-    // generic writer-option passthrough: `graft.write.option.<key>` table
-    // properties reach every data-file write (compression codec, parquet
-    // block size, dictionary toggles — anything the parquet writer takes)
-    properties.foreach { case (k, v) =>
-      if (k.startsWith(PropWriteOptionPrefix))
-        writer.option(k.stripPrefix(PropWriteOptionPrefix), v)
-    }
-    // a failed write job (constraint violation, executor loss) must not
-    // leave a half-written staging dir behind — nothing was committed.
-    // Timestamps are written as TIMESTAMP_MICROS, not Spark's INT96
-    // default: INT96 carries no usable parquet min/max, which blinds the
-    // manifest's footer-stat pruning (and the all-match delete proof)
-    // for every timestamp column. Session conf is the only lever the
-    // parquet writer honors — set/restore around the job (a concurrent
-    // writer seeing micros mid-flight only gets the better format).
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val session = df.sparkSession
-    val prevTs = session.conf.getOption(tsKey)
-    session.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try writer.parquet(staging)
-    catch { case e: Throwable =>
-      deleteRecursively(Paths.get(staging)); throw e
-    } finally prevTs match {
-      case Some(v) => session.conf.set(tsKey, v)
-      case None => session.conf.unset(tsKey)
+    // data-file FORMAT (`write.format` table property): parquet keeps
+    // the full stats/bloom/row-index surface; orc and avro trade footer
+    // min/max pruning (entries carry exact record counts only —
+    // conservative keeps, sound) and positional MoR for format
+    // continuity of an imported estate. Reads dispatch per file, so a
+    // format change mid-table just makes it mixed.
+    val fmt = properties.getOrElse(GraftTable.PropWriteFormat, "parquet")
+    require(Seq("parquet", "orc", "avro").contains(fmt),
+      s"unsupported ${GraftTable.PropWriteFormat} '$fmt' on $dir " +
+        "(parquet | orc | avro)")
+    val ext = s".$fmt"
+    if (fmt == "avro") {
+      require(partitionFields.isEmpty,
+        s"write.format=avro supports unpartitioned tables only " +
+          s"($dir is partitioned)")
+      val mapped = graft.sources.AvroSource
+        .toSparkType(graft.sources.AvroSource.toAvroSchema(schema))
+        .asInstanceOf[StructType]
+      val lossy = schema.fields.zip(mapped.fields)
+        .filter { case (a, b) => a.dataType != b.dataType }
+      require(lossy.isEmpty, "schema does not round-trip through avro: " +
+        lossy.map(_._1.name).mkString(", "))
+      try graft.sources.AvroSource.write(sorted, staging)
+      catch { case e: Throwable =>
+        deleteRecursively(Paths.get(staging)); throw e
+      }
+    } else {
+      val writer = sorted.write.mode("overwrite")
+      if (partitionFields.nonEmpty)
+        writer.partitionBy(partitionFields.map(_.fieldName): _*)
+      // `bloom.columns`: have the parquet writer emit standard split-block
+      // bloom filters for these columns (plain write options — they land in
+      // the write job's hadoop conf); harvested into the manifest below
+      val bloomCols = if (fmt == "parquet") bloomColumns else Nil
+      bloomCols.foreach { c =>
+        writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+        writer.option(s"parquet.bloom.filter.expected.ndv#$c",
+          properties.getOrElse(PropBloomNdv, "10000"))
+      }
+      // generic writer-option passthrough: `graft.write.option.<key>` table
+      // properties reach every data-file write (compression codec, parquet
+      // block size, dictionary toggles — anything the writer takes)
+      properties.foreach { case (k, v) =>
+        if (k.startsWith(PropWriteOptionPrefix))
+          writer.option(k.stripPrefix(PropWriteOptionPrefix), v)
+      }
+      // a failed write job (constraint violation, executor loss) must not
+      // leave a half-written staging dir behind — nothing was committed.
+      // Timestamps are written as TIMESTAMP_MICROS, not Spark's INT96
+      // default: INT96 carries no usable parquet min/max, which blinds the
+      // manifest's footer-stat pruning (and the all-match delete proof)
+      // for every timestamp column. Session conf is the only lever the
+      // parquet writer honors — set/restore around the job (a concurrent
+      // writer seeing micros mid-flight only gets the better format).
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val session = df.sparkSession
+      val prevTs = session.conf.getOption(tsKey)
+      session.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try { if (fmt == "orc") writer.orc(staging) else writer.parquet(staging) }
+      catch { case e: Throwable =>
+        deleteRecursively(Paths.get(staging)); throw e
+      } finally prevTs match {
+        case Some(v) => session.conf.set(tsKey, v)
+        case None => session.conf.unset(tsKey)
+      }
     }
 
     val dataDir = Paths.get(dir, "data")
@@ -1104,7 +1132,7 @@ final class GraftTable private (
     val stagingPath = Paths.get(staging)
     val staged = scala.util.Using.resource(Files.walk(stagingPath)) {
       s => s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .filter(_.getFileName.toString.endsWith(ext))
         .toSeq.sortBy(_.toString)
     }
     val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -1116,13 +1144,19 @@ final class GraftTable private (
         val (c, raw) = seg.splitAt(seg.indexOf('='))
         c -> PartitionValues.decode(raw.drop(1))
       }.toMap
-      val name = f"part-$snapId%05d-$token-$seq%05d.parquet"
+      val name = f"part-$snapId%05d-$token-$seq%05d$ext"
       seq += 1
       val dstDir = partDirs.foldLeft(dataDir)(_.resolve(_))
       Files.createDirectories(dstDir)
       val dst = dstDir.resolve(name)
       Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
-      val (rows, stats) = ParquetStats.forFile(dst.toString, conf)
+      val (rows, stats) = fmt match {
+        case "parquet" => ParquetStats.forFile(dst.toString, conf)
+        case "orc" => (GraftTable.orcRowCount(dst.toString, conf),
+          Map.empty[String, ColumnStats])
+        case _ => (graft.sources.AvroSource.countRecords(dst.toString, conf),
+          Map.empty[String, ColumnStats])
+      }
       // partition columns are absent from the file footers; synthesize
       // exact min=max=value stats so the same sound min/max pruning
       // machinery (Pruning/PruningPropertySpec) prunes partitions too
@@ -1134,7 +1168,9 @@ final class GraftTable private (
         val dt = pf.map(_.derivedType).getOrElse(schema(c).dataType)
         pf.map(_.statName).getOrElse(c) -> PartitionValues.stats(v, dt, rows)
       }
-      val blooms = FileBloom.harvest(dst.toString, conf, bloomCols)
+      val blooms =
+        if (fmt == "parquet") FileBloom.harvest(dst.toString, conf, bloomColumns)
+        else Map.empty[String, String]
       val rel = (partDirs :+ name).mkString("/")
       DataFileEntry(s"data/$rel", rows, Files.size(dst), stats ++ partStats,
         partition, blooms)
@@ -2118,11 +2154,21 @@ final class GraftTable private (
       keyCols: Seq[String],
       committedAt: Option[Long] = None,
       exactCount: Boolean = true,
-      deleteKeys: Option[DataFrame] = None): Option[Snapshot] = {
+      deleteKeys: Option[DataFrame] = None,
+      cursor: Option[(String, Long)] = None): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(
       throw new IllegalArgumentException(
         s"$dir has no snapshot — append() the initial data first"))
+    // exactly-once streaming upserts: a (sinkId, batchId) cursor rides
+    // THE SAME commit as the tombstone+append, so a foreachBatch replay
+    // after a crash can skip the whole batch (the appendStreamBatch
+    // discipline, atomic with the MoR upsert instead of a second commit)
+    cursor.foreach { case (sinkId, _) =>
+      require(sinkId.nonEmpty, "sinkId must be non-empty") }
+    if (cursor.exists { case (sinkId, batchId) =>
+        streamCursors.get(sinkId).exists(_ >= batchId) })
+      return None
     require(parsePending(current).isEmpty,
       s"$dir has predicate-deferred deletes pending — that form does not " +
         "stack with equality entries; compact() first")
@@ -2195,12 +2241,15 @@ final class GraftTable private (
       else None
     val entries = otherPrior :+
       EqualityDeletes(rels, keyCols, current.snapshotId, dead, covsAll)
+    val cursorSummary = cursor.map { case (sinkId, batchId) =>
+      SummaryStreamCursors -> cursorsJson(streamCursors + (sinkId -> batchId))
+    }.toMap
     try Some(commit(lg, snapId, manifest.append(newFiles), newFiles,
       operation = "merge", committedAt,
       extraSummary = Map(
         "equality" -> "true",
         "merge-key" -> keyCols.mkString(","),
-        SummaryEqualityDeletes -> equalityJson(entries))))
+        SummaryEqualityDeletes -> equalityJson(entries)) ++ cursorSummary))
     catch { case e: Throwable =>
       rels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
       // commit() deletes newFiles on its detected race paths only; a
@@ -2441,8 +2490,8 @@ final class GraftTable private (
       eqEntries: Seq[EqualityDeletes] = Nil)
       : (Seq[PositionalDeletes], Seq[String], Long) = {
     import org.apache.spark.sql.functions.substring_index
-    require(partial.forall(f => !f.path.endsWith(".avro")),
-      s"positional DML cannot target avro data files in $dir " +
+    require(partial.forall(_.path.endsWith(".parquet")),
+      s"positional DML cannot target non-parquet data files in $dir " +
         "(no parquet row index) — use the copy-on-write form or compact() first")
     if (partial.isEmpty) return (prior, Nil, 0L)
     // the read path keys on basenames — they must identify files
@@ -3799,7 +3848,10 @@ final class GraftTable private (
       (cols.toSeq.sorted.mkString(","), root, m.map(_._1).mkString(",")) }
       .map { case ((specCols, root, phys), fs) =>
         val paths = fs.map(f => Paths.get(dir, f.path).normalize().toString)
-        val (avroPaths, parqPaths) = paths.partition(_.endsWith(".avro"))
+        val avroPaths = paths.filter(_.endsWith(".avro"))
+        val orcPaths = paths.filter(_.endsWith(".orc"))
+        val parqPaths = paths.filterNot(p =>
+          p.endsWith(".avro") || p.endsWith(".orc"))
         val physSchema = StructType(schema.fields.zip(phys).map {
           case (f, (p, t)) => f.copy(name = p, dataType = t)
         })
@@ -3826,6 +3878,21 @@ final class GraftTable private (
                 .substring_index(col("_metadata.file_path"), "/", -1)
                 .as(MetaFileCol),
               col("_metadata.row_index").as(MetaPosCol)): _*)
+          },
+          Option.when(orcPaths.nonEmpty) {
+            // built-in vectorized ORC source; identity directory keys
+            // recover exactly like the parquet branch. No parquet row
+            // index exists here — positional MoR refuses ORC targets, so
+            // the meta columns are never consumed (null placeholders
+            // keep the union positional)
+            val r = spark.read.schema(physSchema)
+            if (specCols.exists(physSchema.fieldNames.contains))
+              r.option("basePath", root)
+            val df = r.orc(orcPaths: _*)
+            if (!withMeta) df.select(base: _*)
+            else df.select(base ++ Seq(
+              lit(null).cast(StringType).as(MetaFileCol),
+              lit(null).cast(LongType).as(MetaPosCol)): _*)
           },
           Option.when(avroPaths.nonEmpty) {
             // era schema as the TARGET: post-evolution columns absent
@@ -5102,6 +5169,17 @@ object GraftTable {
   val PropWriteDistribution = "graft.write.distribution"
   val PropWriteSort = "graft.write.sort"
   val PropWriteOptionPrefix = "graft.write.option."
+
+  /** Data-file format for every write path (append / CoW DML rewrites /
+    * compaction): `parquet` (default), `orc`, or `avro` — the Iceberg
+    * `write.format.default` analog, so an imported ORC/Avro estate stays
+    * in its format under DML. Reads dispatch per FILE (mixed-format
+    * tables are first-class); non-parquet files carry exact record
+    * counts but no footer min/max stats (scans keep them under any
+    * predicate — conservative, sound), no blooms, and no parquet row
+    * index (positional MoR refuses their files loudly; avro additionally
+    * requires unpartitioned layouts). */
+  val PropWriteFormat = "write.format"
   /** Column-name prefix under which [[GraftTable.mergeActions]] exposes
     * SOURCE columns to action conditions/values over the joined row
     * (target columns keep their bare names). */
@@ -5250,6 +5328,18 @@ object GraftTable {
     * renameColumn; mergeSchema rides addColumn). */
   private[table] val ReservedColumns = Seq("_file", "_pos",
     MetaFileCol, MetaPosCol, EqCovCol)
+
+  /** Exact row count of an ORC data file from its reader metadata (no
+    * decode) — the manifest-exactness source for `write.format=orc`
+    * entries, like parquet footers / avro block headers elsewhere. */
+  private[table] def orcRowCount(
+      path: String, conf: org.apache.hadoop.conf.Configuration): Long = {
+    val reader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(path),
+      org.apache.orc.OrcFile.readerOptions(conf))
+    try reader.getNumberOfRows
+    finally reader.close()
+  }
 
   private[table] def requireNotReserved(name: String, dir: String): Unit =
     require(!ReservedColumns.exists(_.equalsIgnoreCase(name)),

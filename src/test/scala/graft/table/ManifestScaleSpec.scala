@@ -292,6 +292,76 @@ class ManifestScaleSpec extends SparkSpecBase {
       s"point lookup parsed ${parsed.size} of 20 segments (want 1)")
   }
 
+  test("100k-entry manifest: planning cost bounds (time + driver allocation)") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/manifests"))
+    val schema1 = StructType(Seq(StructField("id", LongType)))
+    def entry(i: Int) = DataFileEntry(
+      f"data/part-00001-synthetic-$i%06d.parquet", 100L, 1 << 20,
+      Map("id" -> ColumnStats(
+        Some((i * 100L).toString), Some((i * 100L + 99).toString),
+        Some(0L), Some(100L))))
+    // 100 segments × 1000 entries = 1e5 files, disjoint id ranges
+    var m = Manifest.empty
+    (0 until 100).foreach { k =>
+      m = m.append((1 to 1000).map(i => entry(k * 1000 + i)))
+    }
+    m.write(s"$dir/manifests/snap-00001.json", Some(schema1))
+    val loaded = Manifest.read(s"$dir/manifests/snap-00001.json")
+    assert(loaded.segments.size == 100 && loaded.totalFiles == 100000L)
+
+    val attr = AttributeReference("id", LongType)()
+    def plan(idVal: Long): Seq[DataFileEntry] = loaded.prunedFiles(
+      seg => seg.envelope.forall(env => Pruning.mayMatch(
+        EqualTo(attr, Literal(idVal, LongType)), env, schema1)),
+      f => Pruning.mayMatchFile(EqualTo(attr, Literal(idVal, LongType)), f,
+        schema1))
+    def timeMs[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e6)
+    }
+    // SELECTIVE planning: the driver walks 100 envelopes, parses ONE
+    // 1000-entry segment, keeps ONE file — O(matching), never O(table).
+    // Warm once (JIT + list cache), then measure.
+    plan(1500100L)
+    val (kept, selMs) = timeMs(plan(5000100L)) // entry 50001, segment 50
+    assert(kept.size == 1 && kept.head.path.contains("050001"))
+    val parsed = loaded.segmentRefs.filter(r =>
+      Manifest.parsedSegmentPaths.contains(s"$dir/$r"))
+    assert(parsed.size <= 2,
+      s"selective plan parsed ${parsed.size} of 100 segments")
+    // generous ceiling (contended-CI safe; quiet-box measured ~1 ms) —
+    // the guardrail catches an accidental O(all files) regression, which
+    // would cost 100× this
+    assert(selMs < 500.0, f"selective planning took $selMs%.1f ms")
+
+    // FULL-LIST planning (no predicate): the inherent O(kept files)
+    // driver cost — 1e5 entries materialize. Bound it generously so a
+    // superlinear regression (re-parse per access, quadratic append)
+    // fails loudly; record the measured figure for PERF.md.
+    val (all, fullMs) = timeMs(loaded.files)
+    assert(all.size == 100000)
+    assert(fullMs < 10000.0, f"full-list planning took $fullMs%.1f ms")
+    // repeat reads hit the lazy per-segment parse memo — no re-parse
+    val (again, repeatMs) = timeMs(loaded.files.size)
+    assert(again == 100000)
+    assert(repeatMs < math.max(50.0, fullMs / 5),
+      f"repeat full-list read re-parsed: $repeatMs%.1f ms vs $fullMs%.1f")
+    info(f"1e5 entries: selective=$selMs%.1f ms (1 segment), " +
+      f"full=$fullMs%.1f ms, repeat=$repeatMs%.2f ms")
+
+    // an append against the 1e5-entry table stays O(batch)
+    val (_, appendMs) = timeMs {
+      loaded.append(Seq(entry(100001)))
+        .write(s"$dir/manifests/snap-00002.json", Some(schema1))
+    }
+    assert(appendMs < 2000.0, f"append commit took $appendMs%.1f ms")
+    info(f"1e5-entry append commit: $appendMs%.1f ms")
+  }
+
   test("__segments metadata table reflects the manifest list") {
     val dir = s"${tmp()}/t"
     val t = GraftTable.create(dir, schema)

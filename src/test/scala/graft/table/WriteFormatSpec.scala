@@ -1,0 +1,132 @@
+package graft.table
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** `write.format = parquet | orc | avro` (the Iceberg
+  * `write.format.default` analog): every data-file write path — append,
+  * copy-on-write DML rewrites, compaction — emits the table's declared
+  * format, so an imported ORC/Avro estate stays in its format under DML.
+  * Reads dispatch per FILE (a format switch mid-table just makes it
+  * mixed); non-parquet entries carry exact record counts but no footer
+  * stats (conservative keeps) and refuse positional MoR loudly. */
+class WriteFormatSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  private def mkDf(rows: (Long, String)*) = {
+    val rdd = spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1)
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-wfmt").toString
+
+  private def dataFiles(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(s"$dir/data")
+    if (!java.nio.file.Files.exists(p)) return Nil
+    scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+      val b = Seq.newBuilder[String]
+      st.iterator().forEachRemaining(x =>
+        if (java.nio.file.Files.isRegularFile(x)) b += x.toString)
+      b.result()
+    }
+  }
+
+  private def rows(t: GraftTable): Map[Long, String] =
+    t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("write.format=orc: append + CoW DML + compact all stay ORC; counts exact") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema,
+      properties = Map(GraftTable.PropWriteFormat -> "orc"))
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    assert(dataFiles(dir).nonEmpty && dataFiles(dir).forall(_.endsWith(".orc")),
+      dataFiles(dir).mkString(","))
+    assert(rows(t) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // manifest record counts are exact without footer stats
+    val m = Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+    assert(m.totalRecords == 3L)
+    // CoW delete and update rewrite in ORC
+    t.delete(spark, col("id") === 2L, Some(2000L))
+    t.update(spark, col("id") === 3L, Map("data" -> lit("C")), Some(3000L))
+    assert(rows(t) == Map(1L -> "a", 3L -> "C"))
+    assert(dataFiles(dir).forall(_.endsWith(".orc")))
+    // compaction repacks in ORC; reads unchanged
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(4000L))
+    assert(rows(t) == Map(1L -> "a", 3L -> "C"))
+    assert(dataFiles(dir).forall(_.endsWith(".orc")))
+    // positional MoR refuses ORC targets loudly
+    val e = intercept[IllegalArgumentException] {
+      t.deletePositional(spark, col("id") === 1L, Some(5000L))
+    }
+    assert(e.getMessage.contains("non-parquet"), e.getMessage)
+    // time travel reads the pre-DML ORC files
+    assert(t.read(spark, Some(1L)).count() == 3L)
+  }
+
+  test("write.format=orc on an identity-partitioned layout: values recovered, pruning intact") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema,
+      properties = Map(GraftTable.PropWriteFormat -> "orc"),
+      partitionBy = Seq("data"))
+    t.append(mkDf(1L -> "x", 2L -> "y", 3L -> "x"), Some(1000L))
+    assert(dataFiles(dir).forall(_.endsWith(".orc")))
+    assert(dataFiles(dir).exists(_.contains("data=x")),
+      "identity layout missing")
+    assert(rows(t) == Map(1L -> "x", 2L -> "y", 3L -> "x"))
+    // synthesized partition stats prune whole files despite no footers
+    val scanned = t.scan(spark, Some(col("data") === "y"))
+    assert(scanned.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // countWhere proves the partition slice metadata-only
+    assert(t.countWhere(spark, col("data") === "x") == 2L)
+  }
+
+  test("write.format=avro: unpartitioned DML stays avro; partitioned refuses") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema,
+      properties = Map(GraftTable.PropWriteFormat -> "avro"))
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    assert(dataFiles(dir).nonEmpty && dataFiles(dir).forall(_.endsWith(".avro")))
+    assert(rows(t) == Map(1L -> "a", 2L -> "b"))
+    t.delete(spark, col("id") === 1L, Some(2000L))
+    assert(rows(t) == Map(2L -> "b"))
+    assert(dataFiles(dir).forall(_.endsWith(".avro")))
+    // partitioned avro refuses at write time, nothing lands
+    val dir2 = s"${tmp()}/t2"
+    val t2 = GraftTable.create(dir2, schema,
+      properties = Map(GraftTable.PropWriteFormat -> "avro"),
+      partitionBy = Seq("data"))
+    intercept[IllegalArgumentException] {
+      t2.append(mkDf(1L -> "a"), Some(1000L))
+    }
+    assert(t2.log.snapshots.isEmpty, "refused write committed a snapshot")
+  }
+
+  test("format switch makes a MIXED table: per-file dispatch, one union") {
+    val dir = s"${tmp()}/t"
+    val t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a"), Some(1000L)) // parquet era
+    val t2 = t.updateProperties(Map(GraftTable.PropWriteFormat -> "orc"))
+    t2.append(mkDf(2L -> "b"), Some(2000L)) // orc era
+    val t3 = t2.updateProperties(Map(GraftTable.PropWriteFormat -> "avro"))
+    t3.append(mkDf(3L -> "c"), Some(3000L)) // avro era
+    val exts = dataFiles(dir).map(p => p.substring(p.lastIndexOf('.'))).toSet
+    assert(exts == Set(".parquet", ".orc", ".avro"), exts.toString)
+    assert(rows(t3) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // compaction under the final format materializes everything avro
+    t3.compact(spark, smallerThanBytes = Long.MaxValue, Some(4000L))
+    assert(rows(t3) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(dataFiles(dir).count(_.endsWith(".avro")) >= 1)
+    // unknown formats refuse before anything lands
+    val bad = t3.updateProperties(Map(GraftTable.PropWriteFormat -> "csv"))
+    intercept[IllegalArgumentException] {
+      bad.append(mkDf(9L -> "z"), Some(5000L))
+    }
+  }
+}
