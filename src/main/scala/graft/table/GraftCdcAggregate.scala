@@ -75,30 +75,38 @@ object GraftCdcAggregate {
       sum(signed.cast(t) * coalesce(col(src).cast(t), lit(0).cast(t)))
         .as(s"__d_$dst")
     }).toSeq
+    // persist the O(groups) delta: downstream it feeds the null check,
+    // the state join, the upsert write and the tombstone keys — inside
+    // foreachBatch each action would otherwise RE-READ the batch source,
+    // and the seed batch is the whole table (narrow rows, cheap cache —
+    // the repo's cached-row-width rule)
     val delta = batch.groupBy(keyCols.map(col): _*)
       .agg(dAggs.head, dAggs.tail: _*)
-    // a NULL group cannot be replaced by key later — refuse up front
-    // (the delta is O(groups); this check never touches source-scale data)
-    require(delta.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
-      s"null group key in the CDC batch — ${aggTable.dir} cannot " +
-        "maintain a null group (key-addressed replacement); filter or " +
-        "coalesce the key upstream")
+      .persist()
+    try {
+      // a NULL group cannot be replaced by key later — refuse up front
+      // (checked on the cached delta; never a second source-scale scan)
+      require(delta.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
+        s"null group key in the CDC batch — ${aggTable.dir} cannot " +
+          "maintain a null group (key-addressed replacement); filter or " +
+          "coalesce the key upstream")
 
-    val state = aggTable.read(spark)
-      .select(aggTable.schema.fieldNames.map(col): _*)
-    val joined = delta.join(state, keyCols, "left_outer")
-    val newCnt = coalesce(col("cnt"), lit(0L)) + col("__dcnt")
-    val merged = joined.select(
-      (keyCols.map(col) :+ newCnt.as("cnt")) ++ sumCols.map { case (_, dst) =>
-        val t = aggTable.schema(dst).dataType
-        (coalesce(col(dst), lit(0).cast(t)) + col(s"__d_$dst"))
-          .cast(t).as(dst)
-      }: _*)
-    val upserts = merged.filter(col("cnt") > 0L)
-    val dead = merged.filter(col("cnt") <= 0L).select(keyCols.map(col): _*)
-    aggTable.mergeEquality(spark, upserts, keyCols,
-      exactCount = false, deleteKeys = Some(dead),
-      cursor = Some(sinkId -> batchId)): Unit
+      val state = aggTable.read(spark)
+        .select(aggTable.schema.fieldNames.map(col): _*)
+      val joined = delta.join(state, keyCols, "left_outer")
+      val newCnt = coalesce(col("cnt"), lit(0L)) + col("__dcnt")
+      val merged = joined.select(
+        (keyCols.map(col) :+ newCnt.as("cnt")) ++ sumCols.map { case (_, dst) =>
+          val t = aggTable.schema(dst).dataType
+          (coalesce(col(dst), lit(0).cast(t)) + col(s"__d_$dst"))
+            .cast(t).as(dst)
+        }: _*)
+      val upserts = merged.filter(col("cnt") > 0L)
+      val dead = merged.filter(col("cnt") <= 0L).select(keyCols.map(col): _*)
+      aggTable.mergeEquality(spark, upserts, keyCols,
+        exactCount = false, deleteKeys = Some(dead),
+        cursor = Some(sinkId -> batchId)): Unit
+    } finally delta.unpersist()
   }
 
   /** Streaming writer maintaining `aggTable` as the grouped aggregate of

@@ -357,6 +357,18 @@ object GraftProcedures {
     val full = spark.read.parquet(srcDir).schema
     val footer = spark.read.parquet(files.head).schema
     val partCols = full.fieldNames.filterNot(footer.fieldNames.contains).toSeq
+    // FOOTER UNIFORMITY before any metadata lands: importFiles would
+    // refuse a straggler footer per file, but by then create() has
+    // committed metadata.json — validate the whole set up front so a
+    // mixed-schema directory refuses with the directory untouched
+    val expect = footer.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    files.foreach { f =>
+      val fs = spark.read.parquet(f).schema
+      require(fs.fields.map(x => x.name -> x.dataType).sortBy(_._1).toSeq
+          == expect,
+        s"$f footer schema differs from ${files.head} — a graft table " +
+          "needs one schema; rewrite the stragglers first")
+    }
     (files, full, partCols)
   }
 
@@ -367,10 +379,40 @@ object GraftProcedures {
       schema: StructType,
       partCols: Seq[String]): (GraftTable, Snapshot) = {
     val spark = org.apache.spark.sql.SparkSession.active
+    val inPlace = java.nio.file.Paths.get(destDir).normalize() ==
+      java.nio.file.Paths.get(srcDir).normalize()
     val tb = GraftTable.create(destDir, schema, partitionBy = partCols)
-    val snap = tb.importFiles(spark, files,
-      sourceRoot = if (partCols.nonEmpty) Some(srcDir) else None)
-    (tb, snap)
+    try {
+      val snap = tb.importFiles(spark, files,
+        sourceRoot = if (partCols.nonEmpty) Some(srcDir) else None)
+      (tb, snap)
+    } catch { case e: Throwable =>
+      // FAILURE ATOMICITY: a refused import must not leave a wedged
+      // zero-snapshot table. For `snapshot` the destination is ours
+      // alone — remove it whole; for `migrate` (dest == source) remove
+      // ONLY the graft metadata artifacts, never the user's files
+      // (importFiles' own staging discipline already cleaned data/)
+      if (inPlace) {
+        Seq("metadata.json", "snapshots.json").foreach(n =>
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(destDir, n)))
+        val manifests = java.nio.file.Paths.get(destDir, "manifests")
+        if (java.nio.file.Files.exists(manifests))
+          GraftTable.deleteRecursively(manifests)
+        // data/ only if EMPTY of regular files: importFiles' own failure
+        // cleanup removed its links, but the source estate may
+        // legitimately contain a directory of that name — never touch
+        // user files
+        val dataP = java.nio.file.Paths.get(destDir, "data")
+        if (java.nio.file.Files.exists(dataP)) {
+          val hasFiles = scala.util.Using.resource(
+            java.nio.file.Files.walk(dataP))(
+            _.anyMatch(p => java.nio.file.Files.isRegularFile(p)))
+          if (!hasFiles) GraftTable.deleteRecursively(dataP)
+        }
+      } else GraftTable.deleteRecursively(java.nio.file.Paths.get(destDir))
+      throw e
+    }
   }
 
   private def snapshotTable(wh: String): UnboundProcedure = new Proc(

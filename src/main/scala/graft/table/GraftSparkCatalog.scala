@@ -684,7 +684,17 @@ final class GraftV2Table(
           }
           override def distributionStrictlyRequired(): Boolean = false
           override def toStreaming
-              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            // the streaming sink's executor tasks write PARQUET bytes
+            // (ParquetWriteSupport); a declared non-parquet write.format
+            // would be silently violated — refuse at plan time with
+            // direction instead (batch appends honor the format)
+            val declared = t.properties
+              .getOrElse(GraftTable.PropWriteFormat, "parquet")
+            require(declared == "parquet",
+              s"${t.dir} declares ${GraftTable.PropWriteFormat}=$declared " +
+                "— the streaming sink writes parquet only; use batch " +
+                "appends (format-honoring) or drop the property")
             new org.apache.spark.sql.classic.GraftStreamingWrite(
               dirCaptured, in, info.queryId(), conf.toMap,
               (rels, epoch) => {
@@ -723,6 +733,7 @@ final class GraftV2Table(
                 out
               },
               partFields, identitySources, constraintChecks)
+          }
         }
     }
   }

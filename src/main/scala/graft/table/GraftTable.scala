@@ -2026,8 +2026,12 @@ final class GraftTable private (
     val prior = parseEquality(current)
     // dead of the NEW keys ONLY (consolidation must not re-count prior
     // entries' victims — their dead counts carry into the merged entry)
-    val deadNew = equalityDeadCount(spark, exactCount, manifest, newKeys,
-      keyCols, prior, parsePositional(current))
+    val deadNew =
+      try equalityDeadCount(spark, exactCount, manifest, newKeys,
+        keyCols, prior, parsePositional(current))
+      catch { case e: Throwable =>
+        GraftTable.deleteRecursively(Paths.get(newStaging)); throw e
+      }
     val (rels, covsAll, samePrior, otherPrior) =
       try consolidateEqKeys(spark, newStaging, keyCols, keySchema, prior,
         current.snapshotId, snapId, token)
@@ -2318,15 +2322,25 @@ final class GraftTable private (
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
     val (dropped0, partial0) =
       candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
-    // under pending EQUALITY entries the whole-file drop demotes to a
-    // vector rewrite: dropping a file whose rows are partly equality-dead
-    // would double-count them ("deleted-records" counts raw recordCount
-    // minus DV debt only) and leave the equality entries' dead counts
-    // referencing vanished files — DV-ing the visible victims instead
-    // keeps every count exact by disjointness
+    // under pending EQUALITY entries a whole-file drop of a COVERED file
+    // demotes to a vector rewrite: dropping a file whose rows are partly
+    // equality-dead would double-count them ("deleted-records" counts
+    // raw recordCount minus DV debt only) and leave the equality
+    // entries' dead counts referencing vanished files — DV-ing the
+    // visible victims instead keeps every count exact by disjointness.
+    // Files NO entry can reach (written after every covered snapshot)
+    // keep the metadata-only drop: demoting them would trade an O(1)
+    // manifest edit for an O(file rows) scan+vector, and would wrongly
+    // refuse provably-droppable non-parquet files.
+    val eqPend0 = parseEquality(current)
     val (dropped, partial) =
-      if (parseEquality(current).isEmpty) (dropped0, partial0)
-      else (Nil, dropped0 ++ partial0)
+      if (eqPend0.isEmpty) (dropped0, partial0)
+      else {
+        val (coverable, freeDrop) = dropped0.partition(f =>
+          eqPend0.exists(e =>
+            fileSnapId(f.path).getOrElse(Long.MinValue) <= e.covered))
+        (freeDrop, coverable ++ partial0)
+      }
     positionalCore(spark, lg, current, manifest, untouchedM, dropped, partial,
       raw => raw.filter(coalesce(predicate, lit(false))), committedAt)
   }
@@ -4159,6 +4173,17 @@ final class GraftTable private (
       else Some(lg.byId(fromSnapshotId).getOrElse(
         throw new IllegalArgumentException(
           s"no snapshot $fromSnapshotId in $dir")))
+    // a zero-snapshot table's full changelog is EMPTY, not an error —
+    // the batch `__changes` surface reaches here before any commit
+    if (lg.current.isEmpty) {
+      require(fromSnapshotId == 0L && toSnapshotId.isEmpty,
+        s"no snapshot ${toSnapshotId.getOrElse(fromSnapshotId)} in $dir")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(schema.fields :+
+          StructField("_change_type", StringType, nullable = true) :+
+          StructField(virtualColumn, LongType, nullable = true)))
+    }
     val to = toSnapshotId match {
       case Some(id) => lg.byId(id).getOrElse(
         throw new IllegalArgumentException(s"no snapshot $id in $dir"))

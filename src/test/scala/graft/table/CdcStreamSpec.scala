@@ -546,6 +546,19 @@ class CdcStreamSpec extends SparkSpecBase {
       .head().getLong(0) == 3L) // 2 update retractions + 1 positional
   }
 
+  test("batch changelog of a zero-snapshot table is EMPTY, not an error") {
+    GraftTable.create(s"$wh/db/c7e", schema)
+    val cdc = spark.read.table("gc.db.c7e__changes")
+    assert(cdc.schema.fieldNames.toSeq ==
+      Seq("id", "v", "_change_type", "snapshot__id"))
+    assert(cdc.count() == 0L)
+    // explicit ids still refuse on the empty log
+    intercept[Exception] {
+      spark.read.option("end-snapshot-id", "1")
+        .table("gc.db.c7e__changes").collect()
+    }
+  }
+
   test("batch changelog: range options scope; validation + rollback refuse") {
     val tb = GraftTable.create(s"$wh/db/c7r", schema)
     tb.append(df(batch(1, 4)), Some(1000L))                      // 1

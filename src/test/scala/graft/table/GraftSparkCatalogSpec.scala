@@ -1469,6 +1469,45 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       s"CALL g2.system.snapshot('$srcDir', 'db.proc_snap')").collect() }
   }
 
+  test("snapshot/migrate are failure-atomic: a refused bootstrap leaves no wedge") {
+    // a directory whose files carry TWO footer schemas
+    val mixDir = tmpDir("boot-mixed")
+    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS a")
+      .coalesce(1).write.mode("append").parquet(mixDir)
+    spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS a")
+      .coalesce(1).write.mode("append").parquet(mixDir)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL g2.system.snapshot('$mixDir', 'db.boot_bad')")
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("footer schema differs"), msgs)
+    // the destination was never created — a retry is not blocked
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/db/boot_bad")),
+      "failed snapshot left a wedged destination")
+    // migrate on the same mixed content refuses and leaves it a
+    // PLAIN parquet directory (no metadata.json) — retryable after fix
+    val migDir = s"$wh/db/boot_mig_bad"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(migDir))
+    java.nio.file.Files.list(java.nio.file.Paths.get(mixDir)).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(migDir, p.getFileName.toString))
+    }
+    intercept[Exception] {
+      spark.sql("CALL g2.system.migrate('db.boot_mig_bad')").collect()
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(migDir, "metadata.json")),
+      "failed migrate left graft metadata in the source directory")
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(migDir))
+      .anyMatch(_.toString.endsWith(".parquet")),
+      "failed migrate touched the user's files")
+  }
+
   test("CALL migrate: in-place conversion, originals become snapshot 1") {
     // a plain parquet directory sitting INSIDE the warehouse
     val dir = s"$wh/db/proc_mig"

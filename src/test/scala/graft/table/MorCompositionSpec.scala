@@ -139,6 +139,27 @@ class MorCompositionSpec extends SparkSpecBase {
     assertExactCounts(t, "after demoted drop")
   }
 
+  test("drop demotion is SCOPED: files beyond every tombstone's reach still drop metadata-only") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L)) // file A (snap 1)
+    t.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"),
+      Some(2000L)) // covers snap ≤ 1
+    t.append(mkDf(50L -> "z", 51L -> "z"), Some(3000L)) // file B (snap 3)
+    // predicate provably matches ALL of file B; B postdates every
+    // covered snapshot, so no tombstone can reach it — the metadata-only
+    // drop must survive the equality pendency (no scan, no vector)
+    val nDvBefore = t.positionalDeletedCount
+    t.deletePositional(spark, col("id") >= 50L, Some(4000L))
+    assert(t.positionalDeletedCount == nDvBefore,
+      "a non-coverable whole-file drop was demoted to a vector rewrite")
+    val files = Manifest.read(
+      s"${t.dir}/${t.log.current.get.manifestList}").files.map(_.path)
+    assert(files.size == 1, s"file B not dropped: $files")
+    assert(ids(t).isEmpty) // id=1 equality-dead, file B dropped
+    assertExactCounts(t, "after scoped drop")
+  }
+
   test("new equality entries count dead against DV-visible rows only") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)

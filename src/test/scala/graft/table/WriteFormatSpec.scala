@@ -108,6 +108,35 @@ class WriteFormatSpec extends SparkSpecBase {
     assert(t2.log.snapshots.isEmpty, "refused write committed a snapshot")
   }
 
+  test("streaming sink refuses a non-parquet write.format at plan time") {
+    val wh = tmp()
+    val t = GraftTable.create(s"$wh/db/wfmt_stream", schema,
+      properties = Map(GraftTable.PropWriteFormat -> "orc"))
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    spark.conf.set("spark.sql.catalog.gwf", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gwf.warehouse", wh)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    src.addData(2L -> "b")
+    val e = intercept[Exception] {
+      val q = src.toDF().toDF("id", "data")
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wfmt-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("gwf.db.wfmt_stream")
+      q.awaitTermination()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("streaming sink writes parquet only"), msgs)
+    // nothing landed; the table still reads its ORC estate
+    assert(rows(t) == Map(1L -> "a"))
+  }
+
   test("format switch makes a MIXED table: per-file dispatch, one union") {
     val dir = s"${tmp()}/t"
     val t = GraftTable.create(dir, schema)
