@@ -35,7 +35,8 @@ object GraftProcedures {
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
     "rewrite_manifests", "rollback_to_snapshot",
     "create_tag", "create_branch", "publish_branch", "drop_branch",
-    "add_files", "analyze_table", "snapshot", "migrate")
+    "add_files", "analyze_table", "snapshot", "migrate",
+    "create_changelog_view")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -52,6 +53,7 @@ object GraftProcedures {
       case "analyze_table" => Some(analyzeTable(warehouse))
       case "snapshot" => Some(snapshotTable(warehouse))
       case "migrate" => Some(migrateTable(warehouse))
+      case "create_changelog_view" => Some(createChangelogView(warehouse))
       case _ => None
     }
 
@@ -489,6 +491,40 @@ object GraftProcedures {
       Seq(Seq[Any](snap.snapshotId,
         snap.summary("added-data-files").toLong,
         snap.summary("added-records").toLong))
+    })
+
+  private def createChangelogView(wh: String): UnboundProcedure = new Proc(
+    "create_changelog_view",
+    "Register a session TEMP VIEW over the table's snapshot-range " +
+      "changelog (Iceberg create_changelog_view parity — the SQL-only " +
+      "spelling of the batch `<name>__changes` read): rows are the " +
+      "net per-snapshot deltas (`_change_type` insert|delete + the " +
+      "producing snapshot id), start_snapshot_id is EXCLUSIVE (0 = " +
+      "table creation, the default), end_snapshot_id inclusive " +
+      "(0 = current). Unknown ids, inverted ranges and ranges crossing " +
+      "a rollback refuse loudly AT THE CALL. The view captures the " +
+      "RANGE, not the data — each query re-plans the same O(changed " +
+      "data) delta plan.",
+    Array(
+      in("table", StringType),
+      in("view_name", StringType),
+      inDefault("start_snapshot_id", LongType, "0"),
+      inDefault("end_snapshot_id", LongType, "0")),
+    StructType(Seq(
+      StructField("view_name", StringType, nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      require(!row.isNullAt(1), "view_name must not be null")
+      val viewName = row.getUTF8String(1).toString
+      val start = if (row.isNullAt(2)) 0L else row.getLong(2)
+      val end = if (row.isNullAt(3) || row.getLong(3) == 0L) None
+        else Some(row.getLong(3))
+      val spark = org.apache.spark.sql.SparkSession.active
+      // validate the range NOW (plan the delta frame once) so a bad
+      // CALL refuses at the CALL, not at first SELECT
+      val df = t.changesCdc(spark, start, end)
+      df.createOrReplaceTempView(viewName)
+      Seq(Seq[Any](UTF8String.fromString(viewName)))
     })
 
   private def rollbackToSnapshot(wh: String): UnboundProcedure = new Proc(

@@ -1469,6 +1469,35 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       s"CALL g2.system.snapshot('$srcDir', 'db.proc_snap')").collect() }
   }
 
+  test("CALL create_changelog_view: SQL-only ranged changelog as a temp view") {
+    val t = GraftTable.create(s"$wh/db/clv", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))   // 1
+    t.delete(spark,
+      org.apache.spark.sql.functions.col("id") === 1L, Some(2000L)) // 2
+    t.append(mkDf(3L -> "c"), Some(3000L))              // 3
+    val got = spark.sql(
+      "CALL g2.system.create_changelog_view('db.clv', 'clv_all')").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("clv_all"))
+    // full-range view: folding from empty reproduces the table
+    val folded = spark.sql(
+      "SELECT id, data FROM (SELECT id, data, " +
+        "sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS n " +
+        "FROM clv_all GROUP BY id, data) WHERE n > 0")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(folded == Map(2L -> "b", 3L -> "c"), folded.toString)
+    // explicit range scopes to the delete only
+    spark.sql("CALL g2.system.create_changelog_view('db.clv', 'clv_d', " +
+      "start_snapshot_id => 1, end_snapshot_id => 2)").collect()
+    val d = spark.sql("SELECT _change_type, id FROM clv_d").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(d == Seq("delete" -> 1L), d.toString)
+    // a bad range refuses AT THE CALL
+    intercept[Exception] {
+      spark.sql("CALL g2.system.create_changelog_view('db.clv', 'bad', " +
+        "start_snapshot_id => 3, end_snapshot_id => 1)").collect()
+    }
+  }
+
   test("snapshot/migrate are failure-atomic: a refused bootstrap leaves no wedge") {
     // a directory whose files carry TWO footer schemas
     val mixDir = tmpDir("boot-mixed")
