@@ -326,6 +326,28 @@ object Versioned extends QueryPack {
       agg
     }
 
+  /** CoW-on-equality fixture (v63): copy-on-write DML stacked on a
+    * PENDING equality tombstone — the full matrix's last composition.
+    * Equality kills every third key (snapshot 2, O(keys), no scan); a
+    * CoW UPDATE then retags region 2 (snapshot 3 — its rewrite reads
+    * VISIBLE rows only, materializing the tombstone for its files,
+    * never resurrecting a dead key; touched entries degrade their dead
+    * counts, honest over exact); a CoW DELETE removes %5=4 from the
+    * stacked state (snapshot 4). */
+  private def cowEqFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_coweq", 4) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      tb.deleteEquality(spark,
+        nation.filter(col("n_nationkey") % 3 === 0).select("n_nationkey"),
+        Seq("n_nationkey"), Some(2000L))
+      tb.update(spark, col("n_regionkey") === 2,
+        Map("n_name" -> concat(col("n_name"), lit("_C"))), Some(3000L))
+      tb.delete(spark, col("n_nationkey") % 5 === 4, Some(4000L))
+      tb
+    }
+
   /** write.format fixture (v62): snapshot 1 lands as parquet, then the
     * table switches `write.format=orc` and a CoW UPDATE rewrites region
     * 2's file IN ORC — a mixed parquet+ORC table whose one scan
@@ -1506,6 +1528,14 @@ object Versioned extends QueryPack {
       cdcAggFixture(s, d).read(s)
         .select("n_regionkey", "cnt", "sum_key")),
 
+    // COPY-ON-WRITE DML stacked on a pending equality tombstone: the
+    // update's rewrite reads visible rows only (no resurrection of
+    // equality-dead keys), the delete composes on top — reads resolve
+    // the remaining scoped anti-join over untouched files
+    "v63_graft_cow_on_equality" -> ((s, d) =>
+      cowEqFixture(s, d).read(s)
+        .select("n_nationkey", "n_name", "n_regionkey")),
+
     // write.format=orc (Iceberg write.format.default parity): the CoW
     // rewrite lands ORC next to the original parquet — one scan
     // dispatches per file and unions the readers (v18's shape,
@@ -2064,6 +2094,12 @@ object Versioned extends QueryPack {
       ("SELECT n_regionkey, CAST(count(*) AS BIGINT) AS cnt, " +
         "CAST(sum(n_nationkey) AS BIGINT) AS sum_key FROM nation " +
         "WHERE n_nationkey % 4 <> 1 GROUP BY n_regionkey"),
+    // replay: equality kills %3=0, the CoW update retags region 2's
+    // SURVIVORS, the CoW delete then removes %5=4
+    "v63_graft_cow_on_equality" ->
+      ("SELECT n_nationkey, CASE WHEN n_regionkey = 2 " +
+        "THEN n_name || '_C' ELSE n_name END AS n_name, n_regionkey " +
+        "FROM nation WHERE n_nationkey % 3 <> 0 AND n_nationkey % 5 <> 4"),
     // the mixed parquet+ORC read must equal the retag replay
     "v62_graft_orc_format" ->
       ("SELECT r_regionkey, CASE WHEN r_regionkey = 2 " +

@@ -464,10 +464,14 @@ final class GraftV2Table(
     * (same stance as the programmatic CoW DML). */
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    // Predicate and equality merge-on-read entries refuse CoW DML deep in
-    // GraftTable.delete; answering false here makes Spark report the
-    // statement unsupported instead of surfacing the internal require.
-    // Positional entries compose with CoW, so they stay allowed.
+    // Predicate-deferred entries refuse CoW DML deep in GraftTable
+    // .delete; answering false here makes Spark report the statement
+    // unsupported instead of surfacing the internal require. Equality
+    // entries COMPOSE with CoW in the library now, but the DSv2 DELETE
+    // plan builds a scan of the relation and the raw scan refuses
+    // MoR-pending tables — plain sessions report unsupported (with the
+    // scan's direction toward extensions), extensions sessions route
+    // through GraftDeleteCommand. Positional entries stay allowed.
     snapshotId.isEmpty && t.pendingDeletes.isEmpty &&
       t.equalityDeletes.isEmpty &&
       filters.forall(f => filterToColumn(f).isDefined)

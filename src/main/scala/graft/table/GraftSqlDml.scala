@@ -107,13 +107,15 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
             g.underlying.properties.get("write.delete.mode")
               .contains("merge-on-read") =>
           GraftMorDeleteCommand(g.underlying, byName(condition))
-        // POSITIONAL entries compose with CoW delete in the library, but
-        // the DSv2 DELETE plan still builds a scan of the relation and
-        // the raw scan refuses MoR-pending tables — route the statement
-        // to GraftTable.delete directly (plain sessions keep Spark's
-        // SupportsDelete path, which only works on entry-free tables)
+        // POSITIONAL and EQUALITY entries compose with CoW delete in the
+        // library, but the DSv2 DELETE plan still builds a scan of the
+        // relation and the raw scan refuses MoR-pending tables — route
+        // the statement to GraftTable.delete directly (plain sessions
+        // keep Spark's SupportsDelete path, which only works on
+        // entry-free tables)
         case Some(g) if g.pinned.isEmpty &&
-            g.underlying.positionalDeletes.nonEmpty =>
+            (g.underlying.positionalDeletes.nonEmpty ||
+              g.underlying.equalityDeletes.nonEmpty) =>
           GraftDeleteCommand(g.underlying, byName(condition))
         case _ => plan
       }

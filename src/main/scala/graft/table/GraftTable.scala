@@ -261,6 +261,29 @@ final class GraftTable private (
     if (es.forall(_.dead.isDefined)) Some(es.flatMap(_.dead).sum) else None
   }
 
+  /** Surviving equality entries after a COPY-ON-WRITE commit that
+    * rewrote or dropped `touched` candidate files: an entry whose
+    * coverage intersects the touched set degrades its dead count to
+    * None — part of its victims just MATERIALIZED (equality-dead rows
+    * are never copied into the rewrite), so the recorded count no
+    * longer describes the remaining debt; degrade, never lie (the
+    * [[compact]] discipline — count(*)/stats fall back to scans until
+    * compaction clears the entries). Entries covering none of the
+    * touched files keep their exact counts. The entries themselves are
+    * KEPT even when their remaining coverage might be empty — checking
+    * would parse the untouched manifest segments this planning
+    * deliberately skips, and an entry covering nothing attaches to no
+    * read group (harmless until compact() clears it). */
+  private def degradeEqualityFor(
+      eqPend: Seq[EqualityDeletes],
+      touched: Seq[DataFileEntry]): Seq[EqualityDeletes] =
+    eqPend.map { e =>
+      if (touched.exists(f =>
+          fileSnapId(f.path).getOrElse(Long.MinValue) <= e.covered))
+        e.copy(dead = None)
+      else e
+    }
+
   /** Strip `gone` data-file paths from positional entries (the files were
     * dropped or rewritten — their deletions are materialized); entries
     * with no remaining targets disappear (their delete parquets stay on
@@ -820,9 +843,9 @@ final class GraftTable private (
     val lg = log
     val current = lg.current.getOrElse(
       return overwrite(df, committedAt)) // empty table: plain first write
-    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
-      s"$dir has deferred deletes pending — compact() to materialize " +
-        "them before running copy-on-write DML")
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — compact() to " +
+        "materialize them before running copy-on-write DML")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -832,21 +855,36 @@ final class GraftTable private (
     val snapId = lg.nextId
     val proofPred = PartitionField.proofAugment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
-    val (dropped, rewrites) =
+    val (dropped0, rewrites0) =
       candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
+    // pending EQUALITY entries: same composition discipline as delete()
+    // — covered whole-file drops demote to rewrites, survivors read
+    // fully visible, touched entries degrade their dead counts
+    val eqPend = parseEquality(current)
+    val (dropped, rewrites) =
+      if (eqPend.isEmpty) (dropped0, rewrites0)
+      else {
+        val (coverable, freeDrop) = dropped0.partition(f =>
+          eqPend.exists(e =>
+            fileSnapId(f.path).getOrElse(Long.MinValue) <= e.covered))
+        (freeDrop, coverable ++ rewrites0)
+      }
     val posPend = parsePositional(current)
     val priorDeleted: Map[String, Long] =
       posPend.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
     val keptFiles =
       if (rewrites.isEmpty) Nil
       else writeDataFiles(
-        readVisible(spark, Nil, posPend, rewrites)
+        readVisible(spark, Nil, posPend, rewrites, eqPend)
           .filter(org.apache.spark.sql.functions.coalesce(
             !predicate, org.apache.spark.sql.functions.lit(true))),
         snapId).filter(_.recordCount > 0)
     val inserted = writeDataFiles(df, snapId)
-    val removed = candidates.map(f =>
-      f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum -
+    val removed =
+      (if (eqPend.isEmpty)
+        candidates.map(f =>
+          f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum
+      else readVisible(spark, Nil, posPend, candidates, eqPend).count()) -
       keptFiles.map(_.recordCount).sum
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
@@ -860,7 +898,9 @@ final class GraftTable private (
         "rewritten-data-files" -> rewrites.size.toString,
         "added-data-files" -> inserted.size.toString,
         "added-records" -> inserted.map(_.recordCount).sum.toString,
-        SummaryPositionalDeletes -> positionalJson(stillPositional)))
+        SummaryPositionalDeletes -> positionalJson(stillPositional),
+        SummaryEqualityDeletes ->
+          equalityJson(degradeEqualityFor(eqPend, candidates))))
   }
 
   /** [[append]] with optimistic-concurrency RETRY — the production
@@ -1705,9 +1745,9 @@ final class GraftTable private (
       committedAt: Option[Long] = None): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
-      s"$dir has deferred deletes pending — compact() to materialize " +
-        "them before running copy-on-write DML")
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — compact() to " +
+        "materialize them before running copy-on-write DML")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -1729,8 +1769,24 @@ final class GraftTable private (
     // partition stats even when footer stats can't carry the proof
     val proofPred = PartitionField.proofAugment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
-    val (dropped, rewrites) =
+    val (dropped0, rewrites0) =
       candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
+    // pending EQUALITY entries compose: survivors are read through the
+    // full visible-row reader (an equality-dead row is never copied —
+    // the rewrite MATERIALIZES the tombstones for its files), and a
+    // whole-file drop of a COVERED file demotes to a rewrite (same
+    // scoped demotion as deletePositional — dropping it would break the
+    // entries' count bookkeeping). Touched entries degrade their dead
+    // counts (degradeEqualityFor).
+    val eqPend = parseEquality(current)
+    val (dropped, rewrites) =
+      if (eqPend.isEmpty) (dropped0, rewrites0)
+      else {
+        val (coverable, freeDrop) = dropped0.partition(f =>
+          eqPend.exists(e =>
+            fileSnapId(f.path).getOrElse(Long.MinValue) <= e.covered))
+        (freeDrop, coverable ++ rewrites0)
+      }
     // SQL DELETE removes only rows where the predicate is TRUE; a NULL
     // predicate (e.g. over a column added by addColumn, NULL for old rows)
     // must KEEP the row — plain !predicate maps NULL→NULL and filter drops
@@ -1745,14 +1801,20 @@ final class GraftTable private (
     val newFiles =
       if (rewrites.isEmpty) Nil
       else writeDataFiles(
-        readVisible(spark, Nil, posPend, rewrites)
+        readVisible(spark, Nil, posPend, rewrites, eqPend)
           .filter(org.apache.spark.sql.functions.coalesce(
             !predicate, org.apache.spark.sql.functions.lit(true))),
         snapId).filter(_.recordCount > 0) // drop empty rewrite outputs
     // visible rows removed: candidates' SURVIVOR counts minus what the
-    // rewrite kept (rows already positionally dead don't count twice)
-    val removed = candidates.map(f =>
-      f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum -
+    // rewrite kept (rows already positionally dead don't count twice);
+    // under pending equality the per-file split of eq-dead rows is
+    // unknown — one count job over the candidates' visible rows keeps
+    // the summary honest (only paid while entries pend)
+    val removed =
+      (if (eqPend.isEmpty)
+        candidates.map(f =>
+          f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum
+      else readVisible(spark, Nil, posPend, candidates, eqPend).count()) -
       newFiles.map(_.recordCount).sum
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
@@ -1764,7 +1826,9 @@ final class GraftTable private (
         "deleted-records" -> removed.toString,
         "dropped-data-files" -> dropped.size.toString,
         "rewritten-data-files" -> rewrites.size.toString,
-        SummaryPositionalDeletes -> positionalJson(stillPositional))))
+        SummaryPositionalDeletes -> positionalJson(stillPositional),
+        SummaryEqualityDeletes ->
+          equalityJson(degradeEqualityFor(eqPend, candidates)))))
   }
 
   /** Copy-on-write DELETE BY KEYS (the SQL
@@ -1796,9 +1860,9 @@ final class GraftTable private (
       s"keys DataFrame lacks column '$c'"))
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
-      s"$dir has deferred deletes pending — compact() to materialize " +
-        "them before running copy-on-write DML")
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — compact() to " +
+        "materialize them before running copy-on-write DML")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val k0 = keyCols.head
     val bounds = keys.agg(fmin(col(k0)), fmax(col(k0))).head()
@@ -1810,20 +1874,24 @@ final class GraftTable private (
     if (candidates.isEmpty) return None
     val snapId = lg.nextId
     val posPend = parsePositional(current)
+    val eqPend = parseEquality(current)
     val priorDeleted: Map[String, Long] =
       posPend.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
     val P = GraftTable.MergeSrcPrefix
     val keySel = keys
       .select(keyCols.map(c => col(c).cast(schema(c).dataType).as(P + c)): _*)
       .distinct()
-    val survivors = readVisible(spark, Nil, posPend, candidates)
+    val survivors = readVisible(spark, Nil, posPend, candidates, eqPend)
       .join(keySel,
         keyCols.map(c => col(c) === col(P + c)).reduce(_ && _), "left_anti")
       .select(schema.fieldNames.map(col): _*)
     val newFiles = writeDataFiles(survivors, snapId)
       .filter(_.recordCount > 0)
-    val removed = candidates.map(f =>
-      f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum -
+    val removed =
+      (if (eqPend.isEmpty)
+        candidates.map(f =>
+          f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum
+      else readVisible(spark, Nil, posPend, candidates, eqPend).count()) -
       newFiles.map(_.recordCount).sum
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
@@ -1834,7 +1902,9 @@ final class GraftTable private (
       extraSummary = Map(
         "deleted-records" -> removed.toString,
         "rewritten-data-files" -> candidates.size.toString,
-        SummaryPositionalDeletes -> positionalJson(stillPositional))))
+        SummaryPositionalDeletes -> positionalJson(stillPositional),
+        SummaryEqualityDeletes ->
+          equalityJson(degradeEqualityFor(eqPend, candidates)))))
   }
 
   /** Predicate COUNT with metadata acceleration — the other consumer of
@@ -1851,8 +1921,9 @@ final class GraftTable private (
       predicate: Column,
       snapshotId: Option[Long] = None): Long = {
     val s = resolveSnapshot(snapshotId).getOrElse(return 0L)
-    require(parsePending(s).isEmpty && parseEquality(s).isEmpty,
-      s"$dir has deferred deletes pending — compact() before countWhere")
+    require(parsePending(s).isEmpty,
+      s"$dir has predicate-deferred deletes pending — compact() before " +
+        "countWhere")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -1861,11 +1932,17 @@ final class GraftTable private (
     val candidates = prunedFiles(manifest, resolved)
     val proofPred = PartitionField.proofAugment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
-    val (proved, toScan) =
-      candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
+    val eqPend = parseEquality(s)
     // positional deletes keep the metadata path EXACT: a proved file
     // contributes its survivors (all of which match), and the scanned
-    // remainder reads through the visible-row reader
+    // remainder reads through the visible-row reader. EQUALITY entries
+    // make per-file metadata counts unknowable (the key split across
+    // files isn't recorded) — files any entry may cover DEMOTE to the
+    // scan side; files beyond every entry's reach keep the fast path
+    val (proved, toScan) = candidates.partition(f =>
+      Pruning.mustMatchAll(proofPred, f, augSchema) &&
+        !eqPend.exists(e =>
+          fileSnapId(f.path).getOrElse(Long.MinValue) <= e.covered))
     val posPend = parsePositional(s)
     val priorDeleted: Map[String, Long] =
       posPend.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
@@ -1873,7 +1950,8 @@ final class GraftTable private (
       f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum
     val scanned =
       if (toScan.isEmpty) 0L
-      else readVisible(spark, Nil, posPend, toScan).filter(predicate).count()
+      else readVisible(spark, Nil, posPend, toScan, eqPend)
+        .filter(predicate).count()
     metadataCount + scanned
   }
 
@@ -2940,9 +3018,9 @@ final class GraftTable private (
     import org.apache.spark.sql.functions.when
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty && parseEquality(current).isEmpty,
-      s"$dir has deferred deletes pending — compact() to materialize " +
-        "them before running copy-on-write DML")
+    require(parsePending(current).isEmpty,
+      s"$dir has predicate-deferred deletes pending — compact() to " +
+        "materialize them before running copy-on-write DML")
     require(assignments.nonEmpty, "update requires at least one assignment")
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown update column '$c'"))
@@ -2958,11 +3036,13 @@ final class GraftTable private (
     if (candidates.isEmpty) return None
 
     val snapId = lg.nextId
-    // pending POSITIONAL deletes compose exactly as in delete(): the
-    // rewrite reads visible rows only, and rewritten files leave the
-    // entries (their deletions are materialized by this commit)
+    // pending POSITIONAL and EQUALITY deletes compose exactly as in
+    // delete(): the rewrite reads visible rows only (an equality-dead
+    // row is never resurrected — its tombstone materializes with the
+    // rewrite), and rewritten files leave the positional entries
     val posPend = parsePositional(current)
-    val src = readVisible(spark, Nil, posPend, candidates)
+    val eqPend = parseEquality(current)
+    val src = readVisible(spark, Nil, posPend, candidates, eqPend)
     // ONE projection computing every assignment from the OLD row (SQL
     // UPDATE semantics): chained withColumn would let later assignments
     // observe earlier ones' new values — wrong, and Map-order-dependent
@@ -2982,7 +3062,9 @@ final class GraftTable private (
       extraSummary = Map(
         "rewritten-data-files" -> candidates.size.toString,
         "updated-columns" -> assignments.keys.toSeq.sorted.mkString(","),
-        SummaryPositionalDeletes -> positionalJson(stillPositional))))
+        SummaryPositionalDeletes -> positionalJson(stillPositional),
+        SummaryEqualityDeletes ->
+          equalityJson(degradeEqualityFor(eqPend, candidates)))))
   }
 
   /** MERGE (upsert) by key, one atomic commit: rows of `source` replace
@@ -3009,10 +3091,9 @@ final class GraftTable private (
       // permanent — dropColumn only tombstones): the CoW pending-deletes
       // refusal, and the merge key against the WOULD-BE widened field
       // set. A merge that would refuse must refuse with nothing evolved.
-      require(log.current.forall(c =>
-          parsePending(c).isEmpty && parseEquality(c).isEmpty),
-        s"$dir has deferred deletes pending — compact() to materialize " +
-          "them before running copy-on-write DML")
+      require(log.current.forall(c => parsePending(c).isEmpty),
+        s"$dir has predicate-deferred deletes pending — compact() to " +
+          "materialize them before running copy-on-write DML")
       val widenedNames = schema.fieldNames ++
         source.schema.fieldNames.filterNot(n =>
           schema.fieldNames.exists(_.equalsIgnoreCase(n)))
@@ -3036,10 +3117,9 @@ final class GraftTable private (
           "would write files the table schema cannot read back)")
     }
     val lg = log
-    require(lg.current.forall(c =>
-        parsePending(c).isEmpty && parseEquality(c).isEmpty),
-      s"$dir has deferred deletes pending — compact() to materialize " +
-        "them before running copy-on-write DML")
+    require(lg.current.forall(c => parsePending(c).isEmpty),
+      s"$dir has predicate-deferred deletes pending — compact() to " +
+        "materialize them before running copy-on-write DML")
     val snapId = lg.nextId
     val manifest = lg.current
       .map(s => Manifest.read(s"$dir/${s.manifestList}"))
@@ -3057,11 +3137,13 @@ final class GraftTable private (
 
     // no forced broadcast: delta batches are usually tiny (AQE broadcasts
     // them), but a huge backfill source must be allowed to shuffle-join.
-    // Pending POSITIONAL deletes compose as in delete()/update().
+    // Pending POSITIONAL and EQUALITY deletes compose as in
+    // delete()/update().
     val posPend = lg.current.map(parsePositional).getOrElse(Nil)
+    val eqPend = lg.current.map(parseEquality).getOrElse(Nil)
     val survivors =
       if (candidates.isEmpty) source
-      else readVisible(spark, Nil, posPend, candidates)
+      else readVisible(spark, Nil, posPend, candidates, eqPend)
         .join(source.select(col(keyCol).as("__mk")).distinct(),
           col(keyCol) === col("__mk"), "left_anti")
         .unionByName(source)
@@ -3076,7 +3158,9 @@ final class GraftTable private (
       extraSummary = Map(
         "rewritten-data-files" -> candidates.size.toString,
         "merge-key" -> keyCol,
-        SummaryPositionalDeletes -> positionalJson(stillPositional)))
+        SummaryPositionalDeletes -> positionalJson(stillPositional),
+        SummaryEqualityDeletes ->
+          equalityJson(degradeEqualityFor(eqPend, candidates))))
   }
 
   /** General conditional MERGE, copy-on-write: the full
@@ -3126,10 +3210,9 @@ final class GraftTable private (
     require(!schema.fieldNames.exists(_.startsWith(P)),
       s"table columns may not start with the reserved prefix $P")
     val lg = log
-    require(lg.current.forall(c =>
-        parsePending(c).isEmpty && parseEquality(c).isEmpty),
-      s"$dir has deferred deletes pending — compact() to materialize " +
-        "them before running copy-on-write DML")
+    require(lg.current.forall(c => parsePending(c).isEmpty),
+      s"$dir has predicate-deferred deletes pending — compact() to " +
+        "materialize them before running copy-on-write DML")
     val snapId = lg.nextId
     val manifest = lg.current
       .map(s => Manifest.read(s"$dir/${s.manifestList}"))
@@ -3177,6 +3260,7 @@ final class GraftTable private (
       }
 
     val posPend = lg.current.map(parsePositional).getOrElse(Nil)
+    val eqPendMerge = lg.current.map(parseEquality).getOrElse(Nil)
     val srcP = source.select(source.columns.map(c => col(c).as(P + c)) :+
       lit(true).as(P + "__matched"): _*)
 
@@ -3199,7 +3283,7 @@ final class GraftTable private (
     val rewrittenOpt: Option[DataFrame] =
       if (candidates.isEmpty || !rowModifying) None
       else {
-        val tgt = readVisible(spark, Nil, posPend, candidates)
+        val tgt = readVisible(spark, Nil, posPend, candidates, eqPendMerge)
         val joinCond = keyPairs.map { case (tk, sk) =>
           tgt(tk) === srcP(P + sk) }.reduce(_ && _)
         val joined = tgt.join(srcP, joinCond, "left_outer")
@@ -3223,7 +3307,8 @@ final class GraftTable private (
             // every possibly-matching target key lives in a candidate
             // file (pruning is conservative over the source key range),
             // so the anti-join against candidate keys is exact
-            val tgtKeys = readVisible(spark, Nil, posPend, candidates)
+            val tgtKeys = readVisible(spark, Nil, posPend, candidates,
+                eqPendMerge)
               .select(keyPairs.map { case (tk, _) =>
                 col(tk).as(P + "__t_" + tk) }: _*)
               .distinct()
@@ -3273,7 +3358,9 @@ final class GraftTable private (
       extraSummary = Map(
         "rewritten-data-files" -> candidates.size.toString,
         "merge-key" -> keyPairs.map(_._1).mkString(","),
-        SummaryPositionalDeletes -> positionalJson(stillPositional))))
+        SummaryPositionalDeletes -> positionalJson(stillPositional),
+        SummaryEqualityDeletes ->
+          equalityJson(degradeEqualityFor(eqPendMerge, candidates)))))
   }
 
   /** Conditional MERGE, merge-on-read: the CDC-apply action surface

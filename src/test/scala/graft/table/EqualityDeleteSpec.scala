@@ -176,23 +176,20 @@ class EqualityDeleteSpec extends SparkSpecBase {
       == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D2"))
   }
 
-  test("refusals: deferred stacking, CoW DML, countWhere, branch, key-type mismatch") {
+  test("refusals: deferred stacking, branch; countWhere serves; key-type mismatch") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
     t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
     t.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"), Some(2000L))
-    // positional COMPOSES now (MorCompositionSpec covers it); the
-    // predicate-deferred form still refuses
+    // positional AND copy-on-write DML COMPOSE now (MorCompositionSpec
+    // covers both); the predicate-deferred form and branching refuse
     intercept[IllegalArgumentException] {
       t.deleteDeferred(spark, col("id") === 2, Some(3000L)) }
-    intercept[IllegalArgumentException] {
-      t.delete(spark, col("id") === 2, Some(3000L)) }
-    intercept[IllegalArgumentException] {
-      t.update(spark, col("id") === 2, Map("data" -> lit("z")), Some(3000L)) }
-    intercept[IllegalArgumentException] {
-      t.countWhere(spark, col("id") === 2) }
     intercept[IllegalArgumentException] { t.createBranch("audit") }
-    // but count() via read stays correct (falls back to a scan)
+    // countWhere serves through the visible-row scan (covered files
+    // demote off the metadata fast path)
+    assert(t.countWhere(spark, col("id") === 1) == 0L)
+    assert(t.countWhere(spark, col("id") === 2) == 1L)
     assert(t.read(spark).count() == 1L)
     // key-type mismatch refuses before writing anything
     intercept[IllegalArgumentException] {

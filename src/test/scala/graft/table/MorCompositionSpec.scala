@@ -174,6 +174,58 @@ class MorCompositionSpec extends SparkSpecBase {
     assertExactCounts(t, "after eq-on-dv")
   }
 
+  test("copy-on-write DML composes with pending equality entries") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), Some(1000L))
+    t.deleteEquality(spark, mkDf(2L -> "x").select("id"), Seq("id"), Some(2000L))
+    assert(t.equalityDeletedCount.contains(1L))
+    // CoW UPDATE on the eq-pending table: the rewrite must NOT
+    // resurrect the equality-dead id=2, and touched entries degrade
+    // their dead counts honestly (the rewrite materialized part of
+    // their victims — never lie)
+    t.update(spark, col("id") === 3L, Map("data" -> lit("C")), Some(3000L))
+    assert(rows(t) == Map(1L -> "a", 3L -> "C", 4L -> "d"))
+    assert(t.equalityDeletes.nonEmpty, "update dropped the entries")
+    assert(t.equalityDeletedCount.isEmpty,
+      "touched entry kept a now-unsplittable dead count")
+    // CoW DELETE under the degraded entry: still correct reads
+    val snap = t.delete(spark, col("id") === 4L, Some(4000L))
+    assert(snap.get.summary("deleted-records") == "1",
+      s"removed miscounted: ${snap.get.summary("deleted-records")}")
+    assert(rows(t) == Map(1L -> "a", 3L -> "C"))
+    // CoW upsert merge on the stacked state
+    t.merge(spark, mkDf(1L -> "A2", 7L -> "g"), "id", Some(5000L))
+    assert(rows(t) == Map(1L -> "A2", 3L -> "C", 7L -> "g"))
+    // the scan-fallback count paths agree while degraded
+    assert(t.read(spark).count() == 3L)
+    assert(t.countWhere(spark, col("id") >= 1L) == 3L)
+    // compaction clears the degraded entries and nothing changes
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(6000L))
+    assert(t.equalityDeletes.isEmpty)
+    assert(rows(t) == Map(1L -> "A2", 3L -> "C", 7L -> "g"))
+  }
+
+  test("CoW drop fast path under equality: covered drops demote, counts honest") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "a"), Some(1000L)) // one file, covered
+    t.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"), Some(2000L))
+    // predicate provably matches the whole file: the metadata-only drop
+    // must demote (dropping would miscount the eq-dead id=1) — and
+    // deleted-records reflects VISIBLE rows only (1, not 2)
+    val snap = t.delete(spark, col("data") === "a", Some(3000L))
+    assert(snap.get.summary("deleted-records") == "1",
+      s"eq-dead row double-counted: ${snap.get.summary("deleted-records")}")
+    assert(ids(t).isEmpty)
+    // a later file no tombstone reaches still drops metadata-only
+    t.append(mkDf(50L -> "z"), Some(4000L))
+    val s2 = t.delete(spark, col("id") === 50L, Some(5000L))
+    assert(s2.get.summary("dropped-data-files") == "1",
+      "non-coverable whole-file drop was demoted")
+    assert(ids(t).isEmpty)
+  }
+
   test("CDC reconstruction + no double retraction across composed commits") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)

@@ -154,8 +154,8 @@ class MorSoundnessSpec extends SparkSpecBase {
       }
       val b0 = batch(40); t.append(df(b0)); model ++= b0
 
-      (1 to 14).foreach { step =>
-        rng.nextInt(7) match {
+      (1 to 16).foreach { step =>
+        rng.nextInt(9) match {
           case 0 => // append
             val b = batch(5 + rng.nextInt(10))
             t.append(df(b)); model ++= b
@@ -194,6 +194,17 @@ class MorSoundnessSpec extends SparkSpecBase {
             }
           case 6 => // maintenance materializes both forms
             t.compact(spark, smallerThanBytes = Long.MaxValue)
+          case 7 => // copy-on-write delete composes with BOTH forms
+            val c = cats(rng.nextInt(4))
+            t.delete(spark, col("cat") === c)
+            model = model.filterNot(_.cat == c)
+          case 8 => // copy-on-write update under stacked entries
+            // (score is no layout's partition source; cat/id are)
+            val bound = rng.nextInt(50).toLong
+            t.update(spark, col("score") === bound,
+              Map("score" -> lit(bound + 500L)))
+            model = model.map(m =>
+              if (m.score == bound) m.copy(score = bound + 500L) else m)
         }
         assert(readSet(t) == modelSet(model),
           s"[$name] composed diverged after step $step")
