@@ -348,6 +348,62 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** FULL-TRIAD merge-on-read fixture (v64): all THREE deferred delete
+    * forms pending on one table at once — the completed MoR matrix.
+    * A predicate-deferred retention rule lands first (snapshot 2,
+    * O(1) commit: region 4 expires), a positional curation job stacks
+    * on it (snapshot 3 — victims are predicate-VISIBLE rows only, so
+    * an already-expired row is never re-vectored), a CDC equality
+    * upsert stacks on both (snapshot 4 — retags region 3, inserts key
+    * 997), and a SECOND predicate rule lands on the whole stack
+    * (snapshot 5 — covering the upsert's fresh file too). No compact()
+    * anywhere; one read plan resolves covering predicate filters, the
+    * in-reader DV filter and the scoped key anti-join, and
+    * `totalRecords − pred − dv − eq` stays metadata-exact throughout. */
+  private def morTriadFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_triad", 5) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      tb.deleteDeferred(spark, col("n_regionkey") === 4, Some(2000L))
+      tb.deletePositional(spark, col("n_nationkey") % 5 === 1, Some(3000L))
+      val retag = nation
+        .filter(col("n_regionkey") === 3 && col("n_nationkey") % 5 =!= 1)
+        .withColumn("n_name", concat(col("n_name"), lit("_T")))
+      val fresh = spark.range(1).select(
+        lit(997L).cast(nation.schema("n_nationkey").dataType)
+          .as("n_nationkey"),
+        lit("TRIAD").as("n_name"),
+        lit(3L).cast(nation.schema("n_regionkey").dataType)
+          .as("n_regionkey"))
+      tb.mergeEquality(spark, retag.unionByName(fresh), Seq("n_nationkey"),
+        Some(4000L))
+      tb.deleteDeferred(spark, col("n_nationkey") % 7 === 6, Some(5000L))
+      tb
+    }
+
+  /** Column-DEFAULT fixture (v65, Iceberg v3 initial/write-default
+    * parity): nation lands (snapshot 1), `n_tier` is added with DEFAULT
+    * 'standard' (metadata-only — pre-add rows READ the default, no
+    * rewrite), a batch with explicit tiers appends (snapshot 2), and a
+    * batch LACKING the column appends (snapshot 3 — the write default
+    * fills it). One read serves all three eras. */
+  private def defaultColFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_default", 3) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb0 = GraftTable.create(dir, nation.schema)
+      tb0.append(nation, committedAt = Some(1000L))
+      val tb = tb0.addColumn("n_tier",
+        org.apache.spark.sql.types.StringType, Some("'standard'"))
+      tb.append(nation.filter(col("n_regionkey") === 0)
+        .withColumn("n_nationkey", col("n_nationkey") + lit(100))
+        .withColumn("n_tier", lit("premium")), Some(2000L))
+      tb.append(nation.filter(col("n_regionkey") === 1)
+        .withColumn("n_nationkey", col("n_nationkey") + lit(200)),
+        Some(3000L))
+      tb
+    }
+
   /** write.format fixture (v62): snapshot 1 lands as parquet, then the
     * table switches `write.format=orc` and a CoW UPDATE rewrites region
     * 2's file IN ORC — a mixed parquet+ORC table whose one scan
@@ -534,6 +590,27 @@ object Versioned extends QueryPack {
       s2.sql("MERGE INTO g34.db.nation_sqldml t USING nation_sqldml_src s " +
         "ON t.n_nationkey = s.n_nationkey " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      tb
+    }
+
+  /** SQL-VIEW fixture (v66, Iceberg view parity): nation lands as a
+    * catalog table (snapshot 1), then `CREATE VIEW` stores a per-region
+    * aggregate as versioned view metadata in the warehouse — TEXT, not a
+    * materialization: the read side re-plans the stored SQL against the
+    * then-current table state ([[graft.table.GraftViews]]). */
+  private def viewFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/nation_vw", 1) { dir =>
+      val s2 = dmlSession(spark)
+      val nation = t(s2, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      val wh = Paths.get(dir).getParent.getParent.toString
+      s2.conf.set("spark.sql.catalog.g66", "graft.table.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.g66.warehouse", wh)
+      s2.sql("CREATE OR REPLACE VIEW g66.db.nation_vw_agg AS " +
+        "SELECT n_regionkey, count(*) AS n_nations, " +
+        "min(n_name) AS first_name " +
+        "FROM g66.db.nation_vw GROUP BY n_regionkey")
       tb
     }
 
@@ -1518,6 +1595,37 @@ object Versioned extends QueryPack {
       morCompFixture(s, d).read(s)
         .select("n_nationkey", "n_name", "n_regionkey")),
 
+    // FULL MoR TRIAD: predicate-deferred + positional deletion vectors
+    // + equality tombstones pending together — the completed matrix
+    // (a retention rule, a curation job and a CDC upsert mirror share
+    // one table, nothing rewritten until maintenance). Victims of each
+    // later form are drawn from rows visible under every earlier one,
+    // so the three dead sets stay disjoint and counts exact
+    "v64_graft_mor_triad" -> ((s, d) =>
+      morTriadFixture(s, d).read(s)
+        .select("n_nationkey", "n_name", "n_regionkey")),
+
+    // COLUMN DEFAULTS (Iceberg v3 initial/write defaults): pre-add rows
+    // read the declared literal (per-era fill, never a coalesce over
+    // written values), a source lacking the column fills it at write —
+    // all metadata-only, nothing rewritten
+    "v65_graft_column_default" -> ((s, d) =>
+      defaultColFixture(s, d).read(s)
+        .select("n_nationkey", "n_tier")),
+
+    // SQL VIEWS (Iceberg view parity): SELECT through a warehouse-stored
+    // versioned view — the stored TEXT re-plans against current state,
+    // spliced by GraftViewSubstitution on an extensions session
+    "v66_graft_sql_view" -> ((s, d) => {
+      val tb = viewFixture(s, d)
+      val s2 = dmlSession(s)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s2.conf.set("spark.sql.catalog.g66", "graft.table.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.g66.warehouse", wh)
+      s2.sql("SELECT n_regionkey, n_nations, first_name " +
+        "FROM g66.db.nation_vw_agg WHERE n_nations > 0")
+    }),
+
     // RETRACTION-AWARE streaming aggregation replay: the grouped
     // COUNT/SUM table maintained batch-per-snapshot from the CDC feed
     // (GraftCdcAggregate's foreachBatch contract — inserts add, deletes
@@ -2089,6 +2197,30 @@ object Versioned extends QueryPack {
         "FROM nation WHERE n_nationkey % 5 <> 1 AND n_regionkey = 3 " +
         "AND n_nationkey % 7 <> 2 " +
         "UNION ALL SELECT 998, 'COMPOSED', 3"),
+    // triad replay: predicate 1 expires region 4; the DV job removes
+    // %5=1 among its survivors; the upsert supersedes region-3
+    // survivors with '_T' copies and inserts 997; predicate 2 then
+    // removes %7=6 from everything it covers (the upsert's file too)
+    "v64_graft_mor_triad" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_regionkey <> 4 AND n_nationkey % 5 <> 1 " +
+        "AND n_regionkey <> 3 AND n_nationkey % 7 <> 6 " +
+        "UNION ALL SELECT n_nationkey, n_name || '_T', n_regionkey " +
+        "FROM nation WHERE n_regionkey = 3 AND n_nationkey % 5 <> 1 " +
+        "AND n_nationkey % 7 <> 6 " +
+        "UNION ALL SELECT 997, 'TRIAD', 3"),
+    // defaults replay: era 1 reads 'standard', era 2 wrote explicit
+    // 'premium', era 3 write-filled 'standard'
+    "v65_graft_column_default" ->
+      ("SELECT n_nationkey, 'standard' AS n_tier FROM nation " +
+        "UNION ALL SELECT n_nationkey + 100, 'premium' FROM nation " +
+        "WHERE n_regionkey = 0 " +
+        "UNION ALL SELECT n_nationkey + 200, 'standard' FROM nation " +
+        "WHERE n_regionkey = 1"),
+    // the stored view SQL replayed directly over the raw table
+    "v66_graft_sql_view" ->
+      ("SELECT n_regionkey, count(*) AS n_nations, " +
+        "min(n_name) AS first_name FROM nation GROUP BY n_regionkey"),
     // the stream-maintained aggregate equals the final-state recompute
     "st10_cdc_agg_replay" ->
       ("SELECT n_regionkey, CAST(count(*) AS BIGINT) AS cnt, " +

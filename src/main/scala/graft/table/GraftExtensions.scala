@@ -22,6 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relation is read-only DSv2, so an untouched UpdateTable would fail
     // CheckAnalysis as unsupported)
     e.injectResolutionRule(session => ResolveGraftDml(session))
+    // SQL VIEWS over graft catalogs (Iceberg view parity): statements
+    // intercept at PARSE time (Spark's ResolveSessionCatalog would
+    // refuse v2-catalog views before any resolution rule runs), reads
+    // splice the stored SQL during resolution
+    e.injectParser((session, delegate) => new GraftViewParser(session, delegate))
+    e.injectResolutionRule(session => GraftViewSubstitution(session))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

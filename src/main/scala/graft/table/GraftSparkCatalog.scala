@@ -43,6 +43,14 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
   private var catalogName: String = _
   private var warehouse: String = _
 
+  /** Column DEFAULT support (Iceberg v3 parity): lets the parser accept
+    * `ADD COLUMN … DEFAULT <lit>` / `CREATE TABLE (… DEFAULT <lit>)` and
+    * hands the parsed default to [[alterTable]]/[[createTable]]. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** SQL maintenance procedures — `CALL graft.system.expire_snapshots(
     * 'db.t', <ms>)` etc. ([[GraftProcedures]]): Iceberg's operator
     * surface over the proven library maintenance calls. */
@@ -323,7 +331,26 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
     val props = properties.asScala.toMap -
       TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER -
       TableCatalog.PROP_OWNER - TableCatalog.PROP_EXTERNAL
-    val t = GraftTable.create(dirFor(ident), schema, props, partCols)
+    // `CREATE TABLE (c INT DEFAULT 5)`: the parsed default rides in the
+    // field metadata (CURRENT_DEFAULT) — strip it from the stored schema
+    // and record the library's write-default events instead
+    val colDefaults = schema.fields.toSeq.collect {
+      case f if f.metadata.contains("CURRENT_DEFAULT") =>
+        f.name -> f.metadata.getString("CURRENT_DEFAULT")
+    }
+    val cleanSchema =
+      if (colDefaults.isEmpty) schema
+      else StructType(schema.fields.map { f =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT").build())
+      })
+    // views share the warehouse namespace — a table must not shadow one
+    require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dirFor(ident), "view.json")),
+      s"a graft VIEW named ${identToName(ident)} already exists")
+    val t = GraftTable.create(dirFor(ident), cleanSchema, props, partCols)
+      .withCreateDefaults(colDefaults)
     new GraftV2Table(identToName(ident), t, None)
   }
 
@@ -331,7 +358,11 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
     var t = loadGraft(ident)
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-        t = t.addColumn(add.fieldNames()(0), add.dataType())
+        // ALTER TABLE … ADD COLUMN c T DEFAULT <lit> (Iceberg v3
+        // default parity): the parsed default's SQL rides into the
+        // library's add-with-default era event
+        t = t.addColumn(add.fieldNames()(0), add.dataType(),
+          Option(add.defaultValue()).map(_.getSql))
       case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
         t = t.renameColumn(ren.fieldNames()(0), ren.newName())
       case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
@@ -388,7 +419,28 @@ final class GraftV2Table(
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = tableName
-  override def schema(): StructType = t.schema
+
+  /** Table schema with the column-default metadata Spark's INSERT
+    * resolution reads (`CURRENT_DEFAULT`/`EXISTS_DEFAULT`): an
+    * `INSERT INTO t (subset…)` then fills omitted defaulted columns at
+    * analysis time, matching the library write path's fill. */
+  override def schema(): StructType = {
+    val wd = t.writeDefaults
+    if (wd.isEmpty) t.schema
+    else {
+      val m = wd.map(x => x._1 -> x._3).toMap
+      StructType(t.schema.fields.map { f =>
+        m.get(f.name) match {
+          case Some(sql) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString("CURRENT_DEFAULT", sql)
+              .putString("EXISTS_DEFAULT", sql).build())
+          case None => f
+        }
+      })
+    }
+  }
 
   /** Iceberg-parity row-provenance metadata columns: `_file` (the data
     * file serving the row) and `_pos` (its row position in that file —
@@ -464,12 +516,10 @@ final class GraftV2Table(
     * (same stance as the programmatic CoW DML). */
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    // Predicate-deferred entries refuse CoW DML deep in GraftTable
-    // .delete; answering false here makes Spark report the statement
-    // unsupported instead of surfacing the internal require. Equality
-    // entries COMPOSE with CoW in the library now, but the DSv2 DELETE
-    // plan builds a scan of the relation and the raw scan refuses
-    // MoR-pending tables — plain sessions report unsupported (with the
+    // Every deferred form COMPOSES with CoW delete in the library now,
+    // but the DSv2 DELETE plan builds a scan of the relation and the
+    // raw scan refuses MoR-pending tables — plain sessions report
+    // predicate-deferred/equality statements unsupported (with the
     // scan's direction toward extensions), extensions sessions route
     // through GraftDeleteCommand. Positional entries stay allowed.
     snapshotId.isEmpty && t.pendingDeletes.isEmpty &&
@@ -779,14 +829,15 @@ final class GraftV2Table(
     lazy val entries = manifest.files
     // this surface hands the file list + LOGICAL schema to one parquet
     // scan; a file predating a column rename holds the old physical name
-    // and would read the renamed column as NULL — refuse (the library
-    // scan and the extensions' SQL splice alias per era). Only tables
-    // with recorded rename/widening eras can hold such files.
-    if (t.renames.nonEmpty || t.widenings.nonEmpty)
+    // and would read the renamed column as NULL — and one predating an
+    // add-with-DEFAULT would read NULL instead of the default — refuse
+    // (the library scan and the extensions' SQL splice alias/fill per
+    // era). Only tables with recorded evolution eras can hold such files.
+    if (t.renames.nonEmpty || t.widenings.nonEmpty || t.defaults.nonEmpty)
       entries.foreach(f => require(!t.renameAffects(f),
-        s"${t.dir} has pre-rename data files — read via GraftTable.scan/" +
-          "GraftCatalog or a GraftExtensions session, or compact() to " +
-          "rewrite under the current column names"))
+        s"${t.dir} has pre-rename/pre-default data files — read via " +
+          "GraftTable.scan/GraftCatalog or a GraftExtensions session, or " +
+          "compact() to rewrite under the current schema"))
     // normalize: a published branch leaves `branches/<name>/data/…`
     // entries in the parent manifest (and a branch table holds `../../`
     // fork entries) — the parquet source must see clean absolute paths

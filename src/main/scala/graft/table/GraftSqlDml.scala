@@ -107,15 +107,16 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
             g.underlying.properties.get("write.delete.mode")
               .contains("merge-on-read") =>
           GraftMorDeleteCommand(g.underlying, byName(condition))
-        // POSITIONAL and EQUALITY entries compose with CoW delete in the
-        // library, but the DSv2 DELETE plan still builds a scan of the
-        // relation and the raw scan refuses MoR-pending tables — route
-        // the statement to GraftTable.delete directly (plain sessions
-        // keep Spark's SupportsDelete path, which only works on
-        // entry-free tables)
+        // POSITIONAL, EQUALITY and PREDICATE-deferred entries compose
+        // with CoW delete in the library, but the DSv2 DELETE plan still
+        // builds a scan of the relation and the raw scan refuses
+        // MoR-pending tables — route the statement to GraftTable.delete
+        // directly (plain sessions keep Spark's SupportsDelete path,
+        // which only works on entry-free tables)
         case Some(g) if g.pinned.isEmpty &&
             (g.underlying.positionalDeletes.nonEmpty ||
-              g.underlying.equalityDeletes.nonEmpty) =>
+              g.underlying.equalityDeletes.nonEmpty ||
+              g.underlying.pendingDeletes.nonEmpty) =>
           GraftDeleteCommand(g.underlying, byName(condition))
         case _ => plan
       }
@@ -332,10 +333,13 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           val pending = snap.exists(s => tb.parsePending(s).nonEmpty ||
             tb.parsePositional(s).nonEmpty || tb.parseEquality(s).nonEmpty)
-          // pre-rename/pre-widening files also need the library's per-era
-          // aliasing/casting — the raw file-list scan would read renamed
-          // columns as NULL and widened columns with the wrong parquet type
-          val renamed = (tb.renames.nonEmpty || tb.widenings.nonEmpty) &&
+          // pre-rename/pre-widening/pre-default files also need the
+          // library's per-era aliasing/casting/filling — the raw
+          // file-list scan would read renamed columns as NULL, widened
+          // columns with the wrong parquet type, and defaulted columns
+          // as NULL instead of the default
+          val renamed = (tb.renames.nonEmpty || tb.widenings.nonEmpty ||
+              tb.defaults.nonEmpty) &&
             snap.exists(s =>
               Manifest.read(s"${tb.dir}/${s.manifestList}").files
                 .exists(tb.renameAffects))

@@ -44,7 +44,8 @@ final class GraftTable private (
     val partitionColumns: Seq[String] = Nil,
     val droppedColumns: Seq[String] = Nil,
     val renames: Seq[GraftTable.ColumnRename] = Nil,
-    val widenings: Seq[GraftTable.ColumnWidening] = Nil) {
+    val widenings: Seq[GraftTable.ColumnWidening] = Nil,
+    val defaults: Seq[GraftTable.ColumnDefault] = Nil) {
 
   import GraftTable._
 
@@ -58,7 +59,8 @@ final class GraftTable private (
       newSpec: Seq[String] = partitionColumns,
       newDropped: Seq[String] = droppedColumns,
       newRenames: Seq[ColumnRename] = renames,
-      newWidenings: Seq[ColumnWidening] = widenings): GraftTable = {
+      newWidenings: Seq[ColumnWidening] = widenings,
+      newDefaults: Seq[ColumnDefault] = defaults): GraftTable = {
     // malformed auto-compaction values refuse HERE, not inside a
     // running stream's commit path
     GraftTable.streamCompactEvery(newProps)
@@ -73,23 +75,27 @@ final class GraftTable private (
         Map("at" -> r.at, "from" -> r.from, "to" -> r.to, "seq" -> r.seq)),
       "column_widenings" -> newWidenings.map(w =>
         Map("at" -> w.at, "col" -> w.col,
-          "from" -> w.from.json, "to" -> w.to.json, "seq" -> w.seq)))
+          "from" -> w.from.json, "to" -> w.to.json, "seq" -> w.seq)),
+      "column_defaults" -> newDefaults.map(d =>
+        Map("at" -> d.at, "col" -> d.col, "sql" -> d.sql, "seq" -> d.seq)))
     graft.util.Json.writeFileAtomic(s"$dir/metadata.json",
       graft.util.Json.write(meta))
     new GraftTable(dir, newSchema, newProps, newSpec, newDropped,
-      newRenames, newWidenings)
+      newRenames, newWidenings, newDefaults)
   }
 
   /** Whether any logical column of `f` lives under a different physical
-    * name or type (the file predates a rename/widening) — the DSv2
-    * raw-file-list surface refuses such files (it cannot alias/cast per
-    * era) and the extensions' SQL splice takes over. */
+    * name or type, or doesn't physically exist and must read its
+    * DEFAULT (the file predates a rename/widening/add-with-default) —
+    * the DSv2 raw-file-list surface refuses such files (it cannot
+    * alias/cast/fill per era) and the extensions' SQL splice takes
+    * over; compaction force-includes them to migrate. */
   private[table] def renameAffects(f: DataFileEntry): Boolean = {
-    if (renames.isEmpty && widenings.isEmpty) return false
+    if (renames.isEmpty && widenings.isEmpty && defaults.isEmpty) return false
     val sid = fileSnapId(f.path)
     schema.fields.exists { fd =>
-      val (p, t) = physicalField(fd.name, sid)
-      p != fd.name || t != fd.dataType
+      val (p, t, d) = physicalFieldFull(fd.name, sid)
+      p != fd.name || t != fd.dataType || d.isDefined
     }
   }
 
@@ -105,25 +111,44 @@ final class GraftTable private (
     * per-event sequence DESC (several evolutions can land between two
     * commits and share an at). Computed once per handle, not per
     * (file, column) in a scan's grouping pass. */
-  private lazy val schemaEventsDesc
-      : Seq[(Long, Either[ColumnRename, ColumnWidening])] =
-    (renames.map(r => (r.at, r.seq, Left(r): Either[ColumnRename, ColumnWidening])) ++
-      widenings.map(w => (w.at, w.seq, Right(w): Either[ColumnRename, ColumnWidening])))
+  private lazy val schemaEventsDesc: Seq[(Long, AnyRef)] =
+    (renames.map(r => (r.at, r.seq, r: AnyRef)) ++
+      widenings.map(w => (w.at, w.seq, w: AnyRef)) ++
+      defaults.map(d => (d.at, d.seq, d: AnyRef)))
       .sortBy { case (at, seq, _) => (-at, -seq) }
       .map { case (at, _, e) => (at, e) }
 
   private def physicalField(c: String, snapId: Option[Long]): (String, DataType) = {
-    if (renames.isEmpty && widenings.isEmpty) return (c, schema(c).dataType)
+    val (p, t, _) = physicalFieldFull(c, snapId)
+    (p, t)
+  }
+
+  /** The PHYSICAL (name, type) holding logical column `c` in a file
+    * written at snapshot `snapId`, plus — when the file PREDATES the
+    * column's add-with-default event — the default SQL literal its rows
+    * read instead of the (nonexistent) physical values. The rename,
+    * widening and default chains are walked newest→oldest together:
+    * each event recorded its column's logical name AT EVENT TIME, which
+    * is exactly what the name has been unwound to when the walk reaches
+    * it. A matched default ends the walk — the column did not exist
+    * before its add (resurrection guards enforce the name was never
+    * reused), so no older event can apply. */
+  private def physicalFieldFull(
+      c: String, snapId: Option[Long]): (String, DataType, Option[String]) = {
+    if (renames.isEmpty && widenings.isEmpty && defaults.isEmpty)
+      return (c, schema(c).dataType, None)
     val s = snapId.getOrElse(Long.MinValue)
     var name = c
     var tpe = schema(c).dataType
     schemaEventsDesc.foreach {
-      case (at, Left(r)) if s < at && r.to == name => name = r.from
-      case (at, Right(w)) if s < at && w.col == name && w.to == tpe =>
+      case (at, r: ColumnRename) if s < at && r.to == name => name = r.from
+      case (at, w: ColumnWidening) if s < at && w.col == name && w.to == tpe =>
         tpe = w.from
+      case (at, d: ColumnDefault) if s < at && d.col == name =>
+        return (name, tpe, Some(d.sql))
       case _ => ()
     }
-    (name, tpe)
+    (name, tpe, None)
   }
 
   def log: SnapshotLog = SnapshotLog.read(s"$dir/snapshots.json")
@@ -281,6 +306,24 @@ final class GraftTable private (
       if (touched.exists(f =>
           fileSnapId(f.path).getOrElse(Long.MinValue) <= e.covered))
         e.copy(dead = None)
+      else e
+    }
+
+  /** [[degradeEqualityFor]]'s PREDICATE-form twin: surviving
+    * predicate-deferred entries after a copy-on-write commit touched
+    * `touched` files — an entry covering any of them degrades its dead
+    * count to None (part of its victims just materialized with the
+    * rewrite); untouched entries keep their exact counts, and entries
+    * are never removed here for the same skip-the-untouched-segments
+    * reason (a predicate re-applied to already-filtered survivors is
+    * idempotent — `NOT p OR p IS NULL` keeps every kept row). */
+  private def degradePendingFor(
+      pend: Seq[(Long, String, Option[Long])],
+      touched: Seq[DataFileEntry]): Seq[(Long, String, Option[Long])] =
+    pend.map { case e @ (covered, sql, _) =>
+      if (touched.exists(f =>
+          fileSnapId(f.path).getOrElse(Long.MinValue) <= covered))
+        (covered, sql, None)
       else e
     }
 
@@ -843,9 +886,6 @@ final class GraftTable private (
     val lg = log
     val current = lg.current.getOrElse(
       return overwrite(df, committedAt)) // empty table: plain first write
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — compact() to " +
-        "materialize them before running copy-on-write DML")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -857,16 +897,21 @@ final class GraftTable private (
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
     val (dropped0, rewrites0) =
       candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
-    // pending EQUALITY entries: same composition discipline as delete()
-    // — covered whole-file drops demote to rewrites, survivors read
-    // fully visible, touched entries degrade their dead counts
+    // pending EQUALITY and PREDICATE-deferred entries: same composition
+    // discipline as delete() — covered whole-file drops demote to
+    // rewrites, survivors read fully visible, touched entries degrade
+    // their dead counts
     val eqPend = parseEquality(current)
+    val pendFull = parsePendingFull(current)
+    val pend = pendFull.map(e => (e._1, e._2))
     val (dropped, rewrites) =
-      if (eqPend.isEmpty) (dropped0, rewrites0)
+      if (eqPend.isEmpty && pend.isEmpty) (dropped0, rewrites0)
       else {
-        val (coverable, freeDrop) = dropped0.partition(f =>
-          eqPend.exists(e =>
-            fileSnapId(f.path).getOrElse(Long.MinValue) <= e.covered))
+        val (coverable, freeDrop) = dropped0.partition { f =>
+          val fsn = fileSnapId(f.path).getOrElse(Long.MinValue)
+          eqPend.exists(e => fsn <= e.covered) ||
+            pend.exists { case (covered, _) => fsn <= covered }
+        }
         (freeDrop, coverable ++ rewrites0)
       }
     val posPend = parsePositional(current)
@@ -875,16 +920,16 @@ final class GraftTable private (
     val keptFiles =
       if (rewrites.isEmpty) Nil
       else writeDataFiles(
-        readVisible(spark, Nil, posPend, rewrites, eqPend)
+        readVisible(spark, pend, posPend, rewrites, eqPend)
           .filter(org.apache.spark.sql.functions.coalesce(
             !predicate, org.apache.spark.sql.functions.lit(true))),
         snapId).filter(_.recordCount > 0)
     val inserted = writeDataFiles(df, snapId)
     val removed =
-      (if (eqPend.isEmpty)
+      (if (eqPend.isEmpty && pend.isEmpty)
         candidates.map(f =>
           f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum
-      else readVisible(spark, Nil, posPend, candidates, eqPend).count()) -
+      else readVisible(spark, pend, posPend, candidates, eqPend).count()) -
       keptFiles.map(_.recordCount).sum
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
@@ -898,6 +943,8 @@ final class GraftTable private (
         "rewritten-data-files" -> rewrites.size.toString,
         "added-data-files" -> inserted.size.toString,
         "added-records" -> inserted.map(_.recordCount).sum.toString,
+        SummaryPendingDeletes ->
+          pendingJsonFull(degradePendingFor(pendFull, candidates)),
         SummaryPositionalDeletes -> positionalJson(stillPositional),
         SummaryEqualityDeletes ->
           equalityJson(degradeEqualityFor(eqPend, candidates))))
@@ -998,7 +1045,33 @@ final class GraftTable private (
   /** Write `df` into the data layout as snapshot `snapId`'s files and
     * return their manifest entries (stats + partition values attached).
     * Shared by [[append]] and [[compact]]. */
-  private def writeDataFiles(df: DataFrame, snapId: Long): Seq[DataFileEntry] = {
+  /** A defaulted column's CURRENT logical name: rename events after the
+    * add (at/seq-ordered) moved it forward from the name recorded at
+    * event time. */
+  private[table] def defaultCurrentName(d: ColumnDefault): String = {
+    var name = d.col
+    renames.sortBy(r => (r.at, r.seq)).foreach { r =>
+      if ((r.at > d.at || (r.at == d.at && r.seq > d.seq)) && r.from == name)
+        name = r.to
+    }
+    name
+  }
+
+  /** Defaulted columns by their CURRENT name (with target type + SQL). */
+  private[table] def writeDefaults: Seq[(String, DataType, String)] =
+    defaults.map(d => (defaultCurrentName(d), d.sql))
+      .collect { case (n, sql) if schema.fieldNames.contains(n) =>
+        (n, schema(n).dataType, sql)
+      }
+
+  private def writeDataFiles(df0: DataFrame, snapId: Long): Seq[DataFileEntry] = {
+    // WRITE DEFAULT (Iceberg v3 parity): a source simply LACKING a
+    // defaulted column fills the stored literal at write time; present
+    // columns keep the exact-name/exact-type requirements below
+    val df = writeDefaults.foldLeft(df0) { case (d, (n, t, sql)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else d.withColumn(n, org.apache.spark.sql.functions.expr(sql).cast(t))
+    }
     // validate the input against the TABLE schema before anything lands:
     // a misnamed column or widened type would commit files the table
     // schema cannot read back (the vectorized reader throws at scan time
@@ -1745,9 +1818,6 @@ final class GraftTable private (
       committedAt: Option[Long] = None): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — compact() to " +
-        "materialize them before running copy-on-write DML")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -1771,20 +1841,25 @@ final class GraftTable private (
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
     val (dropped0, rewrites0) =
       candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
-    // pending EQUALITY entries compose: survivors are read through the
-    // full visible-row reader (an equality-dead row is never copied —
-    // the rewrite MATERIALIZES the tombstones for its files), and a
+    // pending EQUALITY and PREDICATE-deferred entries compose:
+    // survivors are read through the full visible-row reader (a row
+    // another form already hides is never copied — the rewrite
+    // MATERIALIZES the tombstones/filters for its files), and a
     // whole-file drop of a COVERED file demotes to a rewrite (same
     // scoped demotion as deletePositional — dropping it would break the
     // entries' count bookkeeping). Touched entries degrade their dead
-    // counts (degradeEqualityFor).
+    // counts (degradeEqualityFor / degradePendingFor).
     val eqPend = parseEquality(current)
+    val pendFull = parsePendingFull(current)
+    val pend = pendFull.map(e => (e._1, e._2))
     val (dropped, rewrites) =
-      if (eqPend.isEmpty) (dropped0, rewrites0)
+      if (eqPend.isEmpty && pend.isEmpty) (dropped0, rewrites0)
       else {
-        val (coverable, freeDrop) = dropped0.partition(f =>
-          eqPend.exists(e =>
-            fileSnapId(f.path).getOrElse(Long.MinValue) <= e.covered))
+        val (coverable, freeDrop) = dropped0.partition { f =>
+          val fsn = fileSnapId(f.path).getOrElse(Long.MinValue)
+          eqPend.exists(e => fsn <= e.covered) ||
+            pend.exists { case (covered, _) => fsn <= covered }
+        }
         (freeDrop, coverable ++ rewrites0)
       }
     // SQL DELETE removes only rows where the predicate is TRUE; a NULL
@@ -1801,20 +1876,21 @@ final class GraftTable private (
     val newFiles =
       if (rewrites.isEmpty) Nil
       else writeDataFiles(
-        readVisible(spark, Nil, posPend, rewrites, eqPend)
+        readVisible(spark, pend, posPend, rewrites, eqPend)
           .filter(org.apache.spark.sql.functions.coalesce(
             !predicate, org.apache.spark.sql.functions.lit(true))),
         snapId).filter(_.recordCount > 0) // drop empty rewrite outputs
     // visible rows removed: candidates' SURVIVOR counts minus what the
     // rewrite kept (rows already positionally dead don't count twice);
-    // under pending equality the per-file split of eq-dead rows is
-    // unknown — one count job over the candidates' visible rows keeps
-    // the summary honest (only paid while entries pend)
+    // under pending equality/predicate entries the per-file split of
+    // their dead rows is unknown — one count job over the candidates'
+    // visible rows keeps the summary honest (only paid while entries
+    // pend)
     val removed =
-      (if (eqPend.isEmpty)
+      (if (eqPend.isEmpty && pend.isEmpty)
         candidates.map(f =>
           f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum
-      else readVisible(spark, Nil, posPend, candidates, eqPend).count()) -
+      else readVisible(spark, pend, posPend, candidates, eqPend).count()) -
       newFiles.map(_.recordCount).sum
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
@@ -1826,6 +1902,8 @@ final class GraftTable private (
         "deleted-records" -> removed.toString,
         "dropped-data-files" -> dropped.size.toString,
         "rewritten-data-files" -> rewrites.size.toString,
+        SummaryPendingDeletes ->
+          pendingJsonFull(degradePendingFor(pendFull, candidates)),
         SummaryPositionalDeletes -> positionalJson(stillPositional),
         SummaryEqualityDeletes ->
           equalityJson(degradeEqualityFor(eqPend, candidates)))))
@@ -1841,8 +1919,8 @@ final class GraftTable private (
     * the key range — and whole segments, via the manifest-list envelope
     * — carry over by ref. Null key tuples match nothing (SQL IN
     * semantics: `k IN (…)` is never TRUE for a null `k` or null list
-    * row). Pending positional deletes compose exactly as in [[delete]];
-    * the other merge-on-read forms refuse. The positional sibling
+    * row). Pending merge-on-read state of every form composes exactly
+    * as in [[delete]]. The positional sibling
     * ([[deletePositionalByKeys]]) writes O(victims) instead of
     * rewriting candidate files — this form is the rewrite-now spelling
     * SQL DELETE defaults to on copy-on-write tables. Returns None when
@@ -1860,9 +1938,6 @@ final class GraftTable private (
       s"keys DataFrame lacks column '$c'"))
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — compact() to " +
-        "materialize them before running copy-on-write DML")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val k0 = keyCols.head
     val bounds = keys.agg(fmin(col(k0)), fmax(col(k0))).head()
@@ -1875,23 +1950,25 @@ final class GraftTable private (
     val snapId = lg.nextId
     val posPend = parsePositional(current)
     val eqPend = parseEquality(current)
+    val pendFull = parsePendingFull(current)
+    val pend = pendFull.map(e => (e._1, e._2))
     val priorDeleted: Map[String, Long] =
       posPend.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
     val P = GraftTable.MergeSrcPrefix
     val keySel = keys
       .select(keyCols.map(c => col(c).cast(schema(c).dataType).as(P + c)): _*)
       .distinct()
-    val survivors = readVisible(spark, Nil, posPend, candidates, eqPend)
+    val survivors = readVisible(spark, pend, posPend, candidates, eqPend)
       .join(keySel,
         keyCols.map(c => col(c) === col(P + c)).reduce(_ && _), "left_anti")
       .select(schema.fieldNames.map(col): _*)
     val newFiles = writeDataFiles(survivors, snapId)
       .filter(_.recordCount > 0)
     val removed =
-      (if (eqPend.isEmpty)
+      (if (eqPend.isEmpty && pend.isEmpty)
         candidates.map(f =>
           f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum
-      else readVisible(spark, Nil, posPend, candidates, eqPend).count()) -
+      else readVisible(spark, pend, posPend, candidates, eqPend).count()) -
       newFiles.map(_.recordCount).sum
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
@@ -1902,6 +1979,8 @@ final class GraftTable private (
       extraSummary = Map(
         "deleted-records" -> removed.toString,
         "rewritten-data-files" -> candidates.size.toString,
+        SummaryPendingDeletes ->
+          pendingJsonFull(degradePendingFor(pendFull, candidates)),
         SummaryPositionalDeletes -> positionalJson(stillPositional),
         SummaryEqualityDeletes ->
           equalityJson(degradeEqualityFor(eqPend, candidates)))))
@@ -1921,9 +2000,6 @@ final class GraftTable private (
       predicate: Column,
       snapshotId: Option[Long] = None): Long = {
     val s = resolveSnapshot(snapshotId).getOrElse(return 0L)
-    require(parsePending(s).isEmpty,
-      s"$dir has predicate-deferred deletes pending — compact() before " +
-        "countWhere")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -1933,16 +2009,20 @@ final class GraftTable private (
     val proofPred = PartitionField.proofAugment(resolved, partitionFields)
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
     val eqPend = parseEquality(s)
+    val pend = parsePending(s)
     // positional deletes keep the metadata path EXACT: a proved file
     // contributes its survivors (all of which match), and the scanned
-    // remainder reads through the visible-row reader. EQUALITY entries
-    // make per-file metadata counts unknowable (the key split across
-    // files isn't recorded) — files any entry may cover DEMOTE to the
-    // scan side; files beyond every entry's reach keep the fast path
-    val (proved, toScan) = candidates.partition(f =>
+    // remainder reads through the visible-row reader. EQUALITY and
+    // PREDICATE-deferred entries make per-file metadata counts
+    // unknowable (their dead rows' split across files isn't recorded) —
+    // files any entry may cover DEMOTE to the scan side; files beyond
+    // every entry's reach keep the fast path
+    val (proved, toScan) = candidates.partition { f =>
+      val fsn = fileSnapId(f.path).getOrElse(Long.MinValue)
       Pruning.mustMatchAll(proofPred, f, augSchema) &&
-        !eqPend.exists(e =>
-          fileSnapId(f.path).getOrElse(Long.MinValue) <= e.covered))
+        !eqPend.exists(e => fsn <= e.covered) &&
+        !pend.exists { case (covered, _) => fsn <= covered }
+    }
     val posPend = parsePositional(s)
     val priorDeleted: Map[String, Long] =
       posPend.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
@@ -1950,7 +2030,7 @@ final class GraftTable private (
       f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum
     val scanned =
       if (toScan.isEmpty) 0L
-      else readVisible(spark, Nil, posPend, toScan, eqPend)
+      else readVisible(spark, pend, posPend, toScan, eqPend)
         .filter(predicate).count()
     metadataCount + scanned
   }
@@ -1965,14 +2045,24 @@ final class GraftTable private (
     * from O(matching files) rewrite to O(1), read cost gains one codegen'd
     * filter until [[compact]] materializes the deletes and clears them.
     *
-    * Interactions, kept deliberately conservative:
-    *  - copy-on-write [[delete]]/[[update]]/[[merge]] REFUSE to run while
-    *    deletes are pending (their candidate-file rewrites would need the
-    *    same scoping logic — materialize first via [[compact]]);
+    * Interactions:
+    *  - COMPOSES with pending positional and equality entries (the full
+    *    Iceberg-v2-style MoR matrix): the dead count runs over rows
+    *    visible under every pending form, so the forms' dead sets stay
+    *    disjoint and count(*)/stats add exactly while they stack;
+    *  - copy-on-write [[delete]]/[[update]]/[[merge]] compose too:
+    *    rewrites read survivors through the visible-row reader (a
+    *    predicate-dead row is never resurrected — the rewrite
+    *    materializes the filter for its files), covered whole-file
+    *    drops demote to rewrites, and touched entries degrade their
+    *    dead counts to None ([[degradePendingFor]] — degrade, never
+    *    lie);
     *  - [[changes]]/change feeds already document removals as
-    *    out-of-scope (additive feeds);
-    *  - the DSv2 catalog surface refuses pending-delete tables (it
-    *    delegates raw file lists to the parquet source).
+    *    out-of-scope (additive feeds); [[changesCdc]] emits the exact
+    *    per-entry retractions;
+    *  - the plain DSv2 catalog surface refuses pending-delete tables
+    *    (it delegates raw file lists to the parquet source);
+    *    GraftExtensions sessions splice the visible-rows plan.
     *
     * Returns None on an empty table. */
   def deleteDeferred(
@@ -1982,9 +2072,6 @@ final class GraftTable private (
       exactCount: Boolean = true): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePositional(current).isEmpty && parseEquality(current).isEmpty,
-      s"$dir has other merge-on-read deletes pending — the forms do not " +
-        "stack; compact() first")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -2013,11 +2100,16 @@ final class GraftTable private (
     // files are immutable, so the count recorded at commit never drifts.
     // `exactCount = false` keeps the pure metadata-only O(1) commit;
     // counts then degrade to scans until compaction.
+    // COMPOSES with pending positional and equality entries: the dead
+    // count runs over rows visible under EVERY pending form, so a row
+    // another form already hides is never counted twice and
+    // count(*)/stats stay exact by addition while the forms stack
     val prior = parsePendingFull(current)
     val dead: Option[Long] =
       if (!exactCount) None
-      else Some(readVisible(spark, prior.map(e => (e._1, e._2)), Nil,
-        candidates).filter(predicate).count())
+      else Some(readVisible(spark, prior.map(e => (e._1, e._2)),
+        parsePositional(current), candidates, parseEquality(current))
+        .filter(predicate).count())
     if (dead.contains(0L)) return None // provably nothing to delete
     val snapId = lg.nextId
     val pend = prior :+ ((current.snapshotId, sql, dead))
@@ -2051,12 +2143,11 @@ final class GraftTable private (
     * exact dead-row count so `count(*)`/stats stay metadata-exact while
     * pending; `exactCount = false` restores the pure O(keys) commit and
     * degrades counts to the scan fallback.
-    * COMPOSES with pending positional entries (Iceberg v2 allows both
-    * delete kinds concurrently): the dead count is taken against rows
-    * visible under the deletion vectors, so the two forms' dead sets
-    * stay disjoint and counts add exactly. Refused while
-    * predicate-deferred deletes are pending, on branch-era files, and
-    * by CoW DML / branching / raw DSv2 while pending.
+    * COMPOSES with pending positional AND predicate-deferred entries
+    * (the full MoR matrix): the dead count is taken against rows
+    * visible under every other pending form, so the forms' dead sets
+    * stay disjoint and counts add exactly. Refused on branch-era files
+    * and by branching / raw DSv2 while pending.
     * Returns None for an empty key set. */
   def deleteEquality(
       spark: SparkSession,
@@ -2066,9 +2157,6 @@ final class GraftTable private (
       exactCount: Boolean = true): Option[Snapshot] = {
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — that form does not " +
-        "stack with equality entries; compact() first")
     require(keyCols.nonEmpty, "at least one key column required")
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown key column '$c'"))
@@ -2106,7 +2194,7 @@ final class GraftTable private (
     // entries' victims — their dead counts carry into the merged entry)
     val deadNew =
       try equalityDeadCount(spark, exactCount, manifest, newKeys,
-        keyCols, prior, parsePositional(current))
+        keyCols, prior, parsePositional(current), parsePending(current))
       catch { case e: Throwable =>
         GraftTable.deleteRecursively(Paths.get(newStaging)); throw e
       }
@@ -2195,8 +2283,8 @@ final class GraftTable private (
     * source rows append without replacing anything. The entry is scoped
     * to pre-commit files, so the source's own rows are never hidden.
     * Stacks freely on prior equality entries AND on pending positional
-    * entries (the CDC-mirror + curation-job composition); refused while
-    * predicate-deferred deletes are pending and on branch-era files. */
+    * and predicate-deferred entries (the CDC-mirror + curation-job
+    * composition); refused on branch-era files. */
   /** Exact victim count of a NEW equality entry: rows of the covered
     * manifest visible under the `prior` entries whose key tuple appears
     * in the new entry's key files. Candidates are bounds-pruned on the
@@ -2211,7 +2299,8 @@ final class GraftTable private (
       keySel: DataFrame,
       keyCols: Seq[String],
       prior: Seq[EqualityDeletes],
-      posPend: Seq[PositionalDeletes]): Option[Long] = {
+      posPend: Seq[PositionalDeletes],
+      pend: Seq[(Long, String)] = Nil): Option[Long] = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     if (!exact) return None
     val k0 = keyCols.head
@@ -2223,10 +2312,11 @@ final class GraftTable private (
     val candidates = prunedFiles(manifest, rangePred)
     if (candidates.isEmpty) return Some(0L)
     // count against rows visible under PRIOR entries of every pending
-    // form (deletion vectors included): an already-dead row is never a
-    // new entry's victim, so the per-form dead sets stay disjoint and
-    // count(*)/stats remain exact by addition while forms stack
-    Some(readVisible(spark, Nil, posPend, candidates, prior)
+    // form (deletion vectors and predicate-deferred filters included):
+    // an already-dead row is never a new entry's victim, so the
+    // per-form dead sets stay disjoint and count(*)/stats remain exact
+    // by addition while forms stack
+    Some(readVisible(spark, pend, posPend, candidates, prior)
       .join(keySel, keyCols.toSeq, "left_semi").count())
   }
 
@@ -2251,9 +2341,6 @@ final class GraftTable private (
     if (cursor.exists { case (sinkId, batchId) =>
         streamCursors.get(sinkId).exists(_ >= batchId) })
       return None
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — that form does not " +
-        "stack with equality entries; compact() first")
     require(keyCols.nonEmpty, "at least one key column required")
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown key column '$c'"))
@@ -2304,7 +2391,7 @@ final class GraftTable private (
     // its victims), NEW keys only — prior entries' dead counts carry
     val deadNew =
       try equalityDeadCount(spark, exactCount, manifest, newKeys, keyCols,
-        prior, parsePositional(current))
+        prior, parsePositional(current), parsePending(current))
       catch { case e: Throwable =>
         newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
         GraftTable.deleteRecursively(Paths.get(newStaging)); throw e
@@ -2368,12 +2455,11 @@ final class GraftTable private (
     *    lives in THIS snapshot's summary);
     *  - [[compact]] materializes positions into rewritten files; the
     *    delete parquets are reclaimed by [[expireSnapshots]];
-    *  - COMPOSES with pending equality entries (victims are rows visible
-    *    under them, so the forms' dead sets stay disjoint and counts add
-    *    exactly; the whole-file drop fast path demotes to a vector
-    *    rewrite while they pend); refused while PREDICATE-deferred
-    *    deletes are pending, and avro targets are refused (no parquet
-    *    row index to address).
+    *  - COMPOSES with pending equality and predicate-deferred entries
+    *    (victims are rows visible under them, so the forms' dead sets
+    *    stay disjoint and counts add exactly; the whole-file drop fast
+    *    path demotes to a vector rewrite while they pend); avro targets
+    *    are refused (no parquet row index to address).
     *
     * Returns None when no file can match or no row matches. */
   def deletePositional(
@@ -2383,9 +2469,6 @@ final class GraftTable private (
     import org.apache.spark.sql.functions.coalesce
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — that form does not " +
-        "stack with positional entries; compact() first")
     val resolved = resolveAgainst(spark, schema,
       org.apache.spark.sql.classic.GraftBridge.expr(predicate))
     require(!resolved.references.exists(_.name.equalsIgnoreCase(virtualColumn)),
@@ -2400,23 +2483,27 @@ final class GraftTable private (
     val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
     val (dropped0, partial0) =
       candidates.partition(f => Pruning.mustMatchAll(proofPred, f, augSchema))
-    // under pending EQUALITY entries a whole-file drop of a COVERED file
-    // demotes to a vector rewrite: dropping a file whose rows are partly
-    // equality-dead would double-count them ("deleted-records" counts
-    // raw recordCount minus DV debt only) and leave the equality
-    // entries' dead counts referencing vanished files — DV-ing the
-    // visible victims instead keeps every count exact by disjointness.
-    // Files NO entry can reach (written after every covered snapshot)
-    // keep the metadata-only drop: demoting them would trade an O(1)
-    // manifest edit for an O(file rows) scan+vector, and would wrongly
-    // refuse provably-droppable non-parquet files.
+    // under pending EQUALITY or PREDICATE-deferred entries a whole-file
+    // drop of a COVERED file demotes to a vector rewrite: dropping a
+    // file whose rows are partly dead under another form would
+    // double-count them ("deleted-records" counts raw recordCount minus
+    // DV debt only) and leave the other entries' dead counts describing
+    // vanished files — DV-ing the visible victims instead keeps every
+    // count exact by disjointness. Files NO entry can reach (written
+    // after every covered snapshot) keep the metadata-only drop:
+    // demoting them would trade an O(1) manifest edit for an
+    // O(file rows) scan+vector, and would wrongly refuse
+    // provably-droppable non-parquet files.
     val eqPend0 = parseEquality(current)
+    val pend0 = parsePending(current)
     val (dropped, partial) =
-      if (eqPend0.isEmpty) (dropped0, partial0)
+      if (eqPend0.isEmpty && pend0.isEmpty) (dropped0, partial0)
       else {
-        val (coverable, freeDrop) = dropped0.partition(f =>
-          eqPend0.exists(e =>
-            fileSnapId(f.path).getOrElse(Long.MinValue) <= e.covered))
+        val (coverable, freeDrop) = dropped0.partition { f =>
+          val fsn = fileSnapId(f.path).getOrElse(Long.MinValue)
+          eqPend0.exists(e => fsn <= e.covered) ||
+            pend0.exists { case (covered, _) => fsn <= covered }
+        }
         (freeDrop, coverable ++ partial0)
       }
     positionalCore(spark, lg, current, manifest, untouchedM, dropped, partial,
@@ -2453,9 +2540,6 @@ final class GraftTable private (
     }
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — that form does not " +
-        "stack with positional entries; compact() first")
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val k0 = keyCols.head
     val bounds = keys.agg(fmin(col(k0)), fmax(col(k0))).head()
@@ -2492,9 +2576,6 @@ final class GraftTable private (
       s"victims DataFrame lacks column '$c'"))
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — that form does not " +
-        "stack with positional entries; compact() first")
     val pairs = victims
       .select(substring_index(col("_file"), "/", -1).as(MetaFileCol),
         col("_pos").cast(LongType).as(MetaPosCol))
@@ -2538,7 +2619,7 @@ final class GraftTable private (
     val adjusted = stripPositional(prior, droppedPaths)
     val (entries, newRels, newlyDead) =
       writeDeletionVectors(spark, manifest, partial, selectVictims,
-        adjusted, snapId, parseEquality(current))
+        adjusted, snapId, parseEquality(current), parsePending(current))
     if (newRels.isEmpty && dropped.isEmpty) return None
     val removed = dropped.map(f =>
       f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum + newlyDead
@@ -2579,7 +2660,8 @@ final class GraftTable private (
       selectVictims: DataFrame => DataFrame,
       prior: Seq[PositionalDeletes],
       snapId: Long,
-      eqEntries: Seq[EqualityDeletes] = Nil)
+      eqEntries: Seq[EqualityDeletes] = Nil,
+      pend: Seq[(Long, String)] = Nil)
       : (Seq[PositionalDeletes], Seq[String], Long) = {
     import org.apache.spark.sql.functions.substring_index
     require(partial.forall(_.path.endsWith(".parquet")),
@@ -2601,26 +2683,16 @@ final class GraftTable private (
     val legacyTargets: Set[String] =
       prior.filter(_.dvs.isEmpty).flatMap(_.targets.keys).toSet
 
-    // victims come from rows VISIBLE under pending equality entries: a
-    // row an equality tombstone already hides is never re-recorded in a
-    // vector, so the DV and equality dead sets stay disjoint (counts add
-    // exactly) and CDC never emits a second delete for a retracted row.
-    // Scoping matches the read path: entry e covers files written at
-    // snapshot ≤ e.covered (every file is attributable here — equality
-    // commits require it and refuse branch-era files).
-    val raw =
-      if (eqEntries.isEmpty) readFiles(spark, partial, withMeta = true)
-      else partial
-        .groupBy(f => eqEntries.map(e => e.covs.filter(
-          _ >= fileSnapId(f.path).getOrElse(Long.MinValue))))
-        .toSeq.sortBy(_._2.head.path)
-        .map { case (covSets, gfs) =>
-          eqEntries.zip(covSets).filter(_._2.nonEmpty)
-            .foldLeft(readFiles(spark, gfs, withMeta = true)) {
-              case (d, (e, covs)) =>
-                d.join(eqKeysScoped(spark, e, covs), e.cols, "left_anti")
-            }
-        }.reduce(_ unionByName _)
+    // victims come from rows VISIBLE under pending equality AND
+    // predicate-deferred entries: a row another form already hides is
+    // never re-recorded in a vector, so the per-form dead sets stay
+    // disjoint (counts add exactly) and CDC never emits a second delete
+    // for a retracted row. Scoping matches the read path: an entry
+    // covers files written at snapshot ≤ its covered id (every file is
+    // attributable here — the deferred forms require it and refuse
+    // branch-era files).
+    val raw = pendEqGroups(spark, pend, eqEntries, partial, meta = true)
+      .reduce(_ unionByName _)
     var victims = selectVictims(raw)
       .select(col(MetaFileCol), col(MetaPosCol).cast(LongType).as(MetaPosCol))
     // disjointness/exactness: never re-record an already-dead row.
@@ -2784,10 +2856,9 @@ final class GraftTable private (
     *
     * Semantics match [[update]]: every assignment is evaluated against
     * the OLD row in one projection; a NULL predicate row is untouched;
-    * partition source columns refuse. Stacks freely on pending
-    * positional deletes AND equality entries (victims are VISIBLE rows
-    * only — an equality-dead row is neither vectored nor rewritten);
-    * refused while predicate-deferred deletes are pending. Returns None
+    * partition source columns refuse. Stacks freely on every pending
+    * merge-on-read form (victims are VISIBLE rows only — a row another
+    * form hides is neither vectored nor rewritten). Returns None
     * when nothing matches. */
   def updatePositional(
       spark: SparkSession,
@@ -2797,9 +2868,6 @@ final class GraftTable private (
     import org.apache.spark.sql.functions.coalesce
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — that form does not " +
-        "stack with positional entries; compact() first")
     require(assignments.nonEmpty, "update requires at least one assignment")
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown update column '$c'"))
@@ -2815,18 +2883,20 @@ final class GraftTable private (
     if (candidates.isEmpty) return None
     val prior = parsePositional(current)
     val eqPend = parseEquality(current)
+    val pend = parsePending(current)
     val snapId = lg.nextId
     val (entries, newRels, newlyDead) =
       writeDeletionVectors(spark, manifest, candidates,
         raw => raw.filter(coalesce(predicate, lit(false))), prior, snapId,
-        eqPend)
+        eqPend, pend)
     if (newRels.isEmpty) return None // no visible row matched: no commit
     // new values for exactly the superseded rows — assignments all read
     // the OLD row (one projection; predicate is TRUE on every victim).
-    // Equality entries apply too: an equality-dead row must not be
-    // resurrected as an updated copy (its position was excluded from the
-    // vectors above for the same reason)
-    val newRows = readVisible(spark, Nil, prior, candidates, eqPend)
+    // Equality and predicate-deferred entries apply too: a row another
+    // form already hides must not be resurrected as an updated copy
+    // (its position was excluded from the vectors above for the same
+    // reason)
+    val newRows = readVisible(spark, pend, prior, candidates, eqPend)
       .filter(coalesce(predicate, lit(false)))
       .select(schema.fieldNames.map { c =>
         assignments.get(c).map(_.as(c)).getOrElse(col(c))
@@ -2867,12 +2937,6 @@ final class GraftTable private (
     readVisible(spark, parsePending(s), parsePositional(s), files,
       parseEquality(s))
 
-  private def readFilteredByPending(
-      spark: SparkSession,
-      pend: Seq[(Long, String)],
-      files: Seq[DataFileEntry]): DataFrame =
-    readVisible(spark, pend, Nil, files)
-
   /** The single VISIBLE-ROW reader: `files` minus every merge-on-read
     * delete form. Predicate-deferred and EQUALITY deletes group files by
     * which entries cover them (by file snapshot id) — each group gets
@@ -2896,30 +2960,8 @@ final class GraftTable private (
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val targeted: Set[String] = posEntries.flatMap(_.targets.keys).toSet
     val (withDel, clean) = files.partition(f => targeted.contains(f.path))
-    // predicate-deferred + equality grouping, shared by both halves.
-    // Equality entries scope PER ROW (consolidated key files carry each
-    // row's covering snapshot): a group's anti-join relation is the
-    // entry's keys restricted to the covering snapshots ≥ the group's
-    // file snapshot — still ONE anti-join per (group, key-column set),
-    // whatever the stacking depth
     def pendGroups(fs: Seq[DataFileEntry], meta: Boolean): Seq[DataFrame] =
-      if (fs.isEmpty) Nil
-      else if (pend.isEmpty && eqEntries.isEmpty) Seq(readFiles(spark, fs, meta))
-      else {
-        val groups = fs.groupBy { f =>
-          val fsn = fileSnapId(f.path).getOrElse(Long.MinValue) // unattributable: assume oldest (over-filtering is impossible — deleteDeferred refuses such tables; this path exists for robustness only)
-          (pend.filter { case (covered, _) => fsn <= covered }.map(_._2),
-            eqEntries.map(e => e.covs.filter(_ >= fsn)))
-        }
-        groups.toSeq.sortBy(_._2.head.path).map { case ((preds, covSets), gfs) =>
-          val base = preds.foldLeft(readFiles(spark, gfs, meta))((d, p) =>
-            d.filter(coalesce(not(expr(p)), lit(true))))
-          eqEntries.zip(covSets).filter(_._2.nonEmpty).foldLeft(base) {
-            case (d, (e, covs)) =>
-              d.join(eqKeysScoped(spark, e, covs), e.cols, "left_anti")
-          }
-        }
-      }
+      pendEqGroups(spark, pend, eqEntries, fs, meta)
     val delBranches =
       if (withDel.isEmpty) Nil
       else {
@@ -2965,6 +3007,43 @@ final class GraftTable private (
     (pendGroups(clean, meta = false) ++ delBranches)
       .map(_.select(schema.fieldNames.map(col): _*))
       .reduce(_ union _)
+  }
+
+  /** `fs` read with the covering PREDICATE-deferred filters and
+    * EQUALITY anti-joins applied (positional entries excluded) — the
+    * grouping shared by [[readVisible]] and the positional-delete
+    * victim scan. Files group by WHICH entries cover them (by file
+    * snapshot id); each group gets its covering predicates as residual
+    * filters and its covering key sets as anti-joins. Equality entries
+    * scope PER ROW (consolidated key files carry each row's covering
+    * snapshot): a group's anti-join relation is the entry's keys
+    * restricted to covering snapshots ≥ the group's file snapshot —
+    * still ONE anti-join per (group, key-column set), whatever the
+    * stacking depth. */
+  private def pendEqGroups(
+      spark: SparkSession,
+      pend: Seq[(Long, String)],
+      eqEntries: Seq[EqualityDeletes],
+      fs: Seq[DataFileEntry],
+      meta: Boolean): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, not}
+    if (fs.isEmpty) Nil
+    else if (pend.isEmpty && eqEntries.isEmpty) Seq(readFiles(spark, fs, meta))
+    else {
+      val groups = fs.groupBy { f =>
+        val fsn = fileSnapId(f.path).getOrElse(Long.MinValue) // unattributable: assume oldest (over-filtering is impossible — the deferred forms refuse such tables; this path exists for robustness only)
+        (pend.filter { case (covered, _) => fsn <= covered }.map(_._2),
+          eqEntries.map(e => e.covs.filter(_ >= fsn)))
+      }
+      groups.toSeq.sortBy(_._2.head.path).map { case ((preds, covSets), gfs) =>
+        val base = preds.foldLeft(readFiles(spark, gfs, meta))((d, p) =>
+          d.filter(coalesce(not(expr(p)), lit(true))))
+        eqEntries.zip(covSets).filter(_._2.nonEmpty).foldLeft(base) {
+          case (d, (e, covs)) =>
+            d.join(eqKeysScoped(spark, e, covs), e.cols, "left_anti")
+        }
+      }
+    }
   }
 
   private def baseName(relPath: String): String =
@@ -3018,9 +3097,6 @@ final class GraftTable private (
     import org.apache.spark.sql.functions.when
     val lg = log
     val current = lg.current.getOrElse(return None)
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — compact() to " +
-        "materialize them before running copy-on-write DML")
     require(assignments.nonEmpty, "update requires at least one assignment")
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"unknown update column '$c'"))
@@ -3036,13 +3112,16 @@ final class GraftTable private (
     if (candidates.isEmpty) return None
 
     val snapId = lg.nextId
-    // pending POSITIONAL and EQUALITY deletes compose exactly as in
-    // delete(): the rewrite reads visible rows only (an equality-dead
-    // row is never resurrected — its tombstone materializes with the
-    // rewrite), and rewritten files leave the positional entries
+    // pending POSITIONAL, EQUALITY and PREDICATE-deferred deletes
+    // compose exactly as in delete(): the rewrite reads visible rows
+    // only (a row another form hides is never resurrected — its
+    // tombstone/filter materializes with the rewrite), and rewritten
+    // files leave the positional entries
     val posPend = parsePositional(current)
     val eqPend = parseEquality(current)
-    val src = readVisible(spark, Nil, posPend, candidates, eqPend)
+    val pendFull = parsePendingFull(current)
+    val pend = pendFull.map(e => (e._1, e._2))
+    val src = readVisible(spark, pend, posPend, candidates, eqPend)
     // ONE projection computing every assignment from the OLD row (SQL
     // UPDATE semantics): chained withColumn would let later assignments
     // observe earlier ones' new values — wrong, and Map-order-dependent
@@ -3062,6 +3141,8 @@ final class GraftTable private (
       extraSummary = Map(
         "rewritten-data-files" -> candidates.size.toString,
         "updated-columns" -> assignments.keys.toSeq.sorted.mkString(","),
+        SummaryPendingDeletes ->
+          pendingJsonFull(degradePendingFor(pendFull, candidates)),
         SummaryPositionalDeletes -> positionalJson(stillPositional),
         SummaryEqualityDeletes ->
           equalityJson(degradeEqualityFor(eqPend, candidates)))))
@@ -3088,12 +3169,9 @@ final class GraftTable private (
     if (mergeSchema) {
       // EVERY deterministic refusal this merge could hit is checked
       // BEFORE widenForSource commits addColumn metadata (which is
-      // permanent — dropColumn only tombstones): the CoW pending-deletes
-      // refusal, and the merge key against the WOULD-BE widened field
-      // set. A merge that would refuse must refuse with nothing evolved.
-      require(log.current.forall(c => parsePending(c).isEmpty),
-        s"$dir has predicate-deferred deletes pending — compact() to " +
-          "materialize them before running copy-on-write DML")
+      // permanent — dropColumn only tombstones): the merge key against
+      // the WOULD-BE widened field set. A merge that would refuse must
+      // refuse with nothing evolved.
       val widenedNames = schema.fieldNames ++
         source.schema.fieldNames.filterNot(n =>
           schema.fieldNames.exists(_.equalsIgnoreCase(n)))
@@ -3117,9 +3195,6 @@ final class GraftTable private (
           "would write files the table schema cannot read back)")
     }
     val lg = log
-    require(lg.current.forall(c => parsePending(c).isEmpty),
-      s"$dir has predicate-deferred deletes pending — compact() to " +
-        "materialize them before running copy-on-write DML")
     val snapId = lg.nextId
     val manifest = lg.current
       .map(s => Manifest.read(s"$dir/${s.manifestList}"))
@@ -3137,13 +3212,15 @@ final class GraftTable private (
 
     // no forced broadcast: delta batches are usually tiny (AQE broadcasts
     // them), but a huge backfill source must be allowed to shuffle-join.
-    // Pending POSITIONAL and EQUALITY deletes compose as in
-    // delete()/update().
+    // Pending POSITIONAL, EQUALITY and PREDICATE-deferred deletes
+    // compose as in delete()/update().
     val posPend = lg.current.map(parsePositional).getOrElse(Nil)
     val eqPend = lg.current.map(parseEquality).getOrElse(Nil)
+    val pendFull = lg.current.map(parsePendingFull).getOrElse(Nil)
+    val pend = pendFull.map(e => (e._1, e._2))
     val survivors =
       if (candidates.isEmpty) source
-      else readVisible(spark, Nil, posPend, candidates, eqPend)
+      else readVisible(spark, pend, posPend, candidates, eqPend)
         .join(source.select(col(keyCol).as("__mk")).distinct(),
           col(keyCol) === col("__mk"), "left_anti")
         .unionByName(source)
@@ -3158,6 +3235,8 @@ final class GraftTable private (
       extraSummary = Map(
         "rewritten-data-files" -> candidates.size.toString,
         "merge-key" -> keyCol,
+        SummaryPendingDeletes ->
+          pendingJsonFull(degradePendingFor(pendFull, candidates)),
         SummaryPositionalDeletes -> positionalJson(stillPositional),
         SummaryEqualityDeletes ->
           equalityJson(degradeEqualityFor(eqPend, candidates))))
@@ -3187,8 +3266,8 @@ final class GraftTable private (
     * the whole table — the inherently global sync-to-source shape.
     * A target row matching more than one source row is refused (SQL
     * MERGE cardinality), checked as one aggregate over the source's key
-    * tuples. Pending positional deletes compose as in [[merge]]; the
-    * other merge-on-read forms refuse (compact() first). Returns None
+    * tuples. Pending merge-on-read state of every form composes as in
+    * [[merge]]. Returns None
     * when the merge provably touches nothing. */
   def mergeActions(
       spark: SparkSession,
@@ -3210,9 +3289,6 @@ final class GraftTable private (
     require(!schema.fieldNames.exists(_.startsWith(P)),
       s"table columns may not start with the reserved prefix $P")
     val lg = log
-    require(lg.current.forall(c => parsePending(c).isEmpty),
-      s"$dir has predicate-deferred deletes pending — compact() to " +
-        "materialize them before running copy-on-write DML")
     val snapId = lg.nextId
     val manifest = lg.current
       .map(s => Manifest.read(s"$dir/${s.manifestList}"))
@@ -3261,6 +3337,8 @@ final class GraftTable private (
 
     val posPend = lg.current.map(parsePositional).getOrElse(Nil)
     val eqPendMerge = lg.current.map(parseEquality).getOrElse(Nil)
+    val pendFullMerge = lg.current.map(parsePendingFull).getOrElse(Nil)
+    val pendMerge = pendFullMerge.map(e => (e._1, e._2))
     val srcP = source.select(source.columns.map(c => col(c).as(P + c)) :+
       lit(true).as(P + "__matched"): _*)
 
@@ -3283,7 +3361,8 @@ final class GraftTable private (
     val rewrittenOpt: Option[DataFrame] =
       if (candidates.isEmpty || !rowModifying) None
       else {
-        val tgt = readVisible(spark, Nil, posPend, candidates, eqPendMerge)
+        val tgt = readVisible(spark, pendMerge, posPend, candidates,
+          eqPendMerge)
         val joinCond = keyPairs.map { case (tk, sk) =>
           tgt(tk) === srcP(P + sk) }.reduce(_ && _)
         val joined = tgt.join(srcP, joinCond, "left_outer")
@@ -3307,7 +3386,7 @@ final class GraftTable private (
             // every possibly-matching target key lives in a candidate
             // file (pruning is conservative over the source key range),
             // so the anti-join against candidate keys is exact
-            val tgtKeys = readVisible(spark, Nil, posPend, candidates,
+            val tgtKeys = readVisible(spark, pendMerge, posPend, candidates,
                 eqPendMerge)
               .select(keyPairs.map { case (tk, _) =>
                 col(tk).as(P + "__t_" + tk) }: _*)
@@ -3358,6 +3437,8 @@ final class GraftTable private (
       extraSummary = Map(
         "rewritten-data-files" -> candidates.size.toString,
         "merge-key" -> keyPairs.map(_._1).mkString(","),
+        SummaryPendingDeletes ->
+          pendingJsonFull(degradePendingFor(pendFullMerge, candidates)),
         SummaryPositionalDeletes -> positionalJson(stillPositional),
         SummaryEqualityDeletes ->
           equalityJson(degradeEqualityFor(eqPendMerge, candidates)))))
@@ -3397,9 +3478,6 @@ final class GraftTable private (
     val current = lg.current.getOrElse(
       throw new IllegalArgumentException(
         s"$dir has no snapshot — append() the initial data first"))
-    require(parsePending(current).isEmpty,
-      s"$dir has predicate-deferred deletes pending — that form does not " +
-        "stack with equality entries; compact() first")
     val srcKeyCols = keyPairs.map(_._2)
     if (matched.nonEmpty) {
       val keysNotNull = srcKeyCols.map(col(_).isNotNull).reduce(_ && _)
@@ -3429,8 +3507,8 @@ final class GraftTable private (
       if (candidates.isEmpty) source.withColumn(M, lit(false))
       else {
         val eq = parseEquality(current)
-        val tgtKeys = readVisible(spark, Nil, parsePositional(current),
-            candidates, eq)
+        val tgtKeys = readVisible(spark, parsePending(current),
+            parsePositional(current), candidates, eq)
           .select(keyPairs.map { case (tk, _) =>
             col(tk).as(GraftTable.MergeSrcPrefix + tk) }: _*)
           .distinct()
@@ -3690,7 +3768,23 @@ final class GraftTable private (
     * is never pruned by predicates on it — conservative by construction).
     * Returns the evolved table handle; the on-disk metadata is updated
     * atomically. */
-  def addColumn(name: String, dataType: DataType): GraftTable = {
+  def addColumn(name: String, dataType: DataType): GraftTable =
+    addColumn(name, dataType, defaultSql = None)
+
+  /** [[addColumn]] with an optional DEFAULT (Iceberg v3 initial/write
+    * default parity): `defaultSql` is a constant-foldable SQL literal
+    * (e.g. `"'unknown'"`, `"0"`, `"DATE'2026-01-01'"`). Rows in files
+    * written BEFORE this event read the default instead of NULL — a
+    * per-era projection, so values physically written after the add
+    * (NULL included) are untouched; and a write source LACKING the
+    * column fills it at write time (the write default). Metadata-only
+    * like every evolution here; `compact()` materializes the default
+    * physically and retires the era. Pre-default files refuse the raw
+    * DSv2 file-list scan exactly like pre-rename ones (the extensions'
+    * SQL splice and every library read serve them). */
+  def addColumn(
+      name: String, dataType: DataType,
+      defaultSql: Option[String]): GraftTable = {
     require(!schema.fieldNames.contains(name),
       s"column '$name' already exists in $dir")
     require(name != virtualColumn,
@@ -3707,9 +3801,36 @@ final class GraftTable private (
       s"column '$name' is an old-era physical name in $dir (renamed " +
         "away) — adding it would resurrect pre-rename values; pick a " +
         "new name")
-    writeMeta(newSchema =
-      StructType(schema.fields :+ StructField(name, dataType, nullable = true)))
+    val newDefaults = defaultSql match {
+      case None => defaults
+      case Some(sql) =>
+        GraftTable.validateDefault(name, dataType, sql)
+        defaults :+ ColumnDefault(log.nextId, name, sql,
+          seq = renames.size.toLong + widenings.size + defaults.size)
+    }
+    writeMeta(
+      newSchema = StructType(
+        schema.fields :+ StructField(name, dataType, nullable = true)),
+      newDefaults = newDefaults)
   }
+
+  /** Record WRITE defaults for EXISTING columns at table-creation time
+    * (`CREATE TABLE (c INT DEFAULT 5)`): no file predates the table, so
+    * only the write-side fill ever applies — the read-side era fill is
+    * vacuous by construction. */
+  private[table] def withCreateDefaults(
+      ds: Seq[(String, String)]): GraftTable =
+    if (ds.isEmpty) this
+    else {
+      ds.foreach { case (c, sql) =>
+        require(schema.fieldNames.contains(c), s"unknown column '$c'")
+        GraftTable.validateDefault(c, schema(c).dataType, sql)
+      }
+      writeMeta(newDefaults = defaults ++ ds.zipWithIndex.map {
+        case ((c, sql), i) => ColumnDefault(log.nextId, c, sql,
+          seq = renames.size.toLong + widenings.size + defaults.size + i)
+      })
+    }
 
   /** Schema evolution: DROP a column — metadata-only, like [[addColumn]]
     * (Iceberg drops are metadata edits too; the vectorized reader simply
@@ -3748,7 +3869,10 @@ final class GraftTable private (
       // the dropped column's ANALYZE stats leave with it
       newProps = properties -- Seq(s"$PropStatsNdvPrefix$name",
         s"$PropStatsSketchPrefix$name", s"$PropStatsSnapPrefix$name"),
-      newDropped = (droppedColumns ++ aliases).distinct)
+      newDropped = (droppedColumns ++ aliases).distinct,
+      // its default event leaves too (the era walk would otherwise
+      // match a ghost name if the alias were ever legal again)
+      newDefaults = defaults.filterNot(d => aliases.contains(d.col)))
   }
 
   /** Schema evolution: RENAME a column — metadata-only. Files keep their
@@ -3813,7 +3937,7 @@ final class GraftTable private (
         if (f.name == from) f.copy(name = to) else f)),
       newProps = migrated,
       newRenames = renames :+ ColumnRename(log.nextId, from, to,
-        seq = renames.size.toLong + widenings.size))
+        seq = renames.size.toLong + widenings.size + defaults.size))
   }
 
   /** Schema evolution: losslessly WIDEN a column's type (Iceberg's type
@@ -3849,7 +3973,7 @@ final class GraftTable private (
       newSchema = StructType(schema.fields.map(f =>
         if (f.name == name) f.copy(dataType = to) else f)),
       newWidenings = widenings :+ ColumnWidening(log.nextId, name, from, to,
-        seq = renames.size.toLong + widenings.size))
+        seq = renames.size.toLong + widenings.size + defaults.size))
   }
 
   /** Update table properties (set `updates`, drop `removals`) — the knobs
@@ -3935,32 +4059,42 @@ final class GraftTable private (
       require(i >= 0, s"manifest path without a data/ segment: $relPath")
       Paths.get(dir, segs.take(i + 1).mkString("/")).normalize().toString
     }
-    // files additionally group by their ERA's physical column names and
-    // types (metadata-only renames/widenings leave each file holding its
-    // era's name/type; reads alias + losslessly cast back to the logical
-    // schema — [[physicalField]])
-    def mapping(f: DataFileEntry): Seq[(String, DataType)] = {
+    // files additionally group by their ERA's physical column names,
+    // types and pending DEFAULT fills (metadata-only renames/widenings
+    // leave each file holding its era's name/type; a file predating an
+    // add-with-default lacks the column entirely and its rows read the
+    // stored literal — [[physicalFieldFull]])
+    def mapping(f: DataFileEntry): Seq[(String, DataType, Option[String])] = {
       val sid = fileSnapId(f.path)
-      schema.fieldNames.toSeq.map(c => physicalField(c, sid))
+      schema.fieldNames.toSeq.map(c => physicalFieldFull(c, sid))
     }
     val bySpec =
       files.groupBy(f => (f.partition.keySet, dataRoot(f.path), mapping(f)))
     bySpec.toSeq.sortBy { case ((cols, root, m), _) =>
-      (cols.toSeq.sorted.mkString(","), root, m.map(_._1).mkString(",")) }
+      (cols.toSeq.sorted.mkString(","), root,
+        m.map(x => x._1 + x._3.getOrElse("")).mkString(",")) }
       .map { case ((specCols, root, phys), fs) =>
         val paths = fs.map(f => Paths.get(dir, f.path).normalize().toString)
         val avroPaths = paths.filter(_.endsWith(".avro"))
         val orcPaths = paths.filter(_.endsWith(".orc"))
         val parqPaths = paths.filterNot(p =>
           p.endsWith(".avro") || p.endsWith(".orc"))
-        val physSchema = StructType(schema.fields.zip(phys).map {
-          case (f, (p, t)) => f.copy(name = p, dataType = t)
+        // a column this group's files PREDATE (add-with-default era) is
+        // left out of the read schema entirely — its physical values
+        // don't exist — and its projection is the stored literal
+        val physSchema = StructType(schema.fields.zip(phys).collect {
+          case (f, (p, t, None)) => f.copy(name = p, dataType = t)
         })
         // physical → logical projection (identity when no event applies);
-        // widened columns cast losslessly up to the logical type
-        val base = phys.zip(schema.fields).map { case ((p, t), lf) =>
-          val c0 = col(p)
-          (if (t == lf.dataType) c0 else c0.cast(lf.dataType)).as(lf.name)
+        // widened columns cast losslessly up to the logical type;
+        // defaulted-absent columns fill the literal
+        val base = phys.zip(schema.fields).map {
+          case ((_, _, Some(dsql)), lf) =>
+            org.apache.spark.sql.functions.expr(dsql)
+              .cast(lf.dataType).as(lf.name)
+          case ((p, t, None), lf) =>
+            val c0 = col(p)
+            (if (t == lf.dataType) c0 else c0.cast(lf.dataType)).as(lf.name)
         }
         val branches = Seq(
           Option.when(parqPaths.nonEmpty) {
@@ -4320,7 +4454,12 @@ final class GraftTable private (
           entries.map { case (covered, predSql) =>
             val coveredFiles = files(s).filter(f =>
               fileSnapId(f.path).forall(_ <= covered))
-            val survivors = readFilteredByPending(spark, parentPend, coveredFiles)
+            // survivors under the parent's WHOLE pending state (all
+            // three forms): a row a positional vector or equality
+            // tombstone already hides was retracted by ITS commit —
+            // emitting it again here would double-retract
+            val survivors = readVisible(spark, parentPend,
+              parsePositional(p), coveredFiles, parseEquality(p))
             // rows DELETED are those where the predicate is TRUE (NULL
             // keeps the row — same semantics as the read path)
             tag(survivors.filter(expr(predSql) <=> true), "delete", s)
@@ -4380,9 +4519,13 @@ final class GraftTable private (
           val curPaths = files(s).map(_.path).toSet
           val droppedFs = pf.filterNot(f => curPaths.contains(f.path))
           val addedFs = files(s).filterNot(f => parentPaths.contains(f.path))
+          // dropped whole files can only be ones no predicate/equality
+          // entry covers (covered drops demote to rewrites) — the
+          // parent's full state is still applied for robustness
           val droppedDel =
             if (droppedFs.isEmpty) Nil
-            else Seq(tag(readVisible(spark, Nil, pPos, droppedFs), "delete", s))
+            else Seq(tag(readVisible(spark, parsePending(p), pPos,
+              droppedFs, parseEquality(p)), "delete", s))
           val inserts =
             if (addedFs.isEmpty) Nil
             else Seq(tag(readOrEmpty(addedFs), "insert", s))
@@ -5397,6 +5540,18 @@ object GraftTable {
   final case class ColumnRename(
       at: Long, from: String, to: String, seq: Long = 0L)
 
+  /** One add-column-with-DEFAULT era (Iceberg v3 `initial-default`
+    * parity): files written at snapshot < `at` predate the column
+    * entirely — reads fill the stored SQL literal instead of NULL
+    * (values physically written after the add, NULL included, are
+    * untouched: the fill is per-ERA projection, never a coalesce over
+    * live data). `col` is the column's logical name AT ADD TIME; `seq`
+    * orders events sharing an `at` exactly like renames/widenings. The
+    * same literal is the WRITE default: an append/merge source lacking
+    * the column fills it at write time. */
+  final case class ColumnDefault(
+      at: Long, col: String, sql: String, seq: Long = 0L)
+
   /** One lossless type-widening era (Iceberg's type promotion): files
     * written at snapshot < `at` hold `col` (its logical name AT widening
     * time) under physical type `from`; reads cast to `to`. `seq` orders
@@ -5406,6 +5561,19 @@ object GraftTable {
     * the wrong era (caught by SchemaEvolutionPropertySpec). */
   final case class ColumnWidening(
       at: Long, col: String, from: DataType, to: DataType, seq: Long = 0L)
+
+  /** A stored column default must be a CONSTANT of the column's type
+    * and survive a SQL round-trip (it is re-planned at every read of a
+    * pre-add file and every defaulted write) — fail loudly at
+    * declaration, not at first scan. */
+  private[table] def validateDefault(
+      name: String, dataType: DataType, sql: String): Unit = {
+    val e = org.apache.spark.sql.classic.GraftBridge.expr(
+      org.apache.spark.sql.functions.expr(sql).cast(dataType))
+    require(e.resolved && e.foldable,
+      s"default for '$name' must be a constant literal, got: $sql")
+    e.eval(null): Unit // evaluates or throws (ANSI cast errors surface here)
+  }
 
   /** Lossless promotions (the Iceberg set plus the small-int chain). */
   private[table] def losslessWidening(from: DataType, to: DataType): Boolean =
@@ -5586,8 +5754,15 @@ object GraftTable {
           DataType.fromJson(m("to").asInstanceOf[String]),
           m.get("seq").collect { case l: Long => l }.getOrElse(0L))
       }
+    val defaults = meta.getOrElse("column_defaults", Seq.empty[Any])
+      .asInstanceOf[Seq[Any]].map { d =>
+        val m = d.asInstanceOf[Map[String, Any]]
+        ColumnDefault(m("at").asInstanceOf[Long],
+          m("col").asInstanceOf[String], m("sql").asInstanceOf[String],
+          m.get("seq").collect { case l: Long => l }.getOrElse(0L))
+      }
     new GraftTable(dir, schema, props, partitionBy, dropped, renames,
-      widenings)
+      widenings, defaults)
   }
 
   def exists(dir: String): Boolean =

@@ -137,21 +137,37 @@ class DeferredDeleteSpec extends SparkSpecBase {
     assert(t.delete(spark, col("id") === 2L, Some(3000L)).isDefined)
   }
 
-  test("copy-on-write DML and the DSv2 surface refuse while pending") {
+  test("copy-on-write DML composes while pending: no resurrection, counts degrade") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
-    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
     t.deleteDeferred(spark, col("id") === 2L, Some(2000L))
+    assert(t.pendingDeletedCount.contains(1L))
 
-    intercept[IllegalArgumentException] {
-      t.delete(spark, col("id") === 1L)
-    }
-    intercept[IllegalArgumentException] {
-      t.update(spark, col("id") === 1L, Map("data" -> lit("z")))
-    }
-    intercept[IllegalArgumentException] {
-      t.merge(spark, mkDf(1L -> "m"), "id")
-    }
+    // CoW update of a COVERED file: the rewrite reads survivors only —
+    // the predicate-dead row (id=2) is never resurrected, and the
+    // touched entry degrades its dead count (degrade, never lie)
+    assert(t.update(spark, col("id") === 1L,
+      Map("data" -> lit("z")), Some(3000L)).isDefined)
+    assert(t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap == Map(1L -> "z", 3L -> "c"))
+    assert(t.pendingDeletes.nonEmpty, "entry must survive (conservative)")
+    assert(t.pendingDeletedCount.isEmpty, "touched entry must degrade")
+    assert(t.read(spark).count() == 2L, "count falls back to scan, stays right")
+
+    // CoW delete composes the same way
+    assert(t.delete(spark, col("id") === 3L, Some(4000L)).isDefined)
+    assert(t.read(spark).collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // merge upsert: the dead key may be re-inserted (new file isn't
+    // covered by the old predicate) and the old copy stays dead
+    t.merge(spark, mkDf(2L -> "back"), "id", Some(5000L))
+    assert(t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap == Map(1L -> "z", 2L -> "back"))
+    // compaction clears the degraded entries
+    t.compact(spark, Long.MaxValue, Some(6000L))
+    assert(t.pendingDeletes.isEmpty)
+    assert(t.read(spark).count() == 2L)
   }
 
   test("SQL path applies pending deletes; count(*) stays metadata-exact") {

@@ -181,10 +181,17 @@ class EqualityDeleteSpec extends SparkSpecBase {
     val t = GraftTable.create(s"$dir/t", schema)
     t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
     t.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"), Some(2000L))
-    // positional AND copy-on-write DML COMPOSE now (MorCompositionSpec
-    // covers both); the predicate-deferred form and branching refuse
-    intercept[IllegalArgumentException] {
-      t.deleteDeferred(spark, col("id") === 2, Some(3000L)) }
+    // every form COMPOSES now (MorCompositionSpec covers the matrix):
+    // deferred stacks on equality, dead counted over eq-visible rows
+    // (on a SECOND table so this test's counts stay independent);
+    // only branching still refuses while entries pend
+    val tc = GraftTable.create(s"$dir/tc", schema)
+    tc.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    tc.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"), Some(2000L))
+    tc.deleteDeferred(spark, col("id") === 2, Some(3000L))
+    assert(tc.pendingDeletedCount.contains(1L))
+    assert(tc.equalityDeletedCount.contains(1L))
+    assert(tc.read(spark).count() == 0L)
     intercept[IllegalArgumentException] { t.createBranch("audit") }
     // countWhere serves through the visible-row scan (covered files
     // demote off the metadata fast path)

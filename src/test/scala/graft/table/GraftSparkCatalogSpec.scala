@@ -538,16 +538,16 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     }
     assert(e2.getMessage.toLowerCase.contains("keyed upserts"), e2.getMessage)
 
-    // deferred (predicate) MoR delete pending → SQL DELETE must be
-    // refused as unsupported up front, not die in a deep require
+    // deferred (predicate) MoR delete pending → the extensions session
+    // routes SQL DELETE through GraftDeleteCommand (the full matrix:
+    // CoW composes with pending predicate entries)
     t.deleteDeferred(spark, org.apache.spark.sql.functions.col("id") === 1L,
       Some(2000L))
-    val e3 = intercept[Exception] {
-      sqlS.sql("DELETE FROM g2.db.dmlref WHERE id = 2")
-    }
-    assert(!e3.getMessage.contains("compact() first"),
-      s"refusal leaked the internal require: ${e3.getMessage}")
-    assert(GraftTable.load(s"$wh/db/dmlref").log.snapshots.size == 2)
+    sqlS.sql("DELETE FROM g2.db.dmlref WHERE id = 2")
+    val after = GraftTable.load(s"$wh/db/dmlref")
+    assert(after.log.snapshots.size == 3)
+    assert(after.read(spark).count() == 0L,
+      "SQL DELETE on a predicate-pending table must compose, not refuse")
   }
 
   private val cdcSchema = StructType(Seq(

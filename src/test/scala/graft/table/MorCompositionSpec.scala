@@ -290,4 +290,135 @@ class MorCompositionSpec extends SparkSpecBase {
       "expire left orphan delete artifacts after materialization")
     assert(ids(t) == Seq(3L))
   }
+
+  /** The three-form exact-count identity (predicate entries included). */
+  private def assertTriadCounts(t: GraftTable, hint: String): Unit = {
+    val total = t.log.current
+      .map(s => Manifest.read(s"${t.dir}/${s.manifestList}").totalRecords)
+      .getOrElse(0L)
+    val eq = t.equalityDeletedCount
+    val pd = t.pendingDeletedCount
+    assert(eq.isDefined && pd.isDefined, s"$hint: a dead count degraded")
+    assert(total - t.positionalDeletedCount - eq.get - pd.get ==
+      t.read(spark).count(),
+      s"$hint: metadata count (total=$total dv=${t.positionalDeletedCount} " +
+        s"eq=${eq.get} pred=${pd.get}) != scan")
+  }
+
+  test("full MoR triad stacks on one table: DV + equality + predicate") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e",
+      6L -> "f"), Some(1000L))                                      // 1
+    t.deletePositional(spark, col("id") === 1L, Some(2000L))        // 2
+    t.deleteEquality(spark, mkDf(2L -> "x").select("id"),
+      Seq("id"), Some(3000L))                                       // 3
+    // predicate stacks on BOTH: its dead count must see only rows the
+    // other forms left visible (id=3 matches; 1 and 2 are already dead)
+    t.deleteDeferred(spark, col("id") <= 3L, Some(4000L))           // 4
+    assert(t.pendingDeletedCount.contains(1L),
+      "predicate dead must be counted over DV+equality-visible rows")
+    assertTriadCounts(t, "triad pending")
+    assert(ids(t) == Seq(4L, 5L, 6L))
+    // time travel sees through each era
+    assert(ids(t, Some(1L)) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(ids(t, Some(3L)) == Seq(3L, 4L, 5L, 6L))
+    // the OTHER stacking direction: equality and positional land ON a
+    // predicate-pending table, dead drawn from predicate-visible rows
+    t.deleteEquality(spark, mkDf(3L -> "x", 4L -> "x").select("id"),
+      Seq("id"), Some(5000L))                                       // 5
+    assert(t.equalityDeletedCount.contains(2L),
+      "a predicate-dead row (id=3) must not be re-counted by equality")
+    t.deletePositional(spark, col("id") <= 5L, Some(6000L))         // 6
+    assert(t.positionalDeletedCount == 2L,
+      "only id=5 is newly vectorable (1 already dead, 2/3/4 other-form dead)")
+    assertTriadCounts(t, "triad stacked deeper")
+    assert(ids(t) == Seq(6L))
+    // appended rows are untouched by every covered entry
+    t.append(mkDf(1L -> "reborn", 3L -> "reborn"), Some(7000L))     // 7
+    assert(ids(t) == Seq(1L, 3L, 6L))
+    assertTriadCounts(t, "after re-insert")
+    // one compact materializes all three forms
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(8000L))
+    assert(t.pendingDeletes.isEmpty && t.positionalDeletes.isEmpty &&
+      t.equalityDeletes.isEmpty)
+    assert(ids(t) == Seq(1L, 3L, 6L))
+  }
+
+  test("positional update never resurrects predicate-dead rows") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "low", 2L -> "low", 3L -> "hi"), Some(1000L))
+    t.deleteDeferred(spark, col("data") === "low", Some(2000L))
+    assert(t.pendingDeletedCount.contains(2L))
+    // the update predicate matches dead rows too — only the VISIBLE one
+    // may be vectored + rewritten
+    t.updatePositional(spark, col("id") <= 3L,
+      Map("data" -> lit("upd")), Some(3000L))
+    assert(t.positionalDeletedCount == 1L,
+      "a predicate-dead row must never be re-vectored by an update")
+    assert(rows(t) == Map(3L -> "upd"),
+      "a predicate-dead row was resurrected as an updated copy")
+    assertTriadCounts(t, "after positional update on predicate-pending")
+  }
+
+  test("CoW on a predicate-pending table: covered drops demote, counts degrade honestly") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    // two files: one all-"x" (drop-provable), one mixed
+    t.append(mkDf(1L -> "x", 2L -> "x"), Some(1000L))
+    t.append(mkDf(3L -> "x", 4L -> "keep"), Some(2000L))
+    t.deleteDeferred(spark, col("id") === 1L, Some(3000L))
+    assert(t.pendingDeletedCount.contains(1L))
+    // CoW delete whose proof would DROP the first file whole — it is
+    // covered by the pending predicate, so it must demote to a rewrite
+    // (a metadata-only drop would break the count bookkeeping)
+    val s = t.delete(spark, col("data") === lit("x"), Some(4000L))
+    assert(s.isDefined)
+    assert(s.get.summary("dropped-data-files") == "0",
+      "covered whole-file drop must demote to a rewrite")
+    assert(s.get.summary("deleted-records") == "2",
+      "deleted-records must count VISIBLE victims only (ids 2,3 — 1 was dead)")
+    assert(rows(t) == Map(4L -> "keep"))
+    assert(t.pendingDeletes.nonEmpty && t.pendingDeletedCount.isEmpty,
+      "touched predicate entry must degrade its dead count, not vanish")
+    assert(t.read(spark).count() == 1L)
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(5000L))
+    assert(t.pendingDeletes.isEmpty && rows(t) == Map(4L -> "keep"))
+  }
+
+  test("CDC: single retraction per row across all three forms + reconstruction") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), Some(1000L)) // 1
+    t.deleteDeferred(spark, col("id") === 1L, Some(2000L))                  // 2
+    t.deletePositional(spark, col("id") <= 2L, Some(3000L))                 // 3: only 2
+    t.deleteEquality(spark, mkDf(3L -> "x").select("id"), Seq("id"), Some(4000L)) // 4
+    // a second predicate over already-dead rows retracts nothing extra
+    t.deleteDeferred(spark, col("id") <= 4L, Some(5000L))                   // 5: only 4
+    val head = t.log.current.get.snapshotId
+    val cdc = t.changesCdc(spark, 1L, Some(head))
+    val dels = cdc.filter(col("_change_type") === "delete")
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(dels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"every victim must be retracted exactly once: $dels")
+    assert(t.read(spark).count() == 0L)
+  }
+
+  test("rollback adopts all three entry kinds") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), Some(1000L)) // 1
+    t.deletePositional(spark, col("id") === 1L, Some(2000L))                // 2
+    t.deleteEquality(spark, mkDf(2L -> "x").select("id"), Seq("id"), Some(3000L)) // 3
+    t.deleteDeferred(spark, col("id") === 3L, Some(4000L))                  // 4
+    val composed = t.log.current.get.snapshotId
+    t.append(mkDf(9L -> "z"), Some(5000L))                                  // 5
+    t.rollbackTo(composed, Some(6000L))                                     // 6
+    assert(t.positionalDeletes.nonEmpty && t.equalityDeletes.nonEmpty &&
+      t.pendingDeletes.nonEmpty, "rollback dropped a triad entry kind")
+    assert(ids(t) == Seq(4L))
+    assertTriadCounts(t, "after triad rollback")
+  }
 }

@@ -9,8 +9,8 @@ import graft.SparkSpecBase
 /** Property sweep for the commit-time exact-count bookkeeping: across
   * random legal DML chains (append / overwrite / CoW delete / deferred
   * predicate delete / equality delete / MoR upsert / positional delete /
-  * compaction / rollback — positional and equality entries stacking
-  * freely on one table), the metadata identity
+  * compaction / rollback — all three deferred forms stacking freely on
+  * one table), the metadata identity
   *
   *   totalRecords − positionalDead − pendingDead − equalityDead
   *     == count of the visible-rows scan
@@ -72,21 +72,22 @@ class MorCountPropertySpec extends SparkSpecBase {
       for (step <- 1 to 9) {
         ts += 1000L
         val hasPending = t.pendingDeletes.nonEmpty
-        val hasPositional = t.positionalDeletes.nonEmpty
         val hasEquality = t.equalityDeletes.nonEmpty
         val ids = existingIds()
         val legal = Seq.newBuilder[String]
         legal += "append"
         legal += "overwrite"
         legal += "compact"
-        if (!hasPositional && !hasEquality) legal += "deferred"
-        // positional and equality entries COMPOSE on one table (only the
-        // predicate-deferred form refuses both) — the identity must keep
-        // holding while they stack in either order
-        if (!hasPending && ids.nonEmpty) {
-          legal += "equality"; legal += "upsert"
+        // ALL THREE deferred forms compose on one table now — the
+        // identity must keep holding while they stack in any order.
+        // CoW rewrites stay off predicate/equality-pending tables in
+        // THIS chain only because they DEGRADE those counts by design
+        // (degrade, never lie) and the checker asserts exactness;
+        // MorSoundnessSpec drives the CoW composition for row content.
+        legal += "deferred"
+        if (ids.nonEmpty) {
+          legal += "equality"; legal += "upsert"; legal += "positional"
         }
-        if (!hasPending && ids.nonEmpty) legal += "positional"
         if (!hasPending && !hasEquality && ids.nonEmpty) legal += "cowDelete"
         if (!hasPending && !hasEquality) legal += "overwriteWhere"
         val ops = legal.result()

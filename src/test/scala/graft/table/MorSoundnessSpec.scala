@@ -15,9 +15,9 @@ import graft.SparkSpecBase
   * (basePath partition-value recovery UNDER the provenance-column read),
   * bucket(4) and truncate(2) hidden transforms (derived keys, footer
   * source columns). A separate equality-delete sequence runs per layout,
-  * and a COMPOSED sequence interleaves positional, equality and upsert
-  * commits on one table (the forms stack; only predicate-deferred
-  * refuses).
+  * and a COMPOSED sequence interleaves positional, equality, upsert,
+  * predicate-deferred and copy-on-write commits on one table (the full
+  * MoR matrix — every form stacks).
   */
 class MorSoundnessSpec extends SparkSpecBase {
 
@@ -155,7 +155,7 @@ class MorSoundnessSpec extends SparkSpecBase {
       val b0 = batch(40); t.append(df(b0)); model ++= b0
 
       (1 to 16).foreach { step =>
-        rng.nextInt(9) match {
+        rng.nextInt(10) match {
           case 0 => // append
             val b = batch(5 + rng.nextInt(10))
             t.append(df(b)); model ++= b
@@ -205,12 +205,17 @@ class MorSoundnessSpec extends SparkSpecBase {
               Map("score" -> lit(bound + 500L)))
             model = model.map(m =>
               if (m.score == bound) m.copy(score = bound + 500L) else m)
+          case 9 => // PREDICATE-deferred delete stacks on everything
+            val bound = rng.nextInt(40) + 5
+            t.deleteDeferred(spark, col("score") >= bound)
+            model = model.filterNot(_.score >= bound)
         }
         assert(readSet(t) == modelSet(model),
           s"[$name] composed diverged after step $step")
       }
       t.compact(spark, smallerThanBytes = Long.MaxValue)
-      assert(t.positionalDeletes.isEmpty && t.equalityDeletes.isEmpty)
+      assert(t.positionalDeletes.isEmpty && t.equalityDeletes.isEmpty &&
+        t.pendingDeletes.isEmpty)
       assert(readSet(t) == modelSet(model),
         s"[$name] composed diverged after final compact")
       GraftTable.deleteRecursively(java.nio.file.Paths.get(dir))

@@ -382,7 +382,8 @@ class PositionalDeleteSpec extends SparkSpecBase {
     val cat = new GraftCatalog(dir)
     assert(cat.loadDataFrame(spark, "t__deletes").collect()
       .map(_.getString(0)).toSeq == Seq("positional"))
-    // equality on a second table (forms don't stack on one table)
+    // equality on a second table (separate tables keep the per-kind
+    // rows independent)
     val t2 = GraftTable.create(s"$dir/t2", schema)
     t2.append(mkDf(1L -> "a"), Some(1000L))
     t2.deleteEquality(spark, mkDf(1L -> "x").select("id"), Seq("id"), Some(2000L))
@@ -433,27 +434,40 @@ class PositionalDeleteSpec extends SparkSpecBase {
     java.nio.file.Files.deleteIfExists(young)
   }
 
-  test("the two merge-on-read forms refuse to stack; branch fork refuses; rollback adopts") {
+  test("positional and predicate forms compose both ways; branch fork refuses; rollback adopts") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
-    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
     t.deletePositional(spark, col("id") === 1, Some(2000L)) // snap 2
-    intercept[IllegalArgumentException] {
-      t.deleteDeferred(spark, col("id") === 2, Some(3000L))
-    }
+    // deferred STACKS on positional: dead counted over DV-visible rows
+    t.deleteDeferred(spark, col("id") === 2, Some(3000L)) // snap 3
+    assert(t.pendingDeletedCount.contains(1L))
+    assert(t.positionalDeletedCount == 1L)
+    assert(ids(t) == Seq(3L))
     intercept[IllegalArgumentException] { t.createBranch("audit") }
-    t.append(mkDf(3L -> "c"), Some(3000L)) // snap 3
-    t.rollbackTo(2L, Some(4000L))
+    t.append(mkDf(4L -> "d"), Some(4000L)) // snap 4
+    t.rollbackTo(3L, Some(5000L))
     assert(t.positionalDeletedCount == 1L, "rollback dropped the entries")
-    assert(ids(t) == Seq(2L))
-    // and the deferred direction: predicate-pending refuses positional
+    assert(t.pendingDeletedCount.contains(1L), "rollback dropped the predicate")
+    assert(ids(t) == Seq(3L))
+    // the deferred direction: positional stacks ON a predicate-pending
+    // table, victims drawn from predicate-visible rows only (the dead
+    // sets stay disjoint, counts add)
     val t2 = GraftTable.create(s"$dir/t2", schema)
-    t2.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
-    t2.deleteDeferred(spark, col("id") === 2, Some(2000L))
-    assert(t2.pendingDeletes.nonEmpty)
-    intercept[IllegalArgumentException] {
-      t2.deletePositional(spark, col("id") === 1, Some(3000L))
-    }
+    t2.append(mkDf(1L -> "a", 2L -> "b", 3L -> "x"), Some(1000L))
+    t2.deleteDeferred(spark, col("id") >= 2, Some(2000L)) // kills 2 and 3
+    assert(t2.pendingDeletedCount.contains(2L))
+    // positional predicate overlaps the dead set: only the VISIBLE row
+    // (id=1) may be vectored; ids 2/3 are already predicate-dead
+    t2.deletePositional(spark, col("id") <= 2, Some(3000L))
+    assert(t2.positionalDeletedCount == 1L,
+      "a predicate-dead row must never be re-vectored")
+    assert(t2.pendingDeletedCount.contains(2L))
+    assert(t2.read(spark).count() == 0L)
+    // compact materializes both forms in one pass
+    t2.compact(spark, Long.MaxValue, Some(4000L))
+    assert(t2.pendingDeletes.isEmpty && t2.positionalDeletes.isEmpty)
+    assert(t2.read(spark).count() == 0L)
   }
 
   test("deleteByKeys validates key column types against the table schema") {

@@ -330,7 +330,7 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     assert(e.getMessage.contains("dropped"), e.getMessage)
   }
 
-  test("mergeSchema merge refuses BEFORE widening when CoW preconditions fail") {
+  test("mergeSchema merge: atomic refusals; composes with pending predicate deletes") {
     val dir = s"${tmp()}/t"
     val t = GraftTable.create(dir, schema)
     t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
@@ -341,16 +341,16 @@ class SchemaEvolutionSpec extends SparkSpecBase {
       spark.sparkContext.parallelize(Seq(Row(3L, "c", 30L)), 1),
       StructType(schema.fields.toSeq :+
         StructField("score", LongType, nullable = true)))
-    // the merge must refuse (pending predicate deletes block CoW) with
-    // NOTHING evolved — a widened-then-refused schema would be permanent
-    val e = intercept[IllegalArgumentException] {
-      pending.merge(spark, src, "id", Some(2000L), mergeSchema = true)
-    }
-    assert(e.getMessage.contains("pending"), e.getMessage)
-    assert(GraftTable.load(dir).schema.fieldNames.toSeq ==
-      Seq("id", "data"), "refused merge must not have widened the schema")
-    // same atomicity for a bogus merge key: checked against the
-    // would-be widened field set before any addColumn
+    // pending predicate deletes COMPOSE with CoW merge now: the widen +
+    // upsert land, and the predicate-dead row (id=1) stays dead — the
+    // rewrite read visible rows only
+    pending.merge(spark, src, "id", Some(2000L), mergeSchema = true)
+    val after = GraftTable.load(dir)
+    assert(after.schema.fieldNames.toSeq == Seq("id", "data", "score"))
+    assert(after.read(spark).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(2L, 3L), "merge resurrected a predicate-dead row")
+    // atomicity for a bogus merge key: checked against the would-be
+    // widened field set BEFORE any addColumn commits metadata
     val clean = s"${tmp()}/t2"
     val tc = GraftTable.create(clean, schema)
     tc.append(mkDf(1L -> "a"), Some(1000L))
@@ -421,5 +421,112 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     assert(GraftTable.load(s"$wh/db/w").schema("n").dataType == LongType)
     assert(sE.sql("SELECT n FROM gse.db.w").collect().map(_.getLong(0))
       .toSeq == Seq(7L))
+  }
+
+  test("add column with DEFAULT: pre-add rows read the default, written values intact") {
+    val dir = s"${tmp()}/t"
+    var t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L)) // pre-add era
+    t = t.addColumn("grade", StringType, Some("'unknown'"))
+    // initial default (Iceberg v3): pre-add rows read the literal, not NULL
+    assert(t.read(spark).select("id", "grade").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "unknown", 2L -> "unknown"))
+    // post-add writes: explicit values — NULL included — are untouched
+    // (the fill is per-era, never a coalesce over live data)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(3L, "c", "good"), Row(4L, "d", null)), 1), t.schema)
+    t.append(df, Some(2000L))
+    // WRITE default: a source simply lacking the column fills it
+    t.append(mkDf(5L -> "e"), Some(3000L))
+    def grades(tb: GraftTable): Map[Long, Option[String]] =
+      tb.read(spark).select("id", "grade").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val expected = Map(1L -> Some("unknown"), 2L -> Some("unknown"),
+      3L -> Some("good"), 4L -> None, 5L -> Some("unknown"))
+    assert(grades(t) == expected)
+    // metadata round-trip
+    val t2 = GraftTable.load(dir)
+    assert(grades(t2) == expected)
+    // predicates over the defaulted column stay correct across eras
+    // (pre-add files have no stats for it — conservative keep)
+    assert(t2.countWhere(spark, col("grade") === "unknown") == 3L)
+    assert(t2.scan(spark, Some(col("grade").isNull)).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // compact materializes the default physically and retires the era
+    t2.compact(spark, smallerThanBytes = Long.MaxValue, Some(4000L))
+    assert(grades(t2) == expected)
+    val mf = Manifest.read(
+      s"$dir/${t2.log.current.get.manifestList}")
+    assert(mf.files.forall(f => !t2.renameAffects(f)),
+      "compaction must retire the pre-default era")
+    // the default stays the WRITE default after materialization
+    t2.append(mkDf(6L -> "f"), Some(5000L))
+    assert(grades(t2)(6L) == Some("unknown"))
+  }
+
+  test("DEFAULT composes with rename; CoW DML sees filled values") {
+    val dir = s"${tmp()}/t"
+    var t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    t = t.addColumn("grade", StringType, Some("'unknown'"))
+    t = t.renameColumn("grade", "quality")
+    // pre-add rows read the default under the RENAMED logical name
+    assert(t.read(spark).select("quality").collect()
+      .map(_.getString(0)).toSeq == Seq("unknown"))
+    // the write fill follows the rename (current-name tracking)
+    t.append(mkDf(2L -> "b"), Some(2000L))
+    assert(t.read(spark).filter(col("id") === 2L).select("quality")
+      .collect().map(_.getString(0)).toSeq == Seq("unknown"))
+    // CoW DML evaluates predicates over the FILLED view: the pre-add
+    // row matches the default and rewrites away
+    assert(t.delete(spark, col("quality") === "unknown" && col("id") === 1L,
+      Some(3000L)).isDefined)
+    assert(t.read(spark).select("id").collect().map(_.getLong(0))
+      .toSeq == Seq(2L))
+    // dropping the column drops its default event
+    t = t.dropColumn("quality")
+    assert(t.defaults.isEmpty, "drop must remove the default event")
+    // non-constant defaults refuse at declaration
+    intercept[IllegalArgumentException] {
+      t.addColumn("bad", StringType, Some("data || 'x'"))
+    }
+  }
+
+  test("SQL surface: CREATE/ALTER with DEFAULT, INSERT subset fills, raw-path refusal") {
+    val wh = tmpDir("graft-schevo-default")
+    val sE = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .create()
+    Seq(spark, sE).foreach { s =>
+      s.conf.set("spark.sql.catalog.gdf", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.gdf.warehouse", wh)
+    }
+    // CREATE TABLE with a column default → pure write default
+    sE.sql("CREATE TABLE gdf.db.d (id BIGINT, lang STRING DEFAULT 'en') " +
+      "USING graft")
+    sE.sql("INSERT INTO gdf.db.d VALUES (1, 'fr')")
+    // INSERT with a column subset: Spark fills the declared default
+    sE.sql("INSERT INTO gdf.db.d (id) VALUES (2)")
+    assert(sE.sql("SELECT id, lang FROM gdf.db.d ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "fr"), (2L, "en")))
+    // ALTER ADD COLUMN DEFAULT: pre-add files now need the era fill —
+    // the plain session's raw scan refuses, extensions session serves
+    sE.sql("ALTER TABLE gdf.db.d ADD COLUMN score INT DEFAULT 7")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gdf.db.d").count() }
+    assert(e.getMessage.contains("pre-default"), e.getMessage)
+    assert(sE.sql("SELECT id, score FROM gdf.db.d ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 7), (2L, 7)))
+    // compact materializes; the plain session's raw path serves again
+    GraftTable.load(s"$wh/db/d")
+      .compact(spark, smallerThanBytes = Long.MaxValue)
+    assert(spark.sql("SELECT sum(score) FROM gdf.db.d").collect()
+      .head.getLong(0) == 14L)
   }
 }
