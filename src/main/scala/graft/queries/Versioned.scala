@@ -404,6 +404,26 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** ROW-LINEAGE fixture (v67, Iceberg v3 row-lineage parity): nation
+    * lands with `graft.row-lineage = true` (snapshot 1 — each row's
+    * `_row_id` = its band position, here equal to n_nationkey since the
+    * input file is key-ordered), a CoW UPDATE retags region 2 (snapshot
+    * 2 — ids PRESERVED through the rewrite via the materialized carry
+    * columns; only modified rows bump `_last_updated_snapshot_id`), and
+    * a full compaction repacks everything (snapshot 3 — identity
+    * preserving: both lineage columns ride through unchanged). */
+  private def rowLineageFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_lineage", 3) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema,
+        properties = Map(GraftTable.PropRowLineage -> "true"))
+      tb.append(nation, committedAt = Some(1000L))
+      tb.update(spark, col("n_regionkey") === 2,
+        Map("n_name" -> concat(col("n_name"), lit("_L"))), Some(2000L))
+      tb.compact(spark, smallerThanBytes = Long.MaxValue, Some(3000L))
+      tb
+    }
+
   /** write.format fixture (v62): snapshot 1 lands as parquet, then the
     * table switches `write.format=orc` and a CoW UPDATE rewrites region
     * 2's file IN ORC — a mixed parquet+ORC table whose one scan
@@ -1613,6 +1633,14 @@ object Versioned extends QueryPack {
       defaultColFixture(s, d).read(s)
         .select("n_nationkey", "n_tier")),
 
+    // ROW LINEAGE (Iceberg v3): stable `_row_id` + last-writing snapshot
+    // surviving a CoW rewrite AND a compaction — band inheritance
+    // (firstRowId + position) composed with the materialized carry
+    // columns rewrites persist
+    "v67_graft_row_lineage" -> ((s, d) =>
+      rowLineageFixture(s, d).readLineage(s)
+        .select("n_nationkey", "_row_id", "_last_updated_snapshot_id")),
+
     // SQL VIEWS (Iceberg view parity): SELECT through a warehouse-stored
     // versioned view — the stored TEXT re-plans against current state,
     // spliced by GraftViewSubstitution on an extensions session
@@ -2217,6 +2245,13 @@ object Versioned extends QueryPack {
         "WHERE n_regionkey = 0 " +
         "UNION ALL SELECT n_nationkey + 200, 'standard' FROM nation " +
         "WHERE n_regionkey = 1"),
+    // lineage replay: ids equal n_nationkey (key-ordered input file,
+    // one band) and survive the rewrite + compaction; region-2 rows
+    // carry the update snapshot, everything else the append
+    "v67_graft_row_lineage" ->
+      ("SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS _row_id, " +
+        "CAST(CASE WHEN n_regionkey = 2 THEN 2 ELSE 1 END AS BIGINT) " +
+        "AS _last_updated_snapshot_id FROM nation"),
     // the stored view SQL replayed directly over the raw table
     "v66_graft_sql_view" ->
       ("SELECT n_regionkey, count(*) AS n_nations, " +

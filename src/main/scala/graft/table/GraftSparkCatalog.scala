@@ -466,6 +466,23 @@ final class GraftV2Table(
         org.apache.spark.sql.types.LongType
       override def isNullable(): Boolean = false
       override def comment(): String = "row position within its data file"
+    },
+    // ROW LINEAGE (Iceberg v3): stable row identity + last-writing
+    // snapshot, served by the same V1 relation (band inheritance or the
+    // materialized carry cells rewrites persist)
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTable.RowIdCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable(): Boolean = true
+      override def comment(): String = "stable row id (Iceberg v3 row lineage)"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTable.LastUpdatedCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable(): Boolean = true
+      override def comment(): String = "snapshot that last wrote the row"
     })
 
   /** The library table behind this DSv2 wrapper — the SQL DML rule
@@ -968,9 +985,18 @@ final class GraftV2Table(
         val kept = keptFor(filters)
         filters.filter(c => kept.forall(t.provenAll(c)))
       },
-      metadataColScan = Some((req, paths) =>
+      metadataColScan = Some((req, paths) => {
+        // per-file lineage constants for `_row_id`/`_last_updated_…`:
+        // band base + committing snapshot by basename (tiny — O(files))
+        def bn(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+        val ridByBn = entries
+          .flatMap(f => f.firstRowId.map(bn(f.path) -> _)).toMap
+        val seqByBn = entries
+          .flatMap(f => t.fileSnapId(f.path).map(bn(f.path) -> _)).toMap
         new GraftFileposScan(tableName, t.schema, req,
-          new util.HashMap[String, String](opts), paths)),
+          new util.HashMap[String, String](opts), paths,
+          ridByBn, seqByBn)
+      }),
       // manifest-exact scan statistics for CBO: rowCount/sizeInBytes
       // summed over the statically-kept entries (exact — merge-on-read
       // state was refused above), per-column nullCounts from footer
@@ -1036,7 +1062,10 @@ final class GraftFileposScan(
     tableSchema: StructType,
     required: StructType,
     options: util.Map[String, String],
-    paths: Seq[String]) extends org.apache.spark.sql.connector.read.V1Scan {
+    paths: Seq[String],
+    ridByBn: Map[String, Long] = Map.empty,
+    seqByBn: Map[String, Long] = Map.empty)
+    extends org.apache.spark.sql.connector.read.V1Scan {
   override def readSchema(): StructType = required
   override def description(): String = s"graft _file/_pos scan of $tableName"
   override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
@@ -1051,12 +1080,33 @@ final class GraftFileposScan(
         val spark = context.sparkSession
         if (paths.isEmpty)
           return spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
-        import org.apache.spark.sql.functions.col
-        val df = spark.read.schema(tableSchema)
+        import org.apache.spark.sql.functions.{coalesce, col, substring_index}
+        val b = org.apache.spark.sql.classic.GraftBridge
+        val needsLineage = required.fieldNames
+          .exists(n => n == GraftTable.RowIdCol || n == GraftTable.LastUpdatedCol)
+        // lineage columns need the physical carry cells too (rewrites
+        // persisting prior ids; NULL cells inherit band + position)
+        val readSchema =
+          if (!needsLineage) tableSchema
+          else StructType(tableSchema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField(
+              GraftTable.LineageRidCol, org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(
+              GraftTable.LineageSeqCol, org.apache.spark.sql.types.LongType)))
+        val df = spark.read.schema(readSchema)
           .options(options.asScala.toMap).parquet(paths: _*)
+        lazy val bnCol = substring_index(col("_metadata.file_path"), "/", -1)
         val cols = required.fields.toSeq.map(_.name match {
           case "_file" => col("_metadata.file_path").as("_file")
           case "_pos" => col("_metadata.row_index").as("_pos")
+          case n if n == GraftTable.RowIdCol =>
+            coalesce(col(GraftTable.LineageRidCol),
+              b.column(LineageLookup(b.expr(bnCol), new LineageIndex(ridByBn)))
+                + col("_metadata.row_index")).as(GraftTable.RowIdCol)
+          case n if n == GraftTable.LastUpdatedCol =>
+            coalesce(col(GraftTable.LineageSeqCol),
+              b.column(LineageLookup(b.expr(bnCol), new LineageIndex(seqByBn))))
+              .as(GraftTable.LastUpdatedCol)
           case n => col(n)
         })
         df.select(cols: _*).rdd

@@ -611,7 +611,7 @@ final class GraftTable private (
     * compaction that materializes one). Correct in both directions:
     * foreign-era files always predate any delete committed in THIS
     * table's log. */
-  private def fileSnapId(path: String): Option[Long] = {
+  private[table] def fileSnapId(path: String): Option[Long] = {
     if (path.startsWith("../") || path.startsWith("branches/") ||
         path.contains("/branches/")) return None
     val base = path.substring(path.lastIndexOf('/') + 1)
@@ -920,7 +920,7 @@ final class GraftTable private (
     val keptFiles =
       if (rewrites.isEmpty) Nil
       else writeDataFiles(
-        readVisible(spark, pend, posPend, rewrites, eqPend)
+        readVisibleCarry(spark, pend, posPend, rewrites, eqPend)
           .filter(org.apache.spark.sql.functions.coalesce(
             !predicate, org.apache.spark.sql.functions.lit(true))),
         snapId).filter(_.recordCount > 0)
@@ -1072,22 +1072,30 @@ final class GraftTable private (
       if (d.columns.exists(_.equalsIgnoreCase(n))) d
       else d.withColumn(n, org.apache.spark.sql.functions.expr(sql).cast(t))
     }
+    // ROW-LINEAGE CARRY columns ride alongside the schema when a rewrite
+    // supplies them (readVisibleCarry) — they persist physically and the
+    // entry is marked; user inputs can never smuggle them in (the names
+    // are reserved at create/addColumn)
+    val lineageCols = df.columns
+      .filter(c => c == LineageRidCol || c == LineageSeqCol).toSeq
     // validate the input against the TABLE schema before anything lands:
     // a misnamed column or widened type would commit files the table
     // schema cannot read back (the vectorized reader throws at scan time
     // — the table is then effectively bricked). Same stance as merge();
     // column ORDER is tolerated and normalized.
-    require(df.columns.sorted.toSeq == schema.fieldNames.sorted.toSeq,
+    require(df.columns.filterNot(lineageCols.contains).sorted.toSeq ==
+        schema.fieldNames.sorted.toSeq,
       s"input columns [${df.columns.sorted.mkString(",")}] must match " +
         s"table schema [${schema.fieldNames.sorted.mkString(",")}] of $dir")
-    val aligned = df.select(schema.fieldNames.map(col): _*)
+    val aligned = df.select(
+      (schema.fieldNames ++ lineageCols).map(col): _*)
     aligned.schema.fields.zip(schema.fields).foreach { case (src, tgt) =>
       require(src.dataType == tgt.dataType,
         s"column '${tgt.name}' is ${src.dataType.sql}, table expects " +
           s"${tgt.dataType.sql} (cast explicitly; writing a widened type " +
           "produces files the table schema cannot read back)")
     }
-    writeAlignedDataFiles(aligned, snapId)
+    writeAlignedDataFiles(aligned, snapId, hasLineage = lineageCols.nonEmpty)
   }
 
   /** WRITE CONSTRAINTS (Delta's CHECK/NOT NULL invariants): table
@@ -1122,7 +1130,9 @@ final class GraftTable private (
     df.withColumn(c0.name, guarded)
   }
 
-  private def writeAlignedDataFiles(dfIn: DataFrame, snapId: Long): Seq[DataFileEntry] = {
+  private def writeAlignedDataFiles(
+      dfIn: DataFrame, snapId: Long,
+      hasLineage: Boolean = false): Seq[DataFileEntry] = {
     val df = constraintGuard(dfIn)
     // unique per-ATTEMPT token: two writers racing on the same provisional
     // snapshot id must not share a staging dir (mode=overwrite would
@@ -1285,8 +1295,15 @@ final class GraftTable private (
         if (fmt == "parquet") FileBloom.harvest(dst.toString, conf, bloomColumns)
         else Map.empty[String, String]
       val rel = (partDirs :+ name).mkString("/")
-      DataFileEntry(s"data/$rel", rows, Files.size(dst), stats ++ partStats,
-        partition, blooms)
+      // lineage-carry columns are physical but never schema: their
+      // footer stats stay out of the manifest (pruning/envelopes only
+      // consult schema columns; stray keys would just bloat segments)
+      val cleanStats =
+        if (!hasLineage) stats
+        else stats -- Seq(LineageRidCol, LineageSeqCol)
+      DataFileEntry(s"data/$rel", rows, Files.size(dst),
+        cleanStats ++ partStats, partition, blooms,
+        hasRowIds = hasLineage)
     }
     deleteRecursively(Paths.get(staging))
     newFiles
@@ -1351,12 +1368,33 @@ final class GraftTable private (
             "(fresh tokens) or compact() to materialize the entries first")
       }
     }
+    // ROW LINEAGE (Iceberg v3 first-row-id): every NEW data file gets
+    // its row-id band here — the single chokepoint all write paths
+    // funnel through. Bands assign sequentially from the parent's
+    // `next-row-id` watermark in fresh-segment entry order (stable:
+    // staged file names sort, callers append deterministically); a
+    // file's rows read `firstRowId + position` unless a materialized
+    // lineage column overrides (rewrites carrying prior ids). Carried
+    // entries and files committed before the table had lineage keep
+    // their state (None → NULL row ids until a rewrite assigns).
+    val ridBase = lg2.current
+      .flatMap(_.summary.get(SummaryNextRowId)).map(_.toLong).getOrElse(0L)
+    var ridCursor = ridBase
+    val newPaths = newFiles.map(_.path).toSet
+    val manifestAssigned = manifest.mapFresh { e =>
+      if (!newPaths.contains(e.path) || e.firstRowId.isDefined) e
+      else {
+        val fid = ridCursor
+        ridCursor += e.recordCount
+        e.copy(firstRowId = Some(fid))
+      }
+    }
     // write fresh segments + the manifest list; O(batch) bytes — carried
     // segments are shared by ref with ancestor snapshots. The augmented
     // schema types the segment envelopes (derived partition-key stats
     // included), so later predicate-scoped planning can skip whole
     // segments from the list alone.
-    val createdSegs = manifest.write(s"$dir/$manifestRel",
+    val createdSegs = manifestAssigned.write(s"$dir/$manifestRel",
       Some(PartitionField.augmentedSchema(schema, partitionFields)))
 
     // carried-summary inheritance (pending-deletes, stream cursors): an
@@ -1379,12 +1417,15 @@ final class GraftTable private (
       committedAt = committedAt.getOrElse(System.currentTimeMillis()),
       operation = operation,
       manifestList = manifestRel,
-      summary = (extraSummary -- carriedKeys) ++
+      summary = (extraSummary -- carriedKeys - SummaryNextRowId) ++
         carriedKeys.flatMap(k => carried(k).map(k -> _)).toMap ++ Map(
         // totals from the manifest LIST's per-segment metadata — an
         // append commit never parses the carried segments' entries
         "total-data-files" -> manifest.totalFiles.toString,
-        "total-records" -> manifest.totalRecords.toString))
+        "total-records" -> manifest.totalRecords.toString,
+        // the row-id watermark is MONOTONE: ids are never reused, even
+        // across rollbacks (the rolled-back head's watermark carries)
+        SummaryNextRowId -> ridCursor.toString))
     // append to the RE-READ log: a concurrent expireSnapshots may have
     // removed a prefix since `lg` was captured — writing the stale list
     // would resurrect expired snapshots whose files are already deleted
@@ -1527,7 +1568,10 @@ final class GraftTable private (
     // rewriting MATERIALIZES any deferred deletes covering the rewritten
     // files (their rows are filtered during the repack); predicates stay
     // pending only while an untouched file they cover remains
-    val packed = readWithDeletes(spark, current, small)
+    // lineage carry: a compaction is a pure repack — every row keeps its
+    // _row_id AND its last-updated snapshot (readVisibleCarry)
+    val packed = readVisibleCarry(spark, parsePending(current),
+      parsePositional(current), small, parseEquality(current))
     // clustered rewrite (Iceberg sort-order analog): range-partition +
     // sort so each output file covers a DISJOINT range of the cluster key.
     // sortBy clusters lexicographically (tight min/max on the FIRST
@@ -1876,7 +1920,7 @@ final class GraftTable private (
     val newFiles =
       if (rewrites.isEmpty) Nil
       else writeDataFiles(
-        readVisible(spark, pend, posPend, rewrites, eqPend)
+        readVisibleCarry(spark, pend, posPend, rewrites, eqPend)
           .filter(org.apache.spark.sql.functions.coalesce(
             !predicate, org.apache.spark.sql.functions.lit(true))),
         snapId).filter(_.recordCount > 0) // drop empty rewrite outputs
@@ -1958,10 +2002,11 @@ final class GraftTable private (
     val keySel = keys
       .select(keyCols.map(c => col(c).cast(schema(c).dataType).as(P + c)): _*)
       .distinct()
-    val survivors = readVisible(spark, pend, posPend, candidates, eqPend)
+    val carried = readVisibleCarry(spark, pend, posPend, candidates, eqPend)
+    val survivors = carried
       .join(keySel,
         keyCols.map(c => col(c) === col(P + c)).reduce(_ && _), "left_anti")
-      .select(schema.fieldNames.map(col): _*)
+      .select(carried.columns.map(col): _*) // schema + any lineage carry
     val newFiles = writeDataFiles(survivors, snapId)
       .filter(_.recordCount > 0)
     val removed =
@@ -2896,11 +2941,16 @@ final class GraftTable private (
     // form already hides must not be resurrected as an updated copy
     // (its position was excluded from the vectors above for the same
     // reason)
-    val newRows = readVisible(spark, pend, prior, candidates, eqPend)
+    // lineage: a positional UPDATE is the same logical row superseded in
+    // place — the new copy inherits the victim's _row_id; _gf_seq NULL
+    // makes the read side stamp this commit's snapshot
+    val newRows = readVisibleCarry(spark, pend, prior, candidates, eqPend)
       .filter(coalesce(predicate, lit(false)))
       .select(schema.fieldNames.map { c =>
         assignments.get(c).map(_.as(c)).getOrElse(col(c))
-      }: _*)
+      } ++ (if (!lineageOn) Nil
+            else Seq(col(LineageRidCol),
+              lit(null).cast(LongType).as(LineageSeqCol))): _*)
     val newFiles =
       try writeDataFiles(newRows, snapId)
       catch { case e: Throwable =>
@@ -2954,14 +3004,20 @@ final class GraftTable private (
       pend: Seq[(Long, String)],
       posEntries: Seq[PositionalDeletes],
       files: Seq[DataFileEntry],
-      eqEntries: Seq[EqualityDeletes] = Nil): DataFrame = {
+      eqEntries: Seq[EqualityDeletes] = Nil,
+      lineage: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not, substring_index}
+    val outSchema =
+      if (!lineage) schema
+      else StructType(schema.fields ++ Seq(
+        StructField(RowIdCol, LongType, nullable = true),
+        StructField(LastUpdatedCol, LongType, nullable = true)))
     if (files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     val targeted: Set[String] = posEntries.flatMap(_.targets.keys).toSet
     val (withDel, clean) = files.partition(f => targeted.contains(f.path))
     def pendGroups(fs: Seq[DataFileEntry], meta: Boolean): Seq[DataFrame] =
-      pendEqGroups(spark, pend, eqEntries, fs, meta)
+      pendEqGroups(spark, pend, eqEntries, fs, meta, lineage)
     val delBranches =
       if (withDel.isEmpty) Nil
       else {
@@ -3005,7 +3061,7 @@ final class GraftTable private (
         }
       }
     (pendGroups(clean, meta = false) ++ delBranches)
-      .map(_.select(schema.fieldNames.map(col): _*))
+      .map(_.select(outSchema.fieldNames.map(col): _*))
       .reduce(_ union _)
   }
 
@@ -3025,10 +3081,12 @@ final class GraftTable private (
       pend: Seq[(Long, String)],
       eqEntries: Seq[EqualityDeletes],
       fs: Seq[DataFileEntry],
-      meta: Boolean): Seq[DataFrame] = {
+      meta: Boolean,
+      lineage: Boolean = false): Seq[DataFrame] = {
     import org.apache.spark.sql.functions.{coalesce, expr, not}
     if (fs.isEmpty) Nil
-    else if (pend.isEmpty && eqEntries.isEmpty) Seq(readFiles(spark, fs, meta))
+    else if (pend.isEmpty && eqEntries.isEmpty)
+      Seq(readFiles(spark, fs, meta, lineage))
     else {
       val groups = fs.groupBy { f =>
         val fsn = fileSnapId(f.path).getOrElse(Long.MinValue) // unattributable: assume oldest (over-filtering is impossible — the deferred forms refuse such tables; this path exists for robustness only)
@@ -3036,7 +3094,7 @@ final class GraftTable private (
           eqEntries.map(e => e.covs.filter(_ >= fsn)))
       }
       groups.toSeq.sortBy(_._2.head.path).map { case ((preds, covSets), gfs) =>
-        val base = preds.foldLeft(readFiles(spark, gfs, meta))((d, p) =>
+        val base = preds.foldLeft(readFiles(spark, gfs, meta, lineage))((d, p) =>
           d.filter(coalesce(not(expr(p)), lit(true))))
         eqEntries.zip(covSets).filter(_._2.nonEmpty).foldLeft(base) {
           case (d, (e, covs)) =>
@@ -3121,16 +3179,24 @@ final class GraftTable private (
     val eqPend = parseEquality(current)
     val pendFull = parsePendingFull(current)
     val pend = pendFull.map(e => (e._1, e._2))
-    val src = readVisible(spark, pend, posPend, candidates, eqPend)
+    val src = readVisibleCarry(spark, pend, posPend, candidates, eqPend)
     // ONE projection computing every assignment from the OLD row (SQL
     // UPDATE semantics): chained withColumn would let later assignments
-    // observe earlier ones' new values — wrong, and Map-order-dependent
+    // observe earlier ones' new values — wrong, and Map-order-dependent.
+    // Lineage carry: every row keeps its _gf_rid; a MATCHED (modified)
+    // row's _gf_seq goes NULL so the read-side inheritance stamps it
+    // with THIS commit's snapshot, unmatched rows keep their old one
+    val carryCols: Seq[Column] =
+      if (!lineageOn) Nil
+      else Seq(col(LineageRidCol),
+        when(predicate <=> lit(true), lit(null).cast(LongType))
+          .otherwise(col(LineageSeqCol)).as(LineageSeqCol))
     val rewritten = src.select(schema.fieldNames.map { c =>
       assignments.get(c) match {
         case Some(v) => when(predicate, v).otherwise(col(c)).as(c)
         case None => col(c)
       }
-    }: _*)
+    } ++ carryCols: _*)
     val newFiles = writeDataFiles(rewritten, snapId)
     val stillPositional =
       stripPositional(posPend, candidates.map(_.path).toSet)
@@ -3220,10 +3286,31 @@ final class GraftTable private (
     val pend = pendFull.map(e => (e._1, e._2))
     val survivors =
       if (candidates.isEmpty) source
-      else readVisible(spark, pend, posPend, candidates, eqPend)
-        .join(source.select(col(keyCol).as("__mk")).distinct(),
-          col(keyCol) === col("__mk"), "left_anti")
-        .unionByName(source)
+      else {
+        val carried = readVisibleCarry(spark, pend, posPend, candidates, eqPend)
+        val kept = carried
+          .join(source.select(col(keyCol).as("__mk")).distinct(),
+            col(keyCol) === col("__mk"), "left_anti")
+          .select(carried.columns.map(col): _*)
+        if (!lineageOn) kept.unionByName(source)
+        else {
+          // lineage: a MATCHED key's source row is the old row's new
+          // VERSION — it inherits the old _row_id (min over duplicate
+          // old copies: deterministic; an upsert table shouldn't hold
+          // dup keys anyway) with a NULL _gf_seq (inherits this commit's
+          // snapshot); fresh keys get NULL rid → a fresh band id
+          val oldIds = carried
+            .groupBy(col(keyCol).as("__mk"))
+            .agg(org.apache.spark.sql.functions.min(col(LineageRidCol))
+              .as("__orid"))
+          val srcCarry = source
+            .join(oldIds, col(keyCol) === col("__mk"), "left_outer")
+            .select(schema.fieldNames.map(col) ++ Seq(
+              col("__orid").as(LineageRidCol),
+              lit(null).cast(LongType).as(LineageSeqCol)): _*)
+          kept.unionByName(srcCarry)
+        }
+      }
     val newFiles = writeDataFiles(survivors, snapId)
       .filter(_.recordCount > 0)
     val stillPositional =
@@ -3361,7 +3448,7 @@ final class GraftTable private (
     val rewrittenOpt: Option[DataFrame] =
       if (candidates.isEmpty || !rowModifying) None
       else {
-        val tgt = readVisible(spark, pendMerge, posPend, candidates,
+        val tgt = readVisibleCarry(spark, pendMerge, posPend, candidates,
           eqPendMerge)
         val joinCond = keyPairs.map { case (tk, sk) =>
           tgt(tk) === srcP(P + sk) }.reduce(_ && _)
@@ -3369,12 +3456,30 @@ final class GraftTable private (
         val isM = col(P + "__matched").isNotNull
         val drop =
           when(isM, chainDrop(matched)).otherwise(chainDrop(notMatchedBySource))
+        // lineage: every rewritten row keeps its _row_id; a row whose
+        // FIRST-APPLICABLE action was an UPDATE is modified — its
+        // _gf_seq goes NULL (inherits this commit's snapshot), kept-
+        // unchanged rows keep their old one
+        def chainMod(actions: Seq[MergeMatchedAction]): Column =
+          actions.foldRight(lit(false)) { (a, els) =>
+            when(a.condition.getOrElse(lit(true)),
+              lit(a.isInstanceOf[MergeUpdate])).otherwise(els)
+          }
+        val carryCols: Seq[Column] =
+          if (!lineageOn) Nil
+          else {
+            val modified = when(isM, chainMod(matched))
+              .otherwise(chainMod(notMatchedBySource))
+            Seq(col(LineageRidCol),
+              when(modified, lit(null).cast(LongType))
+                .otherwise(col(LineageSeqCol)).as(LineageSeqCol))
+          }
         val vals = schema.fields.toSeq.map { f =>
           when(isM, chainVal(matched, f.name))
             .otherwise(chainVal(notMatchedBySource, f.name))
             .cast(f.dataType).as(f.name)
         }
-        Some(joined.filter(!drop).select(vals: _*))
+        Some(joined.filter(!drop).select(vals ++ carryCols: _*))
       }
 
     val insertsOpt: Option[DataFrame] =
@@ -3405,7 +3510,13 @@ final class GraftTable private (
               .otherwise(els)
           }.cast(f.dataType).as(f.name)
         }
-        Some(unmatched.filter(applies).select(vals: _*))
+        // lineage: inserted rows get NULL carry cells (fresh band id +
+        // this commit's snapshot), matching the rewritten side's shape
+        val insCarry: Seq[Column] =
+          if (!lineageOn || !rowModifying || candidates.isEmpty) Nil
+          else Seq(lit(null).cast(LongType).as(LineageRidCol),
+            lit(null).cast(LongType).as(LineageSeqCol))
+        Some(unmatched.filter(applies).select(vals ++ insCarry: _*))
       }
 
     val out = (rewrittenOpt, insertsOpt) match {
@@ -4046,7 +4157,34 @@ final class GraftTable private (
   private def readFiles(
       spark: SparkSession,
       files: Seq[DataFileEntry],
-      withMeta: Boolean): DataFrame = {
+      withMeta: Boolean): DataFrame =
+    readFiles(spark, files, withMeta, withLineage = false)
+
+  /** [[readFiles]] with optional ROW LINEAGE output columns (`_row_id`,
+    * `_last_updated_snapshot_id`): a row's id is the file's materialized
+    * `_gf_rid` cell when present (rewrites carrying prior ids), else
+    * `firstRowId + row position` (the Iceberg v3 inheritance rule);
+    * the last-updated id is the materialized `_gf_seq` cell, else the
+    * file's committing snapshot. Files without an assigned band
+    * (committed pre-lineage) read NULL — never a fabricated id. The
+    * per-file constants ship as ONE reference object per scan
+    * ([[LineageIndex]]), codegen'd lookups per row. ORC/avro files have
+    * no row index: their rows read only the materialized cells (NULL
+    * otherwise). */
+  private def readFiles(
+      spark: SparkSession,
+      files: Seq[DataFileEntry],
+      withMeta: Boolean,
+      withLineage: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
+    val b = org.apache.spark.sql.classic.GraftBridge
+    lazy val ridIdx = new LineageIndex(
+      files.flatMap(f => f.firstRowId.map(baseName(f.path) -> _)).toMap)
+    lazy val seqIdx = new LineageIndex(
+      files.flatMap(f => fileSnapId(f.path).map(baseName(f.path) -> _)).toMap)
+    def lineageFields: Seq[StructField] = Seq(
+      StructField(LineageRidCol, LongType, nullable = true),
+      StructField(LineageSeqCol, LongType, nullable = true))
     // A manifest can address files under SEVERAL data roots: this table's
     // own `data/`, a branch fork's `../../data/`, a published branch's
     // `branches/<name>/data/`. Normalize each path (the `..` segments must
@@ -4096,9 +4234,37 @@ final class GraftTable private (
             val c0 = col(p)
             (if (t == lf.dataType) c0 else c0.cast(lf.dataType)).as(lf.name)
         }
+        val readSchema =
+          if (!withLineage) physSchema
+          else StructType(physSchema.fields ++ lineageFields)
+        def metaCols(real: Boolean): Seq[Column] =
+          if (!withMeta) Nil
+          else if (real) Seq(
+            org.apache.spark.sql.functions
+              .substring_index(col("_metadata.file_path"), "/", -1)
+              .as(MetaFileCol),
+            col("_metadata.row_index").as(MetaPosCol))
+          else Seq(
+            lit(null).cast(StringType).as(MetaFileCol),
+            lit(null).cast(LongType).as(MetaPosCol))
+        def lineageCols(real: Boolean): Seq[Column] =
+          if (!withLineage) Nil
+          else if (real) {
+            val bn = org.apache.spark.sql.functions
+              .substring_index(col("_metadata.file_path"), "/", -1)
+            Seq(
+              coalesce(col(LineageRidCol),
+                b.column(LineageLookup(b.expr(bn), ridIdx)) +
+                  col("_metadata.row_index")).as(RowIdCol),
+              coalesce(col(LineageSeqCol),
+                b.column(LineageLookup(b.expr(bn), seqIdx)))
+                .as(LastUpdatedCol))
+          } else Seq( // no row index: materialized cells only
+            col(LineageRidCol).as(RowIdCol),
+            col(LineageSeqCol).as(LastUpdatedCol))
         val branches = Seq(
           Option.when(parqPaths.nonEmpty) {
-            val r = spark.read.schema(physSchema)
+            val r = spark.read.schema(readSchema)
             // basePath recovery is needed only for IDENTITY directory keys
             // (the value exists nowhere else); transform-derived keys
             // (bucket/days/truncate fields, never in the schema) keep their
@@ -4107,12 +4273,8 @@ final class GraftTable private (
             if (specCols.exists(physSchema.fieldNames.contains))
               r.option("basePath", root)
             val df = r.parquet(parqPaths: _*)
-            if (!withMeta) df.select(base: _*)
-            else df.select(base ++ Seq(
-              org.apache.spark.sql.functions
-                .substring_index(col("_metadata.file_path"), "/", -1)
-                .as(MetaFileCol),
-              col("_metadata.row_index").as(MetaPosCol)): _*)
+            df.select(base ++ metaCols(real = true) ++
+              lineageCols(real = true): _*)
           },
           Option.when(orcPaths.nonEmpty) {
             // built-in vectorized ORC source; identity directory keys
@@ -4120,25 +4282,21 @@ final class GraftTable private (
             // index exists here — positional MoR refuses ORC targets, so
             // the meta columns are never consumed (null placeholders
             // keep the union positional)
-            val r = spark.read.schema(physSchema)
+            val r = spark.read.schema(readSchema)
             if (specCols.exists(physSchema.fieldNames.contains))
               r.option("basePath", root)
             val df = r.orc(orcPaths: _*)
-            if (!withMeta) df.select(base: _*)
-            else df.select(base ++ Seq(
-              lit(null).cast(StringType).as(MetaFileCol),
-              lit(null).cast(LongType).as(MetaPosCol)): _*)
+            df.select(base ++ metaCols(real = false) ++
+              lineageCols(real = false): _*)
           },
           Option.when(avroPaths.nonEmpty) {
             // era schema as the TARGET: post-evolution columns absent
             // from the avro writer schema null-fill (parquet-branch
             // parity)
             val df = graft.sources.AvroSource.readFiles(spark, avroPaths,
-              targetSchema = Some(physSchema))
-            if (!withMeta) df.select(base: _*)
-            else df.select(base ++ Seq( // no parquet metadata struct
-              lit(null).cast(StringType).as(MetaFileCol),
-              lit(null).cast(LongType).as(MetaPosCol)): _*)
+              targetSchema = Some(readSchema))
+            df.select(base ++ metaCols(real = false) ++
+              lineageCols(real = false): _*)
           }).flatten
         branches.reduce(_ union _)
       }.reduce(_ union _)
@@ -4164,6 +4322,52 @@ final class GraftTable private (
     * snapshots yields an empty DataFrame with the right schema). */
   def read(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame =
     scan(spark, filter = None, projection = Nil, snapshotId = snapshotId)
+
+  /** Visible rows WITH ROW LINEAGE (Iceberg v3 row-provenance parity):
+    * the table columns plus `_row_id` (stable row identity — the file's
+    * materialized lineage cell when a rewrite carried it, else
+    * `firstRowId + row position` by the v3 inheritance rule) and
+    * `_last_updated_snapshot_id` (the snapshot that last wrote the row's
+    * values). Files committed before the table had lineage read NULLs
+    * (the pre-upgrade stance) until a rewrite assigns them. Every
+    * merge-on-read delete form applies — lineage rides the same
+    * visible-row reader as [[read]]. With `graft.row-lineage = true`,
+    * copy-on-write rewrites/compaction/positional updates PRESERVE ids
+    * (materialized carry); without it a rewrite re-bands its rows. */
+  def readLineage(
+      spark: SparkSession, snapshotId: Option[Long] = None): DataFrame = {
+    val s = resolveSnapshot(snapshotId).getOrElse(
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(schema.fields ++ Seq(
+          StructField(RowIdCol, LongType, nullable = true),
+          StructField(LastUpdatedCol, LongType, nullable = true)))))
+    val manifest = Manifest.read(s"$dir/${s.manifestList}")
+    readVisible(spark, parsePending(s), parsePositional(s), manifest.files,
+      parseEquality(s), lineage = true)
+  }
+
+  /** Whether rewrites carry row lineage ([[GraftTable.PropRowLineage]]). */
+  private def lineageOn: Boolean =
+    properties.getOrElse(PropRowLineage, "false").toBoolean
+
+  /** Survivor reader for REWRITES: with [[lineageOn]], visible rows come
+    * with their prior lineage renamed to the physical carry columns
+    * (`_gf_rid`/`_gf_seq`) so [[writeDataFiles]] persists them and the
+    * rewritten rows keep their identity; otherwise a plain visible read
+    * (the rewrite re-bands). Callers that MODIFY rows overwrite
+    * `_gf_seq` for the changed ones. */
+  private def readVisibleCarry(
+      spark: SparkSession,
+      pend: Seq[(Long, String)],
+      posEntries: Seq[PositionalDeletes],
+      files: Seq[DataFileEntry],
+      eqEntries: Seq[EqualityDeletes]): DataFrame = {
+    if (!lineageOn) readVisible(spark, pend, posEntries, files, eqEntries)
+    else readVisible(spark, pend, posEntries, files, eqEntries,
+        lineage = true)
+      .withColumnRenamed(RowIdCol, LineageRidCol)
+      .withColumnRenamed(LastUpdatedCol, LineageSeqCol)
+  }
 
   /** Scan with optional pushed filter and projection — the programmatic API
     * (reference analog §3.3). Honors a `snapshot__id = <lit>` conjunct as
@@ -5435,6 +5639,15 @@ object GraftTable {
     * index (positional MoR refuses their files loudly; avro additionally
     * requires unpartitioned layouts). */
   val PropWriteFormat = "write.format"
+  /** Opt-in ROW LINEAGE carry (Iceberg v3 row-lineage parity):
+    * `graft.row-lineage = true` makes every REWRITE (CoW DML,
+    * compaction, positional update) persist the rewritten rows' prior
+    * `_row_id`/`_last_updated_snapshot_id` as materialized lineage
+    * columns, so ids stay STABLE across rewrites. Band assignment at
+    * commit is always on (metadata-only, free); without the property a
+    * rewrite re-assigns fresh ids (reads stay correct, identity is just
+    * not preserved across maintenance). */
+  val PropRowLineage = "graft.row-lineage"
   /** Column-name prefix under which [[GraftTable.mergeActions]] exposes
     * SOURCE columns to action conditions/values over the joined row
     * (target columns keep their bare names). */
@@ -5485,6 +5698,17 @@ object GraftTable {
   val SummaryPendingDeletes = "pending-deletes"
   val SummaryPositionalDeletes = "positional-deletes"
   val SummaryEqualityDeletes = "equality-deletes"
+  /** Row-lineage watermark: the next unassigned row id (Iceberg v3
+    * `next-row-id`). Written by every commit; monotone forever. */
+  val SummaryNextRowId = "next-row-id"
+  /** Physical lineage-carry columns a REWRITE persists so prior row ids
+    * survive the file rewrite (NULL cells inherit `firstRowId` + pos). */
+  val LineageRidCol = "_gf_rid"
+  val LineageSeqCol = "_gf_seq"
+  /** Lineage OUTPUT columns ([[GraftTable.readLineage]] /
+    * `_row_id`-style metadata): Iceberg v3 row-provenance names. */
+  val RowIdCol = "_row_id"
+  val LastUpdatedCol = "_last_updated_snapshot_id"
   val SummaryStreamCursors = "stream-cursors"
 
   /** One EQUALITY merge-on-read delete commit's bookkeeping (Iceberg v2
@@ -5607,7 +5831,8 @@ object GraftTable {
     * Checked at every schema-introducing path (create / addColumn /
     * renameColumn; mergeSchema rides addColumn). */
   private[table] val ReservedColumns = Seq("_file", "_pos",
-    MetaFileCol, MetaPosCol, EqCovCol)
+    MetaFileCol, MetaPosCol, EqCovCol,
+    LineageRidCol, LineageSeqCol, RowIdCol, LastUpdatedCol)
 
   /** Exact row count of an ORC data file from its reader metadata (no
     * decode) — the manifest-exactness source for `write.format=orc`

@@ -17,7 +17,19 @@ final case class DataFileEntry(
     fileSizeBytes: Long,
     stats: Map[String, ColumnStats],
     partition: Map[String, Option[String]] = Map.empty,
-    blooms: Map[String, String] = Map.empty)
+    blooms: Map[String, String] = Map.empty,
+    /** ROW LINEAGE (Iceberg v3 `first-row-id` analog): the first row id
+      * of this file's band — a row's `_row_id` is `firstRowId + its
+      * position` unless the file carries a materialized lineage column
+      * (rewrites preserving prior ids). Assigned once at commit from
+      * the snapshot's `next-row-id` watermark; None on files committed
+      * before the table had lineage (their rows read a NULL `_row_id`
+      * until a rewrite assigns them — the Iceberg pre-upgrade stance). */
+    firstRowId: Option[Long] = None,
+    /** The file physically carries materialized `_gf_rid`/`_gf_seq`
+      * lineage columns (it was written by a rewrite carrying prior row
+      * ids; NULL cells inherit from `firstRowId` + position). */
+    hasRowIds: Boolean = false)
 
 /** One shard of a snapshot's file list — the reusable unit of the
   * two-level manifest design (Iceberg's manifest-list → manifest files,
@@ -92,6 +104,14 @@ final class Manifest private[table] (val segments: Vector[ManifestSegment]) {
 
   /** Segment refs this manifest shares (for expiration ref-counting). */
   def segmentRefs: Seq[String] = segments.flatMap(_.ref)
+
+  /** Transform only the FRESH (ref-less) segments' entries — the commit
+    * chokepoint's row-id assignment hook; carried segments stay by ref
+    * (never parsed, never re-serialized). */
+  private[table] def mapFresh(f: DataFileEntry => DataFileEntry): Manifest =
+    new Manifest(segments.map { s =>
+      if (s.ref.isDefined) s else ManifestSegment.fresh(s.files.map(f))
+    })
 
   /** All prior segments carried by ref + one fresh segment of `newFiles`.
     * Never parses the carried segments. */
@@ -421,7 +441,9 @@ object Manifest {
         m("file_size_bytes").asInstanceOf[Long],
         stats,
         partition,
-        blooms)
+        blooms,
+        m.get("first_row_id").collect { case l: Long => l },
+        m.get("row_ids").contains(true))
     }.toVector
 
   private[table] def entryToJson(f: DataFileEntry): Map[String, Any] = {
@@ -439,7 +461,13 @@ object Manifest {
     val withPart =
       if (f.partition.isEmpty) base
       else base + ("partition" -> f.partition.map { case (c, v) => c -> v.orNull })
-    if (f.blooms.isEmpty) withPart
-    else withPart + ("blooms" -> f.blooms)
+    val withBlooms =
+      if (f.blooms.isEmpty) withPart
+      else withPart + ("blooms" -> f.blooms)
+    val withRid = f.firstRowId match {
+      case Some(id) => withBlooms + ("first_row_id" -> id)
+      case None => withBlooms
+    }
+    if (f.hasRowIds) withRid + ("row_ids" -> true) else withRid
   }
 }

@@ -103,7 +103,9 @@ final class GraftPruningScanBuilder(
     // `_metadata.file_path`/`row_index`) over the SAME pruned file
     // list. Residual filters still re-apply post-scan (nothing is
     // claimed into the delegate here).
-    if (required.fieldNames.exists(n => n == "_file" || n == "_pos")) {
+    if (required.fieldNames.exists(n => n == "_file" || n == "_pos" ||
+        n == graft.table.GraftTable.RowIdCol ||
+        n == graft.table.GraftTable.LastUpdatedCol)) {
       val mk = metadataColScan.getOrElse(throw new IllegalStateException(
         s"$tableName scan requires metadata columns it does not serve"))
       return mk(required, if (pushed.isEmpty) allPaths else prune(pushed))

@@ -1,0 +1,179 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** ROW LINEAGE (Iceberg v3 parity): band assignment at commit
+  * (`first-row-id` per file + the monotone `next-row-id` watermark),
+  * inheritance reads (`_row_id` = band + position unless a materialized
+  * carry cell overrides), and — under `graft.row-lineage = true` —
+  * identity PRESERVATION across copy-on-write rewrites, compaction and
+  * positional updates. */
+class RowLineageSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  private def mkDf(rows: (Long, String)*) = {
+    val rdd = spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1)
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-lineage").toString
+
+  private def lineage(t: GraftTable): Map[Long, (Long, Long)] =
+    t.readLineage(spark).collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+
+  private def rowIds(t: GraftTable): Map[Long, Long] =
+    lineage(t).map { case (k, (rid, _)) => k -> rid }
+
+  test("bands assign at commit: _row_id = firstRowId + position, monotone watermark") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(10L -> "a", 11L -> "b", 12L -> "c"), Some(1000L))
+    assert(rowIds(t) == Map(10L -> 0L, 11L -> 1L, 12L -> 2L))
+    assert(t.log.current.get.summary(GraftTable.SummaryNextRowId) == "3")
+    // second append: a fresh band, no overlap
+    t.append(mkDf(20L -> "d"), Some(2000L))
+    assert(rowIds(t) == Map(10L -> 0L, 11L -> 1L, 12L -> 2L, 20L -> 3L))
+    // _last_updated_snapshot_id = the committing snapshot (inherited)
+    assert(lineage(t)(10L)._2 == 1L && lineage(t)(20L)._2 == 2L)
+    // metadata-only commits carry the watermark
+    t.deleteDeferred(spark, col("id") === 11L, Some(3000L))
+    assert(t.log.current.get.summary(GraftTable.SummaryNextRowId) == "4")
+    // the deferred-dead row is gone from the lineage read too
+    assert(!rowIds(t).contains(11L))
+  }
+
+  test("graft.row-lineage: CoW update/delete preserve ids; seq bumps only on modified rows") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema,
+      properties = Map(GraftTable.PropRowLineage -> "true"))
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    val before = lineage(t)
+    t.update(spark, col("id") === 2L, Map("data" -> lit("B")), Some(2000L))
+    val afterU = lineage(t)
+    assert(afterU.view.mapValues(_._1).toMap ==
+      before.view.mapValues(_._1).toMap, "update must preserve row ids")
+    assert(afterU(2L)._2 == 2L, "modified row must carry the update snapshot")
+    assert(afterU(1L)._2 == 1L && afterU(3L)._2 == 1L,
+      "unmodified rewritten rows must KEEP their last-updated snapshot")
+    // CoW delete: survivors keep id AND seq
+    t.delete(spark, col("id") === 3L, Some(3000L))
+    val afterD = lineage(t)
+    assert(afterD.keySet == Set(1L, 2L))
+    assert(afterD(1L) == (before(1L)._1, 1L) && afterD(2L)._1 == before(2L)._1)
+  }
+
+  test("graft.row-lineage: compaction is identity-preserving; MoR forms compose") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema,
+      properties = Map(GraftTable.PropRowLineage -> "true"))
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), Some(1000L))
+    t.deletePositional(spark, col("id") === 1L, Some(2000L))
+    t.deleteEquality(spark, mkDf(2L -> "x").select("id"), Seq("id"), Some(3000L))
+    val before = lineage(t)
+    assert(before.keySet == Set(3L, 4L))
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(4000L))
+    assert(lineage(t) == before,
+      "compaction must preserve both lineage columns exactly")
+    // watermark still past every assigned id
+    val wm = t.log.current.get.summary(GraftTable.SummaryNextRowId).toLong
+    assert(lineage(t).values.map(_._1).forall(_ < wm))
+  }
+
+  test("graft.row-lineage: merge keeps matched ids, fresh keys get new unique ids") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema,
+      properties = Map(GraftTable.PropRowLineage -> "true"))
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    val before = rowIds(t)
+    t.merge(spark, mkDf(2L -> "B2", 9L -> "new"), "id", Some(2000L))
+    val after = lineage(t)
+    assert(after(2L)._1 == before(2L), "matched key must keep its row id")
+    assert(after(1L)._1 == before(1L))
+    assert(after(2L)._2 == 2L, "matched row is a new version")
+    assert(after(1L)._2 == 1L, "survivor keeps its version")
+    assert(after(9L)._2 == 2L)
+    val ids = after.values.map(_._1).toSeq
+    assert(ids.distinct.size == ids.size, "row ids must stay unique")
+    assert(after(9L)._1 >= 2L, "fresh key must take a new band id")
+  }
+
+  test("graft.row-lineage: positional update supersedes in place, id stable") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema,
+      properties = Map(GraftTable.PropRowLineage -> "true"))
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    val before = rowIds(t)
+    t.updatePositional(spark, col("id") === 1L,
+      Map("data" -> lit("A")), Some(2000L))
+    val after = lineage(t)
+    assert(after(1L)._1 == before(1L),
+      "a positional update is the same logical row — id must hold")
+    assert(after(1L)._2 == 2L && after(2L)._2 == 1L)
+    // and a second update on the superseding copy still holds the id
+    t.updatePositional(spark, col("id") === 1L,
+      Map("data" -> lit("A2")), Some(3000L))
+    assert(lineage(t)(1L) == (before(1L), 3L))
+  }
+
+  test("default (carry off): rewrites re-band but ids stay non-null and unique") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    t.update(spark, col("id") === 1L, Map("data" -> lit("A")), Some(2000L))
+    val l = lineage(t)
+    assert(l.keySet == Set(1L, 2L))
+    val ids = l.values.map(_._1).toSeq
+    assert(ids.distinct.size == ids.size && ids.forall(_ >= 2L),
+      s"re-banded ids must be fresh and unique: $l")
+    // rewritten rows inherit the rewrite snapshot as last-updated
+    assert(l.values.forall(_._2 == 2L))
+  }
+
+  test("SQL: _row_id/_last_updated_snapshot_id metadata columns through the catalog") {
+    val wh = tmpDir("graft-lineage-sql")
+    spark.conf.set("spark.sql.catalog.glin", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.glin.warehouse", wh)
+    val t = GraftTable.create(s"$wh/db/t", schema,
+      properties = Map(GraftTable.PropRowLineage -> "true"))
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    val r1 = spark.sql(
+      "SELECT id, _row_id, _last_updated_snapshot_id FROM glin.db.t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r1 == Map(1L -> (0L, 1L), 2L -> (1L, 1L), 3L -> (2L, 1L)))
+    // CoW update with lineage carry: the SQL surface reads the
+    // materialized cells + inheritance identically to the library read
+    t.update(spark, col("id") === 2L, Map("data" -> lit("B")), Some(2000L))
+    val r2 = spark.sql(
+      "SELECT id, _row_id, _last_updated_snapshot_id FROM glin.db.t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r2 == Map(1L -> (0L, 1L), 2L -> (1L, 2L), 3L -> (2L, 1L)),
+      s"SQL lineage diverged: $r2")
+    assert(r2 == lineage(GraftTable.load(s"$wh/db/t")),
+      "SQL and library lineage reads must agree")
+  }
+
+  test("rollback never reuses ids; lineage columns refuse as user columns") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))   // band [0,1): id 0
+    t.append(mkDf(2L -> "b"), Some(2000L))   // band [1,2)
+    t.rollbackTo(1L, Some(3000L))
+    t.append(mkDf(3L -> "c"), Some(4000L))
+    // the rolled-past band [1,2) is never reissued
+    assert(rowIds(t) == Map(1L -> 0L, 3L -> 2L))
+    intercept[IllegalArgumentException] {
+      GraftTable.create(s"$dir/bad", StructType(Seq(
+        StructField("_row_id", LongType, nullable = false))))
+    }
+    intercept[IllegalArgumentException] { t.addColumn("_gf_rid", LongType) }
+  }
+}
