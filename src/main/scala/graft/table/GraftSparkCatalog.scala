@@ -38,7 +38,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * column dialect lives on [[GraftCatalog.register]]'s view path.
   */
 class GraftSparkCatalog extends CatalogPlugin with TableCatalog
-    with FunctionCatalog with ProcedureCatalog {
+    with FunctionCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -393,6 +394,89 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
     }
     new GraftV2Table(identToName(ident), t, None)
   }
+
+  // ---- DSv2 ViewCatalog (programmatic surface over [[GraftViews]];
+  // the SQL statements route through GraftViewParser because OSS Spark
+  // has no analyzer/exec path driving this interface — implementing it
+  // anyway keeps the standard API usable and future-proof) ----
+
+  private def viewDbName(ident: Identifier): (String, String) = {
+    require(ident.namespace().length == 1,
+      s"graft views live under <db>.<name>: ${ident}")
+    (ident.namespace()(0), ident.name())
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    require(namespace.length == 1, s"unsupported namespace depth: $namespace")
+    GraftViews.list(warehouse, namespace.head)
+      .map(n => Identifier.of(namespace.toArray, n)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean = {
+    val (db, name) = viewDbName(ident)
+    GraftViews.exists(warehouse, db, name)
+  }
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val (db, name) = viewDbName(ident)
+    if (!GraftViews.exists(warehouse, db, name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val meta = GraftViews.load(warehouse, db, name)
+    val v = meta.current
+    val cat = catalogName
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String = s"$db.$name"
+      override def query(): String = v.sql
+      override def currentCatalog(): String = cat
+      override def currentNamespace(): Array[String] = Array(db)
+      override def schema(): StructType =
+        org.apache.spark.sql.types.DataType.fromJson(v.schemaJson)
+          .asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = Array.empty
+      override def columnAliases(): Array[String] = v.aliases.toArray
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): util.Map[String, String] = {
+        val m = new util.HashMap[String, String]()
+        meta.properties.foreach { case (k, x) => m.put(k, x) }
+        m
+      }
+    }
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val (db, name) = viewDbName(info.ident())
+    if (GraftViews.exists(warehouse, db, name))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident())
+    require(!GraftTable.exists(s"$warehouse/$db/$name"),
+      s"a graft TABLE named $db.$name already exists")
+    GraftViews.upsertVersion(warehouse, db, name, info.sql(),
+      info.schema().json, info.columnAliases().toSeq,
+      info.properties().asScala.toMap, replaceExisting = false)
+    loadView(info.ident())
+  }
+
+  override def alterView(
+      ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View =
+    throw new UnsupportedOperationException(
+      "graft views take new versions via ALTER VIEW … AS / CREATE OR " +
+        "REPLACE (property-only changes are not supported)")
+
+  override def dropView(ident: Identifier): Boolean = {
+    val (db, name) = viewDbName(ident)
+    if (!GraftViews.exists(warehouse, db, name)) return false
+    GraftTable.deleteRecursively(
+      java.nio.file.Paths.get(warehouse, db, name))
+    true
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft views cannot be renamed")
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

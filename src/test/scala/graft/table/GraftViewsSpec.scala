@@ -113,6 +113,28 @@ class GraftViewsSpec extends SparkSpecBase {
     intercept[Exception] { sE.sql("SELECT * FROM gvw.db2.vb").collect() }
   }
 
+  test("DSv2 ViewCatalog API: list/load/exists/drop round-trip") {
+    sE.sql("CREATE VIEW gvw.db4.api (a) AS SELECT 42 AS x")
+    val cat = sE.sessionState.catalogManager.catalog("gvw")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db4"), "api")
+    assert(cat.viewExists(ident))
+    assert(cat.listViews("db4").map(_.name()).toSeq == Seq("api"))
+    val v = cat.loadView(ident)
+    assert(v.query().contains("SELECT 42"))
+    assert(v.columnAliases().toSeq == Seq("a"))
+    assert(v.schema().fieldNames.toSeq == Seq("a"))
+    intercept[org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException] {
+      cat.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+        ident, "SELECT 1", "gvw", Array("db4"), v.schema(),
+        Array.empty, Array.empty, Array.empty,
+        new java.util.HashMap[String, String]()))
+    }
+    assert(cat.dropView(ident))
+    assert(!cat.viewExists(ident) && !cat.dropView(ident))
+  }
+
   test("views compose with time travel and MoR-pending tables") {
     val t = GraftTable.create(s"$wh/db3/m", schema)
     t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))

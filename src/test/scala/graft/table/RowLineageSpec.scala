@@ -161,6 +161,60 @@ class RowLineageSpec extends SparkSpecBase {
       "SQL and library lineage reads must agree")
   }
 
+  test("property sweep: ids stay unique, below the watermark, and stable per key") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 3) {
+      val dir = tmp()
+      val t = GraftTable.create(s"$dir/t", schema,
+        properties = Map(GraftTable.PropRowLineage -> "true"))
+      var nextKey = 0L
+      def batch(n: Int): Seq[(Long, String)] =
+        (0 until n).map { _ => nextKey += 1; nextKey -> s"v$nextKey" }
+      t.append(mkDf(batch(8): _*), Some(1000L))
+      // first-seen _row_id per key: once assigned it must NEVER change
+      // while the key survives (every op here is identity-preserving —
+      // equality upserts, which legitimately re-row, are exercised in
+      // the dedicated merge test)
+      var seen = Map.empty[Long, Long]
+      var ts = 1000L
+      (1 to 10).foreach { step =>
+        ts += 1000L
+        val keys = t.read(spark).select("id").collect().map(_.getLong(0)).toSeq
+        rnd.nextInt(6) match {
+          case 0 => t.append(mkDf(batch(1 + rnd.nextInt(3)): _*), Some(ts))
+          case 1 if keys.nonEmpty =>
+            t.delete(spark, col("id") === keys(rnd.nextInt(keys.size)), Some(ts))
+          case 2 if keys.nonEmpty =>
+            t.update(spark, col("id") === keys(rnd.nextInt(keys.size)),
+              Map("data" -> lit(s"u$step")), Some(ts))
+          case 3 if keys.nonEmpty =>
+            t.deletePositional(spark,
+              col("id") === keys(rnd.nextInt(keys.size)), Some(ts))
+          case 4 if keys.nonEmpty =>
+            t.updatePositional(spark,
+              col("id") === keys(rnd.nextInt(keys.size)),
+              Map("data" -> lit(s"p$step")), Some(ts))
+          case _ =>
+            t.compact(spark, smallerThanBytes = Long.MaxValue, Some(ts))
+        }
+        val l = lineage(t)
+        val ids = l.values.map(_._1).toSeq
+        assert(ids.distinct.size == ids.size,
+          s"trial $trial step $step: duplicate row ids: $l")
+        val wm = t.log.current.get
+          .summary(GraftTable.SummaryNextRowId).toLong
+        assert(ids.forall(_ < wm),
+          s"trial $trial step $step: id past the watermark $wm: $l")
+        l.foreach { case (k, (rid, _)) =>
+          seen.get(k).foreach(prev => assert(prev == rid,
+            s"trial $trial step $step: key $k changed id $prev -> $rid"))
+        }
+        seen ++= l.view.mapValues(_._1).toMap
+      }
+      GraftTable.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("rollback never reuses ids; lineage columns refuse as user columns") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
