@@ -4178,10 +4178,6 @@ final class GraftTable private (
       withLineage: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.coalesce
     val b = org.apache.spark.sql.classic.GraftBridge
-    lazy val ridIdx = new LineageIndex(
-      files.flatMap(f => f.firstRowId.map(baseName(f.path) -> _)).toMap)
-    lazy val seqIdx = new LineageIndex(
-      files.flatMap(f => fileSnapId(f.path).map(baseName(f.path) -> _)).toMap)
     def lineageFields: Seq[StructField] = Seq(
       StructField(LineageRidCol, LongType, nullable = true),
       StructField(LineageSeqCol, LongType, nullable = true))
@@ -4247,9 +4243,18 @@ final class GraftTable private (
           else Seq(
             lit(null).cast(StringType).as(MetaFileCol),
             lit(null).cast(LongType).as(MetaPosCol))
+        // per-GROUP lineage constants: each scan branch ships ONLY its
+        // own files' (basename → band/snapshot) map as the reference
+        // object — a full-table lineage read over a million files never
+        // serializes one table-wide map into every task
         def lineageCols(real: Boolean): Seq[Column] =
           if (!withLineage) Nil
           else if (real) {
+            val ridIdx = new LineageIndex(
+              fs.flatMap(f => f.firstRowId.map(baseName(f.path) -> _)).toMap)
+            val seqIdx = new LineageIndex(
+              fs.flatMap(f => fileSnapId(f.path).map(baseName(f.path) -> _))
+                .toMap)
             val bn = org.apache.spark.sql.functions
               .substring_index(col("_metadata.file_path"), "/", -1)
             Seq(
