@@ -1370,19 +1370,23 @@ final class GraftTable private (
     }
     // ROW LINEAGE (Iceberg v3 first-row-id): every NEW data file gets
     // its row-id band here — the single chokepoint all write paths
-    // funnel through. Bands assign sequentially from the parent's
-    // `next-row-id` watermark in fresh-segment entry order (stable:
-    // staged file names sort, callers append deterministically); a
-    // file's rows read `firstRowId + position` unless a materialized
-    // lineage column overrides (rewrites carrying prior ids). Carried
-    // entries and files committed before the table had lineage keep
-    // their state (None → NULL row ids until a rewrite assigns).
+    // funnel through (streaming-sink epochs and add_files imports
+    // included: their entries land in this commit's fresh segment).
+    // Bands assign sequentially from the parent's `next-row-id`
+    // watermark in fresh-segment entry order (stable: staged file names
+    // sort, callers append deterministically); a file's rows read
+    // `firstRowId + position` unless a materialized lineage column
+    // overrides (rewrites carrying prior ids). Any band-less
+    // fresh-segment entry is safely bandable: carried entries always
+    // retain their band through the manifest JSON, so band-less means
+    // either a genuinely new file or a pre-lineage file getting its
+    // upgrade band (NULL → id, never id → different id; older
+    // snapshots' manifests are immutable and still read NULL).
     val ridBase = lg2.current
       .flatMap(_.summary.get(SummaryNextRowId)).map(_.toLong).getOrElse(0L)
     var ridCursor = ridBase
-    val newPaths = newFiles.map(_.path).toSet
     val manifestAssigned = manifest.mapFresh { e =>
-      if (!newPaths.contains(e.path) || e.firstRowId.isDefined) e
+      if (e.firstRowId.isDefined) e
       else {
         val fid = ridCursor
         ridCursor += e.recordCount

@@ -215,6 +215,48 @@ class RowLineageSpec extends SparkSpecBase {
     }
   }
 
+  test("identity-partitioned table: bands per file, carry through update + compact") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema,
+      properties = Map(GraftTable.PropRowLineage -> "true"),
+      partitionBy = Seq("data"))
+    t.append(mkDf(1L -> "a", 2L -> "a", 3L -> "b"), Some(1000L))
+    val l0 = lineage(t)
+    assert(l0.keySet == Set(1L, 2L, 3L))
+    val ids0 = l0.values.map(_._1).toSeq
+    assert(ids0.distinct.size == ids0.size && ids0.forall(_ < 3L))
+    // CoW update within one partition: ids stable (the identity column
+    // is recovered from the directory, the carry cells from the footer)
+    t.update(spark, col("id") === 2L, Map("id" -> lit(20L)), Some(2000L))
+    val l1 = lineage(t)
+    assert(l1(20L)._1 == l0(2L)._1, "updated row must keep its id")
+    assert(l1(1L) == l0(1L) && l1(3L) == l0(3L))
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(3000L))
+    assert(lineage(t) == l1, "partitioned compaction must preserve lineage")
+  }
+
+  test("imported files (add_files) and pre-lineage files get bands at their commit") {
+    val dir = tmp()
+    // a FOREIGN parquet dump imported file-level: the import commit
+    // bands the entries like any other new file
+    val src = s"$dir/src"
+    mkDf(1L -> "a", 2L -> "b").write.parquet(src)
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(9L -> "z"), Some(1000L))
+    val srcFiles = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+      .iterator()
+    val parq = Iterator.continually(srcFiles)
+      .takeWhile(_.hasNext).map(_.next().toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+    t.importFiles(spark, parq, Some(2000L))
+    val l = lineage(t)
+    assert(l.keySet == Set(1L, 2L, 9L))
+    val ids = l.values.map(_._1).toSeq
+    assert(ids.distinct.size == ids.size, s"import must band uniquely: $l")
+    assert(l(1L)._2 == 2L && l(2L)._2 == 2L && l(9L)._2 == 1L,
+      "imported rows carry the import snapshot as last-updated")
+  }
+
   test("rollback never reuses ids; lineage columns refuse as user columns") {
     val dir = tmp()
     val t = GraftTable.create(s"$dir/t", schema)
