@@ -140,15 +140,24 @@ final class GraftTable private (
     val s = snapId.getOrElse(Long.MinValue)
     var name = c
     var tpe = schema(c).dataType
-    schemaEventsDesc.foreach {
-      case (at, r: ColumnRename) if s < at && r.to == name => name = r.from
-      case (at, w: ColumnWidening) if s < at && w.col == name && w.to == tpe =>
-        tpe = w.from
-      case (at, d: ColumnDefault) if s < at && d.col == name =>
-        return (name, tpe, Some(d.sql))
-      case _ => ()
+    var default: Option[String] = None
+    // plain while, no closure: this runs per (file, column) in a scan's
+    // grouping pass — a non-local return from a foreach would pay a
+    // control-flow exception per defaulted pre-add file×column
+    val it = schemaEventsDesc.iterator
+    while (it.hasNext && default.isEmpty) {
+      it.next() match {
+        case (at, r: ColumnRename) if s < at && r.to == name => name = r.from
+        case (at, w: ColumnWidening) if s < at && w.col == name && w.to == tpe =>
+          tpe = w.from
+        case (at, d: ColumnDefault) if s < at && d.col == name =>
+          // the column did not exist before its add (resurrection guards
+          // enforce the name was never reused) — the walk ends here
+          default = Some(d.sql)
+        case _ => ()
+      }
     }
-    (name, tpe, None)
+    (name, tpe, default)
   }
 
   def log: SnapshotLog = SnapshotLog.read(s"$dir/snapshots.json")
