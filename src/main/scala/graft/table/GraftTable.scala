@@ -5453,7 +5453,9 @@ final class GraftTable private (
           f.stats.collect { case (c, st) if st.max.isDefined =>
             c -> st.max.get },
           f.stats.collect { case (c, st) if st.nullCount.isDefined =>
-            c -> st.nullCount.get }))
+            c -> st.nullCount.get },
+          f.firstRowId.map(Long.box).orNull,
+          f.hasRowIds))
     }
     spark.createDataFrame(rdd, FilesSchema)
   }
@@ -5907,7 +5909,11 @@ object GraftTable {
     // operator reads before clustering decisions
     StructField("min_values", MapType(StringType, StringType), nullable = true),
     StructField("max_values", MapType(StringType, StringType), nullable = true),
-    StructField("null_counts", MapType(StringType, LongType), nullable = true)))
+    StructField("null_counts", MapType(StringType, LongType), nullable = true),
+    // ROW LINEAGE observability: the file's id band and whether it
+    // carries materialized lineage columns (a rewrite preserving ids)
+    StructField("first_row_id", LongType, nullable = true),
+    StructField("has_row_ids", BooleanType, nullable = false)))
 
   /** Segments metadata-table schema (two-level manifest observability). */
   val SegmentsSchema: StructType = StructType(Seq(

@@ -138,6 +138,21 @@ class RowLineageSpec extends SparkSpecBase {
     assert(l.values.forall(_._2 == 2L))
   }
 
+  test("__files exposes the band and carry state") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema,
+      properties = Map(GraftTable.PropRowLineage -> "true"))
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    val before = t.filesTable(spark).select("first_row_id", "has_row_ids")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(before == Seq((0L, false)))
+    t.update(spark, col("id") === 1L, Map("data" -> lit("A")), Some(2000L))
+    val after = t.filesTable(spark).select("first_row_id", "has_row_ids")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(after.forall(_._2), "rewritten files must report carried ids")
+    assert(after.forall(_._1 >= 2L), "the rewrite takes a fresh band")
+  }
+
   test("SQL: _row_id/_last_updated_snapshot_id metadata columns through the catalog") {
     val wh = tmpDir("graft-lineage-sql")
     spark.conf.set("spark.sql.catalog.glin", "graft.table.GraftSparkCatalog")
