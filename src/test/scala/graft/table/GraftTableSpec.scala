@@ -1208,7 +1208,8 @@ class GraftTableSpec extends SparkSpecBase {
     val files = cat.loadDataFrame(spark, "db.people__files")
     assert(files.columns.toSeq ==
       Seq("file_path", "record_count", "file_size_bytes", "partition",
-        "min_values", "max_values", "null_counts"))
+        "min_values", "max_values", "null_counts",
+        "first_row_id", "has_row_ids"))
     assert(files.select("record_count").collect().map(_.getLong(0)).sum == 1)
   }
 
