@@ -424,6 +424,70 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** REGISTER-TABLE fixture (v70, Iceberg register_table parity): a
+    * graft table built OUTSIDE any warehouse (the relocated/restored
+    * case) is catalog-registered by the `register_table` procedure —
+    * a symbolic link at `<wh>/db/<name>`, never a copy — and then
+    * served through the catalog name like any native table. The CALL
+    * is guarded for repeat runs (Verify reruns, Bench reps): an
+    * already-registered name is left alone. */
+  private def registerFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "relocated/nation_moved", 1) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation, committedAt = Some(1000L))
+      tb
+    }
+
+  /** ROW-ID-CARRYING CHANGELOG fixture (v69, Iceberg v3 changelog
+    * identity): nation under `graft.row-lineage = true` — snapshot 1
+    * appends (each row's `_row_id` = n_nationkey, key-ordered single
+    * input file), snapshot 2 CoW-updates region 2's names (ids carried
+    * through the rewrite; only modified rows bump the version), and
+    * snapshot 3 CoW-deletes `n_nationkey % 6 = 3`. The `__changes`
+    * batch relation then serves every delta row WITH
+    * `_row_id`/`_last_updated_snapshot_id`: the update nets to (same
+    * `_row_id`, old seq) delete + (same `_row_id`, new seq) insert —
+    * stable identity, never an unrelated retract+insert pair. */
+  private def cdcLineageFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "db/nation_cdclin", 3) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema,
+        properties = Map(GraftTable.PropRowLineage -> "true"))
+      tb.append(nation, committedAt = Some(1000L))
+      tb.update(spark, col("n_regionkey") === 2,
+        Map("n_name" -> concat(col("n_name"), lit("_L9"))), Some(2000L))
+      tb.delete(spark, col("n_nationkey") % 6 === 3, Some(3000L))
+      tb
+    }
+
+  /** VARIANT-column fixture (v68, Iceberg v3 VARIANT parity): the
+    * events table's per-event JSON payload lands as a native
+    * `VariantType` column (`parse_json` at ingest — binary-encoded
+    * variant in the data files, not text), then a CoW DELETE whose
+    * predicate reads a `variant_get` path rewrites the affected files —
+    * the variant bytes round-trip through readVisible + the parquet
+    * writer. Stats stance: parquet stores variant as a value/metadata
+    * binary group, so files carry NO footer bounds for the column —
+    * stats harvesting skips it (ParquetStats keeps top-level primitives
+    * only) and every pruning/proof walk stays conservative on variant
+    * predicates (sound keeps, like binary; the delete rewrites rather
+    * than proving whole-file drops). */
+  private def variantFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "events_variant", 2) { dir =>
+      val ev = t(spark, sfDir, "events").select(
+        col("event_id"),
+        parse_json(to_json(struct(
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("event_type").as("ty"),
+          col("user_id").as("u")))).as("meta"))
+      val tb = GraftTable.create(dir, ev.schema)
+      tb.append(ev, committedAt = Some(1000L))
+      tb.delete(spark,
+        variant_get(col("meta"), "$.k", "int") < 10, Some(2000L))
+      tb
+    }
+
   /** write.format fixture (v62): snapshot 1 lands as parquet, then the
     * table switches `write.format=orc` and a CoW UPDATE rewrites region
     * 2's file IN ORC — a mixed parquet+ORC table whose one scan
@@ -1641,6 +1705,52 @@ object Versioned extends QueryPack {
       rowLineageFixture(s, d).readLineage(s)
         .select("n_nationkey", "_row_id", "_last_updated_snapshot_id")),
 
+    // REGISTER TABLE (Iceberg register_table parity): an outside graft
+    // directory becomes a catalog name via CALL — a pointer, not a
+    // copy — then serves plain SQL like any native table
+    "v70_graft_register" -> ((s, d) => {
+      val src = registerFixture(s, d)
+      val wh = Paths.get(src.dir).getParent.getParent
+        .resolve("regwh").toString
+      s.conf.set("spark.sql.catalog.g70", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g70.warehouse", wh)
+      val dest = Paths.get(wh, "db", "nation_reg")
+      if (!GraftTable.exists(dest.toString)) {
+        Files.createDirectories(dest.getParent)
+        Files.deleteIfExists(dest) // dangling link from a reaped fixture
+        s.sql(
+          s"CALL g70.system.register_table('${src.dir}', 'db.nation_reg')")
+      }
+      s.sql("SELECT n_nationkey, n_name, n_regionkey " +
+        "FROM g70.db.nation_reg")
+    }),
+
+    // ROW-ID-CARRYING CHANGELOG (Iceberg v3 changelog identity): the
+    // full `__changes` feed of a row-lineage table — every delta row
+    // keyed by stable `_row_id`; the CoW update nets to (same id, old
+    // version) delete + (same id, new version) insert
+    "v69_graft_cdc_lineage" -> ((s, d) => {
+      val tb = cdcLineageFixture(s, d)
+      val wh = Paths.get(tb.dir).getParent.getParent.toString
+      s.conf.set("spark.sql.catalog.g69", "graft.table.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.g69.warehouse", wh)
+      s.sql(
+        "SELECT n_nationkey, n_name, _change_type, snapshot__id, " +
+          "_row_id, _last_updated_snapshot_id " +
+          "FROM g69.db.nation_cdclin__changes")
+    }),
+
+    // VARIANT column (Iceberg v3's headline type): JSON ingested as
+    // binary-encoded variant, `variant_get` typed path reads, the k<10
+    // slice CoW-deleted THROUGH a variant predicate — projection and
+    // filter both read the post-rewrite variant bytes
+    "v68_graft_variant" -> ((s, d) =>
+      variantFixture(s, d).read(s)
+        .filter(variant_get(col("meta"), "$.ty", "string") === "click")
+        .select(col("event_id"),
+          variant_get(col("meta"), "$.k", "int").as("k"),
+          variant_get(col("meta"), "$.u", "bigint").as("u"))),
+
     // SQL VIEWS (Iceberg view parity): SELECT through a warehouse-stored
     // versioned view — the stored TEXT re-plans against current state,
     // spliced by GraftViewSubstitution on an extensions session
@@ -2252,6 +2362,34 @@ object Versioned extends QueryPack {
       ("SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS _row_id, " +
         "CAST(CASE WHEN n_regionkey = 2 THEN 2 ELSE 1 END AS BIGINT) " +
         "AS _last_updated_snapshot_id FROM nation"),
+    // the registered pointer serves exactly the source's rows
+    "v70_graft_register" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // changelog-with-identity replay: snap1 inserts everything (id =
+    // key, version 1), snap2 retracts region 2's old rows and inserts
+    // the retagged ones under the SAME ids (version 2), snap3 retracts
+    // %6=3 keys at their then-current values/versions
+    "v69_graft_cdc_lineage" ->
+      ("SELECT n_nationkey, n_name, 'insert' AS _change_type, " +
+        "CAST(1 AS BIGINT) AS snapshot__id, " +
+        "CAST(n_nationkey AS BIGINT) AS _row_id, " +
+        "CAST(1 AS BIGINT) AS _last_updated_snapshot_id FROM nation " +
+        "UNION ALL SELECT n_nationkey, n_name, 'delete', 2, " +
+        "n_nationkey, 1 FROM nation WHERE n_regionkey = 2 " +
+        "UNION ALL SELECT n_nationkey, n_name || '_L9', 'insert', 2, " +
+        "n_nationkey, 2 FROM nation WHERE n_regionkey = 2 " +
+        "UNION ALL SELECT n_nationkey, CASE WHEN n_regionkey = 2 " +
+        "THEN n_name || '_L9' ELSE n_name END, 'delete', 3, " +
+        "n_nationkey, CASE WHEN n_regionkey = 2 THEN 2 ELSE 1 END " +
+        "FROM nation WHERE n_nationkey % 6 = 3"),
+    // variant replay over the raw JSON text: the k<10 slice was
+    // CoW-deleted; k is always present in props so the delete predicate
+    // is never NULL (no kept-on-NULL subtlety)
+    "v68_graft_variant" ->
+      ("SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k, " +
+        "user_id AS u FROM events " +
+        "WHERE CAST(json_extract(props, '$.k') AS INT) >= 10 " +
+        "AND event_type = 'click'"),
     // the stored view SQL replayed directly over the raw table
     "v66_graft_sql_view" ->
       ("SELECT n_regionkey, count(*) AS n_nations, " +

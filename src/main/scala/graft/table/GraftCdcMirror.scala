@@ -39,6 +39,25 @@ import org.apache.spark.sql.functions.col
   * snapshot history is this stream's apply log. Scale shape: per batch,
   * O(changed keys) metadata + O(inserted rows) data — never a mirror
   * rewrite, at any table size.
+  *
+  * ROW-ID KEYED mirrors (Iceberg v3 changelog identity): when the
+  * source carries `graft.row-lineage = true`, its `__changes` stream
+  * serves `_row_id`/`_last_updated_snapshot_id` on every change row —
+  * key the mirror on the SOURCE's stable row identity instead of a
+  * natural key by materializing it as a mirror column and applying
+  * through [[applyBatch]] with a pre-transform:
+  *
+  * {{{
+  *   // mirror schema = source fields + ("src_row_id" BIGINT)
+  *   .foreachBatch { (b: DataFrame, id: Long) =>
+  *     GraftCdcMirror.applyBatch(mirror, Seq("src_row_id"), sinkId)(
+  *       b.withColumn("src_row_id", col(GraftTable.RowIdCol)), id)
+  *   }
+  * }}}
+  *
+  * An upstream CoW UPDATE then nets to (same src_row_id, new values) —
+  * one tombstone + one insert on exactly that row — with no assumption
+  * that any data column is unique.
   */
 object GraftCdcMirror {
 

@@ -62,22 +62,38 @@ final class GraftChangeFeed(table: GraftTable, checkpointDir: String) {
     * seeds with the full current state as inserts. A rollback in the
     * window makes changesCdc throw BEFORE the cursor advances, so a
     * consumer can re-seed and resume — no change is silently skipped. */
-  def pollCdc(spark: SparkSession)(batch: DataFrame => Unit): Option[(Long, Long)] = {
-    import org.apache.spark.sql.functions.lit
+  def pollCdc(spark: SparkSession)(batch: DataFrame => Unit): Option[(Long, Long)] =
+    pollCdc(spark, lineage = false)(batch)
+
+  /** [[pollCdc]] with optional ROW-LINEAGE columns: every batch row
+    * additionally carries `_row_id`/`_last_updated_snapshot_id`
+    * (changesCdc's lineage form — requires `graft.row-lineage = true`
+    * on the source), so batch consumers key updates on stable row
+    * identity. Column order: (schema, _change_type, vc, _row_id, _seq). */
+  def pollCdc(spark: SparkSession, lineage: Boolean)(
+      batch: DataFrame => Unit): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, lit}
     val current = table.log.current.map(_.snapshotId).getOrElse(0L)
     val from = cursor
     if (current <= from) return None
     guardCursor(from)
     val vc = table.virtualColumn
     val df =
-      if (from == 0L)
+      if (from == 0L && !lineage)
         // seed with the full state; column ORDER must match changesCdc's
         // (schema, _change_type, virtual col) — positional consumers
         // (insertInto, union) would otherwise swap columns on poll 2
         table.read(spark, Some(current)).drop(vc)
           .withColumn("_change_type", lit("insert"))
           .withColumn(vc, lit(current))
-      else table.changesCdc(spark, from, Some(current))
+      else if (from == 0L)
+        table.readLineage(spark, Some(current))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn(vc, lit(current))
+          .select((table.schema.fieldNames.toSeq ++
+            Seq("_change_type", vc, GraftTable.RowIdCol,
+              GraftTable.LastUpdatedCol)).map(col): _*)
+      else table.changesCdc(spark, from, Some(current), lineage = lineage)
     batch(df)
     commitCursor(current)
     Some((from, current))

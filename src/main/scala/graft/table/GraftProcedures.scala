@@ -36,7 +36,8 @@ object GraftProcedures {
     "rewrite_manifests", "rollback_to_snapshot",
     "create_tag", "create_branch", "publish_branch", "drop_branch",
     "add_files", "analyze_table", "snapshot", "migrate",
-    "create_changelog_view")
+    "create_changelog_view", "rewrite_position_delete_files",
+    "register_table")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -54,6 +55,9 @@ object GraftProcedures {
       case "snapshot" => Some(snapshotTable(warehouse))
       case "migrate" => Some(migrateTable(warehouse))
       case "create_changelog_view" => Some(createChangelogView(warehouse))
+      case "rewrite_position_delete_files" =>
+        Some(rewritePositionDeleteFiles(warehouse))
+      case "register_table" => Some(registerTable(warehouse))
       case _ => None
     }
 
@@ -221,6 +225,97 @@ object GraftProcedures {
       nullable = false))),
     row => tableOf(wh, row).rewriteManifests(row.getInt(1))
       .map(s => Seq[Any](s.snapshotId)).toSeq)
+
+
+  private def rewritePositionDeleteFiles(wh: String): UnboundProcedure =
+    new Proc(
+      "rewrite_position_delete_files",
+      "Fold the pending positional-delete state into its canonical " +
+        "form — one consolidated entry, one deletion vector per " +
+        "affected data file — WITHOUT rewriting any data file: legacy " +
+        "(file,pos)-parquet entries convert to in-reader vectors, ghost " +
+        "rows for long-gone targets drop, a stacked entry list " +
+        "collapses. Returns the folding snapshot id, or no rows when " +
+        "the state is already canonical (nothing committed).",
+      Array(in("table", StringType)),
+      StructType(Seq(
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("position_delete_files", LongType, nullable = false))),
+      row => {
+        val t = tableOf(wh, row)
+        val spark = org.apache.spark.sql.SparkSession.active
+        t.rewritePositionDeletes(spark).map { s =>
+          Seq[Any](s.snapshotId,
+            t.positionalDeletes.map(_.dvs.size).sum.toLong)
+        }.toSeq
+      })
+
+
+  private def registerTable(wh: String): UnboundProcedure = new Proc(
+    "register_table",
+    "Catalog-register an EXISTING graft table directory under this " +
+      "warehouse (Iceberg register_table parity — the relocated or " +
+      "restored-table case): validates the source is a graft table and " +
+      "links it at <warehouse>/<db>/<name> (a symbolic link — the " +
+      "catalog entry is a pointer; the table is not copied, moved or " +
+      "rewritten, and keeps working at its original path). Refuses a " +
+      "name a table or view already holds, and a source already " +
+      "addressable in this warehouse (one catalog name per table). " +
+      "Returns (snapshot_id, total_data_files); snapshot_id is 0 for " +
+      "an empty table.",
+    Array(
+      in("source", StringType),
+      in("table", StringType)),
+    StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("total_data_files", LongType, nullable = false))),
+    row => {
+      import java.nio.file.{Files, Paths}
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        "source and table must not be null")
+      val srcDir = row.getUTF8String(0).toString
+      val name = row.getUTF8String(1).toString
+      val src = Paths.get(srcDir).toRealPath()
+      val whReal = Paths.get(wh).toRealPath()
+      require(GraftTable.exists(src.toString),
+        s"$srcDir is not a graft table (no metadata.json)")
+      require(!src.startsWith(whReal),
+        s"$srcDir already lives under warehouse $wh — it is already " +
+          "addressable; register_table is for directories OUTSIDE the " +
+          "warehouse (relocated/restored tables)")
+      // one catalog name per table: a prior register may have linked
+      // this same real directory under another name — a literal-prefix
+      // check can't see through the symlink, so compare REAL paths of
+      // every existing entry (a 2-level warehouse listing; admin-op
+      // cost, and the only sound dedup under links)
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.list(Paths.get(wh))) { dbs =>
+        dbs.iterator().asScala.filter(Files.isDirectory(_)).foreach { db =>
+          scala.util.Using.resource(Files.list(db)) { ts =>
+            ts.iterator().asScala.foreach { entry =>
+              if (Files.exists(entry.resolve("metadata.json")) &&
+                  entry.toRealPath() == src)
+                throw new IllegalArgumentException(
+                  s"$srcDir is already registered as " +
+                    s"${db.getFileName}.${entry.getFileName} under $wh — " +
+                    "one catalog name per table")
+            }
+          }
+        }
+      }
+      val t = GraftTable.load(src.toString) // full metadata validation
+      val dest = Paths.get(new GraftCatalog(wh).tableDir(name))
+      require(!Files.exists(dest, java.nio.file.LinkOption.NOFOLLOW_LINKS),
+        s"$name already exists under $wh (table, view, or stray " +
+          "directory) — register_table never overwrites")
+      Files.createDirectories(dest.getParent)
+      Files.createSymbolicLink(dest, src)
+      Seq(Seq[Any](
+        t.log.current.map(_.snapshotId).getOrElse(0L),
+        t.log.current.map(s =>
+          s.summary.get("total-data-files").map(_.toLong).getOrElse(0L))
+          .getOrElse(0L)))
+    })
 
   private def createTag(wh: String): UnboundProcedure = new Proc(
     "create_tag",

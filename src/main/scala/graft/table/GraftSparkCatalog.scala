@@ -1071,11 +1071,18 @@ final class GraftV2Table(
       },
       metadataColScan = Some((req, paths) => {
         // per-file lineage constants for `_row_id`/`_last_updated_…`:
-        // band base + committing snapshot by basename (tiny — O(files))
+        // band base + committing snapshot by basename — scoped to the
+        // PRUNED paths this scan actually reads, not the whole manifest:
+        // the maps ship as one reference object into every task, and at
+        // the design target (10⁶ files) a table-wide map would be an
+        // O(table) driver structure serialized per stage for a scan that
+        // kept three files
         def bn(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-        val ridByBn = entries
+        val wanted = paths.map(bn).toSet
+        val scoped = entries.filter(f => wanted.contains(bn(f.path)))
+        val ridByBn = scoped
           .flatMap(f => f.firstRowId.map(bn(f.path) -> _)).toMap
-        val seqByBn = entries
+        val seqByBn = scoped
           .flatMap(f => t.fileSnapId(f.path).map(bn(f.path) -> _)).toMap
         new GraftFileposScan(tableName, t.schema, req,
           new util.HashMap[String, String](opts), paths,
@@ -1310,12 +1317,24 @@ final class GraftCdcV2Table(
     tableName: String,
     t: GraftTable) extends Table with SupportsRead {
 
+  // row-lineage tables (graft.row-lineage=true) additionally serve
+  // `_row_id`/`_last_updated_snapshot_id` on every change row — the
+  // Iceberg v3 changelog identity: consumers key updates on stable row
+  // identity instead of whole-row equality. Property-driven, so the
+  // relation's schema is stable per table (read options can never
+  // reach loadTable — see the metadata-table discipline).
+  private val withLineage: Boolean = t.lineageOn
   private val cdcSchema: StructType = StructType(
-    t.schema.fields.toSeq :+
+    (t.schema.fields.toSeq :+
       org.apache.spark.sql.types.StructField("_change_type",
         org.apache.spark.sql.types.StringType, nullable = true) :+
       org.apache.spark.sql.types.StructField(t.virtualColumn,
-        org.apache.spark.sql.types.LongType, nullable = true))
+        org.apache.spark.sql.types.LongType, nullable = true)) ++
+      (if (!withLineage) Nil else Seq(
+        org.apache.spark.sql.types.StructField(GraftTable.RowIdCol,
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(GraftTable.LastUpdatedCol,
+          org.apache.spark.sql.types.LongType, nullable = true))))
 
   override def name(): String = tableName
   override def schema(): StructType = cdcSchema
@@ -1353,6 +1372,22 @@ final class GraftCdcV2Table(
         }
         b.build()
       }
+    // lineage seed scans take their EXACT read schema (data columns +
+    // the `_gf_rid`/`_gf_seq` carry cells; parquet serves
+    // requested-but-absent columns as NULL) — basePath recovery rides
+    // along for identity layouts, same as the plain seed delegate
+    val mkLineageSeed: Option[(Seq[String], org.apache.spark.sql.types.StructType) =>
+        org.apache.spark.sql.connector.read.Scan] =
+      if (!withLineage) None
+      else Some { (paths, readSchema) =>
+        val o = new util.HashMap[String, String](options.asCaseSensitiveMap())
+        if (t.partitionFields.exists(_.isIdentity))
+          o.put("basePath", s"${t.dir}/data")
+        org.apache.spark.sql.classic.GraftBridge
+          .parquetTable(spark, tableName, paths, readSchema, o)
+          .newScanBuilder(new CaseInsensitiveStringMap(o))
+          .build()
+      }
     val streamBuilder = new org.apache.spark.sql.classic.GraftPruningScanBuilder(
       spark, tableName, cdcSchema, opts,
       allPaths = Nil, // streaming rows exist only per micro-batch
@@ -1367,7 +1402,9 @@ final class GraftCdcV2Table(
           Option(options.get("max-files-per-trigger")).map(_.trim.toInt),
           Option(options.get("max-rows-per-trigger")).map(_.trim.toLong),
           Option(options.get("max-bytes-per-trigger")).map(_.trim.toLong),
-          mkSeedDelegate)))
+          mkSeedDelegate,
+          lineage = withLineage,
+          mkLineageSeed = mkLineageSeed)))
     // the batch half: a V1 relation over changesCdc's per-snapshot delta
     // plan, range-scoped by read options; streaming delegates to the
     // pruning builder's scan untouched (its column pruning included)
@@ -1401,7 +1438,8 @@ final class GraftCdcV2Table(
               override def schema: StructType = requiredNow
               override def buildScan()
                   : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-                t.changesCdc(context.sparkSession, startId, endId)
+                t.changesCdc(context.sparkSession, startId, endId,
+                    lineage = withLineage)
                   .select(requiredNow.fieldNames.map(
                     org.apache.spark.sql.functions.col).toSeq: _*)
                   .rdd

@@ -2811,17 +2811,51 @@ final class GraftTable private (
           .join(liveBns, Seq(MetaFileCol), "left_semi")
       }
 
+    val (counts, newByBn) = writeVectorBlobs(spark,
+      victims.union(priorDvIn).union(legacyIn), rewriteBns.size, snapId)
+
+    // consolidated single entry: carried (unaffected dv targets, by
+    // reference) + rewritten (merged vectors, exact distinct counts)
+    val carriedDvs = dvByTarget.filterNot { case (t, _) =>
+      rewriteBns(baseName(t)) }
+    val carriedTargets = prior.flatMap(_.targets).toMap
+      .filter { case (t, _) => carriedDvs.contains(t) }
+    val newTargets: Map[String, Long] = counts.map { case (bn, n) =>
+      bnToPath.getOrElse(bn, throw new IllegalStateException(
+        s"deletion vector for unknown data file $bn in $dir")) -> n
+    }
+    val newDvs: Map[String, String] = newByBn.map { case (bn, rel) =>
+      bnToPath(bn) -> rel }
+    val priorTotal = prior.flatMap(_.targets.values).sum
+    val entry = PositionalDeletes(
+      files = (carriedDvs.values ++ newDvs.values).toSeq.sorted,
+      targets = carriedTargets ++ newTargets,
+      dvs = carriedDvs ++ newDvs)
+    val newlyDead = entry.deletedRows - priorTotal
+    (Seq(entry), newByBn.values.toSeq.sorted, newlyDead)
+  }
+
+  /** Stream (basename, position) pairs into one canonical
+    * `deletes/dv-…bin` blob per basename: one partition per rewritten
+    * file (capped by parallelism), rows sorted so each vector streams
+    * out in O(1) task memory, equal consecutive positions collapsed
+    * (inputs are disjoint by the entry invariants — the dedupe is
+    * belt-and-braces so a resurrected overlap can never double-count).
+    * Returns (per-bn distinct-position counts, bn → published rel). */
+  private def writeVectorBlobs(
+      spark: SparkSession,
+      pairs: DataFrame,
+      nFiles: Int,
+      snapId: Long): (Map[String, Long], Map[String, String]) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"$dir/.staging-dv-$snapId-$token"
     Files.createDirectories(Paths.get(staging))
     val stagingCaptured = staging
     import spark.implicits._
-    // one partition per rewritten file (capped by parallelism), rows
-    // sorted so each vector streams out in O(1) task memory
-    val nParts = math.max(1, math.min(rewriteBns.size,
+    val nParts = math.max(1, math.min(nFiles,
       spark.sparkContext.defaultParallelism))
     val counts: Map[String, Long] =
-      try victims.union(priorDvIn).union(legacyIn)
+      try pairs
         .select(col(MetaFileCol).as("_1"), col(MetaPosCol).as("_2"))
         .as[(String, Long)]
         .repartition(nParts, col("_1"))
@@ -2831,9 +2865,15 @@ final class GraftTable private (
           val acc = scala.collection.mutable.ArrayBuffer[(String, Long)]()
           while (it.hasNext) {
             val bn = it.head._1
+            var last = Long.MinValue
             val posIter = new Iterator[Long] {
-              override def hasNext: Boolean = it.hasNext && it.head._1 == bn
-              override def next(): Long = it.next()._2
+              private def skipDups(): Unit =
+                while (it.hasNext && it.head._1 == bn && it.head._2 == last)
+                  it.next(): Unit
+              override def hasNext: Boolean = {
+                skipDups(); it.hasNext && it.head._1 == bn
+              }
+              override def next(): Long = { last = it.next()._2; last }
             }
             val n = DeletionVector.write(s"$stagingCaptured/$bn.bin", posIter)
             acc += ((bn, n))
@@ -2860,26 +2900,110 @@ final class GraftTable private (
         bn -> rel
     }.toMap
     GraftTable.deleteRecursively(Paths.get(staging))
+    (counts, newByBn)
+  }
 
-    // consolidated single entry: carried (unaffected dv targets, by
-    // reference) + rewritten (merged vectors, exact distinct counts)
-    val carriedDvs = dvByTarget.filterNot { case (t, _) =>
-      rewriteBns(baseName(t)) }
-    val carriedTargets = prior.flatMap(_.targets).toMap
-      .filter { case (t, _) => carriedDvs.contains(t) }
-    val newTargets: Map[String, Long] = counts.map { case (bn, n) =>
-      bnToPath.getOrElse(bn, throw new IllegalStateException(
-        s"deletion vector for unknown data file $bn in $dir")) -> n
+  /** Fold the pending POSITIONAL-delete state into its canonical form —
+    * ONE consolidated entry, one deletion vector per affected data file
+    * — WITHOUT touching any data file (Iceberg's
+    * `rewrite_position_delete_files` procedure, rebuilt for this
+    * representation). What it clears: legacy (file,pos)-parquet entries
+    * (their read path anti-joins a union that reopens every delete
+    * parquet per scan) convert to in-reader deletion vectors, ghost
+    * rows those shared parquets still hold for long-stripped targets
+    * drop, and a stacked entry list collapses to one. Already-canonical
+    * state (a single all-vector entry) is a no-op — returns None,
+    * nothing committed. Contrast [[compact]]: that clears DV debt by
+    * REWRITING the data files; this folds the delete artifacts alone —
+    * the cheap maintenance when data files are large and healthy.
+    * Per-target counts stay exact (each vector IS its distinct position
+    * set; the per-entry dead sets were disjoint at creation, and the
+    * blob writer collapses any resurrected overlap). Superseded
+    * artifacts (legacy parquets, replaced vectors) leave the entry's
+    * `files` — ancestor snapshots still reference them, expiration
+    * reclaims them. */
+  def rewritePositionDeletes(
+      spark: SparkSession,
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.substring_index
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    val prior = parsePositional(current)
+    if (prior.isEmpty) return None
+    val legacy = prior.filter(_.dvs.isEmpty)
+    if (legacy.isEmpty && prior.size == 1) return None
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val pathSet: Set[String] = manifest.files.map(_.path).toSet
+    val dvByTarget: Map[String, String] = prior.flatMap(_.dvs).toMap
+    require(dvByTarget.size == prior.map(_.dvs.size).sum,
+      s"conflicting deletion-vector entries in $dir")
+    val targetCounts: Map[String, Long] =
+      prior.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
+    // targets ⊆ manifest is maintained by every strip site; a violation
+    // means corrupted state — refuse rather than silently dropping debt
+    val gone = targetCounts.keySet.filterNot(pathSet)
+    require(gone.isEmpty,
+      s"positional-delete targets missing from the manifest of $dir: " +
+        gone.mkString(", "))
+    val snapId = lg.nextId
+    val legacyTargets: Set[String] = legacy.flatMap(_.targets.keys).toSet
+    val rewriteBns: Set[String] = legacyTargets.map(baseName)
+    val bnToPath: Map[String, String] =
+      manifest.files.map(f => baseName(f.path) -> f.path).toMap
+
+    val (entry, newRels): (PositionalDeletes, Seq[String]) =
+      if (rewriteBns.isEmpty) {
+        // a stacked all-vector history: pure map merge, no new blobs
+        (PositionalDeletes(
+          files = dvByTarget.values.toSeq.sorted,
+          targets = targetCounts,
+          dvs = dvByTarget), Nil)
+      } else {
+        // distributed conversion: legacy rows for LIVE targets, merged
+        // with any existing vector of the same file (a rollback can
+        // resurrect such overlap; the blob writer dedupes)
+        val legacyFiles = legacy.flatMap(_.files).distinct
+        val liveBns = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            rewriteBns.toSeq.sorted.map(bn => Row(bn)), 1),
+          StructType(Seq(StructField(MetaFileCol, StringType,
+            nullable = false))))
+        val legacyIn = spark.read.schema(DeleteFileSchema)
+          .parquet(legacyFiles
+            .map(p => Paths.get(dir, p).normalize().toString): _*)
+          .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
+            col("pos").cast(LongType).as(MetaPosCol))
+          .join(liveBns, Seq(MetaFileCol), "left_semi")
+        val overlapDvs = dvByTarget.collect {
+          case (t, rel) if rewriteBns(baseName(t)) =>
+            baseName(t) -> Paths.get(dir, rel).normalize().toString
+        }
+        val (counts, newByBn) = writeVectorBlobs(spark,
+          legacyIn.union(dvRelation(spark, overlapDvs)),
+          rewriteBns.size, snapId)
+        val carriedDvs = dvByTarget.filterNot { case (t, _) =>
+          rewriteBns(baseName(t)) }
+        val newTargets: Map[String, Long] = counts.map { case (bn, n) =>
+          bnToPath.getOrElse(bn, throw new IllegalStateException(
+            s"deletion vector for unknown data file $bn in $dir")) -> n
+        }
+        val newDvs: Map[String, String] = newByBn.map { case (bn, rel) =>
+          bnToPath(bn) -> rel }
+        (PositionalDeletes(
+          files = (carriedDvs.values ++ newDvs.values).toSeq.sorted,
+          targets = targetCounts.filter { case (t, _) =>
+            carriedDvs.contains(t) } ++ newTargets,
+          dvs = carriedDvs ++ newDvs), newByBn.values.toSeq.sorted)
+      }
+    try Some(commit(lg, snapId, manifest, Nil,
+      operation = "rewrite-position-deletes", committedAt,
+      extraSummary = Map(
+        "position-delete-files" -> newRels.size.toString,
+        SummaryPositionalDeletes -> positionalJson(Seq(entry)))))
+    catch { case e: Throwable =>
+      newRels.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
+      throw e
     }
-    val newDvs: Map[String, String] = newByBn.map { case (bn, rel) =>
-      bnToPath(bn) -> rel }
-    val priorTotal = prior.flatMap(_.targets.values).sum
-    val entry = PositionalDeletes(
-      files = (carriedDvs.values ++ newDvs.values).toSeq.sorted,
-      targets = carriedTargets ++ newTargets,
-      dvs = carriedDvs ++ newDvs)
-    val newlyDead = entry.deletedRows - priorTotal
-    (Seq(entry), newByBn.values.toSeq.sorted, newlyDead)
   }
 
   /** A set of deletion vectors as a (basename, position) relation —
@@ -3681,7 +3805,21 @@ final class GraftTable private (
     val lg = log
     val target = lg.byId(snapshotId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $snapshotId in $dir"))
-    val manifest = Manifest.read(s"$dir/${target.manifestList}")
+    // ROW-ID STABILITY across rollback: the target's manifest may hold
+    // band-less entries (pre-lineage snapshots) that the rolled-back
+    // head had since banded — without adoption a later rewrite would
+    // re-band those files from the watermark and the same physical rows
+    // would read DIFFERENT _row_id values than the discarded history
+    // served (unique, but not stable). Adopt the head's assignments for
+    // files common to both manifests; files only the target knows either
+    // ride an adoption-rewritten segment and take their upgrade band at
+    // this commit, or stay band-less until their next rewrite (ids never
+    // reused either way — the next-row-id watermark is carried, monotone).
+    val manifest0 = Manifest.read(s"$dir/${target.manifestList}")
+    val headBands: Map[String, Long] = lg.current.toSeq
+      .flatMap(h => Manifest.read(s"$dir/${h.manifestList}").files)
+      .flatMap(f => f.firstRowId.map(f.path -> _)).toMap
+    val manifest = manifest0.adoptBands(headBands)
     commit(lg, lg.nextId, manifest, Nil,
       operation = "rollback", committedAt,
       extraSummary = Map(
@@ -4365,7 +4503,7 @@ final class GraftTable private (
   }
 
   /** Whether rewrites carry row lineage ([[GraftTable.PropRowLineage]]). */
-  private def lineageOn: Boolean =
+  private[table] def lineageOn: Boolean =
     properties.getOrElse(PropRowLineage, "false").toBoolean
 
   /** Survivor reader for REWRITES: with [[lineageOn]], visible rows come
@@ -4605,8 +4743,22 @@ final class GraftTable private (
   def changesCdc(
       spark: SparkSession,
       fromSnapshotId: Long,
-      toSnapshotId: Option[Long] = None): DataFrame = {
+      toSnapshotId: Option[Long] = None,
+      lineage: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.expr
+    // ROW-LINEAGE-CARRYING changelog (Iceberg v3 changelog identity):
+    // every delta row additionally carries `_row_id` and
+    // `_last_updated_snapshot_id`, so consumers key updates on stable
+    // row identity instead of whole-row equality — a CoW UPDATE nets to
+    // (same _row_id, old seq) delete + (same _row_id, new seq) insert,
+    // never an unrelated retract+insert pair. Requires the table to
+    // CARRY lineage through rewrites (graft.row-lineage=true): without
+    // the carry a rewrite re-bands unchanged rows, and the multiset
+    // diff would emit every rewritten file's rows as churn.
+    require(!lineage || lineageOn,
+      s"changesCdc(lineage = true) requires ${GraftTable.PropRowLineage}" +
+        s" = true on $dir — without the rewrite carry, row ids are not " +
+        "stable across DML and the changelog would emit whole-file churn")
     val lg = log
     // fromSnapshotId = 0 means "before the first snapshot": the full
     // changelog from table creation (the batch `__changes` default) —
@@ -4621,11 +4773,14 @@ final class GraftTable private (
     if (lg.current.isEmpty) {
       require(fromSnapshotId == 0L && toSnapshotId.isEmpty,
         s"no snapshot ${toSnapshotId.getOrElse(fromSnapshotId)} in $dir")
+      val base = schema.fields :+
+        StructField("_change_type", StringType, nullable = true) :+
+        StructField(virtualColumn, LongType, nullable = true)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
-        StructType(schema.fields :+
-          StructField("_change_type", StringType, nullable = true) :+
-          StructField(virtualColumn, LongType, nullable = true)))
+        StructType(if (!lineage) base else base :+
+          StructField(RowIdCol, LongType, nullable = true) :+
+          StructField(LastUpdatedCol, LongType, nullable = true)))
     }
     val to = toSnapshotId match {
       case Some(id) => lg.byId(id).getOrElse(
@@ -4648,9 +4803,28 @@ final class GraftTable private (
       throw new IllegalStateException(
         s"snapshot ${s.snapshotId}'s parent is missing from the log of " +
           s"$dir (expired?) — its incremental diff cannot be computed"))
-    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    // with lineage, every branch reads (schema, _row_id, _seq) in this
+    // order — readFiles(withLineage) and readVisible(lineage) agree, so
+    // the multiset diffs stay positional
+    val rowSchema =
+      if (!lineage) schema
+      else StructType(schema.fields ++ Seq(
+        StructField(RowIdCol, LongType, nullable = true),
+        StructField(LastUpdatedCol, LongType, nullable = true)))
+    val rowCols: Seq[String] =
+      if (!lineage) schema.fieldNames.toSeq
+      else schema.fieldNames.toSeq ++ Seq(RowIdCol, LastUpdatedCol)
+    val empty =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], rowSchema)
     def readOrEmpty(fs: Seq[DataFileEntry]): DataFrame =
-      if (fs.isEmpty) empty else readFiles(spark, fs)
+      if (fs.isEmpty) empty
+      else readFiles(spark, fs, withMeta = false, withLineage = lineage)
+    def readVisibleL(
+        pend: Seq[(Long, String)],
+        posEntries: Seq[PositionalDeletes],
+        fs: Seq[DataFileEntry],
+        eqEntries: Seq[EqualityDeletes]): DataFrame =
+      readVisible(spark, pend, posEntries, fs, eqEntries, lineage = lineage)
     def tag(df: DataFrame, tpe: String, s: Snapshot): DataFrame =
       df.withColumn("_change_type", lit(tpe))
         .withColumn(virtualColumn, lit(s.snapshotId))
@@ -4680,7 +4854,7 @@ final class GraftTable private (
             // three forms): a row a positional vector or equality
             // tombstone already hides was retracted by ITS commit —
             // emitting it again here would double-retract
-            val survivors = readVisible(spark, parentPend,
+            val survivors = readVisibleL(parentPend,
               parsePositional(p), coveredFiles, parseEquality(p))
             // rows DELETED are those where the predicate is TRUE (NULL
             // keeps the row — same semantics as the read path)
@@ -4719,7 +4893,7 @@ final class GraftTable private (
               else readEqKeys(spark, e)
             val covered = files(s).filter(f =>
               fileSnapId(f.path).forall(_ <= p.snapshotId))
-            val survivors = readVisible(spark, parsePending(p),
+            val survivors = readVisibleL(parsePending(p),
               parsePositional(p), covered, parentEq)
             tag(survivors.join(newKeys, e.cols, "left_semi"),
               "delete", s)
@@ -4746,7 +4920,7 @@ final class GraftTable private (
           // parent's full state is still applied for robustness
           val droppedDel =
             if (droppedFs.isEmpty) Nil
-            else Seq(tag(readVisible(spark, parsePending(p), pPos,
+            else Seq(tag(readVisibleL(parsePending(p), pPos,
               droppedFs, parseEquality(p)), "delete", s))
           val inserts =
             if (addedFs.isEmpty) Nil
@@ -4787,9 +4961,10 @@ final class GraftTable private (
               val newPos = curPos
                 .join(parentPos, Seq(MetaFileCol, MetaPosCol), "left_anti")
               val targets = files(s).filter(f => changed.contains(f.path))
-              tag(readFiles(spark, targets, withMeta = true)
+              tag(readFiles(spark, targets, withMeta = true,
+                  withLineage = lineage)
                 .join(newPos, Seq(MetaFileCol, MetaPosCol), "left_semi")
-                .select(schema.fieldNames.map(col): _*), "delete", s)
+                .select(rowCols.map(col): _*), "delete", s)
             } else {
               val targets = files(s).filter(f => e.targets.contains(f.path))
               val delPaths = e.files
@@ -4798,9 +4973,10 @@ final class GraftTable private (
                 .parquet(delPaths: _*)
                 .select(substring_index(col("file"), "/", -1).as(MetaFileCol),
                   col("pos").as(MetaPosCol))
-              tag(readFiles(spark, targets, withMeta = true)
+              tag(readFiles(spark, targets, withMeta = true,
+                  withLineage = lineage)
                 .join(delDf, Seq(MetaFileCol, MetaPosCol), "left_semi")
-                .select(schema.fieldNames.map(col): _*), "delete", s)
+                .select(rowCols.map(col): _*), "delete", s)
             }
           }
           droppedDel ++ posDel ++ inserts
@@ -4818,7 +4994,7 @@ final class GraftTable private (
           val removed = pf.filterNot(f => curPaths.contains(f.path))
           val removedVisible =
             if (removed.isEmpty) empty
-            else readVisible(spark, parsePending(p), parsePositional(p),
+            else readVisibleL(parsePending(p), parsePositional(p),
               removed, parseEquality(p))
           Seq(
             tag(readOrEmpty(added).exceptAll(removedVisible), "insert", s),
@@ -4826,9 +5002,14 @@ final class GraftTable private (
         case _ => Nil
       }
     }
-    if (deltas.isEmpty)
-      tag(empty, "insert", to).filter(lit(false))
-    else deltas.reduce(_ union _)
+    val unioned =
+      if (deltas.isEmpty) tag(empty, "insert", to).filter(lit(false))
+      else deltas.reduce(_ union _)
+    // canonical public order: (schema, _change_type, vc[, _row_id, _seq])
+    if (!lineage) unioned
+    else unioned.select((schema.fieldNames.toSeq ++
+      Seq("_change_type", virtualColumn, RowIdCol, LastUpdatedCol))
+      .map(col): _*)
   }
 
   /** The data files whose RAW parquet scan equals the VISIBLE rows at
@@ -4899,6 +5080,13 @@ final class GraftTable private (
     * parquet-entry positional state still return None (materialize).
     * Like the base eligibility, this is a pure function of the
     * immutable snapshot — replays decide identically. */
+  /** The snapshot that committed `path` (parsed from the canonical
+    * `part-<snapId>-` name; None for foreign/branch-era files) — the
+    * public face of the attribution rule every lineage read uses, for
+    * out-of-package scan planners (the CDC seed's per-file
+    * `_last_updated_snapshot_id` constant). */
+  def fileCommitSnapshot(path: String): Option[Long] = fileSnapId(path)
+
   def rawSeedState(
       snapshotId: Long,
       identityViaPathRecovery: Boolean = false)

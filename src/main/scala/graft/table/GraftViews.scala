@@ -130,25 +130,63 @@ object GraftViews {
     isGraftViewTarget(spark, parts) &&
       exists(warehouseOf(spark, parts.head), parts(1), parts(2))
 
+  /** Refuse storing view text that references a session/global TEMP
+    * view: the stored TEXT re-plans per reading session, so a captured
+    * temp name would silently resolve to a different relation (or fail)
+    * in another session — the same rejection Spark's own persistent
+    * views and the Iceberg view spec apply. Walked on the PARSED plan
+    * (subqueries included) so nothing is resolved-away first. */
+  private[table] def requireNoTempRefs(
+      spark: SparkSession, viewName: String, sql: String): Unit = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val catalog = spark.sessionState.catalog
+    val offenders = parsed.collectWithSubqueries {
+      case u: UnresolvedRelation
+          if catalog.isTempView(u.multipartIdentifier) =>
+        u.multipartIdentifier.mkString(".")
+    }.distinct
+    require(offenders.isEmpty,
+      s"view $viewName references temporary view(s) " +
+        s"${offenders.mkString(", ")} — stored view text re-plans in " +
+        "sessions where temp objects do not exist; reference durable " +
+        "tables or views instead")
+  }
+
   private[table] def upsertVersion(
       wh: String, db: String, name: String,
       sql: String, schemaJson: String, aliases: Seq[String],
       props: Map[String, String], replaceExisting: Boolean): Unit = {
-    if (exists(wh, db, name)) {
-      require(replaceExisting,
-        s"view $db.$name already exists (use CREATE OR REPLACE / ALTER)")
-      val old = load(wh, db, name)
-      val vid = old.versions.map(_.versionId).max + 1
-      write(wh, db, name, ViewMeta(vid,
-        old.versions :+ ViewVersion(vid, sql, System.currentTimeMillis(),
-          schemaJson, aliases),
-        if (props.nonEmpty) old.properties ++ props else old.properties))
-    } else {
-      write(wh, db, name, ViewMeta(1L,
-        Seq(ViewVersion(1L, sql, System.currentTimeMillis(), schemaJson,
-          aliases)),
-        props))
+    // read-modify-write of view.json guarded by an O_EXCL claim (same
+    // discipline as GraftTable.commit): two concurrent CREATE OR
+    // REPLACE / ALTER calls would otherwise both read one version list
+    // and silently drop an appended version — the loser fails loudly.
+    val dirP = Paths.get(wh, db, name)
+    Files.createDirectories(dirP)
+    val claim = dirP.resolve(".view-claim")
+    try Files.createFile(claim)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"view $db.$name is being modified by a concurrent committer " +
+            s"(stale claim? delete $claim)")
     }
+    try {
+      if (exists(wh, db, name)) {
+        require(replaceExisting,
+          s"view $db.$name already exists (use CREATE OR REPLACE / ALTER)")
+        val old = load(wh, db, name)
+        val vid = old.versions.map(_.versionId).max + 1
+        write(wh, db, name, ViewMeta(vid,
+          old.versions :+ ViewVersion(vid, sql, System.currentTimeMillis(),
+            schemaJson, aliases),
+          if (props.nonEmpty) old.properties ++ props else old.properties))
+      } else {
+        write(wh, db, name, ViewMeta(1L,
+          Seq(ViewVersion(1L, sql, System.currentTimeMillis(), schemaJson,
+            aliases)),
+          props))
+      }
+    } finally Files.deleteIfExists(claim)
   }
 
   /** Multipart identifier of the view-statement target nodes the parser
@@ -289,6 +327,7 @@ case class GraftCreateViewCommand(
     require(!GraftTable.exists(s"$wh/$db/$name"),
       s"a graft TABLE named $db.$name already exists — views and tables " +
         "share the namespace")
+    GraftViews.requireNoTempRefs(spark, s"$db.$name", sql)
     val analyzed = spark.sql(sql)
     if (userColumns.nonEmpty)
       require(userColumns.length == analyzed.schema.length,
@@ -314,6 +353,7 @@ case class GraftAlterViewAsCommand(
     val wh = GraftViews.warehouseOf(spark, cat)
     require(GraftViews.exists(wh, db, name),
       s"view $db.$name does not exist under $wh")
+    GraftViews.requireNoTempRefs(spark, s"$db.$name", sql)
     val analyzed = spark.sql(sql)
     GraftViews.upsertVersion(wh, db, name, sql, analyzed.schema.json, Nil,
       Map.empty, replaceExisting = true)

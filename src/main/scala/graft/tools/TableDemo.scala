@@ -302,6 +302,24 @@ object TableDemo {
       " rows=" + spark.sql("SELECT count(*) FROM gdemo.db.people")
         .collect().head.getLong(0))
 
+    // register_table: an outside graft dir becomes a catalog name (a
+    // pointer — same table, two paths); rewrite_position_delete_files
+    // is a no-op on canonical vector state (nothing committed)
+    val pplSchema = GraftTable.load(s"$dir/wh/db/people").schema
+    val moved = GraftTable.create(s"$dir/outside_moved", pplSchema)
+    moved.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(50L, "moved")), 1),
+      pplSchema), Some(1000L))
+    val reg = spark.sql("CALL gdemo.system.register_table(" +
+      s"'$dir/outside_moved', 'db.registered')").collect()
+    val fold = spark.sql(
+      "CALL gdemo.system.rewrite_position_delete_files('db.people')")
+      .collect()
+    println("REGISTER: " + reg.mkString(",") +
+      " rows=" + spark.sql("SELECT count(*) FROM gdemo.db.registered")
+        .collect().head.getLong(0) +
+      " fold-noop=" + fold.isEmpty)
+
     // schema evolution: era-mapped rename + widen, metadata-only
     val evo = GraftTable.create(s"$dir/evo", StructType(Seq(
       StructField("k", IntegerType, nullable = false),

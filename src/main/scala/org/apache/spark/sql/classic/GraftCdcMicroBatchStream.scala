@@ -71,12 +71,29 @@ private[classic] final case class GraftCdcSeedPartition(
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** A seed partition over a data file with a DELETION VECTOR pending:
-  * like [[GraftCdcSeedPartition]], plus the vector path — the reader
-  * walks the WHOLE file (splits pre-merged, row-group order), counts
-  * positions from 0 and drops recorded ones, so a positional-pending
-  * snapshot seeds zero-copy: no full-state spill, just an in-reader
-  * skip against a KB-class sidecar. Row path only (per-row filter). */
+/** Per-file lineage constants for a LINEAGE-emitting seed partition:
+  * output positions of `_row_id`/`_last_updated_snapshot_id`, inner-row
+  * ordinals of the materialized carry cells (`_gf_rid`/`_gf_seq` — read
+  * as NULL from files that never carried them), the file's band base
+  * and committing snapshot, and the inner reader's arity (the computed
+  * values are appended past it for the static projection). A row's id
+  * is `cell ?? ridBase + position`, its version `cell ?? fileSnap` —
+  * the exact inheritance rule the library's readFiles applies. */
+private[classic] final case class GraftCdcLineageSeed(
+    ridOut: Int,
+    seqOut: Int,
+    cellRidOrd: Int,
+    cellSeqOrd: Int,
+    ridBase: Option[Long],
+    fileSnap: Option[Long],
+    innerArity: Int)
+
+/** A seed partition over ONE whole data file (splits pre-merged, read
+  * in row-group order), for the shapes that need per-row position
+  * counting: a pending DELETION VECTOR (recorded positions skipped in
+  * place — a positional-pending snapshot seeds zero-copy, no
+  * full-state spill) and/or ROW-LINEAGE output (`_row_id` = band +
+  * position unless a carry cell overrides). Row path only. */
 private[classic] final case class GraftCdcDvSeedPartition(
     inner: InputPartition,
     factory: PartitionReaderFactory,
@@ -85,7 +102,8 @@ private[classic] final case class GraftCdcDvSeedPartition(
     changeTypeOut: Int,
     snapIdOut: Int,
     snapId: Long,
-    dvPath: String) extends InputPartition {
+    dvPath: Option[String],
+    lineage: Option[GraftCdcLineageSeed] = None) extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
@@ -124,22 +142,59 @@ private[classic] final class GraftCdcSeedReaderFactory(
       case s: GraftCdcDvSeedPartition =>
         val base = s.factory.createReader(s.inner)
         new PartitionReader[InternalRow] {
-          private val dv = graft.table.DeletionVector.read(s.dvPath)
+          private val dv = s.dvPath
+            .map(graft.table.DeletionVector.read).getOrElse(Array.emptyLongArray)
           private var pos = -1L
+          // computed lineage values ride in a 2-slot extension row past
+          // the inner reader's arity, so ONE static projection serves
+          // every row (JoinedRow: inner ++ extras)
+          private val extras =
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(2)
+          private val joined =
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow
           private val proj = UnsafeProjection.create(
             s.output.fields.toSeq.zipWithIndex.map { case (f, i) =>
-              if (i == s.changeTypeOut) Literal.create("insert", f.dataType)
-              else if (i == s.snapIdOut) Literal.create(s.snapId, f.dataType)
-              else BoundReference(s.srcOrd(i), f.dataType, f.nullable)
+              s.lineage match {
+                case Some(l) if i == l.ridOut =>
+                  BoundReference(l.innerArity, f.dataType, nullable = true)
+                case Some(l) if i == l.seqOut =>
+                  BoundReference(l.innerArity + 1, f.dataType,
+                    nullable = true)
+                case _ if i == s.changeTypeOut =>
+                  Literal.create("insert", f.dataType)
+                case _ if i == s.snapIdOut =>
+                  Literal.create(s.snapId, f.dataType)
+                case _ =>
+                  BoundReference(s.srcOrd(i), f.dataType, f.nullable)
+              }
             })
           override def next(): Boolean = {
             while (base.next()) {
               pos += 1
-              if (java.util.Arrays.binarySearch(dv, pos) < 0) return true
+              if (dv.isEmpty ||
+                  java.util.Arrays.binarySearch(dv, pos) < 0) return true
             }
             false
           }
-          override def get(): InternalRow = proj(base.get())
+          override def get(): InternalRow = {
+            val row = base.get()
+            s.lineage match {
+              case None => proj(row)
+              case Some(l) =>
+                val rid: Any =
+                  if (l.cellRidOrd >= 0 && !row.isNullAt(l.cellRidOrd))
+                    row.getLong(l.cellRidOrd)
+                  else l.ridBase.map(_ + pos).orNull
+                val seq: Any =
+                  if (l.cellSeqOrd >= 0 && !row.isNullAt(l.cellSeqOrd))
+                    row.getLong(l.cellSeqOrd)
+                  else l.fileSnap.orNull
+                extras.update(0, rid)
+                extras.update(1, seq)
+                proj(joined(row, extras))
+            }
+          }
           override def close(): Unit = base.close()
         }
       case other => inner.createReader(other)
@@ -235,7 +290,17 @@ final class GraftCdcMicroBatchStream(
     // physically and keep the plain delegate). Takes the REQUIRED
     // schema too, so a column-pruned streaming read prunes the seed
     // scan exactly like the plain delegate would.
-    mkSeedDelegate: Option[(Seq[String], StructType) => Scan] = None)
+    mkSeedDelegate: Option[(Seq[String], StructType) => Scan] = None,
+    // ROW-LINEAGE stream (the source table carries graft.row-lineage):
+    // every batch additionally emits `_row_id`/`_last_updated_…` —
+    // spill batches materialize them as physical columns via
+    // changesCdc(lineage = true); seed batches compute them in-reader
+    // (band + position, carry cells override) through `mkLineageSeed`,
+    // a scan factory taking the EXACT read schema (data columns + the
+    // `_gf_rid`/`_gf_seq` carry cells, NULL where a file never carried
+    // them).
+    lineage: Boolean = false,
+    mkLineageSeed: Option[(Seq[String], StructType) => Scan] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -447,11 +512,21 @@ final class GraftCdcMicroBatchStream(
       snapId: Long,
       dvByBn: Map[String, String] = Map.empty): Array[InputPartition] = {
     def bn(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val (dvFiles, cleanFiles) =
-      files.partition(f => dvByBn.contains(bn(f.path)))
     val output = mkDelegate(Nil).readSchema()
     val ctOut = output.fieldNames.indexOf("_change_type")
     val vcOut = output.fieldNames.indexOf(t.virtualColumn)
+    val ridOut = output.fieldNames.indexOf(graft.table.GraftTable.RowIdCol)
+    val seqOut =
+      output.fieldNames.indexOf(graft.table.GraftTable.LastUpdatedCol)
+    // LINEAGE seed (the streamed columns survive pruning): every file
+    // plans as ONE whole-file row-path partition — `_row_id` needs the
+    // physical row position, which only a split-merged in-order walk
+    // provides (the DV partitions' existing discipline)
+    if (lineage && (ridOut >= 0 || seqOut >= 0))
+      return planLineageSeed(t, files, snapId, dvByBn, output,
+        ctOut, vcOut, ridOut, seqOut)
+    val (dvFiles, cleanFiles) =
+      files.partition(f => dvByBn.contains(bn(f.path)))
     // one seed scan's layout mapping: a partitioned parquet scan emits
     // dataSchema ++ partitionSchema order, NOT the declared order
     def layout(scan: Scan): (Seq[Int], Boolean) = {
@@ -515,9 +590,82 @@ final class GraftCdcMicroBatchStream(
             0, pieces.toArray)
         }
       GraftCdcDvSeedPartition(merged, factory, output, srcOrd, ctOut,
-        vcOut, snapId, dvByBn(bn(f.path))): InputPartition
+        vcOut, snapId, Some(dvByBn(bn(f.path)))): InputPartition
     }
     cleanParts ++ dvParts
+  }
+
+  /** LINEAGE-emitting seed plan: one whole-file partition per data file
+    * through a scan whose read schema is the output's data columns plus
+    * the `_gf_rid`/`_gf_seq` carry cells (NULL where a file never
+    * carried them — parquet serves requested-but-absent columns as
+    * null). The reader computes `_row_id` = cell ?? band + position and
+    * `_last_updated_…` = cell ?? committing snapshot per row; files
+    * with a pending deletion vector skip recorded positions in the same
+    * walk. Still zero-copy — a 100 TB lineage seed reads 100 TB once. */
+  private def planLineageSeed(
+      t: GraftTable,
+      files: Seq[DataFileEntry],
+      snapId: Long,
+      dvByBn: Map[String, String],
+      output: StructType,
+      ctOut: Int,
+      vcOut: Int,
+      ridOut: Int,
+      seqOut: Int): Array[InputPartition] = {
+    def bn(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val mk = mkLineageSeed.getOrElse(throw new IllegalStateException(
+      s"lineage CDC seed of $dir needs a lineage seed scan factory"))
+    val dataFields = output.fields.filterNot(f =>
+      f.name == "_change_type" || f.name == t.virtualColumn ||
+        f.name == graft.table.GraftTable.RowIdCol ||
+        f.name == graft.table.GraftTable.LastUpdatedCol)
+    val readSchema = StructType(dataFields.toSeq ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        graft.table.GraftTable.LineageRidCol, LongType, nullable = true),
+      org.apache.spark.sql.types.StructField(
+        graft.table.GraftTable.LineageSeqCol, LongType, nullable = true)))
+    files.map { f =>
+      val path = Paths.get(dir, f.path).normalize().toString
+      val scan = mk(Seq(path), readSchema)
+      val rs = scan.readSchema()
+      val srcOrd = output.fields.toSeq.zipWithIndex.map { case (fld, i) =>
+        if (i == ctOut || i == vcOut || i == ridOut || i == seqOut) -1
+        else rs.fieldNames.indexOf(fld.name)
+      }
+      require(srcOrd.zipWithIndex.forall { case (o, i) =>
+          o >= 0 || i == ctOut || i == vcOut || i == ridOut || i == seqOut },
+        s"lineage seed scan of $dir is missing output column(s) " +
+          output.fieldNames.zip(srcOrd).collect {
+            case (n, -1) if n != "_change_type" && n != t.virtualColumn &&
+              n != graft.table.GraftTable.RowIdCol &&
+              n != graft.table.GraftTable.LastUpdatedCol => n
+          }.mkString(", "))
+      val batch = scan.toBatch
+      val parts = batch.planInputPartitions()
+      val factory = batch.createReaderFactory()
+      val merged: InputPartition =
+        if (parts.length == 1) parts.head
+        else {
+          val pieces = parts.toSeq.flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.toSeq
+            case other => throw new IllegalStateException(
+              s"unexpected seed partition shape ${other.getClass} for $path")
+          }.sortBy(_.start)
+          org.apache.spark.sql.execution.datasources.FilePartition(
+            0, pieces.toArray)
+        }
+      GraftCdcDvSeedPartition(merged, factory, output, srcOrd, ctOut,
+        vcOut, snapId, dvByBn.get(bn(f.path)),
+        lineage = Some(GraftCdcLineageSeed(
+          ridOut, seqOut,
+          rs.fieldNames.indexOf(graft.table.GraftTable.LineageRidCol),
+          rs.fieldNames.indexOf(graft.table.GraftTable.LineageSeqCol),
+          f.firstRowId,
+          t.fileCommitSnapshot(f.path),
+          rs.length))): InputPartition
+    }.toArray
   }
 
   /** Materializing path: run the CDC diff (or the ineligible seed's full
@@ -531,14 +679,24 @@ final class GraftCdcMicroBatchStream(
       val spark = org.apache.spark.sql.SparkSession.active
       val vc = t.virtualColumn
       val df =
-        if (from == 0L)
+        if (from == 0L && !lineage)
           // ineligible-seed batch: the full state at the pinned end, as
           // inserts — column ORDER matches changesCdc's
           // (schema, _change_type, vc)
           t.read(spark, Some(to)).drop(vc)
             .withColumn("_change_type", lit("insert"))
             .withColumn(vc, lit(to))
-        else t.changesCdc(spark, from, Some(to))
+        else if (from == 0L)
+          // lineage form: full state WITH its lineage columns, ordered
+          // to changesCdc's canonical (schema, ct, vc, _row_id, _seq)
+          t.readLineage(spark, Some(to))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn(vc, lit(to))
+            .select((t.schema.fieldNames.toSeq ++
+              Seq("_change_type", vc, graft.table.GraftTable.RowIdCol,
+                graft.table.GraftTable.LastUpdatedCol))
+              .map(org.apache.spark.sql.functions.col): _*)
+        else t.changesCdc(spark, from, Some(to), lineage = lineage)
       // pin micros like every graft write path — an INT96 spill would
       // round-trip fine but diverge from the table's own file format
       val tsKey = "spark.sql.parquet.outputTimestampType"

@@ -103,9 +103,13 @@ final class GraftPruningScanBuilder(
     // `_metadata.file_path`/`row_index`) over the SAME pruned file
     // list. Residual filters still re-apply post-scan (nothing is
     // claimed into the delegate here).
-    if (required.fieldNames.exists(n => n == "_file" || n == "_pos" ||
+    // ONLY when the name is not a declared column of THIS builder's
+    // schema: the CDC `__changes` relation serves `_row_id`/`_seq` as
+    // ordinary schema columns (lineage tables), not metadata columns
+    if (required.fieldNames.exists(n => (n == "_file" || n == "_pos" ||
         n == graft.table.GraftTable.RowIdCol ||
-        n == graft.table.GraftTable.LastUpdatedCol)) {
+        n == graft.table.GraftTable.LastUpdatedCol) &&
+        !schema.fieldNames.contains(n))) {
       val mk = metadataColScan.getOrElse(throw new IllegalStateException(
         s"$tableName scan requires metadata columns it does not serve"))
       return mk(required, if (pushed.isEmpty) allPaths else prune(pushed))

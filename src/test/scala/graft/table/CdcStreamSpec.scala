@@ -738,4 +738,118 @@ class CdcStreamSpec extends SparkSpecBase {
       s"catch-up over $n snapshots parsed $parses manifest lists " +
         s"(want ≤ ${n + 4} — chain walked more than once?)")
   }
+
+  test("lineage stream: seed and tail carry stable row ids through DML") {
+    val tb = GraftTable.create(s"$wh/db/cl1", schema,
+      properties = Map(GraftTable.PropRowLineage -> "true"))
+    tb.append(df(batch(1, 10), parts = 1), Some(1000L))
+    val ckpt = tmpDir("cdc-ckpt-l1")
+    val q = spark.readStream.table("gc.db.cl1__changes")
+      .writeStream.format("memory").queryName("cdc21")
+      .option("checkpointLocation", ckpt).start()
+    val rows = try {
+      q.processAllAvailable()
+      // raw-served seed: ids are the band (position order = id order)
+      val seed = spark.table("cdc21")
+        .select("id", "_row_id", "_last_updated_snapshot_id").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(seed.keySet == (1L to 10L).toSet)
+      assert((1L to 10L).forall(i => seed(i) == (i - 1, 1L)),
+        s"seed lineage wrong: $seed")
+      // tail: a CoW update nets to (same _row_id, new version); a
+      // positional delete's retraction carries the victim's id
+      tb.update(spark, col("id") <= 3L,
+        Map("v" -> org.apache.spark.sql.functions.lit("patched")),
+        Some(2000L))
+      tb.deletePositional(spark, col("id") === 7L, Some(3000L))
+      q.processAllAvailable()
+      spark.table("cdc21").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(r.fieldIndex("_row_id"))))
+    } finally q.stop()
+    val upd = rows.filter(r => r._1 <= 3 && r._4 == 2L)
+    assert(upd.count(_._3 == "delete") == 3 &&
+      upd.count(_._3 == "insert") == 3)
+    upd.foreach { case (id, _, _, _, rid) =>
+      assert(rid == id - 1, "update must keep the row id") }
+    val del7 = rows.filter(r => r._1 == 7L && r._4 == 3L)
+    assert(del7.toSeq == Seq((7L, "v7", "delete", 3L, 6L)),
+      s"positional retraction must carry the victim's id: ${del7.toSeq}")
+    // net state keyed by id: one live version per id, id-stable
+    val live = rows.groupBy(_._5).view.mapValues(g =>
+      g.count(_._3 == "insert") - g.count(_._3 == "delete")).toMap
+    assert(live.values.forall(n => n == 0 || n == 1))
+    assert(live.count(_._2 == 1) == 9)
+  }
+
+  test("lineage seed reads carry cells and skips DV rows with exact positions") {
+    val tb = GraftTable.create(s"$wh/db/cl2", schema,
+      properties = Map(GraftTable.PropRowLineage -> "true"))
+    tb.append(df(batch(1, 8), parts = 1), Some(1000L))
+    // carry files (hasRowIds) exist BEFORE the stream starts…
+    tb.update(spark, col("id") === 2L,
+      Map("v" -> org.apache.spark.sql.functions.lit("cell")), Some(2000L))
+    // …and a deletion vector is pending on the rewritten file
+    tb.deletePositional(spark, col("id") === 5L, Some(3000L))
+    val q = spark.readStream.table("gc.db.cl2__changes")
+      .writeStream.format("memory").queryName("cdc22")
+      .option("checkpointLocation", tmpDir("cdc-ckpt-l2"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("cdc22")
+      .select("id", "_row_id", "_last_updated_snapshot_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = tb.readLineage(spark)
+      .select("id", GraftTable.RowIdCol, GraftTable.LastUpdatedCol)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == want,
+      s"seed lineage must equal the library read: got=$got want=$want")
+    assert(got.map(_._1) == (1L to 8L).filterNot(_ == 5L),
+      "DV row must be skipped")
+    assert(got.find(_._1 == 2L).exists(_._3 == 2L),
+      "the modified row reads its carry-cell version")
+  }
+
+  test("mirror keyed by _row_id reproduces upstream through mixed DML") {
+    import org.apache.spark.sql.functions.lit
+    val src = GraftTable.create(s"$wh/db/cl3src", schema,
+      properties = Map(GraftTable.PropRowLineage -> "true"))
+    src.append(df(batch(1, 12), parts = 1), Some(1000L))
+    val mirrorSchema = StructType(schema.fields :+
+      StructField("src_row_id", LongType, nullable = true))
+    val mirror = GraftTable.create(s"$wh/db/cl3mir", mirrorSchema)
+    val ckpt = tmpDir("cdc-ckpt-l3")
+    def sync(): Unit = {
+      val q = spark.readStream.table("gc.db.cl3src__changes")
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          GraftCdcMirror.applyBatch(mirror, Seq("src_row_id"), "mir-l3")(
+            b.withColumn("src_row_id", col(GraftTable.RowIdCol)), id)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    sync()
+    // mixed DML: CoW update, equality upsert, positional delete, append
+    src.update(spark, col("id") === 4L, Map("v" -> lit("u4")), Some(2000L))
+    src.deleteEquality(spark, df(Seq(Row(9L, "x")), 1).select("id"),
+      Seq("id"), Some(3000L))
+    src.deletePositional(spark, col("id") === 11L, Some(4000L))
+    src.append(df(batch(20, 22), parts = 1), Some(5000L))
+    sync()
+    // upstream values ≡ mirror values, keyed by the SOURCE's row id
+    val want = src.readLineage(spark)
+      .select(col(GraftTable.RowIdCol).as("src_row_id"),
+        col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val got = mirror.read(spark)
+      .select(col("src_row_id"), col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got == want,
+      s"row-id-keyed mirror diverged:\n got=$got\nwant=$want")
+  }
 }

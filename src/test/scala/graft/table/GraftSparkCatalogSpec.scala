@@ -1569,4 +1569,52 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .head().getLong(0) == 13L)
     assert(t.read(spark, Some(1L)).count() == 12L)
   }
+
+  test("CALL rewrite_position_delete_files folds DV debt, no-op when canonical") {
+    val t = GraftTable.create(s"$wh/db/proc_rpd", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    t.deletePositional(spark,
+      org.apache.spark.sql.functions.col("id") === 2L, Some(2000L))
+    // fresh vector state is already canonical → no rows, nothing committed
+    assert(spark.sql(
+      "CALL g2.system.rewrite_position_delete_files('db.proc_rpd')")
+      .collect().isEmpty)
+    assert(GraftTable.load(s"$wh/db/proc_rpd").log.snapshots.size == 2)
+    // the end-to-end legacy fold is PositionalDeleteSpec's; the SQL
+    // surface here proves routing + result shape on the no-op path and
+    // that the table keeps serving (library read — raw SQL over
+    // MoR-pending state needs an extensions session by design)
+    assert(GraftTable.load(s"$wh/db/proc_rpd").read(spark)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("CALL register_table links an outside graft dir; refusals hold") {
+    val outside = tmpDir("graft-relocated")
+    val src = GraftTable.create(s"$outside/moved_t", schema)
+    src.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    src.append(mkDf(3L -> "c"), Some(2000L))
+    val got = spark.sql(
+      s"CALL g2.system.register_table('$outside/moved_t', 'db.reg_t')")
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 2L)), got.mkString(","))
+    // the registered name serves the full surface (reads, time travel)
+    assert(spark.sql("SELECT id FROM g2.db.reg_t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(spark.sql("SELECT id FROM g2.db.reg_t VERSION AS OF 1")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // ONE table, two paths: a write through the catalog name is visible
+    // at the original path (a register is a pointer, not a copy)
+    GraftTable.load(s"$wh/db/reg_t").append(mkDf(9L -> "z"), Some(3000L))
+    assert(GraftTable.load(s"$outside/moved_t").read(spark).count() == 4L)
+    // refusals: occupied name, non-table source, already-in-warehouse
+    intercept[Exception] { spark.sql(
+      s"CALL g2.system.register_table('$outside/moved_t', 'db.reg_t')") }
+    intercept[Exception] { spark.sql(
+      s"CALL g2.system.register_table('$outside', 'db.reg_bad')") }
+    intercept[Exception] { spark.sql(
+      s"CALL g2.system.register_table('$wh/db/reg_t', 'db.reg_dup')") }
+    assert(!GraftTable.exists(s"$wh/db/reg_bad") &&
+      !GraftTable.exists(s"$wh/db/reg_dup"))
+  }
 }

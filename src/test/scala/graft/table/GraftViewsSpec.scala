@@ -154,4 +154,54 @@ class GraftViewsSpec extends SparkSpecBase {
     assert(sE.sql("SELECT id FROM gvw.db3.v1").collect()
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("view text referencing a session temp view refuses (CREATE and ALTER)") {
+    val t = GraftTable.create(s"$wh/db4/base", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    mkDf(5L -> "t").createOrReplaceTempView("scratch_tmp")
+    sE.createDataFrame(
+      sE.sparkContext.parallelize(Seq(Row(5L, "t")), 1), schema)
+      .createOrReplaceTempView("scratch_tmp_e")
+    // stored text re-plans per session — a captured temp name would
+    // silently resolve differently (or fail) elsewhere; refuse upfront
+    val e = intercept[Exception] {
+      sE.sql("CREATE VIEW gvw.db4.bad AS SELECT id FROM scratch_tmp_e")
+    }
+    assert(e.getMessage.contains("temporary"))
+    assert(!GraftViews.exists(wh, "db4", "bad"))
+    // a subquery reference is caught too
+    intercept[Exception] {
+      sE.sql("CREATE VIEW gvw.db4.bad2 AS SELECT id FROM gvw.db4.base " +
+        "WHERE id IN (SELECT id FROM scratch_tmp_e)")
+    }
+    assert(!GraftViews.exists(wh, "db4", "bad2"))
+    // ALTER enforces the same rule on the new text
+    sE.sql("CREATE VIEW gvw.db4.ok AS SELECT id FROM gvw.db4.base")
+    intercept[Exception] {
+      sE.sql("ALTER VIEW gvw.db4.ok AS SELECT id FROM scratch_tmp_e")
+    }
+    assert(GraftViews.load(wh, "db4", "ok").versions.size == 1)
+    sE.catalog.dropTempView("scratch_tmp_e")
+    spark.catalog.dropTempView("scratch_tmp")
+  }
+
+  test("concurrent view upserts: the claim makes the loser fail loudly") {
+    val t = GraftTable.create(s"$wh/db5/base", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    sE.sql("CREATE VIEW gvw.db5.cc AS SELECT id FROM gvw.db5.base")
+    // simulate a racing committer holding the claim
+    val claim = java.nio.file.Paths.get(wh, "db5", "cc", ".view-claim")
+    java.nio.file.Files.createFile(claim)
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        sE.sql("ALTER VIEW gvw.db5.cc AS SELECT data FROM gvw.db5.base")
+      }
+      assert(e.getMessage.contains("concurrent"))
+      // nothing appended: the stored version list is untouched
+      assert(GraftViews.load(wh, "db5", "cc").versions.size == 1)
+    } finally java.nio.file.Files.deleteIfExists(claim)
+    // claim released: the same ALTER lands as version 2
+    sE.sql("ALTER VIEW gvw.db5.cc AS SELECT data FROM gvw.db5.base")
+    assert(GraftViews.load(wh, "db5", "cc").versions.size == 2)
+  }
 }

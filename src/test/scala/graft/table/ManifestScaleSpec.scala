@@ -362,6 +362,72 @@ class ManifestScaleSpec extends SparkSpecBase {
     info(f"1e5-entry append commit: $appendMs%.1f ms")
   }
 
+  test("1e6-entry manifest: planning cost bounds (tier 2)") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/manifests"))
+    val schema1 = StructType(Seq(StructField("id", LongType)))
+    def entry(i: Int) = DataFileEntry(
+      f"data/part-00001-synthetic-$i%07d.parquet", 100L, 1 << 20,
+      Map("id" -> ColumnStats(
+        Some((i * 100L).toString), Some((i * 100L + 99).toString),
+        Some(0L), Some(100L))))
+    // 1000 segments × 1000 entries = 1e6 files, disjoint id ranges —
+    // the design-target table size (a ~1 PB estate at 1 GB files)
+    var m = Manifest.empty
+    (0 until 1000).foreach { k =>
+      m = m.append((1 to 1000).map(i => entry(k * 1000 + i)))
+    }
+    def timeMs[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e6)
+    }
+    val (_, writeMs) = timeMs(
+      m.write(s"$dir/manifests/snap-00001.json", Some(schema1)))
+    val loaded = Manifest.read(s"$dir/manifests/snap-00001.json")
+    assert(loaded.segments.size == 1000 && loaded.totalFiles == 1000000L)
+
+    val attr = AttributeReference("id", LongType)()
+    def plan(idVal: Long): Seq[DataFileEntry] = loaded.prunedFiles(
+      seg => seg.envelope.forall(env => Pruning.mayMatch(
+        EqualTo(attr, Literal(idVal, LongType)), env, schema1)),
+      f => Pruning.mayMatchFile(EqualTo(attr, Literal(idVal, LongType)), f,
+        schema1))
+    // SELECTIVE planning: 1000-envelope walk + ONE segment parse. The
+    // round-13 extrapolation claimed low tens of ms at 1e6 — measure it.
+    plan(1500100L) // warm (JIT + the one segment's parse memo)
+    val (kept, selMs) = timeMs(plan(50000100L)) // entry 500001, segment 500
+    assert(kept.size == 1 && kept.head.path.contains("0500001"))
+    val parsed = loaded.segmentRefs.filter(r =>
+      Manifest.parsedSegmentPaths.contains(s"$dir/$r"))
+    assert(parsed.size <= 2,
+      s"selective plan parsed ${parsed.size} of 1000 segments")
+    // contended-CI generous ceiling; an O(all files) regression costs
+    // ~1000× the envelope walk and fails loudly
+    assert(selMs < 1500.0, f"selective planning took $selMs%.1f ms")
+
+    // FULL-LIST planning: the inherent O(kept) driver cost at 1e6
+    val (all, fullMs) = timeMs(loaded.files)
+    assert(all.size == 1000000)
+    assert(fullMs < 60000.0, f"full-list planning took $fullMs%.1f ms")
+    val (again, repeatMs) = timeMs(loaded.files.size)
+    assert(again == 1000000)
+    assert(repeatMs < math.max(100.0, fullMs / 5),
+      f"repeat full-list read re-parsed: $repeatMs%.1f ms vs $fullMs%.1f")
+
+    // an append against the 1e6-entry table stays O(batch)
+    val (_, appendMs) = timeMs {
+      loaded.append(Seq(entry(1000001)))
+        .write(s"$dir/manifests/snap-00002.json", Some(schema1))
+    }
+    assert(appendMs < 5000.0, f"append commit took $appendMs%.1f ms")
+    info(f"1e6 entries: write=$writeMs%.0f ms, selective=$selMs%.1f ms " +
+      f"(1 segment), full=$fullMs%.0f ms, repeat=$repeatMs%.2f ms, " +
+      f"append=$appendMs%.1f ms")
+  }
+
   test("__segments metadata table reflects the manifest list") {
     val dir = s"${tmp()}/t"
     val t = GraftTable.create(dir, schema)

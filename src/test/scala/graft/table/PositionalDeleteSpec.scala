@@ -1,5 +1,7 @@
 package graft.table
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -488,5 +490,122 @@ class PositionalDeleteSpec extends SparkSpecBase {
     import spark.implicits._
     t.deletePositionalByKeys(spark, Seq(2L).toDF("id"), Seq("id"), Some(2000L))
     assert(ids(t) == Seq(1L))
+  }
+
+  /** Rewrite the CURRENT snapshot's positional summary to the legacy
+    * (file,pos)-parquet shape: `pairs` (data-file basename, position)
+    * land in one delete parquet per entry group; the summary entries
+    * carry NO "dvs" key — exactly what a pre-vector table's metadata
+    * looks like. Ghost pairs (basenames of long-gone files) may ride
+    * along in the parquet, as stripPositional leaves them in real
+    * legacy estates. */
+  private def fabricateLegacy(
+      t: GraftTable,
+      groups: Seq[(Seq[(String, Long)], Map[String, Long])]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val rels = groups.zipWithIndex.map { case ((pairs, _), i) =>
+      val stage = tmp()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          pairs.map(p => Row(p._1, p._2)), 1),
+        StructType(Seq(
+          StructField("file", StringType, nullable = false),
+          StructField("pos", LongType, nullable = false))))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val rel = f"deletes/legacy-$i%02d.parquet"
+      Files.createDirectories(Paths.get(t.dir, "deletes"))
+      Files.move(part, Paths.get(t.dir, rel),
+        StandardCopyOption.REPLACE_EXISTING)
+      rel
+    }
+    val legacyJson = graft.util.Json.write(
+      groups.zip(rels).map { case ((_, targets), rel) =>
+        Map[String, Any]("files" -> Seq(rel),
+          "targets" -> targets.map { case (k, v) => k -> (v: Any) })
+      })
+    val logP = Paths.get(t.dir, "snapshots.json")
+    val snaps = graft.util.Json.parse(Files.readString(logP))
+      .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+    val updated = snaps.init :+ {
+      val last = snaps.last
+      val summary = last("summary").asInstanceOf[Map[String, Any]] +
+        (GraftTable.SummaryPositionalDeletes -> legacyJson)
+      last + ("summary" -> summary)
+    }
+    Files.writeString(logP, graft.util.Json.write(updated))
+  }
+
+  test("rewritePositionDeletes folds legacy parquet entries to vectors, data untouched") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    t.append(mkDf(1L -> "a", 2L -> "b", 3L -> "c"), Some(1000L))
+    t.append(mkDf(10L -> "x", 11L -> "y"), Some(2000L))
+    val manifest = Manifest.read(s"$dir/t/${t.log.current.get.manifestList}")
+    val Seq(f1, f2) = manifest.files.map(_.path).sorted
+    def bn(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    // two stacked legacy entries: #1 kills pos 1 of file1 (id 2) and
+    // carries a GHOST row for a long-gone file; #2 kills pos 0 of file2
+    // (id 10) — disjoint, as real stacked history is
+    fabricateLegacy(t, Seq(
+      (Seq(bn(f1) -> 1L, "part-ghost-00000.parquet" -> 0L),
+        Map(f1 -> 1L)),
+      (Seq(bn(f2) -> 0L), Map(f2 -> 1L))))
+    val t1 = GraftTable.load(s"$dir/t")
+    assert(t1.positionalDeletes.size == 2 &&
+      t1.positionalDeletes.forall(_.dvs.isEmpty))
+    assert(ids(t1) == Seq(1L, 3L, 11L), "legacy anti-join read")
+    val dataBefore = manifest.files.map(f =>
+      f.path -> Files.getLastModifiedTime(Paths.get(s"$dir/t/${f.path}")))
+
+    val snap = t1.rewritePositionDeletes(spark, Some(3000L))
+    assert(snap.isDefined &&
+      snap.get.operation == "rewrite-position-deletes")
+    val t2 = GraftTable.load(s"$dir/t")
+    // rows identical, now served by in-reader vectors
+    assert(ids(t2) == Seq(1L, 3L, 11L))
+    val entries = t2.positionalDeletes
+    assert(entries.size == 1, "stack collapses to ONE entry")
+    val e = entries.head
+    assert(e.dvs.keySet == Set(f1, f2) &&
+      e.targets == Map(f1 -> 1L, f2 -> 1L),
+      s"exact per-target counts survive: $e")
+    assert(e.files.forall(_.endsWith(".bin")),
+      "ghost rows and legacy parquets leave the entry")
+    // NO data file was rewritten — same paths, same mtimes
+    val m2 = Manifest.read(s"$dir/t/${t2.log.current.get.manifestList}")
+    assert(m2.files.map(_.path).sorted == Seq(f1, f2))
+    dataBefore.foreach { case (p, mt) =>
+      assert(Files.getLastModifiedTime(Paths.get(s"$dir/t/$p")) == mt,
+        s"$p must be untouched") }
+    // counts stay exact end-to-end
+    assert(t2.positionalDeletedCount == 2L)
+    // idempotent: canonical state folds to None, nothing committed
+    assert(t2.rewritePositionDeletes(spark, Some(3500L)).isEmpty)
+    assert(t2.log.snapshots.size == 3)
+    // DML on the folded state composes as usual
+    t2.deletePositional(spark, col("id") === 3L, Some(4000L))
+    assert(ids(GraftTable.load(s"$dir/t")) == Seq(1L, 11L))
+    // expiration reclaims the superseded legacy parquets (unreferenced
+    // by any surviving snapshot once the pre-fold history expires)
+    val t3 = GraftTable.load(s"$dir/t")
+    t3.expireSnapshots(3500L, retainLast = 1)
+    assert(!Files.exists(Paths.get(s"$dir/t/deletes/legacy-00.parquet")) &&
+      !Files.exists(Paths.get(s"$dir/t/deletes/legacy-01.parquet")))
+    assert(ids(GraftTable.load(s"$dir/t")) == Seq(1L, 11L))
+  }
+
+  test("rewritePositionDeletes: no-op on empty, fresh-vector, and absent state") {
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    assert(t.rewritePositionDeletes(spark).isEmpty) // empty table
+    t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
+    assert(t.rewritePositionDeletes(spark).isEmpty) // nothing pending
+    t.deletePositional(spark, col("id") === 1L, Some(2000L))
+    // a current-code commit is already canonical (single vector entry)
+    assert(t.rewritePositionDeletes(spark).isEmpty)
+    assert(GraftTable.load(s"$dir/t").log.snapshots.size == 2)
   }
 }

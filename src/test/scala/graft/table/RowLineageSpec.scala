@@ -287,4 +287,65 @@ class RowLineageSpec extends SparkSpecBase {
     }
     intercept[IllegalArgumentException] { t.addColumn("_gf_rid", LongType) }
   }
+
+  test("rollback adopts the discarded head's bands for files common to both manifests") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmp()
+    val t = GraftTable.create(s"$dir/t", schema)
+    // ONE segment holding TWO files (2 input partitions)
+    val rows = Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"), Row(4L, "d"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.take(2), 1)
+        .union(spark.sparkContext.parallelize(rows.drop(2), 1)), schema)
+    t.append(df, Some(1000L))
+    // simulate LEGACY metadata (written before banding existed): strip
+    // every band from snapshot 1's segment and the watermark from its
+    // summary — the shape the advice's rollback scenario starts from
+    val segs = Manifest.segmentRefsOf(
+      s"$dir/t/${t.log.current.get.manifestList}")
+    segs.foreach { ref =>
+      val p = Paths.get(s"$dir/t/$ref")
+      Files.writeString(p, Files.readString(p)
+        .replaceAll(""","first_row_id":\d+""", "")
+        .replaceAll(""""first_row_id":\d+,""", ""))
+    }
+    val logP = Paths.get(s"$dir/t/snapshots.json")
+    Files.writeString(logP, Files.readString(logP)
+      .replaceAll(""","next-row-id":"\d+"""", "")
+      .replaceAll(""""next-row-id":"\d+",""", ""))
+    val t1 = GraftTable.load(s"$dir/t")
+    assert(t1.readLineage(spark).collect()
+      .forall(r => r.isNullAt(r.fieldIndex("_row_id"))))
+    // snapshot 2: whole-file drop of the (3,4) file — the shared segment
+    // rewrites fresh with the survivor file under its SAME path, and the
+    // commit gives that pre-lineage file its upgrade band
+    t1.delete(spark, col("id") >= 3L, Some(2000L))
+    val head = GraftTable.load(s"$dir/t")
+    val headIds = head.readLineage(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("_row_id"))).toMap
+    assert(headIds.keySet == Set(1L, 2L))
+    // snapshot 3: rollback past the banding commit — the target manifest
+    // holds that file band-less; adoption must keep the head's ids
+    head.rollbackTo(1L, Some(3000L))
+    val back = GraftTable.load(s"$dir/t")
+    val ids = back.readLineage(spark).collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(r.fieldIndex("_row_id"))) None
+        else Some(r.getLong(r.fieldIndex("_row_id"))))).toMap
+    // common file: ids identical to what the discarded head served
+    assert(ids(1L).contains(headIds(1L)) && ids(2L).contains(headIds(2L)))
+    // the file only the target knows (no head band to adopt) rides the
+    // adoption-rewritten fresh segment and gets its upgrade band at the
+    // rollback commit — FRESH ids from the watermark, never a reuse of
+    // the adopted (or any discarded) band
+    val adopted = Set(headIds(1L), headIds(2L))
+    assert(ids(3L).exists(i => i >= 2L && !adopted.contains(i)) &&
+      ids(4L).exists(i => i >= 2L && !adopted.contains(i)))
+    // and the watermark stays monotone: the next write bands fresh
+    t.append(mkDf(9L -> "z"), Some(4000L))
+    val fin = GraftTable.load(s"$dir/t")
+    val allIds = fin.readLineage(spark).collect().flatMap(r =>
+      if (r.isNullAt(r.fieldIndex("_row_id"))) None
+      else Some(r.getLong(r.fieldIndex("_row_id"))))
+    assert(allIds.length == allIds.distinct.length)
+  }
 }

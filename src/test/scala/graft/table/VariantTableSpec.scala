@@ -1,0 +1,151 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** VARIANT columns in graft tables (Iceberg v3's headline type, served by
+  * Spark 4's native `VariantType` + `parse_json`/`variant_get`):
+  *
+  *  - schema round-trip: a variant column survives create → metadata.json
+  *    → load (DataType JSON spells it "variant");
+  *  - data round-trip: parse_json ingest → typed variant_get reads,
+  *    including nested paths and type-missing → NULL;
+  *  - DML survival: CoW delete/update THROUGH a variant_get predicate
+  *    rewrite the variant bytes losslessly; compaction too;
+  *  - pruning honesty: parquet stores variant as a value/metadata binary
+  *    group, so files carry NO footer bounds — a variant predicate must
+  *    keep every candidate file (conservative, sound) and the delete
+  *    proof must never claim a whole-file drop it can't prove;
+  *  - metadata-table visibility: __files/__snapshots serve the variant
+  *    table like any other (exact record counts);
+  *  - loud refusals where the type genuinely can't serve: avro format
+  *    (no avro spelling), bloom columns (unsupported type).
+  */
+class VariantTableSpec extends SparkSpecBase {
+
+  private def srcDf() = {
+    import spark.implicits._
+    Seq(
+      (1L, """{"k": 5,  "tag": "a", "nested": {"x": 1.5}}"""),
+      (2L, """{"k": 40, "tag": "b", "nested": {"x": 2.5}}"""),
+      (3L, """{"k": 99, "tag": "c"}"""),
+      (4L, """{"k": 63, "arr": [1,2,3]}""")
+    ).toDF("id", "js")
+      .select(col("id"), parse_json(col("js")).as("meta"))
+  }
+
+  test("variant schema survives create → metadata.json → load") {
+    val dir = tmpDir("variant_schema")
+    val df = srcDf()
+    assert(df.schema("meta").dataType == VariantType)
+    GraftTable.create(s"$dir/t", df.schema)
+    val loaded = GraftTable.load(s"$dir/t")
+    assert(loaded.schema("meta").dataType == VariantType)
+  }
+
+  test("parse_json ingest round-trips through typed variant_get reads") {
+    val dir = tmpDir("variant_rt")
+    val df = srcDf()
+    val tb = GraftTable.create(s"$dir/t", df.schema)
+    tb.append(df, committedAt = Some(1000L))
+    val back = tb.read(spark)
+      .select(col("id"),
+        variant_get(col("meta"), "$.k", "int").as("k"),
+        variant_get(col("meta"), "$.tag", "string").as("tag"),
+        variant_get(col("meta"), "$.nested.x", "double").as("x"),
+        variant_get(col("meta"), "$.arr[1]", "int").as("a1"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+    assert(back.toSeq == Seq(
+      (1L, Some(5), Some("a"), Some(1.5), None),
+      (2L, Some(40), Some("b"), Some(2.5), None),
+      (3L, Some(99), Some("c"), None, None),
+      (4L, Some(63), None, None, Some(2))))
+  }
+
+  test("CoW delete and update through a variant predicate round-trip the bytes") {
+    val dir = tmpDir("variant_dml")
+    val df = srcDf()
+    val tb = GraftTable.create(s"$dir/t", df.schema)
+    tb.append(df, committedAt = Some(1000L))
+    // delete via a variant_get path: k < 10 removes id 1 only
+    tb.delete(spark, variant_get(col("meta"), "$.k", "int") < 10, Some(2000L))
+    val t2 = GraftTable.load(s"$dir/t")
+    assert(t2.read(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(2L, 3L, 4L))
+    // survivors' variant bytes are intact after the rewrite
+    val k = t2.read(spark)
+      .select(col("id"), variant_get(col("meta"), "$.k", "int").as("k"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(k.toSeq == Seq((2L, 40), (3L, 99), (4L, 63)))
+    // CoW update of a NON-variant column: the untouched variant column
+    // rides through the rewrite projection
+    t2.update(spark, variant_get(col("meta"), "$.tag", "string") === "b",
+      Map("id" -> (col("id") + lit(100L))), Some(3000L))
+    val t3 = GraftTable.load(s"$dir/t")
+    val after = t3.read(spark)
+      .select(col("id"), variant_get(col("meta"), "$.k", "int").as("k"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(after.toSeq == Seq((3L, 99), (4L, 63), (102L, 40)))
+    // compaction preserves the column
+    t3.compact(spark, smallerThanBytes = Long.MaxValue, Some(4000L))
+    val t4 = GraftTable.load(s"$dir/t")
+    assert(t4.read(spark)
+      .select(variant_get(col("meta"), "$.k", "int").as("k"))
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(40, 63, 99))
+  }
+
+  test("pruning stays conservative: variant predicates keep every file") {
+    val dir = tmpDir("variant_prune")
+    val df = srcDf()
+    val tb = GraftTable.create(s"$dir/t", df.schema)
+    // two files so pruning has something it could (wrongly) drop
+    tb.append(df.filter(col("id") <= 2), committedAt = Some(1000L))
+    tb.append(df.filter(col("id") > 2), committedAt = Some(2000L))
+    val t2 = GraftTable.load(s"$dir/t")
+    val manifest = Manifest.read(
+      s"${t2.dir}/${t2.log.current.get.manifestList}")
+    assert(manifest.totalFiles >= 2)
+    val pred = GraftTable.resolveAgainst(spark, t2.schema,
+      org.apache.spark.sql.classic.GraftBridge.expr(
+        variant_get(col("meta"), "$.k", "int") >= 50))
+    val kept = t2.prunedFiles(manifest, pred)
+    // no footer bounds exist for a variant column — every file must stay
+    assert(kept.map(_.path).toSet == manifest.files.map(_.path).toSet)
+    // and no entry harvested min/max stats for the variant column
+    assert(manifest.files.forall(f => !f.stats.contains("meta")))
+    // the scan itself still answers correctly through the residual filter
+    assert(t2.read(spark)
+      .filter(variant_get(col("meta"), "$.k", "int") >= 50)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("metadata tables serve a variant table exactly") {
+    val dir = tmpDir("variant_meta")
+    val df = srcDf()
+    val tb = GraftTable.create(s"$dir/t", df.schema)
+    tb.append(df, committedAt = Some(1000L))
+    val snaps = tb.snapshots(spark).collect()
+    assert(snaps.length == 1)
+    val files = tb.filesTable(spark).collect()
+    assert(files.map(r =>
+      r.getLong(r.fieldIndex("record_count"))).sum == 4L)
+  }
+
+  test("genuinely unservable surfaces refuse loudly") {
+    val dir = tmpDir("variant_refuse")
+    val df = srcDf()
+    // avro write.format: variant has no avro spelling — the write job
+    // refuses (round-trip check), nothing commits
+    val t1 = GraftTable.create(s"$dir/avro", df.schema,
+      properties = Map(GraftTable.PropWriteFormat -> "avro"))
+    intercept[Exception] { t1.append(df, Some(1000L)) }
+    assert(t1.log.current.isEmpty)
+    // bloom columns on variant: FileBloom.supported refuses the type
+    assert(!FileBloom.supported(VariantType))
+  }
+}
