@@ -1198,6 +1198,27 @@ final class GraftFileposScan(
             coalesce(col(GraftTable.LineageSeqCol),
               b.column(LineageLookup(b.expr(bnCol), new LineageIndex(seqByBn))))
               .as(GraftTable.LastUpdatedCol)
+          case n
+              if org.apache.spark.sql.execution.datasources.VariantMetadata
+                .isVariantStruct(required(n).dataType) =>
+            // Catalyst pushed variant extractions AND the query needs
+            // metadata columns: serve the rewritten struct by computing
+            // each marked path from the raw variant column (correct —
+            // the shredded fast path is the delegate scan's, not this
+            // rare combination's)
+            val st = required(n).dataType.asInstanceOf[StructType]
+            org.apache.spark.sql.functions.struct(st.fields.toSeq.map { sf =>
+              val vm = org.apache.spark.sql.execution.datasources
+                .VariantMetadata.fromMetadata(sf.metadata)
+              b.column(org.apache.spark.sql.catalyst.expressions.variant
+                .VariantGet(b.expr(col(n)),
+                  org.apache.spark.sql.catalyst.expressions.Literal(
+                    org.apache.spark.unsafe.types.UTF8String
+                      .fromString(vm.path),
+                    org.apache.spark.sql.types.StringType),
+                  sf.dataType, vm.failOnError,
+                  Option(vm.timeZoneId))).as(sf.name)
+            }: _*).as(n)
           case n => col(n)
         })
         df.select(cols: _*).rdd

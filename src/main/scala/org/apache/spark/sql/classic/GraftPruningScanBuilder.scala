@@ -2,7 +2,7 @@ package org.apache.spark.sql.classic
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, VariantExtraction}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
@@ -48,12 +48,41 @@ final class GraftPruningScanBuilder(
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with SupportsPushDownVariantExtractions {
 
   private var pushed: Seq[Expression] = Nil
   private var residual: Seq[Expression] = Nil
   private var required: StructType = schema
   private var aggScan: Option[Scan] = None
+  private var variantEx: Array[VariantExtraction] = Array.empty
+
+  /** VARIANT-EXTRACTION pushdown (Spark 4's shredded-variant fast path):
+    * accepting lets Catalyst rewrite `variant_get(v, path, T)` into a
+    * struct-field read of the scan, and the parquet delegate (this
+    * surface is parquet-only — `assemble` refuses mixed formats) then
+    * reads ONLY the requested shredded `typed_value` subcolumns instead
+    * of reassembling the whole variant binary per row.
+    * Spark's rewrite rule only runs on BATCH DataSourceV2Relations, so
+    * the streaming surfaces (whose seed/spill machinery maps columns by
+    * name against the declared schema) never see an extraction;
+    * [[GraftRuntimeFilterScan]] still guards the combination loudly.
+    * KNOWN UPSTREAM EDGE: Spark's rewrite rebuilds the relation output
+    * from the DATA schema and silently DROPS requested metadata-column
+    * attributes (`_row_id`/`_file`/…) — a query combining a metadata
+    * column with `variant_get` then fails binding with an
+    * INTERNAL_ERROR. Escape hatches, both restoring the interpreted
+    * (still correct) path: `SET spark.sql.variant.pushVariantIntoScan
+    * = false` (the rule's own gate) or the per-read option
+    * `variant-pushdown=false` honored here. */
+  override def pushVariantExtractions(
+      ex: Array[VariantExtraction]): Array[Boolean] = {
+    val optedOut = Option(options.get("variant-pushdown"))
+      .exists(_.trim.equalsIgnoreCase("false"))
+    if (optedOut) return Array.fill(ex.length)(false)
+    variantEx = ex
+    Array.fill(ex.length)(true)
+  }
 
   /** COUNT/MIN/MAX — group-less, or GROUP BY partition-aligned
     * expressions — answered exactly from manifest metadata
@@ -131,6 +160,13 @@ final class GraftPruningScanBuilder(
         case f: SupportsPushDownCatalystFilters => f.pushFilters(residual)
         case _ => ()
       }
+      // accepted variant extractions forward BEFORE column pruning (the
+      // required schema already speaks the rewritten struct shape)
+      if (variantEx.nonEmpty) b match {
+        case v: SupportsPushDownVariantExtractions =>
+          v.pushVariantExtractions(variantEx): Unit
+        case _ => ()
+      }
       b match {
         case c: SupportsPushDownRequiredColumns => c.pruneColumns(required)
         case _ => ()
@@ -149,6 +185,7 @@ final class GraftPruningScanBuilder(
       case None =>
         new GraftRuntimeFilterScan(mkDelegate, paths, pushed, prune, schema,
           microBatch.map(mk => (ckpt: String) => mk(mkDelegate, ckpt)),
+          variantPushed = variantEx.nonEmpty,
           // manifest-exact statistics for the statically-kept file set
           // (rowCount + NDV colStats) — CBO-grade where the delegate
           // only guesses from bytes

@@ -51,6 +51,7 @@ final class GraftRuntimeFilterScan(
     prune: Seq[Expression] => Seq[String],
     tableSchema: StructType,
     microBatch: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
+    variantPushed: Boolean = false,
     graftStats: () => Option[Statistics] = () => None)
     extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
@@ -58,9 +59,19 @@ final class GraftRuntimeFilterScan(
     * handed the engine's per-source checkpoint dir); only offered when
     * the catalog wired it (MICRO_BATCH_READ tables). */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // defensive: Catalyst's variant rewrite only targets BATCH
+    // relations, so this cannot fire today — but a silently mismatched
+    // stream (readers emitting variant where the scan claims a struct)
+    // would corrupt rows, and a loud refusal beats that if a future
+    // Spark version widens the rule
+    require(!variantPushed,
+      "variant extraction was pushed into a streaming scan — " +
+        "unsupported; keep variant_get out of the streaming projection " +
+        "or disable spark.sql.variant.pushVariantIntoScan for this query")
     microBatch.map(_.apply(checkpointLocation))
       .getOrElse(super.toMicroBatchStream(checkpointLocation))
+  }
 
   @volatile private var keptPaths: Seq[String] = initialPaths
   @volatile private var inner: Scan = mkDelegate(initialPaths)

@@ -1,5 +1,7 @@
 package graft.table
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -21,7 +23,15 @@ import graft.SparkSpecBase
   *  - metadata-table visibility: __files/__snapshots serve the variant
   *    table like any other (exact record counts);
   *  - loud refusals where the type genuinely can't serve: avro format
-  *    (no avro spelling), bloom columns (unsupported type).
+  *    (no avro spelling), bloom columns (unsupported type);
+  *  - PERFORMANCE: writes land SHREDDED (Spark 4's default — per-path
+  *    typed_value subcolumns) and `variant_get` pushes into the scan on
+  *    BOTH read paths (Catalyst's V1 rewrite for library reads; the
+  *    DSv2 `SupportsPushDownVariantExtractions` forward for catalog
+  *    reads) — a path read touches one shredded subcolumn, never the
+  *    whole binary; known upstream edge (metadata column + variant_get
+  *    drops the metadata attr in Spark's rewrite) fails loudly with the
+  *    conf gate as the escape hatch.
   */
 class VariantTableSpec extends SparkSpecBase {
 
@@ -134,6 +144,89 @@ class VariantTableSpec extends SparkSpecBase {
     val files = tb.filesTable(spark).collect()
     assert(files.map(r =>
       r.getLong(r.fieldIndex("record_count"))).sum == 4L)
+  }
+
+  test("writes are SHREDDED and variant extraction pushes through the DSv2 catalog") {
+    val wh = tmpDir("variant_shred")
+    spark.conf.set("spark.sql.catalog.gvar", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gvar.warehouse", wh)
+    import spark.implicits._
+    val src = (1 to 500).map(i =>
+      (i.toLong, s"""{"k": ${i % 50}, "tag": "t${i % 7}"}"""))
+      .toDF("id", "js")
+      .select(col("id"), parse_json(col("js")).as("meta"))
+    val tb = GraftTable.create(s"$wh/db/vshred", src.schema)
+    tb.append(src, committedAt = Some(1000L))
+    // the data files carry the shredded typed_value subcolumns (Spark
+    // 4's default write shredding — this is what extraction reads)
+    val f = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$wh/db/vshred/data")).iterator()
+      .asScala.find(_.toString.endsWith(".parquet")).get
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString),
+        spark.sessionState.newHadoopConf()))
+    try assert(footer.getFooter.getFileMetaData.getSchema.toString
+      .contains("typed_value"), "variant write must shred")
+    finally footer.close()
+    // DSv2 read: the extraction is PUSHED — the scan serves a struct of
+    // just the requested paths, never the whole variant binary
+    val q = spark.sql("SELECT id, variant_get(meta, '$.k', 'int') AS k " +
+      "FROM gvar.db.vshred WHERE variant_get(meta, '$.k', 'int') = 7")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedVariantExtractions: [meta"),
+      s"extraction not pushed:\n${plan.take(1500)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1 to 500).filter(_ % 50 == 7).map(_.toLong))
+    // library reads push through Catalyst's V1 rule (ReadSchema shrinks
+    // to the requested paths)
+    val libPlan = tb.read(spark)
+      .select(variant_get(col("meta"), "$.k", "int").as("k"))
+      .queryExecution.executedPlan.toString
+    assert(libPlan.contains("meta:struct<0:int>"),
+      s"library variant read not pushed:\n${libPlan.take(1500)}")
+  }
+
+  test("metadata columns compose with pushed extraction (_row_id + variant_get)") {
+    val wh = tmpDir("variant_meta_ext")
+    spark.conf.set("spark.sql.catalog.gvm", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gvm.warehouse", wh)
+    import spark.implicits._
+    val src = Seq((1L, """{"k": 11}"""), (2L, """{"k": 22}"""),
+      (3L, """{"k": 33}""")).toDF("id", "js")
+      .select(col("id"), parse_json(col("js")).as("meta"))
+    val tb = GraftTable.create(s"$wh/db/vmeta", src.schema)
+    tb.append(src.repartition(1), committedAt = Some(1000L))
+    // KNOWN UPSTREAM EDGE: the variant rewrite drops requested metadata
+    // attributes from the rebuilt relation output — the combination
+    // fails at binding (an error, never silent corruption)…
+    intercept[Exception] {
+      spark.sql("SELECT id, _row_id, variant_get(meta, '$.k', 'int') AS k " +
+        "FROM gvm.db.vmeta ORDER BY id").collect()
+    }
+    // …and the rule's own conf gate is the documented escape hatch: the
+    // interpreted path serves the combination correctly
+    val key = "spark.sql.variant.pushVariantIntoScan"
+    spark.conf.set(key, "false")
+    try {
+      val rows = spark.sql(
+        "SELECT id, _row_id, variant_get(meta, '$.k', 'int') AS k " +
+          "FROM gvm.db.vmeta ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(rows.map(x => (x._1, x._3)) ==
+        Seq((1L, 11), (2L, 22), (3L, 33)), s"values wrong: $rows")
+      assert(rows.map(_._2).distinct.size == 3 &&
+        rows.map(_._2).forall(r => r >= 0 && r < 3),
+        s"row ids wrong: $rows")
+    } finally spark.conf.set(key, "true")
+    // the per-read opt-out serves plain variant_get reads unpushed too
+    val unpushed = spark.read.option("variant-pushdown", "false")
+      .table("gvm.db.vmeta")
+      .select(col("id"), variant_get(col("meta"), "$.k", "int").as("k"))
+    assert(!unpushed.queryExecution.executedPlan.toString
+      .contains("PushedVariantExtractions: [meta"))
+    assert(unpushed.collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._1).toSeq == Seq((1L, 11), (2L, 22), (3L, 33)))
   }
 
   test("genuinely unservable surfaces refuse loudly") {
