@@ -27,19 +27,22 @@ object ColumnStats {
   val empty: ColumnStats = ColumnStats(None, None, None, None)
 
   /** Parse the stored string form back to a comparable value. Unsupported
-    * types return None (consumers then skip pruning on that column). */
-  def parse(s: String, dt: DataType): Option[Any] = dt match {
-    case BooleanType => Some(s.toBoolean)
-    case IntegerType => Some(s.toInt)
-    case LongType => Some(s.toLong)
-    case FloatType => Some(s.toFloat)
-    case DoubleType => Some(s.toDouble)
-    case StringType => Some(s)
-    case DateType => Some(s.toInt) // days since epoch
-    case TimestampType | TimestampNTZType => Some(s.toLong) // micros
-    case _: DecimalType => Some(BigDecimal(s))
-    case _ => None
-  }
+    * types — and stored values that do not FIT the requested type (a
+    * variant probe narrowing a long-harvested bound to int) — return
+    * None: consumers then skip pruning on that column, never throw. */
+  def parse(s: String, dt: DataType): Option[Any] =
+    scala.util.Try[Any](dt match {
+      case BooleanType => s.toBoolean
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case StringType => s
+      case DateType => s.toInt // days since epoch
+      case TimestampType | TimestampNTZType => s.toLong // micros
+      case d: DecimalType => BigDecimal(s)
+      case _ => null
+    }).toOption.filter(_ != null)
 
   /** Render a stat value to its stored string form. */
   def render(v: Any): String = v.toString

@@ -657,8 +657,14 @@ final class GraftTable private (
   private[table] def pruneKeep(
       resolved: org.apache.spark.sql.catalyst.expressions.Expression)
       : DataFileEntry => Boolean = {
-    val aug = PartitionField.augment(resolved, partitionFields)
-    val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
+    // shredded-variant probes first (variant_get leaves → synthetic
+    // stat-key attributes, see VariantPruning), then the transform
+    // augmentation — both extend the schema the walk types against
+    val (vPred, vFields) = VariantPruning.rewrite(resolved, schema)
+    val aug = PartitionField.augment(vPred, partitionFields)
+    val augSchema = StructType(
+      PartitionField.augmentedSchema(schema, partitionFields).fields ++
+        vFields)
     f => Pruning.mayMatchFile(aug, aliasLegacyStats(stripStaleBlooms(f)),
       augSchema)
   }
@@ -715,8 +721,11 @@ final class GraftTable private (
   private def segKeep(
       resolved: org.apache.spark.sql.catalyst.expressions.Expression)
       : ManifestSegment => Boolean = {
-    val aug = PartitionField.augment(resolved, partitionFields)
-    val augSchema = PartitionField.augmentedSchema(schema, partitionFields)
+    val (vPred, vFields) = VariantPruning.rewrite(resolved, schema)
+    val aug = PartitionField.augment(vPred, partitionFields)
+    val augSchema = StructType(
+      PartitionField.augmentedSchema(schema, partitionFields).fields ++
+        vFields)
     seg => seg.envelope.forall(env =>
       Pruning.mayMatch(aug, aliasLegacyStats(env), augSchema))
   }
@@ -6054,10 +6063,14 @@ object GraftTable {
     finally reader.close()
   }
 
-  private[table] def requireNotReserved(name: String, dir: String): Unit =
+  private[table] def requireNotReserved(name: String, dir: String): Unit = {
     require(!ReservedColumns.exists(_.equalsIgnoreCase(name)),
       s"column name '$name' is reserved by the engine in $dir " +
         s"(reserved: ${ReservedColumns.mkString(", ")})")
+    require(!name.startsWith(VariantPruning.KeyPrefix),
+      s"column name '$name' uses the reserved '${VariantPruning.KeyPrefix}'" +
+        s" prefix (shredded-variant manifest stat keys) in $dir")
+  }
   val PropBloomNdv = "graft.bloom.ndv"
   val SnapshotsSuffix = "__snapshots"
   val FilesSuffix = "__files"

@@ -30,11 +30,45 @@ object ParquetStats {
       val blocks = footer.getBlocks.asScala.toSeq
       val rowCount = blocks.map(_.getRowCount).sum
 
+      // SHREDDED-VARIANT candidates: for each VARIANT-annotated top
+      // group, the typed_value leaf paths worth manifest stats and the
+      // fallback `value` paths that must be entirely null for those
+      // stats to describe every row (see [[VariantPruning]]). Empty for
+      // schemas without variant columns — zero overhead there.
+      val variantPlan = variantCandidates(schema)
+      val watched: Set[Seq[String]] =
+        variantPlan.flatMap(c => c.leaf +: c.fallbacks).toSet
+
       // aggregate across row groups per column path:
       // (min, max, nulls, values, minMaxUsable, nullsKnown)
       val agg = scala.collection.mutable.Map[
         String, (Option[Any], Option[Any], Long, Long, Boolean, Boolean)]()
+      val vAgg = scala.collection.mutable.Map[
+        Seq[String], (Option[Any], Option[Any], Long, Long, Boolean, Boolean)]()
       for (block <- blocks; chunk <- block.getColumns.asScala) {
+        val parts = chunk.getPath.toArray.toSeq
+        if (parts.size > 1 && watched.contains(parts)) {
+          val st = chunk.getStatistics
+          val values = chunk.getValueCount
+          val prev = vAgg.getOrElse(parts, (None, None, 0L, 0L, true, true))
+          if (st == null || st.isEmpty || !st.hasNonNullValue) {
+            val nullsKnown = st != null && !st.isEmpty
+            vAgg(parts) = (prev._1, prev._2,
+              prev._3 + (if (nullsKnown) st.getNumNulls else 0L),
+              prev._4 + values, false, prev._6 && nullsKnown)
+          } else {
+            val tpe = chunk.getPrimitiveType
+            val mn = convert(st.genericGetMin, tpe)
+            val mx = convert(st.genericGetMax, tpe)
+            val newMin = minOf(prev._1, mn)
+            val newMax = maxOf(prev._2, mx)
+            val comparable =
+              (prev._1.isEmpty || mn.isEmpty || newMin.isDefined) &&
+                (prev._2.isEmpty || mx.isEmpty || newMax.isDefined)
+            vAgg(parts) = (newMin, newMax, prev._3 + st.getNumNulls,
+              prev._4 + values, prev._5 && comparable, prev._6)
+          }
+        }
         val path = chunk.getPath.toDotString
         // only top-level primitives (no '.' in path)
         if (!path.contains('.')) {
@@ -91,8 +125,119 @@ object ParquetStats {
             if (nullsKnown) Some(nulls) else None,
             Some(values))
       }
-      (rowCount, stats)
+      // emit a variant pseudo-column stat ONLY when every fallback on
+      // its path is PROVABLY all-null (known null counts equal to the
+      // value counts) — one fallback row, or one unknown, discards the
+      // key and the file stays conservatively kept on variant probes
+      val vStats: Map[String, ColumnStats] = variantPlan.flatMap { c =>
+        val fallbacksAllNull = c.fallbacks.forall { fp =>
+          vAgg.get(fp).exists { case (_, _, nulls, values, _, known) =>
+            known && nulls == values }
+        }
+        vAgg.get(c.leaf) match {
+          case Some((mn, mx, nulls, values, usable, known))
+              if fallbacksAllNull && known =>
+            def cap(v: Any, isMax: Boolean): Option[Any] = v match {
+              case s: String =>
+                if (isMax) ColumnStats.truncateMaxString(
+                  s, ColumnStats.StringBoundCapBytes)
+                else Some(ColumnStats.truncateMinString(
+                  s, ColumnStats.StringBoundCapBytes))
+              case other => Some(other)
+            }
+            Some(c.statKey -> ColumnStats(
+              if (usable) mn.flatMap(cap(_, isMax = false))
+                .map(ColumnStats.render) else None,
+              if (usable) mx.flatMap(cap(_, isMax = true))
+                .map(ColumnStats.render) else None,
+              Some(nulls),
+              Some(values)))
+          case _ => None
+        }
+      }.toMap
+      (rowCount, stats ++ vStats)
     } finally reader.close()
+  }
+
+  /** One prunable shredded-variant path: the typed leaf's chunk path,
+    * the fallback `value` chunk paths that must be all-null, and the
+    * manifest stat key it lands under. */
+  private[graft] final case class VariantCandidate(
+      leaf: Seq[String], fallbacks: Seq[Seq[String]], statKey: String)
+
+  private val SimpleName = "[A-Za-z0-9_]+".r
+
+  /** Walk the footer schema for VARIANT-annotated top-level groups and
+    * derive their prunable typed_value paths (see [[VariantPruning]]).
+    * Only object-shaped levels with simple field names participate;
+    * arrays, repeated fields, decimals/timestamps and exotic names are
+    * skipped (never harvested → never pruned on → conservative). */
+  private[graft] def variantCandidates(
+      schema: org.apache.parquet.schema.MessageType): Seq[VariantCandidate] = {
+    import org.apache.parquet.schema.{GroupType, Type}
+    def fam(p: org.apache.parquet.schema.PrimitiveType): Option[String] =
+      (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+        // plain integral and double shred shapes only — annotated forms
+        // (decimal, unsigned ints, timestamps) are skipped, conservative
+        case (INT32, null) | (INT64, null) => Some("long")
+        case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+          Some("string")
+        // doubles deliberately absent: ColumnStats.compare refuses
+        // floating point (NaN-safety) — a double key could never prune
+        case _ => None
+      }
+    def walk(col: String, group: GroupType, parts: Seq[String],
+        jsonPath: String, fallbacks: Seq[Seq[String]]): Seq[VariantCandidate] = {
+      // `group` is an object-shaped typed_value group: each child field
+      // holds {value: binary fallback, typed_value: primitive | group}
+      group.getFields.asScala.toSeq.flatMap { f =>
+        if (f.getRepetition == Type.Repetition.REPEATED ||
+            !SimpleName.pattern.matcher(f.getName).matches() ||
+            f.isPrimitive) Nil
+        else {
+          val fg = f.asGroupType()
+          val fieldParts = parts :+ f.getName
+          val fb = fallbacks ++
+            (if (fg.containsField("value")) Seq(fieldParts :+ "value")
+             else Nil)
+          val fPath = s"$jsonPath.${f.getName}"
+          if (!fg.containsField("typed_value")) Nil
+          else {
+            val tv = fg.getType("typed_value")
+            if (tv.getRepetition == Type.Repetition.REPEATED) Nil
+            else if (tv.isPrimitive) {
+              fam(tv.asPrimitiveType()).map(fm => VariantCandidate(
+                fieldParts :+ "typed_value", fb,
+                VariantPruning.statKey(col, fPath, fm))).toSeq
+            } else {
+              // nested object: recurse one level deeper
+              walk(col, tv.asGroupType(), fieldParts :+ "typed_value",
+                fPath, fb)
+            }
+          }
+        }
+      }
+    }
+    schema.getFields.asScala.toSeq.flatMap { top =>
+      val isVariant = !top.isPrimitive &&
+        (top.getLogicalTypeAnnotation match {
+          case _: LogicalTypeAnnotation.VariantLogicalTypeAnnotation => true
+          case _ => false
+        })
+      if (!isVariant) Nil
+      else {
+        val g = top.asGroupType()
+        if (!g.containsField("typed_value") || !g.containsField("value")) Nil
+        else {
+          val tv = g.getType("typed_value")
+          if (tv.isPrimitive ||
+              tv.getRepetition == Type.Repetition.REPEATED) Nil
+          else walk(top.getName, tv.asGroupType(),
+            Seq(top.getName, "typed_value"), "$",
+            Seq(Seq(top.getName, "value")))
+        }
+      }
+    }
   }
 
   /** Convert a parquet statistics value to the manifest's comparable form.

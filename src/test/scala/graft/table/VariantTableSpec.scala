@@ -109,11 +109,11 @@ class VariantTableSpec extends SparkSpecBase {
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(40, 63, 99))
   }
 
-  test("pruning stays conservative: variant predicates keep every file") {
+  test("variant predicates prune via shredded stats; the raw column carries none") {
     val dir = tmpDir("variant_prune")
     val df = srcDf()
     val tb = GraftTable.create(s"$dir/t", df.schema)
-    // two files so pruning has something it could (wrongly) drop
+    // file 1: k ∈ {5, 40}; file 2: k ∈ {99, 63}
     tb.append(df.filter(col("id") <= 2), committedAt = Some(1000L))
     tb.append(df.filter(col("id") > 2), committedAt = Some(2000L))
     val t2 = GraftTable.load(s"$dir/t")
@@ -124,11 +124,16 @@ class VariantTableSpec extends SparkSpecBase {
       org.apache.spark.sql.classic.GraftBridge.expr(
         variant_get(col("meta"), "$.k", "int") >= 50))
     val kept = t2.prunedFiles(manifest, pred)
-    // no footer bounds exist for a variant column — every file must stay
-    assert(kept.map(_.path).toSet == manifest.files.map(_.path).toSet)
-    // and no entry harvested min/max stats for the variant column
+    // shredded-path stats (VariantPruning) skip the provably-low file
+    // (k ∈ {5,40}); every surviving file's bounds reach 50
+    assert(kept.size < manifest.totalFiles && kept.nonEmpty,
+      s"shredded pruning should skip the low file: ${kept.map(_.path)}")
+    assert(kept.forall(_.stats
+      .get(VariantPruning.statKey("meta", "$.k", "long"))
+      .flatMap(_.max).exists(_.toLong >= 50L)))
+    // the variant column itself carries no direct bounds (binary group)
     assert(manifest.files.forall(f => !f.stats.contains("meta")))
-    // the scan itself still answers correctly through the residual filter
+    // the scan answers exactly over the pruned list + residual filter
     assert(t2.read(spark)
       .filter(variant_get(col("meta"), "$.k", "int") >= 50)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
