@@ -518,4 +518,47 @@ class StreamingWriteSpec extends SparkSpecBase {
     assert(hit == 1, s"point lookup admitted $hit streamed files")
     assert(tb.read(spark).count() == 40L)
   }
+
+  test("a VARIANT column streams through the sink and reads back typed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val vSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("meta", VariantType, nullable = true)))
+    val tb = GraftTable.create(s"$wh/db/wvar", vSchema)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "js")
+      .select(col("id"),
+        org.apache.spark.sql.functions.parse_json(col("js")).as("meta"))
+      .writeStream
+      .option("checkpointLocation", tmpDir("sw-ckpt-var"))
+      .toTable("g8.db.wvar")
+    try {
+      ms.addData((1L, """{"k": 10, "tag": "a"}"""),
+        (2L, """{"k": 20}"""))
+      q.processAllAvailable()
+      ms.addData((3L, """{"k": 30, "nested": {"x": 1}}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the streamed variant bytes read back through typed paths (the
+    // sink writes the UNSHREDDED group — no shredded stats, pruning
+    // stays conservative on variant probes, which is sound)
+    val got = tb.read(spark)
+      .select(col("id"),
+        org.apache.spark.sql.functions
+          .variant_get(col("meta"), "$.k", "int").as("k"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1L, 10), (2L, 20), (3L, 30)))
+    // and a batch append on the same table composes (shredded next to
+    // unshredded — per-file reader assembly handles both)
+    tb.append(Seq((9L, """{"k": 90}""")).toDF("id", "js")
+      .select(col("id"),
+        org.apache.spark.sql.functions.parse_json(col("js")).as("meta")),
+      committedAt = Some(9000L))
+    assert(GraftTable.load(s"$wh/db/wvar").read(spark)
+      .select(org.apache.spark.sql.functions
+        .variant_get(col("meta"), "$.k", "int").as("k"))
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 20, 30, 90))
+  }
 }
