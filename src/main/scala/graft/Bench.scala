@@ -61,7 +61,8 @@ object Bench {
     SparkEntry.queries.keys
       .filter(n => n.startsWith("v") || n == "d14_incremental_dedup" ||
         n == "s17_incremental_index" || n == "s19_ivfpq_indexed" ||
-        n == "p04_curation_cycle" || n == "st10_cdc_agg_replay")
+        n == "p04_curation_cycle" || n == "p05_variant_curation" ||
+        n == "st10_cdc_agg_replay")
       .toSeq.sorted.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

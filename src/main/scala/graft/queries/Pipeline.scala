@@ -79,11 +79,47 @@ object Pipeline extends QueryPack {
       tb
     }
 
+  /** VARIANT-METADATA corpus fixture (p05): every document carries a
+    * semi-structured metadata payload — license, source bucket, quality
+    * score — as a native VARIANT column (parse_json at ingest; Spark 4
+    * shreds the paths, so the curation filter below prunes files on
+    * clean shredded stats AND reads only the requested subcolumns).
+    * The payload derives deterministically from doc_id so DuckDB can
+    * replay it exactly from the raw table. */
+  private def varMetaFixture(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): graft.table.GraftTable =
+    Versioned.cachedFixture(d, "docs_varmeta", 1) { dir =>
+      val docs = t(s, d, "documents").select(
+        col("doc_id"), col("n_chars"),
+        parse_json(to_json(struct(
+          concat(lit("crawl-"), (col("doc_id") % 7).cast("string"))
+            .as("src"),
+          (col("doc_id") % 100).as("score"),
+          when(col("doc_id") % 3 === 0, lit("cc")).otherwise(lit("other"))
+            .as("lic")))).as("meta"))
+      val tb = graft.table.GraftTable.create(dir, docs.schema)
+      tb.append(docs, committedAt = Some(1000L))
+      tb
+    }
+
   val queries: Map[String, Q] = Map(
     // the CURATION CYCLE: quality gate, dedup, maintenance and held-out
     // removal all land as merge-on-read DML on a versioned corpus table
     // (positional predicate + key deletes, compaction, equality delete);
     // the surviving training corpus aggregates per language
+    // VARIANT-metadata curation: license + score gate and per-source
+    // accounting straight off the semi-structured payload — variant_get
+    // pushes into the scan (shredded subcolumn reads) and the manifest
+    // prunes files on the shredded path stats
+    "p05_variant_curation" -> ((s, d) =>
+      varMetaFixture(s, d).read(s)
+        .filter(variant_get(col("meta"), "$.lic", "string") === "cc" &&
+          variant_get(col("meta"), "$.score", "bigint") >= 40L)
+        .groupBy(variant_get(col("meta"), "$.src", "string").as("src"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("n_chars_sum"))),
+
     "p04_curation_cycle" -> ((s, d) =>
       cycleFixture(s, d).read(s)
         .groupBy(col("lang"))
@@ -185,6 +221,11 @@ object Pipeline extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p05_variant_curation" ->
+      ("SELECT 'crawl-' || CAST(doc_id % 7 AS VARCHAR) AS src, " +
+        "CAST(count(*) AS BIGINT) AS docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_sum FROM documents " +
+        "WHERE doc_id % 3 = 0 AND doc_id % 100 >= 40 GROUP BY 1"),
     "p04_curation_cycle" ->
       ("WITH corpus AS (" +
         "SELECT doc_id, text, lang, n_chars FROM documents " +
