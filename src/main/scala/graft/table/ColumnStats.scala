@@ -64,7 +64,12 @@ object ColumnStats {
     val cols = files.head.stats.keySet.filter(c =>
       files.forall(_.stats.contains(c)))
     cols.iterator.flatMap { c =>
-      schema.fields.find(_.name == c).map(_.dataType).map { dt =>
+      // shredded-variant pseudo keys type by their fam suffix — the
+      // same sound bounds, lifted to the segment level (a key absent
+      // from ANY file already dropped above, so a type-mixed or
+      // missing-path file keeps its whole segment)
+      schema.fields.find(_.name == c).map(_.dataType)
+        .orElse(VariantPruning.keyType(c)).map { dt =>
         val sts = files.map(_.stats(c))
         def mergeBound(
             get: ColumnStats => Option[String],

@@ -55,6 +55,18 @@ private[graft] object VariantPruning {
   def statKey(col: String, path: String, fam: String): String =
     s"$KeyPrefix$col:$path:$fam"
 
+  /** Type a pseudo stat key by its fam suffix — what segment-ENVELOPE
+    * merging needs (the key is not in any schema; field names on the
+    * path are [[ParquetStats]]-guarded simple names, so the last ':'
+    * always delimits the family). */
+  def keyType(key: String): Option[DataType] =
+    if (!key.startsWith(KeyPrefix)) None
+    else key.substring(key.lastIndexOf(':') + 1) match {
+      case "long" => Some(LongType)
+      case "string" => Some(StringType)
+      case _ => None
+    }
+
   /** Rewrite prunable `variant_get` leaves into synthetic attribute
     * probes; returns the rewritten predicate plus the schema fields
     * typing the probes (by the REQUESTED type — narrowing parses of the

@@ -126,6 +126,34 @@ class VariantPruningSpec extends SparkSpecBase {
       variant_get(col("meta"), "$.k", "bigint").isNotNull).size == 2)
   }
 
+  test("segment envelopes carry variant keys: point probes skip whole segments") {
+    val dir = tmpDir("vp_envelope")
+    val t = mkTable(dir, Seq(
+      (1 to 50).map(i => s"""{"k": $i}"""),
+      (101 to 150).map(i => s"""{"k": $i}"""),
+      (201 to 250).map(i => s"""{"k": $i}""")))
+    val m = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}")
+    val key = VariantPruning.statKey("meta", "$.k", "long")
+    // each append's segment envelope carries the merged variant bounds
+    assert(m.segments.size == 3)
+    assert(m.segments.forall(_.envelope.exists(e =>
+      e.get(key).exists(st => st.min.isDefined && st.max.isDefined))),
+      "segment envelopes must type and merge the variant pseudo key")
+    // a point probe plans through the envelopes: only the matching
+    // segment's entries are kept — and only it needs parsing (the lazy
+    // planning discipline at 10⁶ files, now for variant predicates)
+    val before = m.segmentRefs.filter(r =>
+      Manifest.parsedSegmentPaths.contains(s"${t.dir}/$r")).toSet
+    val kept120 = kept(t, variant_get(col("meta"), "$.k", "int") === 120)
+    assert(kept120.size == 1)
+    val parsedNow = m.segmentRefs.filter(r =>
+      Manifest.parsedSegmentPaths.contains(s"${t.dir}/$r")).toSet -- before
+    assert(parsedNow.size <= 1,
+      s"variant point probe parsed ${parsedNow.size} of 3 segments")
+    // a probe outside every range keeps nothing and parses nothing new
+    assert(kept(t, variant_get(col("meta"), "$.k", "int") === 999).isEmpty)
+  }
+
   test("property sweep: keep-set always covers matching files") {
     val rnd = new scala.util.Random(20260816L)
     val dir = tmpDir("vp_sweep")
