@@ -276,6 +276,9 @@ object GraftProcedures {
       val srcDir = row.getUTF8String(0).toString
       val name = row.getUTF8String(1).toString
       val src = Paths.get(srcDir).toRealPath()
+      // the register may be the first-ever catalog operation — the
+      // warehouse root must exist before toRealPath/list can walk it
+      Files.createDirectories(Paths.get(wh))
       val whReal = Paths.get(wh).toRealPath()
       require(GraftTable.exists(src.toString),
         s"$srcDir is not a graft table (no metadata.json)")

@@ -41,6 +41,10 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
   */
 object GraftViews {
 
+  /** Age after which an orphaned `.view-claim` (crashed committer) is
+    * adopted by the next DDL instead of blocking it. */
+  private[table] val StaleClaimMs: Long = 10L * 60 * 1000
+
   final case class ViewVersion(
       versionId: Long,
       sql: String,
@@ -163,13 +167,28 @@ object GraftViews {
     val dirP = Paths.get(wh, db, name)
     Files.createDirectories(dirP)
     val claim = dirP.resolve(".view-claim")
-    try Files.createFile(claim)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"view $db.$name is being modified by a concurrent committer " +
-            s"(stale claim? delete $claim)")
-    }
+    def acquire(retryStale: Boolean): Unit =
+      try Files.createFile(claim)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // a JVM crash between claim and finally-delete must not
+          // block the view's DDL forever: a claim older than the
+          // staleness window is adopted (deleted + retaken) — a live
+          // committer holds its claim for milliseconds, same recovery
+          // stance as the table-commit markers
+          val stale = try {
+            System.currentTimeMillis() -
+              Files.getLastModifiedTime(claim).toMillis > StaleClaimMs
+          } catch { case _: java.io.IOException => true /* just freed */ }
+          if (retryStale && stale) {
+            Files.deleteIfExists(claim)
+            acquire(retryStale = false)
+          } else throw new java.util.ConcurrentModificationException(
+            s"view $db.$name is being modified by a concurrent committer " +
+              s"(stale claims older than ${StaleClaimMs / 1000}s are " +
+              "adopted automatically)")
+      }
+    acquire(retryStale = true)
     try {
       if (exists(wh, db, name)) {
         require(replaceExisting,

@@ -177,11 +177,19 @@ object ParquetStats {
     import org.apache.parquet.schema.{GroupType, Type}
     def fam(p: org.apache.parquet.schema.PrimitiveType): Option[String] =
       (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
-        // plain integral and double shred shapes only — annotated forms
-        // (decimal, unsigned ints, timestamps) are skipped, conservative
         case (INT32, null) | (INT64, null) => Some("long")
         case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
           Some("string")
+        case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+          Some("date")
+        case (INT64, ts: TimestampLogicalTypeAnnotation) =>
+          // convert() normalizes bounds to micros for both flavors
+          Some(if (ts.isAdjustedToUTC) "ts" else "tsntz")
+        case (BOOLEAN, null) => Some("bool")
+        // decimal bounds land rescaled (convert()) as exact BigDecimals
+        case (INT32 | INT64 | BINARY | FIXED_LEN_BYTE_ARRAY,
+            _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          Some("dec")
         // doubles deliberately absent: ColumnStats.compare refuses
         // floating point (NaN-safety) — a double key could never prune
         case _ => None
@@ -271,7 +279,10 @@ object ParquetStats {
             ts.getUnit match {
               case TimeUnit.MILLIS => Some(l.longValue() * 1000L)
               case TimeUnit.MICROS => Some(l.longValue())
-              case TimeUnit.NANOS => Some(l.longValue() / 1000L)
+              // truncating nanos→micros is direction-UNSAFE for a
+              // bound (min rounds up for negatives, max rounds down):
+              // foreign nanos files carry no timestamp bounds at all
+              case TimeUnit.NANOS => None
             }
           case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
             dec(java.math.BigInteger.valueOf(l.longValue()), d)

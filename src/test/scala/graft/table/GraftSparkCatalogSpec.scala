@@ -1616,5 +1616,18 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       s"CALL g2.system.register_table('$wh/db/reg_t', 'db.reg_dup')") }
     assert(!GraftTable.exists(s"$wh/db/reg_bad") &&
       !GraftTable.exists(s"$wh/db/reg_dup"))
+    // a register may be the FIRST-ever catalog operation: an empty
+    // (not-yet-created) warehouse root must not fail the dedup scan
+    val freshWh = tmpDir("graft-fresh-wh") + "/never_created"
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gfw",
+      "graft.table.GraftSparkCatalog")
+    s2.conf.set("spark.sql.catalog.gfw.warehouse", freshWh)
+    val first = s2.sql(
+      s"CALL gfw.system.register_table('$outside/moved_t', 'db.first')")
+      .collect()
+    assert(first.length == 1)
+    assert(s2.sql("SELECT count(*) AS c FROM gfw.db.first")
+      .collect().head.getLong(0) == 4L)
   }
 }

@@ -204,4 +204,20 @@ class GraftViewsSpec extends SparkSpecBase {
     sE.sql("ALTER VIEW gvw.db5.cc AS SELECT data FROM gvw.db5.base")
     assert(GraftViews.load(wh, "db5", "cc").versions.size == 2)
   }
+
+  test("a stale claim (crashed committer) is adopted, not a permanent block") {
+    val t = GraftTable.create(s"$wh/db6/base", schema)
+    t.append(mkDf(1L -> "a"), Some(1000L))
+    sE.sql("CREATE VIEW gvw.db6.st AS SELECT id FROM gvw.db6.base")
+    // an orphaned claim whose mtime is past the staleness window
+    val claim = java.nio.file.Paths.get(wh, "db6", "st", ".view-claim")
+    java.nio.file.Files.createFile(claim)
+    java.nio.file.Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - GraftViews.StaleClaimMs - 1000L))
+    // DDL adopts it and proceeds; the claim is cleaned up after
+    sE.sql("ALTER VIEW gvw.db6.st AS SELECT data FROM gvw.db6.base")
+    assert(GraftViews.load(wh, "db6", "st").versions.size == 2)
+    assert(!java.nio.file.Files.exists(claim))
+  }
 }

@@ -109,7 +109,7 @@ class VariantPruningSpec extends SparkSpecBase {
     val t = mkTable(dir, Seq(
       Seq(s"""{"k": $big}""", s"""{"k": ${big + 1}}"""),
       (1 to 10).map(i => s"""{"k": $i}""") :+ """{"other": 1}"""))
-    // int probe against long-out-of-range bounds: unparseable → kept
+    // int probe against long-out-of-range bounds: range guard → kept
     assert(kept(t, variant_get(col("meta"), "$.k", "int") === 5).size == 2)
     // long probe CAN prune the big file out
     assert(kept(t, variant_get(col("meta"), "$.k", "bigint") === 5L).size == 1)
@@ -157,12 +157,18 @@ class VariantPruningSpec extends SparkSpecBase {
   test("property sweep: keep-set always covers matching files") {
     val rnd = new scala.util.Random(20260816L)
     val dir = tmpDir("vp_sweep")
-    // 6 files of mixed-shape docs: long k, string k, missing k, nested
+    // 6 files of mixed-shape docs: long k (occasionally ABOVE int
+    // range, alongside small values in the same batch — the
+    // half-parseable-bound shape: min parses as int, max does not),
+    // string k, missing k, nested
     val batches: Seq[Seq[String]] = (0 until 6).map { b =>
       (0 until 30).map { _ =>
         rnd.nextInt(5) match {
           case 0 => s"""{"k": ${rnd.nextInt(1000) - 500}}"""
-          case 1 => s"""{"k": ${rnd.nextInt(100000)}}"""
+          case 1 =>
+            if (rnd.nextInt(4) == 0)
+              s"""{"k": ${Int.MaxValue.toLong + 1 + rnd.nextInt(1000)}}"""
+            else s"""{"k": ${rnd.nextInt(100000)}}"""
           case 2 => s"""{"k": "s${rnd.nextInt(100)}"}"""
           case 3 => s"""{"other": ${rnd.nextInt(10)}}"""
           case _ => s"""{"k": ${rnd.nextInt(50)}, "n": {"x": ${rnd.nextInt(100)}.25}}"""
@@ -184,10 +190,14 @@ class VariantPruningSpec extends SparkSpecBase {
           .filter(pred).limit(1).count() > 0
         catch { case _: Throwable => true }
       }.map(f => bn(f.path)).toSet
-    val probes: Seq[org.apache.spark.sql.Column] = (0 until 40).map { _ =>
+    val probes: Seq[org.apache.spark.sql.Column] = (0 until 60).map { _ =>
       val v = rnd.nextInt(1200) - 600
-      val c = variant_get(col("meta"), "$.k",
-        if (rnd.nextBoolean()) "int" else "bigint")
+      val c =
+        if (rnd.nextInt(4) == 0)
+          try_variant_get(col("meta"), "$.k",
+            if (rnd.nextBoolean()) "int" else "bigint")
+        else variant_get(col("meta"), "$.k",
+          if (rnd.nextBoolean()) "int" else "bigint")
       rnd.nextInt(6) match {
         case 0 => c === v
         case 1 => c > v
@@ -203,5 +213,105 @@ class VariantPruningSpec extends SparkSpecBase {
       assert(mustKeep.subsetOf(keptBns),
         s"UNSOUND variant prune for $p: dropped ${mustKeep -- keptBns}")
     }
+  }
+
+  test("half-parseable bounds never skip a file that would THROW (int range guard)") {
+    val dir = tmpDir("vp_guard")
+    // min parses as int (10), max (6e9) does not — the file holds a
+    // value whose failOnError int extraction throws, so a `= 5` probe
+    // must KEEP it even though no row can match
+    val t = mkTable(dir, Seq(
+      Seq("""{"k": 10}""", """{"k": 6000000000}"""),
+      (200 to 220).map(i => s"""{"k": $i}""")))
+    val throwing = kept(t, variant_get(col("meta"), "$.k", "int") === 5)
+    assert(throwing.size == 1, s"mixed-range file must stay kept: $throwing")
+    // and the kept file is the one that throws at runtime
+    assertThrows[Exception] {
+      t.read(spark).filter(variant_get(col("meta"), "$.k", "int") === 5).count()
+    }
+    // try_variant_get never throws: out-of-range rows extract NULL, so
+    // the same probe soundly prunes BOTH files (no 5 anywhere)
+    assert(kept(t, try_variant_get(col("meta"), "$.k", "int") === 5).isEmpty)
+    assert(t.read(spark)
+      .filter(try_variant_get(col("meta"), "$.k", "int") === 5).count() == 0L)
+    // IS NULL under try: out-of-range rows ARE null at runtime even
+    // though the stored null count is zero — the guard keeps the file
+    val nulls = kept(t, try_variant_get(col("meta"), "$.k", "int").isNull)
+    assert(nulls.size == 1, s"guard must keep the out-of-range file: $nulls")
+    assert(t.read(spark)
+      .filter(try_variant_get(col("meta"), "$.k", "int").isNull).count() == 1L)
+    // ordering probes guard too: `< 100` matches k=10 in the mixed
+    // file; `> 300` matches nothing in-range but the mixed file could
+    // still throw → kept
+    assert(kept(t, variant_get(col("meta"), "$.k", "int") < 100).size == 1)
+    val gt = kept(t, variant_get(col("meta"), "$.k", "int") > 300)
+    assert(gt.size == 1, s"throw-capable file must survive > probe: $gt")
+  }
+
+  test("decimal family: slack-bounded pruning, rounding and overflow stay sound") {
+    val dir = tmpDir("vp_dec")
+    val t = mkTable(dir, Seq(
+      (1 to 40).map(i => s"""{"price": ${i}.25}"""),
+      (1 to 40).map(i => s"""{"price": ${i + 1000}.25}""")))
+    val key = VariantPruning.statKey("meta", "$.price", "dec")
+    val files = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}").files
+    // decimal-annotated shredded leaves harvest under the dec fam
+    assume(files.forall(_.stats.contains(key)),
+      "shred shape did not produce decimal typed_value on this Spark")
+    // exact-scale point probe prunes to one file
+    assert(kept(t, variant_get(col("meta"), "$.price", "decimal(9,2)")
+      === lit(BigDecimal("1005.25"))).size == 1)
+    // SCALE-NARROWING probe rounds at runtime: decimal(9,1) of 3.25 is
+    // 3.3 (half-up) — a 3.3 probe must keep the low file (slack)
+    val rounded = kept(t, variant_get(col("meta"), "$.price", "decimal(9,1)")
+      === lit(BigDecimal("3.3")))
+    assert(rounded.size == 1, s"rounding slack must keep the low file: $rounded")
+    assert(t.read(spark).filter(
+      variant_get(col("meta"), "$.price", "decimal(9,1)")
+        === lit(BigDecimal("3.3"))).count() == 1L)
+    // OVERFLOW-capable request: decimal(3,2) cannot hold 1001.25 —
+    // the high file throws at runtime and must be kept by any probe
+    val tight = kept(t, variant_get(col("meta"), "$.price", "decimal(3,2)")
+      === lit(BigDecimal("1.25")))
+    assert(tight.size == 2, s"overflow guard must keep the high file: $tight")
+    // range probes prune with slack
+    assert(kept(t, variant_get(col("meta"), "$.price", "decimal(9,2)")
+      > lit(BigDecimal("500.00"))).size == 1)
+  }
+
+  test("date/timestamp/boolean families prune exactly") {
+    import spark.implicits._
+    val dir = tmpDir("vp_dtb")
+    def batch(off: Int, flag: Boolean): DataFrame =
+      (0 until 20).map(i => (i.toLong + off * 100, off * 30 + i, flag))
+        .toDF("id", "d", "f")
+        .select(col("id"), to_variant_object(struct(
+          date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("d")).as("day"),
+          timestamp_seconds(lit(1700000000L) + col("d") * 86400).as("at"),
+          col("f").as("flag"))).as("meta"))
+        .repartition(1)
+    val t0 = GraftTable.create(s"$dir/t", batch(0, flag = true).schema)
+    t0.append(batch(0, flag = true), committedAt = Some(1000L))
+    t0.append(batch(10, flag = false), committedAt = Some(1001L))
+    val t = GraftTable.load(s"$dir/t")
+    val files = Manifest.read(s"${t.dir}/${t.log.current.get.manifestList}").files
+    val dateKey = VariantPruning.statKey("meta", "$.day", "date")
+    assume(files.forall(_.stats.contains(dateKey)),
+      "shred shape did not produce date typed_value on this Spark")
+    // date point probe → one file
+    val dp = kept(t, variant_get(col("meta"), "$.day", "date")
+      === lit(java.sql.Date.valueOf("2024-01-05")))
+    assert(dp.size == 1, s"date probe: $dp")
+    assert(t.read(spark).filter(variant_get(col("meta"), "$.day", "date")
+      === lit(java.sql.Date.valueOf("2024-01-05"))).count() == 1L)
+    // timestamp range probe — second batch only
+    val cut = new java.sql.Timestamp((1700000000L + 305L * 86400) * 1000L)
+    val tp = kept(t, variant_get(col("meta"), "$.at", "timestamp") > lit(cut))
+    assert(tp.size == 1, s"timestamp probe: $tp")
+    // boolean probe — flag=false only in the second file
+    val bp = kept(t, variant_get(col("meta"), "$.flag", "boolean") === lit(false))
+    assert(bp.size == 1, s"boolean probe: $bp")
+    assert(t.read(spark).filter(
+      variant_get(col("meta"), "$.flag", "boolean") === lit(false)).count() == 20L)
   }
 }
