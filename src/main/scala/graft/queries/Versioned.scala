@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.table.GraftTable
+import graft.table.{GraftCatalog, GraftTable}
 
 /** The reference's distinctive surface — snapshot-versioned scans, time
   * travel, and the `__snapshots` system table (SURVEY.md §2.5 V1-V4) —
@@ -422,6 +422,63 @@ object Versioned extends QueryPack {
         Map("n_name" -> concat(col("n_name"), lit("_L"))), Some(2000L))
       tb.compact(spark, smallerThanBytes = Long.MaxValue, Some(3000L))
       tb
+    }
+
+  /** WAREHOUSE-TRANSACTION fixture (v71): a corpus table and its
+    * derived per-region index refreshed in ONE atomic transaction —
+    * the cross-table consistency event a materialized-index pipeline
+    * needs. Snapshot 1 on both: the `n_nationkey < 15` slice + its
+    * per-region counts. Then `GraftCatalog.transact`: the `>= 15`
+    * slice appends to the corpus AND its count delta appends to the
+    * index; MID-transaction, the build probes the PUBLISHED tables and
+    * bakes the observations into the committed index rows
+    * (`mid_corpus_rows` = published corpus rows while staged,
+    * `mid_index_snaps` = published index snapshot count) — the oracle
+    * hash then PROVES a reader between stage and publish saw neither
+    * staged commit. */
+  private def txnFixture(
+      spark: SparkSession, sfDir: String): (GraftTable, GraftTable) =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_fixtures/$key/txnwh"
+      val cDir = s"$wh/db/corpus_tx"
+      val iDir = s"$wh/db/index_tx"
+      if (GraftTable.exists(cDir) && GraftTable.exists(iDir)) {
+        val c = GraftTable.load(cDir)
+        val i = GraftTable.load(iDir)
+        val intact = c.log.snapshots.size == 2 && i.log.snapshots.size == 2 &&
+          Seq(c, i).forall(tb => tb.log.current.forall(sn =>
+            graft.table.Manifest.read(s"${tb.dir}/${sn.manifestList}").files
+              .forall(f => Files.exists(Paths.get(s"${tb.dir}/${f.path}")))))
+        if (intact) return (c, i)
+      }
+      GraftTable.deleteRecursively(Paths.get(wh))
+      val nation = t(spark, sfDir, "nation")
+      val cat = new GraftCatalog(wh)
+      val corpus = cat.createTable("db.corpus_tx", nation.schema)
+      corpus.append(nation.filter(col("n_nationkey") < 15), Some(1000L))
+      def counts(pred: org.apache.spark.sql.Column, phase: Int,
+          midRows: Long, midSnaps: Long): DataFrame =
+        nation.filter(pred).groupBy("n_regionkey")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("phase", lit(phase))
+          .withColumn("mid_corpus_rows", lit(midRows))
+          .withColumn("mid_index_snaps", lit(midSnaps))
+      val index = cat.createTable("db.index_tx",
+        counts(lit(true), 1, -1L, -1L).schema)
+      index.append(counts(col("n_nationkey") < 15, 1, -1L, -1L), Some(1000L))
+      cat.transact { txn =>
+        txn.tableAt(cDir)
+          .append(nation.filter(col("n_nationkey") >= 15), Some(2000L))
+        // the staged corpus commit must be INVISIBLE on the published
+        // name right now — bake the proof into the index refresh
+        val midRows = GraftTable.load(cDir).read(spark).count()
+        val midSnaps = GraftTable.load(iDir).log.snapshots.size.toLong
+        txn.tableAt(iDir).append(
+          counts(col("n_nationkey") >= 15, 2, midRows, midSnaps),
+          Some(2000L))
+      }
+      (GraftTable.load(cDir), GraftTable.load(iDir))
     }
 
   /** REGISTER-TABLE fixture (v70, Iceberg register_table parity): a
@@ -1725,6 +1782,31 @@ object Versioned extends QueryPack {
         "FROM g70.db.nation_reg")
     }),
 
+    // WAREHOUSE TRANSACTION (v71): a corpus append and its derived
+    // index refresh published as ONE atomic event
+    // (GraftCatalog.transact — the per-table commit-claim discipline
+    // lifted to a warehouse txn log with an O_EXCL commit marker).
+    // The mid_* columns were observed DURING the transaction against
+    // the published names and committed with the index refresh: the
+    // oracle hash proves a reader between stage and publish saw
+    // NEITHER staged commit (mid_corpus_rows = the pre-txn slice,
+    // mid_index_snaps = 1).
+    "v71_graft_txn" -> ((s, d) => {
+      val (corpus, index) = txnFixture(s, d)
+      val c = corpus.read(s).groupBy("n_regionkey")
+        .agg(count(lit(1)).as("corpus_rows"))
+      val i = index.read(s).groupBy("n_regionkey").agg(
+        sum("cnt").as("idx_rows"),
+        max(when(col("phase") === 2, col("mid_corpus_rows")))
+          .as("mid_rows_raw"),
+        max(when(col("phase") === 2, col("mid_index_snaps")))
+          .as("mid_snaps_raw"))
+      c.join(i, Seq("n_regionkey"))
+        .select(col("n_regionkey"), col("corpus_rows"), col("idx_rows"),
+          coalesce(col("mid_rows_raw"), lit(-1L)).as("mid_corpus_rows"),
+          coalesce(col("mid_snaps_raw"), lit(-1L)).as("mid_index_snaps"))
+    }),
+
     // ROW-ID-CARRYING CHANGELOG (Iceberg v3 changelog identity): the
     // full `__changes` feed of a row-lineage table — every delta row
     // keyed by stable `_row_id`; the CoW update nets to (same id, old
@@ -2365,6 +2447,20 @@ object Versioned extends QueryPack {
     // the registered pointer serves exactly the source's rows
     "v70_graft_register" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // corpus and index agree per region AFTER the atomic publish; the
+    // mid-txn probes prove the staged commits were invisible: the
+    // published corpus still held only the < 15 slice and the
+    // published index exactly its one pre-txn snapshot (-1 for regions
+    // whose refresh delta was empty — no phase-2 probe row there)
+    "v71_graft_txn" ->
+      ("SELECT n_regionkey, count(*) AS corpus_rows, " +
+        "count(*) AS idx_rows, " +
+        "CAST(CASE WHEN count(CASE WHEN n_nationkey >= 15 THEN 1 END) > 0 " +
+        "THEN (SELECT count(*) FROM nation WHERE n_nationkey < 15) " +
+        "ELSE -1 END AS BIGINT) AS mid_corpus_rows, " +
+        "CAST(CASE WHEN count(CASE WHEN n_nationkey >= 15 THEN 1 END) > 0 " +
+        "THEN 1 ELSE -1 END AS BIGINT) AS mid_index_snaps " +
+        "FROM nation GROUP BY n_regionkey"),
     // changelog-with-identity replay: snap1 inserts everything (id =
     // key, version 1), snap2 retracts region 2's old rows and inserts
     // the retagged ones under the SAME ids (version 2), snap3 retracts

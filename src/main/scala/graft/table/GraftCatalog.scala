@@ -29,6 +29,29 @@ final class GraftCatalog(warehouse: String) {
       partitionBy: Seq[String] = Nil): GraftTable =
     GraftTable.create(tableDir(identifier), schema, properties, partitionBy)
 
+  /** Run `f` against a warehouse TRANSACTION and publish its staged
+    * commits atomically; any failure (in `f` or pre-atomicity publish)
+    * rolls the whole transaction back. `f` receives the open
+    * [[GraftTransaction]] — `txn.table("db.t")` hands back staged
+    * handles whose commits become visible only at publish, all
+    * together. The cross-table consistency primitive: corpus append +
+    * index refresh as ONE visible event. */
+  def transact[T](f: GraftTransaction => T): T = {
+    val txn = beginTransaction()
+    try {
+      val r = f(txn)
+      txn.commit()
+      r
+    } catch {
+      case e: Throwable =>
+        try txn.rollback() catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  /** Explicit begin/commit form of [[transact]]. */
+  def beginTransaction(): GraftTransaction = GraftTransaction.begin(warehouse)
+
   /** Resolve `db.table` or `db.table__snapshots`. Returns either the data
     * table or its snapshots system table as a DataFrame.
     *

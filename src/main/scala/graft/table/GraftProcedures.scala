@@ -37,7 +37,9 @@ object GraftProcedures {
     "create_tag", "create_branch", "publish_branch", "drop_branch",
     "add_files", "analyze_table", "snapshot", "migrate",
     "create_changelog_view", "rewrite_position_delete_files",
-    "register_table")
+    "register_table",
+    "begin_transaction", "commit_transaction", "rollback_transaction",
+    "recover_transactions")
 
   def load(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -58,6 +60,10 @@ object GraftProcedures {
       case "rewrite_position_delete_files" =>
         Some(rewritePositionDeleteFiles(warehouse))
       case "register_table" => Some(registerTable(warehouse))
+      case "begin_transaction" => Some(beginTransaction(warehouse))
+      case "commit_transaction" => Some(commitTransaction(warehouse))
+      case "rollback_transaction" => Some(rollbackTransaction(warehouse))
+      case "recover_transactions" => Some(recoverTransactions(warehouse))
       case _ => None
     }
 
@@ -250,6 +256,72 @@ object GraftProcedures {
         }.toSeq
       })
 
+
+  private def beginTransaction(wh: String): UnboundProcedure = new Proc(
+    "begin_transaction",
+    "Open a named WAREHOUSE TRANSACTION: until commit_transaction " +
+      "publishes, every enlisted table's commits stage invisibly. " +
+      "While '<txn>' is open, <table>__txn_<txn> addresses the staged " +
+      "view of <table> — SELECT sees the transaction's own commits, " +
+      "INSERT/UPDATE/DELETE/MERGE stage into it (first touch enlists " +
+      "the table and takes its commit claim; outside committers fail " +
+      "loudly until publish). commit_transaction swaps every staged " +
+      "log atomically — a reader never sees a partial cut.",
+    Array(in("name", StringType)),
+    StructType(Seq(StructField("txn_id", StringType, nullable = false))),
+    row => {
+      require(!row.isNullAt(0), "name must not be null")
+      val txn = GraftTransaction.beginNamed(wh, row.getUTF8String(0).toString)
+      Seq(Seq[Any](UTF8String.fromString(txn.id)))
+    })
+
+  private def commitTransaction(wh: String): UnboundProcedure = new Proc(
+    "commit_transaction",
+    "Atomically publish every table staged under the named transaction " +
+      "(all-or-nothing: after the transaction's commit marker lands, " +
+      "readers and recovery roll every enlisted table forward; before " +
+      "it, none). Releases the name and the tables' commit claims.",
+    Array(in("name", StringType)),
+    StructType(Seq(
+      StructField("txn_id", StringType, nullable = false),
+      StructField("tables_published", LongType, nullable = false))),
+    row => {
+      require(!row.isNullAt(0), "name must not be null")
+      val txn = GraftTransaction.endNamed(wh,
+        row.getUTF8String(0).toString, commit = true)
+      Seq(Seq[Any](UTF8String.fromString(txn.id),
+        txn.enlistedDirs.size.toLong))
+    })
+
+  private def rollbackTransaction(wh: String): UnboundProcedure = new Proc(
+    "rollback_transaction",
+    "Abandon the named transaction: staged logs are dropped, commit " +
+      "claims released, nothing becomes visible. Staged data files " +
+      "become ordinary orphans (remove_orphan_files reclaims them).",
+    Array(in("name", StringType)),
+    StructType(Seq(
+      StructField("txn_id", StringType, nullable = false),
+      StructField("tables_discarded", LongType, nullable = false))),
+    row => {
+      require(!row.isNullAt(0), "name must not be null")
+      val txn = GraftTransaction.endNamed(wh,
+        row.getUTF8String(0).toString, commit = false)
+      Seq(Seq[Any](UTF8String.fromString(txn.id),
+        txn.enlistedDirs.size.toLong))
+    })
+
+  private def recoverTransactions(wh: String): UnboundProcedure = new Proc(
+    "recover_transactions",
+    "Warehouse recovery sweep: finish every transaction that crashed " +
+      "after its commit marker (swap + clean) and roll back dead " +
+      "uncommitted ones older than older_than_ms.",
+    Array(inDefault("older_than_ms", LongType, "60000")),
+    StructType(Seq(StructField("txn_id", StringType, nullable = false))),
+    row => {
+      val age = if (row.isNullAt(0)) 60000L else row.getLong(0)
+      GraftTransaction.recover(wh, age)
+        .map(id => Seq[Any](UTF8String.fromString(id)))
+    })
 
   private def registerTable(wh: String): UnboundProcedure = new Proc(
     "register_table",

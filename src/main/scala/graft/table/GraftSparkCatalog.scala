@@ -190,6 +190,28 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
       if (base.name().nonEmpty && tableExists(base))
         return new GraftCdcV2Table(identToName(ident), loadGraft(base))
     }
+    // `<name>__txn_<txn>` — the STAGED view of `<name>` inside the open
+    // named transaction `<txn>` (CALL begin_transaction): reads see the
+    // transaction's own commits, INSERT/DML stage into it, and nothing
+    // is visible on `<name>` until CALL commit_transaction publishes
+    // every enlisted table atomically. Same suffix discipline as
+    // `__changes`: a REAL table of the full name always wins.
+    if (!tableExists(ident)) {
+      val n = ident.name()
+      val i = n.lastIndexOf("__txn_")
+      if (i > 0) {
+        val base = Identifier.of(ident.namespace(), n.substring(0, i))
+        val txnName = n.substring(i + "__txn_".length)
+        if (txnName.nonEmpty && tableExists(base)) {
+          val txn = GraftTransaction.findNamed(warehouse, txnName)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no open transaction '$txnName' on this catalog — " +
+                s"CALL $name.system.begin_transaction('$txnName') first"))
+          return new GraftV2Table(identToName(ident),
+            txn.tableAt(dirFor(base)), None)
+        }
+      }
+    }
     loadMeta(ident, snapshotId = None)
       .getOrElse(load(ident, snapshotId = None))
   }

@@ -45,9 +45,17 @@ final class GraftTable private (
     val droppedColumns: Seq[String] = Nil,
     val renames: Seq[GraftTable.ColumnRename] = Nil,
     val widenings: Seq[GraftTable.ColumnWidening] = Nil,
-    val defaults: Seq[GraftTable.ColumnDefault] = Nil) {
+    val defaults: Seq[GraftTable.ColumnDefault] = Nil,
+    private val logName: String = GraftTable.MainLog) {
 
   import GraftTable._
+
+  /** True when this handle commits into a TRANSACTION-staged log
+    * ([[GraftTransaction]]): snapshots land in `snapshots.json.<txn>`
+    * and become visible only at the transaction's atomic publish. The
+    * transaction holds the table's commit claim for its whole
+    * lifetime, so staged commits skip the per-snapshot markers. */
+  private[table] def txnStaged: Boolean = logName != GraftTable.MainLog
 
   /** Rewrite `metadata.json` with the given deltas (atomic swap) and
     * return the updated handle — the single chokepoint for every schema/
@@ -61,6 +69,10 @@ final class GraftTable private (
       newRenames: Seq[ColumnRename] = renames,
       newWidenings: Seq[ColumnWidening] = widenings,
       newDefaults: Seq[ColumnDefault] = defaults): GraftTable = {
+    require(!txnStaged,
+      s"schema/property/spec changes cannot be STAGED in a transaction " +
+        s"($dir): metadata.json is shared with the published table — " +
+        "commit them directly, outside the transaction")
     // malformed auto-compaction values refuse HERE, not inside a
     // running stream's commit path
     GraftTable.streamCompactEvery(newProps)
@@ -160,7 +172,14 @@ final class GraftTable private (
     (name, tpe, default)
   }
 
-  def log: SnapshotLog = SnapshotLog.read(s"$dir/snapshots.json")
+  def log: SnapshotLog = {
+    // a COMMITTED warehouse transaction that crashed mid-publish left a
+    // `.txn-pending` pointer here: roll its staged log forward before
+    // reading (all-or-nothing across the txn's tables — no reader may
+    // see one table swapped and another not). Fast path: one stat call.
+    if (!txnStaged) GraftTransaction.healIfPending(dir)
+    SnapshotLog.read(s"$dir/$logName")
+  }
 
   /** Virtual column name, overridable via table property — mirrors
     * `iceberg.hive.snapshot.virtual.column.name` (SystemTableUtil.java:51-67). */
@@ -376,6 +395,9 @@ final class GraftTable private (
 
   /** Tag `snapshotId` as `name` (overwrites an existing tag atomically). */
   def tag(name: String, snapshotId: Long): Unit = {
+    require(!txnStaged,
+      s"tags write shared ref metadata and cannot be STAGED in a " +
+        s"transaction ($dir) — tag after the transaction publishes")
     require(name.nonEmpty && !name.forall(_.isDigit),
       s"tag name '$name' must be non-empty and not purely numeric " +
         "(numeric strings resolve as snapshot ids)")
@@ -443,11 +465,15 @@ final class GraftTable private (
     }
   }
 
-  private def writeBranches(b: Map[String, (Long, Boolean)]): Unit =
+  private def writeBranches(b: Map[String, (Long, Boolean)]): Unit = {
+    require(!txnStaged,
+      s"branch DDL writes shared ref metadata and cannot be STAGED in a " +
+        s"transaction ($dir)")
     graft.util.Json.writeFileAtomic(branchesPath,
       graft.util.Json.write(b.map { case (k, (f, p)) =>
         k -> Map("fork" -> f, "published" -> p)
       }))
+  }
 
   /** Fork a BRANCH off the current snapshot — the write-audit-publish
     * pattern (Iceberg's WAP / Delta's branch writes): candidate data is
@@ -1344,14 +1370,20 @@ final class GraftTable private (
     // table dir would otherwise read-modify-write snapshots.json and
     // silently drop one commit (orphaning its data files); with the marker
     // the loser fails loudly instead.
+    // Staged (transaction) commits skip the per-snapshot markers: the
+    // transaction already holds this table's commit claim for its whole
+    // lifetime, so no outside committer can interleave, and a marker at
+    // the first staged id would collide with that very claim.
     val marker = Paths.get(dir, "manifests", f".commit-$snapId%05d")
     Files.createDirectories(marker.getParent)
-    try Files.createFile(marker)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
-        throw new java.util.ConcurrentModificationException(
-          s"snapshot $snapId already claimed by a concurrent committer on $dir")
+    if (!txnStaged) {
+      try Files.createFile(marker)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot $snapId already claimed by a concurrent committer on $dir")
+      }
     }
     // Post-claim check BEFORE touching the manifest path: markers are
     // deleted after successful commits (see below), so a late claimer can
@@ -1360,7 +1392,7 @@ final class GraftTable private (
     val lg2 = log
     if (lg2.nextId != snapId) {
       newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
-      Files.deleteIfExists(marker)
+      if (!txnStaged) Files.deleteIfExists(marker)
       throw new java.util.ConcurrentModificationException(
         s"snapshot log advanced to ${lg2.nextId} during commit of $snapId on $dir")
     }
@@ -1379,7 +1411,7 @@ final class GraftTable private (
       val clash = newFiles.map(f => baseName(f.path)).filter(pendingBns)
       if (clash.nonEmpty) {
         newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
-        Files.deleteIfExists(marker)
+        if (!txnStaged) Files.deleteIfExists(marker)
         throw new IllegalStateException(
           s"new data-file basename(s) ${clash.mkString(", ")} collide with " +
             s"pending positional-delete targets on $dir — retry the write " +
@@ -1451,20 +1483,20 @@ final class GraftTable private (
     // append to the RE-READ log: a concurrent expireSnapshots may have
     // removed a prefix since `lg` was captured — writing the stale list
     // would resurrect expired snapshots whose files are already deleted
-    try SnapshotLog(lg2.snapshots :+ snap).write(s"$dir/snapshots.json")
+    try SnapshotLog(lg2.snapshots :+ snap).write(s"$dir/$logName")
     catch { case e: Throwable =>
       // unpublished commit: reclaim everything this call created (the
       // data files, the fresh segments, the manifest list, the claim)
       newFiles.foreach(f => Files.deleteIfExists(Paths.get(dir, f.path)))
       createdSegs.foreach(r => Files.deleteIfExists(Paths.get(dir, r)))
       Files.deleteIfExists(Paths.get(dir, manifestRel))
-      Files.deleteIfExists(marker)
+      if (!txnStaged) Files.deleteIfExists(marker)
       throw e
     }
     // claim served its purpose (the log now holds snapId, so no racer can
     // pass the nextId re-check) — delete it rather than accumulate one
     // zero-byte marker per commit forever
-    Files.deleteIfExists(marker)
+    if (!txnStaged) Files.deleteIfExists(marker)
     snap
   }
 
@@ -3861,6 +3893,9 @@ final class GraftTable private (
     * commits. The current snapshot always survives (`retainLast` is
     * clamped to ≥ 1); tags and live-branch forks stay anchors. */
   def expireSnapshots(olderThanMillis: Long, retainLast: Int): Seq[Long] = {
+    require(!txnStaged,
+      s"expireSnapshots rewrites the PUBLISHED log — not available on a " +
+        s"transaction-staged handle ($dir)")
     // serialize against committers via the same claim a commit for the
     // NEXT id would take: a writer mid-commit makes this throw (retry via
     // withCommitRetry); holding it, no commit can interleave between our
@@ -3990,6 +4025,22 @@ final class GraftTable private (
     * branch lives), and a branch's own files live under `branches/…`,
     * outside the walked roots — neither can be reclaimed here. */
   def removeOrphanFiles(olderThanMillis: Long): Seq[String] = {
+    require(!txnStaged,
+      s"removeOrphanFiles is not available on a transaction-staged handle ($dir)")
+    def stagedTxnLogs: Seq[String] =
+      scala.util.Using.resource(Files.list(Paths.get(dir))) { st =>
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(GraftTable.MainLog + ".txn-")).toSeq
+      }
+    // an OPEN warehouse transaction's staged commits reference data and
+    // segment files the published log does not know yet — sweeping now
+    // would delete them out from under the transaction. Refuse until the
+    // txn publishes, rolls back, or is recovered (recoverTransactions).
+    require(!Files.exists(Paths.get(dir, GraftTransaction.PendingFile)) &&
+      stagedTxnLogs.isEmpty,
+      s"a warehouse transaction is in flight on $dir — publish, roll " +
+        "back, or recover it (GraftTransaction.recover) before sweeping " +
+        "orphans")
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val lg = log
     val referenced: Set[String] = (lg.snapshots.flatMap { s =>
@@ -6176,7 +6227,16 @@ object GraftTable {
     new GraftTable(dir, schema, properties, partitionBy)
   }
 
-  def load(dir: String): GraftTable = {
+  /** Canonical snapshot-log file name; any other name marks the handle
+    * as transaction-staged (see [[GraftTransaction]]). */
+  private[table] val MainLog = "snapshots.json"
+
+  def load(dir: String): GraftTable = loadWithLog(dir, MainLog)
+
+  /** A handle whose commits land in `logName` instead of the published
+    * log — the transaction-staging loader. Callers must hold the
+    * table's commit claim for the staged log's lifetime. */
+  private[table] def loadWithLog(dir: String, logName: String): GraftTable = {
     val metaPath = Paths.get(dir, "metadata.json")
     require(Files.exists(metaPath), s"not a graft table (no metadata.json): $dir")
     val meta = graft.util.Json.parseObject(Files.readString(metaPath))
@@ -6212,7 +6272,7 @@ object GraftTable {
           m.get("seq").collect { case l: Long => l }.getOrElse(0L))
       }
     new GraftTable(dir, schema, props, partitionBy, dropped, renames,
-      widenings, defaults)
+      widenings, defaults, logName)
   }
 
   def exists(dir: String): Boolean =

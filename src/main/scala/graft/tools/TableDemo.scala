@@ -320,6 +320,26 @@ object TableDemo {
         .collect().head.getLong(0) +
       " fold-noop=" + fold.isEmpty)
 
+    // warehouse transaction: people + registered staged in one txn via
+    // the SQL surface; mid-txn the published names see neither commit,
+    // commit_transaction publishes both atomically
+    spark.sql("CALL gdemo.system.begin_transaction('demo')").collect()
+    spark.sql("INSERT INTO gdemo.db.people__txn_demo VALUES (60, 'txn')")
+    spark.sql("INSERT INTO gdemo.db.registered__txn_demo VALUES (61, 'txn')")
+    val midPeople = spark.sql("SELECT count(*) FROM gdemo.db.people")
+      .collect().head.getLong(0)
+    val stagedPeople = spark.sql(
+      "SELECT count(*) FROM gdemo.db.people__txn_demo")
+      .collect().head.getLong(0)
+    val txnPub = spark.sql("CALL gdemo.system.commit_transaction('demo')")
+      .collect()
+    println("TXN: staged=" + stagedPeople + " mid-published=" + midPeople +
+      " published-tables=" + txnPub.head.getLong(1) +
+      " after=" + spark.sql("SELECT count(*) FROM gdemo.db.people")
+        .collect().head.getLong(0) +
+      "," + spark.sql("SELECT count(*) FROM gdemo.db.registered")
+        .collect().head.getLong(0))
+
     // schema evolution: era-mapped rename + widen, metadata-only
     val evo = GraftTable.create(s"$dir/evo", StructType(Seq(
       StructField("k", IntegerType, nullable = false),
