@@ -395,11 +395,15 @@ object GraftProcedures {
   private def createTag(wh: String): UnboundProcedure = new Proc(
     "create_tag",
     "Name a snapshot (retention anchor + `VERSION AS OF 'name'` target); " +
-      "snapshot_id defaults to the current snapshot (0 sentinel).",
+      "snapshot_id defaults to the current snapshot (0 sentinel). " +
+      "max_ref_age_ms (Iceberg parity; -1 = keep forever) makes the tag " +
+      "itself expirable: once older, expire_snapshots drops it and its " +
+      "snapshot stops anchoring.",
     Array(
       in("table", StringType),
       in("name", StringType),
-      inDefault("snapshot_id", LongType, "0")),
+      inDefault("snapshot_id", LongType, "0"),
+      inDefault("max_ref_age_ms", LongType, "-1")),
     StructType(Seq(
       StructField("tag", StringType, nullable = false),
       StructField("snapshot_id", LongType, nullable = false))),
@@ -411,7 +415,8 @@ object GraftProcedures {
           throw new IllegalArgumentException(
             "cannot tag an empty table — no current snapshot"))
       val tagName = row.getUTF8String(1).toString
-      t.tag(tagName, id)
+      val age = if (row.isNullAt(3)) -1L else row.getLong(3)
+      t.tag(tagName, id, maxRefAgeMs = Some(age).filter(_ >= 0L))
       Seq(Seq[Any](UTF8String.fromString(tagName), id))
     })
 
@@ -419,17 +424,32 @@ object GraftProcedures {
     "create_branch",
     "Fork a write-audit-publish branch at the current snapshot " +
       "(metadata-only; the fork anchors retention while the branch " +
-      "lives). Audit-read it with VERSION AS OF 'branch:<name>'.",
+      "lives). Audit-read it with VERSION AS OF 'branch:<name>'. " +
+      "Retention policy (Iceberg parity, -1 = unset): max_ref_age_ms " +
+      "ages the whole branch out (an unpublished branch dies with its " +
+      "candidate data); min_snapshots_to_keep / max_snapshot_age_ms " +
+      "govern the branch's own chain whenever expire_snapshots runs on " +
+      "the parent.",
     Array(
       in("table", StringType),
-      in("name", StringType)),
+      in("name", StringType),
+      inDefault("max_ref_age_ms", LongType, "-1"),
+      inDefault("min_snapshots_to_keep", IntegerType, "-1"),
+      inDefault("max_snapshot_age_ms", LongType, "-1")),
     StructType(Seq(
       StructField("branch", StringType, nullable = false),
       StructField("fork_snapshot_id", LongType, nullable = false))),
     row => {
       val t = tableOf(wh, row)
       val name = row.getUTF8String(1).toString
-      t.createBranch(name)
+      def optL(i: Int): Option[Long] =
+        if (row.isNullAt(i)) None else Some(row.getLong(i)).filter(_ >= 0L)
+      val minKeep = if (row.isNullAt(3)) None
+        else Some(row.getInt(3)).filter(_ >= 0)
+      t.createBranch(name,
+        maxRefAgeMs = optL(2),
+        minSnapshotsToKeep = minKeep,
+        maxSnapshotAgeMs = optL(4))
       Seq(Seq[Any](UTF8String.fromString(name),
         t.branches(name)._1))
     })

@@ -386,15 +386,44 @@ final class GraftTable private (
     * "v1-training-set", "audited-2026-08" — usable anywhere a snapshot id
     * is (`readTag`, SQL `VERSION AS OF 'name'`). Tagged snapshots are
     * RETENTION ANCHORS: [[expireSnapshots]] will not expire them. */
-  def refs: Map[String, Long] = {
+  def refs: Map[String, Long] = refsRaw.map { case (k, v) => k -> refSnap(v) }
+
+  /** Raw refs.json entries: legacy plain snapshot ids AND extended
+    * `{snapshot, created_ms, max_ref_age_ms}` objects (per-ref
+    * retention, Iceberg branch/tag retention parity) both stay
+    * readable and round-trip unchanged through unrelated updates. */
+  private def refsRaw: Map[String, Any] = {
     val p = Paths.get(refsPath)
     if (!Files.exists(p)) Map.empty
     else graft.util.Json.parseObject(Files.readString(p))
-      .map { case (k, v) => k -> v.asInstanceOf[Long] }
   }
 
-  /** Tag `snapshotId` as `name` (overwrites an existing tag atomically). */
-  def tag(name: String, snapshotId: Long): Unit = {
+  private def refSnap(v: Any): Long = v match {
+    case l: Long => l
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]]("snapshot").asInstanceOf[Long]
+    case other => throw new IllegalStateException(s"malformed ref: $other")
+  }
+
+  /** Tags carrying a retention policy: name → (created_ms,
+    * max_ref_age_ms). Legacy plain refs have no policy → never aged. */
+  private def refAges: Map[String, (Long, Long)] = refsRaw.collect {
+    case (k, m: Map[_, _]) =>
+      val mm = m.asInstanceOf[Map[String, Any]]
+      (mm.get("created_ms"), mm.get("max_ref_age_ms")) match {
+        case (Some(c: Long), Some(a: Long)) => Some(k -> (c, a))
+        case _ => None
+      }
+  }.flatten.toMap
+
+  /** Tag `snapshotId` as `name` (overwrites an existing tag atomically).
+    * `maxRefAgeMs` (Iceberg `max-ref-age-ms` parity) makes the tag
+    * ITSELF expirable: once older than this, [[expireSnapshots]] drops
+    * the tag first, so its snapshot stops being a retention anchor.
+    * `createdAtMs` defaults to now (override for deterministic tests /
+    * backfills). */
+  def tag(name: String, snapshotId: Long, maxRefAgeMs: Option[Long] = None,
+      createdAtMs: Option[Long] = None): Unit = {
     require(!txnStaged,
       s"tags write shared ref metadata and cannot be STAGED in a " +
         s"transaction ($dir) — tag after the transaction publishes")
@@ -407,15 +436,22 @@ final class GraftTable private (
       // pruned log here instead of anchoring a snapshot that just vanished
       require(log.byId(snapshotId).isDefined,
         s"no snapshot $snapshotId in $dir")
+      val entry: Any = maxRefAgeMs match {
+        case Some(age) => Map(
+          "snapshot" -> snapshotId,
+          "created_ms" -> createdAtMs.getOrElse(System.currentTimeMillis()),
+          "max_ref_age_ms" -> age)
+        case None => snapshotId
+      }
       graft.util.Json.writeFileAtomic(refsPath,
-        graft.util.Json.write(refs + (name -> snapshotId)))
+        graft.util.Json.write(refsRaw + (name -> entry)))
     }
   }
 
   /** Remove a tag (the snapshot itself is untouched). */
   def dropTag(name: String): Unit = withRefsLock {
     graft.util.Json.writeFileAtomic(refsPath,
-      graft.util.Json.write(refs - name))
+      graft.util.Json.write(refsRaw - name))
   }
 
   /** refs.json updates are read-modify-write; writeFileAtomic prevents
@@ -455,23 +491,45 @@ final class GraftTable private (
     * snapshots are retention anchors exactly like tags — expiration
     * stops at them, so a live branch's inherited files can never be
     * reclaimed out from under it. */
-  def branches: Map[String, (Long, Boolean)] = {
-    val p = Paths.get(branchesPath)
-    if (!Files.exists(p)) Map.empty
-    else graft.util.Json.parseObject(Files.readString(p)).map { case (k, v) =>
-      val m = v.asInstanceOf[Map[String, Any]]
-      k -> (m("fork").asInstanceOf[Long],
-        m.getOrElse("published", false).asInstanceOf[Boolean])
-    }
+  def branches: Map[String, (Long, Boolean)] = branchesRaw.map { case (k, m) =>
+    k -> (m("fork").asInstanceOf[Long],
+      m.getOrElse("published", false).asInstanceOf[Boolean])
   }
 
+  private def branchesRaw: Map[String, Map[String, Any]] = {
+    val p = Paths.get(branchesPath)
+    if (!Files.exists(p)) Map.empty
+    else graft.util.Json.parseObject(Files.readString(p))
+      .map { case (k, v) => k -> v.asInstanceOf[Map[String, Any]] }
+  }
+
+  /** Per-branch retention policy (Iceberg branch-retention parity):
+    * name → (created_ms, max_ref_age_ms, min_snapshots_to_keep,
+    * max_snapshot_age_ms); absent keys mean "no policy on that axis". */
+  private[table] def branchRetention
+      : Map[String, (Long, Option[Long], Option[Int], Option[Long])] =
+    branchesRaw.flatMap { case (k, m) =>
+      val created = m.get("created_ms").collect { case l: Long => l }
+      val refAge = m.get("max_ref_age_ms").collect { case l: Long => l }
+      val minKeep = m.get("min_snapshots_to_keep")
+        .collect { case l: Long => l.toInt }
+      val snapAge = m.get("max_snapshot_age_ms").collect { case l: Long => l }
+      if (refAge.isEmpty && minKeep.isEmpty && snapAge.isEmpty) None
+      else Some(k -> (created.getOrElse(Long.MaxValue), refAge, minKeep,
+        snapAge))
+    }
+
+  /** Rewrite branches.json from the (fork, published) view, PRESERVING
+    * every other key (retention policy) an entry already carries. */
   private def writeBranches(b: Map[String, (Long, Boolean)]): Unit = {
     require(!txnStaged,
       s"branch DDL writes shared ref metadata and cannot be STAGED in a " +
         s"transaction ($dir)")
+    val full = branchesRaw
     graft.util.Json.writeFileAtomic(branchesPath,
       graft.util.Json.write(b.map { case (k, (f, p)) =>
-        k -> Map("fork" -> f, "published" -> p)
+        k -> (full.getOrElse(k, Map.empty[String, Any]) ++
+          Map("fork" -> f, "published" -> p))
       }))
   }
 
@@ -492,7 +550,11 @@ final class GraftTable private (
     * Refused while deferred deletes are pending (their file-name
     * scoping is meaningless across the fork — compact() first), exactly
     * like the other copy-on-write refusals. */
-  def createBranch(name: String, committedAt: Option[Long] = None): GraftTable = {
+  def createBranch(name: String, committedAt: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      createdAtMs: Option[Long] = None): GraftTable = {
     // one path segment, no traversal: "." / ".." would resolve the branch
     // dir onto (or above) the table root and corrupt it
     require(name.nonEmpty && name.forall(c =>
@@ -541,6 +603,22 @@ final class GraftTable private (
       }
       writeBranches(branches +
         (name -> (cur.map(_.snapshotId).getOrElse(0L), false)))
+      // attach the retention policy (Iceberg per-branch retention):
+      // written via the raw map so it survives the (fork, published)
+      // rewrites publishBranch performs
+      if (maxRefAgeMs.isDefined || minSnapshotsToKeep.isDefined ||
+          maxSnapshotAgeMs.isDefined) {
+        val full = branchesRaw
+        val extra: Map[String, Any] =
+          Map("created_ms" ->
+            createdAtMs.getOrElse(System.currentTimeMillis())) ++
+            maxRefAgeMs.map("max_ref_age_ms" -> _) ++
+            minSnapshotsToKeep.map(v =>
+              "min_snapshots_to_keep" -> v.toLong) ++
+            maxSnapshotAgeMs.map("max_snapshot_age_ms" -> _)
+        graft.util.Json.writeFileAtomic(branchesPath,
+          graft.util.Json.write(full + (name -> (full(name) ++ extra))))
+      }
       bt
     }
   }
@@ -3929,6 +4007,36 @@ final class GraftTable private (
 
   private def expireUnderClaim(
       olderThanMillis: Long, retainLast: Int): Seq[Long] = {
+    // PER-REF RETENTION pre-pass (Iceberg `max-ref-age-ms` parity):
+    // tags and branch refs carrying an age policy are dropped FIRST —
+    // once a ref ages out it stops being a retention anchor, and the
+    // ordinary prefix cut below can reclaim its snapshots. Each drop
+    // takes the refs lock itself, so this runs before the cut's own
+    // lock scope (the commit claim is already held — no committer can
+    // interleave).
+    val now = System.currentTimeMillis()
+    refAges.foreach { case (name, (created, maxAge)) =>
+      if (now - created > maxAge) dropTag(name)
+    }
+    branchRetention.foreach { case (name, (created, refAge, _, _)) =>
+      if (created != Long.MaxValue && refAge.exists(a => now - created > a) &&
+          branches.contains(name))
+        dropBranch(name) // unpublished: candidate data dies with the ref
+    }
+    // PER-BRANCH SNAPSHOT RETENTION (`min-snapshots-to-keep` /
+    // `max-snapshot-age-ms`): each surviving live branch's own chain
+    // expires under ITS policy — the branch keeps its floor even when
+    // the table-level policy is more aggressive, and ages out faster
+    // when its policy is tighter. Published branches are skipped (their
+    // chain already fast-forwarded into the parent at publish).
+    branchRetention.foreach { case (name, (_, _, minKeep, snapAge)) =>
+      if ((minKeep.isDefined || snapAge.isDefined) &&
+          branches.get(name).exists(!_._2)) {
+        branch(name).expireSnapshots(
+          snapAge.map(now - _).getOrElse(olderThanMillis),
+          math.max(1, minKeep.getOrElse(1)))
+      }
+    }
     // The refs read, prefix cut, and log rewrite happen UNDER the refs
     // lock: a tag() committed between a bare refs read and the rewrite
     // would lose its retention-anchor role and see its snapshot expired

@@ -169,6 +169,16 @@ object TableDemo {
     println("BRANCH published: op=" + pub.operation + " rows=" +
       wap.read(spark).orderBy("id").collect().mkString(", "))
 
+    // per-ref retention: an aged tag drops at expire (and stops
+    // anchoring); a policy-less tag keeps anchoring its snapshot
+    wap.append(df(4L -> "later"), Some(4000L))
+    wap.tag("aged", 1L, maxRefAgeMs = Some(1000L),
+      createdAtMs = Some(System.currentTimeMillis() - 60000L))
+    wap.tag("keep", 2L)
+    val refExpired = wap.expireSnapshots(Long.MaxValue, 1)
+    println("REF-RETENTION: expired=" + refExpired.mkString(",") +
+      " refs=" + wap.refs.keys.toSeq.sorted.mkString(","))
+
     // write constraints: the violating append fails inside the write job
     // and commits nothing; the clean append lands
     val guarded = GraftTable.create(s"$dir/checked", schema,

@@ -199,4 +199,108 @@ class BranchSpec extends SparkSpecBase {
     assert(m.files.forall(f => f.path.startsWith("data/")))
     assert(t.read(spark).count() == 4)
   }
+
+  test("per-ref retention: an aged-out tag is dropped and stops anchoring") {
+    val dir = tmpDir("graft-ref-age")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    t.append(base, Some(2000L))
+    t.append(base, Some(3000L))
+    // an AGED tag on snapshot 1 (created far in the past, 1h ttl) and a
+    // FRESH policy-less tag on snapshot 2
+    t.tag("old-audit", 1L, maxRefAgeMs = Some(3600L * 1000),
+      createdAtMs = Some(System.currentTimeMillis() - 7200L * 1000))
+    t.tag("keep", 2L)
+    // global policy would expire snapshots 1+2; the aged tag is dropped
+    // first (stops anchoring), the plain tag still anchors snapshot 2
+    val expired = t.expireSnapshots(Long.MaxValue, retainLast = 1)
+    assert(expired == Seq(1L), s"expired=$expired")
+    assert(t.refs.keySet == Set("keep"), t.refs.toString)
+    assert(t.log.snapshots.map(_.snapshotId) == Seq(2L, 3L))
+    // a YOUNG tag with a policy is untouched
+    t.tag("young", 3L, maxRefAgeMs = Some(3600L * 1000))
+    t.expireSnapshots(Long.MaxValue, retainLast = 1)
+    assert(t.refs.keySet == Set("keep", "young"))
+  }
+
+  test("per-ref retention: an aged-out unpublished branch dies with its candidate data") {
+    val dir = tmpDir("graft-branch-age")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    t.createBranch("stale-experiment", Some(1500L),
+      maxRefAgeMs = Some(3600L * 1000),
+      createdAtMs = Some(System.currentTimeMillis() - 7200L * 1000))
+    t.createBranch("live-experiment", Some(1600L),
+      maxRefAgeMs = Some(3600L * 1000))
+    t.append(base, Some(2000L))
+    t.expireSnapshots(0L, retainLast = 1) // expires nothing by age…
+    // …but the aged branch ref is gone, dir and all; the young one lives
+    assert(t.branches.keySet == Set("live-experiment"), t.branches.toString)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "branches", "stale-experiment")))
+    assert(t.branch("live-experiment").read(spark).count() == 3)
+  }
+
+  test("per-branch retention: the branch chain keeps its min floor under an aggressive global policy") {
+    val dir = tmpDir("graft-branch-floor")
+    val t = GraftTable.create(dir, base.schema)
+    t.append(base, Some(1000L))
+    val bt = t.createBranch("audit", Some(1500L),
+      minSnapshotsToKeep = Some(3))
+    import spark.implicits._
+    bt.append(Seq((4L, "d")).toDF("id", "v"), Some(2000L))
+    bt.append(Seq((5L, "e")).toDF("id", "v"), Some(3000L))
+    bt.append(Seq((6L, "f")).toDF("id", "v"), Some(4000L))
+    assert(bt.log.snapshots.size == 4)
+    // the parent's global policy says "expire EVERYTHING old" — the
+    // branch keeps its 3-snapshot floor (and the parent its retain-last)
+    t.append(base, Some(5000L))
+    t.expireSnapshots(Long.MaxValue, retainLast = 1)
+    val b2 = t.branch("audit")
+    assert(b2.log.snapshots.size == 3,
+      s"floor violated: ${b2.log.snapshots.map(_.snapshotId)}")
+    assert(b2.read(spark).count() == 6)
+    // a TIGHTER per-branch age (max_snapshot_age_ms = 0 → everything
+    // expirable) shrinks the chain to the floor even when the global
+    // call expires nothing
+    val t2dir = tmpDir("graft-branch-tight")
+    val t2 = GraftTable.create(t2dir, base.schema)
+    t2.append(base, Some(1000L))
+    val bt2 = t2.createBranch("fast", Some(1500L),
+      minSnapshotsToKeep = Some(1), maxSnapshotAgeMs = Some(0L))
+    bt2.append(Seq((4L, "d")).toDF("id", "v"), Some(2000L))
+    bt2.append(Seq((5L, "e")).toDF("id", "v"), Some(3000L))
+    t2.expireSnapshots(0L, retainLast = 10) // global: expire nothing
+    assert(t2.log.snapshots.size == 1)
+    val b3 = t2.branch("fast")
+    assert(b3.log.snapshots.size == 1,
+      s"tight age ignored: ${b3.log.snapshots.map(_.snapshotId)}")
+    assert(b3.read(spark).count() == 5)
+  }
+
+  test("retention policy survives publish and CALL args reach the refs") {
+    val dir = tmpDir("graft-ref-call")
+    val wh = s"$dir/wh"
+    val cat = new GraftCatalog(wh)
+    val t = cat.createTable("db.reft", base.schema)
+    t.append(base, Some(1000L))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gref", "graft.table.GraftSparkCatalog")
+    s2.conf.set("spark.sql.catalog.gref.warehouse", wh)
+    s2.sql("CALL gref.system.create_tag('db.reft', 'rel', " +
+      "max_ref_age_ms => 3600000)").collect()
+    s2.sql("CALL gref.system.create_branch('db.reft', 'wip', " +
+      "min_snapshots_to_keep => 2, max_snapshot_age_ms => 3600000)")
+      .collect()
+    val t2 = GraftTable.load(s"$wh/db/reft")
+    assert(t2.refs.contains("rel"))
+    assert(t2.branchRetention.get("wip").exists { case (_, _, mk, sa) =>
+      mk.contains(2) && sa.contains(3600000L) })
+    // publishBranch rewrites the (fork, published) pair — policy keys
+    // survive the rewrite
+    t2.branch("wip").append(base, Some(2000L))
+    t2.publishBranch("wip", Some(3000L))
+    assert(t2.branchRetention.get("wip").exists { case (_, _, mk, _) =>
+      mk.contains(2) })
+  }
 }
