@@ -663,7 +663,7 @@ case class GraftDeleteCommand(
     table: GraftTable,
     cond: Column) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    table.withCommitRetry() { table.delete(spark, cond) }
+    table.withDmlRetry() { table.delete(spark, cond) }
     Nil
   }
 }
@@ -674,7 +674,7 @@ case class GraftUpdateCommand(
     cond: Column,
     assigns: Map[String, Column]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    table.withCommitRetry() { table.update(spark, cond, assigns) }
+    table.withDmlRetry() { table.update(spark, cond, assigns) }
     Nil
   }
 }
@@ -686,7 +686,7 @@ case class GraftCowMergeCommand(
     keyCol: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
-    table.withCommitRetry() { table.merge(spark, src, keyCol) }
+    table.withDmlRetry() { table.merge(spark, src, keyCol) }
     Nil
   }
 }
@@ -698,7 +698,7 @@ case class GraftMorUpdateCommand(
     cond: Column,
     assigns: Map[String, Column]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    table.withCommitRetry() { table.updatePositional(spark, cond, assigns) }
+    table.withDmlRetry() { table.updatePositional(spark, cond, assigns) }
     Nil
   }
 }
@@ -709,7 +709,7 @@ case class GraftMorDeleteCommand(
     table: GraftTable,
     cond: Column) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    table.withCommitRetry() { table.deletePositional(spark, cond) }
+    table.withDmlRetry() { table.deletePositional(spark, cond) }
     Nil
   }
 }
@@ -722,7 +722,7 @@ case class GraftCowDeleteKeysCommand(
     keyCols: Seq[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val keys = castKeys(spark, table, source, keyCols)
-    table.withCommitRetry() { table.deleteByKeys(spark, keys, keyCols) }
+    table.withDmlRetry() { table.deleteByKeys(spark, keys, keyCols) }
     Nil
   }
   private def castKeys(spark: SparkSession, t: GraftTable,
@@ -743,7 +743,7 @@ case class GraftMorDeleteKeysCommand(
     val keys = GraftBridge.ofRows(spark, source).select(keyCols.map(c =>
       org.apache.spark.sql.functions.col(c)
         .cast(table.schema(c).dataType).as(c)): _*)
-    table.withCommitRetry() {
+    table.withDmlRetry() {
       table.deletePositionalByKeys(spark, keys, keyCols)
     }
     Nil
@@ -761,7 +761,7 @@ case class GraftMergeActionsCommand(
     bySource: Seq[MergeMatchedAction]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
-    table.withCommitRetry() {
+    table.withDmlRetry() {
       table.mergeActions(spark, src, keyPairs, matched, notMatched, bySource)
     }
     Nil
@@ -778,7 +778,7 @@ case class GraftMorMergeActionsCommand(
     notMatched: Seq[MergeInsert]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
-    table.withCommitRetry() {
+    table.withDmlRetry() {
       table.mergeEqualityConditional(spark, src, keyPairs, matched, notMatched)
     }
     Nil
@@ -792,7 +792,7 @@ case class GraftMorMergeCommand(
     keyCols: Seq[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
-    table.withCommitRetry() { table.mergeEquality(spark, src, keyCols) }
+    table.withDmlRetry() { table.mergeEquality(spark, src, keyCols) }
     Nil
   }
 }
@@ -816,7 +816,7 @@ case class GraftOverwriteWhereCommand(
     source: LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
-    table.withCommitRetry() { table.overwriteWhere(spark, pred, src) }
+    table.withDmlRetry() { table.overwriteWhere(spark, pred, src) }
     Nil
   }
 }
@@ -827,7 +827,7 @@ case class GraftOverwriteCommand(
     source: LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
-    table.withCommitRetry() { table.overwrite(src) }
+    table.withDmlRetry() { table.overwrite(src) }
     Nil
   }
 }

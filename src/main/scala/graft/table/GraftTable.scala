@@ -76,7 +76,8 @@ final class GraftTable private (
     // malformed auto-compaction values refuse HERE, not inside a
     // running stream's commit path
     GraftTable.streamCompactEvery(newProps)
-    GraftTable.streamCompactBytes(newProps): Unit
+    GraftTable.streamCompactBytes(newProps)
+    GraftTable.dmlIsolationOf(newProps): Unit
     val meta = Map(
       "format_version" -> 1L,
       "schema" -> newSchema.json,
@@ -1107,6 +1108,31 @@ final class GraftTable private (
     }
     throw last
   }
+
+  /** DML-statement conflict policy (`graft.dml.isolation`): under the
+    * default `replan`, a statement that loses the commit race re-plans
+    * IN FULL against the winning committer's state — the log is a
+    * single serial chain, every retry re-reads it before planning, so
+    * the outcome is serializable with this statement ordered LAST
+    * (predicates apply to rows that exist after the conflict,
+    * including the winner's). Under `strict` (Iceberg
+    * `validateNoConflicting*` stance) the first conflict is rethrown
+    * loudly instead: nothing silently re-executes against state the
+    * caller never saw — the caller re-reads and decides. Appends keep
+    * plain [[withCommitRetry]] (row adds commute; Iceberg's fastAppend
+    * never conflict-checks either). */
+  def withDmlRetry[T](maxRetries: Int = 5)(op: => T): T =
+    if (GraftTable.dmlIsolationOf(properties) == "strict") {
+      try op
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          throw new java.util.ConcurrentModificationException(
+            s"a concurrent commit conflicts with this statement under " +
+              s"${GraftTable.PropDmlIsolation}=strict on $dir — re-read " +
+              "and retry the statement, or set 'replan' for " +
+              s"run-as-if-last semantics (${e.getMessage})")
+      }
+    } else withCommitRetry(maxRetries)(op)
 
   /** Append `df` as a new snapshot whose data files are AVRO containers
     * (written via [[graft.sources.AvroSource]]) — the mixed-format table
@@ -5997,6 +6023,21 @@ object GraftTable {
 
   val DefaultVirtualColumn = "snapshot__id"
   val PropVirtualColumnName = "graft.snapshot.virtual.column.name"
+
+  /** DML conflict policy: `replan` (default — a losing statement
+    * re-plans in full against the winner's state, serializable
+    * run-as-if-last) or `strict` (first conflict fails loudly; the
+    * caller re-reads and decides — Iceberg validateNoConflicting*
+    * stance). Consumed by [[GraftTable.withDmlRetry]]. */
+  val PropDmlIsolation = "graft.dml.isolation"
+
+  private[table] def dmlIsolationOf(props: Map[String, String]): String =
+    props.getOrElse(PropDmlIsolation, "replan") match {
+      case v @ ("replan" | "strict") => v
+      case other => throw new IllegalArgumentException(
+        s"$PropDmlIsolation must be 'replan' or 'strict', got '$other'")
+    }
+
   val PropCheckPrefix = "graft.check."
   val PropNotNullColumns = "graft.notnull.columns"
   val PropSnapshotsTable = "graft.snapshots.table"
@@ -6323,7 +6364,8 @@ object GraftTable {
     PartitionField.parseSpec(partitionBy, schema)
     schema.fieldNames.foreach(requireNotReserved(_, dir))
     streamCompactEvery(properties)
-    streamCompactBytes(properties): Unit
+    streamCompactBytes(properties)
+    dmlIsolationOf(properties): Unit
     Files.createDirectories(p)
     val meta = Map(
       "format_version" -> 1L,
