@@ -2752,6 +2752,15 @@ final class GraftTable private (
         col(k0) >= lit(bounds.get(0)) && col(k0) <= lit(bounds.get(1))))
     val (candidates, untouchedM) = partitionPruned(manifest, rangePred)
     if (candidates.isEmpty) return None
+    // ORC/avro estates carry no parquet row index, so positions cannot
+    // address their rows — the SAME key-addressed curation lands as an
+    // EQUALITY entry instead (identical visible-row semantics: the
+    // covered-snapshot scope kills exactly the rows visible now, and
+    // future appends are unaffected under either form). One statement,
+    // both estates: a mixed parquet+ORC candidate set routes whole to
+    // the equality form so a single entry covers it.
+    if (candidates.exists(f => !f.path.endsWith(".parquet")))
+      return deleteEquality(spark, keys, keyCols, committedAt)
     val keySel = keys.select(keyCols.map(col): _*).distinct()
     positionalCore(spark, lg, current, manifest, untouchedM,
       dropped = Nil, partial = candidates,
@@ -2869,7 +2878,10 @@ final class GraftTable private (
     import org.apache.spark.sql.functions.substring_index
     require(partial.forall(_.path.endsWith(".parquet")),
       s"positional DML cannot target non-parquet data files in $dir " +
-        "(no parquet row index) — use the copy-on-write form or compact() first")
+        "(no parquet row index) — key-addressed curation works on any " +
+        "format via deletePositionalByKeys (auto-routes to the equality " +
+        "form) or deleteEquality/deleteByKeys; otherwise use the " +
+        "copy-on-write form or compact() first")
     if (partial.isEmpty) return (prior, Nil, 0L)
     // the read path keys on basenames — they must identify files
     // uniquely across the whole manifest this entry will live in

@@ -158,4 +158,58 @@ class WriteFormatSpec extends SparkSpecBase {
       bad.append(mkDf(9L -> "z"), Some(5000L))
     }
   }
+
+  test("ORC-estate curation cycle: key-addressed deletes auto-route to the equality form") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(dir, schema,
+      Map(GraftTable.PropWriteFormat -> "orc"))
+    t.append(mkDf(1L -> "good", 2L -> "junk", 3L -> "good"), Some(1000L))
+    t.append(mkDf(4L -> "junk", 5L -> "good"), Some(2000L))
+    assert(dataFiles(dir).forall(_.endsWith(".orc")))
+    // the p04-style curation step: victims addressed BY KEY — on an ORC
+    // estate (no parquet row index) the positional form routes to an
+    // equality entry automatically, same statement, same end state
+    val snap = t.deletePositionalByKeys(spark,
+      Seq(2L, 4L).toDF("id"), Seq("id"), Some(3000L))
+    assert(snap.isDefined)
+    assert(t.equalityDeletes.nonEmpty,
+      "ORC curation should land as a pending equality entry")
+    assert(t.positionalDeletes.isEmpty)
+    assert(rows(t) == Map(1L -> "good", 3L -> "good", 5L -> "good"))
+    // appends AFTER the curation are untouched (covered-snap scoping)
+    t.append(mkDf(6L -> "junk"), Some(4000L))
+    assert(rows(t).contains(6L))
+    // compact materializes the entry IN ORC; counts stay exact
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(5000L))
+    assert(t.equalityDeletes.isEmpty)
+    assert(rows(t) == Map(1L -> "good", 3L -> "good", 5L -> "good",
+      6L -> "junk"))
+    assert(dataFiles(dir).filter(_.endsWith(".parquet")).isEmpty)
+    // the position-PAIR form still refuses on ORC — pointing at the
+    // working spelling (must name a REAL file: unknown names are
+    // ignored by design, not refused)
+    val orcFile = dataFiles(dir).find(_.endsWith(".orc")).get
+    val e = intercept[IllegalArgumentException] {
+      t.deletePositionalAt(spark,
+        Seq((orcFile, 0L)).toDF("_file", "_pos"), Some(6000L))
+    }
+    assert(e.getMessage.contains("deletePositionalByKeys") &&
+      e.getMessage.contains("equality"), e.getMessage)
+  }
+
+  test("mixed parquet+ORC estate: one key-addressed delete covers both via equality") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(dir, schema)
+    t.append(mkDf(1L -> "junk", 2L -> "good"), Some(1000L)) // parquet era
+    val t2 = t.updateProperties(Map(GraftTable.PropWriteFormat -> "orc"))
+    t2.append(mkDf(3L -> "junk", 4L -> "good"), Some(2000L)) // orc era
+    val snap = t2.deletePositionalByKeys(spark,
+      Seq(1L, 3L).toDF("id"), Seq("id"), Some(3000L))
+    assert(snap.isDefined)
+    // routed whole to equality: ONE entry covers both formats' files
+    assert(t2.equalityDeletes.nonEmpty && t2.positionalDeletes.isEmpty)
+    assert(rows(t2) == Map(2L -> "good", 4L -> "good"))
+  }
 }
