@@ -96,6 +96,14 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option 'warehouse'"))
+    // metadata-column + pushed-variant repair must work on sessions
+    // WITHOUT GraftExtensions (catalog reads do), so it rides the
+    // session-level experimental hook; catalogs initialize during
+    // analysis, where an active session is guaranteed — the catch is
+    // purely defensive for exotic embedding setups
+    try org.apache.spark.sql.classic.GraftVariantMetadataRepair
+      .inject(org.apache.spark.sql.SparkSession.active)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   override def name(): String = catalogName

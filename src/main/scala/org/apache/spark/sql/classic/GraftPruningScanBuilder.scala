@@ -70,11 +70,14 @@ final class GraftPruningScanBuilder(
     * KNOWN UPSTREAM EDGE: Spark's rewrite rebuilds the relation output
     * from the DATA schema and silently DROPS requested metadata-column
     * attributes (`_row_id`/`_file`/…) — a query combining a metadata
-    * column with `variant_get` then fails binding with an
-    * INTERNAL_ERROR. Escape hatches, both restoring the interpreted
-    * (still correct) path: `SET spark.sql.variant.pushVariantIntoScan
-    * = false` (the rule's own gate) or the per-read option
-    * `variant-pushdown=false` honored here. */
+    * column with `variant_get` would then fail binding with an
+    * INTERNAL_ERROR. [[GraftVariantMetadataRepair]] (injected per
+    * session by the catalog) recognizes the truncated scan relation and
+    * swaps in the metadata-column scan, serving the extraction
+    * interpreted on that path only. Manual escape hatches remain:
+    * `SET spark.sql.variant.pushVariantIntoScan = false` (the rule's
+    * own gate) or the per-read option `variant-pushdown=false` honored
+    * here. */
   override def pushVariantExtractions(
       ex: Array[VariantExtraction]): Array[Boolean] = {
     val optedOut = Option(options.get("variant-pushdown"))
@@ -186,6 +189,10 @@ final class GraftPruningScanBuilder(
         new GraftRuntimeFilterScan(mkDelegate, paths, pushed, prune, schema,
           microBatch.map(mk => (ckpt: String) => mk(mkDelegate, ckpt)),
           variantPushed = variantEx.nonEmpty,
+          // same pruned file list, metadata-column-capable scan — the
+          // repair path for the upstream rewrite dropping metadata attrs
+          metadataRepair = metadataColScan.map(mk =>
+            (req: StructType) => mk(req, paths)),
           // manifest-exact statistics for the statically-kept file set
           // (rowCount + NDV colStats) — CBO-grade where the delegate
           // only guesses from bytes

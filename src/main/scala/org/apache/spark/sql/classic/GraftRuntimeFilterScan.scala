@@ -51,8 +51,12 @@ final class GraftRuntimeFilterScan(
     prune: Seq[Expression] => Seq[String],
     tableSchema: StructType,
     microBatch: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
-    variantPushed: Boolean = false,
-    graftStats: () => Option[Statistics] = () => None)
+    val variantPushed: Boolean = false,
+    graftStats: () => Option[Statistics] = () => None,
+    // metadata-column fallback for the same pruned file list — consumed
+    // by [[GraftVariantMetadataRepair]] when Spark's variant-extraction
+    // rewrite dropped requested metadata attrs from the scan relation
+    val metadataRepair: Option[StructType => Scan] = None)
     extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   /** Streaming read ([[GraftMicroBatchStream]] / [[GraftCdcMicroBatchStream]],

@@ -29,9 +29,11 @@ import graft.SparkSpecBase
   *    BOTH read paths (Catalyst's V1 rewrite for library reads; the
   *    DSv2 `SupportsPushDownVariantExtractions` forward for catalog
   *    reads) — a path read touches one shredded subcolumn, never the
-  *    whole binary; known upstream edge (metadata column + variant_get
-  *    drops the metadata attr in Spark's rewrite) fails loudly with the
-  *    conf gate as the escape hatch.
+  *    whole binary; the known upstream edge (metadata column +
+  *    variant_get drops the metadata attr in Spark's rewrite) is
+  *    repaired engine-side (GraftVariantMetadataRepair routes the
+  *    combination to the metadata scan, extraction interpreted), with
+  *    the conf gate kept as a manual escape hatch.
   */
 class VariantTableSpec extends SparkSpecBase {
 
@@ -202,27 +204,37 @@ class VariantTableSpec extends SparkSpecBase {
       .select(col("id"), parse_json(col("js")).as("meta"))
     val tb = GraftTable.create(s"$wh/db/vmeta", src.schema)
     tb.append(src.repartition(1), committedAt = Some(1000L))
-    // KNOWN UPSTREAM EDGE: the variant rewrite drops requested metadata
-    // attributes from the rebuilt relation output — the combination
-    // fails at binding (an error, never silent corruption)…
-    intercept[Exception] {
-      spark.sql("SELECT id, _row_id, variant_get(meta, '$.k', 'int') AS k " +
-        "FROM gvm.db.vmeta ORDER BY id").collect()
-    }
-    // …and the rule's own conf gate is the documented escape hatch: the
-    // interpreted path serves the combination correctly
+    // KNOWN UPSTREAM EDGE, repaired engine-side: Spark's variant rewrite
+    // drops requested metadata attributes from the rebuilt relation
+    // output (the scan's read schema drives a positional zip and the
+    // appended metadata attrs fall off the tail). GraftVariantMetadata-
+    // Repair — injected by the catalog, no SET needed — swaps in the
+    // metadata-column scan, which computes the requested extraction from
+    // the raw variant bytes interpreted, on this path only.
+    val q = spark.sql(
+      "SELECT id, _row_id, variant_get(meta, '$.k', 'int') AS k " +
+        "FROM gvm.db.vmeta ORDER BY id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftFileposScan"),
+      s"repair should route to the metadata scan:\n${plan.take(1500)}")
+    assert(!plan.contains("PushedVariantExtractions: [meta"),
+      "the metadata path serves the extraction interpreted, not pushed")
+    val rows = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows.map(x => (x._1, x._3)) ==
+      Seq((1L, 11), (2L, 22), (3L, 33)), s"values wrong: $rows")
+    assert(rows.map(_._2).distinct.size == 3 &&
+      rows.map(_._2).forall(r => r >= 0 && r < 3),
+      s"row ids wrong: $rows")
+    // the conf gate stays as a second, upstream-level escape hatch
     val key = "spark.sql.variant.pushVariantIntoScan"
     spark.conf.set(key, "false")
     try {
-      val rows = spark.sql(
+      val unpushedRows = spark.sql(
         "SELECT id, _row_id, variant_get(meta, '$.k', 'int') AS k " +
           "FROM gvm.db.vmeta ORDER BY id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
-      assert(rows.map(x => (x._1, x._3)) ==
-        Seq((1L, 11), (2L, 22), (3L, 33)), s"values wrong: $rows")
-      assert(rows.map(_._2).distinct.size == 3 &&
-        rows.map(_._2).forall(r => r >= 0 && r < 3),
-        s"row ids wrong: $rows")
+      assert(unpushedRows == rows, s"conf-gate path diverged: $unpushedRows")
     } finally spark.conf.set(key, "true")
     // the per-read opt-out serves plain variant_get reads unpushed too
     val unpushed = spark.read.option("variant-pushdown", "false")
