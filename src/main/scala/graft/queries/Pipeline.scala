@@ -127,6 +127,82 @@ object Pipeline extends QueryPack {
           sum(col("doc_id")).cast("long").as("id_sum"),
           sum(col("n_chars")).cast("long").as("n_chars_sum"))),
 
+    // DOMAIN-MIXTURE sampling to an exact TOKEN BUDGET per source (the
+    // DoReMi-style "give each domain N tokens" step a training-data mix
+    // actually executes — t20's rate resample fixes a per-doc PROBABILITY;
+    // this fixes the token TOTAL): docs ordered by a deterministic hash
+    // shuffle, kept greedily while the running token sum fits the budget.
+    //
+    // Scale design: the naive spelling is a cumulative-sum window
+    // PARTITION BY source — with a handful of sources that funnels the
+    // whole corpus token stream through n_sources tasks (the top-k
+    // parallelism-collapse trap). Instead the hash order is split into
+    // 4096 prefix buckets: one hash-aggregate builds per-(source, bucket)
+    // token sums, a window over that TINY relation (≤ 4096 × n_sources
+    // rows) finds each source's BOUNDARY bucket, whole buckets before it
+    // are kept via the aggregate alone (no second corpus pass), and only
+    // the boundary bucket's rows (~1/4096 of a source) flow through a
+    // per-source window. Budgets are integer arithmetic end-to-end
+    // (total · weight via div), so the oracle matches bit-for-bit.
+    "p06_domain_mixture" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // narrow multi-consumer projection (two longs + two short strings
+      // per doc): persist beats re-tokenizing the corpus for the
+      // boundary pass (the d15 narrow-relation discipline)
+      val docs = t(s, d, "documents").select(
+        col("source"), col("doc_id"),
+        size(graft.functions.TextOps.tokens(col("text"),
+          lowercase = false)).cast("long").as("nt"),
+        md5(col("doc_id").cast("string")).as("h")).persist()
+      val ba = docs
+        .withColumn("b", substring(col("h"), 1, 3))
+        .groupBy("source", "b")
+        .agg(sum("nt").as("bs"), count(lit(1)).as("bc"))
+      // per-source budget: weight w ∈ {0.2 … 0.6} keyed on the source
+      // name, applied as integer ops (total · (2 + len % 5) div 10)
+      val budgets = ba.groupBy("source")
+        .agg(sum(col("bs")).as("total"))
+        .withColumn("budget",
+          expr("total * (2 + length(source) % 5) div 10"))
+      val wB = Window.partitionBy("source").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = ba.join(budgets, "source")
+        .withColumn("cum", sum("bs").over(wB))
+        .withColumn("prev", col("cum") - col("bs"))
+      // buckets fully inside the budget: kept from the aggregate alone
+      val whole = cum.filter(col("cum") <= col("budget"))
+        .groupBy("source")
+        .agg(sum("bc").as("wdocs"), sum("bs").as("wtoks"))
+      // the unique first bucket crossing the budget + the budget left
+      // for it (derived from corpus aggregates — no broadcast hint, the
+      // policy; AQE broadcasts the tiny side on its own)
+      val boundary = cum
+        .filter(col("cum") > col("budget") && col("prev") <= col("budget"))
+        .select(col("source"), col("b").as("bb"),
+          (col("budget") - col("prev")).as("remaining"))
+      val wD = Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bKept = docs
+        .withColumn("bb", substring(col("h"), 1, 3))
+        .join(boundary, Seq("source", "bb"))
+        .withColumn("dcum", sum("nt").over(wD))
+        .filter(col("dcum") <= col("remaining"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("bdocs"), sum("nt").as("btoks"))
+      whole.join(bKept, Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("wdocs"), lit(0L))
+            + coalesce(col("bdocs"), lit(0L))).as("docs_kept"),
+          (coalesce(col("wtoks"), lit(0L))
+            + coalesce(col("btoks"), lit(0L))).as("tokens_kept"))
+        .filter(col("docs_kept") > 0)
+        .join(budgets.select("source", "budget"), Seq("source"))
+        .select(col("source"), col("budget").cast("long").as("budget"),
+          col("docs_kept").cast("long").as("docs_kept"),
+          col("tokens_kept").cast("long").as("tokens_kept"))
+        .orderBy("source")
+    }),
+
     "p01_prep_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val toks = graft.functions.TextOps.tokens(col("text"),
@@ -221,6 +297,22 @@ object Pipeline extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle spells the SAME keep rule as one per-source cumulative
+    // window (fine at oracle scale); integer budgets + hash-total order
+    // (h, doc_id) make the kept set identical to the bucketed plan.
+    // CLAUDE.md DuckDB traps honored: SUM → HUGEINT cast to BIGINT,
+    // `//` truncating division matches Spark's div on positives
+    "p06_domain_mixture" ->
+      ("WITH d AS (SELECT source, doc_id, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS nt, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "b AS (SELECT source, CAST(SUM(nt) AS BIGINT) * (2 + length(source) % 5) // 10 AS budget FROM d GROUP BY 1), " +
+        "c AS (SELECT source, nt, SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d) " +
+        "SELECT c.source AS source, CAST(b.budget AS BIGINT) AS budget, " +
+        "CAST(COUNT(*) AS BIGINT) AS docs_kept, " +
+        "CAST(SUM(c.nt) AS BIGINT) AS tokens_kept " +
+        "FROM c JOIN b USING(source) WHERE c.cum <= b.budget " +
+        "GROUP BY 1, 2 ORDER BY 1"),
     "p05_variant_curation" ->
       ("SELECT 'crawl-' || CAST(doc_id % 7 AS VARCHAR) AS src, " +
         "CAST(count(*) AS BIGINT) AS docs, " +

@@ -33,7 +33,8 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq(
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
-    "rewrite_manifests", "rollback_to_snapshot",
+    "rewrite_manifests", "rollback_to_snapshot", "set_current_snapshot",
+    "cherrypick_snapshot", "ancestors_of",
     "create_tag", "create_branch", "publish_branch", "drop_branch",
     "add_files", "analyze_table", "snapshot", "migrate",
     "create_changelog_view", "rewrite_position_delete_files",
@@ -48,6 +49,9 @@ object GraftProcedures {
       case "rewrite_data_files" => Some(rewriteDataFiles(warehouse))
       case "rewrite_manifests" => Some(rewriteManifests(warehouse))
       case "rollback_to_snapshot" => Some(rollbackToSnapshot(warehouse))
+      case "set_current_snapshot" => Some(setCurrentSnapshot(warehouse))
+      case "cherrypick_snapshot" => Some(cherrypickSnapshot(warehouse))
+      case "ancestors_of" => Some(ancestorsOf(warehouse))
       case "create_tag" => Some(createTag(warehouse))
       case "create_branch" => Some(createBranch(warehouse))
       case "publish_branch" => Some(publishBranch(warehouse))
@@ -733,5 +737,85 @@ object GraftProcedures {
       val prev = t.log.current.map(_.snapshotId)
       val snap = t.rollbackTo(row.getLong(1))
       Seq(Seq[Any](prev.map(Long.box).orNull, snap.snapshotId))
+    })
+
+  /** Iceberg's `set_current_snapshot`: point the table at ANY logged
+    * snapshot — identical machinery to rollback (a new commit reusing
+    * the target's manifest; history never rewritten), but the name
+    * says what operators mean when the move is FORWARD (undoing a
+    * rollback by jumping back onto the abandoned head). */
+  private def setCurrentSnapshot(wh: String): UnboundProcedure = new Proc(
+    "set_current_snapshot",
+    "Point the table at snapshot_id (backward OR forward — e.g. undo a " +
+      "rollback by re-selecting the abandoned head) as a NEW commit " +
+      "reusing its manifest. Returns (previous current, new current).",
+    Array(
+      in("table", StringType),
+      in("snapshot_id", LongType)),
+    StructType(Seq(
+      StructField("previous_snapshot_id", LongType, nullable = true),
+      StructField("current_snapshot_id", LongType, nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      val prev = t.log.current.map(_.snapshotId)
+      val snap = t.rollbackTo(row.getLong(1))
+      Seq(Seq[Any](prev.map(Long.box).orNull, snap.snapshotId))
+    })
+
+  private def cherrypickSnapshot(wh: String): UnboundProcedure = new Proc(
+    "cherrypick_snapshot",
+    "Re-apply the data files an APPEND snapshot added onto the current " +
+      "state as a new commit (the WAP recovery move: restore a good " +
+      "batch a rollback discarded without re-running the write job; " +
+      "row-id bands carry, so the rows keep their _row_id). Refuses " +
+      "non-append snapshots, files already present, expired files, and " +
+      "pending merge-on-read state. Returns (source, new current, files " +
+      "re-applied).",
+    Array(
+      in("table", StringType),
+      in("snapshot_id", LongType)),
+    StructType(Seq(
+      StructField("cherrypicked_snapshot_id", LongType, nullable = false),
+      StructField("current_snapshot_id", LongType, nullable = false),
+      StructField("added_files", LongType, nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      val before = t.log.current
+        .map(s => Manifest.read(s"${t.dir}/${s.manifestList}").totalFiles)
+        .getOrElse(0L)
+      val snap = t.cherrypick(row.getLong(1))
+      val after =
+        Manifest.read(s"${t.dir}/${snap.manifestList}").totalFiles
+      Seq(Seq[Any](row.getLong(1), snap.snapshotId, after - before))
+    })
+
+  /** Iceberg's `ancestors_of`: the parent chain of a snapshot (default
+    * the current one), newest first — the lineage an operator reads
+    * before deciding what a rollback/expire/cherry-pick touches. */
+  private def ancestorsOf(wh: String): UnboundProcedure = new Proc(
+    "ancestors_of",
+    "The parent chain of snapshot_id (default: current), newest first: " +
+      "(snapshot_id, committed_at, operation).",
+    Array(
+      in("table", StringType),
+      inDefault("snapshot_id", LongType, "-1")),
+    StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("committed_at", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      val lg = t.log
+      val startId = row.getLong(1)
+      val start =
+        if (startId == -1L) lg.current
+        else lg.byId(startId)
+      val s0 = start.getOrElse(throw new IllegalArgumentException(
+        s"no snapshot $startId in ${t.dir}"))
+      val chain = Iterator.iterate(Option(s0))(
+        _.flatMap(_.parentId).flatMap(lg.byId))
+        .takeWhile(_.isDefined).flatten.toSeq
+      chain.map(s => Seq[Any](s.snapshotId, s.committedAt,
+        UTF8String.fromString(s.operation)))
     })
 }

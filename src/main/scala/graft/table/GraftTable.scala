@@ -3992,6 +3992,67 @@ final class GraftTable private (
           .getOrElse(SummaryStreamCursors, "{}")))
   }
 
+  /** CHERRY-PICK an append snapshot onto the current state (Iceberg's
+    * `cherrypick_snapshot`): commits a NEW snapshot whose manifest is
+    * the current one plus exactly the data files `snapshotId` ADDED —
+    * the write–audit–publish recovery move (re-apply a good batch a
+    * rollback discarded) without replaying the write job. History is
+    * never rewritten; the picked snapshot stays queryable. Restrictions
+    * keep the accounting exact:
+    *   - only `append` snapshots (a delete/update/replace cherry-pick
+    *     would need conflict-aware replay — re-run the DML instead);
+    *   - none of the added files may be in the current manifest
+    *     (already applied);
+    *   - every added file must still exist (not reclaimed by expire);
+    *   - refused while merge-on-read state pends: covered-snapshot
+    *     scoping keys on a file's OWN committing snapshot id (embedded
+    *     in its name), so a re-added file would retroactively fall
+    *     under entries that never saw its rows and their exact dead
+    *     counts would silently drift — compact() first.
+    * Row-id bands CARRY with the entries (commit's mapFresh never
+    * re-bands), so re-applied rows serve the same `_row_id`s they had
+    * before the rollback — stable, and the monotone next-row-id
+    * watermark guarantees no collision with ids handed out since. */
+  def cherrypick(
+      snapshotId: Long, committedAt: Option[Long] = None): Snapshot = {
+    val lg = log
+    val target = lg.byId(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $snapshotId in $dir"))
+    val current = lg.current.getOrElse(
+      throw new IllegalStateException(s"empty table $dir"))
+    require(target.operation == "append",
+      s"cherrypick supports append snapshots only; $snapshotId is " +
+        s"'${target.operation}' — re-run the original statement instead")
+    require(parsePendingFull(current).isEmpty &&
+      parsePositional(current).isEmpty && parseEquality(current).isEmpty,
+      s"cherrypick refused while merge-on-read deletes pend on $dir — " +
+        "compact() to materialize them first")
+    val parentPaths: Set[String] = target.parentId match {
+      case Some(pid) =>
+        val p = lg.byId(pid).getOrElse(throw new IllegalStateException(
+          s"snapshot $snapshotId's parent $pid expired — cannot compute " +
+            s"the files it added"))
+        Manifest.read(s"$dir/${p.manifestList}").files.map(_.path).toSet
+      case None => Set.empty
+    }
+    val added = Manifest.read(s"$dir/${target.manifestList}").files
+      .filterNot(f => parentPaths(f.path))
+    require(added.nonEmpty, s"snapshot $snapshotId added no data files")
+    val cur = Manifest.read(s"$dir/${current.manifestList}")
+    val curPaths = cur.files.map(_.path).toSet
+    val dup = added.filter(f => curPaths(f.path))
+    require(dup.isEmpty,
+      s"cherrypick of $snapshotId refused: ${dup.size} of its file(s) " +
+        s"are already in the current manifest (e.g. ${dup.head.path})")
+    val missing = added.filterNot(f => Files.exists(Paths.get(dir, f.path)))
+    require(missing.isEmpty,
+      s"cherrypick of $snapshotId refused: ${missing.size} added " +
+        s"file(s) no longer exist (expired) — e.g. ${missing.head.path}")
+    commit(lg, lg.nextId, cur.append(added), Nil,
+      operation = "cherrypick", committedAt,
+      extraSummary = Map("cherrypicked-from" -> snapshotId.toString))
+  }
+
   /** Expire snapshots committed before `olderThanMillis` (the current
     * snapshot is always kept): their log entries and manifests are
     * removed, and data files no longer referenced by ANY surviving

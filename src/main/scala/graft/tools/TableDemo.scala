@@ -105,6 +105,14 @@ object TableDemo {
     val rbSnap = lt.rollbackTo(2L, Some(4000L))
     println("ROLLBACK to 2: op=" + rbSnap.operation +
       " rows=" + lt.read(spark).count())
+    // WAP recovery: an appended batch discarded by a rollback comes back
+    // via cherrypick — same files, same row-id bands, no write replay
+    val batchSnap = lt.append(df(9L -> "z"), Some(4100L))
+    lt.rollbackTo(2L, Some(4200L))
+    val cpSnap = lt.cherrypick(batchSnap.snapshotId, Some(4300L))
+    println("CHERRYPICK " + batchSnap.snapshotId + ": op=" +
+      cpSnap.operation + " from=" + cpSnap.summary("cherrypicked-from") +
+      " rows=" + lt.read(spark).count())
     println("EXPIRE <3500: ids=" +
       lt.expireSnapshots(olderThanMillis = 3500L).mkString(","))
     // a crashed writer's moved-but-uncommitted file: no manifest knows it
