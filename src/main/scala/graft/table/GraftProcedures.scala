@@ -34,7 +34,7 @@ object GraftProcedures {
   val names: Seq[String] = Seq(
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
     "rewrite_manifests", "rollback_to_snapshot", "set_current_snapshot",
-    "cherrypick_snapshot", "ancestors_of",
+    "cherrypick_snapshot", "ancestors_of", "set_partition_spec",
     "create_tag", "create_branch", "publish_branch", "drop_branch",
     "add_files", "analyze_table", "snapshot", "migrate",
     "create_changelog_view", "rewrite_position_delete_files",
@@ -52,6 +52,7 @@ object GraftProcedures {
       case "set_current_snapshot" => Some(setCurrentSnapshot(warehouse))
       case "cherrypick_snapshot" => Some(cherrypickSnapshot(warehouse))
       case "ancestors_of" => Some(ancestorsOf(warehouse))
+      case "set_partition_spec" => Some(setPartitionSpec(warehouse))
       case "create_tag" => Some(createTag(warehouse))
       case "create_branch" => Some(createBranch(warehouse))
       case "publish_branch" => Some(publishBranch(warehouse))
@@ -817,5 +818,37 @@ object GraftProcedures {
         .takeWhile(_.isDefined).flatten.toSeq
       chain.map(s => Seq[Any](s.snapshotId, s.committedAt,
         UTF8String.fromString(s.operation)))
+    })
+
+  /** Partition-spec EVOLUTION from SQL without the parser extension:
+    * the whole future-writes spec as one comma-separated string
+    * (identity columns + hidden transforms, [[PartitionField]] grammar);
+    * '' = unpartitioned. Metadata-only — no existing byte rewrites,
+    * reads group files by their own era. Extensions sessions can spell
+    * single-field edits as `ALTER TABLE … ADD/DROP/REPLACE PARTITION
+    * FIELD` ([[GraftSpecDdl]]). */
+  private def setPartitionSpec(wh: String): UnboundProcedure = new Proc(
+    "set_partition_spec",
+    "Replace the table's partition spec for FUTURE writes (existing " +
+      "files keep their layout; reads handle mixed eras). spec = " +
+      "comma-separated identity columns / transforms, e.g. " +
+      "'cat, bucket(16, id), days(ts)'; '' = unpartitioned. Returns " +
+      "(previous_spec, new_spec).",
+    Array(
+      in("table", StringType),
+      in("spec", StringType)),
+    StructType(Seq(
+      StructField("previous_spec", StringType, nullable = false),
+      StructField("new_spec", StringType, nullable = false))),
+    row => {
+      val t = tableOf(wh, row)
+      val prev = t.partitionColumns
+      // split on commas OUTSIDE parentheses ('bucket(4, id)' is one entry)
+      val spec = row.getUTF8String(1).toString
+        .split(""",(?![^()]*\))""").map(_.trim).filter(_.nonEmpty).toSeq
+      t.updatePartitionSpec(spec)
+      Seq(Seq[Any](
+        UTF8String.fromString(prev.mkString(", ")),
+        UTF8String.fromString(spec.mkString(", "))))
     })
 }

@@ -264,7 +264,14 @@ class GraftViewParser(spark: SparkSession, delegate: ParserInterface)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    transform(delegate.parsePlan(sqlText))
+    try transform(delegate.parsePlan(sqlText))
+    catch {
+      // Spark's grammar has no ADD/DROP/REPLACE PARTITION FIELD — the
+      // Iceberg-parity spec-evolution DDL arrives as a parse FAILURE;
+      // recognize it against graft catalogs, rethrow anything else
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        GraftSpecDdl.parse(spark, sqlText).getOrElse(throw e)
+    }
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String) =

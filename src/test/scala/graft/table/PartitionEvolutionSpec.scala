@@ -208,6 +208,58 @@ class PartitionEvolutionSpec extends SparkSpecBase {
     assert(specs == Set(Set("n_regionkey"), Set("n_nationkey")))
   }
 
+  test("SQL spec evolution: ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD + CALL set_partition_spec") {
+    val wh = tmpDir("evo-sql-wh")
+    // the DDL statements need the parser extension (Spark's grammar has
+    // no PARTITION FIELD spelling) — secondary session, never stop()ed
+    val sE = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .create()
+    sE.conf.set("spark.sql.catalog.gevo", "graft.table.GraftSparkCatalog")
+    sE.conf.set("spark.sql.catalog.gevo.warehouse", wh)
+    val t0 = GraftTable.create(s"$wh/db/t", nation.schema)
+    t0.append(nation.filter(col("n_nationkey") < 12), Some(1000L))
+    // ADD: future writes take the new layout
+    val add = sE.sql(
+      "ALTER TABLE gevo.db.t ADD PARTITION FIELD n_regionkey").collect()
+    assert(add.head.getString(0) == "" &&
+      add.head.getString(1) == "n_regionkey", add.mkString(","))
+    GraftTable.load(s"$wh/db/t")
+      .append(nation.filter(col("n_nationkey") >= 12), Some(2000L))
+    // both eras read as one table through the catalog
+    assert(sE.sql("SELECT count(*) FROM gevo.db.t").head().getLong(0) ==
+      nation.count())
+    // REPLACE swaps a field; DROP empties the spec
+    val rep = sE.sql("ALTER TABLE gevo.db.t REPLACE PARTITION FIELD " +
+      "n_regionkey WITH bucket(4, n_nationkey)").collect()
+    assert(rep.head.getString(1) == "bucket(4, n_nationkey)",
+      rep.mkString(","))
+    val drp = sE.sql("ALTER TABLE gevo.db.t DROP PARTITION FIELD " +
+      "bucket(4,  n_nationkey)").collect() // whitespace-insensitive match
+    assert(drp.head.getString(1) == "", drp.mkString(","))
+    // refusals: unknown field, duplicate add, non-graft statement text
+    intercept[Exception] { sE.sql(
+      "ALTER TABLE gevo.db.t DROP PARTITION FIELD days(n_name)") }
+    sE.sql("ALTER TABLE gevo.db.t ADD PARTITION FIELD n_regionkey").collect()
+    intercept[Exception] { sE.sql(
+      "ALTER TABLE gevo.db.t ADD PARTITION FIELD n_regionkey") }
+    // a genuinely malformed statement still fails with a parse error
+    intercept[Exception] { sE.sql("ALTER TABLE gevo.db.t FROBNICATE") }
+    // CALL works on the PLAIN session (no parser extension needed)
+    spark.conf.set("spark.sql.catalog.gevo", "graft.table.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gevo.warehouse", wh)
+    val call = spark.sql("CALL gevo.system.set_partition_spec('db.t', " +
+      "'n_regionkey, bucket(4, n_nationkey)')").collect()
+    assert(call.head.getString(0) == "n_regionkey" &&
+      call.head.getString(1) == "n_regionkey, bucket(4, n_nationkey)",
+      call.mkString(","))
+    assert(GraftTable.load(s"$wh/db/t").partitionColumns ==
+      Seq("n_regionkey", "bucket(4, n_nationkey)"))
+  }
+
   test("time travel into the pre-evolution era still reads its layout") {
     val dir = tmpDir("evo-tt")
     val t0 = GraftTable.create(dir, nation.schema,
