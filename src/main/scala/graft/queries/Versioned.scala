@@ -424,6 +424,26 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** CHERRY-PICK fixture (v72): a batch append discarded by a rollback
+    * comes back via `cherrypick` — same files, same row-id bands, no
+    * write replay. nation is key-ordered with consecutive keys 0..24
+    * and each append lands one band in input order, so after the pick
+    * `_row_id == n_nationkey` for EVERY row and
+    * `_last_updated_snapshot_id` still attributes each row to its
+    * ORIGINAL committing snapshot (the re-added file keeps its name,
+    * its band, and its era) — all oracle-provable from the raw table. */
+  private def cherryFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_cherry", 4) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema)
+      tb.append(nation.filter(col("n_nationkey") < 15), Some(1000L))
+      val batch = tb.append(
+        nation.filter(col("n_nationkey") >= 15), Some(2000L))
+      tb.rollbackTo(1L, Some(3000L))
+      tb.cherrypick(batch.snapshotId, Some(4000L))
+      tb
+    }
+
   /** WAREHOUSE-TRANSACTION fixture (v71): a corpus table and its
     * derived per-region index refreshed in ONE atomic transaction —
     * the cross-table consistency event a materialized-index pipeline
@@ -1762,6 +1782,13 @@ object Versioned extends QueryPack {
       rowLineageFixture(s, d).readLineage(s)
         .select("n_nationkey", "_row_id", "_last_updated_snapshot_id")),
 
+    // CHERRY-PICK (v72): rollback discards the second append, cherrypick
+    // restores it — rows back, row-id bands carried (stable _row_id),
+    // per-row snapshot attribution still the ORIGINAL committing era
+    "v72_graft_cherrypick" -> ((s, d) =>
+      cherryFixture(s, d).readLineage(s)
+        .select("n_nationkey", "_row_id", "_last_updated_snapshot_id")),
+
     // REGISTER TABLE (Iceberg register_table parity): an outside graft
     // directory becomes a catalog name via CALL — a pointer, not a
     // copy — then serves plain SQL like any native table
@@ -2447,6 +2474,13 @@ object Versioned extends QueryPack {
     // the registered pointer serves exactly the source's rows
     "v70_graft_register" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // rollback + cherrypick nets to the full table; _row_id equals the
+    // key (key-ordered single-band appends, bands CARRIED by the pick)
+    // and each row still attributes to its original committing snapshot
+    "v72_graft_cherrypick" ->
+      ("SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS _row_id, " +
+        "CAST(CASE WHEN n_nationkey < 15 THEN 1 ELSE 2 END AS BIGINT) " +
+        "AS _last_updated_snapshot_id FROM nation"),
     // corpus and index agree per region AFTER the atomic publish; the
     // mid-txn probes prove the staged commits were invisible: the
     // published corpus still held only the < 15 slice and the
