@@ -2679,6 +2679,14 @@ final class GraftTable private (
     val manifest = Manifest.read(s"$dir/${current.manifestList}")
     val (candidates, untouchedM) = partitionPruned(manifest, resolved)
     if (candidates.isEmpty) return None
+    // ORC/avro candidates carry no parquet row index, so positions
+    // cannot address their rows — the SAME predicate-addressed curation
+    // lands as a PREDICATE-DEFERRED entry instead (identical
+    // visible-row semantics, exact counts by default). One statement,
+    // both estates: a mixed candidate set routes whole (mirrors
+    // deletePositionalByKeys' equality route)
+    if (candidates.exists(f => !f.path.endsWith(".parquet")))
+      return deleteDeferred(spark, predicate, committedAt)
     // the same metadata-only whole-file drop proof as copy-on-write
     // delete(): still sound here — "all rows match" implies "all
     // VISIBLE rows match"

@@ -12,7 +12,9 @@ import graft.SparkSpecBase
   * format, so an imported ORC/Avro estate stays in its format under DML.
   * Reads dispatch per FILE (a format switch mid-table just makes it
   * mixed); non-parquet entries carry exact record counts but no footer
-  * stats (conservative keeps) and refuse positional MoR loudly. */
+  * stats (conservative keeps); positional MoR auto-routes to the
+  * format-agnostic deferred forms (predicate / equality) — only the
+  * position-PAIR form refuses, naming the working spelling. */
 class WriteFormatSpec extends SparkSpecBase {
 
   private val schema = StructType(Seq(
@@ -61,11 +63,11 @@ class WriteFormatSpec extends SparkSpecBase {
     t.compact(spark, smallerThanBytes = Long.MaxValue, Some(4000L))
     assert(rows(t) == Map(1L -> "a", 3L -> "C"))
     assert(dataFiles(dir).forall(_.endsWith(".orc")))
-    // positional MoR refuses ORC targets loudly
-    val e = intercept[IllegalArgumentException] {
-      t.deletePositional(spark, col("id") === 1L, Some(5000L))
-    }
-    assert(e.getMessage.contains("non-parquet"), e.getMessage)
+    // positional MoR on ORC auto-routes to the predicate-deferred form
+    val r = t.deletePositional(spark, col("id") === 1L, Some(5000L))
+    assert(r.isDefined && t.pendingDeletes.nonEmpty &&
+      t.positionalDeletes.isEmpty)
+    assert(rows(t) == Map(3L -> "C"))
     // time travel reads the pre-DML ORC files
     assert(t.read(spark, Some(1L)).count() == 3L)
   }
@@ -187,15 +189,41 @@ class WriteFormatSpec extends SparkSpecBase {
       6L -> "junk"))
     assert(dataFiles(dir).filter(_.endsWith(".parquet")).isEmpty)
     // the position-PAIR form still refuses on ORC — pointing at the
-    // working spelling (must name a REAL file: unknown names are
-    // ignored by design, not refused)
-    val orcFile = dataFiles(dir).find(_.endsWith(".orc")).get
+    // working spelling (must name a file in the CURRENT manifest:
+    // unknown/stale names are ignored by design, not refused, and the
+    // data/ walk may surface pre-compact leftovers in any order)
+    val orcFile = Manifest.read(s"$dir/${t.log.current.get.manifestList}")
+      .files.map(_.path).find(_.endsWith(".orc")).get
     val e = intercept[IllegalArgumentException] {
       t.deletePositionalAt(spark,
         Seq((orcFile, 0L)).toDF("_file", "_pos"), Some(6000L))
     }
     assert(e.getMessage.contains("deletePositionalByKeys") &&
       e.getMessage.contains("equality"), e.getMessage)
+  }
+
+  test("ORC estate: predicate-addressed positional delete routes to the deferred form") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(dir, schema,
+      Map(GraftTable.PropWriteFormat -> "orc"))
+    t.append(mkDf(1L -> "junk", 2L -> "good"), Some(1000L))
+    t.append(mkDf(3L -> "junk", 4L -> "good"), Some(2000L))
+    // the p04 quality-gate step, predicate-addressed — on ORC it lands
+    // as a predicate-deferred entry (same visible-row semantics)
+    val snap = t.deletePositional(spark, col("data") === "junk", Some(3000L))
+    assert(snap.isDefined)
+    assert(t.pendingDeletes.nonEmpty && t.positionalDeletes.isEmpty,
+      "ORC predicate curation should land as a pending predicate entry")
+    assert(rows(t) == Map(2L -> "good", 4L -> "good"))
+    // covered-snapshot scoping: junk arriving AFTER the gate survives
+    t.append(mkDf(5L -> "junk"), Some(4000L))
+    assert(rows(t).contains(5L))
+    // compaction materializes the entry, still ORC
+    t.compact(spark, smallerThanBytes = Long.MaxValue, Some(5000L))
+    assert(t.pendingDeletes.isEmpty)
+    assert(rows(t) == Map(2L -> "good", 4L -> "good", 5L -> "junk"))
+    assert(dataFiles(dir).forall(_.endsWith(".orc")))
   }
 
   test("mixed parquet+ORC estate: one key-addressed delete covers both via equality") {
