@@ -6,22 +6,25 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.StringType
 
-/** SQL partition-spec EVOLUTION (Iceberg's signature DDL — its Spark
-  * extension grammar, re-implemented over [[GraftTable
-  * .updatePartitionSpec]]):
+/** SQL partition-spec EVOLUTION + ref DDL (Iceberg's Spark extension
+  * grammar, re-implemented over the library calls):
   *
   * {{{
   *   ALTER TABLE cat.db.t ADD PARTITION FIELD days(ts)
   *   ALTER TABLE cat.db.t DROP PARTITION FIELD bucket(16, id)
   *   ALTER TABLE cat.db.t REPLACE PARTITION FIELD days(ts) WITH months(ts)
+  *   ALTER TABLE cat.db.t CREATE TAG v1 [AS OF VERSION 3]
+  *   ALTER TABLE cat.db.t CREATE BRANCH audit
+  *   ALTER TABLE cat.db.t DROP TAG v1 / DROP BRANCH audit
   * }}}
   *
-  * Spark's own grammar has no spelling for these (its `ADD PARTITION`
-  * expects a Hive `(col=value)` spec), so the statements arrive at
-  * [[GraftViewParser]] as parse FAILURES — the delegate throws, and the
-  * fallback recognizes the three forms against a registered graft
-  * catalog (explicit `cat.db.t`, the same stance as views/DML). Any
-  * other text rethrows the delegate's original error untouched.
+  * Spark's own grammar has no spelling for any of these (its
+  * `ADD PARTITION` expects a Hive `(col=value)` spec), so the
+  * statements arrive at [[GraftViewParser]] as parse FAILURES — the
+  * delegate throws, and the fallback recognizes the forms against a
+  * registered graft catalog (explicit `cat.db.t`, the same stance as
+  * views/DML). Any other text rethrows the delegate's original error
+  * untouched.
   *
   * Semantics are the library's: the new spec applies to FUTURE writes
   * only, no existing byte rewrites, eras mix in the manifests and reads
@@ -41,6 +44,10 @@ object GraftSpecDdl {
     """(?is)\s*ALTER\s+TABLE\s+([^\s]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*""".r
   private val ReplaceRe =
     """(?is)\s*ALTER\s+TABLE\s+([^\s]+)\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*""".r
+  private val CreateRefRe =
+    """(?is)\s*ALTER\s+TABLE\s+([^\s]+)\s+CREATE\s+(BRANCH|TAG)\s+(\w[\w.-]*)(\s+AS\s+OF\s+VERSION\s+(\d+))?\s*""".r
+  private val DropRefRe =
+    """(?is)\s*ALTER\s+TABLE\s+([^\s]+)\s+DROP\s+(BRANCH|TAG)\s+(\w[\w.-]*)\s*""".r
 
   private def identParts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -64,7 +71,69 @@ object GraftSpecDdl {
       case DropRe(ident, f) =>
         target(ident).map(GraftAlterSpecCommand(_,
           add = Nil, drop = Seq(f.trim)))
+      case CreateRefRe(ident, kind, ref, _, asOf) =>
+        target(ident).map(GraftRefDdlCommand(_,
+          create = true, branch = kind.equalsIgnoreCase("branch"),
+          ref = ref, asOf = Option(asOf).map(_.toLong)))
+      case DropRefRe(ident, kind, ref) =>
+        target(ident).map(GraftRefDdlCommand(_,
+          create = false, branch = kind.equalsIgnoreCase("branch"),
+          ref = ref, asOf = None))
       case _ => None
+    }
+  }
+}
+
+/** `ALTER TABLE … CREATE|DROP BRANCH|TAG` (Iceberg's ref DDL, over the
+  * library's WAP surface): `CREATE TAG name [AS OF VERSION id]` pins a
+  * retention-anchoring named snapshot (default: current); `CREATE
+  * BRANCH name` forks the write–audit–publish branch off the CURRENT
+  * snapshot (branches fork from the tip — audit an older state via a
+  * tag + time travel instead, so `AS OF VERSION` on a branch refuses);
+  * `DROP` removes the ref (a branch dies with its unpublished
+  * candidate data). Retention policies take the `CALL
+  * create_tag/create_branch` spelling — the DDL stays the quick path.
+  * Returns (ref, type, snapshot_id). */
+case class GraftRefDdlCommand(
+    parts: Seq[String],
+    create: Boolean,
+    branch: Boolean,
+    ref: String,
+    asOf: Option[Long]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("ref", StringType, nullable = false)(),
+    AttributeReference("type", StringType, nullable = false)(),
+    AttributeReference("snapshot_id", org.apache.spark.sql.types.LongType,
+      nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val Seq(cat, db, name) = parts: @unchecked
+    val wh = GraftViews.warehouseOf(spark, cat)
+    val dir = s"$wh/$db/$name"
+    require(GraftTable.exists(dir), s"no graft table $db.$name in $cat")
+    val t = GraftTable.load(dir)
+    val kind = if (branch) "branch" else "tag"
+    (create, branch) match {
+      case (true, true) =>
+        require(asOf.isEmpty,
+          "branches fork from the CURRENT snapshot — CREATE TAG … AS OF " +
+            "VERSION pins an older state; branch it after a rollback, or " +
+            "audit the tag via time travel")
+        t.createBranch(ref)
+        Seq(Row(ref, kind, t.branches(ref)._1))
+      case (true, false) =>
+        val id = asOf.getOrElse(t.log.current.getOrElse(
+          throw new IllegalArgumentException(
+            s"empty table $db.$name has no snapshot to tag")).snapshotId)
+        t.tag(ref, id)
+        Seq(Row(ref, kind, id))
+      case (false, true) =>
+        t.dropBranch(ref)
+        Seq(Row(ref, kind, null))
+      case (false, false) =>
+        t.dropTag(ref)
+        Seq(Row(ref, kind, null))
     }
   }
 }

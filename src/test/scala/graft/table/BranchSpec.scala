@@ -303,4 +303,41 @@ class BranchSpec extends SparkSpecBase {
     assert(t2.branchRetention.get("wip").exists { case (_, _, mk, _) =>
       mk.contains(2) })
   }
+
+  test("ref DDL: ALTER TABLE CREATE/DROP BRANCH|TAG through the parser extension") {
+    val wh = tmpDir("graft-refddl-wh")
+    val sE = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .create()
+    sE.conf.set("spark.sql.catalog.grd", "graft.table.GraftSparkCatalog")
+    sE.conf.set("spark.sql.catalog.grd.warehouse", wh)
+    val t = GraftTable.create(s"$wh/db/t", base.schema)
+    t.append(base, Some(1000L))                               // snap 1
+    t.append(Seq((4L, "d")).toDF("id", "v"), Some(2000L))     // snap 2
+    // tag the CURRENT snapshot and an explicit older one
+    val tg = sE.sql("ALTER TABLE grd.db.t CREATE TAG stable").collect()
+    assert(tg.head.getString(1) == "tag" && tg.head.getLong(2) == 2L)
+    sE.sql("ALTER TABLE grd.db.t CREATE TAG v1 AS OF VERSION 1").collect()
+    assert(GraftTable.load(s"$wh/db/t").refs ==
+      Map("stable" -> 2L, "v1" -> 1L))
+    // reads through the catalog resolve the tag
+    assert(sE.sql("SELECT count(*) FROM grd.db.t VERSION AS OF 'v1'")
+      .head().getLong(0) == 3L)
+    // branch forks the current tip; the WAP flow runs from DDL + CALL
+    val br = sE.sql("ALTER TABLE grd.db.t CREATE BRANCH audit").collect()
+    assert(br.head.getString(1) == "branch" && br.head.getLong(2) == 2L)
+    assert(GraftTable.load(s"$wh/db/t").branches.contains("audit"))
+    // AS OF VERSION on a branch refuses (branches fork from the tip)
+    val e = intercept[Exception] { sE.sql(
+      "ALTER TABLE grd.db.t CREATE BRANCH old AS OF VERSION 1").collect() }
+    assert(e.getMessage.contains("CURRENT snapshot"), e.getMessage)
+    // drops
+    sE.sql("ALTER TABLE grd.db.t DROP BRANCH audit").collect()
+    sE.sql("ALTER TABLE grd.db.t DROP TAG v1").collect()
+    val after = GraftTable.load(s"$wh/db/t")
+    assert(after.refs == Map("stable" -> 2L) && after.branches.isEmpty)
+  }
 }
