@@ -103,6 +103,74 @@ object Pipeline extends QueryPack {
       tb
     }
 
+  /** The bucketed token-budget fill behind p06 (DoReMi-style "give each
+    * domain N tokens"): over `(source, doc_id, nt, h)` rows, keep each
+    * source's docs in deterministic hash order (h, doc_id) while the
+    * running token sum fits `total · (2 + len(source) % 5) div 10`, and
+    * return per-source (budget, docs_kept, tokens_kept).
+    *
+    * Equivalent BY CONSTRUCTION to the naive per-source cumulative
+    * window (BudgetFillPropertySpec proves it on random + adversarial
+    * data) but scale-safe: the naive spelling funnels the whole corpus
+    * token stream through n_sources window tasks. Here one
+    * hash-aggregate builds per-(source, 3-hex-prefix) sums (≤ 4096 ×
+    * n_sources rows), a window over that tiny relation finds each
+    * source's BOUNDARY bucket, whole buckets before it are kept from
+    * the aggregate alone, and only the boundary bucket's rows
+    * (~1/4096 of a source) flow through a per-source window. Exposed
+    * private[queries] for the property spec. */
+  private[queries] def budgetFill(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ba = docs
+      .withColumn("b", substring(col("h"), 1, 3))
+      .groupBy("source", "b")
+      .agg(sum("nt").as("bs"), count(lit(1)).as("bc"))
+    // per-source budget: weight w ∈ {0.2 … 0.6} keyed on the source
+    // name, applied as integer ops (total · (2 + len % 5) div 10)
+    val budgets = ba.groupBy("source")
+      .agg(sum(col("bs")).as("total"))
+      .withColumn("budget",
+        expr("total * (2 + length(source) % 5) div 10"))
+    val wB = Window.partitionBy("source").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ba.join(budgets, "source")
+      .withColumn("cum", sum("bs").over(wB))
+      .withColumn("prev", col("cum") - col("bs"))
+    // buckets fully inside the budget: kept from the aggregate alone
+    val whole = cum.filter(col("cum") <= col("budget"))
+      .groupBy("source")
+      .agg(sum("bc").as("wdocs"), sum("bs").as("wtoks"))
+    // the unique first bucket crossing the budget + the budget left
+    // for it (derived from corpus aggregates — no broadcast hint, the
+    // policy; AQE broadcasts the tiny side on its own)
+    val boundary = cum
+      .filter(col("cum") > col("budget") && col("prev") <= col("budget"))
+      .select(col("source"), col("b").as("bb"),
+        (col("budget") - col("prev")).as("remaining"))
+    val wD = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bKept = docs
+      .withColumn("bb", substring(col("h"), 1, 3))
+      .join(boundary, Seq("source", "bb"))
+      .withColumn("dcum", sum("nt").over(wD))
+      .filter(col("dcum") <= col("remaining"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("bdocs"), sum("nt").as("btoks"))
+    whole.join(bKept, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("wdocs"), lit(0L))
+          + coalesce(col("bdocs"), lit(0L))).as("docs_kept"),
+        (coalesce(col("wtoks"), lit(0L))
+          + coalesce(col("btoks"), lit(0L))).as("tokens_kept"))
+      .filter(col("docs_kept") > 0)
+      .join(budgets.select("source", "budget"), Seq("source"))
+      .select(col("source"), col("budget").cast("long").as("budget"),
+        col("docs_kept").cast("long").as("docs_kept"),
+        col("tokens_kept").cast("long").as("tokens_kept"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     // the CURATION CYCLE: quality gate, dedup, maintenance and held-out
     // removal all land as merge-on-read DML on a versioned corpus table
@@ -145,7 +213,6 @@ object Pipeline extends QueryPack {
     // per-source window. Budgets are integer arithmetic end-to-end
     // (total · weight via div), so the oracle matches bit-for-bit.
     "p06_domain_mixture" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       // narrow multi-consumer projection (two longs + two short strings
       // per doc): persist beats re-tokenizing the corpus for the
       // boundary pass (the d15 narrow-relation discipline)
@@ -154,53 +221,7 @@ object Pipeline extends QueryPack {
         size(graft.functions.TextOps.tokens(col("text"),
           lowercase = false)).cast("long").as("nt"),
         md5(col("doc_id").cast("string")).as("h")).persist()
-      val ba = docs
-        .withColumn("b", substring(col("h"), 1, 3))
-        .groupBy("source", "b")
-        .agg(sum("nt").as("bs"), count(lit(1)).as("bc"))
-      // per-source budget: weight w ∈ {0.2 … 0.6} keyed on the source
-      // name, applied as integer ops (total · (2 + len % 5) div 10)
-      val budgets = ba.groupBy("source")
-        .agg(sum(col("bs")).as("total"))
-        .withColumn("budget",
-          expr("total * (2 + length(source) % 5) div 10"))
-      val wB = Window.partitionBy("source").orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = ba.join(budgets, "source")
-        .withColumn("cum", sum("bs").over(wB))
-        .withColumn("prev", col("cum") - col("bs"))
-      // buckets fully inside the budget: kept from the aggregate alone
-      val whole = cum.filter(col("cum") <= col("budget"))
-        .groupBy("source")
-        .agg(sum("bc").as("wdocs"), sum("bs").as("wtoks"))
-      // the unique first bucket crossing the budget + the budget left
-      // for it (derived from corpus aggregates — no broadcast hint, the
-      // policy; AQE broadcasts the tiny side on its own)
-      val boundary = cum
-        .filter(col("cum") > col("budget") && col("prev") <= col("budget"))
-        .select(col("source"), col("b").as("bb"),
-          (col("budget") - col("prev")).as("remaining"))
-      val wD = Window.partitionBy("source").orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val bKept = docs
-        .withColumn("bb", substring(col("h"), 1, 3))
-        .join(boundary, Seq("source", "bb"))
-        .withColumn("dcum", sum("nt").over(wD))
-        .filter(col("dcum") <= col("remaining"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("bdocs"), sum("nt").as("btoks"))
-      whole.join(bKept, Seq("source"), "full_outer")
-        .select(col("source"),
-          (coalesce(col("wdocs"), lit(0L))
-            + coalesce(col("bdocs"), lit(0L))).as("docs_kept"),
-          (coalesce(col("wtoks"), lit(0L))
-            + coalesce(col("btoks"), lit(0L))).as("tokens_kept"))
-        .filter(col("docs_kept") > 0)
-        .join(budgets.select("source", "budget"), Seq("source"))
-        .select(col("source"), col("budget").cast("long").as("budget"),
-          col("docs_kept").cast("long").as("docs_kept"),
-          col("tokens_kept").cast("long").as("tokens_kept"))
-        .orderBy("source")
+      budgetFill(docs)
     }),
 
     "p01_prep_pipeline" -> ((s, d) => {
