@@ -132,11 +132,31 @@ final class GraftTransaction private[table] (
       graft.util.Json.writeFileAtomic(
         Paths.get(e.dir, PendingFile).toString,
         graft.util.Json.write(Map(
-          "txn" -> txnDir.toString, "staged" -> e.staged)))
+          "txn" -> txnDir.toString, "staged" -> e.staged,
+          "claim" -> e.claimRel)))
     }
     crashAt("pre-commit")
-    // 2. THE atomicity point
-    Files.createFile(txnDir.resolve("commit"))
+    // 2. THE atomicity point. A racing [[recover]] arbitrates by
+    //    atomically renaming the txn dir away BEFORE touching staged
+    //    state — if it won, this create throws (no parent) and the
+    //    transaction is reported failed, never partially published.
+    try Files.createFile(txnDir.resolve("commit"))
+    catch {
+      case e @ (_: java.nio.file.NoSuchFileException |
+                _: java.io.IOException) if !Files.exists(txnDir) =>
+        // recovery rolled us back between pointer-write and marker:
+        // sweep our pointers (recover may have missed ones written
+        // after its pass) and fail loudly — nothing was published
+        enlisted.values.foreach { en =>
+          Files.deleteIfExists(Paths.get(en.dir, PendingFile))
+          Files.deleteIfExists(Paths.get(en.dir, en.claimRel))
+        }
+        state = "rolled-back"
+        GraftTransaction.release(id)
+        throw new java.util.ConcurrentModificationException(
+          s"transaction $id was rolled back by a recovery sweep before " +
+            "its commit point; nothing was published", e)
+    }
     crashAt("post-commit")
     // 3. swap each staged log over the published one
     enlisted.values.foreach { e =>
@@ -151,6 +171,7 @@ final class GraftTransaction private[table] (
     crashAt("cleaned")
     GraftTable.deleteRecursively(txnDir)
     state = "committed"
+    GraftTransaction.release(id)
   }
 
   /** Abandon the transaction: drop staged logs, release claims, remove
@@ -172,6 +193,7 @@ final class GraftTransaction private[table] (
       }
       GraftTable.deleteRecursively(txnDir)
       state = "committed"
+      GraftTransaction.release(id)
       return
     }
     enlisted.values.foreach { e =>
@@ -184,6 +206,7 @@ final class GraftTransaction private[table] (
     }
     GraftTable.deleteRecursively(txnDir)
     state = "rolled-back"
+    GraftTransaction.release(id)
   }
 }
 
@@ -197,6 +220,13 @@ object GraftTransaction {
   private[table] val TxnsDir = "_txns"
 
   private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Ids of transactions OPEN in this process: recover() never rolls
+    * these back regardless of dir age (named SQL transactions
+    * legitimately outlive the mtime gate). Cross-process liveness is
+    * handled by the rename arbitration, not this set. */
+  private val live =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** NAMED transactions for the SQL surface (`CALL begin_transaction
     * ('tx1')` … DML on `db.t__txn_tx1` … `CALL commit_transaction
@@ -238,8 +268,11 @@ object GraftTransaction {
       Integer.toHexString(scala.util.Random.nextInt(0x10000))
     val txn = new GraftTransaction(warehouse, id)
     Files.createDirectories(txn.txnDir)
+    live.add(id)
     txn
   }
+
+  private[table] def release(id: String): Unit = live.remove(id)
 
   /** Reader-side roll-forward: if `tableDir` carries a `.txn-pending`
     * pointer whose transaction reached its commit marker, finish the
@@ -257,6 +290,11 @@ object GraftTransaction {
     val staged = meta.get("staged").map(_.toString).getOrElse(return)
     if (Files.exists(Paths.get(txn, "commit"))) {
       swapStaged(tableDir, staged)
+      // release the publisher's commit claim too: for a table enlisted
+      // without staged commits, nextId is unchanged and a leftover
+      // claim would block every later committer until a recover sweep
+      meta.get("claim").map(_.toString)
+        .foreach(c => Files.deleteIfExists(Paths.get(tableDir, c)))
       Files.deleteIfExists(ptr)
     }
   }
@@ -292,37 +330,71 @@ object GraftTransaction {
         val meta = graft.util.Json.parseObject(Files.readString(metaP))
         val tables = meta.getOrElse("tables", Seq.empty[Any])
           .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
-        val committed = Files.exists(d.resolve("commit"))
-        if (committed) {
-          tables.foreach { t =>
-            val dir = t("dir").toString
-            swapStaged(dir, t("staged").toString)
-            // only clear a pointer that references THIS transaction —
-            // a fresh txn may already be publishing its own
-            val ptr = Paths.get(dir, PendingFile)
-            if (Files.exists(ptr) &&
-                (try graft.util.Json.parseObject(Files.readString(ptr))
-                  .get("txn").exists(_.toString == d.toString)
-                catch { case _: Exception => false }))
-              Files.deleteIfExists(ptr)
-            Files.deleteIfExists(Paths.get(dir, t("claim").toString))
-          }
+        // pointers always record the ORIGINAL txn dir path (pre any
+        // .rb rollback rename)
+        val origTxn = d.toString.stripSuffix(".rb")
+        def clearPointer(dir: String): Unit = {
+          // only clear a pointer that references THIS transaction —
+          // a fresh txn may already be publishing its own
+          val ptr = Paths.get(dir, PendingFile)
+          if (Files.exists(ptr) &&
+              (try graft.util.Json.parseObject(Files.readString(ptr))
+                .get("txn").exists(_.toString == origTxn)
+              catch { case _: Exception => false }))
+            Files.deleteIfExists(ptr)
+        }
+        def rollForward(at: Path): Unit = tables.foreach { t =>
+          val dir = t("dir").toString
+          swapStaged(dir, t("staged").toString)
+          clearPointer(dir)
+          Files.deleteIfExists(Paths.get(dir, t("claim").toString))
+        }
+        if (Files.exists(d.resolve("commit"))) {
+          rollForward(d)
           GraftTable.deleteRecursively(d)
-          Some(d.getFileName.toString)
-        } else if (ageMs(d) > olderThanMillis) {
+          Some(d.getFileName.toString.stripSuffix(".rb"))
+        } else if (d.getFileName.toString.endsWith(".rb")) {
+          // a recover crashed mid-rollback after winning the rename:
+          // resume it (no age gate — the rename already arbitrated)
           tables.foreach { t =>
             val dir = t("dir").toString
             Files.deleteIfExists(Paths.get(dir, t("staged").toString))
-            val ptr = Paths.get(dir, PendingFile)
-            if (Files.exists(ptr) &&
-                (try graft.util.Json.parseObject(Files.readString(ptr))
-                  .get("txn").exists(_.toString == d.toString)
-                catch { case _: Exception => false }))
-              Files.deleteIfExists(ptr)
+            clearPointer(dir)
             Files.deleteIfExists(Paths.get(dir, t("claim").toString))
           }
           GraftTable.deleteRecursively(d)
-          Some(d.getFileName.toString)
+          Some(d.getFileName.toString.stripSuffix(".rb"))
+        } else if (ageMs(d) > olderThanMillis &&
+            !live.contains(d.getFileName.toString)) {
+          // UNCOMMITTED rollback. A live publisher (named SQL
+          // transactions legitimately stay open for minutes) may be
+          // racing toward its commit marker — deleting its staged logs
+          // under it would turn swapStaged's missing-source tolerance
+          // into a silent PARTIAL publish. Arbitrate atomically: rename
+          // the txn dir away FIRST. After the rename the publisher's
+          // marker create throws (parent gone) and its commit() fails
+          // loudly having published nothing; if the marker is already
+          // inside the renamed dir, the publisher won — finish its
+          // publish instead of tearing it down.
+          val trash = d.resolveSibling(d.getFileName.toString + ".rb")
+          val moved =
+            try { Files.move(d, trash, StandardCopyOption.ATOMIC_MOVE); true }
+            catch { case _: Exception => false } // raced/finished: skip
+          if (!moved) None
+          else if (Files.exists(trash.resolve("commit"))) {
+            rollForward(trash)
+            GraftTable.deleteRecursively(trash)
+            Some(d.getFileName.toString)
+          } else {
+            tables.foreach { t =>
+              val dir = t("dir").toString
+              Files.deleteIfExists(Paths.get(dir, t("staged").toString))
+              clearPointer(dir)
+              Files.deleteIfExists(Paths.get(dir, t("claim").toString))
+            }
+            GraftTable.deleteRecursively(trash)
+            Some(d.getFileName.toString)
+          }
         } else None
       }
     }

@@ -167,8 +167,15 @@ object GraftViews {
     val dirP = Paths.get(wh, db, name)
     Files.createDirectories(dirP)
     val claim = dirP.resolve(".view-claim")
+    // claims carry an OWNER token: adoption of a stale claim is a
+    // delete+retake, and two committers can both see the same stale
+    // claim — ownership is settled by verifying the claim's content
+    // AFTER acquisition (exactly one token survives; the loser fails
+    // loudly instead of deleting the winner's live claim)
+    val token = java.util.UUID.randomUUID().toString
     def acquire(retryStale: Boolean): Unit =
-      try Files.createFile(claim)
+      try Files.write(claim, token.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           // a JVM crash between claim and finally-delete must not
@@ -189,6 +196,12 @@ object GraftViews {
               "adopted automatically)")
       }
     acquire(retryStale = true)
+    val owned =
+      try new String(Files.readAllBytes(claim), "UTF-8") == token
+      catch { case _: java.io.IOException => false }
+    if (!owned) throw new java.util.ConcurrentModificationException(
+      s"view $db.$name claim was adopted by a concurrent committer " +
+        "during stale-claim recovery; retry the DDL")
     try {
       if (exists(wh, db, name)) {
         require(replaceExisting,

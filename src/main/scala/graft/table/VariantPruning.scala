@@ -142,9 +142,12 @@ private[graft] object VariantPruning {
       LessThan(pr, Literal(Int.MinValue.toLong, LongType)),
       GreaterThan(pr, Literal(Int.MaxValue.toLong, LongType)))
 
-    def decLit(bd: BigDecimal): Literal =
-      Literal(Decimal(bd), DecimalType(math.min(38, math.max(bd.precision, 1)),
-        bd.scale))
+    def decLit(bd: BigDecimal): Literal = {
+      // precision must cover the scale: BigDecimal("0.05") has precision 1
+      // but scale 2, and DecimalType(1, 2) throws at construction.
+      val p = math.min(38, math.max(math.max(bd.precision, bd.scale), 1))
+      Literal(Decimal(bd), DecimalType(p, bd.scale))
+    }
 
     def decGuard(pr: AttributeReference, d: DecimalType): Expression = {
       val maxRep = BigDecimal(BigInt(10).pow(d.precision) - 1, d.scale)

@@ -176,7 +176,10 @@ class GraftTransactionSpec extends SparkSpecBase {
       // readers see the OLD state of both tables (pointer w/o marker is inert)
       assert(ids(GraftTable.load(s"$wh/db/corpus")) == Seq(1L, 2L))
       assert(ids(GraftTable.load(s"$wh/db/index")) == Seq(10L))
-      // recovery (dead-txn age 0) releases claims + stage
+      // recovery (dead-txn age 0) releases claims + stage; release()
+      // simulates the publisher PROCESS dying (recover never rolls
+      // back a transaction still open in this process)
+      GraftTransaction.release(txn.id)
       val rec = GraftTransaction.recover(wh, olderThanMillis = 0L)
       assert(rec == Seq(txn.id))
       GraftTable.load(s"$wh/db/corpus").append(mkDf(4L -> "d"), Some(3000L))
@@ -305,6 +308,79 @@ class GraftTransactionSpec extends SparkSpecBase {
       // never stop() a secondary session (shared SparkContext)
       GraftTransaction.findNamed(wh, "tx1").foreach(_.rollback())
     }
+  }
+
+  test("recover arbitration: a rolled-back publisher fails loudly, never a partial publish") {
+    val (wh, cat) = freshWh("txn_race")
+    seed(cat)
+    val txn = cat.beginTransaction()
+    txn.table("db.corpus").append(mkDf(3L -> "c"), Some(2000L))
+    txn.table("db.index").append(mkDf(11L -> "y"), Some(2000L))
+    // a recovery sweep in "another process" deems the publisher dead
+    // and rolls the transaction back (rename-first arbitration)
+    GraftTransaction.release(txn.id)
+    assert(GraftTransaction.recover(wh, olderThanMillis = 0L) == Seq(txn.id))
+    // the publisher then tries to publish: the marker create finds the
+    // txn dir gone and fails LOUDLY — swapStaged's missing-source
+    // tolerance can no longer become a silent PARTIAL publish
+    intercept[java.util.ConcurrentModificationException] { txn.commit() }
+    assert(ids(GraftTable.load(s"$wh/db/corpus")) == Seq(1L, 2L))
+    assert(ids(GraftTable.load(s"$wh/db/index")) == Seq(10L))
+    // no protocol residue: pointers cleared, claims free for committers
+    assert(!Files.exists(Paths.get(wh, "db", "corpus", ".txn-pending")))
+    assert(!Files.exists(Paths.get(wh, "db", "index", ".txn-pending")))
+    GraftTable.load(s"$wh/db/corpus").append(mkDf(4L -> "d"), Some(3000L))
+    assert(ids(GraftTable.load(s"$wh/db/corpus")) == Seq(1L, 2L, 4L))
+  }
+
+  test("recover never rolls back a transaction still open in this process, however old") {
+    val (wh, cat) = freshWh("txn_live_old")
+    seed(cat)
+    val txn = cat.beginTransaction()
+    txn.table("db.corpus").append(mkDf(3L -> "c"), Some(2000L))
+    // a named SQL transaction legitimately outlives the mtime gate
+    Files.setLastModifiedTime(Paths.get(wh, "_txns", txn.id),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 86400000L))
+    assert(GraftTransaction.recover(wh).isEmpty)
+    txn.commit()
+    assert(ids(GraftTable.load(s"$wh/db/corpus")) == Seq(1L, 2L, 3L))
+  }
+
+  test("reader-side heal releases the claim of an enlistee with no staged commits") {
+    val (wh, cat) = freshWh("txn_heal_claim")
+    seed(cat)
+    val txn = cat.beginTransaction()
+    txn.table("db.corpus").append(mkDf(3L -> "c"), Some(2000L))
+    txn.table("db.index") // enlisted, NO staged commits: nextId unchanged
+    txn.crashAt = s => if (s == "post-commit") throw new RuntimeException("kill")
+    intercept[RuntimeException] { txn.commit() }
+    // a plain read heals the pointer AND the commit claim — without the
+    // claim release, index (whose nextId never advanced) would refuse
+    // every later commit until a manual recover_transactions sweep
+    assert(ids(GraftTable.load(s"$wh/db/index")) == Seq(10L))
+    assert(!Files.exists(Paths.get(wh, "db", "index", ".txn-pending")))
+    GraftTable.load(s"$wh/db/index").append(mkDf(12L -> "w"), Some(3000L))
+    assert(ids(GraftTable.load(s"$wh/db/index")) == Seq(10L, 12L))
+    assert(ids(GraftTable.load(s"$wh/db/corpus")) == Seq(1L, 2L, 3L))
+    GraftTransaction.recover(wh, olderThanMillis = 0L) // sweep the txn dir
+  }
+
+  test("a recover crashed mid-rollback (.rb dir) is resumed by the next sweep") {
+    val (wh, cat) = freshWh("txn_rb_resume")
+    seed(cat)
+    val txn = cat.beginTransaction()
+    txn.table("db.corpus").append(mkDf(3L -> "c"), Some(2000L))
+    GraftTransaction.release(txn.id)
+    val d = Paths.get(wh, GraftTransaction.TxnsDir, txn.id)
+    val rb = Paths.get(wh, GraftTransaction.TxnsDir, txn.id + ".rb")
+    Files.move(d, rb) // the sweep won the rename, then died
+    // resumed regardless of the age gate (the rename already arbitrated)
+    assert(GraftTransaction.recover(wh,
+      olderThanMillis = Long.MaxValue) == Seq(txn.id))
+    assert(!Files.exists(rb))
+    GraftTable.load(s"$wh/db/corpus").append(mkDf(4L -> "d"), Some(3000L))
+    assert(ids(GraftTable.load(s"$wh/db/corpus")) == Seq(1L, 2L, 4L))
   }
 
   test("row-id bands stay monotone through a transaction (lineage across publish)") {

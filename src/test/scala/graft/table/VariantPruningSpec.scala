@@ -277,6 +277,14 @@ class VariantPruningSpec extends SparkSpecBase {
     // range probes prune with slack
     assert(kept(t, variant_get(col("meta"), "$.price", "decimal(9,2)")
       > lit(BigDecimal("500.00"))).size == 1)
+    // SUB-1 literal: BigDecimal("0.05") has precision 1 < scale 2 — the
+    // slack/guard literals (0.04/0.06) must not crash DecimalType
+    // construction, and no file holds a sub-1 price → both prune
+    assert(kept(t, variant_get(col("meta"), "$.price", "decimal(9,2)")
+      === lit(BigDecimal("0.05"))).isEmpty)
+    assert(t.read(spark).filter(
+      variant_get(col("meta"), "$.price", "decimal(9,2)")
+        === lit(BigDecimal("0.05"))).count() == 0L)
   }
 
   test("date/timestamp/boolean families prune exactly") {
