@@ -444,6 +444,28 @@ object Versioned extends QueryPack {
       tb
     }
 
+  /** DYNAMIC-OVERWRITE fixture (v73): nation identity-partitioned by
+    * n_regionkey (5 slices), then ONE dynamic-partition overwrite whose
+    * source holds recoded rows of regions 1 and 3 only — exactly those
+    * two slices are replaced (metadata-only drops: the summary's
+    * rewritten-data-files is baked into the result so the oracle hash
+    * PROVES no untouched file was rewritten), regions 0/2/4 carry by
+    * ref. The daily-ETL `INSERT OVERWRITE` spelling under
+    * partitionOverwriteMode=dynamic. */
+  private def dynOvrFixture(spark: SparkSession, sfDir: String): GraftTable =
+    cachedFixture(sfDir, "nation_dynovr", 2) { dir =>
+      val nation = t(spark, sfDir, "nation")
+      val tb = GraftTable.create(dir, nation.schema,
+        partitionBy = Seq("n_regionkey"))
+      tb.append(nation, committedAt = Some(1000L))
+      tb.overwritePartitionsDynamic(spark,
+        nation.filter(col("n_regionkey").isin(1, 3))
+          .withColumn("n_nationkey", col("n_nationkey") + lit(100))
+          .withColumn("n_name", concat(col("n_name"), lit("_R"))),
+        Some(2000L))
+      tb
+    }
+
   /** WAREHOUSE-TRANSACTION fixture (v71): a corpus table and its
     * derived per-region index refreshed in ONE atomic transaction —
     * the cross-table consistency event a materialized-index pipeline
@@ -1789,6 +1811,21 @@ object Versioned extends QueryPack {
       cherryFixture(s, d).readLineage(s)
         .select("n_nationkey", "_row_id", "_last_updated_snapshot_id")),
 
+    // DYNAMIC-PARTITION OVERWRITE (v73): replace exactly the partitions
+    // the source writes into, one atomic commit; the summary counters
+    // ride the result so the oracle hash proves the untouched slices
+    // dropped/kept METADATA-ONLY (rewritten-data-files = 0) and exactly
+    // two partitions were replaced
+    "v73_graft_dynovr" -> ((s, d) => {
+      val tb = dynOvrFixture(s, d)
+      val snap = tb.log.current.get
+      tb.read(s).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .withColumn("rewritten_files",
+          lit(snap.summary("rewritten-data-files").toLong))
+        .withColumn("replaced_parts",
+          lit(snap.summary("replaced-partitions").toLong))
+    }),
+
     // REGISTER TABLE (Iceberg register_table parity): an outside graft
     // directory becomes a catalog name via CALL — a pointer, not a
     // copy — then serves plain SQL like any native table
@@ -2474,6 +2511,17 @@ object Versioned extends QueryPack {
     // the registered pointer serves exactly the source's rows
     "v70_graft_register" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // the dynamic overwrite replaced regions 1/3 with the recoded rows
+    // and left every other slice's files untouched (rewritten = 0)
+    "v73_graft_dynovr" ->
+      ("SELECT n_nationkey, n_name, n_regionkey, " +
+        "CAST(0 AS BIGINT) AS rewritten_files, " +
+        "CAST(2 AS BIGINT) AS replaced_parts " +
+        "FROM nation WHERE n_regionkey NOT IN (1, 3) " +
+        "UNION ALL " +
+        "SELECT n_nationkey + 100, n_name || '_R', n_regionkey, " +
+        "CAST(0 AS BIGINT), CAST(2 AS BIGINT) " +
+        "FROM nation WHERE n_regionkey IN (1, 3)"),
     // rollback + cherrypick nets to the full table; _row_id equals the
     // key (key-ordered single-band appends, bands CARRIED by the pick)
     // and each row still attributes to its original committing snapshot

@@ -120,7 +120,20 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
           GraftDeleteCommand(g.underlying, byName(condition))
         case _ => plan
       }
-    case _: OverwritePartitionsDynamic => plan
+    case o @ OverwritePartitionsDynamic(table, query, _, isByName, _) =>
+      // dynamic-partition INSERT OVERWRITE (partitionOverwriteMode=
+      // dynamic / df.writeTo(t).overwritePartitions()): replace exactly
+      // the partitions present in the source, atomically
+      if (!query.resolved) plan
+      else graftTarget(table) match {
+        case Some(g) =>
+          rewriteInsert(g, query, isByName) match {
+            case GraftInsertCommand(t, src) =>
+              GraftOverwriteDynamicCommand(t, src)
+            case other => other
+          }
+        case None => spliceSource(plan, query)(q => o.copy(query = q))
+      }
     case o @ OverwriteByExpression(table, deleteExpr, query, _, isByName, _, _) =>
       if (!query.resolved) plan
       else graftTarget(table) match {
@@ -817,6 +830,19 @@ case class GraftOverwriteWhereCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
     table.withDmlRetry() { table.overwriteWhere(spark, pred, src) }
+    Nil
+  }
+}
+
+/** Dynamic-partition INSERT OVERWRITE routed to the atomic
+  * replace-written-partitions commit
+  * ([[GraftTable.overwritePartitionsDynamic]]). */
+case class GraftOverwriteDynamicCommand(
+    table: GraftTable,
+    source: LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftBridge.ofRows(spark, source)
+    table.withDmlRetry() { table.overwritePartitionsDynamic(spark, src) }
     Nil
   }
 }

@@ -1073,6 +1073,155 @@ final class GraftTable private (
           equalityJson(degradeEqualityFor(eqPend, candidates))))
   }
 
+  /** DYNAMIC-partition OVERWRITE (Spark's
+    * `partitionOverwriteMode=dynamic` / `df.writeTo(t)
+    * .overwritePartitions()`; Iceberg's ReplacePartitions): replace
+    * exactly the partitions the source writes into, leave every other
+    * partition untouched — the daily-ETL default overwrite spelling.
+    * One atomic `"overwrite"` snapshot: the source's files land, and
+    * current files whose directory tuple matches a WRITTEN tuple leave
+    * the manifest METADATA-ONLY (the tuple is exact per-file knowledge;
+    * no stats proof needed). Files from other partition-spec eras
+    * (pre-partitioning imports, pre-evolution layouts) that may hold
+    * rows of a touched partition REWRITE keeping their other-partition
+    * rows — row-correct under any era because the filter derives the
+    * current transforms from the data columns themselves.
+    *
+    * The touched-partition set is discovered from the written files'
+    * directory tuples — commit metadata that exists anyway — so the
+    * source is scanned exactly once and nothing data-sized reaches the
+    * driver; the set's size is the number of REPLACED partitions, the
+    * quantity dynamic overwrite is bounded by at any corpus size.
+    * Unpartitioned tables follow Spark/Iceberg: dynamic overwrite
+    * degenerates to full-table replacement; an EMPTY source replaces
+    * nothing (no snapshot committed). MoR stance matches
+    * [[overwriteWhere]]: positional entries compose, covered drops
+    * demote to rewrites, touched entries degrade their dead counts. */
+  def overwritePartitionsDynamic(
+      spark: SparkSession,
+      df: DataFrame,
+      committedAt: Option[Long] = None): Snapshot = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualNullSafe => CEqNS, IsNull => CIsNull, Or => COr}
+    if (partitionFields.isEmpty) return overwrite(df, committedAt)
+    val lg = log
+    val current = lg.current.getOrElse(
+      return overwrite(df, committedAt)) // empty table: plain first write
+    val snapId = lg.nextId
+    val inserted = writeDataFiles(df, snapId)
+    if (inserted.isEmpty) return current
+    val touched: Set[Map[String, Option[String]]] =
+      inserted.map(_.partition).toSet
+
+    // tuple membership twice over: as a Catalyst predicate on the
+    // synthesized per-file partition stats (segment/file pruning keeps
+    // planning O(touched), untouched segments carry by ref) and as a
+    // row filter re-deriving the current transforms from the data
+    // columns (the other-era rewrite path)
+    def extVal(enc: String, dt: DataType): Any = dt match {
+      case BooleanType => enc.toBoolean
+      case IntegerType => enc.toInt
+      case LongType => enc.toLong
+      case DateType => java.time.LocalDate.parse(enc)
+      case _ => enc
+    }
+    def fieldMeta(f: PartitionField): (String, DataType) =
+      if (f.isIdentity) (f.source, schema(f.source).dataType)
+      else (f.statName, f.derivedType)
+    val prunePred: org.apache.spark.sql.catalyst.expressions.Expression =
+      touched.toSeq.map { t =>
+        partitionFields.map { f =>
+          val (attrName, dt) = fieldMeta(f)
+          val attr = org.apache.spark.sql.catalyst.expressions
+            .AttributeReference(attrName, dt, nullable = true)()
+          t.getOrElse(f.fieldName, None) match {
+            case None => CIsNull(attr)
+            case Some(enc) => CEqNS(attr,
+              org.apache.spark.sql.catalyst.expressions.Literal
+                .create(extVal(enc, dt), dt))
+          }
+        }.reduce[org.apache.spark.sql.catalyst.expressions.Expression](
+          CAnd(_, _))
+      }.reduce[org.apache.spark.sql.catalyst.expressions.Expression](
+        COr(_, _))
+    val rowPred: Column = touched.toSeq.map { t =>
+      partitionFields.map { f =>
+        val c = if (f.isIdentity) org.apache.spark.sql.functions.col(f.source)
+          else f.writeExpr
+        val dt = fieldMeta(f)._2
+        t.getOrElse(f.fieldName, None) match {
+          case None => c.isNull
+          case Some(enc) =>
+            c <=> org.apache.spark.sql.functions.lit(extVal(enc, dt) match {
+              case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+              case other => other
+            })
+        }
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val (candidates, untouchedM) = partitionPruned(manifest, prunePred)
+    // exact metadata-only drop: the file's OWN directory tuple is in
+    // the touched set. When a NON-identity transform's spec has EVOLVED
+    // the bare fieldName is ambiguous across parameterizations
+    // (bucket(4) and bucket(8) both write `c_bucket=`) — degrade those
+    // candidates to row-checked rewrites, the same conservatism as the
+    // era-gated stat aliasing. Identity tuples are never ambiguous.
+    val tupleExactOk = partitionFields.forall(_.isIdentity) ||
+      !properties.contains(GraftTable.PropSpecEvolved)
+    val (dropped0, rewrites0) = candidates.partition(f =>
+      tupleExactOk && touched.contains(f.partition))
+    // pending EQUALITY / PREDICATE-deferred composition — identical
+    // discipline to overwriteWhere: covered whole-file drops demote to
+    // rewrites, survivors read fully visible, touched entries degrade
+    val eqPend = parseEquality(current)
+    val pendFull = parsePendingFull(current)
+    val pend = pendFull.map(e => (e._1, e._2))
+    val (dropped, rewrites) =
+      if (eqPend.isEmpty && pend.isEmpty) (dropped0, rewrites0)
+      else {
+        val (coverable, freeDrop) = dropped0.partition { f =>
+          val fsn = fileSnapId(f.path).getOrElse(Long.MinValue)
+          eqPend.exists(e => fsn <= e.covered) ||
+            pend.exists { case (covered, _) => fsn <= covered }
+        }
+        (freeDrop, coverable ++ rewrites0)
+      }
+    val posPend = parsePositional(current)
+    val priorDeleted: Map[String, Long] =
+      posPend.flatMap(_.targets).groupMapReduce(_._1)(_._2)(_ + _)
+    val keptFiles =
+      if (rewrites.isEmpty) Nil
+      else writeDataFiles(
+        readVisibleCarry(spark, pend, posPend, rewrites, eqPend)
+          .filter(!rowPred), // <=> / isNull keep the predicate total
+        snapId).filter(_.recordCount > 0)
+    val removed =
+      (if (eqPend.isEmpty && pend.isEmpty)
+        candidates.map(f =>
+          f.recordCount - priorDeleted.getOrElse(f.path, 0L)).sum
+      else readVisible(spark, pend, posPend, candidates, eqPend).count()) -
+      keptFiles.map(_.recordCount).sum
+    val stillPositional =
+      stripPositional(posPend, candidates.map(_.path).toSet)
+    commit(lg, snapId,
+      untouchedM.append(keptFiles ++ inserted),
+      keptFiles ++ inserted,
+      operation = "overwrite", committedAt,
+      extraSummary = Map(
+        "replaced-partitions" -> touched.size.toString,
+        "deleted-records" -> removed.toString,
+        "dropped-data-files" -> dropped.size.toString,
+        "rewritten-data-files" -> rewrites.size.toString,
+        "added-data-files" -> inserted.size.toString,
+        "added-records" -> inserted.map(_.recordCount).sum.toString,
+        SummaryPendingDeletes ->
+          pendingJsonFull(degradePendingFor(pendFull, candidates)),
+        SummaryPositionalDeletes -> positionalJson(stillPositional),
+        SummaryEqualityDeletes ->
+          equalityJson(degradeEqualityFor(eqPend, candidates))))
+  }
+
   /** [[append]] with optimistic-concurrency RETRY — the production
     * behavior for concurrent writers on one table: a committer that
     * loses the snapshot-id race (commit's O_EXCL claim or the log
