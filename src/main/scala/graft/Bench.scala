@@ -62,7 +62,7 @@ object Bench {
       .filter(n => n.startsWith("v") || n == "d14_incremental_dedup" ||
         n == "s17_incremental_index" || n == "s19_ivfpq_indexed" ||
         n == "p04_curation_cycle" || n == "p05_variant_curation" ||
-        n == "st10_cdc_agg_replay")
+        n == "st10_cdc_agg_replay" || n == "t27_inverted_index")
       .toSeq.sorted.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

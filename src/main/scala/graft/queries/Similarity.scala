@@ -299,7 +299,12 @@ object Similarity extends QueryPack {
         "vec_id", "embedding", k = 50)
         .select(col("n_id").as("id"), col("rank").as("vec_rank"))
       val idx = Versioned.invertedIndexFixture(s, d)
-      val kwTop = idx.scan(s, Some(col("tok").isin("spark", "join")))
+      // snapshot 1 = the full pre-curation posting list (snapshot 2
+      // tombstones t27's planted victim); the pin keeps this query's
+      // oracle the raw-corpus recompute and exercises time travel
+      // composing with the bucket-pruned index scan
+      val kwTop = idx.scan(s, Some(col("tok").isin("spark", "join")),
+          snapshotId = Some(1L))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("tok")).cast("double").as("n_terms"))
         .agg(graft.functions.GraftFunctions
@@ -547,20 +552,69 @@ object Similarity extends QueryPack {
   private[queries] def incCorpusFixture(
       spark: org.apache.spark.sql.SparkSession,
       sfDir: String): graft.table.GraftTable =
-    Versioned.cachedFixture(sfDir, "emb_inc", 2) { dir =>
+    Versioned.cachedFixture(sfDir, "emb_inc", 3) { dir =>
       val emb = t(spark, sfDir, "embeddings")
         .select(col("vec_id"), vecD(col("embedding")).as("v"))
       val tb = graft.table.GraftTable.create(dir, emb.schema)
       tb.append(emb.filter(col("vec_id") % 10 =!= 0), committedAt = Some(1000L))
       tb.append(emb.filter(col("vec_id") % 10 === 0), committedAt = Some(2000L))
+      // the curation pass (snapshot 3): a p04-style delete retracts a
+      // key slice — the event a feed-only index refresh would MISS
+      // (serving retracted vectors until a rebuild); the CDC-driven
+      // refresh below propagates it as equality tombstones
+      tb.delete(spark, col("vec_id") % 10 === 7, Some(3000L))
       tb
     }
+
+  /** Apply a corpus CDC window to a materialized index table, O(batch):
+    * the feed nets per key (latest event wins, so an update's
+    * retract+insert lands as ONE upsert), insert rows are (re)indexed
+    * through `encode`, delete rows become EQUALITY TOMBSTONES on the
+    * index key. An insert-only window keeps the plain-append fast path;
+    * any deletes take one tombstone+upsert commit
+    * ([[graft.table.GraftTable.mergeEqualityConditional]]) — no index
+    * data file rewrites, nothing rebuilds. This closes the gap a
+    * feed-only (append) refresh leaves: a curation delete on the corpus
+    * no longer leaves the index serving retracted vectors. */
+  private[queries] def refreshIndexCdc(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: graft.table.GraftTable,
+      feed: DataFrame,
+      keyCol: String,
+      encode: DataFrame => DataFrame,
+      committedAt: Option[Long]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    // per-key netting: O(batch) rows, ~unique keys — the window groups
+    // are the batch's keys, not a handful of partitions
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("snapshot__id").desc, col("_change_type").desc)
+    val netted = feed
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "snapshot__id")
+    val ins = encode(netted.filter(col("_change_type") === "insert")
+      .drop("_change_type"))
+    val delKeys = netted.filter(col("_change_type") === "delete")
+      .select(col(keyCol).as("n_id"))
+    if (delKeys.isEmpty) { idx.append(ins, committedAt); return }
+    val whole = idx.schema.fieldNames.map(c => c -> col(c)).toMap
+    val src = ins.withColumn("_change_type", lit("insert"))
+      .unionByName(delKeys.withColumn("_change_type", lit("delete")),
+        allowMissingColumns = true)
+    idx.mergeEqualityConditional(spark, src, Seq("n_id" -> "n_id"),
+      matched = Seq(
+        graft.table.MergeDelete(Some(col("_change_type") === "delete")),
+        graft.table.MergeUpdate(None, whole)),
+      notMatched = Seq(graft.table.MergeInsert(
+        Some(col("_change_type") === "insert"), whole)),
+      committedAt = committedAt): Unit
+  }
 
   private[queries] def incIdxFixture(
       spark: org.apache.spark.sql.SparkSession,
       sfDir: String): graft.table.GraftTable = {
     val corpus = incCorpusFixture(spark, sfDir)
-    Versioned.cachedFixture(sfDir, "emb_inc_idx", 2) { dir =>
+    Versioned.cachedFixture(sfDir, "emb_inc_idx", 3) { dir =>
       val cb = graft.functions.CellAssign.codebook(
         seededCentroids(nCentroids = 8, seed = 23L), roundTo = 6)
       def assign(df: DataFrame): DataFrame = df
@@ -574,9 +628,13 @@ object Similarity extends QueryPack {
         properties = Map(graft.table.GraftTable.PropWriteDistribution -> "hash"),
         partitionBy = Seq("cid"))
       idx.append(base, committedAt = Some(1000L))
-      // the incremental refresh: ONLY the change feed is assigned
-      val batch = corpus.changes(spark, 1L, Some(2L)).drop("snapshot__id")
-      idx.append(assign(batch), committedAt = Some(2000L))
+      // incremental refreshes consume the corpus CDC feed — insert-only
+      // windows keep the plain-append path (snapshot 2), the curation
+      // delete propagates as equality tombstones (snapshot 3)
+      refreshIndexCdc(spark, idx, corpus.changesCdc(spark, 1L, Some(2L)),
+        "vec_id", assign, Some(2000L))
+      refreshIndexCdc(spark, idx, corpus.changesCdc(spark, 2L, Some(3L)),
+        "vec_id", assign, Some(3000L))
       idx
     }
   }
@@ -632,7 +690,7 @@ object Similarity extends QueryPack {
       spark: org.apache.spark.sql.SparkSession,
       sfDir: String): graft.table.GraftTable = {
     val corpus = incCorpusFixture(spark, sfDir)
-    Versioned.cachedFixture(sfDir, "emb_ivfpq_idx", 2) { dir =>
+    Versioned.cachedFixture(sfDir, "emb_ivfpq_idx", 3) { dir =>
       val cellCb = s19CellCb
       val pqCb = s19PqCb
       // one fused pass per batch: cell argmax + PQ encode, nothing else
@@ -649,9 +707,13 @@ object Similarity extends QueryPack {
         properties = Map(graft.table.GraftTable.PropWriteDistribution -> "hash"),
         partitionBy = Seq("cid"))
       idx.append(base, committedAt = Some(1000L))
-      // the incremental refresh: ONLY the change feed is encoded
-      val batch = corpus.changes(spark, 1L, Some(2L)).drop("snapshot__id")
-      idx.append(index(batch), committedAt = Some(2000L))
+      // incremental refreshes consume the corpus CDC feed: the nightly
+      // batch encodes O(batch) (snapshot 2), the curation delete lands
+      // as equality tombstones — no re-encode, no rebuild (snapshot 3)
+      refreshIndexCdc(spark, idx, corpus.changesCdc(spark, 1L, Some(2L)),
+        "vec_id", index, Some(2000L))
+      refreshIndexCdc(spark, idx, corpus.changesCdc(spark, 2L, Some(3L)),
+        "vec_id", index, Some(3000L))
       idx
     }
   }
@@ -1208,7 +1270,9 @@ object Similarity extends QueryPack {
     * pair dedup is needed — and the ADC scoring, rerank cut, and exact
     * re-rank replay s10. Shared by s11 (inline encode) and s19 (stored
     * index) — both compute the identical result. */
-  private lazy val ivfPqSeededOracleSql: String = {
+  /** The s11/s19 IVF-PQ oracle; `corpusWhere` restricts the corpus CTE —
+    * s19's stored index excludes the curation-deleted slice. */
+  private def ivfPqSeededOracleSql(corpusWhere: String = ""): String = {
     val cells = seededCentroids(nCentroids = 8, seed = 53L)
     val cb = graft.functions.PqCodebook(
       seededPqBooks(m = 8, k = 16, seed = 61L), roundTo = 6)
@@ -1216,7 +1280,8 @@ object Similarity extends QueryPack {
       val centValues = cells.zipWithIndex.map { case (c, i) =>
         s"($i, ${c.map(_.toString).mkString("[", ", ", "]")})"
       }.mkString(", ")
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v " +
+        s"FROM embeddings $corpusWhere), " +
         s"cents(cid, c) AS (SELECT * FROM (VALUES $centValues) t(cid, c)), " +
         "sims AS (SELECT vec_id, cid, round(list_cosine_similarity(v, c), 6) AS sim " +
         "FROM e, cents), " +
@@ -1397,14 +1462,16 @@ object Similarity extends QueryPack {
         "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
     },
     "s17_incremental_index" -> {
-      // identical computation to s09's oracle (same seed/cells/probes):
-      // the incremental index is provably equal to the full assignment,
-      // so the oracle replays assignment+probe over the raw corpus
+      // identical computation to s09's oracle (same seed/cells/probes)
+      // over the VISIBLE corpus — the %10=7 slice was curation-deleted
+      // and the CDC refresh tombstoned it out of the index, so the
+      // stored index provably equals the full assignment of what's left
       val centers = seededCentroids(nCentroids = 8, seed = 23L)
       val centValues = centers.zipWithIndex.map { case (c, i) =>
         s"($i, ${c.map(_.toString).mkString("[", ", ", "]")})"
       }.mkString(", ")
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v " +
+        "FROM embeddings WHERE vec_id % 10 <> 7), " +
         s"cents(cid, c) AS (SELECT * FROM (VALUES $centValues) t(cid, c)), " +
         "sims AS (SELECT vec_id, cid, round(list_cosine_similarity(v, c), 6) AS sim " +
         "FROM e, cents), " +
@@ -1469,11 +1536,11 @@ object Similarity extends QueryPack {
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM scored) " +
         "SELECT q_id, rank, n_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10"
     },
-    "s11_knn_ivfpq_seeded" -> ivfPqSeededOracleSql,
+    "s11_knn_ivfpq_seeded" -> ivfPqSeededOracleSql(),
     // the stored-index probe computes the SAME result as s11 (identical
     // seeded quantizers, corpus, queries) — only WHERE the codes come
     // from differs (materialized cid-partitioned table vs inline encode)
-    "s19_ivfpq_indexed" -> ivfPqSeededOracleSql,
+    "s19_ivfpq_indexed" -> ivfPqSeededOracleSql("WHERE vec_id % 10 <> 7"),
     "s07_retrieval" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
         "q AS (SELECT vec_id, v FROM e WHERE vec_id < 3), " +

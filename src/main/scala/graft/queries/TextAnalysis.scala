@@ -893,12 +893,16 @@ object TextAnalysis extends QueryPack {
 
       "t27_inverted_index" ->
         // full-scan containment recompute: index-served search must
-        // return exactly the docs whose token set holds both terms
+        // return exactly the docs whose token set holds both terms,
+        // MINUS the curation-deleted victim (the smallest hit doc —
+        // its postings were equality-tombstoned out of the index)
         ("WITH toks AS (SELECT doc_id, n_chars, " +
           "list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS t " +
-          "FROM documents) " +
-          "SELECT doc_id, CAST(2 AS BIGINT) AS n_terms, n_chars FROM toks " +
-          "WHERE list_contains(t, 'spark') AND list_contains(t, 'join') " +
+          "FROM documents), " +
+          "hits AS (SELECT doc_id, n_chars FROM toks " +
+          "WHERE list_contains(t, 'spark') AND list_contains(t, 'join')) " +
+          "SELECT doc_id, CAST(2 AS BIGINT) AS n_terms, n_chars FROM hits " +
+          "WHERE doc_id <> (SELECT min(doc_id) FROM hits) " +
           "ORDER BY doc_id"),
 
       "t26_train_classifier" -> {

@@ -141,7 +141,7 @@ object Versioned extends QueryPack {
     * buckets' files via the manifest (t27). */
   private[queries] def invertedIndexFixture(
       spark: SparkSession, sfDir: String): GraftTable =
-    cachedFixture(sfDir, "docs_inv", 1) { dir =>
+    cachedFixture(sfDir, "docs_inv", 2) { dir =>
       val posts = t(spark, sfDir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(graft.functions.TextOps.tokens(col("text"))))
@@ -151,6 +151,23 @@ object Versioned extends QueryPack {
         partitionBy = Seq("bucket(16,tok)"),
         properties = Map(GraftTable.PropWriteDistribution -> "hash"))
       tb.append(posts, committedAt = Some(1000L))
+      // corpus-curation maintenance (snapshot 2): deleting a doc from
+      // the corpus retracts EVERY posting of the victim with ONE
+      // equality tombstone on doc_id — O(deleted docs) metadata against
+      // a posting table keyed (tok, doc_id), no slice rewritten, no
+      // rebuild (the partial-key equality delete is exactly what a
+      // token-exploded index needs: the fan-out stays in the reader).
+      // The victim is PLANTED as the smallest doc matching the t27
+      // probe terms, so the deletion is observable in the query result
+      // at every SF (the natural-victims trap).
+      val toks = array_distinct(graft.functions.TextOps.tokens(col("text")))
+      val victim = t(spark, sfDir, "documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(array_contains(col("tk"), "spark") &&
+          array_contains(col("tk"), "join"))
+        .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
+        .filter(col("doc_id").isNotNull)
+      tb.deleteEquality(spark, victim, Seq("doc_id"), Some(2000L)): Unit
       tb
     }
 

@@ -189,10 +189,22 @@ class SimilaritySpec extends SparkSpecBase {
       "refresh rewrote more than the batch")
     assert(m2.totalRecords == corpusRows)
 
-    // incremental union equals a from-scratch assignment of the corpus
+    // the snapshot-3 CURATION refresh (corpus delete → CDC window with
+    // delete rows) landed as equality tombstones: not a single index
+    // data file was added or rewritten — O(batch) metadata, no rebuild
+    val m3 = graft.table.Manifest.read(
+      s"${idx.dir}/${idx.log.byId(3L).get.manifestList}")
+    assert(m3.files.map(_.path).toSet == m2.files.map(_.path).toSet,
+      "delete refresh must not touch index data files")
+    assert(idx.equalityDeletes.nonEmpty,
+      "delete refresh must land as equality tombstones")
+
+    // incremental union equals a from-scratch assignment of the VISIBLE
+    // corpus (the %10=7 slice was curation-deleted); a deleted vector is
+    // never served
     val cb = graft.functions.CellAssign.codebook(
       Similarity.seededCentroids(nCentroids = 8, seed = 23L), roundTo = 6)
-    val full = emb
+    val full = emb.filter(col("vec_id") % 10 =!= 7)
       .select(col("vec_id").as("n_id"),
         col("embedding").cast("array<double>").as("n_v"))
       .withColumn("cid", graft.functions.CellAssign.cell_argmax(col("n_v"), cb))
@@ -200,11 +212,16 @@ class SimilaritySpec extends SparkSpecBase {
     val inc = idx.read(spark).select("n_id", "cid")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(inc == full, "incremental index diverged from full rebuild")
+    assert(!inc.keySet.exists(_ % 10 == 7),
+      "index still serves curation-deleted vectors")
 
     // a probe's pinned-cell scan plans fewer files than the full index
     val probed = idx.scan(spark, Some(col("cid").isin(0, 1)))
     assert(probed.inputFiles.length < idx.read(spark).inputFiles.length,
       "probe scan did not prune to the probed cells")
+    // and the probed-cell read applies the tombstones too
+    assert(probed.filter(col("n_id") % 10 === 7).count() == 0L,
+      "probed-cell scan served a deleted vector")
   }
 
   test("s19: stored IVF-PQ codes — incremental == rebuild; probe never re-encodes") {
@@ -225,12 +242,22 @@ class SimilaritySpec extends SparkSpecBase {
       "refresh encoded more than the batch")
     assert(m2.totalRecords == embRaw.count())
 
+    // the snapshot-3 curation refresh: equality tombstones only, no
+    // index data file added or rewritten, no re-encode
+    val m3 = graft.table.Manifest.read(
+      s"${idx.dir}/${idx.log.byId(3L).get.manifestList}")
+    assert(m3.files.map(_.path).toSet == m2.files.map(_.path).toSet,
+      "delete refresh must not touch index data files")
+    assert(idx.equalityDeletes.nonEmpty,
+      "delete refresh must land as equality tombstones")
+
     // incremental union equals a from-scratch (cid, codes) assignment
+    // of the VISIBLE corpus (%10=7 curation-deleted)
     val cellCb = graft.functions.CellAssign.codebook(
       Similarity.seededCentroids(nCentroids = 8, seed = 53L), roundTo = 6)
     val pqCb = graft.functions.PqCodebook(
       Similarity.seededPqBooks(m = 8, k = 16, seed = 61L), roundTo = 6)
-    val full = embRaw
+    val full = embRaw.filter(col("vec_id") % 10 =!= 7)
       .select(col("vec_id").as("n_id"),
         col("embedding").cast("array<double>").as("n_v"))
       .select(col("n_id"),
@@ -243,11 +270,14 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2))))
       .toMap
     assert(inc == full, "incremental index diverged from full rebuild")
+    assert(!inc.keySet.exists(_ % 10 == 7),
+      "index still serves curation-deleted vectors")
 
-    // the probe hash-matches the inline-encode s11 plan (same seeded
-    // quantizers, corpus, queries)
+    // the probe hash-matches the inline-encode s11 plan over the
+    // visible corpus (same seeded quantizers, queries)
     val probe = Similarity.ivfPqIdxProbe(spark, sfDir)
-    val inline = Similarity.ivfPqTopKSeeded(emb,
+    val inline = Similarity.ivfPqTopKSeeded(
+      emb.filter(col("vec_id") % 10 =!= 7),
       emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     assert(probe.collect().map(_.toSeq).toSet ==
       inline.collect().map(_.toSeq).toSet,
