@@ -38,7 +38,7 @@ object GraftProcedures {
     "create_tag", "create_branch", "publish_branch", "drop_branch",
     "add_files", "analyze_table", "snapshot", "migrate",
     "create_changelog_view", "rewrite_position_delete_files",
-    "register_table",
+    "rewrite_delete_files", "register_table",
     "begin_transaction", "commit_transaction", "rollback_transaction",
     "recover_transactions")
 
@@ -64,6 +64,7 @@ object GraftProcedures {
       case "create_changelog_view" => Some(createChangelogView(warehouse))
       case "rewrite_position_delete_files" =>
         Some(rewritePositionDeleteFiles(warehouse))
+      case "rewrite_delete_files" => Some(rewriteDeleteFiles(warehouse))
       case "register_table" => Some(registerTable(warehouse))
       case "begin_transaction" => Some(beginTransaction(warehouse))
       case "commit_transaction" => Some(commitTransaction(warehouse))
@@ -261,6 +262,31 @@ object GraftProcedures {
         }.toSeq
       })
 
+
+  private def rewriteDeleteFiles(wh: String): UnboundProcedure =
+    new Proc(
+      "rewrite_delete_files",
+      "Materialize the pending EQUALITY and PREDICATE-deferred delete " +
+        "entries by rewriting ONLY the data files they cover (visible " +
+        "rows preserved exactly, dead rows dropped, lineage carried) — " +
+        "O(covered data), not O(table), unlike a full rewrite_data_files " +
+        "pass. Afterwards __deletes drains of both forms, reads lose " +
+        "their residual filters/anti-joins, and operations refusing " +
+        "pending equality state (branch publish, CDC seeds) proceed. " +
+        "Returns the folding snapshot id, or no rows when neither form " +
+        "pends (nothing committed).",
+      Array(in("table", StringType)),
+      StructType(Seq(
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("rewritten_data_files", LongType, nullable = false))),
+      row => {
+        val t = tableOf(wh, row)
+        val spark = org.apache.spark.sql.SparkSession.active
+        t.rewriteDeleteFiles(spark).map { s =>
+          Seq[Any](s.snapshotId,
+            s.summary.getOrElse("rewritten-data-files", "0").toLong)
+        }.toSeq
+      })
 
   private def beginTransaction(wh: String): UnboundProcedure = new Proc(
     "begin_transaction",

@@ -113,7 +113,7 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
   private def identToName(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
-  private def dirFor(ident: Identifier): String =
+  private[table] def dirFor(ident: Identifier): String =
     cat.tableDir(identToName(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -217,6 +217,28 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
                 s"CALL $name.system.begin_transaction('$txnName') first"))
           return new GraftV2Table(identToName(ident),
             txn.tableAt(dirFor(base)), None)
+        }
+      }
+    }
+    // `<name>__branch_<b>` — the WRITE handle of branch <b>: the
+    // SQL-shop write–audit–publish spelling. INSERT/UPDATE/DELETE/MERGE
+    // against it stage on the branch (a real GraftTable under
+    // `branches/<b>`), `VERSION AS OF 'branch:b'` is the audit read,
+    // and `CALL publish_branch` fast-forwards main — which stays
+    // untouched until then. Same suffix discipline as `__changes`: a
+    // REAL table of the full name always wins.
+    if (!tableExists(ident)) {
+      val n = ident.name()
+      val i = n.lastIndexOf("__branch_")
+      if (i > 0) {
+        val base = Identifier.of(ident.namespace(), n.substring(0, i))
+        val bName = n.substring(i + "__branch_".length)
+        if (bName.nonEmpty && tableExists(base)) {
+          val bt = loadGraft(base)
+          require(bt.branches.contains(bName),
+            s"no branch '$bName' on ${identToName(base)} — " +
+              s"CALL $name.system.create_branch first")
+          return new GraftV2Table(identToName(ident), bt.branch(bName), None)
         }
       }
     }
@@ -332,33 +354,7 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // identity plus the hidden transforms (SQL `PARTITIONED BY (bucket(8,
-    // id), days(ts), truncate(4, s))` arrives as v2 Transform nodes);
-    // spec strings re-parse through PartitionField at create
-    def ref(t: Transform): String = t.references()(0).fieldNames().mkString(".")
-    def intArg(t: Transform): Int = t.arguments().collectFirst {
-      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-        l.value().toString.toInt
-    }.getOrElse(throw new UnsupportedOperationException(
-      s"transform $t needs an integer literal argument"))
-    val partCols = partitions.toSeq.map {
-      case t if t.name() == "identity" && t.references().length == 1 => ref(t)
-      case t if t.name() == "bucket" && t.references().length == 1 =>
-        s"bucket(${intArg(t)},${ref(t)})"
-      case t if t.name() == "days" && t.references().length == 1 =>
-        s"days(${ref(t)})"
-      case t if t.name() == "years" && t.references().length == 1 =>
-        s"years(${ref(t)})"
-      case t if t.name() == "months" && t.references().length == 1 =>
-        s"months(${ref(t)})"
-      case t if t.name() == "hours" && t.references().length == 1 =>
-        s"hours(${ref(t)})"
-      case t if t.name() == "truncate" && t.references().length == 1 =>
-        s"truncate(${intArg(t)},${ref(t)})"
-      case other => throw new UnsupportedOperationException(
-        "graft supports identity/bucket/years/months/days/hours/truncate " +
-          s"partitioning, got $other")
-    }
+    val partCols = GraftSparkCatalog.partitionSpecOf(partitions)
     val props = properties.asScala.toMap -
       TableCatalog.PROP_LOCATION - TableCatalog.PROP_PROVIDER -
       TableCatalog.PROP_OWNER - TableCatalog.PROP_EXTERNAL
@@ -1497,6 +1493,38 @@ final class GraftCdcV2Table(
             }.asInstanceOf[T]
         }
       }
+    }
+  }
+}
+
+object GraftSparkCatalog {
+  /** SQL `PARTITIONED BY` v2 Transform nodes → the library's partition
+    * spec strings (identity plus the hidden transforms); the strings
+    * re-parse through [[PartitionField]] at create/replace. */
+  private[table] def partitionSpecOf(partitions: Array[Transform]): Seq[String] = {
+    def ref(t: Transform): String = t.references()(0).fieldNames().mkString(".")
+    def intArg(t: Transform): Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value().toString.toInt
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"transform $t needs an integer literal argument"))
+    partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 => ref(t)
+      case t if t.name() == "bucket" && t.references().length == 1 =>
+        s"bucket(${intArg(t)},${ref(t)})"
+      case t if t.name() == "days" && t.references().length == 1 =>
+        s"days(${ref(t)})"
+      case t if t.name() == "years" && t.references().length == 1 =>
+        s"years(${ref(t)})"
+      case t if t.name() == "months" && t.references().length == 1 =>
+        s"months(${ref(t)})"
+      case t if t.name() == "hours" && t.references().length == 1 =>
+        s"hours(${ref(t)})"
+      case t if t.name() == "truncate" && t.references().length == 1 =>
+        s"truncate(${intArg(t)},${ref(t)})"
+      case other => throw new UnsupportedOperationException(
+        "graft supports identity/bucket/years/months/days/hours/truncate " +
+          s"partitioning, got $other")
     }
   }
 }

@@ -180,19 +180,27 @@ case class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         name.identifier, partitioning.toArray, props,
         substituteMorReads(query), ignoreIfExists)
     case rtas: ReplaceTableAsSelect
-        if rtas.name.isInstanceOf[
+        if rtas.query.resolved && rtas.name.isInstanceOf[
             org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier] &&
           rtas.name.asInstanceOf[
             org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier]
-            .catalog.isInstanceOf[GraftSparkCatalog] =>
+            .catalog.isInstanceOf[GraftSparkCatalog] &&
+          rtas.tableSpec.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.TableSpec] =>
       // Spark's non-atomic ReplaceTableAsSelectExec DROPS the existing
       // table first and only then discovers the relation cannot be
-      // written — unrecoverable data loss from a statement that errors.
-      // Refuse before anything is dropped.
-      fail("CREATE OR REPLACE TABLE is not supported on graft catalogs " +
-        "(Spark's non-atomic replace would drop the table before the " +
-        "doomed write) — use INSERT OVERWRITE for the content, or " +
-        "DROP TABLE + CREATE TABLE ... AS SELECT")
+      // written — route to the library's atomic swap instead
+      // (GraftTable.replaceAtomic: old table readable until the commit
+      // point, crash-recoverable after it). Same RESOLVED-TableSpec
+      // guard as CTAS.
+      val rname = rtas.name
+        .asInstanceOf[org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier]
+      GraftRtasCommand(rname.catalog.asInstanceOf[GraftSparkCatalog],
+        rname.identifier, rtas.partitioning.toArray,
+        rtas.tableSpec
+          .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.TableSpec]
+          .properties,
+        substituteMorReads(rtas.query), rtas.orCreate)
     case _ => substituteMorReads(plan)
   }
 
@@ -889,6 +897,42 @@ case class GraftCtasCommand(
       try catalog.dropTable(ident) catch { case _: Throwable => () }
       throw e
     }
+    Nil
+  }
+}
+
+/** `[CREATE OR] REPLACE TABLE … AS SELECT` routed to the atomic swap
+  * ([[GraftTable.replaceAtomic]]): the old table serves until the commit
+  * point; a crash at any step leaves either the complete old table or
+  * (after reader-side heal) the complete new one. `CREATE OR REPLACE` on
+  * a missing table degrades to plain CTAS; bare `REPLACE` on a missing
+  * table refuses (SQL semantics). */
+case class GraftRtasCommand(
+    catalog: GraftSparkCatalog,
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+    properties: Map[String, String],
+    query: LogicalPlan,
+    orCreate: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (!catalog.tableExists(ident)) {
+      if (!orCreate)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_0035",
+          messageParameters = Map("message" ->
+            s"table $ident does not exist (REPLACE); use CREATE OR REPLACE"))
+      return GraftCtasCommand(catalog, ident, partitioning, properties,
+        query, ignoreIfExists = false).run(spark)
+    }
+    val src = GraftBridge.ofRows(spark, query)
+    val props = properties -
+      org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION -
+      org.apache.spark.sql.connector.catalog.TableCatalog.PROP_PROVIDER -
+      org.apache.spark.sql.connector.catalog.TableCatalog.PROP_OWNER -
+      org.apache.spark.sql.connector.catalog.TableCatalog.PROP_EXTERNAL
+    GraftTable.replaceAtomic(catalog.dirFor(ident), src, props,
+      GraftSparkCatalog.partitionSpecOf(partitioning))
+    catalog.invalidateTable(ident)
     Nil
   }
 }

@@ -178,7 +178,12 @@ final class GraftTable private (
     // `.txn-pending` pointer here: roll its staged log forward before
     // reading (all-or-nothing across the txn's tables — no reader may
     // see one table swapped and another not). Fast path: one stat call.
-    if (!txnStaged) GraftTransaction.healIfPending(dir)
+    if (!txnStaged) {
+      GraftTransaction.healIfPending(dir)
+      // same discipline for a crashed mid-swap CREATE OR REPLACE … AS
+      // SELECT: finish its log rename before reading (one stat call)
+      GraftTable.healReplace(dir)
+    }
     SnapshotLog.read(s"$dir/$logName")
   }
 
@@ -658,11 +663,13 @@ final class GraftTable private (
       s"branch '$name' evolved its schema/partition spec — " +
         "fast-forward publish requires identical metadata")
     require(bt.pendingDeletes.isEmpty,
-      s"branch '$name' has deferred deletes pending — compact() it first")
+      s"branch '$name' has deferred deletes pending — fold them first " +
+        "(rewriteDeleteFiles, or compact())")
     require(bt.positionalDeletes.isEmpty,
       s"branch '$name' has positional deletes pending — compact() it first")
     require(bt.equalityDeletes.isEmpty,
-      s"branch '$name' has equality deletes pending — compact() it first")
+      s"branch '$name' has equality deletes pending — fold them first " +
+        "(rewriteDeleteFiles, or compact())")
     val bcur = bt.log.current.getOrElse(
       throw new IllegalStateException(s"branch '$name' has no snapshot"))
     val lg = log
@@ -1617,7 +1624,16 @@ final class GraftTable private (
       operation: String,
       committedAt: Option[Long],
       extraSummary: Map[String, String]): Snapshot = {
-    val manifestRel = f"manifests/snap-$snapId%05d.json"
+    // an RTAS-staged handle RESTARTS snapshot numbering (REPLACE has
+    // DROP+CREATE history semantics), so its manifest-list names must
+    // not collide with the published table's — qualify them with the
+    // replace token. Transaction staging continues the published
+    // numbering and keeps the plain names.
+    val rtasTok = GraftTable.MainLog + ".rtas-"
+    val manifestRel =
+      if (logName.startsWith(rtasTok))
+        f"manifests/snap-$snapId%05d-${logName.stripPrefix(rtasTok)}.json"
+      else f"manifests/snap-$snapId%05d.json"
     // Concurrent-commit detection: claim this snapshot id via an O_EXCL
     // marker before touching the log. Two committers racing on the same
     // table dir would otherwise read-modify-write snapshots.json and
@@ -3236,6 +3252,59 @@ final class GraftTable private (
     * artifacts (legacy parquets, replaced vectors) leave the entry's
     * `files` — ancestor snapshots still reference them, expiration
     * reclaims them. */
+  /** DELETE-DEBT fold for the EQUALITY and PREDICATE-deferred forms —
+    * the surgical sibling of [[compact]]: materialize every pending
+    * equality/predicate entry by rewriting ONLY the files those entries
+    * COVER (visible rows land physically, dead rows drop, lineage
+    * carries), leaving every other data file untouched. O(covered
+    * data), not O(table) — on a 100 TB estate whose curation deletes
+    * touch one era, the fold rewrites that era alone where a full
+    * `compact()` would repack the world. After the fold `__deletes`
+    * drains of both forms, read plans lose their residual
+    * filters/anti-joins, and the operations that refuse pending
+    * equality state (branch publish, CDC seeds) proceed. A covered
+    * file's positional debt materializes with it (its positions change);
+    * uncovered files keep their deletion vectors — fold those with
+    * [[rewritePositionDeletes]] (metadata-only) instead.
+    *
+    * Entries whose covered files are ALL gone already (rewritten by
+    * earlier DML) drain in one metadata-only commit. Returns None when
+    * no equality/predicate entry pends. Commits as a `"replace"`
+    * snapshot: visible rows are preserved exactly, so the CDC feed nets
+    * it to nothing and additive streams pass over it, same as
+    * compaction. */
+  def rewriteDeleteFiles(
+      spark: SparkSession,
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    val lg = log
+    val current = lg.current.getOrElse(return None)
+    val pend = parsePending(current)
+    val eqPend = parseEquality(current)
+    if (pend.isEmpty && eqPend.isEmpty) return None
+    val manifest = Manifest.read(s"$dir/${current.manifestList}")
+    val covered = manifest.files.filter(f =>
+      pend.exists { case (c, _) => fileSnapId(f.path).forall(_ <= c) } ||
+        eqPend.exists(e => fileSnapId(f.path).forall(_ <= e.covered)))
+    if (covered.isEmpty) {
+      // every covered file is gone (earlier DML rewrote them): the
+      // entries are dead weight — drain them metadata-only (positional
+      // entries carry forward untouched via the summary defaults)
+      return Some(commit(lg, lg.nextId, manifest, Nil,
+        operation = "replace", committedAt,
+        extraSummary = Map(
+          "rewritten-data-files" -> "0",
+          "added-data-files" -> "0",
+          SummaryPendingDeletes -> "[]",
+          SummaryEqualityDeletes -> "[]")))
+    }
+    // compact's forced set = covered ∪ positional targets ∪ rename
+    // eras; onlyPaths narrows it to exactly the covered files, and the
+    // explicit-group arm mandates the rewrite even for one file
+    compact(spark, smallerThanBytes = 0L, committedAt,
+      targetFileBytes = Some(128L * 1024 * 1024),
+      onlyPaths = Some(covered.map(_.path).toSet))
+  }
+
   def rewritePositionDeletes(
       spark: SparkSession,
       committedAt: Option[Long] = None): Option[Snapshot] = {
@@ -4405,6 +4474,12 @@ final class GraftTable private (
       s"a warehouse transaction is in flight on $dir — publish, roll " +
         "back, or recover it (GraftTransaction.recover) before sweeping " +
         "orphans")
+    // same for a REPLACE mid-publish: its pointer marks staged state a
+    // sweep must not reclaim (a dead pre-commit replace clears its own
+    // pointer; a committed one heals on the log read above)
+    require(!Files.exists(Paths.get(dir, GraftTable.ReplacePendingFile)),
+      s"a table REPLACE is in flight on $dir — let it finish (or read " +
+        "the table once to heal a crashed one) before sweeping orphans")
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val lg = log
     val referenced: Set[String] = (lg.snapshots.flatMap { s =>
@@ -4433,14 +4508,30 @@ final class GraftTable private (
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
       .filterNot(p => refSegs.contains(p.normalize().toString))
     orphanSegs.foreach(Files.deleteIfExists(_))
+    // manifest LISTS no snapshot references — the pre-replace history a
+    // REPLACE discarded (expire removes entries + lists together, so
+    // only a whole-log swap can strand these)
+    val refLists: Set[String] = lg.snapshots
+      .map(s => Paths.get(dir, s.manifestList).normalize().toString).toSet
+    val orphanLists = walk(Paths.get(dir, "manifests"))
+      .filter(p => p.getFileName.toString.startsWith("snap-"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .filterNot(p => refLists.contains(p.normalize().toString))
+    orphanLists.foreach(Files.deleteIfExists(_))
     val staged = scala.util.Using.resource(Files.list(Paths.get(dir))) { st =>
       st.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(".staging"))
+        .filter { p =>
+          val n = p.getFileName.toString
+          // data-write staging dirs AND the staged files of a replace
+          // that died before writing its pointer (pointer-present
+          // replaces were refused above)
+          n.startsWith(".staging") || n.contains(".rtas-")
+        }
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .toSeq
     }
     staged.foreach(GraftTable.deleteRecursively)
-    (orphans ++ orphanSegs ++ staged)
+    (orphans ++ orphanSegs ++ orphanLists ++ staged)
       .map(p => Paths.get(dir).relativize(p).toString)
   }
 
@@ -6617,6 +6708,10 @@ object GraftTable {
     * log — the transaction-staging loader. Callers must hold the
     * table's commit claim for the staged log's lifetime. */
   private[table] def loadWithLog(dir: String, logName: String): GraftTable = {
+    // a committed-but-unswept REPLACE must finish before metadata.json
+    // is parsed — the staged metadata may already sit at the published
+    // name while the log rename is still owed
+    if (logName == MainLog) healReplace(dir)
     val metaPath = Paths.get(dir, "metadata.json")
     require(Files.exists(metaPath), s"not a graft table (no metadata.json): $dir")
     val meta = graft.util.Json.parseObject(Files.readString(metaPath))
@@ -6657,6 +6752,140 @@ object GraftTable {
 
   def exists(dir: String): Boolean =
     Files.exists(Paths.get(dir, "metadata.json"))
+
+  /** Pointer a publishing [[replaceAtomic]] leaves while swapping the
+    * two table files; readers route the swap decision through it. */
+  private[table] val ReplacePendingFile = ".rtas-pending"
+
+  /** Test hook: crash injection at named RTAS publish steps. */
+  private[table] var replaceCrashAt: String => Unit = _ => ()
+
+  /** ATOMIC table replacement (`CREATE OR REPLACE TABLE … AS SELECT`):
+    * swap the table at `dir` — schema, partitioning, properties AND
+    * content — for `df`, such that a reader at any instant (and after a
+    * crash at any step) sees either the complete OLD table or the
+    * complete NEW one, never a mixture and never a missing table. This
+    * is what Spark's own `ReplaceTableAsSelectExec` cannot give a
+    * non-atomic catalog (it DROPS first, then writes — a failed write
+    * loses the table).
+    *
+    * Protocol (the [[GraftTransaction]] discipline on one table's two
+    * metadata files):
+    *  1. take the commit claim for the published log's next id and HOLD
+    *     it — concurrent committers fail loudly for the duration;
+    *  2. stage `metadata.json.rtas-<token>` (the new schema/spec/props)
+    *     and an empty `snapshots.json.rtas-<token>`, then append `df`
+    *     through a staged handle — data files land under `data/`
+    *     invisibly (the standing not-in-the-log-doesn't-exist
+    *     invariant; the write token keeps names collision-free);
+    *  3. write the `.rtas-pending` pointer (staged names + claim);
+    *  4. THE atomicity point: rename the staged metadata over
+    *     `metadata.json`. Once the staged name is gone the replace IS
+    *     committed — every reader ([[healReplace]], one stat call when
+    *     the pointer is absent) finishes the log rename before parsing;
+    *  5. rename the staged log over `snapshots.json`, sweep pointer +
+    *     claim.
+    *
+    * The OLD history is discarded (REPLACE has DROP+CREATE semantics,
+    * made atomic): prior data/segment files become unreferenced and
+    * `removeOrphanFiles` reclaims them. A replace that dies before
+    * step 4 leaves the old table fully readable; its claim clears via
+    * `clearStaleClaims` and its staging via the orphan sweep. */
+  def replaceAtomic(
+      dir: String,
+      df: DataFrame,
+      properties: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil,
+      committedAt: Option[Long] = None): GraftTable = {
+    val old = load(dir) // heals any pending txn/replace first
+    val crashAt = replaceCrashAt
+    val nextId = old.log.nextId
+    val claimRel = f"manifests/.commit-$nextId%05d"
+    val claim = Paths.get(dir, claimRel)
+    Files.createDirectories(claim.getParent)
+    try Files.createFile(claim)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"cannot REPLACE $dir: a committer (or transaction) holds its " +
+            "commit claim")
+    }
+    var published = false
+    try {
+      if (old.log.nextId != nextId)
+        throw new java.util.ConcurrentModificationException(
+          s"a commit landed on $dir while starting its REPLACE")
+      val schema = StructType(df.schema.fields.map(_.copy(
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+      PartitionField.parseSpec(partitionBy, schema)
+      schema.fieldNames.foreach(requireNotReserved(_, dir))
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val stagedMetaName = s"metadata.json.rtas-$token"
+      val stagedLogName = s"$MainLog.rtas-$token"
+      graft.util.Json.writeFileAtomic(
+        Paths.get(dir, stagedMetaName).toString,
+        graft.util.Json.write(Map(
+          "format_version" -> 1L,
+          "schema" -> schema.json,
+          "partition_columns" -> partitionBy,
+          "properties" -> properties)))
+      SnapshotLog.empty.write(s"$dir/$stagedLogName")
+      val staged = new GraftTable(dir, schema, properties, partitionBy,
+        logName = stagedLogName)
+      staged.append(df, committedAt)
+      crashAt("staged")
+      graft.util.Json.writeFileAtomic(
+        Paths.get(dir, ReplacePendingFile).toString,
+        graft.util.Json.write(Map(
+          "meta" -> stagedMetaName, "log" -> stagedLogName,
+          "claim" -> claimRel)))
+      crashAt("pointer")
+      // THE atomicity point — a concurrent orphan sweep that reclaimed
+      // the staged metadata makes this throw: loud, nothing published
+      Files.move(Paths.get(dir, stagedMetaName),
+        Paths.get(dir, "metadata.json"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      published = true
+      crashAt("meta-swapped")
+      try Files.move(Paths.get(dir, stagedLogName),
+        Paths.get(dir, MainLog),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.NoSuchFileException => () } // healed
+      crashAt("log-swapped")
+      Files.deleteIfExists(Paths.get(dir, ReplacePendingFile))
+    } finally {
+      // pre-publish failures keep the old table intact: drop the
+      // pointer so readers never roll a dead stage forward by mistake
+      // (the staged names survive as age-gated orphans)
+      if (!published) Files.deleteIfExists(Paths.get(dir, ReplacePendingFile))
+      Files.deleteIfExists(claim)
+    }
+    load(dir)
+  }
+
+  /** Reader-side roll-forward for [[replaceAtomic]]: a pointer whose
+    * staged METADATA name is gone marks a replace past its atomicity
+    * point — finish the log rename before anything parses the table
+    * (idempotent; racers tolerate each other). A pointer whose staged
+    * metadata still exists is inert: the publisher is in flight or died
+    * pre-commit, and the old table stays authoritative. */
+  private[table] def healReplace(dir: String): Unit = {
+    val ptr = Paths.get(dir, ReplacePendingFile)
+    if (!Files.exists(ptr)) return
+    val meta =
+      try graft.util.Json.parseObject(Files.readString(ptr))
+      catch { case _: Exception => return } // torn/foreign: ignore
+    val stagedMeta = meta.get("meta").map(_.toString).getOrElse(return)
+    val stagedLog = meta.get("log").map(_.toString).getOrElse(return)
+    if (!Files.exists(Paths.get(dir, stagedMeta))) {
+      try Files.move(Paths.get(dir, stagedLog), Paths.get(dir, MainLog),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.NoSuchFileException => () }
+      meta.get("claim").map(_.toString)
+        .foreach(c => Files.deleteIfExists(Paths.get(dir, c)))
+      Files.deleteIfExists(ptr)
+    }
+  }
 
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {

@@ -358,6 +358,66 @@ object TableDemo {
       "," + spark.sql("SELECT count(*) FROM gdemo.db.registered")
         .collect().head.getLong(0))
 
+    // equality/predicate DELETE-DEBT fold: pending entries materialize
+    // by rewriting ONLY their covered files; __deletes drains, reads
+    // lose the anti-join — O(covered), not O(table)
+    val foldT = GraftTable.create(s"$dir/foldt", pplSchema)
+    foldT.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(80L, "keep"), Row(81L, "drop")), 1), pplSchema), Some(1000L))
+    foldT.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(82L, "later")), 1),
+      pplSchema), Some(2000L))
+    foldT.deleteEquality(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(81L, "x")), 1), pplSchema)
+      .select("id"), Seq("id"), Some(3000L))
+    val foldSnap = GraftTable.load(s"$dir/foldt")
+      .rewriteDeleteFiles(spark, Some(4000L))
+    println("DELETE-FOLD: rewritten=" +
+      foldSnap.get.summary("rewritten-data-files") +
+      " pending=" + GraftTable.load(s"$dir/foldt").equalityDeletes.size +
+      " rows=" + GraftTable.load(s"$dir/foldt").read(spark)
+        .select("id").collect().map(_.getLong(0)).sorted.mkString(","))
+
+    // SQL-shop WAP: DML stages on <table>__branch_<b>, VERSION AS OF
+    // audits, publish fast-forwards — main untouched until then
+    spark.sql("ALTER TABLE gdemo.db.people CREATE BRANCH wap").collect()
+    spark.sql("INSERT INTO gdemo.db.people__branch_wap VALUES (70, 'wap')")
+    spark.sql("DELETE FROM gdemo.db.people__branch_wap WHERE id = 60")
+    val mainBefore = spark.sql("SELECT count(*) FROM gdemo.db.people")
+      .collect().head.getLong(0)
+    val auditRows = spark.sql(
+      "SELECT count(*) FROM gdemo.db.people VERSION AS OF 'branch:wap'")
+      .collect().head.getLong(0)
+    spark.sql("CALL gdemo.system.publish_branch('db.people', 'wap')").collect()
+    println("WAP-SQL: main-before=" + mainBefore +
+      " audit=" + auditRows +
+      " published=" + spark.sql("SELECT count(*) FROM gdemo.db.people")
+        .collect().head.getLong(0))
+
+    // atomic CREATE OR REPLACE TABLE AS SELECT: schema+content swap in
+    // one recoverable commit (old table serves until the commit point)
+    spark.sql("CREATE OR REPLACE TABLE gdemo.db.registered AS " +
+      "SELECT id, data, 'replaced' AS origin FROM gdemo.db.registered")
+    println("RTAS: " + spark.sql(
+      "SELECT id, origin FROM gdemo.db.registered ORDER BY id LIMIT 2")
+      .collect().mkString(", ") +
+      " snaps=" + GraftTable.load(s"$dir/outside_moved")
+        .log.snapshots.map(_.snapshotId).mkString(","))
+
+    // dynamic-partition INSERT OVERWRITE: replace exactly the written
+    // partitions, untouched slices carry by ref
+    spark.sql("CREATE TABLE gdemo.db.dyn (id BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO gdemo.db.dyn VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.sql("INSERT OVERWRITE gdemo.db.dyn VALUES (10, 'b')")
+    val dynT = GraftTable.load(s"$dir/wh/db/dyn")
+    println("DYN-OVERWRITE: " + spark.sql(
+      "SELECT * FROM gdemo.db.dyn ORDER BY id").collect().mkString(", ") +
+      " rewritten=" + dynT.log.current.get.summary("rewritten-data-files") +
+      " replaced=" + dynT.log.current.get.summary("replaced-partitions"))
+
     // schema evolution: era-mapped rename + widen, metadata-only
     val evo = GraftTable.create(s"$dir/evo", StructType(Seq(
       StructField("k", IntegerType, nullable = false),

@@ -340,4 +340,49 @@ class BranchSpec extends SparkSpecBase {
     val after = GraftTable.load(s"$wh/db/t")
     assert(after.refs == Map("stable" -> 2L) && after.branches.isEmpty)
   }
+
+  test("SQL-shop WAP: <table>__branch_<b> routes DML to the branch; main untouched until publish") {
+    val wh = tmpDir("graft-wapsql-wh")
+    val sE = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .create()
+    sE.conf.set("spark.sql.catalog.gwb", "graft.table.GraftSparkCatalog")
+    sE.conf.set("spark.sql.catalog.gwb.warehouse", wh)
+    val t = GraftTable.create(s"$wh/db/w", base.schema)
+    t.append(base, Some(1000L))
+    sE.sql("ALTER TABLE gwb.db.w CREATE BRANCH audit").collect()
+    // the FULL SQL DML surface stages on the branch handle
+    sE.sql("INSERT INTO gwb.db.w__branch_audit VALUES (4, 'd')")
+    sE.sql("UPDATE gwb.db.w__branch_audit SET v = 'B' WHERE id = 2")
+    sE.sql("DELETE FROM gwb.db.w__branch_audit WHERE id = 1")
+    sE.sql("MERGE INTO gwb.db.w__branch_audit t USING " +
+      "(SELECT 5L AS id, 'e' AS v) s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)")
+    def rows(q: String) = sE.sql(q).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val audited = Seq(2L -> "B", 3L -> "c", 4L -> "d", 5L -> "e")
+    // audit reads: the staged-name SELECT and VERSION AS OF agree
+    assert(rows("SELECT id, v FROM gwb.db.w__branch_audit ORDER BY id")
+      == audited)
+    assert(rows("SELECT id, v FROM gwb.db.w VERSION AS OF 'branch:audit' " +
+      "ORDER BY id") == audited)
+    // main untouched until publish
+    assert(rows("SELECT id, v FROM gwb.db.w ORDER BY id") ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    sE.sql("CALL gwb.system.publish_branch('db.w', 'audit')").collect()
+    assert(rows("SELECT id, v FROM gwb.db.w ORDER BY id") == audited)
+    // a real table named like the staged form wins over the routing
+    sE.sql("CREATE TABLE gwb.db.real__branch_x (id BIGINT, v STRING)")
+    sE.sql("INSERT INTO gwb.db.real__branch_x VALUES (9, 'z')")
+    assert(rows("SELECT id, v FROM gwb.db.real__branch_x") == Seq(9L -> "z"))
+    // unknown branch refuses with direction
+    val e = intercept[Exception] {
+      sE.sql("SELECT * FROM gwb.db.w__branch_nope").collect()
+    }
+    assert(e.getMessage.contains("no branch 'nope'"), e.getMessage)
+  }
 }

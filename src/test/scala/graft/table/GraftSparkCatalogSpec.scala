@@ -362,15 +362,12 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       "SELECT 9L AS id, 'x' AS data")
     assert(sqlS.sql("SELECT count(*) FROM g2.db.ctas").head().getLong(0) == 2L)
 
-    // CREATE OR REPLACE is refused BEFORE anything is dropped (Spark's
-    // non-atomic replace would delete the table, then fail the write)
-    val er = intercept[Exception] {
-      sqlS.sql("CREATE OR REPLACE TABLE g2.db.ctas AS SELECT 1L AS id, 'y' AS data")
-    }
-    assert(er.getMessage.contains("REPLACE"), er.getMessage)
-    assert(GraftTable.exists(s"$wh/db/ctas"),
-      "CREATE OR REPLACE destroyed the table")
-    assert(sqlS.sql("SELECT count(*) FROM g2.db.ctas").head().getLong(0) == 2L)
+    // CREATE OR REPLACE routes to the library's ATOMIC swap (Spark's
+    // own non-atomic replace would delete the table, then fail the
+    // write) — full coverage in ReplaceTableSpec
+    sqlS.sql("CREATE OR REPLACE TABLE g2.db.ctas AS SELECT 1L AS id, 'y' AS data")
+    assert(GraftTable.exists(s"$wh/db/ctas"))
+    assert(sqlS.sql("SELECT data FROM g2.db.ctas").head().getString(0) == "y")
   }
 
   test("INSERT BY NAME refuses extra source columns") {
