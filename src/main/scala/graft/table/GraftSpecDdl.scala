@@ -16,6 +16,9 @@ import org.apache.spark.sql.types.StringType
   *   ALTER TABLE cat.db.t CREATE TAG v1 [AS OF VERSION 3]
   *   ALTER TABLE cat.db.t CREATE BRANCH audit
   *   ALTER TABLE cat.db.t DROP TAG v1 / DROP BRANCH audit
+  *   ALTER TABLE cat.db.t WRITE ORDERED BY (c1, c2)
+  *   ALTER TABLE cat.db.t WRITE DISTRIBUTED BY PARTITION [LOCALLY ORDERED BY c]
+  *   ALTER TABLE cat.db.t WRITE UNORDERED
   * }}}
   *
   * Spark's own grammar has no spelling for any of these (its
@@ -48,6 +51,10 @@ object GraftSpecDdl {
     """(?is)\s*ALTER\s+TABLE\s+([^\s]+)\s+CREATE\s+(BRANCH|TAG)\s+(\w[\w.-]*)(\s+AS\s+OF\s+VERSION\s+(\d+))?\s*""".r
   private val DropRefRe =
     """(?is)\s*ALTER\s+TABLE\s+([^\s]+)\s+DROP\s+(BRANCH|TAG)\s+(\w[\w.-]*)\s*""".r
+  // Iceberg's write-order DDL family: the clause tail parses in
+  // [[parseWriteClause]] (distribution and/or ordering, or UNORDERED)
+  private val WriteRe =
+    """(?is)\s*ALTER\s+TABLE\s+([^\s]+)\s+WRITE\s+(.+?)\s*;?\s*""".r
 
   private def identParts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -79,8 +86,100 @@ object GraftSpecDdl {
         target(ident).map(GraftRefDdlCommand(_,
           create = false, branch = kind.equalsIgnoreCase("branch"),
           ref = ref, asOf = None))
+      case WriteRe(ident, clause) =>
+        for {
+          parts <- target(ident)
+          cmd <- parseWriteClause(parts, clause.trim)
+        } yield cmd
       case _ => None
     }
+  }
+
+  /** `WRITE …` clause tail → the property edit (None = not a write-order
+    * clause; the caller rethrows the original parse error):
+    *
+    * {{{
+    *   WRITE ORDERED BY (c1, c2)                      — graft.write.sort
+    *   WRITE LOCALLY ORDERED BY c1                    — same property
+    *   WRITE DISTRIBUTED BY PARTITION                 — …distribution=hash
+    *   WRITE DISTRIBUTED BY PARTITION [LOCALLY] ORDERED BY c1 — both
+    *   WRITE UNORDERED                                — clears both
+    * }}}
+    *
+    * The properties are the long-standing write levers
+    * ([[GraftTable.PropWriteSort]] range-partitions + sorts every data
+    * write so files land range-disjoint; [[GraftTable.PropWriteDistribution]]
+    * `hash` clusters rows by partition value so each table partition is
+    * written by one task). Column validation happens in the command
+    * (against the live schema); `DESC` / `NULLS` modifiers refuse —
+    * the sort property orders ascending. */
+  private def parseWriteClause(
+      parts: Seq[String], clause: String): Option[LogicalPlan] = {
+    val UnorderedRe = """(?is)UNORDERED""".r
+    val DistRe = """(?is)DISTRIBUTED\s+BY\s+PARTITION""".r
+    val DistOrderRe =
+      """(?is)DISTRIBUTED\s+BY\s+PARTITION\s+(?:LOCALLY\s+)?ORDERED\s+BY\s+(.+)""".r
+    val OrderRe = """(?is)(?:LOCALLY\s+)?ORDERED\s+BY\s+(.+)""".r
+    def cols(s: String): Seq[String] = {
+      val stripped = s.trim.stripPrefix("(").stripSuffix(")")
+      stripped.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { c =>
+        require(!c.matches("(?is).*\\s+(DESC|NULLS)\\b.*"),
+          s"write sort '$c' — graft.write.sort orders ascending with " +
+            "default null placement (DESC / NULLS modifiers unsupported)")
+        c.replaceAll("(?is)\\s+ASC$", "").stripPrefix("`").stripSuffix("`")
+      }
+    }
+    clause match {
+      case UnorderedRe() =>
+        Some(GraftWriteOrderCommand(parts, sort = None,
+          distribution = None, clear = true))
+      case DistOrderRe(cs) =>
+        Some(GraftWriteOrderCommand(parts, sort = Some(cols(cs)),
+          distribution = Some("hash"), clear = false))
+      case DistRe() =>
+        Some(GraftWriteOrderCommand(parts, sort = None,
+          distribution = Some("hash"), clear = false))
+      case OrderRe(cs) =>
+        Some(GraftWriteOrderCommand(parts, sort = Some(cols(cs)),
+          distribution = None, clear = false))
+      case _ => None
+    }
+  }
+}
+
+/** Apply one `ALTER TABLE … WRITE …` statement: validate the sort
+  * columns against the live schema and commit the metadata-only
+  * property edit. Returns (write_distribution, write_sort). */
+case class GraftWriteOrderCommand(
+    parts: Seq[String],
+    sort: Option[Seq[String]],
+    distribution: Option[String],
+    clear: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("write_distribution", StringType, nullable = false)(),
+    AttributeReference("write_sort", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val Seq(cat, db, name) = parts: @unchecked
+    val wh = GraftViews.warehouseOf(spark, cat)
+    val dir = s"$wh/$db/$name"
+    require(GraftTable.exists(dir), s"no graft table $db.$name in $cat")
+    val t = GraftTable.load(dir)
+    sort.toSeq.flatten.foreach(c =>
+      require(t.schema.fieldNames.contains(c),
+        s"write sort column '$c' is not in the schema of $db.$name"))
+    val t2 =
+      if (clear) t.updateProperties(Map.empty,
+        removals = Set(GraftTable.PropWriteSort,
+          GraftTable.PropWriteDistribution))
+      else t.updateProperties(
+        sort.map(cs =>
+          GraftTable.PropWriteSort -> cs.mkString(",")).toMap ++
+        distribution.map(GraftTable.PropWriteDistribution -> _).toMap)
+    Seq(Row(
+      t2.properties.getOrElse(GraftTable.PropWriteDistribution, "none"),
+      t2.properties.getOrElse(GraftTable.PropWriteSort, "")))
   }
 }
 

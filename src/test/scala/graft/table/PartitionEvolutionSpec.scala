@@ -260,6 +260,57 @@ class PartitionEvolutionSpec extends SparkSpecBase {
       Seq("n_regionkey", "bucket(4, n_nationkey)"))
   }
 
+  test("write-order DDL: ALTER TABLE WRITE ORDERED BY / DISTRIBUTED BY PARTITION / UNORDERED") {
+    val wh = tmpDir("wo-sql-wh")
+    val sE = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .create()
+    sE.conf.set("spark.sql.catalog.gwo", "graft.table.GraftSparkCatalog")
+    sE.conf.set("spark.sql.catalog.gwo.warehouse", wh)
+    val t0 = GraftTable.create(s"$wh/db/t", nation.schema)
+    // ORDERED BY round-trips to graft.write.sort, and the NEXT write
+    // honors it: files land range-disjoint on the sort prefix
+    val ord = sE.sql(
+      "ALTER TABLE gwo.db.t WRITE ORDERED BY (n_nationkey)").collect()
+    assert(ord.head.getString(0) == "none" &&
+      ord.head.getString(1) == "n_nationkey", ord.mkString(","))
+    val t1 = GraftTable.load(s"$wh/db/t")
+    assert(t1.properties(GraftTable.PropWriteSort) == "n_nationkey")
+    t1.append(nation.repartition(4), Some(1000L))
+    val files = Manifest.read(
+      s"${t1.dir}/${GraftTable.load(t1.dir).log.current.get.manifestList}")
+      .files
+    val bounds = files.flatMap(f => f.stats.get("n_nationkey")
+      .flatMap(s => s.min.zip(s.max))).map { case (lo, hi) =>
+      (lo.toLong, hi.toLong) }.sortBy(_._1)
+    assert(bounds.size >= 2, s"expected several sorted files: $bounds")
+    bounds.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"files not range-disjoint: $bounds")
+    case _ => () }
+    // the combined form sets both levers
+    val both = sE.sql("ALTER TABLE gwo.db.t WRITE DISTRIBUTED BY " +
+      "PARTITION LOCALLY ORDERED BY n_name").collect()
+    assert(both.head.getString(0) == "hash" &&
+      both.head.getString(1) == "n_name", both.mkString(","))
+    // UNORDERED clears both
+    val un = sE.sql("ALTER TABLE gwo.db.t WRITE UNORDERED").collect()
+    assert(un.head.getString(0) == "none" && un.head.getString(1) == "",
+      un.mkString(","))
+    val t2 = GraftTable.load(s"$wh/db/t")
+    assert(!t2.properties.contains(GraftTable.PropWriteSort) &&
+      !t2.properties.contains(GraftTable.PropWriteDistribution))
+    // refusals: DESC modifier, unknown column; malformed text keeps the
+    // delegate's parse error
+    intercept[Exception] { sE.sql(
+      "ALTER TABLE gwo.db.t WRITE ORDERED BY n_nationkey DESC") }
+    intercept[Exception] { sE.sql(
+      "ALTER TABLE gwo.db.t WRITE ORDERED BY nope") }
+    intercept[Exception] { sE.sql("ALTER TABLE gwo.db.t WRITE SIDEWAYS") }
+  }
+
   test("time travel into the pre-evolution era still reads its layout") {
     val dir = tmpDir("evo-tt")
     val t0 = GraftTable.create(dir, nation.schema,
