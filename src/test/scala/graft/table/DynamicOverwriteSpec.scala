@@ -192,6 +192,87 @@ class DynamicOverwriteSpec extends SparkSpecBase {
     assert(t2.read(spark).count() == 3L)
   }
 
+  test("property: random DML chains with dynamic overwrites match a driver-side model") {
+    val rnd = new scala.util.Random(
+      sys.env.getOrElse("GRAFT_FUZZ_SEED", "61").toLong)
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, String)] =
+      (0 until n).map { _ =>
+        nextId += 1
+        nextId -> s"c${nextId % 4}"
+      }
+    def df(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)),
+        math.max(1, math.min(2, rows.size))), schema)
+
+    for (trial <- 1 to 4) {
+      val dir = s"$wh/db/prop$trial"
+      val t = GraftTable.create(dir, schema, partitionBy = Seq("cat"))
+      var model = scala.collection.mutable.LinkedHashMap[Long, String]()
+      def commitModel(rows: Seq[(Long, String)]): Unit =
+        rows.foreach { case (i, c) => model(i) = c }
+      val first = fresh(8)
+      t.append(df(first), Some(1000L)); commitModel(first)
+      var ts = 2000L
+      for (step <- 1 to 10) {
+        ts += 1000L
+        val ids = model.keys.toSeq
+        val ops = Seq("append", "dyn", "dynEmpty", "deferred",
+          "equality", "positional", "upsert", "compact")
+          .filter(o => ids.nonEmpty ||
+            o == "append" || o == "dyn" || o == "dynEmpty" || o == "compact")
+        val op = ops(rnd.nextInt(ops.size))
+        val handle = GraftTable.load(dir)
+        op match {
+          case "append" =>
+            val rows = fresh(1 + rnd.nextInt(3))
+            handle.append(df(rows), Some(ts)); commitModel(rows)
+          case "dyn" =>
+            // replace exactly the partitions the source writes into —
+            // under WHATEVER MoR state is pending (demotion discipline)
+            val rows = fresh(1 + rnd.nextInt(4))
+            val touched = rows.map(_._2).toSet
+            handle.overwritePartitionsDynamic(spark, df(rows), Some(ts))
+            model = model.filterNot { case (_, c) => touched(c) }
+            commitModel(rows)
+          case "dynEmpty" =>
+            handle.overwritePartitionsDynamic(spark,
+              df(Nil).filter(col("id") < 0), Some(ts))
+          case "deferred" =>
+            val lo = nextId - rnd.nextInt(6)
+            handle.deleteDeferred(spark, col("id") >= lo, Some(ts))
+            model = model.filterNot { case (i, _) => i >= lo }
+          case "equality" =>
+            val victims = rnd.shuffle(ids).take(1 + rnd.nextInt(2))
+            import spark.implicits._
+            handle.deleteEquality(spark, victims.toDF("id"),
+              Seq("id"), Some(ts))
+            victims.foreach(model.remove)
+          case "positional" =>
+            val k = ids(rnd.nextInt(ids.size))
+            handle.deletePositional(spark, col("id") === k, Some(ts))
+            model.remove(k): Unit
+          case "upsert" =>
+            val k = ids(rnd.nextInt(ids.size))
+            val rows = Seq(k -> "up") ++ fresh(1)
+            handle.mergeEquality(spark, df(rows), Seq("id"), Some(ts))
+            commitModel(rows)
+          case "compact" =>
+            handle.compact(spark, smallerThanBytes = Long.MaxValue,
+              Some(ts)): Unit
+        }
+        val got = GraftTable.load(dir).read(spark)
+          .select("id", "cat").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == model.toMap,
+          s"trial $trial step $step ($op): visible rows diverged from " +
+            s"the model — extra=${got.toSet -- model.toSet} " +
+            s"missing=${model.toSet -- got.toSet}")
+      }
+      GraftTable.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("degenerate forms: unpartitioned replaces all; empty source replaces nothing") {
     val t = GraftTable.create(s"$wh/db/unpart", schema)
     t.append(mkDf(1L -> "a", 2L -> "b"), Some(1000L))
