@@ -242,6 +242,31 @@ class GraftSparkCatalog extends CatalogPlugin with TableCatalog
         }
       }
     }
+    // SESSION-scoped WAP routing (Iceberg's `write.wap.enabled` table
+    // property + `spark.wap.branch` session conf, graft-spelled): when
+    // the session sets `graft.wap.branch = <b>` and the table OPTS IN
+    // via `graft.wap.enabled = true`, the table name itself resolves to
+    // the branch handle — every read and write of the session lands on
+    // the audit branch until publish, with zero query rewrites. The
+    // property gate keeps a session-global conf from silently rerouting
+    // unrelated tables; a missing branch on an opted-in table refuses
+    // loudly (a typo must never quietly write to main).
+    if (tableExists(ident)) {
+      val wap = try org.apache.spark.sql.SparkSession.active.conf
+        .get("graft.wap.branch", "")
+      catch { case _: Exception => "" }
+      if (wap.nonEmpty) {
+        val t = loadGraft(ident)
+        if (t.properties.get("graft.wap.enabled").contains("true")) {
+          require(t.branches.contains(wap),
+            s"graft.wap.branch = '$wap' is set and ${identToName(ident)} " +
+              s"has graft.wap.enabled, but no branch '$wap' exists — " +
+              "CALL create_branch first (or unset the session conf)")
+          return new GraftV2Table(
+            s"${identToName(ident)}@branch:$wap", t.branch(wap), None)
+        }
+      }
+    }
     loadMeta(ident, snapshotId = None)
       .getOrElse(load(ident, snapshotId = None))
   }

@@ -385,4 +385,56 @@ class BranchSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("no branch 'nope'"), e.getMessage)
   }
+
+  test("session WAP mode: graft.wap.branch routes opted-in tables to the branch") {
+    val wh = tmpDir("graft-wapconf-wh")
+    val sE = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .create()
+    sE.conf.set("spark.sql.catalog.gwc", "graft.table.GraftSparkCatalog")
+    sE.conf.set("spark.sql.catalog.gwc.warehouse", wh)
+    val t = GraftTable.create(s"$wh/db/w", base.schema,
+      properties = Map("graft.wap.enabled" -> "true"))
+    t.append(base, Some(1000L))
+    val other = GraftTable.create(s"$wh/db/plain", base.schema)
+    other.append(base, Some(1000L))
+    t.createBranch("audit", Some(2000L))
+    try {
+      sE.conf.set("graft.wap.branch", "audit")
+      // reads AND writes of the opted-in table land on the branch
+      sE.sql("INSERT INTO gwc.db.w VALUES (4, 'd')")
+      sE.sql("DELETE FROM gwc.db.w WHERE id = 1")
+      assert(sE.sql("SELECT id FROM gwc.db.w ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+      // main is untouched (library read bypasses the session conf)
+      assert(GraftTable.load(s"$wh/db/w").read(spark).count() == 3L)
+      // tables WITHOUT the opt-in property ignore the session conf
+      sE.sql("INSERT INTO gwc.db.plain VALUES (9, 'z')")
+      assert(sE.sql("SELECT count(*) FROM gwc.db.plain")
+        .head().getLong(0) == 4L)
+      assert(GraftTable.load(s"$wh/db/plain").read(spark).count() == 4L)
+      // an opted-in table MISSING the branch refuses loudly (a typo
+      // must never quietly write to main)
+      val t2 = GraftTable.create(s"$wh/db/w2", base.schema,
+        properties = Map("graft.wap.enabled" -> "true"))
+      t2.append(base, Some(1000L))
+      val e = intercept[Exception] {
+        sE.sql("SELECT * FROM gwc.db.w2").collect()
+      }
+      assert(e.getMessage.contains("no branch 'audit'"), e.getMessage)
+      // unset: the very next query is back on main (stateless)
+      sE.conf.unset("graft.wap.branch")
+      assert(sE.sql("SELECT id FROM gwc.db.w ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      // publish lands the audited state
+      GraftTable.load(s"$wh/db/w").publishBranch("audit", Some(3000L))
+      assert(sE.sql("SELECT id FROM gwc.db.w ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    } finally {
+      try sE.conf.unset("graft.wap.branch") catch { case _: Exception => () }
+    }
+  }
 }
