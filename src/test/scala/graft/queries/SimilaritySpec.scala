@@ -296,4 +296,51 @@ class SimilaritySpec extends SparkSpecBase {
     assert(probedScan.inputFiles.length < idx.read(spark).inputFiles.length,
       "probe scan did not prune to the probed cells")
   }
+
+  test("corpus curation delete + index tombstone publish as ONE transaction") {
+    import graft.table.{GraftCatalog, GraftTable}
+    // the consistency story end-to-end: a curation DELETE on the corpus
+    // and the CDC-driven index refresh consuming it (equality tombstone)
+    // stage inside one warehouse transaction — a reader between stage
+    // and publish sees NEITHER; after publish the index never serves
+    // the retracted vectors and "incremental == rebuild" still holds
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-txn-idx").toString
+    val cat = new GraftCatalog(wh)
+    val corpusDf = emb.limit(60)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val corpus = cat.createTable("db.corpus", corpusDf.schema)
+    corpus.append(corpusDf, Some(1000L))
+    val cb = graft.functions.CellAssign.codebook(
+      Similarity.seededCentroids(nCentroids = 8, seed = 23L), roundTo = 6)
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").as("n_id"), col("v").as("n_v"))
+      .withColumn("cid", graft.functions.CellAssign.cell_argmax(col("n_v"), cb))
+    val base = assign(corpus.read(spark).drop("snapshot__id"))
+    val index = cat.createTable("db.index", base.schema)
+    index.append(base, Some(1000L))
+
+    val txn = cat.beginTransaction()
+    val c = txn.table("db.corpus")
+    val i = txn.table("db.index")
+    c.delete(spark, col("vec_id") % 3 === 0, Some(2000L))
+    // the refresh consumes the STAGED CDC window — visible only inside
+    // the transaction
+    Similarity.refreshIndexCdc(spark, i,
+      c.changesCdc(spark, 1L, Some(2L)), "vec_id", assign, Some(2000L))
+    // published names still serve the PRE-curation state of BOTH tables
+    assert(GraftTable.load(s"$wh/db/corpus").read(spark).count() == 60L)
+    assert(GraftTable.load(s"$wh/db/index").read(spark)
+      .filter(col("n_id") % 3 === 0).count() > 0L)
+    txn.commit()
+    // one visible event: corpus and index agree, retracted ids gone
+    val cIds = GraftTable.load(s"$wh/db/corpus").read(spark)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val iIds = GraftTable.load(s"$wh/db/index").read(spark)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(cIds == iIds, s"corpus/index diverged: ${cIds.diff(iIds)} / " +
+      s"${iIds.diff(cIds)}")
+    assert(!iIds.exists(_ % 3 == 0), "index serves retracted vectors")
+    GraftTable.deleteRecursively(java.nio.file.Paths.get(wh))
+  }
 }

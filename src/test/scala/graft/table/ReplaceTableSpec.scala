@@ -169,5 +169,12 @@ class ReplaceTableSpec extends SparkSpecBase {
       sqlS.sql("REPLACE TABLE grt.db.nope AS SELECT 1 AS n")
     }
     assert(e.getMessage.contains("does not exist"), e.getMessage)
+    // the DataFrameWriterV2 spelling routes to the same atomic swap
+    import sqlS.implicits._
+    Seq((7L, "api")).toDF("id", "data").writeTo("grt.db.sq").createOrReplace()
+    assert(sqlS.sql("SELECT id, data FROM grt.db.sq").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(7L -> "api"))
+    assert(GraftTable.load(s"$wh/db/sq").log.snapshots.map(_.snapshotId)
+      == Seq(1L))
   }
 }
