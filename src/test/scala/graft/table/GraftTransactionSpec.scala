@@ -383,6 +383,32 @@ class GraftTransactionSpec extends SparkSpecBase {
     assert(ids(GraftTable.load(s"$wh/db/corpus")) == Seq(1L, 2L, 4L))
   }
 
+  test("a renamed-away txn dir that holds the commit marker rolls FORWARD") {
+    // the publisher reached its atomicity point, then a racing recover
+    // renamed the dir and died — the .rb dir carries the marker, so the
+    // next sweep must finish the publish, never tear it down
+    val (wh, cat) = freshWh("txn_rb_fwd")
+    seed(cat)
+    val txn = cat.beginTransaction()
+    txn.table("db.corpus").append(mkDf(3L -> "c"), Some(2000L))
+    txn.table("db.index").append(mkDf(11L -> "y"), Some(2000L))
+    txn.crashAt = s => if (s == "post-commit") throw new RuntimeException("kill")
+    intercept[RuntimeException] { txn.commit() }
+    GraftTransaction.release(txn.id)
+    val d = Paths.get(wh, GraftTransaction.TxnsDir, txn.id)
+    val rb = Paths.get(wh, GraftTransaction.TxnsDir, txn.id + ".rb")
+    Files.move(d, rb)
+    assert(GraftTransaction.recover(wh,
+      olderThanMillis = Long.MaxValue) == Seq(txn.id))
+    // published, both tables, protocol state swept
+    assert(ids(GraftTable.load(s"$wh/db/corpus")) == Seq(1L, 2L, 3L))
+    assert(ids(GraftTable.load(s"$wh/db/index")) == Seq(10L, 11L))
+    assert(!Files.exists(rb))
+    assert(!Files.exists(Paths.get(wh, "db", "corpus", ".txn-pending")))
+    GraftTable.load(s"$wh/db/corpus").append(mkDf(4L -> "d"), Some(3000L))
+    assert(ids(GraftTable.load(s"$wh/db/corpus")) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("row-id bands stay monotone through a transaction (lineage across publish)") {
     val (wh, cat) = freshWh("txn_rowid")
     val corpus = cat.createTable("db.corpus", schema)
