@@ -192,6 +192,25 @@ class DynamicOverwriteSpec extends SparkSpecBase {
     assert(t2.read(spark).count() == 3L)
   }
 
+  test("mixed static+dynamic PARTITION clause keeps Hive semantics through the dynamic route") {
+    // `INSERT OVERWRITE t PARTITION (cat='a', sub)` under dynamic mode:
+    // Spark folds the static value into the source and plans
+    // OverwritePartitionsDynamic — only the WRITTEN (cat, sub) combos
+    // replace; the static prefix's other sub-partitions survive
+    sqlS.sql("CREATE TABLE gdo.db.mixed (id BIGINT, cat STRING, sub STRING) " +
+      "PARTITIONED BY (cat, sub)")
+    sqlS.sql("INSERT INTO gdo.db.mixed VALUES " +
+      "(1,'a','x'), (2,'a','y'), (3,'b','x')")
+    sqlS.sql("INSERT OVERWRITE gdo.db.mixed PARTITION (cat='a', sub) " +
+      "VALUES (10, 'x')")
+    val got = sqlS.sql("SELECT id, cat, sub FROM gdo.db.mixed ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((2L, "a", "y"), (3L, "b", "x"), (10L, "a", "x")), got)
+    val t = GraftTable.load(s"$wh/db/mixed")
+    assert(t.log.current.get.summary("replaced-partitions") == "1")
+    assert(t.log.current.get.summary("rewritten-data-files") == "0")
+  }
+
   test("property: random DML chains with dynamic overwrites match a driver-side model") {
     val rnd = new scala.util.Random(
       sys.env.getOrElse("GRAFT_FUZZ_SEED", "61").toLong)
