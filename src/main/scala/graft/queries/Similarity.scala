@@ -582,7 +582,8 @@ object Similarity extends QueryPack {
       feed: DataFrame,
       keyCol: String,
       encode: DataFrame => DataFrame,
-      committedAt: Option[Long]): Unit = {
+      committedAt: Option[Long],
+      foldEvery: Int = 1): Unit = {
     import org.apache.spark.sql.expressions.Window
     // per-key netting: O(batch) rows, ~unique keys — the window groups
     // are the batch's keys, not a handful of partitions
@@ -608,13 +609,24 @@ object Similarity extends QueryPack {
       notMatched = Seq(graft.table.MergeInsert(
         Some(col("_change_type") === "insert"), whole)),
       committedAt = committedAt): Unit
+    // probe-side debt bound (GraftCdcMirror's compactEvery treatment):
+    // each delete window would otherwise stack one more pending equality
+    // entry on the index and EVERY probe pays the anti-join against the
+    // tombstone key relation (measured: s17 0.65→1.17 s, s19 0.85→1.40 s
+    // after ONE window). An ANN index is probed orders of magnitude more
+    // often than it is refreshed, so the default folds immediately —
+    // one row-preserving replace of the covered files (O(index)/
+    // foldEvery amortized; readers and additive streams undisturbed),
+    // after which the probe plan loses the anti-join entirely.
+    idx.foldDeleteDebt(spark, foldEvery, committedAt.map(_ + 1)): Unit
   }
 
   private[queries] def incIdxFixture(
       spark: org.apache.spark.sql.SparkSession,
       sfDir: String): graft.table.GraftTable = {
     val corpus = incCorpusFixture(spark, sfDir)
-    Versioned.cachedFixture(sfDir, "emb_inc_idx", 3) { dir =>
+    // 4 snapshots: base, insert refresh, tombstone merge, debt fold
+    Versioned.cachedFixture(sfDir, "emb_inc_idx", 4) { dir =>
       val cb = graft.functions.CellAssign.codebook(
         seededCentroids(nCentroids = 8, seed = 23L), roundTo = 6)
       def assign(df: DataFrame): DataFrame = df
@@ -690,7 +702,8 @@ object Similarity extends QueryPack {
       spark: org.apache.spark.sql.SparkSession,
       sfDir: String): graft.table.GraftTable = {
     val corpus = incCorpusFixture(spark, sfDir)
-    Versioned.cachedFixture(sfDir, "emb_ivfpq_idx", 3) { dir =>
+    // 4 snapshots: base, insert refresh, tombstone merge, debt fold
+    Versioned.cachedFixture(sfDir, "emb_ivfpq_idx", 4) { dir =>
       val cellCb = s19CellCb
       val pqCb = s19PqCb
       // one fused pass per batch: cell argmax + PQ encode, nothing else

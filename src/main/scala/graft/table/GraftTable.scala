@@ -1393,8 +1393,26 @@ final class GraftTable private (
         s"table schema [${schema.fieldNames.sorted.mkString(",")}] of $dir")
     val aligned = df.select(
       (schema.fieldNames ++ lineageCols).map(col): _*)
+    // compare ignoring NULLABILITY: parquet round-trips surface nested
+    // element/field types as nullable, so a repack (compact /
+    // rewriteDeleteFiles) of a table created with containsNull=false
+    // arrays would refuse the table's OWN rows. Spark writes every
+    // parquet field optional regardless of the declared nullability, so
+    // the physical files are identical either way — only TYPE widening
+    // (the readback hazard this guard exists for) is refused.
+    def stripNull(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case org.apache.spark.sql.types.ArrayType(e, _) =>
+        org.apache.spark.sql.types.ArrayType(stripNull(e), true)
+      case org.apache.spark.sql.types.MapType(k, v, _) =>
+        org.apache.spark.sql.types.MapType(stripNull(k), stripNull(v), true)
+      case org.apache.spark.sql.types.StructType(fs) =>
+        org.apache.spark.sql.types.StructType(fs.map(f =>
+          f.copy(dataType = stripNull(f.dataType), nullable = true)))
+      case other => other
+    }
     aligned.schema.fields.zip(schema.fields).foreach { case (src, tgt) =>
-      require(src.dataType == tgt.dataType,
+      require(stripNull(src.dataType) == stripNull(tgt.dataType),
         s"column '${tgt.name}' is ${src.dataType.sql}, table expects " +
           s"${tgt.dataType.sql} (cast explicitly; writing a widened type " +
           "produces files the table schema cannot read back)")
@@ -3303,6 +3321,29 @@ final class GraftTable private (
     compact(spark, smallerThanBytes = 0L, committedAt,
       targetFileBytes = Some(128L * 1024 * 1024),
       onlyPaths = Some(covered.map(_.path).toSet))
+  }
+
+  /** Threshold-gated [[rewriteDeleteFiles]] — the [[GraftCdcMirror]]
+    * `compactEvery` discipline for MATERIALIZED-INDEX maintenance (ANN
+    * cells, posting lists): every read of the table pays the
+    * pending-equality anti-join, so a read-dominated index folds the
+    * debt once its stacking depth (folded tombstone commits per entry,
+    * the mirror's metric) reaches `every` — one row-preserving
+    * `"replace"` commit, after which probe plans lose the anti-join
+    * entirely and readers/streams are undisturbed. Amortized cost is
+    * O(covered files)/`every` per delete window; `every <= 0` disables
+    * the fold. Callers pick the policy: an ANN/posting index is probed
+    * orders of magnitude more often than it is refreshed, so indexes
+    * default to 1 (each delete window immediately buys back
+    * anti-join-free probes); hot-delete write-heavy pipelines raise it
+    * (the mirror uses 64). */
+  def foldDeleteDebt(
+      spark: SparkSession,
+      every: Int,
+      committedAt: Option[Long] = None): Option[Snapshot] = {
+    if (every <= 0) return None
+    val depth = equalityDeletes.map(_.covs.size).sum
+    if (depth >= every) rewriteDeleteFiles(spark, committedAt) else None
   }
 
   def rewritePositionDeletes(

@@ -54,6 +54,10 @@ class PlanShapeSpec extends SparkSpecBase {
       "tok_bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1)))
     assert(buckets.nonEmpty && buckets.size <= 2,
       s"probe touched buckets $buckets")
+    // the curation tombstone was FOLDED at fixture build (foldDeleteDebt):
+    // the probe pays no per-read anti-join against the tombstone keys
+    assert(!probe.queryExecution.optimizedPlan.toString.contains("LeftAnti"),
+      "posting probe still pays the folded tombstone anti-join")
     // and the index holds (far) more buckets than were read
     val all = Manifest
       .read(s"${idx.dir}/${idx.log.current.get.manifestList}")

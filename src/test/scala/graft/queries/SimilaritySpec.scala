@@ -191,13 +191,30 @@ class SimilaritySpec extends SparkSpecBase {
 
     // the snapshot-3 CURATION refresh (corpus delete → CDC window with
     // delete rows) landed as equality tombstones: not a single index
-    // data file was added or rewritten — O(batch) metadata, no rebuild
+    // data file was added or rewritten by THAT commit — O(batch)
+    // metadata, no rebuild
     val m3 = graft.table.Manifest.read(
       s"${idx.dir}/${idx.log.byId(3L).get.manifestList}")
     assert(m3.files.map(_.path).toSet == m2.files.map(_.path).toSet,
       "delete refresh must not touch index data files")
-    assert(idx.equalityDeletes.nonEmpty,
+    assert(idx.log.byId(3L).get
+        .summary.getOrElse("equality-deletes", "[]") != "[]",
       "delete refresh must land as equality tombstones")
+
+    // the snapshot-4 DEBT FOLD (refreshIndexCdc's foldEvery threshold):
+    // one row-preserving replace drains the tombstones, so probes stop
+    // paying the per-read anti-join — the current probe plan has NO
+    // anti-join while a snapshot-3 (pre-fold) read keeps one (control)
+    assert(idx.log.byId(4L).exists(_.operation == "replace"),
+      "delete refresh must fold the tombstone debt")
+    assert(idx.equalityDeletes.isEmpty,
+      "fold must drain the pending equality entries")
+    val foldedPlan = idx.read(spark).queryExecution.optimizedPlan.toString
+    assert(!foldedPlan.contains("LeftAnti"),
+      s"post-fold read still pays the tombstone anti-join:\n$foldedPlan")
+    assert(idx.read(spark, Some(3L)).queryExecution.optimizedPlan
+        .toString.contains("LeftAnti"),
+      "control: the pre-fold snapshot read should carry the anti-join")
 
     // incremental union equals a from-scratch assignment of the VISIBLE
     // corpus (the %10=7 slice was curation-deleted); a deleted vector is
@@ -248,8 +265,17 @@ class SimilaritySpec extends SparkSpecBase {
       s"${idx.dir}/${idx.log.byId(3L).get.manifestList}")
     assert(m3.files.map(_.path).toSet == m2.files.map(_.path).toSet,
       "delete refresh must not touch index data files")
-    assert(idx.equalityDeletes.nonEmpty,
+    assert(idx.log.byId(3L).get
+        .summary.getOrElse("equality-deletes", "[]") != "[]",
       "delete refresh must land as equality tombstones")
+    // snapshot-4 debt fold: tombstones drained, probes anti-join-free
+    assert(idx.log.byId(4L).exists(_.operation == "replace"),
+      "delete refresh must fold the tombstone debt")
+    assert(idx.equalityDeletes.isEmpty,
+      "fold must drain the pending equality entries")
+    assert(!idx.read(spark).queryExecution.optimizedPlan.toString
+        .contains("LeftAnti"),
+      "post-fold read still pays the tombstone anti-join")
 
     // incremental union equals a from-scratch (cid, codes) assignment
     // of the VISIBLE corpus (%10=7 curation-deleted)
@@ -295,6 +321,61 @@ class SimilaritySpec extends SparkSpecBase {
     val probedScan = idx.scan(spark, Some(col("cid").isin(0, 1)))
     assert(probedScan.inputFiles.length < idx.read(spark).inputFiles.length,
       "probe scan did not prune to the probed cells")
+  }
+
+  test("refreshIndexCdc bounds tombstone debt across delete windows") {
+    import graft.table.GraftTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-debt").toString
+    val corpusDf = emb.limit(60)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val corpus = GraftTable.create(s"$dir/corpus", corpusDf.schema)
+    corpus.append(corpusDf, Some(1000L))
+    val cb = graft.functions.CellAssign.codebook(
+      Similarity.seededCentroids(nCentroids = 8, seed = 23L), roundTo = 6)
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").as("n_id"), col("v").as("n_v"))
+      .withColumn("cid", graft.functions.CellAssign.cell_argmax(col("n_v"), cb))
+    def build(name: String): GraftTable = {
+      val base = assign(corpus.read(spark, Some(1L)).drop("snapshot__id"))
+      val t = GraftTable.create(s"$dir/$name", base.schema)
+      t.append(base, Some(1000L))
+      t
+    }
+    def depth(t: GraftTable): Int = t.equalityDeletes.map(_.covs.size).sum
+    // three delete windows on the corpus
+    (0 until 3).foreach { w =>
+      corpus.delete(spark, col("vec_id") % 7 === w, Some(2000L + w)): Unit
+    }
+    // default policy (foldEvery=1): debt NEVER accumulates — every
+    // delete window folds immediately, probes stay anti-join-free
+    val eager = build("eager")
+    val depthsEager = (0 until 3).map { w =>
+      Similarity.refreshIndexCdc(spark, eager,
+        corpus.changesCdc(spark, 1L + w, Some(2L + w)), "vec_id", assign,
+        Some(2000L + 2 * w))
+      depth(eager)
+    }
+    assert(depthsEager == Seq(0, 0, 0), s"debt leaked: $depthsEager")
+    // raised threshold (foldEvery=3): depth grows to the threshold and
+    // then folds — bounded by the policy, amortized O(index)/3
+    val lazyIdx = build("lazied")
+    val depthsLazy = (0 until 3).map { w =>
+      Similarity.refreshIndexCdc(spark, lazyIdx,
+        corpus.changesCdc(spark, 1L + w, Some(2L + w)), "vec_id", assign,
+        Some(2000L + 2 * w), foldEvery = 3)
+      depth(lazyIdx)
+    }
+    assert(depthsLazy == Seq(1, 2, 0), s"threshold not honored: $depthsLazy")
+    // both policies serve the identical visible index
+    val a = eager.read(spark).select("n_id", "cid")
+      .collect().map(_.toSeq).toSet
+    val b = lazyIdx.read(spark).select("n_id", "cid")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "fold policy changed the served index")
+    assert(!a.map(_.head.asInstanceOf[Long]).exists(id =>
+      (0 until 3).exists(w => id % 7 == w)), "retracted ids still served")
+    GraftTable.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
   test("corpus curation delete + index tombstone publish as ONE transaction") {
