@@ -260,6 +260,199 @@ case class RemoveTokens(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Counts of codepoints belonging to each given ASCII char class, in ONE
+  * byte scan — the fused replacement for the
+  * `length(regexp_replace(text, "[^<class>]", ""))` counting idiom, which
+  * pays a full regex pass AND a string rebuild per class per row (t02 ran
+  * four of them). Byte-scan equivalence: UTF-8 continuation/lead bytes of
+  * non-ASCII codepoints are all >= 0x80, so counting bytes < 0x80 that
+  * are in the class counts exactly the matching CODEPOINTS — the same
+  * number `length()` reports after the regex strips the complement.
+  * Returns array<int>, one count per class, in class order. */
+case class AsciiClassCounts(child: Expression, classes: Seq[String])
+    extends UnaryExpression {
+  require(classes.nonEmpty && classes.forall(_.forall(_ < 128)),
+    "ascii_class_counts requires non-empty ASCII-only classes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "ascii_class_counts"
+
+  // one 128-slot membership row per class, built once per plan
+  @transient private lazy val masks: Array[Array[Boolean]] =
+    classes.map { cls =>
+      val m = new Array[Boolean](128)
+      cls.foreach(c => m(c.toInt) = true)
+      m
+    }.toArray
+
+  def counts(s: UTF8String): ArrayData = {
+    val ms = masks
+    val out = new Array[Int](ms.length)
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) {
+        var c = 0
+        while (c < ms.length) {
+          if (ms(c)(b)) out(c) += 1
+          c += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("asciiCounts", this,
+      classOf[AsciiClassCounts].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.counts($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AsciiClassCounts = copy(child = newChild)
+}
+
+/** Number of elements of a token array that belong to a small literal
+  * set — the fused replacement for `size(filter(toks, x => x.isin(...)))`,
+  * whose higher-order lambda evaluates INTERPRETED per token on every
+  * corpus pass (the CLAUDE.md transform trap; t02 paid it on ~200 tokens
+  * × every doc). Same linear-scan membership as [[RemoveTokens]] (stop
+  * sets are tens of entries), no output allocation. Null elements count 0
+  * (they are not tokens and can never equal a set member — `isin` yields
+  * NULL for them, which `filter` drops). */
+case class CountTokensIn(child: Expression, stop: Seq[String])
+    extends UnaryExpression {
+  require(stop.nonEmpty, "count_tokens_in requires a non-empty set")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "count_tokens_in"
+
+  @transient private lazy val stopArr: Array[UTF8String] =
+    stop.map(UTF8String.fromString).toArray
+
+  def countIn(toks: ArrayData): Int = {
+    val ss = stopArr
+    val n = toks.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var s = 0
+        var hit = false
+        while (!hit && s < ss.length) {
+          if (ss(s).equals(t)) hit = true
+          s += 1
+        }
+        if (hit) hits += 1
+      }
+      i += 1
+    }
+    hits
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    countIn(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("countTokensIn", this,
+      classOf[CountTokensIn].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.countIn($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CountTokensIn = copy(child = newChild)
+}
+
+/** Per-row token statistics — `struct(n_tokens, n_distinct, top_n,
+  * sum_len)` of one document's token array in one fused pass. This is
+  * the [[Bigrams]]/[[KGrams]] discipline applied to the Gopher-rule
+  * aggregate (t15): every output is a PER-DOC integer computable from
+  * the array the row already holds, so spelling it as
+  * `explode → groupBy(doc, tok) → groupBy(doc)` shuffles the entire
+  * corpus token stream TWICE to rebuild per-row facts. Fields match the
+  * aggregate formulation exactly: n_tokens = occurrences, n_distinct =
+  * distinct tokens, top_n = max per-token count, sum_len = sum over
+  * occurrences of `length(tok)` (codepoints). Null elements are skipped
+  * (explode emits them but `length(null)*c` nulls out of the sum and a
+  * null group adds no distinct token — tokens() never emits nulls
+  * anyway). */
+case class TokenStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_n",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_len",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  def stats(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    val counts = new java.util.HashMap[UTF8String, Int](math.max(8, n * 2))
+    var nTokens = 0L
+    var sumLen = 0L
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        nTokens += 1
+        sumLen += t.numChars()
+        counts.put(t, counts.getOrDefault(t, 0) + 1)
+      }
+      i += 1
+    }
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      if (c > top) top = c
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, counts.size.toLong, top, sumLen))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    stats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokenStats", this,
+      classOf[TokenStats].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.stats($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenStats = copy(child = newChild)
+}
+
 object TextOps {
   private val b = org.apache.spark.sql.classic.GraftBridge
 
@@ -277,4 +470,17 @@ object TextOps {
     * order preserved. */
   def remove_tokens(toks: Column, stop: Column): Column =
     b.column(RemoveTokens(b.expr(toks), b.expr(stop)))
+
+  /** Per-class codepoint counts of `text` for ASCII char classes, one
+    * byte scan (array<int>, class order). */
+  def ascii_class_counts(text: Column, classes: Seq[String]): Column =
+    b.column(AsciiClassCounts(b.expr(text), classes))
+
+  /** Count of `toks` elements in the small literal `stop` set. */
+  def count_tokens_in(toks: Column, stop: Seq[String]): Column =
+    b.column(CountTokensIn(b.expr(toks), stop))
+
+  /** struct(n_tokens, n_distinct, top_n, sum_len) of one token array. */
+  def token_stats(toks: Column): Column =
+    b.column(TokenStats(b.expr(toks)))
 }

@@ -34,20 +34,35 @@ object TextAnalysis extends QueryPack {
         floor(length(col("text")) / 4).cast("int").as("n_tokens_bpe_est"))),
 
     // quality scoring: integer counts + one ratio, all deterministic.
-    "t02_quality_score" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"),
-        length(col("text")).as("n_chars_m"),
-        tokenCount(col("text")).as("n_tokens"),
-        length(regexp_replace(col("text"), "[^.!?]", "")).as("n_sentence_punct"),
-        length(regexp_replace(col("text"), "[^a-z]", "")).as("n_lower"),
-        length(regexp_replace(col("text"), "[^A-Z]", "")).as("n_upper"),
-        size(filter(split(trim(col("text")), "\\s+"),
-          x => x.isin("the", "a", "of", "and", "to", "in", "is")))
-          .as("n_stopwords"),
-        round(length(regexp_replace(col("text"), "[^a-zA-Z ]", ""))
-          .cast("double") / greatest(length(col("text")), lit(1)), 6)
-          .as("clean_ratio"))),
+    // All four char-class counts come from ONE fused byte scan
+    // (AsciiClassCounts) instead of four full
+    // `length(regexp_replace(text, "[^…]", ""))` regex passes + string
+    // rebuilds per row, and the stopword count is a codegen'd kernel
+    // instead of the interpreted `filter(split(…), isin)` lambda
+    // (CLAUDE.md's transform trap) — counts identical by construction
+    // (byte < 0x80 ⇔ ASCII codepoint; split(trim,"\\s+") ≡ tokens()
+    // modulo empties, which are never in the stop set), oracle-hashed.
+    "t02_quality_score" -> ((s, d) => {
+      val cc = graft.functions.TextOps.ascii_class_counts(col("text"), Seq(
+        ".!?",
+        ('a' to 'z').mkString,
+        ('A' to 'Z').mkString,
+        ('a' to 'z').mkString + ('A' to 'Z').mkString + " "))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"), cc.as("cc"))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          tokenCount(col("text")).as("n_tokens"),
+          col("cc")(0).as("n_sentence_punct"),
+          col("cc")(1).as("n_lower"),
+          col("cc")(2).as("n_upper"),
+          graft.functions.TextOps.count_tokens_in(
+            graft.functions.TextOps.tokens(col("text"), lowercase = false),
+            Seq("the", "a", "of", "and", "to", "in", "is")).as("n_stopwords"),
+          round(col("cc")(3).cast("double") /
+            greatest(length(col("text")), lit(1)), 6).as("clean_ratio"))
+    }),
 
     // language id: marker-word vote (n-gram heuristic degenerate to word
     // markers — the corpus is synthetic so markers are the honest signal).
@@ -275,15 +290,22 @@ object TextAnalysis extends QueryPack {
     // are single IEEE divisions so the DuckDB oracle hash-matches.
     "t15_gopher_rules" -> ((s, d) => {
       val toks = graft.functions.TextOps.tokens(col("text"))
-      val perTok = t(s, d, "documents")
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(count(lit(1)).as("c"))
-      val perDoc = perTok.groupBy("doc_id").agg(
-        sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_n"),
-        sum(length(col("tok")) * col("c")).as("sum_len"))
+      // every output is a PER-DOC integer over the row's own token array,
+      // so the aggregate spelling (explode → groupBy(doc, tok) →
+      // groupBy(doc)) shuffled the entire corpus token stream TWICE to
+      // rebuild per-row facts — the fused TokenStats kernel computes the
+      // identical integers in one narrow pass, ZERO exchanges. Docs with
+      // no tokens vanish from the explode formulation, so filter them.
+      val perDoc = t(s, d, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"),
+          graft.functions.TextOps.token_stats(col("t")).as("st"))
+        .select(col("doc_id"),
+          col("st")("n_tokens").as("n_tokens"),
+          col("st")("n_distinct").as("n_distinct"),
+          col("st")("top_n").as("top_n"),
+          col("st")("sum_len").as("sum_len"))
       val mwl = col("sum_len").cast("double") / col("n_tokens")
       val topr = col("top_n").cast("double") / col("n_tokens")
       perDoc.select(
@@ -477,10 +499,14 @@ object TextAnalysis extends QueryPack {
     "t23_quality_classifier" -> ((s, d) => {
       val toks = graft.functions.TextOps.tokens(col("text"))
       val nTok = size(toks).cast("double")
-      val meanLen =
-        length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok
-      val stopRatio = size(filter(toks,
-        x => x.isin("the", "a", "data", "value"))).cast("double") / nTok
+      // non-whitespace chars = length − \s-class count (one byte scan, no
+      // regex rebuild); stop count via the codegen'd kernel, not the
+      // interpreted filter() lambda — identical integers, oracle-hashed
+      val meanLen = (length(col("text")) - graft.functions.TextOps
+        .ascii_class_counts(col("text"), Seq(" \t\n\u000B\f\r"))(0))
+        .cast("double") / nTok
+      val stopRatio = graft.functions.TextOps.count_tokens_in(toks,
+        Seq("the", "a", "data", "value")).cast("double") / nTok
       val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
       val langBoost = when(col("lang") === "en", 0.05)
         .when(col("lang") === "de", 0.03)
@@ -551,7 +577,8 @@ object TextAnalysis extends QueryPack {
       val feats = t(s, d, "documents")
         .filter(size(toks) > 0)
         .select(
-          (size(filter(toks, x => x.isin("the", "a", "data", "value")))
+          (graft.functions.TextOps.count_tokens_in(toks,
+            Seq("the", "a", "data", "value"))
             .cast("double") / nTok).as("x1"),
           (size(array_distinct(toks)).cast("double") / nTok).as("x2"),
           (nTok / lit(100.0)).as("x3"),

@@ -111,6 +111,96 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got(5L) == null)
   }
 
+  test("ascii_class_counts matches length(regexp_replace) counting on edges") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The quick... brown!? FOX jumps."),
+      (2L, ""), (3L, "   \t\n"), (4L, "no punct at all"),
+      (5L, "UPPER lower 12345 .,;!?"),
+      (6L, "unicode: café über 世界! end?"),
+      (7L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val classes = Seq(".!?", ('a' to 'z').mkString, ('A' to 'Z').mkString,
+      ('a' to 'z').mkString + ('A' to 'Z').mkString + " ")
+    val want = df.select(col("id"),
+      length(regexp_replace(col("text"), "[^.!?]", "")).as("c0"),
+      length(regexp_replace(col("text"), "[^a-z]", "")).as("c1"),
+      length(regexp_replace(col("text"), "[^A-Z]", "")).as("c2"),
+      length(regexp_replace(col("text"), "[^a-zA-Z ]", "")).as("c3"))
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(i =>
+        if (r.isNullAt(i)) null else r.getInt(i))).toMap
+    val cc = TextOps.ascii_class_counts(col("text"), classes)
+    val got = df.select(col("id"), cc.as("cc"))
+      .select(col("id"), col("cc")(0), col("cc")(1), col("cc")(2), col("cc")(3))
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(i =>
+        if (r.isNullAt(i)) null else r.getInt(i))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // the \s-complement count (t23's meanLen numerator) on the same rows
+    val wantWs = df.select(col("id"),
+      length(regexp_replace(col("text"), "\\s", "")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    val gotWs = df.select(col("id"), (length(col("text")) -
+      TextOps.ascii_class_counts(col("text"),
+        Seq(" \t\n\u000B\f\r"))(0)).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(gotWs == wantWs, s"got=$gotWs want=$wantWs")
+  }
+
+  test("count_tokens_in matches size(filter(toks, isin)) incl. edges") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("the", "cat", "the", "hat", "a")),
+      (2L, Seq("none", "here")),
+      (3L, Seq.empty[String]),
+      (4L, null.asInstanceOf[Seq[String]])
+    ).toDF("id", "toks")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val want = df.select(col("id"),
+      size(filter(col("toks"), x => x.isin(stop.map(lit): _*))).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    val got = df.select(col("id"),
+      TextOps.count_tokens_in(col("toks"), stop).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("token_stats matches the explode+groupBy aggregate formulation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("the", "cat", "the", "hat")),
+      (2L, Seq("solo")),
+      (3L, Seq("a", "bb", "ccc", "a", "bb", "a"))
+    ).toDF("doc_id", "toks")
+    val agg = df.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_n"),
+        sum(length(col("tok")) * col("c")).as("sum_len"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = df.select(col("doc_id"),
+      TextOps.token_stats(col("toks")).as("st"))
+      .select(col("doc_id"), col("st")("n_tokens"), col("st")("n_distinct"),
+        col("st")("top_n"), col("st")("sum_len"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == agg, s"got=$got want=$agg")
+  }
+
+  test("t15 plans ZERO exchanges: per-doc stats never shuffle the corpus") {
+    val t15 = graft.SparkEntry.queries("t15_gopher_rules")(
+      spark, "/root/testdata/sf0.001")
+    val p = t15.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"t15 reintroduced a corpus shuffle:\n$p")
+  }
+
   test("t16 plans no Window and t21 no per-doc re-aggregation: the token " +
       "stream is never shuffled to reassemble rows") {
     val t16 = graft.SparkEntry.queries("t16_rare_bigrams")(
