@@ -483,4 +483,11 @@ object TextOps {
   /** struct(n_tokens, n_distinct, top_n, sum_len) of one token array. */
   def token_stats(toks: Column): Column =
     b.column(TokenStats(b.expr(toks)))
+
+  /** Count of `[a-zA-Z ]` codepoints — the clean_ratio numerator shared
+    * by the quality gates (t02/p01/p02/d10), one byte scan instead of
+    * `length(regexp_replace(text, "[^a-zA-Z ]", ""))`. */
+  def clean_chars(text: Column): Column =
+    ascii_class_counts(text,
+      Seq(('a' to 'z').mkString + ('A' to 'Z').mkString + " "))(0)
 }

@@ -61,7 +61,7 @@ object Pipeline extends QueryPack {
       val nTokens = size(graft.functions.TextOps.tokens(col("text"),
         lowercase = false))
       val cleanRatio = round(
-        length(regexp_replace(col("text"), "[^a-zA-Z ]", "")).cast("double") /
+        graft.functions.TextOps.clean_chars(col("text")).cast("double") /
           greatest(length(col("text")), lit(1)), 6)
       val quality = nTokens.between(10, 120) && cleanRatio > 0.9
       tb.deletePositional(s, !quality, Some(3000L))
@@ -231,7 +231,7 @@ object Pipeline extends QueryPack {
       val quality = docs
         .withColumn("n_tokens", size(toks))
         .withColumn("clean_ratio",
-          round(length(regexp_replace(col("text"), "[^a-zA-Z ]", ""))
+          round(graft.functions.TextOps.clean_chars(col("text"))
             .cast("double") / greatest(length(col("text")), lit(1)), 6))
         .filter(col("n_tokens").between(10, 120) && col("clean_ratio") > 0.9)
       val fp = quality.withColumn("fingerprint",
@@ -255,7 +255,7 @@ object Pipeline extends QueryPack {
           size(graft.functions.TextOps.tokens(col("text"),
             lowercase = false)))
         .withColumn("clean_ratio",
-          length(regexp_replace(col("text"), "[^a-zA-Z ]", ""))
+          graft.functions.TextOps.clean_chars(col("text"))
             .cast("double") / greatest(length(col("text")), lit(1)))
         .filter(col("n_toks").between(10, 120) && col("clean_ratio") > 0.9
           && !evalPred)
