@@ -110,9 +110,16 @@ class DedupSpec extends SparkSpecBase {
   test("dupClusters throws rather than returning split clusters at maxIters") {
     import spark.implicits._
     val chain = (0L until 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    intercept[IllegalStateException] {
+    // the single-partition fast path raises the guard INSIDE its one
+    // task, so Spark may wrap it — assert on the cause chain, not the
+    // outermost type (the distributed path throws driver-side directly)
+    val e = intercept[Exception] {
       Dedup.dupClusters(chain, maxIters = 2).collect()
     }
+    def chainOf(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chainOf(t.getCause)
+    assert(chainOf(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("no fixpoint")), e.toString)
   }
 
   test("incremental dedup: batch probes corpus only, not itself") {
