@@ -28,8 +28,8 @@ object PortableText {
     }
 
   /** `conv(substring(md5(s), 1, 15), 16, 10)` — the top 60 bits of the
-    * digest, big-endian — reduced mod 2^31-1. */
-  private[functions] def portableHashRed(bytes: Array[Byte]): Long = {
+    * digest, big-endian (the engine-portable Dedup.portableHash value). */
+  private[functions] def portableHashFull(bytes: Array[Byte]): Long = {
     val d = md5Local.get()
     d.reset()
     val h = d.digest(bytes)
@@ -37,15 +37,25 @@ object PortableText {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
-    v = (v << 4) | ((h(7) & 0xf0L) >> 4)
-    v % M31
+    (v << 4) | ((h(7) & 0xf0L) >> 4)
   }
+
+  /** [[portableHashFull]] reduced mod 2^31-1 (the universal-hash-family
+    * domain — products stay under 2^62 in ANSI mode). */
+  private[functions] def portableHashRed(bytes: Array[Byte]): Long =
+    portableHashFull(bytes) % M31
 
   /** Distinct portable shingle hashes of a token array, first-occurrence
     * order — `array_distinct(transform(kgrams(toks, k), g =>
-    * portableHashRed(g)))` fused into one pass. Short-doc collapse and
-    * the k=1 path follow [[KGrams]]. */
-  case class PortableShingles(child: Expression, k: Int)
+    * portableHash[Red](g)))` fused into one pass (`reduce` picks the
+    * mod-M31 family domain vs the full 60-bit value — the latter lets a
+    * (doc, h)-distinct consumer drop its corpus-wide distinct EXCHANGE:
+    * per-row distinct equals global distinct when the doc id is unique,
+    * and hashing inside the dedup keeps hash-collision semantics
+    * identical to distinct-after-hash). Short-doc collapse and the k=1
+    * path follow [[KGrams]]. */
+  case class PortableShingles(child: Expression, k: Int,
+      reduce: Boolean = true)
       extends UnaryExpression {
     require(k >= 1, s"shingle size must be >= 1, got $k")
 
@@ -64,7 +74,8 @@ object PortableText {
       val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
       var i = 0
       while (i < n) {
-        seen.add(portableHashRed(grams.getUTF8String(i).getBytes))
+        val b = grams.getUTF8String(i).getBytes
+        seen.add(if (reduce) portableHashRed(b) else portableHashFull(b))
         i += 1
       }
       val out = new Array[Long](seen.size)
@@ -145,6 +156,12 @@ object PortableText {
 
   def portable_shingles(toks: Column, k: Int): Column =
     b.column(PortableShingles(b.expr(toks), k))
+
+  /** Distinct FULL 60-bit portable shingle hashes (no mod-M31 reduction)
+    * — `explode` of this equals `shingleRows(…, portableHash).distinct()`
+    * per unique doc id, without the corpus-wide distinct exchange. */
+  def portable_shingles_full(toks: Column, k: Int): Column =
+    b.column(PortableShingles(b.expr(toks), k, reduce = false))
 
   def minhash_over_set(sh: Column, coefs: Seq[(Long, Long)]): Column =
     b.column(MinHashOverSet(b.expr(sh), coefs.toVector))
