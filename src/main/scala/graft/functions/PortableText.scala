@@ -99,13 +99,65 @@ object PortableText {
         newChild: Expression): PortableShingles = copy(child = newChild)
   }
 
+  /** Distinct xxhash64 shingle hashes of a token array — the bulk-path
+    * twin of [[PortableShingles]] (d03-family corpora keep xxhash64
+    * semantics; see Dedup.portableHash's doc). Hash values are EXACTLY
+    * Spark's `xxhash64(stringCol)`: XXH64 over the UTF-8 bytes with the
+    * expression's default seed 42. Short-doc collapse / k=1 follow
+    * [[KGrams]]. */
+  case class XxShingles(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.sql}")
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "xx_shingles"
+
+    def hashes(toks: ArrayData): ArrayData = {
+      val grams = KGrams.compute(toks, k)
+      val n = grams.numElements()
+      val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
+      var i = 0
+      while (i < n) {
+        val g = grams.getUTF8String(i)
+        seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      hashes(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("xxShingles", this,
+        classOf[XxShingles].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.hashes($v);")
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): XxShingles = copy(child = newChild)
+  }
+
   /** Per-permutation minima of the universal-hash family over a hash-set
     * column — `array_min(transform(sh, h => (h*a_i + b_i) % M31))` for
     * every i, fused into one pass → `array<long>` of length perms.
     * An EMPTY input yields nulls per slot, matching `array_min` on an
     * empty array (cannot arise from [[PortableShingles]], which emits at
     * least one hash per non-null row). */
-  case class MinHashOverSet(child: Expression, coefs: Seq[(Long, Long)])
+  case class MinHashOverSet(child: Expression, coefs: Seq[(Long, Long)],
+      normalize: Boolean = false)
       extends UnaryExpression {
 
     @transient private lazy val coefA: Array[Long] = coefs.map(_._1).toArray
@@ -128,7 +180,13 @@ object PortableText {
       java.util.Arrays.fill(out, Long.MaxValue)
       var j = 0
       while (j < n) {
-        val h = sh.getLong(j)
+        // normalize: inputs outside [0, M31) (raw xxhash64 values, which
+        // can be negative) are reduced exactly like
+        // MinHashSignature.update's h31 — same family values bit for bit
+        val h = if (normalize) {
+          val m = sh.getLong(j) % M31
+          if (m < 0) m + M31 else m
+        } else sh.getLong(j)
         var i = 0
         while (i < out.length) {
           val hv = (coefA(i) * h + coefB(i)) % M31
@@ -163,6 +221,15 @@ object PortableText {
   def portable_shingles_full(toks: Column, k: Int): Column =
     b.column(PortableShingles(b.expr(toks), k, reduce = false))
 
-  def minhash_over_set(sh: Column, coefs: Seq[(Long, Long)]): Column =
-    b.column(MinHashOverSet(b.expr(sh), coefs.toVector))
+  def minhash_over_set(sh: Column, coefs: Seq[(Long, Long)],
+      normalize: Boolean = false): Column =
+    b.column(MinHashOverSet(b.expr(sh), coefs.toVector, normalize))
+
+  /** Distinct `xxhash64(shingle)` values of a token array, one fused
+    * pass — the bulk-path (d03) twin of [[portable_shingles_full]]:
+    * hashes equal Spark's `xxhash64(col)` on the shingle strings bit for
+    * bit (XXH64 over the UTF-8 bytes, seed 42), so exploding this equals
+    * the shingleRows(xxhash64) stream with per-row dedup. */
+  def xx_shingles(toks: Column, k: Int): Column =
+    b.column(XxShingles(b.expr(toks), k))
 }

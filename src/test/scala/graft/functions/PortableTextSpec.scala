@@ -64,4 +64,60 @@ class PortableTextSpec extends SparkSpecBase {
       .collect()
     assert(rows.count(_.isNullAt(0)) == 1)
   }
+
+  test("portable_shingles_full matches portableHash kgrams, distinct, in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("the", "cat", "sat", "on", "the", "cat", "sat")),
+      (2L, Seq("x")), (3L, Seq.empty[String])
+    ).toDF("id", "toks")
+    // the composed reference: explode kgrams, hash with the FULL 60-bit
+    // md5-prefix (conv of the first 15 hex digits), distinct per doc
+    val want = df.select(col("id"),
+      explode(TextOps.kgrams(col("toks"), 3)).as("g"))
+      .select(col("id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = df.select(col("id"),
+      explode(PortableText.portable_shingles_full(col("toks"), 3)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("xx_shingles matches xxhash64 of kgrams, distinct, in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("the", "cat", "sat", "on", "the", "cat", "sat")),
+      (2L, Seq("x")), (3L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val want = df.select(col("id"),
+      explode(TextOps.kgrams(col("toks"), 3)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = df.select(col("id"),
+      explode(PortableText.xx_shingles(col("toks"), 3)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("normalized minhash_over_set equals the MinHashSignature aggregate " +
+      "over raw xxhash64 values") {
+    import spark.implicits._
+    val coefs = Seq((3L, 7L), (11L, 13L), (123456789L, 987654321L))
+    val df = Seq(
+      (1L, Seq(42L, -42L, Long.MinValue + 1, Long.MaxValue, 0L)),
+      (2L, Seq(-1L))
+    ).toDF("doc", "hs")
+    val agg = df.select(col("doc"), explode(col("hs")).as("h"))
+      .groupBy("doc")
+      .agg(MinHashSignature.minhash_signature(col("h"), coefs).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val perRow = df.select(col("doc"),
+      PortableText.minhash_over_set(col("hs"), coefs, normalize = true)
+        .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(perRow == agg, s"got=$perRow want=$agg")
+  }
 }
