@@ -88,15 +88,15 @@ object Bench {
     }
     val total = results.map(_._2).sum
     // Full per-query map is large (~100 queries ≈ 3.5 KB); the driver reads
-    // a bounded tail of stdout, so a line that long gets truncated mid-JSON
-    // and fails to parse (round-1 BENCH had parsed:null). Keep stdout to one
-    // SHORT line — total + headline queries — and put the full map in a
-    // file + stderr.
+    // a bounded tail of MERGED stdout+stderr, so the map must not reach
+    // EITHER stream — an echoed ~3.5 KB line gets truncated mid-JSON right
+    // above the summary and the whole tail fails to parse (BENCH r16/r17
+    // both read parsed:null from exactly that). The full map goes to
+    // bench_full.json ONLY; the final printed line is the short summary.
     val fullJson = Bench.summaryLine(total, results, results, sfDir, nErrors)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
     catch { case _: Throwable => }
-    System.err.println(fullJson)
     println(Bench.summaryLine(total,
       results.filter(r => Headline.contains(r._1)), results, sfDir, nErrors))
     spark.stop()
