@@ -97,6 +97,14 @@ object GraftFunctions {
     b.column(TopKByScore(b.expr(score), b.expr(id), k).toAggregateExpression())
   }
 
+  /** Aggregate Column API: the group's distinct BIGINT ids, sorted, while
+    * ≤ cap of them exist; NULL beyond — O(cap) state, map-side partials
+    * (see [[DistinctIdsCapped]]). */
+  def distinct_ids_capped(id: Column, cap: Int): Column = {
+    val b = org.apache.spark.sql.classic.GraftBridge
+    b.column(DistinctIdsCapped(b.expr(id), cap).toAggregateExpression())
+  }
+
   /** Register the SQL surface (`SELECT cosine_sim(a.v, b.v) ...`). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -260,6 +260,71 @@ case class RemoveTokens(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `regexp_replace(s, "\\s+", " ")` as ONE byte scan — the whitespace
+  * normalizer under every exact-dedup fingerprint (d01/d02/p01/p02/st01's
+  * admission digest), which paid a full Java-regex pass AND a rebuilt
+  * string per row. Byte-scan equivalence: Java's `\s` (no
+  * UNICODE_CHARACTER_CLASS) is exactly `[ \t\n\x0B\f\r]` — six ASCII
+  * code units that are single bytes in UTF-8 and can never occur inside
+  * a multi-byte sequence, so collapsing byte runs of them to one 0x20
+  * produces the identical string the regex does (each maximal run →
+  * one space, including leading/trailing runs — NOT a trim).
+  * Property-pinned against regexp_replace in TextOpsSpec. */
+case class CollapseWs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "collapse_ws"
+
+  def collapse(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    // fast path: scan for the first byte the regex would touch (any
+    // whitespace that is part of a run, or any non-space whitespace);
+    // rows already normalized return the input with zero allocation
+    var firstHit = -1
+    var prevWs = false
+    while (firstHit < 0 && i < n) {
+      val b = s.getByte(i)
+      val ws = b == 32 || (b >= 9 && b <= 13)
+      if (ws && (b != 32 || prevWs)) firstHit = i
+      prevWs = ws
+      i += 1
+    }
+    if (firstHit < 0) return s
+    val out = new Array[Byte](n)
+    var k = 0
+    var inRun = false
+    i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == 32 || (b >= 9 && b <= 13)) {
+        if (!inRun) { out(k) = 32; k += 1; inRun = true }
+      } else {
+        out(k) = b; k += 1; inRun = false
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, k)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    collapse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("collapseWs", this, classOf[CollapseWs].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.collapse($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CollapseWs =
+    copy(child = newChild)
+}
+
 /** Counts of codepoints belonging to each given ASCII char class, in ONE
   * byte scan — the fused replacement for the
   * `length(regexp_replace(text, "[^<class>]", ""))` counting idiom, which
@@ -490,4 +555,8 @@ object TextOps {
   def clean_chars(text: Column): Column =
     ascii_class_counts(text,
       Seq(('a' to 'z').mkString + ('A' to 'Z').mkString + " "))(0)
+
+  /** `regexp_replace(text, "\\s+", " ")` — the exact-dedup fingerprint
+    * normalizer — as one byte scan (see [[CollapseWs]]). */
+  def collapse_ws(text: Column): Column = b.column(CollapseWs(b.expr(text)))
 }

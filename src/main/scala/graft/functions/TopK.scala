@@ -160,3 +160,110 @@ case class TopKByScore(
       newLeft: Expression, newRight: Expression): TopKByScore =
     copy(left = newLeft, right = newRight)
 }
+
+/** Capped distinct-long-id accumulator: exact distinct set while it holds
+  * ≤ cap ids, a single overflow bit (and NO retained ids) beyond — state
+  * is ≤ 8·(cap+1) bytes regardless of how hot the group is. */
+final class CappedSetState(val cap: Int) {
+  var overflow = false
+  var set = new java.util.HashSet[java.lang.Long]()
+  def add(id: Long): Unit =
+    if (!overflow) {
+      set.add(id)
+      if (set.size > cap) { overflow = true; set = new java.util.HashSet() }
+    }
+}
+
+/** `distinct_ids_capped(id, cap)`: the distinct BIGINT ids of the group as
+  * a sorted array while there are ≤ `cap` of them, NULL once the (exact)
+  * distinct count exceeds `cap`.
+  *
+  * This fuses the `distinct → groupBy(count-distinct + bounded id list) →
+  * low-frequency filter` idiom into ONE aggregate: the pre-distinct was a
+  * second full shuffle of the keyed stream purely to make `count(*)` a
+  * distinct count, while this aggregate dedups inside its own (map-side
+  * partial) state — and a boilerplate-hot key that would blow the list
+  * degrades to one boolean instead of accumulating anything. Exactness of
+  * the cap test is preserved under merge: a partial that overflowed forces
+  * the merged group to overflow (its true distinct count already exceeds
+  * cap), and non-overflowed partials union with the same cap check. */
+case class DistinctIdsCapped(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CappedSetState]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(cap > 0, s"distinct_ids_capped requires cap > 0, got $cap")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT id, got ${child.dataType.sql}")
+
+  override def prettyName: String = "distinct_ids_capped"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): CappedSetState = new CappedSetState(cap)
+
+  override def update(buf: CappedSetState, input: InternalRow): CappedSetState = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: CappedSetState, other: CappedSetState): CappedSetState = {
+    if (other.overflow) { buf.overflow = true; buf.set = new java.util.HashSet() }
+    else if (!buf.overflow) {
+      val it = other.set.iterator()
+      while (it.hasNext && !buf.overflow) buf.add(it.next())
+    }
+    buf
+  }
+
+  override def eval(buf: CappedSetState): Any =
+    if (buf.overflow) null
+    else {
+      val arr = new Array[Long](buf.set.size)
+      val it = buf.set.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(arr)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(arr)
+    }
+
+  override def serialize(buf: CappedSetState): Array[Byte] = {
+    if (buf.overflow) ByteBuffer.allocate(4).putInt(-1).array()
+    else {
+      val bb = ByteBuffer.allocate(4 + 8 * buf.set.size)
+      bb.putInt(buf.set.size)
+      val it = buf.set.iterator()
+      while (it.hasNext) bb.putLong(it.next())
+      bb.array()
+    }
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedSetState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val st = new CappedSetState(cap)
+    if (n < 0) st.overflow = true
+    else {
+      var i = 0
+      while (i < n) { st.add(bb.getLong); i += 1 }
+    }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DistinctIdsCapped =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DistinctIdsCapped =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): DistinctIdsCapped =
+    copy(child = newChild)
+}

@@ -66,7 +66,7 @@ object Pipeline extends QueryPack {
       val quality = nTokens.between(10, 120) && cleanRatio > 0.9
       tb.deletePositional(s, !quality, Some(3000L))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .partitionBy(md5(graft.functions.TextOps.collapse_ws(lower(col("text")))))
         .orderBy(col("doc_id"))
       val losers = tb.read(s)
         .withColumn("rn", row_number().over(w))
@@ -235,7 +235,7 @@ object Pipeline extends QueryPack {
             .cast("double") / greatest(length(col("text")), lit(1)), 6))
         .filter(col("n_tokens").between(10, 120) && col("clean_ratio") > 0.9)
       val fp = quality.withColumn("fingerprint",
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        md5(graft.functions.TextOps.collapse_ws(lower(col("text")))))
       val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id").asc)
       fp.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -266,7 +266,7 @@ object Pipeline extends QueryPack {
       val clean = quality.join(contaminated,
         quality("doc_id") === contaminated("bad_id"), "left_anti")
       val w = Window
-        .partitionBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .partitionBy(md5(graft.functions.TextOps.collapse_ws(lower(col("text")))))
         .orderBy(col("doc_id").asc)
       val kept = clean.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

@@ -84,7 +84,7 @@ object TextAnalysis extends QueryPack {
     "t04_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))),
+        md5(graft.functions.TextOps.collapse_ws(lower(col("text")))).as("fingerprint"))),
 
     // corpus bigram frequencies: the n-gram analysis pass. Per-row fused
     // Bigrams kernel + explode + hash-agg — ONE shuffle (the count), no

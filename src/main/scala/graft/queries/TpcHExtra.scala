@@ -47,14 +47,24 @@ object TpcHExtra extends QueryPack {
           col("l_partkey") === col("pk"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
-      val minu = unit.groupBy(col("l_partkey").as("mp_key"))
-        .agg(min(col("unit_cost")).as("min_cost"))
-      unit
-        .join(minu, col("l_partkey") === col("mp_key") &&
-          col("unit_cost") === col("min_cost"))
-        .join(pa, unit("l_partkey") === pa("p_partkey"))
+      // per-part minimum as a WINDOW over the aggregated unit relation,
+      // not a second aggregate + self-join: the `unit` subtree was
+      // referenced twice and per-branch column pruning re-specialized it,
+      // so the lineitem scan + semi-join + two-level aggregate ran TWICE
+      // (guide §2.4/§3.3 — collapse duplicated subtrees). The window's
+      // partition key (l_partkey) has one group per part — many groups,
+      // no parallelism funnel — and `unit_cost = min over part` keeps
+      // exactly the rows the equality self-join kept (all min-achieving
+      // suppliers per part).
+      val byPart = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
+      val best = unit
+        .withColumn("min_cost", min(col("unit_cost")).over(byPart))
+        .filter(col("unit_cost") === col("min_cost"))
+      best
+        .join(pa, best("l_partkey") === pa("p_partkey"))
         .join(t(s, d, "supplier"),
-          unit("l_suppkey") === col("s_suppkey"))
+          best("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, d, "nation")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),

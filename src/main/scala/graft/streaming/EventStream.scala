@@ -335,5 +335,5 @@ object EventStream {
     * "same document" means. */
   def fingerprinted(docs: DataFrame): DataFrame =
     docs.withColumn("fingerprint",
-      md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      md5(graft.functions.TextOps.collapse_ws(lower(col("text")))))
 }

@@ -3336,7 +3336,13 @@ final class GraftTable private (
     * orders of magnitude more often than it is refreshed, so indexes
     * default to 1 (each delete window immediately buys back
     * anti-join-free probes); hot-delete write-heavy pipelines raise it
-    * (the mirror uses 64). */
+    * (the mirror uses 64).
+    *
+    * The stacking metric counts EQUALITY-delete depth only: the rewrite
+    * it triggers drains predicate-pending deletes too, but a table
+    * carrying only predicate debt never reaches the threshold (today's
+    * callers — ANN/posting indexes — only ever create equality debt;
+    * widen the metric if a predicate-debt caller appears). */
   def foldDeleteDebt(
       spark: SparkSession,
       every: Int,

@@ -111,6 +111,33 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got(5L) == null)
   }
 
+  test("collapse_ws matches regexp_replace(s, \\s+, ' ') on edges and random text") {
+    import spark.implicits._
+    val fixed = Seq(
+      "", " ", "\t", "  ", "a b", "a  b", " a ", "\t\na\fb\r",
+      "no_whitespace", "tab\tonly", "ünïcode  späces\tokay",
+      "trailing run   ", "   leading", "\r\n", "a b" /* NBSP: NOT \s */)
+    val rng = new scala.util.Random(3)
+    val alphabet = "ab \t\n\f\rxyzäß日"
+    val rand = Seq.fill(300)(
+      Seq.fill(rng.nextInt(24))(alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = (fixed ++ rand).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val rows = df.select(col("id"),
+        regexp_replace(col("text"), "\\s+", " ").as("want"),
+        TextOps.collapse_ws(col("text")).as("got"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(2) == r.getString(1),
+        s"id=${r.getLong(0)}: got=${r.getString(2).map(_.toInt)} " +
+          s"want=${r.getString(1).map(_.toInt)}")
+    }
+    // null propagates
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(TextOps.collapse_ws(col("text"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("ascii_class_counts matches length(regexp_replace) counting on edges") {
     import spark.implicits._
     val df = Seq(
